@@ -1,0 +1,51 @@
+"""Frozen gate configuration.
+
+The reference hard-codes its rule thresholds inline (e.g. the
+``len(content_lines) <= 10`` boilerplate heuristic at
+``p010.py:74``, the >1-day staleness window at ``w002.py:143``).
+Here every threshold lives in ONE frozen dataclass so the fixture
+labels, unit tests and production pipeline all see identical values —
+SURVEY §7.4's "freeze the thresholds exactly once".
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class GateConfig:
+    # --- document shape (C4-style) ---
+    min_words: int = 8
+    max_words: int = 200_000
+
+    # --- Gopher-style ratio rules ---
+    stopword_ratio_min: float = 0.05     # marker-word density floor (skipped for zh)
+    symbol_ratio_max: float = 0.25       # non-alnum-non-space chars / chars
+    top_bigram_frac_max: float = 0.20    # most-frequent adjacent word pair share
+    dup_line_frac_max: float = 0.50      # 1 - unique_lines/lines
+    repetition_scan_tokens: int = 512    # bounded per-doc work for the bigram scan
+
+    # --- boilerplate-only classifier (P010 recast) ---
+    boilerplate_max_lines: int = 3
+
+    # --- language ID ---
+    langid_min_conf: float = 0.08        # marker-density floor to call a language
+    zh_char_ratio_min: float = 0.25      # CJK-char share to call zh
+
+    # --- perplexity gate ---
+    max_bits_per_char: float = 5.0       # byte-trigram LM; calibrated: keep-rows ≤2.6, gibberish ≥8.5
+
+    # --- staleness (W002 recast) ---
+    outdated_days: float = 1.0
+
+    # --- execution knobs (scale tuning, not semantics) ---
+    batch_size: int = 4096
+    langid_actors: int = 4
+    perplexity_actors: int = 4
+
+    # languages the gate understands
+    known_langs: tuple = ("en", "fr", "es", "de", "zh")
+
+
+DEFAULT_CONFIG = GateConfig()

@@ -1,0 +1,68 @@
+"""Deterministic hashing primitives.
+
+``splitmix64`` is the engine's only randomness source: every fixture
+cell is a pure function of ``(seed, row_index, stream)`` so the same
+table materializes on every machine, at every scale point, under any
+parallelism (FIXTURES.md §1 determinism rule). Also used for content
+hashes (exact dedup) and band hashes (MinHash-LSH).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_MASK = (1 << 64) - 1
+
+
+def splitmix64(x: int) -> int:
+    """Scalar splitmix64 finalizer (public-domain algorithm)."""
+    z = (x + 0x9E3779B97F4A7C15) & _MASK
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & _MASK
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & _MASK
+    return z ^ (z >> 31)
+
+
+def row_u64(seed: int, index: int, stream: int) -> int:
+    """Pure per-row 64-bit value: independent of table size or order."""
+    return splitmix64(seed ^ splitmix64((stream * 0x9E3779B97F4A7C15 + index) & _MASK))
+
+
+def row_uniform(seed: int, index: int, stream: int) -> float:
+    """Pure per-row uniform in [0, 1)."""
+    return row_u64(seed, index, stream) / 2.0**64
+
+
+def splitmix64_np(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 over a uint64 ndarray (wrapping arithmetic)."""
+    with np.errstate(over="ignore"):
+        z = (x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15))
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
+def hash_bytes_u64(data: bytes, seed: int = 0) -> int:
+    """Deterministic 64-bit content hash (C-speed blake2b, 8-byte digest).
+
+    Used as the exact-dedup key — stable across processes (unlike
+    Python's randomized ``hash``) and O(len) in C, no Python-level
+    byte loop.
+    """
+    import hashlib
+
+    h = hashlib.blake2b(data, digest_size=8, key=seed.to_bytes(8, "little"))
+    return int.from_bytes(h.digest(), "little")
+
+
+def hash_str_array_u64(values, seed: int = 0) -> np.ndarray:
+    """Content hash of a string sequence → uint64 ndarray.
+
+    One C-backed blake2b call per element; runs inside map_batches
+    workers, not on the driver.
+    """
+    out = np.empty(len(values), dtype=np.uint64)
+    for i, v in enumerate(values):
+        out[i] = hash_bytes_u64(
+            v.encode("utf-8") if isinstance(v, str) else bytes(v or b""), seed
+        )
+    return out

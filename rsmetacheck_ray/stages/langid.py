@@ -1,0 +1,107 @@
+"""Language-ID stage — a stateful actor-pool `map_batches` class.
+
+The north rule's fastText-lid analog (the reference has no stateful
+stages, SURVEY §2.4; its closest pattern is the module-level compiled
+regex lists, ``p002.py:37-51``). Implemented as marker-word density
+scoring: for each known language, count whole-word hits of that
+language's (disjoint) marker set with ONE vectorized RE2 pass per
+language (`pyarrow.compute.count_substring_regex`), plus a CJK
+character-ratio detector for zh. Detected language = argmax density,
+``"und"`` below the confidence floor.
+
+State (the per-language compiled patterns) is built once per actor in
+``__init__`` — the ActorPoolStrategy contract. Scoring is deterministic
+and seed-free.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..config import DEFAULT_CONFIG, GateConfig
+from ..functions.vocab import MARKERS
+
+_CJK_PATTERN = r"[\x{4E00}-\x{9FFF}]"
+_TOKEN_PATTERN = r"\S+"
+
+
+def marker_pattern(lang: str) -> str:
+    return r"\b(?:" + "|".join(MARKERS[lang]) + r")\b"
+
+
+class LangIdScorer:
+    """Adds ``detected_lang: string`` and ``langid_conf: double``.
+
+    Usage::
+
+        ds.map_batches(LangIdScorer, batch_format="pyarrow",
+                       batch_size=cfg.batch_size,
+                       concurrency=cfg.langid_actors)
+    """
+
+    def __init__(self, cfg: GateConfig = DEFAULT_CONFIG):
+        self.cfg = cfg
+        # one compiled alternation per language, built once per actor
+        self.patterns = {lang: marker_pattern(lang) for lang in MARKERS}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch.column("extracted_text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        n = len(batch)
+
+        n_tokens = pc.count_substring_regex(text, _TOKEN_PATTERN).to_numpy(
+            zero_copy_only=False
+        ).astype(np.float64)
+        n_chars = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.float64)
+        tok_safe = np.maximum(n_tokens, 1.0)
+        chr_safe = np.maximum(n_chars, 1.0)
+
+        langs = list(self.patterns)
+        scores = np.zeros((len(langs) + 1, n), dtype=np.float64)
+        for k, lang in enumerate(langs):
+            hits = pc.count_substring_regex(text, self.patterns[lang]).to_numpy(
+                zero_copy_only=False
+            )
+            scores[k] = hits / tok_safe
+        cjk = pc.count_substring_regex(text, _CJK_PATTERN).to_numpy(zero_copy_only=False)
+        zh_ratio = cjk / chr_safe
+        scores[len(langs)] = np.where(zh_ratio >= self.cfg.zh_char_ratio_min, zh_ratio, 0.0)
+
+        lang_names = np.array(langs + ["zh"])
+        best = scores.argmax(axis=0)
+        conf = scores[best, np.arange(n)]
+        detected = lang_names[best]
+        floor = np.where(lang_names[best] == "zh", self.cfg.zh_char_ratio_min, self.cfg.langid_min_conf)
+        detected = np.where(conf >= floor, detected, "und")
+        detected = np.where(n_tokens == 0, "und", detected)
+
+        out = batch.append_column("detected_lang", pa.array(detected, pa.string()))
+        out = out.append_column("langid_conf", pa.array(conf, pa.float64()))
+        out = out.append_column("n_tokens", pa.array(n_tokens.astype(np.int64), pa.int64()))
+        out = out.append_column("n_chars", pa.array(n_chars.astype(np.int64), pa.int64()))
+        # Stopword-ratio basis: marker hits of the detected language;
+        # when detection is "und"/zh, fall back to the DECLARED language
+        # (null ⇒ the stopword rule skips — the reference's "missing key
+        # ⇒ rule does not fire" convention, p001.py:10-11).
+        declared = batch.column("lang").to_numpy(zero_copy_only=False)
+        declared = np.array(["" if d is None else str(d) for d in declared])
+        stop_lang = np.where(
+            np.isin(detected, langs),
+            detected,
+            np.where((detected == "und") & np.isin(declared, langs), declared, ""),
+        )
+        stop_hits = np.zeros(n, dtype=np.float64)
+        for k, lang in enumerate(langs):
+            m = stop_lang == lang
+            if m.any():
+                hits_k = scores[k] * tok_safe
+                stop_hits[m] = hits_k[m]
+        out = out.append_column(
+            "stopword_lang",
+            pa.array([s if s else None for s in stop_lang], pa.string()),
+        )
+        out = out.append_column("stopword_hits", pa.array(stop_hits.astype(np.int64), pa.int64()))
+        return out

@@ -1,0 +1,133 @@
+"""Perplexity stage — KenLM-style n-gram scoring as an actor pool.
+
+The north rule's "KenLM 5-gram perplexity" analog: a byte-trigram
+language model with add-alpha smoothing, trained ONCE PER ACTOR in
+``__init__`` on a deterministic mixed-language corpus derived from the
+shared vocabulary pools (``functions/vocab.py``) — the ActorPoolStrategy
+pattern SURVEY §2.4 calls for. Scoring is seed-free and fully
+vectorized: the whole batch's bytes are concatenated into one numpy
+buffer, trigram codes are computed with shifts, probabilities looked up
+via ``searchsorted`` against the sorted code tables, and per-document
+bits-per-char reduced with ``np.add.reduceat``.
+
+High bits-per-char ⇒ text the LM has never seen (gibberish, binary
+junk) ⇒ the ``perplexity_high`` drop rule.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..config import DEFAULT_CONFIG, GateConfig
+from ..functions.hashing import row_u64
+from ..functions.vocab import CONTENT, MARKERS, ZH_CHARS
+
+_ALPHA = 0.1
+_TRAIN_SEED = 777
+
+
+def _train_corpus() -> bytes:
+    """Deterministic training text: pool sentences in all 5 languages
+    plus 'misc web furniture' templates (dates, phones, IPs, emails,
+    identifiers) so benign numeric tokens don't rank as gibberish."""
+    lines: list[str] = []
+    for li, lang in enumerate(("en", "fr", "es", "de")):
+        markers, content = MARKERS[lang], CONTENT[lang]
+        for s in range(400):
+            words = []
+            for j in range(18):
+                r = row_u64(_TRAIN_SEED, s, li * 1000 + j * 101 + s * 7)
+                pool = markers if j % 3 == 1 else content
+                words.append(pool[r % len(pool)])
+            w0 = words[0]
+            words[0] = w0.capitalize() if s % 3 == 0 else w0
+            lines.append(" ".join(words) + ".")
+    for s in range(400):
+        chars = [
+            ZH_CHARS[row_u64(_TRAIN_SEED, s, 50_000 + j) % len(ZH_CHARS)]
+            for j in range(40)
+        ]
+        lines.append("".join(chars))
+    # misc: digits / separators in the shapes benign keep-rows contain
+    for s in range(60):
+        d = [row_u64(_TRAIN_SEED, s, 60_000 + j) % 10 for j in range(16)]
+        hexs = "".join("0123456789abcdef"[row_u64(_TRAIN_SEED, s, 61_000 + j) % 16] for j in range(40))
+        lines.append(f"Last updated: 20{d[0]}{d[1]}-0{d[2] % 9 + 1}-1{d[3]}.")
+        lines.append(f"call +1-555-{d[4]}{d[5]}{d[6]}-{d[7]}{d[8]}{d[9]}{d[10]} now.")
+        lines.append(f"server at 192.168.{d[11]}{d[12]}.{d[13]}{d[14]} responded.")
+        lines.append(f"contact user{d[15]}@mail-{d[0]}.example.net for details.")
+        lines.append(f"identifier 10.5281/zenodo.{d[1]}{d[2]}{d[3]}{d[4]}{d[5]} cited.")
+        lines.append(f"swh:1:rev:{hexs} (c) 2024 Example Site | Home | About")
+    return "\n".join(lines).encode("utf-8")
+
+
+class PerplexityScorer:
+    """Adds ``bits_per_char: double`` to each row.
+
+    Usage::
+
+        ds.map_batches(PerplexityScorer, batch_format="pyarrow",
+                       batch_size=cfg.batch_size,
+                       concurrency=cfg.perplexity_actors)
+    """
+
+    def __init__(self, cfg: GateConfig = DEFAULT_CONFIG):
+        self.cfg = cfg
+        data = np.frombuffer(_train_corpus(), dtype=np.uint8)
+        c3 = (
+            data[:-2].astype(np.uint32) << 16
+            | data[1:-1].astype(np.uint32) << 8
+            | data[2:].astype(np.uint32)
+        )
+        c2 = data[:-1].astype(np.uint32) << 8 | data[1:].astype(np.uint32)
+        # Direct-indexed LOG-PROB tables (64 MB + 256 KB per actor,
+        # built once in __init__): the per-batch hot path is then two
+        # gathers and a subtract — no log/divide at scoring time.
+        lut3 = np.zeros(1 << 24, dtype=np.float32)
+        codes, counts = np.unique(c3, return_counts=True)
+        lut3[codes] = counts
+        self.logp3 = np.log2(lut3 + np.float32(_ALPHA))
+        lut2 = np.zeros(1 << 16, dtype=np.float32)
+        codes2, counts2 = np.unique(c2, return_counts=True)
+        lut2[codes2] = counts2
+        self.logp2 = np.log2(lut2 + np.float32(_ALPHA * 256.0))
+
+    def _bits_per_char(self, texts: list) -> np.ndarray:
+        bufs = [t.encode("utf-8") if t else b"" for t in texts]
+        lens = np.array([len(b) for b in bufs], dtype=np.int64)
+        out = np.zeros(len(bufs), dtype=np.float64)
+        if lens.sum() == 0:
+            return out
+        data = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+        ends = np.cumsum(lens)
+        starts = ends - lens
+
+        c3 = (
+            data[:-2].astype(np.uint32) << 16
+            | data[1:-1].astype(np.uint32) << 8
+            | data[2:].astype(np.uint32)
+        )
+        c2 = data[:-1].astype(np.uint32) << 8 | data[1:].astype(np.uint32)
+
+        logp = self.logp3[c3] - self.logp2[c2[: len(c3)]]  # float32 gathers
+
+        # zero out positions whose trigram crosses a document boundary
+        valid = np.ones(len(c3), dtype=bool)
+        for e in ends[:-1]:
+            valid[max(e - 2, 0) : min(e, len(c3))] = False
+        bits = np.where(valid, -logp, 0.0)
+
+        csum = np.concatenate([[0.0], np.cumsum(bits)])
+        vsum = np.concatenate([[0.0], np.cumsum(valid.astype(np.float64))])
+        tri_end = np.minimum(np.maximum(ends - 2, 0), len(c3))
+        tri_start = np.minimum(starts, len(c3))
+        tot = csum[tri_end] - csum[tri_start]
+        cnt = vsum[tri_end] - vsum[tri_start]
+        np.divide(tot, cnt, out=out, where=cnt > 0)
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch.column("extracted_text")
+        bpc = self._bits_per_char(text.to_pylist())
+        return batch.append_column("bits_per_char", pa.array(bpc, pa.float64()))

@@ -1,0 +1,405 @@
+"""The rule catalog — the engine's relational core (SURVEY §2.3).
+
+Recasts the reference's ordered detector catalog
+(``detect_pitfalls_main.py:281-311``: a list of ``(fn, code)`` pairs
+applied to every document) as ONE fused, stateless ``map_batches``
+stage: every rule is a vectorized predicate over a shared
+pre-computed stats context, evaluated in stable catalog order, emitting
+a ``rule_hits`` list-of-struct column, a ``keep`` bool
+(= no drop-severity rule fired — the reference's "flagged if any rule
+fired", ``detect_pitfalls_main.py:361-366``) and the scrubbed text.
+
+Reference semantics preserved:
+ - per-rule exception isolation: a crashing rule is skipped for the
+   batch (recorded in ``rule_errors``), processing continues —
+   ``detect_pitfalls_main.py:356-358``;
+ - missing/null input ⇒ rule skips, never errors — the defensive
+   key-probing of ``p001.py:10-14`` becomes null-handling;
+ - stable rule order and stable rule codes.
+
+Rule → reference mapping (what each rule recasts):
+ - ``empty_text``            ← W007 empty identifier (``w007.py:30``)
+ - ``too_short``/``too_long``← C4 length gates (shape of W001's ratio)
+ - ``stopword_ratio_low``    ← Gopher stop-word gate (classifier shape
+                               of P010, ``p010.py:29-102``)
+ - ``symbol_ratio_high``     ← Gopher symbol gate
+ - ``repetition``            ← Gopher repetition / dedup keys
+ - ``boilerplate_only``      ← P010 copyright-only (``p010.py:105-128``)
+ - ``template_placeholder``  ← P002 license placeholders (``p002.py:30-59``)
+ - ``lang_mismatch``         ← P001 declared-vs-actual (``p001.py:65-94``)
+ - ``perplexity_high``       ← north-rule KenLM gate
+ - ``dead_url_pattern``      ← P008/P011/P015 broken-URL rules, offline
+                               recast (their tests mock HTTP anyway,
+                               ``test_p015.py:34-49``)
+ - ``homepage_url``          ← P004/P009 homepage-vs-repo heuristics
+ - ``archive_url``           ← P005 software-archive URL list
+ - ``shorthand_url``         ← W010 ``host:user/repo`` shorthand
+ - ``bare_identifier``       ← P014 bare DOI + P018 raw SWHID
+ - ``multi_value_field``     ← P003/W005/W008 multi-value-in-one-string
+ - ``outdated_ts``           ← W002 >1-day staleness (``w002.py:104-146``)
+ - ``pii_email``/``pii_phone``/``pii_ip``/``toxicity`` ← scrub rules
+   (regex-scan pattern of ``p002.py:37-59``)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..config import DEFAULT_CONFIG, GateConfig
+from ..functions.vocab import TOXICITY_WORDS
+from ..schema import RULE_HITS_TYPE
+
+# --------------------------------------------------------------------------
+# scrub patterns (RE2 — executed with pyarrow.compute, vectorized)
+# --------------------------------------------------------------------------
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?\d{1,2}-\d{3}-\d{3}-\d{4}|\(\d{3}\) ?\d{3}-\d{4}"
+IP_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+TOX_RE = r"\b(?:" + "|".join(TOXICITY_WORDS) + r")\b"
+
+SCRUBS: list[tuple[str, str, str]] = [
+    ("pii_email", EMAIL_RE, "<EMAIL>"),
+    ("pii_phone", PHONE_RE, "<PHONE>"),
+    ("pii_ip", IP_RE, "<IP>"),
+    ("toxicity", TOX_RE, "****"),
+]
+
+# --------------------------------------------------------------------------
+# URL pattern tables (offline recasts of the reference's URL rules)
+# --------------------------------------------------------------------------
+
+DEAD_PATH_RE = r"/wp-login\.php|/cgi-bin/|/xmlrpc\.php|/wp-admin/|/phpmyadmin"
+HOMEPAGE_RE = r"^https?://(?:docs|wiki)\.[^/]+/|/wiki/|^https?://[^/]+/$"
+ARCHIVE_RE = (
+    r"^https?://(?:[^/]*\.)?(?:zenodo\.org|figshare\.com|sourceforge\.net|archive\.org)/"
+    r"|/releases/"
+)
+SHORTHAND_RE = r"^[A-Za-z0-9.-]+\.[A-Za-z]{2,}:[^/0-9][^ ]*$"
+BARE_DOI_RE = r"(?:^|[\s(])10\.\d{4,9}/[^\s)]+"
+SWHID_RE = r"\bswh:1:(?:cnt|dir|rev|rel|snp):[0-9a-f]{40}\b"
+PLACEHOLDER_RE = (
+    r"<year>|<name of author>|\[fullname\]|\[year\]|\{\{[^}]*\}\}|"
+    r"<copyright holders?>|<owner>|lorem ipsum"
+)
+COPYRIGHT_RE = r"(?i)\(c\) \d{4}|copyright \d{4}|all rights reserved"
+NAV_RE = r"(?i)home \| about|\| contact|\| privacy|\| terms"
+MULTI_VALUE_RE = r"[,;]|\[|\]| and "
+LAST_UPDATED_RE = r"Last updated: (?P<d>\d{4}-\d{2}-\d{2})"
+
+
+# --------------------------------------------------------------------------
+# rule registry
+# --------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class Rule:
+    """One catalog entry — the analog of the reference's parallel
+    registries keyed by code (``utils/json_ld_utils.py:53-91,144-418``):
+    code, severity ('drop' fails the gate, 'flag' only records),
+    category, a vectorized predicate over the stats context, and a
+    human suggestion string for the lineage record."""
+
+    code: str
+    severity: str  # "drop" | "flag"
+    category: str
+    fn: Callable[[dict], np.ndarray]  # ctx -> bool ndarray
+    suggestion: str
+
+
+def _matches(ctx: dict, col: str, pattern: str) -> np.ndarray:
+    arr = pc.match_substring_regex(ctx[col], pattern)
+    return pc.fill_null(arr, False).to_numpy(zero_copy_only=False)
+
+
+def _r_empty_text(ctx):
+    return ctx["n_tokens"] == 0
+
+
+def _r_too_short(ctx):
+    cfg: GateConfig = ctx["cfg"]
+    return (ctx["n_tokens"] > 0) & (ctx["n_tokens"] < cfg.min_words) & (ctx["detected"] != "zh")
+
+
+def _r_too_long(ctx):
+    return ctx["n_tokens"] > ctx["cfg"].max_words
+
+
+def _r_stopword_low(ctx):
+    cfg: GateConfig = ctx["cfg"]
+    has_basis = ctx["stopword_lang_valid"]
+    ratio = ctx["stopword_hits"] / np.maximum(ctx["n_tokens"], 1)
+    return has_basis & (ctx["n_tokens"] >= cfg.min_words) & (ratio < cfg.stopword_ratio_min)
+
+
+def _r_symbol_high(ctx):
+    cfg: GateConfig = ctx["cfg"]
+    ratio = ctx["symbol_chars"] / np.maximum(ctx["n_chars"], 1)
+    return (ctx["n_chars"] > 0) & (ratio > cfg.symbol_ratio_max)
+
+
+def _r_repetition(ctx):
+    cfg: GateConfig = ctx["cfg"]
+    return (ctx["top_bigram_frac"] > cfg.top_bigram_frac_max) | (
+        (ctx["n_lines"] >= 4) & (ctx["dup_line_frac"] > cfg.dup_line_frac_max)
+    )
+
+
+def _r_boilerplate(ctx):
+    cfg: GateConfig = ctx["cfg"]
+    marker = _matches(ctx, "text", COPYRIGHT_RE) | _matches(ctx, "text", NAV_RE)
+    return (ctx["n_tokens"] > 0) & (ctx["n_lines"] <= cfg.boilerplate_max_lines) & marker
+
+
+def _r_placeholder(ctx):
+    return _matches(ctx, "text", PLACEHOLDER_RE)
+
+
+def _r_lang_mismatch(ctx):
+    cfg: GateConfig = ctx["cfg"]
+    known = np.isin(ctx["declared"], np.array(cfg.known_langs))
+    det_known = np.isin(ctx["detected"], np.array(cfg.known_langs))
+    return known & det_known & (ctx["declared"] != ctx["detected"])
+
+
+def _r_perplexity(ctx):
+    cfg: GateConfig = ctx["cfg"]
+    return (ctx["n_tokens"] > 0) & (ctx["bits_per_char"] > cfg.max_bits_per_char)
+
+
+def _r_dead_url(ctx):
+    return _matches(ctx, "url", DEAD_PATH_RE)
+
+
+def _r_homepage_url(ctx):
+    return _matches(ctx, "url", HOMEPAGE_RE)
+
+
+def _r_archive_url(ctx):
+    return _matches(ctx, "url", ARCHIVE_RE)
+
+
+def _r_shorthand_url(ctx):
+    return _matches(ctx, "url", SHORTHAND_RE)
+
+
+def _r_bare_identifier(ctx):
+    return _matches(ctx, "text", BARE_DOI_RE) | _matches(ctx, "text", SWHID_RE)
+
+
+def _r_multi_value(ctx):
+    decl = ctx["declared_raw"]
+    arr = pc.match_substring_regex(decl, MULTI_VALUE_RE)
+    return pc.fill_null(arr, False).to_numpy(zero_copy_only=False)
+
+
+def _r_outdated_ts(ctx):
+    cfg: GateConfig = ctx["cfg"]
+    stale_days = ctx["stale_days"]  # NaN when no in-document date
+    with np.errstate(invalid="ignore"):
+        return np.nan_to_num(stale_days, nan=0.0) > cfg.outdated_days
+
+
+def _r_scrub(code: str):
+    def fn(ctx):
+        return ctx["scrub_hits"][code]
+
+    return fn
+
+
+# Stable catalog order (the reference's registration order semantics,
+# detect_pitfalls_main.py:281-311).
+CATALOG: list[Rule] = [
+    Rule("empty_text", "drop", "shape", _r_empty_text, "document has no extractable text"),
+    Rule("too_short", "drop", "shape", _r_too_short, "fewer words than the C4-style floor"),
+    Rule("too_long", "drop", "shape", _r_too_long, "more words than the ceiling"),
+    Rule("stopword_ratio_low", "drop", "quality", _r_stopword_low, "stop-word density below the Gopher floor"),
+    Rule("symbol_ratio_high", "drop", "quality", _r_symbol_high, "symbol character share above the Gopher ceiling"),
+    Rule("repetition", "drop", "quality", _r_repetition, "dominant repeated n-gram or duplicated lines"),
+    Rule("boilerplate_only", "drop", "quality", _r_boilerplate, "only copyright/navigation boilerplate"),
+    Rule("template_placeholder", "drop", "quality", _r_placeholder, "unfilled template placeholder in text"),
+    Rule("lang_mismatch", "drop", "consistency", _r_lang_mismatch, "declared lang differs from detected lang"),
+    Rule("perplexity_high", "drop", "quality", _r_perplexity, "LM bits-per-char above the gibberish ceiling"),
+    Rule("dead_url_pattern", "drop", "url", _r_dead_url, "URL matches a dead/admin endpoint pattern"),
+    Rule("homepage_url", "flag", "url", _r_homepage_url, "URL is a homepage/wiki, not content"),
+    Rule("archive_url", "flag", "url", _r_archive_url, "URL points at a software archive"),
+    Rule("shorthand_url", "flag", "url", _r_shorthand_url, "URL uses scheme-less host:path shorthand"),
+    Rule("bare_identifier", "flag", "content", _r_bare_identifier, "bare DOI/SWHID token in text"),
+    Rule("multi_value_field", "flag", "consistency", _r_multi_value, "multiple values jammed into the lang field"),
+    Rule("outdated_ts", "flag", "consistency", _r_outdated_ts, "in-document date >1 day older than warc_ts"),
+    Rule("pii_email", "flag", "pii", _r_scrub("pii_email"), "email address scrubbed"),
+    Rule("pii_phone", "flag", "pii", _r_scrub("pii_phone"), "phone number scrubbed"),
+    Rule("pii_ip", "flag", "pii", _r_scrub("pii_ip"), "IP address scrubbed"),
+    Rule("toxicity", "flag", "toxicity", _r_scrub("toxicity"), "toxic term masked"),
+]
+
+RULE_CODES = [r.code for r in CATALOG]
+DROP_CODES = [r.code for r in CATALOG if r.severity == "drop"]
+
+
+# --------------------------------------------------------------------------
+# shared stats context (computed once per batch, reused by every rule)
+# --------------------------------------------------------------------------
+
+# RE2's \w is ASCII-only — use Unicode letter/number classes so CJK
+# text isn't counted as symbols.
+_SYMBOL_RE = r"[^\p{L}\p{N}\s]"
+
+
+def _np_int(arr) -> np.ndarray:
+    return arr.to_numpy(zero_copy_only=False).astype(np.int64)
+
+
+def _bigram_line_stats(texts: list, limit: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Bounded per-document repetition stats (Gopher-style): share of
+    the most frequent adjacent word pair over the first ``limit``
+    tokens, plus line counts and duplicate-line fraction. The per-row
+    Counter pass is bounded by ``limit`` tokens so per-doc work is O(1)
+    at 100 TB scale; everything else in the stage is vectorized."""
+    n = len(texts)
+    top_frac = np.zeros(n, dtype=np.float64)
+    n_lines = np.zeros(n, dtype=np.int64)
+    dup_frac = np.zeros(n, dtype=np.float64)
+    from collections import Counter
+
+    for i, t in enumerate(texts):
+        if not t:
+            continue
+        lines = t.split("\n")
+        n_lines[i] = len(lines)
+        if len(lines) > 1:
+            dup_frac[i] = 1.0 - len(set(lines)) / len(lines)
+        toks = t.split()
+        if len(toks) >= 4:
+            toks = toks[:limit]
+            pairs = Counter(zip(toks, toks[1:]))
+            top_frac[i] = max(pairs.values()) / (len(toks) - 1)
+    return top_frac, n_lines, dup_frac
+
+
+def build_context(batch: pa.Table, cfg: GateConfig) -> dict:
+    """Compute the shared stats context for one Arrow batch."""
+    text = batch.column("extracted_text")
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    url = batch.column("url")
+    if isinstance(url, pa.ChunkedArray):
+        url = url.combine_chunks()
+    declared_raw = batch.column("lang")
+    if isinstance(declared_raw, pa.ChunkedArray):
+        declared_raw = declared_raw.combine_chunks()
+
+    n_tokens = _np_int(batch.column("n_tokens"))
+    n_chars = _np_int(batch.column("n_chars"))
+    symbol_chars = _np_int(pc.count_substring_regex(text, _SYMBOL_RE))
+
+    texts = text.to_pylist()
+    top_frac, n_lines, dup_frac = _bigram_line_stats(texts, cfg.repetition_scan_tokens)
+
+    declared = np.array([d if d is not None else "" for d in declared_raw.to_pylist()])
+    detected = np.array(batch.column("detected_lang").to_pylist())
+    stop_lang = batch.column("stopword_lang").to_pylist()
+    stopword_lang_valid = np.array([s is not None for s in stop_lang])
+
+    # staleness: extract `Last updated: YYYY-MM-DD`, diff against warc_ts
+    extracted_date = pc.extract_regex(text, LAST_UPDATED_RE)
+    date_str = pa.array(
+        [m["d"] if m is not None else None for m in extracted_date.to_pylist()],
+        pa.string(),
+    )
+    parsed = pc.strptime(date_str, format="%Y-%m-%d", unit="us", error_is_null=True)
+    warc = batch.column("warc_ts")
+    diff_us = pc.subtract(pc.cast(warc, pa.int64()), pc.cast(parsed, pa.int64()))
+    stale_days = np.abs(
+        diff_us.to_numpy(zero_copy_only=False).astype(np.float64)
+    ) / 86_400_000_000.0  # NaN where no date
+
+    scrub_hits = {
+        code: pc.fill_null(pc.match_substring_regex(text, pat), False).to_numpy(
+            zero_copy_only=False
+        )
+        for code, pat, _ in SCRUBS
+    }
+
+    return {
+        "cfg": cfg,
+        "text": text,
+        "url": url,
+        "declared_raw": declared_raw,
+        "declared": declared,
+        "detected": detected,
+        "stopword_lang_valid": stopword_lang_valid,
+        "stopword_hits": _np_int(batch.column("stopword_hits")),
+        "n_tokens": n_tokens,
+        "n_chars": n_chars,
+        "symbol_chars": symbol_chars,
+        "top_bigram_frac": top_frac,
+        "n_lines": n_lines,
+        "dup_line_frac": dup_frac,
+        "bits_per_char": batch.column("bits_per_char").to_numpy(zero_copy_only=False),
+        "stale_days": stale_days,
+        "scrub_hits": scrub_hits,
+    }
+
+
+def apply_scrub(text: pa.Array) -> pa.Array:
+    """Vectorized RE2 scrub passes in fixed order (email → phone → ip →
+    toxicity), the ``re.sub`` analog of the reference's placeholder
+    scan (``p002.py:30-59``)."""
+    s = text
+    for _, pat, repl in SCRUBS:
+        s = pc.replace_substring_regex(s, pattern=pat, replacement=repl)
+    return s
+
+
+# --------------------------------------------------------------------------
+# the fused stage
+# --------------------------------------------------------------------------
+
+def rule_stage_fn(batch: pa.Table, cfg: GateConfig = DEFAULT_CONFIG) -> pa.Table:
+    """map_batches fn: evaluates the whole catalog, appends
+    ``rule_hits``, per-rule ``hit_<code>`` bool columns, ``keep``,
+    ``scrubbed_text`` and ``rule_errors``."""
+    n = len(batch)
+    ctx = build_context(batch, cfg)
+
+    fired: dict[str, np.ndarray] = {}
+    errors: list[str] = []
+    for rule in CATALOG:
+        try:
+            fired[rule.code] = rule.fn(ctx).astype(bool)
+        except Exception as exc:  # per-rule isolation (detect_pitfalls_main.py:356-358)
+            fired[rule.code] = np.zeros(n, dtype=bool)
+            errors.append(f"{rule.code}: {type(exc).__name__}: {exc}")
+
+    drop = np.zeros(n, dtype=bool)
+    for code in DROP_CODES:
+        drop |= fired[code]
+    keep = ~drop
+
+    # rule_hits list<struct> in catalog order
+    sev = {r.code: r.severity for r in CATALOG}
+    hits_col: list[list[dict]] = [[] for _ in range(n)]
+    for rule in CATALOG:
+        f = fired[rule.code]
+        for i in np.nonzero(f)[0]:
+            hits_col[i].append(
+                {"rule": rule.code, "severity": sev[rule.code], "evidence": rule.suggestion}
+            )
+
+    scrubbed = apply_scrub(ctx["text"])
+
+    out = batch
+    for code in RULE_CODES:
+        out = out.append_column(f"hit_{code}", pa.array(fired[code]))
+    out = out.append_column("keep", pa.array(keep))
+    out = out.append_column("rule_hits", pa.array(hits_col, RULE_HITS_TYPE))
+    out = out.append_column("scrubbed_text", scrubbed)
+    err_str = "; ".join(errors) if errors else None
+    out = out.append_column("rule_errors", pa.array([err_str] * n, pa.string()))
+    return out

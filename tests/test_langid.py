@@ -1,0 +1,65 @@
+"""Language-ID scorer: accuracy on pool text + unit edge cases."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from rsmetacheck_ray.datagen import generate_tables
+from rsmetacheck_ray.stages.extract import extract_stage
+from rsmetacheck_ray.stages.langid import LangIdScorer
+
+
+def _mk(texts, langs=None):
+    n = len(texts)
+    t = pa.table(
+        {
+            "url": [f"u{i}" for i in range(n)],
+            "warc_ts": pa.array([0] * n, pa.timestamp("us")),
+            "lang": langs if langs is not None else ["en"] * n,
+            "extracted_text": texts,
+        }
+    )
+    return t
+
+
+def test_detects_each_language():
+    sc = LangIdScorer()
+    out = sc(
+        _mk(
+            [
+                "the system and value was that table with stream this record from engine",
+                "les valeur des fichier est chaine dans nombre pour requete avec ligne",
+                "los valor las archivo una cadena por numero como consulta pero linea",
+                "der wert die datei und kette ist nummer ein anfrage mit zeile",
+                "数据系统表值流窗口查询批向量结果引擎列网络",
+            ],
+            ["en", "fr", "es", "de", "zh"],
+        )
+    )
+    assert out.column("detected_lang").to_pylist() == ["en", "fr", "es", "de", "zh"]
+
+
+def test_empty_and_unknown_are_und():
+    sc = LangIdScorer()
+    out = sc(_mk(["", "zzz qqq xxx www vvv"], [None, None]))
+    assert out.column("detected_lang").to_pylist() == ["und", "und"]
+
+
+def test_fixture_detection_accuracy():
+    pages, labels = generate_tables(1500)
+    out = LangIdScorer()(extract_stage(pages))
+    det = np.array(out.column("detected_lang").to_pylist())
+    decl = np.array([d or "" for d in pages.column("lang").to_pylist()])
+    fam = np.array(labels.column("family").to_pylist())
+    clean = np.isin(fam, ["clean", "duplicate", "pii_email", "pii_phone", "pii_ip", "toxic"])
+    assert (det[clean] == decl[clean]).mean() >= 0.995
+
+
+def test_stopword_basis_falls_back_to_declared():
+    sc = LangIdScorer()
+    # content-only English: detection is und, stopword basis = declared en
+    out = sc(_mk(["system value table stream record engine column"], ["en"]))
+    assert out.column("detected_lang").to_pylist() == ["und"]
+    assert out.column("stopword_lang").to_pylist() == ["en"]
+    assert out.column("stopword_hits").to_pylist() == [0]

@@ -1,0 +1,119 @@
+"""Golden end-to-end test (SURVEY §5 new-engine plan, item b):
+deterministic corpus → full Ray pipeline → join output to the hidden
+labels on url → assert keep/drop F1 ≥ 0.99, byte-identical scrubbed
+text, and metrics consistency."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture(scope="module")
+def gate_output(ray_session, small_corpus, tmp_path_factory):
+    from rsmetacheck_ray.pipelines.quality_gate import run_gate
+
+    pages_dir, labels_path = small_corpus
+    out_dir = str(tmp_path_factory.mktemp("gate_out"))
+    metrics = run_gate(pages_dir, out_dir, n_partitions=3)
+    return out_dir, labels_path, metrics
+
+
+def _join_on_url(out_dir, labels_path):
+    import pandas as pd
+
+    got = pq.read_table(os.path.join(out_dir, "docs")).to_pandas()
+    labels = pq.read_table(labels_path).to_pandas()
+    merged = labels.merge(got, on="url", how="inner", validate="one_to_one")
+    assert len(merged) == len(labels)
+    return merged
+
+
+def test_keep_f1(gate_output):
+    out_dir, labels_path, _ = gate_output
+    m = _join_on_url(out_dir, labels_path)
+    tp = ((m["keep"]) & (m["expected_keep"])).sum()
+    fp = ((m["keep"]) & (~m["expected_keep"])).sum()
+    fn = ((~m["keep"]) & (m["expected_keep"])).sum()
+    f1 = 2 * tp / (2 * tp + fp + fn)
+    assert f1 >= 0.99, f"keep/drop F1 {f1:.4f} below gate"
+
+
+def test_scrubbed_text_byte_identical_for_kept(gate_output):
+    out_dir, labels_path, _ = gate_output
+    m = _join_on_url(out_dir, labels_path)
+    kept = m[m["keep"]]
+    mismatch = (kept["scrubbed_text"] != kept["expected_scrubbed_text"]).sum()
+    assert mismatch == 0
+
+
+def test_expected_rules_subset_of_fired(gate_output):
+    out_dir, labels_path, _ = gate_output
+    m = _join_on_url(out_dir, labels_path)
+    bad = 0
+    for _, row in m.iterrows():
+        for code in row["expected_rules"]:
+            if not row[f"hit_{code}"]:
+                bad += 1
+    assert bad == 0
+
+
+def test_metrics_consistency(gate_output):
+    out_dir, _, metrics = gate_output
+    assert metrics["total_documents"] == 2000
+    assert metrics["kept"] + metrics["dropped"] == 2000
+    assert abs(sum(1 for _ in []) + metrics["keep_rate"] - metrics["kept"] / 2000) < 1e-9
+    # per-rule language histograms sum to the rule count
+    for code, rec in metrics["rules"].items():
+        assert rec["count"] == sum(rec["languages"].values())
+
+
+def test_dropped_rows_carry_null_text(gate_output):
+    out_dir, labels_path, _ = gate_output
+    m = _join_on_url(out_dir, labels_path)
+    dropped = m[~m["keep"]]
+    assert dropped["scrubbed_text"].isna().all()
+
+
+def test_resume_skips_completed_and_is_identical(ray_session, small_corpus, tmp_path_factory):
+    """Kill-after-K-partitions resume (SURVEY §7.2 step 8): interrupt
+    after the first partition, resume, and require byte-identical
+    final output vs an uninterrupted run."""
+    from rsmetacheck_ray.pipelines import quality_gate as qg
+
+    pages_dir, _ = small_corpus
+    full_dir = str(tmp_path_factory.mktemp("full"))
+    qg.run_gate(pages_dir, full_dir, n_partitions=3)
+
+    resumed_dir = str(tmp_path_factory.mktemp("resumed"))
+
+    # interrupted run: fail the job after the first partition completes
+    calls = {"n": 0}
+    orig = qg.build_gate
+
+    def exploding_build(ds, cfg, write_dropped_text=False):
+        if calls["n"] >= 1:
+            raise RuntimeError("simulated mid-run kill")
+        calls["n"] += 1
+        return orig(ds, cfg, write_dropped_text)
+
+    qg.build_gate = exploding_build
+    try:
+        with pytest.raises(RuntimeError):
+            qg.run_gate(pages_dir, resumed_dir, n_partitions=3)
+    finally:
+        qg.build_gate = orig
+
+    manifest = os.path.join(resumed_dir, "manifest.jsonl")
+    assert os.path.exists(manifest)
+    assert len(open(manifest).readlines()) == 1
+
+    # resume: only the remaining partitions run
+    qg.run_gate(pages_dir, resumed_dir, n_partitions=3)
+
+    a = pq.read_table(os.path.join(full_dir, "docs")).to_pandas().sort_values("url").reset_index(drop=True)
+    b = pq.read_table(os.path.join(resumed_dir, "docs")).to_pandas().sort_values("url").reset_index(drop=True)
+    assert a.equals(b)
