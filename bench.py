@@ -1,0 +1,177 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline quality-gate pipeline plus representative operator
+queries over ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1) and
+prints ONE JSON line. ``--scaling`` additionally runs the headline job
+in two FRESH processes at num_cpus=8 and num_cpus=32 on identical
+input and reports throughput at both plus scaling efficiency (the
+in-sandbox stand-in for the N-node vs 4N-node criterion).
+
+The headline input is the documents table replicated ×R with shifted
+doc_ids (deterministic), synthesized into pages parquet under /tmp
+(cached) — so the measured job is the real read_parquet → extract →
+langid → perplexity → rules → write_parquet pipeline including I/O.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+DEFAULT_SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DEFAULT_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+REPLICAS = int(os.environ.get("BENCH_REPLICAS", "40"))
+
+
+def prepare_pages(sf_dir: str, replicas: int) -> tuple[str, int]:
+    """Materialize replicated pages parquet under /tmp (cached)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from rsmetacheck_ray.sources.pages_from_documents import synthesize_pages
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = f"/tmp/rsmc_bench/{tag}_r{replicas}"
+    marker = os.path.join(out_dir, ".done")
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "lang"]
+    )
+    n_total = docs.num_rows * replicas
+    if os.path.exists(marker):
+        return out_dir, n_total
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+    n = docs.num_rows
+    for r in range(replicas):
+        shifted = docs.set_column(
+            0, "doc_id", pc.add(docs.column("doc_id"), r * 10_000_000)
+        )
+        pages = synthesize_pages(shifted)
+        pq.write_table(pages, os.path.join(out_dir, f"part-{r:05d}.parquet"))
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return out_dir, n_total
+
+
+def run_headline(pages_dir: str, out_dir: str, n_partitions: int | None = None) -> float:
+    from rsmetacheck_ray.pipelines.quality_gate import run_gate
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    run_gate(pages_dir, out_dir, n_partitions=n_partitions)
+    return time.perf_counter() - t0
+
+
+def consume(res) -> int:
+    import pandas as pd
+    import pyarrow as pa
+
+    if isinstance(res, (pd.DataFrame,)):
+        return len(res)
+    if isinstance(res, pa.Table):
+        return res.num_rows
+    # Dataset: stream it to completion without collecting on the driver
+    n = 0
+    for b in res.iter_batches(batch_format="pyarrow"):
+        n += b.num_rows
+    return n
+
+
+BENCH_QUERIES = [
+    "q1_pricing",
+    "events_hourly",
+    "nation_order_stats",
+    "doc_stats",
+    "dedup_exact",
+    "dedup_minhash_pairs",
+    "knn_cosine",
+    "gate_decisions",
+]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--headline-only", action="store_true", help=argparse.SUPPRESS)
+    ap.add_argument("--num-cpus", type=int, default=DEFAULT_CPUS)
+    ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    args = ap.parse_args()
+
+    if args.scaling:
+        run_scaling(args.sf_dir)
+        return
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.num_cpus, include_dashboard=False)
+
+    pages_dir, n_docs = prepare_pages(args.sf_dir, REPLICAS)
+    headline_s = run_headline(pages_dir, "/tmp/rsmc_bench_out")
+
+    result = {
+        "metric": "quality_gate_e2e",
+        "value": round(headline_s, 3),
+        "unit": "sec",
+        "docs": n_docs,
+        "docs_per_sec": round(n_docs / headline_s, 1),
+        "queries": {},
+        "sf": args.sf_dir,
+        "num_cpus": args.num_cpus,
+    }
+
+    if not args.headline_only:
+        from rsmetacheck_ray.pipelines.queries import registry
+
+        reg = registry()
+        for name in BENCH_QUERIES:
+            fn = reg[name][0]
+            t0 = time.perf_counter()
+            consume(fn(args.sf_dir))
+            result["queries"][name] = round(time.perf_counter() - t0, 3)
+
+    print(json.dumps(result))
+    ray.shutdown()
+
+
+def run_scaling(sf_dir: str, low: int = 8, high: int = 32) -> None:
+    """Same headline job, two fresh processes, identical input."""
+    # warm the pages cache once so neither run pays generation cost
+    prepare_pages(sf_dir, REPLICAS)
+    env = dict(os.environ, PYTHONPATH=REPO)
+    times = {}
+    for cpus in (low, high):
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py"),
+             "--headline-only", "--num-cpus", str(cpus), "--sf-dir", sf_dir],
+            env=env, capture_output=True, text=True, timeout=3600,
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        times[cpus] = json.loads(line)
+    tput_low = times[low]["docs_per_sec"]
+    tput_high = times[high]["docs_per_sec"]
+    eff = tput_high / (tput_low * (high / low))
+    print(json.dumps({
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "low_cpus": low, "high_cpus": high,
+        "docs_per_sec_low": tput_low, "docs_per_sec_high": tput_high,
+        "headline_sec_low": times[low]["value"],
+        "headline_sec_high": times[high]["value"],
+        "docs": times[high]["docs"],
+        "sf": sf_dir,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,291 @@
+"""Deduplication operators — the cross-document capability the
+reference lacks (its only dedup is a per-document language-list ``set``,
+``utils/pitfall_utils.py:21-37``; SURVEY §2.7 designs the cross-doc
+path as ``groupby(key) → first-per-group``), promoted here to
+first-class large-scale operators:
+
+ - **exact dedup**: content-hash each document inside ``map_batches``
+   (C-speed blake2b, no Python byte loops), then ONE ``groupby(hash)``
+   shuffle of the tiny (hash, doc_id) projection — the full text never
+   shuffles. Canonical survivor = min doc_id.
+ - **MinHash + LSH near-dup**: word k-shingles → 64-permutation
+   minhash signature (vectorized: one splitmix64 remix of the shingle
+   hashes per permutation-band, ``np.minimum.reduce``) → band buckets →
+   ``groupby(band_key)`` shuffle of (band_key, doc_id, signature) →
+   per-bucket candidate pairs verified by signature agreement.
+   Only O(#docs × bands) small rows shuffle; texts stay put.
+ - **SimHash**: 64-bit weighted-token fingerprint per doc.
+ - **n-gram Jaccard**: exact similarity verification for candidate
+   pairs (the ground truth the sketches approximate).
+ - **embedding cosine near-dup**: brute-force double-precision cosine
+   over a broadcast matrix (``ray.put`` once, read per task).
+
+All hashes derive from ``splitmix64`` (functions/hashing.py) — fully
+deterministic across machines and runs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import AggregateFn, Count, Min
+
+from .hashing import hash_bytes_u64, splitmix64_np
+
+# ---------------------------------------------------------------------------
+# shingling / signatures (shared primitives)
+# ---------------------------------------------------------------------------
+
+N_PERMS = 64
+N_BANDS = 8
+ROWS_PER_BAND = N_PERMS // N_BANDS
+_PERM_SEEDS = np.array(
+    [0x9E3779B97F4A7C15 * (k + 1) & ((1 << 64) - 1) for k in range(N_PERMS)],
+    dtype=np.uint64,
+)
+
+
+def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """Unique 64-bit hashes of the word k-shingles of one document."""
+    words = text.split()
+    if len(words) < k:
+        data = " ".join(words).encode("utf-8")
+        return np.array([hash_bytes_u64(data)], dtype=np.uint64)
+    hs = {
+        hash_bytes_u64(" ".join(words[i : i + k]).encode("utf-8"))
+        for i in range(len(words) - k + 1)
+    }
+    return np.fromiter(hs, dtype=np.uint64, count=len(hs))
+
+
+def minhash_signature(sh: np.ndarray) -> np.ndarray:
+    """64-permutation minhash: remix shingle hashes per permutation seed
+    (vectorized outer xor + splitmix), take the column-min."""
+    mixed = splitmix64_np(sh[None, :] ^ _PERM_SEEDS[:, None])
+    return mixed.min(axis=1)  # (N_PERMS,)
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over word tokens weighted by count."""
+    words = text.split()
+    if not words:
+        return 0
+    uniq, counts = np.unique(np.array(words, dtype=object), return_counts=True)
+    hs = np.array([hash_bytes_u64(w.encode("utf-8")) for w in uniq], dtype=np.uint64)
+    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
+        np.int64
+    )
+    acc = ((2 * bits - 1) * counts[:, None].astype(np.int64)).sum(axis=0)
+    return int(
+        np.bitwise_or.reduce((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64))
+    )
+
+
+def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
+    sa, sb = set(shingle_hashes(a, k).tolist()), set(shingle_hashes(b, k).tolist())
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / len(sa | sb)
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def _hash_stage(batch: pa.Table, text_col: str, id_col: str) -> pa.Table:
+    texts = batch.column(text_col).to_pylist()
+    hashes = np.array(
+        [hash_bytes_u64((t or "").encode("utf-8")) for t in texts], dtype=np.uint64
+    )
+    return pa.table(
+        {
+            id_col: batch.column(id_col),
+            "content_hash": pa.array(hashes.astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def exact_dedup_groups(
+    ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> rd.Dataset:
+    """One row per distinct content: (id_col = min id, dup_count).
+
+    Shuffle ships only (id, hash) — 16 bytes/doc — never the text.
+    """
+    hashed = ds.map_batches(
+        lambda b: _hash_stage(b, text_col, id_col), batch_format="pyarrow"
+    )
+    agg = hashed.groupby("content_hash").aggregate(
+        Min(id_col, alias_name=id_col), Count(alias_name="dup_count")
+    )
+    return agg.select_columns([id_col, "dup_count"])
+
+
+def _group_pairs(group: pa.Table, id_col: str) -> pa.Table:
+    ids = sorted(group.column(id_col).to_pylist())
+    a, b = [], []
+    for i in range(len(ids) - 1):
+        for j in range(i + 1, len(ids)):
+            a.append(ids[i])
+            b.append(ids[j])
+    return pa.table(
+        {"doc_id_a": pa.array(a, pa.int64()), "doc_id_b": pa.array(b, pa.int64())}
+    )
+
+
+def exact_dedup_pairs(
+    ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> rd.Dataset:
+    """All pairs (a < b) of byte-identical documents: content-hash →
+    ``groupby(hash)`` → in-group pair expansion. Only (id, hash) rows
+    shuffle. (A sketch can NOT implement this: J≈0.99 near-dups pass
+    64/64 minhash bands with p≈0.5 — measured on the driver corpus.)"""
+    hashed = ds.map_batches(
+        lambda b: _hash_stage(b, text_col, id_col), batch_format="pyarrow"
+    )
+    return hashed.groupby("content_hash").map_groups(
+        lambda g: _group_pairs(g, id_col), batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup pairs
+# ---------------------------------------------------------------------------
+
+def _signature_stage(batch: pa.Table, text_col: str, id_col: str) -> pa.Table:
+    """Emit one row per (doc, band): the LSH bucketing key plus the full
+    signature for in-bucket verification."""
+    texts = batch.column(text_col).to_pylist()
+    ids = batch.column(id_col).to_pylist()
+    out_id, out_band_key, out_sig = [], [], []
+    for i, t in enumerate(texts):
+        sig = minhash_signature(shingle_hashes(t or ""))
+        sig_bytes = sig.tobytes()
+        for b in range(N_BANDS):
+            band = sig[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]
+            key = hash_bytes_u64(band.tobytes(), seed=b)
+            out_id.append(ids[i])
+            out_band_key.append(np.int64(key.__index__() - (1 << 63)))
+            out_sig.append(sig_bytes)
+    return pa.table(
+        {
+            id_col: pa.array(out_id, pa.int64()),
+            "band_key": pa.array(out_band_key, pa.int64()),
+            "signature": pa.array(out_sig, pa.binary()),
+        }
+    )
+
+
+def _bucket_pairs(group: pa.Table, id_col: str, min_est_jaccard: float) -> pa.Table:
+    """Within one LSH bucket: all candidate pairs whose signature
+    agreement (the minhash Jaccard estimate) clears the threshold."""
+    ids = np.asarray(group.column(id_col).to_pylist(), dtype=np.int64)
+    sigs = np.stack(
+        [np.frombuffer(s, dtype=np.uint64) for s in group.column("signature").to_pylist()]
+    )
+    order = np.argsort(ids, kind="stable")
+    ids, sigs = ids[order], sigs[order]
+    a_out, b_out, est_out = [], [], []
+    for i in range(len(ids) - 1):
+        est = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
+        hit = np.nonzero(est >= min_est_jaccard)[0]
+        for j in hit:
+            a_out.append(ids[i])
+            b_out.append(ids[i + 1 + j])
+            est_out.append(float(est[j]))
+    return pa.table(
+        {
+            "doc_id_a": pa.array(a_out, pa.int64()),
+            "doc_id_b": pa.array(b_out, pa.int64()),
+            "est_jaccard": pa.array(est_out, pa.float64()),
+        }
+    )
+
+
+def minhash_lsh_pairs(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_est_jaccard: float = 0.5,
+) -> rd.Dataset:
+    """Candidate near-duplicate pairs via MinHash-LSH, deduplicated
+    across bands (a pair can collide in several bands)."""
+    sigs = ds.map_batches(
+        lambda b: _signature_stage(b, text_col, id_col), batch_format="pyarrow"
+    )
+    pairs = sigs.groupby("band_key").map_groups(
+        lambda g: _bucket_pairs(g, id_col, min_est_jaccard), batch_format="pyarrow"
+    )
+    # dedup (a, b) across bands: group on the pair, keep max estimate
+    from ray.data.aggregate import Max
+
+    return (
+        pairs.groupby(["doc_id_a", "doc_id_b"])
+        .aggregate(Max("est_jaccard", alias_name="est_jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_stage(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    texts = batch.column(text_col).to_pylist()
+    vals = np.array([simhash64(t or "") for t in texts], dtype=np.uint64)
+    return pa.table(
+        {
+            id_col: batch.column(id_col),
+            "simhash": pa.array(vals.astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def simhash_dataset(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id") -> rd.Dataset:
+    return ds.map_batches(
+        lambda b: simhash_stage(b, text_col, id_col), batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup (broadcast small matrix)
+# ---------------------------------------------------------------------------
+
+def embedding_near_dup_pairs(
+    ds: rd.Dataset, threshold: float = 0.45, id_col: str = "vec_id"
+) -> rd.Dataset:
+    """All pairs (a < b) with double-precision cosine ≥ threshold.
+
+    The full (normalized) matrix is broadcast once via ``ray.put``; each
+    batch task matmuls its slice against the broadcast side — O(n·d)
+    shipped once, not per batch. Scale path: LSH-bucket the unit
+    vectors (random hyperplane signs) and only compare within buckets.
+    """
+    rows = ds.select_columns([id_col, "embedding"]).take_all()
+    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    mat = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    norms = np.linalg.norm(mat, axis=1)
+    unit = mat / np.maximum(norms, 1e-300)[:, None]
+    ref = ray.put((ids, unit))
+
+    def stage(batch: pa.Table) -> pa.Table:
+        bids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+        bm = np.stack(
+            [np.asarray(e, dtype=np.float64) for e in batch.column("embedding").to_pylist()]
+        )
+        bn = np.linalg.norm(bm, axis=1)
+        bu = bm / np.maximum(bn, 1e-300)[:, None]
+        all_ids, all_unit = ray.get(ref)
+        cos = bu @ all_unit.T
+        ai, bj = np.nonzero(cos >= threshold)
+        mask = bids[ai] < all_ids[bj]
+        return pa.table(
+            {
+                "vec_id_a": pa.array(bids[ai][mask], pa.int64()),
+                "vec_id_b": pa.array(all_ids[bj][mask], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(stage, batch_format="pyarrow")

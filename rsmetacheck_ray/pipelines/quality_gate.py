@@ -64,6 +64,8 @@ class _RuleStage:
         if not self.write_dropped_text:
             scrubbed = pc.if_else(keep, scrubbed, pa.scalar(None, pa.string()))
         cols = _DECISION_COLS + [f"hit_{c}" for c in RULE_CODES]
+        if "doc_id" in out.column_names:  # carried key for oracle joins
+            cols = ["doc_id"] + cols
         result = out.select(cols)
         return result.append_column("scrubbed_text", scrubbed)
 
@@ -132,11 +134,20 @@ def list_parquet_fragments(input_path: str | Iterable[str]) -> list[str]:
     return [str(input_path)]
 
 
+def auto_partitions(fragments: list[str], target_bytes: int = 256 << 20) -> int:
+    """Resume-partition count sized by input bytes, not fragment count:
+    each partition should be big enough to amortize actor-pool spin-up
+    (~1 s for the perplexity LM) — at 100 TB this yields ~400k
+    partitions of 256 MB; on a 5 MB bench input it yields 1."""
+    total = sum(os.path.getsize(f) for f in fragments if os.path.exists(f))
+    return max(1, min(len(fragments), total // target_bytes + (1 if total % target_bytes else 0)))
+
+
 def run_gate(
     input_path: str | list[str],
     out_dir: str,
     cfg: GateConfig = DEFAULT_CONFIG,
-    n_partitions: int = 4,
+    n_partitions: int | None = None,
 ) -> dict:
     """Execute the gate over all input fragments with resume.
 
@@ -157,6 +168,8 @@ def run_gate(
         with open(os.path.join(out_dir, "metrics.json"), "w") as fh:
             json.dump(metrics, fh, indent=2, sort_keys=True)
         return metrics
+    if n_partitions is None:
+        n_partitions = auto_partitions(fragments)
     parts = _partition_fragments(fragments, n_partitions)
     manifest = Manifest(os.path.join(out_dir, "manifest.jsonl"))
     done = manifest.completed()

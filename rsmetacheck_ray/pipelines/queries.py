@@ -1,0 +1,422 @@
+"""The driver-contract query registry: every implemented operator as a
+``name -> (ray_callable, oracle_sql | None)`` pair.
+
+Each callable takes ``sf_dir`` and returns a Dataset / Arrow table; the
+SQL string (when present) is the DuckDB-equivalent over the driver's
+pre-registered views — same column NAMES and value domains, integer
+cents for anything summed (see pipelines/relational.py's exactness
+discipline). SQL-less entries are genuinely non-SQL-expressible
+(sketches, model scoring, approximate search) and get the driver's
+rows-only check; their correctness is pinned by pytest instead.
+
+The gate queries run the REAL pipeline (sources/pages_from_documents →
+stages/extract → langid → perplexity → stages/rules) and the oracle
+re-derives each vectorizable rule independently in SQL — a
+differential test of the rule catalog in the spirit of the reference's
+parametrized detector tests (``test_p001.py:13-77``).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+from ..functions import dedup as dd
+from ..functions import similarity as sim
+from ..sources.pages_from_documents import pages_cte, synthesize_pages
+from ..stages import multimodal as mm
+from ..stages.rules import (
+    ARCHIVE_RE,
+    BARE_DOI_RE,
+    DEAD_PATH_RE,
+    HOMEPAGE_RE,
+    SCRUBS,
+    SHORTHAND_RE,
+    SWHID_RE,
+    PLACEHOLDER_RE,
+)
+from . import relational as rel
+from .quality_gate import build_gate
+
+# ---------------------------------------------------------------------------
+# shared helpers
+# ---------------------------------------------------------------------------
+
+def _documents(sf_dir: str, columns: list[str] | None = None) -> rd.Dataset:
+    return rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=columns
+    )
+
+
+def _gated(sf_dir: str) -> rd.Dataset:
+    ds = _documents(sf_dir, ["doc_id", "text", "lang"])
+    pages = ds.map_batches(synthesize_pages, batch_format="pyarrow")
+    return build_gate(pages, write_dropped_text=True)
+
+
+_EN_MARKER_RE = r"\b(?:the|and|was|that|with|this|from|have)\b"
+_SYMBOL_RE = r"[^\p{L}\p{N}\s]"
+_TOKEN_RE = r"\S+"
+
+# SQL fragments shared by the gate oracles (over the pages CTE)
+_FEAT_SQL = f"""
+feat AS (
+  SELECT doc_id, url, text, lang, warc_ts,
+    len(regexp_extract_all(text, '{_TOKEN_RE}')) AS n_tokens,
+    length(text) AS n_chars,
+    len(regexp_extract_all(text, '{_EN_MARKER_RE}')) AS en_hits,
+    len(regexp_extract_all(text, '{_SYMBOL_RE}')) AS symbol_chars
+  FROM pages
+),
+det AS (
+  SELECT *,
+    CASE WHEN n_tokens > 0
+           AND CAST(en_hits AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE) >= 0.08
+         THEN 'en' ELSE 'und' END AS detected_lang
+  FROM feat
+)
+"""
+
+
+def _scrub_sql_expr(col: str) -> str:
+    expr = col
+    for _, pat, repl in SCRUBS:
+        p = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{p}', '{repl}', 'g')"
+    return expr
+
+
+# corpus-with-duplicates for the dedup operators: documents plus exact
+# copies (doc_id+1e6 for doc_id%10=0) and near-copies with a trailing
+# edit (doc_id+2e6 for doc_id%20=5)
+_NEAR_SUFFIX = " with some extra trailing words appended here"
+
+
+def _dup_corpus(sf_dir: str) -> rd.Dataset:
+    ds = _documents(sf_dir, ["doc_id", "text"])
+
+    def exact_copies(b: pa.Table) -> pa.Table:
+        d = b.column("doc_id")
+        m = pc.equal(pa.array(d.to_numpy(zero_copy_only=False) % 10), 0)
+        sub = b.filter(m)
+        return pa.table(
+            {
+                "doc_id": pc.add(sub.column("doc_id"), 1_000_000),
+                "text": sub.column("text"),
+            }
+        )
+
+    def near_copies(b: pa.Table) -> pa.Table:
+        d = b.column("doc_id")
+        m = pc.equal(pa.array(d.to_numpy(zero_copy_only=False) % 20), 5)
+        sub = b.filter(m)
+        n = len(sub)
+        return pa.table(
+            {
+                "doc_id": pc.add(sub.column("doc_id"), 2_000_000),
+                "text": pc.binary_join_element_wise(
+                    sub.column("text").combine_chunks(),
+                    pa.array([_NEAR_SUFFIX] * n, pa.string()),
+                    "",
+                ),
+            }
+        )
+
+    return ds.union(
+        ds.map_batches(exact_copies, batch_format="pyarrow"),
+        ds.map_batches(near_copies, batch_format="pyarrow"),
+    )
+
+
+_DUP_CORPUS_SQL = f"""
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, text || '{_NEAR_SUFFIX}' AS text
+  FROM documents WHERE doc_id % 20 = 5
+)
+"""
+
+
+def _query_vectors(sf_dir: str, n: int = 5):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    t = t.filter(pc.less(t.column("vec_id"), n))
+    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    mat = np.stack([np.asarray(e, dtype=np.float64) for e in t.column("embedding").to_pylist()])
+    order = np.argsort(ids)
+    return ids[order], mat[order]
+
+
+# ---------------------------------------------------------------------------
+# query implementations
+# ---------------------------------------------------------------------------
+
+def q_gate_url_flags(sf_dir: str):
+    out = _gated(sf_dir)
+    return out.select_columns(
+        ["doc_id", "hit_dead_url_pattern", "hit_homepage_url",
+         "hit_archive_url", "hit_shorthand_url"]
+    )
+
+
+SQL_GATE_URL = f"""
+WITH pages AS ({{pages}})
+SELECT doc_id,
+  regexp_matches(url, '{DEAD_PATH_RE}') AS hit_dead_url_pattern,
+  regexp_matches(url, '{HOMEPAGE_RE}') AS hit_homepage_url,
+  regexp_matches(url, '{ARCHIVE_RE}') AS hit_archive_url,
+  regexp_matches(url, '{SHORTHAND_RE}') AS hit_shorthand_url
+FROM pages
+"""
+
+
+def q_gate_content_flags(sf_dir: str):
+    out = _gated(sf_dir)
+    return out.select_columns(
+        ["doc_id", "hit_pii_email", "hit_pii_phone", "hit_pii_ip",
+         "hit_toxicity", "hit_template_placeholder", "hit_bare_identifier",
+         "scrubbed_text"]
+    )
+
+
+def _sql_gate_content() -> str:
+    pats = {code: pat.replace("'", "''") for code, pat, _ in SCRUBS}
+    doi = BARE_DOI_RE.replace("'", "''")
+    return f"""
+WITH pages AS ({{pages}})
+SELECT doc_id,
+  regexp_matches(text, '{pats["pii_email"]}') AS hit_pii_email,
+  regexp_matches(text, '{pats["pii_phone"]}') AS hit_pii_phone,
+  regexp_matches(text, '{pats["pii_ip"]}') AS hit_pii_ip,
+  regexp_matches(text, '{pats["toxicity"]}') AS hit_toxicity,
+  regexp_matches(text, '{PLACEHOLDER_RE}') AS hit_template_placeholder,
+  (regexp_matches(text, '{doi}') OR regexp_matches(text, '{SWHID_RE}'))
+    AS hit_bare_identifier,
+  {_scrub_sql_expr("text")} AS scrubbed_text
+FROM pages
+"""
+
+
+def q_gate_shape_lang_flags(sf_dir: str):
+    out = _gated(sf_dir)
+    return out.select_columns(
+        ["doc_id", "n_tokens", "n_chars", "detected_lang",
+         "hit_too_short", "hit_too_long", "hit_symbol_ratio_high",
+         "hit_stopword_ratio_low", "hit_lang_mismatch"]
+    )
+
+
+SQL_GATE_SHAPE = f"""
+WITH pages AS ({{pages}}),
+{_FEAT_SQL}
+SELECT doc_id, n_tokens, n_chars, detected_lang,
+  (n_tokens > 0 AND n_tokens < 8 AND detected_lang != 'zh') AS hit_too_short,
+  (n_tokens > 200000) AS hit_too_long,
+  (n_chars > 0 AND CAST(symbol_chars AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE) > 0.25)
+    AS hit_symbol_ratio_high,
+  (CASE
+     WHEN detected_lang = 'en' THEN
+       n_tokens >= 8 AND CAST(en_hits AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE) < 0.05
+     WHEN detected_lang = 'und' AND lang IN ('en','fr','es','de') THEN
+       n_tokens >= 8 AND
+       CAST(CASE WHEN lang = 'en' THEN en_hits ELSE 0 END AS DOUBLE)
+         / CAST(greatest(n_tokens, 1) AS DOUBLE) < 0.05
+     ELSE FALSE
+   END) AS hit_stopword_ratio_low,
+  (lang IN ('en','fr','es','de','zh') AND detected_lang IN ('en','fr','es','de','zh')
+   AND lang != detected_lang) AS hit_lang_mismatch
+FROM det
+"""
+
+
+def q_gate_decisions(sf_dir: str):
+    out = _gated(sf_dir)
+    return out.select_columns(
+        ["doc_id", "url", "keep", "detected_lang", "n_tokens"]
+    )
+
+
+def q_doc_stats(sf_dir: str):
+    ds = _documents(sf_dir, ["doc_id", "text"])
+
+    def stage(b: pa.Table) -> pa.Table:
+        import hashlib
+
+        text = b.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        fp = [
+            hashlib.md5((t or "").encode("utf-8")).hexdigest()
+            for t in text.to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "n_tokens": pc.cast(pc.count_substring_regex(text, _TOKEN_RE), pa.int64()),
+                "n_chars": pc.cast(pc.utf8_length(text), pa.int64()),
+                "symbol_chars": pc.cast(pc.count_substring_regex(text, _SYMBOL_RE), pa.int64()),
+                "marker_hits_en": pc.cast(pc.count_substring_regex(text, _EN_MARKER_RE), pa.int64()),
+                "fingerprint": pa.array(fp, pa.string()),
+            }
+        )
+
+    return ds.map_batches(stage, batch_format="pyarrow")
+
+
+SQL_DOC_STATS = f"""
+SELECT doc_id,
+  len(regexp_extract_all(text, '{_TOKEN_RE}')) AS n_tokens,
+  length(text) AS n_chars,
+  len(regexp_extract_all(text, '{_SYMBOL_RE}')) AS symbol_chars,
+  len(regexp_extract_all(text, '{_EN_MARKER_RE}')) AS marker_hits_en,
+  md5(text) AS fingerprint
+FROM documents
+"""
+
+
+def q_dedup_exact(sf_dir: str):
+    return dd.exact_dedup_groups(_dup_corpus(sf_dir))
+
+
+SQL_DEDUP_EXACT = f"""
+WITH {_DUP_CORPUS_SQL.strip()}
+SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+FROM corpus GROUP BY text
+"""
+
+
+def q_dedup_exact_pairs(sf_dir: str):
+    # content-hash grouping, NOT a sketch: the driver corpus contains
+    # planted J≈0.99 near-dups that agree on 64/64 minhashes ~half the
+    # time, so only byte-exact hashing matches the text-equality oracle
+    return dd.exact_dedup_pairs(_dup_corpus(sf_dir))
+
+
+SQL_DEDUP_EXACT_PAIRS = f"""
+WITH {_DUP_CORPUS_SQL.strip()}
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+FROM corpus a JOIN corpus b ON a.text = b.text AND a.doc_id < b.doc_id
+"""
+
+
+def q_dedup_minhash_pairs(sf_dir: str):
+    return dd.minhash_lsh_pairs(_dup_corpus(sf_dir), min_est_jaccard=0.5)
+
+
+def q_dedup_simhash(sf_dir: str):
+    return dd.simhash_dataset(_documents(sf_dir, ["doc_id", "text"]))
+
+
+def q_dedup_embedding_pairs(sf_dir: str):
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return dd.embedding_near_dup_pairs(ds, threshold=0.45)
+
+
+SQL_DEDUP_EMBEDDING = """
+SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(
+        CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.45
+"""
+
+
+def q_knn_cosine(sf_dir: str):
+    qids, qvecs = _query_vectors(sf_dir)
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return sim.knn_bruteforce(ds, qvecs, qids, k=10)
+
+
+SQL_KNN = """
+SELECT q.vec_id AS query_id, e.vec_id AS vec_id
+FROM embeddings q CROSS JOIN embeddings e
+WHERE q.vec_id < 5
+QUALIFY row_number() OVER (
+  PARTITION BY q.vec_id
+  ORDER BY list_cosine_similarity(
+    CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) DESC,
+    e.vec_id
+) <= 10
+"""
+
+
+def q_knn_ivf(sf_dir: str):
+    qids, qvecs = _query_vectors(sf_dir)
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return sim.knn_ivf(ds, qvecs, qids, k=10)
+
+
+def q_multimodal_meta(sf_dir: str):
+    ds = _documents(sf_dir, ["doc_id", "text"])
+    with_payload = ds.map_batches(mm.attach_payload, batch_format="pyarrow")
+    decoded = with_payload.map_batches(
+        mm.ImageDecodeStub, batch_format="pyarrow", concurrency=(1, 2)
+    )
+    return decoded.select_columns(
+        ["doc_id", "payload_bytes", "width", "height", "format"]
+    )
+
+
+SQL_MULTIMODAL = """
+SELECT doc_id,
+  CAST(strlen(text) AS BIGINT) AS payload_bytes,
+  CAST(strlen(text) % 640 + 16 AS BIGINT) AS width,
+  CAST(strlen(text) % 480 + 16 AS BIGINT) AS height,
+  'stub' AS format
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+def registry() -> dict[str, tuple]:
+    """name -> (callable(sf_dir) -> Dataset/Table, oracle_sql | None)"""
+    pages = pages_cte()
+    return {
+        # relational core
+        "q1_pricing": (rel.q1_pricing, rel.Q1_SQL),
+        "top_orders": (rel.top_orders, rel.TOP_ORDERS_SQL),
+        "nation_order_stats": (rel.nation_order_stats, rel.NATION_ORDER_SQL),
+        "events_hourly": (rel.events_hourly, rel.EVENTS_HOURLY_SQL),
+        "events_type_stats": (rel.events_type_stats, rel.EVENTS_TYPE_SQL),
+        "lang_source_hist": (rel.lang_source_hist, rel.LANG_SOURCE_SQL),
+        "open_orders": (rel.open_orders, rel.OPEN_ORDERS_SQL),
+        # text analysis
+        "doc_stats": (q_doc_stats, SQL_DOC_STATS),
+        # the quality gate (rule catalog), differential vs SQL.
+        # NB: plain .replace, not str.format — the embedded regexes
+        # contain literal braces ({2,}, \d{1,2}) that format would eat.
+        "gate_url_flags": (q_gate_url_flags, SQL_GATE_URL.replace("{pages}", pages)),
+        "gate_content_flags": (
+            q_gate_content_flags,
+            _sql_gate_content().replace("{pages}", pages),
+        ),
+        "gate_shape_lang_flags": (
+            q_gate_shape_lang_flags,
+            SQL_GATE_SHAPE.replace("{pages}", pages),
+        ),
+        "gate_decisions": (q_gate_decisions, None),  # needs LM scoring
+        # dedup family
+        "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+        "dedup_exact_pairs": (q_dedup_exact_pairs, SQL_DEDUP_EXACT_PAIRS),
+        "dedup_minhash_pairs": (q_dedup_minhash_pairs, None),  # sketch
+        "dedup_simhash": (q_dedup_simhash, None),  # sketch
+        "dedup_embedding_pairs": (q_dedup_embedding_pairs, SQL_DEDUP_EMBEDDING),
+        # similarity search
+        "knn_cosine": (q_knn_cosine, SQL_KNN),
+        "knn_ivf": (q_knn_ivf, None),  # approximate by design
+        # multimodal plumbing
+        "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL),
+    }

@@ -1,0 +1,286 @@
+"""Relational operators over the TPC-H-ish driver tables — the
+engine's recast of the reference's aggregation/ordering semantics
+(SURVEY §2.6-2.7: per-rule counts ``detect_pitfalls_main.py:279,339``,
+per-rule × per-language histograms ``:346-351``, positional "latest
+release" top-1 ``p001.py:54``), expressed Ray-Data-first.
+
+Exactness discipline for driver-vs-DuckDB hashing: every aggregated
+money/value column is converted to integer cents with
+``floor(x*100 + 0.5)`` BEFORE summation (identical expression on the
+SQL side) so float addition order can never flip a bit. Min/max/count
+are order-exact already.
+
+Shuffle discipline: heavy tables (lineitem, orders, events) are
+pre-aggregated inside ``map_batches`` (partial combine), so the
+``groupby`` shuffle only ships the tiny per-batch partials; small
+dimension tables (customer, nation) are joined via a broadcast dict
+(``ray.put`` once, read per task) — never a distributed shuffle join.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min, Sum
+
+
+def _cents(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """floor(x*100 + 0.5) as int64 — bit-identical to the SQL
+    ``CAST(floor(x*100 + 0.5) AS BIGINT)``."""
+    return pc.cast(pc.floor(pc.add(pc.multiply(col, 100.0), 0.5)), pa.int64())
+
+
+# ---------------------------------------------------------------------------
+# Q1-style pricing summary over lineitem
+# ---------------------------------------------------------------------------
+
+def q1_pricing(sf_dir: str, cutoff: str = "1998-09-02") -> rd.Dataset:
+    """Pricing summary: partial-aggregate per batch, then a tiny
+    groupby of the partials (the combiner pattern for wide groupbys)."""
+    cutoff_ts = np.datetime64(cutoff + "T00:00:00", "us")
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_shipdate",
+        ],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mask = pc.less_equal(batch.column("l_shipdate"), pa.scalar(cutoff_ts))
+        b = batch.filter(mask)
+        qty = pc.cast(b.column("l_quantity"), pa.int64())
+        base_c = _cents(b.column("l_extendedprice"))
+        disc_price = pc.multiply(
+            b.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+        )
+        disc_c = _cents(disc_price)
+        t = pa.table(
+            {
+                "l_returnflag": b.column("l_returnflag"),
+                "l_linestatus": b.column("l_linestatus"),
+                "qty": qty,
+                "base_c": base_c,
+                "disc_c": disc_c,
+            }
+        )
+        # in-batch combine via Arrow group_by (C++), one row per key
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty", "sum"), ("base_c", "sum"), ("disc_c", "sum"), ("qty", "count")]
+        )
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "sum_qty", "sum_base_cents",
+             "sum_disc_cents", "count_order"]
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_base_cents", alias_name="sum_base_cents"),
+        Sum("sum_disc_cents", alias_name="sum_disc_cents"),
+        Sum("count_order", alias_name="count_order"),
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+  SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+  SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sum_base_cents,
+  SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS sum_disc_cents,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# top-k orders (sort + limit)
+# ---------------------------------------------------------------------------
+
+def top_orders(sf_dir: str, k: int = 10) -> rd.Dataset:
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_totalprice"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": batch.column("o_orderkey"),
+                "total_cents": _cents(batch.column("o_totalprice")),
+            }
+        )
+
+    # per-batch local top-k, then a global sort of the tiny survivors —
+    # the full table is never globally sorted
+    def local_topk(batch: pa.Table) -> pa.Table:
+        idx = pc.select_k_unstable(
+            batch, k, [("total_cents", "descending"), ("o_orderkey", "ascending")]
+        )
+        return batch.take(idx)
+
+    pruned = ds.map_batches(prep, batch_format="pyarrow").map_batches(
+        local_topk, batch_format="pyarrow"
+    )
+    return pruned.sort(["total_cents", "o_orderkey"], descending=[True, False]).limit(k)
+
+
+TOP_ORDERS_SQL = """
+SELECT o_orderkey, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS total_cents
+FROM orders
+ORDER BY total_cents DESC, o_orderkey
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# broadcast join: orders → customer → nation
+# ---------------------------------------------------------------------------
+
+def nation_order_stats(sf_dir: str) -> rd.Dataset:
+    """Orders per nation: the small side (customer ⋈ nation, built once
+    on the driver) is broadcast via ``ray.put``; the big side streams."""
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    ).take_all()
+    nat = rd.read_parquet(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    ).take_all()
+    nname = {r["n_nationkey"]: r["n_name"] for r in nat}
+    cust_nation = {r["c_custkey"]: nname[r["c_nationkey"]] for r in cust}
+    lookup_ref = ray.put(cust_nation)
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_totalprice"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(lookup_ref)
+        keys = batch.column("o_custkey").to_pylist()
+        names = pa.array([lookup.get(k) for k in keys], pa.string())
+        t = pa.table(
+            {"n_name": names, "total_cents": _cents(batch.column("o_totalprice"))}
+        )
+        g = t.group_by("n_name").aggregate([("total_cents", "sum"), ("total_cents", "count")])
+        return g.rename_columns(["n_name", "total_cents", "n_orders"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby("n_name").aggregate(
+        Sum("total_cents", alias_name="total_cents"),
+        Sum("n_orders", alias_name="n_orders"),
+    )
+
+
+NATION_ORDER_SQL = """
+SELECT n.n_name,
+  SUM(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS total_cents,
+  COUNT(*) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# events: hourly windowed aggregate + per-type min/max
+# ---------------------------------------------------------------------------
+
+def events_hourly(sf_dir: str) -> rd.Dataset:
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts", "event_type", "value"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch.column("ts"), unit="hour")
+        t = pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "hour": hour,
+                "value_cents": _cents(batch.column("value")),
+            }
+        )
+        g = t.group_by(["event_type", "hour"]).aggregate(
+            [("value_cents", "sum"), ("value_cents", "count")]
+        )
+        return g.rename_columns(["event_type", "hour", "value_cents", "n_events"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby(["event_type", "hour"]).aggregate(
+        Sum("value_cents", alias_name="value_cents"),
+        Sum("n_events", alias_name="n_events"),
+    )
+
+
+EVENTS_HOURLY_SQL = """
+SELECT event_type, date_trunc('hour', ts) AS hour,
+  SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS value_cents,
+  COUNT(*) AS n_events
+FROM events
+GROUP BY event_type, date_trunc('hour', ts)
+"""
+
+
+def events_type_stats(sf_dir: str) -> rd.Dataset:
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "value"]
+    )
+    return ds.groupby("event_type").aggregate(
+        Count(alias_name="n_events"),
+        Min("value", alias_name="min_value"),
+        Max("value", alias_name="max_value"),
+    )
+
+
+EVENTS_TYPE_SQL = """
+SELECT event_type, COUNT(*) AS n_events,
+  MIN(value) AS min_value, MAX(value) AS max_value
+FROM events
+GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# documents histogram (the per-rule × per-language histogram shape,
+# detect_pitfalls_main.py:346-351)
+# ---------------------------------------------------------------------------
+
+def lang_source_hist(sf_dir: str) -> rd.Dataset:
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["lang", "source"]
+    )
+    return ds.groupby(["lang", "source"]).aggregate(Count(alias_name="n_docs"))
+
+
+LANG_SOURCE_SQL = """
+SELECT lang, source, COUNT(*) AS n_docs FROM documents GROUP BY lang, source
+"""
+
+
+# ---------------------------------------------------------------------------
+# filter + projection (predicate pushdown demo)
+# ---------------------------------------------------------------------------
+
+def open_orders(sf_dir: str) -> rd.Dataset:
+    return rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey"],
+        filter=(pc.field("o_orderstatus") == "O"),
+    )
+
+
+OPEN_ORDERS_SQL = """
+SELECT o_orderkey, o_custkey FROM orders WHERE o_orderstatus = 'O'
+"""

@@ -60,12 +60,13 @@ class LangIdScorer:
         chr_safe = np.maximum(n_chars, 1.0)
 
         langs = list(self.patterns)
+        hits_matrix = np.zeros((len(langs), n), dtype=np.int64)
         scores = np.zeros((len(langs) + 1, n), dtype=np.float64)
         for k, lang in enumerate(langs):
-            hits = pc.count_substring_regex(text, self.patterns[lang]).to_numpy(
+            hits_matrix[k] = pc.count_substring_regex(text, self.patterns[lang]).to_numpy(
                 zero_copy_only=False
             )
-            scores[k] = hits / tok_safe
+            scores[k] = hits_matrix[k] / tok_safe
         cjk = pc.count_substring_regex(text, _CJK_PATTERN).to_numpy(zero_copy_only=False)
         zh_ratio = cjk / chr_safe
         scores[len(langs)] = np.where(zh_ratio >= self.cfg.zh_char_ratio_min, zh_ratio, 0.0)
@@ -93,15 +94,16 @@ class LangIdScorer:
             detected,
             np.where((detected == "und") & np.isin(declared, langs), declared, ""),
         )
-        stop_hits = np.zeros(n, dtype=np.float64)
+        stop_hits = np.zeros(n, dtype=np.int64)
         for k, lang in enumerate(langs):
             m = stop_lang == lang
             if m.any():
-                hits_k = scores[k] * tok_safe
-                stop_hits[m] = hits_k[m]
+                # exact integer marker counts — never reconstructed from
+                # the float density (3/7*7 != 3 in fp)
+                stop_hits[m] = hits_matrix[k][m]
         out = out.append_column(
             "stopword_lang",
             pa.array([s if s else None for s in stop_lang], pa.string()),
         )
-        out = out.append_column("stopword_hits", pa.array(stop_hits.astype(np.int64), pa.int64()))
+        out = out.append_column("stopword_hits", pa.array(stop_hits, pa.int64()))
         return out

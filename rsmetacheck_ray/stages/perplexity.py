@@ -72,8 +72,15 @@ class PerplexityScorer:
                        concurrency=cfg.perplexity_actors)
     """
 
+    # process-level memo: a worker that constructs several scorers
+    # (resume loops, repeated query calls) builds the 64 MB tables once
+    _LM_CACHE: tuple | None = None
+
     def __init__(self, cfg: GateConfig = DEFAULT_CONFIG):
         self.cfg = cfg
+        if PerplexityScorer._LM_CACHE is not None:
+            self.logp3, self.logp2 = PerplexityScorer._LM_CACHE
+            return
         data = np.frombuffer(_train_corpus(), dtype=np.uint8)
         c3 = (
             data[:-2].astype(np.uint32) << 16
@@ -92,6 +99,7 @@ class PerplexityScorer:
         codes2, counts2 = np.unique(c2, return_counts=True)
         lut2[codes2] = counts2
         self.logp2 = np.log2(lut2 + np.float32(_ALPHA * 256.0))
+        PerplexityScorer._LM_CACHE = (self.logp3, self.logp2)
 
     def _bits_per_char(self, texts: list) -> np.ndarray:
         bufs = [t.encode("utf-8") if t else b"" for t in texts]

@@ -1,0 +1,119 @@
+"""Dedup operator tests — exact, MinHash-LSH vs exact Jaccard ground
+truth, SimHash locality (the parametrized trigger/non-trigger style of
+the reference's detector tests, ``test_p001.py:13-77``)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from rsmetacheck_ray.functions import dedup as dd
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup of 0
+    (2, "the quick brown fox jumps over the lazy dog near the river bank now"),    # near dup of 0
+    (3, "completely different text about database engines and vectorized batch execution"),
+    (4, "another unrelated document discussing language identification and scrubbing"),
+    (5, ""),  # empty
+]
+
+
+def _ds():
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([d for d, _ in DOCS], pa.int64()),
+                "text": pa.array([t for _, t in DOCS], pa.string()),
+            }
+        )
+    )
+
+
+def test_shingle_and_jaccard_basics():
+    assert dd.ngram_jaccard(DOCS[0][1], DOCS[1][1]) == 1.0
+    j_near = dd.ngram_jaccard(DOCS[0][1], DOCS[2][1])
+    assert 0.5 < j_near < 1.0
+    assert dd.ngram_jaccard(DOCS[0][1], DOCS[3][1]) == 0.0
+
+
+def test_minhash_estimates_jaccard():
+    a = dd.minhash_signature(dd.shingle_hashes(DOCS[0][1]))
+    b = dd.minhash_signature(dd.shingle_hashes(DOCS[2][1]))
+    est = (a == b).mean()
+    true = dd.ngram_jaccard(DOCS[0][1], DOCS[2][1])
+    assert abs(est - true) < 0.3
+    # identical text -> identical signature
+    c = dd.minhash_signature(dd.shingle_hashes(DOCS[1][1]))
+    assert (a == c).all()
+
+
+def test_exact_dedup_groups(ray_session):
+    out = dd.exact_dedup_groups(_ds()).to_pandas().sort_values("doc_id")
+    counts = dict(zip(out["doc_id"], out["dup_count"]))
+    assert counts[0] == 2  # docs 0 and 1
+    assert counts[2] == 1 and counts[3] == 1 and counts[5] == 1
+    assert 1 not in counts  # absorbed into group of 0
+
+
+def test_exact_dedup_pairs(ray_session):
+    out = dd.exact_dedup_pairs(_ds()).to_pandas()
+    pairs = set(zip(out["doc_id_a"], out["doc_id_b"]))
+    assert pairs == {(0, 1)}
+
+
+def test_minhash_lsh_finds_near_dups(ray_session):
+    out = dd.minhash_lsh_pairs(_ds(), min_est_jaccard=0.5).to_pandas()
+    pairs = set(zip(out["doc_id_a"], out["doc_id_b"]))
+    assert (0, 1) in pairs and (0, 2) in pairs and (1, 2) in pairs
+    # unrelated docs never pair
+    for a, b in pairs:
+        assert {a, b} <= {0, 1, 2}
+
+
+def test_lsh_agrees_with_exact_jaccard_on_corpus(ray_session):
+    """LSH recall on planted dups: every pair with true J >= 0.8 must
+    be found; every reported pair must have true J >= 0.35."""
+    texts = {d: t for d, t in DOCS}
+    out = dd.minhash_lsh_pairs(_ds(), min_est_jaccard=0.5).to_pandas()
+    found = set(zip(out["doc_id_a"], out["doc_id_b"]))
+    for a in texts:
+        for b in texts:
+            if a < b:
+                j = dd.ngram_jaccard(texts[a], texts[b])
+                if j >= 0.8 and texts[a] and texts[b]:
+                    assert (a, b) in found, (a, b, j)
+    for a, b in found:
+        assert dd.ngram_jaccard(texts[a], texts[b]) >= 0.35
+
+
+def test_simhash_locality():
+    h0 = dd.simhash64(DOCS[0][1])
+    h1 = dd.simhash64(DOCS[1][1])
+    h2 = dd.simhash64(DOCS[2][1])
+    h3 = dd.simhash64(DOCS[3][1])
+    assert h0 == h1
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(h0, h2) < ham(h0, h3)
+    assert dd.simhash64("") == 0
+
+
+def test_embedding_near_dup_pairs(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(20, 16)).astype(np.float32)
+    base[5] = base[3] + 0.01 * rng.normal(size=16)  # planted near-dup
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(20), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in base],
+                                  pa.list_(pa.float32())),
+        }
+    )
+    out = dd.embedding_near_dup_pairs(rd.from_arrow(t), threshold=0.95).to_pandas()
+    pairs = set(zip(out["vec_id_a"], out["vec_id_b"]))
+    assert (3, 5) in pairs

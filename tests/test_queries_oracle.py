@@ -1,0 +1,102 @@
+"""Driver-style differential tests: run each queries() entry via Ray
+and its oracle_sql() via DuckDB on sf0.001, compare values exactly.
+This mirrors the driver's CORRECTNESS gate so regressions surface in
+pytest before the round verdict."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def oracle_con():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def _registry():
+    from rsmetacheck_ray.pipelines.queries import registry
+
+    return registry()
+
+
+SQL_BACKED = [
+    "q1_pricing",
+    "top_orders",
+    "nation_order_stats",
+    "events_hourly",
+    "events_type_stats",
+    "lang_source_hist",
+    "open_orders",
+    "doc_stats",
+    "gate_url_flags",
+    "gate_content_flags",
+    "gate_shape_lang_flags",
+    "dedup_exact",
+    "dedup_exact_pairs",
+    "dedup_embedding_pairs",
+    "knn_cosine",
+    "multimodal_meta",
+]
+
+
+@pytest.mark.parametrize("name", SQL_BACKED)
+def test_query_matches_oracle(ray_session, oracle_con, name):
+    fn, sql = _registry()[name]
+    assert sql is not None
+    res = fn(SF_DIR)
+    ray_df = _canon(res.to_pandas() if hasattr(res, "to_pandas") else pd.DataFrame(res))
+    sql_df = _canon(oracle_con.execute(sql).fetchdf())
+    assert list(ray_df.columns) == list(sql_df.columns)
+    assert len(ray_df) == len(sql_df), (len(ray_df), len(sql_df))
+    for c in ray_df.columns:
+        a, b = ray_df[c], sql_df[c]
+        if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
+            import numpy as np
+
+            assert np.allclose(a.astype(float), b.astype(float), rtol=0, atol=0), c
+        else:
+            assert (a.astype(str) == b.astype(str)).all(), c
+
+
+def test_rows_only_queries_return_rows(ray_session):
+    reg = _registry()
+    for name, (fn, sql) in reg.items():
+        if sql is not None:
+            continue
+        res = fn(SF_DIR)
+        df = res.to_pandas() if hasattr(res, "to_pandas") else pd.DataFrame(res)
+        assert len(df) > 0, name
+
+
+def test_entry_contract(ray_session):
+    import __ray_entry__ as e
+
+    res = e.entry()
+    df = res.to_pandas() if hasattr(res, "to_pandas") else res
+    assert len(df) > 0
+    assert {"doc_id", "keep", "detected_lang"} <= set(df.columns)
+    assert set(e.oracle_sql()) <= set(e.queries())
