@@ -41,8 +41,11 @@ class GateConfig:
 
     # --- execution knobs (scale tuning, not semantics) ---
     batch_size: int = 4096
-    langid_actors: int = 4
-    perplexity_actors: int = 4
+    # None ⇒ autoscale pool cap to half the cluster CPUs (per stage);
+    # the two scorer pools together then cover the cluster while the
+    # read / rules / write task pools fill the gaps under backpressure
+    langid_actors: int | None = None
+    perplexity_actors: int | None = None
 
     # languages the gate understands
     known_langs: tuple = ("en", "fr", "es", "de", "zh")

@@ -51,54 +51,164 @@ _DECISION_COLS = ["url", "warc_ts", "lang", "detected_lang", "langid_conf",
 
 class _RuleStage:
     """Pickle-friendly wrapper binding the frozen config to the fused
-    rule stage (a plain function → stateless Ray tasks)."""
+    rule stage (a plain function → stateless Ray tasks).
 
-    def __init__(self, cfg: GateConfig, write_dropped_text: bool):
+    The 21 per-rule hit flags are packed into ONE ``rule_bits`` int64
+    column (bit k = CATALOG[k] fired) for the written output — 21 bool
+    columns × thousands of output files made the write stage the
+    pipeline bottleneck (measured ~46 of 80 CPU-s at 1M docs).
+    ``expose_flags=True`` additionally keeps the unpacked ``hit_*``
+    bool columns for in-memory consumers (the oracle queries)."""
+
+    def __init__(self, cfg: GateConfig, write_dropped_text: bool,
+                 expose_flags: bool = False):
         self.cfg = cfg
         self.write_dropped_text = write_dropped_text
+        self.expose_flags = expose_flags
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        # runs in a 1-CPU Ray task worker — keep pyarrow kernels
+        # single-threaded there (see LangIdScorer.__init__)
+        pa.set_cpu_count(1)
+        import numpy as np
+
         out = rule_stage_fn(batch, self.cfg)
         keep = out.column("keep")
         scrubbed = out.column("scrubbed_text")
         if not self.write_dropped_text:
             scrubbed = pc.if_else(keep, scrubbed, pa.scalar(None, pa.string()))
-        cols = _DECISION_COLS + [f"hit_{c}" for c in RULE_CODES]
+        bits = np.zeros(len(out), dtype=np.int64)
+        for k, code in enumerate(RULE_CODES):
+            hit = out.column(f"hit_{code}").to_numpy(zero_copy_only=False)
+            bits |= hit.astype(np.int64) << k
+        cols = list(_DECISION_COLS)
+        if self.expose_flags:
+            cols += [f"hit_{c}" for c in RULE_CODES]
         if "doc_id" in out.column_names:  # carried key for oracle joins
             cols = ["doc_id"] + cols
         result = out.select(cols)
+        result = result.append_column("rule_bits", pa.array(bits, pa.int64()))
         return result.append_column("scrubbed_text", scrubbed)
 
 
+def decode_rule_bits(bits) -> dict[str, "np.ndarray"]:
+    """rule_bits column/ndarray → {code: bool ndarray} (catalog order)."""
+    import numpy as np
+
+    arr = np.asarray(bits, dtype=np.int64)
+    return {
+        code: ((arr >> k) & 1).astype(bool) for k, code in enumerate(RULE_CODES)
+    }
+
+
+class GateStage:
+    """The fused scoring actor: extract → langid → perplexity → rule
+    catalog in ONE actor-pool ``map_batches`` stage. Models/patterns
+    are loaded once per actor in ``__init__`` (the ActorPoolStrategy
+    contract, SURVEY §2.4); fusing the four stages removes two full
+    passes of the intermediate table through the object store —
+    measured as the dominant cost at 4M docs, where each operator
+    boundary shipped ~1.5 KB/row."""
+
+    def __init__(self, cfg: GateConfig, write_dropped_text: bool,
+                 expose_flags: bool = False):
+        pa.set_cpu_count(1)
+        self.langid = LangIdScorer(cfg)
+        self.ppl = PerplexityScorer(cfg)
+        self.rules = _RuleStage(cfg, write_dropped_text, expose_flags)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return self.rules(self.ppl(self.langid(extract_stage(batch))))
+
+
+# per-worker-process cache for the fused task stage: a Ray TASK worker
+# is REUSED across tasks, partitions and even Dataset executions, so
+# the scorer state (LM tables, compiled patterns) is built once per
+# worker process — the same "loaded once" guarantee as an actor pool,
+# WITHOUT the per-execution pool spin-up (measured ~7 s × N-partitions
+# of pure startup in the sequential resume loop at 16M docs).
+_GATE_CACHE: dict = {}
+
+
+def _gate_task_fn(batch: pa.Table, cfg: GateConfig, write_dropped_text: bool,
+                  expose_flags: bool) -> pa.Table:
+    key = (cfg, write_dropped_text, expose_flags)
+    stage = _GATE_CACHE.get(key)
+    if stage is None:
+        stage = GateStage(cfg, write_dropped_text, expose_flags)
+        _GATE_CACHE[key] = stage
+    return stage(batch)
+
+
 def build_gate(
-    ds: rd.Dataset, cfg: GateConfig = DEFAULT_CONFIG, write_dropped_text: bool = False
+    ds: rd.Dataset, cfg: GateConfig = DEFAULT_CONFIG, write_dropped_text: bool = False,
+    expose_flags: bool = False, fused: bool = True, compute: str = "tasks",
 ) -> rd.Dataset:
     """Assemble the lazy gate pipeline over a pages Dataset.
 
     Returns a Dataset of ALL rows with decision columns + scrubbed
     text (null for dropped rows unless ``write_dropped_text``).
+
+    ``fused=True, compute="tasks"`` (default): the whole scoring chain
+    as ONE task-pool ``map_batches`` — Ray fuses read → gate → write
+    into a single operator (no intermediate object-store hops), and
+    task workers cache the scorer state per process.
+    ``fused=True, compute="actors"``: same fused stage as a pre-sized
+    actor pool (the ActorPoolStrategy layout — right when per-actor
+    state is heavy enough to need placement control, e.g. real
+    fastText/KenLM models).
+    ``fused=False``: one operator per stage — for heavy per-stage
+    models wanting separate pools sized to their own memory/compute.
     """
+    import functools
+
+    import ray
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    if fused and compute == "tasks":
+        return ds.map_batches(
+            functools.partial(
+                _gate_task_fn, cfg=cfg,
+                write_dropped_text=write_dropped_text, expose_flags=expose_flags,
+            ),
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+            zero_copy_batch=True,
+        )
+    if fused:
+        # Pre-sized pool (ncpu-2 actors, 2 CPUs left for read/write
+        # tasks): the autoscaling (1..N) policy ramps up too slowly —
+        # measured 26 s vs 21 s on a 4M-doc run.
+        pool = max(2, ncpu - 2)
+        return ds.map_batches(
+            GateStage,
+            fn_constructor_args=(cfg, write_dropped_text, expose_flags),
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+            concurrency=(pool, pool),
+            zero_copy_batch=True,
+        )
     ds = ds.map_batches(extract_stage, batch_format="pyarrow", zero_copy_batch=True)
-    # Autoscaling actor pools (1..N): a fixed pool sized at the CPU
-    # count starves the task-pool read/write stages (the guide's
-    # "pool that reserves every CPU" pitfall); min=1 lets the
-    # streaming executor balance stages under backpressure.
+    langid_max = cfg.langid_actors or max(2, ncpu // 2)
+    ppl_max = cfg.perplexity_actors or max(2, ncpu // 2)
     ds = ds.map_batches(
         LangIdScorer,
         fn_constructor_args=(cfg,),
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
-        concurrency=(1, cfg.langid_actors),
+        concurrency=(1, langid_max),
     )
     ds = ds.map_batches(
         PerplexityScorer,
         fn_constructor_args=(cfg,),
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
-        concurrency=(1, cfg.perplexity_actors),
+        concurrency=(1, ppl_max),
     )
     ds = ds.map_batches(
-        _RuleStage(cfg, write_dropped_text), batch_format="pyarrow", zero_copy_batch=True
+        _RuleStage(cfg, write_dropped_text, expose_flags),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )
     return ds
 
@@ -134,11 +244,14 @@ def list_parquet_fragments(input_path: str | Iterable[str]) -> list[str]:
     return [str(input_path)]
 
 
-def auto_partitions(fragments: list[str], target_bytes: int = 256 << 20) -> int:
+def auto_partitions(fragments: list[str], target_bytes: int = 1 << 30) -> int:
     """Resume-partition count sized by input bytes, not fragment count:
-    each partition should be big enough to amortize actor-pool spin-up
-    (~1 s for the perplexity LM) — at 100 TB this yields ~400k
-    partitions of 256 MB; on a 5 MB bench input it yields 1."""
+    each partition must be big enough to amortize the per-execution
+    fixed cost (stream fill/drain edges + the driver-side lineage
+    tally, ~2-3 s together). At 100 TB this yields ~100k resume units
+    of 1 GiB — on a real multi-node cluster those units are dispatched
+    concurrently (one driver per unit group), not in this sequential
+    in-sandbox loop; on a 5 MB bench input it yields 1."""
     total = sum(os.path.getsize(f) for f in fragments if os.path.exists(f))
     return max(1, min(len(fragments), total // target_bytes + (1 if total % target_bytes else 0)))
 
@@ -194,72 +307,67 @@ def run_gate(
         gated = build_gate(ds, cfg)
         gated.write_parquet(tmp_dir)
         os.rename(tmp_dir, final_dir)
-        manifest.mark_done(pid, frag_group, {})
+        manifest.mark_done(pid, frag_group, partition_lineage(final_dir))
 
-    metrics = compute_metrics(docs_root)
+    # global metrics = merge of the per-partition lineage records —
+    # no second pass over the written data
+    metrics = metrics_from_records(list(manifest.completed().values()))
     with open(os.path.join(out_dir, "metrics.json"), "w") as fh:
         json.dump(metrics, fh, indent=2, sort_keys=True)
     return metrics
 
 
-def compute_metrics(docs_root: str) -> dict:
-    """Global summary over the gated output — per-rule counts,
-    percentages and per-language histograms (recasts
-    ``detect_pitfalls_main.py:346-351,385-394``).
+def _tally(keep, bits, langs) -> dict:
+    """Vectorized keep/drop + per-(rule, lang) tally of decision arrays."""
+    import numpy as np
 
-    Reads ONLY the tiny decision columns (column-pruned parquet read),
-    pre-aggregates per batch inside map_batches, then merges the
-    per-batch partials on the driver — no all-to-all shuffle for a
-    fixed-size (n_rules × n_langs) aggregate.
-    """
-    hit_cols = [f"hit_{c}" for c in RULE_CODES]
-    ds = rd.read_parquet(docs_root, columns=["detected_lang", "keep"] + hit_cols)
-
-    def partial(batch: pa.Table) -> pa.Table:
-        langs = batch.column("detected_lang")
-        rows = {"rule": [], "lang": [], "hits": []}
-        uniq = pc.unique(langs).to_pylist()
-        for code in RULE_CODES:
-            col = batch.column(f"hit_{code}")
-            for lg in uniq:
-                m = pc.and_kleene(pc.equal(langs, lg), col)
-                n = pc.sum(m).as_py() or 0
-                if n:
-                    rows["rule"].append(code)
-                    rows["lang"].append(lg)
-                    rows["hits"].append(n)
-        rows["rule"].append("__total__")
-        rows["lang"].append("__all__")
-        rows["hits"].append(len(batch))
-        rows["rule"].append("__kept__")
-        rows["lang"].append("__all__")
-        rows["hits"].append(pc.sum(batch.column("keep")).as_py() or 0)
-        return pa.table(
-            {
-                "rule": pa.array(rows["rule"], pa.string()),
-                "lang": pa.array(rows["lang"], pa.string()),
-                "hits": pa.array(rows["hits"], pa.int64()),
+    keep = np.asarray(keep, dtype=bool)
+    bits = np.asarray(bits, dtype=np.int64)
+    langs = np.asarray(langs, dtype=object)
+    uniq, inv = np.unique(langs.astype(str), return_inverse=True)
+    rule_lang: dict[str, dict[str, int]] = {}
+    for k, code in enumerate(RULE_CODES):
+        m = ((bits >> k) & 1).astype(bool)
+        if m.any():
+            cnt = np.bincount(inv[m], minlength=len(uniq))
+            rule_lang[code] = {
+                str(uniq[i]): int(c) for i, c in enumerate(cnt) if c
             }
-        )
+    return {
+        "rows": int(len(keep)),
+        "kept": int(keep.sum()),
+        "dropped": int(len(keep) - keep.sum()),
+        "rule_lang": rule_lang,
+    }
 
-    partials = ds.map_batches(partial, batch_format="pyarrow")
-    from ray.data.aggregate import Sum
 
-    agg = partials.groupby(["rule", "lang"]).aggregate(Sum("hits", alias_name="hits"))
-    tbl = agg.to_pandas()  # tiny: ≤ n_rules × n_langs rows
+def partition_lineage(partition_dir: str) -> dict:
+    """Per-partition lineage record for the resume manifest: keep/drop
+    tallies plus per-(rule, language) hit counters (the north rule's
+    'lineage records … to a checkpoint manifest'). A parallel Ray read
+    of the partition's tiny decision columns with per-batch tallies
+    merged on the driver (a serial driver-side pyarrow read here cost
+    ~6.5 s per 5M-row partition — pure dead time in the resume loop)."""
+    return compute_metrics(partition_dir, as_record=True)
 
-    total = int(tbl.loc[tbl["rule"] == "__total__", "hits"].sum())
-    kept = int(tbl.loc[tbl["rule"] == "__kept__", "hits"].sum())
+
+def metrics_from_records(records: list[dict]) -> dict:
+    """Merge per-partition lineage records into the global summary
+    (recasts ``detect_pitfalls_main.py:346-351,385-394``) — no second
+    pass over the data; the tallies were captured at write time."""
+    total = sum(r.get("rows", 0) for r in records)
+    kept = sum(r.get("kept", 0) for r in records)
     rules: dict[str, dict] = {}
     for code in RULE_CODES:
-        sub = tbl[tbl["rule"] == code]
-        count = int(sub["hits"].sum())
+        langs: dict[str, int] = {}
+        for r in records:
+            for lg, n in r.get("rule_lang", {}).get(code, {}).items():
+                langs[lg] = langs.get(lg, 0) + n
+        count = sum(langs.values())
         rules[code] = {
             "count": count,
             "percentage": round(100.0 * count / total, 2) if total else 0.0,
-            "languages": {
-                str(r["lang"]): int(r["hits"]) for _, r in sub.iterrows()
-            },
+            "languages": langs,
         }
     return {
         "total_documents": total,
@@ -268,3 +376,46 @@ def compute_metrics(docs_root: str) -> dict:
         "keep_rate": round(kept / total, 4) if total else 0.0,
         "rules": rules,
     }
+
+
+def _merge_records(records: list[dict]) -> dict:
+    merged = {"rows": 0, "kept": 0, "dropped": 0, "rule_lang": {}}
+    for r in records:
+        merged["rows"] += r["rows"]
+        merged["kept"] += r["kept"]
+        merged["dropped"] += r["dropped"]
+        for code, langs in r.get("rule_lang", {}).items():
+            dst = merged["rule_lang"].setdefault(code, {})
+            for lg, n in langs.items():
+                dst[lg] = dst.get(lg, 0) + n
+    return merged
+
+
+def compute_metrics(docs_root: str, as_record: bool = False) -> dict:
+    """Standalone recompute of the global summary from a gated output
+    directory: column-pruned read of (keep, rule_bits, detected_lang),
+    per-batch vectorized tallies merged on the driver — no shuffle."""
+    ds = rd.read_parquet(
+        docs_root, columns=["detected_lang", "keep", "rule_bits"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import json as _json
+
+        rec = _tally(
+            batch.column("keep").to_numpy(zero_copy_only=False),
+            batch.column("rule_bits").to_numpy(zero_copy_only=False),
+            batch.column("detected_lang").to_pylist(),
+        )
+        return pa.table({"rec": pa.array([_json.dumps(rec)], pa.string())})
+
+    import json as _json
+
+    records = [
+        _json.loads(r["rec"])
+        for r in ds.map_batches(partial, batch_format="pyarrow").take_all()
+    ]
+    merged = _merge_records(records)
+    if as_record:
+        return merged
+    return metrics_from_records([merged])

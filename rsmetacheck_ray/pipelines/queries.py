@@ -30,6 +30,7 @@ from ..functions import dedup as dd
 from ..functions import similarity as sim
 from ..sources.pages_from_documents import pages_cte, synthesize_pages
 from ..stages import multimodal as mm
+from ..stages.skew import HOST_COUNTS_SQL_TEMPLATE
 from ..stages.rules import (
     ARCHIVE_RE,
     BARE_DOI_RE,
@@ -56,7 +57,7 @@ def _documents(sf_dir: str, columns: list[str] | None = None) -> rd.Dataset:
 def _gated(sf_dir: str) -> rd.Dataset:
     ds = _documents(sf_dir, ["doc_id", "text", "lang"])
     pages = ds.map_batches(synthesize_pages, batch_format="pyarrow")
-    return build_gate(pages, write_dropped_text=True)
+    return build_gate(pages, write_dropped_text=True, expose_flags=True)
 
 
 _EN_MARKER_RE = r"\b(?:the|and|was|that|with|this|from|have)\b"
@@ -356,6 +357,16 @@ def q_knn_ivf(sf_dir: str):
     return sim.knn_ivf(ds, qvecs, qids, k=10)
 
 
+def q_host_stats(sf_dir: str):
+    """Per-host page counts via the two-phase SALTED aggregate
+    (stages/skew.py) — the oversized-host skew path of the north rule."""
+    from ..stages.skew import salted_host_counts
+
+    ds = _documents(sf_dir, ["doc_id", "text", "lang"])
+    pages = ds.map_batches(synthesize_pages, batch_format="pyarrow")
+    return salted_host_counts(pages)
+
+
 def q_multimodal_meta(sf_dir: str):
     ds = _documents(sf_dir, ["doc_id", "text"])
     with_payload = ds.map_batches(mm.attach_payload, batch_format="pyarrow")
@@ -414,6 +425,11 @@ def registry() -> dict[str, tuple]:
         "dedup_minhash_pairs": (q_dedup_minhash_pairs, None),  # sketch
         "dedup_simhash": (q_dedup_simhash, None),  # sketch
         "dedup_embedding_pairs": (q_dedup_embedding_pairs, SQL_DEDUP_EMBEDDING),
+        # skew: salted two-phase host aggregate
+        "host_stats": (
+            q_host_stats,
+            HOST_COUNTS_SQL_TEMPLATE.replace("{pages}", pages),
+        ),
         # similarity search
         "knn_cosine": (q_knn_cosine, SQL_KNN),
         "knn_ivf": (q_knn_ivf, None),  # approximate by design

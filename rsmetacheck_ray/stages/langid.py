@@ -45,6 +45,10 @@ class LangIdScorer:
         self.cfg = cfg
         # one compiled alternation per language, built once per actor
         self.patterns = {lang: marker_pattern(lang) for lang in MARKERS}
+        # each actor is a 1-CPU worker: without this, every pyarrow
+        # kernel spins a machine-wide thread pool and N actors × N
+        # threads contend (measured 20-30x UDF inflation at 32 CPUs)
+        pa.set_cpu_count(1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         text = batch.column("extracted_text")

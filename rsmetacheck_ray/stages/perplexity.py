@@ -1,14 +1,20 @@
 """Perplexity stage — KenLM-style n-gram scoring as an actor pool.
 
-The north rule's "KenLM 5-gram perplexity" analog: a byte-trigram
+The north rule's "KenLM 5-gram perplexity" analog: a symbol-trigram
 language model with add-alpha smoothing, trained ONCE PER ACTOR in
 ``__init__`` on a deterministic mixed-language corpus derived from the
 shared vocabulary pools (``functions/vocab.py``) — the ActorPoolStrategy
 pattern SURVEY §2.4 calls for. Scoring is seed-free and fully
 vectorized: the whole batch's bytes are concatenated into one numpy
-buffer, trigram codes are computed with shifts, probabilities looked up
-via ``searchsorted`` against the sorted code tables, and per-document
-bits-per-char reduced with ``np.add.reduceat``.
+buffer, remapped through a 64-SYMBOL ALPHABET (letters fold to one
+case, digits/space/punct bucket, high bytes bucket by range), trigram
+codes computed with shifts, log-probs gathered from direct-indexed
+tables, per-document bits-per-char reduced with prefix sums.
+
+The 64-symbol alphabet keeps the trigram table at 64³ × 4 B = 1 MiB —
+L2-resident under full actor-pool concurrency (the original full-byte
+design was a 64 MiB table whose random gathers thrashed DRAM and cost
+~0.9 s/actor to build).
 
 High bits-per-char ⇒ text the LM has never seen (gibberish, binary
 junk) ⇒ the ``perplexity_high`` drop rule.
@@ -25,6 +31,31 @@ from ..functions.vocab import CONTENT, MARKERS, ZH_CHARS
 
 _ALPHA = 0.1
 _TRAIN_SEED = 777
+_NSYM = 64
+
+
+def _byte_code_table() -> np.ndarray:
+    """byte → 6-bit symbol code. Deterministic spec constant:
+    a-z/A-Z → 1..26, 0-9 → 27, space/tab → 28, newline → 29,
+    .,;:!? → 30, other ASCII → 31, bytes ≥128 → 32..63 by (b-128)>>2."""
+    t = np.full(256, 31, dtype=np.uint32)
+    for i in range(26):
+        t[ord("a") + i] = 1 + i
+        t[ord("A") + i] = 1 + i
+    for b in range(ord("0"), ord("9") + 1):
+        t[b] = 27
+    t[ord(" ")] = 28
+    t[ord("\t")] = 28
+    t[ord("\n")] = 29
+    t[ord("\r")] = 29
+    for ch in ".,;:!?":
+        t[ord(ch)] = 30
+    for b in range(128, 256):
+        t[b] = 32 + ((b - 128) >> 2)
+    return t
+
+
+_BYTE_CODE = _byte_code_table()
 
 
 def _train_corpus() -> bytes:
@@ -73,32 +104,28 @@ class PerplexityScorer:
     """
 
     # process-level memo: a worker that constructs several scorers
-    # (resume loops, repeated query calls) builds the 64 MB tables once
+    # (resume loops, repeated query calls) builds the tables once
     _LM_CACHE: tuple | None = None
 
     def __init__(self, cfg: GateConfig = DEFAULT_CONFIG):
         self.cfg = cfg
+        pa.set_cpu_count(1)  # 1-CPU actor: no machine-wide kernel pool
         if PerplexityScorer._LM_CACHE is not None:
             self.logp3, self.logp2 = PerplexityScorer._LM_CACHE
             return
-        data = np.frombuffer(_train_corpus(), dtype=np.uint8)
-        c3 = (
-            data[:-2].astype(np.uint32) << 16
-            | data[1:-1].astype(np.uint32) << 8
-            | data[2:].astype(np.uint32)
-        )
-        c2 = data[:-1].astype(np.uint32) << 8 | data[1:].astype(np.uint32)
-        # Direct-indexed LOG-PROB tables (64 MB + 256 KB per actor,
-        # built once in __init__): the per-batch hot path is then two
-        # gathers and a subtract — no log/divide at scoring time.
-        lut3 = np.zeros(1 << 24, dtype=np.float32)
+        data = _BYTE_CODE[np.frombuffer(_train_corpus(), dtype=np.uint8)]
+        c3 = data[:-2] << 12 | data[1:-1] << 6 | data[2:]
+        c2 = data[:-1] << 6 | data[1:]
+        # Direct-indexed LOG-PROB tables (1 MiB + 16 KiB per actor):
+        # the per-batch hot path is two gathers and a subtract.
+        lut3 = np.zeros(_NSYM**3, dtype=np.float32)
         codes, counts = np.unique(c3, return_counts=True)
         lut3[codes] = counts
         self.logp3 = np.log2(lut3 + np.float32(_ALPHA))
-        lut2 = np.zeros(1 << 16, dtype=np.float32)
+        lut2 = np.zeros(_NSYM**2, dtype=np.float32)
         codes2, counts2 = np.unique(c2, return_counts=True)
         lut2[codes2] = counts2
-        self.logp2 = np.log2(lut2 + np.float32(_ALPHA * 256.0))
+        self.logp2 = np.log2(lut2 + np.float32(_ALPHA * _NSYM))
         PerplexityScorer._LM_CACHE = (self.logp3, self.logp2)
 
     def _bits_per_char(self, texts: list) -> np.ndarray:
@@ -107,31 +134,40 @@ class PerplexityScorer:
         out = np.zeros(len(bufs), dtype=np.float64)
         if lens.sum() == 0:
             return out
-        data = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+        data = _BYTE_CODE[np.frombuffer(b"".join(bufs), dtype=np.uint8)]
         ends = np.cumsum(lens)
         starts = ends - lens
 
-        c3 = (
-            data[:-2].astype(np.uint32) << 16
-            | data[1:-1].astype(np.uint32) << 8
-            | data[2:].astype(np.uint32)
-        )
-        c2 = data[:-1].astype(np.uint32) << 8 | data[1:].astype(np.uint32)
+        c3 = data[:-2] << 12 | data[1:-1] << 6 | data[2:]
+        c2 = data[:-1] << 6 | data[1:]
 
-        logp = self.logp3[c3] - self.logp2[c2[: len(c3)]]  # float32 gathers
+        nb = len(c3)
+        if nb == 0:
+            return out
+        logp = self.logp3[c3] - self.logp2[c2[:nb]]  # float32 gathers
 
         # zero out positions whose trigram crosses a document boundary
-        valid = np.ones(len(c3), dtype=bool)
+        valid = np.ones(nb, dtype=bool)
         for e in ends[:-1]:
-            valid[max(e - 2, 0) : min(e, len(c3))] = False
-        bits = np.where(valid, -logp, 0.0)
-
-        csum = np.concatenate([[0.0], np.cumsum(bits)])
-        vsum = np.concatenate([[0.0], np.cumsum(valid.astype(np.float64))])
-        tri_end = np.minimum(np.maximum(ends - 2, 0), len(c3))
-        tri_start = np.minimum(starts, len(c3))
-        tot = csum[tri_end] - csum[tri_start]
-        cnt = vsum[tri_end] - vsum[tri_start]
+            valid[max(e - 2, 0) : min(e, nb)] = False
+        # float64 BEFORE summation (np.where with a python 0.0 keeps
+        # float32 — its prefix-sum error made bpc depend on which docs
+        # shared the batch, breaking run-to-run determinism), and
+        # PER-SEGMENT reduceat so each doc's sum never touches its
+        # neighbors' values — bitwise identical under any block layout.
+        bits = np.where(valid, -logp, 0.0).astype(np.float64)
+        tri_end = np.minimum(np.maximum(ends - 2, 0), nb)
+        tri_start = np.minimum(starts, nb)
+        bits_ext = np.append(bits, 0.0)
+        vals_ext = np.append(valid.astype(np.float64), 0.0)
+        idx = np.empty(2 * len(bufs), dtype=np.int64)
+        idx[0::2] = tri_start
+        idx[1::2] = tri_end
+        seg = np.add.reduceat(bits_ext, idx)[0::2]
+        cntseg = np.add.reduceat(vals_ext, idx)[0::2]
+        nonempty = tri_end > tri_start
+        tot = np.where(nonempty, seg, 0.0)
+        cnt = np.where(nonempty, cntseg, 0.0)
         np.divide(tot, cnt, out=out, where=cnt > 0)
         return out
 

@@ -255,12 +255,54 @@ def _np_int(arr) -> np.ndarray:
     return arr.to_numpy(zero_copy_only=False).astype(np.int64)
 
 
-def _bigram_line_stats(texts: list, limit: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+def _bigram_line_stats(text: pa.Array, limit: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Bounded per-document repetition stats (Gopher-style): share of
     the most frequent adjacent word pair over the first ``limit``
-    tokens, plus line counts and duplicate-line fraction. The per-row
-    Counter pass is bounded by ``limit`` tokens so per-doc work is O(1)
-    at 100 TB scale; everything else in the stage is vectorized."""
+    tokens, plus line counts and duplicate-line fraction. Vectorized in
+    polars (tokenize → explode → within-row shift → pair groupby max);
+    falls back to a bounded Python loop without polars. Spec semantics
+    (both paths identical): tokens = ``\\s+`` runs; empty text ⇒ all
+    zeros; top-bigram only for docs with ≥4 tokens, denominator
+    ``min(n_tokens, limit) - 1``."""
+    try:
+        import polars as pl
+    except ImportError:
+        return _bigram_line_stats_py(text.to_pylist(), limit)
+
+    s = pl.Series("t", text).fill_null("")
+    n = len(s)
+    nonempty = (s.str.len_bytes() > 0).to_numpy()
+
+    lines = s.str.split("\n")
+    nl = lines.list.len().to_numpy().astype(np.int64)
+    uniq = lines.list.n_unique().to_numpy().astype(np.float64)
+    n_lines = np.where(nonempty, nl, 0).astype(np.int64)
+    dup_frac = np.where(
+        nonempty & (nl > 1), 1.0 - uniq / np.maximum(nl, 1), 0.0
+    )
+
+    toks = s.str.extract_all(r"\S+").list.head(limit)
+    tlen = toks.list.len().to_numpy().astype(np.int64)
+    df = (
+        pl.DataFrame({"row": np.arange(n), "tok": toks})
+        .explode("tok")
+        .drop_nulls("tok")
+        .with_columns(pl.col("tok").shift(-1).over("row").alias("nxt"))
+        .drop_nulls("nxt")
+        .group_by(["row", "tok", "nxt"])
+        .len()
+        .group_by("row")
+        .agg(pl.col("len").max())
+    )
+    top = np.zeros(n, dtype=np.float64)
+    top[df["row"].to_numpy()] = df["len"].to_numpy()
+    top_frac = np.where(tlen >= 4, top / np.maximum(tlen - 1, 1), 0.0)
+    return top_frac, n_lines, dup_frac
+
+
+def _bigram_line_stats_py(texts: list, limit: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Reference (fallback) implementation — the spec the vectorized
+    path must match (see tests/test_rules.py)."""
     n = len(texts)
     top_frac = np.zeros(n, dtype=np.float64)
     n_lines = np.zeros(n, dtype=np.int64)
@@ -298,8 +340,7 @@ def build_context(batch: pa.Table, cfg: GateConfig) -> dict:
     n_chars = _np_int(batch.column("n_chars"))
     symbol_chars = _np_int(pc.count_substring_regex(text, _SYMBOL_RE))
 
-    texts = text.to_pylist()
-    top_frac, n_lines, dup_frac = _bigram_line_stats(texts, cfg.repetition_scan_tokens)
+    top_frac, n_lines, dup_frac = _bigram_line_stats(text, cfg.repetition_scan_tokens)
 
     declared = np.array([d if d is not None else "" for d in declared_raw.to_pylist()])
     detected = np.array(batch.column("detected_lang").to_pylist())
@@ -361,10 +402,14 @@ def apply_scrub(text: pa.Array) -> pa.Array:
 # the fused stage
 # --------------------------------------------------------------------------
 
-def rule_stage_fn(batch: pa.Table, cfg: GateConfig = DEFAULT_CONFIG) -> pa.Table:
-    """map_batches fn: evaluates the whole catalog, appends
-    ``rule_hits``, per-rule ``hit_<code>`` bool columns, ``keep``,
-    ``scrubbed_text`` and ``rule_errors``."""
+def rule_stage_fn(
+    batch: pa.Table, cfg: GateConfig = DEFAULT_CONFIG, with_rule_hits: bool = False
+) -> pa.Table:
+    """map_batches fn: evaluates the whole catalog, appends per-rule
+    ``hit_<code>`` bool columns, ``keep``, ``scrubbed_text`` and
+    ``rule_errors`` (plus the ``rule_hits`` evidence list-of-struct
+    when ``with_rule_hits`` — skipped in the hot path: building the
+    per-row Python dicts costs more than every rule combined)."""
     n = len(batch)
     ctx = build_context(batch, cfg)
 
@@ -382,23 +427,24 @@ def rule_stage_fn(batch: pa.Table, cfg: GateConfig = DEFAULT_CONFIG) -> pa.Table
         drop |= fired[code]
     keep = ~drop
 
-    # rule_hits list<struct> in catalog order
-    sev = {r.code: r.severity for r in CATALOG}
-    hits_col: list[list[dict]] = [[] for _ in range(n)]
-    for rule in CATALOG:
-        f = fired[rule.code]
-        for i in np.nonzero(f)[0]:
-            hits_col[i].append(
-                {"rule": rule.code, "severity": sev[rule.code], "evidence": rule.suggestion}
-            )
-
     scrubbed = apply_scrub(ctx["text"])
 
     out = batch
     for code in RULE_CODES:
         out = out.append_column(f"hit_{code}", pa.array(fired[code]))
     out = out.append_column("keep", pa.array(keep))
-    out = out.append_column("rule_hits", pa.array(hits_col, RULE_HITS_TYPE))
+    if with_rule_hits:
+        # rule_hits list<struct> in catalog order (evidence sink only)
+        sev = {r.code: r.severity for r in CATALOG}
+        hits_col: list[list[dict]] = [[] for _ in range(n)]
+        for rule in CATALOG:
+            f = fired[rule.code]
+            for i in np.nonzero(f)[0]:
+                hits_col[i].append(
+                    {"rule": rule.code, "severity": sev[rule.code],
+                     "evidence": rule.suggestion}
+                )
+        out = out.append_column("rule_hits", pa.array(hits_col, RULE_HITS_TYPE))
     out = out.append_column("scrubbed_text", scrubbed)
     err_str = "; ".join(errors) if errors else None
     out = out.append_column("rule_errors", pa.array([err_str] * n, pa.string()))

@@ -51,12 +51,15 @@ def test_scrubbed_text_byte_identical_for_kept(gate_output):
 
 
 def test_expected_rules_subset_of_fired(gate_output):
+    from rsmetacheck_ray.pipelines.quality_gate import decode_rule_bits
+
     out_dir, labels_path, _ = gate_output
     m = _join_on_url(out_dir, labels_path)
+    flags = decode_rule_bits(m["rule_bits"].to_numpy())
     bad = 0
-    for _, row in m.iterrows():
+    for i, (_, row) in enumerate(m.iterrows()):
         for code in row["expected_rules"]:
-            if not row[f"hit_{code}"]:
+            if not flags[code][i]:
                 bad += 1
     assert bad == 0
 

@@ -55,6 +55,7 @@ SQL_BACKED = [
     "gate_url_flags",
     "gate_content_flags",
     "gate_shape_lang_flags",
+    "host_stats",
     "dedup_exact",
     "dedup_exact_pairs",
     "dedup_embedding_pairs",

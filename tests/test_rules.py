@@ -26,7 +26,7 @@ from rsmetacheck_ray.stages.rules import (
 def gated():
     pages, labels = generate_tables(3000)
     b = PerplexityScorer()(LangIdScorer()(extract_stage(pages)))
-    return rule_stage_fn(b), pages, labels
+    return rule_stage_fn(b, with_rule_hits=True), pages, labels
 
 
 def test_catalog_shape():
@@ -123,3 +123,26 @@ def test_rule_exception_isolation():
 def test_scrub_unit_cases(raw, expected):
     out = apply_scrub(pa.array([raw], pa.string()))
     assert out.to_pylist() == [expected]
+
+
+def test_bigram_stats_vectorized_matches_reference():
+    """The polars fast path must reproduce the Python spec exactly,
+    including newline/multi-space/empty edge cases."""
+    from rsmetacheck_ray.stages.rules import _bigram_line_stats, _bigram_line_stats_py
+
+    texts = [
+        "",
+        "a b a b a b a b",
+        "one two three",             # <4 tokens -> no top_frac
+        "x  y\tz   x y",             # runs of whitespace
+        "l1\nl2\nl1\nl2\nl3",        # duplicate lines
+        "single line no repeat here at all",
+        "w " * 600,                  # exceeds the 512-token scan bound
+        None,
+    ]
+    arr = pa.array(texts, pa.string())
+    tf_v, nl_v, df_v = _bigram_line_stats(arr, 512)
+    tf_p, nl_p, df_p = _bigram_line_stats_py(["" if t is None else t for t in texts], 512)
+    assert np.allclose(tf_v, tf_p, rtol=0, atol=0), (tf_v, tf_p)
+    assert (nl_v == nl_p).all()
+    assert np.allclose(df_v, df_p, rtol=0, atol=0)
