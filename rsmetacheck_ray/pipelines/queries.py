@@ -401,6 +401,9 @@ def registry() -> dict[str, tuple]:
         "top_orders": (rel.top_orders, rel.TOP_ORDERS_SQL),
         "nation_order_stats": (rel.nation_order_stats, rel.NATION_ORDER_SQL),
         "events_hourly": (rel.events_hourly, rel.EVENTS_HOURLY_SQL),
+        "revenue_by_priority": (rel.revenue_by_priority, rel.REVENUE_JOIN_SQL),
+        "sessionize_users": (rel.sessionize_users, rel.SESSIONIZE_SQL),
+        "orders_sample": (rel.orders_systematic_sample, rel.ORDERS_SAMPLE_SQL),
         "events_type_stats": (rel.events_type_stats, rel.EVENTS_TYPE_SQL),
         "lang_source_hist": (rel.lang_source_hist, rel.LANG_SOURCE_SQL),
         "open_orders": (rel.open_orders, rel.OPEN_ORDERS_SQL),

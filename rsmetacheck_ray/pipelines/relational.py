@@ -253,6 +253,135 @@ GROUP BY event_type
 
 
 # ---------------------------------------------------------------------------
+# distributed hash join (the true shuffle join — used when BOTH sides
+# are big; contrast with the broadcast join above for small sides)
+# ---------------------------------------------------------------------------
+
+def revenue_by_priority(sf_dir: str) -> rd.Dataset:
+    """lineitem ⋈ orders on orderkey (Ray Data hash join — both sides
+    shuffle by key), then a tiny groupby on order priority."""
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        disc = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+        )
+        return pa.table(
+            {"l_orderkey": batch.column("l_orderkey"), "rev_cents": _cents(disc)}
+        )
+
+    li = li.map_batches(prep, batch_format="pyarrow")
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderpriority"],
+    )
+    joined = li.join(
+        orders, join_type="inner", num_partitions=8,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+    return joined.groupby("o_orderpriority").aggregate(
+        Sum("rev_cents", alias_name="rev_cents"),
+        Count(alias_name="n_items"),
+    )
+
+
+REVENUE_JOIN_SQL = """
+SELECT o.o_orderpriority,
+  SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT))
+    AS rev_cents,
+  COUNT(*) AS n_items
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# sessionization — per-user windowed aggregate over the event stream
+# (the engine's stateful-window capability; the reference has none,
+# SURVEY §2.8)
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_S = 1800
+
+
+def sessionize_users(sf_dir: str) -> rd.Dataset:
+    """Per-user session stats: events sorted within each user, a new
+    session opens after a >30 min gap. ``groupby(user).map_groups``
+    shuffles by user key once; the window logic is vectorized numpy
+    per group."""
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id"],
+    )
+
+    def per_user(g: pa.Table) -> pa.Table:
+        ts = g.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        ts = ts[order].astype(np.int64)
+        gaps = np.diff(ts) > SESSION_GAP_S * 1_000_000
+        return pa.table(
+            {
+                "user_id": pa.array([g.column("user_id")[0].as_py()], pa.int64()),
+                "n_events": pa.array([len(ts)], pa.int64()),
+                "n_sessions": pa.array([1 + int(gaps.sum())], pa.int64()),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+
+
+SESSIONIZE_SQL = f"""
+WITH ordered AS (
+  SELECT user_id, ts,
+    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+)
+SELECT user_id, COUNT(*) AS n_events,
+  1 + SUM(CASE WHEN prev_ts IS NOT NULL
+                AND ts - prev_ts > INTERVAL {SESSION_GAP_S} SECOND
+           THEN 1 ELSE 0 END) AS n_sessions
+FROM ordered
+GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# deterministic systematic sample (seed-free, driver-reproducible —
+# a random_sample would not be oracle-checkable)
+# ---------------------------------------------------------------------------
+
+def orders_systematic_sample(sf_dir: str, k: int = 10) -> rd.Dataset:
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_totalprice"],
+    )
+
+    def pick(batch: pa.Table) -> pa.Table:
+        keys = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+        mask = pa.array(keys % k == 0)
+        sub = batch.filter(mask)
+        return pa.table(
+            {
+                "o_orderkey": sub.column("o_orderkey"),
+                "total_cents": _cents(sub.column("o_totalprice")),
+            }
+        )
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
+ORDERS_SAMPLE_SQL = """
+SELECT o_orderkey, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS total_cents
+FROM orders WHERE o_orderkey % 10 = 0
+"""
+
+
+# ---------------------------------------------------------------------------
 # documents histogram (the per-rule × per-language histogram shape,
 # detect_pitfalls_main.py:346-351)
 # ---------------------------------------------------------------------------

@@ -28,15 +28,16 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
-# RE2 patterns, applied in order. (?s) = dotall for block removal;
-# (?i) case-insensitive tag names.
+# RE2 patterns. (?s) = dotall for block removal; (?i) case-insensitive
+# tag names. The six boilerplate blocks are removed in ONE alternation
+# pass (RE2 has no backreferences, so each tag pair is spelled out) —
+# each removal pass costs a full scan of every html byte, and at
+# 100 TB the pass count is the extraction budget. Equivalent to the
+# sequential per-tag passes for non-pathological nesting: each branch
+# is lazy, ending at the first matching closer.
 _BLOCK_REMOVALS = [
-    r"(?is)<head\b.*?</head>",
-    r"(?is)<script\b.*?</script>",
-    r"(?is)<style\b.*?</style>",
-    r"(?is)<nav\b.*?</nav>",
-    r"(?is)<header\b.*?</header>",
-    r"(?is)<footer\b.*?</footer>",
+    r"(?is)(?:<head\b.*?</head>|<script\b.*?</script>|<style\b.*?</style>"
+    r"|<nav\b.*?</nav>|<header\b.*?</header>|<footer\b.*?</footer>)",
 ]
 _NEWLINE_TAGS = r"(?i)</(?:p|h[1-6]|li|div|tr|title)>|<br\s*/?>"
 _ANY_TAG = r"(?s)<[^>]*>"

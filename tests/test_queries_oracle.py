@@ -48,6 +48,9 @@ SQL_BACKED = [
     "top_orders",
     "nation_order_stats",
     "events_hourly",
+    "revenue_by_priority",
+    "sessionize_users",
+    "orders_sample",
     "events_type_stats",
     "lang_source_hist",
     "open_orders",
