@@ -28,7 +28,9 @@ sys.path.insert(0, REPO)
 
 DEFAULT_SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 DEFAULT_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-REPLICAS = int(os.environ.get("BENCH_REPLICAS", "40"))
+# 200 replicas of sf0.1 = 1M docs: big enough that the headline
+# number reflects steady-state throughput, not pipeline startup
+REPLICAS = int(os.environ.get("BENCH_REPLICAS", "200"))
 # the scaling run needs enough work that compute dominates the fixed
 # startup (~3-5 s); 800 replicas of sf0.1 = 4M docs ≈ 1 GB of pages
 # (generated in parallel once, cached under /tmp). The default pair is
