@@ -378,6 +378,65 @@ def q_multimodal_meta(sf_dir: str):
     )
 
 
+def q_multimodal_resize(sf_dir: str):
+    ds = _documents(sf_dir, ["doc_id", "text"])
+    decoded = ds.map_batches(mm.attach_payload, batch_format="pyarrow").map_batches(
+        mm.ImageDecodeStub, batch_format="pyarrow", concurrency=(1, 2)
+    )
+    resized = decoded.map_batches(
+        mm.ResizeStub, batch_format="pyarrow", concurrency=(1, 2)
+    )
+    return resized.select_columns(["doc_id", "width", "height", "resized_w", "resized_h"])
+
+
+SQL_MULTIMODAL_RESIZE = """
+WITH dims AS (
+  SELECT doc_id,
+    CAST(strlen(text) % 640 + 16 AS BIGINT) AS width,
+    CAST(strlen(text) % 480 + 16 AS BIGINT) AS height
+  FROM documents
+)
+SELECT doc_id, width, height,
+  CASE WHEN greatest(width, height) > 224
+       THEN width * 224 // greatest(width, height) ELSE width END AS resized_w,
+  CASE WHEN greatest(width, height) > 224
+       THEN height * 224 // greatest(width, height) ELSE height END AS resized_h
+FROM dims
+"""
+
+
+def q_doc_bpe_tokens(sf_dir: str):
+    from ..functions.tokenize import BPE_TOKEN_RE, count_bpe_tokens, count_ws_tokens
+
+    ds = _documents(sf_dir, ["doc_id", "text"])
+
+    def stage(b: pa.Table) -> pa.Table:
+        text = b.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "ws_tokens": count_ws_tokens(text),
+                "bpe_tokens": count_bpe_tokens(text),
+            }
+        )
+
+    return ds.map_batches(stage, batch_format="pyarrow")
+
+
+def _sql_bpe() -> str:
+    from ..functions.tokenize import BPE_TOKEN_RE, WS_TOKEN_RE
+
+    bpe = BPE_TOKEN_RE.replace("'", "''")
+    return f"""
+SELECT doc_id,
+  len(regexp_extract_all(text, '{WS_TOKEN_RE}')) AS ws_tokens,
+  len(regexp_extract_all(text, '{bpe}')) AS bpe_tokens
+FROM documents
+"""
+
+
 SQL_MULTIMODAL = """
 SELECT doc_id,
   CAST(strlen(text) AS BIGINT) AS payload_bytes,
@@ -438,4 +497,7 @@ def registry() -> dict[str, tuple]:
         "knn_ivf": (q_knn_ivf, None),  # approximate by design
         # multimodal plumbing
         "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL),
+        "multimodal_resize": (q_multimodal_resize, SQL_MULTIMODAL_RESIZE),
+        # token counting (whitespace + BPE-style pretokenizer)
+        "doc_bpe_tokens": (q_doc_bpe_tokens, _sql_bpe()),
     }

@@ -72,3 +72,54 @@ class ImageDecodeStub:
         return out.append_column(
             "format", pa.array(["stub"] * len(batch), pa.string())
         )
+
+
+class ResizeStub:
+    """Actor-pool resize stage: (width, height) → dimensions fit into
+    a ``max_side`` box preserving aspect ratio, integer math only
+    (``floor(side * max_side / long_side)``) so the SQL oracle can
+    reproduce it exactly. The pixel work is where a real resampler
+    (PIL/libvips, loaded once per actor) would run."""
+
+    def __init__(self, max_side: int = 224):
+        self.max_side = max_side
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        w = batch.column("width").to_numpy(zero_copy_only=False).astype(np.int64)
+        h = batch.column("height").to_numpy(zero_copy_only=False).astype(np.int64)
+        long_side = np.maximum(np.maximum(w, h), 1)
+        scale_needed = long_side > self.max_side
+        rw = np.where(scale_needed, w * self.max_side // long_side, w)
+        rh = np.where(scale_needed, h * self.max_side // long_side, h)
+        out = batch.append_column("resized_w", pa.array(rw, pa.int64()))
+        return out.append_column("resized_h", pa.array(rh, pa.int64()))
+
+
+class FrameSampleStub:
+    """Actor-pool frame-sampling stage for video payloads: emits one
+    row per sampled frame index (``flat_map`` shape). Frame count is
+    a deterministic stub of the payload size (25 "fps", 1 KB per
+    "second"); a real decoder would probe the container instead."""
+
+    def __init__(self, every_nth: int = 25):
+        self.every_nth = every_nth
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n_bytes = (
+            pc.binary_length(batch.column("payload"))
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        n_frames = np.maximum(n_bytes // 1024, 1) * 25
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        out_id, out_frame = [], []
+        for i, nf in enumerate(n_frames):
+            frames = range(0, int(nf), self.every_nth)
+            out_id.extend([int(ids[i])] * len(frames))
+            out_frame.extend(frames)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "frame_index": pa.array(out_frame, pa.int64()),
+            }
+        )

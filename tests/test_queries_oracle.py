@@ -64,6 +64,8 @@ SQL_BACKED = [
     "dedup_embedding_pairs",
     "knn_cosine",
     "multimodal_meta",
+    "multimodal_resize",
+    "doc_bpe_tokens",
 ]
 
 
