@@ -120,3 +120,20 @@ def test_resume_skips_completed_and_is_identical(ray_session, small_corpus, tmp_
     a = pq.read_table(os.path.join(full_dir, "docs")).to_pandas().sort_values("url").reset_index(drop=True)
     b = pq.read_table(os.path.join(resumed_dir, "docs")).to_pandas().sort_values("url").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_output_independent_of_block_layout(ray_session, small_corpus):
+    """SURVEY §5 item (c): the gate's output must be identical under
+    different parallelism/block layouts (here: default blocks vs a
+    13-way repartition of the same input)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from rsmetacheck_ray.pipelines.quality_gate import build_gate
+
+    pages_dir, _ = small_corpus
+    a = build_gate(rd.read_parquet(pages_dir)).to_pandas()
+    b = build_gate(rd.read_parquet(pages_dir).repartition(13)).to_pandas()
+    a = a.sort_values("url").reset_index(drop=True)
+    b = b.sort_values("url").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
