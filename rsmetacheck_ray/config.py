@@ -10,7 +10,7 @@ SURVEY §7.4's "freeze the thresholds exactly once".
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 
 @dataclass(frozen=True)

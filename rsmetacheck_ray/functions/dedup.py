@@ -31,7 +31,7 @@ import pyarrow as pa
 
 import ray
 import ray.data as rd
-from ray.data.aggregate import AggregateFn, Count, Min
+from ray.data.aggregate import Count, Min
 
 from .hashing import hash_bytes_u64, splitmix64_np
 

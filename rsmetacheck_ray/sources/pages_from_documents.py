@@ -25,7 +25,6 @@ Synthesis spec (pure function of ``doc_id``):
 
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 

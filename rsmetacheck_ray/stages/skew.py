@@ -17,7 +17,6 @@ shuffled are O(#distinct hosts × S), independent of row count.
 
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 

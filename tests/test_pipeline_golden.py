@@ -6,7 +6,6 @@ text, and metrics consistency."""
 from __future__ import annotations
 
 import os
-import shutil
 
 import pyarrow.parquet as pq
 import pytest
