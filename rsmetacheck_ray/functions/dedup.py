@@ -272,6 +272,13 @@ def embedding_near_dup_pairs(
 
     def stage(batch: pa.Table) -> pa.Table:
         bids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+        if len(bids) == 0:
+            return pa.table(
+                {
+                    "vec_id_a": pa.array([], pa.int64()),
+                    "vec_id_b": pa.array([], pa.int64()),
+                }
+            )
         bm = np.stack(
             [np.asarray(e, dtype=np.float64) for e in batch.column("embedding").to_pylist()]
         )

@@ -29,6 +29,8 @@ def _unit(m: np.ndarray) -> np.ndarray:
 
 def _batch_matrix(batch: pa.Table, id_col: str) -> tuple[np.ndarray, np.ndarray]:
     ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+    if len(ids) == 0:  # empty blocks occur after splits/filters
+        return ids, np.zeros((0, 1), dtype=np.float64)
     mat = np.stack(
         [np.asarray(e, dtype=np.float64) for e in batch.column("embedding").to_pylist()]
     )
@@ -86,7 +88,10 @@ def knn_bruteforce(
     def local(batch: pa.Table) -> pa.Table:
         ids, mat = _batch_matrix(batch, id_col)
         qids, qunit = ray.get(qref)
-        cos = qunit @ _unit(mat).T
+        if len(ids) == 0:
+            cos = np.zeros((len(qids), 0))
+        else:
+            cos = qunit @ _unit(mat).T
         return _topk_table(qids, ids, cos, k)
 
     local_ds = ds.map_batches(local, batch_format="pyarrow")
@@ -135,6 +140,14 @@ class IVFSearcher:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, mat = _batch_matrix(batch, self.id_col)
+        if len(ids) == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "cos": pa.array([], pa.float64()),
+                }
+            )
         unit = _unit(mat)
         assign = (unit @ self.cent.T).argmax(axis=1)
         tables = []

@@ -155,11 +155,17 @@ class PerplexityScorer:
         # shared the batch, breaking run-to-run determinism), and
         # PER-SEGMENT reduceat so each doc's sum never touches its
         # neighbors' values — bitwise identical under any block layout.
-        bits = np.where(valid, -logp, 0.0).astype(np.float64)
+        # preallocated (nb+1) buffers: np.append would COPY the whole
+        # multi-MB array (measured 0.3 s per 3k-doc batch); the +1
+        # sentinel keeps reduceat's end index in range
+        bits_ext = np.empty(nb + 1, dtype=np.float64)
+        bits_ext[:nb] = np.where(valid, -logp, np.float32(0.0))
+        bits_ext[nb] = 0.0
+        vals_ext = np.empty(nb + 1, dtype=np.float64)
+        vals_ext[:nb] = valid
+        vals_ext[nb] = 0.0
         tri_end = np.minimum(np.maximum(ends - 2, 0), nb)
         tri_start = np.minimum(starts, nb)
-        bits_ext = np.append(bits, 0.0)
-        vals_ext = np.append(valid.astype(np.float64), 0.0)
         idx = np.empty(2 * len(bufs), dtype=np.int64)
         idx[0::2] = tri_start
         idx[1::2] = tri_end

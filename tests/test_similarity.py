@@ -90,3 +90,15 @@ def test_kmeans_deterministic():
     c1 = sim.deterministic_kmeans(x, 4)
     c2 = sim.deterministic_kmeans(x, 4)
     assert np.array_equal(c1, c2)
+
+
+def test_knn_handles_empty_blocks(ray_session):
+    """Splits/filters can produce empty blocks; stages must pass them
+    through rather than crash np.stack."""
+    import ray.data as rd
+
+    t, mat = _corpus(n=20)
+    q = mat[:2].astype(np.float32).astype(np.float64)
+    ds = rd.from_arrow(t).repartition(40)  # more blocks than rows
+    out = sim.knn_bruteforce(ds, q, np.arange(2), k=5).to_pandas()
+    assert len(out) == 10
