@@ -153,12 +153,23 @@ def main() -> None:
     pages_dir, n_docs = prepare_pages(args.sf_dir, REPLICAS)
     headline_s = run_headline(pages_dir, "/tmp/rsmc_bench_out")
 
+    # second corpus WITH real html payloads: the text-column pages above
+    # never exercise the extraction stage (null html short-circuits it);
+    # this run measures the full html -> text -> gate path
+    from rsmetacheck_ray.datagen import corpus_dir
+
+    html_pages, _ = corpus_dir(50_000, n_files=32)
+    html_s = run_headline(html_pages, "/tmp/rsmc_bench_html_out")
+
     result = {
         "metric": "quality_gate_e2e",
         "value": round(headline_s, 3),
         "unit": "sec",
         "docs": n_docs,
         "docs_per_sec": round(n_docs / headline_s, 1),
+        "html_docs": 50_000,
+        "html_gate_sec": round(html_s, 3),
+        "html_docs_per_sec": round(50_000 / html_s, 1),
         "queries": {},
         "sf": args.sf_dir,
         "num_cpus": args.num_cpus,

@@ -63,9 +63,13 @@ def extract_text_array(html: pa.Array) -> pa.Array:
         s = pc.replace_substring(s, pattern=ent, replacement=repl)
     # whitespace normalize: collapse horizontal runs, trim line edges,
     # collapse newline runs, trim document edges
-    s = pc.replace_substring_regex(s, pattern=r"[ \t\r]+", replacement=" ")
+    # match only runs that actually change (≥2 chars, or a lone \t/\r):
+    # a plain `[ \t\r]+` also matches every single space, making RE2
+    # rewrite the whole column even when output == input (measured as
+    # the single most expensive extraction pass)
+    s = pc.replace_substring_regex(s, pattern=r"[ \t\r]{2,}|[\t\r]", replacement=" ")
     s = pc.replace_substring_regex(s, pattern=r"(?m)^ +| +$", replacement="")
-    s = pc.replace_substring_regex(s, pattern=r"\n+", replacement="\n")
+    s = pc.replace_substring_regex(s, pattern=r"\n{2,}", replacement="\n")
     s = pc.replace_substring_regex(s, pattern=r"^\n|\n$", replacement="")
     return s
 

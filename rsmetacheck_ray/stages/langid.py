@@ -50,6 +50,18 @@ class LangIdScorer:
         # threads contend (measured 20-30x UDF inflation at 32 CPUs)
         pa.set_cpu_count(1)
 
+    def _marker_hits(self, text: pa.Array, n: int) -> np.ndarray:
+        """(n_langs, n) exact marker counts — one RE2 pass per language.
+        (A single-scan union + per-word attribution was tried and is
+        SLOWER on marker-dense text: ~1 match per 3 words makes the
+        explode/groupby attribution cost exceed three extra scans.)"""
+        hits = np.zeros((len(self.patterns), n), dtype=np.int64)
+        for k, lang in enumerate(self.patterns):
+            hits[k] = pc.fill_null(
+                pc.count_substring_regex(text, self.patterns[lang]), 0
+            ).to_numpy(zero_copy_only=False)
+        return hits
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         text = batch.column("extracted_text")
         if isinstance(text, pa.ChunkedArray):
@@ -64,16 +76,21 @@ class LangIdScorer:
         chr_safe = np.maximum(n_chars, 1.0)
 
         langs = list(self.patterns)
-        hits_matrix = np.zeros((len(langs), n), dtype=np.int64)
+        hits_matrix = self._marker_hits(text, n)
         scores = np.zeros((len(langs) + 1, n), dtype=np.float64)
-        for k, lang in enumerate(langs):
-            hits_matrix[k] = pc.count_substring_regex(text, self.patterns[lang]).to_numpy(
+        for k in range(len(langs)):
+            scores[k] = hits_matrix[k] / tok_safe
+        # CJK pass only when any row contains non-ASCII at all (byte
+        # length != codepoint length) — pure-ASCII batches skip the scan
+        n_bytes = pc.binary_length(text).to_numpy(zero_copy_only=False)
+        if (n_bytes != n_chars.astype(np.int64)).any():
+            cjk = pc.count_substring_regex(text, _CJK_PATTERN).to_numpy(
                 zero_copy_only=False
             )
-            scores[k] = hits_matrix[k] / tok_safe
-        cjk = pc.count_substring_regex(text, _CJK_PATTERN).to_numpy(zero_copy_only=False)
-        zh_ratio = cjk / chr_safe
-        scores[len(langs)] = np.where(zh_ratio >= self.cfg.zh_char_ratio_min, zh_ratio, 0.0)
+            zh_ratio = cjk / chr_safe
+            scores[len(langs)] = np.where(
+                zh_ratio >= self.cfg.zh_char_ratio_min, zh_ratio, 0.0
+            )
 
         lang_names = np.array(langs + ["zh"])
         best = scores.argmax(axis=0)

@@ -63,3 +63,31 @@ def test_stopword_basis_falls_back_to_declared():
     assert out.column("detected_lang").to_pylist() == ["und"]
     assert out.column("stopword_lang").to_pylist() == ["en"]
     assert out.column("stopword_hits").to_pylist() == [0]
+
+
+def test_union_pass_matches_per_language_counts():
+    """The single-scan polars path must reproduce the per-language
+    RE2 pass counts exactly (marker sets are disjoint)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from rsmetacheck_ray.stages.langid import LangIdScorer
+
+    sc = LangIdScorer()
+    texts = pa.array([
+        "the system and the value was here",
+        "les donnees est dans la chaine pour toujours",
+        "der wert und die zeile ist nicht leer",
+        "no markers whatsoever in sight",
+        "",
+        None,
+        "the les der los mixed languages with aussi and auch",
+    ], pa.string())
+    fast = sc._marker_hits(texts, len(texts))
+    slow = np.zeros_like(fast)
+    for k, lang in enumerate(sc.patterns):
+        slow[k] = pc.count_substring_regex(texts, sc.patterns[lang]).fill_null(0).to_numpy(
+            zero_copy_only=False
+        )
+    assert (fast == slow).all(), (fast, slow)
