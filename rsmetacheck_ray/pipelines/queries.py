@@ -286,6 +286,55 @@ FROM documents
 """
 
 
+def q_doc_quality_scores(sf_dir: str):
+    """Per-document quality scores (length / symbol / stopword ratios)
+    — the Gopher/C4-style scoring surface as explicit float columns.
+    Every ratio is ONE division of integer counts, so DuckDB reproduces
+    the doubles bit-for-bit."""
+    ds = _documents(sf_dir, ["doc_id", "text"])
+
+    def stage(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        text = b.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        n_tokens = pc.cast(pc.count_substring_regex(text, _TOKEN_RE), pa.int64()).to_numpy(zero_copy_only=False)
+        n_chars = pc.cast(pc.utf8_length(text), pa.int64()).to_numpy(zero_copy_only=False)
+        symbols = pc.cast(pc.count_substring_regex(text, _SYMBOL_RE), pa.int64()).to_numpy(zero_copy_only=False)
+        markers = pc.cast(pc.count_substring_regex(text, _EN_MARKER_RE), pa.int64()).to_numpy(zero_copy_only=False)
+        tok_safe = np.maximum(n_tokens, 1).astype(np.float64)
+        chr_safe = np.maximum(n_chars, 1).astype(np.float64)
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "n_tokens": pa.array(n_tokens, pa.int64()),
+                "symbol_ratio": pa.array(symbols / chr_safe, pa.float64()),
+                "stopword_ratio": pa.array(markers / tok_safe, pa.float64()),
+                "avg_token_chars": pa.array(n_chars / tok_safe, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(stage, batch_format="pyarrow")
+
+
+SQL_DOC_QUALITY = f"""
+WITH c AS (
+  SELECT doc_id,
+    len(regexp_extract_all(text, '{_TOKEN_RE}')) AS n_tokens,
+    length(text) AS n_chars,
+    len(regexp_extract_all(text, '{_SYMBOL_RE}')) AS symbols,
+    len(regexp_extract_all(text, '{_EN_MARKER_RE}')) AS markers
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+  CAST(symbols AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE) AS symbol_ratio,
+  CAST(markers AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE) AS stopword_ratio,
+  CAST(n_chars AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE) AS avg_token_chars
+FROM c
+"""
+
+
 def q_dedup_exact(sf_dir: str):
     return dd.exact_dedup_groups(_dup_corpus(sf_dir))
 
@@ -468,6 +517,7 @@ def registry() -> dict[str, tuple]:
         "open_orders": (rel.open_orders, rel.OPEN_ORDERS_SQL),
         # text analysis
         "doc_stats": (q_doc_stats, SQL_DOC_STATS),
+        "doc_quality_scores": (q_doc_quality_scores, SQL_DOC_QUALITY),
         # the quality gate (rule catalog), differential vs SQL.
         # NB: plain .replace, not str.format — the embedded regexes
         # contain literal braces ({2,}, \d{1,2}) that format would eat.

@@ -55,6 +55,7 @@ SQL_BACKED = [
     "lang_source_hist",
     "open_orders",
     "doc_stats",
+    "doc_quality_scores",
     "gate_url_flags",
     "gate_content_flags",
     "gate_shape_lang_flags",
