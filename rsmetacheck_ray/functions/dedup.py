@@ -296,3 +296,94 @@ def embedding_near_dup_pairs(
         )
 
     return ds.map_batches(stage, batch_format="pyarrow")
+
+
+def embedding_lsh_pairs(
+    ds: rd.Dataset,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    n_planes: int = 12,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> rd.Dataset:
+    """The SCALE path for embedding near-dup: random-hyperplane LSH.
+
+    Each of ``n_tables`` hash tables projects the unit vector onto
+    ``n_planes`` deterministic Gaussian hyperplanes (seeded splitmix →
+    Box-Muller, dimension read from the first row); the sign bits form
+    the bucket key. Near-parallel vectors collide in ≥1 table with
+    high probability; only (id, vector) rows shuffle into buckets and
+    exact double-precision cosine verifies candidates within a bucket
+    — no O(n²) all-pairs pass, no driver-side broadcast of the corpus.
+    Recall is tunable via (n_planes, n_tables); see
+    tests/test_dedup.py::test_embedding_lsh_recall_vs_bruteforce.
+    """
+    first = ds.take(1)[0]
+    dim = len(first["embedding"])
+    from .hashing import splitmix64_np
+
+    raw = splitmix64_np(
+        np.arange(2 * n_tables * n_planes * dim, dtype=np.uint64)
+        ^ np.uint64(seed * 0x9E3779B97F4A7C15 & ((1 << 64) - 1))
+    )
+    u = (raw.astype(np.float64) + 0.5) / 2.0**64
+    u1, u2 = u[::2], u[1::2]
+    gauss = np.sqrt(-2.0 * np.log(u1)) * np.cos(2.0 * np.pi * u2)
+    planes = gauss.reshape(n_tables, n_planes, dim)
+
+    def bucket_stage(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+        if len(ids) == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "bucket": pa.array([], pa.int64()),
+                    "embedding": pa.array([], pa.list_(pa.float64())),
+                }
+            )
+        mat = np.stack(
+            [np.asarray(e, dtype=np.float64) for e in batch.column("embedding").to_pylist()]
+        )
+        unit = mat / np.maximum(np.linalg.norm(mat, axis=1), 1e-300)[:, None]
+        out_id, out_bucket, out_vec = [], [], []
+        pw = 1 << np.arange(n_planes, dtype=np.int64)
+        for t in range(n_tables):
+            signs = (unit @ planes[t].T) > 0
+            key = (signs.astype(np.int64) * pw).sum(axis=1) + (t << n_planes)
+            out_id.extend(ids.tolist())
+            out_bucket.extend(key.tolist())
+            out_vec.extend(unit.tolist())
+        return pa.table(
+            {
+                id_col: pa.array(out_id, pa.int64()),
+                "bucket": pa.array(out_bucket, pa.int64()),
+                "embedding": pa.array(out_vec, pa.list_(pa.float64())),
+            }
+        )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = np.asarray(group.column(id_col).to_pylist(), dtype=np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        unit = np.stack(
+            [np.asarray(e, dtype=np.float64) for e in group.column("embedding").to_pylist()]
+        )[order]
+        cos = unit @ unit.T
+        ai, bj = np.nonzero(cos >= threshold)
+        mask = ids[ai] < ids[bj]
+        return pa.table(
+            {
+                "vec_id_a": pa.array(ids[ai][mask], pa.int64()),
+                "vec_id_b": pa.array(ids[bj][mask], pa.int64()),
+            }
+        )
+
+    pairs = (
+        ds.map_batches(bucket_stage, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+    )
+    # a pair can collide in several tables — dedup on the pair key
+    return pairs.groupby(["vec_id_a", "vec_id_b"]).map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    )

@@ -373,6 +373,30 @@ def q_dedup_embedding_pairs(sf_dir: str):
     return dd.embedding_near_dup_pairs(ds, threshold=0.45)
 
 
+def q_dedup_embedding_lsh(sf_dir: str):
+    """Scale-path variant (random-hyperplane buckets, no broadcast);
+    approximate by design → rows-only check + recall test in pytest.
+    Runs at a true near-dup threshold over a corpus with planted
+    duplicate vectors (vec_id+1e6 copies of every 10th vector) — LSH
+    recall at weak thresholds (cos 0.45 ≈ 63°) is near zero by
+    construction; its regime is near-parallel vectors."""
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+    def copies(b: pa.Table) -> pa.Table:
+        ids = b.column("vec_id").to_numpy(zero_copy_only=False)
+        sub = b.filter(pa.array(ids % 10 == 0))
+        return pa.table(
+            {
+                "vec_id": pc.add(sub.column("vec_id"), 1_000_000),
+                "embedding": sub.column("embedding"),
+                "label": sub.column("label"),
+            }
+        )
+
+    corpus = ds.union(ds.map_batches(copies, batch_format="pyarrow"))
+    return dd.embedding_lsh_pairs(corpus, threshold=0.9)
+
+
 SQL_DEDUP_EMBEDDING = """
 SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
@@ -537,6 +561,7 @@ def registry() -> dict[str, tuple]:
         "dedup_minhash_pairs": (q_dedup_minhash_pairs, None),  # sketch
         "dedup_simhash": (q_dedup_simhash, None),  # sketch
         "dedup_embedding_pairs": (q_dedup_embedding_pairs, SQL_DEDUP_EMBEDDING),
+        "dedup_embedding_lsh": (q_dedup_embedding_lsh, None),  # approximate
         # skew: salted two-phase host aggregate
         "host_stats": (
             q_host_stats,

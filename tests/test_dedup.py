@@ -116,3 +116,29 @@ def test_embedding_near_dup_pairs(ray_session):
     out = dd.embedding_near_dup_pairs(rd.from_arrow(t), threshold=0.95).to_pandas()
     pairs = set(zip(out["vec_id_a"], out["vec_id_b"]))
     assert (3, 5) in pairs
+
+
+def test_embedding_lsh_recall_vs_bruteforce(ray_session):
+    """The LSH scale path must find most of the brute-force pairs and
+    report no false positives (candidates are exact-verified)."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(120, 24)).astype(np.float32)
+    for i in range(10):  # planted near-dups
+        base[100 + i] = base[i] + 0.05 * rng.normal(size=24).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(120), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in base],
+                                  pa.list_(pa.float32())),
+        }
+    )
+    ds = rd.from_arrow(t)
+    exact = dd.embedding_near_dup_pairs(ds, threshold=0.9).to_pandas()
+    lsh = dd.embedding_lsh_pairs(ds, threshold=0.9).to_pandas()
+    e = set(zip(exact["vec_id_a"], exact["vec_id_b"]))
+    l = set(zip(lsh["vec_id_a"], lsh["vec_id_b"]))
+    assert l <= e  # exact verification -> no false positives
+    assert len(e) >= 10
+    assert len(l & e) / len(e) >= 0.8, (len(l), len(e))
