@@ -39,7 +39,7 @@ from ..config import DEFAULT_CONFIG, GateConfig
 from ..stages.extract import extract_stage
 from ..stages.langid import LangIdScorer
 from ..stages.perplexity import PerplexityScorer
-from ..stages.rules import RULE_CODES, rule_stage_fn
+from ..stages.rules import CATALOG, RULE_CODES, rule_stage_fn
 from ..state.manifest import Manifest
 
 # columns carried into the gated output (decision columns are tiny;
@@ -211,6 +211,37 @@ def build_gate(
         zero_copy_batch=True,
     )
     return ds
+
+
+def evidence_view(out_docs_dir: str) -> rd.Dataset:
+    """Per-(document, fired-rule) evidence rows — the relational recast
+    of the reference's per-document JSON-LD assessment files
+    (``utils/json_ld_utils.py:447-514``: one CheckResult per fired rule
+    with checkId/category/evidence/suggestion). Decodes the written
+    ``rule_bits`` into long format; only flagged docs emit rows."""
+    meta = {r.code: (r.severity, r.category, r.suggestion) for r in CATALOG}
+
+    def explode(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        bits = batch.column("rule_bits").to_numpy(zero_copy_only=False)
+        urls = batch.column("url").to_pylist()
+        out = {"url": [], "rule": [], "severity": [], "category": [], "suggestion": []}
+        for k, code in enumerate(RULE_CODES):
+            hit_rows = np.nonzero((bits >> k) & 1)[0]
+            sev, cat, sug = meta[code]
+            for i in hit_rows:
+                out["url"].append(urls[i])
+                out["rule"].append(code)
+                out["severity"].append(sev)
+                out["category"].append(cat)
+                out["suggestion"].append(sug)
+        return pa.table(
+            {k: pa.array(v, pa.string()) for k, v in out.items()}
+        )
+
+    ds = rd.read_parquet(out_docs_dir, columns=["url", "rule_bits"])
+    return ds.map_batches(explode, batch_format="pyarrow")
 
 
 def kept_view(out_docs_dir: str) -> rd.Dataset:

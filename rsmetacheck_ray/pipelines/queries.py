@@ -536,6 +536,9 @@ def registry() -> dict[str, tuple]:
         "revenue_by_priority": (rel.revenue_by_priority, rel.REVENUE_JOIN_SQL),
         "sessionize_users": (rel.sessionize_users, rel.SESSIONIZE_SQL),
         "orders_sample": (rel.orders_systematic_sample, rel.ORDERS_SAMPLE_SQL),
+        "distinct_user_event_types": (
+            rel.distinct_user_event_types, rel.DISTINCT_SQL,
+        ),
         "events_type_stats": (rel.events_type_stats, rel.EVENTS_TYPE_SQL),
         "lang_source_hist": (rel.lang_source_hist, rel.LANG_SOURCE_SQL),
         "open_orders": (rel.open_orders, rel.OPEN_ORDERS_SQL),

@@ -413,3 +413,21 @@ def open_orders(sf_dir: str) -> rd.Dataset:
 OPEN_ORDERS_SQL = """
 SELECT o_orderkey, o_custkey FROM orders WHERE o_orderstatus = 'O'
 """
+
+
+# ---------------------------------------------------------------------------
+# distinct (set op) — groupby-based so the distinct runs distributed;
+# Dataset.unique() would materialize the values on the driver
+# ---------------------------------------------------------------------------
+
+def distinct_user_event_types(sf_dir: str) -> rd.Dataset:
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "event_type"]
+    )
+    agg = ds.groupby(["user_id", "event_type"]).aggregate(Count(alias_name="_n"))
+    return agg.select_columns(["user_id", "event_type"])
+
+
+DISTINCT_SQL = """
+SELECT DISTINCT user_id, event_type FROM events
+"""

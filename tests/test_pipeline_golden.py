@@ -136,3 +136,24 @@ def test_output_independent_of_block_layout(ray_session, small_corpus):
     a = a.sort_values("url").reset_index(drop=True)
     b = b.sort_values("url").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_kept_and_evidence_views(gate_output):
+    """kept_view (predicate-pushdown read) and evidence_view (the
+    per-(doc, rule) long-format recast of the reference's JSON-LD
+    sink) must agree with the decision columns."""
+    from rsmetacheck_ray.pipelines.quality_gate import evidence_view, kept_view
+
+    out_dir, labels_path, metrics = gate_output
+    docs = os.path.join(out_dir, "docs")
+    kept = kept_view(docs).to_pandas()
+    assert len(kept) == metrics["kept"]
+    assert kept["scrubbed_text"].notna().all()
+
+    ev = evidence_view(docs).to_pandas()
+    # per-rule totals match the metrics manifest
+    counts = ev.groupby("rule").size().to_dict()
+    for code, rec in metrics["rules"].items():
+        assert counts.get(code, 0) == rec["count"], code
+    assert set(ev["severity"]) <= {"drop", "flag"}
+    assert (ev["suggestion"].str.len() > 0).all()

@@ -51,6 +51,7 @@ SQL_BACKED = [
     "revenue_by_priority",
     "sessionize_users",
     "orders_sample",
+    "distinct_user_event_types",
     "events_type_stats",
     "lang_source_hist",
     "open_orders",
