@@ -88,6 +88,13 @@ class _RuleStage:
             cols = ["doc_id"] + cols
         result = out.select(cols)
         result = result.append_column("rule_bits", pa.array(bits, pa.int64()))
+        # dedup key emitted inside the gate pass (SURVEY §2.7): exact
+        # dedup downstream is groupby(content_hash) over this tiny
+        # column — the text never needs re-reading or re-hashing
+        from ..functions.hashing import hash_str_array_u64
+
+        chash = hash_str_array_u64(scrubbed.to_pylist()).astype(np.int64)
+        result = result.append_column("content_hash", pa.array(chash, pa.int64()))
         return result.append_column("scrubbed_text", scrubbed)
 
 

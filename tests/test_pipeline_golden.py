@@ -157,3 +157,18 @@ def test_kept_and_evidence_views(gate_output):
         assert counts.get(code, 0) == rec["count"], code
     assert set(ev["severity"]) <= {"drop", "flag"}
     assert (ev["suggestion"].str.len() > 0).all()
+
+
+def test_gate_emits_dedup_keys(gate_output):
+    """The gate pass emits a content_hash dedup key per doc (SURVEY
+    §2.7): kept duplicate-family docs sharing the same text must share
+    the key; distinct clean docs must not collide."""
+    out_dir, labels_path, _ = gate_output
+    m = _join_on_url(out_dir, labels_path)
+    kept = m[m["keep"]]
+    dup = kept[kept["family"] == "duplicate"]
+    assert len(dup) > 1
+    # duplicates are drawn from 10 canonical templates -> few hashes
+    assert dup.groupby("expected_scrubbed_text")["content_hash"].nunique().max() == 1
+    clean = kept[kept["family"] == "clean"]
+    assert clean["content_hash"].nunique() == len(clean)
