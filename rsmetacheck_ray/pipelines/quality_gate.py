@@ -2,15 +2,22 @@
 ``detect_all_pitfalls`` lifecycle (``detect_pitfalls_main.py:313-409``,
 see SURVEY §3 "New-engine lifecycle"):
 
-    read_parquet → extract (stateless map_batches, drops the wide html
-    column) → langid actor pool → perplexity actor pool → fused rule
-    catalog + scrub (stateless) → partitioned parquet + lineage +
-    metrics manifest.
+    read_parquet → [extract → langid → perplexity → rule catalog +
+    scrub, FUSED into one map_batches operator] → partitioned parquet
+    + lineage + metrics manifest.
+
+The scoring chain defaults to a fused TASK stage (scorer state cached
+once per worker process; read → gate → write fuse into a single
+operator with no intermediate object-store hops); an ActorPoolStrategy
+layout for the same stage — or one pool per scorer — is selected with
+``build_gate(compute="actors")`` / ``fused=False`` for heavy models.
 
 Scale design:
  - zero-copy Arrow batches end-to-end (``batch_format="pyarrow"``);
- - the binary ``html`` payload never travels past the first stage;
- - actor pools sized by config, models loaded once per actor;
+ - the binary ``html`` payload never travels past the extract step
+   (and is projected away inside the fused stage);
+ - scorer state (LM tables, compiled patterns) loaded once per
+   worker/actor;
  - NO full materialization anywhere: each partition streams from read
    to write with backpressure;
  - resume-by-partition: the input fragment list is split into K
