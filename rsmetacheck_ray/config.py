@@ -32,6 +32,12 @@ class GateConfig:
     # --- language ID ---
     langid_min_conf: float = 0.08        # marker-density floor to call a language
     zh_char_ratio_min: float = 0.25      # CJK-char share to call zh
+    # scan bounds: language ID and LM scoring read only a document
+    # PREFIX so per-doc scoring work is O(bounded) at 100 KB-doc scale
+    # (density estimates converge long before 2 KB); extraction and
+    # scrub remain full-document by necessity
+    langid_scan_chars: int = 2048
+    ppl_scan_chars: int = 4096
 
     # --- perplexity gate ---
     max_bits_per_char: float = 5.0       # byte-trigram LM; calibrated: keep-rows ≤2.6, gibberish ≥8.5

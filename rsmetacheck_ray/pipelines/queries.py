@@ -64,20 +64,27 @@ _EN_MARKER_RE = r"\b(?:the|and|was|that|with|this|from|have)\b"
 _SYMBOL_RE = r"[^\p{L}\p{N}\s]"
 _TOKEN_RE = r"\S+"
 
-# SQL fragments shared by the gate oracles (over the pages CTE)
+# SQL fragments shared by the gate oracles (over the pages CTE).
+# Language detection mirrors the engine's SCAN-PREFIX bound: marker
+# hits and density denominators are computed over substr(text,1,2048),
+# exactly like stages/langid.py's utf8_slice_codeunits window.
+_LANGID_SCAN = 2048
 _FEAT_SQL = f"""
 feat AS (
   SELECT doc_id, url, text, lang, warc_ts,
     len(regexp_extract_all(text, '{_TOKEN_RE}')) AS n_tokens,
     length(text) AS n_chars,
-    len(regexp_extract_all(text, '{_EN_MARKER_RE}')) AS en_hits,
+    len(regexp_extract_all(substr(text, 1, {_LANGID_SCAN}), '{_TOKEN_RE}'))
+      AS n_tokens_scan,
+    len(regexp_extract_all(substr(text, 1, {_LANGID_SCAN}), '{_EN_MARKER_RE}'))
+      AS en_hits,
     len(regexp_extract_all(text, '{_SYMBOL_RE}')) AS symbol_chars
   FROM pages
 ),
 det AS (
   SELECT *,
     CASE WHEN n_tokens > 0
-           AND CAST(en_hits AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE) >= 0.08
+           AND CAST(en_hits AS DOUBLE) / CAST(greatest(n_tokens_scan, 1) AS DOUBLE) >= 0.08
          THEN 'en' ELSE 'und' END AS detected_lang
   FROM feat
 )
@@ -228,11 +235,11 @@ SELECT doc_id, n_tokens, n_chars, detected_lang,
     AS hit_symbol_ratio_high,
   (CASE
      WHEN detected_lang = 'en' THEN
-       n_tokens >= 8 AND CAST(en_hits AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE) < 0.05
+       n_tokens >= 8 AND CAST(en_hits AS DOUBLE) / CAST(greatest(n_tokens_scan, 1) AS DOUBLE) < 0.05
      WHEN detected_lang = 'und' AND lang IN ('en','fr','es','de') THEN
        n_tokens >= 8 AND
        CAST(CASE WHEN lang = 'en' THEN en_hits ELSE 0 END AS DOUBLE)
-         / CAST(greatest(n_tokens, 1) AS DOUBLE) < 0.05
+         / CAST(greatest(n_tokens_scan, 1) AS DOUBLE) < 0.05
      ELSE FALSE
    END) AS hit_stopword_ratio_low,
   (lang IN ('en','fr','es','de','zh') AND detected_lang IN ('en','fr','es','de','zh')

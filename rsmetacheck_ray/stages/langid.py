@@ -73,21 +73,31 @@ class LangIdScorer:
         ).astype(np.float64)
         n_chars = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.float64)
         tok_safe = np.maximum(n_tokens, 1.0)
-        chr_safe = np.maximum(n_chars, 1.0)
+
+        # all detection scans read only a bounded document PREFIX —
+        # per-doc cost is O(langid_scan_chars) however big the page is;
+        # densities are computed against the PREFIX token/char counts
+        scan = pc.utf8_slice_codeunits(text, 0, self.cfg.langid_scan_chars)
+        scan_tokens = pc.count_substring_regex(scan, _TOKEN_PATTERN).to_numpy(
+            zero_copy_only=False
+        ).astype(np.float64)
+        scan_chars = pc.utf8_length(scan).to_numpy(zero_copy_only=False).astype(np.float64)
+        scan_tok_safe = np.maximum(scan_tokens, 1.0)
+        scan_chr_safe = np.maximum(scan_chars, 1.0)
 
         langs = list(self.patterns)
-        hits_matrix = self._marker_hits(text, n)
+        hits_matrix = self._marker_hits(scan, n)
         scores = np.zeros((len(langs) + 1, n), dtype=np.float64)
         for k in range(len(langs)):
-            scores[k] = hits_matrix[k] / tok_safe
+            scores[k] = hits_matrix[k] / scan_tok_safe
         # CJK pass only when any row contains non-ASCII at all (byte
         # length != codepoint length) — pure-ASCII batches skip the scan
-        n_bytes = pc.binary_length(text).to_numpy(zero_copy_only=False)
-        if (n_bytes != n_chars.astype(np.int64)).any():
-            cjk = pc.count_substring_regex(text, _CJK_PATTERN).to_numpy(
+        scan_bytes = pc.binary_length(scan).to_numpy(zero_copy_only=False)
+        if (scan_bytes != scan_chars.astype(np.int64)).any():
+            cjk = pc.count_substring_regex(scan, _CJK_PATTERN).to_numpy(
                 zero_copy_only=False
             )
-            zh_ratio = cjk / chr_safe
+            zh_ratio = cjk / scan_chr_safe
             scores[len(langs)] = np.where(
                 zh_ratio >= self.cfg.zh_char_ratio_min, zh_ratio, 0.0
             )
@@ -127,4 +137,9 @@ class LangIdScorer:
             pa.array([s if s else None for s in stop_lang], pa.string()),
         )
         out = out.append_column("stopword_hits", pa.array(stop_hits, pa.int64()))
+        # prefix token count — the denominator for the stopword-density
+        # rule (hits were counted in the same prefix)
+        out = out.append_column(
+            "n_tokens_scan", pa.array(scan_tokens.astype(np.int64), pa.int64())
+        )
         return out

@@ -178,6 +178,12 @@ class PerplexityScorer:
         return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         text = batch.column("extracted_text")
-        bpc = self._bits_per_char(text.to_pylist())
+        # score only a bounded prefix: per-doc LM work is
+        # O(ppl_scan_chars) however large the page (gibberish shows up
+        # in the first kilobytes)
+        scan = pc.utf8_slice_codeunits(text, 0, self.cfg.ppl_scan_chars)
+        bpc = self._bits_per_char(scan.to_pylist())
         return batch.append_column("bits_per_char", pa.array(bpc, pa.float64()))

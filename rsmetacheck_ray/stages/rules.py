@@ -133,7 +133,9 @@ def _r_too_long(ctx):
 def _r_stopword_low(ctx):
     cfg: GateConfig = ctx["cfg"]
     has_basis = ctx["stopword_lang_valid"]
-    ratio = ctx["stopword_hits"] / np.maximum(ctx["n_tokens"], 1)
+    # density over the langid SCAN PREFIX (hits and tokens counted in
+    # the same bounded window); the min-length gate stays full-doc
+    ratio = ctx["stopword_hits"] / np.maximum(ctx["n_tokens_scan"], 1)
     return has_basis & (ctx["n_tokens"] >= cfg.min_words) & (ratio < cfg.stopword_ratio_min)
 
 
@@ -342,6 +344,7 @@ def build_context(batch: pa.Table, cfg: GateConfig) -> dict:
         "detected": detected,
         "stopword_lang_valid": stopword_lang_valid,
         "stopword_hits": _np_int(batch.column("stopword_hits")),
+        "n_tokens_scan": _np_int(batch.column("n_tokens_scan")),
         "n_tokens": n_tokens,
         "n_chars": n_chars,
         "symbol_chars": symbol_chars,
