@@ -549,6 +549,10 @@ def registry() -> dict[str, tuple]:
         "events_type_stats": (rel.events_type_stats, rel.EVENTS_TYPE_SQL),
         "lang_source_hist": (rel.lang_source_hist, rel.LANG_SOURCE_SQL),
         "open_orders": (rel.open_orders, rel.OPEN_ORDERS_SQL),
+        "parts_by_brand": (rel.parts_by_brand, rel.PARTS_BY_BRAND_SQL),
+        "supplier_nation_balance": (
+            rel.supplier_nation_balance, rel.SUPPLIER_NATION_SQL,
+        ),
         # text analysis
         "doc_stats": (q_doc_stats, SQL_DOC_STATS),
         "doc_quality_scores": (q_doc_quality_scores, SQL_DOC_QUALITY),

@@ -431,3 +431,89 @@ def distinct_user_event_types(sf_dir: str) -> rd.Dataset:
 DISTINCT_SQL = """
 SELECT DISTINCT user_id, event_type FROM events
 """
+
+
+# ---------------------------------------------------------------------------
+# remaining dimension tables: part / supplier / region
+# ---------------------------------------------------------------------------
+
+def parts_by_brand(sf_dir: str) -> rd.Dataset:
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_brand", "p_retailprice", "p_size"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_brand": batch.column("p_brand"),
+                "price_cents": _cents(batch.column("p_retailprice")),
+                "p_size": pc.cast(batch.column("p_size"), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(prep, batch_format="pyarrow").groupby("p_brand").aggregate(
+        Count(alias_name="n_parts"),
+        Sum("price_cents", alias_name="price_cents"),
+        Max("p_size", alias_name="max_size"),
+    )
+
+
+PARTS_BY_BRAND_SQL = """
+SELECT p_brand, COUNT(*) AS n_parts,
+  SUM(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)) AS price_cents,
+  CAST(MAX(p_size) AS BIGINT) AS max_size
+FROM part GROUP BY p_brand
+"""
+
+
+def supplier_nation_balance(sf_dir: str) -> rd.Dataset:
+    """supplier ⋈ nation ⋈ region via broadcast (all three are small
+    dimension tables — the reference-side of the broadcast pattern)."""
+    nat = rd.read_parquet(os.path.join(sf_dir, "nation.parquet")).take_all()
+    reg = rd.read_parquet(os.path.join(sf_dir, "region.parquet")).take_all()
+    rname = {r["r_regionkey"]: r["r_name"] for r in reg}
+    nation_region = {
+        n["n_nationkey"]: (n["n_name"], rname[n["n_regionkey"]]) for n in nat
+    }
+    lookup_ref = ray.put(nation_region)
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_nationkey", "s_acctbal"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(lookup_ref)
+        keys = batch.column("s_nationkey").to_pylist()
+        n_names = pa.array([lookup[k][0] for k in keys], pa.string())
+        r_names = pa.array([lookup[k][1] for k in keys], pa.string())
+        t = pa.table(
+            {
+                "n_name": n_names,
+                "r_name": r_names,
+                "acctbal_cents": _cents(batch.column("s_acctbal")),
+            }
+        )
+        g = t.group_by(["n_name", "r_name"]).aggregate(
+            [("acctbal_cents", "sum"), ("acctbal_cents", "count")]
+        )
+        return g.rename_columns(["n_name", "r_name", "acctbal_cents", "n_suppliers"])
+
+    return ds.map_batches(partial, batch_format="pyarrow").groupby(
+        ["n_name", "r_name"]
+    ).aggregate(
+        Sum("acctbal_cents", alias_name="acctbal_cents"),
+        Sum("n_suppliers", alias_name="n_suppliers"),
+    )
+
+
+SUPPLIER_NATION_SQL = """
+SELECT n.n_name, r.r_name,
+  SUM(CAST(floor(s.s_acctbal * 100 + 0.5) AS BIGINT)) AS acctbal_cents,
+  COUNT(*) AS n_suppliers
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY n.n_name, r.r_name
+"""

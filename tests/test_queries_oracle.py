@@ -55,6 +55,8 @@ SQL_BACKED = [
     "events_type_stats",
     "lang_source_hist",
     "open_orders",
+    "parts_by_brand",
+    "supplier_nation_balance",
     "doc_stats",
     "doc_quality_scores",
     "gate_url_flags",
