@@ -173,6 +173,9 @@ def nation_order_stats(sf_dir: str) -> rd.Dataset:
         t = pa.table(
             {"n_name": names, "total_cents": _cents(batch.column("o_totalprice"))}
         )
+        # inner-join semantics: rows with no matching dimension key are
+        # DROPPED (a null group here would diverge from the SQL join)
+        t = t.filter(pc.is_valid(t.column("n_name")))
         g = t.group_by("n_name").aggregate([("total_cents", "sum"), ("total_cents", "count")])
         return g.rename_columns(["n_name", "total_cents", "n_orders"])
 
@@ -486,8 +489,9 @@ def supplier_nation_balance(sf_dir: str) -> rd.Dataset:
     def partial(batch: pa.Table) -> pa.Table:
         lookup = ray.get(lookup_ref)
         keys = batch.column("s_nationkey").to_pylist()
-        n_names = pa.array([lookup[k][0] for k in keys], pa.string())
-        r_names = pa.array([lookup[k][1] for k in keys], pa.string())
+        hit = [lookup.get(k) for k in keys]  # inner join: None drops below
+        n_names = pa.array([h[0] if h else None for h in hit], pa.string())
+        r_names = pa.array([h[1] if h else None for h in hit], pa.string())
         t = pa.table(
             {
                 "n_name": n_names,
@@ -495,6 +499,7 @@ def supplier_nation_balance(sf_dir: str) -> rd.Dataset:
                 "acctbal_cents": _cents(batch.column("s_acctbal")),
             }
         )
+        t = t.filter(pc.is_valid(t.column("n_name")))
         g = t.group_by(["n_name", "r_name"]).aggregate(
             [("acctbal_cents", "sum"), ("acctbal_cents", "count")]
         )
