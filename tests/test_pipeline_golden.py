@@ -172,3 +172,25 @@ def test_gate_emits_dedup_keys(gate_output):
     assert dup.groupby("expected_scrubbed_text")["content_hash"].nunique().max() == 1
     clean = kept[kept["family"] == "clean"]
     assert clean["content_hash"].nunique() == len(clean)
+
+
+def test_execution_layouts_equivalent(ray_session, small_corpus):
+    """The fused task stage (default), the fused ActorPoolStrategy
+    stage, and the per-stage actor-pool layout must produce identical
+    rows — layout is an execution choice, never a semantics choice."""
+    import pandas as pd
+    import ray.data as rd
+
+    from rsmetacheck_ray.pipelines.quality_gate import build_gate
+
+    pages_dir, _ = small_corpus
+
+    def run(**kw):
+        df = build_gate(rd.read_parquet(pages_dir), **kw).to_pandas()
+        return df.sort_values("url").reset_index(drop=True)
+
+    tasks = run()
+    actors = run(compute="actors")
+    stages = run(fused=False)
+    pd.testing.assert_frame_equal(tasks, actors)
+    pd.testing.assert_frame_equal(tasks, stages)
