@@ -335,6 +335,21 @@ def run_gate(
     docs_root = os.path.join(out_dir, "docs")
     os.makedirs(docs_root, exist_ok=True)
 
+    # resume safety: a completed partition is only skippable if the
+    # CURRENT partitioning assigns it the same fragments — resuming
+    # with a different n_partitions would otherwise silently skip or
+    # double-process fragments
+    for pid, rec in done.items():
+        recorded = sorted(rec.get("fragment_ids", []))
+        current = sorted(parts[pid]) if pid < len(parts) else None
+        if recorded != current:
+            raise ValueError(
+                f"resume manifest partition {pid} was built from a different "
+                f"partitioning (recorded {len(recorded)} fragments, current "
+                f"{len(current or [])}); rerun with the original n_partitions "
+                f"or remove {out_dir} to start fresh"
+            )
+
     for pid, frag_group in enumerate(parts):
         if pid in done:
             continue

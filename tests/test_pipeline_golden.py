@@ -194,3 +194,18 @@ def test_execution_layouts_equivalent(ray_session, small_corpus):
     stages = run(fused=False)
     pd.testing.assert_frame_equal(tasks, actors)
     pd.testing.assert_frame_equal(tasks, stages)
+
+
+def test_resume_rejects_changed_partitioning(ray_session, small_corpus, tmp_path_factory):
+    """Resuming with a different n_partitions must fail loudly, not
+    silently skip/double-process fragments."""
+    from rsmetacheck_ray.pipelines import quality_gate as qg
+
+    pages_dir, _ = small_corpus
+    out = str(tmp_path_factory.mktemp("repart"))
+    qg.run_gate(pages_dir, out, n_partitions=2)
+    with pytest.raises(ValueError, match="different\\s+partitioning"):
+        qg.run_gate(pages_dir, out, n_partitions=4)
+    # same partitioning still resumes cleanly
+    m = qg.run_gate(pages_dir, out, n_partitions=2)
+    assert m["total_documents"] == 2000
