@@ -541,6 +541,7 @@ def registry() -> dict[str, tuple]:
         "nation_order_stats": (rel.nation_order_stats, rel.NATION_ORDER_SQL),
         "events_hourly": (rel.events_hourly, rel.EVENTS_HOURLY_SQL),
         "revenue_by_priority": (rel.revenue_by_priority, rel.REVENUE_JOIN_SQL),
+        "events_asof_orders": (rel.events_asof_orders, rel.EVENTS_ASOF_SQL),
         "sessionize_users": (rel.sessionize_users, rel.SESSIONIZE_SQL),
         "orders_sample": (rel.orders_systematic_sample, rel.ORDERS_SAMPLE_SQL),
         "distinct_user_event_types": (

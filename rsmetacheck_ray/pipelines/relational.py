@@ -437,6 +437,98 @@ SELECT DISTINCT user_id, event_type FROM events
 
 
 # ---------------------------------------------------------------------------
+# as-of join — an operator Ray Data LACKS, composed from a tagged
+# union + one groupby(key) shuffle + per-group vectorized searchsorted
+# (the documented pattern for temporal joins: both sides co-locate by
+# the equality key in a single shuffle; within a group the probe is
+# O((n+m) log m) numpy, no Python row loop)
+# ---------------------------------------------------------------------------
+
+def events_asof_orders(sf_dir: str) -> rd.Dataset:
+    """For each event: the most recent order of the same customer at
+    or before the event time (ties on o_orderdate break to the highest
+    o_orderkey — mirrored exactly by the oracle's ORDER BY ... LIMIT 1).
+    Partitioning assumption: rows co-locate by the equality key
+    (user_id == o_custkey); event/order ts skew within one key is
+    bounded by that customer's history."""
+    events = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts"],
+    )
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+
+    def tag_events(b: pa.Table) -> pa.Table:
+        n = len(b)
+        return pa.table(
+            {
+                "key": b.column("user_id"),
+                "ts": pc.cast(b.column("ts"), pa.int64()),
+                "tag": pa.array(np.zeros(n, dtype=np.int8)),
+                "event_id": b.column("event_id"),
+                "o_orderkey": pa.nulls(n, pa.int64()),
+            }
+        )
+
+    def tag_orders(b: pa.Table) -> pa.Table:
+        n = len(b)
+        return pa.table(
+            {
+                "key": b.column("o_custkey"),
+                "ts": pc.cast(b.column("o_orderdate"), pa.int64()),
+                "tag": pa.array(np.ones(n, dtype=np.int8)),
+                "event_id": pa.nulls(n, pa.int64()),
+                "o_orderkey": b.column("o_orderkey"),
+            }
+        )
+
+    both = events.map_batches(tag_events, batch_format="pyarrow").union(
+        orders.map_batches(tag_orders, batch_format="pyarrow")
+    )
+
+    def asof(group: pa.Table) -> pa.Table:
+        tag = group.column("tag").to_numpy(zero_copy_only=False)
+        ts = group.column("ts").to_numpy(zero_copy_only=False)
+        ev = tag == 0
+        e_ids = group.column("event_id").to_numpy(zero_copy_only=False)[ev]
+        e_ts = ts[ev]
+        o_keys = group.column("o_orderkey").to_numpy(zero_copy_only=False)[~ev]
+        o_ts = ts[~ev]
+        if len(o_ts):
+            # sort by (date, orderkey): the LAST entry ≤ ts is the max
+            # orderkey of the latest eligible date — the oracle's
+            # ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1
+            order = np.lexsort((o_keys, o_ts))
+            o_ts, o_keys = o_ts[order], o_keys[order]
+            idx = np.searchsorted(o_ts, e_ts, side="right") - 1
+            matched = np.where(idx >= 0, o_keys[np.maximum(idx, 0)], -1)
+        else:
+            matched = np.full(len(e_ts), -1)
+        out_keys = pa.array(
+            [int(m) if m >= 0 else None for m in matched], pa.int64()
+        )
+        return pa.table(
+            {
+                "event_id": pa.array(e_ids.astype(np.int64), pa.int64()),
+                "o_orderkey": out_keys,
+            }
+        )
+
+    return both.groupby("key").map_groups(asof, batch_format="pyarrow")
+
+
+EVENTS_ASOF_SQL = """
+SELECT e.event_id,
+  (SELECT o.o_orderkey FROM orders o
+    WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+    ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) AS o_orderkey
+FROM events e
+"""
+
+
+# ---------------------------------------------------------------------------
 # remaining dimension tables: part / supplier / region
 # ---------------------------------------------------------------------------
 

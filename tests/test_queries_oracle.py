@@ -49,6 +49,7 @@ SQL_BACKED = [
     "nation_order_stats",
     "events_hourly",
     "revenue_by_priority",
+    "events_asof_orders",
     "sessionize_users",
     "orders_sample",
     "distinct_user_event_types",
