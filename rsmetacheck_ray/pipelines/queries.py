@@ -542,6 +542,9 @@ def registry() -> dict[str, tuple]:
         "events_hourly": (rel.events_hourly, rel.EVENTS_HOURLY_SQL),
         "revenue_by_priority": (rel.revenue_by_priority, rel.REVENUE_JOIN_SQL),
         "events_asof_orders": (rel.events_asof_orders, rel.EVENTS_ASOF_SQL),
+        "orders_events_window": (
+            rel.orders_events_window, rel.ORDERS_EVENTS_WINDOW_SQL,
+        ),
         "sessionize_users": (rel.sessionize_users, rel.SESSIONIZE_SQL),
         "orders_sample": (rel.orders_systematic_sample, rel.ORDERS_SAMPLE_SQL),
         "distinct_user_event_types": (

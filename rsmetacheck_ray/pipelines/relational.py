@@ -528,6 +528,79 @@ FROM events e
 """
 
 
+_RANGE_DAYS = 3
+
+
+def orders_events_window(sf_dir: str) -> rd.Dataset:
+    """Range join: per order, the number of same-customer events inside
+    ``[o_orderdate, o_orderdate + 3 days)`` — equality key plus a time
+    band, composed exactly like the as-of join (tagged union, ONE
+    groupby(key) shuffle, two vectorized searchsorted probes per
+    group). A keyless band join would instead bucket both sides by
+    coarse time windows and join within buckets."""
+    events = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+    )
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+
+    def tag_events(b: pa.Table) -> pa.Table:
+        n = len(b)
+        return pa.table(
+            {
+                "key": b.column("user_id"),
+                "ts": pc.cast(b.column("ts"), pa.int64()),
+                "tag": pa.array(np.zeros(n, dtype=np.int8)),
+                "o_orderkey": pa.nulls(n, pa.int64()),
+            }
+        )
+
+    def tag_orders(b: pa.Table) -> pa.Table:
+        n = len(b)
+        return pa.table(
+            {
+                "key": b.column("o_custkey"),
+                "ts": pc.cast(b.column("o_orderdate"), pa.int64()),
+                "tag": pa.array(np.ones(n, dtype=np.int8)),
+                "o_orderkey": b.column("o_orderkey"),
+            }
+        )
+
+    both = events.map_batches(tag_events, batch_format="pyarrow").union(
+        orders.map_batches(tag_orders, batch_format="pyarrow")
+    )
+    window_us = _RANGE_DAYS * 86_400_000_000
+
+    def count_window(group: pa.Table) -> pa.Table:
+        tag = group.column("tag").to_numpy(zero_copy_only=False)
+        ts = group.column("ts").to_numpy(zero_copy_only=False)
+        ev_ts = np.sort(ts[tag == 0])
+        o_keys = group.column("o_orderkey").to_numpy(zero_copy_only=False)[tag == 1]
+        o_ts = ts[tag == 1]
+        lo = np.searchsorted(ev_ts, o_ts, side="left")
+        hi = np.searchsorted(ev_ts, o_ts + window_us, side="left")
+        return pa.table(
+            {
+                "o_orderkey": pa.array(o_keys.astype(np.int64), pa.int64()),
+                "n_events_3d": pa.array((hi - lo).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return both.groupby("key").map_groups(count_window, batch_format="pyarrow")
+
+
+ORDERS_EVENTS_WINDOW_SQL = f"""
+SELECT o.o_orderkey,
+  (SELECT COUNT(*) FROM events e
+    WHERE e.user_id = o.o_custkey
+      AND e.ts >= o.o_orderdate
+      AND e.ts < o.o_orderdate + INTERVAL {_RANGE_DAYS} DAY) AS n_events_3d
+FROM orders o
+"""
+
+
 # ---------------------------------------------------------------------------
 # remaining dimension tables: part / supplier / region
 # ---------------------------------------------------------------------------

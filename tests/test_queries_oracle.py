@@ -50,6 +50,7 @@ SQL_BACKED = [
     "events_hourly",
     "revenue_by_priority",
     "events_asof_orders",
+    "orders_events_window",
     "sessionize_users",
     "orders_sample",
     "distinct_user_event_types",
