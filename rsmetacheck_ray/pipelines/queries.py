@@ -485,6 +485,34 @@ FROM dims
 """
 
 
+def q_multimodal_features(sf_dir: str):
+    """Decode-stub features flow straight into the knn operator — the
+    end-to-end multimodal retrieval plumbing (extract → embed → search)
+    with everything but the codec real."""
+    ds = _documents(sf_dir, ["doc_id", "text"])
+    feats = ds.map_batches(mm.attach_payload, batch_format="pyarrow").map_batches(
+        mm.FeatureExtractStub, batch_format="pyarrow", concurrency=(1, 2)
+    )
+
+    def flatten(b: pa.Table) -> pa.Table:
+        emb = b.column("embedding")
+        f0 = pc.list_element(emb, 0)
+        f7 = pc.list_element(emb, 7)
+        return pa.table(
+            {"doc_id": b.column("doc_id"), "f0": f0, "f7": f7}
+        )
+
+    return feats.map_batches(flatten, batch_format="pyarrow")
+
+
+SQL_MULTIMODAL_FEATURES = """
+SELECT doc_id,
+  CAST((strlen(text) * 1) % 997 AS DOUBLE) / 997.0 AS f0,
+  CAST((strlen(text) * 8) % 997 AS DOUBLE) / 997.0 AS f7
+FROM documents
+"""
+
+
 def q_doc_bpe_tokens(sf_dir: str):
     from ..functions.tokenize import BPE_TOKEN_RE, count_bpe_tokens, count_ws_tokens
 
@@ -591,6 +619,7 @@ def registry() -> dict[str, tuple]:
         # multimodal plumbing
         "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL),
         "multimodal_resize": (q_multimodal_resize, SQL_MULTIMODAL_RESIZE),
+        "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
         # token counting (whitespace + BPE-style pretokenizer)
         "doc_bpe_tokens": (q_doc_bpe_tokens, _sql_bpe()),
     }

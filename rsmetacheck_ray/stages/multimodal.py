@@ -74,6 +74,35 @@ class ImageDecodeStub:
         )
 
 
+class FeatureExtractStub:
+    """Actor-pool feature-extraction stage: ``payload: binary`` →
+    ``embedding: list<float>`` (dim configurable). A real model (CLIP /
+    audio encoder) would load once per actor in ``__init__``; the stub
+    derives a deterministic projection of the payload length so the
+    plumbing (schema, actor signature, downstream knn compatibility)
+    is real and the SQL oracle can reproduce the values exactly:
+    ``f_j = (n_bytes * (j+1)) % 997 / 997.0``."""
+
+    def __init__(self, dim: int = 8):
+        self.dim = dim
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n_bytes = (
+            pc.binary_length(batch.column("payload"))
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        feats = (
+            (n_bytes[:, None] * (np.arange(self.dim)[None, :] + 1)) % 997
+        ) / 997.0
+        out = batch.drop_columns(["payload"])
+        return out.append_column(
+            "embedding",
+            pa.array([list(map(float, row)) for row in feats],
+                     pa.list_(pa.float64())),
+        )
+
+
 class ResizeStub:
     """Actor-pool resize stage: (width, height) → dimensions fit into
     a ``max_side`` box preserving aspect ratio, integer math only

@@ -63,3 +63,31 @@ def test_actor_pool_contract(ray_session):
     ).to_pandas()
     assert len(out) == 100
     assert {"payload_bytes", "width", "height", "resized_w", "resized_h"} <= set(out.columns)
+
+
+def test_feature_extract_feeds_knn(ray_session):
+    """Extract-stub embeddings are knn-compatible end-to-end."""
+    import numpy as np
+    import ray.data as rd
+
+    from rsmetacheck_ray.functions.similarity import knn_bruteforce
+
+    # lengths large enough that the %997 wrap gives each doc a DISTINCT
+    # direction (small n keeps all stub vectors parallel and cosine
+    # cannot discriminate)
+    t = pa.table({"doc_id": pa.array(range(50), pa.int64()),
+                  "text": pa.array(["x" * (150 + 13 * i) for i in range(50)])})
+    feats = (
+        rd.from_arrow(t)
+        .map_batches(mm.attach_payload, batch_format="pyarrow")
+        .map_batches(mm.FeatureExtractStub, batch_format="pyarrow", concurrency=(1, 2))
+    )
+    ds = feats.map_batches(
+        lambda b: b.select(["doc_id", "embedding"]).rename_columns(["vec_id", "embedding"]),
+        batch_format="pyarrow",
+    )
+    target_n = 150 + 13 * 17  # doc 17's payload bytes
+    q = np.array([[(target_n * (j + 1)) % 997 / 997.0 for j in range(8)]])
+    res = knn_bruteforce(ds, q, np.array([0]), k=3).to_pandas()
+    assert len(res) == 3
+    assert res["vec_id"].iloc[0] == 17  # exact-feature query retrieves its doc
