@@ -289,6 +289,33 @@ def list_parquet_fragments(input_path: str | Iterable[str]) -> list[str]:
     return [str(input_path)]
 
 
+def _shim_fsspec_http() -> None:
+    """Make ``fsspec.implementations.http`` importable exactly once.
+
+    In this environment the module always fails to import (no aiohttp),
+    which Ray's ``_is_http_filesystem`` handles on one thread — but a
+    FAILED import is never cached, so two driver threads resolving
+    write paths concurrently can race the half-initialized module into
+    a plain ``ImportError`` Ray does NOT catch. Registering a stub
+    module (whose ``HTTPFileSystem`` matches nothing) caches the import
+    and removes the race; behavior is identical since no http
+    filesystem exists here anyway."""
+    import sys
+
+    try:
+        from fsspec.implementations.http import HTTPFileSystem  # noqa: F401
+    except ImportError:
+        import types
+
+        stub = types.ModuleType("fsspec.implementations.http")
+
+        class _NoHTTPFileSystem:  # nothing is ever an instance of this
+            pass
+
+        stub.HTTPFileSystem = _NoHTTPFileSystem
+        sys.modules["fsspec.implementations.http"] = stub
+
+
 def auto_partitions(fragments: list[str], target_bytes: int = 1 << 30) -> int:
     """Resume-partition count sized by input bytes, not fragment count:
     each partition must be big enough to amortize the per-execution
@@ -306,6 +333,7 @@ def run_gate(
     out_dir: str,
     cfg: GateConfig = DEFAULT_CONFIG,
     n_partitions: int | None = None,
+    max_concurrent_partitions: int | None = None,
 ) -> dict:
     """Execute the gate over all input fragments with resume.
 
@@ -314,6 +342,13 @@ def run_gate(
         out_dir/docs/partition=K/*.parquet   (atomic per partition)
         out_dir/manifest.jsonl               (completed partitions)
         out_dir/metrics.json                 (global summary)
+
+    Resume units execute CONCURRENTLY (driver threads, each owning one
+    streaming Dataset execution; Ray shares the cluster between them) —
+    the multi-node shape where unit N+1's read overlaps unit N's write
+    drain, instead of paying stream fill/drain edges serially. Default
+    concurrency 2; partitions stay independent so outputs are identical
+    for any value. Manifest appends are lock-serialized.
 
     Returns the metrics dict (the analog of the reference's global
     summary JSON, ``detect_pitfalls_main.py:396-409``).
@@ -350,24 +385,35 @@ def run_gate(
                 f"or remove {out_dir} to start fresh"
             )
 
-    for pid, frag_group in enumerate(parts):
-        if pid in done:
-            continue
+    import shutil
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    _shim_fsspec_http()
+    manifest_lock = threading.Lock()
+
+    def run_partition(pid: int, frag_group: list[str]) -> None:
         final_dir = os.path.join(docs_root, f"partition={pid}")
         tmp_dir = os.path.join(docs_root, f".tmp-partition={pid}")
         if os.path.exists(tmp_dir):  # torn previous attempt
-            import shutil
-
             shutil.rmtree(tmp_dir)
         if os.path.exists(final_dir):  # completed write, torn manifest append
-            import shutil
-
             shutil.rmtree(final_dir)
         ds = rd.read_parquet(frag_group)
         gated = build_gate(ds, cfg)
         gated.write_parquet(tmp_dir)
         os.rename(tmp_dir, final_dir)
-        manifest.mark_done(pid, frag_group, partition_lineage(final_dir))
+        lineage = partition_lineage(final_dir)
+        with manifest_lock:
+            manifest.mark_done(pid, frag_group, lineage)
+
+    pending = [(pid, fg) for pid, fg in enumerate(parts) if pid not in done]
+    mc = max_concurrent_partitions or min(2, max(1, len(pending)))
+    if pending:
+        with ThreadPoolExecutor(max_workers=mc) as ex:
+            futures = [ex.submit(run_partition, pid, fg) for pid, fg in pending]
+            for f in futures:
+                f.result()  # propagate the first failure; resume recovers
 
     # global metrics = merge of the per-partition lineage records —
     # no second pass over the written data
