@@ -95,9 +95,9 @@ def q1_pricing(sf_dir: str, cutoff: str = "1998-09-02") -> rd.Dataset:
 
 Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
-  SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
-  SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sum_base_cents,
-  SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS sum_disc_cents,
+  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+  CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+  CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
   COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -188,7 +188,7 @@ def nation_order_stats(sf_dir: str) -> rd.Dataset:
 
 NATION_ORDER_SQL = """
 SELECT n.n_name,
-  SUM(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS total_cents,
+  CAST(SUM(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents,
   COUNT(*) AS n_orders
 FROM orders o
 JOIN customer c ON o.o_custkey = c.c_custkey
@@ -207,29 +207,42 @@ def events_hourly(sf_dir: str) -> rd.Dataset:
     )
 
     def partial(batch: pa.Table) -> pa.Table:
-        hour = pc.floor_temporal(batch.column("ts"), unit="hour")
+        # the hour key travels through Ray's groupby shuffle as int64 µs:
+        # Ray's sort-based shuffle downcasts timestamp keys to [s], which
+        # would fail the driver's dtype-strict hash vs DuckDB TIMESTAMP(µs)
+        hour = pc.cast(pc.floor_temporal(batch.column("ts"), unit="hour"), pa.int64())
         t = pa.table(
             {
                 "event_type": batch.column("event_type"),
-                "hour": hour,
+                "hour_us": hour,
                 "value_cents": _cents(batch.column("value")),
             }
         )
-        g = t.group_by(["event_type", "hour"]).aggregate(
+        g = t.group_by(["event_type", "hour_us"]).aggregate(
             [("value_cents", "sum"), ("value_cents", "count")]
         )
-        return g.rename_columns(["event_type", "hour", "value_cents", "n_events"])
+        return g.rename_columns(["event_type", "hour_us", "value_cents", "n_events"])
+
+    def restore_ts(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "hour": pc.cast(batch.column("hour_us"), pa.timestamp("us")),
+                "value_cents": batch.column("value_cents"),
+                "n_events": batch.column("n_events"),
+            }
+        )
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    return partials.groupby(["event_type", "hour"]).aggregate(
+    return partials.groupby(["event_type", "hour_us"]).aggregate(
         Sum("value_cents", alias_name="value_cents"),
         Sum("n_events", alias_name="n_events"),
-    )
+    ).map_batches(restore_ts, batch_format="pyarrow")
 
 
 EVENTS_HOURLY_SQL = """
-SELECT event_type, date_trunc('hour', ts) AS hour,
-  SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS value_cents,
+SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+  CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents,
   COUNT(*) AS n_events
 FROM events
 GROUP BY event_type, date_trunc('hour', ts)
@@ -294,8 +307,8 @@ def revenue_by_priority(sf_dir: str) -> rd.Dataset:
 
 REVENUE_JOIN_SQL = """
 SELECT o.o_orderpriority,
-  SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT))
-    AS rev_cents,
+  CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT))
+    AS BIGINT) AS rev_cents,
   COUNT(*) AS n_items
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY o.o_orderpriority
@@ -345,9 +358,9 @@ WITH ordered AS (
   FROM events
 )
 SELECT user_id, COUNT(*) AS n_events,
-  1 + SUM(CASE WHEN prev_ts IS NOT NULL
+  CAST(1 + SUM(CASE WHEN prev_ts IS NOT NULL
                 AND ts - prev_ts > INTERVAL {SESSION_GAP_S} SECOND
-           THEN 1 ELSE 0 END) AS n_sessions
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
 FROM ordered
 GROUP BY user_id
 """
@@ -629,7 +642,7 @@ def parts_by_brand(sf_dir: str) -> rd.Dataset:
 
 PARTS_BY_BRAND_SQL = """
 SELECT p_brand, COUNT(*) AS n_parts,
-  SUM(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)) AS price_cents,
+  CAST(SUM(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS price_cents,
   CAST(MAX(p_size) AS BIGINT) AS max_size
 FROM part GROUP BY p_brand
 """
@@ -680,7 +693,7 @@ def supplier_nation_balance(sf_dir: str) -> rd.Dataset:
 
 SUPPLIER_NATION_SQL = """
 SELECT n.n_name, r.r_name,
-  SUM(CAST(floor(s.s_acctbal * 100 + 0.5) AS BIGINT)) AS acctbal_cents,
+  CAST(SUM(CAST(floor(s.s_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS acctbal_cents,
   COUNT(*) AS n_suppliers
 FROM supplier s
 JOIN nation n ON s.s_nationkey = n.n_nationkey

@@ -80,7 +80,18 @@ def main() -> int:
             print(f"FAIL {name}: rows {len(ray_df)} != {len(sql_df)}")
             failures += 1
             continue
-        # dtype-tolerant value compare
+        # strict dtype compare first — the driver hashes values WITH their
+        # dtype, so int64-vs-float64 (DuckDB HUGEINT) or timestamp-unit
+        # drift fails its gate even when values agree (round-1 lesson)
+        dt_bad = [
+            (c, str(ray_df[c].dtype), str(sql_df[c].dtype))
+            for c in ray_df.columns
+            if str(ray_df[c].dtype) != str(sql_df[c].dtype)
+        ]
+        if dt_bad:
+            print(f"FAIL {name}: dtype mismatch {dt_bad}")
+            failures += 1
+            continue
         mismatch = None
         for c in ray_df.columns:
             a, b = ray_df[c], sql_df[c]
