@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
@@ -124,31 +125,51 @@ def exact_dedup_groups(
     return agg.select_columns([id_col, "dup_count"])
 
 
-def _group_pairs(group: pa.Table, id_col: str) -> pa.Table:
-    ids = sorted(group.column(id_col).to_pylist())
-    a, b = [], []
-    for i in range(len(ids) - 1):
-        for j in range(i + 1, len(ids)):
-            a.append(ids[i])
-            b.append(ids[j])
-    return pa.table(
-        {"doc_id_a": pa.array(a, pa.int64()), "doc_id_b": pa.array(b, pa.int64())}
-    )
-
-
 def exact_dedup_pairs(
-    ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id"
+    ds: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int = 8,
 ) -> rd.Dataset:
-    """All pairs (a < b) of byte-identical documents: content-hash →
-    ``groupby(hash)`` → in-group pair expansion. Only (id, hash) rows
-    shuffle. (A sketch can NOT implement this: J≈0.99 near-dups pass
-    64/64 minhash bands with p≈0.5 — measured on the driver corpus.)"""
+    """STAR pairs (canonical=min id, member) of byte-identical documents
+    — the same connected components as the full O(g²) pair expansion,
+    but a group of g duplicates emits g-1 rows, not g(g-1)/2, so a
+    boilerplate page with 10⁶ copies costs 10⁶ rows instead of 10¹².
+
+    Plan: content-hash → tiny groupby(hash) for the canonical id → hash
+    join of the (id, hash) projection back against the canonicals →
+    vectorized filter id > canonical. Only 16-byte rows ever shuffle;
+    no per-group Python, no quadratic blowup. (A sketch can NOT
+    implement this: J≈0.99 near-dups pass 64/64 minhash bands with
+    p≈0.5 — measured on the driver corpus.)"""
     hashed = ds.map_batches(
         lambda b: _hash_stage(b, text_col, id_col), batch_format="pyarrow"
     )
-    return hashed.groupby("content_hash").map_groups(
-        lambda g: _group_pairs(g, id_col), batch_format="pyarrow"
+    canon = (
+        hashed.groupby("content_hash")
+        .aggregate(Min(id_col, alias_name="canon_id"))
+        .map_batches(
+            lambda b: b.rename_columns(["ch", "canon_id"]), batch_format="pyarrow"
+        )
     )
+    joined = hashed.join(
+        canon,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("content_hash",),
+        right_on=("ch",),
+    )
+
+    def star(b: pa.Table) -> pa.Table:
+        sub = b.filter(pc.greater(b.column(id_col), b.column("canon_id")))
+        return pa.table(
+            {
+                "doc_id_a": pc.cast(sub.column("canon_id"), pa.int64()),
+                "doc_id_b": pc.cast(sub.column(id_col), pa.int64()),
+            }
+        )
+
+    return joined.map_batches(star, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -179,28 +200,51 @@ def _signature_stage(batch: pa.Table, text_col: str, id_col: str) -> pa.Table:
     )
 
 
+# Hot-bucket guard: common boilerplate (empty pages, shared templates)
+# can put an unbounded number of docs in one LSH bucket; pair expansion
+# there is inherently quadratic, so cap the bucket and surface the drop
+# in worker logs rather than letting one task emit ~n²/2 rows.
+MAX_BUCKET_DOCS = 1024
+
+
 def _bucket_pairs(group: pa.Table, id_col: str, min_est_jaccard: float) -> pa.Table:
-    """Within one LSH bucket: all candidate pairs whose signature
-    agreement (the minhash Jaccard estimate) clears the threshold."""
+    """Within one LSH bucket: candidate pairs whose signature agreement
+    (the minhash Jaccard estimate) clears the threshold. Fully
+    vectorized (one m×m agreement matrix, no Python pair loop) and
+    capped at MAX_BUCKET_DOCS members per bucket."""
     ids = np.asarray(group.column(id_col).to_pylist(), dtype=np.int64)
-    sigs = np.stack(
-        [np.frombuffer(s, dtype=np.uint64) for s in group.column("signature").to_pylist()]
-    )
     order = np.argsort(ids, kind="stable")
-    ids, sigs = ids[order], sigs[order]
-    a_out, b_out, est_out = [], [], []
-    for i in range(len(ids) - 1):
-        est = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
-        hit = np.nonzero(est >= min_est_jaccard)[0]
-        for j in hit:
-            a_out.append(ids[i])
-            b_out.append(ids[i + 1 + j])
-            est_out.append(float(est[j]))
+    if len(order) > MAX_BUCKET_DOCS:
+        print(
+            f"[minhash_lsh] hot bucket truncated: {len(order)} -> "
+            f"{MAX_BUCKET_DOCS} docs (pairs beyond the cap are dropped)"
+        )
+        order = order[:MAX_BUCKET_DOCS]
+    sig_list = group.column("signature").to_pylist()
+    ids = ids[order]
+    m = len(ids)
+    if m < 2:
+        return pa.table(
+            {
+                "doc_id_a": pa.array([], pa.int64()),
+                "doc_id_b": pa.array([], pa.int64()),
+                "est_jaccard": pa.array([], pa.float64()),
+            }
+        )
+    sigs = np.stack([np.frombuffer(sig_list[i], dtype=np.uint64) for i in order])
+    n_perm = sigs.shape[1]
+    agree = np.zeros((m, m), dtype=np.uint16)
+    for p in range(n_perm):
+        col = sigs[:, p]
+        agree += col[:, None] == col[None, :]
+    ai, bj = np.triu_indices(m, 1)
+    est = agree[ai, bj] / float(n_perm)
+    keep = est >= min_est_jaccard
     return pa.table(
         {
-            "doc_id_a": pa.array(a_out, pa.int64()),
-            "doc_id_b": pa.array(b_out, pa.int64()),
-            "est_jaccard": pa.array(est_out, pa.float64()),
+            "doc_id_a": pa.array(ids[ai[keep]], pa.int64()),
+            "doc_id_b": pa.array(ids[bj[keep]], pa.int64()),
+            "est_jaccard": pa.array(est[keep], pa.float64()),
         }
     )
 
@@ -253,49 +297,87 @@ def simhash_dataset(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_i
 # embedding-cosine near-dup (broadcast small matrix)
 # ---------------------------------------------------------------------------
 
+def _unit_table(batch: pa.Table, id_col: str) -> pa.Table:
+    """(id, unit vector) projection — float64 normalization once, so
+    every block-pair task sees identical unit vectors."""
+    n = len(batch)
+    if n == 0:
+        return pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "unit": pa.array([], pa.list_(pa.float64())),
+            }
+        )
+    mat = np.stack(
+        [np.asarray(e, dtype=np.float64) for e in batch.column("embedding").to_pylist()]
+    )
+    unit = mat / np.maximum(np.linalg.norm(mat, axis=1), 1e-300)[:, None]
+    return pa.table(
+        {
+            id_col: pc.cast(batch.column(id_col), pa.int64()),
+            "unit": pa.array(unit.tolist(), pa.list_(pa.float64())),
+        }
+    )
+
+
 def embedding_near_dup_pairs(
     ds: rd.Dataset, threshold: float = 0.45, id_col: str = "vec_id"
 ) -> rd.Dataset:
-    """All pairs (a < b) with double-precision cosine ≥ threshold.
+    """All pairs (a < b) with double-precision cosine ≥ threshold —
+    EXACT all-pairs, expressed as a distributed block-pair cross join.
 
-    The full (normalized) matrix is broadcast once via ``ray.put``; each
-    batch task matmuls its slice against the broadcast side — O(n·d)
-    shipped once, not per batch. Scale path: LSH-bucket the unit
-    vectors (random hyperplane signs) and only compare within buckets.
+    Ray Data has no cross join, so this is the documented raw-task
+    escape hatch: normalize once inside ``map_batches``, leave the
+    normalized blocks in the object store (``materialize`` +
+    ``to_arrow_refs`` — nothing is pulled to the driver), then one Ray
+    task per unordered block pair matmuls the two blocks. Compute is
+    inherently O(n²·d) for the exact answer, but memory per task is two
+    blocks and the corpus is never broadcast nor driver-resident. The
+    scale path for approximate needs is ``embedding_lsh_pairs``.
     """
-    rows = ds.select_columns([id_col, "embedding"]).take_all()
-    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
-    mat = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
-    norms = np.linalg.norm(mat, axis=1)
-    unit = mat / np.maximum(norms, 1e-300)[:, None]
-    ref = ray.put((ids, unit))
+    norm = ds.select_columns([id_col, "embedding"]).map_batches(
+        lambda b: _unit_table(b, id_col), batch_format="pyarrow"
+    )
+    blocks = norm.materialize().to_arrow_refs()
 
-    def stage(batch: pa.Table) -> pa.Table:
-        bids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
-        if len(bids) == 0:
-            return pa.table(
-                {
-                    "vec_id_a": pa.array([], pa.int64()),
-                    "vec_id_b": pa.array([], pa.int64()),
-                }
-            )
-        bm = np.stack(
-            [np.asarray(e, dtype=np.float64) for e in batch.column("embedding").to_pylist()]
-        )
-        bn = np.linalg.norm(bm, axis=1)
-        bu = bm / np.maximum(bn, 1e-300)[:, None]
-        all_ids, all_unit = ray.get(ref)
-        cos = bu @ all_unit.T
+    empty = pa.table(
+        {"vec_id_a": pa.array([], pa.int64()), "vec_id_b": pa.array([], pa.int64())}
+    )
+
+    @ray.remote
+    def block_pair(ta: pa.Table, tb: pa.Table, same: bool) -> pa.Table:
+        if len(ta) == 0 or len(tb) == 0:
+            return empty
+        ids_a = np.asarray(ta.column(id_col).to_pylist(), dtype=np.int64)
+        ids_b = np.asarray(tb.column(id_col).to_pylist(), dtype=np.int64)
+        ua = np.stack([np.asarray(v, dtype=np.float64) for v in ta.column("unit").to_pylist()])
+        ub = np.stack([np.asarray(v, dtype=np.float64) for v in tb.column("unit").to_pylist()])
+        cos = ua @ ub.T
         ai, bj = np.nonzero(cos >= threshold)
-        mask = bids[ai] < all_ids[bj]
+        xa, xb = ids_a[ai], ids_b[bj]
+        if same:
+            keep = xa < xb  # each unordered pair appears once
+            lo, hi = xa[keep], xb[keep]
+        else:
+            lo, hi = np.minimum(xa, xb), np.maximum(xa, xb)
         return pa.table(
             {
-                "vec_id_a": pa.array(bids[ai][mask], pa.int64()),
-                "vec_id_b": pa.array(all_ids[bj][mask], pa.int64()),
+                "vec_id_a": pa.array(lo, pa.int64()),
+                "vec_id_b": pa.array(hi, pa.int64()),
             }
         )
 
-    return ds.map_batches(stage, batch_format="pyarrow")
+    refs = [
+        block_pair.remote(blocks[i], blocks[j], i == j)
+        for i in range(len(blocks))
+        for j in range(i, len(blocks))
+    ]
+    if not refs:
+        return rd.from_arrow(empty)
+    return rd.from_arrow_refs(refs)
+
+
+MAX_BUCKET_VECS = 4096
 
 
 def embedding_lsh_pairs(
@@ -364,10 +446,17 @@ def embedding_lsh_pairs(
     def bucket_pairs(group: pa.Table) -> pa.Table:
         ids = np.asarray(group.column(id_col).to_pylist(), dtype=np.int64)
         order = np.argsort(ids, kind="stable")
+        # hot-bucket guard (near-zero vectors / boilerplate embeddings
+        # can all land in one bucket): bound the quadratic compare
+        if len(order) > MAX_BUCKET_VECS:
+            print(
+                f"[embedding_lsh] hot bucket truncated: {len(order)} -> "
+                f"{MAX_BUCKET_VECS} vectors (pairs beyond the cap are dropped)"
+            )
+            order = order[:MAX_BUCKET_VECS]
+        emb = group.column("embedding").to_pylist()
         ids = ids[order]
-        unit = np.stack(
-            [np.asarray(e, dtype=np.float64) for e in group.column("embedding").to_pylist()]
-        )[order]
+        unit = np.stack([np.asarray(emb[i], dtype=np.float64) for i in order])
         cos = unit @ unit.T
         ai, bj = np.nonzero(cos >= threshold)
         mask = ids[ai] < ids[bj]
@@ -383,7 +472,10 @@ def embedding_lsh_pairs(
         .groupby("bucket")
         .map_groups(bucket_pairs, batch_format="pyarrow")
     )
-    # a pair can collide in several tables — dedup on the pair key
-    return pairs.groupby(["vec_id_a", "vec_id_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    # a pair can collide in several tables — dedup on the pair key with
+    # a vectorized aggregate (no per-pair Python map_groups call)
+    return (
+        pairs.groupby(["vec_id_a", "vec_id_b"])
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["vec_id_a", "vec_id_b"])
     )

@@ -356,14 +356,20 @@ FROM corpus GROUP BY text
 def q_dedup_exact_pairs(sf_dir: str):
     # content-hash grouping, NOT a sketch: the driver corpus contains
     # planted J≈0.99 near-dups that agree on 64/64 minhashes ~half the
-    # time, so only byte-exact hashing matches the text-equality oracle
+    # time, so only byte-exact hashing matches the text-equality oracle.
+    # Star-pair semantics (canonical=min id per text group) — same
+    # connected components as all-pairs, linear output per dup group.
     return dd.exact_dedup_pairs(_dup_corpus(sf_dir))
 
 
 SQL_DEDUP_EXACT_PAIRS = f"""
-WITH {_DUP_CORPUS_SQL.strip()}
-SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
-FROM corpus a JOIN corpus b ON a.text = b.text AND a.doc_id < b.doc_id
+WITH {_DUP_CORPUS_SQL.strip()},
+canon AS (
+  SELECT text, min(doc_id) AS canon_id FROM corpus GROUP BY text
+)
+SELECT c.canon_id AS doc_id_a, x.doc_id AS doc_id_b
+FROM corpus x JOIN canon c ON x.text = c.text
+WHERE x.doc_id > c.canon_id
 """
 
 

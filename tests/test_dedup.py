@@ -142,3 +142,42 @@ def test_embedding_lsh_recall_vs_bruteforce(ray_session):
     assert l <= e  # exact verification -> no false positives
     assert len(e) >= 10
     assert len(l & e) / len(e) >= 0.8, (len(l), len(e))
+
+
+def test_exact_dedup_pairs_megagroup_linear(ray_session):
+    """A planted 10k-copy dup group emits g-1 star pairs, not g(g-1)/2 —
+    the scale guard for boilerplate mega-groups (VERDICT r1 item 3)."""
+    import ray.data as rd
+
+    n = 10_000
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(n + 5), pa.int64()),
+            "text": pa.array(
+                ["same boilerplate page"] * n + [f"unique {i}" for i in range(5)],
+                pa.string(),
+            ),
+        }
+    )
+    out = dd.exact_dedup_pairs(rd.from_arrow(t)).to_pandas()
+    assert len(out) == n - 1
+    assert (out["doc_id_a"] == 0).all()
+    assert set(out["doc_id_b"]) == set(range(1, n))
+
+
+def test_minhash_bucket_cap_bounds_output(ray_session):
+    """A hot LSH bucket (many identical docs) is truncated at
+    MAX_BUCKET_DOCS members, so output stays bounded."""
+    import ray.data as rd
+
+    n = dd.MAX_BUCKET_DOCS + 200
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(["identical text for every doc in the bucket"] * n),
+        }
+    )
+    out = dd.minhash_lsh_pairs(rd.from_arrow(t), min_est_jaccard=0.5).to_pandas()
+    cap = dd.MAX_BUCKET_DOCS
+    assert len(out) <= cap * (cap - 1) / 2
+    assert len(out) > 0
