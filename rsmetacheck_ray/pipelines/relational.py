@@ -29,6 +29,23 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Max, Min, Sum
 
+from ..functions.hashing import splitmix64_np
+
+# Keyed temporal operators (as-of join, range join, sessionization)
+# shuffle once on a HASHED KEY PARTITION, not the raw key: each
+# map_groups call then processes EVERY key of its partition in one
+# vectorized pass (lexsort + segment-boundary math), so Python-call
+# count is O(_N_KEY_PARTS), not O(#distinct keys) — the 10⁸-customer
+# fix from VERDICT r1 item 5. Raise for bigger clusters: partitions
+# are the unit of parallelism AND of worker memory.
+_N_KEY_PARTS = 64
+
+
+def _part_of(key_col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Deterministic hash partition id of an int64 key column."""
+    k = key_col.to_numpy(zero_copy_only=False).astype(np.uint64)
+    return pa.array((splitmix64_np(k) % _N_KEY_PARTS).astype(np.int64), pa.int64())
+
 
 def _cents(col: pa.ChunkedArray | pa.Array) -> pa.Array:
     """floor(x*100 + 0.5) as int64 — bit-identical to the SQL
@@ -149,29 +166,49 @@ LIMIT 10
 # broadcast join: orders → customer → nation
 # ---------------------------------------------------------------------------
 
-def nation_order_stats(sf_dir: str) -> rd.Dataset:
-    """Orders per nation: the small side (customer ⋈ nation, built once
-    on the driver) is broadcast via ``ray.put``; the big side streams."""
-    cust = rd.read_parquet(
-        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
-    ).take_all()
+def nation_order_stats(sf_dir: str, num_partitions: int = 8) -> rd.Dataset:
+    """Orders per nation. customer SCALES WITH SF, so orders ⋈ customer
+    is a true distributed hash join (both sides shuffle by custkey —
+    only 16-byte projections ship); nation is a FIXED 25-row dimension,
+    broadcast once via ``ray.put`` and applied with vectorized
+    ``pc.index_in`` + ``take`` (no Python row loop, no driver-side
+    materialization of any SF-scaling table)."""
     nat = rd.read_parquet(
         os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
-    ).take_all()
-    nname = {r["n_nationkey"]: r["n_name"] for r in nat}
-    cust_nation = {r["c_custkey"]: nname[r["c_nationkey"]] for r in cust}
-    lookup_ref = ray.put(cust_nation)
+    ).take_all()  # 25 fixed rows — not SF-scaling
+    n_keys = np.array([r["n_nationkey"] for r in nat], dtype=np.int64)
+    n_names = [r["n_name"] for r in nat]
+    nat_ref = ray.put((n_keys, n_names))
 
-    ds = rd.read_parquet(
+    orders = rd.read_parquet(
         os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_totalprice"]
     )
 
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": batch.column("o_custkey"),
+                "total_cents": _cents(batch.column("o_totalprice")),
+            }
+        )
+
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    )
+    joined = orders.map_batches(prep, batch_format="pyarrow").join(
+        cust,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+
     def partial(batch: pa.Table) -> pa.Table:
-        lookup = ray.get(lookup_ref)
-        keys = batch.column("o_custkey").to_pylist()
-        names = pa.array([lookup.get(k) for k in keys], pa.string())
+        keys, names = ray.get(nat_ref)
+        idx = pc.index_in(batch.column("c_nationkey"), pa.array(keys, pa.int64()))
+        name_col = pc.take(pa.array(names, pa.string()), idx)
         t = pa.table(
-            {"n_name": names, "total_cents": _cents(batch.column("o_totalprice"))}
+            {"n_name": name_col, "total_cents": batch.column("total_cents")}
         )
         # inner-join semantics: rows with no matching dimension key are
         # DROPPED (a null group here would diverge from the SQL join)
@@ -179,7 +216,7 @@ def nation_order_stats(sf_dir: str) -> rd.Dataset:
         g = t.group_by("n_name").aggregate([("total_cents", "sum"), ("total_cents", "count")])
         return g.rename_columns(["n_name", "total_cents", "n_orders"])
 
-    partials = ds.map_batches(partial, batch_format="pyarrow")
+    partials = joined.map_batches(partial, batch_format="pyarrow")
     return partials.groupby("n_name").aggregate(
         Sum("total_cents", alias_name="total_cents"),
         Sum("n_orders", alias_name="n_orders"),
@@ -326,29 +363,63 @@ SESSION_GAP_S = 1800
 
 def sessionize_users(sf_dir: str) -> rd.Dataset:
     """Per-user session stats: events sorted within each user, a new
-    session opens after a >30 min gap. ``groupby(user).map_groups``
-    shuffles by user key once; the window logic is vectorized numpy
-    per group."""
+    session opens after a >30 min gap. ONE shuffle on the hashed key
+    partition; each map_groups call sessionizes EVERY user in its
+    partition with a single lexsort + boundary-aware gap scan."""
     ds = rd.read_parquet(
         os.path.join(sf_dir, "events.parquet"),
         columns=["user_id", "ts", "event_id"],
     )
 
-    def per_user(g: pa.Table) -> pa.Table:
-        ts = g.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]")
-        eid = g.column("event_id").to_numpy(zero_copy_only=False)
-        order = np.lexsort((eid, ts))
-        ts = ts[order].astype(np.int64)
-        gaps = np.diff(ts) > SESSION_GAP_S * 1_000_000
+    def tag(b: pa.Table) -> pa.Table:
         return pa.table(
             {
-                "user_id": pa.array([g.column("user_id")[0].as_py()], pa.int64()),
-                "n_events": pa.array([len(ts)], pa.int64()),
-                "n_sessions": pa.array([1 + int(gaps.sum())], pa.int64()),
+                "part": _part_of(b.column("user_id")),
+                "user_id": b.column("user_id"),
+                "ts": pc.cast(b.column("ts"), pa.int64()),
+                "event_id": b.column("event_id"),
             }
         )
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+    gap_us = SESSION_GAP_S * 1_000_000
+
+    def sess_part(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        ts = g.column("ts").to_numpy(zero_copy_only=False)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        u, t = uid[order], ts[order]
+        n = len(u)
+        if n == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "n_sessions": pa.array([], pa.int64()),
+                }
+            )
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = u[1:] != u[:-1]
+        seg_id = np.cumsum(new_user) - 1
+        gap = np.zeros(n, dtype=bool)
+        gap[1:] = ~new_user[1:] & (t[1:] - t[:-1] > gap_us)
+        n_seg = int(seg_id[-1]) + 1
+        return pa.table(
+            {
+                "user_id": pa.array(u[new_user], pa.int64()),
+                "n_events": pa.array(
+                    np.bincount(seg_id, minlength=n_seg).astype(np.int64)
+                ),
+                "n_sessions": pa.array(
+                    1 + np.bincount(seg_id[gap], minlength=n_seg).astype(np.int64)
+                ),
+            }
+        )
+
+    return ds.map_batches(tag, batch_format="pyarrow").groupby("part").map_groups(
+        sess_part, batch_format="pyarrow"
+    )
 
 
 SESSIONIZE_SQL = f"""
@@ -475,13 +546,16 @@ def events_asof_orders(sf_dir: str) -> rd.Dataset:
 
     def tag_events(b: pa.Table) -> pa.Table:
         n = len(b)
+        # -1 sentinels instead of nulls: nullable int64 → to_numpy would
+        # silently convert to float64/NaN (ids only exact below 2⁵³)
         return pa.table(
             {
+                "part": _part_of(b.column("user_id")),
                 "key": b.column("user_id"),
                 "ts": pc.cast(b.column("ts"), pa.int64()),
-                "tag": pa.array(np.zeros(n, dtype=np.int8)),
+                "tag": pa.array(np.ones(n, dtype=np.int8)),
                 "event_id": b.column("event_id"),
-                "o_orderkey": pa.nulls(n, pa.int64()),
+                "o_orderkey": pa.array(np.full(n, -1, dtype=np.int64)),
             }
         )
 
@@ -489,10 +563,11 @@ def events_asof_orders(sf_dir: str) -> rd.Dataset:
         n = len(b)
         return pa.table(
             {
+                "part": _part_of(b.column("o_custkey")),
                 "key": b.column("o_custkey"),
                 "ts": pc.cast(b.column("o_orderdate"), pa.int64()),
-                "tag": pa.array(np.ones(n, dtype=np.int8)),
-                "event_id": pa.nulls(n, pa.int64()),
+                "tag": pa.array(np.zeros(n, dtype=np.int8)),
+                "event_id": pa.array(np.full(n, -1, dtype=np.int64)),
                 "o_orderkey": b.column("o_orderkey"),
             }
         )
@@ -501,35 +576,39 @@ def events_asof_orders(sf_dir: str) -> rd.Dataset:
         orders.map_batches(tag_orders, batch_format="pyarrow")
     )
 
-    def asof(group: pa.Table) -> pa.Table:
-        tag = group.column("tag").to_numpy(zero_copy_only=False)
+    def asof_part(group: pa.Table) -> pa.Table:
+        """One hash partition, MANY keys: merge-sort both sides by
+        (key, ts, tag, orderkey) — orders (tag 0) precede events at an
+        equal timestamp, so 'at or before' includes same-day orders and
+        the nearest preceding order row IS the oracle's ORDER BY
+        o_orderdate DESC, o_orderkey DESC LIMIT 1. A reset-aware running
+        maximum replaces the per-key searchsorted."""
+        key = group.column("key").to_numpy(zero_copy_only=False)
         ts = group.column("ts").to_numpy(zero_copy_only=False)
-        ev = tag == 0
-        e_ids = group.column("event_id").to_numpy(zero_copy_only=False)[ev]
-        e_ts = ts[ev]
-        o_keys = group.column("o_orderkey").to_numpy(zero_copy_only=False)[~ev]
-        o_ts = ts[~ev]
-        if len(o_ts):
-            # sort by (date, orderkey): the LAST entry ≤ ts is the max
-            # orderkey of the latest eligible date — the oracle's
-            # ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1
-            order = np.lexsort((o_keys, o_ts))
-            o_ts, o_keys = o_ts[order], o_keys[order]
-            idx = np.searchsorted(o_ts, e_ts, side="right") - 1
-            matched = np.where(idx >= 0, o_keys[np.maximum(idx, 0)], -1)
-        else:
-            matched = np.full(len(e_ts), -1)
-        out_keys = pa.array(
-            [int(m) if m >= 0 else None for m in matched], pa.int64()
-        )
+        tag = group.column("tag").to_numpy(zero_copy_only=False)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        okey = group.column("o_orderkey").to_numpy(zero_copy_only=False)
+        order = np.lexsort((okey, tag, ts, key))
+        k, t, tg, e, o = key[order], ts[order], tag[order], eid[order], okey[order]
+        n = len(k)
+        idx = np.arange(n)
+        is_order = tg == 0
+        last_o = np.maximum.accumulate(np.where(is_order, idx, -1))
+        ev = ~is_order
+        pos = last_o[ev]
+        safe = np.maximum(pos, 0)
+        valid = (pos >= 0) & (k[safe] == k[ev])
+        matched = pa.array(np.where(valid, o[safe], -1), pa.int64())
         return pa.table(
             {
-                "event_id": pa.array(e_ids.astype(np.int64), pa.int64()),
-                "o_orderkey": out_keys,
+                "event_id": pa.array(e[ev], pa.int64()),
+                "o_orderkey": pc.if_else(
+                    pa.array(valid), matched, pa.scalar(None, pa.int64())
+                ),
             }
         )
 
-    return both.groupby("key").map_groups(asof, batch_format="pyarrow")
+    return both.groupby("part").map_groups(asof_part, batch_format="pyarrow")
 
 
 EVENTS_ASOF_SQL = """
@@ -559,49 +638,87 @@ def orders_events_window(sf_dir: str) -> rd.Dataset:
         columns=["o_orderkey", "o_custkey", "o_orderdate"],
     )
 
+    window_us = _RANGE_DAYS * 86_400_000_000
+
+    # qt: -1 = event row, 0 = window-start probe, 1 = window-end probe.
+    # Each order contributes TWO probe rows; the in-window count is the
+    # difference of the two prefix counts F(t) = #events with ts < t,
+    # evaluated in ONE merged lexsort pass over all keys of a partition.
     def tag_events(b: pa.Table) -> pa.Table:
         n = len(b)
         return pa.table(
             {
+                "part": _part_of(b.column("user_id")),
                 "key": b.column("user_id"),
                 "ts": pc.cast(b.column("ts"), pa.int64()),
-                "tag": pa.array(np.zeros(n, dtype=np.int8)),
-                "o_orderkey": pa.nulls(n, pa.int64()),
+                "qt": pa.array(np.full(n, -1, dtype=np.int8)),
+                "o_orderkey": pa.array(np.full(n, -1, dtype=np.int64)),
             }
         )
 
     def tag_orders(b: pa.Table) -> pa.Table:
         n = len(b)
-        return pa.table(
+        part = _part_of(b.column("o_custkey"))
+        key = b.column("o_custkey")
+        ts = pc.cast(b.column("o_orderdate"), pa.int64())
+        okey = b.column("o_orderkey")
+        start = pa.table(
             {
-                "key": b.column("o_custkey"),
-                "ts": pc.cast(b.column("o_orderdate"), pa.int64()),
-                "tag": pa.array(np.ones(n, dtype=np.int8)),
-                "o_orderkey": b.column("o_orderkey"),
+                "part": part,
+                "key": key,
+                "ts": ts,
+                "qt": pa.array(np.zeros(n, dtype=np.int8)),
+                "o_orderkey": okey,
             }
         )
+        end = pa.table(
+            {
+                "part": part,
+                "key": key,
+                "ts": pc.add(ts, pa.scalar(window_us, pa.int64())),
+                "qt": pa.array(np.ones(n, dtype=np.int8)),
+                "o_orderkey": okey,
+            }
+        )
+        return pa.concat_tables([start, end])
 
     both = events.map_batches(tag_events, batch_format="pyarrow").union(
         orders.map_batches(tag_orders, batch_format="pyarrow")
     )
-    window_us = _RANGE_DAYS * 86_400_000_000
 
-    def count_window(group: pa.Table) -> pa.Table:
-        tag = group.column("tag").to_numpy(zero_copy_only=False)
+    def count_window_part(group: pa.Table) -> pa.Table:
+        key = group.column("key").to_numpy(zero_copy_only=False)
         ts = group.column("ts").to_numpy(zero_copy_only=False)
-        ev_ts = np.sort(ts[tag == 0])
-        o_keys = group.column("o_orderkey").to_numpy(zero_copy_only=False)[tag == 1]
-        o_ts = ts[tag == 1]
-        lo = np.searchsorted(ev_ts, o_ts, side="left")
-        hi = np.searchsorted(ev_ts, o_ts + window_us, side="left")
+        qt = group.column("qt").to_numpy(zero_copy_only=False)
+        okey = group.column("o_orderkey").to_numpy(zero_copy_only=False)
+        # probes (qt >= 0) sort BEFORE events at an equal timestamp so
+        # F counts strictly-earlier events: start probes include, end
+        # probes exclude boundary events — the [t, t+w) window exactly
+        is_event = qt == -1
+        order = np.lexsort((is_event.astype(np.int8), ts, key))
+        k, t, ev, ok, q = (
+            key[order], ts[order], is_event[order], okey[order], qt[order],
+        )
+        n = len(k)
+        excl = np.cumsum(ev) - ev  # events strictly before each row
+        new_seg = np.empty(n, dtype=bool)
+        if n:
+            new_seg[0] = True
+            new_seg[1:] = k[1:] != k[:-1]
+        seg_start = np.maximum.accumulate(np.where(new_seg, np.arange(n), -1))
+        F = excl - excl[seg_start]  # per-key prefix count at each row
+        q0, q1 = q == 0, q == 1
+        ok0, f0 = ok[q0], F[q0]
+        ok1, f1 = ok[q1], F[q1]
+        s0, s1 = np.argsort(ok0, kind="stable"), np.argsort(ok1, kind="stable")
         return pa.table(
             {
-                "o_orderkey": pa.array(o_keys.astype(np.int64), pa.int64()),
-                "n_events_3d": pa.array((hi - lo).astype(np.int64), pa.int64()),
+                "o_orderkey": pa.array(ok0[s0], pa.int64()),
+                "n_events_3d": pa.array((f1[s1] - f0[s0]).astype(np.int64), pa.int64()),
             }
         )
 
-    return both.groupby("key").map_groups(count_window, batch_format="pyarrow")
+    return both.groupby("part").map_groups(count_window_part, batch_format="pyarrow")
 
 
 ORDERS_EVENTS_WINDOW_SQL = f"""
@@ -649,15 +766,18 @@ FROM part GROUP BY p_brand
 
 
 def supplier_nation_balance(sf_dir: str) -> rd.Dataset:
-    """supplier ⋈ nation ⋈ region via broadcast (all three are small
-    dimension tables — the reference-side of the broadcast pattern)."""
+    """supplier ⋈ nation ⋈ region via broadcast (nation/region are
+    FIXED 25/5-row dimension tables — the broadcast side of the join
+    pattern). The lookup ships as Arrow-friendly arrays once via
+    ``ray.put``; per batch the join is vectorized ``pc.index_in`` +
+    ``take`` — no Python row loop."""
     nat = rd.read_parquet(os.path.join(sf_dir, "nation.parquet")).take_all()
     reg = rd.read_parquet(os.path.join(sf_dir, "region.parquet")).take_all()
     rname = {r["r_regionkey"]: r["r_name"] for r in reg}
-    nation_region = {
-        n["n_nationkey"]: (n["n_name"], rname[n["n_regionkey"]]) for n in nat
-    }
-    lookup_ref = ray.put(nation_region)
+    n_keys = np.array([n["n_nationkey"] for n in nat], dtype=np.int64)
+    n_names = [n["n_name"] for n in nat]
+    r_names = [rname[n["n_regionkey"]] for n in nat]
+    lookup_ref = ray.put((n_keys, n_names, r_names))
 
     ds = rd.read_parquet(
         os.path.join(sf_dir, "supplier.parquet"),
@@ -665,18 +785,16 @@ def supplier_nation_balance(sf_dir: str) -> rd.Dataset:
     )
 
     def partial(batch: pa.Table) -> pa.Table:
-        lookup = ray.get(lookup_ref)
-        keys = batch.column("s_nationkey").to_pylist()
-        hit = [lookup.get(k) for k in keys]  # inner join: None drops below
-        n_names = pa.array([h[0] if h else None for h in hit], pa.string())
-        r_names = pa.array([h[1] if h else None for h in hit], pa.string())
+        keys, names, regions = ray.get(lookup_ref)
+        idx = pc.index_in(batch.column("s_nationkey"), pa.array(keys, pa.int64()))
         t = pa.table(
             {
-                "n_name": n_names,
-                "r_name": r_names,
+                "n_name": pc.take(pa.array(names, pa.string()), idx),
+                "r_name": pc.take(pa.array(regions, pa.string()), idx),
                 "acctbal_cents": _cents(batch.column("s_acctbal")),
             }
         )
+        # inner join: unmatched keys take null names and are dropped
         t = t.filter(pc.is_valid(t.column("n_name")))
         g = t.group_by(["n_name", "r_name"]).aggregate(
             [("acctbal_cents", "sum"), ("acctbal_cents", "count")]
