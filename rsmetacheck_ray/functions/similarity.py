@@ -45,11 +45,17 @@ def _topk_table(
     for qi in range(cos.shape[0]):
         row = cos[qi]
         if len(row) > k:
-            idx = np.argpartition(-row, k)[:k]
+            # widen the selection to ALL boundary ties before the
+            # deterministic sort — a bare argpartition cut can keep an
+            # arbitrary tied vector and diverge from the oracle's
+            # (score DESC, vec_id ASC) tie-break on duplicate vectors
+            part = np.argpartition(-row, k - 1)
+            kth = row[part[k - 1]]
+            cand = np.nonzero(row >= kth)[0]
         else:
-            idx = np.arange(len(row))
+            cand = np.arange(len(row))
         # deterministic order: score desc, then vec_id asc
-        idx = idx[np.lexsort((vids[idx], -row[idx]))]
+        idx = cand[np.lexsort((vids[cand], -row[cand]))][:k]
         out_q.extend([int(qids[qi])] * len(idx))
         out_v.extend(vids[idx].tolist())
         out_c.extend(row[idx].tolist())
@@ -178,9 +184,24 @@ def knn_ivf(
     id_col: str = "vec_id",
     train_sample: int = 2048,
 ) -> rd.Dataset:
-    """Approximate cosine top-k: train codebook on a bounded sample
-    (driver-side, small), search only ``nprobe`` cells per query."""
-    sample = ds.limit(train_sample).take_all()
+    """Approximate cosine top-k: train codebook on a bounded SYSTEMATIC
+    sample drawn across the whole corpus (id % stride == 0 — the
+    orders_systematic_sample pattern), search only ``nprobe`` cells per
+    query. A limit(n) sample would see only the first fragment's
+    distribution and bias the codebook at scale."""
+    n_total = ds.count()
+    stride = max(1, n_total // train_sample)
+
+    def pick(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % stride == 0))
+
+    sample = (
+        ds.select_columns([id_col, "embedding"])
+        .map_batches(pick, batch_format="pyarrow")
+        .limit(train_sample)
+        .take_all()
+    )
     x = _unit(np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in sample]))
     cent = deterministic_kmeans(x, min(n_cells, len(x)))
     local = ds.map_batches(
