@@ -53,7 +53,7 @@ from ..state.manifest import Manifest
 # scrubbed_text dominates and is nulled for dropped rows)
 _DECISION_COLS = ["url", "warc_ts", "lang", "detected_lang", "langid_conf",
                   "bits_per_char", "n_tokens", "n_chars", "keep",
-                  "rule_errors"]
+                  "rule_errors", "evidence_json"]
 
 
 class _RuleStage:
@@ -79,7 +79,7 @@ class _RuleStage:
         pa.set_cpu_count(1)
         import numpy as np
 
-        out = rule_stage_fn(batch, self.cfg)
+        out = rule_stage_fn(batch, self.cfg, with_evidence=True)
         keep = out.column("keep")
         scrubbed = out.column("scrubbed_text")
         if not self.write_dropped_text:
@@ -232,15 +232,23 @@ def evidence_view(out_docs_dir: str) -> rd.Dataset:
     of the reference's per-document JSON-LD assessment files
     (``utils/json_ld_utils.py:447-514``: one CheckResult per fired rule
     with checkId/category/evidence/suggestion). Decodes the written
-    ``rule_bits`` into long format; only flagged docs emit rows."""
+    ``rule_bits`` + ``evidence_json`` into long format; ``evidence``
+    carries the rule's SPECIFIC offending value (matched substring /
+    stat) where the rule provides one, the static suggestion text as
+    fallback. Only flagged docs emit rows."""
     meta = {r.code: (r.severity, r.category, r.suggestion) for r in CATALOG}
 
     def explode(batch: pa.Table) -> pa.Table:
+        import json as _json
+
         import numpy as np
 
         bits = batch.column("rule_bits").to_numpy(zero_copy_only=False)
         urls = batch.column("url").to_pylist()
-        out = {"url": [], "rule": [], "severity": [], "category": [], "suggestion": []}
+        ev_raw = batch.column("evidence_json").to_pylist()
+        ev_maps = [(_json.loads(e) if e else {}) for e in ev_raw]
+        out = {"url": [], "rule": [], "severity": [], "category": [],
+               "evidence": [], "suggestion": []}
         for k, code in enumerate(RULE_CODES):
             hit_rows = np.nonzero((bits >> k) & 1)[0]
             sev, cat, sug = meta[code]
@@ -249,12 +257,13 @@ def evidence_view(out_docs_dir: str) -> rd.Dataset:
                 out["rule"].append(code)
                 out["severity"].append(sev)
                 out["category"].append(cat)
+                out["evidence"].append(ev_maps[i].get(code, sug))
                 out["suggestion"].append(sug)
         return pa.table(
             {k: pa.array(v, pa.string()) for k, v in out.items()}
         )
 
-    ds = rd.read_parquet(out_docs_dir, columns=["url", "rule_bits"])
+    ds = rd.read_parquet(out_docs_dir, columns=["url", "rule_bits", "evidence_json"])
     return ds.map_batches(explode, batch_format="pyarrow")
 
 

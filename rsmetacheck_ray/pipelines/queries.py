@@ -33,13 +33,29 @@ from ..stages import multimodal as mm
 from ..stages.skew import HOST_COUNTS_SQL_TEMPLATE
 from ..stages.rules import (
     ARCHIVE_RE,
+    AUTHORS_LINE_RE,
     BARE_DOI_RE,
+    CITE_DOI_RE,
+    CITE_LINE_RE,
+    CONTRIB_LINE_RE,
     DEAD_PATH_RE,
+    DUAL_LIC_RE,
     HOMEPAGE_RE,
+    ID_LINE_RE,
+    ID_VALID_RE,
+    LIC_EXEMPT_RE,
+    LIC_FAMILY_RE,
+    LIC_LOCAL_RE,
+    LIC_URL_RE,
+    LIC_VERSIONED_RE,
+    MULTI_LIC_DECL_RE,
+    REQ_NOVER_RE,
     SCRUBS,
     SHORTHAND_RE,
+    STATUS_URL_RE,
     SWHID_RE,
     PLACEHOLDER_RE,
+    URL_ANY_RE,
 )
 from . import relational as rel
 from .quality_gate import build_gate
@@ -245,6 +261,45 @@ SELECT doc_id, n_tokens, n_chars, detected_lang,
   (lang IN ('en','fr','es','de','zh') AND detected_lang IN ('en','fr','es','de','zh')
    AND lang != detected_lang) AS hit_lang_mismatch
 FROM det
+"""
+
+
+def q_gate_meta_flags(sf_dir: str):
+    out = _gated(sf_dir)
+    return out.select_columns(
+        ["doc_id", "hit_local_file_license", "hit_citation_incomplete",
+         "hit_license_no_version", "hit_author_count_mismatch",
+         "hit_dual_license_untracked", "hit_requirement_no_version",
+         "hit_identifier_not_id", "hit_status_url"]
+    )
+
+
+def _sql_gate_meta() -> str:
+    def m(pat: str) -> str:
+        return f"regexp_matches(text, '{pat.replace(chr(39), chr(39) * 2)}')"
+
+    # the \n-free named groups confuse nothing, but DuckDB's
+    # regexp_matches has no group use anyway — strip the names
+    authors = AUTHORS_LINE_RE.replace("(?P<v>", "(")
+    contribs = CONTRIB_LINE_RE.replace("(?P<v>", "(")
+    return f"""
+WITH pages AS ({{pages}})
+SELECT doc_id,
+  ({m(LIC_LOCAL_RE)} AND NOT {m(LIC_URL_RE)}) AS hit_local_file_license,
+  ({m(CITE_LINE_RE)} AND {m(BARE_DOI_RE)} AND NOT {m(CITE_DOI_RE)})
+    AS hit_citation_incomplete,
+  ({m(LIC_FAMILY_RE)} AND NOT {m(LIC_VERSIONED_RE)} AND NOT {m(LIC_EXEMPT_RE)})
+    AS hit_license_no_version,
+  ({m(authors)} AND {m(contribs)} AND
+   len(regexp_extract_all(regexp_extract(text, '{authors.replace(chr(39), chr(39) * 2)}', 1), ','))
+   != len(regexp_extract_all(regexp_extract(text, '{contribs.replace(chr(39), chr(39) * 2)}', 1), ',')))
+    AS hit_author_count_mismatch,
+  ({m(DUAL_LIC_RE)} AND NOT {m(MULTI_LIC_DECL_RE)}) AS hit_dual_license_untracked,
+  {m(REQ_NOVER_RE)} AS hit_requirement_no_version,
+  ({m(ID_LINE_RE)} AND NOT {m(ID_VALID_RE)} AND ({m(BARE_DOI_RE)} OR {m(URL_ANY_RE)}))
+    AS hit_identifier_not_id,
+  {m(STATUS_URL_RE)} AS hit_status_url
+FROM pages
 """
 
 
@@ -605,6 +660,10 @@ def registry() -> dict[str, tuple]:
         "gate_shape_lang_flags": (
             q_gate_shape_lang_flags,
             SQL_GATE_SHAPE.replace("{pages}", pages),
+        ),
+        "gate_meta_flags": (
+            q_gate_meta_flags,
+            _sql_gate_meta().replace("{pages}", pages),
         ),
         "gate_decisions": (q_gate_decisions, None),  # needs LM scoring
         # dedup family

@@ -37,7 +37,9 @@ EPOCH_US = 1_672_531_200_000_000  # 2023-01-01T00:00:00Z
 TS_STEP_S = 137
 
 INJECT_MOD = 13
-# residue -> appended trigger suffix (absent residues append nothing)
+# residue -> appended trigger suffix (absent residues append nothing).
+# 0-6 exercise the content/scrub family; 7-12 exercise the metadata-
+# declaration family (P006/P007/P013/P019/W003/W004/W006/W009 recasts).
 INJECTIONS: dict[int, str] = {
     0: " contact alice@example.org now.",
     1: " call +1-555-123-4567 now.",
@@ -46,6 +48,13 @@ INJECTIONS: dict[int, str] = {
     4: " see 10.5281/zenodo.12345 here.",
     5: " id swh:1:rev:0123456789abcdef0123456789abcdef01234567 ok.",
     6: " utterly hellspawn behavior.",
+    7: "\nLicense: ./LICENSE.md",
+    8: "\nLicense: GPL",
+    9: "\nCite: the software paper\nsee 10.5281/zenodo.424242 online.",
+    10: "\nthis project is dual licensed\nLicense: MIT",
+    11: "\nRequires: numpy\nStatus: https://www.repostatus.org/#active",
+    12: "\nIdentifier: my nice package\nAuthors: ann, bob, cid\n"
+        "Contributors: dee, eli\nsee https://example.org/pkg now.",
 }
 
 URL_MOD = 11

@@ -39,6 +39,25 @@ Rule → reference mapping (what each rule recasts):
  - ``outdated_ts``           ← W002 >1-day staleness (``w002.py:104-146``)
  - ``pii_email``/``pii_phone``/``pii_ip``/``toxicity`` ← scrub rules
    (regex-scan pattern of ``p002.py:37-59``)
+ - ``local_file_license``    ← P006 license-is-a-local-file classifier
+   (``p006.py:4-37``), over in-page ``License:`` declaration lines
+ - ``citation_incomplete``   ← P007 cross-file completeness
+   (``p007.py:4-50``): a citation section exists and a DOI exists
+   elsewhere in the document, but the citation line lacks it
+ - ``license_no_version``    ← P013 versioned-family-without-version
+   regex table + exemptions (``p013.py:6-68``)
+ - ``author_count_mismatch`` ← P019 pairwise source count inconsistency
+   (``p019.py:69-145``): Authors: vs Contributors: list length
+   disagreement — the second cross-source consistency rule (the
+   P016/P017 two-source compare shape)
+ - ``dual_license_untracked``← W003 dual-license indicator while the
+   declaration lists only one (``w003.py:5-64``)
+ - ``requirement_no_version``← W004 unversioned requirement entries
+   (``w004.py:3-50``), over ``Requires:`` lines
+ - ``identifier_not_id``     ← W006 name-instead-of-identifier while a
+   valid one exists elsewhere (``w006.py:73-155``)
+ - ``status_url``            ← W009 development-status-is-a-URL
+   (``w009.py:5-63``), over ``Status:`` lines
 """
 
 from __future__ import annotations
@@ -92,6 +111,47 @@ NAV_RE = r"(?i)home \| about|\| contact|\| privacy|\| terms"
 MULTI_VALUE_RE = r"[,;]|\[|\]| and "
 LAST_UPDATED_RE = r"Last updated: (?P<d>\d{4}-\d{2}-\d{2})"
 
+# --- metadata-declaration line rules (P006/P007/P013/P019/W003/W004/
+# W006/W009 recasts). RE2 has no lookahead, so each rule is a positive
+# match minus explicit negative matches — mirrored 1:1 in the DuckDB
+# oracle as regexp_matches(...) AND NOT regexp_matches(...). ---
+
+# P006 p006.py:4-37 — license declaration points at a local file
+LIC_URL_RE = r"(?m)^License: https?://"
+LIC_LOCAL_RE = (
+    r"(?m)^License: (?:\.{1,2}/[^\n]*|[^\n]*[/\\][^\n]*|[^\n]*\.(?:md|txt|rst)"
+    r"|(?i:licen[cs]e|copying|copyright))$"
+)
+# P013 p013.py:29-37 — versioned license family named without a version
+LIC_FAMILY_RE = r"(?m)^License: [^\n]*\b(?i:AGPL|LGPL|GPL|Apache|CC[- ]BY|BSD)\b"
+LIC_VERSIONED_RE = (
+    r"(?m)^License: [^\n]*(?:\b(?i:AGPL|LGPL|GPL|Apache)[- ]?\d(?:\.\d+)?"
+    r"|\b(?i:CC[- ]BY)[- ]?\d(?:\.\d+)?|\b(?i:BSD)[- ]\d[- ](?i:Clause))"
+)
+LIC_EXEMPT_RE = r"(?m)^License: [^\n]*(?:0BSD|(?i:LICENSEREF-))"
+# P007 p007.py:4-50 — citation line present, DOI elsewhere, not cited
+CITE_LINE_RE = r"(?m)^Cite: "
+CITE_DOI_RE = r"(?m)^Cite: [^\n]*\b10\.\d{4,9}/"
+# P019 p019.py:69-145 — author-list length disagreement across sources
+AUTHORS_LINE_RE = r"(?m)^Authors: (?P<v>[^\n]*)"
+CONTRIB_LINE_RE = r"(?m)^Contributors: (?P<v>[^\n]*)"
+# W003 w003.py:24-34 — dual-license indicators
+DUAL_LIC_RE = (
+    r"(?i:dual[\s-]?licen[cs]ed?|dually[\s-]?licen[cs]ed?"
+    r"|multiple[\s-]?licen[cs]es?"
+    r"|available under (?:two|multiple|either)[^\n]*licen[cs]es?"
+    r"|choose (?:between|from)[^\n]*licen[cs]e|licen[cs]e options?)"
+)
+MULTI_LIC_DECL_RE = r"(?m)^License: [^\n]*(?:,| or | OR )"
+# W004 w004.py:3-50 — requirement entry with no version digits
+REQ_NOVER_RE = r"(?m)^Requires: [^0-9\n]*$"
+# W006 w006.py:5-43 — identifier that is a name, not a DOI/URL
+ID_LINE_RE = r"(?m)^Identifier: "
+ID_VALID_RE = r"(?m)^Identifier: (?:(?i:doi:)?10\.\d+/|https?://)"
+URL_ANY_RE = r"https?://"
+# W009 w009.py:5-26 — development status value is URL-shaped
+STATUS_URL_RE = r"(?m)^Status: [^\n]*(?:https?://|www\.|\.org|\.com|\.net)"
+
 
 # --------------------------------------------------------------------------
 # rule registry
@@ -115,6 +175,36 @@ class Rule:
 def _matches(ctx: dict, col: str, pattern: str) -> np.ndarray:
     arr = pc.match_substring_regex(ctx[col], pattern)
     return pc.fill_null(arr, False).to_numpy(zero_copy_only=False)
+
+
+def _marker_masked(ctx: dict, marker: str, ignore_case: bool = False):
+    """Text column masked to "" where the literal ``marker`` is absent
+    (memmem prefilter, ~10× an RE2 scan), or None when no row has it.
+    Cached per batch so every rule anchored on the same marker shares
+    one scan. Only removes rows the anchored regex could never match,
+    so the DuckDB oracle needs no mirror of the prefilter."""
+    cache = ctx.setdefault("_marker_cache", {})
+    key = (marker, ignore_case)
+    if key not in cache:
+        has = pc.fill_null(
+            pc.match_substring(ctx["text"], marker, ignore_case=ignore_case), False
+        )
+        if pc.any(has).as_py():
+            cache[key] = pc.if_else(has, ctx["text"], pa.scalar("", pa.string()))
+        else:
+            cache[key] = None
+    return cache[key]
+
+
+def _marker_matches(
+    ctx: dict, marker: str, pattern: str, ignore_case: bool = False
+) -> np.ndarray:
+    masked = _marker_masked(ctx, marker, ignore_case)
+    if masked is None:
+        return np.zeros(len(ctx["n_tokens"]), dtype=bool)
+    return pc.fill_null(pc.match_substring_regex(masked, pattern), False).to_numpy(
+        zero_copy_only=False
+    )
 
 
 def _r_empty_text(ctx):
@@ -227,6 +317,163 @@ def _r_scrub(code: str):
     return fn
 
 
+def _r_local_file_license(ctx):
+    # p006.py:4-37 — positive local-file shapes minus the URL shape
+    return _marker_matches(ctx, "License: ", LIC_LOCAL_RE) & ~_marker_matches(
+        ctx, "License: ", LIC_URL_RE
+    )
+
+
+def _r_citation_incomplete(ctx):
+    # p007.py:44-48: reference exists (DOI anywhere) AND the citation
+    # section exists AND the citation line itself lacks the reference
+    doi_any = _marker_matches(ctx, "10.", BARE_DOI_RE)
+    return (
+        _marker_matches(ctx, "Cite: ", CITE_LINE_RE)
+        & doi_any
+        & ~_marker_matches(ctx, "Cite: ", CITE_DOI_RE)
+    )
+
+
+def _r_license_no_version(ctx):
+    # p013.py:29-68: family named, no version token, minus exemptions
+    return (
+        _marker_matches(ctx, "License: ", LIC_FAMILY_RE)
+        & ~_marker_matches(ctx, "License: ", LIC_VERSIONED_RE)
+        & ~_marker_matches(ctx, "License: ", LIC_EXEMPT_RE)
+    )
+
+
+def _r_author_count_mismatch(ctx):
+    # p019.py:69-145: list lengths disagree across two sources; the
+    # comma count of each line IS count-1, so counts differ iff comma
+    # counts differ
+    has_a = _marker_matches(ctx, "Authors: ", AUTHORS_LINE_RE)
+    has_c = _marker_matches(ctx, "Contributors: ", CONTRIB_LINE_RE)
+    both = has_a & has_c
+    if not both.any():
+        return both
+    text = ctx["text"]
+    a_val = pc.struct_field(pc.extract_regex(text, AUTHORS_LINE_RE), "v")
+    c_val = pc.struct_field(pc.extract_regex(text, CONTRIB_LINE_RE), "v")
+    a_n = pc.fill_null(pc.count_substring(a_val, ","), -1).to_numpy(
+        zero_copy_only=False
+    )
+    c_n = pc.fill_null(pc.count_substring(c_val, ","), -2).to_numpy(
+        zero_copy_only=False
+    )
+    return both & (a_n != c_n)
+
+
+def _r_dual_license_untracked(ctx):
+    # w003.py:24-62: dual-license wording while the declaration lists
+    # at most one license
+    return _marker_matches(ctx, "icen", DUAL_LIC_RE, ignore_case=True) & ~_marker_matches(
+        ctx, "License: ", MULTI_LIC_DECL_RE
+    )
+
+
+def _r_requirement_no_version(ctx):
+    # w004.py:33-50: a requirement entry whose value has no version digits
+    return _marker_matches(ctx, "Requires: ", REQ_NOVER_RE)
+
+
+def _r_identifier_not_id(ctx):
+    # w006.py:73-155: identifier is a plain name AND a valid DOI/URL
+    # identifier exists elsewhere in the document (the anti-join shape)
+    better = _marker_matches(ctx, "10.", BARE_DOI_RE) | _marker_matches(
+        ctx, "http", URL_ANY_RE
+    )
+    return (
+        _marker_matches(ctx, "Identifier: ", ID_LINE_RE)
+        & ~_marker_matches(ctx, "Identifier: ", ID_VALID_RE)
+        & better
+    )
+
+
+def _r_status_url(ctx):
+    # w009.py:5-26 is_url over the development-status value
+    return _marker_matches(ctx, "Status: ", STATUS_URL_RE)
+
+
+# --------------------------------------------------------------------------
+# per-rule evidence providers — the analog of the reference's
+# CheckResult payloads (utils/json_ld_utils.py:447-493: each fired rule
+# carries the specific offending value, not just the fact it fired)
+# --------------------------------------------------------------------------
+
+_EVIDENCE_MAX_CHARS = 160
+
+
+def _ev_first(col: str, pattern: str):
+    """Evidence = first regex match in ``col`` — extracted only over
+    rows where the rule fired (masked to null elsewhere, so the RE2
+    pass touches fired bytes only)."""
+
+    def ev(ctx, fired: np.ndarray):
+        src = ctx[col]
+        masked = pc.if_else(pa.array(fired), src, pa.scalar(None, pa.string()))
+        ex = pc.extract_regex(masked, f"(?P<m>{pattern})")
+        return pc.struct_field(ex, "m").to_pylist()
+
+    return ev
+
+
+def _ev_fmt(fmt: Callable[[dict, int], str]):
+    """Evidence = formatted stats values, computed per fired row only."""
+
+    def ev(ctx, fired: np.ndarray):
+        vals: list = [None] * len(fired)
+        for i in np.nonzero(fired)[0]:
+            vals[i] = fmt(ctx, int(i))
+        return vals
+
+    return ev
+
+
+EVIDENCE: dict[str, Callable] = {
+    "too_short": _ev_fmt(lambda c, i: f"n_tokens={c['n_tokens'][i]}"),
+    "too_long": _ev_fmt(lambda c, i: f"n_tokens={c['n_tokens'][i]}"),
+    "stopword_ratio_low": _ev_fmt(
+        lambda c, i: f"stopword_ratio={c['stopword_hits'][i] / max(c['n_tokens_scan'][i], 1):.4f}"
+    ),
+    "symbol_ratio_high": _ev_fmt(
+        lambda c, i: f"symbol_ratio={c['symbol_chars'][i] / max(c['n_chars'][i], 1):.4f}"
+    ),
+    "repetition": _ev_fmt(
+        lambda c, i: f"top_bigram_frac={c['top_bigram_frac'][i]:.3f},"
+        f"dup_line_frac={c['dup_line_frac'][i]:.3f}"
+    ),
+    "boilerplate_only": _ev_first("text", COPYRIGHT_RE + "|" + NAV_RE),
+    "template_placeholder": _ev_first("text", PLACEHOLDER_RE),
+    "lang_mismatch": _ev_fmt(
+        lambda c, i: f"declared={c['declared'][i]},detected={c['detected'][i]}"
+    ),
+    "perplexity_high": _ev_fmt(
+        lambda c, i: f"bits_per_char={c['bits_per_char'][i]:.3f}"
+    ),
+    "dead_url_pattern": _ev_first("url", DEAD_PATH_RE),
+    "homepage_url": _ev_first("url", HOMEPAGE_RE),
+    "archive_url": _ev_first("url", ARCHIVE_RE),
+    "shorthand_url": _ev_first("url", SHORTHAND_RE),
+    "bare_identifier": _ev_first("text", BARE_DOI_RE + "|" + SWHID_RE),
+    "multi_value_field": _ev_fmt(lambda c, i: f"lang={c['declared'][i]}"),
+    "outdated_ts": _ev_fmt(lambda c, i: f"stale_days={c['stale_days'][i]:.1f}"),
+    "pii_email": _ev_first("text", EMAIL_RE),
+    "pii_phone": _ev_first("text", PHONE_RE),
+    "pii_ip": _ev_first("text", IP_RE),
+    "toxicity": _ev_first("text", TOX_RE),
+    "local_file_license": _ev_first("text", r"(?m)^License: [^\n]*"),
+    "citation_incomplete": _ev_first("text", r"(?m)^Cite: [^\n]*"),
+    "license_no_version": _ev_first("text", r"(?m)^License: [^\n]*"),
+    "author_count_mismatch": _ev_first("text", r"(?m)^Authors: [^\n]*"),
+    "dual_license_untracked": _ev_first("text", DUAL_LIC_RE),
+    "requirement_no_version": _ev_first("text", r"(?m)^Requires: [^\n]*"),
+    "identifier_not_id": _ev_first("text", r"(?m)^Identifier: [^\n]*"),
+    "status_url": _ev_first("text", r"(?m)^Status: [^\n]*"),
+}
+
+
 # Stable catalog order (the reference's registration order semantics,
 # detect_pitfalls_main.py:281-311).
 CATALOG: list[Rule] = [
@@ -251,6 +498,24 @@ CATALOG: list[Rule] = [
     Rule("pii_phone", "flag", "pii", _r_scrub("pii_phone"), "phone number scrubbed"),
     Rule("pii_ip", "flag", "pii", _r_scrub("pii_ip"), "IP address scrubbed"),
     Rule("toxicity", "flag", "toxicity", _r_scrub("toxicity"), "toxic term masked"),
+    # metadata-declaration family (P006/P007/P013/P019/W003/W004/W006/
+    # W009 recasts — appended, preserving the catalog order above)
+    Rule("local_file_license", "flag", "metadata", _r_local_file_license,
+         "license declaration points at a local file, not a license name"),
+    Rule("citation_incomplete", "flag", "metadata", _r_citation_incomplete,
+         "citation line omits the DOI present elsewhere in the document"),
+    Rule("license_no_version", "flag", "metadata", _r_license_no_version,
+         "versioned license family named without a version"),
+    Rule("author_count_mismatch", "flag", "consistency", _r_author_count_mismatch,
+         "Authors: and Contributors: lists disagree in length"),
+    Rule("dual_license_untracked", "flag", "metadata", _r_dual_license_untracked,
+         "dual-license wording but only one license declared"),
+    Rule("requirement_no_version", "flag", "metadata", _r_requirement_no_version,
+         "requirement entry has no version pin"),
+    Rule("identifier_not_id", "flag", "metadata", _r_identifier_not_id,
+         "identifier is a name while a DOI/URL identifier exists elsewhere"),
+    Rule("status_url", "flag", "metadata", _r_status_url,
+         "development status value is a URL"),
 ]
 
 RULE_CODES = [r.code for r in CATALOG]
@@ -392,13 +657,19 @@ def apply_scrub(text: pa.Array) -> pa.Array:
 # --------------------------------------------------------------------------
 
 def rule_stage_fn(
-    batch: pa.Table, cfg: GateConfig = DEFAULT_CONFIG, with_rule_hits: bool = False
+    batch: pa.Table, cfg: GateConfig = DEFAULT_CONFIG,
+    with_rule_hits: bool = False, with_evidence: bool = False,
 ) -> pa.Table:
     """map_batches fn: evaluates the whole catalog, appends per-rule
     ``hit_<code>`` bool columns, ``keep``, ``scrubbed_text`` and
-    ``rule_errors`` (plus the ``rule_hits`` evidence list-of-struct
-    when ``with_rule_hits`` — skipped in the hot path: building the
-    per-row Python dicts costs more than every rule combined)."""
+    ``rule_errors``. ``with_evidence`` additionally emits an
+    ``evidence_json`` string column carrying each fired rule's specific
+    offending value (the CheckResult payload of
+    ``utils/json_ld_utils.py:447-493``) — cost is bounded by fired
+    rows: regex evidence extraction runs over null-masked columns.
+    ``with_rule_hits`` emits the long-form ``rule_hits`` list-of-struct
+    (evidence sink only — the per-row Python dicts cost more than every
+    rule combined, so the hot path skips it)."""
     n = len(batch)
     ctx = build_context(batch, cfg)
 
@@ -416,22 +687,54 @@ def rule_stage_fn(
         drop |= fired[code]
     keep = ~drop
 
+    payload: dict[str, list] = {}
+    if with_evidence or with_rule_hits:
+        for rule in CATALOG:
+            evfn = EVIDENCE.get(rule.code)
+            if evfn is None or not fired[rule.code].any():
+                continue
+            try:
+                vals = evfn(ctx, fired[rule.code])
+                payload[rule.code] = [
+                    v[:_EVIDENCE_MAX_CHARS] if isinstance(v, str) else v
+                    for v in vals
+                ]
+            except Exception as exc:  # same isolation discipline as rules
+                errors.append(f"evidence:{rule.code}: {type(exc).__name__}: {exc}")
+
     scrubbed = apply_scrub(ctx["text"])
 
     out = batch
     for code in RULE_CODES:
         out = out.append_column(f"hit_{code}", pa.array(fired[code]))
     out = out.append_column("keep", pa.array(keep))
+    if with_evidence:
+        import json as _json
+
+        any_fired = np.zeros(n, dtype=bool)
+        for code in RULE_CODES:
+            any_fired |= fired[code]
+        ev_vals: list = [None] * n
+        for i in np.nonzero(any_fired)[0]:
+            d = {
+                c: payload[c][i]
+                for c in payload
+                if fired[c][i] and payload[c][i] is not None
+            }
+            if d:
+                ev_vals[i] = _json.dumps(d, sort_keys=True)
+        out = out.append_column("evidence_json", pa.array(ev_vals, pa.string()))
     if with_rule_hits:
         # rule_hits list<struct> in catalog order (evidence sink only)
         sev = {r.code: r.severity for r in CATALOG}
         hits_col: list[list[dict]] = [[] for _ in range(n)]
         for rule in CATALOG:
             f = fired[rule.code]
+            pl = payload.get(rule.code)
             for i in np.nonzero(f)[0]:
+                ev = pl[i] if pl is not None and pl[i] is not None else rule.suggestion
                 hits_col[i].append(
-                    {"rule": rule.code, "severity": sev[rule.code],
-                     "evidence": rule.suggestion}
+                    {"rule": rule.code, "severity": sev[rule.code], "evidence": ev}
                 )
         out = out.append_column("rule_hits", pa.array(hits_col, RULE_HITS_TYPE))
     out = out.append_column("scrubbed_text", scrubbed)

@@ -157,6 +157,18 @@ def test_kept_and_evidence_views(gate_output):
         assert counts.get(code, 0) == rec["count"], code
     assert set(ev["severity"]) <= {"drop", "flag"}
     assert (ev["suggestion"].str.len() > 0).all()
+    # rule-specific payloads (the CheckResult analog): evidence carries
+    # the OFFENDING VALUE, not the static suggestion, for rules that
+    # extract one — e.g. every pii_email row shows an actual address
+    # and every too_short row shows the actual token count
+    assert (ev["evidence"].str.len() > 0).all()
+    pii = ev[ev["rule"] == "pii_email"]
+    if len(pii):
+        assert pii["evidence"].str.contains("@").all()
+        assert (pii["evidence"] != pii["suggestion"]).all()
+    short = ev[ev["rule"] == "too_short"]
+    if len(short):
+        assert short["evidence"].str.match(r"n_tokens=\d+").all()
 
 
 def test_gate_emits_dedup_keys(gate_output):
