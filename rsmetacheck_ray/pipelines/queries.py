@@ -28,7 +28,7 @@ import ray.data as rd
 
 from ..functions import dedup as dd
 from ..functions import similarity as sim
-from ..sources.pages_from_documents import pages_cte, synthesize_pages
+from ..sources.pages_from_documents import pages_cte, synthesize_pages, trigger_table
 from ..stages import multimodal as mm
 from ..stages.skew import HOST_COUNTS_SQL_TEMPLATE
 from ..stages.rules import (
@@ -70,9 +70,15 @@ def _documents(sf_dir: str, columns: list[str] | None = None) -> rd.Dataset:
     )
 
 
-def _gated(sf_dir: str) -> rd.Dataset:
+def _pages_input(sf_dir: str) -> rd.Dataset:
+    """documents ∪ planted trigger rows — the same union the SQL
+    pages CTE applies, so every rule is exercised non-vacuously."""
     ds = _documents(sf_dir, ["doc_id", "text", "lang"])
-    pages = ds.map_batches(synthesize_pages, batch_format="pyarrow")
+    return ds.union(rd.from_arrow(trigger_table()))
+
+
+def _gated(sf_dir: str) -> rd.Dataset:
+    pages = _pages_input(sf_dir).map_batches(synthesize_pages, batch_format="pyarrow")
     return build_gate(pages, write_dropped_text=True, expose_flags=True)
 
 
@@ -310,6 +316,125 @@ def q_gate_decisions(sf_dir: str):
     )
 
 
+_DROP_NOLM_CODES = [
+    "empty_text", "too_short", "too_long", "stopword_ratio_low",
+    "symbol_ratio_high", "repetition", "boilerplate_only",
+    "template_placeholder", "lang_mismatch", "dead_url_pattern",
+]
+
+
+def q_gate_drop_vector(sf_dir: str):
+    """The flagship decision, oracle-checked: every drop rule EXCEPT
+    the LM perplexity gate (genuinely non-SQL), plus the previously
+    un-oracled hit columns (empty/repetition/boilerplate/multi-value/
+    outdated). ``drop_nolm`` is the composite non-LM drop vector —
+    rows where it's false and the LM doesn't fire are exactly the kept
+    rows, so this pins the keep decision up to the one model rule."""
+    out = _gated(sf_dir)
+
+    def compose(b: pa.Table) -> pa.Table:
+        acc = np.zeros(len(b), dtype=bool)
+        for c in _DROP_NOLM_CODES:
+            acc |= b.column(f"hit_{c}").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "hit_empty_text": b.column("hit_empty_text"),
+                "hit_repetition": b.column("hit_repetition"),
+                "hit_boilerplate_only": b.column("hit_boilerplate_only"),
+                "hit_multi_value_field": b.column("hit_multi_value_field"),
+                "hit_outdated_ts": b.column("hit_outdated_ts"),
+                "drop_nolm": pa.array(acc),
+            }
+        )
+
+    return out.map_batches(compose, batch_format="pyarrow")
+
+
+def _sql_gate_drop_vector() -> str:
+    from ..stages.rules import (
+        COPYRIGHT_RE,
+        MULTI_VALUE_RE,
+        NAV_RE,
+    )
+
+    def esc(p: str) -> str:
+        return p.replace("'", "''")
+
+    stopword = """
+  (CASE
+     WHEN detected_lang = 'en' THEN
+       n_tokens >= 8 AND CAST(en_hits AS DOUBLE) / CAST(greatest(n_tokens_scan, 1) AS DOUBLE) < 0.05
+     WHEN detected_lang = 'und' AND lang IN ('en','fr','es','de') THEN
+       n_tokens >= 8 AND
+       CAST(CASE WHEN lang = 'en' THEN en_hits ELSE 0 END AS DOUBLE)
+         / CAST(greatest(n_tokens_scan, 1) AS DOUBLE) < 0.05
+     ELSE FALSE
+   END)"""
+    lang_mismatch = """
+  (lang IN ('en','fr','es','de','zh') AND detected_lang IN ('en','fr','es','de','zh')
+   AND lang != detected_lang)"""
+    # repetition mirrors stages/rules._bigram_line_stats exactly:
+    # whitespace tokens, first 512 after the >=4 check, adjacent-pair
+    # histogram max over (len-1), dup-line fraction over \n lines
+    return f"""
+WITH pages AS ({{pages}}),
+{_FEAT_SQL.strip()},
+rep AS (
+  SELECT doc_id,
+    regexp_extract_all(text, '\\S+')[1:512] AS t,
+    len(regexp_extract_all(text, '\\S+')) AS ntok_full,
+    string_split(text, chr(10)) AS lines,
+    text AS rtext
+  FROM pages
+),
+rep2 AS (
+  SELECT doc_id,
+    CASE WHEN ntok_full >= 4 THEN
+      CAST(list_max(map_values(list_aggregate(
+        list_transform(list_zip(t[1:len(t)-1], t[2:len(t)]),
+                       x -> x[1] || ' ' || x[2]),
+        'histogram'))) AS DOUBLE) / (len(t) - 1)
+    ELSE 0.0 END AS top_bigram_frac,
+    CASE WHEN rtext = '' THEN 0 ELSE len(lines) END AS n_lines,
+    CASE WHEN len(lines) > 1
+         THEN 1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines)
+         ELSE 0.0 END AS dup_line_frac
+  FROM rep
+),
+flags AS (
+  SELECT d.doc_id,
+    (d.n_tokens = 0) AS hit_empty_text,
+    (d.n_tokens > 0 AND d.n_tokens < 8 AND d.detected_lang != 'zh') AS hit_too_short,
+    (d.n_tokens > 200000) AS hit_too_long,
+    {stopword} AS hit_stopword,
+    (d.n_chars > 0 AND CAST(d.symbol_chars AS DOUBLE) / CAST(greatest(d.n_chars, 1) AS DOUBLE) > 0.25)
+      AS hit_symbol,
+    (r.top_bigram_frac > 0.20 OR (r.n_lines >= 4 AND r.dup_line_frac > 0.50))
+      AS hit_repetition,
+    (d.n_tokens > 0 AND r.n_lines <= 3 AND
+     (regexp_matches(d.text, '{esc(COPYRIGHT_RE)}') OR regexp_matches(d.text, '{esc(NAV_RE)}')))
+      AS hit_boilerplate_only,
+    regexp_matches(d.text, '{esc(PLACEHOLDER_RE)}') AS hit_placeholder,
+    {lang_mismatch} AS hit_lang_mismatch,
+    regexp_matches(d.url, '{esc(DEAD_PATH_RE)}') AS hit_dead_url,
+    coalesce(regexp_matches(d.lang, '{esc(MULTI_VALUE_RE)}'), FALSE)
+      AS hit_multi_value_field,
+    coalesce(
+      abs(epoch_us(d.warc_ts) - epoch_us(try_strptime(
+        regexp_extract(d.text, 'Last updated: (\\d{{4}}-\\d{{2}}-\\d{{2}})', 1),
+        '%Y-%m-%d'))) / 86400000000.0 > 1.0, FALSE) AS hit_outdated_ts
+  FROM det d JOIN rep2 r USING (doc_id)
+)
+SELECT doc_id, hit_empty_text, hit_repetition, hit_boilerplate_only,
+  hit_multi_value_field, hit_outdated_ts,
+  (hit_empty_text OR hit_too_short OR hit_too_long OR hit_stopword
+   OR hit_symbol OR hit_repetition OR hit_boilerplate_only
+   OR hit_placeholder OR hit_lang_mismatch OR hit_dead_url) AS drop_nolm
+FROM flags
+"""
+
+
 def q_doc_stats(sf_dir: str):
     ds = _documents(sf_dir, ["doc_id", "text"])
 
@@ -503,8 +628,7 @@ def q_host_stats(sf_dir: str):
     (stages/skew.py) — the oversized-host skew path of the north rule."""
     from ..stages.skew import salted_host_counts
 
-    ds = _documents(sf_dir, ["doc_id", "text", "lang"])
-    pages = ds.map_batches(synthesize_pages, batch_format="pyarrow")
+    pages = _pages_input(sf_dir).map_batches(synthesize_pages, batch_format="pyarrow")
     return salted_host_counts(pages)
 
 
@@ -666,6 +790,10 @@ def registry() -> dict[str, tuple]:
             _sql_gate_meta().replace("{pages}", pages),
         ),
         "gate_decisions": (q_gate_decisions, None),  # needs LM scoring
+        "gate_drop_vector": (
+            q_gate_drop_vector,
+            _sql_gate_drop_vector().replace("{pages}", pages),
+        ),
         # dedup family
         "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
         "dedup_exact_pairs": (q_dedup_exact_pairs, SQL_DEDUP_EXACT_PAIRS),

@@ -69,6 +69,36 @@ URL_TEMPLATES: dict[int, str] = {
 URL_DEFAULT = "https://site{h}.example.com/articles/page-{d}"
 
 
+# Planted trigger documents, appended to the documents table by BOTH
+# sides of the differential (engine union + SQL UNION ALL), so the
+# rules with no natural trigger in the driver corpus (empty text,
+# repetition, boilerplate, multi-value lang, stale date) are exercised
+# non-vacuously by the oracle. doc_ids sit far above any scale
+# factor's range; residues mod 13 chosen so the injection suffix stays
+# single-line (or, for the empty row, is skipped entirely).
+TRIGGER_ROWS: list[tuple[int, str, str]] = [
+    (10_000_003, "copyright 2019 example corp all rights reserved", "en"),
+    (10_000_004, " ".join(["spam"] * 40), "en"),
+    (10_000_005,
+     "a perfectly ordinary short sentence with the usual words present",
+     "en, fr"),
+    (10_000_006,
+     "Last updated: 2020-01-01 and the rest of this page has the usual "
+     "english words", "en"),
+    (10_000_007, "", "en"),
+]
+
+
+def trigger_table() -> pa.Table:
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in TRIGGER_ROWS], pa.int64()),
+            "text": pa.array([r[1] for r in TRIGGER_ROWS], pa.string()),
+            "lang": pa.array([r[2] for r in TRIGGER_ROWS], pa.string()),
+        }
+    )
+
+
 def _url_from_template(tpl: str, d: pa.Array) -> pa.Array:
     """Render one template over the whole doc_id column, vectorized."""
     h = pc.cast(_mod(d, 50), pa.string())
@@ -111,11 +141,13 @@ def synthesize_pages(batch: pa.Table) -> pa.Table:
         url = pc.if_else(pc.equal(res11, r), _url_from_template(tpl, d), url)
 
     res13 = _mod(d, INJECT_MOD)
+    empty = pc.equal(text, "")
     for r, suffix in INJECTIONS.items():
         appended = pc.binary_join_element_wise(
             text, pa.array([suffix] * len(batch), pa.string()), ""
         )
-        text = pc.if_else(pc.equal(res13, r), appended, text)
+        # empty pages stay empty (the empty_text rule must be reachable)
+        text = pc.if_else(pc.and_(pc.equal(res13, r), pc.invert(empty)), appended, text)
 
     warc_us = pc.add(
         pc.multiply(pc.cast(d, pa.int64()), TS_STEP_S * 1_000_000), EPOCH_US
@@ -172,12 +204,20 @@ def _sql_text_expr() -> str:
         )
         for r, s in INJECTIONS.items()
     )
-    return f"CASE {cases}\n      ELSE text END"
+    return f"CASE WHEN text = '' THEN text {cases}\n      ELSE text END"
 
 
 def pages_cte() -> str:
     """The synthesis as a DuckDB CTE body over the ``documents`` view —
-    byte-identical to :func:`synthesize_pages` by construction."""
+    byte-identical to :func:`synthesize_pages` by construction. The
+    source is documents ∪ TRIGGER_ROWS, matching the engine-side
+    :func:`trigger_table` union in the gate queries."""
+    trig = "\n      UNION ALL ".join(
+        "SELECT {i} AS doc_id, '{t}' AS text, '{l}' AS lang".format(
+            i=i, t=t.replace("'", "''"), l=l.replace("'", "''")
+        )
+        for i, t, l in TRIGGER_ROWS
+    )
     return f"""
     SELECT
       doc_id,
@@ -186,5 +226,8 @@ def pages_cte() -> str:
         + doc_id * INTERVAL {TS_STEP_S} SECOND AS warc_ts,
       {_sql_text_expr()} AS text,
       lang
-    FROM documents
+    FROM (
+      SELECT doc_id, text, lang FROM documents
+      UNION ALL {trig}
+    ) documents
     """
