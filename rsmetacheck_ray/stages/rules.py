@@ -177,29 +177,34 @@ def _matches(ctx: dict, col: str, pattern: str) -> np.ndarray:
     return pc.fill_null(arr, False).to_numpy(zero_copy_only=False)
 
 
-def _marker_masked(ctx: dict, marker: str, ignore_case: bool = False):
-    """Text column masked to "" where the literal ``marker`` is absent
-    (memmem prefilter, ~10× an RE2 scan), or None when no row has it.
-    Cached per batch so every rule anchored on the same marker shares
-    one scan. Only removes rows the anchored regex could never match,
-    so the DuckDB oracle needs no mirror of the prefilter."""
+# ONE shared prefilter for the whole metadata-declaration family: a
+# single RE2 pass (alternation of anchored literals compiles to an
+# automaton) marks candidate rows; every family regex then runs over
+# the masked column, so non-candidate rows cost ~nothing regardless of
+# how many rules the family grows. Only removes rows no family regex
+# could ever match (each requires one of these anchors), so the DuckDB
+# oracle needs no mirror of the prefilter.
+META_MARKER_RE = (
+    r"(?m)^(?:License|Cite|Authors|Contributors|Requires|Identifier|Status): "
+    r"|(?i:licen)"
+)
+
+
+def _meta_masked(ctx: dict):
     cache = ctx.setdefault("_marker_cache", {})
-    key = (marker, ignore_case)
-    if key not in cache:
+    if "_meta" not in cache:
         has = pc.fill_null(
-            pc.match_substring(ctx["text"], marker, ignore_case=ignore_case), False
+            pc.match_substring_regex(ctx["text"], META_MARKER_RE), False
         )
         if pc.any(has).as_py():
-            cache[key] = pc.if_else(has, ctx["text"], pa.scalar("", pa.string()))
+            cache["_meta"] = pc.if_else(has, ctx["text"], pa.scalar("", pa.string()))
         else:
-            cache[key] = None
-    return cache[key]
+            cache["_meta"] = None
+    return cache["_meta"]
 
 
-def _marker_matches(
-    ctx: dict, marker: str, pattern: str, ignore_case: bool = False
-) -> np.ndarray:
-    masked = _marker_masked(ctx, marker, ignore_case)
+def _meta_matches(ctx: dict, pattern: str) -> np.ndarray:
+    masked = _meta_masked(ctx)
     if masked is None:
         return np.zeros(len(ctx["n_tokens"]), dtype=bool)
     return pc.fill_null(pc.match_substring_regex(masked, pattern), False).to_numpy(
@@ -319,28 +324,28 @@ def _r_scrub(code: str):
 
 def _r_local_file_license(ctx):
     # p006.py:4-37 — positive local-file shapes minus the URL shape
-    return _marker_matches(ctx, "License: ", LIC_LOCAL_RE) & ~_marker_matches(
-        ctx, "License: ", LIC_URL_RE
-    )
+    return _meta_matches(ctx, LIC_LOCAL_RE) & ~_meta_matches(ctx, LIC_URL_RE)
 
 
 def _r_citation_incomplete(ctx):
     # p007.py:44-48: reference exists (DOI anywhere) AND the citation
     # section exists AND the citation line itself lacks the reference
-    doi_any = _marker_matches(ctx, "10.", BARE_DOI_RE)
+    # the DOI-anywhere scan runs over the family-masked column: it
+    # only matters in conjunction with a Cite: line, and any row with
+    # one is fully present in the mask
     return (
-        _marker_matches(ctx, "Cite: ", CITE_LINE_RE)
-        & doi_any
-        & ~_marker_matches(ctx, "Cite: ", CITE_DOI_RE)
+        _meta_matches(ctx, CITE_LINE_RE)
+        & _meta_matches(ctx, BARE_DOI_RE)
+        & ~_meta_matches(ctx, CITE_DOI_RE)
     )
 
 
 def _r_license_no_version(ctx):
     # p013.py:29-68: family named, no version token, minus exemptions
     return (
-        _marker_matches(ctx, "License: ", LIC_FAMILY_RE)
-        & ~_marker_matches(ctx, "License: ", LIC_VERSIONED_RE)
-        & ~_marker_matches(ctx, "License: ", LIC_EXEMPT_RE)
+        _meta_matches(ctx, LIC_FAMILY_RE)
+        & ~_meta_matches(ctx, LIC_VERSIONED_RE)
+        & ~_meta_matches(ctx, LIC_EXEMPT_RE)
     )
 
 
@@ -348,12 +353,12 @@ def _r_author_count_mismatch(ctx):
     # p019.py:69-145: list lengths disagree across two sources; the
     # comma count of each line IS count-1, so counts differ iff comma
     # counts differ
-    has_a = _marker_matches(ctx, "Authors: ", AUTHORS_LINE_RE)
-    has_c = _marker_matches(ctx, "Contributors: ", CONTRIB_LINE_RE)
+    has_a = _meta_matches(ctx, AUTHORS_LINE_RE)
+    has_c = _meta_matches(ctx, CONTRIB_LINE_RE)
     both = has_a & has_c
     if not both.any():
         return both
-    text = ctx["text"]
+    text = _meta_masked(ctx)
     a_val = pc.struct_field(pc.extract_regex(text, AUTHORS_LINE_RE), "v")
     c_val = pc.struct_field(pc.extract_regex(text, CONTRIB_LINE_RE), "v")
     a_n = pc.fill_null(pc.count_substring(a_val, ","), -1).to_numpy(
@@ -368,32 +373,28 @@ def _r_author_count_mismatch(ctx):
 def _r_dual_license_untracked(ctx):
     # w003.py:24-62: dual-license wording while the declaration lists
     # at most one license
-    return _marker_matches(ctx, "icen", DUAL_LIC_RE, ignore_case=True) & ~_marker_matches(
-        ctx, "License: ", MULTI_LIC_DECL_RE
-    )
+    return _meta_matches(ctx, DUAL_LIC_RE) & ~_meta_matches(ctx, MULTI_LIC_DECL_RE)
 
 
 def _r_requirement_no_version(ctx):
     # w004.py:33-50: a requirement entry whose value has no version digits
-    return _marker_matches(ctx, "Requires: ", REQ_NOVER_RE)
+    return _meta_matches(ctx, REQ_NOVER_RE)
 
 
 def _r_identifier_not_id(ctx):
     # w006.py:73-155: identifier is a plain name AND a valid DOI/URL
     # identifier exists elsewhere in the document (the anti-join shape)
-    better = _marker_matches(ctx, "10.", BARE_DOI_RE) | _marker_matches(
-        ctx, "http", URL_ANY_RE
-    )
+    better = _meta_matches(ctx, BARE_DOI_RE) | _meta_matches(ctx, URL_ANY_RE)
     return (
-        _marker_matches(ctx, "Identifier: ", ID_LINE_RE)
-        & ~_marker_matches(ctx, "Identifier: ", ID_VALID_RE)
+        _meta_matches(ctx, ID_LINE_RE)
+        & ~_meta_matches(ctx, ID_VALID_RE)
         & better
     )
 
 
 def _r_status_url(ctx):
     # w009.py:5-26 is_url over the development-status value
-    return _marker_matches(ctx, "Status: ", STATUS_URL_RE)
+    return _meta_matches(ctx, STATUS_URL_RE)
 
 
 # --------------------------------------------------------------------------
