@@ -276,7 +276,7 @@ def q_gate_meta_flags(sf_dir: str):
         ["doc_id", "hit_local_file_license", "hit_citation_incomplete",
          "hit_license_no_version", "hit_author_count_mismatch",
          "hit_dual_license_untracked", "hit_requirement_no_version",
-         "hit_identifier_not_id", "hit_status_url"]
+         "hit_identifier_not_id", "hit_status_url", "hit_version_mismatch"]
     )
 
 
@@ -304,7 +304,12 @@ SELECT doc_id,
   {m(REQ_NOVER_RE)} AS hit_requirement_no_version,
   ({m(ID_LINE_RE)} AND NOT {m(ID_VALID_RE)} AND ({m(BARE_DOI_RE)} OR {m(URL_ANY_RE)}))
     AS hit_identifier_not_id,
-  {m(STATUS_URL_RE)} AS hit_status_url
+  {m(STATUS_URL_RE)} AS hit_status_url,
+  (regexp_matches(text, '(?m)^Version: [0-9]')
+   AND regexp_matches(url, '/v\\d+(?:\\.\\d+)?/')
+   AND regexp_extract(text, '(?m)^Version: ([0-9][0-9.]*)', 1)
+       != regexp_extract(url, '/v(\\d+(?:\\.\\d+)?)/', 1))
+    AS hit_version_mismatch
 FROM pages
 """
 

@@ -49,7 +49,7 @@ INJECTIONS: dict[int, str] = {
     5: " id swh:1:rev:0123456789abcdef0123456789abcdef01234567 ok.",
     6: " utterly hellspawn behavior.",
     7: "\nLicense: ./LICENSE.md",
-    8: "\nLicense: GPL",
+    8: "\nLicense: GPL\nVersion: 7",
     9: "\nCite: the software paper\nsee 10.5281/zenodo.424242 online.",
     10: "\nthis project is dual licensed\nLicense: MIT",
     11: "\nRequires: numpy\nStatus: https://www.repostatus.org/#active",
@@ -65,6 +65,9 @@ URL_TEMPLATES: dict[int, str] = {
     1: "https://docs.example{k}.org/page-{d}",
     2: "https://zenodo.org/record/{d}",
     3: "site{h}.example.com:users/repo{d}.git",
+    # versioned path: the URL-side source for the version_mismatch
+    # (P016/P017) two-source compare; text side is injection residue 8
+    4: "https://site{h}.example.com/v{k}/docs-{d}",
 }
 URL_DEFAULT = "https://site{h}.example.com/articles/page-{d}"
 

@@ -151,6 +151,13 @@ ID_VALID_RE = r"(?m)^Identifier: (?:(?i:doi:)?10\.\d+/|https?://)"
 URL_ANY_RE = r"https?://"
 # W009 w009.py:5-26 — development status value is URL-shaped
 STATUS_URL_RE = r"(?m)^Status: [^\n]*(?:https?://|www\.|\.org|\.com|\.net)"
+# P012/P016/P017 p016.py:24-79, p017.py:59-94 — two normalized version
+# sources disagree: the version segment of the URL vs the in-page
+# Version: declaration
+VERSION_LINE_RE = r"(?m)^Version: (?P<v>[0-9][0-9.]*)"
+VERSION_LINE_HAS_RE = r"(?m)^Version: [0-9]"
+URL_VERSION_RE = r"/v(?P<v>\d+(?:\.\d+)?)/"
+URL_VERSION_HAS_RE = r"/v\d+(?:\.\d+)?/"
 
 
 # --------------------------------------------------------------------------
@@ -185,7 +192,7 @@ def _matches(ctx: dict, col: str, pattern: str) -> np.ndarray:
 # could ever match (each requires one of these anchors), so the DuckDB
 # oracle needs no mirror of the prefilter.
 META_MARKER_RE = (
-    r"(?m)^(?:License|Cite|Authors|Contributors|Requires|Identifier|Status): "
+    r"(?m)^(?:License|Cite|Authors|Contributors|Requires|Identifier|Status|Version): "
     r"|(?i:licen)"
 )
 
@@ -397,6 +404,20 @@ def _r_status_url(ctx):
     return _meta_matches(ctx, STATUS_URL_RE)
 
 
+def _r_version_mismatch(ctx):
+    # p016.py:24-79 / p017.py:59-94: two version sources both present
+    # and disagreeing — the URL's /vN(.M)/ segment vs the page's
+    # Version: line (exact token compare, mirrored 1:1 in SQL)
+    has_line = _meta_matches(ctx, VERSION_LINE_HAS_RE)
+    if not has_line.any():
+        return has_line
+    t_ex = pc.struct_field(pc.extract_regex(_meta_masked(ctx), VERSION_LINE_RE), "v")
+    u_ex = pc.struct_field(pc.extract_regex(ctx["url"], URL_VERSION_RE), "v")
+    both = pc.and_(pc.is_valid(t_ex), pc.is_valid(u_ex))
+    neq = pc.not_equal(t_ex, u_ex)
+    return pc.fill_null(pc.and_(both, neq), False).to_numpy(zero_copy_only=False)
+
+
 # --------------------------------------------------------------------------
 # per-rule evidence providers — the analog of the reference's
 # CheckResult payloads (utils/json_ld_utils.py:447-493: each fired rule
@@ -472,6 +493,7 @@ EVIDENCE: dict[str, Callable] = {
     "requirement_no_version": _ev_first("text", r"(?m)^Requires: [^\n]*"),
     "identifier_not_id": _ev_first("text", r"(?m)^Identifier: [^\n]*"),
     "status_url": _ev_first("text", r"(?m)^Status: [^\n]*"),
+    "version_mismatch": _ev_first("text", r"(?m)^Version: [^\n]*"),
 }
 
 
@@ -517,6 +539,8 @@ CATALOG: list[Rule] = [
          "identifier is a name while a DOI/URL identifier exists elsewhere"),
     Rule("status_url", "flag", "metadata", _r_status_url,
          "development status value is a URL"),
+    Rule("version_mismatch", "flag", "consistency", _r_version_mismatch,
+         "URL version segment disagrees with the declared Version line"),
 ]
 
 RULE_CODES = [r.code for r in CATALOG]

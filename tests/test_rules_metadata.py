@@ -129,6 +129,11 @@ CASES = [
         ],
     ),
     (
+        "version_mismatch",  # p016.py:24-79 / p017.py:59-94
+        [],  # needs a custom url; covered by the dedicated test below
+        [_BASE + "\nVersion: 2.0", _BASE],
+    ),
+    (
         "status_url",  # w009.py:5-26
         [
             _BASE + "\nStatus: https://www.repostatus.org/#active",
@@ -155,3 +160,43 @@ def test_metadata_rules_are_flags_not_drops():
     """The metadata family records but never drops (keep unchanged)."""
     out = _gate_texts([t for _, trig, _ in CASES for t in trig])
     assert all(out.column("keep").to_pylist())
+
+
+def test_version_mismatch_url_vs_text():
+    """P016/P017 two-source compare: URL /vN/ segment vs Version: line."""
+    import pyarrow as pa
+
+    from rsmetacheck_ray.stages.rules import rule_stage_fn
+
+    texts = [
+        _BASE + "\nVersion: 2.0",   # url v3 -> mismatch
+        _BASE + "\nVersion: 3",     # url v3 -> agree
+        _BASE + "\nVersion: 2.0",   # url without version -> no basis
+        _BASE,                       # no Version line
+    ]
+    urls = [
+        "https://site1.example.com/v3/docs-1",
+        "https://site1.example.com/v3/docs-2",
+        "https://site1.example.com/articles/page-3",
+        "https://site1.example.com/v3/docs-4",
+    ]
+    n = len(texts)
+    batch = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "url": pa.array(urls),
+            "warc_ts": pa.array([1_672_531_200_000_000] * n, pa.timestamp("us")),
+            "extracted_text": pa.array(texts),
+            "lang": pa.array(["en"] * n),
+            "n_tokens": pa.array([len(t.split()) for t in texts], pa.int64()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            "n_tokens_scan": pa.array([len(t.split()) for t in texts], pa.int64()),
+            "stopword_hits": pa.array([8] * n, pa.int64()),
+            "stopword_lang": pa.array(["en"] * n),
+            "detected_lang": pa.array(["en"] * n),
+            "langid_conf": pa.array([0.9] * n, pa.float64()),
+            "bits_per_char": pa.array([1.0] * n, pa.float64()),
+        }
+    )
+    out = rule_stage_fn(batch)
+    assert out.column("hit_version_mismatch").to_pylist() == [True, False, False, False]
