@@ -41,7 +41,11 @@ from .hashing import hash_bytes_u64, splitmix64_np
 # ---------------------------------------------------------------------------
 
 N_PERMS = 64
-N_BANDS = 8
+# (b, r) = (16, 4): the LSH collision S-curve crosses ~(1/b)^(1/r) ≈ 0.5
+# — matched to the default min_est_jaccard=0.5, so J≥0.8 near-dups
+# collide in ≥1 band w.p. >0.999 while J≤0.3 pairs rarely do (and the
+# in-bucket signature verification drops any that slip through)
+N_BANDS = 16
 ROWS_PER_BAND = N_PERMS // N_BANDS
 _PERM_SEEDS = np.array(
     [0x9E3779B97F4A7C15 * (k + 1) & ((1 << 64) - 1) for k in range(N_PERMS)],
@@ -49,17 +53,51 @@ _PERM_SEEDS = np.array(
 )
 
 
+def _rotl(x: np.ndarray, r: int) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        return (x << np.uint64(r)) | (x >> np.uint64(64 - r))
+
+
+# Word-hash memo, per worker process: web text is Zipf-distributed, so
+# most words in a batch repeat — one C-speed blake2b per NEW word, an
+# O(1) dict hit otherwise. Bounded; cleared when it outgrows the cap.
+_WORD_HASH_CACHE: dict[str, int] = {}
+_WORD_HASH_CACHE_MAX = 2_000_000
+
+
+def _word_hashes(words) -> np.ndarray:
+    cache = _WORD_HASH_CACHE
+    if len(cache) > _WORD_HASH_CACHE_MAX:
+        cache.clear()
+    out = np.empty(len(words), dtype=np.uint64)
+    for i, w in enumerate(words):
+        h = cache.get(w)
+        if h is None:
+            h = hash_bytes_u64(w.encode("utf-8"))
+            cache[w] = h
+        out[i] = h
+    return out
+
+
+def _combine_shingles(wh: np.ndarray, k: int = 3) -> np.ndarray:
+    """Unique shingle hashes from per-word hashes: adjacent k-tuples
+    combined with order-distinguishing rotations + a splitmix finalize
+    — fully vectorized, no per-shingle byte hashing."""
+    n = len(wh)
+    if n == 0:
+        return np.array([hash_bytes_u64(b"")], dtype=np.uint64)
+    if n < k:
+        acc = np.uint64(0)
+        for j in range(n):
+            acc = acc ^ _rotl(wh[j : j + 1], (13 * j) % 64)[0]
+        return splitmix64_np(np.array([acc], dtype=np.uint64))
+    h = splitmix64_np(wh[: n - 2] ^ _rotl(wh[1 : n - 1], 13) ^ _rotl(wh[2:], 27))
+    return np.unique(h)
+
+
 def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
     """Unique 64-bit hashes of the word k-shingles of one document."""
-    words = text.split()
-    if len(words) < k:
-        data = " ".join(words).encode("utf-8")
-        return np.array([hash_bytes_u64(data)], dtype=np.uint64)
-    hs = {
-        hash_bytes_u64(" ".join(words[i : i + k]).encode("utf-8"))
-        for i in range(len(words) - k + 1)
-    }
-    return np.fromiter(hs, dtype=np.uint64, count=len(hs))
+    return _combine_shingles(_word_hashes(text.split()), k)
 
 
 def minhash_signature(sh: np.ndarray) -> np.ndarray:
@@ -178,24 +216,85 @@ def exact_dedup_pairs(
 
 def _signature_stage(batch: pa.Table, text_col: str, id_col: str) -> pa.Table:
     """Emit one row per (doc, band): the LSH bucketing key plus the full
-    signature for in-bucket verification."""
+    signature for in-bucket verification. The batch vocabulary is
+    hashed ONCE (memoized per worker); shingle and band hashing are
+    vectorized numpy — no per-shingle byte hashing."""
     texts = batch.column(text_col).to_pylist()
     ids = batch.column(id_col).to_pylist()
-    out_id, out_band_key, out_sig = [], [], []
-    for i, t in enumerate(texts):
-        sig = minhash_signature(shingle_hashes(t or ""))
-        sig_bytes = sig.tobytes()
-        for b in range(N_BANDS):
-            band = sig[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]
-            key = hash_bytes_u64(band.tobytes(), seed=b)
-            out_id.append(ids[i])
-            out_band_key.append(np.int64(key.__index__() - (1 << 63)))
-            out_sig.append(sig_bytes)
+    n = len(texts)
+    if n == 0:
+        return pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "band_key": pa.array([], pa.int64()),
+                "signature": pa.array([], pa.binary()),
+            }
+        )
+    words_per_doc = [(t.split() if t else []) for t in texts]
+    lens = np.fromiter((len(w) for w in words_per_doc), dtype=np.int64, count=n)
+    total = int(lens.sum())
+    wh_flat = _word_hashes([w for ws in words_per_doc for w in ws])
+    starts = np.concatenate([[0], np.cumsum(lens)])
+
+    # ONE global shingle-combine pass (boundary-crossing windows masked
+    # out), then one vectorized minhash pass per permutation with
+    # per-doc minima via minimum.reduceat. MinHash minima are invariant
+    # under duplicate shingles, so no per-doc unique is needed — the
+    # scalar path's np.unique only serves set semantics for Jaccard.
+    doc_of_pos = np.repeat(np.arange(n), lens)
+    if total >= 3:
+        sh_flat = splitmix64_np(
+            wh_flat[: total - 2]
+            ^ _rotl(wh_flat[1 : total - 1], 13)
+            ^ _rotl(wh_flat[2:], 27)
+        )
+        valid = doc_of_pos[: total - 2] == doc_of_pos[2:]
+        sh_valid = sh_flat[valid]
+    else:
+        sh_valid = np.empty(0, dtype=np.uint64)
+    short = lens < 3  # docs with <k words use the scalar fold (rare)
+    if short.any():
+        short_idx = np.nonzero(short)[0]
+        short_vals = np.array(
+            [
+                _combine_shingles(wh_flat[starts[i] : starts[i] + lens[i]])[0]
+                for i in short_idx
+            ],
+            dtype=np.uint64,
+        )
+        nonshort_counts = np.where(short, 0, lens - 2)
+        before = np.concatenate([[0], np.cumsum(nonshort_counts)])[:-1]
+        sh_all = np.insert(sh_valid, before[short_idx], short_vals)
+        final_counts = np.where(short, 1, lens - 2)
+    else:
+        sh_all = sh_valid
+        final_counts = lens - 2
+    doc_starts = np.concatenate([[0], np.cumsum(final_counts)])[:-1].astype(np.int64)
+    sigs = np.empty((n, N_PERMS), dtype=np.uint64)
+    for p in range(N_PERMS):
+        mixed = splitmix64_np(sh_all ^ _PERM_SEEDS[p])
+        sigs[:, p] = np.minimum.reduceat(mixed, doc_starts)
+
+    # band keys: one splitmix fold per band across its rows, vectorized
+    # over all docs at once
+    band_keys = np.empty((n, N_BANDS), dtype=np.uint64)
+    for b in range(N_BANDS):
+        band = sigs[:, b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]
+        acc = np.full(n, np.uint64(0x9E3779B97F4A7C15 * (b + 1) & ((1 << 64) - 1)))
+        for r in range(ROWS_PER_BAND):
+            acc = splitmix64_np(acc ^ band[:, r])
+        band_keys[:, b] = acc
+    ids_np = np.asarray(ids, dtype=np.int64)
+    sig_bytes = [s.tobytes() for s in sigs]
     return pa.table(
         {
-            id_col: pa.array(out_id, pa.int64()),
-            "band_key": pa.array(out_band_key, pa.int64()),
-            "signature": pa.array(out_sig, pa.binary()),
+            id_col: pa.array(np.repeat(ids_np, N_BANDS), pa.int64()),
+            "band_key": pa.array(
+                (band_keys.reshape(-1).view(np.int64)), pa.int64()
+            ),
+            "signature": pa.array(
+                [sb for sb in sig_bytes for _ in range(N_BANDS)], pa.binary()
+            ),
         }
     )
 
@@ -207,23 +306,53 @@ def _signature_stage(batch: pa.Table, text_col: str, id_col: str) -> pa.Table:
 MAX_BUCKET_DOCS = 1024
 
 
-def _bucket_pairs(group: pa.Table, id_col: str, min_est_jaccard: float) -> pa.Table:
-    """Within one LSH bucket: candidate pairs whose signature agreement
-    (the minhash Jaccard estimate) clears the threshold. Fully
-    vectorized (one m×m agreement matrix, no Python pair loop) and
-    capped at MAX_BUCKET_DOCS members per bucket."""
+_N_BUCKET_PARTS = 64
+
+
+def _bucket_pairs_part(group: pa.Table, id_col: str, min_est_jaccard: float) -> pa.Table:
+    """One hash PARTITION of buckets (not one bucket): buckets are
+    delimited by sorted band_key boundaries and processed in a bounded
+    Python loop with a vectorized m×m agreement matrix each — the
+    per-tiny-group shuffle/invoke overhead of groupby(band_key) is paid
+    once per partition instead of once per bucket. Hot buckets are
+    capped at MAX_BUCKET_DOCS with a logged truncation."""
+    keys = group.column("band_key").to_numpy(zero_copy_only=False)
     ids = np.asarray(group.column(id_col).to_pylist(), dtype=np.int64)
-    order = np.argsort(ids, kind="stable")
-    if len(order) > MAX_BUCKET_DOCS:
-        print(
-            f"[minhash_lsh] hot bucket truncated: {len(order)} -> "
-            f"{MAX_BUCKET_DOCS} docs (pairs beyond the cap are dropped)"
-        )
-        order = order[:MAX_BUCKET_DOCS]
     sig_list = group.column("signature").to_pylist()
-    ids = ids[order]
-    m = len(ids)
-    if m < 2:
+    order = np.lexsort((ids, keys))
+    keys, ids = keys[order], ids[order]
+    n = len(keys)
+    a_out: list[np.ndarray] = []
+    b_out: list[np.ndarray] = []
+    e_out: list[np.ndarray] = []
+    seg_starts = np.nonzero(np.concatenate([[True], keys[1:] != keys[:-1]]))[0] if n else np.array([], np.int64)
+    seg_ends = np.append(seg_starts[1:], n)
+    for s, e in zip(seg_starts, seg_ends):
+        m = e - s
+        if m < 2:
+            continue
+        if m > MAX_BUCKET_DOCS:
+            print(
+                f"[minhash_lsh] hot bucket truncated: {m} -> "
+                f"{MAX_BUCKET_DOCS} docs (pairs beyond the cap are dropped)"
+            )
+            e = s + MAX_BUCKET_DOCS
+            m = MAX_BUCKET_DOCS
+        sigs = np.stack(
+            [np.frombuffer(sig_list[order[j]], dtype=np.uint64) for j in range(s, e)]
+        )
+        n_perm = sigs.shape[1]
+        agree = np.zeros((m, m), dtype=np.uint16)
+        for p in range(n_perm):
+            col = sigs[:, p]
+            agree += col[:, None] == col[None, :]
+        ai, bj = np.triu_indices(m, 1)
+        est = agree[ai, bj] / float(n_perm)
+        keep = est >= min_est_jaccard
+        a_out.append(ids[s:e][ai[keep]])
+        b_out.append(ids[s:e][bj[keep]])
+        e_out.append(est[keep])
+    if not a_out:
         return pa.table(
             {
                 "doc_id_a": pa.array([], pa.int64()),
@@ -231,20 +360,11 @@ def _bucket_pairs(group: pa.Table, id_col: str, min_est_jaccard: float) -> pa.Ta
                 "est_jaccard": pa.array([], pa.float64()),
             }
         )
-    sigs = np.stack([np.frombuffer(sig_list[i], dtype=np.uint64) for i in order])
-    n_perm = sigs.shape[1]
-    agree = np.zeros((m, m), dtype=np.uint16)
-    for p in range(n_perm):
-        col = sigs[:, p]
-        agree += col[:, None] == col[None, :]
-    ai, bj = np.triu_indices(m, 1)
-    est = agree[ai, bj] / float(n_perm)
-    keep = est >= min_est_jaccard
     return pa.table(
         {
-            "doc_id_a": pa.array(ids[ai[keep]], pa.int64()),
-            "doc_id_b": pa.array(ids[bj[keep]], pa.int64()),
-            "est_jaccard": pa.array(est[keep], pa.float64()),
+            "doc_id_a": pa.array(np.concatenate(a_out), pa.int64()),
+            "doc_id_b": pa.array(np.concatenate(b_out), pa.int64()),
+            "est_jaccard": pa.array(np.concatenate(e_out), pa.float64()),
         }
     )
 
@@ -256,12 +376,21 @@ def minhash_lsh_pairs(
     min_est_jaccard: float = 0.5,
 ) -> rd.Dataset:
     """Candidate near-duplicate pairs via MinHash-LSH, deduplicated
-    across bands (a pair can collide in several bands)."""
-    sigs = ds.map_batches(
-        lambda b: _signature_stage(b, text_col, id_col), batch_format="pyarrow"
-    )
-    pairs = sigs.groupby("band_key").map_groups(
-        lambda g: _bucket_pairs(g, id_col, min_est_jaccard), batch_format="pyarrow"
+    across bands (a pair can collide in several bands). The shuffle
+    groups on a 64-way HASH PARTITION of the band key (buckets stay
+    co-located; Python is invoked per partition, not per tiny
+    bucket)."""
+
+    def with_part(b: pa.Table) -> pa.Table:
+        t = _signature_stage(b, text_col, id_col)
+        k = t.column("band_key").to_numpy(zero_copy_only=False).astype(np.uint64)
+        part = (splitmix64_np(k) % _N_BUCKET_PARTS).astype(np.int64)
+        return t.append_column("bpart", pa.array(part, pa.int64()))
+
+    sigs = ds.map_batches(with_part, batch_format="pyarrow")
+    pairs = sigs.groupby("bpart").map_groups(
+        lambda g: _bucket_pairs_part(g, id_col, min_est_jaccard),
+        batch_format="pyarrow",
     )
     # dedup (a, b) across bands: group on the pair, keep max estimate
     from ray.data.aggregate import Max
