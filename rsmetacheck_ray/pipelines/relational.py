@@ -166,13 +166,22 @@ LIMIT 10
 # broadcast join: orders → customer → nation
 # ---------------------------------------------------------------------------
 
+# Above this many rows the customer projection stops being a
+# "broadcast-small" side (~32 MB of (int64, int32) at 2M rows) and the
+# plan switches to a distributed hash join.
+_BROADCAST_MAX_ROWS = 2_000_000
+
+
 def nation_order_stats(sf_dir: str, num_partitions: int = 8) -> rd.Dataset:
-    """Orders per nation. customer SCALES WITH SF, so orders ⋈ customer
-    is a true distributed hash join (both sides shuffle by custkey —
-    only 16-byte projections ship); nation is a FIXED 25-row dimension,
-    broadcast once via ``ray.put`` and applied with vectorized
-    ``pc.index_in`` + ``take`` (no Python row loop, no driver-side
-    materialization of any SF-scaling table)."""
+    """Orders per nation. customer SCALES WITH SF, so the plan is
+    size-gated: while the (custkey → nationkey) projection is bounded
+    (≤ ``_BROADCAST_MAX_ROWS``) it is broadcast ONCE via ``ray.put``
+    as sorted numpy arrays and each batch joins with a vectorized
+    ``searchsorted`` — no shuffle at all; past the bound, orders ⋈
+    customer becomes a true distributed hash join (both sides shuffle
+    16-byte projections). nation is a FIXED 25-row dimension, applied
+    with vectorized ``pc.index_in`` + ``take`` either way. No Python
+    row loops in any path."""
     nat = rd.read_parquet(
         os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
     ).take_all()  # 25 fixed rows — not SF-scaling
@@ -184,28 +193,9 @@ def nation_order_stats(sf_dir: str, num_partitions: int = 8) -> rd.Dataset:
         os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_totalprice"]
     )
 
-    def prep(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "o_custkey": batch.column("o_custkey"),
-                "total_cents": _cents(batch.column("o_totalprice")),
-            }
-        )
-
-    cust = rd.read_parquet(
-        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
-    )
-    joined = orders.map_batches(prep, batch_format="pyarrow").join(
-        cust,
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=("o_custkey",),
-        right_on=("c_custkey",),
-    )
-
-    def partial(batch: pa.Table) -> pa.Table:
+    def nation_partial(batch: pa.Table, nationkey_col: str) -> pa.Table:
         keys, names = ray.get(nat_ref)
-        idx = pc.index_in(batch.column("c_nationkey"), pa.array(keys, pa.int64()))
+        idx = pc.index_in(batch.column(nationkey_col), pa.array(keys, pa.int64()))
         name_col = pc.take(pa.array(names, pa.string()), idx)
         t = pa.table(
             {"n_name": name_col, "total_cents": batch.column("total_cents")}
@@ -216,7 +206,55 @@ def nation_order_stats(sf_dir: str, num_partitions: int = 8) -> rd.Dataset:
         g = t.group_by("n_name").aggregate([("total_cents", "sum"), ("total_cents", "count")])
         return g.rename_columns(["n_name", "total_cents", "n_orders"])
 
-    partials = joined.map_batches(partial, batch_format="pyarrow")
+    import pyarrow.parquet as pq
+
+    cust_path = os.path.join(sf_dir, "customer.parquet")
+    n_cust = pq.ParquetFile(cust_path).metadata.num_rows  # metadata only
+
+    if n_cust <= _BROADCAST_MAX_ROWS:
+        ct = pq.read_table(cust_path, columns=["c_custkey", "c_nationkey"])
+        ckeys = ct.column("c_custkey").to_numpy(zero_copy_only=False)
+        cnat = ct.column("c_nationkey").to_numpy(zero_copy_only=False)
+        order_idx = np.argsort(ckeys)
+        cust_ref = ray.put((ckeys[order_idx], cnat[order_idx]))
+
+        def bcast_join(batch: pa.Table) -> pa.Table:
+            skeys, snat = ray.get(cust_ref)
+            ok = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(skeys, ok)
+            pos_c = np.minimum(pos, len(skeys) - 1)
+            hit = skeys[pos_c] == ok
+            cents = pc.filter(_cents(batch.column("o_totalprice")), pa.array(hit))
+            t = pa.table(
+                {"c_nationkey": pa.array(snat[pos_c][hit]), "total_cents": cents}
+            )
+            return nation_partial(t, "c_nationkey")
+
+        partials = orders.map_batches(bcast_join, batch_format="pyarrow")
+    else:
+
+        def prep(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "o_custkey": batch.column("o_custkey"),
+                    "total_cents": _cents(batch.column("o_totalprice")),
+                }
+            )
+
+        cust = rd.read_parquet(
+            cust_path, columns=["c_custkey", "c_nationkey"]
+        )
+        joined = orders.map_batches(prep, batch_format="pyarrow").join(
+            cust,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("o_custkey",),
+            right_on=("c_custkey",),
+        )
+        partials = joined.map_batches(
+            lambda b: nation_partial(b, "c_nationkey"), batch_format="pyarrow"
+        )
+
     return partials.groupby("n_name").aggregate(
         Sum("total_cents", alias_name="total_cents"),
         Sum("n_orders", alias_name="n_orders"),

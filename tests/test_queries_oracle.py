@@ -112,3 +112,17 @@ def test_entry_contract(ray_session):
     assert len(df) > 0
     assert {"doc_id", "keep", "detected_lang"} <= set(df.columns)
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_nation_order_stats_distributed_path_matches_broadcast(ray_session, monkeypatch):
+    """The size-gated join must produce identical results on both
+    plans: broadcast searchsorted (small customer side) and the
+    distributed hash join (forced here by zeroing the threshold)."""
+    import rsmetacheck_ray.pipelines.relational as rel
+
+    bcast = rel.nation_order_stats(SF_DIR).to_pandas().sort_values("n_name").reset_index(drop=True)
+    monkeypatch.setattr(rel, "_BROADCAST_MAX_ROWS", 0)
+    dist = rel.nation_order_stats(SF_DIR).to_pandas().sort_values("n_name").reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(bcast, dist)
