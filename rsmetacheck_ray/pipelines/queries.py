@@ -769,6 +769,10 @@ def registry() -> dict[str, tuple]:
             rel.distinct_user_event_types, rel.DISTINCT_SQL,
         ),
         "events_type_stats": (rel.events_type_stats, rel.EVENTS_TYPE_SQL),
+        "events_sliding_3h": (rel.events_sliding_3h, rel.EVENTS_SLIDING_SQL),
+        "customers_without_orders": (
+            rel.customers_without_orders, rel.CUSTOMERS_WITHOUT_ORDERS_SQL,
+        ),
         "lang_source_hist": (rel.lang_source_hist, rel.LANG_SOURCE_SQL),
         "open_orders": (rel.open_orders, rel.OPEN_ORDERS_SQL),
         "parts_by_brand": (rel.parts_by_brand, rel.PARTS_BY_BRAND_SQL),

@@ -856,3 +856,128 @@ JOIN nation n ON s.s_nationkey = n.n_nationkey
 JOIN region r ON n.n_regionkey = r.r_regionkey
 GROUP BY n.n_name, r.r_name
 """
+
+
+# ---------------------------------------------------------------------------
+# sliding-window aggregate — per event_type, the trailing 3-hour sum
+# over the hourly rollup (the windowed-aggregate shape the reference's
+# per-rule counters lack, SURVEY §2.8). Two-level plan: the heavy
+# per-event work is the events_hourly partial-combine; the slide runs
+# over the SMALL hourly table (bounded by #types × #hours regardless
+# of corpus size), one vectorized prefix-sum pass per event_type.
+# ---------------------------------------------------------------------------
+
+_SLIDE_HOURS = 3
+
+
+def events_sliding_3h(sf_dir: str) -> rd.Dataset:
+    hourly = events_hourly(sf_dir)
+
+    def slide(group: pa.Table) -> pa.Table:
+        h = pc.cast(group.column("hour"), pa.int64()).to_numpy(zero_copy_only=False)
+        v = group.column("value_cents").to_numpy(zero_copy_only=False)
+        n = group.column("n_events").to_numpy(zero_copy_only=False)
+        order = np.argsort(h)
+        h, v, n = h[order], v[order], n[order]
+        pv = np.cumsum(v)
+        pn = np.cumsum(n)
+        lo = np.searchsorted(h, h - (_SLIDE_HOURS - 1) * 3_600_000_000, side="left")
+        base_v = np.where(lo > 0, pv[np.maximum(lo - 1, 0)], 0)
+        base_n = np.where(lo > 0, pn[np.maximum(lo - 1, 0)], 0)
+        et = group.column("event_type")[0].as_py()
+        return pa.table(
+            {
+                "event_type": pa.array([et] * len(h), pa.string()),
+                "hour": pc.cast(pa.array(h, pa.int64()), pa.timestamp("us")),
+                "w3_value_cents": pa.array(pv - base_v, pa.int64()),
+                "w3_events": pa.array(pn - base_n, pa.int64()),
+            }
+        )
+
+    # the hourly rollup is small (#types × #hours); one group per type
+    return hourly.groupby("event_type").map_groups(slide, batch_format="pyarrow")
+
+
+EVENTS_SLIDING_SQL = f"""
+WITH h AS (
+  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+    CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents,
+    COUNT(*) AS n_events
+  FROM events
+  GROUP BY event_type, date_trunc('hour', ts)
+)
+SELECT event_type, hour,
+  CAST(SUM(value_cents) OVER w AS BIGINT) AS w3_value_cents,
+  CAST(SUM(n_events) OVER w AS BIGINT) AS w3_events
+FROM h
+WINDOW w AS (PARTITION BY event_type ORDER BY hour
+             RANGE BETWEEN INTERVAL {_SLIDE_HOURS - 1} HOUR PRECEDING
+                       AND CURRENT ROW)
+"""
+
+
+# ---------------------------------------------------------------------------
+# distributed anti-join — customers with no orders. Tagged union +
+# ONE shuffle on the hashed key partition + a block-vectorized
+# sorted-membership test per partition (same partitioning discipline
+# as the as-of join; no driver-side sets, no per-key Python).
+# ---------------------------------------------------------------------------
+
+def customers_without_orders(sf_dir: str, priority: str = "1-URGENT") -> rd.Dataset:
+    """Customers with no order of the given priority (every customer
+    has SOME order in the driver tables, so the unfiltered anti-join
+    would be vacuously empty — and an empty Ray dataset loses its
+    schema, which the driver's column compare would flag)."""
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"]
+    )
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey"],
+        filter=(pc.field("o_orderpriority") == priority),
+    )
+
+    def tag_cust(b: pa.Table) -> pa.Table:
+        n = len(b)
+        return pa.table(
+            {
+                "part": _part_of(b.column("c_custkey")),
+                "key": b.column("c_custkey"),
+                "tag": pa.array(np.zeros(n, dtype=np.int8)),
+            }
+        )
+
+    def tag_orders(b: pa.Table) -> pa.Table:
+        # pre-shrink: ship each batch's DISTINCT custkeys only
+        uk = np.unique(b.column("o_custkey").to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "part": _part_of(pa.array(uk, pa.int64())),
+                "key": pa.array(uk, pa.int64()),
+                "tag": pa.array(np.ones(len(uk), dtype=np.int8)),
+            }
+        )
+
+    both = cust.map_batches(tag_cust, batch_format="pyarrow").union(
+        orders.map_batches(tag_orders, batch_format="pyarrow")
+    )
+
+    def anti(group: pa.Table) -> pa.Table:
+        key = group.column("key").to_numpy(zero_copy_only=False)
+        tag = group.column("tag").to_numpy(zero_copy_only=False)
+        ck = key[tag == 0]
+        ok = np.unique(key[tag == 1])
+        pos = np.searchsorted(ok, ck)
+        pos_c = np.minimum(pos, max(len(ok) - 1, 0))
+        has = (len(ok) > 0) & (ok[pos_c] == ck) if len(ok) else np.zeros(len(ck), bool)
+        return pa.table({"c_custkey": pa.array(ck[~has], pa.int64())})
+
+    return both.groupby("part").map_groups(anti, batch_format="pyarrow")
+
+
+CUSTOMERS_WITHOUT_ORDERS_SQL = """
+SELECT c_custkey FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+"""

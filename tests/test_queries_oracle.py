@@ -72,6 +72,12 @@ SQL_BACKED = [
     "multimodal_meta",
     "multimodal_resize",
     "doc_bpe_tokens",
+    # round 2 additions
+    "gate_meta_flags",
+    "gate_drop_vector",
+    "events_sliding_3h",
+    "customers_without_orders",
+    "multimodal_features",
 ]
 
 
