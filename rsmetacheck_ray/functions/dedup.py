@@ -309,7 +309,10 @@ MAX_BUCKET_DOCS = 1024
 _N_BUCKET_PARTS = 64
 
 
-def _bucket_pairs_part(group: pa.Table, id_col: str, min_est_jaccard: float) -> pa.Table:
+def _bucket_pairs_part(
+    group: pa.Table, id_col: str, min_est_jaccard: float,
+    max_bucket_docs: int = MAX_BUCKET_DOCS,
+) -> pa.Table:
     """One hash PARTITION of buckets (not one bucket): buckets are
     delimited by sorted band_key boundaries and processed in a bounded
     Python loop with a vectorized m×m agreement matrix each — the
@@ -331,13 +334,13 @@ def _bucket_pairs_part(group: pa.Table, id_col: str, min_est_jaccard: float) -> 
         m = e - s
         if m < 2:
             continue
-        if m > MAX_BUCKET_DOCS:
+        if m > max_bucket_docs:
             print(
                 f"[minhash_lsh] hot bucket truncated: {m} -> "
-                f"{MAX_BUCKET_DOCS} docs (pairs beyond the cap are dropped)"
+                f"{max_bucket_docs} docs (pairs beyond the cap are dropped)"
             )
-            e = s + MAX_BUCKET_DOCS
-            m = MAX_BUCKET_DOCS
+            e = s + max_bucket_docs
+            m = max_bucket_docs
         sigs = np.stack(
             [np.frombuffer(sig_list[order[j]], dtype=np.uint64) for j in range(s, e)]
         )
@@ -374,6 +377,7 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_est_jaccard: float = 0.5,
+    max_bucket_docs: int = MAX_BUCKET_DOCS,
 ) -> rd.Dataset:
     """Candidate near-duplicate pairs via MinHash-LSH, deduplicated
     across bands (a pair can collide in several bands). The shuffle
@@ -389,7 +393,7 @@ def minhash_lsh_pairs(
 
     sigs = ds.map_batches(with_part, batch_format="pyarrow")
     pairs = sigs.groupby("bpart").map_groups(
-        lambda g: _bucket_pairs_part(g, id_col, min_est_jaccard),
+        lambda g: _bucket_pairs_part(g, id_col, min_est_jaccard, max_bucket_docs),
         batch_format="pyarrow",
     )
     # dedup (a, b) across bands: group on the pair, keep max estimate
@@ -607,4 +611,113 @@ def embedding_lsh_pairs(
         pairs.groupby(["vec_id_a", "vec_id_b"])
         .aggregate(Count(alias_name="_n"))
         .select_columns(["vec_id_a", "vec_id_b"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup pairs — banded Hamming search. Splitting the 64-bit
+# fingerprint into 4 16-bit bands guarantees (pigeonhole) that any pair
+# within Hamming distance 3 collides on at least one band; in-bucket
+# XOR+popcount verification removes false candidates. Same partition-
+# bucketed shuffle discipline as the MinHash path.
+# ---------------------------------------------------------------------------
+
+_SIMHASH_BANDS = 4
+_SIMHASH_BAND_BITS = 64 // _SIMHASH_BANDS
+
+_POPCNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def _hamming_matrix(h: np.ndarray) -> np.ndarray:
+    """Pairwise Hamming distances of 64-bit fingerprints (m small)."""
+    x = h[:, None] ^ h[None, :]
+    return _POPCNT8[x.view(np.uint8).reshape(len(h), len(h), 8)].sum(axis=2)
+
+
+def simhash_pairs(
+    ds: rd.Dataset,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """All pairs (a < b) of documents whose SimHash fingerprints are
+    within ``max_hamming`` bits. Exact for max_hamming ≤ 3 with the
+    4×16-bit banding; larger radii lower recall (documented trade)."""
+    fp = simhash_dataset(ds, text_col, id_col)
+
+    def band_stage(b: pa.Table) -> pa.Table:
+        h = b.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = b.column(id_col).to_numpy(zero_copy_only=False)
+        n = len(h)
+        out_key = np.empty(n * _SIMHASH_BANDS, dtype=np.uint64)
+        for band in range(_SIMHASH_BANDS):
+            seg = (h >> np.uint64(band * _SIMHASH_BAND_BITS)) & np.uint64(0xFFFF)
+            out_key[band * n : (band + 1) * n] = seg | (np.uint64(band) << np.uint64(16))
+        rep_ids = np.tile(ids, _SIMHASH_BANDS)
+        rep_h = np.tile(h, _SIMHASH_BANDS)
+        part = (splitmix64_np(out_key) % _N_BUCKET_PARTS).astype(np.int64)
+        return pa.table(
+            {
+                "bpart": pa.array(part, pa.int64()),
+                "band_key": pa.array(out_key.view(np.int64), pa.int64()),
+                id_col: pa.array(rep_ids, pa.int64()),
+                "simhash": pa.array(rep_h.view(np.int64), pa.int64()),
+            }
+        )
+
+    def bucket_pairs_part(group: pa.Table) -> pa.Table:
+        keys = group.column("band_key").to_numpy(zero_copy_only=False)
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        hs = group.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        order = np.lexsort((ids, keys))
+        keys, ids, hs = keys[order], ids[order], hs[order]
+        n = len(keys)
+        seg_starts = (
+            np.nonzero(np.concatenate([[True], keys[1:] != keys[:-1]]))[0]
+            if n
+            else np.array([], np.int64)
+        )
+        seg_ends = np.append(seg_starts[1:], n)
+        a_out, b_out, d_out = [], [], []
+        for s, e in zip(seg_starts, seg_ends):
+            m = e - s
+            if m < 2:
+                continue
+            if m > MAX_BUCKET_DOCS:
+                print(
+                    f"[simhash] hot bucket truncated: {m} -> {MAX_BUCKET_DOCS}"
+                )
+                e = s + MAX_BUCKET_DOCS
+                m = MAX_BUCKET_DOCS
+            dist = _hamming_matrix(hs[s:e])
+            ai, bj = np.triu_indices(m, 1)
+            keep = dist[ai, bj] <= max_hamming
+            a_out.append(ids[s:e][ai[keep]])
+            b_out.append(ids[s:e][bj[keep]])
+            d_out.append(dist[ai, bj][keep].astype(np.int64))
+        if not a_out:
+            return pa.table(
+                {
+                    "doc_id_a": pa.array([], pa.int64()),
+                    "doc_id_b": pa.array([], pa.int64()),
+                    "hamming": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "doc_id_a": pa.array(np.concatenate(a_out), pa.int64()),
+                "doc_id_b": pa.array(np.concatenate(b_out), pa.int64()),
+                "hamming": pa.array(np.concatenate(d_out), pa.int64()),
+            }
+        )
+
+    pairs = (
+        fp.map_batches(band_stage, batch_format="pyarrow")
+        .groupby("bpart")
+        .map_groups(bucket_pairs_part, batch_format="pyarrow")
+    )
+    # a pair can collide in several bands — keep one row (min distance
+    # is identical across collisions, so Min is just a dedup)
+    return pairs.groupby(["doc_id_a", "doc_id_b"]).aggregate(
+        Min("hamming", alias_name="hamming")
     )

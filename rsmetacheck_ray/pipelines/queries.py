@@ -566,6 +566,12 @@ def q_dedup_simhash(sf_dir: str):
     return dd.simhash_dataset(_documents(sf_dir, ["doc_id", "text"]))
 
 
+def q_dedup_simhash_pairs(sf_dir: str):
+    """Banded-Hamming SimHash near-dup pairs over the dup corpus
+    (sketch → rows-only; semantics pinned by pytest)."""
+    return dd.simhash_pairs(_dup_corpus(sf_dir), max_hamming=3)
+
+
 def q_dedup_embedding_pairs(sf_dir: str):
     ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
     return dd.embedding_near_dup_pairs(ds, threshold=0.45)
@@ -808,6 +814,7 @@ def registry() -> dict[str, tuple]:
         "dedup_exact_pairs": (q_dedup_exact_pairs, SQL_DEDUP_EXACT_PAIRS),
         "dedup_minhash_pairs": (q_dedup_minhash_pairs, None),  # sketch
         "dedup_simhash": (q_dedup_simhash, None),  # sketch
+        "dedup_simhash_pairs": (q_dedup_simhash_pairs, None),  # sketch
         "dedup_embedding_pairs": (q_dedup_embedding_pairs, SQL_DEDUP_EMBEDDING),
         "dedup_embedding_lsh": (q_dedup_embedding_lsh, None),  # approximate
         # skew: salted two-phase host aggregate

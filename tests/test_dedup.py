@@ -166,18 +166,46 @@ def test_exact_dedup_pairs_megagroup_linear(ray_session):
 
 
 def test_minhash_bucket_cap_bounds_output(ray_session):
-    """A hot LSH bucket (many identical docs) is truncated at
-    MAX_BUCKET_DOCS members, so output stays bounded."""
+    """A hot LSH bucket (many identical docs) is truncated at the
+    bucket cap, so output stays bounded (cap shrunk here to keep the
+    test fast; the default is MAX_BUCKET_DOCS)."""
     import ray.data as rd
 
-    n = dd.MAX_BUCKET_DOCS + 200
+    cap = 64
+    n = cap + 40
     t = pa.table(
         {
             "doc_id": pa.array(range(n), pa.int64()),
             "text": pa.array(["identical text for every doc in the bucket"] * n),
         }
     )
-    out = dd.minhash_lsh_pairs(rd.from_arrow(t), min_est_jaccard=0.5).to_pandas()
-    cap = dd.MAX_BUCKET_DOCS
+    out = dd.minhash_lsh_pairs(
+        rd.from_arrow(t), min_est_jaccard=0.5, max_bucket_docs=cap
+    ).to_pandas()
     assert len(out) <= cap * (cap - 1) / 2
     assert len(out) > 0
+
+
+def test_simhash_pairs_banded_hamming(ray_session):
+    """simhash_pairs finds near-identical docs (Hamming <= 3 guaranteed
+    by the 4x16-bit banding) and pairs nothing unrelated."""
+    import ray.data as rd
+
+    texts = [
+        (0, "the quick brown fox jumps over the lazy dog near the river bank today and more words follow"),
+        (1, "the quick brown fox jumps over the lazy dog near the river bank today and more words follow"),  # identical -> hamming 0
+        (2, "completely different content about database engines and batch execution pipelines"),
+        (3, "unrelated writing that covers language identification scrubbing and quality scores"),
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in texts], pa.int64()),
+            "text": pa.array([s for _, s in texts], pa.string()),
+        }
+    )
+    out = dd.simhash_pairs(rd.from_arrow(t), max_hamming=3).to_pandas()
+    pairs = set(zip(out["doc_id_a"], out["doc_id_b"]))
+    assert (0, 1) in pairs
+    assert out.set_index(["doc_id_a", "doc_id_b"]).loc[(0, 1), "hamming"] == 0
+    for a, b in pairs:
+        assert {a, b} <= {0, 1}
