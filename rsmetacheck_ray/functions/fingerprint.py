@@ -1,0 +1,196 @@
+"""Content-defined document fingerprinting — the rolling-hash chunker
+(Rabin-Karp / FastCDC family) the training-data pipeline uses for
+PARTIAL-overlap dedup: two documents sharing a long span share the
+chunk hashes inside that span even when offsets differ, which exact
+content hashing (functions/dedup._hash_stage) cannot see.
+
+Math is wraparound uint64 (exact, deterministic): with an odd
+multiplier P the window hash
+
+    H(i) = Σ_{j<w} b[i+j] · P^(w-1-j)   (mod 2^64)
+
+is computed for EVERY position in one vectorized pass via the
+prefix-sum trick  H(i) = (S[i+w] − S[i]) · P^(i+w−1)  where
+S[k] = Σ_{j<k} b[j] · P^(−j)  and P^(−1) is the modular inverse of P
+mod 2^64 (P odd ⇒ invertible). Chunk boundaries fall where
+``H(i) % 2^mask_bits == 0`` subject to (min, max) chunk bounds, so the
+expected chunk length is ``2^mask_bits`` bytes. Chunk content hashes
+are C-speed blake2b.
+
+All constants are module-level so the chunking is stable across runs,
+machines and parallelism (the FIXTURES.md determinism rule).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+from .hashing import hash_bytes_u64
+
+_P = np.uint64(0x100000001B3)  # FNV-1a prime (odd -> invertible mod 2^64)
+_WINDOW = 48
+_MASK_BITS = 9        # expected chunk ~512 bytes
+_MIN_CHUNK = 128
+_MAX_CHUNK = 4096
+
+
+def _modinv_u64(a: int) -> int:
+    """Inverse of odd a mod 2^64 (Newton iteration doubles precision)."""
+    x = a  # 3 correct bits
+    for _ in range(6):
+        x = (x * (2 - a * x)) % (1 << 64)
+    return x
+
+
+_P_INV = np.uint64(_modinv_u64(int(_P)))
+_MASK = np.uint64((1 << _MASK_BITS) - 1)
+
+
+def _rolling_hashes(b: np.ndarray) -> np.ndarray:
+    """H(i) for every window start i (len(b) - _WINDOW + 1 values)."""
+    n = len(b)
+    with np.errstate(over="ignore"):
+        idx = np.arange(n, dtype=np.uint64)
+        # P^(-i) and P^(i) via wrapping cumulative products
+        pinv_pows = np.concatenate(
+            [[np.uint64(1)], np.multiply.accumulate(np.full(n - 1, _P_INV, np.uint64))]
+        ) if n > 1 else np.array([1], np.uint64)
+        p_pows = np.concatenate(
+            [[np.uint64(1)], np.multiply.accumulate(np.full(n - 1, _P, np.uint64))]
+        ) if n > 1 else np.array([1], np.uint64)
+        a = b.astype(np.uint64) * pinv_pows
+        prefix = np.concatenate([[np.uint64(0)], np.add.accumulate(a)])
+        w = _WINDOW
+        span = prefix[w:] - prefix[: n - w + 1]
+        return span * p_pows[w - 1 :]
+
+
+def chunk_boundaries(data: bytes) -> list[int]:
+    """Chunk end offsets (exclusive) for one document's bytes."""
+    n = len(data)
+    if n <= _MIN_CHUNK:
+        return [n] if n else []
+    b = np.frombuffer(data, dtype=np.uint8)
+    h = _rolling_hashes(b)
+    # candidate cut positions: window END offsets where the hash lands
+    # on the boundary pattern
+    cand = np.nonzero((h & _MASK) == 0)[0] + _WINDOW
+    out: list[int] = []
+    last = 0
+    for c in cand:
+        if c - last < _MIN_CHUNK:
+            continue
+        while c - last > _MAX_CHUNK:
+            last += _MAX_CHUNK
+            out.append(last)
+        out.append(int(c))
+        last = int(c)
+    while n - last > _MAX_CHUNK:
+        last += _MAX_CHUNK
+        out.append(last)
+    if n > last:
+        out.append(n)
+    return out
+
+
+def doc_chunks(doc_id: int, text: str) -> list[tuple[int, int, int, int]]:
+    """(doc_id, chunk_idx, chunk_hash, chunk_len) rows for one doc."""
+    data = (text or "").encode("utf-8")
+    rows = []
+    start = 0
+    for idx, end in enumerate(chunk_boundaries(data)):
+        ch = hash_bytes_u64(data[start:end])
+        rows.append((doc_id, idx, ch - (1 << 63), end - start))
+        start = end
+    return rows
+
+
+def chunk_fingerprints(
+    ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> rd.Dataset:
+    """One row per (doc, chunk): content-defined chunk fingerprints.
+    Downstream partial-dup detection is ONE groupby(chunk_hash) over
+    this tiny projection (hash + ids), the same shuffle discipline as
+    exact dedup — the text never shuffles."""
+
+    def stage(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        out_d, out_i, out_h, out_l = [], [], [], []
+        for d, t in zip(ids, texts):
+            for row in doc_chunks(d, t):
+                out_d.append(row[0])
+                out_i.append(row[1])
+                out_h.append(row[2])
+                out_l.append(row[3])
+        return pa.table(
+            {
+                id_col: pa.array(out_d, pa.int64()),
+                "chunk_idx": pa.array(out_i, pa.int64()),
+                "chunk_hash": pa.array(out_h, pa.int64()),
+                "chunk_len": pa.array(out_l, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(stage, batch_format="pyarrow")
+
+
+def partial_overlap_pairs(
+    ds: rd.Dataset,
+    min_shared_chunks: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """Documents sharing ≥ ``min_shared_chunks`` content-defined chunks
+    — the partial-overlap near-dup detector. Star edges per chunk
+    group (canonical = min doc id, linear in group size) then a pair
+    count; only (hash, id) rows shuffle."""
+    from ray.data.aggregate import Count, Min
+
+    chunks = chunk_fingerprints(ds, text_col, id_col)
+    # distinct (doc, chunk_hash): a repeated chunk inside one doc
+    # counts once
+    distinct = (
+        chunks.groupby([id_col, "chunk_hash"])
+        .aggregate(Count(alias_name="_n"))
+        .select_columns([id_col, "chunk_hash"])
+    )
+    canon = (
+        distinct.groupby("chunk_hash")
+        .aggregate(Min(id_col, alias_name="canon_id"))
+        .map_batches(
+            lambda b: b.rename_columns(["ch", "canon_id"]), batch_format="pyarrow"
+        )
+    )
+    joined = distinct.join(
+        canon, join_type="inner", num_partitions=8,
+        on=("chunk_hash",), right_on=("ch",),
+    )
+
+    def star(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        sub = b.filter(pc.greater(b.column(id_col), b.column("canon_id")))
+        return pa.table(
+            {
+                "doc_id_a": pc.cast(sub.column("canon_id"), pa.int64()),
+                "doc_id_b": pc.cast(sub.column(id_col), pa.int64()),
+            }
+        )
+
+    pairs = joined.map_batches(star, batch_format="pyarrow")
+    counted = pairs.groupby(["doc_id_a", "doc_id_b"]).aggregate(
+        Count(alias_name="shared_chunks")
+    )
+
+    def thresh(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return b.filter(
+            pc.greater_equal(b.column("shared_chunks"), min_shared_chunks)
+        )
+
+    return counted.map_batches(thresh, batch_format="pyarrow")

@@ -572,6 +572,24 @@ def q_dedup_simhash_pairs(sf_dir: str):
     return dd.simhash_pairs(_dup_corpus(sf_dir), max_hamming=3)
 
 
+def q_doc_chunk_fingerprints(sf_dir: str):
+    """Content-defined rolling-hash chunk fingerprints (rows-only: the
+    chunk boundary function is not SQL-expressible; properties pinned
+    by tests/test_fingerprint.py)."""
+    from ..functions.fingerprint import chunk_fingerprints
+
+    return chunk_fingerprints(_documents(sf_dir, ["doc_id", "text"]))
+
+
+def q_dedup_partial_overlap(sf_dir: str):
+    """Partial-overlap near-dup pairs over the dup corpus: documents
+    sharing >=2 content-defined chunks (catches the planted
+    trailing-edit near-copies AND the exact copies)."""
+    from ..functions.fingerprint import partial_overlap_pairs
+
+    return partial_overlap_pairs(_dup_corpus(sf_dir), min_shared_chunks=2)
+
+
 def q_dedup_embedding_pairs(sf_dir: str):
     ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
     return dd.embedding_near_dup_pairs(ds, threshold=0.45)
@@ -815,6 +833,8 @@ def registry() -> dict[str, tuple]:
         "dedup_minhash_pairs": (q_dedup_minhash_pairs, None),  # sketch
         "dedup_simhash": (q_dedup_simhash, None),  # sketch
         "dedup_simhash_pairs": (q_dedup_simhash_pairs, None),  # sketch
+        "doc_chunk_fingerprints": (q_doc_chunk_fingerprints, None),  # non-SQL chunker
+        "dedup_partial_overlap": (q_dedup_partial_overlap, None),  # non-SQL chunker
         "dedup_embedding_pairs": (q_dedup_embedding_pairs, SQL_DEDUP_EMBEDDING),
         "dedup_embedding_lsh": (q_dedup_embedding_lsh, None),  # approximate
         # skew: salted two-phase host aggregate
