@@ -7,6 +7,9 @@ Usage::
     python -m rsmetacheck_ray.cli gate --input <pages_parquet_dir> \
         --out <out_dir> [--partitions N] [--num-cpus N] [--fresh]
     python -m rsmetacheck_ray.cli metrics --out <out_dir>
+    python -m rsmetacheck_ray.cli evidence --out <out_dir> [--dest <parquet_dir>]
+    python -m rsmetacheck_ray.cli kept --out <out_dir> --dest <parquet_dir>
+    python -m rsmetacheck_ray.cli dedup --out <out_dir> --dest <parquet_dir>
 
 On a real cluster the same module runs unchanged via
 ``ray job submit -- python -m rsmetacheck_ray.cli gate ...`` — the
@@ -37,6 +40,27 @@ def main(argv: list[str] | None = None) -> int:
     m = sub.add_parser("metrics", help="recompute metrics from a run dir")
     m.add_argument("--out", required=True)
 
+    e = sub.add_parser(
+        "evidence",
+        help="per-(doc, fired-rule) evidence rows from a run dir "
+        "(the JSON-LD assessment analog)",
+    )
+    e.add_argument("--out", required=True)
+    e.add_argument("--dest", default=None,
+                   help="write parquet here instead of printing a sample")
+
+    k = sub.add_parser("kept", help="export the kept-documents view")
+    k.add_argument("--out", required=True)
+    k.add_argument("--dest", required=True)
+
+    d = sub.add_parser(
+        "dedup",
+        help="exact-dedup the KEPT output on its content_hash column "
+        "(one row per distinct scrubbed text, canonical = min url)",
+    )
+    d.add_argument("--out", required=True)
+    d.add_argument("--dest", required=True)
+
     args = ap.parse_args(argv)
 
     import ray
@@ -64,9 +88,54 @@ def main(argv: list[str] | None = None) -> int:
 
         metrics = compute_metrics(os.path.join(args.out, "docs"))
         print(json.dumps(metrics, indent=2, sort_keys=True))
+    elif args.cmd == "evidence":
+        import os
+
+        from .pipelines.quality_gate import evidence_view
+
+        ev = evidence_view(os.path.join(args.out, "docs"))
+        if args.dest:
+            ev.write_parquet(args.dest)
+            print(json.dumps({"rows": ev.count(), "dest": args.dest}))
+        else:
+            for row in ev.take(20):
+                print(json.dumps(row, sort_keys=True))
+    elif args.cmd == "kept":
+        import os
+
+        from .pipelines.quality_gate import kept_view
+
+        kv = kept_view(os.path.join(args.out, "docs"))
+        kv.write_parquet(args.dest)
+        print(json.dumps({"rows": kv.count(), "dest": args.dest}))
+    elif args.cmd == "dedup":
+        import os
+
+        import pyarrow as pa
+        import ray.data as rd
+        from ray.data.aggregate import Count, Min
+
+        docs = rd.read_parquet(
+            os.path.join(args.out, "docs"),
+            columns=["url", "content_hash", "keep"],
+            filter=(_pc().field("keep") == True),  # noqa: E712
+        )
+        # dedup on the content_hash the gate already emitted: no text
+        # re-read, no re-hash — only (url, hash) rows shuffle
+        agg = docs.groupby("content_hash").aggregate(
+            Min("url", alias_name="url"), Count(alias_name="dup_count")
+        )
+        agg.write_parquet(args.dest)
+        print(json.dumps({"rows": agg.count(), "dest": args.dest}))
 
     ray.shutdown()
     return 0
+
+
+def _pc():
+    import pyarrow.compute as pc
+
+    return pc
 
 
 if __name__ == "__main__":
