@@ -162,12 +162,16 @@ def consume(res) -> int:
 BENCH_QUERIES = [
     "q1_pricing",
     "events_hourly",
+    "events_sliding_3h",
     "nation_order_stats",
+    "customers_without_orders",
     "doc_stats",
     "dedup_exact",
     "dedup_minhash_pairs",
+    "dedup_partial_overlap",
     "knn_cosine",
     "gate_decisions",
+    "gate_drop_vector",
 ]
 
 

@@ -113,7 +113,7 @@ def simhash64(text: str) -> int:
     if not words:
         return 0
     uniq, counts = np.unique(np.array(words, dtype=object), return_counts=True)
-    hs = np.array([hash_bytes_u64(w.encode("utf-8")) for w in uniq], dtype=np.uint64)
+    hs = _word_hashes(uniq)  # memoized per worker (Zipf vocabulary)
     bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
         np.int64
     )

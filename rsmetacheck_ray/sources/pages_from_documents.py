@@ -9,18 +9,25 @@ runs ``queries()[name](sf_dir)`` (Ray) against ``oracle_sql()[name]``
 any divergence localizes to the operator under test, not the input.
 
 Synthesis spec (pure function of ``doc_id``):
- - ``url``: five variants selected by ``doc_id % 11`` — a dead-path
+ - ``url``: six variants selected by ``doc_id % 11`` — a dead-path
    URL, a docs-homepage URL, an archive-host URL, a scheme-less
-   shorthand, and a normal article URL (triggering the engine's URL
-   rule family, the offline recast of the reference's P004/P005/P008/
-   P009/P011/P015 URL rules, ``p005.py:4-29``, ``p009.py:6-65``).
+   shorthand, a versioned ``/vN/`` path (the URL side of the
+   version_mismatch two-source compare) and a normal article URL
+   (triggering the engine's URL rule family, the offline recast of the
+   reference's P004/P005/P008/P009/P011/P015 URL rules,
+   ``p005.py:4-29``, ``p009.py:6-65``).
  - ``text``: ``documents.text`` plus an injected trigger suffix chosen
-   by ``doc_id % 13`` (email / phone / IP / placeholder / bare DOI /
-   raw SWHID / toxicity — the content rule family, ``p002.py:37-59``,
-   ``p014.py:19-23``, ``p018.py:19``).
+   by ``doc_id % 13`` — residues 0-6: email / phone / IP / placeholder
+   / bare DOI / raw SWHID / toxicity (the content rule family,
+   ``p002.py:37-59``); residues 7-12: metadata declaration lines
+   (License/Cite/Requires/Status/Identifier/Authors — the P006-W009
+   recast family). Empty texts receive no suffix.
  - ``warc_ts``: ``2023-01-01T00:00:00Z + 137s * doc_id``.
  - ``html``: NULL (the extraction stage falls back to ``text``).
  - ``lang``: the declared ``documents.lang``.
+ - plus the fixed TRIGGER_ROWS union (empty / repetition /
+   boilerplate / multi-value / stale-date documents) on both sides of
+   the differential.
 """
 
 from __future__ import annotations
