@@ -54,8 +54,20 @@ def prepare_pages(sf_dir: str, replicas: int, group: int = 10) -> tuple[str, int
 
     from rsmetacheck_ray.sources.pages_from_documents import synthesize_pages
 
+    # cache key includes a fingerprint of the synthesis constants so a
+    # changed synthesize_pages invalidates stale page caches from
+    # earlier rounds automatically
+    import hashlib
+
+    from rsmetacheck_ray.sources import pages_from_documents as pfd
+
+    synth_fp = hashlib.blake2b(
+        repr((pfd.INJECTIONS, pfd.URL_TEMPLATES, pfd.URL_DEFAULT,
+              pfd.TRIGGER_ROWS, pfd.TS_STEP_S)).encode(),
+        digest_size=4,
+    ).hexdigest()
     tag = os.path.basename(os.path.normpath(sf_dir))
-    out_dir = f"/tmp/rsmc_bench/{tag}_r{replicas}"
+    out_dir = f"/tmp/rsmc_bench/{tag}_r{replicas}_{synth_fp}"
     marker = os.path.join(out_dir, ".done")
     docs_path = os.path.join(sf_dir, "documents.parquet")
     docs = pq.read_table(docs_path, columns=["doc_id", "text", "lang"])

@@ -86,6 +86,10 @@ def chunk_boundaries(data: bytes) -> list[int]:
         while c - last > _MAX_CHUNK:
             last += _MAX_CHUNK
             out.append(last)
+        # a forced max-split may leave less than a minimum chunk before
+        # this candidate — skip the candidate rather than emit a runt
+        if c - last < _MIN_CHUNK:
+            continue
         out.append(int(c))
         last = int(c)
     while n - last > _MAX_CHUNK:
