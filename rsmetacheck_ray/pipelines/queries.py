@@ -794,6 +794,9 @@ def registry() -> dict[str, tuple]:
         ),
         "events_type_stats": (rel.events_type_stats, rel.EVENTS_TYPE_SQL),
         "events_sliding_3h": (rel.events_sliding_3h, rel.EVENTS_SLIDING_SQL),
+        "events_value_percentiles": (
+            rel.events_value_percentiles, rel.EVENTS_PERCENTILES_SQL,
+        ),
         "customers_without_orders": (
             rel.customers_without_orders, rel.CUSTOMERS_WITHOUT_ORDERS_SQL,
         ),

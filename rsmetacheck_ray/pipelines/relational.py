@@ -981,3 +981,77 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o
                   WHERE o.o_custkey = c.c_custkey
                     AND o.o_orderpriority = '1-URGENT')
 """
+
+
+# ---------------------------------------------------------------------------
+# exact distributed percentiles over a BOUNDED integer domain — the
+# scalable exact-quantile plan: per-batch (type, cents)-histogram
+# partials (Arrow group_by), one groupby shuffle whose volume is
+# bounded by the VALUE DOMAIN (distinct (type, cents) pairs), not the
+# row count, then a tiny per-type CDF walk. Quantiles restricted to
+# exactly-representable binary fractions so ceil(q*n) can never drift
+# from the oracle's float arithmetic.
+# ---------------------------------------------------------------------------
+
+_PCTS = (0.25, 0.5, 0.75)
+
+
+def events_value_percentiles(sf_dir: str) -> rd.Dataset:
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "value"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "cents": _cents(batch.column("value")),
+            }
+        )
+        g = t.group_by(["event_type", "cents"]).aggregate([("cents", "count")])
+        return g.rename_columns(["event_type", "cents", "n"])
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "cents"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def cdf_walk(group: pa.Table) -> pa.Table:
+        import math
+
+        cents = group.column("cents").to_numpy(zero_copy_only=False)
+        counts = group.column("n").to_numpy(zero_copy_only=False)
+        order = np.argsort(cents)
+        cents, counts = cents[order], counts[order]
+        cum = np.cumsum(counts)
+        n = int(cum[-1])
+        # quantile_disc semantics: 0-indexed element ceil(q*n)-1
+        out = {}
+        for q in _PCTS:
+            idx = max(math.ceil(q * n) - 1, 0)
+            out[q] = int(cents[np.searchsorted(cum, idx, side="right")])
+        return pa.table(
+            {
+                "event_type": pa.array([group.column("event_type")[0].as_py()]),
+                "p25": pa.array([out[0.25]], pa.int64()),
+                "p50": pa.array([out[0.5]], pa.int64()),
+                "p75": pa.array([out[0.75]], pa.int64()),
+            }
+        )
+
+    # one group per event_type; each group is at most |value domain| rows
+    return hist.groupby("event_type").map_groups(cdf_walk, batch_format="pyarrow")
+
+
+EVENTS_PERCENTILES_SQL = """
+WITH c AS (
+  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_type,
+  CAST(quantile_disc(cents, 0.25) AS BIGINT) AS p25,
+  CAST(quantile_disc(cents, 0.50) AS BIGINT) AS p50,
+  CAST(quantile_disc(cents, 0.75) AS BIGINT) AS p75
+FROM c GROUP BY event_type
+"""

@@ -78,6 +78,7 @@ SQL_BACKED = [
     "events_sliding_3h",
     "customers_without_orders",
     "multimodal_features",
+    "events_value_percentiles",
 ]
 
 
