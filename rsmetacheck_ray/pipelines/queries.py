@@ -572,6 +572,16 @@ def q_dedup_simhash_pairs(sf_dir: str):
     return dd.simhash_pairs(_dup_corpus(sf_dir), max_hamming=3)
 
 
+def q_approx_distinct_users(sf_dir: str):
+    """HyperLogLog distinct user count over events (the mergeable
+    cardinality sketch; deterministic, rows-only — accuracy pinned by
+    tests/test_sketch.py against the exact distinct)."""
+    from ..functions.sketch import approx_distinct_table
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["user_id"])
+    return approx_distinct_table(ds, "user_id")
+
+
 def q_doc_chunk_fingerprints(sf_dir: str):
     """Content-defined rolling-hash chunk fingerprints (rows-only: the
     chunk boundary function is not SQL-expressible; properties pinned
@@ -837,6 +847,7 @@ def registry() -> dict[str, tuple]:
         "dedup_simhash": (q_dedup_simhash, None),  # sketch
         "dedup_simhash_pairs": (q_dedup_simhash_pairs, None),  # sketch
         "doc_chunk_fingerprints": (q_doc_chunk_fingerprints, None),  # non-SQL chunker
+        "approx_distinct_users": (q_approx_distinct_users, None),  # sketch
         "dedup_partial_overlap": (q_dedup_partial_overlap, None),  # non-SQL chunker
         "dedup_embedding_pairs": (q_dedup_embedding_pairs, SQL_DEDUP_EMBEDDING),
         "dedup_embedding_lsh": (q_dedup_embedding_lsh, None),  # approximate
