@@ -79,10 +79,20 @@ def _word_hashes(words) -> np.ndarray:
     return out
 
 
+def _combine_windows(wh: np.ndarray, k: int) -> np.ndarray:
+    """Raw (non-unique) k-window combination of consecutive word
+    hashes: position j rotated by (13·j) mod 64, xor-folded, splitmix
+    finalized. Requires len(wh) >= k."""
+    n = len(wh)
+    acc = wh[: n - k + 1].copy()
+    for j in range(1, k):
+        acc ^= _rotl(wh[j : n - k + 1 + j], (13 * j) % 64)
+    return splitmix64_np(acc)
+
+
 def _combine_shingles(wh: np.ndarray, k: int = 3) -> np.ndarray:
-    """Unique shingle hashes from per-word hashes: adjacent k-tuples
-    combined with order-distinguishing rotations + a splitmix finalize
-    — fully vectorized, no per-shingle byte hashing."""
+    """Unique shingle hashes from per-word hashes — fully vectorized,
+    no per-shingle byte hashing; honors ``k`` in every branch."""
     n = len(wh)
     if n == 0:
         return np.array([hash_bytes_u64(b"")], dtype=np.uint64)
@@ -91,8 +101,7 @@ def _combine_shingles(wh: np.ndarray, k: int = 3) -> np.ndarray:
         for j in range(n):
             acc = acc ^ _rotl(wh[j : j + 1], (13 * j) % 64)[0]
         return splitmix64_np(np.array([acc], dtype=np.uint64))
-    h = splitmix64_np(wh[: n - 2] ^ _rotl(wh[1 : n - 1], 13) ^ _rotl(wh[2:], 27))
-    return np.unique(h)
+    return np.unique(_combine_windows(wh, k))
 
 
 def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
@@ -180,9 +189,14 @@ def exact_dedup_pairs(
     no per-group Python, no quadratic blowup. (A sketch can NOT
     implement this: J≈0.99 near-dups pass 64/64 minhash bands with
     p≈0.5 — measured on the driver corpus.)"""
+    # materialize the tiny (id, hash) projection ONCE: it feeds both
+    # the canonical aggregate and the join probe side, and Ray re-runs
+    # the full-corpus text hashing for each lazy branch otherwise
+    # (confirmed: no common-subexpression elimination). 16 B/doc in the
+    # object store (spillable) vs re-reading and re-hashing every byte.
     hashed = ds.map_batches(
         lambda b: _hash_stage(b, text_col, id_col), batch_format="pyarrow"
-    )
+    ).materialize()
     canon = (
         hashed.groupby("content_hash")
         .aggregate(Min(id_col, alias_name="canon_id"))
@@ -243,11 +257,9 @@ def _signature_stage(batch: pa.Table, text_col: str, id_col: str) -> pa.Table:
     # scalar path's np.unique only serves set semantics for Jaccard.
     doc_of_pos = np.repeat(np.arange(n), lens)
     if total >= 3:
-        sh_flat = splitmix64_np(
-            wh_flat[: total - 2]
-            ^ _rotl(wh_flat[1 : total - 1], 13)
-            ^ _rotl(wh_flat[2:], 27)
-        )
+        # same combination as _combine_windows(·, 3), applied globally;
+        # windows crossing a document boundary are masked out
+        sh_flat = _combine_windows(wh_flat, 3)
         valid = doc_of_pos[: total - 2] == doc_of_pos[2:]
         sh_valid = sh_flat[valid]
     else:

@@ -142,17 +142,33 @@ def chunk_fingerprints(
     return ds.map_batches(stage, batch_format="pyarrow")
 
 
+# A chunk shared by more than this many documents is boilerplate (a
+# common header/footer) and carries ~no overlap signal; cap its pair
+# expansion like an LSH hot bucket and log the truncation.
+MAX_CHUNK_GROUP_DOCS = 256
+_N_CHUNK_PARTS = 64
+
+
 def partial_overlap_pairs(
     ds: rd.Dataset,
     min_shared_chunks: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_group_docs: int = MAX_CHUNK_GROUP_DOCS,
 ) -> rd.Dataset:
-    """Documents sharing ≥ ``min_shared_chunks`` content-defined chunks
-    — the partial-overlap near-dup detector. Star edges per chunk
-    group (canonical = min doc id, linear in group size) then a pair
-    count; only (hash, id) rows shuffle."""
-    from ray.data.aggregate import Count, Min
+    """ALL document pairs sharing ≥ ``min_shared_chunks`` content-
+    defined chunks — including pairs where neither member is the
+    group's min id (a star construction would silently miss those).
+    Per-chunk pair expansion is quadratic in group size, so hot
+    boilerplate chunks are capped at ``max_group_docs`` members with a
+    logged truncation; only (hash, id) 16-byte rows ever shuffle, on a
+    64-way hashed partition of the chunk hash (one Python call per
+    partition, not per chunk)."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Count
+
+    from .hashing import splitmix64_np
 
     chunks = chunk_fingerprints(ds, text_col, id_col)
     # distinct (doc, chunk_hash): a repeated chunk inside one doc
@@ -162,37 +178,63 @@ def partial_overlap_pairs(
         .aggregate(Count(alias_name="_n"))
         .select_columns([id_col, "chunk_hash"])
     )
-    canon = (
-        distinct.groupby("chunk_hash")
-        .aggregate(Min(id_col, alias_name="canon_id"))
-        .map_batches(
-            lambda b: b.rename_columns(["ch", "canon_id"]), batch_format="pyarrow"
+
+    def with_part(b: pa.Table) -> pa.Table:
+        k = b.column("chunk_hash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        part = (splitmix64_np(k) % _N_CHUNK_PARTS).astype(np.int64)
+        return b.append_column("cpart", pa.array(part, pa.int64()))
+
+    def group_pairs_part(group: pa.Table) -> pa.Table:
+        keys = group.column("chunk_hash").to_numpy(zero_copy_only=False)
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, keys))
+        keys, ids = keys[order], ids[order]
+        n = len(keys)
+        seg_starts = (
+            np.nonzero(np.concatenate([[True], keys[1:] != keys[:-1]]))[0]
+            if n
+            else np.array([], np.int64)
         )
-    )
-    joined = distinct.join(
-        canon, join_type="inner", num_partitions=8,
-        on=("chunk_hash",), right_on=("ch",),
-    )
-
-    def star(b: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        sub = b.filter(pc.greater(b.column(id_col), b.column("canon_id")))
+        seg_ends = np.append(seg_starts[1:], n)
+        a_out, b_out = [], []
+        for s, e in zip(seg_starts, seg_ends):
+            m = e - s
+            if m < 2:
+                continue
+            if m > max_group_docs:
+                print(
+                    f"[partial_overlap] boilerplate chunk truncated: {m} -> "
+                    f"{max_group_docs} docs"
+                )
+                e = s + max_group_docs
+                m = max_group_docs
+            ai, bj = np.triu_indices(m, 1)
+            a_out.append(ids[s:e][ai])
+            b_out.append(ids[s:e][bj])
+        if not a_out:
+            return pa.table(
+                {
+                    "doc_id_a": pa.array([], pa.int64()),
+                    "doc_id_b": pa.array([], pa.int64()),
+                }
+            )
         return pa.table(
             {
-                "doc_id_a": pc.cast(sub.column("canon_id"), pa.int64()),
-                "doc_id_b": pc.cast(sub.column(id_col), pa.int64()),
+                "doc_id_a": pa.array(np.concatenate(a_out), pa.int64()),
+                "doc_id_b": pa.array(np.concatenate(b_out), pa.int64()),
             }
         )
 
-    pairs = joined.map_batches(star, batch_format="pyarrow")
+    pairs = (
+        distinct.map_batches(with_part, batch_format="pyarrow")
+        .groupby("cpart")
+        .map_groups(group_pairs_part, batch_format="pyarrow")
+    )
     counted = pairs.groupby(["doc_id_a", "doc_id_b"]).aggregate(
         Count(alias_name="shared_chunks")
     )
 
     def thresh(b: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
         return b.filter(
             pc.greater_equal(b.column("shared_chunks"), min_shared_chunks)
         )

@@ -202,6 +202,10 @@ def knn_ivf(
         .limit(train_sample)
         .take_all()
     )
+    if not sample:
+        # sparse/offset id spaces can miss the stride entirely — fall
+        # back to the first rows rather than crash (biased but valid)
+        sample = ds.select_columns([id_col, "embedding"]).limit(train_sample).take_all()
     x = _unit(np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in sample]))
     cent = deterministic_kmeans(x, min(n_cells, len(x)))
     local = ds.map_batches(

@@ -263,7 +263,27 @@ def evidence_view(out_docs_dir: str) -> rd.Dataset:
             {k: pa.array(v, pa.string()) for k, v in out.items()}
         )
 
-    ds = rd.read_parquet(out_docs_dir, columns=["url", "rule_bits", "evidence_json"])
+    import pyarrow.parquet as _pq
+    import glob as _glob
+
+    sample_file = next(
+        iter(_glob.glob(os.path.join(out_docs_dir, "**", "*.parquet"), recursive=True)),
+        None,
+    )
+    has_evidence = sample_file is not None and "evidence_json" in set(
+        _pq.read_schema(sample_file).names
+    )
+    cols = ["url", "rule_bits"] + (["evidence_json"] if has_evidence else [])
+    ds = rd.read_parquet(out_docs_dir, columns=cols)
+    if not has_evidence:
+        # outputs written before evidence_json existed stay inspectable
+        # (suggestion-only evidence)
+        ds = ds.map_batches(
+            lambda b: b.append_column(
+                "evidence_json", pa.nulls(len(b), pa.string())
+            ),
+            batch_format="pyarrow",
+        )
     return ds.map_batches(explode, batch_format="pyarrow")
 
 

@@ -48,13 +48,17 @@ def test_empty_and_tiny_docs():
 
 
 def test_partial_overlap_pairs_pipeline(ray_session):
+    """All overlapping pairs must appear — including (1, 2), where
+    NEITHER member is the chunk groups' min id (a star construction
+    would miss it; caught by round-2 code review)."""
     import ray.data as rd
 
-    base = " ".join(f"word{i}" for i in range(2000))
+    base = " ".join(f"word{i}" for i in range(3000))
     docs = [
         (0, base),
-        (1, "A DIFFERENT LEAD-IN THEN THE SHARED BODY " + base),  # partial overlap of 0
-        (2, " ".join(f"other{i}" for i in range(2000))),          # unrelated
+        (1, "A DIFFERENT LEAD-IN THEN THE SHARED BODY " + base),
+        (2, "ANOTHER DISTINCT PREFIX BEFORE THE SAME BODY " + base),
+        (3, " ".join(f"other{i}" for i in range(3000))),  # unrelated
     ]
     t = pa.table(
         {
@@ -64,6 +68,6 @@ def test_partial_overlap_pairs_pipeline(ray_session):
     )
     out = fp.partial_overlap_pairs(rd.from_arrow(t), min_shared_chunks=2).to_pandas()
     pairs = set(zip(out["doc_id_a"], out["doc_id_b"]))
-    assert (0, 1) in pairs
+    assert {(0, 1), (0, 2), (1, 2)} <= pairs
     for a, b in pairs:
-        assert {a, b} <= {0, 1}
+        assert {a, b} <= {0, 1, 2}
