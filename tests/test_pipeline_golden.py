@@ -221,3 +221,28 @@ def test_resume_rejects_changed_partitioning(ray_session, small_corpus, tmp_path
     # same partitioning still resumes cleanly
     m = qg.run_gate(pages_dir, out, n_partitions=2)
     assert m["total_documents"] == 2000
+
+
+def test_evidence_view_on_pre_evidence_output(ray_session, tmp_path):
+    """Gate outputs written before evidence_json existed stay
+    inspectable: evidence_view degrades to suggestion-only."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rsmetacheck_ray.pipelines.quality_gate import evidence_view
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "url": pa.array(["https://a.example.com/x"]),
+                "rule_bits": pa.array([1], pa.int64()),  # bit 0 = empty_text
+            }
+        ),
+        str(d / "part-0.parquet"),
+    )
+    ev = evidence_view(str(d)).to_pandas()
+    assert len(ev) == 1
+    assert ev.loc[0, "rule"] == "empty_text"
+    assert ev.loc[0, "evidence"] == ev.loc[0, "suggestion"]
