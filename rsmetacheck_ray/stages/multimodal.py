@@ -152,3 +152,171 @@ class FrameSampleStub:
                 "frame_index": pa.array(out_frame, pa.int64()),
             }
         )
+
+
+# ---------------------------------------------------------------------------
+# REAL codec path — PPM (P6). The container has no image libraries, but
+# PPM needs none: the header is ASCII, the payload is raw RGB bytes. So
+# unlike the stub path above, this stage genuinely DECODES pixels,
+# resamples them and extracts features from them — the full multimodal
+# shape (decode → transform → embed) with the codec real end-to-end.
+# ---------------------------------------------------------------------------
+
+from ..functions.hashing import splitmix64_np as _smx  # noqa: E402
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → binary P6 PPM."""
+    h, w, c = pixels.shape
+    assert c == 3
+    return b"P6\n%d %d\n255\n" % (w, h) + pixels.astype(np.uint8).tobytes()
+
+
+def decode_ppm(data: bytes) -> np.ndarray:
+    """Binary P6 PPM → (h, w, 3) uint8 (comments and whitespace per
+    the netpbm spec)."""
+    if not data.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    pos, vals = 2, []
+    while len(vals) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if data[pos : pos + 1] == b"#":
+            while pos < len(data) and data[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        vals.append(int(data[start:pos]))
+    pos += 1  # exactly one whitespace byte after maxval
+    w, h, maxval = vals
+    if maxval != 255:
+        raise ValueError(f"unsupported maxval {maxval}")
+    arr = np.frombuffer(data, np.uint8, count=w * h * 3, offset=pos)
+    return arr.reshape(h, w, 3)
+
+
+def synth_pixels(doc_id: int, text_len: int) -> np.ndarray:
+    """Deterministic fixture image (stands in for a WARC image)."""
+    w = text_len % 64 + 8
+    h = text_len % 48 + 8
+    idx = np.arange(w * h * 3, dtype=np.uint64) ^ np.uint64(
+        (doc_id * 0x9E3779B97F4A7C15) & ((1 << 64) - 1)
+    )
+    return (_smx(idx) & np.uint64(0xFF)).astype(np.uint8).reshape(h, w, 3)
+
+
+def attach_ppm_payload(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Fixture synthesizer: real encoded PPM bytes per row."""
+    ids = batch.column("doc_id").to_pylist()
+    lens = pc.utf8_length(batch.column(text_col)).to_pylist()
+    payloads = [
+        encode_ppm(synth_pixels(int(d), int(n or 0))) for d, n in zip(ids, lens)
+    ]
+    return batch.append_column("payload", pa.array(payloads, pa.binary()))
+
+
+def _nn_resize(pix: np.ndarray, max_side: int) -> np.ndarray:
+    """Nearest-neighbor resample into a max_side box (aspect kept)."""
+    h, w, _ = pix.shape
+    long_side = max(h, w)
+    if long_side <= max_side:
+        return pix
+    rw = max(w * max_side // long_side, 1)
+    rh = max(h * max_side // long_side, 1)
+    yi = (np.arange(rh) * h) // rh
+    xi = (np.arange(rw) * w) // rw
+    return pix[yi[:, None], xi[None, :]]
+
+
+class PPMDecode:
+    """Actor-pool stage: REAL P6 decode. Emits dimensions + per-channel
+    means from the actual pixels and carries the raw pixel buffer
+    forward (the fat payload column is projected away)."""
+
+    def __init__(self):
+        pa.set_cpu_count(1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        ws, hs, means, raws = [], [], [], []
+        for data in payloads:
+            pix = decode_ppm(data)
+            h, w, _ = pix.shape
+            ws.append(w)
+            hs.append(h)
+            means.append(pix.reshape(-1, 3).mean(axis=0))
+            raws.append(pix.tobytes())
+        out = batch.drop_columns(["payload"])
+        out = out.append_column("width", pa.array(ws, pa.int64()))
+        out = out.append_column("height", pa.array(hs, pa.int64()))
+        out = out.append_column(
+            "mean_r", pa.array([float(m[0]) for m in means], pa.float64())
+        )
+        out = out.append_column(
+            "mean_g", pa.array([float(m[1]) for m in means], pa.float64())
+        )
+        out = out.append_column(
+            "mean_b", pa.array([float(m[2]) for m in means], pa.float64())
+        )
+        return out.append_column("pixels", pa.array(raws, pa.binary()))
+
+
+class PPMResize:
+    """Actor-pool stage: REAL nearest-neighbor resample of the decoded
+    pixel buffers into a ``max_side`` box."""
+
+    def __init__(self, max_side: int = 224):
+        pa.set_cpu_count(1)
+        self.max_side = max_side
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        raws = batch.column("pixels").to_pylist()
+        ws = batch.column("width").to_pylist()
+        hs = batch.column("height").to_pylist()
+        rws, rhs, out_raw = [], [], []
+        for raw, w, h in zip(raws, ws, hs):
+            pix = np.frombuffer(raw, np.uint8).reshape(h, w, 3)
+            r = _nn_resize(pix, self.max_side)
+            rh, rw, _ = r.shape
+            rws.append(rw)
+            rhs.append(rh)
+            out_raw.append(r.tobytes())
+        out = batch.drop_columns(["pixels"])
+        out = out.append_column("resized_w", pa.array(rws, pa.int64()))
+        out = out.append_column("resized_h", pa.array(rhs, pa.int64()))
+        return out.append_column("pixels", pa.array(out_raw, pa.binary()))
+
+
+class PPMFeatures:
+    """Actor-pool stage: REAL pixel features — global per-channel means
+    plus a 2×2 spatial grid of channel means (15 dims), L2-normalized;
+    flows straight into the knn operators."""
+
+    def __init__(self):
+        pa.set_cpu_count(1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        raws = batch.column("pixels").to_pylist()
+        ws = batch.column("resized_w").to_pylist()
+        hs = batch.column("resized_h").to_pylist()
+        feats = []
+        for raw, w, h in zip(raws, ws, hs):
+            pix = np.frombuffer(raw, np.uint8).reshape(h, w, 3).astype(np.float64)
+            f = [pix.reshape(-1, 3).mean(axis=0)]
+            for yy in (slice(0, h // 2), slice(h // 2, h)):
+                for xx in (slice(0, w // 2), slice(w // 2, w)):
+                    block = pix[yy, xx]
+                    f.append(
+                        block.reshape(-1, 3).mean(axis=0)
+                        if block.size
+                        else np.zeros(3)
+                    )
+            v = np.concatenate(f)
+            n = np.linalg.norm(v)
+            feats.append((v / n if n else v).tolist())
+        out = batch.drop_columns(["pixels"])
+        return out.append_column(
+            "embedding", pa.array(feats, pa.list_(pa.float64()))
+        )

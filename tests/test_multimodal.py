@@ -91,3 +91,83 @@ def test_feature_extract_feeds_knn(ray_session):
     res = knn_bruteforce(ds, q, np.array([0]), k=3).to_pandas()
     assert len(res) == 3
     assert res["vec_id"].iloc[0] == 17  # exact-feature query retrieves its doc
+
+
+# --------------------------------------------------------------------------
+# REAL codec path (P6 PPM — no external libraries needed)
+# --------------------------------------------------------------------------
+
+def test_ppm_roundtrip_bit_exact():
+    import numpy as np
+
+    from rsmetacheck_ray.stages import multimodal as mm
+
+    pix = mm.synth_pixels(7, 1234)
+    back = mm.decode_ppm(mm.encode_ppm(pix))
+    assert back.dtype == np.uint8 and (back == pix).all()
+
+
+def test_ppm_header_comments_and_errors():
+    import pytest as _pytest
+
+    from rsmetacheck_ray.stages import multimodal as mm
+
+    data = b"P6\n# comment line\n4 2\n255\n" + bytes(range(24))
+    assert mm.decode_ppm(data).shape == (2, 4, 3)
+    with _pytest.raises(ValueError):
+        mm.decode_ppm(b"P5\n1 1\n255\n\x00")
+    with _pytest.raises(ValueError):
+        mm.decode_ppm(b"P6\n1 1\n65535\n\x00\x00\x00")
+
+
+def test_nn_resize_known_values():
+    import numpy as np
+
+    from rsmetacheck_ray.stages import multimodal as mm
+
+    pix = np.arange(4 * 8 * 3, dtype=np.uint8).reshape(4, 8, 3)
+    r = mm._nn_resize(pix, 4)
+    assert r.shape == (2, 4, 3)
+    # nearest-neighbor picks rows (0,2) and cols (0,2,4,6)
+    assert (r == pix[np.array([0, 2])[:, None], np.array([0, 2, 4, 6])[None, :]]).all()
+    # no-op below the box
+    small = np.zeros((3, 3, 3), np.uint8)
+    assert mm._nn_resize(small, 224) is small
+
+
+def test_ppm_pipeline_decodes_real_pixels(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rsmetacheck_ray.stages import multimodal as mm
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(["x" * 100, "y" * 350, "z" * 40]),
+        }
+    )
+    out = (
+        rd.from_arrow(t)
+        .map_batches(mm.attach_ppm_payload, batch_format="pyarrow")
+        .map_batches(mm.PPMDecode, batch_format="pyarrow", concurrency=(1, 2))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for i, n in enumerate((100, 350, 40)):
+        pix = mm.synth_pixels(i, n)
+        assert out.loc[i, "width"] == pix.shape[1]
+        assert out.loc[i, "height"] == pix.shape[0]
+        assert abs(out.loc[i, "mean_r"] - pix[:, :, 0].mean()) < 1e-9
+
+
+def test_ppm_knn_self_match(ray_session):
+    """Each query image's nearest neighbor among all features must be
+    itself (real pixel features, cosine)."""
+    from rsmetacheck_ray.pipelines.queries import q_multimodal_ppm_knn
+
+    out = q_multimodal_ppm_knn("/root/testdata/sf0.001").to_pandas()
+    top = out.groupby("query_id").head(1)
+    assert (top["query_id"].to_numpy() == top["vec_id"].to_numpy()).all()
