@@ -170,13 +170,8 @@ def partial_overlap_pairs(
 
     from .hashing import splitmix64_np
 
-    chunks = chunk_fingerprints(ds, text_col, id_col)
-    # distinct (doc, chunk_hash): a repeated chunk inside one doc
-    # counts once
-    distinct = (
-        chunks.groupby([id_col, "chunk_hash"])
-        .aggregate(Count(alias_name="_n"))
-        .select_columns([id_col, "chunk_hash"])
+    chunks = chunk_fingerprints(ds, text_col, id_col).select_columns(
+        [id_col, "chunk_hash"]
     )
 
     def with_part(b: pa.Table) -> pa.Table:
@@ -198,7 +193,11 @@ def partial_overlap_pairs(
         seg_ends = np.append(seg_starts[1:], n)
         a_out, b_out = [], []
         for s, e in zip(seg_starts, seg_ends):
-            m = e - s
+            # all rows of a chunk_hash land in this segment, so a local
+            # unique IS the global distinct-(doc, chunk) dedup — no
+            # extra shuffle needed for repeated chunks within one doc
+            u = np.unique(ids[s:e])
+            m = len(u)
             if m < 2:
                 continue
             if m > max_group_docs:
@@ -206,11 +205,11 @@ def partial_overlap_pairs(
                     f"[partial_overlap] boilerplate chunk truncated: {m} -> "
                     f"{max_group_docs} docs"
                 )
-                e = s + max_group_docs
+                u = u[:max_group_docs]
                 m = max_group_docs
             ai, bj = np.triu_indices(m, 1)
-            a_out.append(ids[s:e][ai])
-            b_out.append(ids[s:e][bj])
+            a_out.append(u[ai])
+            b_out.append(u[bj])
         if not a_out:
             return pa.table(
                 {
@@ -226,7 +225,7 @@ def partial_overlap_pairs(
         )
 
     pairs = (
-        distinct.map_batches(with_part, batch_format="pyarrow")
+        chunks.map_batches(with_part, batch_format="pyarrow")
         .groupby("cpart")
         .map_groups(group_pairs_part, batch_format="pyarrow")
     )
