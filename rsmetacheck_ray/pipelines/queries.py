@@ -784,6 +784,16 @@ def q_multimodal_ppm_knn(sf_dir: str):
     return sim.knn_bruteforce(feats, qvecs, qids, k=5, id_col="doc_id")
 
 
+def q_multimodal_ppm_frames(sf_dir: str):
+    """REAL video-container walk: concatenated P6 frames parsed from
+    the self-describing headers, every 2nd frame decoded and emitted
+    as its own row (the flat_map shape of frame sampling)."""
+    ds = _documents(sf_dir, ["doc_id", "text"])
+    return ds.map_batches(mm.attach_ppm_video, batch_format="pyarrow").map_batches(
+        mm.PPMFrameSample, batch_format="pyarrow", concurrency=(1, 4), batch_size=128
+    )
+
+
 def q_doc_bpe_tokens(sf_dir: str):
     from ..functions.tokenize import BPE_TOKEN_RE, count_bpe_tokens, count_ws_tokens
 
@@ -912,6 +922,7 @@ def registry() -> dict[str, tuple]:
         "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
         "multimodal_ppm_decode": (q_multimodal_ppm_decode, None),  # real codec
         "multimodal_ppm_knn": (q_multimodal_ppm_knn, None),  # real pixels e2e
+        "multimodal_ppm_frames": (q_multimodal_ppm_frames, None),  # real container walk
         # token counting (whitespace + BPE-style pretokenizer)
         "doc_bpe_tokens": (q_doc_bpe_tokens, _sql_bpe()),
     }

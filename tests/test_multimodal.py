@@ -171,3 +171,32 @@ def test_ppm_knn_self_match(ray_session):
     out = q_multimodal_ppm_knn("/root/testdata/sf0.001").to_pandas()
     top = out.groupby("query_id").head(1)
     assert (top["query_id"].to_numpy() == top["vec_id"].to_numpy()).all()
+
+
+def test_ppm_video_frame_sampling(ray_session):
+    """The container walk must find exactly every nth frame with the
+    right per-frame dimensions and pixel stats."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rsmetacheck_ray.stages import multimodal as mm
+
+    t = pa.table(
+        {"doc_id": pa.array([5], pa.int64()), "text": pa.array(["q" * 12])}
+    )  # 12 % 7 + 2 = 7 frames
+    out = (
+        rd.from_arrow(t)
+        .map_batches(mm.attach_ppm_video, batch_format="pyarrow")
+        .map_batches(mm.PPMFrameSample, fn_constructor_kwargs={"every_nth": 3},
+                     batch_format="pyarrow", concurrency=(1, 2))
+        .to_pandas()
+        .sort_values("frame_index")
+        .reset_index(drop=True)
+    )
+    assert out["frame_index"].tolist() == [0, 3, 6]
+    for _, row in out.iterrows():
+        pix = mm.synth_pixels(5 * 1000 + int(row["frame_index"]),
+                              12 + int(row["frame_index"]))
+        assert row["width"] == pix.shape[1] and row["height"] == pix.shape[0]
+        assert abs(row["mean_pixel"] - pix.mean()) < 1e-9
