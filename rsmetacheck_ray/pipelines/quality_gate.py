@@ -263,18 +263,12 @@ def evidence_view(out_docs_dir: str) -> rd.Dataset:
             {k: pa.array(v, pa.string()) for k, v in out.items()}
         )
 
-    import pyarrow.parquet as _pq
-    import glob as _glob
-
-    sample_file = next(
-        iter(_glob.glob(os.path.join(out_docs_dir, "**", "*.parquet"), recursive=True)),
-        None,
-    )
-    has_evidence = sample_file is not None and "evidence_json" in set(
-        _pq.read_schema(sample_file).names
-    )
+    # schema check through the same resolution read_parquet itself uses
+    # (works for remote URIs too, unlike a local glob)
+    ds_all = rd.read_parquet(out_docs_dir)
+    has_evidence = "evidence_json" in (ds_all.schema().names or [])
     cols = ["url", "rule_bits"] + (["evidence_json"] if has_evidence else [])
-    ds = rd.read_parquet(out_docs_dir, columns=cols)
+    ds = ds_all.select_columns(cols)
     if not has_evidence:
         # outputs written before evidence_json existed stay inspectable
         # (suggestion-only evidence)

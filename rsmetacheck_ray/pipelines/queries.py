@@ -767,7 +767,9 @@ def q_multimodal_ppm_knn(sf_dir: str):
 
     head = pq.read_table(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
-    ).slice(0, 3)
+    )
+    n_q = min(3, head.num_rows)  # corpora smaller than 3 docs still work
+    head = head.slice(0, n_q)
     qids = np.array(head.column("doc_id").to_pylist(), dtype=np.int64)
     qvecs = np.stack(
         [
@@ -778,7 +780,7 @@ def q_multimodal_ppm_knn(sf_dir: str):
                     )
                 ).column("embedding")[0].as_py()
             )
-            for i in range(3)
+            for i in range(n_q)
         ]
     )
     return sim.knn_bruteforce(feats, qvecs, qids, k=5, id_col="doc_id")

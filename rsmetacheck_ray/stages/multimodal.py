@@ -172,27 +172,38 @@ def encode_ppm(pixels: np.ndarray) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + pixels.astype(np.uint8).tobytes()
 
 
-def decode_ppm(data: bytes) -> np.ndarray:
-    """Binary P6 PPM → (h, w, 3) uint8 (comments and whitespace per
-    the netpbm spec)."""
-    if not data.startswith(b"P6"):
-        raise ValueError("not a P6 PPM")
-    pos, vals = 2, []
+def _parse_ppm_header(data: bytes, pos: int = 0) -> tuple[int, int, int]:
+    """Parse one P6 header at ``pos`` → (raster_offset, w, h) —
+    the single implementation of the netpbm grammar (whitespace,
+    comments, three tokens, one whitespace byte after maxval) shared
+    by the frame decoder and the video container walk."""
+    if data[pos : pos + 2] != b"P6":
+        raise ValueError(f"not a P6 PPM at offset {pos}")
+    p, vals = pos + 2, []
     while len(vals) < 3:
-        while pos < len(data) and data[pos : pos + 1].isspace():
-            pos += 1
-        if data[pos : pos + 1] == b"#":
-            while pos < len(data) and data[pos] != 0x0A:
-                pos += 1
+        while p < len(data) and data[p : p + 1].isspace():
+            p += 1
+        if data[p : p + 1] == b"#":
+            while p < len(data) and data[p] != 0x0A:
+                p += 1
             continue
-        start = pos
-        while pos < len(data) and not data[pos : pos + 1].isspace():
-            pos += 1
-        vals.append(int(data[start:pos]))
-    pos += 1  # exactly one whitespace byte after maxval
+        start = p
+        while p < len(data) and not data[p : p + 1].isspace():
+            p += 1
+        if start == p:
+            raise ValueError("truncated PPM header")
+        vals.append(int(data[start:p]))
+    p += 1  # exactly one whitespace byte after maxval
     w, h, maxval = vals
     if maxval != 255:
         raise ValueError(f"unsupported maxval {maxval}")
+    return p, w, h
+
+
+def decode_ppm(data: bytes) -> np.ndarray:
+    """Binary P6 PPM → (h, w, 3) uint8 (comments and whitespace per
+    the netpbm spec)."""
+    pos, w, h = _parse_ppm_header(data)
     arr = np.frombuffer(data, np.uint8, count=w * h * 3, offset=pos)
     return arr.reshape(h, w, 3)
 
@@ -236,7 +247,7 @@ class PPMDecode:
     forward (the fat payload column is projected away)."""
 
     def __init__(self):
-        pa.set_cpu_count(1)
+        pass
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column("payload").to_pylist()
@@ -268,7 +279,6 @@ class PPMResize:
     pixel buffers into a ``max_side`` box."""
 
     def __init__(self, max_side: int = 224):
-        pa.set_cpu_count(1)
         self.max_side = max_side
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -295,7 +305,7 @@ class PPMFeatures:
     flows straight into the knn operators."""
 
     def __init__(self):
-        pa.set_cpu_count(1)
+        pass
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         raws = batch.column("pixels").to_pylist()
@@ -324,24 +334,10 @@ class PPMFeatures:
 
 def _ppm_payload_length(data: bytes, pos: int) -> tuple[int, int, int]:
     """(frame_length, width, height) of the PPM frame starting at pos —
-    parsed from the self-describing header, no index needed."""
-    if data[pos : pos + 2] != b"P6":
-        raise ValueError(f"not a P6 frame at offset {pos}")
-    p, vals = pos + 2, []
-    while len(vals) < 3:
-        while data[p : p + 1].isspace():
-            p += 1
-        if data[p : p + 1] == b"#":
-            while p < len(data) and data[p] != 0x0A:
-                p += 1
-            continue
-        start = p
-        while p < len(data) and not data[p : p + 1].isspace():
-            p += 1
-        vals.append(int(data[start:p]))
-    p += 1
-    w, h, _ = vals
-    return (p - pos) + w * h * 3, w, h
+    parsed from the self-describing header (shared grammar with
+    :func:`decode_ppm`), no index needed."""
+    raster, w, h = _parse_ppm_header(data, pos)
+    return (raster - pos) + w * h * 3, w, h
 
 
 def attach_ppm_video(batch: pa.Table, text_col: str = "text") -> pa.Table:
@@ -370,7 +366,6 @@ class PPMFrameSample:
     sampling with the codec real."""
 
     def __init__(self, every_nth: int = 2):
-        pa.set_cpu_count(1)
         self.every_nth = every_nth
 
     def __call__(self, batch: pa.Table) -> pa.Table:
