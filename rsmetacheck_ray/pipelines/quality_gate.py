@@ -415,6 +415,22 @@ def run_gate(
     _shim_fsspec_http()
     manifest_lock = threading.Lock()
 
+    def _probe_bad_fragments(frag_group: list[str]) -> list[str]:
+        """Fragments whose parquet footer/schema can't be read — the
+        engine's analog of the reference's skip-on-parse-error input
+        policy (``detect_pitfalls_main.py:316-318``). Only invoked on
+        the FAILURE path, so the happy path never pays a footer probe
+        per fragment."""
+        import pyarrow.parquet as pq
+
+        bad = []
+        for f in frag_group:
+            try:
+                pq.ParquetFile(f)
+            except Exception:
+                bad.append(f)
+        return bad
+
     def run_partition(pid: int, frag_group: list[str]) -> None:
         final_dir = os.path.join(docs_root, f"partition={pid}")
         tmp_dir = os.path.join(docs_root, f".tmp-partition={pid}")
@@ -422,11 +438,33 @@ def run_gate(
             shutil.rmtree(tmp_dir)
         if os.path.exists(final_dir):  # completed write, torn manifest append
             shutil.rmtree(final_dir)
-        ds = rd.read_parquet(frag_group)
-        gated = build_gate(ds, cfg)
-        gated.write_parquet(tmp_dir)
+        use_group, skipped = frag_group, []
+        try:
+            ds = rd.read_parquet(use_group)
+            gated = build_gate(ds, cfg)
+            gated.write_parquet(tmp_dir)
+        except Exception:
+            shutil.rmtree(tmp_dir, ignore_errors=True)
+            skipped = _probe_bad_fragments(frag_group)
+            if not skipped:  # not an input-corruption failure
+                raise
+            use_group = [f for f in frag_group if f not in set(skipped)]
+            print(
+                f"[run_gate] partition {pid}: skipping {len(skipped)} "
+                f"unreadable fragment(s): {skipped}"
+            )
+            if use_group:
+                ds = rd.read_parquet(use_group)
+                gated = build_gate(ds, cfg)
+                gated.write_parquet(tmp_dir)
+            else:  # every fragment bad — record an empty partition
+                os.makedirs(tmp_dir, exist_ok=True)
         os.rename(tmp_dir, final_dir)
-        lineage = partition_lineage(final_dir)
+        lineage = partition_lineage(final_dir) if use_group else {
+            "rows": 0, "kept": 0, "dropped": 0, "rule_lang": {},
+        }
+        if skipped:
+            lineage = dict(lineage, skipped_fragments=sorted(skipped))
         with manifest_lock:
             manifest.mark_done(pid, frag_group, lineage)
 
@@ -498,13 +536,19 @@ def metrics_from_records(records: list[dict]) -> dict:
             "percentage": round(100.0 * count / total, 2) if total else 0.0,
             "languages": langs,
         }
-    return {
+    skipped = sorted(
+        {f for r in records for f in r.get("skipped_fragments", [])}
+    )
+    out = {
         "total_documents": total,
         "kept": kept,
         "dropped": total - kept,
         "keep_rate": round(kept / total, 4) if total else 0.0,
         "rules": rules,
     }
+    if skipped:
+        out["skipped_fragments"] = skipped
+    return out
 
 
 def _merge_records(records: list[dict]) -> dict:

@@ -246,3 +246,29 @@ def test_evidence_view_on_pre_evidence_output(ray_session, tmp_path):
     assert len(ev) == 1
     assert ev.loc[0, "rule"] == "empty_text"
     assert ev.loc[0, "evidence"] == ev.loc[0, "suggestion"]
+
+
+def test_corrupt_fragment_skipped_and_recorded(ray_session, small_corpus, tmp_path):
+    """A fragment with an unreadable parquet footer must be skipped
+    (the reference's skip-on-parse-error input policy), recorded in the
+    manifest/metrics, and must not block the run or its resume."""
+    import shutil as _sh
+
+    from rsmetacheck_ray.pipelines.quality_gate import run_gate
+
+    pages_dir, _ = small_corpus
+    mixed = tmp_path / "mixed"
+    mixed.mkdir()
+    for f in sorted(os.listdir(pages_dir)):
+        if f.endswith(".parquet"):
+            _sh.copy(os.path.join(pages_dir, f), mixed / f)
+    bad = mixed / "zz-corrupt.parquet"
+    bad.write_bytes(b"not a parquet file at all")
+
+    out_dir = tmp_path / "out"
+    metrics = run_gate(str(mixed), str(out_dir), n_partitions=2)
+    assert metrics["total_documents"] == 2000  # all good docs processed
+    assert metrics["skipped_fragments"] == [str(bad)]
+    # resume over the same dir is a no-op with identical metrics
+    again = run_gate(str(mixed), str(out_dir), n_partitions=2)
+    assert again == metrics
