@@ -7,18 +7,23 @@ first-class large-scale operators:
  - **exact dedup**: content-hash each document inside ``map_batches``
    (C-speed blake2b, no Python byte loops), then ONE ``groupby(hash)``
    shuffle of the tiny (hash, doc_id) projection — the full text never
-   shuffles. Canonical survivor = min doc_id.
- - **MinHash + LSH near-dup**: word k-shingles → 64-permutation
-   minhash signature (vectorized: one splitmix64 remix of the shingle
-   hashes per permutation-band, ``np.minimum.reduce``) → band buckets →
-   ``groupby(band_key)`` shuffle of (band_key, doc_id, signature) →
-   per-bucket candidate pairs verified by signature agreement.
-   Only O(#docs × bands) small rows shuffle; texts stay put.
- - **SimHash**: 64-bit weighted-token fingerprint per doc.
+   shuffles. Canonical survivor = min doc_id; pair output is STAR
+   edges (canonical, member) — linear per duplicate group.
+ - **MinHash + LSH near-dup**: word k-shingles (memoized word hashes +
+   one global rotate-xor-splitmix combine) → 64-permutation minhash
+   via ``minimum.reduceat`` over doc segments → 16 bands × 4 rows
+   (S-curve midpoint ≈ the 0.5 estimate threshold) → shuffle on a
+   hashed band-key partition → per-bucket candidate pairs verified by
+   signature agreement, hot buckets capped. Only O(#docs × bands)
+   small rows shuffle; texts stay put.
+ - **SimHash**: 64-bit weighted-token fingerprint per doc, plus
+   banded-Hamming pair search (exact for distance ≤ 3).
  - **n-gram Jaccard**: exact similarity verification for candidate
    pairs (the ground truth the sketches approximate).
- - **embedding cosine near-dup**: brute-force double-precision cosine
-   over a broadcast matrix (``ray.put`` once, read per task).
+ - **embedding cosine near-dup**: EXACT block-pair cross join (blocks
+   stay in the object store; one Ray task per unordered block pair —
+   no driver materialization, no broadcast) plus the random-hyperplane
+   LSH scale path.
 
 All hashes derive from ``splitmix64`` (functions/hashing.py) — fully
 deterministic across machines and runs.

@@ -96,3 +96,103 @@ def test_chunker_tiles_exactly(data):
 def test_doc_chunks_cover_all_bytes(text):
     rows = fp.doc_chunks(0, text)
     assert sum(r[3] for r in rows) == len(text.encode("utf-8"))
+
+
+# --------------------------------------------------------------------------
+# differential properties: the block-vectorized temporal operators vs
+# straightforward per-key brute-force references on random data
+# --------------------------------------------------------------------------
+
+def _events_orders_tables(seed: int, n_ev: int, n_ord: int, n_keys: int):
+    rng = np.random.default_rng(seed)
+    ev = pa.table(
+        {
+            "event_id": pa.array(np.arange(n_ev), pa.int64()),
+            "user_id": pa.array(rng.integers(0, n_keys, n_ev), pa.int64()),
+            "ts": pa.array(
+                rng.integers(0, 10_000, n_ev) * 1_000_000, pa.timestamp("us")
+            ),
+        }
+    )
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array(np.arange(n_ord) + 1000, pa.int64()),
+            "o_custkey": pa.array(rng.integers(0, n_keys, n_ord), pa.int64()),
+            "o_orderdate": pa.array(
+                rng.integers(0, 10_000, n_ord) * 1_000_000, pa.timestamp("us")
+            ),
+        }
+    )
+    return ev, orders
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.integers(min_value=0, max_value=10_000))
+def test_asof_join_matches_bruteforce(ray_session, seed):
+    """events_asof_orders == per-event brute force (latest order at or
+    before ts; ties -> max orderkey) on random key/time data, including
+    heavy key collisions and equal timestamps."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from rsmetacheck_ray.pipelines.relational import events_asof_orders
+
+    ev, orders = _events_orders_tables(seed, n_ev=300, n_ord=200, n_keys=12)
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(ev, os.path.join(d, "events.parquet"))
+        pq.write_table(orders, os.path.join(d, "orders.parquet"))
+        got = (
+            events_asof_orders(d)
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+    # brute force
+    e_uid = ev.column("user_id").to_numpy()
+    e_ts = ev.column("ts").to_numpy().astype("datetime64[us]").astype(np.int64)
+    o_key = orders.column("o_orderkey").to_numpy()
+    o_cust = orders.column("o_custkey").to_numpy()
+    o_ts = orders.column("o_orderdate").to_numpy().astype("datetime64[us]").astype(np.int64)
+    expected = []
+    for i in range(len(e_uid)):
+        m = (o_cust == e_uid[i]) & (o_ts <= e_ts[i])
+        if not m.any():
+            expected.append(-1)  # null sentinel for the compare
+        else:
+            cand_ts = o_ts[m]
+            cand_key = o_key[m]
+            latest = cand_ts.max()
+            expected.append(int(cand_key[cand_ts == latest].max()))
+    assert got["o_orderkey"].fillna(-1).astype(np.int64).tolist() == expected
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.integers(min_value=0, max_value=10_000))
+def test_sessionize_matches_bruteforce(ray_session, seed):
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from rsmetacheck_ray.pipelines.relational import SESSION_GAP_S, sessionize_users
+
+    ev, orders = _events_orders_tables(seed, n_ev=400, n_ord=1, n_keys=9)
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(ev, os.path.join(d, "events.parquet"))
+        pq.write_table(orders, os.path.join(d, "orders.parquet"))
+        got = (
+            sessionize_users(d).to_pandas().sort_values("user_id").reset_index(drop=True)
+        )
+    uid = ev.column("user_id").to_numpy()
+    ts = ev.column("ts").to_numpy().astype("datetime64[us]").astype(np.int64)
+    eid = ev.column("event_id").to_numpy()
+    for _, row in got.iterrows():
+        m = uid == row["user_id"]
+        order = np.lexsort((eid[m], ts[m]))
+        t = ts[m][order]
+        sessions = 1 + int((np.diff(t) > SESSION_GAP_S * 1_000_000).sum())
+        assert row["n_events"] == int(m.sum())
+        assert row["n_sessions"] == sessions
+    assert set(got["user_id"]) == set(np.unique(uid))
