@@ -36,6 +36,9 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--fresh", action="store_true",
                    help="ignore an existing resume manifest")
     g.add_argument("--write-dropped-text", action="store_true")
+    g.add_argument("--input-format", choices=("parquet", "jsonl"),
+                   default="parquet",
+                   help="pages input format (jsonl: ISO warc_ts, base64 html)")
 
     m = sub.add_parser("metrics", help="recompute metrics from a run dir")
     m.add_argument("--out", required=True)
@@ -79,7 +82,8 @@ def main(argv: list[str] | None = None) -> int:
             shutil.rmtree(args.out)
         from .pipelines.quality_gate import run_gate
 
-        metrics = run_gate(args.input, args.out, n_partitions=args.partitions)
+        metrics = run_gate(args.input, args.out, n_partitions=args.partitions,
+                           input_format=args.input_format)
         print(json.dumps(metrics, indent=2, sort_keys=True))
     elif args.cmd == "metrics":
         import os

@@ -300,14 +300,16 @@ def _partition_fragments(paths: list[str], n_partitions: int) -> list[list[str]]
     return [g for g in out if g]
 
 
-def list_parquet_fragments(input_path: str | Iterable[str]) -> list[str]:
+def list_parquet_fragments(
+    input_path: str | Iterable[str], suffix: str = ".parquet"
+) -> list[str]:
     if isinstance(input_path, (list, tuple)):
         return sorted(str(p) for p in input_path)
     if os.path.isdir(input_path):
         return sorted(
             os.path.join(input_path, f)
             for f in os.listdir(input_path)
-            if f.endswith(".parquet")
+            if f.endswith(suffix)
         )
     return [str(input_path)]
 
@@ -357,6 +359,7 @@ def run_gate(
     cfg: GateConfig = DEFAULT_CONFIG,
     n_partitions: int | None = None,
     max_concurrent_partitions: int | None = None,
+    input_format: str = "parquet",
 ) -> dict:
     """Execute the gate over all input fragments with resume.
 
@@ -376,7 +379,14 @@ def run_gate(
     Returns the metrics dict (the analog of the reference's global
     summary JSON, ``detect_pitfalls_main.py:396-409``).
     """
-    fragments = list_parquet_fragments(input_path)
+    if input_format not in ("parquet", "jsonl"):
+        raise ValueError(f"unsupported input_format {input_format!r}")
+    suffix = ".parquet" if input_format == "parquet" else ".jsonl"
+    if input_format == "jsonl":
+        from ..sources.jsonl_pages import read_pages_jsonl as _read_fragments
+    else:
+        _read_fragments = rd.read_parquet
+    fragments = list_parquet_fragments(input_path, suffix)
     if not fragments:
         metrics = {"total_documents": 0, "kept": 0, "dropped": 0,
                    "keep_rate": 0.0, "rules": {}}
@@ -440,12 +450,16 @@ def run_gate(
             shutil.rmtree(final_dir)
         use_group, skipped = frag_group, []
         try:
-            ds = rd.read_parquet(use_group)
+            ds = _read_fragments(use_group)
             gated = build_gate(ds, cfg)
             gated.write_parquet(tmp_dir)
         except Exception:
             shutil.rmtree(tmp_dir, ignore_errors=True)
-            skipped = _probe_bad_fragments(frag_group)
+            skipped = (
+                _probe_bad_fragments(frag_group)
+                if input_format == "parquet"
+                else []
+            )
             if not skipped:  # not an input-corruption failure
                 raise
             use_group = [f for f in frag_group if f not in set(skipped)]
@@ -454,7 +468,7 @@ def run_gate(
                 f"unreadable fragment(s): {skipped}"
             )
             if use_group:
-                ds = rd.read_parquet(use_group)
+                ds = _read_fragments(use_group)
                 gated = build_gate(ds, cfg)
                 gated.write_parquet(tmp_dir)
             else:  # every fragment bad — record an empty partition
