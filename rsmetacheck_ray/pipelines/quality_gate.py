@@ -387,6 +387,19 @@ def run_gate(
     else:
         _read_fragments = rd.read_parquet
     fragments = list_parquet_fragments(input_path, suffix)
+    if (
+        not fragments
+        and isinstance(input_path, str)
+        and os.path.isdir(input_path)
+        and os.listdir(input_path)
+    ):
+        # a populated directory with zero matching fragments is almost
+        # always a --input-format mix-up; a silent zero-doc "success"
+        # would mask it
+        raise ValueError(
+            f"no *{suffix} fragments in {input_path!r} (directory is "
+            f"non-empty — wrong input_format?)"
+        )
     if not fragments:
         metrics = {"total_documents": 0, "kept": 0, "dropped": 0,
                    "keep_rate": 0.0, "rules": {}}
@@ -426,17 +439,26 @@ def run_gate(
     manifest_lock = threading.Lock()
 
     def _probe_bad_fragments(frag_group: list[str]) -> list[str]:
-        """Fragments whose parquet footer/schema can't be read — the
-        engine's analog of the reference's skip-on-parse-error input
-        policy (``detect_pitfalls_main.py:316-318``). Only invoked on
-        the FAILURE path, so the happy path never pays a footer probe
-        per fragment."""
-        import pyarrow.parquet as pq
-
+        """Fragments that cannot be FULLY read — the engine's analog of
+        the reference's skip-on-parse-error input policy
+        (``detect_pitfalls_main.py:316-318``). A full read (not just
+        the footer) so mid-file page corruption is classified too; for
+        JSONL, every line must parse. Only invoked on the FAILURE
+        path, so the happy path never pays a probe per fragment."""
         bad = []
         for f in frag_group:
             try:
-                pq.ParquetFile(f)
+                if input_format == "jsonl":
+                    import json as _json
+
+                    with open(f, "rb") as fh:
+                        for line in fh:
+                            if line.strip():
+                                _json.loads(line)
+                else:
+                    import pyarrow.parquet as pq
+
+                    pq.read_table(f)
             except Exception:
                 bad.append(f)
         return bad
@@ -455,17 +477,16 @@ def run_gate(
             gated.write_parquet(tmp_dir)
         except Exception:
             shutil.rmtree(tmp_dir, ignore_errors=True)
-            skipped = (
-                _probe_bad_fragments(frag_group)
-                if input_format == "parquet"
-                else []
-            )
+            skipped = _probe_bad_fragments(frag_group)
             if not skipped:  # not an input-corruption failure
                 raise
             use_group = [f for f in frag_group if f not in set(skipped)]
+            import sys as _sys
+
             print(
                 f"[run_gate] partition {pid}: skipping {len(skipped)} "
-                f"unreadable fragment(s): {skipped}"
+                f"unreadable fragment(s): {skipped}",
+                file=_sys.stderr,  # stdout stays machine-readable JSON
             )
             if use_group:
                 ds = _read_fragments(use_group)

@@ -26,15 +26,9 @@ import pyarrow.compute as pc
 
 import ray.data as rd
 
-PAGES_SCHEMA = pa.schema(
-    [
-        ("url", pa.string()),
-        ("warc_ts", pa.timestamp("us")),
-        ("html", pa.binary()),
-        ("text", pa.string()),
-        ("lang", pa.string()),
-    ]
-)
+# strict accepted shape: whole ISO-8601 seconds + optional .fraction,
+# nothing after (tz offsets and trailing garbage ⇒ null ⇒ skip)
+_ISO_TS_RE = r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(?:\.(?P<f>\d{1,6}))?$"
 
 
 def coerce_pages(batch: pa.Table) -> pa.Table:
@@ -56,24 +50,32 @@ def coerce_pages(batch: pa.Table) -> pa.Table:
         cols["warc_ts"] = pc.cast(batch.column("warc_ts"), pa.timestamp("us"))
     else:
         ts_str = _get_string("warc_ts")
-        # ISO-8601 with optional fractional seconds: Arrow's strptime
-        # has no %f, so parse the whole-second prefix vectorized and
-        # add the microsecond fraction per row (coercion boundary, not
-        # a hot path)
+        # ISO-8601 whole seconds + optional .fraction, validated as a
+        # WHOLE string (tz offsets / trailing garbage ⇒ null, per the
+        # module's null⇒skip discipline). Arrow's strptime has no %f,
+        # so the fraction is extracted and scaled vectorized:
+        # µs = int(f) · 10^(6 − len(f)).
+        import numpy as np
+
+        valid = pc.fill_null(pc.match_substring_regex(ts_str, _ISO_TS_RE), False)
+        checked = pc.if_else(valid, ts_str, pa.scalar(None, pa.string()))
         base = pc.strptime(
-            pc.utf8_slice_codeunits(ts_str, 0, 19),
+            pc.utf8_slice_codeunits(checked, 0, 19),
             format="%Y-%m-%dT%H:%M:%S",
             unit="us",
             error_is_null=True,
         )
-        import numpy as np
-
-        frac_us = np.zeros(n, dtype=np.int64)
-        for i, s in enumerate(ts_str.to_pylist()):
-            if s and len(s) > 20 and s[19] == ".":
-                digits = "".join(ch for ch in s[20:26] if ch.isdigit())
-                if digits:
-                    frac_us[i] = int(digits.ljust(6, "0"))
+        # an unmatched optional group extracts as "" (not null)
+        f_str = pc.fill_null(
+            pc.struct_field(pc.extract_regex(checked, _ISO_TS_RE), "f"), ""
+        )
+        f_len = pc.utf8_length(f_str).to_numpy(zero_copy_only=False).astype(np.int64)
+        f_val = pc.cast(
+            pc.if_else(pc.equal(f_str, ""), pa.scalar("0"), f_str), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        frac_us = f_val * np.power(10, 6 - np.maximum(f_len, 0), dtype=np.int64) * (
+            f_len > 0
+        )
         cols["warc_ts"] = pc.cast(
             pc.add(pc.cast(base, pa.int64()), pa.array(frac_us, pa.int64())),
             pa.timestamp("us"),

@@ -81,3 +81,57 @@ def test_jsonl_gate_matches_parquet_gate(ray_session, small_corpus, tmp_path):
     import pandas as pd
 
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_coerce_timestamp_strictness(ray_session):
+    """tz offsets and trailing garbage are NOT silently mangled — they
+    null out per the null-means-skip discipline (round-3 code review
+    found the fraction digits bleeding into the offset)."""
+    from rsmetacheck_ray.sources.jsonl_pages import coerce_pages
+
+    b = pa.table(
+        {
+            "url": pa.array(["u"] * 5),
+            "warc_ts": pa.array(
+                [
+                    "2023-01-01T00:00:00.5+01:00",   # offset -> null
+                    "2023-01-01T00:00:00XYZ",        # garbage -> null
+                    "2023-01-01T00:00:00.5",         # 500000 us
+                    "2023-01-01T00:00:00.123456",    # exact us
+                    "2023-01-01T00:00:00",           # whole second
+                ]
+            ),
+            "text": pa.array(["t"] * 5),
+            "lang": pa.array(["en"] * 5),
+        }
+    )
+    out = coerce_pages(b).column("warc_ts").to_pylist()
+    assert out[0] is None and out[1] is None
+    assert out[2].microsecond == 500_000
+    assert out[3].microsecond == 123_456
+    assert out[4].microsecond == 0
+
+
+def test_jsonl_corrupt_fragment_skipped(ray_session, small_corpus, tmp_path):
+    """A malformed JSONL fragment is skipped and recorded, like the
+    parquet path (the reference's policy IS a JSON-input policy)."""
+    from rsmetacheck_ray.pipelines.quality_gate import run_gate
+
+    pages_dir, _ = small_corpus
+    jdir = tmp_path / "jsonl"
+    _to_jsonl(pages_dir, str(jdir))
+    bad = jdir / "zz-corrupt.jsonl"
+    bad.write_text('{"url": "https://x.example.com", "text": TRUNCAT')
+
+    out = tmp_path / "out"
+    metrics = run_gate(str(jdir), str(out), n_partitions=2, input_format="jsonl")
+    assert metrics["total_documents"] == 2000
+    assert metrics["skipped_fragments"] == [str(bad)]
+
+
+def test_wrong_input_format_raises(ray_session, small_corpus, tmp_path):
+    from rsmetacheck_ray.pipelines.quality_gate import run_gate
+
+    pages_dir, _ = small_corpus
+    with pytest.raises(ValueError, match="wrong input_format"):
+        run_gate(pages_dir, str(tmp_path / "o"), input_format="jsonl")
