@@ -121,14 +121,15 @@ def main(argv: list[str] | None = None) -> int:
 
         docs = rd.read_parquet(
             os.path.join(args.out, "docs"),
-            columns=["url", "content_hash", "keep"],
+            columns=["url", "content_hash", "content_hash2", "keep"],
             filter=(_pc().field("keep") == True),  # noqa: E712
         )
-        # dedup on the content_hash the gate already emitted: no text
-        # re-read, no re-hash — only (url, hash) rows shuffle
-        agg = docs.groupby("content_hash").aggregate(
+        # dedup on the 128-bit content hash the gate already emitted:
+        # no text re-read, no re-hash — only (url, hash128) rows shuffle
+        agg = docs.groupby(["content_hash", "content_hash2"]).aggregate(
             Min("url", alias_name="url"), Count(alias_name="dup_count")
         )
+        agg = agg.select_columns(["url", "dup_count"])
         agg.write_parquet(args.dest)
         print(json.dumps({"rows": agg.count(), "dest": args.dest}))
 

@@ -149,16 +149,25 @@ def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
 # ---------------------------------------------------------------------------
 
 def _hash_stage(batch: pa.Table, text_col: str, id_col: str) -> pa.Table:
+    """(id, 128-bit content hash) projection. TWO int64 hash columns:
+    a single 64-bit digest has a ~2.6 % birthday-collision chance at
+    10⁹ docs (certain at 10¹²) — a silent false merge that would
+    diverge from the text-equality oracle. 128 bits keeps accidental
+    collision below 10⁻¹⁵ at 10¹² docs for +8 bytes/doc of shuffle."""
+    from .hashing import hash_str_array_u128
+
     texts = batch.column(text_col).to_pylist()
-    hashes = np.array(
-        [hash_bytes_u64((t or "").encode("utf-8")) for t in texts], dtype=np.uint64
-    )
+    lo, hi = hash_str_array_u128(texts)
     return pa.table(
         {
             id_col: batch.column(id_col),
-            "content_hash": pa.array(hashes.astype(np.int64), pa.int64()),
+            "content_hash": pa.array(lo.astype(np.int64), pa.int64()),
+            "content_hash2": pa.array(hi.astype(np.int64), pa.int64()),
         }
     )
+
+
+_HASH_COLS = ["content_hash", "content_hash2"]
 
 
 def exact_dedup_groups(
@@ -166,12 +175,12 @@ def exact_dedup_groups(
 ) -> rd.Dataset:
     """One row per distinct content: (id_col = min id, dup_count).
 
-    Shuffle ships only (id, hash) — 16 bytes/doc — never the text.
+    Shuffle ships only (id, hash128) — 24 bytes/doc — never the text.
     """
     hashed = ds.map_batches(
         lambda b: _hash_stage(b, text_col, id_col), batch_format="pyarrow"
     )
-    agg = hashed.groupby("content_hash").aggregate(
+    agg = hashed.groupby(_HASH_COLS).aggregate(
         Min(id_col, alias_name=id_col), Count(alias_name="dup_count")
     )
     return agg.select_columns([id_col, "dup_count"])
@@ -188,33 +197,35 @@ def exact_dedup_pairs(
     but a group of g duplicates emits g-1 rows, not g(g-1)/2, so a
     boilerplate page with 10⁶ copies costs 10⁶ rows instead of 10¹².
 
-    Plan: content-hash → tiny groupby(hash) for the canonical id → hash
-    join of the (id, hash) projection back against the canonicals →
-    vectorized filter id > canonical. Only 16-byte rows ever shuffle;
+    Plan: content-hash → tiny groupby(hash128) for the canonical id →
+    hash join of the (id, hash128) projection back against the
+    canonicals → vectorized filter id > canonical. Only 24-byte rows
+    ever shuffle;
     no per-group Python, no quadratic blowup. (A sketch can NOT
     implement this: J≈0.99 near-dups pass 64/64 minhash bands with
     p≈0.5 — measured on the driver corpus.)"""
     # materialize the tiny (id, hash) projection ONCE: it feeds both
     # the canonical aggregate and the join probe side, and Ray re-runs
     # the full-corpus text hashing for each lazy branch otherwise
-    # (confirmed: no common-subexpression elimination). 16 B/doc in the
+    # (confirmed: no common-subexpression elimination). 24 B/doc in the
     # object store (spillable) vs re-reading and re-hashing every byte.
     hashed = ds.map_batches(
         lambda b: _hash_stage(b, text_col, id_col), batch_format="pyarrow"
     ).materialize()
     canon = (
-        hashed.groupby("content_hash")
+        hashed.groupby(_HASH_COLS)
         .aggregate(Min(id_col, alias_name="canon_id"))
         .map_batches(
-            lambda b: b.rename_columns(["ch", "canon_id"]), batch_format="pyarrow"
+            lambda b: b.rename_columns(["ch", "ch2", "canon_id"]),
+            batch_format="pyarrow",
         )
     )
     joined = hashed.join(
         canon,
         join_type="inner",
         num_partitions=num_partitions,
-        on=("content_hash",),
-        right_on=("ch",),
+        on=("content_hash", "content_hash2"),
+        right_on=("ch", "ch2"),
     )
 
     def star(b: pa.Table) -> pa.Table:
@@ -550,8 +561,13 @@ def embedding_lsh_pairs(
     Recall is tunable via (n_planes, n_tables); see
     tests/test_dedup.py::test_embedding_lsh_recall_vs_bruteforce.
     """
-    first = ds.take(1)[0]
-    dim = len(first["embedding"])
+    empty_pairs = pa.table(
+        {"vec_id_a": pa.array([], pa.int64()), "vec_id_b": pa.array([], pa.int64())}
+    )
+    probe = ds.take(1)
+    if not probe:  # empty corpus: no pairs (and no dimension to read)
+        return rd.from_arrow(empty_pairs)
+    dim = len(probe[0]["embedding"])
     from .hashing import splitmix64_np
 
     raw = splitmix64_np(

@@ -54,6 +54,44 @@ def hash_bytes_u64(data: bytes, seed: int = 0) -> int:
     return int.from_bytes(h.digest(), "little")
 
 
+def hash_bytes_u128(data: bytes, seed: int = 0) -> tuple[int, int]:
+    """Deterministic 128-bit content hash as two uint64 halves.
+
+    The EXACT-DEDUP key: at 10⁹–10¹² documents a 64-bit digest has a
+    real birthday-collision probability (~2.6 % at 10⁹), which would
+    silently merge distinct documents; 128 bits pushes it below 10⁻¹⁵
+    at 10¹² docs. blake2b at digest_size=16 is the same one C call as
+    the 8-byte variant."""
+    import hashlib
+
+    h = hashlib.blake2b(data, digest_size=16, key=seed.to_bytes(8, "little"))
+    d = h.digest()
+    return (
+        int.from_bytes(d[:8], "little"),
+        int.from_bytes(d[8:], "little"),
+    )
+
+
+def hash_str_array_u128(values, seed: int = 0) -> tuple[np.ndarray, np.ndarray]:
+    """128-bit content hash of a string sequence → (lo, hi) uint64
+    ndarrays. One C-backed blake2b call per element (~0.5 µs/doc —
+    measured, see BASELINE.md); runs inside map_batches workers."""
+    import hashlib
+
+    key = seed.to_bytes(8, "little")
+    lo = np.empty(len(values), dtype=np.uint64)
+    hi = np.empty(len(values), dtype=np.uint64)
+    for i, v in enumerate(values):
+        d = hashlib.blake2b(
+            v.encode("utf-8") if isinstance(v, str) else bytes(v or b""),
+            digest_size=16,
+            key=key,
+        ).digest()
+        lo[i] = int.from_bytes(d[:8], "little")
+        hi[i] = int.from_bytes(d[8:], "little")
+    return lo, hi
+
+
 def hash_str_array_u64(values, seed: int = 0) -> np.ndarray:
     """Content hash of a string sequence → uint64 ndarray.
 

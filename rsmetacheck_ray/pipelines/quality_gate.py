@@ -96,12 +96,18 @@ class _RuleStage:
         result = out.select(cols)
         result = result.append_column("rule_bits", pa.array(bits, pa.int64()))
         # dedup key emitted inside the gate pass (SURVEY §2.7): exact
-        # dedup downstream is groupby(content_hash) over this tiny
-        # column — the text never needs re-reading or re-hashing
-        from ..functions.hashing import hash_str_array_u64
+        # dedup downstream is a groupby of the two 128-bit-hash halves
+        # (64 bits birthday-collides at 10⁹-10¹² docs) — the text never
+        # needs re-reading or re-hashing
+        from ..functions.hashing import hash_str_array_u128
 
-        chash = hash_str_array_u64(scrubbed.to_pylist()).astype(np.int64)
-        result = result.append_column("content_hash", pa.array(chash, pa.int64()))
+        ch_lo, ch_hi = hash_str_array_u128(scrubbed.to_pylist())
+        result = result.append_column(
+            "content_hash", pa.array(ch_lo.astype(np.int64), pa.int64())
+        )
+        result = result.append_column(
+            "content_hash2", pa.array(ch_hi.astype(np.int64), pa.int64())
+        )
         return result.append_column("scrubbed_text", scrubbed)
 
 
@@ -458,7 +464,14 @@ def run_gate(
                 else:
                     import pyarrow.parquet as pq
 
-                    pq.read_table(f)
+                    # stream batch-by-batch (discarding each) so
+                    # mid-file corruption is still detected without
+                    # ever materializing the fragment in driver memory
+                    # (a full read_table of a ~1 GiB resume partition ×
+                    # concurrent partition threads could OOM the driver)
+                    pf = pq.ParquetFile(f)
+                    for _batch in pf.iter_batches():
+                        pass
             except Exception:
                 bad.append(f)
         return bad

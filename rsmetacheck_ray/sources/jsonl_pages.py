@@ -45,8 +45,14 @@ def coerce_pages(batch: pa.Table) -> pa.Table:
 
     cols["url"] = _get_string("url")
     if "warc_ts" in names and pa.types.is_timestamp(batch.column("warc_ts").type):
-        # Arrow's JSON reader already inferred the ISO strings as
-        # timestamps — just normalize the unit
+        # a caller handed us an ALREADY-TYPED timestamp column (not a
+        # JSON string) — accept it as-is, normalizing the unit. The
+        # JSONL read path can never reach this branch: read_pages_jsonl
+        # pins warc_ts to string in the reader schema, so every JSON
+        # value goes through the strict per-row regex below (Arrow's
+        # per-file inference would otherwise accept tz-offset values
+        # whole-second files happen to contain — row semantics must not
+        # depend on which rows share a file).
         cols["warc_ts"] = pc.cast(batch.column("warc_ts"), pa.timestamp("us"))
     else:
         ts_str = _get_string("warc_ts")
@@ -103,8 +109,32 @@ def coerce_pages(batch: pa.Table) -> pa.Table:
     return out
 
 
+# The pages columns are read as STRINGS and coerced by coerce_pages —
+# never by Arrow's per-file type inference, whose verdict on warc_ts
+# would depend on the other rows in the file (a tz-offset value in an
+# all-whole-second file would silently parse; the same value next to a
+# fractional one would stay a string). Unknown extra fields still infer.
+_PAGES_READ_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("warc_ts", pa.string()),
+        ("html", pa.string()),
+        ("text", pa.string()),
+        ("lang", pa.string()),
+    ]
+)
+
+
 def read_pages_jsonl(paths: str | list[str]) -> rd.Dataset:
     """Pages Dataset from JSONL file(s) — file-parallel read + the
     coercion boundary, schema-identical to ``read_parquet`` pages."""
-    ds = rd.read_json(paths)
+    import pyarrow.json as pajson
+
+    ds = rd.read_json(
+        paths,
+        parse_options=pajson.ParseOptions(
+            explicit_schema=_PAGES_READ_SCHEMA,
+            unexpected_field_behavior="infer",
+        ),
+    )
     return ds.map_batches(coerce_pages, batch_format="pyarrow")
