@@ -334,7 +334,20 @@ def _signature_stage(batch: pa.Table, text_col: str, id_col: str) -> pa.Table:
 MAX_BUCKET_DOCS = 1024
 
 
-_N_BUCKET_PARTS = 64
+def _band_partitions(ds, num_partitions, bands_per_doc, row_bytes):
+    """Partition count for a band-key shuffle: rows = docs × bands, row
+    width = the band row (id + key + signature payload). Sized from the
+    input's parquet footers; the floor when the dataset has no parquet
+    lineage (e.g. a union corpus) — callers that know the corpus size
+    pass ``num_partitions`` explicitly."""
+    from ..partitioning import adaptive_partitions, parquet_rows_hint
+
+    if num_partitions:
+        return num_partitions
+    hint = parquet_rows_hint(ds)
+    return adaptive_partitions(
+        hint * bands_per_doc if hint else None, row_bytes=row_bytes
+    )
 
 
 def _bucket_pairs_part(
@@ -406,17 +419,21 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     min_est_jaccard: float = 0.5,
     max_bucket_docs: int = MAX_BUCKET_DOCS,
+    num_partitions: int | None = None,
 ) -> rd.Dataset:
     """Candidate near-duplicate pairs via MinHash-LSH, deduplicated
     across bands (a pair can collide in several bands). The shuffle
-    groups on a 64-way HASH PARTITION of the band key (buckets stay
-    co-located; Python is invoked per partition, not per tiny
-    bucket)."""
+    groups on a size-adaptive HASH PARTITION of the band key (buckets
+    stay co-located; Python is invoked per partition, not per tiny
+    bucket; the count grows with the input so one partition's
+    ~536-byte band rows fit a worker's memory budget)."""
+    # band row = id(8) + key(8) + signature(512) + part(8)
+    n_parts = _band_partitions(ds, num_partitions, N_BANDS, row_bytes=536)
 
     def with_part(b: pa.Table) -> pa.Table:
         t = _signature_stage(b, text_col, id_col)
         k = t.column("band_key").to_numpy(zero_copy_only=False).astype(np.uint64)
-        part = (splitmix64_np(k) % _N_BUCKET_PARTS).astype(np.int64)
+        part = (splitmix64_np(k) % n_parts).astype(np.int64)
         return t.append_column("bpart", pa.array(part, pa.int64()))
 
     sigs = ds.map_batches(with_part, batch_format="pyarrow")
@@ -672,10 +689,13 @@ def simhash_pairs(
     max_hamming: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    num_partitions: int | None = None,
 ) -> rd.Dataset:
     """All pairs (a < b) of documents whose SimHash fingerprints are
     within ``max_hamming`` bits. Exact for max_hamming ≤ 3 with the
     4×16-bit banding; larger radii lower recall (documented trade)."""
+    # band row = part(8) + key(8) + id(8) + simhash(8)
+    n_parts = _band_partitions(ds, num_partitions, _SIMHASH_BANDS, row_bytes=32)
     fp = simhash_dataset(ds, text_col, id_col)
 
     def band_stage(b: pa.Table) -> pa.Table:
@@ -688,7 +708,7 @@ def simhash_pairs(
             out_key[band * n : (band + 1) * n] = seg | (np.uint64(band) << np.uint64(16))
         rep_ids = np.tile(ids, _SIMHASH_BANDS)
         rep_h = np.tile(h, _SIMHASH_BANDS)
-        part = (splitmix64_np(out_key) % _N_BUCKET_PARTS).astype(np.int64)
+        part = (splitmix64_np(out_key) % n_parts).astype(np.int64)
         return pa.table(
             {
                 "bpart": pa.array(part, pa.int64()),

@@ -146,7 +146,21 @@ def chunk_fingerprints(
 # common header/footer) and carries ~no overlap signal; cap its pair
 # expansion like an LSH hot bucket and log the truncation.
 MAX_CHUNK_GROUP_DOCS = 256
-_N_CHUNK_PARTS = 64
+
+
+def _chunk_partitions(ds, num_partitions: int | None) -> int:
+    """Partition count for the (chunk_hash, id) shuffle, sized from the
+    input's parquet footers: expected chunk rows ≈ uncompressed bytes /
+    2^mask_bits (the expected chunk length). Falls back to the floor
+    when the dataset has no parquet lineage (union corpora) — callers
+    that know the corpus size pass ``num_partitions``."""
+    from ..partitioning import adaptive_partitions, parquet_bytes_hint
+
+    if num_partitions:
+        return num_partitions
+    nbytes = parquet_bytes_hint(ds)
+    est_rows = nbytes // (1 << _MASK_BITS) if nbytes else None
+    return adaptive_partitions(est_rows, row_bytes=24)  # (id, hash, part)
 
 
 def partial_overlap_pairs(
@@ -155,6 +169,7 @@ def partial_overlap_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_group_docs: int = MAX_CHUNK_GROUP_DOCS,
+    num_partitions: int | None = None,
 ) -> rd.Dataset:
     """ALL document pairs sharing ≥ ``min_shared_chunks`` content-
     defined chunks — including pairs where neither member is the
@@ -174,9 +189,11 @@ def partial_overlap_pairs(
         [id_col, "chunk_hash"]
     )
 
+    n_parts = _chunk_partitions(ds, num_partitions)
+
     def with_part(b: pa.Table) -> pa.Table:
         k = b.column("chunk_hash").to_numpy(zero_copy_only=False).astype(np.uint64)
-        part = (splitmix64_np(k) % _N_CHUNK_PARTS).astype(np.int64)
+        part = (splitmix64_np(k) % n_parts).astype(np.int64)
         return b.append_column("cpart", pa.array(part, pa.int64()))
 
     def group_pairs_part(group: pa.Table) -> pa.Table:

@@ -179,8 +179,8 @@ def knn_ivf(
     queries: np.ndarray,
     query_ids: np.ndarray,
     k: int = 10,
-    n_cells: int = 16,
-    nprobe: int = 4,
+    n_cells: int | None = None,
+    nprobe: int | None = None,
     id_col: str = "vec_id",
     train_sample: int = 2048,
 ) -> rd.Dataset:
@@ -188,8 +188,21 @@ def knn_ivf(
     sample drawn across the whole corpus (id % stride == 0 — the
     orders_systematic_sample pattern), search only ``nprobe`` cells per
     query. A limit(n) sample would see only the first fragment's
-    distribution and bias the codebook at scale."""
-    n_total = ds.count()
+    distribution and bias the codebook at scale.
+
+    ``n_cells``/``nprobe`` default from the corpus size — the standard
+    IVF heuristic ``n_cells ≈ √n`` (clamped) with ``nprobe`` = a
+    quarter of the cells, trading ~4× compute cut for recall; the
+    recall-vs-exact bound is pinned in tests/test_similarity.py."""
+    # row count from parquet footers when the dataset has file lineage
+    # (free); only transformed/in-memory inputs pay a count() pass
+    from ..partitioning import parquet_rows_hint
+
+    n_total = parquet_rows_hint(ds) or ds.count()
+    if n_cells is None:
+        n_cells = int(min(4096, max(16, round(n_total ** 0.5))))
+    if nprobe is None:
+        nprobe = max(2, n_cells // 4)
     stride = max(1, n_total // train_sample)
 
     def pick(b: pa.Table) -> pa.Table:

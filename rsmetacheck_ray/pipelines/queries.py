@@ -558,8 +558,27 @@ WHERE x.doc_id > c.canon_id
 """
 
 
+def _dup_corpus_rows(sf_dir: str) -> int:
+    """Row count of the dup corpus from parquet footers only: documents
+    plus the planted exact (1/10) and near (1/20) copies."""
+    import pyarrow.parquet as pq
+
+    n = pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+    return n + n // 10 + n // 20
+
+
 def q_dedup_minhash_pairs(sf_dir: str):
-    return dd.minhash_lsh_pairs(_dup_corpus(sf_dir), min_est_jaccard=0.5)
+    from ..partitioning import adaptive_partitions
+
+    # the union corpus has no parquet lineage, so size the band-key
+    # shuffle here from the documents footer (rows × 16 bands × ~536 B)
+    return dd.minhash_lsh_pairs(
+        _dup_corpus(sf_dir),
+        min_est_jaccard=0.5,
+        num_partitions=adaptive_partitions(
+            _dup_corpus_rows(sf_dir) * dd.N_BANDS, row_bytes=536
+        ),
+    )
 
 
 def q_dedup_simhash(sf_dir: str):
@@ -569,7 +588,15 @@ def q_dedup_simhash(sf_dir: str):
 def q_dedup_simhash_pairs(sf_dir: str):
     """Banded-Hamming SimHash near-dup pairs over the dup corpus
     (sketch → rows-only; semantics pinned by pytest)."""
-    return dd.simhash_pairs(_dup_corpus(sf_dir), max_hamming=3)
+    from ..partitioning import adaptive_partitions
+
+    return dd.simhash_pairs(
+        _dup_corpus(sf_dir),
+        max_hamming=3,
+        num_partitions=adaptive_partitions(
+            _dup_corpus_rows(sf_dir) * 4, row_bytes=32
+        ),
+    )
 
 
 def q_approx_distinct_users(sf_dir: str):
@@ -596,8 +623,16 @@ def q_dedup_partial_overlap(sf_dir: str):
     sharing >=2 content-defined chunks (catches the planted
     trailing-edit near-copies AND the exact copies)."""
     from ..functions.fingerprint import partial_overlap_pairs
+    from ..partitioning import adaptive_partitions, parquet_bytes_hint
 
-    return partial_overlap_pairs(_dup_corpus(sf_dir), min_shared_chunks=2)
+    nbytes = parquet_bytes_hint(_documents(sf_dir, ["doc_id", "text"])) or 0
+    return partial_overlap_pairs(
+        _dup_corpus(sf_dir),
+        min_shared_chunks=2,
+        num_partitions=adaptive_partitions(
+            (nbytes + nbytes // 8) // 512 or None, row_bytes=24
+        ),
+    )
 
 
 def q_dedup_embedding_pairs(sf_dir: str):

@@ -30,21 +30,24 @@ import ray.data as rd
 from ray.data.aggregate import Count, Max, Min, Sum
 
 from ..functions.hashing import splitmix64_np
+from ..partitioning import adaptive_partitions, parquet_rows_hint
 
 # Keyed temporal operators (as-of join, range join, sessionization)
 # shuffle once on a HASHED KEY PARTITION, not the raw key: each
 # map_groups call then processes EVERY key of its partition in one
 # vectorized pass (lexsort + segment-boundary math), so Python-call
-# count is O(_N_KEY_PARTS), not O(#distinct keys) — the 10⁸-customer
-# fix from VERDICT r1 item 5. Raise for bigger clusters: partitions
-# are the unit of parallelism AND of worker memory.
-_N_KEY_PARTS = 64
+# count is O(#partitions), not O(#distinct keys) — the 10⁸-customer
+# fix from VERDICT r1 item 5. The partition COUNT is sized from the
+# input (parquet footer row counts × approximate shuffled row width ÷
+# a per-partition memory budget, partitioning.adaptive_partitions):
+# partitions are the unit of parallelism AND of worker memory, so a
+# fixed count would put 1/64 of a 10¹²-row projection in one worker.
 
 
-def _part_of(key_col: pa.ChunkedArray | pa.Array) -> pa.Array:
+def _part_of(key_col: pa.ChunkedArray | pa.Array, n_parts: int) -> pa.Array:
     """Deterministic hash partition id of an int64 key column."""
     k = key_col.to_numpy(zero_copy_only=False).astype(np.uint64)
-    return pa.array((splitmix64_np(k) % _N_KEY_PARTS).astype(np.int64), pa.int64())
+    return pa.array((splitmix64_np(k) % n_parts).astype(np.int64), pa.int64())
 
 
 def _cents(col: pa.ChunkedArray | pa.Array) -> pa.Array:
@@ -325,13 +328,25 @@ GROUP BY event_type, date_trunc('hour', ts)
 
 
 def events_type_stats(sf_dir: str) -> rd.Dataset:
+    """Per-type count/min/max — partial-combined per batch (Arrow C++
+    group_by), so the shuffle ships one row per (type, block), not one
+    per input row (count/min/max decompose exactly)."""
     ds = rd.read_parquet(
         os.path.join(sf_dir, "events.parquet"), columns=["event_type", "value"]
     )
-    return ds.groupby("event_type").aggregate(
-        Count(alias_name="n_events"),
-        Min("value", alias_name="min_value"),
-        Max("value", alias_name="max_value"),
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("event_type").aggregate(
+            [("value", "count"), ("value", "min"), ("value", "max")]
+        )
+        return g.rename_columns(["event_type", "n_events", "min_value", "max_value"])
+
+    return ds.map_batches(partial, batch_format="pyarrow").groupby(
+        "event_type"
+    ).aggregate(
+        Sum("n_events", alias_name="n_events"),
+        Min("min_value", alias_name="min_value"),
+        Max("max_value", alias_name="max_value"),
     )
 
 
@@ -399,7 +414,7 @@ GROUP BY o.o_orderpriority
 SESSION_GAP_S = 1800
 
 
-def sessionize_users(sf_dir: str) -> rd.Dataset:
+def sessionize_users(sf_dir: str, num_partitions: int | None = None) -> rd.Dataset:
     """Per-user session stats: events sorted within each user, a new
     session opens after a >30 min gap. ONE shuffle on the hashed key
     partition; each map_groups call sessionizes EVERY user in its
@@ -408,11 +423,14 @@ def sessionize_users(sf_dir: str) -> rd.Dataset:
         os.path.join(sf_dir, "events.parquet"),
         columns=["user_id", "ts", "event_id"],
     )
+    n_parts = num_partitions or adaptive_partitions(
+        parquet_rows_hint(ds), row_bytes=24  # (user_id, ts, event_id)
+    )
 
     def tag(b: pa.Table) -> pa.Table:
         return pa.table(
             {
-                "part": _part_of(b.column("user_id")),
+                "part": _part_of(b.column("user_id"), n_parts),
                 "user_id": b.column("user_id"),
                 "ts": pc.cast(b.column("ts"), pa.int64()),
                 "event_id": b.column("event_id"),
@@ -512,10 +530,20 @@ FROM orders WHERE o_orderkey % 10 = 0
 # ---------------------------------------------------------------------------
 
 def lang_source_hist(sf_dir: str) -> rd.Dataset:
+    """(lang, source) histogram — partial-combined per batch so the
+    groupby shuffle volume is bounded by #keys × #blocks (a few KB per
+    block), not the corpus row count."""
     ds = rd.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["lang", "source"]
     )
-    return ds.groupby(["lang", "source"]).aggregate(Count(alias_name="n_docs"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["lang", "source"]).aggregate([("lang", "count")])
+        return g.rename_columns(["lang", "source", "n_docs"])
+
+    return ds.map_batches(partial, batch_format="pyarrow").groupby(
+        ["lang", "source"]
+    ).aggregate(Sum("n_docs", alias_name="n_docs"))
 
 
 LANG_SOURCE_SQL = """
@@ -546,10 +574,19 @@ SELECT o_orderkey, o_custkey FROM orders WHERE o_orderstatus = 'O'
 # ---------------------------------------------------------------------------
 
 def distinct_user_event_types(sf_dir: str) -> rd.Dataset:
+    """Distinct (user, type) pairs — per-batch Arrow distinct first
+    (group_by with no aggregates), so repeated pairs collapse before
+    the shuffle; the global groupby then sees at most #distinct ×
+    #blocks rows."""
     ds = rd.read_parquet(
         os.path.join(sf_dir, "events.parquet"), columns=["user_id", "event_type"]
     )
-    agg = ds.groupby(["user_id", "event_type"]).aggregate(Count(alias_name="_n"))
+
+    def local_distinct(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["user_id", "event_type"]).aggregate([])
+
+    dedup = ds.map_batches(local_distinct, batch_format="pyarrow")
+    agg = dedup.groupby(["user_id", "event_type"]).aggregate(Count(alias_name="_n"))
     return agg.select_columns(["user_id", "event_type"])
 
 
@@ -566,7 +603,7 @@ SELECT DISTINCT user_id, event_type FROM events
 # O((n+m) log m) numpy, no Python row loop)
 # ---------------------------------------------------------------------------
 
-def events_asof_orders(sf_dir: str) -> rd.Dataset:
+def events_asof_orders(sf_dir: str, num_partitions: int | None = None) -> rd.Dataset:
     """For each event: the most recent order of the same customer at
     or before the event time (ties on o_orderdate break to the highest
     o_orderkey — mirrored exactly by the oracle's ORDER BY ... LIMIT 1).
@@ -581,6 +618,10 @@ def events_asof_orders(sf_dir: str) -> rd.Dataset:
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_orderkey", "o_custkey", "o_orderdate"],
     )
+    n_parts = num_partitions or adaptive_partitions(
+        (parquet_rows_hint(events) or 0) + (parquet_rows_hint(orders) or 0) or None,
+        row_bytes=48,  # 6 int64-ish tagged-union columns
+    )
 
     def tag_events(b: pa.Table) -> pa.Table:
         n = len(b)
@@ -588,7 +629,7 @@ def events_asof_orders(sf_dir: str) -> rd.Dataset:
         # silently convert to float64/NaN (ids only exact below 2⁵³)
         return pa.table(
             {
-                "part": _part_of(b.column("user_id")),
+                "part": _part_of(b.column("user_id"), n_parts),
                 "key": b.column("user_id"),
                 "ts": pc.cast(b.column("ts"), pa.int64()),
                 "tag": pa.array(np.ones(n, dtype=np.int8)),
@@ -601,7 +642,7 @@ def events_asof_orders(sf_dir: str) -> rd.Dataset:
         n = len(b)
         return pa.table(
             {
-                "part": _part_of(b.column("o_custkey")),
+                "part": _part_of(b.column("o_custkey"), n_parts),
                 "key": b.column("o_custkey"),
                 "ts": pc.cast(b.column("o_orderdate"), pa.int64()),
                 "tag": pa.array(np.zeros(n, dtype=np.int8)),
@@ -661,7 +702,9 @@ FROM events e
 _RANGE_DAYS = 3
 
 
-def orders_events_window(sf_dir: str) -> rd.Dataset:
+def orders_events_window(
+    sf_dir: str, num_partitions: int | None = None
+) -> rd.Dataset:
     """Range join: per order, the number of same-customer events inside
     ``[o_orderdate, o_orderdate + 3 days)`` — equality key plus a time
     band, composed exactly like the as-of join (tagged union, ONE
@@ -675,6 +718,12 @@ def orders_events_window(sf_dir: str) -> rd.Dataset:
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_orderkey", "o_custkey", "o_orderdate"],
     )
+    n_parts = num_partitions or adaptive_partitions(
+        # each order contributes TWO probe rows
+        (parquet_rows_hint(events) or 0) + 2 * (parquet_rows_hint(orders) or 0)
+        or None,
+        row_bytes=40,
+    )
 
     window_us = _RANGE_DAYS * 86_400_000_000
 
@@ -686,7 +735,7 @@ def orders_events_window(sf_dir: str) -> rd.Dataset:
         n = len(b)
         return pa.table(
             {
-                "part": _part_of(b.column("user_id")),
+                "part": _part_of(b.column("user_id"), n_parts),
                 "key": b.column("user_id"),
                 "ts": pc.cast(b.column("ts"), pa.int64()),
                 "qt": pa.array(np.full(n, -1, dtype=np.int8)),
@@ -696,7 +745,7 @@ def orders_events_window(sf_dir: str) -> rd.Dataset:
 
     def tag_orders(b: pa.Table) -> pa.Table:
         n = len(b)
-        part = _part_of(b.column("o_custkey"))
+        part = _part_of(b.column("o_custkey"), n_parts)
         key = b.column("o_custkey")
         ts = pc.cast(b.column("o_orderdate"), pa.int64())
         okey = b.column("o_orderkey")
@@ -923,7 +972,9 @@ WINDOW w AS (PARTITION BY event_type ORDER BY hour
 # as the as-of join; no driver-side sets, no per-key Python).
 # ---------------------------------------------------------------------------
 
-def customers_without_orders(sf_dir: str, priority: str = "1-URGENT") -> rd.Dataset:
+def customers_without_orders(
+    sf_dir: str, priority: str = "1-URGENT", num_partitions: int | None = None
+) -> rd.Dataset:
     """Customers with no order of the given priority (every customer
     has SOME order in the driver tables, so the unfiltered anti-join
     would be vacuously empty — and an empty Ray dataset loses its
@@ -936,12 +987,16 @@ def customers_without_orders(sf_dir: str, priority: str = "1-URGENT") -> rd.Data
         columns=["o_custkey"],
         filter=(pc.field("o_orderpriority") == priority),
     )
+    n_parts = num_partitions or adaptive_partitions(
+        (parquet_rows_hint(cust) or 0) + (parquet_rows_hint(orders) or 0) or None,
+        row_bytes=24,  # (part, key, tag)
+    )
 
     def tag_cust(b: pa.Table) -> pa.Table:
         n = len(b)
         return pa.table(
             {
-                "part": _part_of(b.column("c_custkey")),
+                "part": _part_of(b.column("c_custkey"), n_parts),
                 "key": b.column("c_custkey"),
                 "tag": pa.array(np.zeros(n, dtype=np.int8)),
             }
@@ -952,7 +1007,7 @@ def customers_without_orders(sf_dir: str, priority: str = "1-URGENT") -> rd.Data
         uk = np.unique(b.column("o_custkey").to_numpy(zero_copy_only=False))
         return pa.table(
             {
-                "part": _part_of(pa.array(uk, pa.int64())),
+                "part": _part_of(pa.array(uk, pa.int64()), n_parts),
                 "key": pa.array(uk, pa.int64()),
                 "tag": pa.array(np.ones(len(uk), dtype=np.int8)),
             }
