@@ -635,6 +635,128 @@ def q_dedup_partial_overlap(sf_dir: str):
     )
 
 
+# --- connected components over dedup edges ---------------------------------
+# Corpus with a GENUINE transitive chain A ≈ B ≈ C where A and C share
+# no direct edge: B = the original document, A shares only B's 64-char
+# PREFIX, C shares only B's 64-char SUFFIX. Components must unify
+# {A, B, C} through B — pair output alone cannot.
+
+_CC_PREFIX = 64
+
+
+def _cc_corpus(sf_dir: str) -> rd.Dataset:
+    ds = _documents(sf_dir, ["doc_id", "text"])
+
+    def variants(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = b.column("text").to_pylist()
+        out_id, out_text = [], []
+        for d, t in zip(ids, texts):
+            t = t or ""
+            if d % 10 == 0:  # exact copy (a 2-node component)
+                out_id.append(int(d) + 1_000_000)
+                out_text.append(t)
+            if d % 16 == 1 and len(t) >= _CC_PREFIX:
+                # A: shares ONLY the prefix with B
+                out_id.append(int(d) + 3_000_000)
+                out_text.append(t[:_CC_PREFIX] + " left variant " + str(int(d)))
+                # C: shares ONLY the suffix with B
+                out_id.append(int(d) + 4_000_000)
+                out_text.append(str(int(d)) + " right variant " + t[-_CC_PREFIX:])
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "text": pa.array(out_text, pa.string()),
+            }
+        )
+
+    return ds.union(ds.map_batches(variants, batch_format="pyarrow"))
+
+
+def q_dedup_components(sf_dir: str):
+    """Canonical-survivor assignment per transitive near-dup cluster:
+    edges = star pairs on the 64-char text PREFIX ∪ star pairs on the
+    64-char SUFFIX (both SQL-expressible), components = min reachable
+    id (functions/components.py — vectorized local solve under the
+    size gate, hash-to-min star contraction above it)."""
+    from ..functions.components import connected_components
+
+    corpus = _cc_corpus(sf_dir)
+
+    def key_stage(mode: str):
+        def stage(b: pa.Table) -> pa.Table:
+            texts = b.column("text").to_pylist()
+            if mode == "prefix":
+                keys = [(t or "")[:_CC_PREFIX] for t in texts]
+            else:
+                keys = [
+                    (t or "")[-_CC_PREFIX:] if t and len(t) >= _CC_PREFIX else (t or "")
+                    for t in texts
+                ]
+            return pa.table(
+                {
+                    "doc_id": b.column("doc_id"),
+                    "k": pa.array(keys, pa.string()),
+                }
+            )
+
+        return stage
+
+    pre = dd.exact_dedup_pairs(
+        corpus.map_batches(key_stage("prefix"), batch_format="pyarrow"), text_col="k"
+    )
+    suf = dd.exact_dedup_pairs(
+        corpus.map_batches(key_stage("suffix"), batch_format="pyarrow"), text_col="k"
+    )
+    return connected_components(pre.union(suf))
+
+
+_CC_CORPUS_SQL = f"""
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 3000000,
+         substr(text, 1, {_CC_PREFIX}) || ' left variant ' || CAST(doc_id AS VARCHAR)
+  FROM documents WHERE doc_id % 16 = 1 AND length(text) >= {_CC_PREFIX}
+  UNION ALL
+  SELECT doc_id + 4000000,
+         CAST(doc_id AS VARCHAR) || ' right variant ' ||
+         substr(text, length(text) - {_CC_PREFIX - 1}, {_CC_PREFIX})
+  FROM documents WHERE doc_id % 16 = 1 AND length(text) >= {_CC_PREFIX}
+)
+"""
+
+SQL_DEDUP_COMPONENTS = f"""
+WITH RECURSIVE
+{_CC_CORPUS_SQL.strip()},
+pk AS (SELECT doc_id, substr(text, 1, {_CC_PREFIX}) AS k FROM corpus),
+sk AS (
+  SELECT doc_id,
+    CASE WHEN length(text) >= {_CC_PREFIX}
+         THEN substr(text, length(text) - {_CC_PREFIX - 1}, {_CC_PREFIX})
+         ELSE text END AS k
+  FROM corpus
+),
+pe AS (SELECT min(doc_id) OVER (PARTITION BY k) AS a, doc_id AS b FROM pk),
+se AS (SELECT min(doc_id) OVER (PARTITION BY k) AS a, doc_id AS b FROM sk),
+edges0 AS (
+  SELECT a, b FROM pe WHERE a < b
+  UNION
+  SELECT a, b FROM se WHERE a < b
+),
+edges AS (SELECT a, b FROM edges0 UNION SELECT b, a FROM edges0),
+reach AS (
+  SELECT a AS node, b AS r FROM edges
+  UNION
+  SELECT e.a, r.r FROM edges e JOIN reach r ON e.b = r.node
+)
+SELECT node AS doc_id, least(node, min(r)) AS component_id
+FROM reach GROUP BY node
+"""
+
+
 def q_dedup_embedding_pairs(sf_dir: str):
     ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
     return dd.embedding_near_dup_pairs(ds, threshold=0.45)
@@ -943,6 +1065,7 @@ def registry() -> dict[str, tuple]:
         "doc_chunk_fingerprints": (q_doc_chunk_fingerprints, None),  # non-SQL chunker
         "approx_distinct_users": (q_approx_distinct_users, None),  # sketch
         "dedup_partial_overlap": (q_dedup_partial_overlap, None),  # non-SQL chunker
+        "dedup_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),
         "dedup_embedding_pairs": (q_dedup_embedding_pairs, SQL_DEDUP_EMBEDDING),
         "dedup_embedding_lsh": (q_dedup_embedding_lsh, None),  # approximate
         # skew: salted two-phase host aggregate

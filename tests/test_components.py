@@ -1,0 +1,71 @@
+"""Connected components over dedup edges: transitive chains must unify
+(the pair generators alone cannot), both the vectorized local solve and
+the distributed hash-to-min path, at any partition count."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+from rsmetacheck_ray.functions.components import connected_components
+
+
+def _pairs(edges: list[tuple[int, int]]) -> rd.Dataset:
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id_a": pa.array([a for a, _ in edges], pa.int64()),
+                "doc_id_b": pa.array([b for _, b in edges], pa.int64()),
+            }
+        )
+    )
+
+
+def _solve(edges, **kw) -> dict[int, int]:
+    out = connected_components(_pairs(edges), **kw).to_pandas()
+    return dict(zip(out["doc_id"], out["component_id"]))
+
+
+def test_transitive_chain_local(ray_session):
+    # A≈B, B≈C, no A≈C edge — all three must share one canonical id
+    got = _solve([(20, 10), (20, 30), (50, 60)])
+    assert got == {10: 10, 20: 10, 30: 10, 50: 50, 60: 50}
+
+
+def test_long_path_and_duplicates_local(ray_session):
+    # 60-node path + duplicate and reversed edges
+    path = [(i, i + 1) for i in range(100, 160)]
+    extra = [(150, 149), (100, 101)]
+    got = _solve(path + extra)
+    assert set(got.values()) == {100}
+    assert len(got) == 61
+
+
+def test_distributed_path_matches_local(ray_session):
+    edges = [(2, 1), (3, 2), (10, 11), (11, 12), (12, 13), (99, 98)]
+    local = _solve(edges)
+    dist = _solve(edges, local_max_edges=0, num_partitions=3)
+    assert local == dist
+    assert dist[13] == 10 and dist[3] == 1
+
+
+def test_empty_and_selfloop(ray_session):
+    ds = connected_components(_pairs([]))
+    # NB: Dataset.to_pandas drops the schema of an all-empty dataset
+    # (Ray quirk) — assert on the dataset schema instead
+    assert ds.schema().names == ["doc_id", "component_id"]
+    assert ds.count() == 0
+    got = _solve([(7, 7)])
+    assert got == {7: 7}
+    got = _solve([(7, 7)], local_max_edges=0)
+    assert got == {7: 7}
+
+
+def test_star_output_of_exact_dedup_resolves(ray_session):
+    """Star pairs from two different keyings compose into one cluster
+    through the shared member (the q_dedup_components shape)."""
+    # prefix stars: (1,2),(1,3); suffix stars: (3,9) -> all one comp
+    got = _solve([(1, 2), (1, 3), (3, 9)])
+    assert set(got.values()) == {1} and len(got) == 4

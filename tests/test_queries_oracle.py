@@ -79,6 +79,8 @@ SQL_BACKED = [
     "customers_without_orders",
     "multimodal_features",
     "events_value_percentiles",
+    # round 3 additions
+    "dedup_components",
 ]
 
 
