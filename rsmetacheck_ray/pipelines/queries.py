@@ -356,7 +356,17 @@ def q_gate_drop_vector(sf_dir: str):
     return out.map_batches(compose, batch_format="pyarrow")
 
 
-def _sql_gate_drop_vector() -> str:
+_DROP_NOLM_EXPR = (
+    "(hit_empty_text OR hit_too_short OR hit_too_long OR hit_stopword"
+    " OR hit_symbol OR hit_repetition OR hit_boilerplate_only"
+    " OR hit_placeholder OR hit_lang_mismatch OR hit_dead_url)"
+)
+
+
+def _sql_gate_flags_ctes() -> str:
+    """The shared CTE chain (pages → feat/det → rep/rep2 → flags) that
+    re-derives every non-LM drop rule independently in SQL; used by both
+    the ``gate_drop_vector`` and ``gate_decisions`` oracles."""
     from ..stages.rules import (
         COPYRIGHT_RE,
         MULTI_VALUE_RE,
@@ -383,7 +393,7 @@ def _sql_gate_drop_vector() -> str:
     # whitespace tokens, first 512 after the >=4 check, adjacent-pair
     # histogram max over (len-1), dup-line fraction over \n lines
     return f"""
-WITH pages AS ({{pages}}),
+pages AS ({{pages}}),
 {_FEAT_SQL.strip()},
 rep AS (
   SELECT doc_id,
@@ -408,7 +418,7 @@ rep2 AS (
   FROM rep
 ),
 flags AS (
-  SELECT d.doc_id,
+  SELECT d.doc_id, d.url, d.detected_lang, d.n_tokens,
     (d.n_tokens = 0) AS hit_empty_text,
     (d.n_tokens > 0 AND d.n_tokens < 8 AND d.detected_lang != 'zh') AS hit_too_short,
     (d.n_tokens > 200000) AS hit_too_long,
@@ -430,13 +440,115 @@ flags AS (
         regexp_extract(d.text, 'Last updated: (\\d{{4}}-\\d{{2}}-\\d{{2}})', 1),
         '%Y-%m-%d'))) / 86400000000.0 > 1.0, FALSE) AS hit_outdated_ts
   FROM det d JOIN rep2 r USING (doc_id)
-)
+)"""
+
+
+def _sql_gate_drop_vector() -> str:
+    return f"""
+WITH {_sql_gate_flags_ctes().strip()}
 SELECT doc_id, hit_empty_text, hit_repetition, hit_boilerplate_only,
   hit_multi_value_field, hit_outdated_ts,
-  (hit_empty_text OR hit_too_short OR hit_too_long OR hit_stopword
-   OR hit_symbol OR hit_repetition OR hit_boilerplate_only
-   OR hit_placeholder OR hit_lang_mismatch OR hit_dead_url) AS drop_nolm
+  {_DROP_NOLM_EXPR} AS drop_nolm
 FROM flags
+"""
+
+
+# --- gate_decisions oracle: keep = NOT(drop_nolm OR perplexity_high) -------
+# The LM half is re-derived INDEPENDENTLY by DuckDB: oracle generation
+# exports the trigram model's PARAMETERS (byte→symbol map + the exact
+# per-trigram float32 bit costs, stages/perplexity.py) to parquet, and
+# the SQL recomputes each document's bits_per_char from raw text via
+# hex-pair byte extraction + window trigrams — a true differential of
+# the whole keep decision, not an echo of engine output. Summation
+# order may differ from the engine's reduceat at ~1e-12 relative, far
+# inside the calibrated margin (keep rows ≤2.6, gibberish ≥8.5 bits
+# vs the 5.0 threshold), so the thresholded decision is exact.
+
+_LM_EXPORT_DIR = "/tmp/rsmetacheck_lm_oracle"
+
+
+def _ensure_lm_export() -> str:
+    """Write the perplexity LM's parameters as parquet for DuckDB:
+    ``byte_sym.parquet`` (256 rows: uppercase hex pair → 6-bit symbol)
+    and ``lm_bits.parquet`` (64³ rows: trigram code → float64 bit cost
+    = widen(float32(-(logp3[c] - logp2[c >> 6])))), matching the
+    engine's float32 gather-subtract bit-for-bit."""
+    import pyarrow.parquet as pq
+
+    from ..stages.perplexity import _BYTE_CODE, _NSYM, PerplexityScorer
+
+    bits_path = os.path.join(_LM_EXPORT_DIR, "lm_bits.parquet")
+    pair_path = os.path.join(_LM_EXPORT_DIR, "byte_sym.parquet")
+    if os.path.exists(bits_path) and os.path.exists(pair_path):
+        return _LM_EXPORT_DIR
+    os.makedirs(_LM_EXPORT_DIR, exist_ok=True)
+    prev_cpus = pa.cpu_count()
+    try:
+        sc = PerplexityScorer()  # deterministic; process-memoized
+    finally:
+        pa.set_cpu_count(prev_cpus)  # scorer init throttles the pool
+    codes = np.arange(_NSYM**3, dtype=np.int64)
+    bits = (-(sc.logp3[codes] - sc.logp2[codes >> 6])).astype(np.float64)
+    tmp = bits_path + ".tmp"
+    pq.write_table(
+        pa.table({"code": pa.array(codes), "bits": pa.array(bits)}), tmp
+    )
+    os.replace(tmp, bits_path)
+    tmp = pair_path + ".tmp"
+    pq.write_table(
+        pa.table(
+            {
+                "pair": pa.array([f"{b:02X}" for b in range(256)], pa.string()),
+                "sym": pa.array(_BYTE_CODE.astype(np.int64)),
+            }
+        ),
+        tmp,
+    )
+    os.replace(tmp, pair_path)
+    return _LM_EXPORT_DIR
+
+
+def _sql_gate_decisions() -> str:
+    from ..config import DEFAULT_CONFIG as _cfg
+
+    d = _ensure_lm_export()
+    scan = _cfg.ppl_scan_chars
+    return f"""
+WITH {_sql_gate_flags_ctes().strip()},
+bpc_in AS (
+  SELECT doc_id, hex(encode(substr(text, 1, {scan}))) AS h,
+         octet_length(encode(substr(text, 1, {scan}))) AS nb
+  FROM pages
+),
+sym AS (
+  SELECT p.doc_id, p.i, bs.sym
+  FROM (
+    SELECT doc_id, h, unnest(generate_series(1, nb)) AS i
+    FROM bpc_in WHERE nb > 0
+  ) p JOIN '{d}/byte_sym.parquet' bs ON bs.pair = substr(p.h, 2 * p.i - 1, 2)
+),
+tri AS (
+  SELECT doc_id,
+    sym * {64 * 64} + lead(sym, 1) OVER w * 64 + lead(sym, 2) OVER w AS code
+  FROM sym WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+),
+doc_bits AS (
+  SELECT t.doc_id, sum(b.bits) AS total
+  FROM tri t JOIN '{d}/lm_bits.parquet' b ON b.code = t.code
+  GROUP BY t.doc_id
+),
+bpc AS (
+  SELECT bi.doc_id,
+    CASE WHEN bi.nb >= 3
+         THEN coalesce(db.total, 0) / CAST(bi.nb - 2 AS DOUBLE)
+         ELSE 0.0 END AS bits_per_char
+  FROM bpc_in bi LEFT JOIN doc_bits db USING (doc_id)
+)
+SELECT f.doc_id, f.url, f.detected_lang, f.n_tokens,
+  NOT ({_DROP_NOLM_EXPR}
+       OR (f.n_tokens > 0 AND p.bits_per_char > {_cfg.max_bits_per_char!r}))
+    AS keep
+FROM flags f JOIN bpc p USING (doc_id)
 """
 
 
@@ -1051,7 +1163,10 @@ def registry() -> dict[str, tuple]:
             q_gate_meta_flags,
             _sql_gate_meta().replace("{pages}", pages),
         ),
-        "gate_decisions": (q_gate_decisions, None),  # needs LM scoring
+        "gate_decisions": (
+            q_gate_decisions,
+            _sql_gate_decisions().replace("{pages}", pages),
+        ),
         "gate_drop_vector": (
             q_gate_drop_vector,
             _sql_gate_drop_vector().replace("{pages}", pages),
