@@ -99,9 +99,9 @@ class _RuleStage:
         # dedup downstream is a groupby of the two 128-bit-hash halves
         # (64 bits birthday-collides at 10⁹-10¹² docs) — the text never
         # needs re-reading or re-hashing
-        from ..functions.hashing import hash_str_array_u128
+        from ..functions.hashing import hash_str_arrow_u128
 
-        ch_lo, ch_hi = hash_str_array_u128(scrubbed.to_pylist())
+        ch_lo, ch_hi = hash_str_arrow_u128(scrubbed)
         result = result.append_column(
             "content_hash", pa.array(ch_lo.astype(np.int64), pa.int64())
         )
@@ -245,29 +245,60 @@ def evidence_view(out_docs_dir: str) -> rd.Dataset:
     meta = {r.code: (r.severity, r.category, r.suggestion) for r in CATALOG}
 
     def explode(batch: pa.Table) -> pa.Table:
+        """Vectorized long-format emit: per RULE (30 iterations, not
+        rows×rules), one Arrow ``take`` of the hit rows plus repeated
+        constant columns; evidence JSON is parsed lazily and at most
+        once per row — rows whose fired rules carry no evidence
+        provider never parse at all."""
         import json as _json
 
         import numpy as np
 
         bits = batch.column("rule_bits").to_numpy(zero_copy_only=False)
-        urls = batch.column("url").to_pylist()
+        url_arr = batch.column("url").combine_chunks()
         ev_raw = batch.column("evidence_json").to_pylist()
-        ev_maps = [(_json.loads(e) if e else {}) for e in ev_raw]
-        out = {"url": [], "rule": [], "severity": [], "category": [],
-               "evidence": [], "suggestion": []}
+        parsed: dict = {}
+
+        def ev_of(i: int) -> dict:
+            m = parsed.get(i)
+            if m is None:
+                e = ev_raw[i]
+                m = _json.loads(e) if e else {}
+                parsed[i] = m
+            return m
+
+        pieces = []
         for k, code in enumerate(RULE_CODES):
-            hit_rows = np.nonzero((bits >> k) & 1)[0]
+            idx = np.nonzero((bits >> np.int64(k)) & 1)[0]
+            if len(idx) == 0:
+                continue
             sev, cat, sug = meta[code]
-            for i in hit_rows:
-                out["url"].append(urls[i])
-                out["rule"].append(code)
-                out["severity"].append(sev)
-                out["category"].append(cat)
-                out["evidence"].append(ev_maps[i].get(code, sug))
-                out["suggestion"].append(sug)
-        return pa.table(
-            {k: pa.array(v, pa.string()) for k, v in out.items()}
-        )
+            n = len(idx)
+            take = pa.array(idx, pa.int64())
+            pieces.append(
+                pa.table(
+                    {
+                        "url": url_arr.take(take),
+                        "rule": pa.repeat(pa.scalar(code, pa.string()), n),
+                        "severity": pa.repeat(pa.scalar(sev, pa.string()), n),
+                        "category": pa.repeat(pa.scalar(cat, pa.string()), n),
+                        "evidence": pa.array(
+                            [ev_of(int(i)).get(code, sug) for i in idx],
+                            pa.string(),
+                        ),
+                        "suggestion": pa.repeat(pa.scalar(sug, pa.string()), n),
+                    }
+                )
+            )
+        if not pieces:
+            return pa.table(
+                {
+                    c: pa.array([], pa.string())
+                    for c in ("url", "rule", "severity", "category",
+                              "evidence", "suggestion")
+                }
+            )
+        return pa.concat_tables(pieces)
 
     # schema check through the same resolution read_parquet itself uses
     # (works for remote URIs too, unlike a local glob)

@@ -870,8 +870,11 @@ FROM reach GROUP BY node
 
 
 def q_dedup_embedding_pairs(sf_dir: str):
+    """Size-gated: EXACT block-pair cosine at oracle scales (all sf
+    dirs are far under the gate), hyperplane LSH past
+    ``EXACT_EMBEDDING_MAX_ROWS`` — see test_embedding_auto_gate."""
     ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    return dd.embedding_near_dup_pairs(ds, threshold=0.45)
+    return dd.embedding_pairs_auto(ds, threshold=0.45)
 
 
 def q_dedup_embedding_lsh(sf_dir: str):

@@ -144,6 +144,39 @@ def test_embedding_lsh_recall_vs_bruteforce(ray_session):
     assert len(l & e) / len(e) >= 0.8, (len(l), len(e))
 
 
+def test_embedding_auto_gate(ray_session):
+    """embedding_pairs_auto routes by row count: exact under the gate
+    (identical to the block-pair path), LSH above it (identical to the
+    hyperplane path, a strict subset of exact)."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(13)
+    base = rng.normal(size=(60, 16)).astype(np.float32)
+    for i in range(5):
+        base[50 + i] = base[i] + 0.03 * rng.normal(size=16).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(60), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in base],
+                                  pa.list_(pa.float32())),
+        }
+    )
+    ds = rd.from_arrow(t)
+
+    def pairs(out):
+        df = out.to_pandas()
+        return set(zip(df["vec_id_a"], df["vec_id_b"]))
+
+    exact = pairs(dd.embedding_near_dup_pairs(ds, threshold=0.9))
+    lsh = pairs(dd.embedding_lsh_pairs(ds, threshold=0.9))
+    assert pairs(dd.embedding_pairs_auto(ds, threshold=0.9)) == exact
+    assert (
+        pairs(dd.embedding_pairs_auto(ds, threshold=0.9, max_exact_rows=10))
+        == lsh
+    )
+    assert lsh <= exact
+
+
 def test_exact_dedup_pairs_megagroup_linear(ray_session):
     """A planted 10k-copy dup group emits g-1 star pairs, not g(g-1)/2 —
     the scale guard for boilerplate mega-groups (VERDICT r1 item 3)."""
