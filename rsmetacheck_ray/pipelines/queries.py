@@ -869,6 +869,51 @@ FROM reach GROUP BY node
 """
 
 
+# --- stratified per-host quota sampling ------------------------------------
+
+_SAMPLE_K = 3
+
+
+def q_host_sample(sf_dir: str):
+    """Corpus balancing after the gate: ≤ k docs per host, rank-based
+    deterministic sample (functions/sampling.py) — partial-pruned per
+    batch, one hashed-key-partition shuffle."""
+    from ..functions.sampling import stratified_sample
+    from ..stages.skew import _extract_host
+
+    pages = _pages_input(sf_dir).map_batches(
+        synthesize_pages, batch_format="pyarrow"
+    )
+
+    def with_host(b: pa.Table) -> pa.Table:
+        url = b.column("url")
+        if isinstance(url, pa.ChunkedArray):
+            url = url.combine_chunks()
+        return pa.table(
+            {"doc_id": b.column("doc_id"), "host": _extract_host(url)}
+        )
+
+    keyed = pages.map_batches(with_host, batch_format="pyarrow")
+    return stratified_sample(keyed, "host", k=_SAMPLE_K)
+
+
+def _sql_host_sample() -> str:
+    from ..stages.skew import HOST_RE
+
+    return f"""
+WITH pages AS ({{pages}}),
+h AS (
+  SELECT doc_id, regexp_extract(url, '{HOST_RE}', 1) AS host FROM pages
+)
+SELECT doc_id, host, md5(CAST(doc_id AS VARCHAR)) AS sample_rank
+FROM h
+QUALIFY row_number() OVER (
+  PARTITION BY host
+  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+) <= {_SAMPLE_K}
+"""
+
+
 def q_dedup_embedding_pairs(sf_dir: str):
     """Size-gated: EXACT block-pair cosine at oracle scales (all sf
     dirs are far under the gate), hyperplane LSH past
@@ -1190,6 +1235,11 @@ def registry() -> dict[str, tuple]:
         "host_stats": (
             q_host_stats,
             HOST_COUNTS_SQL_TEMPLATE.replace("{pages}", pages),
+        ),
+        # corpus balancing: deterministic per-host quota sample
+        "host_sample": (
+            q_host_sample,
+            _sql_host_sample().replace("{pages}", pages),
         ),
         # similarity search
         "knn_cosine": (q_knn_cosine, SQL_KNN),

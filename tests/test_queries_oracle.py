@@ -82,6 +82,7 @@ SQL_BACKED = [
     # round 3 additions
     "dedup_components",
     "gate_decisions",
+    "host_sample",
 ]
 
 
