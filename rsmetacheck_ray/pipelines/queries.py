@@ -1069,6 +1069,24 @@ def q_multimodal_ppm_decode(sf_dir: str):
     )
 
 
+def q_multimodal_mixed_decode(sf_dir: str):
+    """Format-DISPATCH decode: the same deterministic pixels encoded as
+    PPM (even doc_ids) or BMP (odd), routed by magic bytes in ONE
+    actor-pool stage — two genuinely different raster layouts
+    (top-down unpadded RGB vs bottom-up 4-byte-padded BGR). Rows-only;
+    the per-format roundtrips and the cross-codec pixel equality are
+    pinned by pytest (tests/test_multimodal.py)."""
+    ds = _documents(sf_dir, ["doc_id", "text"])
+    decoded = ds.map_batches(
+        mm.attach_mixed_payload, batch_format="pyarrow"
+    ).map_batches(
+        mm.ImageDecode, batch_format="pyarrow", concurrency=(1, 4), batch_size=256
+    )
+    return decoded.select_columns(
+        ["doc_id", "format", "width", "height", "mean_r", "mean_g", "mean_b"]
+    )
+
+
 def q_multimodal_ppm_knn(sf_dir: str):
     """End-to-end real-pixel retrieval: decode → resize → 15-dim pixel
     features → cosine top-k against the first 3 images' features."""
@@ -1249,6 +1267,7 @@ def registry() -> dict[str, tuple]:
         "multimodal_resize": (q_multimodal_resize, SQL_MULTIMODAL_RESIZE),
         "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
         "multimodal_ppm_decode": (q_multimodal_ppm_decode, None),  # real codec
+        "multimodal_mixed_decode": (q_multimodal_mixed_decode, None),  # PPM|BMP dispatch
         "multimodal_ppm_knn": (q_multimodal_ppm_knn, None),  # real pixels e2e
         "multimodal_ppm_frames": (q_multimodal_ppm_frames, None),  # real container walk
         # token counting (whitespace + BPE-style pretokenizer)

@@ -332,6 +332,114 @@ class PPMFeatures:
         )
 
 
+# ---------------------------------------------------------------------------
+# Second REAL codec — BMP (24-bit uncompressed, BITMAPINFOHEADER).
+# Like P6, BMP needs no libraries: a 54-byte little-endian header and a
+# bottom-up BGR raster with rows padded to 4 bytes. Two genuinely
+# different raster layouts (top-down unpadded RGB vs bottom-up padded
+# BGR) exercise real format DISPATCH in the decode stage.
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → 24-bit uncompressed BMP bytes."""
+    import struct
+
+    h, w, c = pixels.shape
+    assert c == 3
+    row_bytes = w * 3
+    pad = (4 - row_bytes % 4) % 4
+    raster = np.zeros((h, row_bytes + pad), dtype=np.uint8)
+    # bottom-up rows, BGR channel order
+    raster[:, :row_bytes] = pixels[::-1, :, ::-1].reshape(h, row_bytes)
+    body = raster.tobytes()
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    head = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 54)
+    return head + info + body
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """24-bit uncompressed BMP → (h, w, 3) uint8 RGB (bottom-up or
+    top-down rasters, row padding honored)."""
+    import struct
+
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    offset = struct.unpack_from("<I", data, 10)[0]
+    size, w, h_raw, _planes, bpp, comp = struct.unpack_from("<IiiHHI", data, 14)
+    if size < 40 or bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP variant (bpp={bpp}, comp={comp})")
+    top_down = h_raw < 0
+    h = -h_raw if top_down else h_raw
+    row_bytes = w * 3
+    stride = row_bytes + (4 - row_bytes % 4) % 4
+    raster = np.frombuffer(data, np.uint8, count=h * stride, offset=offset)
+    rows = raster.reshape(h, stride)[:, :row_bytes].reshape(h, w, 3)
+    if not top_down:
+        rows = rows[::-1]
+    return rows[:, :, ::-1]  # BGR -> RGB
+
+
+def decode_image(data: bytes) -> tuple[np.ndarray, str]:
+    """Format dispatch on magic bytes → (pixels, format). The decode
+    stage never trusts a declared format column — payload bytes rule."""
+    if data[:2] == b"P6":
+        return decode_ppm(data), "ppm"
+    if data[:2] == b"BM":
+        return decode_bmp(data), "bmp"
+    raise ValueError(f"unknown image magic {data[:2]!r}")
+
+
+def attach_mixed_payload(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Fixture synthesizer: the SAME deterministic pixels per doc,
+    encoded PPM for even doc_ids and BMP for odd — so a decode
+    differential (same pixels through both codecs) is testable."""
+    ids = batch.column("doc_id").to_pylist()
+    lens = pc.utf8_length(batch.column(text_col)).to_pylist()
+    payloads = []
+    for d, n in zip(ids, lens):
+        pix = synth_pixels(int(d), int(n or 0))
+        payloads.append(encode_ppm(pix) if int(d) % 2 == 0 else encode_bmp(pix))
+    return batch.append_column("payload", pa.array(payloads, pa.binary()))
+
+
+class ImageDecode:
+    """Actor-pool stage: REAL multi-format decode (PPM | BMP dispatch
+    by magic bytes). Same output schema as :class:`PPMDecode` plus the
+    detected ``format`` column."""
+
+    def __init__(self):
+        pass
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        ws, hs, means, fmts, raws = [], [], [], [], []
+        for data in payloads:
+            pix, fmt = decode_image(data)
+            h, w, _ = pix.shape
+            ws.append(w)
+            hs.append(h)
+            means.append(pix.reshape(-1, 3).mean(axis=0))
+            fmts.append(fmt)
+            raws.append(pix.tobytes())
+        out = batch.drop_columns(["payload"])
+        out = out.append_column("format", pa.array(fmts, pa.string()))
+        out = out.append_column("width", pa.array(ws, pa.int64()))
+        out = out.append_column("height", pa.array(hs, pa.int64()))
+        out = out.append_column(
+            "mean_r", pa.array([float(m[0]) for m in means], pa.float64())
+        )
+        out = out.append_column(
+            "mean_g", pa.array([float(m[1]) for m in means], pa.float64())
+        )
+        out = out.append_column(
+            "mean_b", pa.array([float(m[2]) for m in means], pa.float64())
+        )
+        return out.append_column("pixels", pa.array(raws, pa.binary()))
+
+
 def _ppm_payload_length(data: bytes, pos: int) -> tuple[int, int, int]:
     """(frame_length, width, height) of the PPM frame starting at pos —
     parsed from the self-describing header (shared grammar with
