@@ -120,6 +120,53 @@ def connected_components(
     return _solve_distributed(edges, a_col, b_col, id_out, label_out, n_parts)
 
 
+def dedup_survivors(
+    ids: rd.Dataset,
+    pairs: rd.Dataset,
+    id_col: str = "doc_id",
+    a_col: str = "doc_id_a",
+    b_col: str = "doc_id_b",
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """The final dedup DECISION per document: ``(id, canonical_id,
+    keep)`` where ``canonical_id`` is the component minimum for any
+    document reached by a near-dup edge and the document itself
+    otherwise; ``keep`` ⇔ the document IS its canonical. One
+    hashed-partition merge lookup of the corpus ids against the
+    component labels — no broadcast of either side."""
+    from ..partitioning import adaptive_partitions, parquet_rows_hint
+
+    comp = connected_components(
+        pairs, a_col=a_col, b_col=b_col, id_out="node", label_out="mn",
+        num_partitions=num_partitions,
+    ).materialize()
+    n_parts = num_partitions or adaptive_partitions(
+        parquet_rows_hint(ids), row_bytes=40
+    )
+
+    def tag(t: pa.Table) -> pa.Table:
+        col = t.column(id_col).combine_chunks().cast(pa.int64())
+        return pa.table({"canon": col, "orig": col})
+
+    mapped = _map_through(
+        ids.map_batches(tag, batch_format="pyarrow"),
+        "canon", "orig", comp, n_parts,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                id_col: t.column("orig"),
+                "canonical_id": t.column("canon"),
+                "keep": pc.equal(t.column("orig"), t.column("canon")),
+            }
+        )
+
+    return mapped.map_batches(finish, batch_format="pyarrow")
+
+
 def _map_through(
     data: rd.Dataset, key_col: str, carry_col: str, mapping: rd.Dataset,
     n_parts: int,

@@ -479,7 +479,9 @@ def _ensure_lm_export() -> str:
 
     bits_path = os.path.join(_LM_EXPORT_DIR, "lm_bits.parquet")
     pair_path = os.path.join(_LM_EXPORT_DIR, "byte_sym.parquet")
-    if os.path.exists(bits_path) and os.path.exists(pair_path):
+    # rewrite once per process (atomic replace), NOT if-exists: stale
+    # files from an older build of the LM must never feed the oracle
+    if getattr(_ensure_lm_export, "_done", False):
         return _LM_EXPORT_DIR
     os.makedirs(_LM_EXPORT_DIR, exist_ok=True)
     prev_cpus = pa.cpu_count()
@@ -505,6 +507,7 @@ def _ensure_lm_export() -> str:
         tmp,
     )
     os.replace(tmp, pair_path)
+    _ensure_lm_export._done = True
     return _LM_EXPORT_DIR
 
 
@@ -785,15 +788,9 @@ def _cc_corpus(sf_dir: str) -> rd.Dataset:
     return ds.union(ds.map_batches(variants, batch_format="pyarrow"))
 
 
-def q_dedup_components(sf_dir: str):
-    """Canonical-survivor assignment per transitive near-dup cluster:
-    edges = star pairs on the 64-char text PREFIX ∪ star pairs on the
-    64-char SUFFIX (both SQL-expressible), components = min reachable
-    id (functions/components.py — vectorized local solve under the
-    size gate, hash-to-min star contraction above it)."""
-    from ..functions.components import connected_components
-
-    corpus = _cc_corpus(sf_dir)
+def _cc_edges(corpus: rd.Dataset) -> rd.Dataset:
+    """Near-dup edge set of the CC corpus: star pairs on the 64-char
+    text PREFIX ∪ star pairs on the 64-char SUFFIX (SQL-expressible)."""
 
     def key_stage(mode: str):
         def stage(b: pa.Table) -> pa.Table:
@@ -820,7 +817,19 @@ def q_dedup_components(sf_dir: str):
     suf = dd.exact_dedup_pairs(
         corpus.map_batches(key_stage("suffix"), batch_format="pyarrow"), text_col="k"
     )
-    return connected_components(pre.union(suf))
+    return pre.union(suf)
+
+
+def q_dedup_components(sf_dir: str):
+    """Canonical-survivor assignment per transitive near-dup cluster:
+    edges = star pairs on the 64-char text PREFIX ∪ star pairs on the
+    64-char SUFFIX (both SQL-expressible), components = min reachable
+    id (functions/components.py — vectorized local solve under the
+    size gate, hash-to-min star contraction above it)."""
+    from ..functions.components import connected_components
+
+    corpus = _cc_corpus(sf_dir)
+    return connected_components(_cc_edges(corpus))
 
 
 _CC_CORPUS_SQL = f"""
@@ -866,6 +875,53 @@ reach AS (
 )
 SELECT node AS doc_id, least(node, min(r)) AS component_id
 FROM reach GROUP BY node
+"""
+
+
+def q_dedup_survivors(sf_dir: str):
+    """End-to-end dedup decision: corpus ids merged against the
+    component labels of the prefix∪suffix edge set — (doc_id,
+    canonical_id, keep), keep ⇔ doc_id is its cluster's minimum (or
+    untouched by any edge)."""
+    from ..functions.components import dedup_survivors
+
+    corpus = _cc_corpus(sf_dir)
+    edges = _cc_edges(corpus)
+    return dedup_survivors(corpus.select_columns(["doc_id"]), edges)
+
+
+SQL_DEDUP_SURVIVORS = f"""
+WITH RECURSIVE
+{_CC_CORPUS_SQL.strip()},
+pk AS (SELECT doc_id, substr(text, 1, {_CC_PREFIX}) AS k FROM corpus),
+sk AS (
+  SELECT doc_id,
+    CASE WHEN length(text) >= {_CC_PREFIX}
+         THEN substr(text, length(text) - {_CC_PREFIX - 1}, {_CC_PREFIX})
+         ELSE text END AS k
+  FROM corpus
+),
+pe AS (SELECT min(doc_id) OVER (PARTITION BY k) AS a, doc_id AS b FROM pk),
+se AS (SELECT min(doc_id) OVER (PARTITION BY k) AS a, doc_id AS b FROM sk),
+edges0 AS (
+  SELECT a, b FROM pe WHERE a < b
+  UNION
+  SELECT a, b FROM se WHERE a < b
+),
+edges AS (SELECT a, b FROM edges0 UNION SELECT b, a FROM edges0),
+reach AS (
+  SELECT a AS node, b AS r FROM edges
+  UNION
+  SELECT e.a, r.r FROM edges e JOIN reach r ON e.b = r.node
+),
+comp AS (
+  SELECT node AS doc_id, least(node, min(r)) AS component_id
+  FROM reach GROUP BY node
+)
+SELECT c.doc_id,
+       coalesce(comp.component_id, c.doc_id) AS canonical_id,
+       (coalesce(comp.component_id, c.doc_id) = c.doc_id) AS keep
+FROM corpus c LEFT JOIN comp USING (doc_id)
 """
 
 
@@ -1247,6 +1303,7 @@ def registry() -> dict[str, tuple]:
         "approx_distinct_users": (q_approx_distinct_users, None),  # sketch
         "dedup_partial_overlap": (q_dedup_partial_overlap, None),  # non-SQL chunker
         "dedup_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),
+        "dedup_survivors": (q_dedup_survivors, SQL_DEDUP_SURVIVORS),
         "dedup_embedding_pairs": (q_dedup_embedding_pairs, SQL_DEDUP_EMBEDDING),
         "dedup_embedding_lsh": (q_dedup_embedding_lsh, None),  # approximate
         # skew: salted two-phase host aggregate

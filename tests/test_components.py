@@ -9,7 +9,10 @@ import pyarrow as pa
 
 import ray.data as rd
 
-from rsmetacheck_ray.functions.components import connected_components
+from rsmetacheck_ray.functions.components import (
+    connected_components,
+    dedup_survivors,
+)
 
 
 def _pairs(edges: list[tuple[int, int]]) -> rd.Dataset:
@@ -61,6 +64,23 @@ def test_empty_and_selfloop(ray_session):
     assert got == {7: 7}
     got = _solve([(7, 7)], local_max_edges=0)
     assert got == {7: 7}
+
+
+def test_dedup_survivors_decision(ray_session):
+    """Every corpus doc gets a (canonical_id, keep) row: cluster
+    minimum survives, other members drop, edge-untouched docs keep."""
+    ids = rd.from_arrow(
+        pa.table({"doc_id": pa.array([1, 2, 3, 9, 42], pa.int64())})
+    )
+    out = (
+        dedup_survivors(ids, _pairs([(1, 2), (2, 3)]))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["doc_id"].tolist() == [1, 2, 3, 9, 42]
+    assert out["canonical_id"].tolist() == [1, 1, 1, 9, 42]
+    assert out["keep"].tolist() == [True, False, False, True, True]
 
 
 def test_star_output_of_exact_dedup_resolves(ray_session):

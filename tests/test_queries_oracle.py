@@ -81,6 +81,7 @@ SQL_BACKED = [
     "events_value_percentiles",
     # round 3 additions
     "dedup_components",
+    "dedup_survivors",
     "gate_decisions",
     "host_sample",
 ]
