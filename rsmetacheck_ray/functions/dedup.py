@@ -250,9 +250,8 @@ def _signature_stage(batch: pa.Table, text_col: str, id_col: str) -> pa.Table:
     signature for in-bucket verification. The batch vocabulary is
     hashed ONCE (memoized per worker); shingle and band hashing are
     vectorized numpy — no per-shingle byte hashing."""
-    texts = batch.column(text_col).to_pylist()
     ids = batch.column(id_col).to_pylist()
-    n = len(texts)
+    n = len(batch)
     if n == 0:
         return pa.table(
             {
@@ -261,10 +260,26 @@ def _signature_stage(batch: pa.Table, text_col: str, id_col: str) -> pa.Table:
                 "signature": pa.array([], pa.binary()),
             }
         )
-    words_per_doc = [(t.split() if t else []) for t in texts]
-    lens = np.fromiter((len(w) for w in words_per_doc), dtype=np.int64, count=n)
+    # ONE Arrow whitespace split for the batch (boundary empties
+    # filtered — exact str.split() parity, see simhash_batch), hash
+    # only the dictionary-encoded vocabulary, gather per token
+    arr = batch.column(text_col)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    words = pc.utf8_split_whitespace(pc.fill_null(arr, ""))
+    raw_off = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = words.flatten()
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), np.diff(raw_off))
+    mask = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    doc_idx = doc_idx[mask]
+    if len(doc_idx):
+        denc = flat.filter(pa.array(mask)).dictionary_encode()
+        dict_hashes = _word_hashes(denc.dictionary.to_pylist())
+        wh_flat = dict_hashes[denc.indices.to_numpy(zero_copy_only=False)]
+    else:
+        wh_flat = np.empty(0, dtype=np.uint64)
+    lens = np.bincount(doc_idx, minlength=n).astype(np.int64)
     total = int(lens.sum())
-    wh_flat = _word_hashes([w for ws in words_per_doc for w in ws])
     starts = np.concatenate([[0], np.cumsum(lens)])
 
     # ONE global shingle-combine pass (boundary-crossing windows masked

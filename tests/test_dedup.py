@@ -64,6 +64,44 @@ def test_exact_dedup_pairs(ray_session):
     assert pairs == {(0, 1)}
 
 
+def test_signature_stage_matches_scalar_path():
+    """The batched signature stage reproduces the scalar
+    shingle→minhash path exactly (Arrow split parity + identical word
+    hashes), including empty/whitespace/short-doc edges."""
+    from rsmetacheck_ray.functions.dedup import (
+        N_BANDS,
+        _signature_stage,
+        minhash_signature,
+        shingle_hashes,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "",
+        "   ",
+        "one two",
+        "　wide　space　tokens　here　",
+        "a b c d e f g h i j k l m n o p",
+        None,
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    out = _signature_stage(t, "text", "doc_id")
+    sigs = {
+        int(d): s
+        for d, s in zip(out.column("doc_id").to_pylist(),
+                        out.column("signature").to_pylist())
+    }
+    assert len(out) == len(texts) * N_BANDS
+    for i, txt in enumerate(texts):
+        expected = minhash_signature(shingle_hashes(txt or ""))
+        assert sigs[i] == expected.tobytes(), i
+
+
 def test_minhash_lsh_finds_near_dups(ray_session):
     out = dd.minhash_lsh_pairs(_ds(), min_est_jaccard=0.5).to_pandas()
     pairs = set(zip(out["doc_id_a"], out["doc_id_b"]))
