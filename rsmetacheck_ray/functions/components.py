@@ -319,6 +319,25 @@ def _solve_distributed(
             .materialize()
         )
 
+        # SHORTCUT the mapping to its roots (distributed pointer
+        # jumping): replace m by m∘m until idempotent. Plain hash-min
+        # without this converges in O(graph DIAMETER) rounds — a
+        # depth-D near-dup chain (successively edited page versions)
+        # would pay D full edge-rewrite rounds and overrun _MAX_ROUNDS;
+        # each shortcut pass halves chain depth over the (small,
+        # per-node) mapping instead, giving O(log d) passes and O(log d)
+        # outer rounds overall (Kiveris et al.'s two-phase discipline).
+        s_old = m.sum("mn")
+        for _jump in range(64):  # chain depth 2^64 is unreachable
+            m2 = _map_through(m, "mn", "node", m, num_partitions).materialize()
+            # sum(mn) strictly decreases while any chain remains;
+            # equal sums ⇒ m∘m == m (labels are min-monotone)
+            s_new = m2.sum("mn")
+            m = m2
+            if s_new == s_old:
+                break
+            s_old = s_new
+
         # rewrite both edge endpoints through m, drop self-loops
         e1 = _map_through(cur, "ea", "eb", m, num_partitions)
         e2 = _map_through(e1, "eb", "ea", m, num_partitions)

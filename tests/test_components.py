@@ -54,6 +54,16 @@ def test_distributed_path_matches_local(ray_session):
     assert dist[13] == 10 and dist[3] == 1
 
 
+def test_distributed_long_chain_converges_logarithmically(ray_session):
+    """Chain-shaped components (successively edited page versions) must
+    not cost O(depth) rounds: with mapping shortcutting a 40-deep path
+    resolves in ~2 outer rounds x log(depth) jumps."""
+    path = [(i, i + 1) for i in range(500, 540)]
+    got = _solve(path, local_max_edges=0, num_partitions=4)
+    assert set(got.values()) == {500}
+    assert len(got) == 41
+
+
 def test_empty_and_selfloop(ray_session):
     ds = connected_components(_pairs([]))
     # NB: Dataset.to_pandas drops the schema of an all-empty dataset
