@@ -31,6 +31,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # a registry sql slot may be a zero-arg callable (deferred build:
+    # gate_decisions trains + exports the LM oracle parameters);
+    # resolve those only here, where the SQL is actually wanted
     return {
-        name: sql for name, (_fn, sql) in registry().items() if sql is not None
+        name: (sql() if callable(sql) else sql)
+        for name, (_fn, sql) in registry().items()
+        if sql is not None
     }

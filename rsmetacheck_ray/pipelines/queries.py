@@ -19,6 +19,7 @@ parametrized detector tests (``test_p001.py:13-77``).
 from __future__ import annotations
 
 import os
+import uuid
 
 import numpy as np
 import pyarrow as pa
@@ -491,12 +492,16 @@ def _ensure_lm_export() -> str:
         pa.set_cpu_count(prev_cpus)  # scorer init throttles the pool
     codes = np.arange(_NSYM**3, dtype=np.int64)
     bits = (-(sc.logp3[codes] - sc.logp2[codes >> 6])).astype(np.float64)
-    tmp = bits_path + ".tmp"
+    # per-writer-unique tmp names: os.replace is only atomic if no
+    # other process is writing the same tmp path (pytest-xdist / a
+    # concurrent driver gate would interleave a shared ".tmp")
+    suffix = f".tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+    tmp = bits_path + suffix
     pq.write_table(
         pa.table({"code": pa.array(codes), "bits": pa.array(bits)}), tmp
     )
     os.replace(tmp, bits_path)
-    tmp = pair_path + ".tmp"
+    tmp = pair_path + suffix
     pq.write_table(
         pa.table(
             {
@@ -834,9 +839,12 @@ def q_dedup_components(sf_dir: str):
 
 _CC_CORPUS_SQL = f"""
 corpus AS (
-  SELECT doc_id, text FROM documents
+  -- NULL text is treated as '' (the engine's convention: a doc with
+  -- absent content dedups with empty docs); without the coalesce the
+  -- engine's ''-keyed rows and SQL's NULL-partitioned rows diverge
+  SELECT doc_id, coalesce(text, '') AS text FROM documents
   UNION ALL
-  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+  SELECT doc_id + 1000000, coalesce(text, '') FROM documents WHERE doc_id % 10 = 0
   UNION ALL
   SELECT doc_id + 3000000,
          substr(text, 1, {_CC_PREFIX}) || ' left variant ' || CAST(doc_id AS VARCHAR)
@@ -1285,9 +1293,13 @@ def registry() -> dict[str, tuple]:
             q_gate_meta_flags,
             _sql_gate_meta().replace("{pages}", pages),
         ),
+        # deferred (zero-arg callable): building this SQL trains the
+        # trigram LM and exports its parameters to /tmp — taxing every
+        # registry() caller (bench, rows-only tests) that never runs
+        # the gate_decisions oracle. oracle_sql() resolves callables.
         "gate_decisions": (
             q_gate_decisions,
-            _sql_gate_decisions().replace("{pages}", pages),
+            lambda: _sql_gate_decisions().replace("{pages}", pages_cte()),
         ),
         "gate_drop_vector": (
             q_gate_drop_vector,

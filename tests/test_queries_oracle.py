@@ -91,6 +91,8 @@ SQL_BACKED = [
 def test_query_matches_oracle(ray_session, oracle_con, name):
     fn, sql = _registry()[name]
     assert sql is not None
+    if callable(sql):  # deferred oracle build (gate_decisions LM export)
+        sql = sql()
     res = fn(SF_DIR)
     ray_df = _canon(res.to_pandas() if hasattr(res, "to_pandas") else pd.DataFrame(res))
     sql_df = _canon(oracle_con.execute(sql).fetchdf())
@@ -114,6 +116,34 @@ def test_rows_only_queries_return_rows(ray_session):
         res = fn(SF_DIR)
         df = res.to_pandas() if hasattr(res, "to_pandas") else pd.DataFrame(res)
         assert len(df) > 0, name
+
+
+def test_dedup_survivors_null_text_matches_oracle(ray_session, tmp_path):
+    """NULL text must dedup as '' on BOTH sides (engine coalesces;
+    the oracle SQL coalesces at the corpus CTE) — regression for the
+    engine-''-vs-SQL-NULL divergence on nullable text columns."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 11], pa.int64()),
+            "text": pa.array([None, "", "some longer unrelated body", None], pa.string()),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    fn, sql = _registry()["dedup_survivors"]
+    ray_df = _canon(fn(str(tmp_path)).to_pandas())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'"
+    )
+    sql_df = _canon(con.execute(sql).fetchdf())
+    assert len(ray_df) == len(sql_df)
+    for c in ray_df.columns:
+        assert (ray_df[c].astype(str) == sql_df[c].astype(str)).all(), c
+    # the three no-content docs (2 NULL + 1 empty) form ONE cluster
+    assert (~ray_df["keep"]).sum() >= 2
 
 
 def test_entry_contract(ray_session):
