@@ -59,6 +59,10 @@ def _empty_components(id_out: str, label_out: str) -> pa.Table:
 
 def _solve_local(blocks: list[pa.Table], a_col: str, b_col: str) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized min-label propagation over one in-memory edge list."""
+    # Ray strips the schema from empty blocks (a map_groups partition
+    # that received no rows yields a 0-column table) — drop them before
+    # touching columns; n_edges > 0 guarantees a non-empty block exists
+    blocks = [t for t in blocks if t.num_rows]
     a = np.concatenate(
         [t.column(a_col).to_numpy(zero_copy_only=False) for t in blocks]
     ).astype(np.int64)

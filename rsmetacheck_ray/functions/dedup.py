@@ -191,54 +191,66 @@ def exact_dedup_pairs(
     ds: rd.Dataset,
     text_col: str = "text",
     id_col: str = "doc_id",
-    num_partitions: int = 8,
+    num_partitions: int | None = None,
 ) -> rd.Dataset:
     """STAR pairs (canonical=min id, member) of byte-identical documents
     — the same connected components as the full O(g²) pair expansion,
     but a group of g duplicates emits g-1 rows, not g(g-1)/2, so a
     boilerplate page with 10⁶ copies costs 10⁶ rows instead of 10¹².
 
-    Plan: content-hash → tiny groupby(hash128) for the canonical id →
-    hash join of the (id, hash128) projection back against the
-    canonicals → vectorized filter id > canonical. Only 24-byte rows
-    ever shuffle;
-    no per-group Python, no quadratic blowup. (A sketch can NOT
-    implement this: J≈0.99 near-dups pass 64/64 minhash bands with
-    p≈0.5 — measured on the driver corpus.)"""
-    # materialize the tiny (id, hash) projection ONCE: it feeds both
-    # the canonical aggregate and the join probe side, and Ray re-runs
-    # the full-corpus text hashing for each lazy branch otherwise
-    # (confirmed: no common-subexpression elimination). 24 B/doc in the
-    # object store (spillable) vs re-reading and re-hashing every byte.
-    hashed = ds.map_batches(
-        lambda b: _hash_stage(b, text_col, id_col), batch_format="pyarrow"
-    ).materialize()
-    canon = (
-        hashed.groupby(_HASH_COLS)
-        .aggregate(Min(id_col, alias_name="canon_id"))
-        .map_batches(
-            lambda b: b.rename_columns(["ch", "ch2", "canon_id"]),
-            batch_format="pyarrow",
-        )
-    )
-    joined = hashed.join(
-        canon,
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=("content_hash", "content_hash2"),
-        right_on=("ch", "ch2"),
+    Plan: content-hash projection → ONE shuffle on a hashed
+    content-hash partition (size-adaptive count) → per-partition
+    lexsort over (hash128, id) + segment-boundary math: the first row
+    of each hash group is the canonical (min id), every other row is
+    one star edge. Only 24-byte rows ever shuffle; no per-group
+    Python, no quadratic blowup, and no hash join — a join-based plan
+    shuffles the same projection TWICE (canonical aggregate + probe)
+    and trips Ray's schema-less empty-block handling in the join
+    operator. (A sketch can NOT implement this: J≈0.99 near-dups pass
+    64/64 minhash bands with p≈0.5 — measured on the driver corpus.)"""
+    from ..partitioning import adaptive_partitions, parquet_rows_hint
+
+    n_parts = num_partitions or adaptive_partitions(
+        parquet_rows_hint(ds), row_bytes=24
     )
 
-    def star(b: pa.Table) -> pa.Table:
-        sub = b.filter(pc.greater(b.column(id_col), b.column("canon_id")))
+    def tag(b: pa.Table) -> pa.Table:
+        t = _hash_stage(b, text_col, id_col)
+        k = t.column("content_hash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        part = (splitmix64_np(k) % n_parts).astype(np.int64)
+        return t.append_column("part", pa.array(part, pa.int64()))
+
+    def star_part(g: pa.Table) -> pa.Table:
+        ids = g.column(id_col).to_numpy(zero_copy_only=False)
+        n = len(ids)
+        if n == 0:
+            return pa.table(
+                {
+                    "doc_id_a": pa.array([], pa.int64()),
+                    "doc_id_b": pa.array([], pa.int64()),
+                }
+            )
+        h1 = g.column("content_hash").to_numpy(zero_copy_only=False)
+        h2 = g.column("content_hash2").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, h2, h1))
+        h1s, h2s, idss = h1[order], h2[order], ids[order]
+        new_grp = np.empty(n, dtype=bool)
+        new_grp[0] = True
+        new_grp[1:] = (h1s[1:] != h1s[:-1]) | (h2s[1:] != h2s[:-1])
+        canon = idss[np.flatnonzero(new_grp)][np.cumsum(new_grp) - 1]
+        member = ~new_grp  # first-of-group IS the canonical (min id)
         return pa.table(
             {
-                "doc_id_a": pc.cast(sub.column("canon_id"), pa.int64()),
-                "doc_id_b": pc.cast(sub.column(id_col), pa.int64()),
+                "doc_id_a": pa.array(canon[member], pa.int64()),
+                "doc_id_b": pa.array(idss[member], pa.int64()),
             }
         )
 
-    return joined.map_batches(star, batch_format="pyarrow")
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(star_part, batch_format="pyarrow")
+    )
 
 
 # ---------------------------------------------------------------------------
