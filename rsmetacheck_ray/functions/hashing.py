@@ -106,8 +106,9 @@ def hash_str_arrow_u128(arr, seed: int = 0) -> tuple[np.ndarray, np.ndarray]:
     math is the 128-bit birthday bound of the module docstring under
     the standard independent-lane assumption; values are deterministic
     across processes but, unlike blake2b, only pinned per polars
-    version — they are shuffle/grouping keys, never persisted-contract
-    values. Falls back to the blake2b loop when polars is absent."""
+    version — the gate persists them, so the resume manifest records
+    ``content_hash_fingerprint()`` and refuses to mix hash regimes.
+    Falls back to the blake2b loop when polars is absent."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -140,3 +141,24 @@ def hash_str_array_u64(values, seed: int = 0) -> np.ndarray:
             v.encode("utf-8") if isinstance(v, str) else bytes(v or b""), seed
         )
     return out
+
+
+def content_hash_fingerprint() -> str:
+    """Short hex fingerprint of the CURRENT content-hash regime.
+
+    ``hash_str_arrow_u128`` is vectorized through polars, whose hash
+    values are pinned only per polars version (and differ from the
+    blake2b fallback). The gate PERSISTS content_hash columns, so a
+    resume that mixes partitions written under two regimes would break
+    every downstream groupby over the union. This canary — the u128
+    hash of a few fixed strings folded through blake2b — changes iff
+    the regime changes; the resume manifest records it per partition
+    and ``run_gate`` refuses to resume across a mismatch."""
+    import hashlib
+
+    import pyarrow as pa
+
+    lo, hi = hash_str_arrow_u128(pa.array(["", "a", "rsmetacheck", "é中"]))
+    return hashlib.blake2b(
+        lo.tobytes() + hi.tobytes(), digest_size=8
+    ).hexdigest()

@@ -457,6 +457,9 @@ def run_gate(
     # CURRENT partitioning assigns it the same fragments — resuming
     # with a different n_partitions would otherwise silently skip or
     # double-process fragments
+    from ..functions.hashing import content_hash_fingerprint
+
+    hash_fp = content_hash_fingerprint()
     for pid, rec in done.items():
         recorded = sorted(rec.get("fragment_ids", []))
         current = sorted(parts[pid]) if pid < len(parts) else None
@@ -466,6 +469,16 @@ def run_gate(
                 f"partitioning (recorded {len(recorded)} fragments, current "
                 f"{len(current or [])}); rerun with the original n_partitions "
                 f"or remove {out_dir} to start fresh"
+            )
+        # the persisted content_hash columns are only groupable across
+        # partitions written under ONE hash regime (polars pins its
+        # string hash per version); refuse to mix regimes on resume
+        if rec.get("hash_fp", hash_fp) != hash_fp:
+            raise ValueError(
+                f"resume manifest partition {pid} was written under a "
+                f"different content-hash regime ({rec['hash_fp']} vs "
+                f"{hash_fp} now — polars upgrade?); remove {out_dir} to "
+                f"rewrite with consistent content_hash columns"
             )
 
     import shutil
@@ -544,6 +557,7 @@ def run_gate(
         }
         if skipped:
             lineage = dict(lineage, skipped_fragments=sorted(skipped))
+        lineage = dict(lineage, hash_fp=hash_fp)
         with manifest_lock:
             manifest.mark_done(pid, frag_group, lineage)
 

@@ -223,6 +223,36 @@ def test_resume_rejects_changed_partitioning(ray_session, small_corpus, tmp_path
     assert m["total_documents"] == 2000
 
 
+def test_resume_rejects_changed_hash_regime(ray_session, small_corpus, tmp_path_factory):
+    """Partitions persist content_hash columns; resuming under a
+    different hash implementation (polars upgrade) must fail loudly —
+    a mixed-regime docs dir breaks every downstream dedup groupby."""
+    import json
+
+    from rsmetacheck_ray.pipelines import quality_gate as qg
+
+    pages_dir, _ = small_corpus
+    out = str(tmp_path_factory.mktemp("hashfp"))
+    qg.run_gate(pages_dir, out, n_partitions=2)
+    man = os.path.join(out, "manifest.jsonl")
+    recs = [json.loads(l) for l in open(man) if l.strip()]
+    assert all("hash_fp" in r for r in recs)
+    recs[0]["hash_fp"] = "deadbeefdeadbeef"
+    with open(man, "w") as fh:
+        for r in recs:
+            fh.write(json.dumps(r) + "\n")
+    with pytest.raises(ValueError, match="hash regime"):
+        qg.run_gate(pages_dir, out, n_partitions=2)
+    # a legacy manifest WITHOUT the field still resumes (no false stop)
+    for r in recs:
+        r.pop("hash_fp", None)
+    with open(man, "w") as fh:
+        for r in recs:
+            fh.write(json.dumps(r) + "\n")
+    m = qg.run_gate(pages_dir, out, n_partitions=2)
+    assert m["total_documents"] == 2000
+
+
 def test_evidence_view_on_pre_evidence_output(ray_session, tmp_path):
     """Gate outputs written before evidence_json existed stay
     inspectable: evidence_view degrades to suggestion-only."""
