@@ -978,6 +978,64 @@ QUALIFY row_number() OVER (
 """
 
 
+# --- benchmark decontamination ---------------------------------------------
+
+_DECON_MOD = 97  # every 97th doc plays the held-out benchmark set
+_DECON_K = 5
+
+
+def q_decontaminate(sf_dir: str):
+    """Training-data hygiene: corpus docs sharing any word 5-gram with
+    the benchmark set (docs with doc_id % 97 == 0). The benchmark gram
+    set broadcasts once (``ray.put``); the corpus streams through an
+    actor-pool membership probe — no shuffle
+    (functions/decontaminate.py)."""
+    from ..functions.decontaminate import contaminated_docs
+
+    def split(keep_bench: bool):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            m = (ids % _DECON_MOD == 0) == keep_bench
+            return b.filter(pa.array(m))
+
+        return f
+
+    bench = _documents(sf_dir, ["doc_id", "text"]).map_batches(
+        split(True), batch_format="pyarrow"
+    )
+    corpus = _documents(sf_dir, ["doc_id", "text"]).map_batches(
+        split(False), batch_format="pyarrow"
+    )
+    return contaminated_docs(corpus, bench, k=_DECON_K)
+
+
+def _sql_decontaminate() -> str:
+    from ..functions.tokenize import WS_TOKEN_RE
+
+    leads = " || ' ' || ".join(
+        f"LEAD(w, {j}) OVER win" for j in range(1, _DECON_K)
+    )
+    return f"""
+WITH words AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text, '{WS_TOKEN_RE}')) AS w,
+         unnest(generate_series(1, len(regexp_extract_all(text, '{WS_TOKEN_RE}')))) AS i
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, w || ' ' || {leads} AS g
+  FROM words
+  WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+  QUALIFY LEAD(w, {_DECON_K - 1}) OVER win IS NOT NULL
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % {_DECON_MOD} = 0)
+SELECT gr.doc_id, CAST(COUNT(DISTINCT gr.g) AS BIGINT) AS n_shared_grams
+FROM grams gr JOIN bench b ON gr.g = b.g
+WHERE gr.doc_id % {_DECON_MOD} <> 0
+GROUP BY gr.doc_id
+"""
+
+
 def q_dedup_embedding_pairs(sf_dir: str):
     """Size-gated: EXACT block-pair cosine at oracle scales (all sf
     dirs are far under the gate), hyperplane LSH past
@@ -1316,6 +1374,7 @@ def registry() -> dict[str, tuple]:
         "dedup_partial_overlap": (q_dedup_partial_overlap, None),  # non-SQL chunker
         "dedup_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),
         "dedup_survivors": (q_dedup_survivors, SQL_DEDUP_SURVIVORS),
+        "decontaminate": (q_decontaminate, _sql_decontaminate()),
         "dedup_embedding_pairs": (q_dedup_embedding_pairs, SQL_DEDUP_EMBEDDING),
         "dedup_embedding_lsh": (q_dedup_embedding_lsh, None),  # approximate
         # skew: salted two-phase host aggregate

@@ -84,6 +84,7 @@ SQL_BACKED = [
     "dedup_survivors",
     "gate_decisions",
     "host_sample",
+    "decontaminate",
 ]
 
 
