@@ -1036,6 +1036,43 @@ GROUP BY gr.doc_id
 """
 
 
+# --- sequence packing ------------------------------------------------------
+
+
+def q_pack_sequences(sf_dir: str):
+    """Concat-then-chunk packing: which fixed-length training sequences
+    each document occupies within its shard (functions/packing.py).
+    ONE shuffle of the 24-byte (id, shard, n_tokens) projection."""
+    from ..functions.packing import pack_sequences
+
+    return pack_sequences(_documents(sf_dir, ["doc_id", "text"]))
+
+
+def _sql_pack_sequences() -> str:
+    from ..functions.packing import DEFAULT_SEQ_LEN, DEFAULT_SHARD_SIZE
+    from ..functions.tokenize import WS_TOKEN_RE
+
+    return f"""
+WITH t AS (
+  SELECT doc_id, doc_id // {DEFAULT_SHARD_SIZE} AS shard,
+         len(regexp_extract_all(text, '{WS_TOKEN_RE}')) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, shard, n_tokens,
+    SUM(n_tokens) OVER (
+      PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING
+    ) - n_tokens AS start_off
+  FROM t WHERE n_tokens > 0
+)
+SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+  CAST(n_tokens AS BIGINT) AS n_tokens,
+  CAST(start_off // {DEFAULT_SEQ_LEN} AS BIGINT) AS seq_first,
+  CAST((start_off + n_tokens - 1) // {DEFAULT_SEQ_LEN} AS BIGINT) AS seq_last
+FROM c
+"""
+
+
 def q_dedup_embedding_pairs(sf_dir: str):
     """Size-gated: EXACT block-pair cosine at oracle scales (all sf
     dirs are far under the gate), hyperplane LSH past
@@ -1375,6 +1412,7 @@ def registry() -> dict[str, tuple]:
         "dedup_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),
         "dedup_survivors": (q_dedup_survivors, SQL_DEDUP_SURVIVORS),
         "decontaminate": (q_decontaminate, _sql_decontaminate()),
+        "pack_sequences": (q_pack_sequences, _sql_pack_sequences()),
         "dedup_embedding_pairs": (q_dedup_embedding_pairs, SQL_DEDUP_EMBEDDING),
         "dedup_embedding_lsh": (q_dedup_embedding_lsh, None),  # approximate
         # skew: salted two-phase host aggregate

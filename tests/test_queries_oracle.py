@@ -85,6 +85,7 @@ SQL_BACKED = [
     "gate_decisions",
     "host_sample",
     "decontaminate",
+    "pack_sequences",
 ]
 
 
