@@ -26,6 +26,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data as rd
+from ray.data.aggregate import Sum
 
 from ..functions import dedup as dd
 from ..functions import similarity as sim
@@ -1036,6 +1037,74 @@ GROUP BY gr.doc_id
 """
 
 
+# --- global vocabulary: top-k token frequencies ----------------------------
+
+_TOPK_TOKENS = 50
+
+
+def q_top_tokens(sf_dir: str, k: int = _TOPK_TOKENS):
+    """Corpus vocabulary head — the most frequent whitespace tokens
+    (the vocab-building / stopword-derivation pass of a training-data
+    pipeline). Shuffle discipline: ONE Arrow ``group_by`` per batch
+    pre-combines counts (Zipf text ⇒ per-batch vocab ≪ rows), the
+    global groupby ships only those partials, and a per-block top-k
+    prune bounds the final sort to (#blocks × k) rows instead of the
+    whole vocabulary — the global top-k is always a subset of the
+    union of per-block top-ks under the total (n DESC, token ASC)
+    order."""
+    ds = _documents(sf_dir, ["doc_id", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        text = b.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        flat = pc.utf8_split_whitespace(pc.fill_null(text, "")).flatten()
+        flat = flat.filter(pc.not_equal(flat, ""))
+        g = pa.table({"token": flat}).group_by("token").aggregate(
+            [("token", "count")]
+        )
+        return pa.table(
+            {
+                "token": g.column("token"),
+                "n": pc.cast(g.column("token_count"), pa.int64()),
+            }
+        )
+
+    counts = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        "token"
+    ).aggregate(Sum("n", alias_name="n"))
+
+    def block_topk(b: pa.Table) -> pa.Table:
+        if b.num_rows <= k:
+            return b
+        idx = pc.sort_indices(
+            b,
+            sort_keys=[("n", "descending"), ("token", "ascending")],
+        )
+        return b.take(idx.slice(0, k))
+
+    return (
+        counts.map_batches(block_topk, batch_format="pyarrow")
+        .sort(["n", "token"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def _sql_top_tokens() -> str:
+    from ..functions.tokenize import WS_TOKEN_RE
+
+    return f"""
+WITH w AS (
+  SELECT unnest(regexp_extract_all(text, '{WS_TOKEN_RE}')) AS token
+  FROM documents
+)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+FROM w GROUP BY token
+ORDER BY n DESC, token ASC
+LIMIT {_TOPK_TOKENS}
+"""
+
+
 # --- sequence packing ------------------------------------------------------
 
 
@@ -1413,6 +1482,7 @@ def registry() -> dict[str, tuple]:
         "dedup_survivors": (q_dedup_survivors, SQL_DEDUP_SURVIVORS),
         "decontaminate": (q_decontaminate, _sql_decontaminate()),
         "pack_sequences": (q_pack_sequences, _sql_pack_sequences()),
+        "top_tokens": (q_top_tokens, _sql_top_tokens()),
         "dedup_embedding_pairs": (q_dedup_embedding_pairs, SQL_DEDUP_EMBEDDING),
         "dedup_embedding_lsh": (q_dedup_embedding_lsh, None),  # approximate
         # skew: salted two-phase host aggregate

@@ -86,6 +86,7 @@ SQL_BACKED = [
     "host_sample",
     "decontaminate",
     "pack_sequences",
+    "top_tokens",
 ]
 
 
