@@ -193,6 +193,9 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_minhash_pairs",
     "dedup_partial_overlap",
+    "dedup_components",
+    "decontaminate",
+    "pack_sequences",
     "knn_cosine",
     "gate_decisions",
     "gate_drop_vector",
