@@ -702,6 +702,89 @@ def q_dedup_minhash_pairs(sf_dir: str):
     )
 
 
+# --- exact n-gram Jaccard (rare-gram candidates + exact verify) ------------
+
+_JACC_K = 5
+_JACC_MAX_DF = 8
+_JACC_MIN_J = 0.5
+
+
+def q_dedup_jaccard(sf_dir: str):
+    """EXACT word-5-gram Jaccard near-dup pairs over the dup corpus:
+    rare-gram candidate generation (df ≤ 8 ⇒ bounded pair expansion,
+    no hot-bucket cap needed) then exact set-overlap verification over
+    the candidate closure (functions/jaccard.py). Unlike the minhash/
+    simhash SKETCHES this is fully SQL-expressible, so it carries the
+    dedup family's exact differential oracle."""
+    from ..functions.jaccard import ngram_jaccard_pairs
+    from ..partitioning import adaptive_partitions
+
+    # union corpus has no parquet lineage: size the gram shuffle from
+    # the documents footer (~96 distinct grams per doc, 24 B rows)
+    return ngram_jaccard_pairs(
+        _dup_corpus(sf_dir),
+        k=_JACC_K,
+        max_df=_JACC_MAX_DF,
+        min_jaccard=_JACC_MIN_J,
+        num_partitions=adaptive_partitions(
+            _dup_corpus_rows(sf_dir) * 96, row_bytes=24
+        ),
+    )
+
+
+def _sql_dedup_jaccard() -> str:
+    from ..functions.tokenize import WS_TOKEN_RE
+
+    leads = " || ' ' || ".join(
+        f"LEAD(w, {j}) OVER win" for j in range(1, _JACC_K)
+    )
+    return f"""
+WITH {_DUP_CORPUS_SQL.strip()},
+words AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text, '{WS_TOKEN_RE}')) AS w,
+         unnest(generate_series(1, len(regexp_extract_all(text, '{WS_TOKEN_RE}')))) AS i
+  FROM corpus
+),
+grams AS (
+  SELECT DISTINCT doc_id, w || ' ' || {leads} AS g
+  FROM words
+  WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+  QUALIFY LEAD(w, {_JACC_K - 1}) OVER win IS NOT NULL
+),
+rare AS (
+  SELECT g FROM grams GROUP BY g
+  HAVING COUNT(*) BETWEEN 2 AND {_JACC_MAX_DF}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+  FROM rare r
+  JOIN grams a ON a.g = r.g
+  JOIN grams b ON b.g = r.g
+  WHERE a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_id_a, c.doc_id_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN grams ga ON ga.doc_id = c.doc_id_a
+  JOIN grams gb ON gb.doc_id = c.doc_id_b AND gb.g = ga.g
+  GROUP BY c.doc_id_a, c.doc_id_b
+)
+SELECT i.doc_id_a, i.doc_id_b,
+       CAST(i.n_common AS BIGINT) AS n_common,
+       CAST(sa.n AS BIGINT) AS n_a,
+       CAST(sb.n AS BIGINT) AS n_b,
+       CAST(i.n_common AS DOUBLE) / CAST(sa.n + sb.n - i.n_common AS DOUBLE)
+         AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_id_a
+JOIN sizes sb ON sb.doc_id = i.doc_id_b
+WHERE CAST(i.n_common AS DOUBLE) / CAST(sa.n + sb.n - i.n_common AS DOUBLE)
+      >= {_JACC_MIN_J}
+"""
+
+
 def q_dedup_simhash(sf_dir: str):
     return dd.simhash_dataset(_documents(sf_dir, ["doc_id", "text"]))
 
@@ -1473,6 +1556,7 @@ def registry() -> dict[str, tuple]:
         "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
         "dedup_exact_pairs": (q_dedup_exact_pairs, SQL_DEDUP_EXACT_PAIRS),
         "dedup_minhash_pairs": (q_dedup_minhash_pairs, None),  # sketch
+        "dedup_jaccard": (q_dedup_jaccard, _sql_dedup_jaccard()),
         "dedup_simhash": (q_dedup_simhash, None),  # sketch
         "dedup_simhash_pairs": (q_dedup_simhash_pairs, None),  # sketch
         "doc_chunk_fingerprints": (q_doc_chunk_fingerprints, None),  # non-SQL chunker
