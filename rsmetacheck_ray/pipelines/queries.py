@@ -702,6 +702,56 @@ def q_dedup_minhash_pairs(sf_dir: str):
     )
 
 
+# --- lexicon quality classifier (quantized linear model) -------------------
+
+
+def q_quality_classifier(sf_dir: str):
+    """Model-based quality filter: fasttext-shaped linear scoring with
+    integer-quantized lexicon weights (functions/classifier.py). Pure
+    map_batches — no shuffle at any corpus size; exact int64 scores
+    make the full model inference SQL-derivable."""
+    from ..functions.classifier import classify_quality
+
+    return classify_quality(_documents(sf_dir, ["doc_id", "text"]))
+
+
+def _sql_quality_classifier() -> str:
+    from ..functions.classifier import (
+        OOV_WEIGHT,
+        TH_DEN,
+        TH_NUM,
+        default_lexicon,
+    )
+    from ..functions.tokenize import WS_TOKEN_RE
+
+    values = ", ".join(
+        f"('{w}', {wt})" for w, wt in sorted(default_lexicon().items())
+    )
+    return f"""
+WITH lex(w, wt) AS (VALUES {values}),
+words AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(COALESCE(text, ''), '{WS_TOKEN_RE}')) AS w
+  FROM documents
+),
+scored AS (
+  SELECT wo.doc_id,
+         COUNT(*) AS n_tokens,
+         SUM(COALESCE(l.wt, {OOV_WEIGHT})) AS total
+  FROM words wo LEFT JOIN lex l ON wo.w = l.w
+  GROUP BY wo.doc_id
+)
+SELECT d.doc_id,
+  CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+  CAST(COALESCE(s.total, 0) AS BIGINT) AS score_total,
+  CAST(COALESCE(s.total, 0) AS DOUBLE)
+    / CAST(greatest(COALESCE(s.n_tokens, 0), 1) AS DOUBLE) AS score_mean,
+  (COALESCE(s.total, 0) * {TH_DEN} >= {TH_NUM} * COALESCE(s.n_tokens, 0))
+    AS keep_quality
+FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
+"""
+
+
 # --- exact n-gram Jaccard (rare-gram candidates + exact verify) ------------
 
 _JACC_K = 5
@@ -1524,6 +1574,9 @@ def registry() -> dict[str, tuple]:
         # text analysis
         "doc_stats": (q_doc_stats, SQL_DOC_STATS),
         "doc_quality_scores": (q_doc_quality_scores, SQL_DOC_QUALITY),
+        "quality_classifier": (
+            q_quality_classifier, _sql_quality_classifier(),
+        ),
         # the quality gate (rule catalog), differential vs SQL.
         # NB: plain .replace, not str.format — the embedded regexes
         # contain literal braces ({2,}, \d{1,2}) that format would eat.
