@@ -26,7 +26,7 @@ shape, not these particular weights.
 
 Scale plan: pure ``map_batches`` — NO shuffle at any corpus size. The
 lexicon is actor state (built once per actor in ``__init__``); per
-batch, ONE Arrow whitespace split, dictionary-encode, weight lookup on
+batch, ONE canonical ``\\S+`` split, dictionary-encode, weight lookup on
 the batch's UNIQUE vocabulary only (Zipf ⇒ dictionary ≪ tokens), then
 a vectorized per-doc ``bincount`` sum. The reference's closest analog
 is the per-document description-quality heuristics
@@ -42,6 +42,7 @@ import pyarrow.compute as pc
 
 import ray.data as rd
 
+from .tokenize import tokens_with_doc_index
 from .vocab import CONTENT, MARKERS
 
 MARKER_WEIGHT = 3
@@ -94,14 +95,8 @@ class QualityClassifier:
         total = np.zeros(n, dtype=np.int64)
         n_tok = np.zeros(n, dtype=np.int64)
         if n:
-            words = pc.utf8_split_whitespace(text)
-            off = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-            flat = words.flatten()
-            doc_idx = np.repeat(np.arange(n, dtype=np.int64), np.diff(off))
-            mask = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-            doc_idx = doc_idx[mask]
-            if len(doc_idx):
-                denc = flat.filter(pa.array(mask)).dictionary_encode()
+            doc_idx, denc = tokens_with_doc_index(text)
+            if denc is not None:
                 vocab = denc.dictionary.to_pylist()
                 get = self.lex.get
                 dict_w = np.fromiter(

@@ -39,6 +39,7 @@ import ray
 import ray.data as rd
 
 from .dedup import _combine_windows, _word_hashes
+from .tokenize import tokens_with_doc_index
 
 DEFAULT_NGRAM = 5
 
@@ -47,21 +48,14 @@ def batch_gram_hashes(
     arr: pa.Array | pa.ChunkedArray, k: int = DEFAULT_NGRAM
 ) -> tuple[np.ndarray, np.ndarray]:
     """(doc_idx, gram_hash) for every word k-gram of every string in
-    ``arr`` — one Arrow split for the batch, per-NEW-word hashing via
-    the dictionary encoding, one masked global window combine. Raw
-    (non-unique) grams; callers needing set semantics dedup per doc."""
-    if isinstance(arr, pa.ChunkedArray):
-        arr = arr.combine_chunks()
-    n = len(arr)
-    words = pc.utf8_split_whitespace(pc.fill_null(arr, ""))
-    raw_off = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-    flat = words.flatten()
-    doc_idx = np.repeat(np.arange(n, dtype=np.int64), np.diff(raw_off))
-    mask = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-    doc_idx = doc_idx[mask]
-    if len(doc_idx) == 0:
+    ``arr`` — one canonical ``\\S+`` split for the batch (shared
+    ``tokens_with_doc_index``, ASCII-WS parity with the SQL oracles),
+    per-NEW-word hashing via the dictionary encoding, one masked
+    global window combine. Raw (non-unique) grams; callers needing set
+    semantics dedup per doc."""
+    doc_idx, denc = tokens_with_doc_index(arr)
+    if denc is None:
         return np.empty(0, np.int64), np.empty(0, np.uint64)
-    denc = flat.filter(pa.array(mask)).dictionary_encode()
     dict_hashes = _word_hashes(denc.dictionary.to_pylist())
     wh_flat = dict_hashes[denc.indices.to_numpy(zero_copy_only=False)]
     total = len(wh_flat)
@@ -150,6 +144,17 @@ def contaminated_docs(
     k-gram with the benchmark set. The corpus streams; the benchmark
     gram set broadcasts once."""
     grams = benchmark_gram_hashes(bench, text_col, k)
+    if len(grams) == 0:
+        # nothing can match: skip the whole corpus pass, not just the
+        # per-batch work inside it
+        return rd.from_arrow(
+            pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "n_shared_grams": pa.array([], pa.int64()),
+                }
+            )
+        )
     gram_ref = ray.put(grams)
     return corpus.map_batches(
         _ContaminationProbe,

@@ -202,7 +202,7 @@ def exact_dedup_pairs(
     content-hash partition (size-adaptive count) → per-partition
     lexsort over (hash128, id) + segment-boundary math: the first row
     of each hash group is the canonical (min id), every other row is
-    one star edge. Only 24-byte rows ever shuffle; no per-group
+    one star edge. Only 32-byte rows ever shuffle; no per-group
     Python, no quadratic blowup, and no hash join — a join-based plan
     shuffles the same projection TWICE (canonical aggregate + probe)
     and trips Ray's schema-less empty-block handling in the join
@@ -210,8 +210,9 @@ def exact_dedup_pairs(
     64/64 minhash bands with p≈0.5 — measured on the driver corpus.)"""
     from ..partitioning import adaptive_partitions, parquet_rows_hint
 
+    # shuffled row = id(8) + hash lo/hi(16) + part(8) = 32 B
     n_parts = num_partitions or adaptive_partitions(
-        parquet_rows_hint(ds), row_bytes=24
+        parquet_rows_hint(ds), row_bytes=32
     )
 
     def tag(b: pa.Table) -> pa.Table:

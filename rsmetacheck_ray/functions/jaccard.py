@@ -101,12 +101,7 @@ def _rare_pairs_part(group: pa.Table, max_df: int) -> pa.Table:
     d = group.column("doc_id").to_numpy(zero_copy_only=False)
     n = len(g)
     if n == 0:
-        return pa.table(
-            {
-                "doc_id_a": pa.array([], pa.int64()),
-                "doc_id_b": pa.array([], pa.int64()),
-            }
-        )
+        return _PAIRS_SCHEMA.empty_table()
     order = np.lexsort((d, g))
     g, d = g[order], d[order]
     starts = np.nonzero(np.concatenate([[True], g[1:] != g[:-1]]))[0]
@@ -123,12 +118,7 @@ def _rare_pairs_part(group: pa.Table, max_df: int) -> pa.Table:
         a_out.append(docs[:, ai].reshape(-1))
         b_out.append(docs[:, bj].reshape(-1))
     if not a_out:
-        return pa.table(
-            {
-                "doc_id_a": pa.array([], pa.int64()),
-                "doc_id_b": pa.array([], pa.int64()),
-            }
-        )
+        return _PAIRS_SCHEMA.empty_table()
     return pa.table(
         {
             "doc_id_a": pa.array(np.concatenate(a_out), pa.int64()),

@@ -14,7 +14,8 @@ stream is [start, start+n) occupies sequences ``start // seq_len``
 through ``(start+n-1) // seq_len``. Zero-token documents occupy no
 sequence and are omitted.
 
-Scale plan: the only shuffle is the 24-byte (doc_id, n_tokens, shard)
+Scale plan: the only shuffle is the 32-byte (doc_id, n_tokens, shard,
+part)
 projection onto a size-adaptive HASHED SHARD PARTITION; each
 ``map_groups`` call computes every shard of its partition in one
 lexsort + segment-reset cumulative sum (the sessionize discipline —

@@ -1188,10 +1188,9 @@ def q_top_tokens(sf_dir: str, k: int = _TOPK_TOKENS):
     ds = _documents(sf_dir, ["doc_id", "text"])
 
     def partial(b: pa.Table) -> pa.Table:
-        text = b.column("text")
-        if isinstance(text, pa.ChunkedArray):
-            text = text.combine_chunks()
-        flat = pc.utf8_split_whitespace(pc.fill_null(text, "")).flatten()
+        from ..functions.tokenize import split_ws_tokens
+
+        flat = split_ws_tokens(b.column("text")).flatten()
         flat = flat.filter(pc.not_equal(flat, ""))
         g = pa.table({"token": flat}).group_by("token").aggregate(
             [("token", "count")]

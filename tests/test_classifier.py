@@ -74,6 +74,16 @@ def test_custom_lexicon_and_threshold(ray_session):
     assert not bool(_score(out, 2).keep_quality)  # 1/3 < 1/2
 
 
+def test_unicode_whitespace_matches_sql_semantics(ray_session):
+    # U+00A0 is whitespace to pc.utf8_split_whitespace but NOT to the
+    # SQL oracles' RE2 '\S+': the canonical splitter must treat
+    # 'the system value' as TWO tokens, like count_ws_tokens does
+    out = classify_quality(_ds([(1, "the\u00A0system value")])).to_pandas()
+    assert out.n_tokens.tolist() == [2]
+    # 'the system' is one OOV token (-2); 'value' is content (+1)
+    assert out.score_total.tolist() == [-1]
+
+
 def test_every_document_is_scored(ray_session):
     rows = [(i, "the and was" if i % 2 else "junky tokens only") for i in range(20)]
     out = classify_quality(_ds(rows)).to_pandas()

@@ -62,34 +62,3 @@ def test_deterministic_across_partitionings(ray_session):
     a = _packed(rows, seq_len=8, num_partitions=2)
     b = _packed(rows, seq_len=8, num_partitions=17)
     assert a.equals(b)
-
-
-def test_top_tokens_tiebreak_and_prune(ray_session, tmp_path):
-    """>k vocab exercises the per-block prune; equal counts break ties
-    by token ascending (the SQL's total order)."""
-    import pyarrow.parquet as pq
-
-    from rsmetacheck_ray.pipelines.queries import q_top_tokens
-
-    # 60 distinct tokens: t00..t59, token tNN appearing (NN // 10 + 1)
-    # times -> many count ties at every level
-    texts = []
-    for i in range(60):
-        texts.append(" ".join([f"t{i:02d}"] * (i // 10 + 1)))
-    pq.write_table(
-        pa.table(
-            {
-                "doc_id": pa.array(range(60), pa.int64()),
-                "text": pa.array(texts, pa.string()),
-            }
-        ),
-        str(tmp_path / "documents.parquet"),
-    )
-    df = q_top_tokens(str(tmp_path), k=15).to_pandas()
-    assert len(df) == 15
-    # top 10 are the count-6 tokens t50..t59 in ascending token order,
-    # then the first 5 of the count-5 tokens t40..t44
-    assert df["token"].tolist() == [f"t{i:02d}" for i in range(50, 60)] + [
-        f"t{i:02d}" for i in range(40, 45)
-    ]
-    assert df["n"].tolist() == [6] * 10 + [5] * 5

@@ -87,6 +87,8 @@ SQL_BACKED = [
     "decontaminate",
     "pack_sequences",
     "top_tokens",
+    "dedup_jaccard",
+    "quality_classifier",
 ]
 
 
@@ -171,3 +173,35 @@ def test_nation_order_stats_distributed_path_matches_broadcast(ray_session, monk
     import pandas as pd
 
     pd.testing.assert_frame_equal(bcast, dist)
+
+
+def test_top_tokens_tiebreak_and_prune(ray_session, tmp_path):
+    """>k vocab exercises the per-block prune; equal counts break ties
+    by token ascending (the SQL's total order)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rsmetacheck_ray.pipelines.queries import q_top_tokens
+
+    # 60 distinct tokens: t00..t59, token tNN appearing (NN // 10 + 1)
+    # times -> many count ties at every level
+    texts = []
+    for i in range(60):
+        texts.append(" ".join([f"t{i:02d}"] * (i // 10 + 1)))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(60), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    df = q_top_tokens(str(tmp_path), k=15).to_pandas()
+    assert len(df) == 15
+    # top 10 are the count-6 tokens t50..t59 in ascending token order,
+    # then the first 5 of the count-5 tokens t40..t44
+    assert df["token"].tolist() == [f"t{i:02d}" for i in range(50, 60)] + [
+        f"t{i:02d}" for i in range(40, 45)
+    ]
+    assert df["n"].tolist() == [6] * 10 + [5] * 5
