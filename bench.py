@@ -194,8 +194,13 @@ BENCH_QUERIES = [
     "dedup_minhash_pairs",
     "dedup_partial_overlap",
     "dedup_components",
+    "dedup_jaccard",
     "decontaminate",
     "pack_sequences",
+    "top_tokens",
+    "quality_classifier",
+    "host_sample",
+    "scrub_boilerplate",
     "knn_cosine",
     "gate_decisions",
     "gate_drop_vector",

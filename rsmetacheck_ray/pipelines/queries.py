@@ -1112,6 +1112,54 @@ QUALIFY row_number() OVER (
 """
 
 
+# --- corpus-frequency boilerplate line removal -----------------------------
+
+# the injected metadata suffixes (pages synthesis residues 7-12) stamp
+# identical lines onto ~1/13 of the corpus each — template boilerplate
+# by construction; 3 keeps the op non-vacuous down to sf0.001
+_BOILER_MIN_DF = 3
+
+
+def q_scrub_boilerplate(sf_dir: str):
+    """Remove every line occurring in ≥ min_df distinct documents
+    (template boilerplate: the injected License:/Cite:/Requires: lines
+    of the pages synthesis). Two streaming passes over pages: a
+    partial-combined line-df aggregate, then a broadcast hot-set scrub
+    (functions/boilerplate.py)."""
+    from ..functions.boilerplate import scrub_boilerplate_lines
+
+    def pages():
+        return _pages_input(sf_dir).map_batches(
+            synthesize_pages, batch_format="pyarrow"
+        )
+
+    return scrub_boilerplate_lines(pages(), pages(), min_df=_BOILER_MIN_DF)
+
+
+def _sql_scrub_boilerplate() -> str:
+    return f"""
+WITH pages AS ({{pages}}),
+lines AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10))) AS line,
+         unnest(generate_series(1, len(string_split(text, chr(10))))) AS i
+  FROM pages
+),
+hot AS (
+  SELECT line FROM lines GROUP BY line
+  HAVING COUNT(DISTINCT doc_id) >= {_BOILER_MIN_DF}
+)
+SELECT l.doc_id,
+       coalesce(
+         string_agg(CASE WHEN h.line IS NULL THEN l.line END,
+                    chr(10) ORDER BY l.i),
+         '') AS text_scrubbed,
+       CAST(count(h.line) AS BIGINT) AS n_lines_removed
+FROM lines l LEFT JOIN hot h USING (line)
+GROUP BY l.doc_id
+"""
+
+
 # --- benchmark decontamination ---------------------------------------------
 
 _DECON_MOD = 97  # every 97th doc plays the held-out benchmark set
@@ -1630,6 +1678,11 @@ def registry() -> dict[str, tuple]:
         "host_sample": (
             q_host_sample,
             _sql_host_sample().replace("{pages}", pages),
+        ),
+        # corpus-frequency boilerplate line scrub
+        "scrub_boilerplate": (
+            q_scrub_boilerplate,
+            _sql_scrub_boilerplate().replace("{pages}", pages),
         ),
         # similarity search
         "knn_cosine": (q_knn_cosine, SQL_KNN),
