@@ -199,6 +199,7 @@ BENCH_QUERIES = [
     "pack_sequences",
     "top_tokens",
     "quality_classifier",
+    "quality_bins",
     "host_sample",
     "scrub_boilerplate",
     "knn_cosine",

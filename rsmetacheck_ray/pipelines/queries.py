@@ -752,6 +752,104 @@ FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
 """
 
 
+# --- quality binning (quantile buckets over classifier scores) -------------
+
+# quartile cutpoints: exactly-representable binary fractions so the
+# engine's ceil(q*n) walk can never drift from the oracle's float math
+# (the events_value_percentiles discipline)
+_BIN_QS = (0.25, 0.5, 0.75)
+
+
+def q_quality_bins(sf_dir: str):
+    """Quality-quantile binning for data-mixing ratios: every document
+    gets the quartile bucket of its classifier score (0 = worst). Two
+    streaming passes: (1) classifier scores fold into a per-batch
+    score histogram (Arrow ``group_by`` partial; the quantized-int
+    score domain is tiny, so the global combine and the driver-side
+    cutpoint walk are O(domain), not O(corpus)); (2) the scores are
+    recomputed and binned against the broadcast cutpoints with one
+    ``searchsorted``. At 100 TB you would persist pass-1 scores and
+    rebin the parquet instead of re-running the model — the two-pass
+    shape here matches the scrub_boilerplate/decontaminate convention
+    of re-reading the lazy input."""
+    import math
+
+    from ..functions.classifier import classify_quality
+
+    def scores():
+        return classify_quality(_documents(sf_dir, ["doc_id", "text"]))
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        g = pa.table({"score_total": b.column("score_total")}).group_by(
+            "score_total"
+        ).aggregate([("score_total", "count")])
+        return pa.table(
+            {
+                "score_total": g.column("score_total"),
+                "n": pc.cast(g.column("score_total_count"), pa.int64()),
+            }
+        )
+
+    hist = (
+        scores()
+        .map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("score_total")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    vals_l, counts_l = [], []
+    for b in hist.iter_batches(batch_format="pyarrow"):
+        vals_l.append(b.column("score_total").to_numpy(zero_copy_only=False))
+        counts_l.append(b.column("n").to_numpy(zero_copy_only=False))
+    if vals_l:
+        vals = np.concatenate(vals_l)
+        counts = np.concatenate(counts_l)
+        order = np.argsort(vals)
+        vals, counts = vals[order], counts[order]
+        cum = np.cumsum(counts)
+        n = int(cum[-1])
+        # quantile_disc semantics: 0-indexed element ceil(q*n)-1
+        cuts = np.array(
+            [
+                vals[np.searchsorted(cum, max(math.ceil(q * n) - 1, 0), "right")]
+                for q in _BIN_QS
+            ],
+            dtype=np.int64,
+        )
+    else:
+        cuts = np.empty(0, np.int64)
+
+    def assign(b: pa.Table) -> pa.Table:
+        s = b.column("score_total").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "score_total": b.column("score_total"),
+                "bin": pa.array(
+                    np.searchsorted(cuts, s, side="right").astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return scores().map_batches(assign, batch_format="pyarrow")
+
+
+def _sql_quality_bins() -> str:
+    inds = " + ".join(
+        f"CAST(s.score_total >= c.c{i} AS INT)" for i in range(len(_BIN_QS))
+    )
+    cs = ", ".join(
+        f"quantile_disc(score_total, {q}) AS c{i}"
+        for i, q in enumerate(_BIN_QS)
+    )
+    return f"""
+WITH s AS ({_sql_quality_classifier()}),
+cut AS (SELECT {cs} FROM s)
+SELECT s.doc_id, s.score_total, CAST({inds} AS BIGINT) AS bin
+FROM s, cut c
+"""
+
+
 # --- exact n-gram Jaccard (rare-gram candidates + exact verify) ------------
 
 _JACC_K = 5
@@ -1624,6 +1722,7 @@ def registry() -> dict[str, tuple]:
         "quality_classifier": (
             q_quality_classifier, _sql_quality_classifier(),
         ),
+        "quality_bins": (q_quality_bins, _sql_quality_bins()),
         # the quality gate (rule catalog), differential vs SQL.
         # NB: plain .replace, not str.format — the embedded regexes
         # contain literal braces ({2,}, \d{1,2}) that format would eat.

@@ -84,6 +84,34 @@ def test_unicode_whitespace_matches_sql_semantics(ray_session):
     assert out.score_total.tolist() == [-1]
 
 
+def test_quality_bins_quartile_edges(ray_session, tmp_path):
+    """8 distinct scores -> quantile_disc cutpoints at sorted positions
+    1/3/5, bins by count-of-cuts-below: [0,1,1,2,2,3,3,3]."""
+    import pyarrow.parquet as pq
+
+    from rsmetacheck_ray.pipelines.queries import q_quality_bins
+
+    # k OOV tokens -> score k * OOV_WEIGHT: 8 docs, 8 distinct scores
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(1, 9), pa.int64()),
+                "text": pa.array(
+                    [" ".join(["zzqx"] * k) for k in range(1, 9)], pa.string()
+                ),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    df = (
+        q_quality_bins(str(tmp_path))
+        .to_pandas()
+        .sort_values("score_total")
+        .reset_index(drop=True)
+    )
+    assert df["bin"].tolist() == [0, 1, 1, 2, 2, 3, 3, 3]
+
+
 def test_every_document_is_scored(ray_session):
     rows = [(i, "the and was" if i % 2 else "junky tokens only") for i in range(20)]
     out = classify_quality(_ds(rows)).to_pandas()

@@ -89,6 +89,7 @@ SQL_BACKED = [
     "top_tokens",
     "dedup_jaccard",
     "quality_classifier",
+    "quality_bins",
     "scrub_boilerplate",
 ]
 
