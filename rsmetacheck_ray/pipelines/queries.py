@@ -1210,6 +1210,37 @@ QUALIFY row_number() OVER (
 """
 
 
+# --- URL status checking (offline deterministic fetcher) -------------------
+
+
+def q_url_status(sf_dir: str):
+    """The live-URL-probe shape of the reference's P008/P011/P015,
+    network-free: an actor-pool stage with a per-actor response cache
+    and per-batch URL dedup, running the deterministic offline fetcher
+    (stages/urlcheck.py). A networked cluster swaps in
+    ``requests_fetcher()``; the plumbing under test is identical."""
+    from ..stages.urlcheck import check_urls
+
+    pages = _pages_input(sf_dir).map_batches(
+        synthesize_pages, batch_format="pyarrow"
+    )
+    checked = check_urls(pages.select_columns(["doc_id", "url"]))
+    return checked.select_columns(["doc_id", "status", "url_ok"])
+
+
+def _sql_url_status() -> str:
+    from ..stages.urlcheck import OK_STATUSES, sql_status_expr
+
+    ok = ", ".join(str(s) for s in sorted(OK_STATUSES))
+    return f"""
+WITH pages AS ({{pages}})
+SELECT doc_id,
+       CAST({sql_status_expr("url")} AS BIGINT) AS status,
+       {sql_status_expr("url")} IN ({ok}) AS url_ok
+FROM pages
+"""
+
+
 # --- corpus-frequency boilerplate line removal -----------------------------
 
 # the injected metadata suffixes (pages synthesis residues 7-12) stamp
@@ -1777,6 +1808,11 @@ def registry() -> dict[str, tuple]:
         "host_sample": (
             q_host_sample,
             _sql_host_sample().replace("{pages}", pages),
+        ),
+        # offline URL-status probe (actor pool + per-actor cache)
+        "url_status": (
+            q_url_status,
+            _sql_url_status().replace("{pages}", pages),
         ),
         # corpus-frequency boilerplate line scrub
         "scrub_boilerplate": (

@@ -91,6 +91,7 @@ SQL_BACKED = [
     "quality_classifier",
     "quality_bins",
     "scrub_boilerplate",
+    "url_status",
 ]
 
 
