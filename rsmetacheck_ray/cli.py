@@ -36,9 +36,9 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--fresh", action="store_true",
                    help="ignore an existing resume manifest")
     g.add_argument("--write-dropped-text", action="store_true")
-    g.add_argument("--input-format", choices=("parquet", "jsonl"),
+    g.add_argument("--input-format", choices=("parquet", "jsonl", "csv"),
                    default="parquet",
-                   help="pages input format (jsonl: ISO warc_ts, base64 html)")
+                   help="pages input format (jsonl/csv: ISO warc_ts, base64 html)")
 
     m = sub.add_parser("metrics", help="recompute metrics from a run dir")
     m.add_argument("--out", required=True)

@@ -416,11 +416,13 @@ def run_gate(
     Returns the metrics dict (the analog of the reference's global
     summary JSON, ``detect_pitfalls_main.py:396-409``).
     """
-    if input_format not in ("parquet", "jsonl"):
+    if input_format not in ("parquet", "jsonl", "csv"):
         raise ValueError(f"unsupported input_format {input_format!r}")
-    suffix = ".parquet" if input_format == "parquet" else ".jsonl"
+    suffix = "." + ("parquet" if input_format == "parquet" else input_format)
     if input_format == "jsonl":
         from ..sources.jsonl_pages import read_pages_jsonl as _read_fragments
+    elif input_format == "csv":
+        from ..sources.csv_pages import read_pages_csv as _read_fragments
     else:
         _read_fragments = rd.read_parquet
     fragments = list_parquet_fragments(input_path, suffix)
@@ -505,6 +507,10 @@ def run_gate(
                         for line in fh:
                             if line.strip():
                                 _json.loads(line)
+                elif input_format == "csv":
+                    from ..sources.csv_pages import probe_csv
+
+                    probe_csv(f)  # streamed; raises on parse failure
                 else:
                     import pyarrow.parquet as pq
 
