@@ -66,31 +66,12 @@ from .quality_gate import build_gate
 # shared helpers
 # ---------------------------------------------------------------------------
 
-def _small_read_blocks(path: str) -> int | None:
-    """Block-count override for SMALL parquet inputs. Ray's default
-    read splitting targets ~2×CPU blocks regardless of input size, so
-    a 500-row table enters every downstream shuffle as 64 micro-blocks
-    and the sort machinery's per-block fixed cost dominates wall time
-    (measured on dedup_jaccard's gram shuffle: 8.8 s → 1.8 s at
-    identical output by collapsing 192 micro-blocks to 16). Small
-    tables read as ceil(rows/4096) blocks (floor 4 for parallelism);
-    inputs ≥ 2¹⁸ rows return None — Ray's auto policy is right at
-    scale, and this override never triggers there."""
-    try:
-        import pyarrow.parquet as pq
-
-        rows = pq.ParquetFile(path).metadata.num_rows
-    except Exception:
-        return None
-    if rows >= (1 << 18):
-        return None
-    return max(4, -(-rows // 4096))
-
-
 def _documents(sf_dir: str, columns: list[str] | None = None) -> rd.Dataset:
+    from ..partitioning import small_read_blocks
+
     path = os.path.join(sf_dir, "documents.parquet")
     return rd.read_parquet(
-        path, columns=columns, override_num_blocks=_small_read_blocks(path)
+        path, columns=columns, override_num_blocks=small_read_blocks(path)
     )
 
 
@@ -977,7 +958,7 @@ def q_approx_distinct_users(sf_dir: str):
     tests/test_sketch.py against the exact distinct)."""
     from ..functions.sketch import approx_distinct_table
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["user_id"])
+    ds = rel._read_pq(os.path.join(sf_dir, "events.parquet"), columns=["user_id"])
     return approx_distinct_table(ds, "user_id")
 
 
@@ -1475,7 +1456,7 @@ def q_dedup_embedding_pairs(sf_dir: str):
     """Size-gated: EXACT block-pair cosine at oracle scales (all sf
     dirs are far under the gate), hyperplane LSH past
     ``EXACT_EMBEDDING_MAX_ROWS`` — see test_embedding_auto_gate."""
-    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    ds = rel._read_pq(os.path.join(sf_dir, "embeddings.parquet"))
     return dd.embedding_pairs_auto(ds, threshold=0.45)
 
 
@@ -1486,7 +1467,7 @@ def q_dedup_embedding_lsh(sf_dir: str):
     duplicate vectors (vec_id+1e6 copies of every 10th vector) — LSH
     recall at weak thresholds (cos 0.45 ≈ 63°) is near zero by
     construction; its regime is near-parallel vectors."""
-    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    ds = rel._read_pq(os.path.join(sf_dir, "embeddings.parquet"))
 
     def copies(b: pa.Table) -> pa.Table:
         ids = b.column("vec_id").to_numpy(zero_copy_only=False)
@@ -1513,7 +1494,7 @@ WHERE list_cosine_similarity(
 
 def q_knn_cosine(sf_dir: str):
     qids, qvecs = _query_vectors(sf_dir)
-    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    ds = rel._read_pq(os.path.join(sf_dir, "embeddings.parquet"))
     return sim.knn_bruteforce(ds, qvecs, qids, k=10)
 
 
@@ -1532,7 +1513,7 @@ QUALIFY row_number() OVER (
 
 def q_knn_ivf(sf_dir: str):
     qids, qvecs = _query_vectors(sf_dir)
-    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    ds = rel._read_pq(os.path.join(sf_dir, "embeddings.parquet"))
     return sim.knn_ivf(ds, qvecs, qids, k=10)
 
 

@@ -44,6 +44,16 @@ from ..partitioning import adaptive_partitions, parquet_rows_hint
 # fixed count would put 1/64 of a 10¹²-row projection in one worker.
 
 
+def _read_pq(path: str, **kw) -> rd.Dataset:
+    """read_parquet with the small-input block-count override
+    (partitioning.small_read_blocks): micro-block inflation on the
+    driver-scale tables otherwise dominates every shuffle's wall time;
+    at scale the override is a no-op."""
+    from ..partitioning import small_read_blocks
+
+    return rd.read_parquet(path, override_num_blocks=small_read_blocks(path), **kw)
+
+
 def _part_of(key_col: pa.ChunkedArray | pa.Array, n_parts: int) -> pa.Array:
     """Deterministic hash partition id of an int64 key column."""
     k = key_col.to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -64,7 +74,7 @@ def q1_pricing(sf_dir: str, cutoff: str = "1998-09-02") -> rd.Dataset:
     """Pricing summary: partial-aggregate per batch, then a tiny
     groupby of the partials (the combiner pattern for wide groupbys)."""
     cutoff_ts = np.datetime64(cutoff + "T00:00:00", "us")
-    ds = rd.read_parquet(
+    ds = _read_pq(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=[
             "l_returnflag",
@@ -130,7 +140,7 @@ GROUP BY l_returnflag, l_linestatus
 # ---------------------------------------------------------------------------
 
 def top_orders(sf_dir: str, k: int = 10) -> rd.Dataset:
-    ds = rd.read_parquet(
+    ds = _read_pq(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_orderkey", "o_totalprice"],
     )
@@ -185,14 +195,14 @@ def nation_order_stats(sf_dir: str, num_partitions: int = 8) -> rd.Dataset:
     16-byte projections). nation is a FIXED 25-row dimension, applied
     with vectorized ``pc.index_in`` + ``take`` either way. No Python
     row loops in any path."""
-    nat = rd.read_parquet(
+    nat = _read_pq(
         os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
     ).take_all()  # 25 fixed rows — not SF-scaling
     n_keys = np.array([r["n_nationkey"] for r in nat], dtype=np.int64)
     n_names = [r["n_name"] for r in nat]
     nat_ref = ray.put((n_keys, n_names))
 
-    orders = rd.read_parquet(
+    orders = _read_pq(
         os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_totalprice"]
     )
 
@@ -244,7 +254,7 @@ def nation_order_stats(sf_dir: str, num_partitions: int = 8) -> rd.Dataset:
                 }
             )
 
-        cust = rd.read_parquet(
+        cust = _read_pq(
             cust_path, columns=["c_custkey", "c_nationkey"]
         )
         joined = orders.map_batches(prep, batch_format="pyarrow").join(
@@ -280,7 +290,7 @@ GROUP BY n.n_name
 # ---------------------------------------------------------------------------
 
 def events_hourly(sf_dir: str) -> rd.Dataset:
-    ds = rd.read_parquet(
+    ds = _read_pq(
         os.path.join(sf_dir, "events.parquet"), columns=["ts", "event_type", "value"]
     )
 
@@ -331,7 +341,7 @@ def events_type_stats(sf_dir: str) -> rd.Dataset:
     """Per-type count/min/max — partial-combined per batch (Arrow C++
     group_by), so the shuffle ships one row per (type, block), not one
     per input row (count/min/max decompose exactly)."""
-    ds = rd.read_parquet(
+    ds = _read_pq(
         os.path.join(sf_dir, "events.parquet"), columns=["event_type", "value"]
     )
 
@@ -366,7 +376,7 @@ GROUP BY event_type
 def revenue_by_priority(sf_dir: str) -> rd.Dataset:
     """lineitem ⋈ orders on orderkey (Ray Data hash join — both sides
     shuffle by key), then a tiny groupby on order priority."""
-    li = rd.read_parquet(
+    li = _read_pq(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
     )
@@ -381,7 +391,7 @@ def revenue_by_priority(sf_dir: str) -> rd.Dataset:
         )
 
     li = li.map_batches(prep, batch_format="pyarrow")
-    orders = rd.read_parquet(
+    orders = _read_pq(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_orderkey", "o_orderpriority"],
     )
@@ -419,7 +429,7 @@ def sessionize_users(sf_dir: str, num_partitions: int | None = None) -> rd.Datas
     session opens after a >30 min gap. ONE shuffle on the hashed key
     partition; each map_groups call sessionizes EVERY user in its
     partition with a single lexsort + boundary-aware gap scan."""
-    ds = rd.read_parquet(
+    ds = _read_pq(
         os.path.join(sf_dir, "events.parquet"),
         columns=["user_id", "ts", "event_id"],
     )
@@ -499,7 +509,7 @@ GROUP BY user_id
 # ---------------------------------------------------------------------------
 
 def orders_systematic_sample(sf_dir: str, k: int = 10) -> rd.Dataset:
-    ds = rd.read_parquet(
+    ds = _read_pq(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_orderkey", "o_totalprice"],
     )
@@ -533,7 +543,7 @@ def lang_source_hist(sf_dir: str) -> rd.Dataset:
     """(lang, source) histogram — partial-combined per batch so the
     groupby shuffle volume is bounded by #keys × #blocks (a few KB per
     block), not the corpus row count."""
-    ds = rd.read_parquet(
+    ds = _read_pq(
         os.path.join(sf_dir, "documents.parquet"), columns=["lang", "source"]
     )
 
@@ -556,7 +566,7 @@ SELECT lang, source, COUNT(*) AS n_docs FROM documents GROUP BY lang, source
 # ---------------------------------------------------------------------------
 
 def open_orders(sf_dir: str) -> rd.Dataset:
-    return rd.read_parquet(
+    return _read_pq(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_orderkey", "o_custkey"],
         filter=(pc.field("o_orderstatus") == "O"),
@@ -578,7 +588,7 @@ def distinct_user_event_types(sf_dir: str) -> rd.Dataset:
     (group_by with no aggregates), so repeated pairs collapse before
     the shuffle; the global groupby then sees at most #distinct ×
     #blocks rows."""
-    ds = rd.read_parquet(
+    ds = _read_pq(
         os.path.join(sf_dir, "events.parquet"), columns=["user_id", "event_type"]
     )
 
@@ -610,11 +620,11 @@ def events_asof_orders(sf_dir: str, num_partitions: int | None = None) -> rd.Dat
     Partitioning assumption: rows co-locate by the equality key
     (user_id == o_custkey); event/order ts skew within one key is
     bounded by that customer's history."""
-    events = rd.read_parquet(
+    events = _read_pq(
         os.path.join(sf_dir, "events.parquet"),
         columns=["event_id", "user_id", "ts"],
     )
-    orders = rd.read_parquet(
+    orders = _read_pq(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_orderkey", "o_custkey", "o_orderdate"],
     )
@@ -711,10 +721,10 @@ def orders_events_window(
     groupby(key) shuffle, two vectorized searchsorted probes per
     group). A keyless band join would instead bucket both sides by
     coarse time windows and join within buckets."""
-    events = rd.read_parquet(
+    events = _read_pq(
         os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
     )
-    orders = rd.read_parquet(
+    orders = _read_pq(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_orderkey", "o_custkey", "o_orderdate"],
     )
@@ -823,7 +833,7 @@ FROM orders o
 # ---------------------------------------------------------------------------
 
 def parts_by_brand(sf_dir: str) -> rd.Dataset:
-    ds = rd.read_parquet(
+    ds = _read_pq(
         os.path.join(sf_dir, "part.parquet"),
         columns=["p_brand", "p_retailprice", "p_size"],
     )
@@ -858,15 +868,15 @@ def supplier_nation_balance(sf_dir: str) -> rd.Dataset:
     pattern). The lookup ships as Arrow-friendly arrays once via
     ``ray.put``; per batch the join is vectorized ``pc.index_in`` +
     ``take`` — no Python row loop."""
-    nat = rd.read_parquet(os.path.join(sf_dir, "nation.parquet")).take_all()
-    reg = rd.read_parquet(os.path.join(sf_dir, "region.parquet")).take_all()
+    nat = _read_pq(os.path.join(sf_dir, "nation.parquet")).take_all()
+    reg = _read_pq(os.path.join(sf_dir, "region.parquet")).take_all()
     rname = {r["r_regionkey"]: r["r_name"] for r in reg}
     n_keys = np.array([n["n_nationkey"] for n in nat], dtype=np.int64)
     n_names = [n["n_name"] for n in nat]
     r_names = [rname[n["n_regionkey"]] for n in nat]
     lookup_ref = ray.put((n_keys, n_names, r_names))
 
-    ds = rd.read_parquet(
+    ds = _read_pq(
         os.path.join(sf_dir, "supplier.parquet"),
         columns=["s_nationkey", "s_acctbal"],
     )
@@ -979,10 +989,10 @@ def customers_without_orders(
     has SOME order in the driver tables, so the unfiltered anti-join
     would be vacuously empty — and an empty Ray dataset loses its
     schema, which the driver's column compare would flag)."""
-    cust = rd.read_parquet(
+    cust = _read_pq(
         os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"]
     )
-    orders = rd.read_parquet(
+    orders = _read_pq(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_custkey"],
         filter=(pc.field("o_orderpriority") == priority),
@@ -1052,7 +1062,7 @@ _PCTS = (0.25, 0.5, 0.75)
 
 
 def events_value_percentiles(sf_dir: str) -> rd.Dataset:
-    ds = rd.read_parquet(
+    ds = _read_pq(
         os.path.join(sf_dir, "events.parquet"), columns=["event_type", "value"]
     )
 
