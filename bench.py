@@ -198,6 +198,7 @@ BENCH_QUERIES = [
     "decontaminate",
     "pack_sequences",
     "top_tokens",
+    "train_bigram_lm",
     "quality_classifier",
     "quality_bins",
     "host_sample",

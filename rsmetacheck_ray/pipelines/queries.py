@@ -1348,6 +1348,49 @@ GROUP BY gr.doc_id
 """
 
 
+# --- distributed bigram LM training ----------------------------------------
+
+_LM_MIN_COUNT = 3
+
+
+def q_train_bigram_lm(sf_dir: str):
+    """Corpus-wide bigram LM estimation (functions/ngram_lm.py): exact
+    conditional probabilities p(w2|w1) with per-batch partial combine
+    and ONE hash(w1)-keyed shuffle — the training side of the KenLM-
+    style scoring the perplexity stage performs."""
+    from ..functions.ngram_lm import train_bigram_lm
+
+    return train_bigram_lm(
+        _documents(sf_dir, ["doc_id", "text"]), min_count=_LM_MIN_COUNT
+    )
+
+
+def _sql_train_bigram_lm() -> str:
+    from ..functions.tokenize import WS_TOKEN_RE
+
+    return f"""
+WITH words AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text, '{WS_TOKEN_RE}')) AS w,
+         unnest(generate_series(1, len(regexp_extract_all(text, '{WS_TOKEN_RE}')))) AS i
+  FROM documents
+),
+big AS (
+  SELECT doc_id, w AS w1,
+         LEAD(w) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+  FROM words
+),
+counts AS (
+  SELECT w1, w2, COUNT(*) AS n FROM big WHERE w2 IS NOT NULL GROUP BY w1, w2
+),
+tot AS (SELECT w1, SUM(n) AS t FROM counts GROUP BY w1)
+SELECT c.w1, c.w2, CAST(c.n AS BIGINT) AS n,
+       CAST(c.n AS DOUBLE) / CAST(t.t AS DOUBLE) AS p
+FROM counts c JOIN tot t USING (w1)
+WHERE c.n >= {_LM_MIN_COUNT}
+"""
+
+
 # --- global vocabulary: top-k token frequencies ----------------------------
 
 _TOPK_TOKENS = 50
@@ -1798,6 +1841,7 @@ def registry() -> dict[str, tuple]:
         "decontaminate": (q_decontaminate, _sql_decontaminate()),
         "pack_sequences": (q_pack_sequences, _sql_pack_sequences()),
         "top_tokens": (q_top_tokens, _sql_top_tokens()),
+        "train_bigram_lm": (q_train_bigram_lm, _sql_train_bigram_lm()),
         "dedup_embedding_pairs": (q_dedup_embedding_pairs, SQL_DEDUP_EMBEDDING),
         "dedup_embedding_lsh": (q_dedup_embedding_lsh, None),  # approximate
         # skew: salted two-phase host aggregate

@@ -92,6 +92,7 @@ SQL_BACKED = [
     "quality_bins",
     "scrub_boilerplate",
     "url_status",
+    "train_bigram_lm",
 ]
 
 
