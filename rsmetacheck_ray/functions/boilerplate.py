@@ -63,8 +63,10 @@ def _batch_lines(
     arr: pa.Array | pa.ChunkedArray,
 ) -> tuple[np.ndarray, pa.Array, np.ndarray]:
     """Split a batch's text column into lines: (per-line doc index,
-    flat line array, per-line hash as int64 view). Nulls read as '' — one empty
-    line, exactly like DuckDB's ``string_split('', chr(10))``."""
+    flat line array, per-line hash as int64 view). Nulls read as ''
+    (one empty line) — the SQL oracle mirrors this with
+    ``string_split(coalesce(text, ''), ...)``, since DuckDB's unnest
+    over a NULL split would instead drop the document."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     lines = pc.split_pattern(pc.fill_null(arr, ""), pattern="\n")

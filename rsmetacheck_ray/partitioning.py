@@ -124,3 +124,13 @@ def small_read_blocks(path) -> int | None:
     if rows >= (1 << 18):
         return None
     return max(4, -(-rows // 4096))
+
+
+def read_pq(path, **kw):
+    """``ray.data.read_parquet`` with the small-input block override
+    applied — the one place the policy lives."""
+    import ray.data as rd
+
+    return rd.read_parquet(
+        path, override_num_blocks=small_read_blocks(path), **kw
+    )

@@ -418,7 +418,7 @@ def run_gate(
     """
     if input_format not in ("parquet", "jsonl", "csv"):
         raise ValueError(f"unsupported input_format {input_format!r}")
-    suffix = "." + ("parquet" if input_format == "parquet" else input_format)
+    suffix = "." + input_format
     if input_format == "jsonl":
         from ..sources.jsonl_pages import read_pages_jsonl as _read_fragments
     elif input_format == "csv":

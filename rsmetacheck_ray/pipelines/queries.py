@@ -67,12 +67,9 @@ from .quality_gate import build_gate
 # ---------------------------------------------------------------------------
 
 def _documents(sf_dir: str, columns: list[str] | None = None) -> rd.Dataset:
-    from ..partitioning import small_read_blocks
+    from ..partitioning import read_pq
 
-    path = os.path.join(sf_dir, "documents.parquet")
-    return rd.read_parquet(
-        path, columns=columns, override_num_blocks=small_read_blocks(path)
-    )
+    return read_pq(os.path.join(sf_dir, "documents.parquet"), columns=columns)
 
 
 def _pages_input(sf_dir: str) -> rd.Dataset:
@@ -1271,8 +1268,8 @@ def _sql_scrub_boilerplate() -> str:
 WITH pages AS ({{pages}}),
 lines AS (
   SELECT doc_id,
-         unnest(string_split(text, chr(10))) AS line,
-         unnest(generate_series(1, len(string_split(text, chr(10))))) AS i
+         unnest(string_split(coalesce(text, ''), chr(10))) AS line,
+         unnest(generate_series(1, len(string_split(coalesce(text, ''), chr(10))))) AS i
   FROM pages
 ),
 hot AS (

@@ -46,12 +46,11 @@ from ..partitioning import adaptive_partitions, parquet_rows_hint
 
 def _read_pq(path: str, **kw) -> rd.Dataset:
     """read_parquet with the small-input block-count override
-    (partitioning.small_read_blocks): micro-block inflation on the
-    driver-scale tables otherwise dominates every shuffle's wall time;
-    at scale the override is a no-op."""
-    from ..partitioning import small_read_blocks
+    (micro-block inflation on driver-scale tables otherwise dominates
+    every shuffle's wall time; at scale the override is a no-op)."""
+    from ..partitioning import read_pq
 
-    return rd.read_parquet(path, override_num_blocks=small_read_blocks(path), **kw)
+    return read_pq(path, **kw)
 
 
 def _part_of(key_col: pa.ChunkedArray | pa.Array, n_parts: int) -> pa.Array:

@@ -38,6 +38,10 @@ def _csv_options():
         column_types={f.name: pa.string() for f in _PAGES_READ_SCHEMA},
         strings_can_be_null=True,
         quoted_strings_can_be_null=False,
+        # ONLY the empty field is null — pyarrow's default list would
+        # also nullify unquoted NA/NULL/nan/N/A etc., silently dropping
+        # real values and breaking the pinned dialect
+        null_values=[""],
     )
     parse = pacsv.ParseOptions(newlines_in_values=True)
     return parse, convert

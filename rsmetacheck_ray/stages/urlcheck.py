@@ -47,9 +47,11 @@ import ray.data as rd
 # ~81% of URLs healthy, mirroring a real crawl's live-link rate
 _STATUS_BY_NIBBLE = {"d": 301, "e": 404, "f": 503}
 _DEFAULT_STATUS = 200
-# statuses the url_ok verdict accepts (redirects count as alive,
-# matching the reference's `allow_redirects=True` probes, p008.py:31)
-OK_STATUSES = frozenset({200, 301})
+# statuses the url_ok verdict accepts: every redirect class counts as
+# alive (the reference's probes follow redirects, p008.py:31; the real
+# fetcher below reports the FIRST hop, so 302/307 etc. must be OK too
+# — the offline fetcher only ever emits 200/301/404/503)
+OK_STATUSES = frozenset({200, 301, 302, 303, 307, 308})
 
 
 def deterministic_fetcher(url: str) -> int:
@@ -151,7 +153,9 @@ def sql_status_expr(url_expr: str = "url") -> str:
     cases = " ".join(
         f"WHEN '{nib}' THEN {st}" for nib, st in _STATUS_BY_NIBBLE.items()
     )
+    # coalesce mirrors the engine's fill_null('') — DuckDB's md5(NULL)
+    # would otherwise fall through the CASE to the ELSE arm
     return (
-        f"CASE substr(md5({url_expr}), 1, 1) {cases} "
+        f"CASE substr(md5(coalesce({url_expr}, '')), 1, 1) {cases} "
         f"ELSE {_DEFAULT_STATUS} END"
     )

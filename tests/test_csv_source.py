@@ -51,6 +51,20 @@ def test_dialect_null_vs_empty_roundtrip(ray_session, tmp_path):
     assert ts[0].microsecond == 0 and ts[1].microsecond == 500_000
 
 
+def test_na_like_strings_are_not_nulled(ray_session, tmp_path):
+    """Only the empty field is null under the dialect: pyarrow's
+    default null_values list would silently nullify unquoted NA/NULL/
+    nan values a warehouse export legitimately contains."""
+    p = str(tmp_path / "pages.csv")
+    with open(p, "w") as fh:
+        fh.write("url,warc_ts,html,text,lang,doc_id\n")
+        fh.write('https://a.example/x,2023-01-01T00:00:00,,NA,null,1\n')
+    out = read_pages_csv(p).to_pandas()
+    assert out["text"].tolist() == ["NA"]
+    assert out["lang"].tolist() == ["null"]
+    assert out["html"].tolist() == [None]  # empty field stays null
+
+
 def test_newlines_in_text_survive(ray_session, tmp_path):
     t = pa.table(
         {
