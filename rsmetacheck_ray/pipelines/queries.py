@@ -773,9 +773,25 @@ def q_quality_bins(sf_dir: str):
     import math
 
     from ..functions.classifier import classify_quality
+    from ..partitioning import parquet_rows_hint
 
-    def scores():
-        return classify_quality(_documents(sf_dir, ["doc_id", "text"]))
+    docs = _documents(sf_dir, ["doc_id", "text"])
+    hint = parquet_rows_hint(docs)
+    if hint and hint <= 10_000_000:
+        # driver-scale: score once, reuse for both passes (the score
+        # projection is ~16 B/row). At corpus scale re-executing the
+        # lazy pipeline beats pinning 10^12 rows in the object store.
+        cached = classify_quality(docs).materialize()
+
+        def scores():
+            return cached
+
+    else:
+
+        def scores():
+            return classify_quality(
+                _documents(sf_dir, ["doc_id", "text"])
+            )
 
     def hist_partial(b: pa.Table) -> pa.Table:
         g = pa.table({"score_total": b.column("score_total")}).group_by(
