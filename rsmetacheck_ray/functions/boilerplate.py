@@ -19,8 +19,8 @@ Two streaming passes, no all-to-all on document payloads:
     ``n_docs >= min_df`` prunes to the hot set.
  2. **scrub pass** — the hot hashes broadcast ONCE (``ray.put``; the
     hot-set size is at most total_lines / min_df, and in practice the
-    handful of template lines min_df is chosen to catch); an actor
-    pool re-splits each document, drops hot lines via a vectorized
+    handful of template lines min_df is chosen to catch); a cached-
+    task stage re-splits each document, drops hot lines via a vectorized
     ``searchsorted`` membership probe, and reassembles the survivors
     with one Arrow ``binary_join`` — order preserved, every instance
     of a hot line removed (df counts a doc once; the scrub removes all
@@ -141,9 +141,10 @@ def hot_line_hashes(
 
 
 class _LineScrub:
-    """Actor-pool stage: hot-line hashes fetched from the object store
-    once per actor; per batch, one split + hash + ``searchsorted``
-    membership probe, then one ``binary_join`` reassembly."""
+    """Broadcast-probe stage run as CACHED TASKS (taskcache.py): hot-
+    line hashes fetched from the object store once per worker process;
+    per batch, one split + hash + ``searchsorted`` membership probe,
+    then one ``binary_join`` reassembly."""
 
     def __init__(self, hot_ref, id_col: str, text_col: str):
         self.hot = ray.get(hot_ref)  # sorted int64 hash views
@@ -197,7 +198,7 @@ def scrub_boilerplate_lines(
     min_df: int = DEFAULT_MIN_DF,
     id_col: str = "doc_id",
     text_col: str = "text",
-    concurrency: tuple[int, int] | int = (1, 8),
+    concurrency: tuple[int, int] | int | None = None,
 ) -> rd.Dataset:
     """(doc_id, text_scrubbed, n_lines_removed) for every corpus
     document, with every line whose corpus document frequency is
@@ -208,11 +209,11 @@ def scrub_boilerplate_lines(
     two streaming passes of a two-pass algorithm — Ray datasets are
     consumed by execution, so the caller supplies the read twice, the
     ``contaminated_docs`` convention)."""
+    from .taskcache import cached_stage
+
     hot = hot_line_hashes(df_pages, min_df, text_col)
     hot_ref = ray.put(hot)
     return corpus.map_batches(
-        _LineScrub,
-        fn_constructor_args=(hot_ref, id_col, text_col),
+        cached_stage(_LineScrub, hot_ref, id_col, text_col),
         batch_format="pyarrow",
-        concurrency=concurrency,
     )

@@ -13,8 +13,8 @@ side is TINY (eval sets are MBs) while the corpus side is the full
  - **benchmark side**: one streamed pass collects the distinct k-gram
    hashes to the driver (bounded by the benchmark's vocabulary, not
    the corpus) and ``ray.put``\\ s ONE sorted uint64 array.
- - **corpus side**: a ``map_batches`` actor pool pulls the array from
-   the object store once per actor (``__init__``), then every batch is
+ - **corpus side**: a ``map_batches`` stage of CACHED TASKS pulls the
+   array from the object store once per worker process, then every batch is
    one Arrow whitespace split + dictionary-encoded vocabulary hashing
    + one global windowed combine + a vectorized ``searchsorted``
    membership probe. No shuffle at all — the corpus never moves.
@@ -85,9 +85,12 @@ def benchmark_gram_hashes(
 
 
 class _ContaminationProbe:
-    """Actor-pool stage: benchmark grams fetched from the object store
-    ONCE per actor; per batch, a vectorized membership probe emits
-    (id, n_shared_grams) for contaminated rows only."""
+    """Broadcast-probe stage, run as CACHED TASKS (not an actor pool):
+    ``ray.get`` of the gram ref is a zero-copy plasma read that the
+    worker process caches, and Ray task workers are reused across
+    tasks and executions — the same loaded-once guarantee as an actor
+    pool WITHOUT the per-query pool spin-up (the gate's `_GATE_CACHE`
+    discipline, quality_gate.py)."""
 
     def __init__(self, gram_ref, id_col: str, text_col: str, k: int):
         self.grams = ray.get(gram_ref)  # sorted uint64
@@ -138,11 +141,13 @@ def contaminated_docs(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = DEFAULT_NGRAM,
-    concurrency: tuple[int, int] | int = (1, 8),
+    concurrency: tuple[int, int] | int | None = None,
 ) -> rd.Dataset:
     """(id, n_shared_grams) for every corpus document sharing ≥1 word
     k-gram with the benchmark set. The corpus streams; the benchmark
-    gram set broadcasts once."""
+    gram set broadcasts once. ``concurrency`` is accepted for API
+    stability but unused — the probe runs as cached tasks
+    (functions/taskcache.py), which auto-scale."""
     grams = benchmark_gram_hashes(bench, text_col, k)
     if len(grams) == 0:
         # nothing can match: skip the whole corpus pass, not just the
@@ -155,10 +160,10 @@ def contaminated_docs(
                 }
             )
         )
+    from .taskcache import cached_stage
+
     gram_ref = ray.put(grams)
     return corpus.map_batches(
-        _ContaminationProbe,
-        fn_constructor_args=(gram_ref, id_col, text_col, k),
+        cached_stage(_ContaminationProbe, gram_ref, id_col, text_col, k),
         batch_format="pyarrow",
-        concurrency=concurrency,
     )

@@ -180,7 +180,8 @@ def rare_gram_candidate_pairs(
 class _GramSetStage:
     """Corpus pass restricted to the candidate docs: emits each one's
     sorted distinct gram-hash set as a binary cell. Candidate-id array
-    fetched from the object store once per actor."""
+    fetched from the object store once per worker process (cached
+    tasks, taskcache.py)."""
 
     def __init__(self, ids_ref, text_col: str, id_col: str, k: int):
         self.cand = ray.get(ids_ref)  # sorted int64
@@ -222,8 +223,8 @@ class _GramSetStage:
 
 class _VerifyStage:
     """Exact Jaccard per candidate pair. Gram-set blocks are pulled
-    from the object store once per actor; per pair the intersection is
-    a vectorized sorted-membership count."""
+    from the object store once per worker process (cached tasks); per
+    pair the intersection is a vectorized sorted-membership count."""
 
     def __init__(self, set_refs):
         self.sets: dict[int, np.ndarray] = {}
@@ -274,7 +275,7 @@ def jaccard_verify_pairs(
     id_col: str = "doc_id",
     k: int = DEFAULT_K,
     min_jaccard: float | None = None,
-    concurrency: tuple[int, int] | int = (1, 8),
+    concurrency: tuple[int, int] | int | None = None,
 ) -> rd.Dataset:
     """Exact k-gram Jaccard for every pair in ``pairs`` (columns
     ``doc_id_a``/``doc_id_b``). Verification state is bounded by the
@@ -293,22 +294,20 @@ def jaccard_verify_pairs(
     if not id_parts:
         return rd.from_arrow(_VERIFIED_SCHEMA.empty_table())
     cand = np.unique(np.concatenate(id_parts)).astype(np.int64)
+    from .taskcache import cached_stage
+
     ids_ref = ray.put(cand)
     set_refs = (
         ds.map_batches(
-            _GramSetStage,
-            fn_constructor_args=(ids_ref, text_col, id_col, k),
+            cached_stage(_GramSetStage, ids_ref, text_col, id_col, k),
             batch_format="pyarrow",
-            concurrency=concurrency,
         )
         .materialize()
         .to_arrow_refs()
     )
     out = pairs.map_batches(
-        _VerifyStage,
-        fn_constructor_args=(set_refs,),
+        cached_stage(_VerifyStage, tuple(set_refs)),
         batch_format="pyarrow",
-        concurrency=concurrency,
     )
     if min_jaccard is not None:
         thr = float(min_jaccard)

@@ -1,0 +1,35 @@
+"""Per-worker-process stage cache for broadcast-probe operators.
+
+An actor-pool ``map_batches`` stage pays a pool spin-up (~0.5–1.5 s
+measured) on EVERY query execution. For stages whose only state is a
+``ray.get`` of a broadcast ref (a zero-copy plasma read the worker
+process caches) plus cheap derived structures, plain TASKS with a
+per-worker-process stage cache give the same loaded-once guarantee
+with no spin-up: Ray task workers are reused across tasks, operators
+and executions. This is the gate's ``_GATE_CACHE`` discipline
+(pipelines/quality_gate.py) factored out for the operator library.
+
+Actor pools remain the right tool when concurrency itself must be
+bounded for an external resource (e.g. the URL-status stage's
+politeness budget) or when state is too heavy to build per worker.
+"""
+
+from __future__ import annotations
+
+_CACHE: dict = {}
+
+
+def cached_stage(cls, *args):
+    """A ``map_batches``-compatible FUNCTION that builds ``cls(*args)``
+    once per worker process and reuses it for every batch. ``args``
+    must be hashable (ObjectRefs are)."""
+
+    def fn(batch, _cls=cls, _args=args):
+        key = (_cls, _args)
+        stage = _CACHE.get(key)
+        if stage is None:
+            stage = _cls(*_args)
+            _CACHE[key] = stage
+        return stage(batch)
+
+    return fn
