@@ -196,3 +196,95 @@ def test_sessionize_matches_bruteforce(ray_session, seed):
         assert row["n_events"] == int(m.sum())
         assert row["n_sessions"] == sessions
     assert set(got["user_id"]) == set(np.unique(uid))
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.integers(min_value=0, max_value=10_000))
+def test_boilerplate_scrub_matches_bruteforce(ray_session, seed):
+    """scrub_boilerplate_lines == per-doc brute force (drop every line
+    whose distinct-doc frequency >= min_df) on random corpora with
+    heavy line collisions, repeats within docs and empty lines."""
+    import ray.data as rd
+
+    from rsmetacheck_ray.functions.boilerplate import scrub_boilerplate_lines
+
+    rng = np.random.default_rng(seed)
+    pool = [f"L{i}" for i in range(6)] + ["", "unique-%d"]
+    texts = []
+    for d in range(30):
+        n_lines = int(rng.integers(1, 6))
+        lines = []
+        for j in range(n_lines):
+            p = pool[int(rng.integers(0, len(pool)))]
+            lines.append(p % (d * 10 + j) if "%d" in p else p)
+        texts.append("\n".join(lines))
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(30), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    min_df = 3
+    got = (
+        scrub_boilerplate_lines(
+            rd.from_arrow(t).repartition(4), rd.from_arrow(t).repartition(4),
+            min_df=min_df,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # brute force
+    df: dict = {}
+    for txt in texts:
+        for ln in set(txt.split("\n")):
+            df[ln] = df.get(ln, 0) + 1
+    hot = {ln for ln, c in df.items() if c >= min_df}
+    exp_text = ["\n".join(l for l in t_.split("\n") if l not in hot) for t_ in texts]
+    exp_removed = [sum(l in hot for l in t_.split("\n")) for t_ in texts]
+    assert got["text_scrubbed"].tolist() == exp_text
+    assert got["n_lines_removed"].tolist() == exp_removed
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.integers(min_value=0, max_value=10_000))
+def test_bigram_lm_matches_bruteforce(ray_session, seed):
+    """train_bigram_lm == Counter brute force (within-doc bigrams,
+    exact conditionals of the FULL distribution, prune after)."""
+    from collections import Counter
+
+    import ray.data as rd
+
+    from rsmetacheck_ray.functions.ngram_lm import train_bigram_lm
+
+    rng = np.random.default_rng(seed)
+    vocab = [f"t{i}" for i in range(5)]
+    texts = [
+        " ".join(vocab[int(j)] for j in rng.integers(0, len(vocab), rng.integers(0, 9)))
+        for _ in range(25)
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(25), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    got = (
+        train_bigram_lm(rd.from_arrow(t).repartition(3), min_count=2)
+        .to_pandas()
+        .sort_values(["w1", "w2"])
+        .reset_index(drop=True)
+    )
+    counts: Counter = Counter()
+    for txt in texts:
+        ws = txt.split()
+        counts.update(zip(ws, ws[1:]))
+    totals: Counter = Counter()
+    for (w1, _), n in counts.items():
+        totals[w1] += n
+    exp = sorted(
+        (w1, w2, n, n / totals[w1])
+        for (w1, w2), n in counts.items()
+        if n >= 2
+    )
+    assert [tuple(r) for r in got.itertuples(index=False)] == exp
