@@ -197,6 +197,7 @@ BENCH_QUERIES = [
     "dedup_jaccard",
     "decontaminate",
     "pack_sequences",
+    "shuffle_shards",
     "top_tokens",
     "train_bigram_lm",
     "quality_classifier",

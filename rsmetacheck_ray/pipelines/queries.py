@@ -1361,6 +1361,42 @@ GROUP BY gr.doc_id
 """
 
 
+# --- deterministic corpus shuffle into training shards ---------------------
+
+_SHUFFLE_SHARDS = 16
+
+
+def q_shuffle_shards(sf_dir: str):
+    """Global pseudo-random shuffle address (shard, pos) per document
+    (functions/shuffle.py) — reproducible shuffle-before-training
+    without random_shuffle's payload all-to-all; only the 80-byte
+    address projection moves."""
+    from ..functions.shuffle import shuffle_to_shards
+
+    return shuffle_to_shards(
+        _documents(sf_dir, ["doc_id"]), n_shards=_SHUFFLE_SHARDS
+    )
+
+
+def _sql_shuffle_shards() -> str:
+    from ..functions.shuffle import sql_shard_expr
+
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+         md5(CAST(doc_id AS VARCHAR)) AS shuffle_rank,
+         {sql_shard_expr("doc_id", _SHUFFLE_SHARDS)} AS shard
+  FROM documents
+)
+SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+       CAST(row_number() OVER (
+         PARTITION BY shard ORDER BY shuffle_rank, doc_id
+       ) - 1 AS BIGINT) AS pos,
+       shuffle_rank
+FROM s
+"""
+
+
 # --- distributed bigram LM training ----------------------------------------
 
 _LM_MIN_COUNT = 3
@@ -1855,6 +1891,7 @@ def registry() -> dict[str, tuple]:
         "pack_sequences": (q_pack_sequences, _sql_pack_sequences()),
         "top_tokens": (q_top_tokens, _sql_top_tokens()),
         "train_bigram_lm": (q_train_bigram_lm, _sql_train_bigram_lm()),
+        "shuffle_shards": (q_shuffle_shards, _sql_shuffle_shards()),
         "dedup_embedding_pairs": (q_dedup_embedding_pairs, SQL_DEDUP_EMBEDDING),
         "dedup_embedding_lsh": (q_dedup_embedding_lsh, None),  # approximate
         # skew: salted two-phase host aggregate

@@ -93,6 +93,7 @@ SQL_BACKED = [
     "scrub_boilerplate",
     "url_status",
     "train_bigram_lm",
+    "shuffle_shards",
 ]
 
 
