@@ -205,6 +205,9 @@ def scrub_boilerplate_lines(
     ≥ ``min_df`` removed (all instances; survivors keep their order;
     a document whose every line is hot scrubs to the empty string).
 
+    ``concurrency`` is accepted for API stability but unused — the
+    scrub runs as cached tasks (taskcache.py), which auto-scale.
+
     ``df_pages`` and ``corpus`` are two handles on the SAME input (the
     two streaming passes of a two-pass algorithm — Ray datasets are
     consumed by execution, so the caller supplies the read twice, the

@@ -222,9 +222,12 @@ class _GramSetStage:
 
 
 class _VerifyStage:
-    """Exact Jaccard per candidate pair. Gram-set blocks are pulled
-    from the object store once per worker process (cached tasks); per
-    pair the intersection is a vectorized sorted-membership count."""
+    """Exact Jaccard per candidate pair — an ACTOR POOL, because its
+    dict holds every candidate doc's gram set (``concurrency`` bounds
+    the replication; a per-task-worker cache would copy it to every
+    core). Per pair the intersection is a vectorized sorted-membership
+    count — a Python loop over PAIRS, which rare-gram pruning keeps
+    small by construction (bounded by max_df²/2 per rare gram)."""
 
     def __init__(self, set_refs):
         self.sets: dict[int, np.ndarray] = {}
@@ -275,11 +278,13 @@ def jaccard_verify_pairs(
     id_col: str = "doc_id",
     k: int = DEFAULT_K,
     min_jaccard: float | None = None,
-    concurrency: tuple[int, int] | int | None = None,
+    concurrency: tuple[int, int] | int = (1, 8),
 ) -> rd.Dataset:
     """Exact k-gram Jaccard for every pair in ``pairs`` (columns
     ``doc_id_a``/``doc_id_b``). Verification state is bounded by the
-    candidate docs, not the corpus."""
+    candidate docs, not the corpus; ``concurrency`` bounds how many
+    verify actors replicate it (the gram-set SCAN runs as cached
+    tasks and auto-scales)."""
     pairs = pairs.materialize()  # consumed twice: id scan + verify
     id_parts: list[np.ndarray] = []
     for b in pairs.iter_batches(batch_format="pyarrow", batch_size=65536):
@@ -305,9 +310,14 @@ def jaccard_verify_pairs(
         .materialize()
         .to_arrow_refs()
     )
+    # the verify dict covers EVERY candidate doc's gram set — state too
+    # heavy to replicate to every task worker, so this stage stays an
+    # ACTOR POOL: ``concurrency`` bounds how many workers hold it
     out = pairs.map_batches(
-        cached_stage(_VerifyStage, tuple(set_refs)),
+        _VerifyStage,
+        fn_constructor_args=(tuple(set_refs),),
         batch_format="pyarrow",
+        concurrency=concurrency,
     )
     if min_jaccard is not None:
         thr = float(min_jaccard)

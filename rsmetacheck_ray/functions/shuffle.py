@@ -28,42 +28,28 @@ so corpus_bytes / n_shards stays inside the worker budget.
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pyarrow as pa
 
 import ray.data as rd
 
+from .sampling import _md5_ranks
+
 DEFAULT_N_SHARDS = 16
 
 _HEX = "0123456789abcdef"
-
-_OUT_SCHEMA = pa.schema(
-    [
-        ("doc_id", pa.int64()),
-        ("shard", pa.int64()),
-        ("pos", pa.int64()),
-        ("shuffle_rank", pa.string()),
-    ]
-)
 
 
 def _ranks_and_shards(
     ids: np.ndarray, n_shards: int
 ) -> tuple[np.ndarray, np.ndarray]:
-    ranks = np.array(
-        [hashlib.md5(str(int(i)).encode()).hexdigest() for i in ids],
-        dtype=object,
-    )
-    # first two hex digits -> 0..255, folded; byte-equivalent to the
-    # oracle's strpos-based digit arithmetic
+    # the SAME md5 rank permutation as stratified sampling (one
+    # definition, functions/sampling.py — oracle-critical)
+    ranks = _md5_ranks(ids)
+    # first two hex digits -> 0..255, folded (matches the oracle's
+    # strpos digit arithmetic)
     shards = np.array(
-        [
-            (_HEX.index(r[0]) * 16 + _HEX.index(r[1])) % n_shards
-            for r in ranks
-        ],
-        dtype=np.int64,
+        [int(r[:2], 16) % n_shards for r in ranks], dtype=np.int64
     )
     return ranks, shards
 

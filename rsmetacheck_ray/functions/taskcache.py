@@ -16,20 +16,25 @@ politeness budget) or when state is too heavy to build per worker.
 
 from __future__ import annotations
 
+# cls -> (args, stage): ONE live entry per stage class. Every query
+# execution ray.puts fresh broadcast refs, so a (cls, args)-keyed dict
+# would grow one never-evicted entry (pinning its plasma objects) per
+# execution per reused worker — keep-latest evicts the previous
+# execution's state the moment a new one shows up.
 _CACHE: dict = {}
 
 
 def cached_stage(cls, *args):
     """A ``map_batches``-compatible FUNCTION that builds ``cls(*args)``
-    once per worker process and reuses it for every batch. ``args``
-    must be hashable (ObjectRefs are)."""
+    once per worker process and reuses it for every batch of the SAME
+    execution; a later execution's differing args evict the stale
+    stage. ``args`` must be hashable (ObjectRefs are)."""
 
     def fn(batch, _cls=cls, _args=args):
-        key = (_cls, _args)
-        stage = _CACHE.get(key)
-        if stage is None:
-            stage = _cls(*_args)
-            _CACHE[key] = stage
-        return stage(batch)
+        entry = _CACHE.get(_cls)
+        if entry is None or entry[0] != _args:
+            entry = (_args, _cls(*_args))
+            _CACHE[_cls] = entry
+        return entry[1](batch)
 
     return fn
