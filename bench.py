@@ -191,6 +191,7 @@ BENCH_QUERIES = [
     "customers_without_orders",
     "doc_stats",
     "dedup_exact",
+    "dedup_incremental",
     "dedup_minhash_pairs",
     "dedup_partial_overlap",
     "dedup_components",

@@ -187,6 +187,101 @@ def exact_dedup_groups(
     return agg.select_columns([id_col, "dup_count"])
 
 
+def incremental_new_docs(
+    new_ds: rd.Dataset,
+    seen_ds: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """(doc_id, is_new) for every NEW-corpus document: ``is_new`` iff
+    its content never appears in the SEEN corpus — the incremental
+    step of a rolling crawl pipeline, where each day's increment is
+    deduplicated against the all-time seen set instead of re-running
+    exact dedup over the union.
+
+    Scale plan: both sides project to the 33-byte (id, hash128, side)
+    rows of the exact-dedup discipline and co-partition on the SAME
+    content-hash partition; each partition resolves membership in one
+    lexsort (seen rows sort before new rows inside an equal-hash
+    group, so a group's ``min(side) == 0`` marks every new member as
+    already seen — ``np.minimum.reduceat`` over the group starts, no
+    per-group Python). Neither corpus's text ever moves; the seen
+    side ships hashes only, so the all-time index can be a persisted
+    (hash_lo, hash_hi) parquet rather than the documents themselves.
+    Hash-equality == text-equality up to the module's 128-bit
+    birthday bound (doc of ``hash_str_arrow_u128``)."""
+    from ..partitioning import adaptive_partitions, parquet_rows_hint
+
+    hint_new = parquet_rows_hint(new_ds)
+    hint_seen = parquet_rows_hint(seen_ds)
+    n_parts = num_partitions or adaptive_partitions(
+        (hint_new or 0) + (hint_seen or 0) or None, row_bytes=33
+    )
+
+    def project(side: int):
+        def f(b: pa.Table) -> pa.Table:
+            h = _hash_stage(b, text_col, id_col)
+            lo = h.column("content_hash").to_numpy(zero_copy_only=False)
+            hi = h.column("content_hash2").to_numpy(zero_copy_only=False)
+            from .hashing import splitmix64_np
+
+            part = (
+                splitmix64_np(lo.astype(np.uint64) ^ splitmix64_np(hi.astype(np.uint64)))
+                % np.uint64(n_parts)
+            ).astype(np.int64)
+            return pa.table(
+                {
+                    "hpart": pa.array(part, pa.int64()),
+                    id_col: h.column(id_col),
+                    "content_hash": h.column("content_hash"),
+                    "content_hash2": h.column("content_hash2"),
+                    "side": pa.array(np.full(len(b), side, np.int8), pa.int8()),
+                }
+            )
+
+        return f
+
+    both = seen_ds.map_batches(project(0), batch_format="pyarrow").union(
+        new_ds.map_batches(project(1), batch_format="pyarrow")
+    )
+
+    def resolve(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "is_new": pa.array([], pa.bool_()),
+            }
+        )
+        if group.num_rows == 0:
+            return empty
+        lo = group.column("content_hash").to_numpy(zero_copy_only=False)
+        hi = group.column("content_hash2").to_numpy(zero_copy_only=False)
+        side = group.column("side").to_numpy(zero_copy_only=False)
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((side, hi, lo))
+        lo_s, hi_s, side_s, ids_s = lo[order], hi[order], side[order], ids[order]
+        starts = np.concatenate(
+            ([True], (lo_s[1:] != lo_s[:-1]) | (hi_s[1:] != hi_s[:-1]))
+        )
+        start_idx = np.flatnonzero(starts)
+        seg_id = np.cumsum(starts) - 1
+        group_has_seen = np.minimum.reduceat(side_s, start_idx) == 0
+        new_mask = side_s == 1
+        if not new_mask.any():
+            return empty
+        return pa.table(
+            {
+                id_col: pa.array(ids_s[new_mask], pa.int64()),
+                "is_new": pa.array(
+                    ~group_has_seen[seg_id[new_mask]], pa.bool_()
+                ),
+            }
+        )
+
+    return both.groupby("hpart").map_groups(resolve, batch_format="pyarrow")
+
+
 def exact_dedup_pairs(
     ds: rd.Dataset,
     text_col: str = "text",

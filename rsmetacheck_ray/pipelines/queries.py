@@ -686,6 +686,46 @@ def _dup_corpus_rows(sf_dir: str) -> int:
     return n + n // 10 + n // 20
 
 
+def q_dedup_incremental(sf_dir: str):
+    """Rolling-crawl incremental dedup: the dup corpus splits into a
+    SEEN set (doc_id % 3 == 0) and the day's NEW increment (the rest);
+    every new doc gets is_new = its content never appears in seen
+    (functions/dedup.incremental_new_docs). Exact copies straddle the
+    split both ways: copies of seen originals come back not-new, while
+    duplicate pairs entirely inside the increment stay new."""
+    from ..partitioning import adaptive_partitions
+
+    def split(keep_seen: bool):
+        def f(b: pa.Table) -> pa.Table:
+            d = b.column("doc_id").to_numpy(zero_copy_only=False)
+            return b.filter(pa.array((d % 3 == 0) == keep_seen))
+
+        return f
+
+    seen = _dup_corpus(sf_dir).map_batches(split(True), batch_format="pyarrow")
+    new = _dup_corpus(sf_dir).map_batches(split(False), batch_format="pyarrow")
+    return dd.incremental_new_docs(
+        new,
+        seen,
+        num_partitions=adaptive_partitions(
+            _dup_corpus_rows(sf_dir), row_bytes=33
+        ),
+    )
+
+
+SQL_DEDUP_INCREMENTAL = f"""
+WITH {_DUP_CORPUS_SQL.strip()},
+seen AS (SELECT doc_id, text FROM corpus WHERE doc_id % 3 = 0),
+new AS (SELECT doc_id, text FROM corpus WHERE doc_id % 3 <> 0)
+SELECT n.doc_id,
+       NOT EXISTS (
+         SELECT 1 FROM seen s
+         WHERE coalesce(s.text, '') = coalesce(n.text, '')
+       ) AS is_new
+FROM new n
+"""
+
+
 def q_dedup_minhash_pairs(sf_dir: str):
     from ..partitioning import adaptive_partitions
 
@@ -1878,6 +1918,7 @@ def registry() -> dict[str, tuple]:
         # dedup family
         "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
         "dedup_exact_pairs": (q_dedup_exact_pairs, SQL_DEDUP_EXACT_PAIRS),
+        "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
         "dedup_minhash_pairs": (q_dedup_minhash_pairs, None),  # sketch
         "dedup_jaccard": (q_dedup_jaccard, _sql_dedup_jaccard()),
         "dedup_simhash": (q_dedup_simhash, None),  # sketch

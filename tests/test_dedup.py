@@ -280,3 +280,63 @@ def test_simhash_pairs_banded_hamming(ray_session):
     assert out.set_index(["doc_id_a", "doc_id_b"]).loc[(0, 1), "hamming"] == 0
     for a, b in pairs:
         assert {a, b} <= {0, 1}
+
+
+def _inc_ds(rows, parallelism=None):
+    import ray.data as rd
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([d for d, _ in rows], pa.int64()),
+                "text": pa.array([t for _, t in rows], pa.string()),
+            }
+        )
+    )
+    return ds.repartition(parallelism) if parallelism else ds
+
+
+def test_incremental_new_docs(ray_session):
+    seen = _inc_ds([(0, "alpha beta"), (1, "gamma delta")])
+    new = _inc_ds(
+        [
+            (10, "alpha beta"),      # copy of seen -> not new
+            (11, "epsilon zeta"),    # fresh -> new
+            (12, "epsilon zeta"),    # duplicate WITHIN the increment -> still new
+            (13, "gamma delta"),     # copy of seen -> not new
+        ]
+    )
+    out = (
+        dd.incremental_new_docs(new, seen)
+        .to_pandas()
+        .set_index("doc_id")["is_new"]
+        .to_dict()
+    )
+    assert out == {10: False, 11: True, 12: True, 13: False}
+
+
+def test_incremental_empty_sides(ray_session):
+    rows = [(1, "a"), (2, "b")]
+    all_new = dd.incremental_new_docs(_inc_ds(rows), _inc_ds([])).to_pandas()
+    assert all_new["is_new"].all() and len(all_new) == 2
+    none = dd.incremental_new_docs(_inc_ds([]), _inc_ds(rows)).to_pandas()
+    assert len(none) == 0
+
+
+def test_incremental_deterministic_across_partitionings(ray_session):
+    import pandas as pd
+
+    seen_rows = [(i, f"text {i % 7}") for i in range(40)]
+    new_rows = [(100 + i, f"text {i % 11}") for i in range(40)]
+
+    def run(p):
+        return (
+            dd.incremental_new_docs(
+                _inc_ds(new_rows, parallelism=p), _inc_ds(seen_rows, parallelism=p)
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+    pd.testing.assert_frame_equal(run(1), run(6))

@@ -94,6 +94,7 @@ SQL_BACKED = [
     "url_status",
     "train_bigram_lm",
     "shuffle_shards",
+    "dedup_incremental",
 ]
 
 
