@@ -382,6 +382,43 @@ def decode_bmp(data: bytes) -> np.ndarray:
     return rows[:, :, ::-1]  # BGR -> RGB
 
 
+# ---------------------------------------------------------------------------
+# Third REAL codec — farbfeld (suckless): 8-byte magic "farbfeld",
+# big-endian u32 width/height, then row-major RGBA with 16-bit
+# big-endian components. A third genuinely different raster layout
+# (16-bit samples + alpha vs 8-bit RGB vs padded bottom-up BGR) for the
+# dispatch stage; 8-bit values widen as v*257 so the roundtrip is exact
+# (v*257 >> 8 == v).
+# ---------------------------------------------------------------------------
+
+
+def encode_farbfeld(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → farbfeld bytes (opaque alpha)."""
+    h, w, c = pixels.shape
+    assert c == 3
+    rgba = np.empty((h, w, 4), dtype=">u2")
+    rgba[:, :, :3] = pixels.astype(np.uint16) * 257
+    rgba[:, :, 3] = 0xFFFF
+    import struct
+
+    return b"farbfeld" + struct.pack(">II", w, h) + rgba.tobytes()
+
+
+def decode_farbfeld(data: bytes) -> np.ndarray:
+    """farbfeld → (h, w, 3) uint8 RGB (alpha dropped, 16→8 bit via the
+    high byte — exact inverse of the *257 widening)."""
+    import struct
+
+    if data[:8] != b"farbfeld":
+        raise ValueError("not a farbfeld payload")
+    w, h = struct.unpack_from(">II", data, 8)
+    if len(data) < 16 + h * w * 8:
+        raise ValueError("truncated farbfeld raster")
+    raw = np.frombuffer(data, dtype=">u2", count=h * w * 4, offset=16)
+    rgba = raw.reshape(h, w, 4)
+    return (rgba[:, :, :3] >> 8).astype(np.uint8)
+
+
 def decode_image(data: bytes) -> tuple[np.ndarray, str]:
     """Format dispatch on magic bytes → (pixels, format). The decode
     stage never trusts a declared format column — payload bytes rule."""
@@ -389,25 +426,28 @@ def decode_image(data: bytes) -> tuple[np.ndarray, str]:
         return decode_ppm(data), "ppm"
     if data[:2] == b"BM":
         return decode_bmp(data), "bmp"
+    if data[:8] == b"farbfeld":
+        return decode_farbfeld(data), "farbfeld"
     raise ValueError(f"unknown image magic {data[:2]!r}")
 
 
 def attach_mixed_payload(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Fixture synthesizer: the SAME deterministic pixels per doc,
-    encoded PPM for even doc_ids and BMP for odd — so a decode
-    differential (same pixels through both codecs) is testable."""
+    encoded PPM / BMP / farbfeld by doc_id % 3 — so a decode
+    differential (same pixels through all three codecs) is testable."""
     ids = batch.column("doc_id").to_pylist()
     lens = pc.utf8_length(batch.column(text_col)).to_pylist()
+    enc = {0: encode_ppm, 1: encode_bmp, 2: encode_farbfeld}
     payloads = []
     for d, n in zip(ids, lens):
         pix = synth_pixels(int(d), int(n or 0))
-        payloads.append(encode_ppm(pix) if int(d) % 2 == 0 else encode_bmp(pix))
+        payloads.append(enc[int(d) % 3](pix))
     return batch.append_column("payload", pa.array(payloads, pa.binary()))
 
 
 class ImageDecode:
-    """Actor-pool stage: REAL multi-format decode (PPM | BMP dispatch
-    by magic bytes). Same output schema as :class:`PPMDecode` plus the
+    """Actor-pool stage: REAL multi-format decode (PPM | BMP |
+    farbfeld dispatch by magic bytes). Same output schema as :class:`PPMDecode` plus the
     detected ``format`` column."""
 
     def __init__(self):

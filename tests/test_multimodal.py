@@ -244,8 +244,9 @@ def test_image_format_dispatch_and_cross_codec_equality():
     pix = mm.synth_pixels(4, 21)
     p_ppm, f_ppm = mm.decode_image(mm.encode_ppm(pix))
     p_bmp, f_bmp = mm.decode_image(mm.encode_bmp(pix))
-    assert (f_ppm, f_bmp) == ("ppm", "bmp")
-    assert (p_ppm == p_bmp).all()
+    p_ff, f_ff = mm.decode_image(mm.encode_farbfeld(pix))
+    assert (f_ppm, f_bmp, f_ff) == ("ppm", "bmp", "farbfeld")
+    assert (p_ppm == p_bmp).all() and (p_ppm == p_ff).all()
     with pytest.raises(ValueError, match="unknown image magic"):
         mm.decode_image(b"GIF89a...")
     with pytest.raises(ValueError, match="unsupported BMP"):
@@ -255,11 +256,14 @@ def test_image_format_dispatch_and_cross_codec_equality():
         bad = bytearray(mm.encode_bmp(pix))
         struct.pack_into("<H", bad, 28, 8)
         mm.decode_bmp(bytes(bad))
+    with pytest.raises(ValueError, match="truncated farbfeld"):
+        mm.decode_farbfeld(mm.encode_farbfeld(pix)[:-4])
 
 
 def test_mixed_decode_stage(ray_session):
-    """The dispatch stage decodes a PPM/BMP-mixed corpus and reports
-    per-format pixel stats matching the synthesized ground truth."""
+    """The dispatch stage decodes a PPM/BMP/farbfeld-mixed corpus and
+    reports per-format pixel stats matching the synthesized ground
+    truth."""
     from rsmetacheck_ray.stages import multimodal as mm
 
     t = pa.table(
@@ -276,7 +280,8 @@ def test_mixed_decode_stage(ray_session):
         .sort_values("doc_id")
         .reset_index(drop=True)
     )
-    assert out["format"].tolist() == ["ppm", "bmp", "ppm", "bmp"]
+    # doc_id % 3: 2 -> farbfeld, 3 -> ppm, 10 -> bmp, 11 -> farbfeld
+    assert out["format"].tolist() == ["farbfeld", "ppm", "bmp", "farbfeld"]
     for _, row in out.iterrows():
         n = {2: 20, 3: 33, 10: 5, 11: 48}[int(row["doc_id"])]
         pix = mm.synth_pixels(int(row["doc_id"]), n)
