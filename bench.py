@@ -201,6 +201,7 @@ BENCH_QUERIES = [
     "shuffle_shards",
     "top_tokens",
     "train_bigram_lm",
+    "bpe_merges",
     "quality_classifier",
     "quality_bins",
     "host_sample",

@@ -1480,6 +1480,36 @@ WHERE c.n >= {_LM_MIN_COUNT}
 """
 
 
+# --- BPE tokenizer training + application ----------------------------------
+
+_BPE_MERGES = 50
+
+
+def q_bpe_merges(sf_dir: str):
+    """Learn a BPE merge table from the corpus (functions/bpe.py):
+    ONE distributed partial-combined word-count pass, then the greedy
+    merge loop over the bounded frequency table — how real tokenizer
+    trainers work. Iterative greedy state ⇒ rows-only; pinned by the
+    published toy example + a naive-reference differential in pytest."""
+    from ..functions.bpe import train_bpe
+
+    return train_bpe(
+        _documents(sf_dir, ["doc_id", "text"]), num_merges=_BPE_MERGES
+    )
+
+
+def q_bpe_token_counts(sf_dir: str):
+    """Token-budget accounting under the corpus-learned BPE: train,
+    then a broadcast apply stage memoizing per-unique-word encodings."""
+    from ..functions.bpe import apply_bpe, corpus_word_counts, learn_merges
+
+    merges = learn_merges(
+        corpus_word_counts(_documents(sf_dir, ["doc_id", "text"])),
+        _BPE_MERGES,
+    )
+    return apply_bpe(_documents(sf_dir, ["doc_id", "text"]), merges)
+
+
 # --- global vocabulary: top-k token frequencies ----------------------------
 
 _TOPK_TOKENS = 50
@@ -1933,6 +1963,8 @@ def registry() -> dict[str, tuple]:
         "top_tokens": (q_top_tokens, _sql_top_tokens()),
         "train_bigram_lm": (q_train_bigram_lm, _sql_train_bigram_lm()),
         "shuffle_shards": (q_shuffle_shards, _sql_shuffle_shards()),
+        "bpe_merges": (q_bpe_merges, None),  # iterative greedy (non-SQL)
+        "bpe_token_counts": (q_bpe_token_counts, None),  # non-SQL
         "dedup_embedding_pairs": (q_dedup_embedding_pairs, SQL_DEDUP_EMBEDDING),
         "dedup_embedding_lsh": (q_dedup_embedding_lsh, None),  # approximate
         # skew: salted two-phase host aggregate
