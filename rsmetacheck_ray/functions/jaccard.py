@@ -24,10 +24,12 @@ Two stages, both bounded by construction:
    sets recomputed in one filtered corpus pass, left in the OBJECT
    STORE as Arrow blocks (``materialize`` + ``to_arrow_refs`` — the
    ``embedding_near_dup_pairs`` discipline, nothing streams through
-   the driver), and fetched once per verify actor. Per pair,
-   ``|A∩B|`` is a sorted-membership count and
+   the driver), and fetched once per verify actor. The whole batch of
+   pairs verifies in one vectorized pass (expand → lexsort → adjacent-
+   duplicate count; zero Python-per-pair) and
    ``J = n_common / (n_a + n_b − n_common)`` — one float64 division of
-   exact int64 counts, bit-identical to the SQL oracle's.
+   exact int64 counts, bit-identical to the SQL oracle's. A pair side
+   with no gram set (doc under k words) contributes size 0 (J = 0).
 
 Gram identity is the shared uint64 gram hash of
 ``functions/decontaminate.batch_gram_hashes`` (memoized word hashes →
@@ -222,39 +224,97 @@ class _GramSetStage:
 
 
 class _VerifyStage:
-    """Exact Jaccard per candidate pair — an ACTOR POOL, because its
-    dict holds every candidate doc's gram set (``concurrency`` bounds
-    the replication; a per-task-worker cache would copy it to every
-    core). Per pair the intersection is a vectorized sorted-membership
-    count — a Python loop over PAIRS, which rare-gram pruning keeps
-    small by construction (bounded by max_df²/2 per rare gram)."""
+    """Exact Jaccard per candidate pair — an ACTOR POOL, because it
+    holds every candidate doc's gram set (``concurrency`` bounds the
+    replication; a per-task-worker cache would copy it to every core).
+
+    State is a FLAT layout (one uint64 gram array + per-doc
+    start/len indexed by a sorted doc-id array), and the whole batch
+    verifies with ZERO Python-per-pair: both sides expand to
+    (pair_idx, gram) rows (sets are slices of the flat array, gathered
+    with one repeat/arange indexing pass), one lexsort groups them,
+    and ``n_common`` is the per-pair count of adjacent duplicates — a
+    (pair, gram) row can appear at most twice since each side's set is
+    distinct. Batch expansion memory is bounded by the verify stage's
+    ``batch_size`` × mean set size."""
 
     def __init__(self, set_refs):
-        self.sets: dict[int, np.ndarray] = {}
+        ids_parts: list[np.ndarray] = []
+        len_parts: list[np.ndarray] = []
+        blobs: list[bytes] = []
         for t in ray.get(list(set_refs)):
-            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
-            blobs = t.column("grams").to_pylist()
-            for i, blob in zip(ids, blobs):
-                self.sets[int(i)] = np.frombuffer(blob, dtype=np.uint64)
+            if t.num_rows == 0:
+                continue
+            ids_parts.append(
+                t.column("doc_id").to_numpy(zero_copy_only=False)
+            )
+            part = t.column("grams").to_pylist()
+            blobs.extend(part)
+            len_parts.append(
+                np.fromiter((len(x) // 8 for x in part), np.int64, len(part))
+            )
+        if not ids_parts:
+            self.doc_ids = np.empty(0, np.int64)
+            self.starts = np.empty(0, np.int64)
+            self.lens = np.empty(0, np.int64)
+            self.flat = np.empty(0, np.uint64)
+            return
+        ids = np.concatenate(ids_parts).astype(np.int64)
+        lens = np.concatenate(len_parts)
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        order = np.argsort(ids)
+        self.doc_ids = ids[order]
+        self.starts = starts[order]
+        self.lens = lens[order]
+        self.flat = np.frombuffer(b"".join(blobs), dtype=np.uint64)
+
+    def _lookup(self, keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(start, len) per key; docs with no gram set get len 0."""
+        if len(self.doc_ids) == 0:
+            z = np.zeros(len(keys), np.int64)
+            return z, z.copy()
+        pos = np.minimum(
+            np.searchsorted(self.doc_ids, keys), len(self.doc_ids) - 1
+        )
+        found = self.doc_ids[pos] == keys
+        zero = np.int64(0)
+        return (
+            np.where(found, self.starts[pos], zero),
+            np.where(found, self.lens[pos], zero),
+        )
+
+    def _expand(self, starts, lens) -> tuple[np.ndarray, np.ndarray]:
+        """(pair_idx, gram) rows for one side of the whole batch."""
+        tot = int(lens.sum())
+        if tot == 0:
+            return np.empty(0, np.int64), np.empty(0, np.uint64)
+        pair_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        cum = np.cumsum(lens) - lens
+        offs = (
+            np.arange(tot, dtype=np.int64)
+            - np.repeat(cum, lens)
+            + np.repeat(starts, lens)
+        )
+        return pair_idx, self.flat[offs]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        a = batch.column("doc_id_a").to_numpy(zero_copy_only=False)
-        b = batch.column("doc_id_b").to_numpy(zero_copy_only=False)
+        a = pc.cast(batch.column("doc_id_a"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        b = pc.cast(batch.column("doc_id_b"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
         n = len(a)
-        n_common = np.zeros(n, dtype=np.int64)
-        n_a = np.zeros(n, dtype=np.int64)
-        n_b = np.zeros(n, dtype=np.int64)
-        for i in range(n):
-            sa = self.sets.get(int(a[i]))
-            sb = self.sets.get(int(b[i]))
-            if sa is None or sb is None:  # doc had < k words: no grams
-                continue
-            n_a[i], n_b[i] = len(sa), len(sb)
-            if len(sb) < len(sa):
-                sa, sb = sb, sa
-            pos = np.searchsorted(sb, sa)
-            hit = sb[np.minimum(pos, len(sb) - 1)] == sa
-            n_common[i] = int(hit.sum())
+        sa, n_a = self._lookup(a)
+        sb, n_b = self._lookup(b)
+        pi_a, g_a = self._expand(sa, n_a)
+        pi_b, g_b = self._expand(sb, n_b)
+        pi = np.concatenate([pi_a, pi_b])
+        g = np.concatenate([g_a, g_b])
+        order = np.lexsort((g, pi))
+        pi, g = pi[order], g[order]
+        dup = (pi[1:] == pi[:-1]) & (g[1:] == g[:-1])
+        n_common = np.bincount(pi[1:][dup], minlength=n).astype(np.int64)
         union = np.maximum(n_a + n_b - n_common, 1)
         return pa.table(
             {
@@ -317,6 +377,9 @@ def jaccard_verify_pairs(
         _VerifyStage,
         fn_constructor_args=(tuple(set_refs),),
         batch_format="pyarrow",
+        # bounds the (pair, gram) expansion buffer: 8k pairs × ~200
+        # grams × 16 B ≈ 25 MB per in-flight batch
+        batch_size=8192,
         concurrency=concurrency,
     )
     if min_jaccard is not None:

@@ -129,12 +129,25 @@ class PerplexityScorer:
         PerplexityScorer._LM_CACHE = (self.logp3, self.logp2)
 
     def _bits_per_char(self, texts: list) -> np.ndarray:
+        """List-of-str entry (tests/tools); the batch path goes through
+        ``_bits_per_char_codes`` directly from the Arrow buffer."""
         bufs = [t.encode("utf-8") if t else b"" for t in texts]
         lens = np.array([len(b) for b in bufs], dtype=np.int64)
-        out = np.zeros(len(bufs), dtype=np.float64)
-        if lens.sum() == 0:
+        if len(bufs) == 0 or lens.sum() == 0:
+            return np.zeros(len(bufs), dtype=np.float64)
+        return self._bits_per_char_codes(
+            _BYTE_CODE[np.frombuffer(b"".join(bufs), dtype=np.uint8)], lens
+        )
+
+    def _bits_per_char_codes(
+        self, data: np.ndarray, lens: np.ndarray
+    ) -> np.ndarray:
+        """Core scorer over pre-mapped symbol codes: ``data`` is the
+        concatenation of every document's codes (documents back-to-back
+        in order), ``lens`` the per-document code counts."""
+        out = np.zeros(len(lens), dtype=np.float64)
+        if data.size == 0:
             return out
-        data = _BYTE_CODE[np.frombuffer(b"".join(bufs), dtype=np.uint8)]
         ends = np.cumsum(lens)
         starts = ends - lens
 
@@ -166,7 +179,7 @@ class PerplexityScorer:
         vals_ext[nb] = 0.0
         tri_end = np.minimum(np.maximum(ends - 2, 0), nb)
         tri_start = np.minimum(starts, nb)
-        idx = np.empty(2 * len(bufs), dtype=np.int64)
+        idx = np.empty(2 * len(lens), dtype=np.int64)
         idx[0::2] = tri_start
         idx[1::2] = tri_end
         seg = np.add.reduceat(bits_ext, idx)[0::2]
@@ -185,5 +198,29 @@ class PerplexityScorer:
         # O(ppl_scan_chars) however large the page (gibberish shows up
         # in the first kilobytes)
         scan = pc.utf8_slice_codeunits(text, 0, self.cfg.ppl_scan_chars)
-        bpc = self._bits_per_char(scan.to_pylist())
+        arr = (
+            scan.combine_chunks() if isinstance(scan, pa.ChunkedArray) else scan
+        )
+        if arr.null_count:
+            arr = pc.fill_null(arr, "")
+        if len(arr) == 0 or arr.buffers()[2] is None:
+            return batch.append_column(
+                "bits_per_char",
+                pa.array(np.zeros(len(arr), np.float64), pa.float64()),
+            )
+        # zero-copy: the UTF-8 bytes already sit back-to-back in the
+        # Arrow data buffer (offsets layout), exactly the concatenated
+        # layout the scorer wants — no to_pylist / encode / join
+        width = (
+            np.int64 if pa.types.is_large_string(arr.type) else np.int32
+        )
+        offsets = np.frombuffer(arr.buffers()[1], dtype=width)[
+            arr.offset : arr.offset + len(arr) + 1
+        ].astype(np.int64)
+        raw = np.frombuffer(arr.buffers()[2], dtype=np.uint8)[
+            offsets[0] : offsets[-1]
+        ]
+        bpc = self._bits_per_char_codes(
+            _BYTE_CODE[raw], np.diff(offsets)
+        )
         return batch.append_column("bits_per_char", pa.array(bpc, pa.float64()))

@@ -113,3 +113,22 @@ def test_verify_external_pairs(ray_session):
         _brute_jaccard(BASE, OTHER),
     ]
     assert out["n_common"].tolist()[1] == 0
+
+
+def test_verify_pair_with_gramless_side(ray_session):
+    # doc 2 has < 5 words -> no gram set; the pair scores J = 0 with
+    # doc 1's real set size reported (the SQL `sizes` semantics)
+    docs = _ds([(1, BASE), (2, "too short")])
+    pairs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id_a": pa.array([1], pa.int64()),
+                "doc_id_b": pa.array([2], pa.int64()),
+            }
+        )
+    )
+    out = jaccard_verify_pairs(docs, pairs).to_pandas()
+    assert out["n_a"].tolist() == [6]
+    assert out["n_b"].tolist() == [0]
+    assert out["n_common"].tolist() == [0]
+    assert out["jaccard"].tolist() == [0.0]
