@@ -200,6 +200,7 @@ BENCH_QUERIES = [
     "pack_sequences",
     "shuffle_shards",
     "top_tokens",
+    "tfidf_top_terms",
     "train_bigram_lm",
     "bpe_merges",
     "quality_classifier",

@@ -1577,6 +1577,68 @@ LIMIT {_TOPK_TOKENS}
 """
 
 
+# --- per-document top-k TF-IDF terms ----------------------------------------
+
+_TFIDF_K = 5
+
+
+def _documents_rows(sf_dir: str) -> int:
+    """documents.parquet row count from the footer only (free)."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")
+    ).metadata.num_rows
+
+
+def q_tfidf_top_terms(sf_dir: str):
+    """Top-5 TF-IDF terms per document (functions/tfidf.py): one
+    partial-combined DF pass, then a size-gated broadcast (bench
+    scale) or term-keyed shuffle join (web-scale vocabularies) score
+    pass with a vectorized per-doc segment top-k. idf uses math.log
+    per DISTINCT df value — bit-identical to DuckDB's ln — so the
+    float scores hash-match the oracle."""
+    from ..functions.tfidf import tfidf_top_terms
+
+    return tfidf_top_terms(
+        _documents(sf_dir, ["doc_id", "text"]),
+        k=_TFIDF_K,
+        n_docs=_documents_rows(sf_dir),
+    )
+
+
+def _sql_tfidf_top_terms() -> str:
+    # N via scalar subquery == the engine's parquet-footer count
+    from ..functions.tokenize import WS_TOKEN_RE
+
+    return f"""
+WITH n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM documents),
+w AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text, '{WS_TOKEN_RE}')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM w GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+  FROM (SELECT DISTINCT doc_id, term FROM w) GROUP BY term
+)
+SELECT t.doc_id, t.term, t.tf, d.df,
+       CAST(t.tf AS DOUBLE) * ln(n.nd / CAST(d.df AS DOUBLE)) AS score,
+       CAST(row_number() OVER (
+         PARTITION BY t.doc_id
+         ORDER BY CAST(t.tf AS DOUBLE) * ln(n.nd / CAST(d.df AS DOUBLE))
+                    DESC,
+                  t.term ASC
+       ) AS BIGINT) AS rnk
+FROM tf t JOIN df d USING (term), n
+QUALIFY rnk <= {_TFIDF_K}
+"""
+
+
 # --- sequence packing ------------------------------------------------------
 
 
@@ -1961,6 +2023,7 @@ def registry() -> dict[str, tuple]:
         "decontaminate": (q_decontaminate, _sql_decontaminate()),
         "pack_sequences": (q_pack_sequences, _sql_pack_sequences()),
         "top_tokens": (q_top_tokens, _sql_top_tokens()),
+        "tfidf_top_terms": (q_tfidf_top_terms, _sql_tfidf_top_terms()),
         "train_bigram_lm": (q_train_bigram_lm, _sql_train_bigram_lm()),
         "shuffle_shards": (q_shuffle_shards, _sql_shuffle_shards()),
         "bpe_merges": (q_bpe_merges, None),  # iterative greedy (non-SQL)
