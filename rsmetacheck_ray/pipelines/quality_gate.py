@@ -338,7 +338,7 @@ def _partition_fragments(paths: list[str], n_partitions: int) -> list[list[str]]
 
 
 def list_parquet_fragments(
-    input_path: str | Iterable[str], suffix: str = ".parquet"
+    input_path: str | Iterable[str], suffix: str | tuple = ".parquet"
 ) -> list[str]:
     if isinstance(input_path, (list, tuple)):
         return sorted(str(p) for p in input_path)
@@ -416,13 +416,19 @@ def run_gate(
     Returns the metrics dict (the analog of the reference's global
     summary JSON, ``detect_pitfalls_main.py:396-409``).
     """
-    if input_format not in ("parquet", "jsonl", "csv"):
+    if input_format not in ("parquet", "jsonl", "csv", "warc"):
         raise ValueError(f"unsupported input_format {input_format!r}")
-    suffix = "." + input_format
+    # .warc.gz (per-record gzip members) rides the same format flag
+    suffix = (
+        (".warc", ".warc.gz") if input_format == "warc"
+        else "." + input_format
+    )
     if input_format == "jsonl":
         from ..sources.jsonl_pages import read_pages_jsonl as _read_fragments
     elif input_format == "csv":
         from ..sources.csv_pages import read_pages_csv as _read_fragments
+    elif input_format == "warc":
+        from ..sources.warc_pages import read_pages_warc as _read_fragments
     else:
         _read_fragments = rd.read_parquet
     fragments = list_parquet_fragments(input_path, suffix)
@@ -511,6 +517,10 @@ def run_gate(
                     from ..sources.csv_pages import probe_csv
 
                     probe_csv(f)  # streamed; raises on parse failure
+                elif input_format == "warc":
+                    from ..sources.warc_pages import probe_warc
+
+                    probe_warc(f)  # strict framing; raises on violation
                 else:
                     import pyarrow.parquet as pq
 

@@ -31,6 +31,40 @@ import ray.data as rd
 _ISO_TS_RE = r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(?:\.(?P<f>\d{1,6}))?$"
 
 
+def strict_iso_ts(ts_str: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """ISO-8601 whole seconds + optional .fraction → timestamp[us],
+    validated as a WHOLE string per row (tz offsets / trailing garbage
+    ⇒ null, the null⇒skip discipline) — shared by every string-input
+    source (JSONL, CSV, WARC after its mandated-Z normalization).
+    Arrow's strptime has no %f, so the fraction is extracted and
+    scaled vectorized: µs = int(f) · 10^(6 − len(f))."""
+    import numpy as np
+
+    valid = pc.fill_null(pc.match_substring_regex(ts_str, _ISO_TS_RE), False)
+    checked = pc.if_else(valid, ts_str, pa.scalar(None, pa.string()))
+    base = pc.strptime(
+        pc.utf8_slice_codeunits(checked, 0, 19),
+        format="%Y-%m-%dT%H:%M:%S",
+        unit="us",
+        error_is_null=True,
+    )
+    # an unmatched optional group extracts as "" (not null)
+    f_str = pc.fill_null(
+        pc.struct_field(pc.extract_regex(checked, _ISO_TS_RE), "f"), ""
+    )
+    f_len = pc.utf8_length(f_str).to_numpy(zero_copy_only=False).astype(np.int64)
+    f_val = pc.cast(
+        pc.if_else(pc.equal(f_str, ""), pa.scalar("0"), f_str), pa.int64()
+    ).to_numpy(zero_copy_only=False)
+    frac_us = f_val * np.power(10, 6 - np.maximum(f_len, 0), dtype=np.int64) * (
+        f_len > 0
+    )
+    return pc.cast(
+        pc.add(pc.cast(base, pa.int64()), pa.array(frac_us, pa.int64())),
+        pa.timestamp("us"),
+    )
+
+
 def coerce_pages(batch: pa.Table) -> pa.Table:
     """Dynamic JSON columns → the fixed pages schema (extra columns
     are carried through unchanged, e.g. ``doc_id``)."""
@@ -55,37 +89,7 @@ def coerce_pages(batch: pa.Table) -> pa.Table:
         # depend on which rows share a file).
         cols["warc_ts"] = pc.cast(batch.column("warc_ts"), pa.timestamp("us"))
     else:
-        ts_str = _get_string("warc_ts")
-        # ISO-8601 whole seconds + optional .fraction, validated as a
-        # WHOLE string (tz offsets / trailing garbage ⇒ null, per the
-        # module's null⇒skip discipline). Arrow's strptime has no %f,
-        # so the fraction is extracted and scaled vectorized:
-        # µs = int(f) · 10^(6 − len(f)).
-        import numpy as np
-
-        valid = pc.fill_null(pc.match_substring_regex(ts_str, _ISO_TS_RE), False)
-        checked = pc.if_else(valid, ts_str, pa.scalar(None, pa.string()))
-        base = pc.strptime(
-            pc.utf8_slice_codeunits(checked, 0, 19),
-            format="%Y-%m-%dT%H:%M:%S",
-            unit="us",
-            error_is_null=True,
-        )
-        # an unmatched optional group extracts as "" (not null)
-        f_str = pc.fill_null(
-            pc.struct_field(pc.extract_regex(checked, _ISO_TS_RE), "f"), ""
-        )
-        f_len = pc.utf8_length(f_str).to_numpy(zero_copy_only=False).astype(np.int64)
-        f_val = pc.cast(
-            pc.if_else(pc.equal(f_str, ""), pa.scalar("0"), f_str), pa.int64()
-        ).to_numpy(zero_copy_only=False)
-        frac_us = f_val * np.power(10, 6 - np.maximum(f_len, 0), dtype=np.int64) * (
-            f_len > 0
-        )
-        cols["warc_ts"] = pc.cast(
-            pc.add(pc.cast(base, pa.int64()), pa.array(frac_us, pa.int64())),
-            pa.timestamp("us"),
-        )
+        cols["warc_ts"] = strict_iso_ts(_get_string("warc_ts"))
     if "html" in names:
         raw = batch.column("html").to_pylist()
         decoded = []
