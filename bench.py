@@ -190,6 +190,7 @@ BENCH_QUERIES = [
     "nation_order_stats",
     "customers_without_orders",
     "doc_stats",
+    "doc_compression",
     "dedup_exact",
     "dedup_incremental",
     "dedup_minhash_pairs",

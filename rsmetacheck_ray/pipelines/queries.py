@@ -597,6 +597,65 @@ FROM documents
 """
 
 
+_ZRATIO_SCAN_BYTES = 4096
+
+
+def q_doc_compression(sf_dir: str):
+    """Per-document zlib compression ratio — the classic
+    repetitiveness/templating signal of webtext quality scoring (a
+    near-duplicate boilerplate page compresses far below prose; binary
+    junk barely compresses at all). Bounded per-doc work: only the
+    first 4 KiB of UTF-8 bytes feed the compressor (sliced zero-copy
+    off the Arrow data buffer), level pinned for determinism. No zlib
+    in DuckDB ⇒ rows-only; range/monotonicity/repetition behavior
+    pinned by pytest."""
+    import zlib
+
+    ds = _documents(sf_dir, ["doc_id", "text"])
+
+    def stage(b: pa.Table) -> pa.Table:
+        text = b.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        text = pc.fill_null(text, "")
+        if len(text) == 0 or text.buffers()[2] is None:
+            return pa.table(
+                {
+                    "doc_id": pc.cast(b.column("doc_id"), pa.int64()),
+                    "raw_len": pa.array([0] * len(b), pa.int64()),
+                    "comp_len": pa.array([0] * len(b), pa.int64()),
+                    "zratio": pa.array([0.0] * len(b), pa.float64()),
+                }
+            )
+        offs = np.frombuffer(text.buffers()[1], dtype=np.int32)[
+            text.offset : text.offset + len(text) + 1
+        ].astype(np.int64)
+        raw = memoryview(text.buffers()[2])
+        starts = offs[:-1]
+        ends = np.minimum(offs[1:], starts + _ZRATIO_SCAN_BYTES)
+        raw_len = (ends - starts).astype(np.int64)
+        comp_len = np.fromiter(
+            (
+                len(zlib.compress(raw[s:e], 6)) if e > s else 0
+                for s, e in zip(starts, ends)
+            ),
+            np.int64,
+            len(starts),
+        )
+        ratio = np.zeros(len(starts), np.float64)
+        np.divide(comp_len, raw_len, out=ratio, where=raw_len > 0)
+        return pa.table(
+            {
+                "doc_id": pc.cast(b.column("doc_id"), pa.int64()),
+                "raw_len": pa.array(raw_len, pa.int64()),
+                "comp_len": pa.array(comp_len, pa.int64()),
+                "zratio": pa.array(ratio, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(stage, batch_format="pyarrow")
+
+
 def q_doc_quality_scores(sf_dir: str):
     """Per-document quality scores (length / symbol / stopword ratios)
     — the Gopher/C4-style scoring surface as explicit float columns.
@@ -1974,6 +2033,7 @@ def registry() -> dict[str, tuple]:
         ),
         # text analysis
         "doc_stats": (q_doc_stats, SQL_DOC_STATS),
+        "doc_compression": (q_doc_compression, None),  # zlib: non-SQL
         "doc_quality_scores": (q_doc_quality_scores, SQL_DOC_QUALITY),
         "quality_classifier": (
             q_quality_classifier, _sql_quality_classifier(),
