@@ -24,6 +24,20 @@ from __future__ import annotations
 _CACHE: dict = {}
 
 
+def _run(cls, args, batch):
+    """Module-level cache lookup: the serialized stage fn references
+    THIS function by module path, so the driver's ``_CACHE`` contents
+    never ride along. (A closure reading ``_CACHE`` directly would
+    make cloudpickle embed the dict's current contents — stale stage
+    state, or an unimportable class cached by another caller — into
+    every task payload.)"""
+    entry = _CACHE.get(cls)
+    if entry is None or entry[0] != args:
+        entry = (args, cls(*args))
+        _CACHE[cls] = entry
+    return entry[1](batch)
+
+
 def cached_stage(cls, *args):
     """A ``map_batches``-compatible FUNCTION that builds ``cls(*args)``
     once per worker process and reuses it for every batch of the SAME
@@ -31,10 +45,6 @@ def cached_stage(cls, *args):
     stage. ``args`` must be hashable (ObjectRefs are)."""
 
     def fn(batch, _cls=cls, _args=args):
-        entry = _CACHE.get(_cls)
-        if entry is None or entry[0] != _args:
-            entry = (_args, _cls(*_args))
-            _CACHE[_cls] = entry
-        return entry[1](batch)
+        return _run(_cls, _args, batch)
 
     return fn

@@ -41,3 +41,45 @@ def test_new_args_evict_previous_execution():
     assert _Stage.built == 2
     assert len(taskcache._CACHE) == 1  # keep-latest, not accumulate
     assert taskcache._CACHE[_Stage][1].tag == "b"
+
+
+class _PoisonStage:
+    """Module-level: cloudpickle serializes it BY REFERENCE to this
+    test module, which Ray workers cannot import — exactly the shape
+    of any driver-side cache entry from a non-worker-importable
+    module."""
+
+    def __call__(self, batch):
+        return batch
+
+
+def test_driver_cache_contents_never_ship_to_workers(ray_session):
+    """The stage fn must reference the cache via the module, not embed
+    its contents: a driver-side cache entry whose class is unimportable
+    on workers must not break the serialization of an unrelated Ray
+    stage (regression: the closure once captured _CACHE by value)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    _LocalOnly = _PoisonStage
+    taskcache._CACHE[_LocalOnly] = ((), _LocalOnly())
+
+    class _AddOne:
+        def __init__(self):
+            pass
+
+        def __call__(self, batch):
+            import pyarrow.compute as pc
+
+            return batch.set_column(
+                0, "x", pc.add(batch.column("x"), 1)
+            )
+
+    try:
+        ds = rd.from_arrow(pa.table({"x": pa.array([1, 2], pa.int64())}))
+        out = ds.map_batches(
+            cached_stage(_AddOne), batch_format="pyarrow"
+        ).to_pandas()
+        assert out["x"].tolist() == [2, 3]
+    finally:
+        taskcache._CACHE.pop(_LocalOnly, None)
