@@ -200,6 +200,7 @@ BENCH_QUERIES = [
     "decontaminate",
     "pack_sequences",
     "shuffle_shards",
+    "chunk_tokens",
     "top_tokens",
     "tfidf_top_terms",
     "train_bigram_lm",

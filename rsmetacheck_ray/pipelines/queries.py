@@ -1698,6 +1698,43 @@ QUALIFY rnk <= {_TFIDF_K}
 """
 
 
+# --- fixed-size token chunking (context windows) ---------------------------
+
+_CHUNK_TOKENS = 64
+
+
+def q_chunk_tokens(sf_dir: str):
+    """Context-window chunking (functions/chunking.py): every document
+    split into consecutive 64-token windows — the row-EXPANDING
+    flat_map shape on text, shuffle-free (a document is one row of one
+    batch), with the joined chunk text built by one vectorized Arrow
+    ``binary_join`` over list offsets."""
+    from ..functions.chunking import chunk_tokens
+
+    return chunk_tokens(
+        _documents(sf_dir, ["doc_id", "text"]), chunk_size=_CHUNK_TOKENS
+    )
+
+
+def _sql_chunk_tokens() -> str:
+    from ..functions.tokenize import WS_TOKEN_RE
+
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text, '{WS_TOKEN_RE}')) AS w,
+         unnest(generate_series(1, len(regexp_extract_all(text, '{WS_TOKEN_RE}')))) AS i
+  FROM documents
+)
+SELECT doc_id,
+       CAST((i - 1) // {_CHUNK_TOKENS} AS BIGINT) AS chunk_idx,
+       string_agg(w, ' ' ORDER BY i) AS chunk_text,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens
+FROM w
+GROUP BY doc_id, (i - 1) // {_CHUNK_TOKENS}
+"""
+
+
 # --- sequence packing ------------------------------------------------------
 
 
@@ -2082,6 +2119,7 @@ def registry() -> dict[str, tuple]:
         "dedup_survivors": (q_dedup_survivors, SQL_DEDUP_SURVIVORS),
         "decontaminate": (q_decontaminate, _sql_decontaminate()),
         "pack_sequences": (q_pack_sequences, _sql_pack_sequences()),
+        "chunk_tokens": (q_chunk_tokens, _sql_chunk_tokens()),
         "top_tokens": (q_top_tokens, _sql_top_tokens()),
         "tfidf_top_terms": (q_tfidf_top_terms, _sql_tfidf_top_terms()),
         "train_bigram_lm": (q_train_bigram_lm, _sql_train_bigram_lm()),
