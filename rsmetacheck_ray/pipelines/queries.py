@@ -1979,6 +1979,43 @@ def q_multimodal_ppm_knn(sf_dir: str):
     return sim.knn_bruteforce(feats, qvecs, qids, k=5, id_col="doc_id")
 
 
+def q_multimodal_mixed_knn(sf_dir: str):
+    """Cross-FORMAT retrieval: the mixed PPM/BMP/farbfeld corpus
+    through dispatch decode → resize → pixel features → cosine top-k.
+    Because the three codecs carry the SAME deterministic pixels,
+    results are format-invariant — identical to the PPM-only pipeline
+    (pinned by pytest cross-codec feature equality)."""
+    ds = _documents(sf_dir, ["doc_id", "text"])
+    feats = (
+        ds.map_batches(mm.attach_mixed_payload, batch_format="pyarrow")
+        .map_batches(mm.ImageDecode, batch_format="pyarrow", concurrency=(1, 4), batch_size=256)
+        .map_batches(mm.PPMResize, batch_format="pyarrow", concurrency=(1, 4), batch_size=256)
+        .map_batches(mm.PPMFeatures, batch_format="pyarrow", concurrency=(1, 4), batch_size=256)
+        .select_columns(["doc_id", "embedding"])
+    )
+    import pyarrow.parquet as pq
+
+    head = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    n_q = min(3, head.num_rows)
+    head = head.slice(0, n_q)
+    qids = np.array(head.column("doc_id").to_pylist(), dtype=np.int64)
+    qvecs = np.stack(
+        [
+            np.array(
+                mm.PPMFeatures()(
+                    mm.PPMResize()(
+                        mm.ImageDecode()(mm.attach_mixed_payload(head.slice(i, 1)))
+                    )
+                ).column("embedding")[0].as_py()
+            )
+            for i in range(n_q)
+        ]
+    )
+    return sim.knn_bruteforce(feats, qvecs, qids, k=5, id_col="doc_id")
+
+
 def q_multimodal_ppm_frames(sf_dir: str):
     """REAL video-container walk: concatenated P6 frames parsed from
     the self-describing headers, every 2nd frame decoded and emitted
@@ -2158,6 +2195,8 @@ def registry() -> dict[str, tuple]:
         "multimodal_ppm_decode": (q_multimodal_ppm_decode, None),  # real codec
         "multimodal_mixed_decode": (q_multimodal_mixed_decode, None),  # PPM|BMP dispatch
         "multimodal_ppm_knn": (q_multimodal_ppm_knn, None),  # real pixels e2e
+        "multimodal_mixed_knn": (q_multimodal_mixed_knn, None),  # cross-codec
+
         "multimodal_ppm_frames": (q_multimodal_ppm_frames, None),  # real container walk
         # token counting (whitespace + BPE-style pretokenizer)
         "doc_bpe_tokens": (q_doc_bpe_tokens, _sql_bpe()),

@@ -287,3 +287,49 @@ def test_mixed_decode_stage(ray_session):
         pix = mm.synth_pixels(int(row["doc_id"]), n)
         assert row["width"] == pix.shape[1] and row["height"] == pix.shape[0]
         assert abs(row["mean_r"] - pix[:, :, 0].mean()) < 1e-9
+
+
+def test_cross_codec_features_and_mixed_knn(ray_session):
+    """The same deterministic pixels through PPM, BMP and farbfeld
+    produce IDENTICAL retrieval features (decode → resize → features),
+    and the mixed-codec knn equals the PPM-only knn row-for-row."""
+    import pyarrow.parquet as pq
+    import os, tempfile
+
+    from rsmetacheck_ray.pipelines.queries import (
+        q_multimodal_mixed_knn,
+        q_multimodal_ppm_knn,
+    )
+    from rsmetacheck_ray.stages import multimodal as mm
+
+    # per-codec feature equality on one batch
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(["aaa bbb", "cc", "dddd ee ff"], pa.string()),
+        }
+    )
+    feats = {}
+    for name, attach in (
+        ("ppm", mm.attach_ppm_payload),
+        ("mixed", mm.attach_mixed_payload),
+    ):
+        out = mm.PPMFeatures()(
+            mm.PPMResize()(
+                (mm.ImageDecode() if name == "mixed" else mm.PPMDecode())(
+                    attach(t)
+                )
+            )
+        )
+        feats[name] = out.column("embedding").to_pylist()
+    assert feats["mixed"] == feats["ppm"]
+
+    # end-to-end: mixed knn equals ppm knn on the real testdata dir
+    sf = "/root/testdata/sf0.001"
+    a = q_multimodal_ppm_knn(sf).to_pandas()
+    b = q_multimodal_mixed_knn(sf).to_pandas()
+    a_sorted = a.sort_values(list(a.columns)).reset_index(drop=True)
+    b_sorted = b.sort_values(list(b.columns)).reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a_sorted, b_sorted)
