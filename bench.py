@@ -210,6 +210,7 @@ BENCH_QUERIES = [
     "host_sample",
     "scrub_boilerplate",
     "knn_cosine",
+    "knn_quantized",
     "gate_decisions",
     "gate_drop_vector",
 ]

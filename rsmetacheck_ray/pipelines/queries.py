@@ -1837,6 +1837,23 @@ def q_knn_ivf(sf_dir: str):
     return sim.knn_ivf(ds, qvecs, qids, k=10)
 
 
+def q_knn_quantized(sf_dir: str):
+    """Cosine top-k over the INT8-quantized corpus representation
+    (functions/quantize.py): symmetric per-vector scalar quantization
+    (4× smaller than float32, 8× than this float64 testdata), search
+    as one integer matmul per batch over the stored int8 rows —
+    scales cancel in cosine, so there is no dequantization.
+    Approximate ⇒ rows-only; recall@10 ≥ 0.9 vs the exact float kNN
+    pinned in pytest."""
+    from ..functions.quantize import knn_quantized, quantize_embeddings
+
+    qids, qvecs = _query_vectors(sf_dir)
+    qds = quantize_embeddings(
+        rel._read_pq(os.path.join(sf_dir, "embeddings.parquet"))
+    )
+    return knn_quantized(qds, qvecs, qids, k=10)
+
+
 def q_host_stats(sf_dir: str):
     """Per-host page counts via the two-phase SALTED aggregate
     (stages/skew.py) — the oversized-host skew path of the north rule."""
@@ -2188,6 +2205,7 @@ def registry() -> dict[str, tuple]:
         # similarity search
         "knn_cosine": (q_knn_cosine, SQL_KNN),
         "knn_ivf": (q_knn_ivf, None),  # approximate by design
+        "knn_quantized": (q_knn_quantized, None),  # int8: approximate
         # multimodal plumbing
         "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL),
         "multimodal_resize": (q_multimodal_resize, SQL_MULTIMODAL_RESIZE),
