@@ -202,6 +202,7 @@ BENCH_QUERIES = [
     "shuffle_shards",
     "chunk_tokens",
     "top_tokens",
+    "cms_heavy_hitters",
     "tfidf_top_terms",
     "train_bigram_lm",
     "bpe_merges",

@@ -92,3 +92,178 @@ def approx_distinct_table(ds: rd.Dataset, col: str) -> pa.Table:
     return pa.table(
         {"approx_distinct": pa.array([approx_distinct(ds, col)], pa.int64())}
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch — approximate per-item FREQUENCY at unbounded
+# vocabulary (Cormode & Muthukrishnan 2005). The companion to HLL:
+# HLL answers "how many distinct", CMS answers "how often is X" with
+# a one-sided error (estimate >= true count, over by <= eps*N w.h.p.,
+# eps = e / CMS_W). Each row is an independent hash; the estimate is
+# the minimum over rows. Partials merge by elementwise SUM —
+# associative and commutative, so the operator is the same textbook
+# partial-combine as HLL, with one intermediate merge level so the
+# final reducer touches a bounded number of (CMS_D x CMS_W) tables
+# however many blocks the corpus has.
+# ---------------------------------------------------------------------------
+
+CMS_D = 4
+CMS_W = 1 << 13  # 8192 counters/row -> eps ~ 3.3e-4 of total mass
+_CMS_SEEDS = np.array(
+    [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9, 0x27D4EB2F165667C5],
+    dtype=np.uint64,
+)
+_CMS_MERGE_FAN = 32  # intermediate merge groups
+
+
+def _cms_indices(vals: np.ndarray) -> np.ndarray:
+    """(D, n) counter indices for int64/uint64 hashed values."""
+    v = vals.astype(np.uint64, copy=False)
+    return np.stack(
+        [
+            (splitmix64_np(v ^ _CMS_SEEDS[d]) % np.uint64(CMS_W)).astype(
+                np.int64
+            )
+            for d in range(CMS_D)
+        ]
+    )
+
+
+def cms_table(vals: np.ndarray, weights: np.ndarray | None = None) -> np.ndarray:
+    """(CMS_D, CMS_W) int64 sketch of one batch of hashed values."""
+    tab = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+    if len(vals) == 0:
+        return tab
+    idx = _cms_indices(vals)
+    w = weights if weights is not None else None
+    for d in range(CMS_D):
+        tab[d] = np.bincount(idx[d], weights=w, minlength=CMS_W).astype(
+            np.int64
+        )
+    return tab
+
+
+def cms_estimate(tab: np.ndarray, vals: np.ndarray) -> np.ndarray:
+    """min-over-rows count estimate per value (the CMS guarantee:
+    >= true count, <= true + eps*N w.h.p.)."""
+    if len(vals) == 0:
+        return np.zeros(0, np.int64)
+    idx = _cms_indices(vals)
+    return np.min(
+        np.stack([tab[d, idx[d]] for d in range(CMS_D)]), axis=0
+    )
+
+
+def cms_token_sketch(ds: rd.Dataset, text_col: str = "text") -> np.ndarray:
+    """Corpus-wide CMS over whitespace tokens: per-batch bincount
+    partials (one fixed-size table per block), ONE intermediate
+    hashed-group merge level, then a bounded driver sum — block count
+    never reaches the final reducer."""
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    from .tokenize import tokens_with_doc_index
+
+    def partial(b: pa.Table) -> pa.Table:
+        _, denc = tokens_with_doc_index(b.column(text_col))
+        if denc is None:
+            tab = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+        else:
+            # hash the batch's UNIQUE vocabulary once (Zipf), weight
+            # by in-batch occurrence counts
+            uniq = denc.dictionary.to_pylist()
+            uh = np.array(
+                [
+                    int.from_bytes(
+                        hashlib.blake2b(u.encode("utf-8"), digest_size=8).digest(),
+                        "big",
+                    )
+                    for u in uniq
+                ],
+                dtype=np.uint64,
+            )
+            cnt = np.bincount(
+                denc.indices.to_numpy(zero_copy_only=False),
+                minlength=len(uniq),
+            ).astype(np.float64)
+            tab = cms_table(uh, cnt)
+        part = (
+            int.from_bytes(
+                hashlib.blake2b(tab.tobytes(), digest_size=8).digest(), "big"
+            )
+            % _CMS_MERGE_FAN
+        )  # content-hash spread across merge groups
+        return pa.table(
+            {
+                "mpart": pa.array([part], pa.int64()),
+                "tab": pa.array([tab.tobytes()], pa.binary()),
+            }
+        )
+
+    def merge_group(g: pa.Table) -> pa.Table:
+        acc = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+        for blob in g.column("tab").to_pylist():
+            acc += np.frombuffer(blob, np.int64).reshape(CMS_D, CMS_W)
+        return pa.table({"tab": pa.array([acc.tobytes()], pa.binary())})
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("mpart")
+        .map_groups(merge_group, batch_format="pyarrow")
+    )
+    acc = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+    for r in merged.take_all():  # <= _CMS_MERGE_FAN rows
+        acc += np.frombuffer(r["tab"], np.int64).reshape(CMS_D, CMS_W)
+    return acc
+
+
+def cms_heavy_hitters(
+    ds: rd.Dataset, text_col: str = "text", k: int = 50, per_batch: int = 20
+) -> pa.Table:
+    """(token, est_n): top-k tokens by CMS-estimated frequency over
+    the union of per-batch top candidates (a global heavy hitter is a
+    local heavy hitter in the batches that carry its mass; the sketch
+    then ranks candidates with global counts). Deterministic order
+    (est_n DESC, token ASC)."""
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    from .tokenize import tokens_with_doc_index
+
+    tab = cms_token_sketch(ds, text_col)
+
+    def candidates(b: pa.Table) -> pa.Table:
+        _, denc = tokens_with_doc_index(b.column(text_col))
+        if denc is None:
+            return pa.table({"token": pa.array([], pa.string())})
+        uniq = np.asarray(denc.dictionary.to_pylist(), dtype=object)
+        cnt = np.bincount(
+            denc.indices.to_numpy(zero_copy_only=False), minlength=len(uniq)
+        )
+        top = np.lexsort((uniq, -cnt))[:per_batch]
+        return pa.table({"token": pa.array(uniq[top].tolist(), pa.string())})
+
+    cand: set[str] = set()
+    for r in ds.map_batches(candidates, batch_format="pyarrow").take_all():
+        cand.add(r["token"])
+    toks = sorted(cand)
+    uh = np.array(
+        [
+            int.from_bytes(
+                hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest(),
+                "big",
+            )
+            for t in toks
+        ],
+        dtype=np.uint64,
+    )
+    est = cms_estimate(tab, uh)
+    order = np.lexsort((np.asarray(toks, dtype=object), -est))[:k]
+    return pa.table(
+        {
+            "token": pa.array([toks[i] for i in order], pa.string()),
+            "est_n": pa.array(est[order], pa.int64()),
+        }
+    )

@@ -1064,6 +1064,20 @@ def q_dedup_simhash_pairs(sf_dir: str):
     )
 
 
+def q_cms_heavy_hitters(sf_dir: str):
+    """Count-min-sketch heavy hitters over the document tokens
+    (functions/sketch.py): fixed-size frequency sketch per block,
+    two-level merge, candidates from per-batch exact top partials,
+    global ranks from the sketch. Approximate (one-sided
+    overestimate) ⇒ rows-only; the overestimate guarantee, merge
+    order-independence and Zipf top-k agreement are pinned in pytest."""
+    from ..functions.sketch import cms_heavy_hitters
+
+    return rd.from_arrow(
+        cms_heavy_hitters(_documents(sf_dir, ["doc_id", "text"]))
+    )
+
+
 def q_approx_distinct_users(sf_dir: str):
     """HyperLogLog distinct user count over events (the mergeable
     cardinality sketch; deterministic, rows-only — accuracy pinned by
@@ -2168,6 +2182,7 @@ def registry() -> dict[str, tuple]:
         "dedup_simhash_pairs": (q_dedup_simhash_pairs, None),  # sketch
         "doc_chunk_fingerprints": (q_doc_chunk_fingerprints, None),  # non-SQL chunker
         "approx_distinct_users": (q_approx_distinct_users, None),  # sketch
+        "cms_heavy_hitters": (q_cms_heavy_hitters, None),  # sketch
         "dedup_partial_overlap": (q_dedup_partial_overlap, None),  # non-SQL chunker
         "dedup_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),
         "dedup_survivors": (q_dedup_survivors, SQL_DEDUP_SURVIVORS),
