@@ -282,6 +282,81 @@ def incremental_new_docs(
     return both.groupby("hpart").map_groups(resolve, batch_format="pyarrow")
 
 
+def incremental_new_docs_bloom(
+    new_ds: rd.Dataset,
+    seen_ds: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """(doc_id, maybe_seen) — the MEMORY-BOUNDED seen-set probe: the
+    all-time seen hashes fold into a fixed-size Bloom filter (one bit
+    array per block, OR-merged like the HLL/CMS partials; ~1 MiB per
+    2^23-bit tier vs 16 B/doc exact), broadcast once, and the
+    increment probes it SHUFFLE-FREE per batch. One-sided like the
+    filter: ``maybe_seen == False`` is DEFINITELY new (no false
+    negatives); True is "maybe" at the filter's false-positive rate —
+    a pipeline needing certainty routes only the maybe rows to
+    ``incremental_new_docs``'s exact co-partition probe (typically a
+    tiny fraction)."""
+    import ray
+
+    from .sketch import bloom_bits, bloom_contains, bloom_merge
+
+    def seen_partial(b: pa.Table) -> pa.Table:
+        h = _hash_stage(b, text_col, id_col)
+        lo = h.column("content_hash").to_numpy(zero_copy_only=False)
+        hi = h.column("content_hash2").to_numpy(zero_copy_only=False)
+        from .hashing import splitmix64_np
+
+        mix = lo.astype(np.uint64) ^ splitmix64_np(hi.astype(np.uint64))
+        return pa.table(
+            {"bits": pa.array([bloom_bits(mix).tobytes()], pa.binary())}
+        )
+
+    blobs = [
+        r["bits"]
+        for r in seen_ds.map_batches(
+            seen_partial, batch_format="pyarrow"
+        ).take_all()  # one fixed-size blob per block
+    ]
+    bits_ref = ray.put(bloom_merge(blobs))
+
+    from .taskcache import cached_stage
+
+    return new_ds.map_batches(
+        cached_stage(_BloomProbeStage, bits_ref, text_col, id_col),
+        batch_format="pyarrow",
+    )
+
+
+class _BloomProbeStage:
+    """Broadcast Bloom probe (cached tasks): the merged bit array is
+    fetched once per worker; each batch hashes and probes vectorized."""
+
+    def __init__(self, bits_ref, text_col: str, id_col: str):
+        import ray
+
+        self.bits = ray.get(bits_ref)
+        self.text_col, self.id_col = text_col, id_col
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        from .hashing import splitmix64_np
+        from .sketch import bloom_contains
+
+        h = _hash_stage(b, self.text_col, self.id_col)
+        lo = h.column("content_hash").to_numpy(zero_copy_only=False)
+        hi = h.column("content_hash2").to_numpy(zero_copy_only=False)
+        mix = lo.astype(np.uint64) ^ splitmix64_np(hi.astype(np.uint64))
+        return pa.table(
+            {
+                self.id_col: h.column(self.id_col),
+                "maybe_seen": pa.array(
+                    bloom_contains(self.bits, mix), pa.bool_()
+                ),
+            }
+        )
+
+
 def exact_dedup_pairs(
     ds: rd.Dataset,
     text_col: str = "text",

@@ -267,3 +267,60 @@ def cms_heavy_hitters(
             "est_n": pa.array(est[order], pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter — the memory lever of the incremental-dedup seen set:
+# a rolling crawl probes each day's increment against the ALL-TIME
+# seen hashes; exact membership needs 16 B per seen doc (16 GB/10^9),
+# a Bloom filter needs ~1.2 bits per doc per 1% FPR tier and
+# OR-merges associatively (one fixed-size bit array per block, the
+# HLL/CMS partial-combine discipline). One-sided like CMS: a MISS is
+# definitely new (no false negatives); a HIT is "maybe seen" at the
+# configured false-positive rate, routed to the exact probe if the
+# pipeline needs certainty.
+# ---------------------------------------------------------------------------
+
+BLOOM_BITS = 1 << 23  # 1 MiB default tier
+BLOOM_K = 7
+
+
+def bloom_bits(vals: np.ndarray, m_bits: int = BLOOM_BITS) -> np.ndarray:
+    """Bit array (uint8, m_bits/8) over uint64-hashed values: double
+    hashing h1 + i*h2 (Kirsch–Mitzenmacher) for the K probes."""
+    bits = np.zeros(m_bits // 8, dtype=np.uint8)
+    if len(vals) == 0:
+        return bits
+    v = vals.astype(np.uint64, copy=False)
+    h1 = splitmix64_np(v)
+    h2 = splitmix64_np(v ^ np.uint64(0xA5A5A5A5A5A5A5A5)) | np.uint64(1)
+    for i in range(BLOOM_K):
+        idx = (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
+        np.bitwise_or.at(bits, (idx >> np.uint64(3)).astype(np.int64),
+                         np.left_shift(np.uint8(1), (idx & np.uint64(7)).astype(np.uint8)))
+    return bits
+
+
+def bloom_merge(blobs: list[bytes], m_bits: int = BLOOM_BITS) -> np.ndarray:
+    acc = np.zeros(m_bits // 8, dtype=np.uint8)
+    for b in blobs:
+        acc |= np.frombuffer(b, dtype=np.uint8)
+    return acc
+
+
+def bloom_contains(bits: np.ndarray, vals: np.ndarray) -> np.ndarray:
+    """bool per value: False = DEFINITELY absent; True = maybe present
+    (at the filter's false-positive rate)."""
+    if len(vals) == 0:
+        return np.zeros(0, dtype=bool)
+    m_bits = len(bits) * 8
+    v = vals.astype(np.uint64, copy=False)
+    h1 = splitmix64_np(v)
+    h2 = splitmix64_np(v ^ np.uint64(0xA5A5A5A5A5A5A5A5)) | np.uint64(1)
+    out = np.ones(len(v), dtype=bool)
+    for i in range(BLOOM_K):
+        idx = (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
+        bit = (bits[(idx >> np.uint64(3)).astype(np.int64)]
+               >> (idx & np.uint64(7)).astype(np.uint8)) & 1
+        out &= bit.astype(bool)
+    return out

@@ -772,6 +772,27 @@ def q_dedup_incremental(sf_dir: str):
     )
 
 
+def q_dedup_incremental_bloom(sf_dir: str):
+    """Memory-bounded incremental dedup: the all-time seen set folds
+    into a broadcast Bloom filter (fixed 1 MiB vs 16 B/doc exact) and
+    the day's increment probes it SHUFFLE-FREE. One-sided: maybe_seen
+    = False is definitely new; True routes to the exact probe when
+    certainty is needed. Approximate ⇒ rows-only; the
+    no-false-negative guarantee vs the exact operator is pinned in
+    pytest."""
+
+    def split(keep_seen: bool):
+        def f(b: pa.Table) -> pa.Table:
+            d = b.column("doc_id").to_numpy(zero_copy_only=False)
+            return b.filter(pa.array((d % 3 == 0) == keep_seen))
+
+        return f
+
+    seen = _dup_corpus(sf_dir).map_batches(split(True), batch_format="pyarrow")
+    new = _dup_corpus(sf_dir).map_batches(split(False), batch_format="pyarrow")
+    return dd.incremental_new_docs_bloom(new, seen)
+
+
 SQL_DEDUP_INCREMENTAL = f"""
 WITH {_DUP_CORPUS_SQL.strip()},
 seen AS (SELECT doc_id, text FROM corpus WHERE doc_id % 3 = 0),
@@ -2176,6 +2197,7 @@ def registry() -> dict[str, tuple]:
         "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
         "dedup_exact_pairs": (q_dedup_exact_pairs, SQL_DEDUP_EXACT_PAIRS),
         "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
+        "dedup_incremental_bloom": (q_dedup_incremental_bloom, None),  # sketch
         "dedup_minhash_pairs": (q_dedup_minhash_pairs, None),  # sketch
         "dedup_jaccard": (q_dedup_jaccard, _sql_dedup_jaccard()),
         "dedup_simhash": (q_dedup_simhash, None),  # sketch

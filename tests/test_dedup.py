@@ -340,3 +340,25 @@ def test_incremental_deterministic_across_partitionings(ray_session):
         )
 
     pd.testing.assert_frame_equal(run(1), run(6))
+
+
+def test_incremental_bloom_no_false_negatives(ray_session):
+    """The Bloom probe is one-sided: every doc the EXACT operator
+    marks as already-seen must be maybe_seen in the Bloom result, and
+    every maybe_seen=False doc must be exactly new."""
+    from rsmetacheck_ray.pipelines.queries import (
+        q_dedup_incremental,
+        q_dedup_incremental_bloom,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = q_dedup_incremental(sf).to_pandas().set_index("doc_id")
+    bloom = q_dedup_incremental_bloom(sf).to_pandas().set_index("doc_id")
+    assert set(exact.index) == set(bloom.index)
+    j = exact.join(bloom)
+    # seen content (is_new False) must always probe maybe_seen True
+    assert j.loc[~j.is_new, "maybe_seen"].all()
+    # a definite miss is definitely new
+    assert j.loc[~j.maybe_seen, "is_new"].all()
+    # and the filter is useful: most truly-new docs are definite misses
+    assert (~j.loc[j.is_new, "maybe_seen"]).mean() > 0.9
