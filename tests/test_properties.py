@@ -288,3 +288,103 @@ def test_bigram_lm_matches_bruteforce(ray_session, seed):
         if n >= 2
     )
     assert [tuple(r) for r in got.itertuples(index=False)] == exp
+
+
+# --- round-3 continuation operators -----------------------------------------
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet=st.sampled_from("ab \t\n"), max_size=200),
+        min_size=1,
+        max_size=6,
+    ),
+    st.integers(min_value=1, max_value=7),
+)
+def test_token_chunking_tiles_documents(ray_session, texts, c):
+    """Chunk token counts tile each document exactly, ordinals are
+    dense from 0, and the space-joined chunks reconstruct the doc's
+    canonical whitespace form."""
+    import ray.data as rd
+
+    from rsmetacheck_ray.functions.chunking import chunk_tokens
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    )
+    out = chunk_tokens(ds, chunk_size=c).to_pandas()
+    if out.empty:  # empty Ray->pandas drops columns (documented quirk)
+        assert all(not t.split() for t in texts)
+        return
+    for d, t in enumerate(texts):
+        toks = t.split()
+        rows = out[out.doc_id == d].sort_values("chunk_idx")
+        assert rows["n_tokens"].sum() == len(toks)
+        assert rows["chunk_idx"].tolist() == list(range(len(rows)))
+        assert " ".join(rows["chunk_text"]) == " ".join(toks)
+        if len(rows):
+            assert (rows["n_tokens"].iloc[:-1] == c).all()
+            assert 0 < rows["n_tokens"].iloc[-1] <= c
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.text(
+                alphabet=st.characters(
+                    codec="utf-8", exclude_characters="\r\n<>"
+                ),
+                min_size=1,
+                max_size=60,
+            ),
+            st.binary(max_size=400),
+        ),
+        min_size=1,
+        max_size=5,
+    ),
+    st.booleans(),
+)
+def test_warc_roundtrip_arbitrary_payloads(rows, gz):
+    """write_warc → parse_warc is lossless for arbitrary url strings
+    and binary payloads, plain and gzipped."""
+    import tempfile
+
+    from rsmetacheck_ray.sources.warc_pages import parse_warc, write_warc
+
+    recs = [
+        {"url": u, "warc_ts": "2023-01-01T00:00:00", "html": b}
+        for u, b in rows
+    ]
+    with tempfile.NamedTemporaryFile(suffix=".warc.gz" if gz else ".warc") as f:
+        write_warc(f.name, recs, compress=gz)
+        t = parse_warc(open(f.name, "rb").read(), strict=True)
+    # header values are whitespace-stripped per the header grammar
+    assert t.column("url").to_pylist() == [u.strip() for u, _ in rows]
+    assert t.column("html").to_pylist() == [b if b else None for _, b in rows]
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.integers(min_value=0, max_value=2**31))
+def test_bpe_incremental_equals_naive(seed):
+    """Randomized corpora: the incremental-pair-update merge loop is
+    exactly the naive full-recount reference."""
+    from tests.test_bpe import _naive_learn
+
+    from rsmetacheck_ray.functions.bpe import learn_merges
+
+    rng = np.random.default_rng(seed)
+    vocab = [
+        "".join(chr(97 + c) for c in rng.integers(0, 4, rng.integers(1, 6)))
+        for _ in range(30)
+    ]
+    from collections import Counter
+
+    wc = [(w, int(n)) for w, n in Counter(vocab).items()]
+    assert learn_merges(wc, 15) == _naive_learn(wc, 15)
