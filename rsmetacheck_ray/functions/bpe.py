@@ -89,13 +89,21 @@ def corpus_word_counts(
         )
         return b.take(idx.slice(0, max_vocab_words))
 
+    # HARD bound before anything reaches the driver: per-block prune,
+    # then a distributed sort+limit (the top_tokens discipline) — the
+    # driver list is <= max_vocab_words rows however large the corpus
+    # vocabulary is (a per-batch prune alone never fires at default
+    # block sizes and would materialize the full distinct vocabulary).
+    bounded = (
+        counts.map_batches(block_topk, batch_format="pyarrow")
+        .sort(["n", "word"], descending=[True, False])
+        .limit(max_vocab_words)
+    )
     rows: list[tuple[str, int]] = []
-    for b in counts.map_batches(block_topk, batch_format="pyarrow").iter_batches(
-        batch_format="pyarrow"
-    ):
+    for b in bounded.iter_batches(batch_format="pyarrow"):
         rows.extend(zip(b.column("word").to_pylist(), b.column("n").to_pylist()))
     rows.sort(key=lambda wn: (-wn[1], wn[0]))
-    return rows[:max_vocab_words]
+    return rows
 
 
 def learn_merges(

@@ -300,7 +300,7 @@ def incremental_new_docs_bloom(
     tiny fraction)."""
     import ray
 
-    from .sketch import bloom_bits, bloom_contains, bloom_merge
+    from .sketch import bloom_bits, bloom_merge
 
     def seen_partial(b: pa.Table) -> pa.Table:
         h = _hash_stage(b, text_col, id_col)

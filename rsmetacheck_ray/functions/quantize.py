@@ -79,9 +79,10 @@ def _parse_qvecs(batch: pa.Table, id_col: str) -> tuple[np.ndarray, np.ndarray]:
     col = batch.column("qvec")
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    offs = np.frombuffer(col.buffers()[1], dtype=np.int32)[
+    owidth = np.int64 if pa.types.is_large_binary(col.type) else np.int32
+    offs = np.frombuffer(col.buffers()[1], dtype=owidth)[
         col.offset : col.offset + len(col) + 1
-    ]
+    ].astype(np.int64)
     raw = np.frombuffer(col.buffers()[2], dtype=np.int8)[
         offs[0] : offs[-1]
     ]
@@ -101,16 +102,18 @@ def knn_quantized(
     the stored int8 rows (no dequantization)."""
     qq, _ = quantize_vec(np.asarray(queries, dtype=np.float64))
     qi = np.asarray(query_ids, dtype=np.int64)
-    qref = ray.put((qi, qq.astype(np.int32)))
+    qint0 = qq.astype(np.int32)
+    # query norms are constant: compute once at dispatch, not per batch
+    qn0 = np.maximum(np.linalg.norm(qint0, axis=1), 1e-300)
+    qref = ray.put((qi, qint0, qn0))
 
     def local(batch: pa.Table) -> pa.Table:
         ids, bq = _parse_qvecs(batch, id_col)
-        qids, qint = ray.get(qref)
+        qids, qint, qn = ray.get(qref)
         if len(ids) == 0:
             return _topk_table(qids, ids, np.zeros((len(qids), 0)), k)
         bi = bq.astype(np.int32)
         dots = qint @ bi.T  # exact int32 arithmetic
-        qn = np.maximum(np.linalg.norm(qint, axis=1), 1e-300)
         bn = np.maximum(np.linalg.norm(bi, axis=1), 1e-300)
         cos = dots / (qn[:, None] * bn[None, :])
         return _topk_table(qids, ids, cos, k)

@@ -154,40 +154,56 @@ def cms_estimate(tab: np.ndarray, vals: np.ndarray) -> np.ndarray:
     )
 
 
-def cms_token_sketch(ds: rd.Dataset, text_col: str = "text") -> np.ndarray:
-    """Corpus-wide CMS over whitespace tokens: per-batch bincount
-    partials (one fixed-size table per block), ONE intermediate
-    hashed-group merge level, then a bounded driver sum — block count
-    never reaches the final reducer."""
+def _token_hashes_u64(tokens: list) -> np.ndarray:
+    """blake2b-8 per token — the ONE hash spec shared by the sketch
+    build and every estimate/probe (drift between copies would make
+    estimates silently stop matching the build side)."""
     import hashlib
 
-    import pyarrow.compute as pc
+    return np.array(
+        [
+            int.from_bytes(
+                hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest(),
+                "big",
+            )
+            for t in tokens
+        ],
+        dtype=np.uint64,
+    )
+
+
+def cms_token_sketch(
+    ds: rd.Dataset, text_col: str = "text", per_batch_candidates: int = 0
+) -> tuple[np.ndarray, list]:
+    """Corpus-wide CMS over whitespace tokens in ONE pass: per-batch
+    bincount partials (one fixed-size table per block), ONE
+    intermediate hashed-group merge level, then a bounded driver sum —
+    block count never reaches the final reducer. With
+    ``per_batch_candidates`` > 0 each partial also carries its local
+    top tokens, so heavy-hitter candidates ride the same pass instead
+    of re-tokenizing the corpus. Returns (table, sorted candidates)."""
+    import hashlib
 
     from .tokenize import tokens_with_doc_index
 
     def partial(b: pa.Table) -> pa.Table:
         _, denc = tokens_with_doc_index(b.column(text_col))
+        cand: list[str] = []
         if denc is None:
             tab = np.zeros((CMS_D, CMS_W), dtype=np.int64)
         else:
             # hash the batch's UNIQUE vocabulary once (Zipf), weight
             # by in-batch occurrence counts
-            uniq = denc.dictionary.to_pylist()
-            uh = np.array(
-                [
-                    int.from_bytes(
-                        hashlib.blake2b(u.encode("utf-8"), digest_size=8).digest(),
-                        "big",
-                    )
-                    for u in uniq
-                ],
-                dtype=np.uint64,
-            )
+            uniq = np.asarray(denc.dictionary.to_pylist(), dtype=object)
+            uh = _token_hashes_u64(uniq.tolist())
             cnt = np.bincount(
                 denc.indices.to_numpy(zero_copy_only=False),
                 minlength=len(uniq),
-            ).astype(np.float64)
-            tab = cms_table(uh, cnt)
+            )
+            tab = cms_table(uh, cnt.astype(np.float64))
+            if per_batch_candidates:
+                top = np.lexsort((uniq, -cnt))[:per_batch_candidates]
+                cand = uniq[top].tolist()
         part = (
             int.from_bytes(
                 hashlib.blake2b(tab.tobytes(), digest_size=8).digest(), "big"
@@ -198,6 +214,7 @@ def cms_token_sketch(ds: rd.Dataset, text_col: str = "text") -> np.ndarray:
             {
                 "mpart": pa.array([part], pa.int64()),
                 "tab": pa.array([tab.tobytes()], pa.binary()),
+                "cand": pa.array([cand], pa.list_(pa.string())),
             }
         )
 
@@ -205,7 +222,15 @@ def cms_token_sketch(ds: rd.Dataset, text_col: str = "text") -> np.ndarray:
         acc = np.zeros((CMS_D, CMS_W), dtype=np.int64)
         for blob in g.column("tab").to_pylist():
             acc += np.frombuffer(blob, np.int64).reshape(CMS_D, CMS_W)
-        return pa.table({"tab": pa.array([acc.tobytes()], pa.binary())})
+        cands = sorted(
+            {t for row in g.column("cand").to_pylist() for t in row}
+        )
+        return pa.table(
+            {
+                "tab": pa.array([acc.tobytes()], pa.binary()),
+                "cand": pa.array([cands], pa.list_(pa.string())),
+            }
+        )
 
     merged = (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -213,9 +238,11 @@ def cms_token_sketch(ds: rd.Dataset, text_col: str = "text") -> np.ndarray:
         .map_groups(merge_group, batch_format="pyarrow")
     )
     acc = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+    cand: set[str] = set()
     for r in merged.take_all():  # <= _CMS_MERGE_FAN rows
         acc += np.frombuffer(r["tab"], np.int64).reshape(CMS_D, CMS_W)
-    return acc
+        cand.update(r["cand"])
+    return acc, sorted(cand)
 
 
 def cms_heavy_hitters(
@@ -224,42 +251,13 @@ def cms_heavy_hitters(
     """(token, est_n): top-k tokens by CMS-estimated frequency over
     the union of per-batch top candidates (a global heavy hitter is a
     local heavy hitter in the batches that carry its mass; the sketch
-    then ranks candidates with global counts). Deterministic order
+    then ranks candidates with global counts). ONE corpus pass —
+    candidates ride the sketch partials. Deterministic order
     (est_n DESC, token ASC)."""
-    import hashlib
-
-    import pyarrow.compute as pc
-
-    from .tokenize import tokens_with_doc_index
-
-    tab = cms_token_sketch(ds, text_col)
-
-    def candidates(b: pa.Table) -> pa.Table:
-        _, denc = tokens_with_doc_index(b.column(text_col))
-        if denc is None:
-            return pa.table({"token": pa.array([], pa.string())})
-        uniq = np.asarray(denc.dictionary.to_pylist(), dtype=object)
-        cnt = np.bincount(
-            denc.indices.to_numpy(zero_copy_only=False), minlength=len(uniq)
-        )
-        top = np.lexsort((uniq, -cnt))[:per_batch]
-        return pa.table({"token": pa.array(uniq[top].tolist(), pa.string())})
-
-    cand: set[str] = set()
-    for r in ds.map_batches(candidates, batch_format="pyarrow").take_all():
-        cand.add(r["token"])
-    toks = sorted(cand)
-    uh = np.array(
-        [
-            int.from_bytes(
-                hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest(),
-                "big",
-            )
-            for t in toks
-        ],
-        dtype=np.uint64,
+    tab, toks = cms_token_sketch(
+        ds, text_col, per_batch_candidates=per_batch
     )
-    est = cms_estimate(tab, uh)
+    est = cms_estimate(tab, _token_hashes_u64(toks))
     order = np.lexsort((np.asarray(toks, dtype=object), -est))[:k]
     return pa.table(
         {
@@ -285,17 +283,23 @@ BLOOM_BITS = 1 << 23  # 1 MiB default tier
 BLOOM_K = 7
 
 
-def bloom_bits(vals: np.ndarray, m_bits: int = BLOOM_BITS) -> np.ndarray:
-    """Bit array (uint8, m_bits/8) over uint64-hashed values: double
-    hashing h1 + i*h2 (Kirsch–Mitzenmacher) for the K probes."""
-    bits = np.zeros(m_bits // 8, dtype=np.uint8)
-    if len(vals) == 0:
-        return bits
+def _bloom_probe_idx(vals: np.ndarray, m_bits: int):
+    """Yield the K probe indices per value — the ONE double-hashing
+    spec (Kirsch–Mitzenmacher h1 + i·h2) shared by the build and the
+    probe side (drift between copies would silently break membership)."""
     v = vals.astype(np.uint64, copy=False)
     h1 = splitmix64_np(v)
     h2 = splitmix64_np(v ^ np.uint64(0xA5A5A5A5A5A5A5A5)) | np.uint64(1)
     for i in range(BLOOM_K):
-        idx = (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
+        yield (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
+
+
+def bloom_bits(vals: np.ndarray, m_bits: int = BLOOM_BITS) -> np.ndarray:
+    """Bit array (uint8, m_bits/8) over uint64-hashed values."""
+    bits = np.zeros(m_bits // 8, dtype=np.uint8)
+    if len(vals) == 0:
+        return bits
+    for idx in _bloom_probe_idx(vals, m_bits):
         np.bitwise_or.at(bits, (idx >> np.uint64(3)).astype(np.int64),
                          np.left_shift(np.uint8(1), (idx & np.uint64(7)).astype(np.uint8)))
     return bits
@@ -313,13 +317,8 @@ def bloom_contains(bits: np.ndarray, vals: np.ndarray) -> np.ndarray:
     (at the filter's false-positive rate)."""
     if len(vals) == 0:
         return np.zeros(0, dtype=bool)
-    m_bits = len(bits) * 8
-    v = vals.astype(np.uint64, copy=False)
-    h1 = splitmix64_np(v)
-    h2 = splitmix64_np(v ^ np.uint64(0xA5A5A5A5A5A5A5A5)) | np.uint64(1)
-    out = np.ones(len(v), dtype=bool)
-    for i in range(BLOOM_K):
-        idx = (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
+    out = np.ones(len(vals), dtype=bool)
+    for idx in _bloom_probe_idx(vals, len(bits) * 8):
         bit = (bits[(idx >> np.uint64(3)).astype(np.int64)]
                >> (idx & np.uint64(7)).astype(np.uint8)) & 1
         out &= bit.astype(bool)

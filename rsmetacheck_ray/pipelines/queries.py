@@ -627,7 +627,10 @@ def q_doc_compression(sf_dir: str):
                     "zratio": pa.array([0.0] * len(b), pa.float64()),
                 }
             )
-        offs = np.frombuffer(text.buffers()[1], dtype=np.int32)[
+        width = (
+            np.int64 if pa.types.is_large_string(text.type) else np.int32
+        )
+        offs = np.frombuffer(text.buffers()[1], dtype=width)[
             text.offset : text.offset + len(text) + 1
         ].astype(np.int64)
         raw = memoryview(text.buffers()[2])
@@ -745,6 +748,19 @@ def _dup_corpus_rows(sf_dir: str) -> int:
     return n + n // 10 + n // 20
 
 
+def _incremental_split(keep_seen: bool):
+    """The ONE seen/new split rule (doc_id % 3 == 0 ⇒ seen) shared by
+    the exact and Bloom incremental queries — their pinned
+    no-false-negative comparison only holds if both partition the
+    corpus identically."""
+
+    def f(b: pa.Table) -> pa.Table:
+        d = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array((d % 3 == 0) == keep_seen))
+
+    return f
+
+
 def q_dedup_incremental(sf_dir: str):
     """Rolling-crawl incremental dedup: the dup corpus splits into a
     SEEN set (doc_id % 3 == 0) and the day's NEW increment (the rest);
@@ -754,15 +770,12 @@ def q_dedup_incremental(sf_dir: str):
     duplicate pairs entirely inside the increment stay new."""
     from ..partitioning import adaptive_partitions
 
-    def split(keep_seen: bool):
-        def f(b: pa.Table) -> pa.Table:
-            d = b.column("doc_id").to_numpy(zero_copy_only=False)
-            return b.filter(pa.array((d % 3 == 0) == keep_seen))
-
-        return f
-
-    seen = _dup_corpus(sf_dir).map_batches(split(True), batch_format="pyarrow")
-    new = _dup_corpus(sf_dir).map_batches(split(False), batch_format="pyarrow")
+    seen = _dup_corpus(sf_dir).map_batches(
+        _incremental_split(True), batch_format="pyarrow"
+    )
+    new = _dup_corpus(sf_dir).map_batches(
+        _incremental_split(False), batch_format="pyarrow"
+    )
     return dd.incremental_new_docs(
         new,
         seen,
@@ -779,17 +792,13 @@ def q_dedup_incremental_bloom(sf_dir: str):
     = False is definitely new; True routes to the exact probe when
     certainty is needed. Approximate ⇒ rows-only; the
     no-false-negative guarantee vs the exact operator is pinned in
-    pytest."""
-
-    def split(keep_seen: bool):
-        def f(b: pa.Table) -> pa.Table:
-            d = b.column("doc_id").to_numpy(zero_copy_only=False)
-            return b.filter(pa.array((d % 3 == 0) == keep_seen))
-
-        return f
-
-    seen = _dup_corpus(sf_dir).map_batches(split(True), batch_format="pyarrow")
-    new = _dup_corpus(sf_dir).map_batches(split(False), batch_format="pyarrow")
+    pytest. Same `_incremental_split` rule as the exact query."""
+    seen = _dup_corpus(sf_dir).map_batches(
+        _incremental_split(True), batch_format="pyarrow"
+    )
+    new = _dup_corpus(sf_dir).map_batches(
+        _incremental_split(False), batch_format="pyarrow"
+    )
     return dd.incremental_new_docs_bloom(new, seen)
 
 
@@ -1997,13 +2006,15 @@ def q_multimodal_mixed_decode(sf_dir: str):
     )
 
 
-def q_multimodal_ppm_knn(sf_dir: str):
-    """End-to-end real-pixel retrieval: decode → resize → 15-dim pixel
-    features → cosine top-k against the first 3 images' features."""
+def _mm_knn(sf_dir: str, attach_fn, decode_cls):
+    """Shared pixel-retrieval pipeline (decode → resize → 15-dim
+    features → cosine top-k vs the first 3 images), parameterized on
+    the payload synthesizer and the decoder stage — the only pieces
+    that differ between the single-codec and dispatch variants."""
     ds = _documents(sf_dir, ["doc_id", "text"])
     feats = (
-        ds.map_batches(mm.attach_ppm_payload, batch_format="pyarrow")
-        .map_batches(mm.PPMDecode, batch_format="pyarrow", concurrency=(1, 4), batch_size=256)
+        ds.map_batches(attach_fn, batch_format="pyarrow")
+        .map_batches(decode_cls, batch_format="pyarrow", concurrency=(1, 4), batch_size=256)
         .map_batches(mm.PPMResize, batch_format="pyarrow", concurrency=(1, 4), batch_size=256)
         .map_batches(mm.PPMFeatures, batch_format="pyarrow", concurrency=(1, 4), batch_size=256)
         .select_columns(["doc_id", "embedding"])
@@ -2020,15 +2031,19 @@ def q_multimodal_ppm_knn(sf_dir: str):
         [
             np.array(
                 mm.PPMFeatures()(  # same feature fn on the query images
-                    mm.PPMResize()(
-                        mm.PPMDecode()(mm.attach_ppm_payload(head.slice(i, 1)))
-                    )
+                    mm.PPMResize()(decode_cls()(attach_fn(head.slice(i, 1))))
                 ).column("embedding")[0].as_py()
             )
             for i in range(n_q)
         ]
     )
     return sim.knn_bruteforce(feats, qvecs, qids, k=5, id_col="doc_id")
+
+
+def q_multimodal_ppm_knn(sf_dir: str):
+    """End-to-end real-pixel retrieval: decode → resize → 15-dim pixel
+    features → cosine top-k against the first 3 images' features."""
+    return _mm_knn(sf_dir, mm.attach_ppm_payload, mm.PPMDecode)
 
 
 def q_multimodal_mixed_knn(sf_dir: str):
@@ -2037,35 +2052,7 @@ def q_multimodal_mixed_knn(sf_dir: str):
     Because the three codecs carry the SAME deterministic pixels,
     results are format-invariant — identical to the PPM-only pipeline
     (pinned by pytest cross-codec feature equality)."""
-    ds = _documents(sf_dir, ["doc_id", "text"])
-    feats = (
-        ds.map_batches(mm.attach_mixed_payload, batch_format="pyarrow")
-        .map_batches(mm.ImageDecode, batch_format="pyarrow", concurrency=(1, 4), batch_size=256)
-        .map_batches(mm.PPMResize, batch_format="pyarrow", concurrency=(1, 4), batch_size=256)
-        .map_batches(mm.PPMFeatures, batch_format="pyarrow", concurrency=(1, 4), batch_size=256)
-        .select_columns(["doc_id", "embedding"])
-    )
-    import pyarrow.parquet as pq
-
-    head = pq.read_table(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
-    )
-    n_q = min(3, head.num_rows)
-    head = head.slice(0, n_q)
-    qids = np.array(head.column("doc_id").to_pylist(), dtype=np.int64)
-    qvecs = np.stack(
-        [
-            np.array(
-                mm.PPMFeatures()(
-                    mm.PPMResize()(
-                        mm.ImageDecode()(mm.attach_mixed_payload(head.slice(i, 1)))
-                    )
-                ).column("embedding")[0].as_py()
-            )
-            for i in range(n_q)
-        ]
-    )
-    return sim.knn_bruteforce(feats, qvecs, qids, k=5, id_col="doc_id")
+    return _mm_knn(sf_dir, mm.attach_mixed_payload, mm.ImageDecode)
 
 
 def q_multimodal_ppm_frames(sf_dir: str):

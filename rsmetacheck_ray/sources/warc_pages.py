@@ -44,8 +44,6 @@ import ray.data as rd
 
 from .jsonl_pages import strict_iso_ts
 
-_PAGES_FIELDS = ("url", "warc_ts", "html", "text", "lang")
-
 
 def _gunzip_members(data: bytes, strict: bool = False) -> bytes:
     """Concatenated gzip members → raw bytes. Lenient mode stops at a

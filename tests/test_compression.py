@@ -61,3 +61,28 @@ def test_repetitive_text_compresses_below_random(ray_session, tmp_path):
     assert out["zratio"].iloc[0] < 0.1      # template: tiny ratio
     assert out["zratio"].iloc[1] > 0.8      # random: near-incompressible
     assert (out["zratio"] <= 1.2).all() and (out["zratio"] >= 0).all()
+
+
+def test_large_string_text_column(ray_session, tmp_path):
+    """Regression: a large_string text column must produce the same
+    ratios as plain string (the offsets buffer is int64 there; a
+    hardcoded int32 read returned garbage negative lengths)."""
+    texts = ["hello world " * 30, "x", ""]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.large_string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = (
+        q_doc_compression(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for i, s in enumerate(texts):
+        buf = s.encode("utf-8")[:_ZRATIO_SCAN_BYTES]
+        assert out.loc[i, "raw_len"] == len(buf)
+        exp = len(zlib.compress(buf, 6)) if buf else 0
+        assert out.loc[i, "comp_len"] == exp
