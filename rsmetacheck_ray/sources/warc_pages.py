@@ -175,27 +175,39 @@ def _coerce(batch: pa.Table) -> pa.Table:
     return out
 
 
+from ray.data.datasource import FileBasedDatasource
+
+
+class WarcDatasource(FileBasedDatasource):
+    """Real Ray Data source: the read task itself parses WARC records
+    into page ROWS, so the downstream gate sees row-count-true blocks.
+
+    (The obvious alternative — ``read_binary_files`` + a parse
+    ``map_batches`` — emits ONE ROW PER FILE from the read, and the
+    fused parse→gate operator bundles its inputs by row count: a
+    32-file corpus collapsed into a single task running the whole gate
+    on one core, measured 4× slower than the parquet path. A
+    datasource whose blocks already hold page rows restores honest
+    row-based scheduling.)
+
+    Strict parse: a corrupt file FAILS its read task so the resume
+    loop's probe can skip-and-record the fragment, never silently
+    half-read it. Compression is handled by ``parse_warc`` itself
+    (per-record gzip members, magic-sniffed) — the stream opens raw.
+    """
+
+    _FILE_EXTENSIONS = ["warc", "warc.gz"]
+
+    def _read_stream(self, f, path: str):
+        yield parse_warc(f.readall(), strict=True)
+
+
 def read_pages_warc(paths: str | list[str]) -> rd.Dataset:
     """Pages Dataset from WARC file(s) — one read task per file (the
     crawl world's natural parallel unit), schema-identical to the
     parquet pages path."""
-    files = rd.read_binary_files(paths)
-
-    def expand(batch: pa.Table) -> pa.Table:
-        # strict: a corrupt file FAILS the read so the resume loop's
-        # probe can skip-and-record it, never silently half-read it
-        tables = [
-            parse_warc(
-                raw.as_py() if hasattr(raw, "as_py") else raw, strict=True
-            )
-            for raw in batch.column("bytes")
-        ]
-        if not tables:
-            return parse_warc(b"")
-        return pa.concat_tables(tables)
-
-    return files.map_batches(
-        expand, batch_format="pyarrow", batch_size=1
+    return rd.read_datasource(
+        WarcDatasource(paths, file_extensions=["warc", "warc.gz"])
     ).map_batches(_coerce, batch_format="pyarrow")
 
 
