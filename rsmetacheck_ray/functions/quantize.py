@@ -79,14 +79,10 @@ def _parse_qvecs(batch: pa.Table, id_col: str) -> tuple[np.ndarray, np.ndarray]:
     col = batch.column("qvec")
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    owidth = np.int64 if pa.types.is_large_binary(col.type) else np.int32
-    offs = np.frombuffer(col.buffers()[1], dtype=owidth)[
-        col.offset : col.offset + len(col) + 1
-    ].astype(np.int64)
-    raw = np.frombuffer(col.buffers()[2], dtype=np.int8)[
-        offs[0] : offs[-1]
-    ]
-    return ids, raw.reshape(len(ids), dim)
+    from .arrowbuf import varwidth_bytes
+
+    raw, _ = varwidth_bytes(col)
+    return ids, raw.view(np.int8).reshape(len(ids), dim)
 
 
 def knn_quantized(

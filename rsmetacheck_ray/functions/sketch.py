@@ -194,16 +194,17 @@ def cms_token_sketch(
         else:
             # hash the batch's UNIQUE vocabulary once (Zipf), weight
             # by in-batch occurrence counts
-            uniq = np.asarray(denc.dictionary.to_pylist(), dtype=object)
-            uh = _token_hashes_u64(uniq.tolist())
+            uniq = denc.dictionary.to_pylist()
+            uh = _token_hashes_u64(uniq)
             cnt = np.bincount(
                 denc.indices.to_numpy(zero_copy_only=False),
                 minlength=len(uniq),
             )
             tab = cms_table(uh, cnt.astype(np.float64))
             if per_batch_candidates:
-                top = np.lexsort((uniq, -cnt))[:per_batch_candidates]
-                cand = uniq[top].tolist()
+                uo = np.asarray(uniq, dtype=object)
+                top = np.lexsort((uo, -cnt))[:per_batch_candidates]
+                cand = uo[top].tolist()
         part = (
             int.from_bytes(
                 hashlib.blake2b(tab.tobytes(), digest_size=8).digest(), "big"

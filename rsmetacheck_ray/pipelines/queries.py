@@ -627,12 +627,9 @@ def q_doc_compression(sf_dir: str):
                     "zratio": pa.array([0.0] * len(b), pa.float64()),
                 }
             )
-        width = (
-            np.int64 if pa.types.is_large_string(text.type) else np.int32
-        )
-        offs = np.frombuffer(text.buffers()[1], dtype=width)[
-            text.offset : text.offset + len(text) + 1
-        ].astype(np.int64)
+        from ..functions.arrowbuf import varwidth_offsets
+
+        offs = varwidth_offsets(text)
         raw = memoryview(text.buffers()[2])
         starts = offs[:-1]
         ends = np.minimum(offs[1:], starts + _ZRATIO_SCAN_BYTES)

@@ -192,11 +192,16 @@ class WarcDatasource(FileBasedDatasource):
 
     Strict parse: a corrupt file FAILS its read task so the resume
     loop's probe can skip-and-record the fragment, never silently
-    half-read it. Compression is handled by ``parse_warc`` itself
-    (per-record gzip members, magic-sniffed) — the stream opens raw.
+    half-read it. Compression on THIS path is handled by Arrow:
+    ``FileBasedDatasource`` detects ``.gz`` from the path and hands
+    ``_read_stream`` an already-decompressed stream (an Arrow gzip
+    stream also consumes concatenated per-record members), so
+    ``parse_warc`` sees plain bytes here and gzip corruption surfaces
+    as Arrow's ``OSError`` — still caught by the resume loop, which
+    classifies the fragment via ``probe_warc``. ``parse_warc``'s own
+    magic-sniffed ``_gunzip_members`` governs the direct-bytes API
+    (``probe_warc`` and library callers), not this stream path.
     """
-
-    _FILE_EXTENSIONS = ["warc", "warc.gz"]
 
     def _read_stream(self, f, path: str):
         yield parse_warc(f.readall(), strict=True)
@@ -205,9 +210,18 @@ class WarcDatasource(FileBasedDatasource):
 def read_pages_warc(paths: str | list[str]) -> rd.Dataset:
     """Pages Dataset from WARC file(s) — one read task per file (the
     crawl world's natural parallel unit), schema-identical to the
-    parquet pages path."""
+    parquet pages path. Directories are filtered to ``*.warc`` /
+    ``*.warc.gz``; explicitly named files are read whatever their
+    name (content is magic-sniffed, matching the old binary-read
+    behavior)."""
+    import os
+
+    filter_exts = isinstance(paths, str) and os.path.isdir(paths)
     return rd.read_datasource(
-        WarcDatasource(paths, file_extensions=["warc", "warc.gz"])
+        WarcDatasource(
+            paths,
+            file_extensions=["warc", "warc.gz"] if filter_exts else None,
+        )
     ).map_batches(_coerce, batch_format="pyarrow")
 
 

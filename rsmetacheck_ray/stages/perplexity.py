@@ -211,15 +211,9 @@ class PerplexityScorer:
         # zero-copy: the UTF-8 bytes already sit back-to-back in the
         # Arrow data buffer (offsets layout), exactly the concatenated
         # layout the scorer wants — no to_pylist / encode / join
-        width = (
-            np.int64 if pa.types.is_large_string(arr.type) else np.int32
-        )
-        offsets = np.frombuffer(arr.buffers()[1], dtype=width)[
-            arr.offset : arr.offset + len(arr) + 1
-        ].astype(np.int64)
-        raw = np.frombuffer(arr.buffers()[2], dtype=np.uint8)[
-            offsets[0] : offsets[-1]
-        ]
+        from ..functions.arrowbuf import varwidth_bytes
+
+        raw, offsets = varwidth_bytes(arr)
         bpc = self._bits_per_char_codes(
             _BYTE_CODE[raw], np.diff(offsets)
         )

@@ -114,7 +114,11 @@ def test_read_pages_warc_schema(ray_session, tmp_path):
     ds = read_pages_warc(p)
     t = pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow")))
     assert t.schema.field("warc_ts").type == pa.timestamp("us")
-    assert t.column("warc_ts")[0].as_py().microsecond == 500_000
+    # row order across blocks is not guaranteed: look the row up by url
+    by_url = dict(
+        zip(t.column("url").to_pylist(), t.column("warc_ts").to_pylist())
+    )
+    assert by_url[ROWS[0]["url"]].microsecond == 500_000
     assert t.schema.field("html").type == pa.binary()
 
 
