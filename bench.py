@@ -147,13 +147,54 @@ def warmup_workers(pages_dir: str, n_files: int = 4) -> float:
     return time.perf_counter() - t0
 
 
-def run_headline(pages_dir: str, out_dir: str, n_partitions: int | None = None) -> float:
+def run_headline(
+    pages_dir: str, out_dir: str, n_partitions: int | None = None,
+    input_format: str = "parquet",
+) -> float:
     from rsmetacheck_ray.pipelines.quality_gate import run_gate
 
     shutil.rmtree(out_dir, ignore_errors=True)
     t0 = time.perf_counter()
-    run_gate(pages_dir, out_dir, n_partitions=n_partitions)
+    run_gate(pages_dir, out_dir, n_partitions=n_partitions,
+             input_format=input_format)
     return time.perf_counter() - t0
+
+
+def prepare_warc(html_pages: str) -> str:
+    """The html corpus re-encoded as gzipped WARC (cached on disk):
+    measures the crawl-native ingest path end to end."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from rsmetacheck_ray.sources.warc_pages import write_warc
+
+    # keyed on the source corpus dir so a differently-sized html corpus
+    # (tests, other SFs) never reuses a stale encoding
+    tag = os.path.basename(os.path.normpath(html_pages))
+    wdir = f"/tmp/rsmc_bench_warc/{tag}"
+    files = sorted(glob.glob(os.path.join(html_pages, "*.parquet")))
+    done = os.path.join(wdir, ".complete")
+    if os.path.exists(done):
+        return wdir
+    shutil.rmtree(wdir, ignore_errors=True)
+    os.makedirs(wdir)
+    for i, f in enumerate(files):
+        rows = []
+        for r in pq.read_table(f).to_pylist():
+            ts = r["warc_ts"]
+            rows.append(
+                {
+                    "url": r["url"],
+                    "warc_ts": ts.strftime("%Y-%m-%dT%H:%M:%S")
+                    + (f".{ts.microsecond:06d}" if ts.microsecond else ""),
+                    "html": r["html"],
+                    "lang": r["lang"],
+                }
+            )
+        write_warc(os.path.join(wdir, f"crawl-{i:04d}.warc.gz"), rows)
+    open(done, "w").close()
+    return wdir
 
 
 def consume(res) -> int:
@@ -246,16 +287,32 @@ def main() -> None:
 
     # second corpus WITH real html payloads: the text-column pages above
     # never exercise the extraction stage (null html short-circuits it);
-    # this run measures the full html -> text -> gate path
-    from rsmetacheck_ray.datagen import corpus_dir
+    # this run measures the full html -> text -> gate path. Skipped in
+    # --headline-only mode (the pinned scaling subprocesses) where only
+    # the headline number is consumed.
+    html_runs: list[float] = []
+    warc_runs: list[float] = []
+    if not args.headline_only:
+        from rsmetacheck_ray.datagen import corpus_dir
 
-    html_pages, _ = corpus_dir(50_000, n_files=32)
-    warm_page_cache(html_pages)
-    html_runs = [
-        run_headline(html_pages, "/tmp/rsmc_bench_html_out")
-        for _ in range(n_head)
-    ]
-    html_s = median(html_runs)
+        html_pages, _ = corpus_dir(50_000, n_files=32)
+        warm_page_cache(html_pages)
+        html_runs = [
+            run_headline(html_pages, "/tmp/rsmc_bench_html_out")
+            for _ in range(n_head)
+        ]
+
+        # third corpus: the SAME html pages as gzipped WARC — the
+        # crawl-native ingest path (record framing + member gunzip +
+        # HTTP envelope split) through the full gate
+        warc_dir = prepare_warc(html_pages)
+        warc_runs = [
+            run_headline(warc_dir, "/tmp/rsmc_bench_warc_out",
+                         input_format="warc")
+            for _ in range(n_head)
+        ]
+    html_s = median(html_runs) if html_runs else None
+    warc_s = median(warc_runs) if warc_runs else None
 
     result = {
         "metric": "quality_gate_e2e",
@@ -265,11 +322,14 @@ def main() -> None:
         "docs_per_sec": round(n_docs / headline_s, 1),
         "warmup_sec": round(warmup_s, 3),
         "html_docs": 50_000,
-        "html_gate_sec": round(html_s, 3),
-        "html_docs_per_sec": round(50_000 / html_s, 1),
+        "html_gate_sec": round(html_s, 3) if html_s else None,
+        "html_docs_per_sec": round(50_000 / html_s, 1) if html_s else None,
+        "warc_gate_sec": round(warc_s, 3) if warc_s else None,
+        "warc_docs_per_sec": round(50_000 / warc_s, 1) if warc_s else None,
         "runs_per_measurement": n_head,
         "headline_runs": [round(t, 3) for t in head_runs],
         "html_runs": [round(t, 3) for t in html_runs],
+        "warc_runs": [round(t, 3) for t in warc_runs],
         "queries": {},
         "queries_spread": {},
         "sf": args.sf_dir,
