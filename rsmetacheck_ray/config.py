@@ -46,7 +46,14 @@ class GateConfig:
     outdated_days: float = 1.0
 
     # --- execution knobs (scale tuning, not semantics) ---
-    batch_size: int = 4096
+    # Gate-stage batch size is also the fused operator's task
+    # granularity: Ray bundles read blocks up to batch_size rows per
+    # task, so rows/batch_size is the stage's max parallelism. Swept
+    # 512-4096 at 32 CPUs: 2048 is ~1.9x faster than 4096 on a 50k-doc
+    # corpus (12 -> 25 tasks, the box finally fills) and marginally
+    # faster at 1M docs (218k vs 212k docs/s) — per-batch kernel-launch
+    # overhead is already amortized at 2048 rows.
+    batch_size: int = 2048
     # None ⇒ autoscale pool cap to half the cluster CPUs (per stage);
     # the two scorer pools together then cover the cluster while the
     # read / rules / write task pools fill the gaps under backpressure
