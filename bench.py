@@ -232,6 +232,8 @@ BENCH_QUERIES = [
     "customers_without_orders",
     "doc_stats",
     "doc_compression",
+    "pii_scrub",
+    "repetition_scores",
     "dedup_exact",
     "dedup_incremental",
     "dedup_minhash_pairs",

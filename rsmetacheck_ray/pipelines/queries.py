@@ -705,6 +705,159 @@ FROM c
 """
 
 
+# --- PII scrub -------------------------------------------------------
+# Deterministic PII injection, built identically on both sides: the
+# word-salad documents carry no emails/digits at all, so the corpus
+# plants one marker per kind on residue classes (email on doc_id%3,
+# IPv4 on %5, phone on %7 — rows hit 0..3 kinds). The scrub regexes
+# still scan every byte of every document, injected or not.
+_PII_CORPUS_SQL = """
+pii AS (
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 3 = 0
+         THEN ' reach user' || CAST(doc_id AS VARCHAR) || '@mail.example.org'
+         ELSE '' END
+    || CASE WHEN doc_id % 5 = 0
+         THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.3.7'
+         ELSE '' END
+    || CASE WHEN doc_id % 7 = 0
+         THEN ' call +1-555-' || CAST(doc_id % 9000 + 1000 AS VARCHAR)
+         ELSE '' END
+    AS text
+  FROM documents
+)
+"""
+
+
+def _pii_corpus_stage(b: pa.Table) -> pa.Table:
+    """The Ray twin of _PII_CORPUS_SQL (vectorized if_else/join)."""
+    d = b.column("doc_id")
+    if isinstance(d, pa.ChunkedArray):
+        d = d.combine_chunks()
+    dn = d.to_numpy(zero_copy_only=False)
+    empty = pa.scalar("", pa.string())
+
+    def part(mask, *pieces):
+        joined = pc.binary_join_element_wise(*pieces, "")
+        return pc.if_else(pa.array(mask), joined, empty)
+
+    email = part(
+        dn % 3 == 0, " reach user", pc.cast(d, pa.string()),
+        "@mail.example.org",
+    )
+    ip = part(
+        dn % 5 == 0, " from 10.",
+        pc.cast(pa.array(dn % 256, pa.int64()), pa.string()), ".3.7",
+    )
+    phone = part(
+        dn % 7 == 0, " call +1-555-",
+        pc.cast(pa.array(dn % 9000 + 1000, pa.int64()), pa.string()),
+    )
+    text = b.column("text")
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    return pa.table(
+        {
+            "doc_id": d,
+            "text": pc.binary_join_element_wise(text, email, ip, phone, ""),
+        }
+    )
+
+
+def q_pii_scrub(sf_dir: str):
+    """Redact emails / IPv4s / phone numbers across the corpus —
+    6 RE2 column passes per batch (count + replace per kind), exactly
+    mirrored by the oracle's nested regexp_replace CTEs."""
+    from ..functions.pii import scrub_pii_stage
+
+    ds = _documents(sf_dir, ["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: scrub_pii_stage(_pii_corpus_stage(b)),
+        batch_format="pyarrow",
+    )
+
+
+def _sql_pii_scrub() -> str:
+    from ..functions.pii import PII_PATTERNS
+
+    (_, e_pat, e_repl), (_, i_pat, i_repl), (_, p_pat, p_repl) = PII_PATTERNS
+    return f"""
+WITH {_PII_CORPUS_SQL.strip()},
+s1 AS (
+  SELECT doc_id,
+    CAST(len(regexp_extract_all(text, '{e_pat}')) AS BIGINT) AS n_email,
+    regexp_replace(text, '{e_pat}', '{e_repl}', 'g') AS text
+  FROM pii
+),
+s2 AS (
+  SELECT doc_id, n_email,
+    CAST(len(regexp_extract_all(text, '{i_pat}')) AS BIGINT) AS n_ipv4,
+    regexp_replace(text, '{i_pat}', '{i_repl}', 'g') AS text
+  FROM s1
+),
+s3 AS (
+  SELECT doc_id, n_email, n_ipv4,
+    CAST(len(regexp_extract_all(text, '{p_pat}')) AS BIGINT) AS n_phone,
+    regexp_replace(text, '{p_pat}', '{p_repl}', 'g') AS text
+  FROM s2
+)
+SELECT doc_id, n_email, n_ipv4, n_phone, text AS scrubbed_text FROM s3
+"""
+
+
+# --- repetition signals ----------------------------------------------
+# Line structure derived identically on both sides: ' the ' → newline
+# turns the word salad into multi-line docs whose short segments
+# repeat naturally, so the duplicate-line tallies are non-vacuous.
+_LINE_CORPUS_SQL = """
+line_corpus AS (
+  SELECT doc_id, replace(text, ' the ', chr(10)) AS text FROM documents
+)
+"""
+
+
+def q_repetition_scores(sf_dir: str):
+    from ..functions.repetition import repetition_stage
+
+    ds = _documents(sf_dir, ["doc_id", "text"])
+
+    def stage(b: pa.Table) -> pa.Table:
+        text = b.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        text = pc.replace_substring(
+            pc.fill_null(text, ""), pattern=" the ", replacement="\n"
+        )
+        return repetition_stage(
+            pa.table({"doc_id": b.column("doc_id"), "text": text})
+        )
+
+    return ds.map_batches(stage, batch_format="pyarrow")
+
+
+SQL_REPETITION = f"""
+WITH {_LINE_CORPUS_SQL.strip()},
+l AS (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+  FROM line_corpus
+),
+g AS (
+  SELECT doc_id, line, count(*) AS c, length(line) AS len
+  FROM l GROUP BY doc_id, line
+)
+SELECT doc_id,
+  CAST(sum(c) AS BIGINT) AS n_lines,
+  CAST(count(*) AS BIGINT) AS n_distinct_lines,
+  CAST(sum(c) - count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE)
+    AS dup_line_frac,
+  CAST(sum((c - 1) * len) AS DOUBLE)
+    / CAST(greatest(sum(c * len), 1) AS DOUBLE) AS dup_line_char_frac,
+  CAST(max(c) AS BIGINT) AS top_line_count
+FROM g GROUP BY doc_id
+"""
+
+
 def q_dedup_exact(sf_dir: str):
     return dd.exact_dedup_groups(_dup_corpus(sf_dir))
 
@@ -2145,6 +2298,8 @@ def registry() -> dict[str, tuple]:
         "doc_stats": (q_doc_stats, SQL_DOC_STATS),
         "doc_compression": (q_doc_compression, None),  # zlib: non-SQL
         "doc_quality_scores": (q_doc_quality_scores, SQL_DOC_QUALITY),
+        "pii_scrub": (q_pii_scrub, _sql_pii_scrub()),
+        "repetition_scores": (q_repetition_scores, SQL_REPETITION),
         "quality_classifier": (
             q_quality_classifier, _sql_quality_classifier(),
         ),
