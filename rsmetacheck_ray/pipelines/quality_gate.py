@@ -536,6 +536,41 @@ def run_gate(
                 bad.append(f)
         return bad
 
+    def _sized_cfg(frag_group: list[str]) -> GateConfig:
+        """cfg with batch_size shrunk for small parquet partitions.
+
+        batch_size is also the fused operator's task granularity (Ray
+        bundles read blocks up to batch_size rows per task), so a
+        partition needs rows/batch_size ≥ ~2×CPUs tasks to fill the
+        cluster. Parquet footer row counts are free; other formats
+        keep the configured size (their datasources already emit
+        row-true blocks). Floor 1024: below that, per-batch kernel
+        launch overhead starts to show (measured sweep in config.py).
+        """
+        if input_format != "parquet":
+            return cfg
+        try:
+            import pyarrow.parquet as pq
+
+            rows = sum(
+                pq.ParquetFile(f).metadata.num_rows for f in frag_group
+            )
+        except Exception:
+            return cfg
+        import ray
+
+        ncpu = (
+            int(ray.cluster_resources().get("CPU", 8))
+            if ray.is_initialized()
+            else 8
+        )
+        eff = max(1024, -(-rows // (2 * ncpu)))
+        if eff >= cfg.batch_size:
+            return cfg
+        import dataclasses
+
+        return dataclasses.replace(cfg, batch_size=eff)
+
     def run_partition(pid: int, frag_group: list[str]) -> None:
         final_dir = os.path.join(docs_root, f"partition={pid}")
         tmp_dir = os.path.join(docs_root, f".tmp-partition={pid}")
@@ -546,7 +581,7 @@ def run_gate(
         use_group, skipped = frag_group, []
         try:
             ds = _read_fragments(use_group)
-            gated = build_gate(ds, cfg)
+            gated = build_gate(ds, _sized_cfg(use_group))
             gated.write_parquet(tmp_dir)
         except Exception:
             shutil.rmtree(tmp_dir, ignore_errors=True)
@@ -563,7 +598,7 @@ def run_gate(
             )
             if use_group:
                 ds = _read_fragments(use_group)
-                gated = build_gate(ds, cfg)
+                gated = build_gate(ds, _sized_cfg(use_group))
                 gated.write_parquet(tmp_dir)
             else:  # every fragment bad — record an empty partition
                 os.makedirs(tmp_dir, exist_ok=True)
