@@ -234,6 +234,8 @@ BENCH_QUERIES = [
     "doc_compression",
     "pii_scrub",
     "repetition_scores",
+    "url_canonical",
+    "dedup_urls",
     "dedup_exact",
     "dedup_incremental",
     "dedup_minhash_pairs",

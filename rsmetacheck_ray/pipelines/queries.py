@@ -806,6 +806,144 @@ SELECT doc_id, n_email, n_ipv4, n_phone, text AS scrubbed_text FROM s3
 """
 
 
+# --- URL canonicalization / dedup ------------------------------------
+# Deterministic messy-URL corpus, built identically on both sides:
+# mixed-case scheme+host, default port on %4, utm params on %3 classes,
+# fragment on %2. doc_id%20 hosts × doc_id%50 paths collide after
+# canonicalization, so dedup_urls is non-vacuous.
+_URL_CORPUS_SQL = """
+urls AS (
+  SELECT doc_id,
+    'Http://Host' || CAST(doc_id % 20 AS VARCHAR) || '.Example.COM'
+    || CASE WHEN doc_id % 4 = 0 THEN ':80' ELSE '' END
+    || '/Dir/page' || CAST(doc_id % 50 AS VARCHAR)
+    || CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&utm_medium=rss'
+            WHEN doc_id % 3 = 1 THEN '?id=7&utm_campaign=x'
+            ELSE '' END
+    || CASE WHEN doc_id % 2 = 0 THEN '#Sec' ELSE '' END
+    AS url
+  FROM documents
+)
+"""
+
+
+def _url_corpus_stage(b: pa.Table) -> pa.Table:
+    """The Ray twin of _URL_CORPUS_SQL."""
+    d = b.column("doc_id")
+    if isinstance(d, pa.ChunkedArray):
+        d = d.combine_chunks()
+    dn = d.to_numpy(zero_copy_only=False)
+    empty = pa.scalar("", pa.string())
+
+    def lit(mask, s):
+        return pc.if_else(pa.array(mask), pa.scalar(s, pa.string()), empty)
+
+    host = pc.cast(pa.array(dn % 20, pa.int64()), pa.string())
+    path = pc.cast(pa.array(dn % 50, pa.int64()), pa.string())
+    utm = pc.if_else(
+        pa.array(dn % 3 == 0),
+        pa.scalar("?utm_source=feed&utm_medium=rss", pa.string()),
+        pc.if_else(
+            pa.array(dn % 3 == 1),
+            pa.scalar("?id=7&utm_campaign=x", pa.string()),
+            empty,
+        ),
+    )
+    url = pc.binary_join_element_wise(
+        "Http://Host", host, ".Example.COM",
+        lit(dn % 4 == 0, ":80"),
+        "/Dir/page", path, utm, lit(dn % 2 == 0, "#Sec"),
+        "",
+    )
+    return pa.table({"doc_id": d, "url": url})
+
+
+def q_url_canonical(sf_dir: str):
+    """Canonical URL per document — 8 RE2 column passes
+    (functions/urlnorm.py), byte-identical to the oracle's nested
+    regexp_replace expression."""
+    from ..functions.urlnorm import canonicalize_url_array
+
+    ds = _documents(sf_dir, ["doc_id"])
+
+    def stage(b: pa.Table) -> pa.Table:
+        t = _url_corpus_stage(b)
+        return t.append_column(
+            "canonical_url", canonicalize_url_array(t.column("url"))
+        )
+
+    return ds.map_batches(stage, batch_format="pyarrow")
+
+
+def _sql_url_canonical() -> str:
+    from ..functions.urlnorm import canonical_sql_expr
+
+    return f"""
+WITH {_URL_CORPUS_SQL.strip()}
+SELECT doc_id, url, {canonical_sql_expr("url")} AS canonical_url
+FROM urls
+"""
+
+
+def q_dedup_urls(sf_dir: str):
+    """URL-level dedup: group by canonical URL, keep the smallest
+    doc_id as the fetch survivor — 16-byte hash keys shuffle, never
+    the URLs themselves (the exact_dedup_groups discipline)."""
+    from ..functions.hashing import hash_str_arrow_u128
+    from ..functions.urlnorm import canonicalize_url_array
+
+    ds = _documents(sf_dir, ["doc_id"])
+
+    def stage(b: pa.Table) -> pa.Table:
+        t = _url_corpus_stage(b)
+        canon = canonicalize_url_array(t.column("url"))
+        lo, hi = hash_str_arrow_u128(canon)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "canonical_url": canon,
+                "h_lo": pa.array(lo.view(np.int64), pa.int64()),
+                "h_hi": pa.array(hi.view(np.int64), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Count, Min
+
+    hashed = ds.map_batches(stage, batch_format="pyarrow")
+    agg = hashed.groupby(["h_lo", "h_hi"]).aggregate(
+        Min("doc_id", alias_name="doc_id"),
+        Count(alias_name="dup_count"),
+    )
+    # re-attach the canonical string for the survivor rows only (small
+    # side after dedup): broadcast-free self-join via a second pass is
+    # unnecessary at survivor cardinality — recompute from doc_id
+    def attach(b: pa.Table) -> pa.Table:
+        t = _url_corpus_stage(b)
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "canonical_url": canonicalize_url_array(t.column("url")),
+                "dup_count": pc.cast(b.column("dup_count"), pa.int64()),
+            }
+        )
+
+    return agg.map_batches(attach, batch_format="pyarrow")
+
+
+def _sql_dedup_urls() -> str:
+    from ..functions.urlnorm import canonical_sql_expr
+
+    return f"""
+WITH {_URL_CORPUS_SQL.strip()},
+c AS (
+  SELECT doc_id, {canonical_sql_expr("url")} AS canonical_url FROM urls
+)
+SELECT min(doc_id) AS doc_id, canonical_url,
+       count(*) AS dup_count
+FROM c GROUP BY canonical_url
+"""
+
+
 # --- repetition signals ----------------------------------------------
 # Line structure derived identically on both sides: ' the ' → newline
 # turns the word salad into multi-line docs whose short segments
@@ -2300,6 +2438,8 @@ def registry() -> dict[str, tuple]:
         "doc_quality_scores": (q_doc_quality_scores, SQL_DOC_QUALITY),
         "pii_scrub": (q_pii_scrub, _sql_pii_scrub()),
         "repetition_scores": (q_repetition_scores, SQL_REPETITION),
+        "url_canonical": (q_url_canonical, _sql_url_canonical()),
+        "dedup_urls": (q_dedup_urls, _sql_dedup_urls()),
         "quality_classifier": (
             q_quality_classifier, _sql_quality_classifier(),
         ),
