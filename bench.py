@@ -259,6 +259,7 @@ BENCH_QUERIES = [
     "knn_quantized",
     "gate_decisions",
     "gate_drop_vector",
+    "gate_then_dedup",
 ]
 
 

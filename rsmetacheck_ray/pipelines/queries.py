@@ -515,13 +515,15 @@ def _ensure_lm_export() -> str:
     return _LM_EXPORT_DIR
 
 
-def _sql_gate_decisions() -> str:
+def _sql_bpc_ctes() -> str:
+    """The LM half of the keep oracle (bpc_in → sym → tri → doc_bits →
+    bpc over the ``pages`` CTE), shared by the gate_decisions and
+    gate_then_dedup oracles. Triggers the one-time LM parameter export."""
     from ..config import DEFAULT_CONFIG as _cfg
 
     d = _ensure_lm_export()
     scan = _cfg.ppl_scan_chars
     return f"""
-WITH {_sql_gate_flags_ctes().strip()},
 bpc_in AS (
   SELECT doc_id, hex(encode(substr(text, 1, {scan}))) AS h,
          octet_length(encode(substr(text, 1, {scan}))) AS nb
@@ -550,11 +552,25 @@ bpc AS (
          THEN coalesce(db.total, 0) / CAST(bi.nb - 2 AS DOUBLE)
          ELSE 0.0 END AS bits_per_char
   FROM bpc_in bi LEFT JOIN doc_bits db USING (doc_id)
-)
+)"""
+
+
+def _sql_keep_expr() -> str:
+    from ..config import DEFAULT_CONFIG as _cfg
+
+    return (
+        f"NOT ({_DROP_NOLM_EXPR}\n"
+        f"       OR (f.n_tokens > 0 AND p.bits_per_char > "
+        f"{_cfg.max_bits_per_char!r}))"
+    )
+
+
+def _sql_gate_decisions() -> str:
+    return f"""
+WITH {_sql_gate_flags_ctes().strip()},
+{_sql_bpc_ctes().strip()}
 SELECT f.doc_id, f.url, f.detected_lang, f.n_tokens,
-  NOT ({_DROP_NOLM_EXPR}
-       OR (f.n_tokens > 0 AND p.bits_per_char > {_cfg.max_bits_per_char!r}))
-    AS keep
+  {_sql_keep_expr()} AS keep
 FROM flags f JOIN bpc p USING (doc_id)
 """
 
@@ -702,6 +718,91 @@ SELECT doc_id, n_tokens,
   CAST(markers AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE) AS stopword_ratio,
   CAST(n_chars AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE) AS avg_token_chars
 FROM c
+"""
+
+
+# --- gate → dedup composition -----------------------------------------
+# The end-to-end shape a training-data pipeline actually runs: quality
+# gate, then exact dedup of the KEPT scrubbed text, survivors out.
+# Input: documents plus one exact copy for doc_id%2=0 and a second
+# for doc_id%6=0 (groups of up to 3). The copy offsets are ≡0 (mod 13)
+# so a copy receives the SAME text injection as its original
+# (synthesize_pages keys injections on doc_id % 13) — copies stay
+# byte-identical after synthesis and form real dup groups; their
+# urls/timestamps differ (residues mod 11 shift), so the gate
+# genuinely re-decides each copy (a copy can die on a dead-url residue
+# its original missed).
+_GTD_OFFSET = 3_003_000  # 13 × 231 000
+
+
+def q_gate_then_dedup(sf_dir: str):
+    """Full pipeline composition: synthesize → gate (extract → langid →
+    perplexity → rules + scrub) → filter keep → exact dedup on the
+    gate's own 128-bit content_hash columns (emitted inside the gate
+    pass — the text is never re-read or re-hashed) → survivors with
+    group sizes. ONE 16-byte-key shuffle after the streaming gate."""
+    from ray.data.aggregate import Count, Min
+
+    ds = _documents(sf_dir, ["doc_id", "text", "lang"])
+
+    def expand(b: pa.Table) -> pa.Table:
+        d = b.column("doc_id").to_numpy(zero_copy_only=False)
+        parts = [b]
+        for mod, mult in ((2, 1), (6, 2)):
+            ex = b.filter(pa.array(d % mod == 0))
+            parts.append(
+                ex.set_column(
+                    ex.schema.get_field_index("doc_id"), "doc_id",
+                    pc.add(ex.column("doc_id"), mult * _GTD_OFFSET),
+                )
+            )
+        return pa.concat_tables(parts).combine_chunks()
+
+    pages_in = ds.map_batches(expand, batch_format="pyarrow").union(
+        rd.from_arrow(trigger_table())
+    )
+    pages = pages_in.map_batches(synthesize_pages, batch_format="pyarrow")
+    gated = build_gate(pages)
+    kept = gated.map_batches(
+        lambda b: b.filter(b.column("keep").combine_chunks()),
+        batch_format="pyarrow",
+    )
+    agg = kept.groupby(["content_hash", "content_hash2"]).aggregate(
+        Min("doc_id", alias_name="doc_id"),
+        Count(alias_name="dup_count"),
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "dup_count": pc.cast(b.column("dup_count"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _sql_gate_then_dedup() -> str:
+    return f"""
+WITH dup_documents AS (
+  SELECT doc_id, text, lang FROM documents
+  UNION ALL
+  SELECT doc_id + {_GTD_OFFSET} AS doc_id, text, lang FROM documents
+  WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT doc_id + {2 * _GTD_OFFSET} AS doc_id, text, lang FROM documents
+  WHERE doc_id % 6 = 0
+),
+{_sql_gate_flags_ctes().strip().replace("{pages}", pages_cte(source="dup_documents"))},
+{_sql_bpc_ctes().strip()},
+decisions AS (
+  SELECT f.doc_id,
+    {_sql_keep_expr()} AS keep,
+    {_scrub_sql_expr("pg.text")} AS st
+  FROM flags f JOIN bpc p USING (doc_id) JOIN pages pg USING (doc_id)
+)
+SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+FROM decisions WHERE keep GROUP BY st
 """
 
 
@@ -2472,6 +2573,8 @@ def registry() -> dict[str, tuple]:
             q_gate_drop_vector,
             _sql_gate_drop_vector().replace("{pages}", pages),
         ),
+        # deferred for the same LM-export reason as gate_decisions
+        "gate_then_dedup": (q_gate_then_dedup, _sql_gate_then_dedup),
         # dedup family
         "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
         "dedup_exact_pairs": (q_dedup_exact_pairs, SQL_DEDUP_EXACT_PAIRS),

@@ -217,11 +217,13 @@ def _sql_text_expr() -> str:
     return f"CASE WHEN text = '' THEN text {cases}\n      ELSE text END"
 
 
-def pages_cte() -> str:
+def pages_cte(source: str = "documents") -> str:
     """The synthesis as a DuckDB CTE body over the ``documents`` view —
     byte-identical to :func:`synthesize_pages` by construction. The
-    source is documents ∪ TRIGGER_ROWS, matching the engine-side
-    :func:`trigger_table` union in the gate queries."""
+    source is ``source`` ∪ TRIGGER_ROWS, matching the engine-side
+    :func:`trigger_table` union in the gate queries; pass another
+    (doc_id, text, lang) CTE name to synthesize pages from a derived
+    corpus (e.g. the duplicate-expanded gate_then_dedup input)."""
     trig = "\n      UNION ALL ".join(
         "SELECT {i} AS doc_id, '{t}' AS text, '{l}' AS lang".format(
             i=i, t=t.replace("'", "''"), l=l.replace("'", "''")
@@ -237,7 +239,7 @@ def pages_cte() -> str:
       {_sql_text_expr()} AS text,
       lang
     FROM (
-      SELECT doc_id, text, lang FROM documents
+      SELECT doc_id, text, lang FROM {source}
       UNION ALL {trig}
     ) documents
     """

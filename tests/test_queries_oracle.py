@@ -95,6 +95,12 @@ SQL_BACKED = [
     "train_bigram_lm",
     "shuffle_shards",
     "dedup_incremental",
+    # round 3, third session
+    "pii_scrub",
+    "repetition_scores",
+    "url_canonical",
+    "dedup_urls",
+    "gate_then_dedup",
 ]
 
 
