@@ -254,6 +254,7 @@ BENCH_QUERIES = [
     "quality_classifier",
     "quality_bins",
     "host_sample",
+    "mixture_sample",
     "scrub_boilerplate",
     "knn_cosine",
     "knn_quantized",

@@ -1756,6 +1756,62 @@ QUALIFY row_number() OVER (
 """
 
 
+# --- mixture sampling (data-mixing quotas) ----------------------------
+# Corpus balancing across a 2-level stratum (language × source): the
+# data-mixing step that upweights a target language after the gate.
+# Same deterministic md5-rank machinery as host_sample, exercising the
+# per-key QUOTA path (en strata get a doubled quota). The quota key
+# list is one Python expression shared by the engine dict and the SQL
+# IN-list, so both sides agree on every stratum including unlisted
+# ones (default k).
+_MIX_K = 3
+_MIX_EN_K = 6
+_MIX_EN_KEYS = tuple(f"en|src{i}" for i in range(50))
+
+
+def q_mixture_sample(sf_dir: str):
+    from ..functions.sampling import stratified_sample
+
+    docs = _documents(sf_dir, ["doc_id", "lang", "source"])
+
+    def keyed(b: pa.Table) -> pa.Table:
+        lang = pc.fill_null(b.column("lang"), "")
+        src = pc.fill_null(b.column("source"), "")
+        if isinstance(lang, pa.ChunkedArray):
+            lang = lang.combine_chunks()
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "mix_key": pc.binary_join_element_wise(lang, src, "|"),
+            }
+        )
+
+    keyed_ds = docs.map_batches(keyed, batch_format="pyarrow")
+    return stratified_sample(
+        keyed_ds, "mix_key", k=_MIX_K,
+        quotas={k: _MIX_EN_K for k in _MIX_EN_KEYS},
+    )
+
+
+def _sql_mixture_sample() -> str:
+    enlist = ", ".join(f"'{k}'" for k in _MIX_EN_KEYS)
+    return f"""
+WITH k AS (
+  SELECT doc_id,
+    coalesce(lang, '') || '|' || coalesce(source, '') AS mix_key
+  FROM documents
+)
+SELECT doc_id, mix_key, md5(CAST(doc_id AS VARCHAR)) AS sample_rank
+FROM k
+QUALIFY row_number() OVER (
+  PARTITION BY mix_key
+  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+) <= CASE WHEN mix_key IN ({enlist}) THEN {_MIX_EN_K} ELSE {_MIX_K} END
+"""
+
+
 # --- URL status checking (offline deterministic fetcher) -------------------
 
 
@@ -2611,6 +2667,7 @@ def registry() -> dict[str, tuple]:
             q_host_sample,
             _sql_host_sample().replace("{pages}", pages),
         ),
+        "mixture_sample": (q_mixture_sample, _sql_mixture_sample()),
         # offline URL-status probe (actor pool + per-actor cache)
         "url_status": (
             q_url_status,

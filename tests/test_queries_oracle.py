@@ -101,6 +101,7 @@ SQL_BACKED = [
     "url_canonical",
     "dedup_urls",
     "gate_then_dedup",
+    "mixture_sample",
 ]
 
 
