@@ -23,11 +23,19 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..stages.rules import EMAIL_RE, IP_RE
+
 # (kind, RE2 pattern, replacement) — applied in order. Keep patterns
 # single-quote-free: they are embedded verbatim in SQL string literals.
+# email/ipv4 are the gate catalog's own constants (stages/rules.py),
+# so the two scrub surfaces cannot drift; phone is DELIBERATELY wider
+# than the gate's frozen US-format PHONE_RE — this corpus-wide
+# compliance pass also catches bare international numbers (+44207...),
+# which the oracle-pinned rule catalog must not silently start
+# flagging.
 PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
-    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
-    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("email", EMAIL_RE, "<EMAIL>"),
+    ("ipv4", IP_RE, "<IP>"),
     ("phone", r"\+\d[\d\-]{6,14}\d", "<PHONE>"),
 )
 

@@ -49,9 +49,13 @@ def canonicalize_url_array(url: pa.Array | pa.ChunkedArray) -> pa.Array:
         url = url.combine_chunks()
     s = pc.fill_null(url, "")
     # lowercase scheme+host: head = the anchored prefix match (kept via
-    # \1 from a whole-string rewrite), tail = the string minus it
+    # \1 from a whole-string rewrite), tail = the string minus it.
+    # (?s): crawl URLs can carry mangled whitespace incl. newlines —
+    # without dotall the .*$ rewrite silently no-ops on them and the
+    # tail gets duplicated, diverging from the SQL (whose regexp_extract
+    # has no .*$ and needs no flag)
     head = pc.replace_substring_regex(
-        s, pattern=f"^({SCHEME_HOST[1:]}).*$", replacement=r"\1"
+        s, pattern=f"(?s)^({SCHEME_HOST[1:]}).*$", replacement=r"\1"
     )
     tail = pc.replace_substring_regex(s, pattern=SCHEME_HOST, replacement="")
     s = pc.binary_join_element_wise(pc.utf8_lower(head), tail, "")

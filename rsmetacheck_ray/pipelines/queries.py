@@ -729,10 +729,11 @@ FROM c
 # so a copy receives the SAME text injection as its original
 # (synthesize_pages keys injections on doc_id % 13) — copies stay
 # byte-identical after synthesis and form real dup groups; their
-# urls/timestamps differ (residues mod 11 shift), so the gate
-# genuinely re-decides each copy (a copy can die on a dead-url residue
-# its original missed).
-_GTD_OFFSET = 3_003_000  # 13 × 231 000
+# urls/timestamps differ (the offset is NOT divisible by 11/50/20, so
+# the url template class and its {h}/{k} parts all shift), and the
+# gate genuinely re-decides each copy (a copy can die on a dead-url
+# residue its original missed).
+_GTD_OFFSET = 3_003_013  # 13 × 231 001; %11=2, %50=13, %20=13
 
 
 def q_gate_then_dedup(sf_dir: str):
@@ -815,7 +816,7 @@ FROM decisions WHERE keep GROUP BY st
 _PII_CORPUS_SQL = """
 pii AS (
   SELECT doc_id,
-    text
+    coalesce(text, '')
     || CASE WHEN doc_id % 3 = 0
          THEN ' reach user' || CAST(doc_id AS VARCHAR) || '@mail.example.org'
          ELSE '' END
@@ -858,6 +859,10 @@ def _pii_corpus_stage(b: pa.Table) -> pa.Table:
     text = b.column("text")
     if isinstance(text, pa.ChunkedArray):
         text = text.combine_chunks()
+    # null text = '' on BOTH sides (the SQL CTE coalesces) — otherwise
+    # the join would null out the injected parts here while the oracle
+    # keeps them
+    text = pc.fill_null(text, "")
     return pa.table(
         {
             "doc_id": d,

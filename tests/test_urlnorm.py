@@ -23,6 +23,7 @@ EDGE_URLS = [
     "http://h.com:80?q=1",          # default port before query
     "http://h.com/CaseSensitive/PATH",
     "https://h.com:80/wrong-scheme-port-survives",
+    "Http://A.com/x\ny",  # whitespace-mangled crawl URL (newline)
     "",
 ]
 
