@@ -233,6 +233,7 @@ BENCH_QUERIES = [
     "doc_stats",
     "doc_compression",
     "pii_scrub",
+    "normalize_text",
     "repetition_scores",
     "url_canonical",
     "dedup_urls",

@@ -1050,6 +1050,69 @@ FROM c GROUP BY canonical_url
 """
 
 
+# --- Unicode NFC normalization ----------------------------------------
+# Deterministic decomposed-unicode injection (both sides build the
+# SAME bytes; SQL chr() codepoints == the Python escapes): residues
+# %4∈{0,1} get decomposed sequences that NFC composes, the rest stay
+# pure-ASCII and ride the vectorized fast path.
+_NFC_CORPUS_SQL = """
+u AS (
+  SELECT doc_id,
+    coalesce(text, '')
+    || CASE WHEN doc_id % 4 = 0
+         THEN ' caf' || chr(101) || chr(769)          -- cafe + U+0301
+         WHEN doc_id % 4 = 1
+         THEN ' ' || chr(65) || chr(778) || 'ngstrom' -- A + U+030A
+         ELSE '' END
+    AS text
+  FROM documents
+)
+"""
+
+
+def q_normalize_text(sf_dir: str):
+    """NFC-normalize the corpus: vectorized ASCII screen, per-row
+    C-call only for the non-ASCII minority (functions/textnorm.py)."""
+    from ..functions.textnorm import nfc_normalize_array
+
+    ds = _documents(sf_dir, ["doc_id", "text"])
+
+    def stage(b: pa.Table) -> pa.Table:
+        d = b.column("doc_id")
+        if isinstance(d, pa.ChunkedArray):
+            d = d.combine_chunks()
+        dn = d.to_numpy(zero_copy_only=False)
+        text = b.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        text = pc.fill_null(text, "")
+        empty = pa.scalar("", pa.string())
+        suffix = pc.if_else(
+            pa.array(dn % 4 == 0),
+            pa.scalar(" cafe\u0301", pa.string()),
+            pc.if_else(
+                pa.array(dn % 4 == 1),
+                pa.scalar(" A\u030Angstrom", pa.string()),
+                empty,
+            ),
+        )
+        injected = pc.binary_join_element_wise(text, suffix, "")
+        norm, changed = nfc_normalize_array(injected)
+        return pa.table(
+            {"doc_id": d, "norm_text": norm, "changed": changed}
+        )
+
+    return ds.map_batches(stage, batch_format="pyarrow")
+
+
+SQL_NORMALIZE_TEXT = f"""
+WITH {_NFC_CORPUS_SQL.strip()}
+SELECT doc_id, nfc_normalize(text) AS norm_text,
+       nfc_normalize(text) != text AS changed
+FROM u
+"""
+
+
 # --- repetition signals ----------------------------------------------
 # Line structure derived identically on both sides: ' the ' → newline
 # turns the word salad into multi-line docs whose short segments
@@ -2599,6 +2662,7 @@ def registry() -> dict[str, tuple]:
         "doc_compression": (q_doc_compression, None),  # zlib: non-SQL
         "doc_quality_scores": (q_doc_quality_scores, SQL_DOC_QUALITY),
         "pii_scrub": (q_pii_scrub, _sql_pii_scrub()),
+        "normalize_text": (q_normalize_text, SQL_NORMALIZE_TEXT),
         "repetition_scores": (q_repetition_scores, SQL_REPETITION),
         "url_canonical": (q_url_canonical, _sql_url_canonical()),
         "dedup_urls": (q_dedup_urls, _sql_dedup_urls()),

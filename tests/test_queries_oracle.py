@@ -102,6 +102,7 @@ SQL_BACKED = [
     "dedup_urls",
     "gate_then_dedup",
     "mixture_sample",
+    "normalize_text",
 ]
 
 
