@@ -10,6 +10,8 @@ Usage::
     python -m rsmetacheck_ray.cli evidence --out <out_dir> [--dest <parquet_dir>]
     python -m rsmetacheck_ray.cli kept --out <out_dir> --dest <parquet_dir>
     python -m rsmetacheck_ray.cli dedup --out <out_dir> --dest <parquet_dir>
+    python -m rsmetacheck_ray.cli query <name> --sf-dir <tables_dir> \
+        [--dest <parquet>]        # any registry operator; --list for names
 
 On a real cluster the same module runs unchanged via
 ``ray job submit -- python -m rsmetacheck_ray.cli gate ...`` — the
@@ -64,11 +66,34 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--out", required=True)
     d.add_argument("--dest", required=True)
 
+    q = sub.add_parser(
+        "query",
+        help="run a registry operator over an sf-style table directory "
+        "(use `query --list` for names)",
+    )
+    q.add_argument("name", nargs="?", help="registry query name")
+    q.add_argument("--sf-dir", default=None,
+                   help="directory with the parquet tables")
+    q.add_argument("--dest", default=None,
+                   help="write result parquet here instead of a sample")
+    q.add_argument("--list", action="store_true", dest="list_queries",
+                   help="print available query names and exit")
+
     args = ap.parse_args(argv)
+
+    if args.cmd == "query" and args.list_queries:
+        from .pipelines.queries import registry
+
+        for name in sorted(registry()):
+            print(name)
+        return 0
+    if args.cmd == "query" and (not args.name or not args.sf_dir):
+        ap.error("query requires NAME and --sf-dir (or --list)")
 
     import ray
 
-    if not ray.is_initialized():
+    started_here = not ray.is_initialized()
+    if started_here:
         kw = {"address": "local", "include_dashboard": False}
         if args.cmd == "gate" and args.num_cpus:
             kw["num_cpus"] = args.num_cpus
@@ -132,8 +157,41 @@ def main(argv: list[str] | None = None) -> int:
         agg = agg.select_columns(["url", "dup_count"])
         agg.write_parquet(args.dest)
         print(json.dumps({"rows": agg.count(), "dest": args.dest}))
+    elif args.cmd == "query":
+        from .pipelines.queries import registry
 
-    ray.shutdown()
+        reg = registry()
+        if args.name not in reg:
+            print(json.dumps({"error": f"unknown query {args.name!r}"}))
+            if started_here:
+                ray.shutdown()
+            return 2
+        res = reg[args.name][0](args.sf_dir)
+        if args.dest:
+            if hasattr(res, "write_parquet"):
+                res.write_parquet(args.dest)
+                n = res.count()
+            else:  # pandas / pyarrow result
+                import pyarrow as pa
+                import pyarrow.parquet as pq
+
+                t = res if isinstance(res, pa.Table) else pa.Table.from_pandas(res)
+                pq.write_table(t, args.dest)
+                n = t.num_rows
+            print(json.dumps({"rows": n, "dest": args.dest}))
+        else:
+            rows = (
+                res.take(10)
+                if hasattr(res, "take")
+                else res.head(10).to_dict("records")
+            )
+            for row in rows:
+                print(json.dumps(row, sort_keys=True, default=str))
+
+    # only tear down a Ray session this invocation created — an
+    # embedding caller (tests, a driving script) owns its own session
+    if started_here:
+        ray.shutdown()
     return 0
 
 

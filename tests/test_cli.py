@@ -1,0 +1,56 @@
+"""CLI surface (rsmetacheck_ray/cli.py): the query subcommand — list,
+sample output, parquet export, unknown-name failure. Runs in-process
+against the session Ray fixture (cli.main only initializes Ray when
+none is active)."""
+
+from __future__ import annotations
+
+import json
+
+import pyarrow.parquet as pq
+
+from rsmetacheck_ray.cli import main
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_query_list(capsys):
+    assert main(["query", "--list"]) == 0
+    names = capsys.readouterr().out.split()
+    assert "dedup_exact" in names and "gate_then_dedup" in names
+    assert names == sorted(names)
+
+
+def test_query_sample(ray_session, capsys):
+    assert main(["query", "url_canonical", "--sf-dir", SF_DIR]) == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    assert 0 < len(lines) <= 10
+    row = json.loads(lines[0])
+    assert {"doc_id", "url", "canonical_url"} <= set(row)
+
+
+def test_query_export(ray_session, tmp_path, capsys):
+    dest = str(tmp_path / "out.parquet")
+    assert main(
+        ["query", "doc_stats", "--sf-dir", SF_DIR, "--dest", dest]
+    ) == 0
+    info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert info["rows"] > 0
+    # Dataset.write_parquet writes a directory of fragments
+    import os
+
+    total = (
+        sum(
+            pq.read_metadata(os.path.join(dest, f)).num_rows
+            for f in os.listdir(dest)
+            if f.endswith(".parquet")
+        )
+        if os.path.isdir(dest)
+        else pq.read_metadata(dest).num_rows
+    )
+    assert total == info["rows"]
+
+
+def test_query_unknown_name(ray_session, capsys):
+    assert main(["query", "nope_not_a_query", "--sf-dir", SF_DIR]) == 2
+    assert "unknown query" in capsys.readouterr().out
