@@ -237,6 +237,7 @@ BENCH_QUERIES = [
     "repetition_scores",
     "url_canonical",
     "dedup_urls",
+    "dedup_lines",
     "dedup_exact",
     "dedup_incremental",
     "dedup_minhash_pairs",

@@ -1165,6 +1165,57 @@ FROM g GROUP BY doc_id
 """
 
 
+def q_dedup_lines(sf_dir: str):
+    """Corpus-wide first-occurrence line dedup (functions/linededup.py)
+    over the derived multi-line corpus — the C4-lineage span-dedup
+    shape: every later instance of a duplicated line is removed, the
+    first survives, documents are reassembled in order."""
+    from ..functions.linededup import dedup_lines
+
+    ds = _documents(sf_dir, ["doc_id", "text"])
+
+    def to_lines(b: pa.Table) -> pa.Table:
+        text = b.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "text": pc.replace_substring(
+                    pc.fill_null(text, ""), pattern=" the ", replacement="\n"
+                ),
+            }
+        )
+
+    return dedup_lines(ds.map_batches(to_lines, batch_format="pyarrow"))
+
+
+SQL_DEDUP_LINES = f"""
+WITH {_LINE_CORPUS_SQL.strip()},
+l AS (
+  SELECT doc_id,
+    unnest(string_split(text, chr(10))) AS line,
+    unnest(generate_series(1, len(string_split(text, chr(10))))) AS pos
+  FROM line_corpus
+),
+firsts AS (
+  SELECT line, min(doc_id * 1048576 + pos) AS mp FROM l GROUP BY line
+),
+k AS (
+  SELECT l.doc_id, l.pos, l.line,
+         (l.doc_id * 1048576 + l.pos) = f.mp AS kept
+  FROM l JOIN firsts f USING (line)
+)
+SELECT doc_id,
+  coalesce(
+    string_agg(CASE WHEN kept THEN line END, chr(10) ORDER BY pos), ''
+  ) AS dedup_text,
+  CAST(count(*) AS BIGINT) AS n_lines,
+  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS kept_lines
+FROM k GROUP BY doc_id
+"""
+
+
 def q_dedup_exact(sf_dir: str):
     return dd.exact_dedup_groups(_dup_corpus(sf_dir))
 
@@ -2666,6 +2717,7 @@ def registry() -> dict[str, tuple]:
         "repetition_scores": (q_repetition_scores, SQL_REPETITION),
         "url_canonical": (q_url_canonical, _sql_url_canonical()),
         "dedup_urls": (q_dedup_urls, _sql_dedup_urls()),
+        "dedup_lines": (q_dedup_lines, SQL_DEDUP_LINES),
         "quality_classifier": (
             q_quality_classifier, _sql_quality_classifier(),
         ),

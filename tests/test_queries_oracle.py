@@ -103,6 +103,7 @@ SQL_BACKED = [
     "gate_then_dedup",
     "mixture_sample",
     "normalize_text",
+    "dedup_lines",
 ]
 
 
