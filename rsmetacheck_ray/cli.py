@@ -89,6 +89,17 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     if args.cmd == "query" and (not args.name or not args.sf_dir):
         ap.error("query requires NAME and --sf-dir (or --list)")
+    if args.cmd == "query":
+        # validate the name BEFORE paying Ray startup
+        from .pipelines.queries import registry
+
+        _reg = registry()
+        if args.name not in _reg:
+            print(
+                json.dumps({"error": f"unknown query {args.name!r}"}),
+                file=sys.stderr,
+            )
+            return 2
 
     import ray
 
@@ -158,33 +169,35 @@ def main(argv: list[str] | None = None) -> int:
         agg.write_parquet(args.dest)
         print(json.dumps({"rows": agg.count(), "dest": args.dest}))
     elif args.cmd == "query":
-        from .pipelines.queries import registry
+        import pyarrow as pa
+        import pyarrow.parquet as pq
 
-        reg = registry()
-        if args.name not in reg:
-            print(json.dumps({"error": f"unknown query {args.name!r}"}))
-            if started_here:
-                ray.shutdown()
-            return 2
-        res = reg[args.name][0](args.sf_dir)
+        res = _reg[args.name][0](args.sf_dir)
+        is_dataset = hasattr(res, "write_parquet")
         if args.dest:
-            if hasattr(res, "write_parquet"):
+            if is_dataset:
                 res.write_parquet(args.dest)
-                n = res.count()
-            else:  # pandas / pyarrow result
-                import pyarrow as pa
-                import pyarrow.parquet as pq
+                # row count from the written footers — a Dataset is
+                # lazy, so res.count() would re-run the whole pipeline
+                import os
 
+                n = sum(
+                    pq.read_metadata(os.path.join(args.dest, f)).num_rows
+                    for f in os.listdir(args.dest)
+                    if f.endswith(".parquet")
+                )
+            else:  # pandas / pyarrow result
                 t = res if isinstance(res, pa.Table) else pa.Table.from_pandas(res)
                 pq.write_table(t, args.dest)
                 n = t.num_rows
             print(json.dumps({"rows": n, "dest": args.dest}))
         else:
-            rows = (
-                res.take(10)
-                if hasattr(res, "take")
-                else res.head(10).to_dict("records")
-            )
+            if is_dataset:
+                rows = res.take(10)
+            elif isinstance(res, pa.Table):
+                rows = res.slice(0, 10).to_pylist()
+            else:  # pandas
+                rows = res.head(10).to_dict("records")
             for row in rows:
                 print(json.dumps(row, sort_keys=True, default=str))
 

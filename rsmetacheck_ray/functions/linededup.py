@@ -86,6 +86,13 @@ def _explode(batch: pa.Table, text_col: str, id_col: str, n_parts: int) -> pa.Ta
     doc = np.repeat(ids, counts)
     # position within the doc, 1-based (matches SQL generate_series)
     pos = np.arange(len(flat), dtype=np.int64) - np.repeat(off[:-1], counts) + 1
+    # enforce the packed-order bound instead of silently corrupting:
+    # pos >= 2^POS_BITS would OR into doc-id bits without carrying
+    if len(counts) and counts.max() >= (1 << POS_BITS):
+        raise ValueError(
+            f"document with {int(counts.max())} lines exceeds the "
+            f"2^{POS_BITS} packed-position bound; raise POS_BITS"
+        )
     lo, hi = hash_str_arrow_u128(flat)
     part = (splitmix64_np(lo) % n_parts).astype(np.int64)
     return pa.table(
@@ -164,11 +171,14 @@ def dedup_lines(
         n_docs = len(doc_ids)
         doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), sizes)
         kept_per_doc = np.bincount(doc_idx[kept_s], minlength=n_docs)
+        # int64 offsets: one doc-PARTITION (unlike boilerplate.py's
+        # per-batch lists) can legitimately hold >= 2^31 line items
+        # when num_partitions is forced low or doc keys are skewed
         offsets = np.concatenate(
-            [np.zeros(1, np.int32), np.cumsum(kept_per_doc, dtype=np.int32)]
+            [np.zeros(1, np.int64), np.cumsum(kept_per_doc, dtype=np.int64)]
         )
-        kept_list = pa.ListArray.from_arrays(
-            pa.array(offsets, pa.int32()), line_s.filter(pa.array(kept_s))
+        kept_list = pa.LargeListArray.from_arrays(
+            pa.array(offsets, pa.int64()), line_s.filter(pa.array(kept_s))
         )
         return pa.table(
             {

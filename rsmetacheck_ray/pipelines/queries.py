@@ -1119,28 +1119,38 @@ FROM u
 # repeat naturally, so the duplicate-line tallies are non-vacuous.
 _LINE_CORPUS_SQL = """
 line_corpus AS (
-  SELECT doc_id, replace(text, ' the ', chr(10)) AS text FROM documents
+  SELECT doc_id, replace(coalesce(text, ''), ' the ', chr(10)) AS text
+  FROM documents
 )
 """
+
+
+def _to_line_corpus(b: pa.Table) -> pa.Table:
+    """The Ray twin of _LINE_CORPUS_SQL — ONE shared derivation for
+    every line-level operator (repetition_scores, dedup_lines), so the
+    split rule cannot drift between them. Null text = '' on both sides
+    (the CTE coalesces)."""
+    text = b.column("text")
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    return pa.table(
+        {
+            "doc_id": b.column("doc_id"),
+            "text": pc.replace_substring(
+                pc.fill_null(text, ""), pattern=" the ", replacement="\n"
+            ),
+        }
+    )
 
 
 def q_repetition_scores(sf_dir: str):
     from ..functions.repetition import repetition_stage
 
     ds = _documents(sf_dir, ["doc_id", "text"])
-
-    def stage(b: pa.Table) -> pa.Table:
-        text = b.column("text")
-        if isinstance(text, pa.ChunkedArray):
-            text = text.combine_chunks()
-        text = pc.replace_substring(
-            pc.fill_null(text, ""), pattern=" the ", replacement="\n"
-        )
-        return repetition_stage(
-            pa.table({"doc_id": b.column("doc_id"), "text": text})
-        )
-
-    return ds.map_batches(stage, batch_format="pyarrow")
+    return ds.map_batches(
+        lambda b: repetition_stage(_to_line_corpus(b)),
+        batch_format="pyarrow",
+    )
 
 
 SQL_REPETITION = f"""
@@ -1173,21 +1183,9 @@ def q_dedup_lines(sf_dir: str):
     from ..functions.linededup import dedup_lines
 
     ds = _documents(sf_dir, ["doc_id", "text"])
-
-    def to_lines(b: pa.Table) -> pa.Table:
-        text = b.column("text")
-        if isinstance(text, pa.ChunkedArray):
-            text = text.combine_chunks()
-        return pa.table(
-            {
-                "doc_id": b.column("doc_id"),
-                "text": pc.replace_substring(
-                    pc.fill_null(text, ""), pattern=" the ", replacement="\n"
-                ),
-            }
-        )
-
-    return dedup_lines(ds.map_batches(to_lines, batch_format="pyarrow"))
+    return dedup_lines(
+        ds.map_batches(_to_line_corpus, batch_format="pyarrow")
+    )
 
 
 SQL_DEDUP_LINES = f"""

@@ -51,6 +51,7 @@ def test_query_export(ray_session, tmp_path, capsys):
     assert total == info["rows"]
 
 
-def test_query_unknown_name(ray_session, capsys):
+def test_query_unknown_name(capsys):
+    # validated pre-Ray-init (no session needed), error on stderr
     assert main(["query", "nope_not_a_query", "--sf-dir", SF_DIR]) == 2
-    assert "unknown query" in capsys.readouterr().out
+    assert "unknown query" in capsys.readouterr().err
