@@ -1214,6 +1214,60 @@ FROM k GROUP BY doc_id
 """
 
 
+def q_dedup_spans(sf_dir: str):
+    """ExactSubstr-shaped duplicated-span removal (Lee et al. 2021),
+    W=5 word grams over the raw documents: every word position covered
+    by a non-first occurrence of a corpus-duplicated 5-gram is
+    removed, the corpus-first occurrence survives, documents are
+    rejoined with single spaces. Catches repeated PHRASES inside lines
+    that dedup_lines cannot see."""
+    from ..functions.spandedup import dedup_spans
+
+    return dedup_spans(_documents(sf_dir, ["doc_id", "text"]))
+
+
+# keep-first over (doc_id, pos) packed order — 16777216 = 2^POS_BITS
+# mirrors spandedup.POS_BITS=24; grams group on the STRINGS, so a
+# 128-bit hash collision in the engine would surface here
+SQL_DEDUP_SPANS = """
+WITH words AS (
+  SELECT doc_id,
+         unnest(string_split(coalesce(text, ''), ' ')) AS word,
+         unnest(generate_series(1, len(string_split(coalesce(text, ''), ' ')))) AS pos,
+         len(string_split(coalesce(text, ''), ' ')) AS nw
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, pos,
+         word || ' ' || lead(word, 1) OVER w || ' ' || lead(word, 2) OVER w
+              || ' ' || lead(word, 3) OVER w || ' ' || lead(word, 4) OVER w AS gram
+  FROM words
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY pos + 4 <= nw
+),
+firsts AS (
+  SELECT gram, min(doc_id * 16777216 + pos) AS mp FROM grams GROUP BY gram
+),
+removed AS (
+  SELECT DISTINCT g.doc_id, g.pos + t.d AS rpos
+  FROM grams g
+  JOIN firsts f USING (gram)
+  CROSS JOIN generate_series(0, 4) AS t(d)
+  WHERE g.doc_id * 16777216 + g.pos <> f.mp
+)
+SELECT w.doc_id,
+  coalesce(
+    string_agg(CASE WHEN r.rpos IS NULL THEN w.word END, ' ' ORDER BY w.pos),
+    ''
+  ) AS clean_text,
+  CAST(count(*) AS BIGINT) AS n_words,
+  CAST(count(*) - count(r.rpos) AS BIGINT) AS kept_words
+FROM words w
+LEFT JOIN removed r ON r.doc_id = w.doc_id AND r.rpos = w.pos
+GROUP BY w.doc_id
+"""
+
+
 def q_dedup_exact(sf_dir: str):
     return dd.exact_dedup_groups(_dup_corpus(sf_dir))
 
@@ -2716,6 +2770,7 @@ def registry() -> dict[str, tuple]:
         "url_canonical": (q_url_canonical, _sql_url_canonical()),
         "dedup_urls": (q_dedup_urls, _sql_dedup_urls()),
         "dedup_lines": (q_dedup_lines, SQL_DEDUP_LINES),
+        "dedup_spans": (q_dedup_spans, SQL_DEDUP_SPANS),
         "quality_classifier": (
             q_quality_classifier, _sql_quality_classifier(),
         ),
