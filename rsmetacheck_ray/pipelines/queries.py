@@ -2310,6 +2310,71 @@ def _documents_rows(sf_dir: str) -> int:
     ).metadata.num_rows
 
 
+def q_importance_weights(sf_dir: str):
+    """DSIR-style data-selection importance weights (functions/
+    dsir.py): per-doc add-one-smoothed unigram log likelihood ratio of
+    the English target slice vs the raw corpus, quantized to integer
+    nano-log-units so the per-doc sum is order-independent and
+    hash-matches the SQL oracle exactly."""
+    from ..functions.dsir import dsir_weights
+
+    ds = _documents(sf_dir, ["doc_id", "text", "lang"])
+
+    def tag(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "is_target", pc.equal(pc.fill_null(b.column("lang"), ""), "en")
+        )
+
+    return dsir_weights(
+        ds.map_batches(tag, batch_format="pyarrow"), target_col="is_target"
+    )
+
+
+def _sql_importance_weights() -> str:
+    from ..functions.tokenize import WS_TOKEN_RE
+
+    return f"""
+WITH tok AS (
+  SELECT doc_id, lang,
+         unnest(regexp_extract_all(coalesce(text, ''), '{WS_TOKEN_RE}')) AS token
+  FROM documents
+),
+counts AS (
+  SELECT token,
+         CAST(count(*) AS BIGINT) AS c_r,
+         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS c_t
+  FROM tok GROUP BY token
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS v,
+         CAST(sum(c_r) AS BIGINT) AS n_r,
+         CAST(sum(c_t) AS BIGINT) AS n_t
+  FROM counts
+),
+terms AS (
+  -- floor to integer nano-log-units: the per-doc sum becomes an
+  -- integer sum, order-independent on both sides (see dsir.py)
+  SELECT token,
+    CAST(floor(((ln(CAST(c_t + 1 AS DOUBLE)) - ln(CAST(n_t + v AS DOUBLE)))
+              - (ln(CAST(c_r + 1 AS DOUBLE)) - ln(CAST(n_r + v AS DOUBLE))))
+         * 1000000000.0) AS BIGINT) AS term_fp
+  FROM counts, tot
+),
+per_doc AS (
+  SELECT t.doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(m.term_fp) AS BIGINT) AS wfp
+  FROM tok t JOIN terms m USING (token)
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+  coalesce(p.n_tokens, 0) AS n_tokens,
+  coalesce(p.wfp, 0) AS log_weight_fp,
+  CAST(coalesce(p.wfp, 0) AS DOUBLE) / 1000000000.0 AS log_weight
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
 def q_tfidf_top_terms(sf_dir: str):
     """Top-5 TF-IDF terms per document (functions/tfidf.py): one
     partial-combined DF pass, then a size-gated broadcast (bench
@@ -2825,6 +2890,7 @@ def registry() -> dict[str, tuple]:
         "chunk_tokens": (q_chunk_tokens, _sql_chunk_tokens()),
         "top_tokens": (q_top_tokens, _sql_top_tokens()),
         "tfidf_top_terms": (q_tfidf_top_terms, _sql_tfidf_top_terms()),
+        "importance_weights": (q_importance_weights, _sql_importance_weights()),
         "train_bigram_lm": (q_train_bigram_lm, _sql_train_bigram_lm()),
         "shuffle_shards": (q_shuffle_shards, _sql_shuffle_shards()),
         "bpe_merges": (q_bpe_merges, None),  # iterative greedy (non-SQL)
