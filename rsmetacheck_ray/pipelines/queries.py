@@ -2330,6 +2330,43 @@ def q_importance_weights(sf_dir: str):
     )
 
 
+_IMPORTANCE_K = 100
+
+
+def q_importance_sample(sf_dir: str):
+    """The DSIR resampling step: keep the top-k documents by
+    importance weight (wfp DESC, doc_id ASC — fully deterministic
+    under weight ties). Per-block top-k prune bounds the final sort to
+    (#blocks × k) rows (the top_tokens discipline)."""
+    ds = q_importance_weights(sf_dir)
+    k = _IMPORTANCE_K
+
+    def block_topk(b: pa.Table) -> pa.Table:
+        if b.num_rows <= k:
+            return b
+        idx = pc.sort_indices(
+            b,
+            sort_keys=[
+                ("log_weight_fp", "descending"),
+                ("doc_id", "ascending"),
+            ],
+        )
+        return b.take(idx.slice(0, k))
+
+    return (
+        ds.map_batches(block_topk, batch_format="pyarrow")
+        .sort(["log_weight_fp", "doc_id"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def _sql_importance_sample() -> str:
+    return (
+        _sql_importance_weights()
+        + f" ORDER BY log_weight_fp DESC, doc_id ASC LIMIT {_IMPORTANCE_K}"
+    )
+
+
 def _sql_importance_weights() -> str:
     from ..functions.tokenize import WS_TOKEN_RE
 
@@ -2891,6 +2928,7 @@ def registry() -> dict[str, tuple]:
         "top_tokens": (q_top_tokens, _sql_top_tokens()),
         "tfidf_top_terms": (q_tfidf_top_terms, _sql_tfidf_top_terms()),
         "importance_weights": (q_importance_weights, _sql_importance_weights()),
+        "importance_sample": (q_importance_sample, _sql_importance_sample()),
         "train_bigram_lm": (q_train_bigram_lm, _sql_train_bigram_lm()),
         "shuffle_shards": (q_shuffle_shards, _sql_shuffle_shards()),
         "bpe_merges": (q_bpe_merges, None),  # iterative greedy (non-SQL)
