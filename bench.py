@@ -238,6 +238,8 @@ BENCH_QUERIES = [
     "url_canonical",
     "dedup_urls",
     "dedup_lines",
+    "dedup_spans",
+    "importance_weights",
     "dedup_exact",
     "dedup_incremental",
     "dedup_minhash_pairs",

@@ -1228,14 +1228,17 @@ def q_dedup_spans(sf_dir: str):
 
 # keep-first over (doc_id, pos) packed order — 16777216 = 2^POS_BITS
 # mirrors spandedup.POS_BITS=24; grams group on the STRINGS, so a
-# 128-bit hash collision in the engine would surface here
-SQL_DEDUP_SPANS = """
-WITH words AS (
+# 128-bit hash collision in the engine would surface here. The tail is
+# source-parameterized so pipeline compositions (curate_corpus) can run
+# the same dedup over a derived corpus CTE.
+def _sql_dedup_spans_tail(source: str) -> str:
+    return f"""
+words AS (
   SELECT doc_id,
          unnest(string_split(coalesce(text, ''), ' ')) AS word,
          unnest(generate_series(1, len(string_split(coalesce(text, ''), ' ')))) AS pos,
          len(string_split(coalesce(text, ''), ' ')) AS nw
-  FROM documents
+  FROM {source}
 ),
 grams AS (
   SELECT doc_id, pos,
@@ -1265,6 +1268,45 @@ SELECT w.doc_id,
 FROM words w
 LEFT JOIN removed r ON r.doc_id = w.doc_id AND r.rpos = w.pos
 GROUP BY w.doc_id
+"""
+
+
+SQL_DEDUP_SPANS = "WITH " + _sql_dedup_spans_tail("documents")
+
+
+def q_curate_corpus(sf_dir: str):
+    """The full curation composition a training-data pipeline runs:
+    synthesize → quality gate (extract → langid → perplexity → rules
+    + scrub) → filter keep → cross-document duplicated-span removal
+    over the gate's OWN scrubbed text (never re-read, never
+    re-scrubbed). The whole thing is one streaming lineage: gate rows
+    flow straight into the span-dedup's gram shuffle. Oracled end to
+    end including the LM half of the keep decision."""
+    from ..functions.spandedup import dedup_spans
+
+    gated = _gated(sf_dir)
+
+    def kept_text(b: pa.Table) -> pa.Table:
+        f = b.filter(b.column("keep").combine_chunks())
+        return pa.table(
+            {"doc_id": f.column("doc_id"), "text": f.column("scrubbed_text")}
+        )
+
+    return dedup_spans(gated.map_batches(kept_text, batch_format="pyarrow"))
+
+
+def _sql_curate_corpus() -> str:
+    # plain .replace for {pages}, not str.format — the embedded rule
+    # regexes contain literal braces that format would eat
+    return f"""
+WITH {_sql_gate_flags_ctes().strip().replace("{pages}", pages_cte())},
+{_sql_bpc_ctes().strip()},
+kept AS (
+  SELECT f.doc_id, {_scrub_sql_expr("pg.text")} AS text
+  FROM flags f JOIN bpc p USING (doc_id) JOIN pages pg USING (doc_id)
+  WHERE {_sql_keep_expr()}
+),
+{_sql_dedup_spans_tail("kept").strip()}
 """
 
 
@@ -2873,6 +2915,7 @@ def registry() -> dict[str, tuple]:
         "dedup_urls": (q_dedup_urls, _sql_dedup_urls()),
         "dedup_lines": (q_dedup_lines, SQL_DEDUP_LINES),
         "dedup_spans": (q_dedup_spans, SQL_DEDUP_SPANS),
+        "curate_corpus": (q_curate_corpus, _sql_curate_corpus()),
         "quality_classifier": (
             q_quality_classifier, _sql_quality_classifier(),
         ),
