@@ -255,18 +255,15 @@ def dsir_weights(
 
     # --- shuffle plan: token-keyed join with per-partition per-doc ---
     # --- pre-combine, then one groupby(doc_id) over partial rows   ---
+    # ~40-60 per-(doc, token) rows per document enter the shuffle —
+    # adaptive_partitions' contract wants the POST-fan-out row count
     n_parts = num_partitions or adaptive_partitions(
-        parquet_rows_hint(ds), row_bytes=48
+        (parquet_rows_hint(ds) or 0) * 48 or None, row_bytes=48
     )
-    from .hashing import hash_bytes_u64
+    from .hashing import token_partitions
 
     def _token_parts(tokens: np.ndarray) -> np.ndarray:
-        uniq, inv = np.unique(tokens, return_inverse=True)
-        uh = np.array(
-            [hash_bytes_u64(s.encode("utf-8")) for s in uniq],
-            dtype=np.uint64,
-        )
-        return ((uh % np.uint64(n_parts)).astype(np.int64))[inv]
+        return token_partitions(tokens, n_parts)
 
     def tf_rows(b: pa.Table) -> pa.Table:
         """Per-(doc, token) occurrence counts, side 0 — the same

@@ -143,6 +143,21 @@ def hash_str_array_u64(values, seed: int = 0) -> np.ndarray:
     return out
 
 
+def token_partitions(tokens: np.ndarray, n_parts: int) -> np.ndarray:
+    """Deterministic hashed partition per token — the routing key of
+    every token-keyed shuffle join (tfidf.py, dsir.py). Vectorized
+    ``hash_str_arrow_u128`` over the batch's UNIQUE vocabulary, no
+    per-token Python (builtin ``hash()`` is seed-randomized across
+    workers and must never route a shuffle)."""
+    import pyarrow as pa
+
+    if len(tokens) == 0:
+        return np.empty(0, np.int64)
+    uniq, inv = np.unique(tokens, return_inverse=True)
+    lo, _ = hash_str_arrow_u128(pa.array(uniq.tolist(), pa.string()))
+    return ((splitmix64_np(lo) % np.uint64(n_parts)).astype(np.int64))[inv]
+
+
 def content_hash_fingerprint() -> str:
     """Short hex fingerprint of the CURRENT content-hash regime.
 

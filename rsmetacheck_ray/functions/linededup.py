@@ -93,6 +93,12 @@ def _explode(batch: pa.Table, text_col: str, id_col: str, n_parts: int) -> pa.Ta
             f"document with {int(counts.max())} lines exceeds the "
             f"2^{POS_BITS} packed-position bound; raise POS_BITS"
         )
+    # same discipline for the id half of the packed key: a silent
+    # wrap past 2^(63-POS_BITS) would misroute kept-line decisions
+    if len(ids) and (ids.min() < 0 or ids.max() >= (1 << (63 - POS_BITS))):
+        raise ValueError(
+            f"doc_id outside [0, 2^{63 - POS_BITS}) packed-order range"
+        )
     lo, hi = hash_str_arrow_u128(flat)
     part = (splitmix64_np(lo) % n_parts).astype(np.int64)
     return pa.table(

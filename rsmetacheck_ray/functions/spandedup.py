@@ -92,6 +92,13 @@ def _explode_grams(
             f"document with {int(counts.max())} words exceeds the "
             f"2^{POS_BITS} packed-position bound; raise POS_BITS"
         )
+    # doc << POS_BITS would wrap SILENTLY past 2^(63-POS_BITS) and
+    # route removals to the wrong documents — validate like the pos
+    # bound above (e.g. hash-derived 64-bit ids are out of range)
+    if len(ids) and (ids.min() < 0 or ids.max() >= (1 << (63 - POS_BITS))):
+        raise ValueError(
+            f"doc_id outside [0, 2^{63 - POS_BITS}) packed-order range"
+        )
     t = len(flat)
     if t < w:
         return _GRAM_SCHEMA.empty_table()

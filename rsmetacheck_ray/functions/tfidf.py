@@ -252,20 +252,15 @@ def tfidf_top_terms(
         )
 
     # --- shuffle plan: term-keyed join, then doc-keyed top-k ---------
+    # ~40-60 per-(doc, term) rows per document enter the shuffle —
+    # adaptive_partitions' contract wants the POST-fan-out row count
     n_parts = num_partitions or adaptive_partitions(
-        parquet_rows_hint(ds), row_bytes=48
+        (parquet_rows_hint(ds) or 0) * 48 or None, row_bytes=48
     )
-    from .hashing import hash_bytes_u64
+    from .hashing import token_partitions
 
     def _term_parts(terms: np.ndarray) -> np.ndarray:
-        """Deterministic term partition — blake2b per UNIQUE term
-        (builtin hash() is seed-randomized; sampling.py discipline)."""
-        uniq, inv = np.unique(terms, return_inverse=True)
-        uh = np.array(
-            [hash_bytes_u64(s.encode("utf-8")) for s in uniq],
-            dtype=np.uint64,
-        )
-        return ((uh % np.uint64(n_parts)).astype(np.int64))[inv]
+        return token_partitions(terms, n_parts)
 
     def tf_rows(b: pa.Table) -> pa.Table:
         doc, term, tf = _batch_tf(b, text_col, id_col)

@@ -1292,7 +1292,14 @@ def q_curate_corpus(sf_dir: str):
             {"doc_id": f.column("doc_id"), "text": f.column("scrubbed_text")}
         )
 
-    return dedup_spans(gated.map_batches(kept_text, batch_format="pyarrow"))
+    # dedup_spans consumes its input in TWO branches (gram stream +
+    # doc-row stream); without a checkpoint the streaming executor
+    # would re-run the whole gate once per branch. Materialize the
+    # (small, post-filter) kept projection — the production analog is
+    # run_gate's partitioned parquet docs dir, which span dedup would
+    # read twice for the price of two column-pruned scans.
+    kept = gated.map_batches(kept_text, batch_format="pyarrow").materialize()
+    return dedup_spans(kept)
 
 
 def _sql_curate_corpus() -> str:
@@ -2306,20 +2313,8 @@ def q_top_tokens(sf_dir: str, k: int = _TOPK_TOKENS):
     counts = ds.map_batches(partial, batch_format="pyarrow").groupby(
         "token"
     ).aggregate(Sum("n", alias_name="n"))
-
-    def block_topk(b: pa.Table) -> pa.Table:
-        if b.num_rows <= k:
-            return b
-        idx = pc.sort_indices(
-            b,
-            sort_keys=[("n", "descending"), ("token", "ascending")],
-        )
-        return b.take(idx.slice(0, k))
-
-    return (
-        counts.map_batches(block_topk, batch_format="pyarrow")
-        .sort(["n", "token"], descending=[True, False])
-        .limit(k)
+    return _sorted_topk(
+        counts, [("n", "descending"), ("token", "ascending")], k
     )
 
 
@@ -2375,30 +2370,37 @@ def q_importance_weights(sf_dir: str):
 _IMPORTANCE_K = 100
 
 
-def q_importance_sample(sf_dir: str):
-    """The DSIR resampling step: keep the top-k documents by
-    importance weight (wfp DESC, doc_id ASC — fully deterministic
-    under weight ties). Per-block top-k prune bounds the final sort to
-    (#blocks × k) rows (the top_tokens discipline)."""
-    ds = q_importance_weights(sf_dir)
-    k = _IMPORTANCE_K
+def _sorted_topk(ds: rd.Dataset, sort_keys, k: int) -> rd.Dataset:
+    """Global top-k under a total order: per-block top-k prune bounds
+    the final sort to (#blocks × k) rows — the global top-k is always
+    a subset of the union of per-block top-ks under a TOTAL order, so
+    ``sort_keys`` must break every tie. Shared by ``top_tokens`` and
+    ``importance_sample``."""
 
     def block_topk(b: pa.Table) -> pa.Table:
         if b.num_rows <= k:
             return b
-        idx = pc.sort_indices(
-            b,
-            sort_keys=[
-                ("log_weight_fp", "descending"),
-                ("doc_id", "ascending"),
-            ],
-        )
+        idx = pc.sort_indices(b, sort_keys=sort_keys)
         return b.take(idx.slice(0, k))
 
     return (
         ds.map_batches(block_topk, batch_format="pyarrow")
-        .sort(["log_weight_fp", "doc_id"], descending=[True, False])
+        .sort(
+            [c for c, _ in sort_keys],
+            descending=[d == "descending" for _, d in sort_keys],
+        )
         .limit(k)
+    )
+
+
+def q_importance_sample(sf_dir: str):
+    """The DSIR resampling step: keep the top-k documents by
+    importance weight (wfp DESC, doc_id ASC — fully deterministic
+    under weight ties)."""
+    return _sorted_topk(
+        q_importance_weights(sf_dir),
+        [("log_weight_fp", "descending"), ("doc_id", "ascending")],
+        _IMPORTANCE_K,
     )
 
 
