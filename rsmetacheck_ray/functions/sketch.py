@@ -324,3 +324,135 @@ def bloom_contains(bits: np.ndarray, vals: np.ndarray) -> np.ndarray:
                >> (idx & np.uint64(7)).astype(np.uint8)) & 1
         out &= bit.astype(bool)
     return out
+
+
+# ---------------------------------------------------------------------------
+# mergeable quantile sketch (MRL / KLL-family, uniform buffer capacity)
+# ---------------------------------------------------------------------------
+# Manku–Rajagopalan–Lindsay-style compacting quantile summary: each
+# level l holds a sorted buffer of ≤ MRL_K values, every value at
+# level l representing 2^l input values. When a level overflows, the
+# sorted buffer is halved by taking every other element (offset chosen
+# deterministically from the buffer content, so the whole sketch is a
+# pure function of the input multiset and merge topology) and promoted
+# one level up. One partial sketch per block (≤ MRL_K·log₂(n/MRL_K)
+# float64s, ~KBs), merged level-wise — associative, so it composes as
+# a textbook Ray Data partial-combine, like the HLL/CMS/Bloom partials
+# above. Rank error is the classic O(log²(n/k)/k); with MRL_K=1024 the
+# measured error at n=2·10⁵ is well under 1 % of n (pinned in pytest).
+
+MRL_K = 1024
+_MRL_MAX_LEVELS = 40  # 2^40 · MRL_K values ≫ any corpus
+
+
+def _mrl_compact(levels: list[np.ndarray]) -> list[np.ndarray]:
+    """Halve-and-promote every overflowing level, bottom-up."""
+    lvl = 0
+    while lvl < len(levels):
+        buf = levels[lvl]
+        if len(buf) <= MRL_K:
+            lvl += 1
+            continue
+        buf = np.sort(buf)
+        # deterministic offset from the buffer content (not a Python
+        # RNG: partials must be reproducible across workers/runs)
+        off = int(
+            splitmix64_np(
+                np.array([len(buf) ^ (lvl << 32)], dtype=np.uint64)
+                ^ buf[:1].view(np.uint64)
+            )[0]
+            & np.uint64(1)
+        )
+        # odd length: the last unpaired element stays at this level so
+        # no input weight is ever dropped
+        pairs = len(buf) // 2
+        promoted = buf[off : 2 * pairs : 2]
+        rest = buf[2 * pairs :]
+        levels[lvl] = rest
+        if lvl + 1 == len(levels):
+            levels.append(np.empty(0, np.float64))
+        levels[lvl + 1] = np.concatenate([levels[lvl + 1], promoted])
+        lvl += 1
+    return levels
+
+
+def mrl_from_values(vals: np.ndarray) -> list[np.ndarray]:
+    """Sketch of one batch of float64 values (NaNs dropped)."""
+    v = vals[~np.isnan(vals)].astype(np.float64, copy=False)
+    return _mrl_compact([v.copy()])
+
+
+def mrl_serialize(levels: list[np.ndarray]) -> bytes:
+    lens = np.array([len(b) for b in levels], dtype=np.int64)
+    return (
+        np.int64(len(levels)).tobytes()
+        + lens.tobytes()
+        + np.concatenate(levels or [np.empty(0, np.float64)]).tobytes()
+    )
+
+
+def mrl_deserialize(blob: bytes) -> list[np.ndarray]:
+    n_levels = int(np.frombuffer(blob[:8], dtype=np.int64)[0])
+    lens = np.frombuffer(blob[8 : 8 + 8 * n_levels], dtype=np.int64)
+    flat = np.frombuffer(blob[8 + 8 * n_levels :], dtype=np.float64)
+    out, pos = [], 0
+    for ln in lens:
+        out.append(flat[pos : pos + ln].copy())
+        pos += int(ln)
+    return out
+
+
+def mrl_merge(blobs: list[bytes]) -> list[np.ndarray]:
+    """Level-wise concatenation, one re-compaction — associative."""
+    acc: list[np.ndarray] = []
+    for b in blobs:
+        lv = mrl_deserialize(b)
+        while len(acc) < len(lv):
+            acc.append(np.empty(0, np.float64))
+        for i, buf in enumerate(lv):
+            acc[i] = np.concatenate([acc[i], buf])
+    return _mrl_compact(acc)
+
+
+def mrl_quantiles(levels: list[np.ndarray], qs) -> np.ndarray:
+    """Estimate each quantile q as the smallest sketch value whose
+    cumulative weight reaches q·N (weight of level l = 2^l)."""
+    vals = np.concatenate(levels or [np.empty(0, np.float64)])
+    if len(vals) == 0:
+        return np.full(len(list(qs)), np.nan)
+    w = np.concatenate(
+        [np.full(len(b), 1 << l, dtype=np.int64) for l, b in enumerate(levels)]
+    )
+    order = np.argsort(vals, kind="stable")
+    vals, w = vals[order], w[order]
+    cw = np.cumsum(w)
+    n = cw[-1]
+    targets = np.ceil(np.asarray(list(qs), dtype=np.float64) * n).clip(1, n)
+    idx = np.searchsorted(cw, targets, side="left")
+    return vals[np.minimum(idx, len(vals) - 1)]
+
+
+def approx_quantiles(
+    ds: rd.Dataset, col: str, qs=(0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99)
+) -> pa.Table:
+    """(q, estimate) table via one partial-sketch pass + a #blocks-row
+    merge — no sort shuffle of the data, the quantile analog of
+    ``approx_distinct``."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {"sketch": pa.array([mrl_serialize(mrl_from_values(v))], pa.binary())}
+        )
+
+    blobs = [
+        r["sketch"]
+        for r in ds.map_batches(partial, batch_format="pyarrow").take_all()
+    ]
+    est = mrl_quantiles(mrl_merge(blobs), qs)
+    return pa.table(
+        {
+            "q": pa.array(list(qs), pa.float64()),
+            "estimate": pa.array(est, pa.float64()),
+        }
+    )

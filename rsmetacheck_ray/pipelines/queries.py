@@ -1727,6 +1727,18 @@ def q_approx_distinct_users(sf_dir: str):
     return approx_distinct_table(ds, "user_id")
 
 
+def q_approx_quantiles(sf_dir: str):
+    """MRL/KLL-family mergeable quantile sketch over event values —
+    one partial-sketch pass, no sort shuffle (rows-only: compaction is
+    merge-topology-dependent by nature; ≤0.5 % rank error and merge
+    associativity pinned by tests/test_sketch.py against the exact
+    order statistics)."""
+    from ..functions.sketch import approx_quantiles
+
+    ds = rel._read_pq(os.path.join(sf_dir, "events.parquet"), columns=["value"])
+    return approx_quantiles(ds, "value")
+
+
 def q_doc_chunk_fingerprints(sf_dir: str):
     """Content-defined rolling-hash chunk fingerprints (rows-only: the
     chunk boundary function is not SQL-expressible; properties pinned
@@ -2963,6 +2975,7 @@ def registry() -> dict[str, tuple]:
         "dedup_simhash_pairs": (q_dedup_simhash_pairs, None),  # sketch
         "doc_chunk_fingerprints": (q_doc_chunk_fingerprints, None),  # non-SQL chunker
         "approx_distinct_users": (q_approx_distinct_users, None),  # sketch
+        "approx_quantiles": (q_approx_quantiles, None),  # sketch
         "cms_heavy_hitters": (q_cms_heavy_hitters, None),  # sketch
         "dedup_partial_overlap": (q_dedup_partial_overlap, None),  # non-SQL chunker
         "dedup_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),

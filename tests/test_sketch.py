@@ -112,3 +112,84 @@ def test_cms_heavy_hitters_match_exact_top(ray_session):
     assert got == [f"t{i:02d}" for i in range(1, 11)]
     est = out.column("est_n").to_pylist()
     assert est == sorted(est, reverse=True)
+
+
+# --- MRL quantile sketch ----------------------------------------------------
+
+
+def _rank_error(data, q, est):
+    s = np.sort(data)
+    r = np.searchsorted(s, est, side="right")
+    return abs(r - q * len(s)) / len(s)
+
+
+def test_mrl_rank_error_bound():
+    from rsmetacheck_ray.functions.sketch import (
+        mrl_from_values, mrl_merge, mrl_quantiles, mrl_serialize,
+    )
+
+    rng = np.random.default_rng(7)
+    data = rng.lognormal(0.0, 2.0, 200_000)
+    blobs = [
+        mrl_serialize(mrl_from_values(c)) for c in np.array_split(data, 37)
+    ]
+    est = mrl_quantiles(mrl_merge(blobs), [0.01, 0.25, 0.5, 0.75, 0.99])
+    for q, e in zip([0.01, 0.25, 0.5, 0.75, 0.99], est):
+        assert _rank_error(data, q, e) <= 0.005
+
+
+def test_mrl_exact_below_buffer_capacity():
+    from rsmetacheck_ray.functions.sketch import (
+        MRL_K, mrl_from_values, mrl_quantiles,
+    )
+
+    rng = np.random.default_rng(3)
+    data = rng.normal(size=MRL_K)  # fits level 0: sketch is lossless
+    est = mrl_quantiles(mrl_from_values(data), [0.1, 0.5, 0.9])
+    s = np.sort(data)
+    # smallest value whose cumulative weight reaches ceil(q*n)
+    for q, e in zip([0.1, 0.5, 0.9], est):
+        assert e == s[int(np.ceil(q * len(s))) - 1]
+
+
+def test_mrl_merge_topology_within_error():
+    from rsmetacheck_ray.functions.sketch import (
+        mrl_from_values, mrl_merge, mrl_quantiles, mrl_serialize,
+    )
+
+    rng = np.random.default_rng(11)
+    data = rng.uniform(0, 1, 100_000)
+    for n_split in (1, 8, 64):
+        blobs = [
+            mrl_serialize(mrl_from_values(c))
+            for c in np.array_split(data, n_split)
+        ]
+        (e,) = mrl_quantiles(mrl_merge(blobs), [0.5])
+        assert _rank_error(data, 0.5, e) <= 0.005
+
+
+def test_mrl_nan_dropped_and_empty():
+    from rsmetacheck_ray.functions.sketch import (
+        mrl_from_values, mrl_quantiles, mrl_serialize, mrl_merge,
+    )
+
+    est = mrl_quantiles(mrl_from_values(np.array([np.nan, 1.0, np.nan])), [0.5])
+    assert est[0] == 1.0
+    empty = mrl_merge([mrl_serialize(mrl_from_values(np.empty(0)))])
+    assert np.isnan(mrl_quantiles(empty, [0.5])[0])
+
+
+def test_approx_quantiles_pipeline(ray_session):
+    import pyarrow.parquet as pq
+
+    from rsmetacheck_ray.functions.sketch import approx_quantiles
+    import ray.data as rd
+
+    path = "/root/testdata/sf0.001/events.parquet"
+    ds = rd.read_parquet(path, columns=["value"])
+    out = approx_quantiles(ds, "value")
+    assert out.column("q").to_pylist() == [0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99]
+    vals = pq.read_table(path, columns=["value"]).column("value").to_numpy()
+    vals = vals[~np.isnan(vals)]
+    for q, e in zip(out.column("q").to_pylist(), out.column("estimate").to_pylist()):
+        assert _rank_error(vals, q, e) <= 0.005
