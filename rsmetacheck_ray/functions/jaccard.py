@@ -372,14 +372,24 @@ def jaccard_verify_pairs(
     )
     # the verify dict covers EVERY candidate doc's gram set — state too
     # heavy to replicate to every task worker, so this stage stays an
-    # ACTOR POOL: ``concurrency`` bounds how many workers hold it
+    # ACTOR POOL: ``concurrency`` bounds how many workers hold it.
+    # Batch size fills the POOL, not one actor: a small candidate set
+    # (≤ the 8192 expansion cap) would otherwise verify as ONE batch
+    # on one actor while the rest idle; pairs is materialized, so
+    # count() is free metadata.
+    max_actors = (
+        concurrency[1] if isinstance(concurrency, tuple) else concurrency
+    )
+    batch_size = int(
+        max(256, min(8192, -(-pairs.count() // (2 * max_actors))))
+    )
     out = pairs.map_batches(
         _VerifyStage,
         fn_constructor_args=(tuple(set_refs),),
         batch_format="pyarrow",
-        # bounds the (pair, gram) expansion buffer: 8k pairs × ~200
-        # grams × 16 B ≈ 25 MB per in-flight batch
-        batch_size=8192,
+        # 8192 cap bounds the (pair, gram) expansion buffer: 8k pairs
+        # × ~200 grams × 16 B ≈ 25 MB per in-flight batch
+        batch_size=batch_size,
         concurrency=concurrency,
     )
     if min_jaccard is not None:
