@@ -655,11 +655,54 @@ def _tally(keep, bits, langs) -> dict:
 def partition_lineage(partition_dir: str) -> dict:
     """Per-partition lineage record for the resume manifest: keep/drop
     tallies plus per-(rule, language) hit counters (the north rule's
-    'lineage records … to a checkpoint manifest'). A parallel Ray read
-    of the partition's tiny decision columns with per-batch tallies
-    merged on the driver (a serial driver-side pyarrow read here cost
-    ~6.5 s per 5M-row partition — pure dead time in the resume loop)."""
-    return compute_metrics(partition_dir, as_record=True)
+    'lineage records … to a checkpoint manifest').
+
+    A threaded driver-side read of ONLY the three tiny decision columns
+    (keep: bool, rule_bits: int64, detected_lang: dict-encodable
+    string) with one vectorized tally — a few MB per 256 MB-input
+    partition, so no Ray execution is needed. Spinning a whole Ray
+    Dataset here cost ~1 s of executor startup PER PARTITION (measured:
+    30 % of the html-path wall time at bench scale), and the earlier
+    serial full-column read cost ~6.5 s per 5M-row partition."""
+    import glob as _glob
+    from concurrent.futures import ThreadPoolExecutor
+
+    import pyarrow.parquet as pq
+
+    files = sorted(_glob.glob(os.path.join(partition_dir, "*.parquet")))
+    if not files:
+        return {"rows": 0, "kept": 0, "dropped": 0, "rule_lang": {}}
+    cols = ["detected_lang", "keep", "rule_bits"]
+    with ThreadPoolExecutor(max_workers=min(16, len(files))) as ex:
+        tables = list(ex.map(lambda f: pq.read_table(f, columns=cols), files))
+    t = pa.concat_tables(tables)
+
+    import numpy as np
+    import pyarrow.compute as pc
+
+    keep = t.column("keep").to_numpy(zero_copy_only=False).astype(bool)
+    bits = t.column("rule_bits").to_numpy(zero_copy_only=False).astype(np.int64)
+    # null langs tally under "None" (parity with _tally's str() coercion)
+    lang = pc.fill_null(t.column("detected_lang"), "None").combine_chunks()
+    enc = pc.dictionary_encode(lang)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    codes = enc.indices.to_numpy(zero_copy_only=False)
+    uniq = [str(v) for v in enc.dictionary.to_pylist()]
+    rule_lang: dict[str, dict[str, int]] = {}
+    for k, code in enumerate(RULE_CODES):
+        m = ((bits >> np.int64(k)) & 1).astype(bool)
+        if m.any():
+            cnt = np.bincount(codes[m], minlength=len(uniq))
+            rule_lang[code] = {
+                uniq[i]: int(c) for i, c in enumerate(cnt) if c
+            }
+    return {
+        "rows": int(len(keep)),
+        "kept": int(keep.sum()),
+        "dropped": int(len(keep) - keep.sum()),
+        "rule_lang": rule_lang,
+    }
 
 
 def metrics_from_records(records: list[dict]) -> dict:

@@ -73,6 +73,28 @@ def test_metrics_consistency(gate_output):
         assert rec["count"] == sum(rec["languages"].values())
 
 
+def test_partition_lineage_matches_ray_recompute(gate_output):
+    """The driver-side threaded lineage tally must agree exactly with
+    the distributed compute_metrics recompute over the same partition
+    (same rows/kept/dropped and per-(rule, lang) histograms)."""
+    from rsmetacheck_ray.pipelines.quality_gate import (
+        compute_metrics,
+        partition_lineage,
+    )
+
+    out_dir, _, _ = gate_output
+    docs = os.path.join(out_dir, "docs")
+    parts = sorted(
+        os.path.join(docs, d) for d in os.listdir(docs)
+        if d.startswith("partition=")
+    )
+    assert parts
+    for p in parts:
+        fast = partition_lineage(p)
+        slow = compute_metrics(p, as_record=True)
+        assert fast == slow
+
+
 def test_dropped_rows_carry_null_text(gate_output):
     out_dir, labels_path, _ = gate_output
     m = _join_on_url(out_dir, labels_path)
