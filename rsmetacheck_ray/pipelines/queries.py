@@ -2181,6 +2181,28 @@ GROUP BY gr.doc_id
 """
 
 
+# --- deterministic train/val/test holdout split -----------------------------
+
+
+def q_split_assign(sf_dir: str):
+    """~80/10/10 train/val/test assignment per document
+    (functions/split.py): md5-bucket of the doc id, a pure per-batch
+    map with NO shuffle — stable under any partitioning and cluster
+    size, exactly reproduced by the SQL oracle."""
+    from ..functions.split import assign_splits
+
+    return assign_splits(_documents(sf_dir, ["doc_id"]))
+
+
+def _sql_split_assign() -> str:
+    from ..functions.split import sql_bucket_expr, sql_split
+
+    return (
+        f"SELECT doc_id, CAST({sql_bucket_expr()} AS BIGINT) AS bucket, "
+        f"{sql_split()} AS split FROM documents"
+    )
+
+
 # --- deterministic corpus shuffle into training shards ---------------------
 
 _SHUFFLE_SHARDS = 16
@@ -2909,6 +2931,9 @@ def registry() -> dict[str, tuple]:
         "events_value_percentiles": (
             rel.events_value_percentiles, rel.EVENTS_PERCENTILES_SQL,
         ),
+        "events_running_totals": (
+            rel.events_running_totals, rel.EVENTS_RUNNING_SQL,
+        ),
         "customers_without_orders": (
             rel.customers_without_orders, rel.CUSTOMERS_WITHOUT_ORDERS_SQL,
         ),
@@ -2989,6 +3014,7 @@ def registry() -> dict[str, tuple]:
         "importance_sample": (q_importance_sample, _sql_importance_sample()),
         "train_bigram_lm": (q_train_bigram_lm, _sql_train_bigram_lm()),
         "shuffle_shards": (q_shuffle_shards, _sql_shuffle_shards()),
+        "split_assign": (q_split_assign, _sql_split_assign()),
         "bpe_merges": (q_bpe_merges, None),  # iterative greedy (non-SQL)
         "bpe_token_counts": (q_bpe_token_counts, None),  # non-SQL
         "dedup_embedding_pairs": (q_dedup_embedding_pairs, SQL_DEDUP_EMBEDDING),

@@ -1119,3 +1119,98 @@ SELECT event_type,
   CAST(quantile_disc(cents, 0.75) AS BIGINT) AS p75
 FROM c GROUP BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# running (cumulative) window aggregates + LAG deltas per user — the
+# ordered-window shapes (SUM ... OVER (PARTITION BY ... ORDER BY ...),
+# LAG) the reference's per-repo sequential scans imply but never need;
+# a training-data pipeline uses them for per-host quota accounting and
+# inter-arrival features. Same one-shuffle discipline as sessionize:
+# hash the user onto an adaptive partition, then ONE lexsort +
+# segment-boundary cumsum per partition handles every user in it.
+# ---------------------------------------------------------------------------
+
+def events_running_totals(
+    sf_dir: str, num_partitions: int | None = None
+) -> rd.Dataset:
+    """Per-event running total of value-cents and gap to the previous
+    event within each user, under the (ts, event_id) total order.
+    Output: (user_id, event_id, ts_us, running_cents, gap_us) with
+    gap_us = -1 for a user's first event (sentinel, not null, so the
+    driver hash compare is dtype-exact)."""
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id", "value"],
+    )
+    n_parts = num_partitions or adaptive_partitions(
+        parquet_rows_hint(ds), row_bytes=32
+    )
+
+    def tag(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "part": _part_of(b.column("user_id"), n_parts),
+                "user_id": b.column("user_id"),
+                "ts_us": pc.cast(b.column("ts"), pa.int64()),
+                "event_id": b.column("event_id"),
+                "cents": _cents(b.column("value")),
+            }
+        )
+
+    def window_part(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        ts = g.column("ts_us").to_numpy(zero_copy_only=False)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        cents = g.column("cents").to_numpy(zero_copy_only=False)
+        if len(uid) == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "event_id": pa.array([], pa.int64()),
+                    "ts_us": pa.array([], pa.int64()),
+                    "running_cents": pa.array([], pa.int64()),
+                    "gap_us": pa.array([], pa.int64()),
+                }
+            )
+        order = np.lexsort((eid, ts, uid))
+        u, t, e, c = uid[order], ts[order], eid[order], cents[order]
+        n = len(u)
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = u[1:] != u[:-1]
+        # segment-relative cumulative sum: global int64 cumsum minus the
+        # segment-start offset (exact — integer cents, no float order)
+        cum = np.cumsum(c)
+        seg_first = np.flatnonzero(new_user)
+        seg_id = np.cumsum(new_user) - 1
+        running = cum - cum[seg_first[seg_id]] + c[seg_first[seg_id]]
+        gap = np.empty(n, dtype=np.int64)
+        gap[0] = -1
+        gap[1:] = np.where(new_user[1:], -1, t[1:] - t[:-1])
+        return pa.table(
+            {
+                "user_id": pa.array(u, pa.int64()),
+                "event_id": pa.array(e, pa.int64()),
+                "ts_us": pa.array(t, pa.int64()),
+                "running_cents": pa.array(running, pa.int64()),
+                "gap_us": pa.array(gap, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(window_part, batch_format="pyarrow")
+    )
+
+
+EVENTS_RUNNING_SQL = """
+SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+  CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+       OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+    AS running_cents,
+  COALESCE(epoch_us(ts) - LAG(epoch_us(ts))
+       OVER (PARTITION BY user_id ORDER BY ts, event_id), -1) AS gap_us
+FROM events
+"""
