@@ -2694,6 +2694,54 @@ def q_knn_quantized(sf_dir: str):
     return knn_quantized(qds, qvecs, qids, k=10)
 
 
+def q_kmeans_clusters(sf_dir: str):
+    """Distributed Lloyd's k-means over the embeddings table
+    (functions/clustering.py): per-batch partial-sum reduce per
+    iteration, centroids broadcast via ray.put, then one assignment
+    pass → (vec_id, cluster, cos). Iterative ⇒ rows-only; exact parity
+    with a single-process numpy Lloyd is pinned in pytest."""
+    from ..functions.clustering import kmeans_assign, kmeans_fit
+
+    ds = rel._read_pq(os.path.join(sf_dir, "embeddings.parquet"))
+    cent = kmeans_fit(ds, k=8, n_iters=8)
+    return kmeans_assign(ds, cent)
+
+
+def q_dedup_semantic(sf_dir: str):
+    """SemDeDup semantic near-dedup: k-means cluster the corpus, then
+    within each cluster keep only the min-id member of every
+    cos>threshold connected component (functions/clustering.py).
+    Driver embeddings are near-orthogonal random vectors, so planted
+    duplicate rows (scaled copies of existing vectors, new ids) give
+    the operator real work; survivors/planted behavior pinned in
+    pytest."""
+    import numpy as np
+
+    from ..functions import clustering as cl
+
+    ds = rel._read_pq(os.path.join(sf_dir, "embeddings.parquet"))
+
+    def copies(b: pa.Table) -> pa.Table:
+        ids = b.column("vec_id").to_numpy(zero_copy_only=False)
+        keep = ids % 10 == 0  # every 10th vector gets a near-dup twin
+        sub = b.filter(pa.array(keep))
+        sids = sub.column("vec_id").to_numpy(zero_copy_only=False)
+        emb = [
+            [v * 1.0001 for v in e]
+            for e in sub.column("embedding").to_pylist()
+        ]
+        return pa.table(
+            {
+                "vec_id": pa.array(sids + 1_000_000, pa.int64()),
+                "embedding": pa.array(emb, b.column("embedding").type),
+                "label": sub.column("label"),
+            }
+        )
+
+    corpus = ds.union(ds.map_batches(copies, batch_format="pyarrow"))
+    return cl.semantic_dedup(corpus, k=8, threshold=0.999)
+
+
 def q_host_stats(sf_dir: str):
     """Per-host page counts via the two-phase SALTED aggregate
     (stages/skew.py) — the oversized-host skew path of the north rule."""
@@ -3044,6 +3092,8 @@ def registry() -> dict[str, tuple]:
         "knn_cosine": (q_knn_cosine, SQL_KNN),
         "knn_ivf": (q_knn_ivf, None),  # approximate by design
         "knn_quantized": (q_knn_quantized, None),  # int8: approximate
+        "kmeans_clusters": (q_kmeans_clusters, None),  # iterative
+        "dedup_semantic": (q_dedup_semantic, None),  # kmeans-bucketed
         # multimodal plumbing
         "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL),
         "multimodal_resize": (q_multimodal_resize, SQL_MULTIMODAL_RESIZE),
