@@ -2742,6 +2742,133 @@ def q_dedup_semantic(sf_dir: str):
     return cl.semantic_dedup(corpus, k=8, threshold=0.999)
 
 
+def q_doc_sentences(sf_dir: str):
+    """Sentence flat-map over the pages corpus
+    (functions/sentences.py): one row per non-empty trimmed sentence
+    with its 0-based per-doc index — fully vectorized (one RE2 split
+    kernel + list_parent_indices segment arithmetic)."""
+    from ..functions.sentences import split_sentences
+
+    pages = _pages_input(sf_dir).map_batches(
+        synthesize_pages, batch_format="pyarrow"
+    )
+    return split_sentences(pages.select_columns(["doc_id", "text"]))
+
+
+def _sql_doc_sentences() -> str:
+    from ..functions.sentences import sql_sentences
+
+    return sql_sentences("pages", prefix_ctes="pages AS ({pages}), ")
+
+
+def q_lang_source_rollup(sf_dir: str):
+    """GROUP BY ROLLUP over (lang, source): counts at the fine level,
+    the per-lang level, and the grand total, marker ``(all)`` for the
+    rolled-up dimensions. The heavy pass is ONE partial-combined
+    groupby of per-batch (lang, source) tallies; the coarser levels
+    re-aggregate that already-tiny result, so the extra shuffles move
+    KBs."""
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = _documents(sf_dir, ["lang", "source"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"lang": b.column("lang"), "source": b.column("source")})
+        g = t.group_by(["lang", "source"]).aggregate([([], "count_all")])
+        return g.rename_columns(["lang", "source", "n"])
+
+    fine = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "source"])
+        .aggregate(_Sum("n", alias_name="n"))
+    )
+
+    def lang_mark(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": b.column("lang"),
+                "source": pa.repeat(pa.scalar("(all)"), b.num_rows),
+                "n": b.column("n"),
+            }
+        )
+
+    def total_mark(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": pa.repeat(pa.scalar("(all)"), b.num_rows),
+                "source": pa.repeat(pa.scalar("(all)"), b.num_rows),
+                "n": b.column("n"),
+            }
+        )
+
+    lang_lvl = (
+        fine.groupby("lang")
+        .aggregate(_Sum("n", alias_name="n"))
+        .map_batches(lang_mark, batch_format="pyarrow")
+    )
+    total = (
+        fine.map_batches(total_mark, batch_format="pyarrow")
+        .groupby(["lang", "source"])
+        .aggregate(_Sum("n", alias_name="n"))
+    )
+    return fine.union(lang_lvl).union(total)
+
+
+SQL_LANG_SOURCE_ROLLUP = """
+SELECT COALESCE(lang, '(all)') AS lang,
+       COALESCE(source, '(all)') AS source,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM documents GROUP BY ROLLUP(lang, source)
+"""
+
+
+def q_length_outliers(sf_dir: str):
+    """Docs longer than the exact p99 of n_chars — the compute-stat-
+    then-filter shape (winsorization / outlier drop before training).
+    Pass 1 builds the bounded-domain (value, count) histogram with
+    per-batch partial combine (the events_value_percentiles
+    discipline) and the driver walks the tiny CDF for the exact
+    quantile_disc threshold; pass 2 filters with that broadcast
+    scalar. No full-table shuffle in either pass."""
+    import math
+
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = _documents(sf_dir, ["doc_id", "n_chars"])
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"n_chars": b.column("n_chars")})
+        g = t.group_by("n_chars").aggregate([([], "count_all")])
+        return g.rename_columns(["n_chars", "n"])
+
+    hist = (
+        ds.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("n_chars")
+        .aggregate(_Sum("n", alias_name="n"))
+        .take_all()
+    )
+    vals = np.array([r["n_chars"] for r in hist], dtype=np.int64)
+    cnts = np.array([r["n"] for r in hist], dtype=np.int64)
+    order = np.argsort(vals)
+    vals, cnts = vals[order], cnts[order]
+    cum = np.cumsum(cnts)
+    n = int(cum[-1])
+    idx = max(math.ceil(0.99 * n) - 1, 0)  # quantile_disc semantics
+    thr = int(vals[np.searchsorted(cum, idx, side="right")])
+
+    def keep_outliers(b: pa.Table) -> pa.Table:
+        m = pc.greater(b.column("n_chars"), thr)
+        return b.filter(m)
+
+    return ds.map_batches(keep_outliers, batch_format="pyarrow")
+
+
+SQL_LENGTH_OUTLIERS = """
+SELECT doc_id, n_chars FROM documents
+WHERE n_chars > (SELECT quantile_disc(n_chars, 0.99) FROM documents)
+"""
+
+
 def q_host_stats(sf_dir: str):
     """Per-host page counts via the two-phase SALTED aggregate
     (stages/skew.py) — the oversized-host skew path of the north rule."""
@@ -3063,6 +3190,12 @@ def registry() -> dict[str, tuple]:
         "train_bigram_lm": (q_train_bigram_lm, _sql_train_bigram_lm()),
         "shuffle_shards": (q_shuffle_shards, _sql_shuffle_shards()),
         "split_assign": (q_split_assign, _sql_split_assign()),
+        "doc_sentences": (
+            q_doc_sentences,
+            _sql_doc_sentences().replace("{pages}", pages),
+        ),
+        "lang_source_rollup": (q_lang_source_rollup, SQL_LANG_SOURCE_ROLLUP),
+        "length_outliers": (q_length_outliers, SQL_LENGTH_OUTLIERS),
         "bpe_merges": (q_bpe_merges, None),  # iterative greedy (non-SQL)
         "bpe_token_counts": (q_bpe_token_counts, None),  # non-SQL
         "dedup_embedding_pairs": (q_dedup_embedding_pairs, SQL_DEDUP_EMBEDDING),
