@@ -136,3 +136,178 @@ def train_bigram_lm(
             lambda g: _partition_lm(g, min_count), batch_format="pyarrow"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# scoring: per-document negative log-likelihood under the trained LM —
+# the "score the corpus with a model built FROM the corpus" loop of a
+# perplexity-filter pipeline, exact end to end (the stages/perplexity.py
+# gate scores with a FIXED per-actor model; this is the corpus-trained
+# counterpart). Float discipline: every per-bigram term is floored to
+# integer nano-log-units (functions/dsir.py's fixed-point trick, with
+# math.log for DuckDB-ln bit parity), so per-doc sums are int64 and
+# order-independent on both sides.
+# ---------------------------------------------------------------------------
+
+DEFAULT_FLOOR_P = 1e-9  # OOV / pruned-bigram probability floor
+_FP = 1_000_000_000.0
+
+_SEP = "\x1f"
+
+
+def _bigram_keys(w1: pa.Array, w2: pa.Array) -> np.ndarray:
+    """uint64 join key of a (w1, w2) pair — one vectorized hash of the
+    separator-joined pair string (128-bit lane, first half; collision
+    odds are the module-docstring birthday bound and a collision costs
+    one bigram's probability, not a dedup decision)."""
+    comb = pc.binary_join_element_wise(w1, w2, _SEP)
+    h, _ = hash_str_arrow_u128(comb)
+    return h
+
+
+def score_bigram_lm(
+    docs: rd.Dataset,
+    lm: rd.Dataset | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+    floor_p: float = DEFAULT_FLOOR_P,
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """(doc_id, n_bigrams, nll_fp): exact fixed-point negative
+    log-likelihood of each document's bigrams under ``lm`` (trained on
+    ``docs`` with ``min_count`` when not supplied; pruned/unseen
+    bigrams take ``floor_p``). Docs with <2 tokens emit no row.
+
+    No broadcast: the LM may be vocabulary²-large, so LM rows and
+    per-(doc, bigram) count rows are co-partitioned by the bigram key
+    hash in ONE shuffle; each partition probes with two sorted-array
+    searchsorteds and emits per-doc partials, which a final (tiny)
+    groupby(doc_id) sums."""
+    import math
+
+    from ray.data.aggregate import Sum as _Sum
+
+    from .hashing import splitmix64_np
+    from ..partitioning import adaptive_partitions, parquet_rows_hint
+
+    if lm is None:
+        lm = train_bigram_lm(docs, text_col=text_col, min_count=min_count)
+    hint = parquet_rows_hint(docs)
+    n_parts = num_partitions or adaptive_partitions(
+        hint * 64 if hint else None, row_bytes=32
+    )
+
+    def lm_rows(b: pa.Table) -> pa.Table:
+        key = _bigram_keys(
+            b.column("w1").combine_chunks(), b.column("w2").combine_chunks()
+        )
+        return pa.table(
+            {
+                "part": pa.array(
+                    (splitmix64_np(key) % n_parts).view(np.int64), pa.int64()
+                ),
+                "doc_id": pa.array(np.full(len(key), -1, np.int64), pa.int64()),
+                "key": pa.array(key.view(np.int64), pa.int64()),
+                "cnt": pa.array(np.zeros(len(key), np.int64), pa.int64()),
+                "p": b.column("p"),
+            }
+        )
+
+    def doc_rows(b: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "part": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+                "key": pa.array([], pa.int64()),
+                "cnt": pa.array([], pa.int64()),
+                "p": pa.array([], pa.float64()),
+            }
+        )
+        ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_idx, denc = tokens_with_doc_index(b.column(text_col))
+        if denc is None or len(doc_idx) < 2:
+            return empty
+        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        within = doc_idx[:-1] == doc_idx[1:]
+        if not within.any():
+            return empty
+        d = doc_idx[:-1][within]
+        c1, c2 = codes[:-1][within], codes[1:][within]
+        # per-(doc, bigram) combine: lexsort + run-length (no packing
+        # overflow concerns at any vocabulary size)
+        order = np.lexsort((c2, c1, d))
+        d, c1, c2 = d[order], c1[order], c2[order]
+        new = np.empty(len(d), dtype=bool)
+        new[0] = True
+        new[1:] = (d[1:] != d[:-1]) | (c1[1:] != c1[:-1]) | (c2[1:] != c2[:-1])
+        starts = np.flatnonzero(new)
+        cnt = np.diff(np.append(starts, len(d))).astype(np.int64)
+        ud, uc1, uc2 = d[starts], c1[starts], c2[starts]
+        w1 = denc.dictionary.take(pa.array(uc1, pa.int64()))
+        w2 = denc.dictionary.take(pa.array(uc2, pa.int64()))
+        key = _bigram_keys(w1, w2)
+        return pa.table(
+            {
+                "part": pa.array(
+                    (splitmix64_np(key) % n_parts).view(np.int64), pa.int64()
+                ),
+                "doc_id": pa.array(ids[ud], pa.int64()),
+                "key": pa.array(key.view(np.int64), pa.int64()),
+                "cnt": pa.array(cnt, pa.int64()),
+                "p": pa.array(np.full(len(key), np.nan), pa.float64()),
+            }
+        )
+
+    def resolve(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_bigrams": pa.array([], pa.int64()),
+                "nll_fp": pa.array([], pa.int64()),
+            }
+        )
+        did = g.column("doc_id").to_numpy(zero_copy_only=False)
+        key = g.column("key").to_numpy(zero_copy_only=False)
+        cnt = g.column("cnt").to_numpy(zero_copy_only=False)
+        pv = g.column("p").to_numpy(zero_copy_only=False)
+        is_lm = did == -1
+        dk, dd, dc = key[~is_lm], did[~is_lm], cnt[~is_lm]
+        if len(dk) == 0:
+            return empty
+        lk, lp = key[is_lm], pv[is_lm]
+        order = np.argsort(lk)
+        lk, lp = lk[order], lp[order]
+        pos = np.searchsorted(lk, dk)
+        safe = np.minimum(pos, max(len(lk) - 1, 0))
+        found = (pos < len(lk)) & (lk[safe] == dk) if len(lk) else (
+            np.zeros(len(dk), bool)
+        )
+        p = np.where(found, lp[safe] if len(lk) else floor_p, floor_p)
+        # math.log over the partition's DISTINCT probabilities — the
+        # CPython-libm == DuckDB-ln bit-parity path
+        uniq, inv = np.unique(p, return_inverse=True)
+        logs = np.array([math.log(v) for v in uniq], np.float64)
+        term = np.floor((-logs[inv]) * _FP).astype(np.int64)
+        # per-doc partials within the partition
+        udoc, dinv = np.unique(dd, return_inverse=True)
+        nb = np.zeros(len(udoc), np.int64)
+        fp = np.zeros(len(udoc), np.int64)
+        np.add.at(nb, dinv, dc)
+        np.add.at(fp, dinv, term * dc)
+        return pa.table(
+            {
+                "doc_id": pa.array(udoc, pa.int64()),
+                "n_bigrams": pa.array(nb, pa.int64()),
+                "nll_fp": pa.array(fp, pa.int64()),
+            }
+        )
+
+    union = lm.map_batches(lm_rows, batch_format="pyarrow").union(
+        docs.map_batches(doc_rows, batch_format="pyarrow")
+    )
+    partials = union.groupby("part").map_groups(resolve, batch_format="pyarrow")
+    return partials.groupby("doc_id").aggregate(
+        _Sum("n_bigrams", alias_name="n_bigrams"),
+        _Sum("nll_fp", alias_name="nll_fp"),
+    )

@@ -2282,6 +2282,52 @@ WHERE c.n >= {_LM_MIN_COUNT}
 """
 
 
+def q_score_bigram_lm(sf_dir: str):
+    """Score every document under the corpus-trained bigram LM
+    (functions/ngram_lm.score_bigram_lm): exact fixed-point NLL —
+    train and score in one lineage, LM and bigram occurrences
+    co-partitioned on the bigram-key hash (no broadcast), pruned/
+    unseen bigrams at the 1e-9 floor. The full train-a-model →
+    score-the-corpus loop behind ONE exact SQL oracle."""
+    from ..functions.ngram_lm import score_bigram_lm
+
+    return score_bigram_lm(
+        _documents(sf_dir, ["doc_id", "text"]), min_count=_LM_MIN_COUNT
+    )
+
+
+def _sql_score_bigram_lm() -> str:
+    from ..functions.tokenize import WS_TOKEN_RE
+
+    return f"""
+WITH words AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text, '{WS_TOKEN_RE}')) AS w,
+         unnest(generate_series(1, len(regexp_extract_all(text, '{WS_TOKEN_RE}')))) AS i
+  FROM documents
+),
+big AS (
+  SELECT doc_id, w AS w1,
+         LEAD(w) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+  FROM words
+),
+occ AS (SELECT doc_id, w1, w2 FROM big WHERE w2 IS NOT NULL),
+counts AS (SELECT w1, w2, COUNT(*) AS n FROM occ GROUP BY w1, w2),
+tot AS (SELECT w1, SUM(n) AS t FROM counts GROUP BY w1),
+lm AS (
+  SELECT c.w1, c.w2, CAST(c.n AS DOUBLE) / CAST(t.t AS DOUBLE) AS p
+  FROM counts c JOIN tot t USING (w1)
+  WHERE c.n >= {_LM_MIN_COUNT}
+)
+SELECT occ.doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+  CAST(SUM(CAST(floor(-ln(COALESCE(lm.p, 1e-9)) * 1000000000.0)
+       AS BIGINT)) AS BIGINT) AS nll_fp
+FROM occ LEFT JOIN lm USING (w1, w2)
+GROUP BY occ.doc_id
+"""
+
+
 # --- BPE tokenizer training + application ----------------------------------
 
 _BPE_MERGES = 50
@@ -3188,6 +3234,7 @@ def registry() -> dict[str, tuple]:
         "importance_weights": (q_importance_weights, _sql_importance_weights()),
         "importance_sample": (q_importance_sample, _sql_importance_sample()),
         "train_bigram_lm": (q_train_bigram_lm, _sql_train_bigram_lm()),
+        "score_bigram_lm": (q_score_bigram_lm, _sql_score_bigram_lm()),
         "shuffle_shards": (q_shuffle_shards, _sql_shuffle_shards()),
         "split_assign": (q_split_assign, _sql_split_assign()),
         "doc_sentences": (
