@@ -2915,6 +2915,18 @@ WHERE n_chars > (SELECT quantile_disc(n_chars, 0.99) FROM documents)
 """
 
 
+def q_pca_embeddings(sf_dir: str):
+    """Distributed PCA (functions/pca.py): one moments pass (tiny
+    (d, d) Gram partial per batch, driver eigendecomposition) + one
+    broadcast projection pass → (vec_id, pc). Linear algebra ⇒
+    rows-only; exact numpy parity pinned in pytest."""
+    from ..functions.pca import pca_fit, pca_project
+
+    ds = rel._read_pq(os.path.join(sf_dir, "embeddings.parquet"))
+    mean, comps, _ = pca_fit(ds, n_components=8)
+    return pca_project(ds, mean, comps)
+
+
 def q_host_stats(sf_dir: str):
     """Per-host page counts via the two-phase SALTED aggregate
     (stages/skew.py) — the oversized-host skew path of the north rule."""
@@ -3274,6 +3286,7 @@ def registry() -> dict[str, tuple]:
         "knn_quantized": (q_knn_quantized, None),  # int8: approximate
         "kmeans_clusters": (q_kmeans_clusters, None),  # iterative
         "dedup_semantic": (q_dedup_semantic, None),  # kmeans-bucketed
+        "pca_embeddings": (q_pca_embeddings, None),  # linear algebra
         # multimodal plumbing
         "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL),
         "multimodal_resize": (q_multimodal_resize, SQL_MULTIMODAL_RESIZE),
