@@ -3170,6 +3170,9 @@ def registry() -> dict[str, tuple]:
         "customers_without_orders": (
             rel.customers_without_orders, rel.CUSTOMERS_WITHOUT_ORDERS_SQL,
         ),
+        "customer_order_counts": (
+            rel.customer_order_counts, rel.CUSTOMER_ORDER_COUNTS_SQL,
+        ),
         "lang_source_hist": (rel.lang_source_hist, rel.LANG_SOURCE_SQL),
         "open_orders": (rel.open_orders, rel.OPEN_ORDERS_SQL),
         "parts_by_brand": (rel.parts_by_brand, rel.PARTS_BY_BRAND_SQL),

@@ -1214,3 +1214,130 @@ SELECT user_id, event_id, epoch_us(ts) AS ts_us,
        OVER (PARTITION BY user_id ORDER BY ts, event_id), -1) AS gap_us
 FROM events
 """
+
+
+# ---------------------------------------------------------------------------
+# LEFT OUTER join + aggregate — customers keep their row (zero counts)
+# when no order matches. The missing join shape from the inventory
+# (inner: broadcast/shuffle, temporal: as-of/range, anti: NOT EXISTS);
+# same one-shuffle discipline: per-batch partial combine shrinks the
+# orders side to per-key (count, cents) partials before the hashed-key
+# exchange, each partition resolves every key with sorted-array math.
+# ---------------------------------------------------------------------------
+
+def customer_order_counts(
+    sf_dir: str, priority: str = "1-URGENT", num_partitions: int | None = None
+) -> rd.Dataset:
+    """(c_custkey, n_orders, total_cents) for EVERY customer — zero
+    for customers with no order of the given priority (the filter
+    makes the outer side non-vacuous: ~1/3 of customers have none)."""
+    cust = _read_pq(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"]
+    )
+    orders = _read_pq(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_totalprice"],
+        filter=(pc.field("o_orderpriority") == priority),
+    )
+    n_parts = num_partitions or adaptive_partitions(
+        (parquet_rows_hint(cust) or 0) + (parquet_rows_hint(orders) or 0)
+        or None,
+        row_bytes=32,  # (part, key, tag, n, cents)
+    )
+
+    def tag_cust(b: pa.Table) -> pa.Table:
+        n = len(b)
+        z = pa.array(np.zeros(n, np.int64), pa.int64())
+        return pa.table(
+            {
+                "part": _part_of(b.column("c_custkey"), n_parts),
+                "key": b.column("c_custkey"),
+                "tag": pa.array(np.zeros(n, dtype=np.int8)),
+                "n": z,
+                "cents": z,
+            }
+        )
+
+    def tag_orders(b: pa.Table) -> pa.Table:
+        # per-batch partial combine: one (count, cents-sum) row per
+        # DISTINCT custkey in the batch
+        t = pa.table(
+            {
+                "key": b.column("o_custkey"),
+                "cents": _cents(b.column("o_totalprice")),
+            }
+        )
+        g = t.group_by("key").aggregate([("cents", "sum"), ("key", "count")])
+        g = g.rename_columns(["key", "cents", "n"])
+        return pa.table(
+            {
+                "part": _part_of(g.column("key"), n_parts),
+                "key": g.column("key"),
+                "tag": pa.array(np.ones(g.num_rows, dtype=np.int8)),
+                "n": pc.cast(g.column("n"), pa.int64()),
+                "cents": g.column("cents"),
+            }
+        )
+
+    both = cust.map_batches(tag_cust, batch_format="pyarrow").union(
+        orders.map_batches(tag_orders, batch_format="pyarrow")
+    )
+
+    def left_merge(group: pa.Table) -> pa.Table:
+        key = group.column("key").to_numpy(zero_copy_only=False)
+        tag = group.column("tag").to_numpy(zero_copy_only=False)
+        n = group.column("n").to_numpy(zero_copy_only=False)
+        cents = group.column("cents").to_numpy(zero_copy_only=False)
+        is_c = tag == 0
+        ck = key[is_c]
+        ok, on, oc = key[~is_c], n[~is_c], cents[~is_c]
+        if len(ok):
+            # merge the per-batch order partials per key
+            order = np.argsort(ok, kind="stable")
+            ok, on, oc = ok[order], on[order], oc[order]
+            starts = np.flatnonzero(
+                np.concatenate(([True], ok[1:] != ok[:-1]))
+            )
+            uk = ok[starts]
+            un = np.add.reduceat(on, starts)
+            uc = np.add.reduceat(oc, starts)
+        else:
+            uk = np.array([], np.int64)
+            un = uc = np.array([], np.int64)
+        pos = np.searchsorted(uk, ck)
+        safe = np.minimum(pos, max(len(uk) - 1, 0))
+        has = (
+            (pos < len(uk)) & (uk[safe] == ck)
+            if len(uk)
+            else np.zeros(len(ck), bool)
+        )
+        return pa.table(
+            {
+                "c_custkey": pa.array(ck, pa.int64()),
+                "n_orders": pa.array(
+                    np.where(has, un[safe] if len(uk) else 0, 0).astype(
+                        np.int64
+                    ),
+                    pa.int64(),
+                ),
+                "total_cents": pa.array(
+                    np.where(has, uc[safe] if len(uk) else 0, 0).astype(
+                        np.int64
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return both.groupby("part").map_groups(left_merge, batch_format="pyarrow")
+
+
+CUSTOMER_ORDER_COUNTS_SQL = """
+SELECT c.c_custkey,
+  CAST(COUNT(o.o_custkey) AS BIGINT) AS n_orders,
+  CAST(COALESCE(SUM(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)), 0)
+       AS BIGINT) AS total_cents
+FROM customer c LEFT JOIN orders o
+  ON o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+GROUP BY c.c_custkey
+"""
