@@ -3017,6 +3017,25 @@ def q_multimodal_ppm_decode(sf_dir: str):
     )
 
 
+def q_multimodal_mixed_resize(sf_dir: str):
+    """Cross-codec TRANSCODE: dispatch-decode (PPM|BMP|farbfeld),
+    real-pixel nearest-neighbor resize, re-encode in the original
+    format — the payload stays a valid file of its own format end to
+    end (stages/multimodal.MixedResize). Rows-only; the
+    resize-then-roundtrip pixel equality per format is pinned by
+    pytest."""
+    ds = _documents(sf_dir, ["doc_id", "text"])
+    resized = ds.map_batches(
+        mm.attach_mixed_payload, batch_format="pyarrow"
+    ).map_batches(
+        mm.MixedResize, batch_format="pyarrow", concurrency=(1, 4),
+        batch_size=256,
+    )
+    return resized.select_columns(
+        ["doc_id", "format", "width", "height", "resized_w", "resized_h"]
+    )
+
+
 def q_multimodal_mixed_decode(sf_dir: str):
     """Format-DISPATCH decode: the same deterministic pixels encoded as
     PPM (even doc_ids) or BMP (odd), routed by magic bytes in ONE
@@ -3296,6 +3315,7 @@ def registry() -> dict[str, tuple]:
         "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
         "multimodal_ppm_decode": (q_multimodal_ppm_decode, None),  # real codec
         "multimodal_mixed_decode": (q_multimodal_mixed_decode, None),  # PPM|BMP dispatch
+        "multimodal_mixed_resize": (q_multimodal_mixed_resize, None),  # transcode
         "multimodal_ppm_knn": (q_multimodal_ppm_knn, None),  # real pixels e2e
         "multimodal_mixed_knn": (q_multimodal_mixed_knn, None),  # cross-codec
 

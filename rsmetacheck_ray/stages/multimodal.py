@@ -480,6 +480,43 @@ class ImageDecode:
         return out.append_column("pixels", pa.array(raws, pa.binary()))
 
 
+_ENCODERS = {"ppm": encode_ppm, "bmp": encode_bmp, "farbfeld": encode_farbfeld}
+
+
+class MixedResize:
+    """Actor-pool TRANSCODE stage: dispatch-decode (PPM | BMP |
+    farbfeld), nearest-neighbor resize into a ``max_side`` box, and
+    RE-ENCODE in the ORIGINAL format — the thumbnail/normalize pass of
+    an image-curation pipeline, with the payload staying a valid file
+    of its own format end to end. Output replaces ``payload`` and adds
+    (format, width, height, resized_w, resized_h)."""
+
+    def __init__(self, max_side: int = 16):
+        self.max_side = max_side
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        fmts, ws, hs, rws, rhs, outs = [], [], [], [], [], []
+        for data in payloads:
+            pix, fmt = decode_image(data)
+            h, w, _ = pix.shape
+            r = _nn_resize(pix, self.max_side)
+            rh, rw, _ = r.shape
+            fmts.append(fmt)
+            ws.append(w)
+            hs.append(h)
+            rws.append(rw)
+            rhs.append(rh)
+            outs.append(_ENCODERS[fmt](r))
+        out = batch.drop_columns(["payload"])
+        out = out.append_column("format", pa.array(fmts, pa.string()))
+        out = out.append_column("width", pa.array(ws, pa.int64()))
+        out = out.append_column("height", pa.array(hs, pa.int64()))
+        out = out.append_column("resized_w", pa.array(rws, pa.int64()))
+        out = out.append_column("resized_h", pa.array(rhs, pa.int64()))
+        return out.append_column("payload", pa.array(outs, pa.binary()))
+
+
 def _ppm_payload_length(data: bytes, pos: int) -> tuple[int, int, int]:
     """(frame_length, width, height) of the PPM frame starting at pos —
     parsed from the self-describing header (shared grammar with

@@ -333,3 +333,52 @@ def test_cross_codec_features_and_mixed_knn(ray_session):
     import pandas as pd
 
     pd.testing.assert_frame_equal(a_sorted, b_sorted)
+
+
+def test_mixed_resize_transcode_roundtrip():
+    """MixedResize re-encodes in the ORIGINAL format and the payload
+    decodes to exactly the nearest-neighbor resample of the source
+    pixels, for all three codecs."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    pix = rng.integers(0, 256, size=(40, 28, 3), dtype=np.uint8)
+    payloads = {
+        "ppm": mm.encode_ppm(pix),
+        "bmp": mm.encode_bmp(pix),
+        "farbfeld": mm.encode_farbfeld(pix),
+    }
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(len(payloads))), pa.int64()),
+            "payload": pa.array(list(payloads.values()), pa.binary()),
+        }
+    )
+    out = mm.MixedResize(max_side=16)(t)
+    ref = mm._nn_resize(pix, 16)
+    for i, fmt in enumerate(payloads):
+        assert out.column("format")[i].as_py() == fmt
+        assert out.column("width")[i].as_py() == 28
+        assert out.column("height")[i].as_py() == 40
+        assert out.column("resized_w")[i].as_py() == ref.shape[1]
+        assert out.column("resized_h")[i].as_py() == ref.shape[0]
+        got, got_fmt = mm.decode_image(out.column("payload")[i].as_py())
+        assert got_fmt == fmt
+        assert (got == ref).all()
+
+
+def test_mixed_resize_small_image_passthrough():
+    import numpy as np
+
+    pix = np.arange(5 * 4 * 3, dtype=np.uint8).reshape(5, 4, 3)
+    t = pa.table(
+        {
+            "doc_id": pa.array([0], pa.int64()),
+            "payload": pa.array([mm.encode_bmp(pix)], pa.binary()),
+        }
+    )
+    out = mm.MixedResize(max_side=16)(t)
+    assert out.column("resized_w")[0].as_py() == 4
+    assert out.column("resized_h")[0].as_py() == 5
+    got, _ = mm.decode_image(out.column("payload")[0].as_py())
+    assert (got == pix).all()
