@@ -456,3 +456,46 @@ def approx_quantiles(
             "estimate": pa.array(est, pa.float64()),
         }
     )
+
+
+def approx_distinct_by_key(
+    ds: rd.Dataset, key_col: str, col: str
+) -> rd.Dataset:
+    """(key, approx_distinct): per-group HLL — the mergeable sketch AS
+    a grouped aggregate. Each batch emits one 4 KiB register blob per
+    key it contains (segment max over the batch's rows), the groupby
+    shuffle moves only those blobs, and each group's reduce is an
+    elementwise register max — associative and order-independent, so
+    the estimate is identical under any block layout."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        keys = b.column(key_col).to_numpy(zero_copy_only=False)
+        vals = b.column(col).to_numpy(zero_copy_only=False)
+        uk = np.unique(keys)
+        return pa.table(
+            {
+                key_col: pa.array(uk.tolist()),
+                "regs": pa.array(
+                    [hll_registers(vals[keys == k]).tobytes() for k in uk],
+                    pa.binary(),
+                ),
+            }
+        )
+
+    def merge(g: pa.Table) -> pa.Table:
+        regs = hll_merge(g.column("regs").to_pylist())
+        return pa.table(
+            {
+                key_col: pa.array([g.column(key_col)[0].as_py()]),
+                "approx_distinct": pa.array(
+                    [hll_estimate(regs)], pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ds.select_columns([key_col, col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(key_col)
+        .map_groups(merge, batch_format="pyarrow")
+    )

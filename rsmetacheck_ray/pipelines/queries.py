@@ -1727,6 +1727,20 @@ def q_approx_distinct_users(sf_dir: str):
     return approx_distinct_table(ds, "user_id")
 
 
+def q_approx_distinct_users_by_type(sf_dir: str):
+    """Per-event-type HLL distinct users — the mergeable sketch as a
+    GROUPED aggregate (one 4 KiB register blob per (batch, key) into
+    the shuffle, register-max reduce per group). Rows-only; per-group
+    accuracy vs exact pinned in tests/test_sketch.py."""
+    from ..functions.sketch import approx_distinct_by_key
+
+    ds = rel._read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "user_id"],
+    )
+    return approx_distinct_by_key(ds, "event_type", "user_id")
+
+
 def q_approx_quantiles(sf_dir: str):
     """MRL/KLL-family mergeable quantile sketch over event values —
     one partial-sketch pass, no sort shuffle (rows-only: compaction is
@@ -3192,6 +3206,10 @@ def registry() -> dict[str, tuple]:
         "customer_order_counts": (
             rel.customer_order_counts, rel.CUSTOMER_ORDER_COUNTS_SQL,
         ),
+        "event_users_intersect_customers": (
+            rel.event_users_intersect_customers,
+            rel.EVENT_USERS_INTERSECT_SQL,
+        ),
         "lang_source_hist": (rel.lang_source_hist, rel.LANG_SOURCE_SQL),
         "open_orders": (rel.open_orders, rel.OPEN_ORDERS_SQL),
         "parts_by_brand": (rel.parts_by_brand, rel.PARTS_BY_BRAND_SQL),
@@ -3255,6 +3273,9 @@ def registry() -> dict[str, tuple]:
         "dedup_simhash_pairs": (q_dedup_simhash_pairs, None),  # sketch
         "doc_chunk_fingerprints": (q_doc_chunk_fingerprints, None),  # non-SQL chunker
         "approx_distinct_users": (q_approx_distinct_users, None),  # sketch
+        "approx_distinct_users_by_type": (
+            q_approx_distinct_users_by_type, None,  # sketch
+        ),
         "approx_quantiles": (q_approx_quantiles, None),  # sketch
         "cms_heavy_hitters": (q_cms_heavy_hitters, None),  # sketch
         "dedup_partial_overlap": (q_dedup_partial_overlap, None),  # non-SQL chunker

@@ -1341,3 +1341,63 @@ FROM customer c LEFT JOIN orders o
   ON o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
 GROUP BY c.c_custkey
 """
+
+
+# ---------------------------------------------------------------------------
+# set operation: INTERSECT — distinct keys present in BOTH tables.
+# Same pre-shrunk one-shuffle plan as the anti-join: each side ships
+# only its per-batch DISTINCT keys onto the hashed key partition; the
+# per-partition resolve is two sorted-unique arrays and one membership
+# probe. (EXCEPT is the anti-join, customers_without_orders.)
+# ---------------------------------------------------------------------------
+
+def event_users_intersect_customers(
+    sf_dir: str, num_partitions: int | None = None
+) -> rd.Dataset:
+    """DISTINCT event user_ids that are also customer keys."""
+    events = _read_pq(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id"]
+    )
+    cust = _read_pq(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"]
+    )
+    n_parts = num_partitions or adaptive_partitions(
+        (parquet_rows_hint(events) or 0) + (parquet_rows_hint(cust) or 0)
+        or None,
+        row_bytes=24,
+    )
+
+    def tag(col: str, tag_val: int):
+        def fn(b: pa.Table) -> pa.Table:
+            uk = np.unique(b.column(col).to_numpy(zero_copy_only=False))
+            return pa.table(
+                {
+                    "part": _part_of(pa.array(uk, pa.int64()), n_parts),
+                    "key": pa.array(uk, pa.int64()),
+                    "tag": pa.array(np.full(len(uk), tag_val, np.int8)),
+                }
+            )
+
+        return fn
+
+    both = events.map_batches(tag("user_id", 0), batch_format="pyarrow").union(
+        cust.map_batches(tag("c_custkey", 1), batch_format="pyarrow")
+    )
+
+    def meet(group: pa.Table) -> pa.Table:
+        key = group.column("key").to_numpy(zero_copy_only=False)
+        t = group.column("tag").to_numpy(zero_copy_only=False)
+        a = np.unique(key[t == 0])
+        b = np.unique(key[t == 1])
+        return pa.table(
+            {"user_id": pa.array(np.intersect1d(a, b), pa.int64())}
+        )
+
+    return both.groupby("part").map_groups(meet, batch_format="pyarrow")
+
+
+EVENT_USERS_INTERSECT_SQL = """
+SELECT DISTINCT user_id FROM events
+INTERSECT
+SELECT c_custkey AS user_id FROM customer
+"""

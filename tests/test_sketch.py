@@ -193,3 +193,40 @@ def test_approx_quantiles_pipeline(ray_session):
     vals = vals[~np.isnan(vals)]
     for q, e in zip(out.column("q").to_pylist(), out.column("estimate").to_pylist()):
         assert _rank_error(vals, q, e) <= 0.005
+
+
+def test_approx_distinct_by_key_accuracy_and_layout(ray_session):
+    """Per-group HLL within 5% of the exact per-group distinct, and
+    identical under different block layouts (register max is order-
+    independent)."""
+    import duckdb
+    import ray.data as rd
+
+    from rsmetacheck_ray.functions.sketch import approx_distinct_by_key
+    from rsmetacheck_ray.partitioning import read_pq
+
+    sf = "/root/testdata/sf0.01"
+    ds = read_pq(sf + "/events.parquet")
+    got = (
+        approx_distinct_by_key(ds, "event_type", "user_id")
+        .to_pandas()
+        .set_index("event_type")["approx_distinct"]
+    )
+    exact = (
+        duckdb.sql(
+            f"SELECT event_type, count(DISTINCT user_id) AS n "
+            f"FROM read_parquet('{sf}/events.parquet') GROUP BY event_type"
+        )
+        .df()
+        .set_index("event_type")["n"]
+    )
+    assert set(got.index) == set(exact.index)
+    for k in exact.index:
+        assert abs(got[k] - exact[k]) <= max(0.05 * exact[k], 2), k
+
+    other = (
+        approx_distinct_by_key(ds.repartition(13), "event_type", "user_id")
+        .to_pandas()
+        .set_index("event_type")["approx_distinct"]
+    )
+    assert got.sort_index().equals(other.sort_index())
