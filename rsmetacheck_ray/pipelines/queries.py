@@ -3200,6 +3200,7 @@ def registry() -> dict[str, tuple]:
         "events_running_totals": (
             rel.events_running_totals, rel.EVENTS_RUNNING_SQL,
         ),
+        "events_value_ranks": (rel.events_value_ranks, rel.EVENTS_RANKS_SQL),
         "customers_without_orders": (
             rel.customers_without_orders, rel.CUSTOMERS_WITHOUT_ORDERS_SQL,
         ),

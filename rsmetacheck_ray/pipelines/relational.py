@@ -1401,3 +1401,102 @@ SELECT DISTINCT user_id FROM events
 INTERSECT
 SELECT c_custkey AS user_id FROM customer
 """
+
+
+# ---------------------------------------------------------------------------
+# RANK / DENSE_RANK windows — scale-safe two-phase plan. A naive
+# groupby(event_type).map_groups would materialize a whole type's rows
+# in one worker (types are few ⇒ massive groups). Instead: ranks are a
+# pure function of the (type, cents) VALUE HISTOGRAM — rank = 1 + rows
+# strictly above, dense rank = distinct values above + 1 — so phase 1
+# builds the bounded-domain histogram with per-batch partial combine
+# (the events_value_percentiles discipline), the driver derives the
+# per-(type, cents) rank map, and phase 2 joins it back with one
+# broadcast (ray.put) + searchsorted per batch. No row ever shuffles.
+# ---------------------------------------------------------------------------
+
+def events_value_ranks(sf_dir: str) -> rd.Dataset:
+    """(event_id, event_type, cents, rnk, drnk): RANK and DENSE_RANK
+    of each event's value within its type, descending."""
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "event_type", "value"],
+    )
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "cents": _cents(batch.column("value")),
+            }
+        )
+        g = t.group_by(["event_type", "cents"]).aggregate([([], "count_all")])
+        return g.rename_columns(["event_type", "cents", "n"])
+
+    hist = (
+        ds.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby(["event_type", "cents"])
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    # driver: per type, descending-cents cumulative ranks
+    types = sorted({r["event_type"] for r in hist})
+    tcode = {t: i for i, t in enumerate(types)}
+    by_type: dict[int, list] = {i: [] for i in range(len(types))}
+    for r in hist:
+        by_type[tcode[r["event_type"]]].append((int(r["cents"]), int(r["n"])))
+    keys, rnks, drnks = [], [], []
+    for code, rows in by_type.items():
+        rows.sort(key=lambda cn: -cn[0])
+        above = 0
+        for d, (cents, n) in enumerate(rows):
+            if not -(1 << 39) <= cents < (1 << 39):
+                raise ValueError(f"cents {cents} outside packed-key range")
+            keys.append((code << 40) | (cents + (1 << 39)))
+            rnks.append(above + 1)
+            drnks.append(d + 1)
+            above += n
+    order = np.argsort(np.array(keys, np.int64))
+    ref = ray.put(
+        (
+            tcode,
+            np.array(keys, np.int64)[order],
+            np.array(rnks, np.int64)[order],
+            np.array(drnks, np.int64)[order],
+        )
+    )
+
+    def attach(batch: pa.Table) -> pa.Table:
+        tc, k, rk, dk = ray.get(ref)
+        cents = _cents(batch.column("value")).to_numpy(zero_copy_only=False)
+        codes = np.array(
+            [tc[t] for t in batch.column("event_type").to_pylist()], np.int64
+        )
+        key = (codes << 40) | (cents + (1 << 39))
+        pos = np.searchsorted(k, key)  # every key exists by construction
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "event_type": batch.column("event_type"),
+                "cents": pa.array(cents, pa.int64()),
+                "rnk": pa.array(rk[pos], pa.int64()),
+                "drnk": pa.array(dk[pos], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(attach, batch_format="pyarrow")
+
+
+EVENTS_RANKS_SQL = """
+WITH c AS (
+  SELECT event_id, event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_id, event_type, cents,
+  CAST(RANK() OVER (PARTITION BY event_type ORDER BY cents DESC)
+       AS BIGINT) AS rnk,
+  CAST(DENSE_RANK() OVER (PARTITION BY event_type ORDER BY cents DESC)
+       AS BIGINT) AS drnk
+FROM c
+"""
