@@ -3201,6 +3201,7 @@ def registry() -> dict[str, tuple]:
             rel.events_running_totals, rel.EVENTS_RUNNING_SQL,
         ),
         "events_value_ranks": (rel.events_value_ranks, rel.EVENTS_RANKS_SQL),
+        "events_value_corr": (rel.events_value_corr, rel.EVENTS_CORR_SQL),
         "customers_without_orders": (
             rel.customers_without_orders, rel.CUSTOMERS_WITHOUT_ORDERS_SQL,
         ),

@@ -1500,3 +1500,110 @@ SELECT event_id, event_type, cents,
        AS BIGINT) AS drnk
 FROM c
 """
+
+
+# ---------------------------------------------------------------------------
+# distributed moment aggregate: per-group Pearson correlation. The
+# six sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²) are EXACT int64
+# sums (value already integerized to cents, hour ∈ [0,24)), combined
+# per batch and shuffled as six numbers per (batch, group) — the
+# one-pass moments plan every distributed stats library uses. The
+# final float64 formula is expression-identical to the SQL oracle's,
+# so the result hashes exactly. Int64 bound: |Σx²| < 2⁶³ holds to
+# ~10⁹ rows per group at 10⁵ cents; past that, widen partials to
+# float128 or split the sum (documented, not needed at driver scale).
+# ---------------------------------------------------------------------------
+
+def events_value_corr(sf_dir: str) -> rd.Dataset:
+    """(event_type, n, corr_xy): correlation between value-cents and
+    hour-of-day per event type."""
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "ts", "value"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = _cents(batch.column("value")).to_numpy(zero_copy_only=False)
+        y = pc.cast(pc.hour(batch.column("ts")), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        types = batch.column("event_type").to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(types.astype(str), return_inverse=True)
+        m = len(uk)
+
+        def seg(v):
+            acc = np.zeros(m, np.int64)
+            np.add.at(acc, inv, v)
+            return acc
+
+        return pa.table(
+            {
+                "event_type": pa.array(uk.tolist(), pa.string()),
+                "n": pa.array(np.bincount(inv, minlength=m).astype(np.int64)),
+                "sx": pa.array(seg(x)),
+                "sy": pa.array(seg(y)),
+                "sxy": pa.array(seg(x * y)),
+                "sxx": pa.array(seg(x * x)),
+                "syy": pa.array(seg(y * y)),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"),
+            Sum("sxy", alias_name="sxy"),
+            Sum("sxx", alias_name="sxx"),
+            Sum("syy", alias_name="syy"),
+        )
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        sx = b.column("sx").to_numpy(zero_copy_only=False).astype(np.float64)
+        sy = b.column("sy").to_numpy(zero_copy_only=False).astype(np.float64)
+        sxy = b.column("sxy").to_numpy(zero_copy_only=False).astype(np.float64)
+        sxx = b.column("sxx").to_numpy(zero_copy_only=False).astype(np.float64)
+        syy = b.column("syy").to_numpy(zero_copy_only=False).astype(np.float64)
+        # expression-identical to the oracle: num / sqrt(varx * vary)
+        corr = (n * sxy - sx * sy) / np.sqrt(
+            (n * sxx - sx * sx) * (n * syy - sy * sy)
+        )
+        return pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "n": b.column("n"),
+                "corr_xy": pa.array(corr, pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+EVENTS_CORR_SQL = """
+WITH c AS (
+  SELECT event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS x,
+         CAST(EXTRACT(hour FROM ts) AS BIGINT) AS y
+  FROM events
+),
+s AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+    CAST(SUM(x * y) AS BIGINT) AS sxy,
+    CAST(SUM(x * x) AS BIGINT) AS sxx,
+    CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM c GROUP BY event_type
+)
+SELECT event_type, n,
+  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+  / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_xy
+FROM s
+"""
