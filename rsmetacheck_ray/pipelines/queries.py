@@ -2828,7 +2828,7 @@ def q_lang_source_rollup(sf_dir: str):
     groupby of per-batch (lang, source) tallies; the coarser levels
     re-aggregate that already-tiny result, so the extra shuffles move
     KBs."""
-    from ray.data.aggregate import Sum as _Sum
+    from .relational import bounded_group_table
 
     ds = _documents(sf_dir, ["lang", "source"])
 
@@ -2837,41 +2837,33 @@ def q_lang_source_rollup(sf_dir: str):
         g = t.group_by(["lang", "source"]).aggregate([([], "count_all")])
         return g.rename_columns(["lang", "source", "n"])
 
-    fine = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["lang", "source"])
-        .aggregate(_Sum("n", alias_name="n"))
+    fine = bounded_group_table(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["lang", "source"],
+        [("n", "sum")],
     )
-
-    def lang_mark(b: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "lang": b.column("lang"),
-                "source": pa.repeat(pa.scalar("(all)"), b.num_rows),
-                "n": b.column("n"),
-            }
-        )
-
-    def total_mark(b: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "lang": pa.repeat(pa.scalar("(all)"), b.num_rows),
-                "source": pa.repeat(pa.scalar("(all)"), b.num_rows),
-                "n": b.column("n"),
-            }
-        )
-
-    lang_lvl = (
-        fine.groupby("lang")
-        .aggregate(_Sum("n", alias_name="n"))
-        .map_batches(lang_mark, batch_format="pyarrow")
+    n = fine.column("n")
+    lang_lvl = fine.group_by("lang").aggregate([("n", "sum")])
+    out = pa.concat_tables(
+        [
+            fine,
+            pa.table(
+                {
+                    "lang": lang_lvl.column("lang"),
+                    "source": pa.repeat(pa.scalar("(all)"), lang_lvl.num_rows),
+                    "n": lang_lvl.column("n_sum"),
+                }
+            ),
+            pa.table(
+                {
+                    "lang": pa.array(["(all)"], pa.string()),
+                    "source": pa.array(["(all)"], pa.string()),
+                    "n": pa.array([pc.sum(n).as_py()], pa.int64()),
+                }
+            ),
+        ]
     )
-    total = (
-        fine.map_batches(total_mark, batch_format="pyarrow")
-        .groupby(["lang", "source"])
-        .aggregate(_Sum("n", alias_name="n"))
-    )
-    return fine.union(lang_lvl).union(total)
+    return rd.from_arrow(out)
 
 
 SQL_LANG_SOURCE_ROLLUP = """
@@ -2892,7 +2884,7 @@ def q_length_outliers(sf_dir: str):
     scalar. No full-table shuffle in either pass."""
     import math
 
-    from ray.data.aggregate import Sum as _Sum
+    from .relational import bounded_group_table
 
     ds = _documents(sf_dir, ["doc_id", "n_chars"])
 
@@ -2901,14 +2893,13 @@ def q_length_outliers(sf_dir: str):
         g = t.group_by("n_chars").aggregate([([], "count_all")])
         return g.rename_columns(["n_chars", "n"])
 
-    hist = (
-        ds.map_batches(hist_partial, batch_format="pyarrow")
-        .groupby("n_chars")
-        .aggregate(_Sum("n", alias_name="n"))
-        .take_all()
+    hist_tbl = bounded_group_table(
+        ds.map_batches(hist_partial, batch_format="pyarrow"),
+        ["n_chars"],
+        [("n", "sum")],
     )
-    vals = np.array([r["n_chars"] for r in hist], dtype=np.int64)
-    cnts = np.array([r["n"] for r in hist], dtype=np.int64)
+    vals = hist_tbl.column("n_chars").to_numpy(zero_copy_only=False)
+    cnts = hist_tbl.column("n").to_numpy(zero_copy_only=False)
     order = np.argsort(vals)
     vals, cnts = vals[order], cnts[order]
     cum = np.cumsum(cnts)
