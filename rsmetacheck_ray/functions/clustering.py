@@ -115,7 +115,21 @@ def kmeans_fit(
             }
         )
 
-    cand = unit_ds.map_batches(seed_candidates, batch_format="pyarrow").take_all()
+    def seed_combine(b: pa.Table) -> pa.Table:
+        """Fan-in: keep only the k smallest hashes of a candidate
+        bundle, bounding the driver pull to k × #blocks/512 rows (the
+        CMS two-level discipline)."""
+        if b.num_rows <= k:
+            return b
+        h = b.column("h").to_numpy(zero_copy_only=False)
+        take = pa.array(np.argsort(h)[:k], pa.int64())
+        return b.take(take)
+
+    cand = (
+        unit_ds.map_batches(seed_candidates, batch_format="pyarrow")
+        .map_batches(seed_combine, batch_format="pyarrow", batch_size=512)
+        .take_all()
+    )
     cand.sort(key=lambda r: r["h"])
     if len(cand) < k:
         raise ValueError(f"k={k} exceeds corpus size {len(cand)}")
@@ -149,8 +163,35 @@ def kmeans_fit(
                 }
             )
 
-        parts = unit_ds.map_batches(partial, batch_format="pyarrow").take_all()
-        # fixed merge order (min id per batch) -> deterministic refit
+        def partial_combine(b: pa.Table) -> pa.Table:
+            """Fan-in: element-wise sum of a bundle of partial rows —
+            the driver merges #blocks/256 rows, not #blocks (a (k, d)
+            float partial per block is GBs at 10⁶ blocks)."""
+            if b.num_rows <= 1:
+                return b
+            sums = np.zeros(len(b.column("sums")[0]), np.float64)
+            counts = np.zeros(len(b.column("counts")[0]), np.int64)
+            for rs, rc in zip(
+                b.column("sums").to_pylist(), b.column("counts").to_pylist()
+            ):
+                sums += np.asarray(rs, np.float64)
+                counts += np.asarray(rc, np.int64)
+            return pa.table(
+                {
+                    "ord": pa.array(
+                        [min(b.column("ord").to_pylist())], pa.int64()
+                    ),
+                    "sums": pa.array([sums], pa.list_(pa.float64())),
+                    "counts": pa.array([counts], pa.list_(pa.int64())),
+                }
+            )
+
+        parts = (
+            unit_ds.map_batches(partial, batch_format="pyarrow")
+            .map_batches(partial_combine, batch_format="pyarrow", batch_size=256)
+            .take_all()
+        )
+        # fixed merge order (min id per bundle) -> deterministic refit
         parts.sort(key=lambda r: r["ord"])
         kk, d = cent.shape
         acc = np.zeros((kk, d), np.float64)

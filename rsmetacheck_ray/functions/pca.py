@@ -64,9 +64,33 @@ def pca_fit(
             }
         )
 
+    def combine(b: pa.Table) -> pa.Table:
+        """Fan-in level: sum a bundle of moment rows into one row, so
+        the driver pull is #blocks/256 rows, not #blocks (at 10⁶
+        blocks the un-fanned (d,d) partials would be GBs on the
+        driver — the CMS two-level discipline, functions/sketch.py)."""
+        if b.num_rows <= 1:
+            return b
+        n = int(sum(b.column("n").to_pylist()))
+        d = len(b.column("s")[0])
+        s = np.zeros(d, np.float64)
+        g = np.zeros(d * d, np.float64)
+        for row_s, row_g in zip(b.column("s").to_pylist(), b.column("g").to_pylist()):
+            s += np.asarray(row_s, np.float64)
+            g += np.asarray(row_g, np.float64)
+        return pa.table(
+            {
+                "ord": pa.array([min(b.column("ord").to_pylist())], pa.int64()),
+                "n": pa.array([n], pa.int64()),
+                "s": pa.array([s], pa.list_(pa.float64())),
+                "g": pa.array([g], pa.list_(pa.float64())),
+            }
+        )
+
     parts = (
         ds.select_columns([id_col, "embedding"])
         .map_batches(moments, batch_format="pyarrow")
+        .map_batches(combine, batch_format="pyarrow", batch_size=256)
         .take_all()
     )
     if not parts:

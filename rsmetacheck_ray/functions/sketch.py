@@ -78,11 +78,21 @@ def approx_distinct(ds: rd.Dataset, col: str) -> int:
             {"regs": pa.array([hll_registers(vals).tobytes()], pa.binary())}
         )
 
+    def combine(b: pa.Table) -> pa.Table:
+        """Fan-in level: register-max a bundle of blobs into one, so
+        the driver merges #blocks/512 blobs, not #blocks (4 KiB ×
+        10⁶ blocks would be GBs) — the CMS two-level discipline."""
+        if b.num_rows <= 1:
+            return b
+        regs = hll_merge(b.column("regs").to_pylist())
+        return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
+
     blobs = [
         r["regs"]
-        for r in ds.select_columns([col]).map_batches(
-            partial, batch_format="pyarrow"
-        ).take_all()
+        for r in ds.select_columns([col])
+        .map_batches(partial, batch_format="pyarrow")
+        .map_batches(combine, batch_format="pyarrow", batch_size=512)
+        .take_all()
     ]
     return hll_estimate(hll_merge(blobs))
 
@@ -445,9 +455,22 @@ def approx_quantiles(
             {"sketch": pa.array([mrl_serialize(mrl_from_values(v))], pa.binary())}
         )
 
+    def combine(b: pa.Table) -> pa.Table:
+        """Fan-in level: merge a bundle of sketches into one blob, so
+        the driver merges #blocks/512 sketches, not #blocks (the CMS
+        two-level discipline; MRL merge is associative)."""
+        if b.num_rows <= 1:
+            return b
+        merged = mrl_merge(b.column("sketch").to_pylist())
+        return pa.table(
+            {"sketch": pa.array([mrl_serialize(merged)], pa.binary())}
+        )
+
     blobs = [
         r["sketch"]
-        for r in ds.map_batches(partial, batch_format="pyarrow").take_all()
+        for r in ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(combine, batch_format="pyarrow", batch_size=512)
+        .take_all()
     ]
     est = mrl_quantiles(mrl_merge(blobs), qs)
     return pa.table(
