@@ -115,15 +115,31 @@ def bounded_group_table(
     from ray.data.aggregate import Max as _Max, Min as _Min, Sum as _Sum
 
     _AGG = {"sum": _Sum, "min": _Min, "max": _Max}
-    tables = [t for t in _ray.get(partials.to_arrow_refs()) if t.num_rows]
+    # pull INCREMENTALLY with an early abort: checking the guard only
+    # after materializing everything would OOM the driver first at a
+    # huge #groups × #blocks product. Blocks already fetched stay
+    # ≤ max_rows + one block; past the guard, fall back distributed.
+    tables: list[pa.Table] = []
+    pulled = 0
+    over = False
+    for ref in partials.to_arrow_refs():
+        t = _ray.get(ref)
+        if t.num_rows == 0:
+            continue
+        tables.append(t)
+        pulled += t.num_rows
+        if pulled > max_rows:
+            over = True
+            break
     if not tables:
         return None
-    t = pa.concat_tables(tables, promote_options="permissive")
-    if t.num_rows > max_rows:
+    if over:
         return partials.groupby(keys).aggregate(
             *[_AGG[how](c, alias_name=c) for c, how in aggs]
         )
-    g = t.group_by(keys).aggregate([(c, how) for c, how in aggs])
+    g = pa.concat_tables(tables, promote_options="permissive").group_by(
+        keys
+    ).aggregate([(c, how) for c, how in aggs])
     return g.rename_columns(list(keys) + [c for c, _ in aggs])
 
 
