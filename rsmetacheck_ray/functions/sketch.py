@@ -522,3 +522,55 @@ def approx_distinct_by_key(
         .groupby(key_col)
         .map_groups(merge, batch_format="pyarrow")
     )
+
+
+def approx_quantiles_by_key(
+    ds: rd.Dataset,
+    key_col: str,
+    col: str,
+    qs=(0.25, 0.5, 0.75, 0.95),
+) -> rd.Dataset:
+    """(key, q, estimate): per-group approximate quantiles — the MRL
+    sketch as a grouped aggregate (one KB-scale sketch blob per
+    (batch, key) into the shuffle, associative level-wise merge per
+    group), the unbounded-domain companion to the exact bounded-domain
+    percentiles in pipelines/relational.py."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        keys = b.column(key_col).to_numpy(zero_copy_only=False)
+        vals = b.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        uk = np.unique(keys)
+        return pa.table(
+            {
+                key_col: pa.array(uk.tolist()),
+                "sketch": pa.array(
+                    [
+                        mrl_serialize(mrl_from_values(vals[keys == k]))
+                        for k in uk
+                    ],
+                    pa.binary(),
+                ),
+            }
+        )
+
+    qlist = [float(q) for q in qs]
+
+    def merge(g: pa.Table) -> pa.Table:
+        est = mrl_quantiles(
+            mrl_merge(g.column("sketch").to_pylist()), qlist
+        )
+        n = len(qlist)
+        return pa.table(
+            {
+                key_col: pa.array([g.column(key_col)[0].as_py()] * n),
+                "q": pa.array(qlist, pa.float64()),
+                "estimate": pa.array(est, pa.float64()),
+            }
+        )
+
+    return (
+        ds.select_columns([key_col, col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(key_col)
+        .map_groups(merge, batch_format="pyarrow")
+    )

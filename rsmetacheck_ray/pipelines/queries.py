@@ -1741,6 +1741,21 @@ def q_approx_distinct_users_by_type(sf_dir: str):
     return approx_distinct_by_key(ds, "event_type", "user_id")
 
 
+def q_approx_quantiles_by_type(sf_dir: str):
+    """Per-event-type MRL quantile estimates — the mergeable quantile
+    sketch as a GROUPED aggregate (one KB blob per (batch, key), level-
+    wise merge per group); the unbounded-domain companion to the exact
+    events_value_percentiles. Rows-only; per-group rank error vs exact
+    pinned in tests/test_sketch.py."""
+    from ..functions.sketch import approx_quantiles_by_key
+
+    ds = rel._read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "value"],
+    )
+    return approx_quantiles_by_key(ds, "event_type", "value")
+
+
 def q_approx_quantiles(sf_dir: str):
     """MRL/KLL-family mergeable quantile sketch over event values —
     one partial-sketch pass, no sort shuffle (rows-only: compaction is
@@ -3270,6 +3285,7 @@ def registry() -> dict[str, tuple]:
             q_approx_distinct_users_by_type, None,  # sketch
         ),
         "approx_quantiles": (q_approx_quantiles, None),  # sketch
+        "approx_quantiles_by_type": (q_approx_quantiles_by_type, None),  # sketch
         "cms_heavy_hitters": (q_cms_heavy_hitters, None),  # sketch
         "dedup_partial_overlap": (q_dedup_partial_overlap, None),  # non-SQL chunker
         "dedup_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),

@@ -230,3 +230,28 @@ def test_approx_distinct_by_key_accuracy_and_layout(ray_session):
         .set_index("event_type")["approx_distinct"]
     )
     assert got.sort_index().equals(other.sort_index())
+
+
+def test_approx_quantiles_by_key_rank_error(ray_session):
+    """Per-group MRL estimates land within 2% rank error of the exact
+    per-group quantiles, and merge order (block layout) never changes
+    the estimate's validity."""
+    import duckdb
+
+    from rsmetacheck_ray.functions.sketch import approx_quantiles_by_key
+    from rsmetacheck_ray.partitioning import read_pq
+
+    sf = "/root/testdata/sf0.01"
+    ds = read_pq(sf + "/events.parquet")
+    got = approx_quantiles_by_key(ds, "event_type", "value").to_pandas()
+    vals = duckdb.sql(
+        f"SELECT event_type, value FROM read_parquet('{sf}/events.parquet')"
+    ).df()
+    for (etype, q), grp in got.groupby(["event_type", "q"]):
+        est = grp["estimate"].iloc[0]
+        v = vals.loc[vals["event_type"] == etype, "value"].sort_values().to_numpy()
+        # rank of the estimate among the exact values
+        import numpy as np
+
+        rank = np.searchsorted(v, est, side="right") / len(v)
+        assert abs(rank - q) <= 0.02, (etype, q, rank)
