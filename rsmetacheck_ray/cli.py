@@ -38,7 +38,8 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--fresh", action="store_true",
                    help="ignore an existing resume manifest")
     g.add_argument("--write-dropped-text", action="store_true")
-    g.add_argument("--input-format", choices=("parquet", "jsonl", "csv", "warc"),
+    g.add_argument("--input-format",
+                   choices=("parquet", "jsonl", "csv", "warc", "orc"),
                    default="parquet",
                    help="pages input format (jsonl/csv: ISO warc_ts, base64 html)")
 

@@ -416,7 +416,7 @@ def run_gate(
     Returns the metrics dict (the analog of the reference's global
     summary JSON, ``detect_pitfalls_main.py:396-409``).
     """
-    if input_format not in ("parquet", "jsonl", "csv", "warc"):
+    if input_format not in ("parquet", "jsonl", "csv", "warc", "orc"):
         raise ValueError(f"unsupported input_format {input_format!r}")
     # .warc.gz (per-record gzip members) rides the same format flag
     suffix = (
@@ -429,6 +429,8 @@ def run_gate(
         from ..sources.csv_pages import read_pages_csv as _read_fragments
     elif input_format == "warc":
         from ..sources.warc_pages import read_pages_warc as _read_fragments
+    elif input_format == "orc":
+        from ..sources.orc_pages import read_pages_orc as _read_fragments
     else:
         _read_fragments = rd.read_parquet
     fragments = list_parquet_fragments(input_path, suffix)
@@ -521,6 +523,10 @@ def run_gate(
                     from ..sources.warc_pages import probe_warc
 
                     probe_warc(f)  # strict framing; raises on violation
+                elif input_format == "orc":
+                    from ..sources.orc_pages import probe_orc
+
+                    probe_orc(f)  # streamed per stripe; raises on corruption
                 else:
                     import pyarrow.parquet as pq
 
