@@ -225,6 +225,13 @@ def score_bigram_lm(
             }
         )
         ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) and int(ids.min()) < 0:
+            # -1 is the LM-row sentinel in the co-partitioned union; a
+            # negative real id would be silently misclassified as LM
+            # rows (and its NaN p would poison other docs' lookups)
+            raise ValueError(
+                "score_bigram_lm requires non-negative document ids"
+            )
         doc_idx, denc = tokens_with_doc_index(b.column(text_col))
         if denc is None or len(doc_idx) < 2:
             return empty

@@ -481,6 +481,21 @@ def approx_quantiles(
     )
 
 
+def _key_segments(keys: np.ndarray):
+    """(unique_keys, seg_starts, seg_ends, sort_order) of a key array —
+    the shared grouping primitive of the by-key sketch partials."""
+    order = np.argsort(keys, kind="stable")
+    sk = keys[order]
+    n = len(sk)
+    if n == 0:
+        z = np.array([], np.int64)
+        return sk, z, z, order
+    new = np.concatenate(([True], sk[1:] != sk[:-1]))
+    starts = np.flatnonzero(new)
+    ends = np.concatenate((starts[1:], [n]))
+    return sk[starts], starts, ends, order
+
+
 def approx_distinct_by_key(
     ds: rd.Dataset, key_col: str, col: str
 ) -> rd.Dataset:
@@ -494,12 +509,18 @@ def approx_distinct_by_key(
     def partial(b: pa.Table) -> pa.Table:
         keys = b.column(key_col).to_numpy(zero_copy_only=False)
         vals = b.column(col).to_numpy(zero_copy_only=False)
-        uk = np.unique(keys)
+        # one argsort + segment slices: O(N log N) per batch, not the
+        # O(unique_keys × N) of a boolean rescan per key
+        uk, starts, ends, order = _key_segments(keys)
+        sv = vals[order]
         return pa.table(
             {
                 key_col: pa.array(uk.tolist()),
                 "regs": pa.array(
-                    [hll_registers(vals[keys == k]).tobytes() for k in uk],
+                    [
+                        hll_registers(sv[a:e]).tobytes()
+                        for a, e in zip(starts, ends)
+                    ],
                     pa.binary(),
                 ),
             }
@@ -539,14 +560,15 @@ def approx_quantiles_by_key(
     def partial(b: pa.Table) -> pa.Table:
         keys = b.column(key_col).to_numpy(zero_copy_only=False)
         vals = b.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
-        uk = np.unique(keys)
+        uk, starts, ends, order = _key_segments(keys)
+        sv = vals[order]
         return pa.table(
             {
                 key_col: pa.array(uk.tolist()),
                 "sketch": pa.array(
                     [
-                        mrl_serialize(mrl_from_values(vals[keys == k]))
-                        for k in uk
+                        mrl_serialize(mrl_from_values(sv[a:e]))
+                        for a, e in zip(starts, ends)
                     ],
                     pa.binary(),
                 ),

@@ -2805,9 +2805,12 @@ def q_dedup_semantic(sf_dir: str):
             [v * 1.0001 for v in e]
             for e in sub.column("embedding").to_pylist()
         ]
+        # twin ids live in their own high range (real vec_ids would
+        # collide with a small additive offset once the table passes
+        # that many rows); 2^62 leaves int64 headroom for any real id
         return pa.table(
             {
-                "vec_id": pa.array(sids + 1_000_000, pa.int64()),
+                "vec_id": pa.array(sids + (1 << 62), pa.int64()),
                 "embedding": pa.array(emb, b.column("embedding").type),
                 "label": sub.column("label"),
             }
@@ -2843,7 +2846,7 @@ def q_lang_source_rollup(sf_dir: str):
     groupby of per-batch (lang, source) tallies; the coarser levels
     re-aggregate that already-tiny result, so the extra shuffles move
     KBs."""
-    from .relational import bounded_group_table
+    from .relational import bounded_group_table_strict
 
     ds = _documents(sf_dir, ["lang", "source"])
 
@@ -2852,11 +2855,21 @@ def q_lang_source_rollup(sf_dir: str):
         g = t.group_by(["lang", "source"]).aggregate([([], "count_all")])
         return g.rename_columns(["lang", "source", "n"])
 
-    fine = bounded_group_table(
+    fine = bounded_group_table_strict(
         ds.map_batches(partial, batch_format="pyarrow"),
         ["lang", "source"],
         [("n", "sum")],
     )
+    if fine is None:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "lang": pa.array([], pa.string()),
+                    "source": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        )
     n = fine.column("n")
     lang_lvl = fine.group_by("lang").aggregate([("n", "sum")])
     out = pa.concat_tables(
@@ -2899,7 +2912,7 @@ def q_length_outliers(sf_dir: str):
     scalar. No full-table shuffle in either pass."""
     import math
 
-    from .relational import bounded_group_table
+    from .relational import bounded_group_table_strict
 
     ds = _documents(sf_dir, ["doc_id", "n_chars"])
 
@@ -2908,11 +2921,20 @@ def q_length_outliers(sf_dir: str):
         g = t.group_by("n_chars").aggregate([([], "count_all")])
         return g.rename_columns(["n_chars", "n"])
 
-    hist_tbl = bounded_group_table(
+    hist_tbl = bounded_group_table_strict(
         ds.map_batches(hist_partial, batch_format="pyarrow"),
         ["n_chars"],
         [("n", "sum")],
     )
+    if hist_tbl is None:  # empty corpus: no outliers
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_chars": pa.array([], pa.int64()),
+                }
+            )
+        )
     vals = hist_tbl.column("n_chars").to_numpy(zero_copy_only=False)
     cnts = hist_tbl.column("n").to_numpy(zero_copy_only=False)
     order = np.argsort(vals)

@@ -118,11 +118,14 @@ def bounded_group_table(
     # pull INCREMENTALLY with an early abort: checking the guard only
     # after materializing everything would OOM the driver first at a
     # huge #groups × #blocks product. Blocks already fetched stay
-    # ≤ max_rows + one block; past the guard, fall back distributed.
+    # ≤ max_rows + one block; past the guard, fall back distributed —
+    # over the ALREADY-COMPUTED block refs (from_arrow_refs), never by
+    # re-executing the upstream lineage.
+    refs = partials.to_arrow_refs()
     tables: list[pa.Table] = []
     pulled = 0
     over = False
-    for ref in partials.to_arrow_refs():
+    for ref in refs:
         t = _ray.get(ref)
         if t.num_rows == 0:
             continue
@@ -134,13 +137,50 @@ def bounded_group_table(
     if not tables:
         return None
     if over:
-        return partials.groupby(keys).aggregate(
+        return rd.from_arrow_refs(refs).groupby(keys).aggregate(
             *[_AGG[how](c, alias_name=c) for c, how in aggs]
         )
     g = pa.concat_tables(tables, promote_options="permissive").group_by(
         keys
     ).aggregate([(c, how) for c, how in aggs])
     return g.rename_columns(list(keys) + [c for c, _ in aggs])
+
+
+def bounded_group_table_strict(
+    partials: rd.Dataset,
+    keys: list[str],
+    aggs: list[tuple[str, str]],
+    max_rows: int = 4_000_000,
+) -> pa.Table | None:
+    """Like :func:`bounded_group_table` but ALWAYS a table (or None on
+    empty input) — for callers whose next step is inherently
+    driver-side (CDF walks, rank maps, rollup derivation). When the
+    partial rows trip the guard, the distributed groupby still runs
+    over the computed refs and the AGGREGATED result (one row per
+    group) is pulled; if even that exceeds ``max_rows``, the domain
+    isn't bounded and the caller's plan is wrong — raise instead of
+    OOMing the driver."""
+    g = bounded_group_table(partials, keys, aggs, max_rows=max_rows)
+    if g is None or isinstance(g, pa.Table):
+        return g
+    import ray as _ray
+
+    tables, pulled = [], 0
+    for ref in g.to_arrow_refs():
+        t = _ray.get(ref)
+        if t.num_rows == 0:
+            continue
+        tables.append(t)
+        pulled += t.num_rows
+        if pulled > max_rows:
+            raise ValueError(
+                f"bounded_group_table_strict: aggregated result exceeds "
+                f"{max_rows} rows on keys {keys} — the group domain is "
+                f"not bounded; use a distributed plan instead"
+            )
+    if not tables:
+        return None
+    return pa.concat_tables(tables, promote_options="permissive")
 
 
 # ---------------------------------------------------------------------------
@@ -1175,11 +1215,22 @@ def events_value_percentiles(sf_dir: str) -> rd.Dataset:
     # bounded-domain histogram merged on the driver (the reduce input
     # is |value domain| × #types rows, never the corpus size), then the
     # per-type CDF walk runs right there — no Ray Aggregate/Sort ops
-    hist = bounded_group_table(
+    hist = bounded_group_table_strict(
         ds.map_batches(partial, batch_format="pyarrow"),
         ["event_type", "cents"],
         [("n", "sum")],
     )
+    if hist is None:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "p25": pa.array([], pa.int64()),
+                    "p50": pa.array([], pa.int64()),
+                    "p75": pa.array([], pa.int64()),
+                }
+            )
+        )
 
     def cdf_walk(group: pa.Table) -> pa.Table:
         import math
@@ -1537,7 +1588,7 @@ def events_value_ranks(sf_dir: str) -> rd.Dataset:
         g = t.group_by(["event_type", "cents"]).aggregate([([], "count_all")])
         return g.rename_columns(["event_type", "cents", "n"])
 
-    hist_tbl = bounded_group_table(
+    hist_tbl = bounded_group_table_strict(
         ds.map_batches(hist_partial, batch_format="pyarrow"),
         ["event_type", "cents"],
         [("n", "sum")],
@@ -1573,9 +1624,13 @@ def events_value_ranks(sf_dir: str) -> rd.Dataset:
     def attach(batch: pa.Table) -> pa.Table:
         tc, k, rk, dk = ray.get(ref)
         cents = _cents(batch.column("value")).to_numpy(zero_copy_only=False)
-        codes = np.array(
-            [tc[t] for t in batch.column("event_type").to_pylist()], np.int64
+        # map types → codes over the batch's UNIQUE values only
+        # (dictionary-encode + take; no per-row Python)
+        enc = batch.column("event_type").combine_chunks().dictionary_encode()
+        code_of = np.array(
+            [tc[t] for t in enc.dictionary.to_pylist()], np.int64
         )
+        codes = code_of[enc.indices.to_numpy(zero_copy_only=False)]
         key = (codes << 40) | (cents + (1 << 39))
         pos = np.searchsorted(k, key)  # every key exists by construction
         return pa.table(
