@@ -265,6 +265,17 @@ BENCH_QUERIES = [
     "gate_decisions",
     "gate_drop_vector",
     "gate_then_dedup",
+    # fourth-session operators
+    "events_running_totals",
+    "events_value_ranks",
+    "events_value_corr",
+    "customer_order_counts",
+    "split_assign",
+    "doc_sentences",
+    "score_bigram_lm",
+    "kmeans_clusters",
+    "dedup_semantic",
+    "pca_embeddings",
 ]
 
 
