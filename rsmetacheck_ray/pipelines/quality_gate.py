@@ -351,6 +351,56 @@ def list_parquet_fragments(
     return [str(input_path)]
 
 
+_PAGES_COLUMNS = ["url", "warc_ts", "html", "text", "lang"]
+
+# longest-match suffix → format for the mixed-lake ``auto`` ingest
+_SUFFIX_FORMATS = [
+    (".warc.gz", "warc"),
+    (".parquet", "parquet"),
+    (".jsonl", "jsonl"),
+    (".csv", "csv"),
+    (".warc", "warc"),
+    (".orc", "orc"),
+]
+
+
+def detect_format(path: str) -> str:
+    """File format from its suffix (the ``auto`` ingest's dispatch —
+    content is still validated by each format's strict reader)."""
+    for suf, fmt in _SUFFIX_FORMATS:
+        if path.endswith(suf):
+            return fmt
+    raise ValueError(f"cannot detect input format of {path!r}")
+
+
+def _read_mixed_fragments(paths: list[str]) -> rd.Dataset:
+    """Pages Dataset from a MIXED-format fragment list: group by
+    detected format, read each group with its own reader (every reader
+    already normalizes to the shared pages schema), align column order
+    and union. Real lakes accrete formats over time; ``auto`` lets one
+    gate run consume all of them."""
+    groups: dict[str, list[str]] = {}
+    for p in paths:
+        groups.setdefault(detect_format(p), []).append(p)
+    parts = []
+    for fmt, ps in sorted(groups.items()):
+        if fmt == "jsonl":
+            from ..sources.jsonl_pages import read_pages_jsonl as reader
+        elif fmt == "csv":
+            from ..sources.csv_pages import read_pages_csv as reader
+        elif fmt == "warc":
+            from ..sources.warc_pages import read_pages_warc as reader
+        elif fmt == "orc":
+            from ..sources.orc_pages import read_pages_orc as reader
+        else:
+            reader = rd.read_parquet
+        parts.append(reader(ps).select_columns(_PAGES_COLUMNS))
+    out = parts[0]
+    for d in parts[1:]:
+        out = out.union(d)
+    return out
+
+
 def _shim_fsspec_http() -> None:
     """Make ``fsspec.implementations.http`` importable exactly once.
 
@@ -416,13 +466,15 @@ def run_gate(
     Returns the metrics dict (the analog of the reference's global
     summary JSON, ``detect_pitfalls_main.py:396-409``).
     """
-    if input_format not in ("parquet", "jsonl", "csv", "warc", "orc"):
+    if input_format not in ("parquet", "jsonl", "csv", "warc", "orc", "auto"):
         raise ValueError(f"unsupported input_format {input_format!r}")
     # .warc.gz (per-record gzip members) rides the same format flag
-    suffix = (
-        (".warc", ".warc.gz") if input_format == "warc"
-        else "." + input_format
-    )
+    if input_format == "auto":
+        suffix = (".parquet", ".jsonl", ".csv", ".warc", ".warc.gz", ".orc")
+    elif input_format == "warc":
+        suffix = (".warc", ".warc.gz")
+    else:
+        suffix = "." + input_format
     if input_format == "jsonl":
         from ..sources.jsonl_pages import read_pages_jsonl as _read_fragments
     elif input_format == "csv":
@@ -431,6 +483,8 @@ def run_gate(
         from ..sources.warc_pages import read_pages_warc as _read_fragments
     elif input_format == "orc":
         from ..sources.orc_pages import read_pages_orc as _read_fragments
+    elif input_format == "auto":
+        _read_fragments = _read_mixed_fragments
     else:
         _read_fragments = rd.read_parquet
     fragments = list_parquet_fragments(input_path, suffix)
@@ -507,23 +561,24 @@ def run_gate(
         path, so the happy path never pays a probe per fragment."""
         bad = []
         for f in frag_group:
+            fmt = detect_format(f) if input_format == "auto" else input_format
             try:
-                if input_format == "jsonl":
+                if fmt == "jsonl":
                     import json as _json
 
                     with open(f, "rb") as fh:
                         for line in fh:
                             if line.strip():
                                 _json.loads(line)
-                elif input_format == "csv":
+                elif fmt == "csv":
                     from ..sources.csv_pages import probe_csv
 
                     probe_csv(f)  # streamed; raises on parse failure
-                elif input_format == "warc":
+                elif fmt == "warc":
                     from ..sources.warc_pages import probe_warc
 
                     probe_warc(f)  # strict framing; raises on violation
-                elif input_format == "orc":
+                elif fmt == "orc":
                     from ..sources.orc_pages import probe_orc
 
                     probe_orc(f)  # streamed per stripe; raises on corruption
