@@ -720,8 +720,10 @@ def partition_lineage(partition_dir: str) -> dict:
 
     A threaded driver-side read of ONLY the three tiny decision columns
     (keep: bool, rule_bits: int64, detected_lang: dict-encodable
-    string) with one vectorized tally — a few MB per 256 MB-input
-    partition, so no Ray execution is needed. Spinning a whole Ray
+    string), tallied PER FILE and merged as dicts — driver memory is
+    bounded by one file's pruned columns × thread count, never the
+    whole partition (concatenating a 16M-doc partition's columns
+    measured +400 MB driver RSS). No Ray execution: spinning a whole
     Dataset here cost ~1 s of executor startup PER PARTITION (measured:
     30 % of the html-path wall time at bench scale), and the earlier
     serial full-column read cost ~6.5 s per 5M-row partition."""
@@ -734,10 +736,18 @@ def partition_lineage(partition_dir: str) -> dict:
     if not files:
         return {"rows": 0, "kept": 0, "dropped": 0, "rule_lang": {}}
     cols = ["detected_lang", "keep", "rule_bits"]
-    with ThreadPoolExecutor(max_workers=min(16, len(files))) as ex:
-        tables = list(ex.map(lambda f: pq.read_table(f, columns=cols), files))
-    t = pa.concat_tables(tables)
 
+    def tally_file(f: str) -> dict:
+        return _tally_decision_table(pq.read_table(f, columns=cols))
+
+    with ThreadPoolExecutor(max_workers=min(16, len(files))) as ex:
+        records = list(ex.map(tally_file, files))
+    return _merge_records(records)
+
+
+def _tally_decision_table(t: pa.Table) -> dict:
+    """Vectorized keep/drop + per-(rule, lang) tally of one pruned
+    decision table (dictionary-encode + bincount, no Python rows)."""
     import numpy as np
     import pyarrow.compute as pc
 
