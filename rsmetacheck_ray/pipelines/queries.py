@@ -1317,6 +1317,104 @@ kept AS (
 """
 
 
+def q_curate_semantic(sf_dir: str):
+    """Gate keep ∧ SemDeDup survivor — the semantic-curation
+    composition (SemDeDup's own pipeline shape): quality-gate the
+    pages, semantically dedup the corpus EMBEDDINGS (documents and
+    embeddings share the id space), and keep the docs that pass both.
+    Every 10th embedding is replaced by one shared template direction
+    (+ per-id jitter) so the operator has real work — template/
+    boilerplate pages collapsing to one survivor is exactly the
+    production case. The doc∧survivor meet is ONE hashed-partition
+    membership pass (no broadcast of either id set). kmeans inside ⇒
+    rows-only; component-consistency pinned in pytest."""
+    import numpy as np
+
+    from ..functions.clustering import semantic_dedup
+    from ..partitioning import adaptive_partitions, parquet_rows_hint
+
+    gated = _gated(sf_dir)
+
+    def kept_ids(b: pa.Table) -> pa.Table:
+        f = b.filter(b.column("keep").combine_chunks())
+        return pa.table({"doc_id": f.column("doc_id")})
+
+    kept = gated.map_batches(kept_ids, batch_format="pyarrow")
+
+    emb = rel._read_pq(os.path.join(sf_dir, "embeddings.parquet"))
+
+    def template(b: pa.Table) -> pa.Table:
+        ids = b.column("vec_id").to_numpy(zero_copy_only=False)
+        vecs = [list(e) for e in b.column("embedding").to_pylist()]
+        d = len(vecs[0]) if vecs else 0
+        for i in np.flatnonzero(ids % 10 == 5):
+            v = [0.0] * d
+            v[0] = 1.0
+            v[1] = 1e-4 * float(ids[i] % 97)  # jitter, cos ≈ 1 - 5e-9
+            vecs[i] = v
+        return pa.table(
+            {
+                "vec_id": b.column("vec_id"),
+                "embedding": pa.array(vecs, b.column("embedding").type),
+            }
+        )
+
+    surv = semantic_dedup(
+        emb.map_batches(template, batch_format="pyarrow"),
+        k=8,
+        threshold=0.999,
+    )
+
+    def dropped_ids(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.invert(b.column("keep").combine_chunks()))
+        return pa.table({"doc_id": f.column("vec_id")})
+
+    dropped = surv.map_batches(dropped_ids, batch_format="pyarrow")
+
+    n_parts = adaptive_partitions(
+        parquet_rows_hint(emb), row_bytes=24
+    )
+
+    def tag(tag_val: int):
+        def fn(b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "part": rel._part_of(b.column("doc_id"), n_parts),
+                    "key": pa.array(ids, pa.int64()),
+                    "tag": pa.array(
+                        np.full(len(ids), tag_val, np.int8)
+                    ),
+                }
+            )
+
+        return fn
+
+    both = kept.map_batches(tag(0), batch_format="pyarrow").union(
+        dropped.map_batches(tag(1), batch_format="pyarrow")
+    )
+
+    def meet(group: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        key = group.column("key").to_numpy(zero_copy_only=False)
+        t = group.column("tag").to_numpy(zero_copy_only=False)
+        keep_ids_ = key[t == 0]
+        drop_ids_ = _np.unique(key[t == 1])
+        pos = _np.searchsorted(drop_ids_, keep_ids_)
+        safe = _np.minimum(pos, max(len(drop_ids_) - 1, 0))
+        is_dropped = (
+            (pos < len(drop_ids_)) & (drop_ids_[safe] == keep_ids_)
+            if len(drop_ids_)
+            else _np.zeros(len(keep_ids_), bool)
+        )
+        return pa.table(
+            {"doc_id": pa.array(_np.sort(keep_ids_[~is_dropped]), pa.int64())}
+        )
+
+    return both.groupby("part").map_groups(meet, batch_format="pyarrow")
+
+
 def q_dedup_exact(sf_dir: str):
     return dd.exact_dedup_groups(_dup_corpus(sf_dir))
 
@@ -3258,6 +3356,7 @@ def registry() -> dict[str, tuple]:
         "dedup_lines": (q_dedup_lines, SQL_DEDUP_LINES),
         "dedup_spans": (q_dedup_spans, SQL_DEDUP_SPANS),
         "curate_corpus": (q_curate_corpus, _sql_curate_corpus()),
+        "curate_semantic": (q_curate_semantic, None),  # kmeans inside
         "quality_classifier": (
             q_quality_classifier, _sql_quality_classifier(),
         ),

@@ -155,3 +155,60 @@ def test_semantic_dedup_cap_keeps_tail(ray_session):
     tail = out.iloc[10:]["keep"].to_numpy()
     assert head[0] and not head[1:].any()  # near-identical head dedups to 1
     assert tail.all()  # uncompared tail kept
+
+
+def test_curate_semantic_consistent_with_components(ray_session):
+    """The composition equals (gate-kept ids) minus (semantic-dropped
+    ids), and the planted template cluster collapses to at most one
+    surviving doc."""
+    import numpy as np
+
+    from rsmetacheck_ray.pipelines.queries import (
+        q_curate_semantic,
+        q_gate_decisions,
+        registry,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    curated = set(q_curate_semantic(sf).to_pandas()["doc_id"])
+
+    gate = q_gate_decisions(sf).to_pandas()
+    kept = set(gate.loc[gate["keep"], "doc_id"].astype(int))
+
+    # recompute the semantic component exactly as the query does
+    import pyarrow as pa
+
+    from rsmetacheck_ray.functions.clustering import semantic_dedup
+    from rsmetacheck_ray.partitioning import read_pq
+
+    emb = read_pq(sf + "/embeddings.parquet")
+
+    def template(b):
+        ids = b.column("vec_id").to_numpy(zero_copy_only=False)
+        vecs = [list(e) for e in b.column("embedding").to_pylist()]
+        d = len(vecs[0]) if vecs else 0
+        for i in np.flatnonzero(ids % 10 == 5):
+            v = [0.0] * d
+            v[0] = 1.0
+            v[1] = 1e-4 * float(ids[i] % 97)
+            vecs[i] = v
+        return pa.table(
+            {
+                "vec_id": b.column("vec_id"),
+                "embedding": pa.array(vecs, b.column("embedding").type),
+            }
+        )
+
+    surv = semantic_dedup(
+        emb.map_batches(template, batch_format="pyarrow"),
+        k=8,
+        threshold=0.999,
+    ).to_pandas()
+    dropped = set(surv.loc[~surv["keep"], "vec_id"].astype(int))
+
+    assert curated == kept - dropped
+    # template docs (id % 10 == 5) collapse to at most one survivor
+    template_in_curated = {i for i in curated if i % 10 == 5}
+    assert len(template_in_curated) <= 1
+    # and the corpus genuinely shrank vs the gate alone
+    assert len(curated) < len(kept)
