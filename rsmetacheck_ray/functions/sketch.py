@@ -526,21 +526,51 @@ def approx_distinct_by_key(
             }
         )
 
+    def add_part(b: pa.Table) -> pa.Table:
+        # hash-partition on the key so the per-partition merge handles
+        # EVERY key of its partition in one vectorized pass — Python
+        # call count is O(#partitions), not O(#distinct keys) (the
+        # per-key map_groups trap; keys can be high-cardinality)
+        from .hashing import hash_str_arrow_u128
+
+        k = b.column(key_col)
+        if pa.types.is_string(k.type) or pa.types.is_large_string(k.type):
+            h, _ = hash_str_arrow_u128(k)
+        else:
+            h = splitmix64_np(
+                k.to_numpy(zero_copy_only=False).astype(np.uint64)
+            )
+        part = (h % np.uint64(64)).astype(np.int64)
+        return b.append_column("part", pa.array(part, pa.int64()))
+
     def merge(g: pa.Table) -> pa.Table:
-        regs = hll_merge(g.column("regs").to_pylist())
+        keys = g.column(key_col).to_numpy(zero_copy_only=False)
+        if len(keys) == 0:
+            return pa.table(
+                {
+                    key_col: pa.array([], pa.string()),
+                    "approx_distinct": pa.array([], pa.int64()),
+                }
+            )
+        blobs = g.column("regs").to_pylist()
+        mat = np.stack([np.frombuffer(x, np.uint8) for x in blobs])
+        uk, starts, ends, order = _key_segments(keys)
+        mat = mat[order]
+        # one reduceat per partition merges every key's registers
+        merged = np.maximum.reduceat(mat, starts, axis=0)
+        est = [hll_estimate(merged[i]) for i in range(len(uk))]
         return pa.table(
             {
-                key_col: pa.array([g.column(key_col)[0].as_py()]),
-                "approx_distinct": pa.array(
-                    [hll_estimate(regs)], pa.int64()
-                ),
+                key_col: pa.array(uk.tolist()),
+                "approx_distinct": pa.array(est, pa.int64()),
             }
         )
 
     return (
         ds.select_columns([key_col, col])
         .map_batches(partial, batch_format="pyarrow")
-        .groupby(key_col)
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
         .map_groups(merge, batch_format="pyarrow")
     )
 
