@@ -607,22 +607,54 @@ def approx_quantiles_by_key(
 
     qlist = [float(q) for q in qs]
 
+    def add_part(b: pa.Table) -> pa.Table:
+        # hash-partition on the key (the HLL-by-key discipline): each
+        # map_groups call merges EVERY key of its partition — call
+        # count O(#partitions), not O(#distinct keys)
+        from .hashing import hash_str_arrow_u128
+
+        k = b.column(key_col)
+        if pa.types.is_string(k.type) or pa.types.is_large_string(k.type):
+            h, _ = hash_str_arrow_u128(k)
+        else:
+            h = splitmix64_np(
+                k.to_numpy(zero_copy_only=False).astype(np.uint64)
+            )
+        part = (h % np.uint64(64)).astype(np.int64)
+        return b.append_column("part", pa.array(part, pa.int64()))
+
     def merge(g: pa.Table) -> pa.Table:
-        est = mrl_quantiles(
-            mrl_merge(g.column("sketch").to_pylist()), qlist
-        )
-        n = len(qlist)
+        keys = g.column(key_col).to_numpy(zero_copy_only=False)
+        if len(keys) == 0:
+            return pa.table(
+                {
+                    key_col: pa.array([], pa.string()),
+                    "q": pa.array([], pa.float64()),
+                    "estimate": pa.array([], pa.float64()),
+                }
+            )
+        blobs = g.column("sketch").to_pylist()
+        uk, starts, ends, order = _key_segments(keys)
+        out_k, out_q, out_e = [], [], []
+        for i, (a, e) in enumerate(zip(starts, ends)):
+            est = mrl_quantiles(
+                mrl_merge([blobs[j] for j in order[a:e]]), qlist
+            )
+            out_k.extend([uk[i]] * len(qlist))
+            out_q.extend(qlist)
+            out_e.extend(est)
         return pa.table(
             {
-                key_col: pa.array([g.column(key_col)[0].as_py()] * n),
-                "q": pa.array(qlist, pa.float64()),
-                "estimate": pa.array(est, pa.float64()),
+                key_col: pa.array(out_k),
+                "q": pa.array(out_q, pa.float64()),
+                "estimate": pa.array(np.asarray(out_e, np.float64)),
             }
         )
 
     return (
         ds.select_columns([key_col, col])
         .map_batches(partial, batch_format="pyarrow")
-        .groupby(key_col)
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
         .map_groups(merge, batch_format="pyarrow")
     )
