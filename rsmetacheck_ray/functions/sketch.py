@@ -496,6 +496,30 @@ def _key_segments(keys: np.ndarray):
     return sk[starts], starts, ends, order
 
 
+def _add_key_part(b: pa.Table, key_col: str, n_parts: int) -> pa.Table:
+    """Append the hashed-key partition id (string or integer keys) —
+    the shared shuffle-assignment of every by-key sketch merge."""
+    from .hashing import hash_str_arrow_u128
+
+    k = b.column(key_col)
+    if pa.types.is_string(k.type) or pa.types.is_large_string(k.type):
+        h, _ = hash_str_arrow_u128(k)
+    else:
+        h = splitmix64_np(k.to_numpy(zero_copy_only=False).astype(np.uint64))
+    part = (h % np.uint64(n_parts)).astype(np.int64)
+    return b.append_column("part", pa.array(part, pa.int64()))
+
+
+def _sketch_parts(ds: rd.Dataset, blob_bytes: int) -> int:
+    """Partition count for a by-key sketch merge, sized so one
+    partition's stacked blobs fit a worker (#keys × #blocks can make
+    the partial stream huge at high key cardinality — a fixed fan-in
+    would OOM the merge task)."""
+    from ..partitioning import adaptive_partitions, parquet_rows_hint
+
+    return adaptive_partitions(parquet_rows_hint(ds), row_bytes=blob_bytes)
+
+
 def approx_distinct_by_key(
     ds: rd.Dataset, key_col: str, col: str
 ) -> rd.Dataset:
@@ -526,29 +550,19 @@ def approx_distinct_by_key(
             }
         )
 
-    def add_part(b: pa.Table) -> pa.Table:
-        # hash-partition on the key so the per-partition merge handles
-        # EVERY key of its partition in one vectorized pass — Python
-        # call count is O(#partitions), not O(#distinct keys) (the
-        # per-key map_groups trap; keys can be high-cardinality)
-        from .hashing import hash_str_arrow_u128
-
-        k = b.column(key_col)
-        if pa.types.is_string(k.type) or pa.types.is_large_string(k.type):
-            h, _ = hash_str_arrow_u128(k)
-        else:
-            h = splitmix64_np(
-                k.to_numpy(zero_copy_only=False).astype(np.uint64)
-            )
-        part = (h % np.uint64(64)).astype(np.int64)
-        return b.append_column("part", pa.array(part, pa.int64()))
+    # hash-partition on the key so the per-partition merge handles
+    # EVERY key of its partition in one vectorized pass — Python call
+    # count is O(#partitions), not O(#distinct keys) (the per-key
+    # map_groups trap; keys can be high-cardinality). Partition count
+    # sized so a partition's stacked 4 KiB registers fit one worker.
+    n_parts = _sketch_parts(ds, N_REGS)
 
     def merge(g: pa.Table) -> pa.Table:
         keys = g.column(key_col).to_numpy(zero_copy_only=False)
         if len(keys) == 0:
             return pa.table(
                 {
-                    key_col: pa.array([], pa.string()),
+                    key_col: pa.array([], g.schema.field(key_col).type),
                     "approx_distinct": pa.array([], pa.int64()),
                 }
             )
@@ -569,7 +583,10 @@ def approx_distinct_by_key(
     return (
         ds.select_columns([key_col, col])
         .map_batches(partial, batch_format="pyarrow")
-        .map_batches(add_part, batch_format="pyarrow")
+        .map_batches(
+            lambda b: _add_key_part(b, key_col, n_parts),
+            batch_format="pyarrow",
+        )
         .groupby("part")
         .map_groups(merge, batch_format="pyarrow")
     )
@@ -607,28 +624,16 @@ def approx_quantiles_by_key(
 
     qlist = [float(q) for q in qs]
 
-    def add_part(b: pa.Table) -> pa.Table:
-        # hash-partition on the key (the HLL-by-key discipline): each
-        # map_groups call merges EVERY key of its partition — call
-        # count O(#partitions), not O(#distinct keys)
-        from .hashing import hash_str_arrow_u128
-
-        k = b.column(key_col)
-        if pa.types.is_string(k.type) or pa.types.is_large_string(k.type):
-            h, _ = hash_str_arrow_u128(k)
-        else:
-            h = splitmix64_np(
-                k.to_numpy(zero_copy_only=False).astype(np.uint64)
-            )
-        part = (h % np.uint64(64)).astype(np.int64)
-        return b.append_column("part", pa.array(part, pa.int64()))
+    # hashed-key partitions sized to the sketch blob (the HLL-by-key
+    # discipline): call count O(#partitions), stacked blobs bounded
+    n_parts = _sketch_parts(ds, 2048)
 
     def merge(g: pa.Table) -> pa.Table:
         keys = g.column(key_col).to_numpy(zero_copy_only=False)
         if len(keys) == 0:
             return pa.table(
                 {
-                    key_col: pa.array([], pa.string()),
+                    key_col: pa.array([], g.schema.field(key_col).type),
                     "q": pa.array([], pa.float64()),
                     "estimate": pa.array([], pa.float64()),
                 }
@@ -654,7 +659,10 @@ def approx_quantiles_by_key(
     return (
         ds.select_columns([key_col, col])
         .map_batches(partial, batch_format="pyarrow")
-        .map_batches(add_part, batch_format="pyarrow")
+        .map_batches(
+            lambda b: _add_key_part(b, key_col, n_parts),
+            batch_format="pyarrow",
+        )
         .groupby("part")
         .map_groups(merge, batch_format="pyarrow")
     )

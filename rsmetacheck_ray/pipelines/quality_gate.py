@@ -351,7 +351,7 @@ def list_parquet_fragments(
     return [str(input_path)]
 
 
-_PAGES_COLUMNS = ["url", "warc_ts", "html", "text", "lang"]
+from ..schema import PAGES_COLUMNS as _PAGES_COLUMNS
 
 # longest-match suffix → format for the mixed-lake ``auto`` ingest
 _SUFFIX_FORMATS = [

@@ -1344,18 +1344,25 @@ def q_curate_semantic(sf_dir: str):
     emb = rel._read_pq(os.path.join(sf_dir, "embeddings.parquet"))
 
     def template(b: pa.Table) -> pa.Table:
+        # vectorized in-place rewrite: flatten the list column to its
+        # values buffer, overwrite only the templated rows' slots, and
+        # rebuild with from_arrays — no per-row Python
         ids = b.column("vec_id").to_numpy(zero_copy_only=False)
-        vecs = [list(e) for e in b.column("embedding").to_pylist()]
-        d = len(vecs[0]) if vecs else 0
-        for i in np.flatnonzero(ids % 10 == 5):
-            v = [0.0] * d
-            v[0] = 1.0
-            v[1] = 1e-4 * float(ids[i] % 97)  # jitter, cos ≈ 1 - 5e-9
-            vecs[i] = v
+        arr = b.column("embedding").combine_chunks()
+        flat = pc.list_flatten(arr).to_numpy(zero_copy_only=False).copy()
+        n = len(ids)
+        d = len(flat) // n if n else 0
+        mat = flat.reshape(n, d)
+        hit = np.flatnonzero(ids % 10 == 5)
+        mat[hit] = 0.0
+        mat[hit, 0] = 1.0
+        mat[hit, 1] = (1e-4 * (ids[hit] % 97)).astype(mat.dtype)
+        offsets = pa.array(np.arange(n + 1, dtype=np.int32) * d)
+        values = pa.array(mat.ravel(), arr.type.value_type)
         return pa.table(
             {
                 "vec_id": b.column("vec_id"),
-                "embedding": pa.array(vecs, b.column("embedding").type),
+                "embedding": pa.ListArray.from_arrays(offsets, values),
             }
         )
 

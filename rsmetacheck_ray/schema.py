@@ -22,6 +22,10 @@ PAGES_SCHEMA = pa.schema(
     ]
 )
 
+# canonical pages column order (derived from the schema — the ONE list
+# every reader/union aligns to)
+PAGES_COLUMNS = [f.name for f in PAGES_SCHEMA]
+
 # Hidden driver-side labels for the golden test (FIXTURES.md §2).
 LABELS_SCHEMA = pa.schema(
     [

@@ -23,7 +23,7 @@ import pyarrow as pa
 import ray.data as rd
 from ray.data.datasource import FileBasedDatasource
 
-PAGES_COLUMNS = ["url", "warc_ts", "html", "text", "lang"]
+from ..schema import PAGES_COLUMNS
 
 
 def _normalize(t: pa.Table) -> pa.Table:

@@ -31,10 +31,6 @@ def _mixed_dir(pages_dir: str, out_dir: str) -> None:
         shutil.copy(f, tmp_o)
     _to_jsonl(tmp_j, out_dir)
     _to_orc(tmp_o, out_dir)
-    # only the converted forms of the 2nd/3rd thirds live in out_dir
-    for f in glob.glob(os.path.join(out_dir, "*.parquet")):
-        if os.path.basename(f) not in {os.path.basename(x) for x in files[:third]}:
-            os.remove(f)
 
 
 def test_auto_gate_matches_parquet_gate(ray_session, small_corpus, tmp_path):
