@@ -3335,6 +3335,12 @@ def registry() -> dict[str, tuple]:
         ),
         "events_value_ranks": (rel.events_value_ranks, rel.EVENTS_RANKS_SQL),
         "events_value_corr": (rel.events_value_corr, rel.EVENTS_CORR_SQL),
+        "events_latest_per_user": (
+            rel.events_latest_per_user, rel.EVENTS_LATEST_SQL,
+        ),
+        "user_event_sequences": (
+            rel.user_event_sequences, rel.USER_SEQUENCES_SQL,
+        ),
         "customers_without_orders": (
             rel.customers_without_orders, rel.CUSTOMERS_WITHOUT_ORDERS_SQL,
         ),

@@ -1759,3 +1759,156 @@ SELECT event_type, n,
             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_xy
 FROM s
 """
+
+
+# ---------------------------------------------------------------------------
+# latest-record-per-key compaction — the CDC/upsert shape (keep each
+# key's most recent record; the recency twin of exact dedup's
+# first-occurrence rule) — and per-key ordered COLLECT (string_agg):
+# behavior sequences for sequence models. Both ride the sessionize
+# plan: ONE shuffle onto an adaptive hashed key partition, one lexsort
+# + segment math per partition.
+# ---------------------------------------------------------------------------
+
+def events_latest_per_user(
+    sf_dir: str, num_partitions: int | None = None
+) -> rd.Dataset:
+    """(user_id, event_id, ts_us, cents): each user's most recent
+    event under the (ts, event_id) total order."""
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id", "value"],
+    )
+    n_parts = num_partitions or adaptive_partitions(
+        parquet_rows_hint(ds), row_bytes=32
+    )
+
+    def tag(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "part": _part_of(b.column("user_id"), n_parts),
+                "user_id": b.column("user_id"),
+                "ts_us": pc.cast(b.column("ts"), pa.int64()),
+                "event_id": b.column("event_id"),
+                "cents": _cents(b.column("value")),
+            }
+        )
+
+    def latest(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        ts = g.column("ts_us").to_numpy(zero_copy_only=False)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        cents = g.column("cents").to_numpy(zero_copy_only=False)
+        if len(uid) == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "event_id": pa.array([], pa.int64()),
+                    "ts_us": pa.array([], pa.int64()),
+                    "cents": pa.array([], pa.int64()),
+                }
+            )
+        order = np.lexsort((eid, ts, uid))
+        u, t, e, c = uid[order], ts[order], eid[order], cents[order]
+        # last row of each user segment = the max (ts, event_id)
+        last = np.concatenate((u[1:] != u[:-1], [True]))
+        return pa.table(
+            {
+                "user_id": pa.array(u[last], pa.int64()),
+                "event_id": pa.array(e[last], pa.int64()),
+                "ts_us": pa.array(t[last], pa.int64()),
+                "cents": pa.array(c[last], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(latest, batch_format="pyarrow")
+    )
+
+
+EVENTS_LATEST_SQL = """
+SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+       CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+FROM events
+QUALIFY row_number() OVER (
+  PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+) = 1
+"""
+
+
+def user_event_sequences(
+    sf_dir: str, num_partitions: int | None = None
+) -> rd.Dataset:
+    """(user_id, n_events, sequence): each user's event types joined
+    in (ts, event_id) order — the ordered COLLECT every behavioral-
+    sequence model trains on."""
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    n_parts = num_partitions or adaptive_partitions(
+        parquet_rows_hint(ds), row_bytes=40
+    )
+
+    def tag(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "part": _part_of(b.column("user_id"), n_parts),
+                "user_id": b.column("user_id"),
+                "ts_us": pc.cast(b.column("ts"), pa.int64()),
+                "event_id": b.column("event_id"),
+                "event_type": b.column("event_type"),
+            }
+        )
+
+    def collect(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        ts = g.column("ts_us").to_numpy(zero_copy_only=False)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        if len(uid) == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "sequence": pa.array([], pa.string()),
+                }
+            )
+        order = np.lexsort((eid, ts, uid))
+        u = uid[order]
+        types = g.column("event_type").take(
+            pa.array(order, pa.int64())
+        )
+        new = np.empty(len(u), dtype=bool)
+        new[0] = True
+        new[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(new)
+        offsets = pa.array(
+            np.append(starts, len(u)).astype(np.int32)
+        )
+        # per-user list of types -> one binary_join per segment (C++)
+        lists = pa.ListArray.from_arrays(offsets, types.combine_chunks())
+        seqs = pc.binary_join(lists, ",")
+        return pa.table(
+            {
+                "user_id": pa.array(u[starts], pa.int64()),
+                "n_events": pa.array(
+                    np.diff(np.append(starts, len(u))).astype(np.int64)
+                ),
+                "sequence": seqs,
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(collect, batch_format="pyarrow")
+    )
+
+
+USER_SEQUENCES_SQL = """
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       string_agg(event_type, ',' ORDER BY ts, event_id) AS sequence
+FROM events GROUP BY user_id
+"""
