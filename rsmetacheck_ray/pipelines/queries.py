@@ -3183,6 +3183,35 @@ def q_multimodal_mixed_resize(sf_dir: str):
     )
 
 
+def q_multimodal_wav_features(sf_dir: str):
+    """REAL audio tier: from-scratch WAV/PCM16 decode (RIFF chunk walk,
+    stereo downmix) → vectorized clip features (duration, RMS, ZCR,
+    peak) in an actor pool — the audio analog of the image tiers.
+    Rows-only; roundtrip bit-exactness and numpy feature parity pinned
+    in pytest."""
+    ds = _documents(sf_dir, ["doc_id", "text"])
+    return ds.map_batches(
+        mm.attach_wav_payload, batch_format="pyarrow"
+    ).map_batches(
+        mm.WavFeatures, batch_format="pyarrow", concurrency=(1, 4),
+        batch_size=256,
+    )
+
+
+def q_multimodal_wav_resample(sf_dir: str):
+    """Audio transcode: decode → nearest-neighbor resample to 8 kHz →
+    re-encode WAV (payload stays a valid file; clips already at 8 kHz
+    pass through bit-exact). Rows-only; pinned in pytest."""
+    ds = _documents(sf_dir, ["doc_id", "text"])
+    resampled = ds.map_batches(
+        mm.attach_wav_payload, batch_format="pyarrow"
+    ).map_batches(
+        mm.WavResample, batch_format="pyarrow", concurrency=(1, 4),
+        batch_size=256,
+    )
+    return resampled.select_columns(["doc_id", "orig_rate", "n_samples"])
+
+
 def q_multimodal_mixed_decode(sf_dir: str):
     """Format-DISPATCH decode: the same deterministic pixels encoded as
     PPM (even doc_ids) or BMP (odd), routed by magic bytes in ONE
@@ -3480,6 +3509,8 @@ def registry() -> dict[str, tuple]:
         "multimodal_ppm_decode": (q_multimodal_ppm_decode, None),  # real codec
         "multimodal_mixed_decode": (q_multimodal_mixed_decode, None),  # PPM|BMP dispatch
         "multimodal_mixed_resize": (q_multimodal_mixed_resize, None),  # transcode
+        "multimodal_wav_features": (q_multimodal_wav_features, None),  # real audio
+        "multimodal_wav_resample": (q_multimodal_wav_resample, None),  # transcode
         "multimodal_ppm_knn": (q_multimodal_ppm_knn, None),  # real pixels e2e
         "multimodal_mixed_knn": (q_multimodal_mixed_knn, None),  # cross-codec
 

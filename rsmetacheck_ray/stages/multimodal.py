@@ -579,3 +579,162 @@ class PPMFrameSample:
                 "mean_pixel": pa.array(out_mean, pa.float64()),
             }
         )
+
+
+# ---------------------------------------------------------------------------
+# AUDIO tier — WAV / PCM16 (RIFF), from scratch like P6/BMP/farbfeld.
+# A canonical 44-byte RIFF header + little-endian int16 samples needs
+# no libraries, so the audio modality gets the same REAL treatment as
+# images: genuine sample decode, vectorized features (RMS energy,
+# zero-crossing rate, peak), and nearest-neighbor resampling — the
+# decode→featurize→downsample plumbing an audio curation pipeline
+# runs, with payloads that any audio tool can open.
+# ---------------------------------------------------------------------------
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16_000) -> bytes:
+    """mono int16 samples → canonical PCM WAV bytes."""
+    import struct
+
+    s = np.ascontiguousarray(samples, dtype="<i2")
+    body = s.tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(body), b"WAVE", b"fmt ", 16,
+        1, 1, sample_rate, sample_rate * 2, 2, 16,
+        b"data", len(body),
+    )
+    return hdr + body
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """PCM WAV → (int16 samples, sample_rate). Walks RIFF chunks (a
+    writer may insert LIST/fact chunks before data); strict on the
+    format: mono/stereo 16-bit PCM only, stereo downmixed by averaging
+    (the curation-pipeline convention)."""
+    import struct
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos = 12
+    fmt = None
+    samples = None
+    rate = 0
+    while pos + 8 <= len(data):
+        cid, size = struct.unpack_from("<4sI", data, pos)
+        pos += 8
+        if cid == b"fmt ":
+            audio_fmt, channels, rate, _, _, bits = struct.unpack_from(
+                "<HHIIHH", data, pos
+            )
+            if audio_fmt != 1 or bits != 16 or channels not in (1, 2):
+                raise ValueError(
+                    f"unsupported WAV variant (fmt={audio_fmt}, "
+                    f"bits={bits}, channels={channels})"
+                )
+            fmt = channels
+        elif cid == b"data":
+            if fmt is None:
+                raise ValueError("WAV data chunk before fmt")
+            raw = np.frombuffer(data, "<i2", count=size // 2, offset=pos)
+            if fmt == 2:  # downmix stereo
+                raw = (
+                    (raw[0::2].astype(np.int32) + raw[1::2].astype(np.int32))
+                    // 2
+                ).astype(np.int16)
+            samples = raw
+        pos += size + (size & 1)  # RIFF chunks are word-aligned
+    if samples is None:
+        raise ValueError("WAV without a data chunk")
+    return samples, rate
+
+
+def synth_samples(doc_id: int, text_len: int) -> np.ndarray:
+    """Deterministic synthetic waveform per doc (splitmix-seeded saw +
+    square mix) — the stand-in payload generator, like synth_pixels."""
+    from ..functions.hashing import splitmix64_np
+
+    n = 256 + (text_len % 512)
+    seeds = splitmix64_np(
+        np.arange(n, dtype=np.uint64) ^ np.uint64(doc_id * 2654435761 + 7)
+    )
+    return ((seeds % np.uint64(20001)).astype(np.int64) - 10000).astype(
+        np.int16
+    )
+
+
+def attach_wav_payload(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """(doc_id, payload): one WAV clip per doc, rate varied by id."""
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    texts = batch.column(text_col).to_pylist()
+    rates = [8000 if int(i) % 3 == 0 else 16000 for i in ids]
+    payloads = [
+        encode_wav(synth_samples(int(i), len(t or "")), r)
+        for i, t, r in zip(ids, texts, rates)
+    ]
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )
+
+
+class WavFeatures:
+    """Actor-pool stage: decode → vectorized clip features (duration,
+    RMS energy, zero-crossing rate, peak) — the audio analog of
+    PPMFeatures; everything numpy over the sample vector."""
+
+    def __init__(self):
+        pa.set_cpu_count(1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {
+            "n_samples": [], "sample_rate": [], "duration_s": [],
+            "rms": [], "zcr": [], "peak": [],
+        }
+        for data in batch.column("payload").to_pylist():
+            s, rate = decode_wav(data)
+            x = s.astype(np.float64) / 32768.0
+            out["n_samples"].append(len(s))
+            out["sample_rate"].append(rate)
+            out["duration_s"].append(len(s) / rate)
+            out["rms"].append(float(np.sqrt(np.mean(x * x))) if len(s) else 0.0)
+            out["zcr"].append(
+                float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
+                if len(s) > 1 else 0.0
+            )
+            out["peak"].append(float(np.abs(x).max()) if len(s) else 0.0)
+        t = batch.drop_columns(["payload"])
+        t = t.append_column("n_samples", pa.array(out["n_samples"], pa.int64()))
+        t = t.append_column("sample_rate", pa.array(out["sample_rate"], pa.int64()))
+        t = t.append_column("duration_s", pa.array(out["duration_s"], pa.float64()))
+        t = t.append_column("rms", pa.array(out["rms"], pa.float64()))
+        t = t.append_column("zcr", pa.array(out["zcr"], pa.float64()))
+        return t.append_column("peak", pa.array(out["peak"], pa.float64()))
+
+
+class WavResample:
+    """Actor-pool TRANSCODE stage: decode → nearest-neighbor resample
+    to ``target_rate`` → re-encode as WAV (the payload stays a valid
+    file, like MixedResize). Clips already at the target pass through
+    bit-exact."""
+
+    def __init__(self, target_rate: int = 8000):
+        self.target = target_rate
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rates, ns, outs = [], [], []
+        for data in batch.column("payload").to_pylist():
+            s, rate = decode_wav(data)
+            if rate != self.target and len(s):
+                n_out = max(1, (len(s) * self.target) // rate)
+                idx = (np.arange(n_out) * rate) // self.target
+                s = s[np.minimum(idx, len(s) - 1)]
+            rates.append(rate)
+            ns.append(len(s))
+            outs.append(encode_wav(s, self.target))
+        t = batch.drop_columns(["payload"])
+        t = t.append_column("orig_rate", pa.array(rates, pa.int64()))
+        t = t.append_column("n_samples", pa.array(ns, pa.int64()))
+        return t.append_column("payload", pa.array(outs, pa.binary()))

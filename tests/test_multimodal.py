@@ -382,3 +382,78 @@ def test_mixed_resize_small_image_passthrough():
     assert out.column("resized_h")[0].as_py() == 5
     got, _ = mm.decode_image(out.column("payload")[0].as_py())
     assert (got == pix).all()
+
+
+def test_wav_roundtrip_bit_exact():
+    import numpy as np
+
+    rng = np.random.default_rng(21)
+    s = rng.integers(-32768, 32768, size=777, dtype=np.int16)
+    data = mm.encode_wav(s, 16000)
+    got, rate = mm.decode_wav(data)
+    assert rate == 16000
+    assert (got == s).all()
+
+
+def test_wav_stereo_downmix_and_chunk_walk():
+    """A LIST chunk before data must be skipped; stereo averages."""
+    import struct
+
+    import numpy as np
+
+    left = np.array([100, -200, 300], np.int16)
+    right = np.array([300, -400, 100], np.int16)
+    inter = np.empty(6, np.int16)
+    inter[0::2], inter[1::2] = left, right
+    body = inter.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    lst = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    payload = (
+        b"RIFF" + struct.pack("<I", 0) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + lst
+        + b"data" + struct.pack("<I", len(body)) + body
+    )
+    got, rate = mm.decode_wav(payload)
+    assert rate == 8000
+    assert (got == (left.astype(np.int32) + right) // 2).all()
+
+
+def test_wav_features_match_numpy():
+    import numpy as np
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 3], pa.int64()),
+            "text": pa.array(["abc def", "xyz"], pa.string()),
+        }
+    )
+    out = mm.WavFeatures()(mm.attach_wav_payload(t))
+    for i, doc in enumerate([0, 3]):
+        s = mm.synth_samples(doc, len(t.column("text")[i].as_py()))
+        x = s.astype(np.float64) / 32768.0
+        assert out.column("n_samples")[i].as_py() == len(s)
+        assert out.column("sample_rate")[i].as_py() == (8000 if doc % 3 == 0 else 16000)
+        assert abs(out.column("rms")[i].as_py() - np.sqrt(np.mean(x * x))) < 1e-12
+        zcr = np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))
+        assert abs(out.column("zcr")[i].as_py() - zcr) < 1e-12
+
+
+def test_wav_resample_passthrough_and_ratio():
+    import numpy as np
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),  # 0: 8k, 1: 16k
+            "text": pa.array(["aaaa", "bbbb"], pa.string()),
+        }
+    )
+    attached = mm.attach_wav_payload(t)
+    out = mm.WavResample(target_rate=8000)(attached)
+    # doc 0 already at 8 kHz: payload passes through bit-exact
+    assert out.column("payload")[0].as_py() == attached.column("payload")[0].as_py()
+    # doc 1 halves its sample count (16k -> 8k)
+    s1 = mm.synth_samples(1, 4)
+    assert out.column("n_samples")[1].as_py() == len(s1) // 2
+    got, rate = mm.decode_wav(out.column("payload")[1].as_py())
+    assert rate == 8000 and (got == s1[::2]).all()
