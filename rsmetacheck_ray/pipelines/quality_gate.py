@@ -603,19 +603,32 @@ def run_gate(
         batch_size is also the fused operator's task granularity (Ray
         bundles read blocks up to batch_size rows per task), so a
         partition needs rows/batch_size ≥ ~2×CPUs tasks to fill the
-        cluster. Parquet footer row counts are free; other formats
-        keep the configured size (their datasources already emit
-        row-true blocks). Floor 1024: below that, per-batch kernel
-        launch overhead starts to show (measured sweep in config.py).
+        cluster. Parquet/ORC footer row counts are free (and auto mode
+        counts whichever of the two it holds); row-counting the other
+        formats would need a full parse, so they keep the configured
+        size (their datasources already emit row-true blocks). Floor
+        1024: below that, per-batch kernel launch overhead starts to
+        show (measured sweep in config.py).
         """
-        if input_format != "parquet":
+        if input_format not in ("parquet", "orc", "auto"):
             return cfg
-        try:
-            import pyarrow.parquet as pq
 
-            rows = sum(
-                pq.ParquetFile(f).metadata.num_rows for f in frag_group
-            )
+        def _rows_of(f: str) -> int:
+            fmt = detect_format(f) if input_format == "auto" else input_format
+            if fmt == "parquet":
+                import pyarrow.parquet as pq
+
+                return pq.ParquetFile(f).metadata.num_rows
+            if fmt == "orc":
+                import pyarrow.orc as orc
+
+                return orc.ORCFile(f).nrows
+            return 0  # row-true-block formats: no free count
+
+        try:
+            rows = sum(_rows_of(f) for f in frag_group)
+            if rows == 0:
+                return cfg
         except Exception:
             return cfg
         import ray
