@@ -388,3 +388,139 @@ def test_bpe_incremental_equals_naive(seed):
 
     wc = [(w, int(n)) for w, n in Counter(vocab).items()]
     assert learn_merges(wc, 15) == _naive_learn(wc, 15)
+
+
+def _rand_events(seed: int, n: int, n_keys: int) -> pa.Table:
+    """events-shaped table with heavy key/ts collisions."""
+    rng = np.random.default_rng(seed)
+    return pa.table(
+        {
+            "event_id": pa.array(rng.permutation(n), pa.int64()),
+            "ts": pa.array(
+                rng.integers(0, 50, n) * 1_000_000, pa.timestamp("us")
+            ),
+            "user_id": pa.array(rng.integers(0, n_keys, n), pa.int64()),
+            "event_type": pa.array(
+                [f"t{int(x)}" for x in rng.integers(0, 3, n)], pa.string()
+            ),
+            "value": pa.array(rng.integers(0, 500, n) / 7.0, pa.float64()),
+        }
+    )
+
+
+def _events_dir(tbl: pa.Table, d: str) -> str:
+    import os
+
+    import pyarrow.parquet as pq
+
+    pq.write_table(tbl, os.path.join(d, "events.parquet"))
+    return d
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.integers(min_value=0, max_value=10_000))
+def test_running_totals_match_pandas(ray_session, seed):
+    """events_running_totals == pandas groupby cumsum under the same
+    (ts, event_id) order, including duplicate timestamps per user."""
+    import tempfile
+
+    from rsmetacheck_ray.pipelines.relational import events_running_totals
+
+    tbl = _rand_events(seed, n=250, n_keys=9)
+    with tempfile.TemporaryDirectory() as d:
+        got = (
+            events_running_totals(_events_dir(tbl, d))
+            .to_pandas()
+            .sort_values(["user_id", "ts_us", "event_id"])
+            .reset_index(drop=True)
+        )
+    df = tbl.to_pandas()
+    df["ts_us"] = df["ts"].astype("datetime64[us]").astype(np.int64)
+    df["cents"] = np.floor(df["value"] * 100 + 0.5).astype(np.int64)
+    df = df.sort_values(["user_id", "ts_us", "event_id"]).reset_index(drop=True)
+    df["running_cents"] = df.groupby("user_id")["cents"].cumsum()
+    gaps = df.groupby("user_id")["ts_us"].diff()
+    df["gap_us"] = gaps.fillna(-1).astype(np.int64)
+    assert got["running_cents"].tolist() == df["running_cents"].tolist()
+    assert got["gap_us"].tolist() == df["gap_us"].tolist()
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.integers(min_value=0, max_value=10_000))
+def test_latest_per_user_matches_bruteforce(ray_session, seed):
+    import tempfile
+
+    from rsmetacheck_ray.pipelines.relational import events_latest_per_user
+
+    tbl = _rand_events(seed, n=200, n_keys=7)
+    with tempfile.TemporaryDirectory() as d:
+        got = (
+            events_latest_per_user(_events_dir(tbl, d))
+            .to_pandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+    df = tbl.to_pandas()
+    df["ts_us"] = df["ts"].astype("datetime64[us]").astype(np.int64)
+    exp = (
+        df.sort_values(["user_id", "ts_us", "event_id"])
+        .groupby("user_id")
+        .tail(1)
+        .sort_values("user_id")
+    )
+    assert got["event_id"].tolist() == exp["event_id"].tolist()
+    assert got["ts_us"].tolist() == exp["ts_us"].tolist()
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.integers(min_value=0, max_value=10_000))
+def test_user_sequences_match_bruteforce(ray_session, seed):
+    import tempfile
+
+    from rsmetacheck_ray.pipelines.relational import user_event_sequences
+
+    tbl = _rand_events(seed, n=180, n_keys=6)
+    with tempfile.TemporaryDirectory() as d:
+        got = (
+            user_event_sequences(_events_dir(tbl, d))
+            .to_pandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+    df = tbl.to_pandas()
+    df["ts_us"] = df["ts"].astype("datetime64[us]").astype(np.int64)
+    exp = (
+        df.sort_values(["user_id", "ts_us", "event_id"])
+        .groupby("user_id")["event_type"]
+        .agg(",".join)
+    )
+    assert got.set_index("user_id")["sequence"].to_dict() == exp.to_dict()
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.integers(min_value=0, max_value=10_000))
+def test_value_ranks_match_bruteforce(ray_session, seed):
+    """RANK/DENSE_RANK from the histogram plan == scipy-free brute
+    force per (type, cents), on collision-heavy data."""
+    import tempfile
+
+    from rsmetacheck_ray.pipelines.relational import events_value_ranks
+
+    tbl = _rand_events(seed, n=220, n_keys=5)
+    with tempfile.TemporaryDirectory() as d:
+        got = (
+            events_value_ranks(_events_dir(tbl, d))
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+    df = tbl.to_pandas()
+    df["cents"] = np.floor(df["value"] * 100 + 0.5).astype(np.int64)
+    for _, grp in df.groupby("event_type"):
+        cents = grp["cents"].to_numpy()
+        for _, row in grp.iterrows():
+            rnk = int((cents > row["cents"]).sum()) + 1
+            drnk = len(np.unique(cents[cents > row["cents"]])) + 1
+            sel = got.loc[got["event_id"] == row["event_id"]]
+            assert int(sel["rnk"].iloc[0]) == rnk
+            assert int(sel["drnk"].iloc[0]) == drnk
