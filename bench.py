@@ -276,6 +276,9 @@ BENCH_QUERIES = [
     "kmeans_clusters",
     "dedup_semantic",
     "pca_embeddings",
+    "events_latest_per_user",
+    "user_event_sequences",
+    "multimodal_wav_features",
 ]
 
 

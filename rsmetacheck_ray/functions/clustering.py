@@ -248,7 +248,16 @@ def semantic_dedup(
 ) -> rd.Dataset:
     """(id, cluster, keep): SemDeDup — within each k-means cluster,
     connected components of the cos>threshold graph keep only their
-    min-id member. ONE shuffle, keyed directly on the cluster id."""
+    min-id member. ONE shuffle, keyed directly on the cluster id.
+
+    Partitioning assumption (explicit): a cluster is the unit of
+    worker memory — each map_groups call materializes one cluster's
+    (id, unit-vector) rows, so ``k`` must be sized to keep n/k × d
+    float64s inside the worker budget (k IS the scale knob, exactly as
+    in SemDeDup, which runs k ≈ √n-scale clusterings).
+    ``max_cluster_docs`` separately bounds the O(c²) similarity
+    compare; docs beyond it stay uncompared and KEPT (one-sided: the
+    cap can only under-dedup, never false-drop)."""
     cent = kmeans_fit(ds, k=k, n_iters=n_iters, id_col=id_col)
     cent_ref = ray.put(cent)
 
