@@ -1,0 +1,786 @@
+"""Windowed-frame / grouping-set / outer-join analytics operators —
+the second relational batch (round 3), widening SURVEY §2.6-2.8's
+aggregation-and-ordering coverage with the ANSI shapes the first batch
+lacked: FULL OUTER JOIN, PIVOT-style conditional aggregation, GROUP BY
+CUBE, ROWS-frame moving aggregates, NTILE, per-group MODE/MEDIAN, and
+the classic 3-table join + top-k (TPC-H Q3 shape).
+
+Same exactness discipline as ``relational.py`` (integer cents before
+any sum; floats only as a final deterministic int/int division) and
+the same shuffle discipline: heavy tables partial-combine inside
+``map_batches`` so shuffles move per-batch partials; keyed
+row-windows (moving frames, NTILE) shuffle ONCE on a size-adaptive
+hashed key partition and process every key of a partition in one
+vectorized lexsort pass (the ``sessionize_users`` pattern,
+relational.py:552).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+from ..partitioning import adaptive_partitions, parquet_rows_hint
+from .relational import (
+    _cents,
+    _part_of,
+    _read_pq,
+    bounded_group_table_strict,
+)
+
+# ---------------------------------------------------------------------------
+# FULL OUTER JOIN — per-user event activity ⟗ customer master
+# ---------------------------------------------------------------------------
+
+
+def user_customer_activity(
+    sf_dir: str, num_partitions: int | None = None
+) -> rd.Dataset:
+    """FULL OUTER join of per-user event totals with the customer
+    table on ``user_id = c_custkey``: one row per id that appears on
+    EITHER side, with nulls for the missing side (users with events
+    but no customer row, customers with no events).
+
+    Plan: the heavy side (events) partial-combines per batch to one
+    (user, n, cents) row per distinct user per batch; both sides then
+    shuffle ONCE on the same size-adaptive hashed key partition and a
+    single vectorized merge per partition emits the outer rows —
+    no row-level shuffle of the event table, no broadcast of the
+    (at-scale unbounded) customer side.
+    """
+    events = _read_pq(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "value"]
+    )
+    cust = _read_pq(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_acctbal"],
+    )
+    n_parts = num_partitions or adaptive_partitions(
+        (parquet_rows_hint(cust) or 0) or None,
+        row_bytes=40,  # (part, key, tag, n, cents, acct)
+    )
+
+    def tag_events(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {"key": b.column("user_id"), "cents": _cents(b.column("value"))}
+        )
+        g = t.group_by("key").aggregate([("cents", "sum"), ("key", "count")])
+        g = g.rename_columns(["key", "cents", "n"])
+        z = pa.array(np.zeros(g.num_rows, np.int64), pa.int64())
+        return pa.table(
+            {
+                "part": _part_of(g.column("key"), n_parts),
+                "key": g.column("key"),
+                "tag": pa.array(np.zeros(g.num_rows, np.int8)),
+                "n": pc.cast(g.column("n"), pa.int64()),
+                "cents": g.column("cents"),
+                "acct": z,
+            }
+        )
+
+    def tag_cust(b: pa.Table) -> pa.Table:
+        n = len(b)
+        z = pa.array(np.zeros(n, np.int64), pa.int64())
+        return pa.table(
+            {
+                "part": _part_of(b.column("c_custkey"), n_parts),
+                "key": b.column("c_custkey"),
+                "tag": pa.array(np.ones(n, np.int8)),
+                "n": z,
+                "cents": z,
+                "acct": _cents(b.column("c_acctbal")),
+            }
+        )
+
+    both = events.map_batches(tag_events, batch_format="pyarrow").union(
+        cust.map_batches(tag_cust, batch_format="pyarrow")
+    )
+
+    def outer_merge(g: pa.Table) -> pa.Table:
+        key = g.column("key").to_numpy(zero_copy_only=False)
+        tag = g.column("tag").to_numpy(zero_copy_only=False)
+        n = g.column("n").to_numpy(zero_copy_only=False)
+        cents = g.column("cents").to_numpy(zero_copy_only=False)
+        acct = g.column("acct").to_numpy(zero_copy_only=False)
+        is_e = tag == 0
+        # merge the per-batch event partials per key
+        ek = key[is_e]
+        if len(ek):
+            order = np.argsort(ek, kind="stable")
+            ek = ek[order]
+            en, ec = n[is_e][order], cents[is_e][order]
+            starts = np.flatnonzero(np.concatenate(([True], ek[1:] != ek[:-1])))
+            ek = ek[starts]
+            en = np.add.reduceat(en, starts)
+            ec = np.add.reduceat(ec, starts)
+        else:
+            en = ec = np.array([], np.int64)
+        ck = key[~is_e]
+        ca = acct[~is_e]
+        corder = np.argsort(ck, kind="stable")
+        ck, ca = ck[corder], ca[corder]
+        allk = np.union1d(ek, ck)
+        m = len(allk)
+        epos = np.searchsorted(ek, allk)
+        has_e = (epos < len(ek)) & (ek[np.minimum(epos, len(ek) - 1)] == allk) if len(ek) else np.zeros(m, bool)
+        cpos = np.searchsorted(ck, allk)
+        has_c = (cpos < len(ck)) & (ck[np.minimum(cpos, len(ck) - 1)] == allk) if len(ck) else np.zeros(m, bool)
+        out_n = np.zeros(m, np.int64)
+        out_c = np.zeros(m, np.int64)
+        out_a = np.zeros(m, np.int64)
+        if len(ek):
+            out_n[has_e] = en[epos[has_e]]
+            out_c[has_e] = ec[epos[has_e]]
+        if len(ck):
+            out_a[has_c] = ca[cpos[has_c]]
+        return pa.table(
+            {
+                "id": pa.array(allk, pa.int64()),
+                "n_events": pa.array(out_n, mask=~has_e),
+                "value_cents": pa.array(out_c, mask=~has_e),
+                "acct_cents": pa.array(out_a, mask=~has_c),
+            }
+        )
+
+    return both.groupby("part").map_groups(outer_merge, batch_format="pyarrow")
+
+
+USER_CUSTOMER_ACTIVITY_SQL = """
+WITH e AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS value_cents
+  FROM events GROUP BY user_id
+)
+SELECT COALESCE(e.user_id, c.c_custkey) AS id,
+       e.n_events, e.value_cents,
+       CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT) AS acct_cents
+FROM e FULL OUTER JOIN customer c ON e.user_id = c.c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# PIVOT — order counts per month × priority, priorities as columns
+# ---------------------------------------------------------------------------
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+_PRIO_COLS = ["n_urgent", "n_high", "n_medium", "n_notspec", "n_low"]
+
+
+def _ym_of(ts_col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """year*100+month int64 of a timestamp column (vectorized)."""
+    us = ts_col.to_numpy(zero_copy_only=False)
+    months = us.astype("datetime64[M]").astype(np.int64)
+    return ((1970 + months // 12) * 100 + (months % 12 + 1)).astype(np.int64)
+
+
+def orders_month_priority_pivot(sf_dir: str) -> rd.Dataset:
+    """PIVOT: per order-month, one COLUMN per priority with its order
+    count, plus the row total. Heavy pass = per-batch (ym, priority)
+    tallies; the shuffle ships one partial row per (month, priority)
+    per batch (bounded domain), and the pivot itself happens on the
+    already-tiny aggregate."""
+    ds = _read_pq(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderdate", "o_orderpriority"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "ym": pa.array(_ym_of(b.column("o_orderdate")), pa.int64()),
+                "prio": b.column("o_orderpriority"),
+            }
+        )
+        g = t.group_by(["ym", "prio"]).aggregate([([], "count_all")])
+        return g.rename_columns(["ym", "prio", "n"])
+
+    fine = bounded_group_table_strict(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["ym", "prio"],
+        [("n", "sum")],
+    )
+    cols = {
+        "ym": pa.array([], pa.int64()),
+        **{c: pa.array([], pa.int64()) for c in _PRIO_COLS},
+        "n_total": pa.array([], pa.int64()),
+    }
+    if fine is None:
+        return rd.from_arrow(pa.table(cols))
+    ym = fine.column("ym").to_numpy(zero_copy_only=False)
+    prio = fine.column("prio").to_pylist()
+    n = fine.column("n").to_numpy(zero_copy_only=False)
+    months = np.unique(ym)
+    mpos = {int(m): i for i, m in enumerate(months)}
+    pcode = {p: j for j, p in enumerate(_PRIORITIES)}
+    grid = np.zeros((len(months), len(_PRIORITIES)), np.int64)
+    for y, p, c in zip(ym, prio, n):
+        grid[mpos[int(y)], pcode[p]] += int(c)
+    out = {"ym": pa.array(months, pa.int64())}
+    for j, c in enumerate(_PRIO_COLS):
+        out[c] = pa.array(grid[:, j], pa.int64())
+    out["n_total"] = pa.array(grid.sum(axis=1), pa.int64())
+    return rd.from_arrow(pa.table(out))
+
+
+ORDERS_PIVOT_SQL = """
+SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS ym,
+  CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+  CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+  CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS n_medium,
+  CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS n_notspec,
+  CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+  CAST(COUNT(*) AS BIGINT) AS n_total
+FROM orders GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# GROUP BY CUBE — event counts over (event_type, day-of-week)
+# ---------------------------------------------------------------------------
+
+
+def events_type_dow_cube(sf_dir: str) -> rd.Dataset:
+    """GROUP BY CUBE(event_type, dow): all four grouping levels —
+    (type, dow), (type, *), (*, dow), (*, *) — with ``(all)`` / -1
+    markers for the rolled dimensions. One partial-combined pass over
+    events; the three coarser levels re-aggregate the already-tiny
+    fine table on the driver (the ``lang_source_rollup`` pattern,
+    queries.py:2947, extended to the full cube)."""
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "ts"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = b.column("ts").to_numpy(zero_copy_only=False)
+        days = us.astype("datetime64[D]").astype(np.int64)
+        dow = (days + 4) % 7  # 1970-01-01 = Thursday = 4; DuckDB dow Sun=0
+        t = pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "dow": pa.array(dow, pa.int64()),
+            }
+        )
+        g = t.group_by(["event_type", "dow"]).aggregate([([], "count_all")])
+        return g.rename_columns(["event_type", "dow", "n"])
+
+    fine = bounded_group_table_strict(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "dow"],
+        [("n", "sum")],
+    )
+    empty = pa.table(
+        {
+            "event_type": pa.array([], pa.string()),
+            "dow": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+    if fine is None:
+        return rd.from_arrow(empty)
+    by_type = fine.group_by("event_type").aggregate([("n", "sum")])
+    by_dow = fine.group_by("dow").aggregate([("n", "sum")])
+    total = pc.sum(fine.column("n")).as_py()
+    out = pa.concat_tables(
+        [
+            fine.select(["event_type", "dow", "n"]),
+            pa.table(
+                {
+                    "event_type": by_type.column("event_type"),
+                    "dow": pa.array(
+                        np.full(by_type.num_rows, -1), pa.int64()
+                    ),
+                    "n": by_type.column("n_sum"),
+                }
+            ),
+            pa.table(
+                {
+                    "event_type": pa.repeat(
+                        pa.scalar("(all)"), by_dow.num_rows
+                    ),
+                    "dow": by_dow.column("dow"),
+                    "n": by_dow.column("n_sum"),
+                }
+            ),
+            pa.table(
+                {
+                    "event_type": pa.array(["(all)"], pa.string()),
+                    "dow": pa.array([-1], pa.int64()),
+                    "n": pa.array([total], pa.int64()),
+                }
+            ),
+        ]
+    )
+    return rd.from_arrow(out)
+
+
+EVENTS_CUBE_SQL = """
+SELECT COALESCE(event_type, '(all)') AS event_type,
+       COALESCE(CAST(EXTRACT(dow FROM ts) AS BIGINT), -1) AS dow,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY CUBE(event_type, EXTRACT(dow FROM ts))
+"""
+
+
+# ---------------------------------------------------------------------------
+# ROWS-frame moving aggregate + NTILE — per-user ordered windows
+# ---------------------------------------------------------------------------
+
+
+def _user_sorted(g: pa.Table):
+    """(user, ts, event_id, cents) of one hashed partition, lexsorted
+    by (user, ts, event_id), plus per-user segment boundaries."""
+    uid = g.column("user_id").to_numpy(zero_copy_only=False)
+    ts = g.column("ts").to_numpy(zero_copy_only=False)
+    eid = g.column("event_id").to_numpy(zero_copy_only=False)
+    cents = g.column("cents").to_numpy(zero_copy_only=False)
+    order = np.lexsort((eid, ts, uid))
+    u, e, c = uid[order], eid[order], cents[order]
+    n = len(u)
+    new_user = np.empty(n, dtype=bool)
+    if n:
+        new_user[0] = True
+        new_user[1:] = u[1:] != u[:-1]
+    starts = np.flatnonzero(new_user)
+    counts = np.diff(np.append(starts, n))
+    return u, e, c, starts, counts
+
+
+def _events_keyed(sf_dir: str, num_partitions: int | None):
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id", "value"],
+    )
+    n_parts = num_partitions or adaptive_partitions(
+        parquet_rows_hint(ds), row_bytes=32
+    )
+
+    def tag(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "part": _part_of(b.column("user_id"), n_parts),
+                "user_id": b.column("user_id"),
+                "ts": pc.cast(b.column("ts"), pa.int64()),
+                "event_id": b.column("event_id"),
+                "cents": _cents(b.column("value")),
+            }
+        )
+
+    return ds.map_batches(tag, batch_format="pyarrow")
+
+
+def events_moving_avg(
+    sf_dir: str, window: int = 3, num_partitions: int | None = None
+) -> rd.Dataset:
+    """Per-event moving aggregate over a ROWS frame: the sum / count /
+    mean of the last ``window`` values (frame ``ROWS BETWEEN window-1
+    PRECEDING AND CURRENT ROW``) within each user's (ts, event_id)
+    order. ONE shuffle on the hashed user partition; each partition
+    computes every user's frames from a single cumulative sum (frame
+    sum = cumsum diff clipped at the user's segment start — no
+    per-row Python, no per-user calls). The mean is the deterministic
+    IEEE division of the exact integer frame sum by the frame length,
+    matching the SQL side bit-for-bit."""
+    keyed = _events_keyed(sf_dir, num_partitions)
+
+    def frames(g: pa.Table) -> pa.Table:
+        u, e, c, starts, counts = _user_sorted(g)
+        n = len(u)
+        if n == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "mov_cents": pa.array([], pa.int64()),
+                    "mov_n": pa.array([], pa.int64()),
+                    "mov_avg": pa.array([], pa.float64()),
+                }
+            )
+        pos = np.arange(n) - np.repeat(starts, counts)
+        w = np.minimum(pos + 1, window)
+        csum = np.cumsum(c)
+        prev = np.arange(n) - w  # index before the frame start; ≥ seg_start-1
+        mov = csum - np.where(prev >= 0, csum[np.maximum(prev, 0)], 0)
+        return pa.table(
+            {
+                "event_id": pa.array(e, pa.int64()),
+                "mov_cents": pa.array(mov, pa.int64()),
+                "mov_n": pa.array(w.astype(np.int64), pa.int64()),
+                "mov_avg": pa.array(
+                    mov.astype(np.float64) / w.astype(np.float64)
+                ),
+            }
+        )
+
+    return keyed.groupby("part").map_groups(frames, batch_format="pyarrow")
+
+
+EVENTS_MOVING_AVG_SQL = """
+WITH c AS (
+  SELECT event_id, user_id, ts,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_id,
+  CAST(SUM(cents) OVER w AS BIGINT) AS mov_cents,
+  CAST(COUNT(*) OVER w AS BIGINT) AS mov_n,
+  CAST(SUM(cents) OVER w AS DOUBLE) / COUNT(*) OVER w AS mov_avg
+FROM c
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
+def events_user_ntile(
+    sf_dir: str, k: int = 4, num_partitions: int | None = None
+) -> rd.Dataset:
+    """NTILE(k) of each user's events in (ts, event_id) order —
+    ANSI semantics (the first ``n % k`` tiles get the extra row).
+    Same one-shuffle hashed-partition plan as the moving frame; the
+    tile assignment is pure arithmetic on the position-in-user and
+    rows-per-user vectors."""
+    keyed = _events_keyed(sf_dir, num_partitions)
+
+    def tiles(g: pa.Table) -> pa.Table:
+        u, e, _c, starts, counts = _user_sorted(g)
+        n = len(u)
+        if n == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "tile": pa.array([], pa.int64()),
+                }
+            )
+        pos = np.arange(n) - np.repeat(starts, counts)
+        nu = np.repeat(counts, counts)
+        size = nu // k
+        r = nu % k
+        cut = r * (size + 1)
+        tile = np.where(
+            pos < cut,
+            pos // (size + 1),
+            r + (pos - cut) // np.maximum(size, 1),
+        ) + 1
+        return pa.table(
+            {
+                "event_id": pa.array(e, pa.int64()),
+                "tile": pa.array(tile.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return keyed.groupby("part").map_groups(tiles, batch_format="pyarrow")
+
+
+EVENTS_NTILE_SQL = """
+SELECT event_id,
+  CAST(NTILE(4) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+    AS tile
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# MODE + MEDIAN per group — from the bounded-domain value histogram
+# ---------------------------------------------------------------------------
+
+
+def events_type_mode_median(sf_dir: str) -> rd.Dataset:
+    """Per event type: the modal value (most frequent cents, ties →
+    smallest) and the interpolated median — both derived from ONE
+    partial-combined (type, cents) histogram, so the full table never
+    shuffles (the ``events_value_ranks`` discipline). The median
+    interpolates exactly like SQL ``MEDIAN`` over BIGINT: value at
+    position (n-1)/2, halfway between the two middle values when n is
+    even — exact in float64 for cent-scale integers."""
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "value"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "cents": _cents(b.column("value")),
+            }
+        )
+        g = t.group_by(["event_type", "cents"]).aggregate([([], "count_all")])
+        return g.rename_columns(["event_type", "cents", "n"])
+
+    hist = bounded_group_table_strict(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "cents"],
+        [("n", "sum")],
+    )
+    empty = pa.table(
+        {
+            "event_type": pa.array([], pa.string()),
+            "mode_cents": pa.array([], pa.int64()),
+            "median_val": pa.array([], pa.float64()),
+        }
+    )
+    if hist is None:
+        return rd.from_arrow(empty)
+    et = hist.column("event_type").to_pylist()
+    cents = hist.column("cents").to_numpy(zero_copy_only=False)
+    cnt = hist.column("n").to_numpy(zero_copy_only=False)
+    types, modes, medians = [], [], []
+    for t in sorted(set(et)):
+        sel = np.array([x == t for x in et])
+        cv, nv = cents[sel], cnt[sel]
+        order = np.argsort(cv)
+        cv, nv = cv[order], nv[order]
+        modes.append(int(cv[np.argmax(nv)]))  # argmax → first max → smallest
+        total = int(nv.sum())
+        cum = np.cumsum(nv)
+        lo_pos = (total - 1) // 2
+        hi_pos = total // 2
+        lo_v = float(cv[np.searchsorted(cum, lo_pos, side="right")])
+        hi_v = float(cv[np.searchsorted(cum, hi_pos, side="right")])
+        medians.append(lo_v + (hi_v - lo_v) * 0.5)
+        types.append(t)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "event_type": pa.array(types, pa.string()),
+                "mode_cents": pa.array(modes, pa.int64()),
+                "median_val": pa.array(medians, pa.float64()),
+            }
+        )
+    )
+
+
+EVENTS_MODE_MEDIAN_SQL = """
+WITH c AS (
+  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+m AS (
+  SELECT event_type, cents AS mode_cents FROM (
+    SELECT event_type, cents, COUNT(*) AS n FROM c GROUP BY 1, 2
+  ) QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY event_type ORDER BY n DESC, cents) = 1
+),
+q AS (SELECT event_type, MEDIAN(cents) AS median_val FROM c GROUP BY 1)
+SELECT m.event_type, m.mode_cents, q.median_val
+FROM m JOIN q USING (event_type)
+"""
+
+
+# ---------------------------------------------------------------------------
+# 3-table join + top-k — the TPC-H Q3 shape
+# ---------------------------------------------------------------------------
+
+_Q3_CUTOFF = "1998-06-01"
+
+
+def shipping_priority(
+    sf_dir: str,
+    segment: str = "BUILDING",
+    cutoff: str = _Q3_CUTOFF,
+    k: int = 10,
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """TPC-H Q3 shape: customer(segment) ⋉ orders(before cutoff) ⋈
+    lineitem(shipped after cutoff) → revenue per open order → top-k.
+
+    Both joins are the engine's tagged-union hashed-partition merge
+    (the ``customers_without_orders`` pattern): stage A semi-filters
+    orders on the segment's custkeys with ONE shuffle on the custkey
+    partition (only DISTINCT per-batch custkeys ship for the filter
+    side); stage B shuffles the surviving (orderkey, date) rows and
+    lineitem's per-batch revenue PARTIALS on the orderkey partition,
+    aggregates, and prunes to the top-k inside each partition before
+    the final k-row global sort. No side is broadcast (every side is
+    unbounded at scale); empty filter results flow through as
+    schema-true empty tables."""
+    cutoff_ts = np.datetime64(cutoff, "us")
+    cust = _read_pq(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey"],
+        filter=(pc.field("c_mktsegment") == segment),
+    )
+    orders = _read_pq(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(pc.field("o_orderdate") < pa.scalar(cutoff_ts.item())),
+    )
+    li = _read_pq(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=(pc.field("l_shipdate") > pa.scalar(cutoff_ts.item())),
+    )
+    n_parts = num_partitions or adaptive_partitions(
+        parquet_rows_hint(orders), row_bytes=24
+    )
+
+    # -- stage A: semi join orders ⋉ segment custkeys on custkey ----
+    def tag_cust(b: pa.Table) -> pa.Table:
+        keys = pc.unique(b.column("c_custkey"))
+        z = pa.array(np.zeros(len(keys), np.int64), pa.int64())
+        return pa.table(
+            {
+                "part": _part_of(keys, n_parts),
+                "key": keys,
+                "tag": pa.array(np.zeros(len(keys), np.int8)),
+                "okey": z,
+                "odate": z,
+            }
+        )
+
+    def tag_orders(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "part": _part_of(b.column("o_custkey"), n_parts),
+                "key": b.column("o_custkey"),
+                "tag": pa.array(np.ones(len(b), np.int8)),
+                "okey": b.column("o_orderkey"),
+                "odate": pc.cast(b.column("o_orderdate"), pa.int64()),
+            }
+        )
+
+    stage_a = cust.map_batches(tag_cust, batch_format="pyarrow").union(
+        orders.map_batches(tag_orders, batch_format="pyarrow")
+    )
+
+    def semi_merge(g: pa.Table) -> pa.Table:
+        tag = g.column("tag").to_numpy(zero_copy_only=False)
+        key = g.column("key").to_numpy(zero_copy_only=False)
+        ck = np.unique(key[tag == 0])
+        sel = tag == 1
+        okey = g.column("okey").to_numpy(zero_copy_only=False)[sel]
+        odate = g.column("odate").to_numpy(zero_copy_only=False)[sel]
+        okk = key[sel]
+        pos = np.searchsorted(ck, okk)
+        hit = (pos < len(ck)) & (ck[np.minimum(pos, max(len(ck) - 1, 0))] == okk) if len(ck) else np.zeros(len(okk), bool)
+        return pa.table(
+            {
+                "okey": pa.array(okey[hit], pa.int64()),
+                "odate": pa.array(odate[hit], pa.int64()),
+            }
+        )
+
+    open_orders = stage_a.groupby("part").map_groups(
+        semi_merge, batch_format="pyarrow"
+    )
+
+    # -- stage B: revenue partials ⋈ open orders on orderkey --------
+    def li_partial(b: pa.Table) -> pa.Table:
+        disc = pc.multiply(
+            b.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+        )
+        t = pa.table(
+            {"okey": b.column("l_orderkey"), "rev": _cents(disc)}
+        )
+        g = t.group_by("okey").aggregate([("rev", "sum")])
+        g = g.rename_columns(["okey", "rev"])
+        return pa.table(
+            {
+                "part": _part_of(g.column("okey"), n_parts),
+                "okey": g.column("okey"),
+                "tag": pa.array(np.zeros(g.num_rows, np.int8)),
+                "rev": g.column("rev"),
+                "odate": pa.array(np.zeros(g.num_rows, np.int64), pa.int64()),
+            }
+        )
+
+    def tag_open(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "part": _part_of(b.column("okey"), n_parts),
+                "okey": b.column("okey"),
+                "tag": pa.array(np.ones(len(b), np.int8)),
+                "rev": pa.array(np.zeros(len(b), np.int64), pa.int64()),
+                "odate": b.column("odate"),
+            }
+        )
+
+    stage_b = li.map_batches(li_partial, batch_format="pyarrow").union(
+        open_orders.map_batches(tag_open, batch_format="pyarrow")
+    )
+
+    empty_out = pa.table(
+        {
+            "l_orderkey": pa.array([], pa.int64()),
+            "revenue_cents": pa.array([], pa.int64()),
+            "o_orderdate": pa.array([], pa.timestamp("us")),
+        }
+    )
+
+    def rev_merge(g: pa.Table) -> pa.Table:
+        tag = g.column("tag").to_numpy(zero_copy_only=False)
+        okey = g.column("okey").to_numpy(zero_copy_only=False)
+        is_li = tag == 0
+        lk = okey[is_li]
+        rev = g.column("rev").to_numpy(zero_copy_only=False)[is_li]
+        ok = okey[~is_li]
+        od = g.column("odate").to_numpy(zero_copy_only=False)[~is_li]
+        if not len(lk) or not len(ok):
+            return empty_out
+        order = np.argsort(lk, kind="stable")
+        lk, rev = lk[order], rev[order]
+        starts = np.flatnonzero(np.concatenate(([True], lk[1:] != lk[:-1])))
+        uk = lk[starts]
+        urev = np.add.reduceat(rev, starts)
+        oorder = np.argsort(ok, kind="stable")
+        ok, od = ok[oorder], od[oorder]
+        pos = np.searchsorted(ok, uk)
+        hit = (pos < len(ok)) & (ok[np.minimum(pos, len(ok) - 1)] == uk)
+        uk, urev, pos = uk[hit], urev[hit], pos[hit]
+        if len(uk) > k:  # per-partition prune before the global sort
+            top = np.argsort(-urev, kind="stable")[:k]  # ties → smaller key
+            uk, urev, pos = uk[top], urev[top], pos[top]
+        return pa.table(
+            {
+                "l_orderkey": pa.array(uk, pa.int64()),
+                "revenue_cents": pa.array(urev, pa.int64()),
+                "o_orderdate": pc.cast(
+                    pa.array(od[pos], pa.int64()), pa.timestamp("us")
+                ),
+            }
+        )
+
+    pruned = stage_b.groupby("part").map_groups(
+        rev_merge, batch_format="pyarrow"
+    )
+    # final merge: ≤ k rows per partition survive the prune, so the
+    # global top-k is a bounded driver-side select_k (k × n_parts
+    # rows ≈ 1.3 M at 10¹²-row scale for k=10 — the
+    # bounded_group_table_strict class of driver work). Ray's own
+    # sort would drop the schema on all-empty input (a filter that
+    # removed every row); dropping the schema-less empty blocks and
+    # concatenating onto the typed empty keeps the contract stable.
+    import ray as _ray
+
+    blocks = [t for t in _ray.get(pruned.to_arrow_refs()) if t.num_rows]
+    merged = pa.concat_tables([empty_out, *blocks])
+    if merged.num_rows:  # select_k chokes on 0-row input
+        idx = pc.select_k_unstable(
+            merged,
+            k,
+            [("revenue_cents", "descending"), ("l_orderkey", "ascending")],
+        )
+        merged = merged.take(idx)
+    return rd.from_arrow(merged)
+
+
+SHIPPING_PRIORITY_SQL = f"""
+SELECT l.l_orderkey,
+  CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+    AS BIGINT)) AS BIGINT) AS revenue_cents,
+  o.o_orderdate
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '{_Q3_CUTOFF}'
+  AND l.l_shipdate > TIMESTAMP '{_Q3_CUTOFF}'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue_cents DESC, l.l_orderkey
+LIMIT 10
+"""

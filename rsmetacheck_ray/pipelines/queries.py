@@ -59,6 +59,7 @@ from ..stages.rules import (
     PLACEHOLDER_RE,
     URL_ANY_RE,
 )
+from . import analytics as ana
 from . import relational as rel
 from .quality_gate import build_gate
 
@@ -3381,6 +3382,24 @@ def registry() -> dict[str, tuple]:
             rel.EVENT_USERS_INTERSECT_SQL,
         ),
         "lang_source_hist": (rel.lang_source_hist, rel.LANG_SOURCE_SQL),
+        # windowed-frame / grouping-set / outer-join analytics batch
+        "user_customer_activity": (
+            ana.user_customer_activity, ana.USER_CUSTOMER_ACTIVITY_SQL,
+        ),
+        "orders_month_priority_pivot": (
+            ana.orders_month_priority_pivot, ana.ORDERS_PIVOT_SQL,
+        ),
+        "events_type_dow_cube": (
+            ana.events_type_dow_cube, ana.EVENTS_CUBE_SQL,
+        ),
+        "events_moving_avg": (ana.events_moving_avg, ana.EVENTS_MOVING_AVG_SQL),
+        "events_user_ntile": (ana.events_user_ntile, ana.EVENTS_NTILE_SQL),
+        "events_type_mode_median": (
+            ana.events_type_mode_median, ana.EVENTS_MODE_MEDIAN_SQL,
+        ),
+        "shipping_priority": (
+            ana.shipping_priority, ana.SHIPPING_PRIORITY_SQL,
+        ),
         "open_orders": (rel.open_orders, rel.OPEN_ORDERS_SQL),
         "parts_by_brand": (rel.parts_by_brand, rel.PARTS_BY_BRAND_SQL),
         "supplier_nation_balance": (

@@ -1,0 +1,173 @@
+"""Edge-case tests for the windowed-frame / grouping-set / outer-join
+analytics batch (pipelines/analytics.py) — synthetic inputs pin the
+boundary semantics the sf-dir oracle tests can't isolate: outer-null
+sides, frame clipping at segment starts, ANSI NTILE remainders, mode
+tie-breaks, cube level consistency."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from rsmetacheck_ray.pipelines import analytics as ana
+
+
+def _write_events(d, rows):
+    """rows: list of (event_id, ts_us, user_id, value)."""
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array(["click"] * len(rows), pa.string()),
+            "value": pa.array([r[3] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(t, os.path.join(d, "events.parquet"))
+
+
+def _write_customer(d, keys, bals):
+    t = pa.table(
+        {
+            "c_custkey": pa.array(keys, pa.int64()),
+            "c_name": pa.array([f"c{k}" for k in keys], pa.string()),
+            "c_nationkey": pa.array([0] * len(keys), pa.int32()),
+            "c_acctbal": pa.array(bals, pa.float64()),
+            "c_mktsegment": pa.array(["BUILDING"] * len(keys), pa.string()),
+        }
+    )
+    pq.write_table(t, os.path.join(d, "customer.parquet"))
+
+
+def test_full_outer_emits_both_null_sides(ray_session, tmp_path):
+    d = str(tmp_path)
+    # user 1: events + customer; user 2: events only; customer 3: no events
+    _write_events(
+        d,
+        [(10, 1_000_000, 1, 1.00), (11, 2_000_000, 1, 2.00), (12, 3_000_000, 2, 5.00)],
+    )
+    _write_customer(d, [1, 3], [7.50, 9.25])
+    out = ana.user_customer_activity(d).to_pandas().set_index("id").sort_index()
+    assert list(out.index) == [1, 2, 3]
+    assert out.loc[1, "n_events"] == 2
+    assert out.loc[1, "value_cents"] == 300
+    assert out.loc[1, "acct_cents"] == 750
+    assert out.loc[2, "n_events"] == 1 and pd_isna(out.loc[2, "acct_cents"])
+    assert pd_isna(out.loc[3, "n_events"]) and pd_isna(out.loc[3, "value_cents"])
+    assert out.loc[3, "acct_cents"] == 925
+
+
+def pd_isna(x):
+    import pandas as pd
+
+    return pd.isna(x)
+
+
+def test_moving_avg_clips_frame_at_user_start(ray_session, tmp_path):
+    d = str(tmp_path)
+    _write_events(
+        d,
+        [
+            (1, 1_000_000, 7, 1.00),
+            (2, 2_000_000, 7, 2.00),
+            (3, 3_000_000, 7, 3.00),
+            (4, 4_000_000, 7, 4.00),
+            (5, 1_000_000, 8, 10.00),  # other user: frame must not leak
+        ],
+    )
+    out = (
+        ana.events_moving_avg(d, window=3)
+        .to_pandas()
+        .set_index("event_id")
+        .sort_index()
+    )
+    assert out.loc[1, "mov_cents"] == 100 and out.loc[1, "mov_n"] == 1
+    assert out.loc[2, "mov_cents"] == 300 and out.loc[2, "mov_n"] == 2
+    assert out.loc[3, "mov_cents"] == 600 and out.loc[3, "mov_n"] == 3
+    assert out.loc[4, "mov_cents"] == 900 and out.loc[4, "mov_n"] == 3
+    assert out.loc[5, "mov_cents"] == 1000 and out.loc[5, "mov_n"] == 1
+    assert out.loc[4, "mov_avg"] == 300.0
+
+
+@pytest.mark.parametrize("n", [1, 2, 3, 4, 5, 7, 8, 9])
+def test_ntile_matches_duckdb_remainder_semantics(ray_session, tmp_path, n):
+    import duckdb
+
+    d = str(tmp_path)
+    _write_events(d, [(i, i * 1_000_000, 1, 1.0) for i in range(n)])
+    out = (
+        ana.events_user_ntile(d, k=4)
+        .to_pandas()
+        .set_index("event_id")["tile"]
+        .sort_index()
+    )
+    ref = duckdb.sql(
+        f"SELECT event_id, NTILE(4) OVER (PARTITION BY user_id "
+        f"ORDER BY ts, event_id) AS tile FROM '{d}/events.parquet' "
+        f"ORDER BY event_id"
+    ).fetchdf()
+    assert list(out.values) == list(ref["tile"].values)
+
+
+def test_mode_tie_breaks_to_smallest_value(ray_session, tmp_path):
+    d = str(tmp_path)
+    # 2.00 and 1.00 both appear twice → mode must be 100 cents
+    _write_events(
+        d,
+        [
+            (1, 1, 1, 2.00),
+            (2, 2, 1, 2.00),
+            (3, 3, 1, 1.00),
+            (4, 4, 1, 1.00),
+            (5, 5, 1, 3.00),
+        ],
+    )
+    out = ana.events_type_mode_median(d).to_pandas()
+    assert out.loc[0, "mode_cents"] == 100
+    # sorted cents: 100,100,200,200,300 → median 200
+    assert out.loc[0, "median_val"] == 200.0
+
+
+def test_median_interpolates_even_counts(ray_session, tmp_path):
+    d = str(tmp_path)
+    _write_events(d, [(i, i, 1, v) for i, v in enumerate([1.00, 2.00, 3.00, 10.00])])
+    out = ana.events_type_mode_median(d).to_pandas()
+    assert out.loc[0, "median_val"] == 250.0  # (200+300)/2
+
+
+def test_cube_levels_are_consistent(ray_session, tmp_path):
+    d = str(tmp_path)
+    rows = [(i, i * 86_400_000_000, i % 3, float(i % 5)) for i in range(50)]
+    _write_events(d, rows)
+    out = ana.events_type_dow_cube(d).to_pandas()
+    fine = out[(out.event_type != "(all)") & (out.dow != -1)]
+    total = out[(out.event_type == "(all)") & (out.dow == -1)]["n"].iloc[0]
+    assert fine["n"].sum() == total == 50
+    by_type = out[(out.event_type != "(all)") & (out.dow == -1)]
+    assert by_type["n"].sum() == total
+    by_dow = out[(out.event_type == "(all)") & (out.dow != -1)]
+    assert by_dow["n"].sum() == total
+
+
+def test_shipping_priority_empty_when_cutoff_excludes_all(ray_session):
+    ds = ana.shipping_priority("/root/testdata/sf0.001", cutoff="1990-01-01")
+    # no orders before 1990 → empty result with the stable 3-col
+    # schema on the Dataset (Ray's to_pandas drops columns for any
+    # 0-row dataset, so assert on the dataset schema)
+    assert ds.count() == 0
+    assert ds.schema().names == ["l_orderkey", "revenue_cents", "o_orderdate"]
+
+
+def test_pivot_row_totals_match_column_sums(ray_session):
+    out = ana.orders_month_priority_pivot("/root/testdata/sf0.001").to_pandas()
+    cols = ["n_urgent", "n_high", "n_medium", "n_notspec", "n_low"]
+    assert (out[cols].sum(axis=1) == out["n_total"]).all()
+    assert out["ym"].is_monotonic_increasing

@@ -104,6 +104,15 @@ SQL_BACKED = [
     "mixture_sample",
     "normalize_text",
     "dedup_lines",
+    # round 3, fifth session — windowed-frame / grouping-set /
+    # outer-join analytics batch
+    "user_customer_activity",
+    "orders_month_priority_pivot",
+    "events_type_dow_cube",
+    "events_moving_avg",
+    "events_user_ntile",
+    "events_type_mode_median",
+    "shipping_priority",
 ]
 
 
@@ -123,7 +132,9 @@ def test_query_matches_oracle(ray_session, oracle_con, name):
         if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
             import numpy as np
 
-            assert np.allclose(a.astype(float), b.astype(float), rtol=0, atol=0), c
+            assert np.allclose(
+                a.astype(float), b.astype(float), rtol=0, atol=0, equal_nan=True
+            ), c
         else:
             assert (a.astype(str) == b.astype(str)).all(), c
 
