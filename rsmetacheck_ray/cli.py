@@ -39,7 +39,8 @@ def main(argv: list[str] | None = None) -> int:
                    help="ignore an existing resume manifest")
     g.add_argument("--write-dropped-text", action="store_true")
     g.add_argument("--input-format",
-                   choices=("parquet", "jsonl", "csv", "warc", "orc", "auto"),
+                   choices=("parquet", "jsonl", "csv", "warc", "orc",
+                            "ipc", "auto"),
                    default="parquet",
                    help="pages input format (jsonl/csv: ISO warc_ts, base64 html)")
 

@@ -357,7 +357,9 @@ from ..schema import PAGES_COLUMNS as _PAGES_COLUMNS
 _SUFFIX_FORMATS = [
     (".warc.gz", "warc"),
     (".parquet", "parquet"),
+    (".feather", "ipc"),
     (".jsonl", "jsonl"),
+    (".arrow", "ipc"),
     (".csv", "csv"),
     (".warc", "warc"),
     (".orc", "orc"),
@@ -392,6 +394,8 @@ def _read_mixed_fragments(paths: list[str]) -> rd.Dataset:
             from ..sources.warc_pages import read_pages_warc as reader
         elif fmt == "orc":
             from ..sources.orc_pages import read_pages_orc as reader
+        elif fmt == "ipc":
+            from ..sources.ipc_pages import read_pages_ipc as reader
         else:
             reader = rd.read_parquet
         parts.append(reader(ps).select_columns(_PAGES_COLUMNS))
@@ -466,13 +470,19 @@ def run_gate(
     Returns the metrics dict (the analog of the reference's global
     summary JSON, ``detect_pitfalls_main.py:396-409``).
     """
-    if input_format not in ("parquet", "jsonl", "csv", "warc", "orc", "auto"):
+    if input_format not in (
+        "parquet", "jsonl", "csv", "warc", "orc", "ipc", "auto"
+    ):
         raise ValueError(f"unsupported input_format {input_format!r}")
-    # .warc.gz (per-record gzip members) rides the same format flag
+    # .warc.gz (per-record gzip members) rides the same format flag;
+    # ipc accepts both conventional suffixes (.arrow, .feather)
     if input_format == "auto":
-        suffix = (".parquet", ".jsonl", ".csv", ".warc", ".warc.gz", ".orc")
+        suffix = (".parquet", ".jsonl", ".csv", ".warc", ".warc.gz",
+                  ".orc", ".arrow", ".feather")
     elif input_format == "warc":
         suffix = (".warc", ".warc.gz")
+    elif input_format == "ipc":
+        suffix = (".arrow", ".feather")
     else:
         suffix = "." + input_format
     if input_format == "jsonl":
@@ -483,6 +493,8 @@ def run_gate(
         from ..sources.warc_pages import read_pages_warc as _read_fragments
     elif input_format == "orc":
         from ..sources.orc_pages import read_pages_orc as _read_fragments
+    elif input_format == "ipc":
+        from ..sources.ipc_pages import read_pages_ipc as _read_fragments
     elif input_format == "auto":
         _read_fragments = _read_mixed_fragments
     else:
@@ -582,6 +594,10 @@ def run_gate(
                     from ..sources.orc_pages import probe_orc
 
                     probe_orc(f)  # streamed per stripe; raises on corruption
+                elif fmt == "ipc":
+                    from ..sources.ipc_pages import probe_ipc
+
+                    probe_ipc(f)  # batch-by-batch; raises on corruption
                 else:
                     import pyarrow.parquet as pq
 
@@ -603,14 +619,15 @@ def run_gate(
         batch_size is also the fused operator's task granularity (Ray
         bundles read blocks up to batch_size rows per task), so a
         partition needs rows/batch_size ≥ ~2×CPUs tasks to fill the
-        cluster. Parquet/ORC footer row counts are free (and auto mode
-        counts whichever of the two it holds); row-counting the other
-        formats would need a full parse, so they keep the configured
-        size (their datasources already emit row-true blocks). Floor
+        cluster. Parquet/ORC footer row counts are free and IPC's
+        mmap batch-header walk is nearly so (auto mode counts whichever
+        it holds); row-counting the other formats would need a full
+        parse, so they keep the configured size (their datasources
+        already emit row-true blocks). Floor
         1024: below that, per-batch kernel launch overhead starts to
         show (measured sweep in config.py).
         """
-        if input_format not in ("parquet", "orc", "auto"):
+        if input_format not in ("parquet", "orc", "ipc", "auto"):
             return cfg
 
         def _rows_of(f: str) -> int:
@@ -623,6 +640,10 @@ def run_gate(
                 import pyarrow.orc as orc
 
                 return orc.ORCFile(f).nrows
+            if fmt == "ipc":
+                from ..sources.ipc_pages import count_rows_ipc
+
+                return count_rows_ipc(f)  # mmap footer walk, no data IO
             return 0  # row-true-block formats: no free count
 
         try:
