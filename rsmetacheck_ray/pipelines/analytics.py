@@ -784,3 +784,235 @@ GROUP BY l.l_orderkey, o.o_orderdate
 ORDER BY revenue_cents DESC, l.l_orderkey
 LIMIT 10
 """
+
+
+# ---------------------------------------------------------------------------
+# Interpolated quantiles (quantile_cont) per group — the continuous
+# counterpart of relational.py's quantile_disc percentiles
+# ---------------------------------------------------------------------------
+
+_QCONT = (0.25, 0.5, 0.75, 0.9)
+
+
+def _events_cents_hist(sf_dir: str) -> "pa.Table | None":
+    """The partial-combined bounded (event_type, cents) histogram —
+    shared by the quantile_cont and equi-width-histogram operators.
+    The shuffle input is |value domain| × #types rows per batch, never
+    the corpus size (the events_value_percentiles discipline,
+    relational.py:1200)."""
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "value"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "cents": _cents(b.column("value")),
+            }
+        )
+        g = t.group_by(["event_type", "cents"]).aggregate([([], "count_all")])
+        return g.rename_columns(["event_type", "cents", "n"])
+
+    return bounded_group_table_strict(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "cents"],
+        [("n", "sum")],
+    )
+
+
+def events_value_quantile_cont(sf_dir: str) -> rd.Dataset:
+    """Per event type: INTERPOLATED quantiles (ANSI ``quantile_cont``)
+    of the cent values — where quantile_disc picks an existing value,
+    this interpolates between the two straddling ones. Derived from
+    the one partial-combined histogram; per type the walk evaluates
+    DuckDB's exact interpolation ``lo·(CRN−RN) + hi·(RN−FRN)`` with
+    RN = (n−1)·q (verified formula — ``lo + frac·(hi−lo)`` differs in
+    the last ulp at q=0.9), so the float output is bit-identical."""
+    hist = _events_cents_hist(sf_dir)
+    cols = ["event_type"] + [f"q{int(q * 100)}" for q in _QCONT]
+    if hist is None:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    **{c: pa.array([], pa.float64()) for c in cols[1:]},
+                }
+            )
+        )
+    import math
+
+    et = hist.column("event_type").to_numpy(zero_copy_only=False)
+    cents_all = hist.column("cents").to_numpy(zero_copy_only=False)
+    cnt_all = hist.column("n").to_numpy(zero_copy_only=False)
+    out: dict[str, list] = {c: [] for c in cols}
+    for t in sorted(set(et.tolist())):
+        sel = et == t
+        cv, nv = cents_all[sel], cnt_all[sel]
+        order = np.argsort(cv)
+        cv, nv = cv[order], nv[order]
+        cum = np.cumsum(nv)
+        n = int(cum[-1])
+        out["event_type"].append(t)
+        for q in _QCONT:
+            rn = (n - 1) * q
+            frn, crn = math.floor(rn), math.ceil(rn)
+            lo = float(cv[np.searchsorted(cum, frn, side="right")])
+            if crn == frn:
+                out[f"q{int(q * 100)}"].append(lo)
+                continue
+            hi = float(cv[np.searchsorted(cum, crn, side="right")])
+            out[f"q{int(q * 100)}"].append(lo * (crn - rn) + hi * (rn - frn))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "event_type": pa.array(out["event_type"], pa.string()),
+                **{
+                    c: pa.array(out[c], pa.float64()) for c in cols[1:]
+                },
+            }
+        )
+    )
+
+
+EVENTS_QUANTILE_CONT_SQL = """
+WITH c AS (
+  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_type,
+  quantile_cont(cents, 0.25) AS q25,
+  quantile_cont(cents, 0.50) AS q50,
+  quantile_cont(cents, 0.75) AS q75,
+  quantile_cont(cents, 0.90) AS q90
+FROM c GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Equi-width histogram (width_bucket shape) over the global value range
+# ---------------------------------------------------------------------------
+
+_HIST_BINS = 20
+
+
+def events_value_histogram(sf_dir: str, bins: int = _HIST_BINS) -> rd.Dataset:
+    """Equi-width histogram of event values over the global [min, max]
+    cent range: integer bucket width w = ceil(span/bins) so bucket
+    assignment is exact integer division on BOTH sides (no float edge
+    ambiguity — the ``width_bucket`` float-boundary trap). min/max and
+    the bin counts all derive from the ONE partial-combined value
+    histogram; only non-empty buckets are emitted (matching the SQL
+    GROUP BY)."""
+    hist = _events_cents_hist(sf_dir)
+    empty = pa.table(
+        {
+            "bucket": pa.array([], pa.int64()),
+            "lo_cents": pa.array([], pa.int64()),
+            "hi_cents": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+    if hist is None:
+        return rd.from_arrow(empty)
+    cents = hist.column("cents").to_numpy(zero_copy_only=False)
+    cnt = hist.column("n").to_numpy(zero_copy_only=False)
+    cmin, cmax = int(cents.min()), int(cents.max())
+    w = (cmax - cmin + bins) // bins  # ceil((max-min+1)/bins), ≥ 1
+    bucket = (cents - cmin) // w
+    order = np.argsort(bucket, kind="stable")
+    b = bucket[order]
+    starts = np.flatnonzero(np.concatenate(([True], b[1:] != b[:-1])))
+    ub = b[starts]
+    un = np.add.reduceat(cnt[order], starts)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "bucket": pa.array(ub, pa.int64()),
+                "lo_cents": pa.array(cmin + ub * w, pa.int64()),
+                "hi_cents": pa.array(cmin + ub * w + w - 1, pa.int64()),
+                "n": pa.array(un, pa.int64()),
+            }
+        )
+    )
+
+
+EVENTS_HISTOGRAM_SQL = f"""
+WITH c AS (
+  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events
+),
+r AS (
+  SELECT MIN(cents) AS cmin,
+         (MAX(cents) - MIN(cents) + {_HIST_BINS}) // {_HIST_BINS} AS w
+  FROM c
+)
+SELECT CAST((cents - cmin) // w AS BIGINT) AS bucket,
+       CAST(cmin + ((cents - cmin) // w) * w AS BIGINT) AS lo_cents,
+       CAST(cmin + ((cents - cmin) // w) * w + w - 1 AS BIGINT) AS hi_cents,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM c, r GROUP BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# EXCEPT — the customer master minus the distinct event users
+# ---------------------------------------------------------------------------
+
+
+def customers_except_event_users(
+    sf_dir: str, num_partitions: int | None = None
+) -> rd.Dataset:
+    """ANSI EXCEPT: the distinct customer keys with NO event activity —
+    the set-difference mirror of ``event_users_intersect_customers``
+    (and the set-op form of the ``customers_without_orders`` anti-join
+    shape). Both sides pre-shrink to per-batch DISTINCT keys before the
+    ONE hashed-key shuffle, so only unique ids move; each partition
+    resolves its difference with one sorted membership pass."""
+    events = _read_pq(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id"]
+    )
+    cust = _read_pq(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"]
+    )
+    n_parts = num_partitions or adaptive_partitions(
+        parquet_rows_hint(cust), row_bytes=17
+    )
+
+    def tag(col: str, tagval: int):
+        def fn(b: pa.Table) -> pa.Table:
+            keys = pc.unique(b.column(col))
+            return pa.table(
+                {
+                    "part": _part_of(keys, n_parts),
+                    "key": keys,
+                    "tag": pa.array(
+                        np.full(len(keys), tagval, np.int8)
+                    ),
+                }
+            )
+
+        return fn
+
+    both = cust.map_batches(tag("c_custkey", 0), batch_format="pyarrow").union(
+        events.map_batches(tag("user_id", 1), batch_format="pyarrow")
+    )
+
+    def diff(g: pa.Table) -> pa.Table:
+        key = g.column("key").to_numpy(zero_copy_only=False)
+        tagv = g.column("tag").to_numpy(zero_copy_only=False)
+        left = np.unique(key[tagv == 0])
+        right = np.unique(key[tagv == 1])
+        return pa.table(
+            {"id": pa.array(np.setdiff1d(left, right, assume_unique=True),
+                            pa.int64())}
+        )
+
+    return both.groupby("part").map_groups(diff, batch_format="pyarrow")
+
+
+CUSTOMERS_EXCEPT_SQL = """
+SELECT c_custkey AS id FROM customer
+EXCEPT
+SELECT user_id AS id FROM events
+"""

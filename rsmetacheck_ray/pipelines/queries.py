@@ -3400,6 +3400,15 @@ def registry() -> dict[str, tuple]:
         "shipping_priority": (
             ana.shipping_priority, ana.SHIPPING_PRIORITY_SQL,
         ),
+        "events_value_quantile_cont": (
+            ana.events_value_quantile_cont, ana.EVENTS_QUANTILE_CONT_SQL,
+        ),
+        "events_value_histogram": (
+            ana.events_value_histogram, ana.EVENTS_HISTOGRAM_SQL,
+        ),
+        "customers_except_event_users": (
+            ana.customers_except_event_users, ana.CUSTOMERS_EXCEPT_SQL,
+        ),
         "open_orders": (rel.open_orders, rel.OPEN_ORDERS_SQL),
         "parts_by_brand": (rel.parts_by_brand, rel.PARTS_BY_BRAND_SQL),
         "supplier_nation_balance": (

@@ -171,3 +171,73 @@ def test_pivot_row_totals_match_column_sums(ray_session):
     cols = ["n_urgent", "n_high", "n_medium", "n_notspec", "n_low"]
     assert (out[cols].sum(axis=1) == out["n_total"]).all()
     assert out["ym"].is_monotonic_increasing
+
+
+def test_quantile_cont_matches_duckdb_interpolation(ray_session, tmp_path):
+    """The engine must use DuckDB's exact interpolation association
+    lo*(CRN-RN) + hi*(RN-FRN) — lo + frac*(hi-lo) differs in the last
+    ulp at q=0.9 on this 7-value set (empirically verified)."""
+    import duckdb
+
+    d = str(tmp_path)
+    vals = [0.03, 0.07, 0.08, 0.20, 0.41, 0.42, 0.99]
+    _write_events(
+        d, [(i, (i + 1) * 1_000_000, 1, v) for i, v in enumerate(vals)]
+    )
+    out = ana.events_value_quantile_cont(d).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'"
+    )
+    ref = con.execute(ana.EVENTS_QUANTILE_CONT_SQL).fetchdf()
+    for c in ("q25", "q50", "q75", "q90"):
+        assert out[c].iloc[0] == ref[c].iloc[0], c  # bit-exact
+
+
+def test_quantile_cont_single_value_is_exact(ray_session, tmp_path):
+    d = str(tmp_path)
+    _write_events(d, [(1, 1_000_000, 1, 0.42)])
+    out = ana.events_value_quantile_cont(d).to_pandas()
+    for c in ("q25", "q50", "q75", "q90"):
+        assert out[c].iloc[0] == 42.0
+
+
+def test_histogram_buckets_partition_the_range(ray_session, tmp_path):
+    d = str(tmp_path)
+    rng = np.random.default_rng(7)
+    vals = rng.integers(0, 10_000, 500) / 100.0
+    _write_events(
+        d, [(i, (i + 1) * 1_000_000, 1, float(v)) for i, v in enumerate(vals)]
+    )
+    out = ana.events_value_histogram(d).to_pandas().sort_values("bucket")
+    assert out["n"].sum() == 500
+    # buckets are equi-width, non-overlapping, within [min, max]
+    w = (out["hi_cents"] - out["lo_cents"] + 1).unique()
+    assert len(w) == 1
+    assert (out["lo_cents"] == out["bucket"] * w[0] + out["lo_cents"].min()).all()
+    cents = np.floor(vals * 100 + 0.5).astype(np.int64)
+    assert out["lo_cents"].min() <= cents.min() <= out["hi_cents"].iloc[0]
+
+
+def test_histogram_constant_column_single_bucket(ray_session, tmp_path):
+    d = str(tmp_path)
+    _write_events(d, [(i, (i + 1) * 1_000_000, 1, 5.00) for i in range(9)])
+    out = ana.events_value_histogram(d).to_pandas()
+    assert len(out) == 1
+    assert out["bucket"].iloc[0] == 0 and out["n"].iloc[0] == 9
+
+
+def test_except_empty_when_all_customers_active(ray_session, tmp_path):
+    d = str(tmp_path)
+    _write_events(d, [(1, 1_000_000, 1, 1.0), (2, 2_000_000, 2, 1.0)])
+    _write_customer(d, [1, 2], [0.0, 0.0])
+    assert ana.customers_except_event_users(d).count() == 0
+
+
+def test_except_is_distinct_and_one_sided(ray_session, tmp_path):
+    d = str(tmp_path)
+    # duplicate event rows for user 1; customers 2,3 inactive
+    _write_events(d, [(1, 1_000_000, 1, 1.0), (2, 2_000_000, 1, 1.0)])
+    _write_customer(d, [1, 2, 3, 3], [0.0, 0.0, 0.0, 0.0])
+    out = sorted(ana.customers_except_event_users(d).to_pandas()["id"])
+    assert out == [2, 3]  # distinct, event-only users never appear

@@ -113,6 +113,9 @@ SQL_BACKED = [
     "events_user_ntile",
     "events_type_mode_median",
     "shipping_priority",
+    "events_value_quantile_cont",
+    "events_value_histogram",
+    "customers_except_event_users",
 ]
 
 
