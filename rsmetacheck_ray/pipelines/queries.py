@@ -2548,6 +2548,118 @@ LIMIT {_TOPK_TOKENS}
 """
 
 
+# --- per-document vocabulary coverage (OOV rate) -----------------------------
+
+
+class _VocabProbe:
+    """Broadcast top-k-vocabulary membership probe: the sorted token
+    array rides the object store once (zero-copy plasma read per
+    worker); per batch, membership resolves over the batch's UNIQUE
+    tokens only (dictionary encode) and per-doc tallies are two
+    bincounts — no shuffle at any corpus size."""
+
+    def __init__(self, vocab_ref, id_col: str, text_col: str):
+        import ray as _ray
+
+        self._vocab = _ray.get(vocab_ref)  # sorted unicode ndarray
+        self._id, self._text = id_col, text_col
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        from ..functions.tokenize import tokens_with_doc_index
+
+        n_docs = len(b)
+        doc_idx, denc = tokens_with_doc_index(b.column(self._text))
+        n_tok = np.zeros(n_docs, np.int64)
+        n_oov = np.zeros(n_docs, np.int64)
+        if denc is not None:
+            uniq = np.asarray(denc.dictionary.to_pylist(), dtype=str)
+            pos = np.searchsorted(self._vocab, uniq)
+            hit = (
+                (pos < len(self._vocab))
+                & (self._vocab[np.minimum(pos, len(self._vocab) - 1)] == uniq)
+                if len(self._vocab)
+                else np.zeros(len(uniq), bool)
+            )
+            codes = denc.indices.to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            n_tok = np.bincount(doc_idx, minlength=n_docs).astype(np.int64)
+            n_oov = np.bincount(
+                doc_idx[~hit[codes]], minlength=n_docs
+            ).astype(np.int64)
+        rate = np.zeros(n_docs, np.float64)
+        nz = n_tok > 0
+        rate[nz] = n_oov[nz].astype(np.float64) / n_tok[nz]
+        return pa.table(
+            {
+                "doc_id": b.column(self._id),
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "n_oov": pa.array(n_oov, pa.int64()),
+                "oov_rate": pa.array(rate, pa.float64()),
+            }
+        )
+
+
+def q_vocab_coverage(sf_dir: str, k: int = _TOPK_TOKENS):
+    """Per-document out-of-vocabulary rate against the corpus top-k
+    vocabulary — the tokenizer-coverage signal a training pipeline
+    checks before committing to a vocab (high OOV ⇒ the tokenizer
+    fragments the document). Pass 1 is the ``top_tokens`` partial-
+    combined count (k rows materialize on the driver); pass 2 is a
+    broadcast membership probe, one row per document out."""
+    import ray as _ray
+
+    from ..functions.taskcache import cached_stage
+
+    vocab = np.sort(
+        np.asarray(
+            q_top_tokens(sf_dir, k).to_pandas()["token"].tolist(), dtype=str
+        )
+    )
+    vocab_ref = _ray.put(vocab)
+    return _documents(sf_dir, ["doc_id", "text"]).map_batches(
+        cached_stage(_VocabProbe, vocab_ref, "doc_id", "text"),
+        batch_format="pyarrow",
+    )
+
+
+def _sql_vocab_coverage() -> str:
+    from ..functions.tokenize import WS_TOKEN_RE
+
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(COALESCE(text, ''), '{WS_TOKEN_RE}')) AS w
+  FROM documents
+),
+cnt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY 1),
+vocab AS (SELECT w FROM cnt ORDER BY n DESC, w ASC LIMIT {_TOPK_TOKENS}),
+per AS (
+  SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+  FROM tok t LEFT JOIN vocab v USING (w) GROUP BY 1
+)
+SELECT d.doc_id,
+  COALESCE(p.n_tokens, 0) AS n_tokens,
+  COALESCE(p.n_oov, 0) AS n_oov,
+  CASE WHEN p.n_tokens > 0 THEN CAST(p.n_oov AS DOUBLE) / p.n_tokens
+       ELSE 0.0 END AS oov_rate
+FROM documents d LEFT JOIN per p USING (doc_id)
+"""
+
+
+# --- per-document character entropy ------------------------------------------
+
+
+def q_doc_char_entropy(sf_dir: str):
+    """Character-level Shannon entropy per document (functions/
+    entropy.py): the low-information-content quality signal, exact via
+    the integer nano-log-unit sum — no shuffle, one row per doc."""
+    from ..functions.entropy import char_entropy
+
+    return char_entropy(_documents(sf_dir, ["doc_id", "text"]))
+
+
 # --- per-document top-k TF-IDF terms ----------------------------------------
 
 _TFIDF_K = 5
@@ -3338,6 +3450,8 @@ FROM documents
 
 def registry() -> dict[str, tuple]:
     """name -> (callable(sf_dir) -> Dataset/Table, oracle_sql | None)"""
+    from ..functions.entropy import CHAR_ENTROPY_SQL
+
     pages = pages_cte()
     return {
         # relational core
@@ -3485,6 +3599,8 @@ def registry() -> dict[str, tuple]:
         "pack_sequences": (q_pack_sequences, _sql_pack_sequences()),
         "chunk_tokens": (q_chunk_tokens, _sql_chunk_tokens()),
         "top_tokens": (q_top_tokens, _sql_top_tokens()),
+        "vocab_coverage": (q_vocab_coverage, _sql_vocab_coverage()),
+        "doc_char_entropy": (q_doc_char_entropy, CHAR_ENTROPY_SQL),
         "tfidf_top_terms": (q_tfidf_top_terms, _sql_tfidf_top_terms()),
         "importance_weights": (q_importance_weights, _sql_importance_weights()),
         "importance_sample": (q_importance_sample, _sql_importance_sample()),

@@ -116,6 +116,8 @@ SQL_BACKED = [
     "events_value_quantile_cont",
     "events_value_histogram",
     "customers_except_event_users",
+    "vocab_coverage",
+    "doc_char_entropy",
 ]
 
 
