@@ -1,0 +1,948 @@
+"""Decision-support batch (round 3): the multi-way join / correlated
+subquery / per-group-ordering shapes the earlier relational batches
+lacked — TPC-H Q5's five-table star join, decorrelated correlated
+aggregates, per-group top-k, FIRST/LAST_VALUE frames, PERCENT_RANK /
+CUME_DIST, robust (MAD) outlier stats, and per-group least-squares
+regression.
+
+Scale discipline (same as relational.py / analytics.py):
+
+- heavy tables never broadcast — each big⋈big edge is ONE shuffle of
+  per-batch-pruned rows onto a size-adaptive hashed key partition;
+- bounded dimensions (region/nation ~25 rows, supplier = the smallest
+  SF-scaling table at 10k rows/SF) travel once as a ``ray.put``
+  handle, and the supplier broadcast is size-gated with the
+  documented hashed-join fallback;
+- aggregates are exact integer moments (value → cents fixed point)
+  so every float the operator emits is expression-identical to its
+  oracle's, and hashes bit-exact;
+- per-group ordering ops prune inside ``map_batches`` first (top-k:
+  ≤k rows per key per batch; first/last: ≤2 rows per key per batch)
+  so the shuffle moves candidates, not the table.
+
+The reference has no analog of any of these (its only relational
+machinery is a single-process JSON walk, ``src/cli.py`` +
+``utils/pitfall_utils.py``); the shapes come from SURVEY §2.6-2.8's
+aggregation/join/ordering axis.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+
+from ..partitioning import adaptive_partitions, parquet_rows_hint
+from .relational import (
+    _cents,
+    _part_of,
+    _read_pq,
+    bounded_group_reduce,
+)
+
+# ---------------------------------------------------------------------------
+# TPC-H Q5 shape: five-table star join, revenue per nation inside one
+# region where the customer's and the line's supplier's nation agree.
+# ---------------------------------------------------------------------------
+
+# supplier is broadcast as two sorted int64 arrays (suppkey →
+# nationkey). At 16 B/row the handle is 160 KB/SF-1 and ~160 MB at the
+# 10⁷-supplier extreme — past _SUPPLIER_BROADCAST_MAX rows callers
+# must co-partition lineitem⋈supplier on suppkey first (a third
+# tagged-union stage, the shipping_priority pattern); the gate raises
+# rather than silently degrading.
+_SUPPLIER_BROADCAST_MAX = 50_000_000
+
+
+def local_supplier_volume(
+    sf_dir: str,
+    region: str = "ASIA",
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1997-01-01",
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """(n_name, rev_cents): lineitem revenue per nation of ``region``,
+    restricted to orders in the date window AND to lines whose
+    supplier sits in the customer's own nation (TPC-H Q5).
+
+    Plan: region⋈nation fold to a nationkey set on the driver (≤25
+    rows); supplier folds to a broadcast suppkey→nationkey map
+    (size-gated); then TWO hashed-partition shuffles — stage A joins
+    orders⋉customer on custkey (customer rows are (key, nationkey)
+    pairs, orders pre-filtered by date at the parquet scan), stage B
+    joins per-batch (orderkey, supplier-nation) revenue PARTIALS from
+    lineitem against stage A's (orderkey, customer-nation) rows and
+    keeps the agreeing pairs. The final nation rollup is ≤25 rows per
+    partition, merged on the driver."""
+    import pyarrow.parquet as pq
+
+    reg = pq.read_table(
+        os.path.join(sf_dir, "region.parquet"), columns=["r_regionkey", "r_name"]
+    )
+    rkeys = {
+        r["r_regionkey"] for r in reg.to_pylist() if r["r_name"] == region
+    }
+    nat = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    ).to_pylist()
+    nat_keys = sorted(n["n_nationkey"] for n in nat if n["n_regionkey"] in rkeys)
+    nat_name = {n["n_nationkey"]: n["n_name"] for n in nat}
+    nat_arr = np.asarray(nat_keys, np.int64)
+
+    sup = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_nationkey"],
+    )
+    if sup.num_rows > _SUPPLIER_BROADCAST_MAX:
+        raise ValueError(
+            f"supplier has {sup.num_rows} rows > broadcast gate "
+            f"{_SUPPLIER_BROADCAST_MAX}; use the co-partitioned "
+            "suppkey join stage for this corpus"
+        )
+    sk = sup.column("s_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    sn = sup.column("s_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(sk, kind="stable")
+    sk, sn = sk[order], sn[order]
+    # restrict to the region up front: out-of-region suppliers map to -1
+    sn = np.where(np.isin(sn, nat_arr), sn, -1)
+    sup_ref = ray.put((sk, sn))
+
+    lo = np.datetime64(date_lo, "us")
+    hi = np.datetime64(date_hi, "us")
+    orders = _read_pq(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey"],
+        filter=(
+            (pc.field("o_orderdate") >= pa.scalar(lo.item()))
+            & (pc.field("o_orderdate") < pa.scalar(hi.item()))
+        ),
+    )
+    cust = _read_pq(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"],
+        filter=pc.field("c_nationkey").isin(pa.array(nat_keys, pa.int32())),
+    )
+    n_parts = num_partitions or adaptive_partitions(
+        parquet_rows_hint(orders), row_bytes=24
+    )
+
+    # -- stage A: orders ⋉ region customers on custkey → (okey, cnat)
+    def tag_cust(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "part": _part_of(b.column("c_custkey"), n_parts),
+                "key": b.column("c_custkey"),
+                "tag": pa.array(np.zeros(len(b), np.int8)),
+                "val": pc.cast(b.column("c_nationkey"), pa.int64()),
+            }
+        )
+
+    def tag_orders(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "part": _part_of(b.column("o_custkey"), n_parts),
+                "key": b.column("o_custkey"),
+                "tag": pa.array(np.ones(len(b), np.int8)),
+                "val": b.column("o_orderkey"),
+            }
+        )
+
+    stage_a = cust.map_batches(tag_cust, batch_format="pyarrow").union(
+        orders.map_batches(tag_orders, batch_format="pyarrow")
+    )
+
+    def merge_a(g: pa.Table) -> pa.Table:
+        tag = g.column("tag").to_numpy(zero_copy_only=False)
+        key = g.column("key").to_numpy(zero_copy_only=False)
+        val = g.column("val").to_numpy(zero_copy_only=False)
+        csel = tag == 0
+        ck, cn = key[csel], val[csel]
+        o = np.argsort(ck, kind="stable")  # custkey is a PK: unique
+        ck, cn = ck[o], cn[o]
+        osel = ~csel
+        okk, okey = key[osel], val[osel]
+        if not len(ck):
+            return pa.table(
+                {"okey": pa.array([], pa.int64()), "cnat": pa.array([], pa.int64())}
+            )
+        pos = np.searchsorted(ck, okk)
+        pos_c = np.minimum(pos, len(ck) - 1)
+        hit = ck[pos_c] == okk
+        return pa.table(
+            {
+                "okey": pa.array(okey[hit], pa.int64()),
+                "cnat": pa.array(cn[pos_c][hit], pa.int64()),
+            }
+        )
+
+    open_orders = stage_a.groupby("part").map_groups(
+        merge_a, batch_format="pyarrow"
+    )
+
+    # -- stage B: lineitem (okey, snat) revenue partials ⋈ stage A ---
+    def li_partial(b: pa.Table) -> pa.Table:
+        skk, snn = ray.get(sup_ref)
+        lsk = b.column("l_suppkey").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(skk, lsk)
+        pos_c = np.minimum(pos, len(skk) - 1)
+        snat = np.where(skk[pos_c] == lsk, snn[pos_c], -1)
+        keep = snat >= 0
+        disc = pc.multiply(
+            b.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+        )
+        rev = _cents(disc).to_numpy(zero_copy_only=False)[keep]
+        t = pa.table(
+            {
+                "okey": pa.array(
+                    b.column("l_orderkey").to_numpy(zero_copy_only=False)[keep],
+                    pa.int64(),
+                ),
+                "snat": pa.array(snat[keep], pa.int64()),
+                "rev": pa.array(rev, pa.int64()),
+            }
+        )
+        g = t.group_by(["okey", "snat"]).aggregate([("rev", "sum")])
+        g = g.rename_columns(["okey", "snat", "rev"])
+        return pa.table(
+            {
+                "part": _part_of(g.column("okey"), n_parts),
+                "okey": g.column("okey"),
+                "tag": pa.array(np.zeros(g.num_rows, np.int8)),
+                "nat": g.column("snat"),
+                "rev": g.column("rev"),
+            }
+        )
+
+    def tag_open(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "part": _part_of(b.column("okey"), n_parts),
+                "okey": b.column("okey"),
+                "tag": pa.array(np.ones(len(b), np.int8)),
+                "nat": b.column("cnat"),
+                "rev": pa.array(np.zeros(len(b), np.int64), pa.int64()),
+            }
+        )
+
+    stage_b = open_orders.map_batches(tag_open, batch_format="pyarrow").union(
+        _li_read(sf_dir).map_batches(li_partial, batch_format="pyarrow")
+    )
+
+    def merge_b(g: pa.Table) -> pa.Table:
+        tag = g.column("tag").to_numpy(zero_copy_only=False)
+        okey = g.column("okey").to_numpy(zero_copy_only=False)
+        nat = g.column("nat").to_numpy(zero_copy_only=False)
+        rev = g.column("rev").to_numpy(zero_copy_only=False)
+        osel = tag == 1
+        ok, on = okey[osel], nat[osel]
+        o = np.argsort(ok, kind="stable")  # orderkey is a PK: unique
+        ok, on = ok[o], on[o]
+        lsel = ~osel
+        lk, ln, lr = okey[lsel], nat[lsel], rev[lsel]
+        if not len(ok) or not len(lk):
+            return pa.table(
+                {"nationkey": pa.array([], pa.int64()), "rev_cents": pa.array([], pa.int64())}
+            )
+        pos = np.searchsorted(ok, lk)
+        pos_c = np.minimum(pos, len(ok) - 1)
+        hit = (ok[pos_c] == lk) & (on[pos_c] == ln)
+        if not hit.any():
+            return pa.table(
+                {"nationkey": pa.array([], pa.int64()), "rev_cents": pa.array([], pa.int64())}
+            )
+        t = pa.table(
+            {"nationkey": pa.array(ln[hit], pa.int64()), "rev": pa.array(lr[hit], pa.int64())}
+        )
+        g2 = t.group_by("nationkey").aggregate([("rev", "sum")])
+        return g2.rename_columns(["nationkey", "rev_cents"])
+
+    per_part = stage_b.groupby("part").map_groups(merge_b, batch_format="pyarrow")
+    agg = bounded_group_reduce(per_part, ["nationkey"], [("rev_cents", "sum")])
+
+    names = [""] * (max(nat_name) + 1)
+    for k, v in nat_name.items():
+        names[k] = v
+    name_arr = pa.array(names, pa.string())
+
+    def finish(b: pa.Table) -> pa.Table:
+        nk = b.column("nationkey").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n_name": name_arr.take(pa.array(nk, pa.int64())),
+                "rev_cents": b.column("rev_cents"),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort(
+        "rev_cents", descending=True
+    )
+
+
+def _li_read(sf_dir: str) -> rd.Dataset:
+    return _read_pq(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+
+LOCAL_SUPPLIER_VOLUME_SQL = """
+SELECT n.n_name,
+  CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+                AS BIGINT)) AS BIGINT) AS rev_cents
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE c.c_nationkey = s.s_nationkey
+  AND r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n.n_name
+ORDER BY rev_cents DESC
+"""
+
+
+# ---------------------------------------------------------------------------
+# correlated subquery, decorrelated: orders strictly above their own
+# customer's average order value. The classic decorrelation — compute
+# the per-key aggregate, join it back, filter — done in ONE shuffle:
+# per-batch (custkey → sum, count) partials and the raw rows ride the
+# same hashed custkey partition; the merge folds the partials and
+# filters its rows with the integer-exact cross-multiplied
+# comparison (cents · n > Σcents), so no float division ever happens.
+# ---------------------------------------------------------------------------
+
+
+def orders_above_customer_avg(
+    sf_dir: str, num_partitions: int | None = None
+) -> rd.Dataset:
+    """(o_orderkey, o_custkey, cents, n_orders, sum_cents): orders
+    whose value exceeds their customer's average order value."""
+    orders = _read_pq(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+    n_parts = num_partitions or adaptive_partitions(
+        parquet_rows_hint(orders), row_bytes=32
+    )
+
+    def tag(b: pa.Table) -> pa.Table:
+        cents = _cents(b.column("o_totalprice"))
+        rows = pa.table(
+            {
+                "part": _part_of(b.column("o_custkey"), n_parts),
+                "key": b.column("o_custkey"),
+                "tag": pa.array(np.zeros(len(b), np.int8)),
+                "okey": b.column("o_orderkey"),
+                "cents": cents,
+                "cnt": pa.array(np.ones(len(b), np.int64), pa.int64()),
+            }
+        )
+        part = pa.table({"key": b.column("o_custkey"), "cents": cents})
+        g = part.group_by("key").aggregate([("cents", "sum"), ([], "count_all")])
+        g = g.rename_columns(["key", "cents", "cnt"])
+        partials = pa.table(
+            {
+                "part": _part_of(g.column("key"), n_parts),
+                "key": g.column("key"),
+                "tag": pa.array(np.ones(g.num_rows, np.int8)),
+                "okey": pa.array(np.zeros(g.num_rows, np.int64), pa.int64()),
+                "cents": g.column("cents"),
+                "cnt": g.column("cnt"),
+            }
+        )
+        return pa.concat_tables([rows, partials])
+
+    def merge(g: pa.Table) -> pa.Table:
+        tag = g.column("tag").to_numpy(zero_copy_only=False)
+        key = g.column("key").to_numpy(zero_copy_only=False)
+        cents = g.column("cents").to_numpy(zero_copy_only=False)
+        cnt = g.column("cnt").to_numpy(zero_copy_only=False)
+        psel = tag == 1
+        uk, inv = np.unique(key[psel], return_inverse=True)
+        sums = np.zeros(len(uk), np.int64)
+        cnts = np.zeros(len(uk), np.int64)
+        np.add.at(sums, inv, cents[psel])
+        np.add.at(cnts, inv, cnt[psel])
+        rsel = ~psel
+        rk = key[rsel]
+        rc = cents[rsel]
+        ro = g.column("okey").to_numpy(zero_copy_only=False)[rsel]
+        pos = np.searchsorted(uk, rk)  # every row's key has a partial
+        n = cnts[pos]
+        s = sums[pos]
+        keep = rc * n > s
+        return pa.table(
+            {
+                "o_orderkey": pa.array(ro[keep], pa.int64()),
+                "o_custkey": pa.array(rk[keep], pa.int64()),
+                "cents": pa.array(rc[keep], pa.int64()),
+                "n_orders": pa.array(n[keep], pa.int64()),
+                "sum_cents": pa.array(s[keep], pa.int64()),
+            }
+        )
+
+    return (
+        orders.map_batches(tag, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+
+
+ORDERS_ABOVE_AVG_SQL = """
+WITH c AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+),
+s AS (
+  SELECT o_custkey AS k, CAST(SUM(cents) AS BIGINT) AS sum_cents,
+         COUNT(*) AS n_orders
+  FROM c GROUP BY o_custkey
+)
+SELECT c.o_orderkey, c.o_custkey, c.cents, s.n_orders, s.sum_cents
+FROM c JOIN s ON c.o_custkey = s.k
+WHERE c.cents * s.n_orders > s.sum_cents
+"""
+
+
+# ---------------------------------------------------------------------------
+# per-group top-k: each customer's k most valuable orders. Batches
+# prune to ≤k candidates per key FIRST (a lexsort + segment-rank per
+# batch), so the shuffle ships at most k·keys-per-batch rows; the
+# partition merge repeats the same segment-rank over the candidates.
+# ---------------------------------------------------------------------------
+
+
+def _seg_rank(keys: np.ndarray) -> np.ndarray:
+    """rank of each row within its run of equal ``keys`` (sorted)."""
+    n = len(keys)
+    if not n:
+        return np.zeros(0, np.int64)
+    starts = np.nonzero(np.concatenate([[True], keys[1:] != keys[:-1]]))[0]
+    seg_of = np.cumsum(np.concatenate([[False], keys[1:] != keys[:-1]]))
+    return np.arange(n, dtype=np.int64) - starts[seg_of]
+
+
+def top_orders_per_customer(
+    sf_dir: str, k: int = 3, num_partitions: int | None = None
+) -> rd.Dataset:
+    """(o_custkey, o_orderkey, cents, rk): each customer's top-``k``
+    orders by value, ties broken by orderkey ascending."""
+    orders = _read_pq(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+    n_parts = num_partitions or adaptive_partitions(
+        parquet_rows_hint(orders), row_bytes=24
+    )
+
+    def prune(b: pa.Table) -> pa.Table:
+        ck = b.column("o_custkey").to_numpy(zero_copy_only=False)
+        ok = b.column("o_orderkey").to_numpy(zero_copy_only=False)
+        cents = _cents(b.column("o_totalprice")).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ok, -cents, ck))
+        ck, ok, cents = ck[order], ok[order], cents[order]
+        keep = _seg_rank(ck) < k
+        return pa.table(
+            {
+                "part": _part_of(pa.array(ck[keep], pa.int64()), n_parts),
+                "ck": pa.array(ck[keep], pa.int64()),
+                "ok": pa.array(ok[keep], pa.int64()),
+                "cents": pa.array(cents[keep], pa.int64()),
+            }
+        )
+
+    def merge(g: pa.Table) -> pa.Table:
+        ck = g.column("ck").to_numpy(zero_copy_only=False)
+        ok = g.column("ok").to_numpy(zero_copy_only=False)
+        cents = g.column("cents").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ok, -cents, ck))
+        ck, ok, cents = ck[order], ok[order], cents[order]
+        rk = _seg_rank(ck)
+        keep = rk < k
+        return pa.table(
+            {
+                "o_custkey": pa.array(ck[keep], pa.int64()),
+                "o_orderkey": pa.array(ok[keep], pa.int64()),
+                "cents": pa.array(cents[keep], pa.int64()),
+                "rk": pa.array(rk[keep] + 1, pa.int64()),
+            }
+        )
+
+    return (
+        orders.map_batches(prune, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+
+
+TOP_ORDERS_PER_CUSTOMER_SQL = """
+WITH c AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, cents,
+       CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                               ORDER BY cents DESC, o_orderkey)
+            AS BIGINT) AS rk
+FROM c
+QUALIFY rk <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# FIRST_VALUE / LAST_VALUE frame: each user's first and last event.
+# Batches prune to ≤2 candidate rows per key plus one count partial,
+# the merge resolves global first/last per key by (ts, event_id).
+# ---------------------------------------------------------------------------
+
+
+def events_first_last(
+    sf_dir: str, num_partitions: int | None = None
+) -> rd.Dataset:
+    """(user_id, n_events, first_ts, first_type, last_ts, last_type)."""
+    ev = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    n_parts = num_partitions or adaptive_partitions(
+        parquet_rows_hint(ev), row_bytes=48
+    )
+
+    def prune(b: pa.Table) -> pa.Table:
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        ts = pc.cast(b.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        eid = b.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid_s, ts_s, eid_s = uid[order], ts[order], eid[order]
+        n = len(uid_s)
+        is_first = np.concatenate([[True], uid_s[1:] != uid_s[:-1]]) if n else np.zeros(0, bool)
+        is_last = np.concatenate([uid_s[1:] != uid_s[:-1], [True]]) if n else np.zeros(0, bool)
+        keep = is_first | is_last
+        idx = order[keep]
+        cand = pa.table(
+            {
+                "part": _part_of(pa.array(uid[idx], pa.int64()), n_parts),
+                "uid": pa.array(uid[idx], pa.int64()),
+                "tag": pa.array(np.zeros(keep.sum(), np.int8)),
+                "ts": pa.array(ts[idx], pa.int64()),
+                "eid": pa.array(eid[idx], pa.int64()),
+                "etype": b.column("event_type").take(pa.array(idx, pa.int64())),
+                "cnt": pa.array(np.zeros(keep.sum(), np.int64), pa.int64()),
+            }
+        )
+        uk, counts = np.unique(uid, return_counts=True)
+        partial = pa.table(
+            {
+                "part": _part_of(pa.array(uk, pa.int64()), n_parts),
+                "uid": pa.array(uk, pa.int64()),
+                "tag": pa.array(np.ones(len(uk), np.int8)),
+                "ts": pa.array(np.zeros(len(uk), np.int64), pa.int64()),
+                "eid": pa.array(np.zeros(len(uk), np.int64), pa.int64()),
+                "etype": pa.array([""] * len(uk), pa.string()),
+                "cnt": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+        return pa.concat_tables([cand, partial])
+
+    def merge(g: pa.Table) -> pa.Table:
+        tag = g.column("tag").to_numpy(zero_copy_only=False)
+        uid = g.column("uid").to_numpy(zero_copy_only=False)
+        cnt = g.column("cnt").to_numpy(zero_copy_only=False)
+        psel = tag == 1
+        uk, inv = np.unique(uid[psel], return_inverse=True)
+        counts = np.zeros(len(uk), np.int64)
+        np.add.at(counts, inv, cnt[psel])
+        csel = ~psel
+        cuid = uid[csel]
+        cts = g.column("ts").to_numpy(zero_copy_only=False)[csel]
+        ceid = g.column("eid").to_numpy(zero_copy_only=False)[csel]
+        ctype = g.column("etype").filter(pa.array(csel))
+        order = np.lexsort((ceid, cts, cuid))
+        cuid_s, cts_s, ceid_s = cuid[order], cts[order], ceid[order]
+        n = len(cuid_s)
+        is_first = np.concatenate([[True], cuid_s[1:] != cuid_s[:-1]]) if n else np.zeros(0, bool)
+        is_last = np.concatenate([cuid_s[1:] != cuid_s[:-1], [True]]) if n else np.zeros(0, bool)
+        fi = order[is_first]
+        li = order[is_last]
+        if len(fi) != len(uk):  # every user has both a candidate and a partial
+            raise AssertionError("first/last candidates out of sync with counts")
+        # candidate first rows are sorted by uid == uk's order
+        return pa.table(
+            {
+                "user_id": pa.array(cuid_s[is_first], pa.int64()),
+                "n_events": pa.array(counts, pa.int64()),
+                "first_ts": pa.array(cts[fi], pa.timestamp("us")),
+                "first_type": ctype.take(pa.array(fi, pa.int64())),
+                "last_ts": pa.array(cts[li], pa.timestamp("us")),
+                "last_type": ctype.take(pa.array(li, pa.int64())),
+            }
+        )
+
+    return (
+        ev.map_batches(prune, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+
+
+EVENTS_FIRST_LAST_SQL = """
+WITH w AS (
+  SELECT user_id, ts, event_id, event_type,
+    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ra,
+    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rd
+  FROM events
+)
+SELECT user_id,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  MAX(CASE WHEN ra = 1 THEN ts END) AS first_ts,
+  MAX(CASE WHEN ra = 1 THEN event_type END) AS first_type,
+  MAX(CASE WHEN rd = 1 THEN ts END) AS last_ts,
+  MAX(CASE WHEN rd = 1 THEN event_type END) AS last_type
+FROM w GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# PERCENT_RANK / CUME_DIST, shuffle-free: the events value domain is
+# bounded (cents), so the full per-type value histogram fits on the
+# driver (the events_value_ranks plan, relational.py:1573); both
+# window functions are then pure ratios of exact integer counts
+# attached to each row by a broadcast searchsorted lookup.
+# ---------------------------------------------------------------------------
+
+
+def events_percent_rank(sf_dir: str) -> rd.Dataset:
+    """(event_id, event_type, cents, pr, cd): PERCENT_RANK and
+    CUME_DIST of each event's value within its type, ascending."""
+    from .relational import bounded_group_table_strict
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "event_type", "value"],
+    )
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "cents": _cents(batch.column("value")),
+            }
+        )
+        g = t.group_by(["event_type", "cents"]).aggregate([([], "count_all")])
+        return g.rename_columns(["event_type", "cents", "n"])
+
+    hist_tbl = bounded_group_table_strict(
+        ds.map_batches(hist_partial, batch_format="pyarrow"),
+        ["event_type", "cents"],
+        [("n", "sum")],
+    )
+    hist = hist_tbl.to_pylist() if hist_tbl is not None else []
+    types = sorted({r["event_type"] for r in hist})
+    tcode = {t: i for i, t in enumerate(types)}
+    by_type: dict[int, list] = {i: [] for i in range(len(types))}
+    for r in hist:
+        by_type[tcode[r["event_type"]]].append((int(r["cents"]), int(r["n"])))
+    keys, below, cume, tot = [], [], [], []
+    for code, rows in by_type.items():
+        rows.sort()
+        total = sum(n for _c, n in rows)
+        run = 0
+        for cents, n in rows:
+            if not -(1 << 39) <= cents < (1 << 39):
+                raise ValueError(f"cents {cents} outside packed-key range")
+            keys.append((code << 40) | (cents + (1 << 39)))
+            below.append(run)          # rows strictly below → rank-1
+            cume.append(run + n)       # rows ≤ value → cume count
+            tot.append(total)
+            run += n
+    order = np.argsort(np.array(keys, np.int64))
+    ref = ray.put(
+        (
+            tcode,
+            np.array(keys, np.int64)[order],
+            np.array(below, np.int64)[order],
+            np.array(cume, np.int64)[order],
+            np.array(tot, np.int64)[order],
+        )
+    )
+
+    def attach(batch: pa.Table) -> pa.Table:
+        tc, k, blw, cm, tt = ray.get(ref)
+        cents = _cents(batch.column("value")).to_numpy(zero_copy_only=False)
+        enc = batch.column("event_type").combine_chunks().dictionary_encode()
+        code_of = np.array(
+            [tc[t] for t in enc.dictionary.to_pylist()], np.int64
+        )
+        codes = code_of[enc.indices.to_numpy(zero_copy_only=False)]
+        key = (codes << 40) | (cents + (1 << 39))
+        pos = np.searchsorted(k, key)
+        n = tt[pos].astype(np.float64)
+        # expression-identical to the oracle: (rank-1)/(n-1), cume/n
+        denom = np.maximum(n - 1.0, 1.0)  # n==1 ⇒ pr = 0 by definition
+        pr = blw[pos].astype(np.float64) / denom
+        cd = cm[pos].astype(np.float64) / n
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "event_type": batch.column("event_type"),
+                "cents": pa.array(cents, pa.int64()),
+                "pr": pa.array(pr, pa.float64()),
+                "cd": pa.array(cd, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(attach, batch_format="pyarrow")
+
+
+EVENTS_PERCENT_RANK_SQL = """
+WITH c AS (
+  SELECT event_id, event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_id, event_type, cents,
+  PERCENT_RANK() OVER (PARTITION BY event_type ORDER BY cents) AS pr,
+  CUME_DIST() OVER (PARTITION BY event_type ORDER BY cents) AS cd
+FROM c
+"""
+
+
+# ---------------------------------------------------------------------------
+# robust (median / MAD) outlier stats per type — both medians fall out
+# of the SAME bounded value histogram with no second data pass: the
+# deviation histogram is a driver-side rewrite of the value histogram.
+# All interpolated medians are kept in doubled integer units (half-
+# cents / quarter-cents) so the 3×MAD outlier test is integer-exact.
+# ---------------------------------------------------------------------------
+
+
+def _hist_median2(vals: np.ndarray, counts: np.ndarray) -> int:
+    """2× the interpolated median of a sorted value histogram (exact
+    integer in doubled units)."""
+    total = int(counts.sum())
+    cum = np.cumsum(counts)
+    if total % 2:
+        mid = total // 2  # 0-based
+        return 2 * int(vals[np.searchsorted(cum, mid + 1)])
+    lo = int(vals[np.searchsorted(cum, total // 2)])
+    hi = int(vals[np.searchsorted(cum, total // 2 + 1)])
+    return lo + hi
+
+
+def events_mad_outliers(sf_dir: str) -> rd.Dataset:
+    """(event_type, n, median_cents, mad_cents, n_outliers): per-type
+    interpolated median, median-absolute-deviation, and the count of
+    events with |value − median| > 3·MAD."""
+    from .relational import bounded_group_table_strict
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "value"],
+    )
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "cents": _cents(batch.column("value")),
+            }
+        )
+        g = t.group_by(["event_type", "cents"]).aggregate([([], "count_all")])
+        return g.rename_columns(["event_type", "cents", "n"])
+
+    hist_tbl = bounded_group_table_strict(
+        ds.map_batches(hist_partial, batch_format="pyarrow"),
+        ["event_type", "cents"],
+        [("n", "sum")],
+    )
+    rows = hist_tbl.to_pylist() if hist_tbl is not None else []
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append((int(r["cents"]), int(r["n"])))
+    out_type, out_n, out_med, out_mad, out_k = [], [], [], [], []
+    for etype in sorted(by_type):
+        h = sorted(by_type[etype])
+        vals = np.array([c for c, _ in h], np.int64)
+        counts = np.array([n for _, n in h], np.int64)
+        total = int(counts.sum())
+        med2 = _hist_median2(vals, counts)  # half-cent units
+        # deviation histogram (2×|cents − median| = |2·cents − med2|)
+        dev2 = np.abs(2 * vals - med2)
+        od = np.argsort(dev2, kind="stable")
+        dev2_s, dcnt_s = dev2[od], counts[od]
+        # collapse equal deviations (two cents values can tie)
+        uq, start = np.unique(dev2_s, return_index=True)
+        dsum = np.add.reduceat(dcnt_s, start)
+        mad4 = _hist_median2(uq, dsum)  # quarter-cent units
+        n_out = int(counts[2 * dev2 > 3 * mad4].sum())
+        out_type.append(etype)
+        out_n.append(total)
+        out_med.append(med2 * 0.5)
+        out_mad.append(mad4 * 0.25)
+        out_k.append(n_out)
+    tbl = pa.table(
+        {
+            "event_type": pa.array(out_type, pa.string()),
+            "n": pa.array(out_n, pa.int64()),
+            "median_cents": pa.array(out_med, pa.float64()),
+            "mad_cents": pa.array(out_mad, pa.float64()),
+            "n_outliers": pa.array(out_k, pa.int64()),
+        }
+    )
+    return rd.from_arrow(tbl)
+
+
+EVENTS_MAD_SQL = """
+WITH c AS (
+  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+m AS (
+  SELECT event_type, median(cents) AS med
+  FROM c GROUP BY event_type
+),
+d AS (
+  SELECT c.event_type, abs(c.cents - m.med) AS dev
+  FROM c JOIN m USING (event_type)
+),
+s AS (
+  SELECT event_type, median(dev) AS mad
+  FROM d GROUP BY event_type
+)
+SELECT d.event_type,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  MAX(m.med) AS median_cents,
+  MAX(s.mad) AS mad_cents,
+  CAST(SUM(CASE WHEN d.dev > 3 * s.mad THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_outliers
+FROM d
+JOIN m USING (event_type)
+JOIN s USING (event_type)
+GROUP BY d.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# per-group least-squares regression (value vs time) — the moments
+# plan of events_value_corr (relational.py:1676): five exact int64
+# sufficient statistics per (batch, group), one tiny reduce, floats
+# only in the final expression shared verbatim with the oracle.
+# x = epoch-day keeps Σx² ≤ ~4·10⁸/row, safe in int64 past 10⁹ rows
+# per group (documented bound, same as corr's).
+# ---------------------------------------------------------------------------
+
+
+def events_regr_trend(sf_dir: str) -> rd.Dataset:
+    """(event_type, n, slope, intercept, r2): OLS regression of
+    value-cents on the event's epoch-day per type."""
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "ts", "value"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        y = _cents(batch.column("value")).to_numpy(zero_copy_only=False)
+        us = pc.cast(batch.column("ts"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        x = us // 86_400_000_000  # epoch day
+        types = batch.column("event_type").to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(types.astype(str), return_inverse=True)
+        m = len(uk)
+
+        def seg(v):
+            acc = np.zeros(m, np.int64)
+            np.add.at(acc, inv, v)
+            return acc
+
+        return pa.table(
+            {
+                "event_type": pa.array(uk.tolist(), pa.string()),
+                "n": pa.array(np.bincount(inv, minlength=m).astype(np.int64)),
+                "sx": pa.array(seg(x)),
+                "sy": pa.array(seg(y)),
+                "sxy": pa.array(seg(x * y)),
+                "sxx": pa.array(seg(x * x)),
+                "syy": pa.array(seg(y * y)),
+            }
+        )
+
+    agg = bounded_group_reduce(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type"],
+        [(c, "sum") for c in ("n", "sx", "sy", "sxy", "sxx", "syy")],
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        sx = b.column("sx").to_numpy(zero_copy_only=False).astype(np.float64)
+        sy = b.column("sy").to_numpy(zero_copy_only=False).astype(np.float64)
+        sxy = b.column("sxy").to_numpy(zero_copy_only=False).astype(np.float64)
+        sxx = b.column("sxx").to_numpy(zero_copy_only=False).astype(np.float64)
+        syy = b.column("syy").to_numpy(zero_copy_only=False).astype(np.float64)
+        num = n * sxy - sx * sy
+        den = n * sxx - sx * sx
+        slope = num / den
+        intercept = (sy - slope * sx) / n
+        r2 = (num * num) / (den * (n * syy - sy * sy))
+        return pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "n": b.column("n"),
+                "slope": pa.array(slope, pa.float64()),
+                "intercept": pa.array(intercept, pa.float64()),
+                "r2": pa.array(r2, pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+EVENTS_REGR_SQL = """
+WITH c AS (
+  SELECT event_type,
+         CAST(floor(EXTRACT(epoch FROM ts) / 86400) AS BIGINT) AS x,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+  FROM events
+),
+s AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+    CAST(SUM(x * y) AS BIGINT) AS sxy,
+    CAST(SUM(x * x) AS BIGINT) AS sxx,
+    CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM c GROUP BY event_type
+)
+SELECT event_type, n,
+  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+  (CAST(sy AS DOUBLE)
+     - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+       * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept,
+  ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+   * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+  / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+     * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS r2
+FROM s
+"""

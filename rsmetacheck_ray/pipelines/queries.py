@@ -60,6 +60,7 @@ from ..stages.rules import (
     URL_ANY_RE,
 )
 from . import analytics as ana
+from . import decision as dec
 from . import relational as rel
 from .quality_gate import build_gate
 
@@ -3523,6 +3524,21 @@ def registry() -> dict[str, tuple]:
         "customers_except_event_users": (
             ana.customers_except_event_users, ana.CUSTOMERS_EXCEPT_SQL,
         ),
+        "local_supplier_volume": (
+            dec.local_supplier_volume, dec.LOCAL_SUPPLIER_VOLUME_SQL,
+        ),
+        "orders_above_customer_avg": (
+            dec.orders_above_customer_avg, dec.ORDERS_ABOVE_AVG_SQL,
+        ),
+        "top_orders_per_customer": (
+            dec.top_orders_per_customer, dec.TOP_ORDERS_PER_CUSTOMER_SQL,
+        ),
+        "events_first_last": (dec.events_first_last, dec.EVENTS_FIRST_LAST_SQL),
+        "events_percent_rank": (
+            dec.events_percent_rank, dec.EVENTS_PERCENT_RANK_SQL,
+        ),
+        "events_mad_outliers": (dec.events_mad_outliers, dec.EVENTS_MAD_SQL),
+        "events_regr_trend": (dec.events_regr_trend, dec.EVENTS_REGR_SQL),
         "open_orders": (rel.open_orders, rel.OPEN_ORDERS_SQL),
         "parts_by_brand": (rel.parts_by_brand, rel.PARTS_BY_BRAND_SQL),
         "supplier_nation_balance": (

@@ -1,0 +1,254 @@
+"""Edge-case tests for the decision-support batch
+(pipelines/decision.py): TPC-H Q5 nation agreement, decorrelated
+correlated aggregate, per-group top-k pruning, first/last frames,
+histogram-backed PERCENT_RANK / CUME_DIST, exact MAD, and the OLS
+moments — boundary semantics the sf-dir oracle sweep can't isolate
+(ties, single-row groups, partition invariance, the supplier
+broadcast size gate)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from rsmetacheck_ray.pipelines import decision as dec
+
+
+def _write(d, name, cols):
+    pq.write_table(pa.table(cols), os.path.join(d, f"{name}.parquet"))
+
+
+def _mini_q5(d):
+    """2 regions, 3 nations; customer 1 (nation 0) and 2 (nation 1);
+    supplier 10 (nation 0), 11 (nation 1), 12 (nation 2, other region)."""
+    _write(d, "region", {
+        "r_regionkey": pa.array([0, 1], pa.int32()),
+        "r_name": pa.array(["ASIA", "EUROPE"], pa.string()),
+    })
+    _write(d, "nation", {
+        "n_nationkey": pa.array([0, 1, 2], pa.int32()),
+        "n_name": pa.array(["CHINA", "JAPAN", "FRANCE"], pa.string()),
+        "n_regionkey": pa.array([0, 0, 1], pa.int32()),
+    })
+    _write(d, "customer", {
+        "c_custkey": pa.array([1, 2], pa.int64()),
+        "c_name": pa.array(["a", "b"], pa.string()),
+        "c_nationkey": pa.array([0, 1], pa.int32()),
+        "c_acctbal": pa.array([0.0, 0.0], pa.float64()),
+        "c_mktsegment": pa.array(["BUILDING"] * 2, pa.string()),
+    })
+    _write(d, "supplier", {
+        "s_suppkey": pa.array([10, 11, 12], pa.int64()),
+        "s_name": pa.array(["s10", "s11", "s12"], pa.string()),
+        "s_nationkey": pa.array([0, 1, 2], pa.int32()),
+        "s_acctbal": pa.array([0.0, 0.0, 0.0], pa.float64()),
+    })
+    ts = np.datetime64("1996-06-01", "us").item()
+    _write(d, "orders", {
+        "o_orderkey": pa.array([100, 101], pa.int64()),
+        "o_custkey": pa.array([1, 2], pa.int64()),
+        "o_orderstatus": pa.array(["O", "O"], pa.string()),
+        "o_totalprice": pa.array([1.0, 1.0], pa.float64()),
+        "o_orderdate": pa.array([ts, ts], pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT"] * 2, pa.string()),
+    })
+    # order 100 (cust nation 0): lines from supplier 10 (agrees, kept),
+    # 11 (nation 1, disagrees), 12 (out of region). order 101 (nation
+    # 1): line from supplier 11 (agrees).
+    ship = np.datetime64("1996-07-01", "us").item()
+    _write(d, "lineitem", {
+        "l_orderkey": pa.array([100, 100, 100, 101], pa.int64()),
+        "l_partkey": pa.array([1, 1, 1, 1], pa.int64()),
+        "l_suppkey": pa.array([10, 11, 12, 11], pa.int64()),
+        "l_linenumber": pa.array([1, 2, 3, 1], pa.int32()),
+        "l_quantity": pa.array([1.0] * 4, pa.float64()),
+        "l_extendedprice": pa.array([100.0, 50.0, 25.0, 40.0], pa.float64()),
+        "l_discount": pa.array([0.0, 0.0, 0.0, 0.5], pa.float64()),
+        "l_tax": pa.array([0.0] * 4, pa.float64()),
+        "l_returnflag": pa.array(["N"] * 4, pa.string()),
+        "l_linestatus": pa.array(["O"] * 4, pa.string()),
+        "l_shipdate": pa.array([ship] * 4, pa.timestamp("us")),
+    })
+
+
+def test_q5_keeps_only_agreeing_nation_pairs(ray_session, tmp_path):
+    d = str(tmp_path)
+    _mini_q5(d)
+    out = dec.local_supplier_volume(d).to_pandas()
+    got = dict(zip(out["n_name"], out["rev_cents"]))
+    # CHINA: only the supplier-10 line (10000¢); the supplier-11 line on
+    # the same order disagrees with the customer nation, supplier 12 is
+    # out of region. JAPAN: 40.0·(1−0.5) = 2000¢.
+    assert got == {"CHINA": 10000, "JAPAN": 2000}
+
+
+def test_q5_date_window_excludes(ray_session, tmp_path):
+    d = str(tmp_path)
+    _mini_q5(d)
+    out = dec.local_supplier_volume(
+        d, date_lo="1997-01-01", date_hi="1998-01-01"
+    ).to_pandas()
+    assert len(out) == 0
+
+
+def test_q5_supplier_broadcast_gate(ray_session, tmp_path, monkeypatch):
+    d = str(tmp_path)
+    _mini_q5(d)
+    monkeypatch.setattr(dec, "_SUPPLIER_BROADCAST_MAX", 2)
+    with pytest.raises(ValueError, match="broadcast gate"):
+        dec.local_supplier_volume(d)
+
+
+def _write_orders(d, rows):
+    """rows: (okey, custkey, price)."""
+    ts = np.datetime64("1996-06-01", "us").item()
+    _write(d, "orders", {
+        "o_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+        "o_custkey": pa.array([r[1] for r in rows], pa.int64()),
+        "o_orderstatus": pa.array(["O"] * len(rows), pa.string()),
+        "o_totalprice": pa.array([r[2] for r in rows], pa.float64()),
+        "o_orderdate": pa.array([ts] * len(rows), pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT"] * len(rows), pa.string()),
+    })
+
+
+def test_above_avg_strict_inequality(ray_session, tmp_path):
+    d = str(tmp_path)
+    # customer 1: 10, 20, 30 → avg 20; only 30 is strictly above.
+    # customer 2: single order → never above its own average.
+    _write_orders(d, [(1, 1, 0.10), (2, 1, 0.20), (3, 1, 0.30), (4, 2, 5.0)])
+    out = dec.orders_above_customer_avg(d).to_pandas()
+    assert sorted(out["o_orderkey"]) == [3]
+    assert out.iloc[0]["n_orders"] == 3 and out.iloc[0]["sum_cents"] == 60
+
+
+def test_above_avg_partition_invariance(ray_session, tmp_path):
+    d = str(tmp_path)
+    rows = [(i, i % 7, float(i % 13) + 0.01) for i in range(1, 300)]
+    _write_orders(d, rows)
+    a = dec.orders_above_customer_avg(d, num_partitions=1).to_pandas()
+    b = dec.orders_above_customer_avg(d, num_partitions=5).to_pandas()
+    key = ["o_orderkey"]
+    assert a.sort_values(key, ignore_index=True).equals(
+        b.sort_values(key, ignore_index=True)
+    )
+
+
+def test_top_k_ties_break_by_orderkey(ray_session, tmp_path):
+    d = str(tmp_path)
+    # four orders for one customer, all the same price: top-3 must be
+    # the three smallest orderkeys with ranks 1..3.
+    _write_orders(d, [(4, 1, 2.0), (3, 1, 2.0), (2, 1, 2.0), (1, 1, 2.0)])
+    out = dec.top_orders_per_customer(d, k=3).to_pandas().sort_values("rk")
+    assert list(out["o_orderkey"]) == [1, 2, 3]
+    assert list(out["rk"]) == [1, 2, 3]
+
+
+def test_top_k_prunes_across_batches(ray_session, tmp_path):
+    d = str(tmp_path)
+    # 500 orders for customer 1 with ascending prices: global top-2 are
+    # the two largest regardless of batch boundaries.
+    rows = [(i, 1, i * 0.01) for i in range(1, 501)]
+    _write_orders(d, rows)
+    out = dec.top_orders_per_customer(d, k=2, num_partitions=3).to_pandas()
+    assert sorted(out["o_orderkey"]) == [499, 500]
+
+
+def _write_events(d, rows):
+    """rows: (event_id, ts_us, user_id, event_type, value)."""
+    _write(d, "events", {
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([r[4] for r in rows], pa.float64()),
+        "props": pa.array(["{}"] * len(rows), pa.string()),
+    })
+
+
+def test_first_last_tiebreak_on_event_id(ray_session, tmp_path):
+    d = str(tmp_path)
+    # user 1: two events at the SAME ts — event_id breaks the tie both
+    # ways; a third later event is the true last.
+    _write_events(d, [
+        (5, 1_000_000, 1, "b", 1.0),
+        (2, 1_000_000, 1, "a", 1.0),
+        (9, 2_000_000, 1, "c", 1.0),
+        (7, 3_000_000, 2, "solo", 1.0),
+    ])
+    out = (
+        dec.events_first_last(d).to_pandas().set_index("user_id").sort_index()
+    )
+    assert out.loc[1, "first_type"] == "a" and out.loc[1, "last_type"] == "c"
+    assert out.loc[1, "n_events"] == 3
+    # single-event user: first == last
+    assert out.loc[2, "first_type"] == "solo" == out.loc[2, "last_type"]
+    assert out.loc[2, "first_ts"] == out.loc[2, "last_ts"]
+
+
+def test_percent_rank_definitions(ray_session, tmp_path):
+    d = str(tmp_path)
+    # type "t": values 1,2,2,4 → pr = (rank-1)/3, cd = cume/4
+    _write_events(d, [
+        (1, 1, 1, "t", 0.01),
+        (2, 2, 1, "t", 0.02),
+        (3, 3, 1, "t", 0.02),
+        (4, 4, 1, "t", 0.04),
+        (5, 5, 2, "solo", 9.99),
+    ])
+    out = dec.events_percent_rank(d).to_pandas().set_index("event_id")
+    assert out.loc[1, "pr"] == 0.0 and out.loc[1, "cd"] == 0.25
+    assert out.loc[2, "pr"] == pytest.approx(1 / 3) and out.loc[2, "cd"] == 0.75
+    assert out.loc[3, "pr"] == pytest.approx(1 / 3) and out.loc[3, "cd"] == 0.75
+    assert out.loc[4, "pr"] == 1.0 and out.loc[4, "cd"] == 1.0
+    # single-row partition: PERCENT_RANK is 0 by definition, CUME_DIST 1
+    assert out.loc[5, "pr"] == 0.0 and out.loc[5, "cd"] == 1.0
+
+
+def test_mad_even_count_interpolates(ray_session, tmp_path):
+    d = str(tmp_path)
+    # values 1,2,3,4 ¢ → median 2.5¢; devs 1.5,0.5,0.5,1.5 → MAD 1.0¢;
+    # outliers need dev > 3¢: none.
+    _write_events(d, [
+        (1, 1, 1, "t", 0.01),
+        (2, 2, 1, "t", 0.02),
+        (3, 3, 1, "t", 0.03),
+        (4, 4, 1, "t", 0.04),
+    ])
+    out = dec.events_mad_outliers(d).to_pandas().set_index("event_type")
+    assert out.loc["t", "median_cents"] == 2.5
+    assert out.loc["t", "mad_cents"] == 1.0
+    assert out.loc["t", "n_outliers"] == 0
+
+
+def test_mad_flags_far_point(ray_session, tmp_path):
+    d = str(tmp_path)
+    # 5 points at 10¢ and one at 100¢: median 10, MAD 0 → the far point
+    # is the only strict outlier (90 > 0).
+    rows = [(i, i, 1, "t", 0.10) for i in range(5)] + [(9, 9, 1, "t", 1.00)]
+    _write_events(d, rows)
+    out = dec.events_mad_outliers(d).to_pandas().set_index("event_type")
+    assert out.loc["t", "mad_cents"] == 0.0
+    assert out.loc["t", "n_outliers"] == 1
+
+
+def test_regr_recovers_planted_line(ray_session, tmp_path):
+    d = str(tmp_path)
+    # y = 3x + 7 exactly (x = epoch day): slope/intercept recovered,
+    # r2 == 1.
+    day_us = 86_400_000_000
+    rows = [
+        (i, i * day_us, 1, "t", (3 * i + 7) / 100.0) for i in range(1, 30)
+    ]
+    _write_events(d, rows)
+    out = dec.events_regr_trend(d).to_pandas().set_index("event_type")
+    assert out.loc["t", "slope"] == pytest.approx(3.0)
+    assert out.loc["t", "intercept"] == pytest.approx(7.0)
+    assert out.loc["t", "r2"] == pytest.approx(1.0)

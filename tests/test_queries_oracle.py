@@ -118,6 +118,14 @@ SQL_BACKED = [
     "customers_except_event_users",
     "vocab_coverage",
     "doc_char_entropy",
+    # round 3, sixth session — decision-support batch
+    "local_supplier_volume",
+    "orders_above_customer_avg",
+    "top_orders_per_customer",
+    "events_first_last",
+    "events_percent_rank",
+    "events_mad_outliers",
+    "events_regr_trend",
 ]
 
 
