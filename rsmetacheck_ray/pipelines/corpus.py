@@ -1,0 +1,539 @@
+"""Corpus-construction batch (round 3): the dataset-assembly shapes a
+training-data pipeline runs AFTER the quality gate — per-language
+token-budget selection, per-group score calibration, snapshot diffing
+(CDC between two lake versions), and inverted-index (posting-list)
+construction.
+
+Scale discipline:
+
+- ``token_budget_sample`` never shuffles: the (lang, n_chars) token
+  histogram is a bounded-domain driver table (the events_value_ranks
+  plan), the budget boundary is resolved per language on the driver,
+  and exactly ONE n_chars bucket per language needs per-document
+  refinement — the other buckets are classified by a broadcast
+  threshold.
+- ``quality_zscores`` is the exact-moments plan (three int64 sums per
+  (batch, lang)); the per-row z attach is a broadcast lookup.
+- ``dataset_diff`` ships 24 B/row (doc_id + 128-bit content hash) per
+  snapshot side through ONE hashed doc_id shuffle; document text never
+  moves. The SQL oracle compares text equality — equivalent at a
+  <10⁻¹⁵ collision probability for 10¹² docs (hashing.py:57).
+- ``term_postings`` shuffles DISTINCT (term, doc_id) pairs once onto
+  hashed term partitions; per-doc uniqueness is free (a document is
+  one row), and the ``max_df`` stoplist bound is enforced in the
+  merge so no partition materializes a stopword's posting list.
+
+The reference has no analog (single-process JSON pitfall walk); the
+shapes come from the builder brief's training-data-pipeline axis.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+
+from ..functions.hashing import hash_str_arrow_u128
+from ..functions.tokenize import WS_TOKEN_RE, count_ws_tokens, split_ws_tokens
+from ..partitioning import adaptive_partitions, parquet_rows_hint
+from .relational import _part_of, _read_pq, bounded_group_table_strict
+
+
+def _docs(sf_dir: str, columns: list[str]) -> rd.Dataset:
+    return _read_pq(os.path.join(sf_dir, "documents.parquet"), columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# per-language token-budget selection: keep each language's documents
+# in (n_chars DESC, doc_id ASC) order while the running token total
+# stays within the budget — the corpus-assembly step that turns a
+# quality ranking into a fixed-size training mix.
+# ---------------------------------------------------------------------------
+
+TOKEN_BUDGET_DEFAULT = 2_000
+
+
+def token_budget_sample(
+    sf_dir: str, budget: int = TOKEN_BUDGET_DEFAULT
+) -> rd.Dataset:
+    """(doc_id, lang, n_tokens): the per-language prefix of documents
+    ordered by (n_chars DESC, doc_id) whose cumulative token count
+    stays ≤ ``budget``.
+
+    Because the running sum is monotone, bucket classification is
+    exact from the (lang, n_chars) histogram alone: buckets whose
+    prefix total fits are kept whole, buckets past the boundary are
+    dropped whole, and only the single straddling bucket per language
+    is re-read for a per-document cumulative sum."""
+    ds = _docs(sf_dir, ["doc_id", "lang", "n_chars", "text"])
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "lang": b.column("lang"),
+                "n_chars": b.column("n_chars"),
+                "tok": count_ws_tokens(b.column("text").combine_chunks()),
+            }
+        )
+        g = t.group_by(["lang", "n_chars"]).aggregate([("tok", "sum")])
+        return g.rename_columns(["lang", "n_chars", "tok"])
+
+    hist_tbl = bounded_group_table_strict(
+        ds.map_batches(hist_partial, batch_format="pyarrow"),
+        ["lang", "n_chars"],
+        [("tok", "sum")],
+    )
+    rows = hist_tbl.to_pylist() if hist_tbl is not None else []
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append((int(r["n_chars"]), int(r["tok"])))
+    keep_above: dict[str, int] = {}   # n_chars > v ⇒ keep whole bucket
+    straddle: dict[str, tuple[int, int]] = {}  # lang -> (n_chars, residual)
+    for lang, buckets in by_lang.items():
+        buckets.sort(key=lambda cn: -cn[0])
+        cum = 0
+        cut = None
+        for n_chars, tok in buckets:
+            if cum + tok <= budget:
+                cum += tok
+                continue
+            cut = n_chars
+            straddle[lang] = (n_chars, budget - cum)
+            break
+        # cut=None ⇒ everything fits; use min-1 so every bucket passes
+        keep_above[lang] = cut if cut is not None else (
+            (buckets[-1][0] - 1) if buckets else 0
+        )
+
+    # refinement: per-document cumulative sum inside the straddle
+    # bucket only (bounded: the documents sharing ONE n_chars value)
+    kept_ids: set[int] = set()
+    if straddle:
+        smap = dict(straddle)  # lang -> (n_chars, residual)
+
+        def gather(b: pa.Table) -> pa.Table:
+            enc = b.column("lang").combine_chunks().dictionary_encode()
+            sval = np.array(
+                [
+                    smap[l][0] if l in smap else -(1 << 62)
+                    for l in enc.dictionary.to_pylist()
+                ],
+                np.int64,
+            )
+            ncs = b.column("n_chars").to_numpy(zero_copy_only=False)
+            sel = ncs == sval[enc.indices.to_numpy(zero_copy_only=False)]
+            if not sel.any():
+                return pa.table(
+                    {
+                        "lang": pa.array([], pa.string()),
+                        "doc_id": pa.array([], pa.int64()),
+                        "tok": pa.array([], pa.int64()),
+                    }
+                )
+            idx = pa.array(np.flatnonzero(sel), pa.int64())
+            return pa.table(
+                {
+                    "lang": b.column("lang").take(idx),
+                    "doc_id": b.column("doc_id").take(idx),
+                    "tok": count_ws_tokens(
+                        b.column("text").combine_chunks().take(idx)
+                    ),
+                }
+            )
+
+        cand = ds.map_batches(gather, batch_format="pyarrow").take_all()
+        per_lang: dict[str, list] = {}
+        for r in cand:
+            per_lang.setdefault(r["lang"], []).append(
+                (int(r["doc_id"]), int(r["tok"]))
+            )
+        for lang, docs in per_lang.items():
+            docs.sort()
+            resid = smap[lang][1]
+            cum = 0
+            for doc_id, tok in docs:
+                cum += tok
+                if cum <= resid:
+                    kept_ids.add(doc_id)
+                else:
+                    break
+
+    thr_ref = ray.put((keep_above, np.array(sorted(kept_ids), np.int64)))
+
+    def emit(b: pa.Table) -> pa.Table:
+        thr, ids = ray.get(thr_ref)
+        enc = b.column("lang").combine_chunks().dictionary_encode()
+        thr_of = np.array(
+            [thr.get(l, 1 << 62) for l in enc.dictionary.to_pylist()], np.int64
+        )
+        ncs = b.column("n_chars").to_numpy(zero_copy_only=False)
+        dids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        above = ncs > thr_of[enc.indices.to_numpy(zero_copy_only=False)]
+        pos = np.searchsorted(ids, dids)
+        pos_c = np.minimum(pos, max(len(ids) - 1, 0))
+        in_straddle = (ids[pos_c] == dids) if len(ids) else np.zeros(len(dids), bool)
+        keep = above | in_straddle
+        idx = pa.array(np.flatnonzero(keep), pa.int64())
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id").take(idx),
+                "lang": b.column("lang").take(idx),
+                "n_tokens": count_ws_tokens(
+                    b.column("text").combine_chunks().take(idx)
+                ),
+            }
+        )
+
+    return ds.map_batches(emit, batch_format="pyarrow")
+
+
+TOKEN_BUDGET_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang, n_chars,
+         CAST(len(regexp_extract_all(text, '{WS_TOKEN_RE}')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+)
+SELECT doc_id, lang, n_tokens FROM t
+QUALIFY SUM(n_tokens) OVER (
+  PARTITION BY lang ORDER BY n_chars DESC, doc_id
+  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) <= {TOKEN_BUDGET_DEFAULT}
+"""
+
+
+# ---------------------------------------------------------------------------
+# per-group score calibration: z-score of document length within its
+# language — exact int64 moments, broadcast attach, float math
+# expression-identical to the oracle.
+# ---------------------------------------------------------------------------
+
+
+def quality_zscores(sf_dir: str) -> rd.Dataset:
+    """(doc_id, lang, n_chars, z): per-language z-score of n_chars
+    (sample standard deviation)."""
+    ds = _docs(sf_dir, ["doc_id", "lang", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = b.column("n_chars").to_numpy(zero_copy_only=False)
+        langs = b.column("lang").to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(langs.astype(str), return_inverse=True)
+        m = len(uk)
+        n = np.bincount(inv, minlength=m).astype(np.int64)
+        sx = np.zeros(m, np.int64)
+        sxx = np.zeros(m, np.int64)
+        np.add.at(sx, inv, x)
+        np.add.at(sxx, inv, x * x)
+        return pa.table(
+            {
+                "lang": pa.array(uk.tolist(), pa.string()),
+                "n": pa.array(n),
+                "sx": pa.array(sx),
+                "sxx": pa.array(sxx),
+            }
+        )
+
+    mom = bounded_group_table_strict(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["lang"],
+        [("n", "sum"), ("sx", "sum"), ("sxx", "sum")],
+    )
+    stats = {
+        r["lang"]: (int(r["n"]), int(r["sx"]), int(r["sxx"]))
+        for r in (mom.to_pylist() if mom is not None else [])
+    }
+    ref = ray.put(stats)
+
+    def attach(b: pa.Table) -> pa.Table:
+        st = ray.get(ref)
+        enc = b.column("lang").combine_chunks().dictionary_encode()
+        dvals = enc.dictionary.to_pylist()
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        x = b.column("n_chars").to_numpy(zero_copy_only=False).astype(np.float64)
+        n = np.array([st[l][0] for l in dvals], np.float64)[idx]
+        sx = np.array([st[l][1] for l in dvals], np.float64)[idx]
+        sxx = np.array([st[l][2] for l in dvals], np.float64)[idx]
+        # expression-identical to the oracle: m = sx/n;
+        # v = (sxx - sx*m)/(n-1); z = (x-m)/sqrt(v)
+        m = sx / n
+        v = (sxx - sx * m) / (n - 1.0)
+        z = (x - m) / np.sqrt(v)
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "lang": b.column("lang"),
+                "n_chars": b.column("n_chars"),
+                "z": pa.array(z, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(attach, batch_format="pyarrow")
+
+
+QUALITY_ZSCORES_SQL = """
+WITH s AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(n_chars) AS BIGINT) AS sx,
+         CAST(SUM(n_chars * n_chars) AS BIGINT) AS sxx
+  FROM documents GROUP BY lang
+)
+SELECT d.doc_id, d.lang, d.n_chars,
+  (CAST(d.n_chars AS DOUBLE)
+     - CAST(s.sx AS DOUBLE) / CAST(s.n AS DOUBLE))
+  / sqrt((CAST(s.sxx AS DOUBLE)
+            - CAST(s.sx AS DOUBLE)
+              * (CAST(s.sx AS DOUBLE) / CAST(s.n AS DOUBLE)))
+         / CAST(s.n - 1 AS DOUBLE)) AS z
+FROM documents d JOIN s USING (lang)
+"""
+
+
+# ---------------------------------------------------------------------------
+# snapshot diff (CDC between two lake versions). The second snapshot
+# is derived deterministically from the first inside the operator so
+# the oracle can reproduce it: doc_id % 17 = 0 rows are removed,
+# doc_id % 13 = 3 rows are revised, doc_id % 19 = 5 rows gain a new
+# derived document at doc_id + 10 000 000.
+# ---------------------------------------------------------------------------
+
+_DIFF_ADD_OFFSET = 10_000_000
+
+
+def dataset_diff(
+    sf_dir: str, num_partitions: int | None = None
+) -> rd.Dataset:
+    """(doc_id, change): rows added / removed / changed between the
+    documents snapshot and its derived second version."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    n_parts = num_partitions or adaptive_partitions(
+        parquet_rows_hint(ds), row_bytes=26
+    )
+
+    def both_sides(b: pa.Table) -> pa.Table:
+        dids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        text = b.column("text").combine_chunks()
+        lo_a, hi_a = hash_str_arrow_u128(text)
+        # side B: survivors (possibly revised) + derived additions
+        survives = dids % 17 != 0
+        revised = dids % 13 == 3
+        rev_text = pc.binary_join_element_wise(
+            text, pa.scalar(" [rev2]"), pa.scalar("")
+        )
+        lo_r, hi_r = hash_str_arrow_u128(rev_text)
+        lo_b = np.where(revised, lo_r, lo_a)
+        hi_b = np.where(revised, hi_r, hi_a)
+        added = dids % 19 == 5
+        add_text = pc.binary_join_element_wise(
+            pa.scalar("new "), text, pa.scalar("")
+        )
+        lo_n, hi_n = hash_str_arrow_u128(add_text.filter(pa.array(added)))
+        ids = np.concatenate([dids, dids[survives], dids[added] + _DIFF_ADD_OFFSET])
+        lo = np.concatenate([lo_a, lo_b[survives], lo_n])
+        hi = np.concatenate([hi_a, hi_b[survives], hi_n])
+        side = np.concatenate(
+            [
+                np.zeros(len(dids), np.int8),
+                np.ones(int(survives.sum()) + int(added.sum()), np.int8),
+            ]
+        )
+        key = pa.array(ids.astype(np.int64), pa.int64())
+        return pa.table(
+            {
+                "part": _part_of(key, n_parts),
+                "doc_id": key,
+                "side": pa.array(side),
+                "lo": pa.array(lo.astype(np.int64), pa.int64()),
+                "hi": pa.array(hi.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def merge(g: pa.Table) -> pa.Table:
+        dids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        lo = g.column("lo").to_numpy(zero_copy_only=False)
+        hi = g.column("hi").to_numpy(zero_copy_only=False)
+        asel = side == 0
+        a_ids, a_lo, a_hi = dids[asel], lo[asel], hi[asel]
+        oa = np.argsort(a_ids, kind="stable")
+        a_ids, a_lo, a_hi = a_ids[oa], a_lo[oa], a_hi[oa]
+        b_ids, b_lo, b_hi = dids[~asel], lo[~asel], hi[~asel]
+        ob = np.argsort(b_ids, kind="stable")
+        b_ids, b_lo, b_hi = b_ids[ob], b_lo[ob], b_hi[ob]
+
+        def member(sorted_ids, probe):
+            if not len(sorted_ids):
+                return np.zeros(len(probe), bool), np.zeros(len(probe), np.int64)
+            pos = np.minimum(
+                np.searchsorted(sorted_ids, probe), len(sorted_ids) - 1
+            )
+            return sorted_ids[pos] == probe, pos
+
+        in_b, pos_b = member(b_ids, a_ids)
+        in_a, _ = member(a_ids, b_ids)
+        removed = a_ids[~in_b]
+        added = b_ids[~in_a]
+        if len(b_ids):
+            changed_sel = in_b & (
+                (a_lo != b_lo[pos_b]) | (a_hi != b_hi[pos_b])
+            )
+            changed = a_ids[changed_sel]
+        else:
+            changed = a_ids[:0]
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    np.concatenate([removed, added, changed]), pa.int64()
+                ),
+                "change": pa.array(
+                    ["removed"] * len(removed)
+                    + ["added"] * len(added)
+                    + ["changed"] * len(changed),
+                    pa.string(),
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(both_sides, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+
+
+DATASET_DIFF_SQL = f"""
+WITH a AS (SELECT doc_id, text FROM documents),
+b AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 3 THEN text || ' [rev2]' ELSE text END
+           AS text
+  FROM documents WHERE doc_id % 17 <> 0
+  UNION ALL
+  SELECT doc_id + {_DIFF_ADD_OFFSET}, 'new ' || text
+  FROM documents WHERE doc_id % 19 = 5
+)
+SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+  CASE WHEN b.doc_id IS NULL THEN 'removed'
+       WHEN a.doc_id IS NULL THEN 'added'
+       ELSE 'changed' END AS change
+FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+WHERE b.doc_id IS NULL OR a.doc_id IS NULL OR a.text <> b.text
+"""
+
+
+# ---------------------------------------------------------------------------
+# inverted index: per-term document posting lists with a max-df
+# stoplist bound (real retrieval indexes drop stopword-frequency
+# terms; the bound also caps per-partition memory).
+# ---------------------------------------------------------------------------
+
+_POSTINGS_MAX_DF = 1_000
+
+
+def term_postings(
+    sf_dir: str, max_df: int = _POSTINGS_MAX_DF,
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """(term, df, postings): for each term with document frequency ≤
+    ``max_df``, the comma-joined ascending doc_id posting list."""
+    from ..functions.hashing import token_partitions
+    from ..functions.tokenize import tokens_with_doc_index
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    hint = parquet_rows_hint(ds)
+    n_parts = num_partitions or adaptive_partitions(
+        hint * 64 if hint else None, row_bytes=24
+    )
+
+    def pairs(b: pa.Table) -> pa.Table:
+        doc_idx, enc = tokens_with_doc_index(b.column("text"))
+        if enc is None:
+            return pa.table(
+                {
+                    "part": pa.array([], pa.int64()),
+                    "term": pa.array([], pa.string()),
+                    "doc_id": pa.array([], pa.int64()),
+                }
+            )
+        dids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        # per-document-unique (term, doc) pairs: a document is one row,
+        # so batch-level dedup of (code, doc_idx) is global dedup
+        key = codes.astype(np.int64) * len(b) + doc_idx
+        uniq = np.unique(key)
+        u_codes = (uniq // len(b)).astype(np.int64)
+        u_docs = dids[(uniq % len(b)).astype(np.int64)]
+        terms = enc.dictionary.take(pa.array(u_codes, pa.int64()))
+        vocab = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+        parts = token_partitions(vocab, n_parts)[u_codes]
+        return pa.table(
+            {
+                "part": pa.array(parts.astype(np.int64), pa.int64()),
+                "term": terms,
+                "doc_id": pa.array(u_docs, pa.int64()),
+            }
+        )
+
+    def collect(g: pa.Table) -> pa.Table:
+        enc = g.column("term").combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        dids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((dids, codes))
+        codes_s, dids_s = codes[order], dids[order]
+        n = len(codes_s)
+        if not n:
+            return pa.table(
+                {
+                    "term": pa.array([], pa.string()),
+                    "df": pa.array([], pa.int64()),
+                    "postings": pa.array([], pa.string()),
+                }
+            )
+        new = np.concatenate([[True], codes_s[1:] != codes_s[:-1]])
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, n))
+        keep_seg = lens <= max_df
+        # drop over-frequent terms BEFORE building lists
+        seg_of = np.cumsum(new) - 1
+        row_keep = keep_seg[seg_of]
+        codes_k = codes_s[row_keep]
+        dids_k = dids_s[row_keep]
+        new_k = np.concatenate([[True], codes_k[1:] != codes_k[:-1]]) if len(codes_k) else np.zeros(0, bool)
+        starts_k = np.flatnonzero(new_k)
+        id_strs = pc.cast(pa.array(dids_k, pa.int64()), pa.string())
+        offsets = pa.array(np.append(starts_k, len(codes_k)).astype(np.int32))
+        lists = pa.ListArray.from_arrays(offsets, id_strs)
+        return pa.table(
+            {
+                "term": enc.dictionary.take(
+                    pa.array(codes_k[starts_k], pa.int64())
+                ),
+                "df": pa.array(
+                    np.diff(np.append(starts_k, len(codes_k))).astype(np.int64)
+                ),
+                "postings": pc.binary_join(lists, ","),
+            }
+        )
+
+    return (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(collect, batch_format="pyarrow")
+    )
+
+
+TERM_POSTINGS_SQL = f"""
+WITH w AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_extract_all(text, '{WS_TOKEN_RE}')) AS term
+  FROM documents
+)
+SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+         AS postings
+FROM w GROUP BY term
+HAVING COUNT(*) <= {_POSTINGS_MAX_DF}
+"""

@@ -60,6 +60,7 @@ from ..stages.rules import (
     URL_ANY_RE,
 )
 from . import analytics as ana
+from . import corpus as cor
 from . import decision as dec
 from . import relational as rel
 from .quality_gate import build_gate
@@ -3539,6 +3540,10 @@ def registry() -> dict[str, tuple]:
         ),
         "events_mad_outliers": (dec.events_mad_outliers, dec.EVENTS_MAD_SQL),
         "events_regr_trend": (dec.events_regr_trend, dec.EVENTS_REGR_SQL),
+        "token_budget_sample": (cor.token_budget_sample, cor.TOKEN_BUDGET_SQL),
+        "quality_zscores": (cor.quality_zscores, cor.QUALITY_ZSCORES_SQL),
+        "dataset_diff": (cor.dataset_diff, cor.DATASET_DIFF_SQL),
+        "term_postings": (cor.term_postings, cor.TERM_POSTINGS_SQL),
         "open_orders": (rel.open_orders, rel.OPEN_ORDERS_SQL),
         "parts_by_brand": (rel.parts_by_brand, rel.PARTS_BY_BRAND_SQL),
         "supplier_nation_balance": (

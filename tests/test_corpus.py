@@ -1,0 +1,125 @@
+"""Edge-case tests for the corpus-construction batch
+(pipelines/corpus.py): token-budget boundary semantics (straddle
+bucket refinement, zero-token docs, budget-fits-everything), z-score
+moments, snapshot-diff classification, and posting-list ordering with
+the max-df stoplist."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from rsmetacheck_ray.pipelines import corpus as cor
+
+
+def _write_docs(d, rows):
+    """rows: (doc_id, text, lang)."""
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+            "source": pa.array(["web"] * len(rows), pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(t, os.path.join(d, "documents.parquet"))
+
+
+def test_budget_cuts_inside_straddle_bucket(ray_session, tmp_path):
+    d = str(tmp_path)
+    # lang en: doc 1 (9 chars, 2 tokens) is its own bucket; docs 2,3,4
+    # share the 5-char bucket, ordered by doc_id, with 3/2/2 tokens.
+    _write_docs(d, [
+        (1, "aa bb ccc", "en"),
+        (2, "d e f", "en"),
+        (3, "gg hh", "en"),
+        (4, "ii jj", "en"),
+    ])
+    # budget 4: doc1 (3 tokens, cum 3) kept; doc2 would make cum 6 →
+    # the straddle-bucket refinement stops before it.
+    out = cor.token_budget_sample(d, budget=4).to_pandas()
+    assert sorted(out["doc_id"]) == [1]
+    # budget 8: doc1(3)+doc2(3)+doc3(2)=8 kept; doc4 would make 10
+    out = cor.token_budget_sample(d, budget=8).to_pandas()
+    assert sorted(out["doc_id"]) == [1, 2, 3]
+
+
+def test_budget_fits_everything(ray_session, tmp_path):
+    d = str(tmp_path)
+    _write_docs(d, [(1, "a b", "en"), (2, "c", "fr")])
+    out = cor.token_budget_sample(d, budget=10_000).to_pandas()
+    assert sorted(out["doc_id"]) == [1, 2]
+
+
+def test_budget_langs_independent(ray_session, tmp_path):
+    d = str(tmp_path)
+    # each lang gets its own budget: en has 3 one-token docs, fr has 3;
+    # budget 2 keeps the two longest per lang.
+    _write_docs(d, [
+        (1, "aaaa", "en"), (2, "bbb", "en"), (3, "cc", "en"),
+        (4, "dddd", "fr"), (5, "eee", "fr"), (6, "ff", "fr"),
+    ])
+    out = cor.token_budget_sample(d, budget=2).to_pandas()
+    assert sorted(out["doc_id"]) == [1, 2, 4, 5]
+
+
+def test_zscore_exact_two_points(ray_session, tmp_path):
+    d = str(tmp_path)
+    # two docs, lengths 2 and 4: mean 3, sample std sqrt(2) → z ∓1/√2
+    _write_docs(d, [(1, "ab", "en"), (2, "cdef", "en")])
+    out = cor.quality_zscores(d).to_pandas().set_index("doc_id")
+    assert out.loc[1, "z"] == pytest.approx(-1 / np.sqrt(2))
+    assert out.loc[2, "z"] == pytest.approx(1 / np.sqrt(2))
+
+
+def test_diff_classifies_all_three(ray_session, tmp_path):
+    d = str(tmp_path)
+    # doc 17 → removed; doc 16 (16%13=3) → changed; doc 24 (24%19=5) →
+    # spawns added 10000024; doc 1 → unchanged (absent from output)
+    _write_docs(d, [
+        (17, "gone", "en"), (16, "revise me", "en"),
+        (24, "spawns", "en"), (1, "same", "en"),
+    ])
+    out = cor.dataset_diff(d).to_pandas().set_index("doc_id")
+    assert out.loc[17, "change"] == "removed"
+    assert out.loc[16, "change"] == "changed"
+    assert out.loc[10_000_024, "change"] == "added"
+    assert 1 not in out.index and 24 not in out.index
+    assert len(out) == 3
+
+
+def test_diff_removed_wins_over_changed(ray_session, tmp_path):
+    d = str(tmp_path)
+    # doc 221 = 13*17: divisible by 17 → removed even though %13 rule
+    # would also revise it
+    _write_docs(d, [(221, "both rules", "en")])
+    out = cor.dataset_diff(d).to_pandas()
+    assert list(out["change"]) == ["removed"]
+
+
+def test_postings_sorted_and_deduped(ray_session, tmp_path):
+    d = str(tmp_path)
+    # "x" appears twice in doc 2 → one posting; doc order ascending
+    _write_docs(d, [(3, "x y", "en"), (2, "x x", "en"), (1, "y", "en")])
+    out = cor.term_postings(d).to_pandas().set_index("term")
+    assert out.loc["x", "postings"] == "2,3" and out.loc["x", "df"] == 2
+    assert out.loc["y", "postings"] == "1,3" and out.loc["y", "df"] == 2
+
+
+def test_postings_max_df_stoplist(ray_session, tmp_path):
+    d = str(tmp_path)
+    # "the" in all 3 docs, "rare" in one: max_df=2 drops "the"
+    _write_docs(d, [
+        (1, "the rare", "en"), (2, "the", "en"), (3, "the", "en"),
+    ])
+    out = cor.term_postings(d, max_df=2).to_pandas().set_index("term")
+    assert "the" not in out.index
+    assert out.loc["rare", "postings"] == "1"

@@ -126,6 +126,10 @@ SQL_BACKED = [
     "events_percent_rank",
     "events_mad_outliers",
     "events_regr_trend",
+    "token_budget_sample",
+    "quality_zscores",
+    "dataset_diff",
+    "term_postings",
 ]
 
 
