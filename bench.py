@@ -279,6 +279,15 @@ BENCH_QUERIES = [
     "events_latest_per_user",
     "user_event_sequences",
     "multimodal_wav_features",
+    # sixth-session operators
+    "local_supplier_volume",
+    "orders_above_customer_avg",
+    "top_orders_per_customer",
+    "events_first_last",
+    "events_percent_rank",
+    "dataset_diff",
+    "term_postings",
+    "token_budget_sample",
 ]
 
 

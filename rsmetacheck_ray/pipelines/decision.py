@@ -648,35 +648,29 @@ def events_percent_rank(sf_dir: str) -> rd.Dataset:
         ["event_type", "cents"],
         [("n", "sum")],
     )
-    hist = hist_tbl.to_pylist() if hist_tbl is not None else []
-    types = sorted({r["event_type"] for r in hist})
-    tcode = {t: i for i, t in enumerate(types)}
-    by_type: dict[int, list] = {i: [] for i in range(len(types))}
-    for r in hist:
-        by_type[tcode[r["event_type"]]].append((int(r["cents"]), int(r["n"])))
-    keys, below, cume, tot = [], [], [], []
-    for code, rows in by_type.items():
-        rows.sort()
-        total = sum(n for _c, n in rows)
-        run = 0
-        for cents, n in rows:
-            if not -(1 << 39) <= cents < (1 << 39):
-                raise ValueError(f"cents {cents} outside packed-key range")
-            keys.append((code << 40) | (cents + (1 << 39)))
-            below.append(run)          # rows strictly below → rank-1
-            cume.append(run + n)       # rows ≤ value → cume count
-            tot.append(total)
-            run += n
-    order = np.argsort(np.array(keys, np.int64))
-    ref = ray.put(
-        (
-            tcode,
-            np.array(keys, np.int64)[order],
-            np.array(below, np.int64)[order],
-            np.array(cume, np.int64)[order],
-            np.array(tot, np.int64)[order],
+    # fully vectorized segment math (see relational._hist_rank_arrays:
+    # a Python loop over the types × distinct-cents histogram dominated
+    # the rank-family query wall time before vectorization)
+    from .relational import _hist_segments
+
+    if hist_tbl is not None and hist_tbl.num_rows:
+        tcode, codes_s, cents_s, ns_s, starts, seg = _hist_segments(
+            hist_tbl, descending=False
         )
-    )
+        csum = np.cumsum(ns_s)
+        excl = csum - ns_s
+        base = excl[starts][seg]
+        below_a = excl - base          # rows strictly below → rank-1
+        cume_a = csum - base           # rows ≤ value → cume count
+        tot_a = np.add.reduceat(ns_s, starts)[seg]
+        keys = (codes_s << 40) | (cents_s + (1 << 39))
+        order = np.argsort(keys)
+        ref = ray.put(
+            (tcode, keys[order], below_a[order], cume_a[order], tot_a[order])
+        )
+    else:
+        z = np.zeros(0, np.int64)
+        ref = ray.put(({}, z, z, z, z))
 
     def attach(batch: pa.Table) -> pa.Table:
         tc, k, blw, cm, tt = ray.get(ref)
@@ -767,15 +761,25 @@ def events_mad_outliers(sf_dir: str) -> rd.Dataset:
         ["event_type", "cents"],
         [("n", "sum")],
     )
-    rows = hist_tbl.to_pylist() if hist_tbl is not None else []
-    by_type: dict[str, list] = {}
-    for r in rows:
-        by_type.setdefault(r["event_type"], []).append((int(r["cents"]), int(r["n"])))
+    # vectorized grouping: sort once by (type, cents); the per-type
+    # loop below runs once per TYPE (bounded), with numpy slices
+    if hist_tbl is not None and hist_tbl.num_rows:
+        from .relational import _hist_segments
+
+        tcode, codes_s, cents_s, ns_s, starts, _seg = _hist_segments(
+            hist_tbl, descending=False
+        )
+        code_name = {c: t for t, c in tcode.items()}
+        bounds = np.append(starts, len(codes_s))
+    else:
+        code_name, bounds = {}, np.array([0])
+        codes_s = cents_s = ns_s = np.zeros(0, np.int64)
     out_type, out_n, out_med, out_mad, out_k = [], [], [], [], []
-    for etype in sorted(by_type):
-        h = sorted(by_type[etype])
-        vals = np.array([c for c, _ in h], np.int64)
-        counts = np.array([n for _, n in h], np.int64)
+    for si in range(len(bounds) - 1):
+        s, e = bounds[si], bounds[si + 1]
+        etype = code_name[int(codes_s[s])]
+        vals = cents_s[s:e]
+        counts = ns_s[s:e]
         total = int(counts.sum())
         med2 = _hist_median2(vals, counts)  # half-cent units
         # deviation histogram (2×|cents − median| = |2·cents − med2|)

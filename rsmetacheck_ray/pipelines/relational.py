@@ -1570,6 +1570,46 @@ SELECT c_custkey AS user_id FROM customer
 # broadcast (ray.put) + searchsorted per batch. No row ever shuffles.
 # ---------------------------------------------------------------------------
 
+def _hist_segments(hist_tbl: pa.Table, descending: bool):
+    """Shared driver-side decode of a (event_type, cents, n) histogram:
+    stable type→code map (sorted names), rows sorted by (code, cents
+    asc|desc), and the per-type segment boundaries. Returns
+    (tcode, codes_s, cents_s, ns_s, starts, seg)."""
+    enc = hist_tbl.column("event_type").combine_chunks().dictionary_encode()
+    dvals = enc.dictionary.to_pylist()
+    tcode = {t: i for i, t in enumerate(sorted(dvals))}
+    remap = np.array([tcode[t] for t in dvals], np.int64)
+    codes = remap[enc.indices.to_numpy(zero_copy_only=False)]
+    cents = hist_tbl.column("cents").to_numpy(zero_copy_only=False)
+    ns = hist_tbl.column("n").to_numpy(zero_copy_only=False)
+    if len(cents) and (
+        cents.min() < -(1 << 39) or cents.max() >= (1 << 39)
+    ):
+        raise ValueError("cents outside packed-key range")
+    order = np.lexsort((-cents if descending else cents, codes))
+    codes_s, cents_s, ns_s = codes[order], cents[order], ns[order]
+    new = np.concatenate([[True], codes_s[1:] != codes_s[:-1]])
+    starts = np.flatnonzero(new)
+    seg = np.cumsum(new) - 1
+    return tcode, codes_s, cents_s, ns_s, starts, seg
+
+
+def _hist_rank_arrays(hist_tbl: pa.Table):
+    """(tcode, packed keys sorted asc, RANK, DENSE_RANK) from the
+    bounded (type, cents) histogram — pure numpy segment math."""
+    tcode, codes_s, cents_s, ns_s, starts, seg = _hist_segments(
+        hist_tbl, descending=True
+    )
+    csum = np.cumsum(ns_s)
+    excl = csum - ns_s
+    base = excl[starts][seg]
+    rnk = excl - base + 1
+    drnk = np.arange(len(codes_s), dtype=np.int64) - starts[seg] + 1
+    keys = (codes_s << 40) | (cents_s + (1 << 39))
+    order = np.argsort(keys)
+    return tcode, keys[order], rnk[order], drnk[order]
+
+
 def events_value_ranks(sf_dir: str) -> rd.Dataset:
     """(event_id, event_type, cents, rnk, drnk): RANK and DENSE_RANK
     of each event's value within its type, descending."""
@@ -1593,33 +1633,15 @@ def events_value_ranks(sf_dir: str) -> rd.Dataset:
         ["event_type", "cents"],
         [("n", "sum")],
     )
-    hist = hist_tbl.to_pylist() if hist_tbl is not None else []
-    # driver: per type, descending-cents cumulative ranks
-    types = sorted({r["event_type"] for r in hist})
-    tcode = {t: i for i, t in enumerate(types)}
-    by_type: dict[int, list] = {i: [] for i in range(len(types))}
-    for r in hist:
-        by_type[tcode[r["event_type"]]].append((int(r["cents"]), int(r["n"])))
-    keys, rnks, drnks = [], [], []
-    for code, rows in by_type.items():
-        rows.sort(key=lambda cn: -cn[0])
-        above = 0
-        for d, (cents, n) in enumerate(rows):
-            if not -(1 << 39) <= cents < (1 << 39):
-                raise ValueError(f"cents {cents} outside packed-key range")
-            keys.append((code << 40) | (cents + (1 << 39)))
-            rnks.append(above + 1)
-            drnks.append(d + 1)
-            above += n
-    order = np.argsort(np.array(keys, np.int64))
-    ref = ray.put(
-        (
-            tcode,
-            np.array(keys, np.int64)[order],
-            np.array(rnks, np.int64)[order],
-            np.array(drnks, np.int64)[order],
-        )
-    )
+    # driver: per type, descending-cents cumulative ranks — fully
+    # vectorized (the histogram is types × distinct-cents rows; a
+    # Python row loop here measurably dominated the query wall time)
+    if hist_tbl is not None and hist_tbl.num_rows:
+        tcode, keys, rnks, drnks = _hist_rank_arrays(hist_tbl)
+    else:
+        tcode = {}
+        keys = rnks = drnks = np.zeros(0, np.int64)
+    ref = ray.put((tcode, keys, rnks, drnks))
 
     def attach(batch: pa.Table) -> pa.Table:
         tc, k, rk, dk = ray.get(ref)
