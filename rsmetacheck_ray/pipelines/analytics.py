@@ -240,6 +240,52 @@ FROM orders GROUP BY 1
 """
 
 
+def orders_priority_unpivot(sf_dir: str) -> rd.Dataset:
+    """UNPIVOT (wide→long melt) of the month×priority pivot:
+    (ym, priority, n) — one row per (month, priority-column) cell,
+    zeros included, the faithful inverse of the PIVOT above. The melt
+    runs over the already-bounded wide aggregate (months × 5 columns),
+    so it is a driver-scale reshape regardless of corpus size."""
+    wide = orders_month_priority_pivot(sf_dir)
+
+    def melt(b: pa.Table) -> pa.Table:
+        ym = b.column("ym").to_numpy(zero_copy_only=False)
+        k = len(_PRIO_COLS)
+        vals = np.column_stack(
+            [
+                b.column(c).to_numpy(zero_copy_only=False)
+                for c in _PRIO_COLS
+            ]
+        ).ravel()
+        return pa.table(
+            {
+                "ym": pa.array(np.repeat(ym, k), pa.int64()),
+                "priority": pa.array(
+                    np.tile(np.array(_PRIO_COLS, object), len(ym)),
+                    pa.string(),
+                ),
+                "n": pa.array(vals, pa.int64()),
+            }
+        )
+
+    return wide.map_batches(melt, batch_format="pyarrow")
+
+
+ORDERS_UNPIVOT_SQL = """
+WITH p AS (
+  SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS ym,
+    CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+    CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+    CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS n_medium,
+    CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS n_notspec,
+    CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS n_low
+  FROM orders GROUP BY 1
+)
+UNPIVOT p ON n_urgent, n_high, n_medium, n_notspec, n_low
+INTO NAME priority VALUE n
+"""
+
+
 # ---------------------------------------------------------------------------
 # GROUP BY CUBE — event counts over (event_type, day-of-week)
 # ---------------------------------------------------------------------------
@@ -757,7 +803,11 @@ def shipping_priority(
     # concatenating onto the typed empty keeps the contract stable.
     import ray as _ray
 
-    blocks = [t for t in _ray.get(pruned.to_arrow_refs()) if t.num_rows]
+    blocks = [
+        t
+        for t in _ray.get(pruned.materialize().to_arrow_refs())
+        if t.num_rows
+    ]
     merged = pa.concat_tables([empty_out, *blocks])
     if merged.num_rows:  # select_k chokes on 0-row input
         idx = pc.select_k_unstable(

@@ -1984,6 +1984,43 @@ def q_dedup_components(sf_dir: str):
     return connected_components(_cc_edges(corpus))
 
 
+def q_rank_dedup_graph(sf_dir: str):
+    """(node, rank): PageRank centrality over the near-dup similarity
+    graph (the CC edge set, symmetrized — an undirected doc-similarity
+    graph), 20 damped BSP iterations (functions/graph.py). The
+    most-central documents of each dup cluster are the natural
+    canonical candidates when survivor policy wants "most connected"
+    rather than "min id". Iterative float fixpoint ⇒ rows-only;
+    pinned by dense-parity and structure tests."""
+    import ray
+
+    from ..functions.graph import pagerank
+
+    corpus = _cc_corpus(sf_dir)
+    blocks = [
+        t
+        for t in ray.get(_cc_edges(corpus).materialize().to_arrow_refs())
+        if t.num_rows
+    ]
+    if not blocks:
+        return pagerank(
+            pa.table(
+                {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+            )
+        )
+    e = pa.concat_tables(blocks)
+    a = e.column("doc_id_a").to_numpy(zero_copy_only=False)
+    b = e.column("doc_id_b").to_numpy(zero_copy_only=False)
+    keep = a != b  # star self-edges carry no rank mass
+    edges = pa.table(
+        {
+            "src": pa.array(np.concatenate([a[keep], b[keep]]), pa.int64()),
+            "dst": pa.array(np.concatenate([b[keep], a[keep]]), pa.int64()),
+        }
+    )
+    return pagerank(edges)
+
+
 _CC_CORPUS_SQL = f"""
 corpus AS (
   -- NULL text is treated as '' (the engine's convention: a doc with
@@ -3540,6 +3577,9 @@ def registry() -> dict[str, tuple]:
         ),
         "events_mad_outliers": (dec.events_mad_outliers, dec.EVENTS_MAD_SQL),
         "events_regr_trend": (dec.events_regr_trend, dec.EVENTS_REGR_SQL),
+        "orders_priority_unpivot": (
+            ana.orders_priority_unpivot, ana.ORDERS_UNPIVOT_SQL,
+        ),
         "token_budget_sample": (cor.token_budget_sample, cor.TOKEN_BUDGET_SQL),
         "quality_zscores": (cor.quality_zscores, cor.QUALITY_ZSCORES_SQL),
         "dataset_diff": (cor.dataset_diff, cor.DATASET_DIFF_SQL),
@@ -3615,6 +3655,7 @@ def registry() -> dict[str, tuple]:
         "cms_heavy_hitters": (q_cms_heavy_hitters, None),  # sketch
         "dedup_partial_overlap": (q_dedup_partial_overlap, None),  # non-SQL chunker
         "dedup_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),
+        "rank_dedup_graph": (q_rank_dedup_graph, None),
         "dedup_survivors": (q_dedup_survivors, SQL_DEDUP_SURVIVORS),
         "decontaminate": (q_decontaminate, _sql_decontaminate()),
         "pack_sequences": (q_pack_sequences, _sql_pack_sequences()),

@@ -1,0 +1,96 @@
+"""Tests for the BSP PageRank (functions/graph.py): bitwise parity
+with the dense single-machine reference on random graphs, structural
+sanity (star centrality, dangling mass conservation), determinism,
+the setup size gate, and the registry query."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from rsmetacheck_ray.functions import graph as gr
+
+
+def _edges(pairs):
+    return pa.table(
+        {
+            "src": pa.array([a for a, _ in pairs], pa.int64()),
+            "dst": pa.array([b for _, b in pairs], pa.int64()),
+        }
+    )
+
+
+def _rand_edges(n_nodes, n_edges, seed):
+    rng = np.random.RandomState(seed)
+    src = rng.randint(0, n_nodes, n_edges) * 13 + 7  # sparse ids
+    dst = rng.randint(0, n_nodes, n_edges) * 13 + 7
+    return _edges(list(zip(src.tolist(), dst.tolist())))
+
+
+def test_matches_dense_reference(ray_session):
+    e = _rand_edges(200, 1000, seed=5)
+    got = gr.pagerank(e, n_iter=15, num_partitions=4)
+    want = gr.pagerank_dense(e, n_iter=15)
+    gm = dict(zip(got.column("node").to_pylist(), got.column("rank").to_pylist()))
+    assert set(gm) == set(want)
+    for k, v in want.items():
+        assert gm[k] == pytest.approx(v, rel=1e-12, abs=1e-15)
+
+
+def test_ranks_sum_to_one(ray_session):
+    # with uniform dangling redistribution total mass is conserved
+    e = _rand_edges(100, 300, seed=9)
+    got = gr.pagerank(e, n_iter=25, num_partitions=3)
+    assert float(np.sum(got.column("rank").to_numpy())) == pytest.approx(1.0)
+
+
+def test_star_center_dominates(ray_session):
+    # all leaves point at node 0: the hub must outrank every leaf
+    e = _edges([(i, 0) for i in range(1, 20)])
+    got = gr.pagerank(e, n_iter=20, num_partitions=2)
+    m = dict(zip(got.column("node").to_pylist(), got.column("rank").to_pylist()))
+    assert all(m[0] > m[i] for i in range(1, 20))
+
+
+def test_deterministic_across_runs(ray_session):
+    e = _rand_edges(150, 600, seed=3)
+    a = gr.pagerank(e, n_iter=10, num_partitions=4)
+    b = gr.pagerank(e, n_iter=10, num_partitions=4)
+    assert a.column("rank").to_pylist() == b.column("rank").to_pylist()
+
+
+def test_partition_count_invariance(ray_session):
+    # the BSP result must not depend on the partitioning (accumulation
+    # order is pinned by sorted shards + fixed piece order)
+    e = _rand_edges(120, 500, seed=11)
+    a = gr.pagerank(e, n_iter=12, num_partitions=1)
+    b = gr.pagerank(e, n_iter=12, num_partitions=6)
+    am = dict(zip(a.column("node").to_pylist(), a.column("rank").to_pylist()))
+    bm = dict(zip(b.column("node").to_pylist(), b.column("rank").to_pylist()))
+    for k in am:
+        assert am[k] == pytest.approx(bm[k], rel=1e-12, abs=1e-15)
+
+
+def test_empty_and_gate(ray_session, monkeypatch):
+    got = gr.pagerank(_edges([]))
+    assert got.num_rows == 0
+    monkeypatch.setattr(gr, "_EDGE_SETUP_MAX", 2)
+    with pytest.raises(ValueError, match="setup gate"):
+        gr.pagerank(_edges([(1, 2), (2, 3), (3, 1)]))
+
+
+def test_registry_query_runs(ray_session):
+    from rsmetacheck_ray.pipelines.queries import q_rank_dedup_graph
+
+    out = q_rank_dedup_graph("/root/testdata/sf0.001")
+    assert out.num_rows > 0
+    assert set(out.column_names) == {"node", "rank"}
+    # every rank positive, mass ≈ 1
+    r = out.column("rank").to_numpy()
+    assert (r > 0).all() and float(r.sum()) == pytest.approx(1.0)

@@ -126,6 +126,7 @@ SQL_BACKED = [
     "events_percent_rank",
     "events_mad_outliers",
     "events_regr_trend",
+    "orders_priority_unpivot",
     "token_budget_sample",
     "quality_zscores",
     "dataset_diff",
