@@ -537,3 +537,247 @@ SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
 FROM w GROUP BY term
 HAVING COUNT(*) <= {_POSTINGS_MAX_DF}
 """
+
+
+# ---------------------------------------------------------------------------
+# MERGE / upsert apply (the lakehouse MERGE INTO): a change table of
+# U(pdate) / D(elete) / I(nsert) rows applied to the base snapshot in
+# ONE hashed doc_id shuffle. The change set here is derived
+# deterministically from the base with the SAME rules dataset_diff
+# detects — the two operators round-trip (diff(base, apply(base, ch))
+# reproduces ch's classification).
+# ---------------------------------------------------------------------------
+
+
+def apply_changes(
+    sf_dir: str, num_partitions: int | None = None
+) -> rd.Dataset:
+    """(doc_id, text): the base documents snapshot with the derived
+    change table merged in — updates replace text, deletes drop the
+    row, inserts add new doc_ids."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    n_parts = num_partitions or adaptive_partitions(
+        parquet_rows_hint(ds), row_bytes=120
+    )
+
+    def tag(b: pa.Table) -> pa.Table:
+        dids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        text = b.column("text").combine_chunks()
+        base = pa.table(
+            {
+                "part": _part_of(b.column("doc_id"), n_parts),
+                "doc_id": b.column("doc_id"),
+                "op": pa.array(np.zeros(len(dids), np.int8)),  # 0 = base
+                "text": text,
+            }
+        )
+        upd = (dids % 13 == 3) & (dids % 17 != 0)
+        rev = pc.binary_join_element_wise(
+            text.filter(pa.array(upd)), pa.scalar(" [rev2]"), pa.scalar("")
+        )
+        dele = dids % 17 == 0
+        ins = dids % 19 == 5
+        new = pc.binary_join_element_wise(
+            pa.scalar("new "), text.filter(pa.array(ins)), pa.scalar("")
+        )
+        ch_ids = np.concatenate(
+            [dids[upd], dids[dele], dids[ins] + _DIFF_ADD_OFFSET]
+        )
+        ops = np.concatenate(
+            [
+                np.full(int(upd.sum()), 1, np.int8),   # 1 = update
+                np.full(int(dele.sum()), 2, np.int8),  # 2 = delete
+                np.full(int(ins.sum()), 3, np.int8),   # 3 = insert
+            ]
+        )
+        ch_text = pa.concat_arrays(
+            [
+                rev.combine_chunks() if isinstance(rev, pa.ChunkedArray) else rev,
+                pa.array([""] * int(dele.sum()), pa.string()),
+                new.combine_chunks() if isinstance(new, pa.ChunkedArray) else new,
+            ]
+        )
+        key = pa.array(ch_ids.astype(np.int64), pa.int64())
+        changes = pa.table(
+            {
+                "part": _part_of(key, n_parts),
+                "doc_id": key,
+                "op": pa.array(ops),
+                "text": ch_text,
+            }
+        )
+        return pa.concat_tables([base, changes])
+
+    def merge(g: pa.Table) -> pa.Table:
+        dids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        ops = g.column("op").to_numpy(zero_copy_only=False)
+        # order by (doc_id, op): per key the base row (op 0) sorts
+        # first, any change row after it — the LAST row per key wins,
+        # deletes drop out
+        order = np.lexsort((ops, dids))
+        d_s, o_s = dids[order], ops[order]
+        is_last = (
+            np.concatenate([d_s[1:] != d_s[:-1], [True]])
+            if len(d_s)
+            else np.zeros(0, bool)
+        )
+        win = order[is_last]
+        keep = ops[win] != 2
+        idx = pa.array(win[keep], pa.int64())
+        return pa.table(
+            {
+                "doc_id": g.column("doc_id").take(idx),
+                "text": g.column("text").take(idx),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+
+
+APPLY_CHANGES_SQL = f"""
+WITH ch AS (
+  SELECT doc_id, 'U' AS op, text || ' [rev2]' AS text
+  FROM documents WHERE doc_id % 13 = 3 AND doc_id % 17 <> 0
+  UNION ALL
+  SELECT doc_id, 'D', NULL FROM documents WHERE doc_id % 17 = 0
+  UNION ALL
+  SELECT doc_id + {_DIFF_ADD_OFFSET}, 'I', 'new ' || text
+  FROM documents WHERE doc_id % 19 = 5
+)
+SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
+       CASE WHEN c.op IS NULL THEN b.text ELSE c.text END AS text
+FROM documents b FULL OUTER JOIN ch c ON b.doc_id = c.doc_id
+WHERE c.op IS NULL OR c.op <> 'D'
+"""
+
+
+# ---------------------------------------------------------------------------
+# data-quality expectation checks (the pre-ingest DQ gate): per-check
+# violation counts over the documents table. Map-side checks fold to
+# one partial row per (batch, check); the uniqueness check ships
+# per-batch (doc_id, n) count partials through one hashed shuffle.
+# ---------------------------------------------------------------------------
+
+_DQ_LANGS = ("de", "en", "es", "fr", "zh")
+
+
+def dq_checks(
+    sf_dir: str, num_partitions: int | None = None
+) -> rd.Dataset:
+    """(check, n_violations) for five expectations: null text, n_chars
+    disagreeing with length(text), unexpected lang, empty/whitespace
+    text, duplicate doc_id (rows sharing an id)."""
+    ds = _docs(sf_dir, ["doc_id", "text", "lang", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        text = b.column("text").combine_chunks()
+        null_text = int(pc.sum(pc.is_null(text)).as_py() or 0)
+        lens = pc.fill_null(pc.utf8_length(text), 0).to_numpy(
+            zero_copy_only=False
+        )
+        ncs = b.column("n_chars").to_numpy(zero_copy_only=False)
+        mismatch = int((lens != ncs).sum())
+        lang_ok = pc.is_in(
+            b.column("lang"), value_set=pa.array(list(_DQ_LANGS), pa.string())
+        )
+        bad_lang = int(pc.sum(pc.invert(lang_ok)).as_py() or 0)
+        trimmed = pc.utf8_trim(pc.fill_null(text, ""), " \t\n\r")
+        empty = int(pc.sum(pc.equal(pc.utf8_length(trimmed), 0)).as_py() or 0)
+        return pa.table(
+            {
+                "check": pa.array(
+                    ["null_text", "n_chars_mismatch", "bad_lang", "empty_text"],
+                    pa.string(),
+                ),
+                "n_violations": pa.array(
+                    [null_text, mismatch, bad_lang, empty], pa.int64()
+                ),
+            }
+        )
+
+    scalar = bounded_group_table_strict(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["check"],
+        [("n_violations", "sum")],
+    )
+
+    # uniqueness: per-batch (doc_id, n) partials, hashed-partition sum,
+    # violations = rows whose id occurs more than once
+    ids = _docs(sf_dir, ["doc_id"])
+    n_parts = num_partitions or adaptive_partitions(
+        parquet_rows_hint(ids), row_bytes=16
+    )
+
+    def id_partial(b: pa.Table) -> pa.Table:
+        uk, counts = np.unique(
+            b.column("doc_id").to_numpy(zero_copy_only=False),
+            return_counts=True,
+        )
+        key = pa.array(uk, pa.int64())
+        return pa.table(
+            {
+                "part": _part_of(key, n_parts),
+                "doc_id": key,
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def dup_merge(g: pa.Table) -> pa.Table:
+        uk, inv = np.unique(
+            g.column("doc_id").to_numpy(zero_copy_only=False),
+            return_inverse=True,
+        )
+        tot = np.zeros(len(uk), np.int64)
+        np.add.at(tot, inv, g.column("n").to_numpy(zero_copy_only=False))
+        return pa.table(
+            {"dups": pa.array([int(tot[tot > 1].sum())], pa.int64())}
+        )
+
+    dup_parts = (
+        ids.map_batches(id_partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(dup_merge, batch_format="pyarrow")
+    )
+    dup_tbl = bounded_group_table_strict(
+        dup_parts.map_batches(
+            lambda b: pa.table(
+                {
+                    "check": pa.array(["dup_doc_id"] * b.num_rows, pa.string()),
+                    "n_violations": b.column("dups"),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        ["check"],
+        [("n_violations", "sum")],
+    )
+    parts = [t for t in (scalar, dup_tbl) if t is not None]
+    if not parts:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "check": pa.array([], pa.string()),
+                    "n_violations": pa.array([], pa.int64()),
+                }
+            )
+        )
+    return rd.from_arrow(pa.concat_tables(parts))
+
+
+DQ_CHECKS_SQL = """
+SELECT 'null_text' AS check, CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations FROM documents
+UNION ALL
+SELECT 'n_chars_mismatch', CAST(SUM(CASE WHEN coalesce(length(text), 0) <> n_chars THEN 1 ELSE 0 END) AS BIGINT) FROM documents
+UNION ALL
+SELECT 'bad_lang', CAST(SUM(CASE WHEN lang NOT IN ('de','en','es','fr','zh') THEN 1 ELSE 0 END) AS BIGINT) FROM documents
+UNION ALL
+SELECT 'empty_text', CAST(SUM(CASE WHEN length(trim(coalesce(text, ''), ' ' || chr(9) || chr(10) || chr(13))) = 0 THEN 1 ELSE 0 END) AS BIGINT) FROM documents
+UNION ALL
+SELECT 'dup_doc_id',
+  CAST(coalesce(SUM(CASE WHEN n > 1 THEN n ELSE 0 END), 0) AS BIGINT)
+FROM (SELECT doc_id, COUNT(*) AS n FROM documents GROUP BY doc_id)
+"""

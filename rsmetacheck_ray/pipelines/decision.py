@@ -950,3 +950,110 @@ SELECT event_type, n,
         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS r2
 FROM s
 """
+
+
+# ---------------------------------------------------------------------------
+# sequential funnel: first 'view' → first 'purchase' STRICTLY AFTER it,
+# per user. Batches ship one min-view partial per (user, batch) plus
+# the user's purchase rows (the candidate step-2 events — no safe
+# pruning exists below the GLOBAL first view, which only the partition
+# merge knows); everything else of the event stream stays put.
+# ---------------------------------------------------------------------------
+
+
+def user_funnel(
+    sf_dir: str,
+    step1: str = "view",
+    step2: str = "purchase",
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """(user_id, first_view_ts, first_purchase_ts): users who did
+    ``step1`` and then ``step2`` strictly later, with both first
+    timestamps."""
+    ev = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_type"],
+    )
+    n_parts = num_partitions or adaptive_partitions(
+        parquet_rows_hint(ev), row_bytes=24
+    )
+
+    def prune(b: pa.Table) -> pa.Table:
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        ts = pc.cast(b.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        et = b.column("event_type").to_numpy(zero_copy_only=False)
+        v = et == step1
+        p = et == step2
+        # min step-1 ts per user in this batch (one partial row each)
+        vu, vinv = np.unique(uid[v], return_inverse=True)
+        vmin = np.full(len(vu), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(vmin, vinv, ts[v])
+        key1 = pa.array(vu, pa.int64())
+        part1 = pa.table(
+            {
+                "part": _part_of(key1, n_parts),
+                "uid": key1,
+                "tag": pa.array(np.zeros(len(vu), np.int8)),
+                "ts": pa.array(vmin, pa.int64()),
+            }
+        )
+        key2 = pa.array(uid[p], pa.int64())
+        part2 = pa.table(
+            {
+                "part": _part_of(key2, n_parts),
+                "uid": key2,
+                "tag": pa.array(np.ones(int(p.sum()), np.int8)),
+                "ts": pa.array(ts[p], pa.int64()),
+            }
+        )
+        return pa.concat_tables([part1, part2])
+
+    def merge(g: pa.Table) -> pa.Table:
+        tag = g.column("tag").to_numpy(zero_copy_only=False)
+        uid = g.column("uid").to_numpy(zero_copy_only=False)
+        ts = g.column("ts").to_numpy(zero_copy_only=False)
+        vsel = tag == 0
+        vu, vinv = np.unique(uid[vsel], return_inverse=True)
+        vmin = np.full(len(vu), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(vmin, vinv, ts[vsel])
+        pu, pt = uid[~vsel], ts[~vsel]
+        pos = np.searchsorted(vu, pu)
+        pos_c = np.minimum(pos, max(len(vu) - 1, 0))
+        ok = (
+            (vu[pos_c] == pu) & (pt > vmin[pos_c])
+            if len(vu)
+            else np.zeros(len(pu), bool)
+        )
+        cu, cinv = np.unique(pu[ok], return_inverse=True)
+        cmin = np.full(len(cu), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(cmin, cinv, pt[ok])
+        vpos = np.searchsorted(vu, cu)  # every converted user has a view
+        return pa.table(
+            {
+                "user_id": pa.array(cu, pa.int64()),
+                "first_view_ts": pa.array(vmin[vpos], pa.timestamp("us")),
+                "first_purchase_ts": pa.array(cmin, pa.timestamp("us")),
+            }
+        )
+
+    return (
+        ev.map_batches(prune, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+
+
+USER_FUNNEL_SQL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS vts FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS pts
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > v.vts
+  GROUP BY e.user_id
+)
+SELECT v.user_id, v.vts AS first_view_ts, p.pts AS first_purchase_ts
+FROM v JOIN p USING (user_id)
+"""

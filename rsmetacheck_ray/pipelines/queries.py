@@ -3584,6 +3584,9 @@ def registry() -> dict[str, tuple]:
         "quality_zscores": (cor.quality_zscores, cor.QUALITY_ZSCORES_SQL),
         "dataset_diff": (cor.dataset_diff, cor.DATASET_DIFF_SQL),
         "term_postings": (cor.term_postings, cor.TERM_POSTINGS_SQL),
+        "apply_changes": (cor.apply_changes, cor.APPLY_CHANGES_SQL),
+        "dq_checks": (cor.dq_checks, cor.DQ_CHECKS_SQL),
+        "user_funnel": (dec.user_funnel, dec.USER_FUNNEL_SQL),
         "open_orders": (rel.open_orders, rel.OPEN_ORDERS_SQL),
         "parts_by_brand": (rel.parts_by_brand, rel.PARTS_BY_BRAND_SQL),
         "supplier_nation_balance": (

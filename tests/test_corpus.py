@@ -123,3 +123,61 @@ def test_postings_max_df_stoplist(ray_session, tmp_path):
     out = cor.term_postings(d, max_df=2).to_pandas().set_index("term")
     assert "the" not in out.index
     assert out.loc["rare", "postings"] == "1"
+
+
+def test_apply_changes_merge_semantics(ray_session, tmp_path):
+    d = str(tmp_path)
+    # 16 → updated (16%13=3), 17 → deleted, 24 → spawns insert, 1 → kept
+    _write_docs(d, [
+        (16, "revise me", "en"), (17, "gone", "en"),
+        (24, "spawns", "en"), (1, "same", "en"),
+    ])
+    out = cor.apply_changes(d).to_pandas().set_index("doc_id")
+    assert out.loc[16, "text"] == "revise me [rev2]"
+    assert 17 not in out.index
+    assert out.loc[10_000_024, "text"] == "new spawns"
+    assert out.loc[24, "text"] == "spawns"  # insert source row survives
+    assert out.loc[1, "text"] == "same"
+    assert len(out) == 4
+
+
+def test_apply_changes_roundtrips_with_diff(ray_session, tmp_path):
+    d = str(tmp_path)
+    rows = [(i, f"doc {i} body", "en") for i in range(1, 60)]
+    _write_docs(d, rows)
+    snap_b = cor.apply_changes(d).to_pandas().set_index("doc_id")["text"]
+    diff = cor.dataset_diff(d).to_pandas().set_index("doc_id")["change"]
+    base = {r[0]: r[1] for r in rows}
+    # every diff row is consistent with the applied snapshot
+    for doc_id, change in diff.items():
+        if change == "removed":
+            assert doc_id in base and doc_id not in snap_b.index
+        elif change == "added":
+            assert doc_id not in base and doc_id in snap_b.index
+        else:
+            assert snap_b[doc_id] != base[doc_id]
+    # and every unchanged base row survives byte-identical
+    for doc_id, text in base.items():
+        if doc_id not in diff.index:
+            assert snap_b[doc_id] == text
+
+
+def test_dq_checks_counts(ray_session, tmp_path):
+    d = str(tmp_path)
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 2, 3, 4], pa.int64()),
+            "text": pa.array(["ok", None, "   ", "x", "y"], pa.string()),
+            "lang": pa.array(["en", "fr", "xx", "de", "zh"], pa.string()),
+            "source": pa.array(["web"] * 5, pa.string()),
+            # row 4 lies about its length
+            "n_chars": pa.array([2, 0, 3, 1, 99], pa.int64()),
+        }
+    )
+    pq.write_table(t, os.path.join(d, "documents.parquet"))
+    out = cor.dq_checks(d).to_pandas().set_index("check")["n_violations"]
+    assert out["null_text"] == 1
+    assert out["n_chars_mismatch"] == 1   # only row 4 (null text -> len 0 == 0)
+    assert out["bad_lang"] == 1           # xx
+    assert out["empty_text"] == 2         # None and whitespace-only
+    assert out["dup_doc_id"] == 2         # both rows with id 2

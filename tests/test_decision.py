@@ -252,3 +252,24 @@ def test_regr_recovers_planted_line(ray_session, tmp_path):
     assert out.loc["t", "slope"] == pytest.approx(3.0)
     assert out.loc["t", "intercept"] == pytest.approx(7.0)
     assert out.loc["t", "r2"] == pytest.approx(1.0)
+
+
+def test_funnel_requires_strict_order(ray_session, tmp_path):
+    d = str(tmp_path)
+    # user 1: view@1 then purchase@2 → converts with (1, 2)
+    # user 2: purchase@1 then view@2 → does NOT convert
+    # user 3: view@5 and purchase@5 (same instant) → strict > fails
+    # user 4: purchase@1, view@2, purchase@9 → converts with (2, 9)
+    _write_events(d, [
+        (1, 1, 1, "view", 1.0), (2, 2, 1, "purchase", 1.0),
+        (3, 1, 2, "purchase", 1.0), (4, 2, 2, "view", 1.0),
+        (5, 5, 3, "view", 1.0), (6, 5, 3, "purchase", 1.0),
+        (7, 1, 4, "purchase", 1.0), (8, 2, 4, "view", 1.0),
+        (9, 9, 4, "purchase", 1.0),
+    ])
+    out = dec.user_funnel(d).to_pandas().set_index("user_id").sort_index()
+    assert list(out.index) == [1, 4]
+    assert out.loc[1, "first_view_ts"].value == 1_000   # 1 us in ns
+    assert out.loc[1, "first_purchase_ts"].value == 2_000
+    assert out.loc[4, "first_view_ts"].value == 2_000
+    assert out.loc[4, "first_purchase_ts"].value == 9_000

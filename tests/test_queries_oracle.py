@@ -131,6 +131,9 @@ SQL_BACKED = [
     "quality_zscores",
     "dataset_diff",
     "term_postings",
+    "apply_changes",
+    "dq_checks",
+    "user_funnel",
 ]
 
 
