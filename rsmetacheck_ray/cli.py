@@ -40,9 +40,9 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--write-dropped-text", action="store_true")
     g.add_argument("--input-format",
                    choices=("parquet", "jsonl", "csv", "warc", "orc",
-                            "ipc", "auto"),
+                            "ipc", "tar", "auto"),
                    default="parquet",
-                   help="pages input format (jsonl/csv: ISO warc_ts, base64 html)")
+                   help="pages input format (jsonl/csv/tar: ISO warc_ts, base64 html)")
 
     m = sub.add_parser("metrics", help="recompute metrics from a run dir")
     m.add_argument("--out", required=True)

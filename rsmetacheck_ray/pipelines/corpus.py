@@ -781,3 +781,181 @@ SELECT 'dup_doc_id',
   CAST(coalesce(SUM(CASE WHEN n > 1 THEN n ELSE 0 END), 0) AS BIGINT)
 FROM (SELECT doc_id, COUNT(*) AS n FROM documents GROUP BY doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval — the scoring dual of the inverted index:
+# Robertson/Lucene BM25 of a fixed query over the documents table.
+# Two passes: (1) exact integer corpus stats (N, Σdl, per-term df) as
+# one partial row per batch; (2) vectorized per-doc scores + per-block
+# top-k prune, final k-row selection on the driver. All stats are
+# exact int64 and the float scoring expression is shared verbatim
+# with the oracle (math.log == DuckDB ln, same libm), so the result
+# hashes bit-exact.
+# ---------------------------------------------------------------------------
+
+BM25_QUERY = "hash join filter"
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 10
+
+
+def _bm25_tf_dl(b: pa.Table, terms: list[str]):
+    """(dl int64[n], tf int64[n, n_terms]) for one batch."""
+    from ..functions.tokenize import tokens_with_doc_index
+
+    n = b.num_rows
+    doc_idx, enc = tokens_with_doc_index(b.column("text"))
+    dl = np.zeros(n, np.int64)
+    tf = np.zeros((n, len(terms)), np.int64)
+    if enc is None:
+        return dl, tf
+    np.add.at(dl, doc_idx, 1)
+    vocab = enc.dictionary.to_pylist()
+    code_of = {t: c for c, t in enumerate(vocab)}
+    codes = enc.indices.to_numpy(zero_copy_only=False)
+    for j, t in enumerate(terms):
+        c = code_of.get(t)
+        if c is not None:
+            np.add.at(tf[:, j], doc_idx[codes == c], 1)
+    return dl, tf
+
+
+def bm25_search(
+    sf_dir: str,
+    query: str = BM25_QUERY,
+    k: int = BM25_TOPK,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> rd.Dataset:
+    """(doc_id, score): the ``k`` highest-BM25 documents for
+    ``query``, ties broken by doc_id ascending."""
+    import math
+
+    terms = sorted(set(query.split()))
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        dl, tf = _bm25_tf_dl(batch, terms)
+        cols = {
+            "g": pa.array([0], pa.int64()),
+            "n_docs": pa.array([batch.num_rows], pa.int64()),
+            "total_dl": pa.array([int(dl.sum())], pa.int64()),
+        }
+        for j in range(len(terms)):
+            cols[f"df_{j}"] = pa.array([int((tf[:, j] > 0).sum())], pa.int64())
+        return pa.table(cols)
+
+    st = bounded_group_table_strict(
+        ds.map_batches(stats_partial, batch_format="pyarrow"),
+        ["g"],
+        [("n_docs", "sum"), ("total_dl", "sum")]
+        + [(f"df_{j}", "sum") for j in range(len(terms))],
+    )
+    if st is None or not int(st.column("n_docs")[0].as_py()):
+        return rd.from_arrow(
+            pa.table(
+                {"doc_id": pa.array([], pa.int64()), "score": pa.array([], pa.float64())}
+            )
+        )
+    n_docs = int(st.column("n_docs")[0].as_py())
+    total_dl = int(st.column("total_dl")[0].as_py())
+    dfs = [int(st.column(f"df_{j}")[0].as_py()) for j in range(len(terms))]
+    avgdl = float(total_dl) / float(n_docs)
+    idfs = [
+        math.log(1.0 + (float(n_docs - df) + 0.5) / (float(df) + 0.5))
+        for df in dfs
+    ]
+    ref = ray.put((terms, idfs, avgdl))
+
+    def score_prune(batch: pa.Table) -> pa.Table:
+        ts, idf, ad = ray.get(ref)
+        dl, tf = _bm25_tf_dl(batch, ts)
+        dl_f = dl.astype(np.float64)
+        score = np.zeros(batch.num_rows, np.float64)
+        # fixed ascending-term order, sequential adds — the oracle's
+        # expression sums the same terms in the same order
+        for j in range(len(ts)):
+            tf_f = tf[:, j].astype(np.float64)
+            num = tf_f * (k1 + 1.0)
+            den = tf_f + k1 * ((1.0 - b) + b * (dl_f / ad))
+            score = score + idf[j] * num / den
+        dids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        top = np.lexsort((dids, -score))[:k]
+        return pa.table(
+            {
+                "doc_id": pa.array(dids[top], pa.int64()),
+                "score": pa.array(score[top], pa.float64()),
+            }
+        )
+
+    cand = bounded_group_table_strict(
+        ds.map_batches(score_prune, batch_format="pyarrow").map_batches(
+            lambda t: t.append_column("g", pa.array([0] * t.num_rows, pa.int64())),
+            batch_format="pyarrow",
+        ),
+        ["g", "doc_id"],
+        [("score", "max")],
+    )
+    if cand is None:
+        return rd.from_arrow(
+            pa.table(
+                {"doc_id": pa.array([], pa.int64()), "score": pa.array([], pa.float64())}
+            )
+        )
+    dids = cand.column("doc_id").to_numpy(zero_copy_only=False)
+    sc = cand.column("score").to_numpy(zero_copy_only=False)
+    top = np.lexsort((dids, -sc))[:k]
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(dids[top], pa.int64()),
+                "score": pa.array(sc[top], pa.float64()),
+            }
+        )
+    )
+
+
+def _bm25_sql() -> str:
+    terms = sorted(set(BM25_QUERY.split()))
+    tf_cols = ",\n         ".join(
+        f"len(list_filter(regexp_extract_all(text, '{WS_TOKEN_RE}'), "
+        f"x -> x = '{t}')) AS tf_{j}"
+        for j, t in enumerate(terms)
+    )
+    df_cols = ", ".join(
+        f"CAST(SUM(CASE WHEN tf_{j} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{j}"
+        for j in range(len(terms))
+    )
+    term_exprs = []
+    for j in range(len(terms)):
+        idf = (
+            f"ln(1.0 + (CAST(g.n_docs - g.df_{j} AS DOUBLE) + 0.5)"
+            f" / (CAST(g.df_{j} AS DOUBLE) + 0.5))"
+        )
+        num = f"CAST(t.tf_{j} AS DOUBLE) * ({BM25_K1} + 1.0)"
+        den = (
+            f"CAST(t.tf_{j} AS DOUBLE) + {BM25_K1} * ((1.0 - {BM25_B}) + "
+            f"{BM25_B} * (CAST(t.dl AS DOUBLE) / "
+            f"(CAST(g.total_dl AS DOUBLE) / CAST(g.n_docs AS DOUBLE))))"
+        )
+        term_exprs.append(f"{idf} * ({num}) / ({den})")
+    score = term_exprs[0]
+    for e in term_exprs[1:]:
+        score = f"({score}) + ({e})"
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{WS_TOKEN_RE}')) AS dl,
+         {tf_cols}
+  FROM documents
+),
+g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS BIGINT) AS total_dl, {df_cols}
+  FROM t
+)
+SELECT t.doc_id, {score} AS score
+FROM t, g
+QUALIFY ROW_NUMBER() OVER (ORDER BY score DESC, t.doc_id) <= {BM25_TOPK}
+"""

@@ -363,6 +363,9 @@ _SUFFIX_FORMATS = [
     (".csv", "csv"),
     (".warc", "warc"),
     (".orc", "orc"),
+    (".tar.gz", "tar"),
+    (".tar", "tar"),
+    (".tgz", "tar"),
 ]
 
 
@@ -396,6 +399,8 @@ def _read_mixed_fragments(paths: list[str]) -> rd.Dataset:
             from ..sources.orc_pages import read_pages_orc as reader
         elif fmt == "ipc":
             from ..sources.ipc_pages import read_pages_ipc as reader
+        elif fmt == "tar":
+            from ..sources.tar_pages import read_pages_tar as reader
         else:
             reader = rd.read_parquet
         parts.append(reader(ps).select_columns(_PAGES_COLUMNS))
@@ -471,18 +476,21 @@ def run_gate(
     summary JSON, ``detect_pitfalls_main.py:396-409``).
     """
     if input_format not in (
-        "parquet", "jsonl", "csv", "warc", "orc", "ipc", "auto"
+        "parquet", "jsonl", "csv", "warc", "orc", "ipc", "tar", "auto"
     ):
         raise ValueError(f"unsupported input_format {input_format!r}")
     # .warc.gz (per-record gzip members) rides the same format flag;
-    # ipc accepts both conventional suffixes (.arrow, .feather)
+    # ipc accepts both conventional suffixes (.arrow, .feather), tar
+    # all three archive spellings
     if input_format == "auto":
         suffix = (".parquet", ".jsonl", ".csv", ".warc", ".warc.gz",
-                  ".orc", ".arrow", ".feather")
+                  ".orc", ".arrow", ".feather", ".tar", ".tar.gz", ".tgz")
     elif input_format == "warc":
         suffix = (".warc", ".warc.gz")
     elif input_format == "ipc":
         suffix = (".arrow", ".feather")
+    elif input_format == "tar":
+        suffix = (".tar", ".tar.gz", ".tgz")
     else:
         suffix = "." + input_format
     if input_format == "jsonl":
@@ -495,6 +503,8 @@ def run_gate(
         from ..sources.orc_pages import read_pages_orc as _read_fragments
     elif input_format == "ipc":
         from ..sources.ipc_pages import read_pages_ipc as _read_fragments
+    elif input_format == "tar":
+        from ..sources.tar_pages import read_pages_tar as _read_fragments
     elif input_format == "auto":
         _read_fragments = _read_mixed_fragments
     else:
@@ -598,6 +608,10 @@ def run_gate(
                     from ..sources.ipc_pages import probe_ipc
 
                     probe_ipc(f)  # batch-by-batch; raises on corruption
+                elif fmt == "tar":
+                    from ..sources.tar_pages import probe_tar
+
+                    probe_tar(f)  # member-by-member; raises on corruption
                 else:
                     import pyarrow.parquet as pq
 

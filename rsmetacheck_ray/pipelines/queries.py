@@ -3585,6 +3585,7 @@ def registry() -> dict[str, tuple]:
         "dataset_diff": (cor.dataset_diff, cor.DATASET_DIFF_SQL),
         "term_postings": (cor.term_postings, cor.TERM_POSTINGS_SQL),
         "apply_changes": (cor.apply_changes, cor.APPLY_CHANGES_SQL),
+        "bm25_search": (cor.bm25_search, cor._bm25_sql()),
         "dq_checks": (cor.dq_checks, cor.DQ_CHECKS_SQL),
         "user_funnel": (dec.user_funnel, dec.USER_FUNNEL_SQL),
         "open_orders": (rel.open_orders, rel.OPEN_ORDERS_SQL),

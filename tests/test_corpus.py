@@ -181,3 +181,49 @@ def test_dq_checks_counts(ray_session, tmp_path):
     assert out["bad_lang"] == 1           # xx
     assert out["empty_text"] == 2         # None and whitespace-only
     assert out["dup_doc_id"] == 2         # both rows with id 2
+
+
+def test_bm25_matches_bruteforce(ray_session, tmp_path):
+    d = str(tmp_path)
+    import math
+
+    rows = [
+        (1, "hash hash join x y", "en"),
+        (2, "join filter filter filter", "en"),
+        (3, "nothing relevant here at all", "en"),
+        (4, "hash join filter", "en"),
+        (5, "hash", "en"),
+    ]
+    _write_docs(d, rows)
+    out = cor.bm25_search(d, query="hash join filter", k=3).to_pandas()
+    # brute force, same formula
+    terms = sorted({"hash", "join", "filter"})
+    docs = {r[0]: r[1].split() for r in rows}
+    n = len(docs)
+    dls = {k_: len(v) for k_, v in docs.items()}
+    avgdl = sum(dls.values()) / float(n)
+    want = {}
+    for did, toks in docs.items():
+        s = 0.0
+        for t in terms:
+            df = sum(1 for v in docs.values() if t in v)
+            idf = math.log(1.0 + (float(n - df) + 0.5) / (df + 0.5))
+            tf = float(toks.count(t))
+            s += idf * (tf * (cor.BM25_K1 + 1.0)) / (
+                tf + cor.BM25_K1 * ((1.0 - cor.BM25_B)
+                                    + cor.BM25_B * (dls[did] / avgdl))
+            )
+        want[did] = s
+    top3 = sorted(want, key=lambda k_: (-want[k_], k_))[:3]
+    assert list(out["doc_id"]) == top3
+    for did, sc in zip(out["doc_id"], out["score"]):
+        assert sc == pytest.approx(want[did], rel=1e-12)
+
+
+def test_bm25_absent_terms_score_zero(ray_session, tmp_path):
+    d = str(tmp_path)
+    _write_docs(d, [(1, "a b c", "en"), (2, "d e", "en")])
+    out = cor.bm25_search(d, query="zzz qqq", k=5).to_pandas()
+    # no doc contains the terms: every score is exactly 0, ranked by id
+    assert list(out["doc_id"]) == [1, 2]
+    assert all(s == 0.0 for s in out["score"])
