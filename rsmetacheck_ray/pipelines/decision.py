@@ -1057,3 +1057,111 @@ p AS (
 SELECT v.user_id, v.vts AS first_view_ts, p.pts AS first_purchase_ts
 FROM v JOIN p USING (user_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# cohort retention: users bucketed by first-event week; each cell
+# (cohort_week, week_offset) counts the distinct users active that
+# many weeks after their first event. One shuffle on the hashed user
+# partition: min-ts partials + per-batch-DISTINCT (user, week) pairs;
+# the cell matrix itself is bounded (weeks²), reduced on the driver.
+# ---------------------------------------------------------------------------
+
+_WEEK_US = 604_800_000_000
+
+
+def user_retention(
+    sf_dir: str, num_partitions: int | None = None
+) -> rd.Dataset:
+    """(cohort_week, week_offset, n_users): distinct active users per
+    cohort × offset cell."""
+    ev = _read_pq(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+    )
+    n_parts = num_partitions or adaptive_partitions(
+        parquet_rows_hint(ev), row_bytes=24
+    )
+
+    def prune(b: pa.Table) -> pa.Table:
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        ts = pc.cast(b.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(uid, return_inverse=True)
+        tmin = np.full(len(uk), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(tmin, inv, ts)
+        key1 = pa.array(uk, pa.int64())
+        firsts = pa.table(
+            {
+                "part": _part_of(key1, n_parts),
+                "uid": key1,
+                "tag": pa.array(np.zeros(len(uk), np.int8)),
+                "v": pa.array(tmin, pa.int64()),
+            }
+        )
+        wk = ts // _WEEK_US
+        if len(uid) and (uid.max() >= (1 << 43) or wk.max() >= (1 << 20) or wk.min() < 0):
+            raise ValueError("user_id/week outside the packed-pair range")
+        pair = np.unique(uid * (1 << 20) + wk)  # weeks < 2^20 by construction
+        p_uid = pair >> 20
+        key2 = pa.array(p_uid, pa.int64())
+        pairs = pa.table(
+            {
+                "part": _part_of(key2, n_parts),
+                "uid": key2,
+                "tag": pa.array(np.ones(len(pair), np.int8)),
+                "v": pa.array((pair & ((1 << 20) - 1)).astype(np.int64), pa.int64()),
+            }
+        )
+        return pa.concat_tables([firsts, pairs])
+
+    def merge(g: pa.Table) -> pa.Table:
+        tag = g.column("tag").to_numpy(zero_copy_only=False)
+        uid = g.column("uid").to_numpy(zero_copy_only=False)
+        v = g.column("v").to_numpy(zero_copy_only=False)
+        fsel = tag == 0
+        uk, inv = np.unique(uid[fsel], return_inverse=True)
+        tmin = np.full(len(uk), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(tmin, inv, v[fsel])
+        cw = tmin // _WEEK_US
+        p_uid, p_wk = uid[~fsel], v[~fsel]
+        pair = np.unique(p_uid * (1 << 20) + p_wk)  # cross-batch dedup
+        p_uid = pair >> 20
+        p_wk = (pair & ((1 << 20) - 1)).astype(np.int64)
+        pos = np.searchsorted(uk, p_uid)  # every pair's user has a first
+        cell_cw = cw[pos]
+        cell_off = p_wk - cell_cw
+        t = pa.table(
+            {
+                "cohort_week": pa.array(cell_cw, pa.int64()),
+                "week_offset": pa.array(cell_off, pa.int64()),
+            }
+        )
+        out = t.group_by(["cohort_week", "week_offset"]).aggregate(
+            [([], "count_all")]
+        )
+        return out.rename_columns(["cohort_week", "week_offset", "n_users"])
+
+    parts = (
+        ev.map_batches(prune, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+    return bounded_group_reduce(
+        parts, ["cohort_week", "week_offset"], [("n_users", "sum")]
+    )
+
+
+USER_RETENTION_SQL = """
+WITH f AS (
+  SELECT user_id,
+         CAST(floor(EXTRACT(epoch FROM min(ts)) / 604800) AS BIGINT) AS cw
+  FROM events GROUP BY user_id
+),
+c AS (
+  SELECT DISTINCT e.user_id, f.cw,
+         CAST(floor(EXTRACT(epoch FROM e.ts) / 604800) AS BIGINT) - f.cw
+           AS week_offset
+  FROM events e JOIN f USING (user_id)
+)
+SELECT cw AS cohort_week, week_offset, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM c GROUP BY cw, week_offset
+"""

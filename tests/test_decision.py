@@ -273,3 +273,32 @@ def test_funnel_requires_strict_order(ray_session, tmp_path):
     assert out.loc[1, "first_purchase_ts"].value == 2_000
     assert out.loc[4, "first_view_ts"].value == 2_000
     assert out.loc[4, "first_purchase_ts"].value == 9_000
+
+
+def test_retention_cohort_cells(ray_session, tmp_path):
+    d = str(tmp_path)
+    wk = 604_800_000_000
+    # user 1: first week 0, active weeks 0,1,3; user 2: first week 1,
+    # active weeks 1,1 (dup),2; user 3: only week 0.
+    _write_events(d, [
+        (1, 0, 1, "a", 1.0), (2, wk, 1, "a", 1.0), (3, 3 * wk, 1, "a", 1.0),
+        (4, wk, 2, "a", 1.0), (5, wk + 5, 2, "a", 1.0), (6, 2 * wk, 2, "a", 1.0),
+        (7, 10, 3, "a", 1.0),
+    ])
+    out = dec.user_retention(d).to_pandas()
+    cells = {
+        (int(r.cohort_week), int(r.week_offset)): int(r.n_users)
+        for r in out.itertuples(index=False)
+    }
+    assert cells == {
+        (0, 0): 2,  # users 1 and 3 in cohort 0 at offset 0
+        (0, 1): 1, (0, 3): 1,       # user 1 returns
+        (1, 0): 1, (1, 1): 1,       # user 2 (dup week deduped)
+    }
+
+
+def test_retention_packed_range_guard(ray_session, tmp_path):
+    d = str(tmp_path)
+    _write_events(d, [(1, 0, 1 << 44, "a", 1.0)])
+    with pytest.raises(Exception, match="packed-pair range"):
+        dec.user_retention(d).to_pandas()

@@ -134,6 +134,8 @@ SQL_BACKED = [
     "apply_changes",
     "dq_checks",
     "user_funnel",
+    "user_retention",
+    "bm25_search",
 ]
 
 
