@@ -11,26 +11,31 @@ import pytest
 
 
 def _mixed_dir(pages_dir: str, out_dir: str) -> None:
-    """A third of the fragments each as parquet, jsonl and orc."""
+    """A quarter of the fragments each as parquet, jsonl, orc, tar."""
     from tests.test_jsonl_source import _to_jsonl
     from tests.test_orc_source import _to_orc
+    from tests.test_tar_source import _to_tar
 
     os.makedirs(out_dir, exist_ok=True)
     files = sorted(glob.glob(os.path.join(pages_dir, "*.parquet")))
-    assert len(files) >= 3
-    third = len(files) // 3
-    for f in files[:third]:
+    assert len(files) >= 4
+    q = len(files) // 4
+    for f in files[:q]:
         shutil.copy(f, os.path.join(out_dir, os.path.basename(f)))
     tmp_j = out_dir + ".j"
     tmp_o = out_dir + ".o"
-    os.makedirs(tmp_j, exist_ok=True)
-    os.makedirs(tmp_o, exist_ok=True)
-    for f in files[third : 2 * third]:
+    tmp_t = out_dir + ".t"
+    for d in (tmp_j, tmp_o, tmp_t):
+        os.makedirs(d, exist_ok=True)
+    for f in files[q : 2 * q]:
         shutil.copy(f, tmp_j)
-    for f in files[2 * third :]:
+    for f in files[2 * q : 3 * q]:
         shutil.copy(f, tmp_o)
+    for f in files[3 * q :]:
+        shutil.copy(f, tmp_t)
     _to_jsonl(tmp_j, out_dir)
     _to_orc(tmp_o, out_dir)
+    _to_tar(tmp_t, out_dir)
 
 
 def test_auto_gate_matches_parquet_gate(ray_session, small_corpus, tmp_path):
@@ -40,7 +45,7 @@ def test_auto_gate_matches_parquet_gate(ray_session, small_corpus, tmp_path):
     mdir = tmp_path / "mixed"
     _mixed_dir(pages_dir, str(mdir))
     kinds = {os.path.splitext(f)[1] for f in os.listdir(mdir)}
-    assert kinds == {".parquet", ".jsonl", ".orc"}
+    assert kinds == {".parquet", ".jsonl", ".orc", ".tar"}
 
     out_p = tmp_path / "out_parquet"
     out_m = tmp_path / "out_mixed"
