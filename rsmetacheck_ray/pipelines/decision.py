@@ -1165,3 +1165,57 @@ c AS (
 SELECT cw AS cohort_week, week_offset, CAST(COUNT(*) AS BIGINT) AS n_users
 FROM c GROUP BY cw, week_offset
 """
+
+
+# ---------------------------------------------------------------------------
+# semi-structured extraction: the events ``props`` column is a JSON
+# object; extract its integer field and aggregate per type. The
+# extraction is ONE vectorized RE2 pass (pyarrow extract_regex) —
+# equivalent to json_extract for the documented integer-field
+# contract; objects without the field (or non-integer values) are
+# null and excluded exactly like the SQL cast.
+# ---------------------------------------------------------------------------
+
+
+def events_props_stats(sf_dir: str) -> rd.Dataset:
+    """(event_type, n, sum_k, min_k, max_k) over the JSON props
+    field ``k``."""
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "props"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        ext = pc.extract_regex(
+            pc.fill_null(b.column("props").combine_chunks(), ""),
+            r'"k"\s*:\s*(?P<k>-?\d+)',
+        )
+        kstr = pc.struct_field(ext, "k")
+        k = pc.cast(kstr, pa.int64())
+        t = pa.table({"event_type": b.column("event_type"), "k": k})
+        t = t.filter(pc.is_valid(k))
+        g = t.group_by("event_type").aggregate(
+            [([], "count_all"), ("k", "sum"), ("k", "min"), ("k", "max")]
+        )
+        return g.rename_columns(["event_type", "n", "sum_k", "min_k", "max_k"])
+
+    return bounded_group_reduce(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type"],
+        [("n", "sum"), ("sum_k", "sum"), ("min_k", "min"), ("max_k", "max")],
+    )
+
+
+EVENTS_PROPS_SQL = """
+WITH x AS (
+  SELECT event_type,
+         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(k) AS BIGINT) AS sum_k,
+  CAST(MIN(k) AS BIGINT) AS min_k,
+  CAST(MAX(k) AS BIGINT) AS max_k
+FROM x WHERE k IS NOT NULL
+GROUP BY event_type
+"""

@@ -3589,6 +3589,7 @@ def registry() -> dict[str, tuple]:
         "dq_checks": (cor.dq_checks, cor.DQ_CHECKS_SQL),
         "user_funnel": (dec.user_funnel, dec.USER_FUNNEL_SQL),
         "user_retention": (dec.user_retention, dec.USER_RETENTION_SQL),
+        "events_props_stats": (dec.events_props_stats, dec.EVENTS_PROPS_SQL),
         "open_orders": (rel.open_orders, rel.OPEN_ORDERS_SQL),
         "parts_by_brand": (rel.parts_by_brand, rel.PARTS_BY_BRAND_SQL),
         "supplier_nation_balance": (

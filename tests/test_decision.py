@@ -302,3 +302,22 @@ def test_retention_packed_range_guard(ray_session, tmp_path):
     _write_events(d, [(1, 0, 1 << 44, "a", 1.0)])
     with pytest.raises(Exception, match="packed-pair range"):
         dec.user_retention(d).to_pandas()
+
+
+def test_props_stats_skips_missing_and_malformed(ray_session, tmp_path):
+    d = str(tmp_path)
+    # props: valid k, missing field, malformed JSON fragment, negative
+    _write(d, "events", {
+        "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "ts": pa.array([0, 0, 0, 0], pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 1, 1], pa.int64()),
+        "event_type": pa.array(["t", "t", "t", "t"], pa.string()),
+        "value": pa.array([1.0] * 4, pa.float64()),
+        "props": pa.array(
+            ['{"k": 7}', '{"x": 1}', "not json", '{"k": -3}'], pa.string()
+        ),
+    })
+    out = dec.events_props_stats(d).to_pandas().set_index("event_type")
+    assert out.loc["t", "n"] == 2
+    assert out.loc["t", "sum_k"] == 4
+    assert out.loc["t", "min_k"] == -3 and out.loc["t", "max_k"] == 7

@@ -136,6 +136,7 @@ SQL_BACKED = [
     "user_funnel",
     "user_retention",
     "bm25_search",
+    "events_props_stats",
 ]
 
 
