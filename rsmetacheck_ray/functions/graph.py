@@ -71,14 +71,21 @@ def _scatter(
 @ray.remote
 def _gather(
     nodes: np.ndarray,
-    pieces: list,
+    piece_refs: list,
     damping: float,
     teleport: float,
     dangle_share: float,
 ):
-    """New rank vector for one node shard from all inbound pieces."""
+    """New rank vector for one node shard from all inbound pieces.
+    ``piece_refs`` arrive as a LIST of ObjectRefs (nested refs are not
+    auto-dereferenced), so each piece is fetched worker-to-worker here
+    — the driver never touches the edge exchange."""
     acc = np.zeros(len(nodes), np.float64)
-    for d_ids, c in pieces:
+    for ref in piece_refs:
+        val = ray.get(ref)
+        if isinstance(val, list):  # n_parts == 1: un-split scatter output
+            val = val[0]
+        d_ids, c = val
         if len(d_ids):
             np.add.at(acc, np.searchsorted(nodes, d_ids), c)
     return teleport + damping * (acc + dangle_share)
@@ -157,18 +164,22 @@ def pagerank(
                 ]
             )
         )
-        outs = [
-            _scatter.options(num_returns=1).remote(
+        # one return object PER DESTINATION shard: gather tasks pull
+        # their pieces directly from the scatter workers' object
+        # stores — the exchange never routes through the driver
+        scatter = [
+            _scatter.options(num_returns=n_parts).remote(
                 edge_refs[p][0], edge_refs[p][1], edge_refs[p][2],
                 node_refs[p], inv_refs[p], rank_refs[p], n_parts,
             )
             for p in range(n_parts)
         ]
-        outs = ray.get(outs)  # list over p of per-q (dst, contrib) pairs
+        if n_parts == 1:  # num_returns=1 yields a bare ref, not a list
+            scatter = [[s] for s in scatter]
         rank_refs = [
             _gather.remote(
                 node_refs[q],
-                [outs[p][q] for p in range(n_parts)],
+                [scatter[p][q] for p in range(n_parts)],
                 damping,
                 teleport,
                 dangle / n,

@@ -219,12 +219,19 @@ def orders_month_priority_pivot(sf_dir: str) -> rd.Dataset:
     mpos = {int(m): i for i, m in enumerate(months)}
     pcode = {p: j for j, p in enumerate(_PRIORITIES)}
     grid = np.zeros((len(months), len(_PRIORITIES)), np.int64)
+    extra = np.zeros(len(months), np.int64)  # priorities outside the
+    # fixed column list still count toward the row total (the oracle's
+    # COUNT(*) does; every CASE just yields 0 for them)
     for y, p, c in zip(ym, prio, n):
-        grid[mpos[int(y)], pcode[p]] += int(c)
+        j = pcode.get(p)
+        if j is None:
+            extra[mpos[int(y)]] += int(c)
+        else:
+            grid[mpos[int(y)], j] += int(c)
     out = {"ym": pa.array(months, pa.int64())}
     for j, c in enumerate(_PRIO_COLS):
         out[c] = pa.array(grid[:, j], pa.int64())
-    out["n_total"] = pa.array(grid.sum(axis=1), pa.int64())
+    out["n_total"] = pa.array(grid.sum(axis=1) + extra, pa.int64())
     return rd.from_arrow(pa.table(out))
 
 
@@ -542,26 +549,7 @@ def events_type_mode_median(sf_dir: str) -> rd.Dataset:
     interpolates exactly like SQL ``MEDIAN`` over BIGINT: value at
     position (n-1)/2, halfway between the two middle values when n is
     even — exact in float64 for cent-scale integers."""
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["event_type", "value"],
-    )
-
-    def partial(b: pa.Table) -> pa.Table:
-        t = pa.table(
-            {
-                "event_type": b.column("event_type"),
-                "cents": _cents(b.column("value")),
-            }
-        )
-        g = t.group_by(["event_type", "cents"]).aggregate([([], "count_all")])
-        return g.rename_columns(["event_type", "cents", "n"])
-
-    hist = bounded_group_table_strict(
-        ds.map_batches(partial, batch_format="pyarrow"),
-        ["event_type", "cents"],
-        [("n", "sum")],
-    )
+    hist = _events_cents_hist(sf_dir)
     empty = pa.table(
         {
             "event_type": pa.array([], pa.string()),
@@ -571,15 +559,20 @@ def events_type_mode_median(sf_dir: str) -> rd.Dataset:
     )
     if hist is None:
         return rd.from_arrow(empty)
-    et = hist.column("event_type").to_pylist()
-    cents = hist.column("cents").to_numpy(zero_copy_only=False)
-    cnt = hist.column("n").to_numpy(zero_copy_only=False)
+    # one shared lexsorted decode (relational._hist_segments) instead
+    # of an O(types × rows) Python membership scan per type
+    from .relational import _hist_segments
+
+    tcode, codes_s, cents_s, ns_s, starts, _seg = _hist_segments(
+        hist, descending=False
+    )
+    code_name = {c: t for t, c in tcode.items()}
+    bounds = np.append(starts, len(codes_s))
     types, modes, medians = [], [], []
-    for t in sorted(set(et)):
-        sel = np.array([x == t for x in et])
-        cv, nv = cents[sel], cnt[sel]
-        order = np.argsort(cv)
-        cv, nv = cv[order], nv[order]
+    for si in range(len(bounds) - 1):
+        s0, e0 = bounds[si], bounds[si + 1]
+        t = code_name[int(codes_s[s0])]
+        cv, nv = cents_s[s0:e0], ns_s[s0:e0]  # cents already ascending
         modes.append(int(cv[np.argmax(nv)]))  # argmax → first max → smallest
         total = int(nv.sum())
         cum = np.cumsum(nv)

@@ -315,17 +315,26 @@ def dataset_diff(
 
     def both_sides(b: pa.Table) -> pa.Table:
         dids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        if len(dids) and dids.max() >= _DIFF_ADD_OFFSET:
+            # a base id colliding with a derived-insert id would break
+            # the sorted-unique-per-side merge contract silently
+            raise ValueError(
+                f"doc_id {dids.max()} >= derived-insert offset "
+                f"{_DIFF_ADD_OFFSET}; raise _DIFF_ADD_OFFSET for this corpus"
+            )
         text = b.column("text").combine_chunks()
         lo_a, hi_a = hash_str_arrow_u128(text)
-        # side B: survivors (possibly revised) + derived additions
+        # side B: survivors (possibly revised) + derived additions.
+        # Hash only the REVISED slice (the 128-bit hash dominates this
+        # operator's cost; unrevised rows reuse the side-A hash).
         survives = dids % 17 != 0
         revised = dids % 13 == 3
         rev_text = pc.binary_join_element_wise(
-            text, pa.scalar(" [rev2]"), pa.scalar("")
+            text.filter(pa.array(revised)), pa.scalar(" [rev2]"), pa.scalar("")
         )
-        lo_r, hi_r = hash_str_arrow_u128(rev_text)
-        lo_b = np.where(revised, lo_r, lo_a)
-        hi_b = np.where(revised, hi_r, hi_a)
+        lo_rs, hi_rs = hash_str_arrow_u128(rev_text)
+        lo_b, hi_b = lo_a.copy(), hi_a.copy()
+        lo_b[revised], hi_b[revised] = lo_rs, hi_rs
         added = dids % 19 == 5
         add_text = pc.binary_join_element_wise(
             pa.scalar("new "), text, pa.scalar("")
@@ -562,6 +571,11 @@ def apply_changes(
 
     def tag(b: pa.Table) -> pa.Table:
         dids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        if len(dids) and dids.max() >= _DIFF_ADD_OFFSET:
+            raise ValueError(
+                f"doc_id {dids.max()} >= derived-insert offset "
+                f"{_DIFF_ADD_OFFSET}; raise _DIFF_ADD_OFFSET for this corpus"
+            )
         text = b.column("text").combine_chunks()
         base = pa.table(
             {

@@ -189,6 +189,16 @@ def local_supplier_volume(
     def li_partial(b: pa.Table) -> pa.Table:
         skk, snn = ray.get(sup_ref)
         lsk = b.column("l_suppkey").to_numpy(zero_copy_only=False)
+        if not len(skk):  # empty supplier table: no line can qualify
+            return pa.table(
+                {
+                    "part": pa.array([], pa.int64()),
+                    "okey": pa.array([], pa.int64()),
+                    "tag": pa.array([], pa.int8()),
+                    "nat": pa.array([], pa.int64()),
+                    "rev": pa.array([], pa.int64()),
+                }
+            )
         pos = np.searchsorted(skk, lsk)
         pos_c = np.minimum(pos, len(skk) - 1)
         snat = np.where(skk[pos_c] == lsk, snn[pos_c], -1)
@@ -266,7 +276,7 @@ def local_supplier_volume(
     per_part = stage_b.groupby("part").map_groups(merge_b, batch_format="pyarrow")
     agg = bounded_group_reduce(per_part, ["nationkey"], [("rev_cents", "sum")])
 
-    names = [""] * (max(nat_name) + 1)
+    names = [""] * ((max(nat_name) + 1) if nat_name else 0)
     for k, v in nat_name.items():
         names[k] = v
     name_arr = pa.array(names, pa.string())
@@ -626,28 +636,13 @@ FROM w GROUP BY user_id
 def events_percent_rank(sf_dir: str) -> rd.Dataset:
     """(event_id, event_type, cents, pr, cd): PERCENT_RANK and
     CUME_DIST of each event's value within its type, ascending."""
-    from .relational import bounded_group_table_strict
+    from .analytics import _events_cents_hist
 
     ds = _read_pq(
         os.path.join(sf_dir, "events.parquet"),
         columns=["event_id", "event_type", "value"],
     )
-
-    def hist_partial(batch: pa.Table) -> pa.Table:
-        t = pa.table(
-            {
-                "event_type": batch.column("event_type"),
-                "cents": _cents(batch.column("value")),
-            }
-        )
-        g = t.group_by(["event_type", "cents"]).aggregate([([], "count_all")])
-        return g.rename_columns(["event_type", "cents", "n"])
-
-    hist_tbl = bounded_group_table_strict(
-        ds.map_batches(hist_partial, batch_format="pyarrow"),
-        ["event_type", "cents"],
-        [("n", "sum")],
-    )
+    hist_tbl = _events_cents_hist(sf_dir)
     # fully vectorized segment math (see relational._hist_rank_arrays:
     # a Python loop over the types × distinct-cents histogram dominated
     # the rank-family query wall time before vectorization)
@@ -739,28 +734,9 @@ def events_mad_outliers(sf_dir: str) -> rd.Dataset:
     """(event_type, n, median_cents, mad_cents, n_outliers): per-type
     interpolated median, median-absolute-deviation, and the count of
     events with |value − median| > 3·MAD."""
-    from .relational import bounded_group_table_strict
+    from .analytics import _events_cents_hist
 
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["event_type", "value"],
-    )
-
-    def hist_partial(batch: pa.Table) -> pa.Table:
-        t = pa.table(
-            {
-                "event_type": batch.column("event_type"),
-                "cents": _cents(batch.column("value")),
-            }
-        )
-        g = t.group_by(["event_type", "cents"]).aggregate([([], "count_all")])
-        return g.rename_columns(["event_type", "cents", "n"])
-
-    hist_tbl = bounded_group_table_strict(
-        ds.map_batches(hist_partial, batch_format="pyarrow"),
-        ["event_type", "cents"],
-        [("n", "sum")],
-    )
+    hist_tbl = _events_cents_hist(sf_dir)
     # vectorized grouping: sort once by (type, cents); the per-type
     # loop below runs once per TYPE (bounded), with numpy slices
     if hist_tbl is not None and hist_tbl.num_rows:
@@ -1186,9 +1162,13 @@ def events_props_stats(sf_dir: str) -> rd.Dataset:
     )
 
     def partial(b: pa.Table) -> pa.Table:
+        # integer-valued field only: the [,}] lookahead rejects the
+        # integer PREFIX of a float ("k": 7.5 ⇒ null, matching the
+        # oracle's integer-regexp guard). Contract: FLAT objects — a
+        # nested {"a": {"k": 5}} is out of contract on both sides.
         ext = pc.extract_regex(
             pc.fill_null(b.column("props").combine_chunks(), ""),
-            r'"k"\s*:\s*(?P<k>-?\d+)',
+            r'"k"\s*:\s*(?P<k>-?\d+)\s*[,}]',
         )
         kstr = pc.struct_field(ext, "k")
         k = pc.cast(kstr, pa.int64())
@@ -1209,7 +1189,11 @@ def events_props_stats(sf_dir: str) -> rd.Dataset:
 EVENTS_PROPS_SQL = """
 WITH x AS (
   SELECT event_type,
-         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+         CASE WHEN regexp_matches(
+                coalesce(json_extract_string(props, '$.k'), ''),
+                '^-?[0-9]+$')
+              THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+              END AS k
   FROM events
 )
 SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,

@@ -241,3 +241,26 @@ def test_except_is_distinct_and_one_sided(ray_session, tmp_path):
     _write_customer(d, [1, 2, 3, 3], [0.0, 0.0, 0.0, 0.0])
     out = sorted(ana.customers_except_event_users(d).to_pandas()["id"])
     assert out == [2, 3]  # distinct, event-only users never appear
+
+
+def test_pivot_unknown_priority_counts_in_total(ray_session, tmp_path):
+    """A priority outside the fixed column list must not crash; it
+    still counts toward n_total (the oracle's COUNT(*) semantics)."""
+    import numpy as np
+
+    d = str(tmp_path)
+    ts = np.datetime64("1996-06-01", "us").item()
+    t = pa.table(
+        {
+            "o_orderkey": pa.array([1, 2], pa.int64()),
+            "o_custkey": pa.array([1, 1], pa.int64()),
+            "o_orderstatus": pa.array(["O", "O"], pa.string()),
+            "o_totalprice": pa.array([1.0, 1.0], pa.float64()),
+            "o_orderdate": pa.array([ts, ts], pa.timestamp("us")),
+            "o_orderpriority": pa.array(["1-URGENT", "RUSH"], pa.string()),
+        }
+    )
+    pq.write_table(t, os.path.join(d, "orders.parquet"))
+    out = ana.orders_month_priority_pivot(d).to_pandas()
+    assert out.iloc[0]["n_urgent"] == 1
+    assert out.iloc[0]["n_total"] == 2  # RUSH counted in the total only

@@ -227,3 +227,14 @@ def test_bm25_absent_terms_score_zero(ray_session, tmp_path):
     # no doc contains the terms: every score is exactly 0, ranked by id
     assert list(out["doc_id"]) == [1, 2]
     assert all(s == 0.0 for s in out["score"])
+
+
+def test_diff_and_merge_reject_offset_collisions(ray_session, tmp_path):
+    """A base doc_id at/above the derived-insert offset would collide
+    with derived ids — both operators must refuse, not corrupt."""
+    d = str(tmp_path)
+    _write_docs(d, [(1, "ok", "en"), (10_000_024, "collider", "en")])
+    with pytest.raises(Exception, match="derived-insert offset"):
+        cor.dataset_diff(d).to_pandas()
+    with pytest.raises(Exception, match="derived-insert offset"):
+        cor.apply_changes(d).to_pandas()

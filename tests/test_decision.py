@@ -321,3 +321,40 @@ def test_props_stats_skips_missing_and_malformed(ray_session, tmp_path):
     assert out.loc["t", "n"] == 2
     assert out.loc["t", "sum_k"] == 4
     assert out.loc["t", "min_k"] == -3 and out.loc["t", "max_k"] == 7
+
+
+def test_props_stats_excludes_floats_and_matches_oracle(ray_session, tmp_path):
+    """'k': 7.5 must be EXCLUDED (not truncated to 7) on both sides —
+    the integer-field contract."""
+    import duckdb
+
+    d = str(tmp_path)
+    _write(d, "events", {
+        "event_id": pa.array([1, 2], pa.int64()),
+        "ts": pa.array([0, 0], pa.timestamp("us")),
+        "user_id": pa.array([1, 1], pa.int64()),
+        "event_type": pa.array(["t", "t"], pa.string()),
+        "value": pa.array([1.0, 1.0], pa.float64()),
+        "props": pa.array(['{"k": 7.5}', '{"k": 3}'], pa.string()),
+    })
+    out = dec.events_props_stats(d).to_pandas().set_index("event_type")
+    assert out.loc["t", "n"] == 1 and out.loc["t", "sum_k"] == 3
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
+    sql = dec.EVENTS_PROPS_SQL
+    got = con.execute(sql).fetchall()
+    assert got == [("t", 1, 3, 3, 3)]
+
+
+def test_q5_empty_supplier_returns_empty(ray_session, tmp_path):
+    d = str(tmp_path)
+    _mini_q5(d)
+    # overwrite supplier with an empty (schema-true) table
+    _write(d, "supplier", {
+        "s_suppkey": pa.array([], pa.int64()),
+        "s_name": pa.array([], pa.string()),
+        "s_nationkey": pa.array([], pa.int32()),
+        "s_acctbal": pa.array([], pa.float64()),
+    })
+    out = dec.local_supplier_volume(d).to_pandas()
+    assert len(out) == 0
