@@ -1203,3 +1203,92 @@ SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
 FROM x WHERE k IS NOT NULL
 GROUP BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# forward fill (LOCF): per-user LAST_VALUE(… IGNORE NULLS) over the
+# (ts, event_id) order — the gap-filling pass every time-series
+# pipeline runs before resampling. Sensor dropouts are simulated
+# deterministically (value ⇒ null when event_id % 7 = 0) so the
+# oracle reproduces them; the fill itself is one lexsort + a
+# cummax-over-valid-positions per partition — no per-row Python.
+# ---------------------------------------------------------------------------
+
+
+def events_value_fill(
+    sf_dir: str, num_partitions: int | None = None
+) -> rd.Dataset:
+    """(event_id, user_id, cents, filled_cents): value with nulls
+    (event_id % 7 = 0) forward-filled within each user's (ts,
+    event_id) order; leading nulls stay null."""
+    ev = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+    n_parts = num_partitions or adaptive_partitions(
+        parquet_rows_hint(ev), row_bytes=40
+    )
+
+    def tag(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "part": _part_of(b.column("user_id"), n_parts),
+                "uid": b.column("user_id"),
+                "ts": pc.cast(b.column("ts"), pa.int64()),
+                "eid": b.column("event_id"),
+                "cents": _cents(b.column("value")),
+            }
+        )
+
+    def fill(g: pa.Table) -> pa.Table:
+        uid = g.column("uid").to_numpy(zero_copy_only=False)
+        ts = g.column("ts").to_numpy(zero_copy_only=False)
+        eid = g.column("eid").to_numpy(zero_copy_only=False)
+        cents = g.column("cents").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid_s, eid_s, cents_s = uid[order], eid[order], cents[order]
+        n = len(uid_s)
+        valid = eid_s % 7 != 0
+        # forward fill: index of the latest valid position ≤ i within
+        # the user segment (cummax over valid positions, reset at
+        # segment starts via a per-segment base)
+        idx = np.where(valid, np.arange(n), -1)
+        seg_start = np.concatenate([[True], uid_s[1:] != uid_s[:-1]]) if n else np.zeros(0, bool)
+        seg_id = np.cumsum(seg_start) - 1
+        # cummax within segments: offset trick — add a large per-segment
+        # base so maxima never cross segment boundaries
+        base = seg_id.astype(np.int64) * (n + 1)
+        filled_pos = np.maximum.accumulate(np.where(valid, base + np.arange(n), base - 1)) - base
+        has = filled_pos >= 0
+        out_fill = np.where(has, cents_s[np.maximum(filled_pos, 0)], 0)
+        return pa.table(
+            {
+                "event_id": pa.array(eid_s, pa.int64()),
+                "user_id": pa.array(uid_s, pa.int64()),
+                "cents": pa.array(
+                    np.where(valid, cents_s, 0), pa.int64(), mask=~valid
+                ),
+                "filled_cents": pa.array(out_fill, pa.int64(), mask=~has),
+            }
+        )
+
+    return (
+        ev.map_batches(tag, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(fill, batch_format="pyarrow")
+    )
+
+
+EVENTS_FILL_SQL = """
+WITH c AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN event_id % 7 = 0 THEN NULL
+              ELSE CAST(floor(value * 100 + 0.5) AS BIGINT) END AS cents
+  FROM events
+)
+SELECT event_id, user_id, cents,
+  last_value(cents IGNORE NULLS) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_cents
+FROM c
+"""

@@ -3590,6 +3590,7 @@ def registry() -> dict[str, tuple]:
         "user_funnel": (dec.user_funnel, dec.USER_FUNNEL_SQL),
         "user_retention": (dec.user_retention, dec.USER_RETENTION_SQL),
         "events_props_stats": (dec.events_props_stats, dec.EVENTS_PROPS_SQL),
+        "events_value_fill": (dec.events_value_fill, dec.EVENTS_FILL_SQL),
         "open_orders": (rel.open_orders, rel.OPEN_ORDERS_SQL),
         "parts_by_brand": (rel.parts_by_brand, rel.PARTS_BY_BRAND_SQL),
         "supplier_nation_balance": (

@@ -358,3 +358,20 @@ def test_q5_empty_supplier_returns_empty(ray_session, tmp_path):
     })
     out = dec.local_supplier_volume(d).to_pandas()
     assert len(out) == 0
+
+
+def test_forward_fill_leading_nulls_and_segments(ray_session, tmp_path):
+    d = str(tmp_path)
+    # user 1: leading null (eid 7), then 5¢, then null (eid 14) filled
+    # with 5; user 2: all nulls stay null; fills never cross users.
+    _write_events(d, [
+        (7, 1, 1, "a", 9.99),     # null by eid rule, leading → stays null
+        (8, 2, 1, "a", 0.05),
+        (14, 3, 1, "a", 9.99),    # null, filled with 5
+        (21, 1, 2, "a", 9.99),    # user 2: only nulls
+    ])
+    out = dec.events_value_fill(d).to_pandas().set_index("event_id")
+    assert out.loc[7].isna()["filled_cents"]
+    assert out.loc[8, "filled_cents"] == 5
+    assert out.loc[14, "filled_cents"] == 5
+    assert out.loc[21].isna()["filled_cents"]

@@ -137,6 +137,7 @@ SQL_BACKED = [
     "user_retention",
     "bm25_search",
     "events_props_stats",
+    "events_value_fill",
 ]
 
 
