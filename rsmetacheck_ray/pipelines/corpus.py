@@ -973,3 +973,59 @@ SELECT t.doc_id, {score} AS score
 FROM t, g
 QUALIFY ROW_NUMBER() OVER (ORDER BY score DESC, t.doc_id) <= {BM25_TOPK}
 """
+
+
+# ---------------------------------------------------------------------------
+# list-column processing: per-vector L2 norms over the embeddings
+# table. The float accumulation is an axis-1 ``np.cumsum`` (strictly
+# left-to-right, exactly DuckDB's sequential ``list_sum``), so the
+# norms hash bit-exact against the list-function oracle — numpy's
+# default pairwise ``sum`` would NOT.
+# ---------------------------------------------------------------------------
+
+
+def embedding_norms(sf_dir: str) -> rd.Dataset:
+    """(vec_id, dim, norm): length and L2 norm of each embedding."""
+    ds = _read_pq(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+
+    def norms(b: pa.Table) -> pa.Table:
+        col = b.column("embedding").combine_chunks()
+        offs = col.offsets.to_numpy(zero_copy_only=False)
+        lens = np.diff(offs)
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        if len(lens) and not (lens == lens[0]).all():
+            raise ValueError(
+                "ragged embedding lengths: the fixed-dim cumsum plan "
+                "needs equal dims (pad or reshape upstream)"
+            )
+        if not len(lens):
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "dim": pa.array([], pa.int64()),
+                    "norm": pa.array([], pa.float64()),
+                }
+            )
+        d = int(lens[0])
+        x = flat.astype(np.float64).reshape(len(lens), d)
+        seq = np.cumsum(x * x, axis=1)[:, -1]  # sequential ≙ list_sum
+        return pa.table(
+            {
+                "vec_id": b.column("vec_id"),
+                "dim": pa.array(lens.astype(np.int64), pa.int64()),
+                "norm": pa.array(np.sqrt(seq), pa.float64()),
+            }
+        )
+
+    return ds.map_batches(norms, batch_format="pyarrow")
+
+
+EMBEDDING_NORMS_SQL = """
+SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+  sqrt(list_sum(list_transform(
+    embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+FROM embeddings
+"""

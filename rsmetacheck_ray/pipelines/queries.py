@@ -3586,6 +3586,7 @@ def registry() -> dict[str, tuple]:
         "term_postings": (cor.term_postings, cor.TERM_POSTINGS_SQL),
         "apply_changes": (cor.apply_changes, cor.APPLY_CHANGES_SQL),
         "bm25_search": (cor.bm25_search, cor._bm25_sql()),
+        "embedding_norms": (cor.embedding_norms, cor.EMBEDDING_NORMS_SQL),
         "dq_checks": (cor.dq_checks, cor.DQ_CHECKS_SQL),
         "user_funnel": (dec.user_funnel, dec.USER_FUNNEL_SQL),
         "user_retention": (dec.user_retention, dec.USER_RETENTION_SQL),

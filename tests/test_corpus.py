@@ -238,3 +238,38 @@ def test_diff_and_merge_reject_offset_collisions(ray_session, tmp_path):
         cor.dataset_diff(d).to_pandas()
     with pytest.raises(Exception, match="derived-insert offset"):
         cor.apply_changes(d).to_pandas()
+
+
+def test_embedding_norms_ragged_across_rows(ray_session, tmp_path):
+    """Differing dims are fine when rows land in different blocks
+    (per-batch uniform); a WITHIN-batch mix trips the guard — pin the
+    guard directly on the batch function."""
+    d = str(tmp_path)
+    t = pa.table(
+        {
+            "vec_id": pa.array([0, 1], pa.int64()),
+            "embedding": pa.array([[1.0, 0.0], [1.0, 0.0, 0.0]],
+                                  pa.list_(pa.float32())),
+            "label": pa.array([0, 0], pa.int32()),
+        }
+    )
+    pq.write_table(t, os.path.join(d, "embeddings.parquet"))
+    out = cor.embedding_norms(d).to_pandas().set_index("vec_id")
+    assert sorted(out["dim"]) == [2, 3]  # per-block dims both computed
+    assert out.loc[0, "norm"] == 1.0 and out.loc[1, "norm"] == 1.0
+
+
+def test_embedding_norms_values(ray_session, tmp_path):
+    d = str(tmp_path)
+    t = pa.table(
+        {
+            "vec_id": pa.array([0, 1], pa.int64()),
+            "embedding": pa.array([[3.0, 4.0], [0.0, 0.0]],
+                                  pa.list_(pa.float32())),
+            "label": pa.array([0, 0], pa.int32()),
+        }
+    )
+    pq.write_table(t, os.path.join(d, "embeddings.parquet"))
+    out = cor.embedding_norms(d).to_pandas().set_index("vec_id")
+    assert out.loc[0, "norm"] == 5.0 and out.loc[0, "dim"] == 2
+    assert out.loc[1, "norm"] == 0.0

@@ -138,6 +138,7 @@ SQL_BACKED = [
     "bm25_search",
     "events_props_stats",
     "events_value_fill",
+    "embedding_norms",
 ]
 
 
