@@ -1029,3 +1029,131 @@ SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
     embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
 FROM embeddings
 """
+
+
+# ---------------------------------------------------------------------------
+# grouped vocabulary head: top-k tokens PER LANGUAGE — per-group
+# top-k over an unbounded key domain. Token totals are complete
+# within their hash(token) partition, so a per-partition per-lang
+# top-k is a sound candidate prune (global top-k per lang ⊆ the
+# union of partition top-ks under the total (n DESC, token ASC)
+# order); the driver selects the final k from ≤ partitions×langs×k
+# candidate rows.
+# ---------------------------------------------------------------------------
+
+
+def top_tokens_by_lang(
+    sf_dir: str, k: int = 10, num_partitions: int | None = None
+) -> rd.Dataset:
+    """(lang, token, n, rk): each language's k most frequent tokens,
+    ties broken token-ascending."""
+    from ..functions.hashing import token_partitions
+    from ..functions.tokenize import split_ws_tokens
+
+    ds = _docs(sf_dir, ["lang", "text"])
+    hint = parquet_rows_hint(ds)
+    n_parts = num_partitions or adaptive_partitions(
+        hint * 64 if hint else None, row_bytes=32
+    )
+
+    def pairs(b: pa.Table) -> pa.Table:
+        words = split_ws_tokens(b.column("text"))
+        off = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = words.flatten()
+        doc_idx = np.repeat(np.arange(len(words), dtype=np.int64), np.diff(off))
+        mask = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        langs = b.column("lang").take(
+            pa.array(doc_idx[mask], pa.int64())
+        )
+        t = pa.table({"lang": langs, "token": flat.filter(pa.array(mask))})
+        g = t.group_by(["lang", "token"]).aggregate([([], "count_all")])
+        g = g.rename_columns(["lang", "token", "n"])
+        vocab = np.asarray(g.column("token").to_pylist(), dtype=object)
+        return pa.table(
+            {
+                "part": pa.array(
+                    token_partitions(vocab, n_parts).astype(np.int64), pa.int64()
+                ),
+                "lang": g.column("lang"),
+                "token": g.column("token"),
+                "n": pc.cast(g.column("n"), pa.int64()),
+            }
+        )
+
+    def part_topk(g: pa.Table) -> pa.Table:
+        t = (
+            g.select(["lang", "token", "n"])
+            .group_by(["lang", "token"])
+            .aggregate([("n", "sum")])
+            .rename_columns(["lang", "token", "n"])
+        )
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[
+                ("lang", "ascending"),
+                ("n", "descending"),
+                ("token", "ascending"),
+            ],
+        )
+        t = t.take(idx)
+        lang = np.asarray(t.column("lang").to_pylist(), dtype=object)
+        new = np.concatenate([[True], lang[1:] != lang[:-1]]) if len(lang) else np.zeros(0, bool)
+        starts = np.flatnonzero(new)
+        seg = np.cumsum(new) - 1
+        rank = np.arange(len(lang), dtype=np.int64) - starts[seg]
+        return t.filter(pa.array(rank < k))
+
+    cand = (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(part_topk, batch_format="pyarrow")
+    )
+    tbl = bounded_group_table_strict(
+        cand, ["lang", "token"], [("n", "max")]
+    )
+    if tbl is None:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "lang": pa.array([], pa.string()),
+                    "token": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                    "rk": pa.array([], pa.int64()),
+                }
+            )
+        )
+    idx = pc.sort_indices(
+        tbl,
+        sort_keys=[
+            ("lang", "ascending"),
+            ("n", "descending"),
+            ("token", "ascending"),
+        ],
+    )
+    tbl = tbl.take(idx)
+    lang = np.asarray(tbl.column("lang").to_pylist(), dtype=object)
+    new = np.concatenate([[True], lang[1:] != lang[:-1]]) if len(lang) else np.zeros(0, bool)
+    starts = np.flatnonzero(new)
+    seg = np.cumsum(new) - 1
+    rank = np.arange(len(lang), dtype=np.int64) - starts[seg]
+    out = tbl.filter(pa.array(rank < k)).append_column(
+        "rk", pa.array((rank[rank < k] + 1).astype(np.int64), pa.int64())
+    )
+    return rd.from_arrow(out)
+
+
+TOP_TOKENS_BY_LANG_SQL = f"""
+WITH w AS (
+  SELECT lang, unnest(regexp_extract_all(text, '{WS_TOKEN_RE}')) AS token
+  FROM documents
+),
+c AS (
+  SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS n
+  FROM w GROUP BY lang, token
+)
+SELECT lang, token, n,
+  CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, token)
+       AS BIGINT) AS rk
+FROM c
+QUALIFY rk <= 10
+"""

@@ -1292,3 +1292,131 @@ SELECT event_id, user_id, cents,
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_cents
 FROM c
 """
+
+
+# ---------------------------------------------------------------------------
+# windowed COUNT DISTINCT — distinct users in each trailing 3-hour
+# window, the classically hard streaming aggregate (distinct does not
+# decompose over window panes). Exact plan: per-batch DISTINCT
+# (user, hour) pairs shuffle once on the hashed user partition; per
+# user the trailing-3h windows its presences cover form merged
+# intervals, emitted as ±1 boundary DELTAS per hour; the bounded
+# (hour, Σdelta) table prefix-sums on the driver. No window ever
+# materializes its member set.
+# ---------------------------------------------------------------------------
+
+_HOUR_US = 3_600_000_000
+
+
+def events_sliding_distinct_users(
+    sf_dir: str, window_h: int = 3, num_partitions: int | None = None
+) -> rd.Dataset:
+    """(hour, n_users): distinct users active in [hour-2, hour] for
+    every hour that has at least one event."""
+    ev = _read_pq(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+    )
+    n_parts = num_partitions or adaptive_partitions(
+        parquet_rows_hint(ev), row_bytes=24
+    )
+    w = window_h - 1  # window [h-w, h]
+
+    def prune(b: pa.Table) -> pa.Table:
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        hr = (
+            pc.cast(b.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+            // _HOUR_US
+        )
+        pair = np.unique(np.stack([uid, hr], axis=1), axis=0)
+        key = pa.array(pair[:, 0], pa.int64())
+        return pa.table(
+            {
+                "part": _part_of(key, n_parts),
+                "uid": key,
+                "hour": pa.array(pair[:, 1], pa.int64()),
+            }
+        )
+
+    def merge(g: pa.Table) -> pa.Table:
+        uid = g.column("uid").to_numpy(zero_copy_only=False)
+        hr = g.column("hour").to_numpy(zero_copy_only=False)
+        pair = np.unique(np.stack([uid, hr], axis=1), axis=0)  # cross-batch
+        u, h = pair[:, 0], pair[:, 1]
+        # per user: merge overlapping coverage intervals [h, h+w]
+        new_user = np.concatenate([[True], u[1:] != u[:-1]]) if len(u) else np.zeros(0, bool)
+        # a presence EXTENDS the previous interval iff same user and
+        # h <= prev_h + w; interval starts where that fails
+        ext = np.zeros(len(u), bool)
+        if len(u) > 1:
+            ext[1:] = (~new_user[1:]) & (h[1:] <= h[:-1] + w)
+        starts = np.flatnonzero(~ext)
+        ends = np.append(starts[1:], len(u)) - 1
+        lo = h[starts]
+        hi = h[ends] + w
+        deltas_h = np.concatenate([lo, hi + 1])
+        deltas_v = np.concatenate(
+            [np.ones(len(lo), np.int64), -np.ones(len(hi), np.int64)]
+        )
+        dt = pa.table(
+            {
+                "hour": pa.array(deltas_h, pa.int64()),
+                "delta": pa.array(deltas_v, pa.int64()),
+                "present": pa.array(np.zeros(len(deltas_h), np.int64), pa.int64()),
+            }
+        )
+        anchors = np.unique(h)
+        at = pa.table(
+            {
+                "hour": pa.array(anchors, pa.int64()),
+                "delta": pa.array(np.zeros(len(anchors), np.int64), pa.int64()),
+                "present": pa.array(np.ones(len(anchors), np.int64), pa.int64()),
+            }
+        )
+        t = pa.concat_tables([dt, at])
+        out = t.group_by("hour").aggregate([("delta", "sum"), ("present", "sum")])
+        return out.rename_columns(["hour", "delta", "present"])
+
+    parts = (
+        ev.map_batches(prune, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+    from .relational import bounded_group_table_strict
+
+    tbl = bounded_group_table_strict(
+        parts, ["hour"], [("delta", "sum"), ("present", "sum")]
+    )
+    if tbl is None:
+        return rd.from_arrow(
+            pa.table(
+                {"hour": pa.array([], pa.int64()), "n_users": pa.array([], pa.int64())}
+            )
+        )
+    hrs = tbl.column("hour").to_numpy(zero_copy_only=False)
+    order = np.argsort(hrs)
+    hrs = hrs[order]
+    deltas = tbl.column("delta").to_numpy(zero_copy_only=False)[order]
+    present = tbl.column("present").to_numpy(zero_copy_only=False)[order]
+    counts = np.cumsum(deltas)
+    sel = present > 0
+    return rd.from_arrow(
+        pa.table(
+            {
+                "hour": pa.array(hrs[sel], pa.int64()),
+                "n_users": pa.array(counts[sel], pa.int64()),
+            }
+        )
+    )
+
+
+EVENTS_SLIDING_DISTINCT_SQL = """
+WITH p AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(EXTRACT(epoch FROM ts) / 3600) AS BIGINT) AS h
+  FROM events
+),
+anchors AS (SELECT DISTINCT h FROM p)
+SELECT a.h AS hour, CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS n_users
+FROM anchors a JOIN p ON p.h BETWEEN a.h - 2 AND a.h
+GROUP BY a.h
+"""

@@ -3587,11 +3587,15 @@ def registry() -> dict[str, tuple]:
         "apply_changes": (cor.apply_changes, cor.APPLY_CHANGES_SQL),
         "bm25_search": (cor.bm25_search, cor._bm25_sql()),
         "embedding_norms": (cor.embedding_norms, cor.EMBEDDING_NORMS_SQL),
+        "top_tokens_by_lang": (cor.top_tokens_by_lang, cor.TOP_TOKENS_BY_LANG_SQL),
         "dq_checks": (cor.dq_checks, cor.DQ_CHECKS_SQL),
         "user_funnel": (dec.user_funnel, dec.USER_FUNNEL_SQL),
         "user_retention": (dec.user_retention, dec.USER_RETENTION_SQL),
         "events_props_stats": (dec.events_props_stats, dec.EVENTS_PROPS_SQL),
         "events_value_fill": (dec.events_value_fill, dec.EVENTS_FILL_SQL),
+        "events_sliding_distinct_users": (
+            dec.events_sliding_distinct_users, dec.EVENTS_SLIDING_DISTINCT_SQL,
+        ),
         "open_orders": (rel.open_orders, rel.OPEN_ORDERS_SQL),
         "parts_by_brand": (rel.parts_by_brand, rel.PARTS_BY_BRAND_SQL),
         "supplier_nation_balance": (

@@ -375,3 +375,22 @@ def test_forward_fill_leading_nulls_and_segments(ray_session, tmp_path):
     assert out.loc[8, "filled_cents"] == 5
     assert out.loc[14, "filled_cents"] == 5
     assert out.loc[21].isna()["filled_cents"]
+
+
+def test_sliding_distinct_interval_merge(ray_session, tmp_path):
+    d = str(tmp_path)
+    hr = 3_600_000_000
+    # user 1 active hours 0 and 4 (disjoint trailing-3h coverage:
+    # [0,2] and [4,6]); user 2 active hours 1 and 2 (merged [1,4]).
+    _write_events(d, [
+        (1, 0, 1, "a", 1.0), (2, 4 * hr, 1, "a", 1.0),
+        (3, 1 * hr, 2, "a", 1.0), (4, 2 * hr, 2, "a", 1.0),
+    ])
+    out = (
+        dec.events_sliding_distinct_users(d)
+        .to_pandas()
+        .set_index("hour")["n_users"]
+    )
+    # anchors = hours with events: 0, 1, 2, 4
+    assert out.to_dict() == {0: 1, 1: 2, 2: 2, 4: 2}
+    # hour 4: user 1 (present at 4) + user 2 (present at hour 2 ∈ [2,4])

@@ -139,6 +139,8 @@ SQL_BACKED = [
     "events_props_stats",
     "events_value_fill",
     "embedding_norms",
+    "top_tokens_by_lang",
+    "events_sliding_distinct_users",
 ]
 
 
