@@ -281,6 +281,17 @@ BENCH_QUERIES = [
     "multimodal_wav_features",
     # sixth-session operators
     "local_supplier_volume",
+    "user_funnel",
+    "user_retention",
+    "bm25_search",
+    "events_value_fill",
+    "events_sliding_distinct_users",
+    "top_tokens_by_lang",
+    "rank_dedup_graph",
+    "embedding_norms",
+    "event_transitions",
+    "dq_checks",
+    "apply_changes",
     "orders_above_customer_avg",
     "top_orders_per_customer",
     "events_first_last",

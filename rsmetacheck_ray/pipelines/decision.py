@@ -1420,3 +1420,88 @@ SELECT a.h AS hour, CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS n_users
 FROM anchors a JOIN p ON p.h BETWEEN a.h - 2 AND a.h
 GROUP BY a.h
 """
+
+
+# ---------------------------------------------------------------------------
+# sequential pattern extraction: event-type transition counts (the
+# first-order Markov matrix of user behavior). One hashed-user
+# shuffle; each partition lexsorts its users once and tallies
+# (prev_type, type) pairs with an Arrow group_by — the transition
+# matrix is bounded (|types|²), so the final reduce is driver-side.
+# ---------------------------------------------------------------------------
+
+
+def event_transitions(
+    sf_dir: str, num_partitions: int | None = None
+) -> rd.Dataset:
+    """(prev_type, next_type, n): counts of consecutive event-type
+    pairs within each user's (ts, event_id) order."""
+    ev = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    n_parts = num_partitions or adaptive_partitions(
+        parquet_rows_hint(ev), row_bytes=40
+    )
+
+    def tag(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "part": _part_of(b.column("user_id"), n_parts),
+                "uid": b.column("user_id"),
+                "ts": pc.cast(b.column("ts"), pa.int64()),
+                "eid": b.column("event_id"),
+                "etype": b.column("event_type"),
+            }
+        )
+
+    def count(g: pa.Table) -> pa.Table:
+        uid = g.column("uid").to_numpy(zero_copy_only=False)
+        ts = g.column("ts").to_numpy(zero_copy_only=False)
+        eid = g.column("eid").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid_s = uid[order]
+        types = g.column("etype").take(pa.array(order, pa.int64()))
+        n = len(uid_s)
+        if n < 2:
+            return pa.table(
+                {
+                    "prev_type": pa.array([], pa.string()),
+                    "next_type": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        same = uid_s[1:] == uid_s[:-1]
+        idx = np.flatnonzero(same)
+        t = pa.table(
+            {
+                "prev_type": types.take(pa.array(idx, pa.int64())),
+                "next_type": types.take(pa.array(idx + 1, pa.int64())),
+            }
+        )
+        out = t.group_by(["prev_type", "next_type"]).aggregate(
+            [([], "count_all")]
+        )
+        return out.rename_columns(["prev_type", "next_type", "n"])
+
+    parts = (
+        ev.map_batches(tag, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(count, batch_format="pyarrow")
+    )
+    return bounded_group_reduce(
+        parts, ["prev_type", "next_type"], [("n", "sum")]
+    )
+
+
+EVENT_TRANSITIONS_SQL = """
+WITH s AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS next_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM s WHERE prev_type IS NOT NULL
+GROUP BY prev_type, next_type
+"""

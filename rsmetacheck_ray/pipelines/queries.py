@@ -3593,6 +3593,7 @@ def registry() -> dict[str, tuple]:
         "user_retention": (dec.user_retention, dec.USER_RETENTION_SQL),
         "events_props_stats": (dec.events_props_stats, dec.EVENTS_PROPS_SQL),
         "events_value_fill": (dec.events_value_fill, dec.EVENTS_FILL_SQL),
+        "event_transitions": (dec.event_transitions, dec.EVENT_TRANSITIONS_SQL),
         "events_sliding_distinct_users": (
             dec.events_sliding_distinct_users, dec.EVENTS_SLIDING_DISTINCT_SQL,
         ),

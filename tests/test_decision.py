@@ -394,3 +394,17 @@ def test_sliding_distinct_interval_merge(ray_session, tmp_path):
     # anchors = hours with events: 0, 1, 2, 4
     assert out.to_dict() == {0: 1, 1: 2, 2: 2, 4: 2}
     # hour 4: user 1 (present at 4) + user 2 (present at hour 2 ∈ [2,4])
+
+
+def test_transitions_respect_user_and_order(ray_session, tmp_path):
+    d = str(tmp_path)
+    # user 1: a → b → a; user 2: b (no transition across users)
+    _write_events(d, [
+        (1, 1, 1, "a", 1.0), (2, 2, 1, "b", 1.0), (3, 3, 1, "a", 1.0),
+        (4, 4, 2, "b", 1.0),
+    ])
+    out = dec.event_transitions(d).to_pandas()
+    got = {
+        (r.prev_type, r.next_type): int(r.n) for r in out.itertuples(index=False)
+    }
+    assert got == {("a", "b"): 1, ("b", "a"): 1}

@@ -141,6 +141,7 @@ SQL_BACKED = [
     "embedding_norms",
     "top_tokens_by_lang",
     "events_sliding_distinct_users",
+    "event_transitions",
 ]
 
 
