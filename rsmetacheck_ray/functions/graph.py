@@ -117,7 +117,14 @@ def pagerank(
         return pa.table(
             {"node": pa.array([], pa.int64()), "rank": pa.array([], pa.float64())}
         )
-    n_parts = num_partitions or adaptive_partitions(len(src), row_bytes=16)
+    # min_partitions=1: the default 64-way parallelism floor is right
+    # for one-shot Dataset shuffles but poison for a BSP loop — every
+    # iteration pays P dangling + P scatter (×P returns) + P gather
+    # tasks, so a small graph at P=64 drowns in ~4k objects/round
+    # (measured: 17 s for a 3.7k-edge graph; <1 s at the sized P)
+    n_parts = num_partitions or adaptive_partitions(
+        len(src), row_bytes=16, min_partitions=1
+    )
 
     part_of = lambda a: (splitmix64_np(a.astype(np.uint64)) % n_parts).astype(
         np.int64
