@@ -1505,3 +1505,117 @@ SELECT prev_type, event_type AS next_type, CAST(COUNT(*) AS BIGINT) AS n
 FROM s WHERE prev_type IS NOT NULL
 GROUP BY prev_type, next_type
 """
+
+
+# ---------------------------------------------------------------------------
+# Pareto skyline: orders not dominated on (totalprice max, orderdate
+# min) — the multi-objective filter. Local skylines are a SOUND
+# candidate prune (a global skyline point is undominated in every
+# subset containing it), so each batch emits its own skyline and the
+# driver merges the bounded candidate set.
+# ---------------------------------------------------------------------------
+
+
+def _skyline(cents: np.ndarray, days: np.ndarray, okey: np.ndarray):
+    """Indices of the (cents max, days min) Pareto front — dominance
+    strict in at least one dimension, exact-duplicate points all kept
+    (the SQL NOT EXISTS semantics). One lexsort: groups share a cents
+    value; a group's min-days points survive iff that min beats the
+    strictly-higher-cents groups' running best STRICTLY (equal days
+    there means domination: higher cents, same day)."""
+    n = len(cents)
+    if not n:
+        return np.zeros(0, np.int64)
+    order = np.lexsort((okey, days, -cents))
+    c, d = cents[order], days[order]
+    new = np.concatenate([[True], c[1:] != c[:-1]])
+    starts = np.flatnonzero(new)
+    seg = np.cumsum(new) - 1
+    gmin = d[starts]  # min days per cents group (days asc within)
+    run = np.minimum.accumulate(gmin)
+    prev = np.concatenate([[np.iinfo(np.int64).max], run[:-1]])
+    grp_ok = gmin < prev
+    keep = grp_ok[seg] & (d == gmin[seg])
+    return order[keep]
+
+
+def orders_pareto(sf_dir: str) -> rd.Dataset:
+    """(o_orderkey, cents, epoch_day): orders on the Pareto front of
+    (price high, date early)."""
+    orders = _read_pq(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_totalprice", "o_orderdate"],
+    )
+
+    def local_front(b: pa.Table) -> pa.Table:
+        cents = _cents(b.column("o_totalprice")).to_numpy(zero_copy_only=False)
+        days = (
+            pc.cast(b.column("o_orderdate"), pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            // 86_400_000_000
+        )
+        okey = b.column("o_orderkey").to_numpy(zero_copy_only=False)
+        idx = _skyline(cents, days, okey)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(okey[idx], pa.int64()),
+                "cents": pa.array(cents[idx], pa.int64()),
+                "epoch_day": pa.array(days[idx], pa.int64()),
+            }
+        )
+
+    cand = bounded_group_reduce(
+        orders.map_batches(local_front, batch_format="pyarrow"),
+        ["o_orderkey", "cents", "epoch_day"],
+        [],
+    )
+    # driver: final skyline over the bounded candidate union
+    import pyarrow as _pa
+
+    if isinstance(cand, rd.Dataset):
+        tbl = _pa.concat_tables(
+            [t for t in ray.get(cand.materialize().to_arrow_refs()) if t.num_rows]
+        ) if cand.count() else None
+    else:
+        tbl = cand
+    if tbl is None or not tbl.num_rows:
+        return rd.from_arrow(
+            _pa.table(
+                {
+                    "o_orderkey": _pa.array([], _pa.int64()),
+                    "cents": _pa.array([], _pa.int64()),
+                    "epoch_day": _pa.array([], _pa.int64()),
+                }
+            )
+        )
+    cents = tbl.column("cents").to_numpy(zero_copy_only=False)
+    days = tbl.column("epoch_day").to_numpy(zero_copy_only=False)
+    okey = tbl.column("o_orderkey").to_numpy(zero_copy_only=False)
+    idx = _skyline(cents, days, okey)
+    return rd.from_arrow(
+        _pa.table(
+            {
+                "o_orderkey": _pa.array(okey[idx], _pa.int64()),
+                "cents": _pa.array(cents[idx], _pa.int64()),
+                "epoch_day": _pa.array(days[idx], _pa.int64()),
+            }
+        )
+    )
+
+
+ORDERS_PARETO_SQL = """
+WITH c AS (
+  SELECT o_orderkey,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+         CAST(floor(EXTRACT(epoch FROM o_orderdate) / 86400) AS BIGINT)
+           AS epoch_day
+  FROM orders
+)
+SELECT o_orderkey, cents, epoch_day FROM c a
+WHERE NOT EXISTS (
+  SELECT 1 FROM c b
+  WHERE b.cents >= a.cents AND b.epoch_day <= a.epoch_day
+    AND (b.cents > a.cents OR b.epoch_day < a.epoch_day)
+)
+"""

@@ -408,3 +408,32 @@ def test_transitions_respect_user_and_order(ray_session, tmp_path):
         (r.prev_type, r.next_type): int(r.n) for r in out.itertuples(index=False)
     }
     assert got == {("a", "b"): 1, ("b", "a"): 1}
+
+
+def test_pareto_tie_semantics(ray_session, tmp_path):
+    d = str(tmp_path)
+    import duckdb
+
+    # (cents, day) points exercising every tie case:
+    # (1000, day0) front; duplicate (1000, day0) also front;
+    # (1000, day1) dominated (same cents, later); (900, day0)
+    # dominated (lower cents, same day); (900, day-1) front
+    # (earlier); (800, day-1) dominated by (900, day-1).
+    ts0 = np.datetime64("1996-06-02", "us").item()
+    tsm = np.datetime64("1996-06-01", "us").item()
+    ts1 = np.datetime64("1996-06-03", "us").item()
+    _write(d, "orders", {
+        "o_orderkey": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "o_custkey": pa.array([1] * 6, pa.int64()),
+        "o_orderstatus": pa.array(["O"] * 6, pa.string()),
+        "o_totalprice": pa.array([10.0, 10.0, 10.0, 9.0, 9.0, 8.0], pa.float64()),
+        "o_orderdate": pa.array([ts0, ts0, ts1, ts0, tsm, tsm], pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT"] * 6, pa.string()),
+    })
+    out = dec.orders_pareto(d).to_pandas()
+    assert sorted(out["o_orderkey"]) == [1, 2, 5]
+    # and the NOT EXISTS oracle agrees on this planted corpus
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM '{d}/orders.parquet'")
+    got = sorted(r[0] for r in con.execute(dec.ORDERS_PARETO_SQL).fetchall())
+    assert got == [1, 2, 5]

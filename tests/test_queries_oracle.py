@@ -142,6 +142,7 @@ SQL_BACKED = [
     "top_tokens_by_lang",
     "events_sliding_distinct_users",
     "event_transitions",
+    "orders_pareto",
 ]
 
 
