@@ -1619,3 +1619,114 @@ WHERE NOT EXISTS (
     AND (b.cents > a.cents OR b.epoch_day < a.epoch_day)
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# chi-square independence test: event_type × day-of-week. All counts
+# (observed cells INCLUDING structural zeros, margins, total) are
+# exact integers from the bounded contingency histogram; each cell's
+# float term quantizes to nano-units with the engine's floor
+# fixed-point trick, so the statistic is an order-free INTEGER sum
+# that hashes exactly against the SQL oracle.
+# ---------------------------------------------------------------------------
+
+
+def events_type_dow_chi2(sf_dir: str) -> rd.Dataset:
+    """(chi2_fp_nano, dof, n): the chi-square statistic (×1e9,
+    floored) for independence of event type and day-of-week."""
+    ev = _read_pq(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "ts"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        days = (
+            pc.cast(b.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+            // 86_400_000_000
+        )
+        dow = (days + 4) % 7  # 1970-01-01 = Thursday = 4; DuckDB dow Sun=0
+        t = pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "dow": pa.array(dow, pa.int64()),
+            }
+        )
+        g = t.group_by(["event_type", "dow"]).aggregate([([], "count_all")])
+        return g.rename_columns(["event_type", "dow", "n"])
+
+    from .relational import bounded_group_table_strict
+
+    tbl = bounded_group_table_strict(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "dow"],
+        [("n", "sum")],
+    )
+    if tbl is None:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "chi2_fp_nano": pa.array([], pa.int64()),
+                    "dof": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        )
+    types = sorted(set(tbl.column("event_type").to_pylist()))
+    tcode = {t: i for i, t in enumerate(types)}
+    dows = sorted(set(tbl.column("dow").to_pylist()))
+    dcode = {d: j for j, d in enumerate(dows)}
+    grid = np.zeros((len(types), len(dows)), np.int64)
+    for t, d, n in zip(
+        tbl.column("event_type").to_pylist(),
+        tbl.column("dow").to_pylist(),
+        tbl.column("n").to_pylist(),
+    ):
+        grid[tcode[t], dcode[d]] = int(n)
+    r = grid.sum(axis=1).astype(np.float64)
+    c = grid.sum(axis=0).astype(np.float64)
+    total = float(grid.sum())
+    e = r[:, None] * c[None, :] / total
+    term = (grid.astype(np.float64) - e) ** 2 / e
+    fp = np.floor(term * 1e9).astype(np.int64)
+    chi2 = int(fp.sum())
+    dof = (len(types) - 1) * (len(dows) - 1)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "chi2_fp_nano": pa.array([chi2], pa.int64()),
+                "dof": pa.array([dof], pa.int64()),
+                "n": pa.array([int(total)], pa.int64()),
+            }
+        )
+    )
+
+
+EVENTS_CHI2_SQL = """
+WITH o AS (
+  SELECT event_type AS t, CAST(dayofweek(ts) AS BIGINT) AS d,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+r AS (SELECT t, CAST(SUM(n) AS BIGINT) AS rn FROM o GROUP BY t),
+c AS (SELECT d, CAST(SUM(n) AS BIGINT) AS cn FROM o GROUP BY d),
+g AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM o),
+cells AS (
+  SELECT r.t, c.d, COALESCE(o.n, 0) AS n, r.rn, c.cn, g.total
+  FROM r CROSS JOIN c CROSS JOIN g
+  LEFT JOIN o ON o.t = r.t AND o.d = c.d
+),
+terms AS (
+  SELECT CAST(floor(
+    ((CAST(n AS DOUBLE)
+        - CAST(rn AS DOUBLE) * CAST(cn AS DOUBLE) / CAST(total AS DOUBLE))
+     * (CAST(n AS DOUBLE)
+        - CAST(rn AS DOUBLE) * CAST(cn AS DOUBLE) / CAST(total AS DOUBLE)))
+    / (CAST(rn AS DOUBLE) * CAST(cn AS DOUBLE) / CAST(total AS DOUBLE))
+    * 1e9) AS BIGINT) AS fp
+  FROM cells
+)
+SELECT CAST(SUM(fp) AS BIGINT) AS chi2_fp_nano,
+  (SELECT CAST((COUNT(*) - 1) AS BIGINT) FROM r)
+    * (SELECT CAST((COUNT(*) - 1) AS BIGINT) FROM c) AS dof,
+  (SELECT total FROM g) AS n
+FROM terms
+"""

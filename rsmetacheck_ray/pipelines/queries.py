@@ -3595,6 +3595,7 @@ def registry() -> dict[str, tuple]:
         "events_value_fill": (dec.events_value_fill, dec.EVENTS_FILL_SQL),
         "event_transitions": (dec.event_transitions, dec.EVENT_TRANSITIONS_SQL),
         "orders_pareto": (dec.orders_pareto, dec.ORDERS_PARETO_SQL),
+        "events_type_dow_chi2": (dec.events_type_dow_chi2, dec.EVENTS_CHI2_SQL),
         "events_sliding_distinct_users": (
             dec.events_sliding_distinct_users, dec.EVENTS_SLIDING_DISTINCT_SQL,
         ),

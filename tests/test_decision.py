@@ -437,3 +437,25 @@ def test_pareto_tie_semantics(ray_session, tmp_path):
     con.execute(f"CREATE VIEW orders AS SELECT * FROM '{d}/orders.parquet'")
     got = sorted(r[0] for r in con.execute(dec.ORDERS_PARETO_SQL).fetchall())
     assert got == [1, 2, 5]
+
+
+def test_chi2_includes_structural_zero_cells(ray_session, tmp_path):
+    d = str(tmp_path)
+    import duckdb
+
+    day = 86_400_000_000
+    # type a only on Thursday(epoch day 0), type b only on Friday —
+    # maximal dependence; the zero cells MUST contribute e to chi2.
+    _write_events(d, [
+        (1, 0, 1, "a", 1.0), (2, 0, 2, "a", 1.0),
+        (3, day, 1, "b", 1.0), (4, day, 2, "b", 1.0),
+    ])
+    out = dec.events_type_dow_chi2(d).to_pandas()
+    # 2x2 with perfect separation: chi2 = N = 4 → 4e9 nano-units
+    assert out.iloc[0]["chi2_fp_nano"] == 4_000_000_000 - 1 or \
+           out.iloc[0]["chi2_fp_nano"] == 4_000_000_000
+    assert out.iloc[0]["dof"] == 1 and out.iloc[0]["n"] == 4
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
+    got = con.execute(dec.EVENTS_CHI2_SQL).fetchall()
+    assert got[0] == tuple(out.iloc[0])

@@ -143,6 +143,7 @@ SQL_BACKED = [
     "events_sliding_distinct_users",
     "event_transitions",
     "orders_pareto",
+    "events_type_dow_chi2",
 ]
 
 
