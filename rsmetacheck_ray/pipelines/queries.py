@@ -62,6 +62,7 @@ from ..stages.rules import (
 from . import analytics as ana
 from . import corpus as cor
 from . import decision as dec
+from . import decision2 as dec2
 from . import relational as rel
 from .quality_gate import build_gate
 
@@ -3598,6 +3599,18 @@ def registry() -> dict[str, tuple]:
         "events_type_dow_chi2": (dec.events_type_dow_chi2, dec.EVENTS_CHI2_SQL),
         "events_sliding_distinct_users": (
             dec.events_sliding_distinct_users, dec.EVENTS_SLIDING_DISTINCT_SQL,
+        ),
+        "orders_with_returns": (
+            dec2.orders_with_returns, dec2.ORDERS_WITH_RETURNS_SQL,
+        ),
+        "promo_revenue": (dec2.promo_revenue, dec2.PROMO_REVENUE_SQL),
+        "big_orders": (dec2.big_orders, dec2.BIG_ORDERS_SQL),
+        "part_supplier_counts": (
+            dec2.part_supplier_counts, dec2.PART_SUPPLIER_COUNTS_SQL,
+        ),
+        "special_revenue": (dec2.special_revenue, dec2.SPECIAL_REVENUE_SQL),
+        "fuzzy_name_pairs": (
+            dec2.fuzzy_name_pairs, dec2.FUZZY_NAME_PAIRS_SQL,
         ),
         "open_orders": (rel.open_orders, rel.OPEN_ORDERS_SQL),
         "parts_by_brand": (rel.parts_by_brand, rel.PARTS_BY_BRAND_SQL),
