@@ -1,0 +1,981 @@
+"""Decision-support batch 3 (round 3): the remaining classic TPC-H
+shapes — two-nation volume shipping (Q7: THREE-table big⋈big chain
+with two bounded broadcast dimensions), urgency split counts across a
+big⋈big join (Q12's conditional-count shape on the columns this lake
+has), tie-aware top revenue supplier (Q15: aggregate → global scalar
+max → equality filter), small-quantity revenue loss (Q17: correlated
+per-group average as an EXACT integer predicate, two passes), and
+rich-but-inactive customers (Q22: global scalar-subquery threshold +
+anti-join + bounded group).
+
+Scale discipline (same as decision.py / decision2.py):
+
+- big⋈big edges are single tagged-union shuffles on size-adaptive
+  hashed key partitions (``adaptive_partitions``), with per-batch
+  pre-combine so partials move, not tables;
+- bounded sides (supplier→nation, one brand's part keys, nation
+  names) travel once as sorted-array ``ray.put`` handles behind
+  explicit size gates;
+- money math is exact int64 cents; the Q17/Q22 "x < fraction·AVG(...)"
+  predicates are evaluated as cross-multiplied INTEGER comparisons
+  (5·qty·cnt < sum_qty; bal·cnt > sum) so engine and oracle agree
+  bit-for-bit with no float-boundary ties;
+- final group domains are bounded (nation², linestatus, mktsegment) ⇒
+  driver-merged partials (``bounded_group_reduce``).
+
+The reference has no relational engine (single-process JSON walk,
+``src/cli.py`` + ``utils/pitfall_utils.py``); shapes per SURVEY
+§2.6-2.8's aggregation/join axis.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+
+from ..partitioning import adaptive_partitions, parquet_rows_hint
+from .relational import (
+    _cents,
+    _part_of,
+    _read_pq,
+    bounded_group_reduce,
+    bounded_group_table_strict,
+)
+
+# supplier travels as sorted (s_suppkey → s_nationkey) int arrays:
+# 16 B/row, 160 KB at SF-1 (10k suppliers), ~160 MB at a 10⁷-supplier
+# extreme — past the gate, co-partition lineitem⋈supplier on suppkey
+# instead (the big_orders tagged-union stage); raise, don't degrade.
+_SUPPLIER_BROADCAST_MAX = 10_000_000
+
+
+def _supplier_nation_ref(sf_dir: str):
+    """ray.put a sorted (s_suppkey, s_nationkey) pair for per-batch
+    searchsorted lookup."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_nationkey"],
+    )
+    if t.num_rows > _SUPPLIER_BROADCAST_MAX:
+        raise ValueError(
+            f"supplier has {t.num_rows} rows > broadcast gate "
+            f"{_SUPPLIER_BROADCAST_MAX}; co-partition on suppkey instead"
+        )
+    sk = t.column("s_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    sn = t.column("s_nationkey").to_numpy(zero_copy_only=False).astype(
+        np.int64
+    )
+    order = np.argsort(sk, kind="stable")
+    return ray.put((sk[order], sn[order]))
+
+
+def _nation_names(sf_dir: str) -> dict[int, str]:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name"],
+    )
+    return dict(
+        zip(
+            t.column("n_nationkey").to_pylist(),
+            t.column("n_name").to_pylist(),
+        )
+    )
+
+
+def _year_of(ts: np.ndarray) -> np.ndarray:
+    """Calendar year of a datetime64[us] array, as int64."""
+    return ts.astype("M8[Y]").astype(np.int64) + 1970
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q7 shape: volume shipping between nation pairs.
+# ---------------------------------------------------------------------------
+
+def nation_volume(
+    sf_dir: str,
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1998-01-01",
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """(supp_nation, cust_nation, l_year, rev_cents): line revenue per
+    (supplier nation, customer nation, ship year) over the window.
+
+    Plan: supplier→nation rides along as a sorted broadcast pair
+    (size-gated); nation names are a 25-row driver map. The big⋈big
+    chain lineitem⋈orders⋈customer is TWO tagged-union shuffles:
+
+    1. orderkey: lineitem batches pre-combine to one
+       (orderkey, supp_nation, year) → cents partial per batch, orders
+       carry (orderkey → custkey); the partition merge rewrites
+       orderkey→custkey and re-combines per (custkey, snat, year) —
+       partials out, never lines.
+    2. custkey: those partials against (custkey → c_nationkey); the
+       merge emits per-(snat, cnat, year) cents partials.
+
+    The final domain is |nations|² × years ⇒ driver-merged reduce."""
+    sup_ref = _supplier_nation_ref(sf_dir)
+    names = _nation_names(sf_dir)
+
+    lo = np.datetime64(date_lo, "us")
+    hi = np.datetime64(date_hi, "us")
+    li = _read_pq(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=[
+            "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+            "l_shipdate",
+        ],
+        filter=(
+            (pc.field("l_shipdate") >= pa.scalar(lo.item()))
+            & (pc.field("l_shipdate") < pa.scalar(hi.item()))
+        ),
+    )
+    orders = _read_pq(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey"],
+    )
+    cust = _read_pq(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"],
+    )
+    n_parts = num_partitions or adaptive_partitions(
+        max(parquet_rows_hint(orders) or 0, parquet_rows_hint(li) or 0)
+        or None,
+        row_bytes=56,
+    )
+
+    def tag_li(b: pa.Table) -> pa.Table:
+        sk, sn = ray.get(sup_ref)
+        lsk = b.column("l_suppkey").to_numpy(zero_copy_only=False)
+        if len(sk):
+            pos = np.minimum(np.searchsorted(sk, lsk), len(sk) - 1)
+            snat = np.where(sk[pos] == lsk, sn[pos], -1)
+        else:
+            snat = np.full(len(lsk), -1, np.int64)
+        rev = _cents(
+            pc.multiply(
+                b.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+            )
+        )
+        yr = _year_of(
+            b.column("l_shipdate").to_numpy(zero_copy_only=False)
+        )
+        t = pa.table(
+            {
+                "key": b.column("l_orderkey"),
+                "snat": pa.array(snat, pa.int64()),
+                "year": pa.array(yr, pa.int64()),
+                "cents": rev,
+            }
+        )
+        t = t.filter(pc.greater_equal(t.column("snat"), 0))
+        g = t.group_by(["key", "snat", "year"]).aggregate([("cents", "sum")])
+        g = g.rename_columns(["key", "snat", "year", "cents"])
+        n = g.num_rows
+        z = pa.array(np.zeros(n, np.int64), pa.int64())
+        return pa.table(
+            {
+                "part": _part_of(g.column("key"), n_parts),
+                "key": pc.cast(g.column("key"), pa.int64()),
+                "tag": pa.array(np.zeros(n, np.int8)),
+                "snat": g.column("snat"),
+                "year": g.column("year"),
+                "cents": g.column("cents"),
+                "ckey": z,
+            }
+        )
+
+    def tag_orders(b: pa.Table) -> pa.Table:
+        n = len(b)
+        z = pa.array(np.zeros(n, np.int64), pa.int64())
+        return pa.table(
+            {
+                "part": _part_of(b.column("o_orderkey"), n_parts),
+                "key": pc.cast(b.column("o_orderkey"), pa.int64()),
+                "tag": pa.array(np.ones(n, np.int8)),
+                "snat": z,
+                "year": z,
+                "cents": z,
+                "ckey": pc.cast(b.column("o_custkey"), pa.int64()),
+            }
+        )
+
+    both = li.map_batches(tag_li, batch_format="pyarrow").union(
+        orders.map_batches(tag_orders, batch_format="pyarrow")
+    )
+
+    empty_mid = pa.table(
+        {
+            "part": pa.array([], pa.int64()),
+            "key": pa.array([], pa.int64()),
+            "tag": pa.array([], pa.int8()),
+            "snat": pa.array([], pa.int64()),
+            "year": pa.array([], pa.int64()),
+            "cents": pa.array([], pa.int64()),
+            "ckey": pa.array([], pa.int64()),
+        }
+    )
+
+    def merge_orders(g: pa.Table) -> pa.Table:
+        tag = g.column("tag").to_numpy(zero_copy_only=False)
+        key = g.column("key").to_numpy(zero_copy_only=False)
+        osel = tag == 1
+        ok = key[osel]
+        oc = g.column("ckey").to_numpy(zero_copy_only=False)[osel]
+        lsel = ~osel
+        lk = key[lsel]
+        if not len(ok) or not len(lk):
+            return empty_mid
+        order = np.argsort(ok, kind="stable")
+        ok, oc = ok[order], oc[order]
+        pos = np.minimum(np.searchsorted(ok, lk), len(ok) - 1)
+        hit = ok[pos] == lk
+        ck = oc[pos]
+        t = pa.table(
+            {
+                "ckey": pa.array(ck[hit], pa.int64()),
+                "snat": pa.array(
+                    g.column("snat").to_numpy(zero_copy_only=False)[lsel][hit],
+                    pa.int64(),
+                ),
+                "year": pa.array(
+                    g.column("year").to_numpy(zero_copy_only=False)[lsel][hit],
+                    pa.int64(),
+                ),
+                "cents": pa.array(
+                    g.column("cents").to_numpy(zero_copy_only=False)[lsel][
+                        hit
+                    ],
+                    pa.int64(),
+                ),
+            }
+        )
+        m = t.group_by(["ckey", "snat", "year"]).aggregate([("cents", "sum")])
+        m = m.rename_columns(["ckey", "snat", "year", "cents"])
+        n = m.num_rows
+        return pa.table(
+            {
+                "part": _part_of(m.column("ckey"), n_parts),
+                "key": m.column("ckey"),
+                "tag": pa.array(np.zeros(n, np.int8)),
+                "snat": m.column("snat"),
+                "year": m.column("year"),
+                "cents": m.column("cents"),
+                "ckey": pa.array(np.zeros(n, np.int64), pa.int64()),
+            }
+        )
+
+    mid = both.groupby("part").map_groups(
+        merge_orders, batch_format="pyarrow"
+    )
+
+    def tag_cust(b: pa.Table) -> pa.Table:
+        n = len(b)
+        z = pa.array(np.zeros(n, np.int64), pa.int64())
+        return pa.table(
+            {
+                "part": _part_of(b.column("c_custkey"), n_parts),
+                "key": pc.cast(b.column("c_custkey"), pa.int64()),
+                "tag": pa.array(np.ones(n, np.int8)),
+                "snat": z,
+                "year": z,
+                "cents": z,
+                "ckey": pc.cast(b.column("c_nationkey"), pa.int64()),
+            }
+        )
+
+    both2 = mid.union(cust.map_batches(tag_cust, batch_format="pyarrow"))
+
+    def merge_cust(g: pa.Table) -> pa.Table:
+        tag = g.column("tag").to_numpy(zero_copy_only=False)
+        key = g.column("key").to_numpy(zero_copy_only=False)
+        csel = tag == 1
+        ck = key[csel]
+        cn = g.column("ckey").to_numpy(zero_copy_only=False)[csel]
+        lsel = ~csel
+        lk = key[lsel]
+        if not len(ck) or not len(lk):
+            return pa.table(
+                {
+                    "snat": pa.array([], pa.int64()),
+                    "cnat": pa.array([], pa.int64()),
+                    "l_year": pa.array([], pa.int64()),
+                    "rev_cents": pa.array([], pa.int64()),
+                }
+            )
+        order = np.argsort(ck, kind="stable")
+        ck, cn = ck[order], cn[order]
+        pos = np.minimum(np.searchsorted(ck, lk), len(ck) - 1)
+        hit = ck[pos] == lk
+        t = pa.table(
+            {
+                "snat": pa.array(
+                    g.column("snat").to_numpy(zero_copy_only=False)[lsel][hit],
+                    pa.int64(),
+                ),
+                "cnat": pa.array(cn[pos][hit], pa.int64()),
+                "l_year": pa.array(
+                    g.column("year").to_numpy(zero_copy_only=False)[lsel][hit],
+                    pa.int64(),
+                ),
+                "rev_cents": pa.array(
+                    g.column("cents").to_numpy(zero_copy_only=False)[lsel][
+                        hit
+                    ],
+                    pa.int64(),
+                ),
+            }
+        )
+        m = t.group_by(["snat", "cnat", "l_year"]).aggregate(
+            [("rev_cents", "sum")]
+        )
+        return m.rename_columns(["snat", "cnat", "l_year", "rev_cents"])
+
+    per_part = both2.groupby("part").map_groups(
+        merge_cust, batch_format="pyarrow"
+    )
+    agg = bounded_group_table_strict(
+        per_part, ["snat", "cnat", "l_year"], [("rev_cents", "sum")]
+    )
+    if agg is None or agg.num_rows == 0:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "supp_nation": pa.array([], pa.string()),
+                    "cust_nation": pa.array([], pa.string()),
+                    "l_year": pa.array([], pa.int64()),
+                    "rev_cents": pa.array([], pa.int64()),
+                }
+            )
+        )
+    sn = [names.get(k, "?") for k in agg.column("snat").to_pylist()]
+    cn = [names.get(k, "?") for k in agg.column("cnat").to_pylist()]
+    out = pa.table(
+        {
+            "supp_nation": pa.array(sn, pa.string()),
+            "cust_nation": pa.array(cn, pa.string()),
+            "l_year": agg.column("l_year"),
+            "rev_cents": agg.column("rev_cents"),
+        }
+    )
+    return rd.from_arrow(out).sort(["supp_nation", "cust_nation", "l_year"])
+
+
+NATION_VOLUME_SQL = """
+SELECT sn.n_name AS supp_nation,
+       cn.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+       CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100
+                           + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q12 shape: conditional counts across a big⋈big join — urgent
+# vs non-urgent order lines per line status.
+# ---------------------------------------------------------------------------
+
+def urgent_lines_by_status(
+    sf_dir: str,
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1997-01-01",
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """(l_linestatus, n_urgent, n_other): order lines shipped in the
+    window, counted per line status and split by whether their ORDER
+    is high-priority ('1-URGENT' / '2-HIGH') — Q12's CASE-count shape
+    on this lake's columns (no shipmode column exists).
+
+    Plan: ONE tagged-union shuffle on orderkey. lineitem pre-combines
+    per batch to (orderkey, status) line counts; orders carry one
+    urgency bit. The partition merge splits the counts by the bit and
+    emits ≤2 partial rows; final reduce on the driver (domain = 2)."""
+    lo = np.datetime64(date_lo, "us")
+    hi = np.datetime64(date_hi, "us")
+    li = _read_pq(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linestatus"],
+        filter=(
+            (pc.field("l_shipdate") >= pa.scalar(lo.item()))
+            & (pc.field("l_shipdate") < pa.scalar(hi.item()))
+        ),
+    )
+    orders = _read_pq(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderpriority"],
+    )
+    n_parts = num_partitions or adaptive_partitions(
+        parquet_rows_hint(orders), row_bytes=32
+    )
+
+    def tag_li(b: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    "key": b.column("l_orderkey"),
+                    "status": b.column("l_linestatus"),
+                }
+            )
+            .group_by(["key", "status"])
+            .aggregate([([], "count_all")])
+        )
+        g = g.rename_columns(["key", "status", "n"])
+        return pa.table(
+            {
+                "part": _part_of(g.column("key"), n_parts),
+                "key": pc.cast(g.column("key"), pa.int64()),
+                "tag": pa.array(np.zeros(g.num_rows, np.int8)),
+                "status": g.column("status"),
+                "n": pc.cast(g.column("n"), pa.int64()),
+            }
+        )
+
+    def tag_orders(b: pa.Table) -> pa.Table:
+        urgent = pc.is_in(
+            b.column("o_orderpriority"),
+            value_set=pa.array(["1-URGENT", "2-HIGH"]),
+        )
+        n = len(b)
+        return pa.table(
+            {
+                "part": _part_of(b.column("o_orderkey"), n_parts),
+                "key": pc.cast(b.column("o_orderkey"), pa.int64()),
+                "tag": pa.array(np.ones(n, np.int8)),
+                "status": pa.array([""] * n, pa.string()),
+                "n": pc.cast(urgent, pa.int64()),
+            }
+        )
+
+    both = li.map_batches(tag_li, batch_format="pyarrow").union(
+        orders.map_batches(tag_orders, batch_format="pyarrow")
+    )
+
+    def merge(g: pa.Table) -> pa.Table:
+        tag = g.column("tag").to_numpy(zero_copy_only=False)
+        key = g.column("key").to_numpy(zero_copy_only=False)
+        nn = g.column("n").to_numpy(zero_copy_only=False)
+        osel = tag == 1
+        ok = key[osel]
+        ou = nn[osel]
+        lsel = ~osel
+        lk = key[lsel]
+        if not len(ok) or not len(lk):
+            return pa.table(
+                {
+                    "l_linestatus": pa.array([], pa.string()),
+                    "n_urgent": pa.array([], pa.int64()),
+                    "n_other": pa.array([], pa.int64()),
+                }
+            )
+        order = np.argsort(ok, kind="stable")
+        ok, ou = ok[order], ou[order]
+        pos = np.minimum(np.searchsorted(ok, lk), len(ok) - 1)
+        hit = ok[pos] == lk
+        urgent = ou[pos] == 1
+        cnt = nn[lsel]
+        t = pa.table(
+            {
+                "l_linestatus": g.column("status")
+                .filter(pa.array(lsel))
+                .combine_chunks()
+                .filter(pa.array(hit)),
+                "n_urgent": pa.array(
+                    np.where(urgent[hit], cnt[hit], 0), pa.int64()
+                ),
+                "n_other": pa.array(
+                    np.where(urgent[hit], 0, cnt[hit]), pa.int64()
+                ),
+            }
+        )
+        m = t.group_by("l_linestatus").aggregate(
+            [("n_urgent", "sum"), ("n_other", "sum")]
+        )
+        return m.rename_columns(["l_linestatus", "n_urgent", "n_other"])
+
+    per_part = both.groupby("part").map_groups(merge, batch_format="pyarrow")
+    agg = bounded_group_reduce(
+        per_part, ["l_linestatus"], [("n_urgent", "sum"), ("n_other", "sum")]
+    )
+    return agg.sort("l_linestatus")
+
+
+URGENT_LINES_SQL = """
+SELECT l.l_linestatus,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS n_other
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l.l_linestatus
+ORDER BY l.l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q15 shape: top revenue supplier — aggregate, global max,
+# tie-aware equality filter.
+# ---------------------------------------------------------------------------
+
+def top_supplier(
+    sf_dir: str,
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1996-04-01",
+) -> rd.Dataset:
+    """(s_suppkey, s_name, total_cents): the supplier(s) with the MAX
+    line revenue over the quarter — ALL ties kept, like Q15's view +
+    scalar-subquery form.
+
+    Plan: lineitem scans the window (parquet predicate) and
+    pre-combines per batch to (suppkey → cents) partials; the reduce
+    is driver-merged while the supplier domain stays bounded
+    (strict gate raises past 4M suppliers — at that point the revenue
+    view itself is the thing to keep distributed). The global max and
+    the equality filter are O(|suppliers|) driver math; names come
+    from the size-gated supplier broadcast."""
+    import pyarrow.parquet as pq
+
+    lo = np.datetime64(date_lo, "us")
+    hi = np.datetime64(date_hi, "us")
+    li = _read_pq(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_suppkey", "l_extendedprice", "l_discount"],
+        filter=(
+            (pc.field("l_shipdate") >= pa.scalar(lo.item()))
+            & (pc.field("l_shipdate") < pa.scalar(hi.item()))
+        ),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        rev = _cents(
+            pc.multiply(
+                b.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+            )
+        )
+        g = (
+            pa.table({"s_suppkey": b.column("l_suppkey"), "cents": rev})
+            .group_by("s_suppkey")
+            .aggregate([("cents", "sum")])
+        )
+        return g.rename_columns(["s_suppkey", "total_cents"])
+
+    per_supp = bounded_group_table_strict(
+        li.map_batches(partial, batch_format="pyarrow"),
+        ["s_suppkey"],
+        [("total_cents", "sum")],
+    )
+    empty = pa.table(
+        {
+            "s_suppkey": pa.array([], pa.int64()),
+            "s_name": pa.array([], pa.string()),
+            "total_cents": pa.array([], pa.int64()),
+        }
+    )
+    if per_supp is None or per_supp.num_rows == 0:
+        return rd.from_arrow(empty)
+    cents = per_supp.column("total_cents").to_numpy(zero_copy_only=False)
+    best = cents.max()
+    winners = per_supp.filter(pa.array(cents == best))
+    names = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_name"],
+    )
+    nk = names.column("s_suppkey").to_numpy(zero_copy_only=False).astype(
+        np.int64
+    )
+    order = np.argsort(nk, kind="stable")
+    nk = nk[order]
+    nv = names.column("s_name").take(pa.array(order)).combine_chunks()
+    wk = winners.column("s_suppkey").to_numpy(zero_copy_only=False).astype(
+        np.int64
+    )
+    pos = np.minimum(np.searchsorted(nk, wk), max(len(nk) - 1, 0))
+    out = pa.table(
+        {
+            "s_suppkey": pa.array(wk, pa.int64()),
+            "s_name": nv.take(pa.array(pos)),
+            "total_cents": winners.column("total_cents"),
+        }
+    )
+    return rd.from_arrow(out).sort("s_suppkey")
+
+
+TOP_SUPPLIER_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey AS s_suppkey,
+         CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                             + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT r.s_suppkey, s.s_name, r.total_cents
+FROM revenue r JOIN supplier s ON r.s_suppkey = s.s_suppkey
+WHERE r.total_cents = (SELECT MAX(total_cents) FROM revenue)
+ORDER BY r.s_suppkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q17 shape: small-quantity revenue — correlated per-part AVG as
+# an exact integer predicate, two passes over lineitem.
+# ---------------------------------------------------------------------------
+
+def small_qty_revenue(
+    sf_dir: str, brand: str = "Brand#1", num_partitions: int | None = None
+) -> rd.Dataset:
+    """One row (n_lines, total_cents, avg_yearly): revenue of lines of
+    ``brand`` parts whose quantity is below 20 % of that part's average
+    line quantity (Q17).
+
+    The correlated predicate ``l_quantity < 0.2 * AVG(l_quantity)`` is
+    evaluated EXACTLY by cross-multiplication over integral
+    quantities: ``5·qty·cnt < sum_qty`` (sum/cnt from pass 1) — no
+    float division, so engine and oracle tie-break identically.
+
+    Plan: the brand's part keys broadcast once (sorted int64,
+    size-gated via the part gate pattern); pass 1 pre-combines
+    (partkey → sum_qty, cnt) per batch with the reduce driver-merged
+    (domain = one brand's parts, gate-checked); the thresholds then
+    broadcast back for pass 2's filtered revenue partials (single
+    scalar out)."""
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_brand"],
+    )
+    keys = (
+        part.filter(pc.equal(part.column("p_brand"), brand))
+        .column("p_partkey")
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    keys = np.sort(keys)
+    if len(keys) > 50_000_000:
+        raise ValueError("brand part set exceeds broadcast gate")
+    keys_ref = ray.put(keys)
+
+    li_cols = ["l_partkey", "l_quantity", "l_extendedprice"]
+
+    def pass1(b: pa.Table) -> pa.Table:
+        bk = ray.get(keys_ref)
+        lpk = b.column("l_partkey").to_numpy(zero_copy_only=False)
+        if len(bk):
+            pos = np.minimum(np.searchsorted(bk, lpk), len(bk) - 1)
+            hit = bk[pos] == lpk
+        else:
+            hit = np.zeros(len(lpk), bool)
+        qty = b.column("l_quantity").to_numpy(zero_copy_only=False)[
+            hit
+        ].astype(np.int64)
+        t = pa.table(
+            {
+                "p": pa.array(lpk[hit], pa.int64()),
+                "sum_qty": pa.array(qty, pa.int64()),
+                "cnt": pa.array(np.ones(len(qty), np.int64), pa.int64()),
+            }
+        )
+        g = t.group_by("p").aggregate([("sum_qty", "sum"), ("cnt", "sum")])
+        return g.rename_columns(["p", "sum_qty", "cnt"])
+
+    li1 = _read_pq(os.path.join(sf_dir, "lineitem.parquet"), columns=li_cols)
+    stats = bounded_group_table_strict(
+        li1.map_batches(pass1, batch_format="pyarrow"),
+        ["p"],
+        [("sum_qty", "sum"), ("cnt", "sum")],
+    )
+    empty = pa.table(
+        {
+            "n_lines": pa.array([0], pa.int64()),
+            "total_cents": pa.array([0], pa.int64()),
+            "avg_yearly": pa.array([0.0], pa.float64()),
+        }
+    )
+    if stats is None or stats.num_rows == 0:
+        return rd.from_arrow(empty)
+    sp = stats.column("p").to_numpy(zero_copy_only=False)
+    order = np.argsort(sp, kind="stable")
+    thr_ref = ray.put(
+        (
+            sp[order],
+            stats.column("sum_qty").to_numpy(zero_copy_only=False)[order],
+            stats.column("cnt").to_numpy(zero_copy_only=False)[order],
+        )
+    )
+
+    def pass2(b: pa.Table) -> pa.Table:
+        tp, tsum, tcnt = ray.get(thr_ref)
+        lpk = b.column("l_partkey").to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(tp, lpk), len(tp) - 1)
+        hit = tp[pos] == lpk
+        qty = b.column("l_quantity").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        small = hit & (5 * qty * tcnt[pos] < tsum[pos])
+        cents = _cents(b.column("l_extendedprice")).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "n_lines": pa.array([int(small.sum())], pa.int64()),
+                "total_cents": pa.array(
+                    [int(cents[small].sum())], pa.int64()
+                ),
+            }
+        )
+
+    li2 = _read_pq(os.path.join(sf_dir, "lineitem.parquet"), columns=li_cols)
+    tot = bounded_group_table_strict(
+        li2.map_batches(pass2, batch_format="pyarrow").map_batches(
+            lambda b: b.append_column(
+                "g", pa.array([0] * len(b), pa.int8())
+            ),
+            batch_format="pyarrow",
+        ),
+        ["g"],
+        [("n_lines", "sum"), ("total_cents", "sum")],
+    )
+    if tot is None or tot.num_rows == 0:
+        return rd.from_arrow(empty)
+    n = tot.column("n_lines")[0].as_py()
+    c = tot.column("total_cents")[0].as_py()
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_lines": pa.array([n], pa.int64()),
+                "total_cents": pa.array([c], pa.int64()),
+                # same IEEE expression as the SQL `total_cents / 700.0`
+                "avg_yearly": pa.array([c / 700.0], pa.float64()),
+            }
+        )
+    )
+
+
+SMALL_QTY_REVENUE_SQL = """
+WITH pq AS (
+  SELECT l.l_partkey AS p,
+         CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM lineitem l JOIN part pt ON l.l_partkey = pt.p_partkey
+  WHERE pt.p_brand = 'Brand#1'
+  GROUP BY 1
+), small AS (
+  SELECT CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM lineitem l JOIN pq ON l.l_partkey = pq.p
+  -- l_quantity < 0.2 * AVG(l_quantity), cross-multiplied exactly
+  WHERE 5 * CAST(l.l_quantity AS BIGINT) * pq.cnt < pq.sum_qty
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(COALESCE(SUM(cents), 0) AS BIGINT) AS total_cents,
+       COALESCE(SUM(cents), 0) / 700.0 AS avg_yearly
+FROM small
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q22 shape: global scalar-subquery threshold + anti-join +
+# bounded group — rich customers with no orders, per market segment.
+# ---------------------------------------------------------------------------
+
+def rich_inactive_customers(
+    sf_dir: str,
+    cutoff: str = "2000-01-01",
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """(c_mktsegment, n_cust, bal_cents): customers whose balance
+    exceeds the global average POSITIVE balance and who placed NO
+    orders on/after ``cutoff``, counted per market segment (Q22 with
+    mktsegment standing in for the phone prefix this lake doesn't
+    have, and dormancy-since-cutoff for "no orders" — every customer
+    in this lake has at least one lifetime order).
+
+    The threshold ``c_acctbal > AVG(c_acctbal) WHERE c_acctbal > 0``
+    is applied exactly by cross-multiplication in cents:
+    ``bal_cents · cnt > sum_cents``.
+
+    Plan: pass 1 is a two-int scalar reduce over customer. Pass 2 is
+    ONE tagged-union anti-join shuffle on custkey — the orders side
+    pre-shrunk to batch-distinct custkeys — with per-partition
+    (segment, n, bal) partials and a driver-merged final reduce
+    (domain = |segments|)."""
+    cust_cols = ["c_custkey", "c_acctbal", "c_mktsegment"]
+    cust1 = _read_pq(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_acctbal"],
+        filter=pc.field("c_acctbal") > 0.0,
+    )
+
+    def scalar_partial(b: pa.Table) -> pa.Table:
+        cents = _cents(b.column("c_acctbal")).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "sum_cents": pa.array([int(cents.sum())], pa.int64()),
+                "cnt": pa.array([len(cents)], pa.int64()),
+            }
+        )
+
+    sc = bounded_group_table_strict(
+        cust1.map_batches(scalar_partial, batch_format="pyarrow").map_batches(
+            lambda b: b.append_column(
+                "g", pa.array([0] * len(b), pa.int8())
+            ),
+            batch_format="pyarrow",
+        ),
+        ["g"],
+        [("sum_cents", "sum"), ("cnt", "sum")],
+    )
+    empty = pa.table(
+        {
+            "c_mktsegment": pa.array([], pa.string()),
+            "n_cust": pa.array([], pa.int64()),
+            "bal_cents": pa.array([], pa.int64()),
+        }
+    )
+    if sc is None or sc.num_rows == 0:
+        return rd.from_arrow(empty)
+    sum_cents = sc.column("sum_cents")[0].as_py()
+    cnt = sc.column("cnt")[0].as_py()
+
+    cust = _read_pq(
+        os.path.join(sf_dir, "customer.parquet"), columns=cust_cols
+    )
+    cut = np.datetime64(cutoff, "us")
+    orders = _read_pq(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey"],
+        filter=pc.field("o_orderdate") >= pa.scalar(cut.item()),
+    )
+    n_parts = num_partitions or adaptive_partitions(
+        parquet_rows_hint(cust), row_bytes=40
+    )
+
+    def tag_cust(b: pa.Table) -> pa.Table:
+        cents = _cents(b.column("c_acctbal")).to_numpy(zero_copy_only=False)
+        rich = cents * cnt > sum_cents
+        t = pa.table(
+            {
+                "key": pc.cast(b.column("c_custkey"), pa.int64()),
+                "seg": b.column("c_mktsegment"),
+                "bal": pa.array(cents, pa.int64()),
+            }
+        ).filter(pa.array(rich))
+        n = t.num_rows
+        return pa.table(
+            {
+                "part": _part_of(t.column("key"), n_parts),
+                "key": t.column("key"),
+                "tag": pa.array(np.ones(n, np.int8)),
+                "seg": t.column("seg"),
+                "bal": t.column("bal"),
+            }
+        )
+
+    def tag_orders(b: pa.Table) -> pa.Table:
+        keys = np.unique(
+            b.column("o_custkey").to_numpy(zero_copy_only=False)
+        )
+        ka = pa.array(keys, pa.int64())
+        return pa.table(
+            {
+                "part": _part_of(ka, n_parts),
+                "key": ka,
+                "tag": pa.array(np.zeros(len(keys), np.int8)),
+                "seg": pa.array([""] * len(keys), pa.string()),
+                "bal": pa.array(np.zeros(len(keys), np.int64), pa.int64()),
+            }
+        )
+
+    both = cust.map_batches(tag_cust, batch_format="pyarrow").union(
+        orders.map_batches(tag_orders, batch_format="pyarrow")
+    )
+
+    def merge(g: pa.Table) -> pa.Table:
+        tag = g.column("tag").to_numpy(zero_copy_only=False)
+        key = g.column("key").to_numpy(zero_copy_only=False)
+        active = np.unique(key[tag == 0])
+        csel = tag == 1
+        ck = key[csel]
+        if not len(ck):
+            return pa.table(
+                {
+                    "c_mktsegment": pa.array([], pa.string()),
+                    "n_cust": pa.array([], pa.int64()),
+                    "bal_cents": pa.array([], pa.int64()),
+                }
+            )
+        if len(active):
+            pos = np.minimum(np.searchsorted(active, ck), len(active) - 1)
+            inactive = active[pos] != ck
+        else:
+            inactive = np.ones(len(ck), bool)
+        seg = (
+            g.column("seg").filter(pa.array(csel)).combine_chunks()
+        ).filter(pa.array(inactive))
+        bal = g.column("bal").to_numpy(zero_copy_only=False)[csel][inactive]
+        t = pa.table(
+            {
+                "c_mktsegment": seg,
+                "n_cust": pa.array(np.ones(len(bal), np.int64), pa.int64()),
+                "bal_cents": pa.array(bal, pa.int64()),
+            }
+        )
+        m = t.group_by("c_mktsegment").aggregate(
+            [("n_cust", "sum"), ("bal_cents", "sum")]
+        )
+        return m.rename_columns(["c_mktsegment", "n_cust", "bal_cents"])
+
+    per_part = both.groupby("part").map_groups(merge, batch_format="pyarrow")
+    agg = bounded_group_reduce(
+        per_part,
+        ["c_mktsegment"],
+        [("n_cust", "sum"), ("bal_cents", "sum")],
+    )
+    return agg.sort("c_mktsegment")
+
+
+RICH_INACTIVE_SQL = """
+WITH avgbal AS (
+  SELECT CAST(SUM(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_cents,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c.c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_cust,
+       CAST(SUM(CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS bal_cents
+FROM customer c, avgbal a
+-- c_acctbal > AVG(positive c_acctbal), cross-multiplied exactly
+WHERE CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT) * a.cnt > a.sum_cents
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+  )
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+"""

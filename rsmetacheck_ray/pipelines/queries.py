@@ -63,6 +63,7 @@ from . import analytics as ana
 from . import corpus as cor
 from . import decision as dec
 from . import decision2 as dec2
+from . import decision3 as dec3
 from . import relational as rel
 from .quality_gate import build_gate
 
@@ -3611,6 +3612,17 @@ def registry() -> dict[str, tuple]:
         "special_revenue": (dec2.special_revenue, dec2.SPECIAL_REVENUE_SQL),
         "fuzzy_name_pairs": (
             dec2.fuzzy_name_pairs, dec2.FUZZY_NAME_PAIRS_SQL,
+        ),
+        "nation_volume": (dec3.nation_volume, dec3.NATION_VOLUME_SQL),
+        "urgent_lines_by_status": (
+            dec3.urgent_lines_by_status, dec3.URGENT_LINES_SQL,
+        ),
+        "top_supplier": (dec3.top_supplier, dec3.TOP_SUPPLIER_SQL),
+        "small_qty_revenue": (
+            dec3.small_qty_revenue, dec3.SMALL_QTY_REVENUE_SQL,
+        ),
+        "rich_inactive_customers": (
+            dec3.rich_inactive_customers, dec3.RICH_INACTIVE_SQL,
         ),
         "open_orders": (rel.open_orders, rel.OPEN_ORDERS_SQL),
         "parts_by_brand": (rel.parts_by_brand, rel.PARTS_BY_BRAND_SQL),
