@@ -1,0 +1,134 @@
+"""Distributed exact quantile selection by two-level radix counting.
+
+The engine's other exact-percentile paths (``events_value_percentiles``,
+``events_value_quantile_cont``) exploit a BOUNDED value domain — one
+histogram pass and driver math. This module handles the general case,
+a 32-bit-wide non-negative integer domain (e.g. price cents up to
+~$42M), where a single flat histogram would be 2³² buckets and a
+distributed sort a full shuffle: instead it runs TWO streaming counting
+passes —
+
+ 1. per-batch ``bincount`` of the HIGH 16 bits of each value (≤65,536
+    partial rows per batch, reduced driver-side), locating for each
+    requested quantile the high-bucket holding its order statistic and
+    the residual rank within it;
+ 2. per-batch ``bincount`` of the LOW 16 bits, restricted to the (few)
+    target high-buckets, which pins the exact value.
+
+No sort, no shuffle of data rows — the only traffic is bounded count
+partials, so the plan is identical at 60k rows and 10¹² rows. Rank
+convention matches DuckDB's ``quantile_disc``: the k-th smallest with
+``k = max(1, ceil(q·n))`` (verified against DuckDB 1.x).
+
+The reference has no quantile machinery at all; this extends SURVEY
+§2.6's aggregation axis the way its percentile family does.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+from ..pipelines.relational import bounded_group_table_strict
+
+_MAX_VALUE = (1 << 32) - 1
+
+
+def _hist_partial(col: str, shift: int, keep=None):
+    """Per-batch (bucket, n) partial counts of ``value >> shift`` (low
+    16 bits after an optional high-bucket membership filter)."""
+
+    def stage(b: pa.Table) -> pa.Table:
+        v = b.column(col).to_numpy(zero_copy_only=False)
+        v = v[~np.isnan(v)] if v.dtype.kind == "f" else v
+        v = v.astype(np.int64)
+        if len(v) and (v.min() < 0 or v.max() > _MAX_VALUE):
+            raise ValueError(
+                f"radix_quantiles: {col} outside [0, 2^32) — add a "
+                "third 16-bit round for wider domains"
+            )
+        if keep is not None:
+            hb = v >> 16
+            sel = np.isin(hb, keep)
+            v = v[sel]
+        bucket = (v >> shift) & 0xFFFF
+        if not len(bucket):
+            return pa.table(
+                {
+                    "bucket": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        if keep is not None:
+            # count per (high, low) pair — composite key keeps the
+            # domain ≤ |targets| × 65536
+            key = ((v >> 16) << 16) | bucket
+        else:
+            key = bucket
+        uniq, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "bucket": pa.array(uniq, pa.int64()),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return stage
+
+
+def _ranks_for(qs: list[float], n: int) -> list[int]:
+    """DuckDB quantile_disc ranks: k = max(1, ceil(q*n)), 1-based."""
+    return [max(1, math.ceil(q * n)) for q in qs]
+
+
+def radix_quantiles(
+    ds: rd.Dataset, col: str, qs: list[float]
+) -> "list[int] | None":
+    """Exact ``quantile_disc`` values of non-null ``col`` for each q in
+    ``qs``. Returns None on an empty (or all-null) input."""
+    h1 = bounded_group_table_strict(
+        ds.map_batches(_hist_partial(col, 16), batch_format="pyarrow"),
+        ["bucket"],
+        [("n", "sum")],
+    )
+    if h1 is None or h1.num_rows == 0:
+        return None
+    b1 = h1.column("bucket").to_numpy(zero_copy_only=False)
+    n1 = h1.column("n").to_numpy(zero_copy_only=False)
+    order = np.argsort(b1, kind="stable")
+    b1, n1 = b1[order], n1[order]
+    cum = np.cumsum(n1)
+    total = int(cum[-1])
+    ranks = _ranks_for(qs, total)
+    # target high-bucket + residual (1-based) rank within it, per q
+    idx = np.searchsorted(cum, ranks)  # first bucket with cum >= k
+    hi = b1[idx]
+    before = np.where(idx > 0, cum[idx - 1], 0)
+    resid = np.asarray(ranks) - before
+
+    targets = np.unique(hi)
+    h2 = bounded_group_table_strict(
+        ds.map_batches(
+            _hist_partial(col, 0, keep=targets), batch_format="pyarrow"
+        ),
+        ["bucket"],
+        [("n", "sum")],
+    )
+    assert h2 is not None  # pass 1 found rows in these buckets
+    k2 = h2.column("bucket").to_numpy(zero_copy_only=False)
+    n2 = h2.column("n").to_numpy(zero_copy_only=False)
+    order = np.argsort(k2, kind="stable")
+    k2, n2 = k2[order], n2[order]
+    out: list[int] = []
+    for h, r in zip(hi, resid):
+        lo_sel = (k2 >> 16) == h
+        lows = k2[lo_sel] & 0xFFFF
+        cnts = n2[lo_sel]
+        c = np.cumsum(cnts)
+        j = int(np.searchsorted(c, r))
+        out.append(int((int(h) << 16) | int(lows[j])))
+    return out

@@ -957,6 +957,123 @@ def rich_inactive_customers(
     return agg.sort("c_mktsegment")
 
 
+# ---------------------------------------------------------------------------
+# TPC-H Q20 shape: share-of-group predicate — suppliers who shipped
+# more than half of a part's total quantity.
+# ---------------------------------------------------------------------------
+
+def dominant_suppliers(
+    sf_dir: str, num_partitions: int | None = None
+) -> rd.Dataset:
+    """(l_partkey, l_suppkey, n_supp, supp_qty, part_qty): (part,
+    supplier) pairs where the supplier shipped more than 1.5× its FAIR
+    SHARE of the part's total line quantity — Q20's
+    fraction-of-aggregate predicate, made scale-stable by comparing to
+    the fair share ``part_qty / n_supp`` (an absolute share threshold
+    empties out as suppliers-per-part grows with SF). Evaluated
+    exactly as ``2·supp_qty·n_supp > 3·part_qty`` over integral
+    quantities.
+
+    Plan: ONE hashed-partition shuffle on partkey of per-batch
+    (partkey, suppkey, qty) partial sums; each partition computes both
+    aggregation levels in one sorted pass (reduceat for part totals,
+    group_by for pair totals) and applies the predicate locally —
+    partials on the wire, at most one emitted row per part."""
+    li = _read_pq(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_suppkey", "l_quantity"],
+    )
+    n_parts = num_partitions or adaptive_partitions(
+        parquet_rows_hint(li), row_bytes=32
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        qty = pc.cast(b.column("l_quantity"), pa.int64())
+        g = (
+            pa.table(
+                {
+                    "l_partkey": b.column("l_partkey"),
+                    "l_suppkey": b.column("l_suppkey"),
+                    "qty": qty,
+                }
+            )
+            .group_by(["l_partkey", "l_suppkey"])
+            .aggregate([("qty", "sum")])
+        )
+        g = g.rename_columns(["l_partkey", "l_suppkey", "qty"])
+        return pa.table(
+            {
+                "part": _part_of(g.column("l_partkey"), n_parts),
+                "l_partkey": pc.cast(g.column("l_partkey"), pa.int64()),
+                "l_suppkey": pc.cast(g.column("l_suppkey"), pa.int64()),
+                "qty": g.column("qty"),
+            }
+        )
+
+    def merge(g: pa.Table) -> pa.Table:
+        t = (
+            g.select(["l_partkey", "l_suppkey", "qty"])
+            .group_by(["l_partkey", "l_suppkey"])
+            .aggregate([("qty", "sum")])
+        )
+        t = t.rename_columns(["l_partkey", "l_suppkey", "supp_qty"])
+        pk = t.column("l_partkey").to_numpy(zero_copy_only=False)
+        sq = t.column("supp_qty").to_numpy(zero_copy_only=False)
+        order = np.argsort(pk, kind="stable")
+        pk, sq = pk[order], sq[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], pk[1:] != pk[:-1]))
+        )
+        totals = np.add.reduceat(sq, starts)
+        counts = np.diff(np.append(starts, len(pk)))
+        # map each pair row back to its part total / supplier count
+        seg = np.zeros(len(pk), np.int64)
+        seg[starts] = 1
+        seg = np.cumsum(seg) - 1
+        part_qty = totals[seg]
+        n_supp = counts[seg]
+        dom = 2 * sq * n_supp > 3 * part_qty
+        out = pa.table(
+            {
+                "l_partkey": pa.array(pk[dom], pa.int64()),
+                "l_suppkey": t.column("l_suppkey")
+                .take(pa.array(order))
+                .combine_chunks()
+                .filter(pa.array(dom)),
+                "n_supp": pa.array(n_supp[dom], pa.int64()),
+                "supp_qty": pa.array(sq[dom], pa.int64()),
+                "part_qty": pa.array(part_qty[dom], pa.int64()),
+            }
+        )
+        return out
+
+    per_part = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+    return per_part.sort(["l_partkey", "l_suppkey"])
+
+
+DOMINANT_SUPPLIERS_SQL = """
+WITH pair AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS supp_qty
+  FROM lineitem GROUP BY 1, 2
+), tot AS (
+  SELECT l_partkey, CAST(SUM(supp_qty) AS BIGINT) AS part_qty,
+         CAST(COUNT(*) AS BIGINT) AS n_supp
+  FROM pair GROUP BY 1
+)
+SELECT pair.l_partkey, pair.l_suppkey, tot.n_supp, pair.supp_qty,
+       tot.part_qty
+FROM pair JOIN tot ON pair.l_partkey = tot.l_partkey
+-- supp share > 1.5x fair share (part_qty / n_supp), cross-multiplied
+WHERE 2 * pair.supp_qty * tot.n_supp > 3 * tot.part_qty
+ORDER BY pair.l_partkey, pair.l_suppkey
+"""
+
+
 RICH_INACTIVE_SQL = """
 WITH avgbal AS (
   SELECT CAST(SUM(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)

@@ -580,6 +580,56 @@ FROM flags f JOIN bpc p USING (doc_id)
 """
 
 
+_PRICE_QS = [0.25, 0.5, 0.75, 0.99]
+
+
+def q_price_quantiles(sf_dir: str):
+    """Exact quantile_disc of lineitem price cents by two-level radix
+    counting (functions/selection.py) — the wide-domain counterpart of
+    the bounded-histogram percentile family. TWO streaming counting
+    passes, no sort, count partials only on the wire."""
+    from ..functions.selection import radix_quantiles
+
+    ds = rel._read_pq(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_extendedprice"],
+    ).map_batches(
+        lambda b: pa.table({"cents": rel._cents(b.column("l_extendedprice"))}),
+        batch_format="pyarrow",
+    )
+    vals = radix_quantiles(ds, "cents", _PRICE_QS)
+    if vals is None:
+        return pa.table(
+            {
+                "q": pa.array([], pa.float64()),
+                "price_cents": pa.array([], pa.int64()),
+            }
+        )
+    return pa.table(
+        {
+            "q": pa.array(_PRICE_QS, pa.float64()),
+            "price_cents": pa.array(vals, pa.int64()),
+        }
+    )
+
+
+SQL_PRICE_QUANTILES = """
+WITH c AS (
+  SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM lineitem
+)
+SELECT 0.25::DOUBLE AS q,
+       CAST(quantile_disc(cents, 0.25) AS BIGINT) AS price_cents FROM c
+UNION ALL
+SELECT 0.5::DOUBLE, CAST(quantile_disc(cents, 0.5) AS BIGINT) FROM c
+UNION ALL
+SELECT 0.75::DOUBLE, CAST(quantile_disc(cents, 0.75) AS BIGINT) FROM c
+UNION ALL
+SELECT 0.99::DOUBLE, CAST(quantile_disc(cents, 0.99) AS BIGINT) FROM c
+ORDER BY q
+"""
+
+
 def q_doc_stats(sf_dir: str):
     ds = _documents(sf_dir, ["doc_id", "text"])
 
@@ -3623,6 +3673,10 @@ def registry() -> dict[str, tuple]:
         ),
         "rich_inactive_customers": (
             dec3.rich_inactive_customers, dec3.RICH_INACTIVE_SQL,
+        ),
+        "price_quantiles": (q_price_quantiles, SQL_PRICE_QUANTILES),
+        "dominant_suppliers": (
+            dec3.dominant_suppliers, dec3.DOMINANT_SUPPLIERS_SQL,
         ),
         "open_orders": (rel.open_orders, rel.OPEN_ORDERS_SQL),
         "parts_by_brand": (rel.parts_by_brand, rel.PARTS_BY_BRAND_SQL),

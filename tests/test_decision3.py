@@ -220,6 +220,33 @@ def test_small_qty_revenue_exact_boundary(ray_session, tmp_path):
     assert got == [{"n_lines": 0, "total_cents": 0, "avg_yearly": 0.0}]
 
 
+def test_dominant_suppliers_fair_share_boundary(ray_session, tmp_path):
+    d = str(tmp_path)
+    # part 100: supp 1 ships 10 of 12 with 2 suppliers ->
+    # 2*10*2=40 > 3*12=36 (dominant); supp 2: 8 > 36 false.
+    # part 200: supp 1 ships exactly 1.5x fair share (3 of 4, 2
+    # suppliers): 2*3*2=12 > 3*4=12 is FALSE (strict) -> excluded.
+    _write(d, "lineitem", {
+        "l_orderkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "l_partkey": pa.array([100, 100, 100, 200, 200], pa.int64()),
+        "l_suppkey": pa.array([1, 1, 2, 1, 2], pa.int64()),
+        "l_linenumber": pa.array([1] * 5, pa.int32()),
+        "l_quantity": pa.array([4.0, 6.0, 2.0, 3.0, 1.0], pa.float64()),
+        "l_extendedprice": pa.array([1.0] * 5, pa.float64()),
+        "l_discount": pa.array([0.0] * 5, pa.float64()),
+        "l_tax": pa.array([0.0] * 5, pa.float64()),
+        "l_returnflag": pa.array(["N"] * 5, pa.string()),
+        "l_linestatus": pa.array(["O"] * 5, pa.string()),
+        "l_shipdate": pa.array([_ts("1996-02-01")] * 5, pa.timestamp("us")),
+    })
+    for parts in (1, 3):
+        got = d3.dominant_suppliers(d, num_partitions=parts).take_all()
+        assert got == [
+            {"l_partkey": 100, "l_suppkey": 1, "n_supp": 2,
+             "supp_qty": 10, "part_qty": 12}
+        ], got
+
+
 def test_rich_inactive_threshold_and_cutoff(ray_session, tmp_path):
     d = str(tmp_path)
     # balances (cents): 10000, 20000, 30000, -500 (ignored in avg).

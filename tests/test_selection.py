@@ -1,0 +1,61 @@
+"""Radix-selection exact quantiles (functions/selection.py) vs a
+brute-force sorted-array oracle: random data with heavy duplicates,
+skew across high buckets, all-equal, single-row, empty, and the
+DuckDB quantile_disc rank convention k = max(1, ceil(q*n))."""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from rsmetacheck_ray.functions.selection import radix_quantiles
+
+
+def _brute(vals: np.ndarray, qs) -> list[int]:
+    s = np.sort(vals)
+    n = len(s)
+    return [int(s[max(1, math.ceil(q * n)) - 1]) for q in qs]
+
+
+def _ds(vals: np.ndarray, blocks: int = 4) -> rd.Dataset:
+    t = pa.table({"cents": pa.array(vals, pa.int64())})
+    return rd.from_arrow(t).repartition(blocks)
+
+
+def test_radix_matches_bruteforce_random(ray_session):
+    rng = np.random.default_rng(11)
+    qs = [0.0, 0.01, 0.25, 0.5, 0.75, 0.99, 1.0]
+    for n, hi in [(1000, 1 << 18), (5000, 1 << 31), (777, 50)]:
+        vals = rng.integers(0, hi, size=n)
+        # heavy duplicates: fold half the values onto a few points
+        vals[: n // 2] = rng.choice([7, hi - 1, hi // 2], size=n // 2)
+        got = radix_quantiles(_ds(vals), "cents", qs)
+        assert got == _brute(vals, qs), (n, hi)
+
+
+def test_radix_edge_shapes(ray_session):
+    qs = [0.25, 0.5, 1.0]
+    # all equal
+    assert radix_quantiles(_ds(np.full(100, 42)), "cents", qs) == [42, 42, 42]
+    # single row
+    assert radix_quantiles(_ds(np.array([9])), "cents", qs) == [9, 9, 9]
+    # empty
+    assert radix_quantiles(_ds(np.array([], np.int64)), "cents", qs) is None
+    # values straddling the 16-bit boundary exactly
+    vals = np.array([0xFFFF, 0x10000, 0x10001, 0xFFFE])
+    assert radix_quantiles(_ds(vals), "cents", [0.5]) == [0xFFFF]
+
+
+def test_radix_rejects_out_of_domain(ray_session):
+    import pytest
+
+    with pytest.raises(Exception):
+        radix_quantiles(_ds(np.array([-1, 5])), "cents", [0.5])
