@@ -2624,6 +2624,178 @@ def q_top_tokens(sf_dir: str, k: int = _TOPK_TOKENS):
     )
 
 
+_COLLOC_MIN_COUNT = 5
+
+
+def q_collocations(sf_dir: str, min_count: int = _COLLOC_MIN_COUNT):
+    """Collocation (adjacent word-bigram) counts with their unigram
+    marginals — the count table PMI/log-likelihood collocation scoring
+    is computed from (the engine emits exact integers; the float score
+    is a driver-side formula away, kept out of the contract so the
+    hash compare stays bit-exact).
+
+    Plan: pass 1 pre-combines per-batch bigram counts (ONE vectorized
+    adjacency over the canonical \\S+ split — consecutive flat tokens
+    with the same doc index) and ships only per-batch distinct pairs
+    into the global groupby; pairs below ``min_count`` are dropped
+    AFTER the global sum, so the surviving table is output-bounded.
+    Pass 2 re-counts unigrams restricted to the words of surviving
+    pairs (a broadcast membership probe per batch — the needed vocab
+    is output-bounded even though the corpus vocabulary is not) and
+    the marginals attach with two driver searchsorts."""
+    from ..functions.tokenize import split_ws_tokens
+
+    ds = _documents(sf_dir, ["doc_id", "text"])
+
+    def bigram_partial(b: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "w1": pa.array([], pa.string()),
+                "w2": pa.array([], pa.string()),
+                "n_xy": pa.array([], pa.int64()),
+            }
+        )
+        words = split_ws_tokens(b.column("text"))
+        off = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = words.flatten()
+        doc_idx = np.repeat(
+            np.arange(len(words), dtype=np.int64), np.diff(off)
+        )
+        mask = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        doc_idx = doc_idx[mask]
+        if len(doc_idx) < 2:
+            return empty
+        toks = flat.filter(pa.array(mask))
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        same = pa.array(doc_idx[1:] == doc_idx[:-1])
+        w1 = toks.slice(0, len(toks) - 1).filter(same)
+        w2 = toks.slice(1).filter(same)
+        if len(w1) == 0:
+            return empty
+        g = (
+            pa.table({"w1": w1, "w2": w2})
+            .group_by(["w1", "w2"])
+            .aggregate([([], "count_all")])
+        )
+        g = g.rename_columns(["w1", "w2", "n_xy"])
+        return g.set_column(2, "n_xy", pc.cast(g.column("n_xy"), pa.int64()))
+
+    pairs = (
+        ds.map_batches(bigram_partial, batch_format="pyarrow")
+        .groupby(["w1", "w2"])
+        .aggregate(Sum("n_xy", alias_name="n_xy"))
+        .filter(expr=f"n_xy >= {min_count}")
+    )
+    import ray as _ray
+
+    # materialize() first: to_arrow_refs on a live plan re-executes it
+    # for the schema probe (see bounded_group_table)
+    pt = pairs.materialize().to_arrow_refs()
+
+    tables = [t for t in map(_ray.get, pt) if t.num_rows]
+    if not tables:
+        return pa.table(
+            {
+                "w1": pa.array([], pa.string()),
+                "w2": pa.array([], pa.string()),
+                "n_xy": pa.array([], pa.int64()),
+                "n_x": pa.array([], pa.int64()),
+                "n_y": pa.array([], pa.int64()),
+            }
+        )
+    pair_tbl = pa.concat_tables(tables).combine_chunks()
+    vocab = np.unique(
+        np.concatenate(
+            [
+                pair_tbl.column("w1").to_numpy(zero_copy_only=False),
+                pair_tbl.column("w2").to_numpy(zero_copy_only=False),
+            ]
+        )
+    )
+    vocab_ref = _ray.put(vocab)
+
+    def unigram_partial(b: pa.Table) -> pa.Table:
+        from ..functions.tokenize import tokens_with_doc_index
+
+        _, toks = tokens_with_doc_index(b.column("text"))
+        if toks is None:
+            return pa.table(
+                {
+                    "token": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        vv = _ray.get(vocab_ref)
+        uniq = toks.dictionary.to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(vv, uniq)
+        member = np.zeros(len(uniq), bool)
+        in_rng = pos < len(vv)
+        member[in_rng] = vv[pos[in_rng]] == uniq[in_rng]
+        cnt = np.bincount(
+            toks.indices.to_numpy(zero_copy_only=False),
+            minlength=len(uniq),
+        ).astype(np.int64)
+        keep = member & (cnt > 0)
+        return pa.table(
+            {
+                "token": pa.array(uniq[keep], pa.string()),
+                "n": pa.array(cnt[keep], pa.int64()),
+            }
+        )
+
+    uni = rel.bounded_group_table_strict(
+        ds.map_batches(unigram_partial, batch_format="pyarrow"),
+        ["token"],
+        [("n", "sum")],
+    )
+    ut = uni.column("token").to_numpy(zero_copy_only=False)
+    un = uni.column("n").to_numpy(zero_copy_only=False)
+    order = np.argsort(ut, kind="stable")
+    ut, un = ut[order], un[order]
+    w1 = pair_tbl.column("w1").to_numpy(zero_copy_only=False)
+    w2 = pair_tbl.column("w2").to_numpy(zero_copy_only=False)
+    n_x = un[np.searchsorted(ut, w1)]
+    n_y = un[np.searchsorted(ut, w2)]
+    out = pa.table(
+        {
+            "w1": pair_tbl.column("w1"),
+            "w2": pair_tbl.column("w2"),
+            "n_xy": pair_tbl.column("n_xy"),
+            "n_x": pa.array(n_x, pa.int64()),
+            "n_y": pa.array(n_y, pa.int64()),
+        }
+    )
+    idx = pa.compute.sort_indices(
+        out, sort_keys=[("w1", "ascending"), ("w2", "ascending")]
+    )
+    return out.take(idx)
+
+
+def _sql_collocations() -> str:
+    from ..functions.tokenize import WS_TOKEN_RE
+
+    return f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '{WS_TOKEN_RE}') AS toks
+  FROM documents
+), w AS (
+  SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS i
+  FROM t
+), bc AS (
+  SELECT a.w AS w1, c.w AS w2, CAST(COUNT(*) AS BIGINT) AS n_xy
+  FROM w a JOIN w c ON a.doc_id = c.doc_id AND c.i = a.i + 1
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {_COLLOC_MIN_COUNT}
+), uc AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM w GROUP BY 1
+)
+SELECT bc.w1, bc.w2, bc.n_xy, u1.n AS n_x, u2.n AS n_y
+FROM bc JOIN uc u1 ON bc.w1 = u1.w JOIN uc u2 ON bc.w2 = u2.w
+ORDER BY bc.w1, bc.w2
+"""
+
+
 def _sql_top_tokens() -> str:
     from ..functions.tokenize import WS_TOKEN_RE
 
@@ -3678,6 +3850,7 @@ def registry() -> dict[str, tuple]:
         "dominant_suppliers": (
             dec3.dominant_suppliers, dec3.DOMINANT_SUPPLIERS_SQL,
         ),
+        "collocations": (q_collocations, _sql_collocations()),
         "open_orders": (rel.open_orders, rel.OPEN_ORDERS_SQL),
         "parts_by_brand": (rel.parts_by_brand, rel.PARTS_BY_BRAND_SQL),
         "supplier_nation_balance": (
