@@ -299,6 +299,17 @@ BENCH_QUERIES = [
     "dataset_diff",
     "term_postings",
     "token_budget_sample",
+    # seventh-session operators
+    "nation_volume",
+    "urgent_lines_by_status",
+    "top_supplier",
+    "small_qty_revenue",
+    "rich_inactive_customers",
+    "price_quantiles",
+    "dominant_suppliers",
+    "collocations",
+    "events_ewma",
+    "common_users_by_type",
 ]
 
 

@@ -666,3 +666,51 @@ def approx_quantiles_by_key(
         .groupby("part")
         .map_groups(merge, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values / bottom-k) sketch — set INTERSECTION
+# estimates, the operation HLL cannot provide directly.
+# ---------------------------------------------------------------------------
+
+KMV_K = 4096
+
+
+def kmv_partial(vals: np.ndarray, k: int = KMV_K) -> np.ndarray:
+    """The k smallest distinct splitmix64 hashes of ``vals`` (uint64,
+    sorted ascending) — a mergeable bottom-k sketch partial."""
+    h = np.unique(splitmix64_np(vals.astype(np.uint64)))
+    return h[:k]
+
+
+def kmv_merge(parts: list[np.ndarray], k: int = KMV_K) -> np.ndarray:
+    """Merge bottom-k partials: distinct union, keep the k smallest.
+    Associative + commutative (same multiset of hashes in any order)."""
+    if not parts:
+        return np.empty(0, np.uint64)
+    return np.unique(np.concatenate(parts))[:k]
+
+
+def kmv_intersection(
+    a: np.ndarray, b: np.ndarray, k: int = KMV_K
+) -> int:
+    """Estimated |A ∩ B| from two bottom-k sketches.
+
+    When a sketch holds fewer than k hashes it is the COMPLETE distinct
+    hash set of its side, so if both are complete the count of common
+    hashes is the exact intersection (64-bit collisions aside) — the
+    estimator degrades gracefully to exactness on small sides, which
+    is what makes the engine's query SQL-checkable at test scale while
+    staying a sketch at 10¹² rows. Otherwise the standard KMV
+    estimate: θ = min of the two k-th smallest normalized hashes;
+    |common hashes < θ| / θ."""
+    common = np.intersect1d(a, b)
+    if len(a) < k and len(b) < k:
+        return int(len(common))
+    full = np.uint64(0xFFFFFFFFFFFFFFFF)
+    theta_a = a[-1] if len(a) >= k else full
+    theta_b = b[-1] if len(b) >= k else full
+    theta = min(theta_a, theta_b)
+    frac = float(theta) / float(full)
+    n = int((common < theta).sum())
+    return int(round(n / frac))

@@ -488,6 +488,62 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
 """
 
 
+EWMA_ALPHA = 0.25
+
+
+def events_ewma(
+    sf_dir: str,
+    alpha: float = EWMA_ALPHA,
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """(user_id, n_events, ewma): each user's exponentially-weighted
+    moving average of value cents over their (ts, event_id)-ordered
+    event stream — the streaming-window aggregate the ROWS-frame
+    family (``events_moving_avg``) can't express.
+
+    Semantics (documented, tested against the sequential recurrence):
+    ``ewma_1 = v_1; ewma_i = α·v_i + (1-α)·ewma_{i-1}``, evaluated in
+    closed form per user segment as the weighted sum
+    ``(1-α)^{n-1}·v_1 + Σ_{j≥2} α·(1-α)^{n-j}·v_j`` — ONE vectorized
+    power + reduceat over the whole partition, no per-row or per-user
+    Python. Weights beyond ~700 steps from the end underflow to 0,
+    which is also what the recurrence converges to at float64.
+
+    Exponential weights are order-sensitive ⇒ not expressible as a
+    DuckDB aggregate without a recursive CTE per user: rows-only,
+    pinned by the brute-force differential in pytest."""
+    keyed = _events_keyed(sf_dir, num_partitions)
+
+    def fold(g: pa.Table) -> pa.Table:
+        u, _e, c, starts, counts = _user_sorted(g)
+        n = len(u)
+        if n == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "ewma": pa.array([], pa.float64()),
+                }
+            )
+        pos = np.arange(n) - np.repeat(starts, counts)
+        from_end = np.repeat(counts, counts) - 1 - pos
+        w = alpha * np.power(1.0 - alpha, from_end)
+        w[starts] = np.power(1.0 - alpha, counts - 1)  # init term v_1
+        contrib = c.astype(np.float64) * w
+        ewma = np.add.reduceat(contrib, starts)
+        return pa.table(
+            {
+                "user_id": pa.array(u[starts], pa.int64()),
+                "n_events": pa.array(counts.astype(np.int64), pa.int64()),
+                "ewma": pa.array(ewma, pa.float64()),
+            }
+        )
+
+    return keyed.groupby("part").map_groups(
+        fold, batch_format="pyarrow"
+    ).sort("user_id")
+
+
 def events_user_ntile(
     sf_dir: str, k: int = 4, num_partitions: int | None = None
 ) -> rd.Dataset:

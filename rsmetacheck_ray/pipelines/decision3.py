@@ -48,6 +48,11 @@ from .relational import (
     bounded_group_table_strict,
 )
 
+# customer's (custkey → nationkey) projection is 16 B/row: 2M rows
+# (the nation_order_stats gate) ≈ 32 MB broadcast — past it the
+# second tagged-union shuffle joins the customer side distributively
+_NV_CUST_BROADCAST_MAX = 2_000_000
+
 # supplier travels as sorted (s_suppkey → s_nationkey) int arrays:
 # 16 B/row, 160 KB at SF-1 (10k suppliers), ~160 MB at a 10⁷-supplier
 # extreme — past the gate, co-partition lineitem⋈supplier on suppkey
@@ -112,15 +117,17 @@ def nation_volume(
 
     Plan: supplier→nation rides along as a sorted broadcast pair
     (size-gated); nation names are a 25-row driver map. The big⋈big
-    chain lineitem⋈orders⋈customer is TWO tagged-union shuffles:
-
-    1. orderkey: lineitem batches pre-combine to one
-       (orderkey, supp_nation, year) → cents partial per batch, orders
-       carry (orderkey → custkey); the partition merge rewrites
-       orderkey→custkey and re-combines per (custkey, snat, year) —
-       partials out, never lines.
-    2. custkey: those partials against (custkey → c_nationkey); the
-       merge emits per-(snat, cnat, year) cents partials.
+    chain lineitem⋈orders⋈customer is size-gated like
+    ``nation_order_stats``: shuffle 1 (orderkey) always runs —
+    lineitem batches pre-combine to one (orderkey, supp_nation, year)
+    → cents partial per batch, orders carry (orderkey → custkey), and
+    the partition merge rewrites orderkey→custkey. While the
+    (custkey → c_nationkey) projection is bounded
+    (≤ ``_NV_CUST_BROADCAST_MAX``) that same merge resolves the
+    customer nation from a broadcast sorted pair and emits final
+    (snat, cnat, year) partials — ONE shuffle total; past the bound a
+    second tagged-union shuffle on custkey joins the (at-scale
+    unbounded) customer side distributively.
 
     The final domain is |nations|² × years ⇒ driver-merged reduce."""
     sup_ref = _supplier_nation_ref(sf_dir)
@@ -225,8 +232,20 @@ def nation_volume(
             "ckey": pa.array([], pa.int64()),
         }
     )
+    empty_final = pa.table(
+        {
+            "snat": pa.array([], pa.int64()),
+            "cnat": pa.array([], pa.int64()),
+            "l_year": pa.array([], pa.int64()),
+            "rev_cents": pa.array([], pa.int64()),
+        }
+    )
 
-    def merge_orders(g: pa.Table) -> pa.Table:
+    def _lines_with_cust(g: pa.Table):
+        """Shared partition merge: rewrite the group's line partials'
+        orderkey → custkey via the group's order rows. Returns
+        (ckey, snat, year, cents) numpy arrays, or None when either
+        side is absent."""
         tag = g.column("tag").to_numpy(zero_copy_only=False)
         key = g.column("key").to_numpy(zero_copy_only=False)
         osel = tag == 1
@@ -235,115 +254,161 @@ def nation_volume(
         lsel = ~osel
         lk = key[lsel]
         if not len(ok) or not len(lk):
-            return empty_mid
+            return None
         order = np.argsort(ok, kind="stable")
         ok, oc = ok[order], oc[order]
         pos = np.minimum(np.searchsorted(ok, lk), len(ok) - 1)
         hit = ok[pos] == lk
-        ck = oc[pos]
-        t = pa.table(
-            {
-                "ckey": pa.array(ck[hit], pa.int64()),
-                "snat": pa.array(
-                    g.column("snat").to_numpy(zero_copy_only=False)[lsel][hit],
-                    pa.int64(),
-                ),
-                "year": pa.array(
-                    g.column("year").to_numpy(zero_copy_only=False)[lsel][hit],
-                    pa.int64(),
-                ),
-                "cents": pa.array(
-                    g.column("cents").to_numpy(zero_copy_only=False)[lsel][
-                        hit
-                    ],
-                    pa.int64(),
-                ),
-            }
-        )
-        m = t.group_by(["ckey", "snat", "year"]).aggregate([("cents", "sum")])
-        m = m.rename_columns(["ckey", "snat", "year", "cents"])
-        n = m.num_rows
-        return pa.table(
-            {
-                "part": _part_of(m.column("ckey"), n_parts),
-                "key": m.column("ckey"),
-                "tag": pa.array(np.zeros(n, np.int8)),
-                "snat": m.column("snat"),
-                "year": m.column("year"),
-                "cents": m.column("cents"),
-                "ckey": pa.array(np.zeros(n, np.int64), pa.int64()),
-            }
+        return (
+            oc[pos][hit],
+            g.column("snat").to_numpy(zero_copy_only=False)[lsel][hit],
+            g.column("year").to_numpy(zero_copy_only=False)[lsel][hit],
+            g.column("cents").to_numpy(zero_copy_only=False)[lsel][hit],
         )
 
-    mid = both.groupby("part").map_groups(
-        merge_orders, batch_format="pyarrow"
-    )
+    cust_hint = parquet_rows_hint(cust)
+    if cust_hint is not None and cust_hint <= _NV_CUST_BROADCAST_MAX:
+        # bounded customer projection: resolve c_nationkey inside the
+        # ONE orderkey shuffle from a broadcast sorted pair
+        import pyarrow.parquet as pq
 
-    def tag_cust(b: pa.Table) -> pa.Table:
-        n = len(b)
-        z = pa.array(np.zeros(n, np.int64), pa.int64())
-        return pa.table(
-            {
-                "part": _part_of(b.column("c_custkey"), n_parts),
-                "key": pc.cast(b.column("c_custkey"), pa.int64()),
-                "tag": pa.array(np.ones(n, np.int8)),
-                "snat": z,
-                "year": z,
-                "cents": z,
-                "ckey": pc.cast(b.column("c_nationkey"), pa.int64()),
-            }
+        ct = pq.read_table(
+            os.path.join(sf_dir, "customer.parquet"),
+            columns=["c_custkey", "c_nationkey"],
         )
+        bk = ct.column("c_custkey").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        bn = ct.column("c_nationkey").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        corder = np.argsort(bk, kind="stable")
+        cust_ref = ray.put((bk[corder], bn[corder]))
 
-    both2 = mid.union(cust.map_batches(tag_cust, batch_format="pyarrow"))
-
-    def merge_cust(g: pa.Table) -> pa.Table:
-        tag = g.column("tag").to_numpy(zero_copy_only=False)
-        key = g.column("key").to_numpy(zero_copy_only=False)
-        csel = tag == 1
-        ck = key[csel]
-        cn = g.column("ckey").to_numpy(zero_copy_only=False)[csel]
-        lsel = ~csel
-        lk = key[lsel]
-        if not len(ck) or not len(lk):
-            return pa.table(
+        def merge_bcast(g: pa.Table) -> pa.Table:
+            joined = _lines_with_cust(g)
+            if joined is None:
+                return empty_final
+            ck, snat, year, cents = joined
+            bk2, bn2 = ray.get(cust_ref)
+            if not len(bk2):
+                return empty_final
+            pos = np.minimum(np.searchsorted(bk2, ck), len(bk2) - 1)
+            hit = bk2[pos] == ck
+            t = pa.table(
                 {
-                    "snat": pa.array([], pa.int64()),
-                    "cnat": pa.array([], pa.int64()),
-                    "l_year": pa.array([], pa.int64()),
-                    "rev_cents": pa.array([], pa.int64()),
+                    "snat": pa.array(snat[hit], pa.int64()),
+                    "cnat": pa.array(bn2[pos][hit], pa.int64()),
+                    "l_year": pa.array(year[hit], pa.int64()),
+                    "rev_cents": pa.array(cents[hit], pa.int64()),
                 }
             )
-        order = np.argsort(ck, kind="stable")
-        ck, cn = ck[order], cn[order]
-        pos = np.minimum(np.searchsorted(ck, lk), len(ck) - 1)
-        hit = ck[pos] == lk
-        t = pa.table(
-            {
-                "snat": pa.array(
-                    g.column("snat").to_numpy(zero_copy_only=False)[lsel][hit],
-                    pa.int64(),
-                ),
-                "cnat": pa.array(cn[pos][hit], pa.int64()),
-                "l_year": pa.array(
-                    g.column("year").to_numpy(zero_copy_only=False)[lsel][hit],
-                    pa.int64(),
-                ),
-                "rev_cents": pa.array(
-                    g.column("cents").to_numpy(zero_copy_only=False)[lsel][
-                        hit
-                    ],
-                    pa.int64(),
-                ),
-            }
-        )
-        m = t.group_by(["snat", "cnat", "l_year"]).aggregate(
-            [("rev_cents", "sum")]
-        )
-        return m.rename_columns(["snat", "cnat", "l_year", "rev_cents"])
+            m = t.group_by(["snat", "cnat", "l_year"]).aggregate(
+                [("rev_cents", "sum")]
+            )
+            return m.rename_columns(["snat", "cnat", "l_year", "rev_cents"])
 
-    per_part = both2.groupby("part").map_groups(
-        merge_cust, batch_format="pyarrow"
-    )
+        per_part = both.groupby("part").map_groups(
+            merge_bcast, batch_format="pyarrow"
+        )
+    else:
+
+        def merge_orders(g: pa.Table) -> pa.Table:
+            joined = _lines_with_cust(g)
+            if joined is None:
+                return empty_mid
+            ck, snat, year, cents = joined
+            t = pa.table(
+                {
+                    "ckey": pa.array(ck, pa.int64()),
+                    "snat": pa.array(snat, pa.int64()),
+                    "year": pa.array(year, pa.int64()),
+                    "cents": pa.array(cents, pa.int64()),
+                }
+            )
+            m = t.group_by(["ckey", "snat", "year"]).aggregate(
+                [("cents", "sum")]
+            )
+            m = m.rename_columns(["ckey", "snat", "year", "cents"])
+            n = m.num_rows
+            return pa.table(
+                {
+                    "part": _part_of(m.column("ckey"), n_parts),
+                    "key": m.column("ckey"),
+                    "tag": pa.array(np.zeros(n, np.int8)),
+                    "snat": m.column("snat"),
+                    "year": m.column("year"),
+                    "cents": m.column("cents"),
+                    "ckey": pa.array(np.zeros(n, np.int64), pa.int64()),
+                }
+            )
+
+        mid = both.groupby("part").map_groups(
+            merge_orders, batch_format="pyarrow"
+        )
+
+        def tag_cust(b: pa.Table) -> pa.Table:
+            n = len(b)
+            z = pa.array(np.zeros(n, np.int64), pa.int64())
+            return pa.table(
+                {
+                    "part": _part_of(b.column("c_custkey"), n_parts),
+                    "key": pc.cast(b.column("c_custkey"), pa.int64()),
+                    "tag": pa.array(np.ones(n, np.int8)),
+                    "snat": z,
+                    "year": z,
+                    "cents": z,
+                    "ckey": pc.cast(b.column("c_nationkey"), pa.int64()),
+                }
+            )
+
+        both2 = mid.union(cust.map_batches(tag_cust, batch_format="pyarrow"))
+
+        def merge_cust(g: pa.Table) -> pa.Table:
+            tag = g.column("tag").to_numpy(zero_copy_only=False)
+            key = g.column("key").to_numpy(zero_copy_only=False)
+            csel = tag == 1
+            ck = key[csel]
+            cn = g.column("ckey").to_numpy(zero_copy_only=False)[csel]
+            lsel = ~csel
+            lk = key[lsel]
+            if not len(ck) or not len(lk):
+                return empty_final
+            order = np.argsort(ck, kind="stable")
+            ck, cn = ck[order], cn[order]
+            pos = np.minimum(np.searchsorted(ck, lk), len(ck) - 1)
+            hit = ck[pos] == lk
+            t = pa.table(
+                {
+                    "snat": pa.array(
+                        g.column("snat").to_numpy(zero_copy_only=False)[
+                            lsel
+                        ][hit],
+                        pa.int64(),
+                    ),
+                    "cnat": pa.array(cn[pos][hit], pa.int64()),
+                    "l_year": pa.array(
+                        g.column("year").to_numpy(zero_copy_only=False)[
+                            lsel
+                        ][hit],
+                        pa.int64(),
+                    ),
+                    "rev_cents": pa.array(
+                        g.column("cents").to_numpy(zero_copy_only=False)[
+                            lsel
+                        ][hit],
+                        pa.int64(),
+                    ),
+                }
+            )
+            m = t.group_by(["snat", "cnat", "l_year"]).aggregate(
+                [("rev_cents", "sum")]
+            )
+            return m.rename_columns(["snat", "cnat", "l_year", "rev_cents"])
+
+        per_part = both2.groupby("part").map_groups(
+            merge_cust, batch_format="pyarrow"
+        )
     agg = bounded_group_table_strict(
         per_part, ["snat", "cnat", "l_year"], [("rev_cents", "sum")]
     )

@@ -1877,6 +1877,110 @@ def q_cms_heavy_hitters(sf_dir: str):
     )
 
 
+def q_common_users_by_type(sf_dir: str):
+    """Pairwise ESTIMATED common distinct users between event types —
+    the set-INTERSECTION cardinality HLL cannot provide, from bottom-k
+    (KMV) sketches (functions/sketch.py).
+
+    Plan: per batch, one bottom-k partial per event type (distinct
+    splitmix64 user hashes, k smallest — ≤ |types|·k sketch rows per
+    batch on the wire, never user rows); a |types|-group merge keeps
+    each type's global bottom-k; the driver forms the |types|² pair
+    estimates from the bounded sketch table.
+
+    Oracle note: a KMV sketch with fewer than k entries IS the complete
+    distinct hash set, so the estimate is EXACT whenever per-type
+    distinct users ≤ k=4096 — true at the driver's correctness SF
+    (hence the SQL oracle); at larger scale it degrades to the
+    standard θ-thresholded KMV estimate (accuracy pinned in
+    tests/test_sketch.py)."""
+    from ..functions.sketch import (
+        KMV_K, kmv_intersection, kmv_merge, kmv_partial,
+    )
+
+    ds = rel._read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "user_id"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        et = b.column("event_type")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        enc = et.dictionary_encode()
+        types = enc.dictionary.to_pylist()
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        out_t, out_h = [], []
+        for i, t in enumerate(types):
+            h = kmv_partial(uid[idx == i])
+            out_t.extend([t] * len(h))
+            out_h.append(h)
+        return pa.table(
+            {
+                "event_type": pa.array(out_t, pa.string()),
+                "h": pa.array(
+                    np.concatenate(out_h)
+                    if out_h
+                    else np.empty(0, np.uint64),
+                    pa.uint64(),
+                ),
+            }
+        )
+
+    def merge(g: pa.Table) -> pa.Table:
+        h = kmv_merge(
+            [g.column("h").to_numpy(zero_copy_only=False).astype(np.uint64)]
+        )
+        t = g.column("event_type")[0].as_py()
+        return pa.table(
+            {
+                "event_type": pa.array([t] * len(h), pa.string()),
+                "h": pa.array(h, pa.uint64()),
+            }
+        )
+
+    sketches = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+    tbl = sketches.take_all()  # ≤ |types| × k sketch rows — bounded
+    by_type: dict[str, list] = {}
+    for r in tbl:
+        by_type.setdefault(r["event_type"], []).append(r["h"])
+    sk = {
+        t: np.asarray(sorted(hs), np.uint64) for t, hs in by_type.items()
+    }
+    types = sorted(sk)
+    rows_a, rows_b, rows_e = [], [], []
+    for i, a in enumerate(types):
+        for b in types[i + 1:]:
+            est = kmv_intersection(sk[a], sk[b])
+            if est > 0:
+                rows_a.append(a)
+                rows_b.append(b)
+                rows_e.append(est)
+    return pa.table(
+        {
+            "type_a": pa.array(rows_a, pa.string()),
+            "type_b": pa.array(rows_b, pa.string()),
+            "est_common": pa.array(rows_e, pa.int64()),
+        }
+    )
+
+
+SQL_COMMON_USERS = """
+WITH tu AS (SELECT DISTINCT event_type, user_id FROM events)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(COUNT(*) AS BIGINT) AS est_common
+FROM tu a JOIN tu b
+  ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 def q_approx_distinct_users(sf_dir: str):
     """HyperLogLog distinct user count over events (the mergeable
     cardinality sketch; deterministic, rows-only — accuracy pinned by
@@ -3851,6 +3955,10 @@ def registry() -> dict[str, tuple]:
             dec3.dominant_suppliers, dec3.DOMINANT_SUPPLIERS_SQL,
         ),
         "collocations": (q_collocations, _sql_collocations()),
+        # exponential weights are order-sensitive: no SQL analog
+        # without per-user recursion; pinned by the brute-force
+        # differential in tests/test_analytics.py
+        "events_ewma": (ana.events_ewma, None),
         "open_orders": (rel.open_orders, rel.OPEN_ORDERS_SQL),
         "parts_by_brand": (rel.parts_by_brand, rel.PARTS_BY_BRAND_SQL),
         "supplier_nation_balance": (
@@ -3913,6 +4021,9 @@ def registry() -> dict[str, tuple]:
         "dedup_simhash": (q_dedup_simhash, None),  # sketch
         "dedup_simhash_pairs": (q_dedup_simhash_pairs, None),  # sketch
         "doc_chunk_fingerprints": (q_doc_chunk_fingerprints, None),  # non-SQL chunker
+        # KMV sketch: exact (and SQL-checkable) below k distinct users
+        # per type, approximate past it — see q_common_users_by_type
+        "common_users_by_type": (q_common_users_by_type, SQL_COMMON_USERS),
         "approx_distinct_users": (q_approx_distinct_users, None),  # sketch
         "approx_distinct_users_by_type": (
             q_approx_distinct_users_by_type, None,  # sketch

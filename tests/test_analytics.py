@@ -264,3 +264,39 @@ def test_pivot_unknown_priority_counts_in_total(ray_session, tmp_path):
     out = ana.orders_month_priority_pivot(d).to_pandas()
     assert out.iloc[0]["n_urgent"] == 1
     assert out.iloc[0]["n_total"] == 2  # RUSH counted in the total only
+
+
+def test_ewma_matches_sequential_recurrence(ray_session, tmp_path):
+    """events_ewma's closed-form weighted sum equals the sequential
+    ewma_i = a*v_i + (1-a)*ewma_{i-1} recurrence (init = v_1), for
+    every user, at any partition count."""
+    rng = np.random.default_rng(5)
+    rows = []
+    eid = 0
+    base = np.datetime64("2023-01-01T00:00:00", "us").astype(np.int64)
+    expect = {}
+    for uid in range(1, 8):
+        n = int(rng.integers(1, 40))
+        vals = rng.integers(0, 10_000, size=n) / 100.0
+        for j, v in enumerate(vals):
+            rows.append((eid, int(base + j * 1_000_000), uid, float(v)))
+            eid += 1
+        cents = np.floor(np.asarray(vals) * 100 + 0.5).astype(np.int64)
+        e = float(cents[0])
+        for c in cents[1:]:
+            e = 0.25 * float(c) + 0.75 * e
+        expect[uid] = (n, e)
+    _write_events(str(tmp_path), rows)
+    for parts in (1, 4):
+        got = ana.events_ewma(str(tmp_path), num_partitions=parts).take_all()
+        assert [r["user_id"] for r in got] == sorted(expect)
+        for r in got:
+            n, e = expect[r["user_id"]]
+            assert r["n_events"] == n
+            assert np.isclose(r["ewma"], e, rtol=1e-9), (r, e)
+
+
+def test_ewma_single_event_is_identity(ray_session, tmp_path):
+    _write_events(str(tmp_path), [(0, 0, 7, 12.34)])
+    got = ana.events_ewma(str(tmp_path)).take_all()
+    assert got == [{"user_id": 7, "n_events": 1, "ewma": 1234.0}]

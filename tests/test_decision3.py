@@ -102,6 +102,13 @@ def test_nation_volume_joins_window_partitions(ray_session, tmp_path):
             str(tmp_path), num_partitions=parts
         ).take_all()
         assert got == want, got
+    # force the distributed customer-join path (the at-scale plan)
+    # and require the identical result
+    import unittest.mock as mock
+
+    with mock.patch.object(d3, "_NV_CUST_BROADCAST_MAX", 0):
+        got = d3.nation_volume(str(tmp_path), num_partitions=3).take_all()
+        assert got == want, got
 
 
 def test_urgent_lines_by_status_multiplicity(ray_session, tmp_path):

@@ -255,3 +255,47 @@ def test_approx_quantiles_by_key_rank_error(ray_session):
 
         rank = np.searchsorted(v, est, side="right") / len(v)
         assert abs(rank - q) <= 0.02, (etype, q, rank)
+
+
+# ---------------------------------------------------------------------------
+# KMV bottom-k intersection sketch
+# ---------------------------------------------------------------------------
+
+def test_kmv_exact_below_k():
+    from rsmetacheck_ray.functions.sketch import (
+        kmv_intersection, kmv_merge, kmv_partial,
+    )
+
+    a_ids = np.arange(0, 600, dtype=np.int64)
+    b_ids = np.arange(400, 900, dtype=np.int64)  # overlap = 200
+    a = kmv_merge([kmv_partial(a_ids[:300]), kmv_partial(a_ids[300:])])
+    b = kmv_partial(b_ids)
+    assert kmv_intersection(a, b) == 200
+
+
+def test_kmv_merge_order_independent():
+    from rsmetacheck_ray.functions.sketch import kmv_merge, kmv_partial
+
+    rng = np.random.default_rng(3)
+    ids = rng.integers(0, 1 << 40, size=30_000)
+    parts = [kmv_partial(ids[i::7]) for i in range(7)]
+    m1 = kmv_merge(parts)
+    m2 = kmv_merge(list(reversed(parts)))
+    assert np.array_equal(m1, m2)
+    # idempotent: re-merging the merge changes nothing
+    assert np.array_equal(kmv_merge([m1, m1]), m1)
+
+
+def test_kmv_estimate_accuracy_above_k():
+    from rsmetacheck_ray.functions.sketch import (
+        KMV_K, kmv_intersection, kmv_partial,
+    )
+
+    n, overlap = 40_000, 15_000
+    a_ids = np.arange(0, n, dtype=np.int64)
+    b_ids = np.arange(n - overlap, 2 * n - overlap, dtype=np.int64)
+    a = kmv_partial(a_ids)
+    b = kmv_partial(b_ids)
+    assert len(a) == KMV_K and len(b) == KMV_K  # truly approximate
+    est = kmv_intersection(a, b)
+    assert abs(est - overlap) / overlap < 0.15, est
