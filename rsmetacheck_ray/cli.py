@@ -40,7 +40,7 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--write-dropped-text", action="store_true")
     g.add_argument("--input-format",
                    choices=("parquet", "jsonl", "csv", "warc", "orc",
-                            "ipc", "tar", "auto"),
+                            "ipc", "tar", "avro", "auto"),
                    default="parquet",
                    help="pages input format (jsonl/csv/tar: ISO warc_ts, base64 html)")
 

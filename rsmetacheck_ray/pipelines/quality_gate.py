@@ -366,6 +366,7 @@ _SUFFIX_FORMATS = [
     (".tar.gz", "tar"),
     (".tar", "tar"),
     (".tgz", "tar"),
+    (".avro", "avro"),
 ]
 
 
@@ -401,6 +402,8 @@ def _read_mixed_fragments(paths: list[str]) -> rd.Dataset:
             from ..sources.ipc_pages import read_pages_ipc as reader
         elif fmt == "tar":
             from ..sources.tar_pages import read_pages_tar as reader
+        elif fmt == "avro":
+            from ..sources.avro_pages import read_pages_avro as reader
         else:
             reader = rd.read_parquet
         parts.append(reader(ps).select_columns(_PAGES_COLUMNS))
@@ -476,7 +479,8 @@ def run_gate(
     summary JSON, ``detect_pitfalls_main.py:396-409``).
     """
     if input_format not in (
-        "parquet", "jsonl", "csv", "warc", "orc", "ipc", "tar", "auto"
+        "parquet", "jsonl", "csv", "warc", "orc", "ipc", "tar", "avro",
+        "auto",
     ):
         raise ValueError(f"unsupported input_format {input_format!r}")
     # .warc.gz (per-record gzip members) rides the same format flag;
@@ -484,7 +488,8 @@ def run_gate(
     # all three archive spellings
     if input_format == "auto":
         suffix = (".parquet", ".jsonl", ".csv", ".warc", ".warc.gz",
-                  ".orc", ".arrow", ".feather", ".tar", ".tar.gz", ".tgz")
+                  ".orc", ".arrow", ".feather", ".tar", ".tar.gz", ".tgz",
+                  ".avro")
     elif input_format == "warc":
         suffix = (".warc", ".warc.gz")
     elif input_format == "ipc":
@@ -505,6 +510,8 @@ def run_gate(
         from ..sources.ipc_pages import read_pages_ipc as _read_fragments
     elif input_format == "tar":
         from ..sources.tar_pages import read_pages_tar as _read_fragments
+    elif input_format == "avro":
+        from ..sources.avro_pages import read_pages_avro as _read_fragments
     elif input_format == "auto":
         _read_fragments = _read_mixed_fragments
     else:
@@ -612,6 +619,10 @@ def run_gate(
                     from ..sources.tar_pages import probe_tar
 
                     probe_tar(f)  # member-by-member; raises on corruption
+                elif fmt == "avro":
+                    from ..sources.avro_pages import probe_avro
+
+                    probe_avro(f)  # strict framing; raises on corruption
                 else:
                     import pyarrow.parquet as pq
 

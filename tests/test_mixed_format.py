@@ -94,5 +94,6 @@ def test_detect_format_rejects_unknown():
 
     assert detect_format("a/b.warc.gz") == "warc"
     assert detect_format("x.parquet") == "parquet"
+    assert detect_format("x.avro") == "avro"
     with pytest.raises(ValueError):
-        detect_format("mystery.avro")
+        detect_format("mystery.xml")
