@@ -310,6 +310,8 @@ BENCH_QUERIES = [
     "collocations",
     "events_ewma",
     "common_users_by_type",
+    "part_copurchase",
+    "price_quantiles_by_flag",
 ]
 
 

@@ -132,3 +132,153 @@ def radix_quantiles(
         j = int(np.searchsorted(c, r))
         out.append(int((int(h) << 16) | int(lows[j])))
     return out
+
+
+def radix_quantiles_by_group(
+    ds: rd.Dataset, group_col: str, col: str, qs: list[float]
+) -> "pa.Table | None":
+    """Per-group exact ``quantile_disc`` over a BOUNDED group domain
+    (flags, priorities, languages) and the same 2³²-wide value domain:
+    the grouped form of :func:`radix_quantiles`, still two counting
+    passes and zero sorts.
+
+    Pass 1 counts (group, high-16-bit bucket) composites per batch;
+    pass 2 counts EXACT values restricted to each group's target
+    buckets (a value IS its (hi<<16)|lo composite, so the second pass
+    needs no recombination). Null values drop (SQL aggregate
+    semantics). Returns (group, q, value) sorted by (group, q), or
+    None on empty input."""
+    def stage1(b: pa.Table) -> pa.Table:
+        g = b.column(group_col)
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        enc = g.dictionary_encode()
+        gidx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        v = b.column(col).to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(v) if v.dtype.kind == "f" else np.ones(len(v), bool)
+        v = v[ok].astype(np.int64)
+        gidx = gidx[ok]
+        if len(v) and (v.min() < 0 or v.max() > _MAX_VALUE):
+            raise ValueError(f"radix_quantiles_by_group: {col} out of domain")
+        if not len(v):
+            return pa.table(
+                {
+                    "grp": pa.array([], pa.string()),
+                    "bucket": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        comp = (gidx << 16) | (v >> 16)
+        uniq, cnt = np.unique(comp, return_counts=True)
+        groups = enc.dictionary.take(pa.array(uniq >> 16))
+        return pa.table(
+            {
+                "grp": groups,
+                "bucket": pa.array(uniq & 0xFFFF, pa.int64()),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    h1 = bounded_group_table_strict(
+        ds.map_batches(stage1, batch_format="pyarrow"),
+        ["grp", "bucket"],
+        [("n", "sum")],
+    )
+    if h1 is None or h1.num_rows == 0:
+        return None
+    # per-group targets: (hi bucket, residual rank) per q
+    import collections
+
+    per_group: dict[str, tuple] = {}
+    gcol = h1.column("grp").to_numpy(zero_copy_only=False)
+    bcol = h1.column("bucket").to_numpy(zero_copy_only=False)
+    ncol = h1.column("n").to_numpy(zero_copy_only=False)
+    targets: dict[str, dict] = collections.defaultdict(dict)
+    for grp in np.unique(gcol):
+        sel = gcol == grp
+        b1, n1 = bcol[sel], ncol[sel]
+        order = np.argsort(b1, kind="stable")
+        b1, n1 = b1[order], n1[order]
+        cum = np.cumsum(n1)
+        total = int(cum[-1])
+        ranks = _ranks_for(qs, total)
+        idx = np.searchsorted(cum, ranks)
+        hi = b1[idx]
+        before = np.where(idx > 0, cum[idx - 1], 0)
+        per_group[grp] = (hi, np.asarray(ranks) - before)
+        for h in hi:
+            targets[grp][int(h)] = True
+
+    import ray as _ray
+
+    tref = _ray.put({g: np.array(sorted(d), np.int64) for g, d in targets.items()})
+
+    def stage2(b: pa.Table) -> pa.Table:
+        tmap = _ray.get(tref)
+        g = b.column(group_col)
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        enc = g.dictionary_encode()
+        gidx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        v = b.column(col).to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(v) if v.dtype.kind == "f" else np.ones(len(v), bool)
+        v = v[ok].astype(np.int64)
+        gidx = gidx[ok]
+        out_g, out_v, out_n = [], [], []
+        for i, grp in enumerate(enc.dictionary.to_pylist()):
+            his = tmap.get(grp)
+            if his is None:
+                continue
+            gv = v[gidx == i]
+            pos = np.searchsorted(his, gv >> 16)
+            keep = (pos < len(his)) & (
+                his[np.minimum(pos, len(his) - 1)] == (gv >> 16)
+            )
+            gv = gv[keep]
+            uniq, cnt = np.unique(gv, return_counts=True)
+            out_g.extend([grp] * len(uniq))
+            out_v.append(uniq)
+            out_n.append(cnt.astype(np.int64))
+        return pa.table(
+            {
+                "grp": pa.array(out_g, pa.string()),
+                "bucket": pa.array(
+                    np.concatenate(out_v) if out_v else np.empty(0, np.int64),
+                    pa.int64(),
+                ),
+                "n": pa.array(
+                    np.concatenate(out_n) if out_n else np.empty(0, np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    h2 = bounded_group_table_strict(
+        ds.map_batches(stage2, batch_format="pyarrow"),
+        ["grp", "bucket"],
+        [("n", "sum")],
+    )
+    assert h2 is not None
+    g2 = h2.column("grp").to_numpy(zero_copy_only=False)
+    v2 = h2.column("bucket").to_numpy(zero_copy_only=False)
+    n2 = h2.column("n").to_numpy(zero_copy_only=False)
+    out_rows = []
+    for grp in sorted(per_group):
+        hi, resid = per_group[grp]
+        sel = g2 == grp
+        gv, gn = v2[sel], n2[sel]
+        order = np.argsort(gv, kind="stable")
+        gv, gn = gv[order], gn[order]
+        for q, h, r in zip(qs, hi, resid):
+            in_b = (gv >> 16) == h
+            vals, cnts = gv[in_b], gn[in_b]
+            c = np.cumsum(cnts)
+            j = int(np.searchsorted(c, r))
+            out_rows.append((str(grp), float(q), int(vals[j])))
+    return pa.table(
+        {
+            "grp": pa.array([r[0] for r in out_rows], pa.string()),
+            "q": pa.array([r[1] for r in out_rows], pa.float64()),
+            "value": pa.array([r[2] for r in out_rows], pa.int64()),
+        }
+    )

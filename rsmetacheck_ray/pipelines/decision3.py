@@ -1161,3 +1161,107 @@ WHERE CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT) * a.cnt > a.sum_cents
 GROUP BY c.c_mktsegment
 ORDER BY c.c_mktsegment
 """
+
+
+# ---------------------------------------------------------------------------
+# Market-basket shape: co-purchase pair counts — within-group pair
+# expansion (a self-join INSIDE the key, not across keys).
+# ---------------------------------------------------------------------------
+
+def part_copurchase(
+    sf_dir: str, min_support: int = 2, num_partitions: int | None = None
+) -> rd.Dataset:
+    """(p1, p2, n): how many line PAIRS put parts p1 < p2 in the same
+    order, for pairs with support ≥ ``min_support`` — the
+    market-basket co-occurrence count (frequent-itemset mining's
+    candidate table). Matches the SQL self-join's multiplicity: a part
+    appearing on two lines of one order pairs twice with each
+    co-ordered part; equal-part line pairs are excluded (strict <).
+
+    Plan: ONE orderkey-hashed shuffle of (orderkey, partkey) line rows;
+    each partition lexsorts by (order, part) once and expands pairs by
+    looping over the pair DISTANCE d = 1..max_lines_per_order
+    (bounded by the basket size, ~a dozen — never by row count), each
+    iteration one vectorized same-segment mask over the whole
+    partition. Per-partition pair counts pre-combine before the final
+    (p1, p2) groupby; support filters AFTER the global sum."""
+    li = _read_pq(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_partkey"],
+    )
+    n_parts = num_partitions or adaptive_partitions(
+        parquet_rows_hint(li), row_bytes=24
+    )
+
+    def tag(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "part": _part_of(b.column("l_orderkey"), n_parts),
+                "okey": pc.cast(b.column("l_orderkey"), pa.int64()),
+                "pkey": pc.cast(b.column("l_partkey"), pa.int64()),
+            }
+        )
+
+    empty = pa.table(
+        {
+            "p1": pa.array([], pa.int64()),
+            "p2": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+
+    def expand(g: pa.Table) -> pa.Table:
+        ok = g.column("okey").to_numpy(zero_copy_only=False)
+        pk = g.column("pkey").to_numpy(zero_copy_only=False)
+        n = len(ok)
+        if n < 2:
+            return empty
+        order = np.lexsort((pk, ok))
+        ok, pk = ok[order], pk[order]
+        seg = np.cumsum(
+            np.concatenate(([True], ok[1:] != ok[:-1]))
+        ) - 1  # segment id per row
+        max_k = int(np.bincount(seg).max())
+        p1s, p2s = [], []
+        for d in range(1, max_k):
+            same = seg[d:] == seg[:-d]
+            diff = pk[d:] != pk[:-d]
+            m = same & diff
+            if m.any():
+                p1s.append(pk[:-d][m])
+                p2s.append(pk[d:][m])
+        if not p1s:
+            return empty
+        t = pa.table(
+            {
+                "p1": pa.array(np.concatenate(p1s), pa.int64()),
+                "p2": pa.array(np.concatenate(p2s), pa.int64()),
+            }
+        )
+        cnt = t.group_by(["p1", "p2"]).aggregate([([], "count_all")])
+        cnt = cnt.rename_columns(["p1", "p2", "n"])
+        return cnt.set_column(2, "n", pc.cast(cnt.column("n"), pa.int64()))
+
+    from ray.data.aggregate import Sum as _Sum
+
+    pairs = (
+        li.map_batches(tag, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(expand, batch_format="pyarrow")
+        .groupby(["p1", "p2"])
+        .aggregate(_Sum("n", alias_name="n"))
+        .filter(expr=f"n >= {min_support}")
+    )
+    return pairs.sort(["p1", "p2"])
+
+
+PART_COPURCHASE_SQL = """
+SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem a
+JOIN lineitem b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+HAVING COUNT(*) >= 2
+ORDER BY 1, 2
+"""

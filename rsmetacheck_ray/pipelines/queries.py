@@ -630,6 +630,56 @@ ORDER BY q
 """
 
 
+_FLAG_QS = [0.5, 0.9]
+
+
+def q_price_quantiles_by_flag(sf_dir: str):
+    """Grouped exact quantile_disc over the wide price domain — the
+    per-group form of `price_quantiles` (two counting passes, no
+    sort; group domain = l_returnflag, bounded)."""
+    from ..functions.selection import radix_quantiles_by_group
+
+    ds = rel._read_pq(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_extendedprice"],
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "l_returnflag": b.column("l_returnflag"),
+                "cents": rel._cents(b.column("l_extendedprice")),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    t = radix_quantiles_by_group(ds, "l_returnflag", "cents", _FLAG_QS)
+    if t is None:
+        return pa.table(
+            {
+                "l_returnflag": pa.array([], pa.string()),
+                "q": pa.array([], pa.float64()),
+                "price_cents": pa.array([], pa.int64()),
+            }
+        )
+    return t.rename_columns(["l_returnflag", "q", "price_cents"])
+
+
+SQL_PRICE_QUANTILES_BY_FLAG = """
+WITH c AS (
+  SELECT l_returnflag,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM lineitem
+)
+SELECT l_returnflag, 0.5::DOUBLE AS q,
+       CAST(quantile_disc(cents, 0.5) AS BIGINT) AS price_cents
+FROM c GROUP BY l_returnflag
+UNION ALL
+SELECT l_returnflag, 0.9::DOUBLE,
+       CAST(quantile_disc(cents, 0.9) AS BIGINT)
+FROM c GROUP BY l_returnflag
+ORDER BY l_returnflag, q
+"""
+
+
 def q_doc_stats(sf_dir: str):
     ds = _documents(sf_dir, ["doc_id", "text"])
 
@@ -3951,6 +4001,9 @@ def registry() -> dict[str, tuple]:
             dec3.rich_inactive_customers, dec3.RICH_INACTIVE_SQL,
         ),
         "price_quantiles": (q_price_quantiles, SQL_PRICE_QUANTILES),
+        "price_quantiles_by_flag": (
+            q_price_quantiles_by_flag, SQL_PRICE_QUANTILES_BY_FLAG,
+        ),
         "dominant_suppliers": (
             dec3.dominant_suppliers, dec3.DOMINANT_SUPPLIERS_SQL,
         ),
@@ -3959,6 +4012,9 @@ def registry() -> dict[str, tuple]:
         # without per-user recursion; pinned by the brute-force
         # differential in tests/test_analytics.py
         "events_ewma": (ana.events_ewma, None),
+        "part_copurchase": (
+            dec3.part_copurchase, dec3.PART_COPURCHASE_SQL,
+        ),
         "open_orders": (rel.open_orders, rel.OPEN_ORDERS_SQL),
         "parts_by_brand": (rel.parts_by_brand, rel.PARTS_BY_BRAND_SQL),
         "supplier_nation_balance": (

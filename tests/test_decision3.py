@@ -254,6 +254,30 @@ def test_dominant_suppliers_fair_share_boundary(ray_session, tmp_path):
         ], got
 
 
+def test_part_copurchase_multiplicity(ray_session, tmp_path):
+    d = str(tmp_path)
+    # order 1: part 5 on TWO lines + part 7 -> pair (5,7) twice (the
+    # SQL self-join multiplicity); the (5,5) line pair is excluded by
+    # the strict <. order 2: (5,7) once more -> n=3. order 3: (7,9)
+    # once -> below min_support=2, filtered.
+    _write(d, "lineitem", {
+        "l_orderkey": pa.array([1, 1, 1, 2, 2, 3, 3], pa.int64()),
+        "l_partkey": pa.array([5, 5, 7, 7, 5, 7, 9], pa.int64()),
+        "l_suppkey": pa.array([1] * 7, pa.int64()),
+        "l_linenumber": pa.array([1] * 7, pa.int32()),
+        "l_quantity": pa.array([1.0] * 7, pa.float64()),
+        "l_extendedprice": pa.array([1.0] * 7, pa.float64()),
+        "l_discount": pa.array([0.0] * 7, pa.float64()),
+        "l_tax": pa.array([0.0] * 7, pa.float64()),
+        "l_returnflag": pa.array(["N"] * 7, pa.string()),
+        "l_linestatus": pa.array(["O"] * 7, pa.string()),
+        "l_shipdate": pa.array([_ts("1996-02-01")] * 7, pa.timestamp("us")),
+    })
+    for parts in (1, 3):
+        got = d3.part_copurchase(d, num_partitions=parts).take_all()
+        assert got == [{"p1": 5, "p2": 7, "n": 3}], got
+
+
 def test_rich_inactive_threshold_and_cutoff(ray_session, tmp_path):
     d = str(tmp_path)
     # balances (cents): 10000, 20000, 30000, -500 (ignored in avg).

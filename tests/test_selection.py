@@ -59,3 +59,42 @@ def test_radix_rejects_out_of_domain(ray_session):
 
     with pytest.raises(Exception):
         radix_quantiles(_ds(np.array([-1, 5])), "cents", [0.5])
+
+
+def test_radix_by_group_matches_bruteforce(ray_session):
+    from rsmetacheck_ray.functions.selection import radix_quantiles_by_group
+
+    rng = np.random.default_rng(23)
+    qs = [0.1, 0.5, 0.9, 1.0]
+    groups = np.array(["a", "b", "c"])[rng.integers(0, 3, size=3000)]
+    vals = rng.integers(0, 1 << 30, size=3000)
+    vals[groups == "b"] %= 50  # one group entirely in bucket 0
+    t = pa.table(
+        {
+            "g": pa.array(groups, pa.string()),
+            "cents": pa.array(vals, pa.int64()),
+        }
+    )
+    got = radix_quantiles_by_group(
+        rd.from_arrow(t).repartition(5), "g", "cents", qs
+    )
+    rows = got.to_pylist()
+    i = 0
+    for grp in ["a", "b", "c"]:
+        exp = _brute(vals[groups == grp], qs)
+        for q, e in zip(qs, exp):
+            r = rows[i]; i += 1
+            assert r == {"grp": grp, "q": q, "value": e}, (r, grp, q, e)
+    assert i == len(rows)
+
+
+def test_radix_by_group_empty_and_single(ray_session):
+    from rsmetacheck_ray.functions.selection import radix_quantiles_by_group
+
+    t = pa.table(
+        {"g": pa.array([], pa.string()), "cents": pa.array([], pa.int64())}
+    )
+    assert radix_quantiles_by_group(rd.from_arrow(t), "g", "cents", [0.5]) is None
+    t = pa.table({"g": pa.array(["x"]), "cents": pa.array([7], pa.int64())})
+    got = radix_quantiles_by_group(rd.from_arrow(t), "g", "cents", [0.5])
+    assert got.to_pylist() == [{"grp": "x", "q": 0.5, "value": 7}]
