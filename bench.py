@@ -312,6 +312,9 @@ BENCH_QUERIES = [
     "common_users_by_type",
     "part_copurchase",
     "price_quantiles_by_flag",
+    "events_zorder",
+    "user_type_islands",
+    "events_value_share",
 ]
 
 

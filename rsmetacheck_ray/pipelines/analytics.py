@@ -544,6 +544,151 @@ def events_ewma(
     ).sort("user_id")
 
 
+def user_type_islands(
+    sf_dir: str, num_partitions: int | None = None
+) -> rd.Dataset:
+    """(user_id, event_type, run_start, run_len): maximal runs
+    ("islands") of consecutive same-type events per user in (ts,
+    event_id) order — the gaps-and-islands shape (SQL needs the
+    ROW_NUMBER-difference trick; here a run is one vectorized
+    boundary compare per partition).
+
+    ONE shuffle on the hashed user partition; run starts are where the
+    user OR the type changes in the partition lexsort; lengths come
+    from one ``diff`` over start positions — no per-row or per-run
+    Python."""
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    n_parts = num_partitions or adaptive_partitions(
+        parquet_rows_hint(ds), row_bytes=40
+    )
+
+    def tag(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "part": _part_of(b.column("user_id"), n_parts),
+                "user_id": b.column("user_id"),
+                "ts": pc.cast(b.column("ts"), pa.int64()),
+                "event_id": b.column("event_id"),
+                "etype": b.column("event_type"),
+            }
+        )
+
+    def islands(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        ts = g.column("ts").to_numpy(zero_copy_only=False)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        et = g.column("etype")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        enc = et.dictionary_encode()
+        tcode = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(uid)
+        if n == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "event_type": pa.array([], pa.string()),
+                    "run_start": pa.array([], pa.timestamp("us")),
+                    "run_len": pa.array([], pa.int64()),
+                }
+            )
+        order = np.lexsort((eid, ts, uid))
+        u, t, c = uid[order], ts[order], tcode[order]
+        new_run = np.empty(n, dtype=bool)
+        new_run[0] = True
+        new_run[1:] = (u[1:] != u[:-1]) | (c[1:] != c[:-1])
+        starts = np.flatnonzero(new_run)
+        lens = np.diff(np.append(starts, n))
+        type_strs = enc.dictionary.take(pa.array(c[starts]))
+        return pa.table(
+            {
+                "user_id": pa.array(u[starts], pa.int64()),
+                "event_type": type_strs,
+                "run_start": pa.array(t[starts]).cast(pa.timestamp("us")),
+                "run_len": pa.array(lens.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(islands, batch_format="pyarrow")
+        .sort(["user_id", "run_start", "event_type"])
+    )
+
+
+USER_TYPE_ISLANDS_SQL = """
+WITH o AS (
+  SELECT user_id, ts, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rnt
+  FROM events
+)
+SELECT user_id, event_type, MIN(ts) AS run_start,
+       CAST(COUNT(*) AS BIGINT) AS run_len
+FROM o
+GROUP BY user_id, event_type, rn - rnt
+ORDER BY user_id, run_start, event_type
+"""
+
+
+def events_value_share(
+    sf_dir: str, num_partitions: int | None = None
+) -> rd.Dataset:
+    """(event_id, cents, user_total, share): each event's value as a
+    share of its user's total — the RATIO_TO_REPORT window. One hashed
+    shuffle; per-partition segment sums broadcast back to rows with
+    ``repeat``; the share is the IEEE double division both sides
+    compute identically."""
+    keyed = _events_keyed(sf_dir, num_partitions)
+
+    def share(g: pa.Table) -> pa.Table:
+        u, e, c, starts, counts = _user_sorted(g)
+        if len(u) == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "cents": pa.array([], pa.int64()),
+                    "user_total": pa.array([], pa.int64()),
+                    "share": pa.array([], pa.float64()),
+                }
+            )
+        totals = np.add.reduceat(c, starts)
+        per_row = np.repeat(totals, counts)
+        return pa.table(
+            {
+                "event_id": pa.array(e, pa.int64()),
+                "cents": pa.array(c, pa.int64()),
+                "user_total": pa.array(per_row, pa.int64()),
+                "share": pa.array(
+                    c.astype(np.float64) / per_row.astype(np.float64)
+                ),
+            }
+        )
+
+    return keyed.groupby("part").map_groups(share, batch_format="pyarrow")
+
+
+EVENTS_VALUE_SHARE_SQL = """
+WITH c AS (
+  SELECT event_id, user_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_id, cents,
+       CAST(SUM(cents) OVER (PARTITION BY user_id) AS BIGINT)
+         AS user_total,
+       CAST(cents AS DOUBLE) / SUM(cents) OVER (PARTITION BY user_id)
+         AS share
+FROM c
+"""
+
+
 def events_user_ntile(
     sf_dir: str, k: int = 4, num_partitions: int | None = None
 ) -> rd.Dataset:

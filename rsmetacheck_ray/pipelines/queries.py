@@ -3137,6 +3137,82 @@ def _sorted_topk(ds: rd.Dataset, sort_keys, k: int) -> rd.Dataset:
     )
 
 
+_ZORDER_K = 100
+
+# Morton bit-spread: x -> bits of x interleaved with zeros, the
+# standard 5-step magic-mask sequence (public domain "Bit Twiddling
+# Hacks"); identical arithmetic on both sides so zkeys hash-match.
+_SPREAD_STEPS = [
+    (8, 0x00FF00FF),
+    (4, 0x0F0F0F0F),
+    (2, 0x33333333),
+    (1, 0x55555555),
+]
+
+
+def _spread16_np(x: np.ndarray) -> np.ndarray:
+    x = x & 0xFFFF
+    for s, m in _SPREAD_STEPS:
+        x = (x | (x << s)) & m
+    return x
+
+
+def _spread16_sql(col: str) -> str:
+    expr = f"({col} & 65535)"
+    for s, m in _SPREAD_STEPS:
+        expr = f"(({expr} | ({expr} << {s})) & {m})"
+    return expr
+
+
+def q_events_zorder(sf_dir: str, k: int = _ZORDER_K):
+    """The ``k`` events FIRST on the Z-ORDER (Morton) curve over
+    (user_id, value cents) — the space-filling-curve layout key
+    lakehouses cluster files by so multi-column range predicates prune
+    together. zkey interleaves the low 16 bits of both columns
+    (``spread(user) | spread(cents) << 1``); the ordering pass is the
+    shared per-block top-k prune (never a full sort), so computing a
+    Z-layout at 10¹² rows ships (#blocks × k) candidate rows."""
+    ds = rel._read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "value"],
+    )
+
+    def stage(b: pa.Table) -> pa.Table:
+        u = b.column("user_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        c = rel._cents(b.column("value")).to_numpy(zero_copy_only=False)
+        z = _spread16_np(u) | (_spread16_np(c) << 1)
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "zkey": pa.array(z, pa.int64()),
+            }
+        )
+
+    return _sorted_topk(
+        ds.map_batches(stage, batch_format="pyarrow"),
+        [("zkey", "ascending"), ("event_id", "ascending")],
+        k,
+    )
+
+
+def _sql_events_zorder() -> str:
+    zu = _spread16_sql("user_id")
+    zc = _spread16_sql("cents")
+    return f"""
+WITH c AS (
+  SELECT event_id, user_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_id, ({zu} | ({zc} << 1)) AS zkey
+FROM c
+ORDER BY zkey, event_id
+LIMIT {_ZORDER_K}
+"""
+
+
 def q_importance_sample(sf_dir: str):
     """The DSIR resampling step: keep the top-k documents by
     importance weight (wfp DESC, doc_id ASC — fully deterministic
@@ -4014,6 +4090,13 @@ def registry() -> dict[str, tuple]:
         "events_ewma": (ana.events_ewma, None),
         "part_copurchase": (
             dec3.part_copurchase, dec3.PART_COPURCHASE_SQL,
+        ),
+        "events_zorder": (q_events_zorder, _sql_events_zorder()),
+        "user_type_islands": (
+            ana.user_type_islands, ana.USER_TYPE_ISLANDS_SQL,
+        ),
+        "events_value_share": (
+            ana.events_value_share, ana.EVENTS_VALUE_SHARE_SQL,
         ),
         "open_orders": (rel.open_orders, rel.OPEN_ORDERS_SQL),
         "parts_by_brand": (rel.parts_by_brand, rel.PARTS_BY_BRAND_SQL),

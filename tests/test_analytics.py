@@ -300,3 +300,61 @@ def test_ewma_single_event_is_identity(ray_session, tmp_path):
     _write_events(str(tmp_path), [(0, 0, 7, 12.34)])
     got = ana.events_ewma(str(tmp_path)).take_all()
     assert got == [{"user_id": 7, "n_events": 1, "ewma": 1234.0}]
+
+
+def test_islands_runs_and_boundaries(ray_session, tmp_path):
+    """Gaps-and-islands: runs break on type change and on user change;
+    re-visits of an earlier type open a NEW run; partition-invariant."""
+    rows = [
+        # user 1: A A B A  -> runs (A,2) (B,1) (A,1)
+        (0, 0, 1, 1.0), (1, 1, 1, 1.0), (2, 2, 1, 1.0), (3, 3, 1, 1.0),
+        # user 2: A -> one run, even though user 1 ends with A
+        (4, 0, 2, 1.0),
+    ]
+    _write_events(str(tmp_path), rows)
+    import pyarrow.parquet as _pq
+
+    # overwrite event_type: _write_events sets all "click"
+    t = _pq.read_table(os.path.join(str(tmp_path), "events.parquet"))
+    types = pa.array(["A", "A", "B", "A", "A"], pa.string())
+    t = t.set_column(t.column_names.index("event_type"), "event_type", types)
+    _pq.write_table(t, os.path.join(str(tmp_path), "events.parquet"))
+    for parts in (1, 3):
+        got = ana.user_type_islands(
+            str(tmp_path), num_partitions=parts
+        ).take_all()
+        runs = [(r["user_id"], r["event_type"], r["run_len"]) for r in got]
+        assert runs == [(1, "A", 2), (1, "B", 1), (1, "A", 1), (2, "A", 1)], runs
+
+
+def test_value_share_matches_duckdb_on_zero_totals(ray_session, tmp_path):
+    """A user whose every value rounds to 0 cents: the share division
+    is 0/0 on both sides — pin the engine to DuckDB's result for this
+    boundary too."""
+    import duckdb
+
+    rows = [
+        (0, 0, 1, 0.0), (1, 1, 1, 0.001),  # user 1: all 0 cents
+        (2, 0, 2, 1.0), (3, 1, 2, 3.0),    # user 2: 100 + 300 cents
+    ]
+    _write_events(str(tmp_path), rows)
+    got = sorted(
+        ana.events_value_share(str(tmp_path)).take_all(),
+        key=lambda r: r["event_id"],
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet')"
+    )
+    want = con.execute(
+        ana.EVENTS_VALUE_SHARE_SQL + " ORDER BY event_id"
+    ).fetchall()
+    for g, w in zip(got, want):
+        assert g["event_id"] == w[0] and g["cents"] == w[1]
+        assert g["user_total"] == w[2]
+        ws = w[3]
+        if ws is None or (isinstance(ws, float) and np.isnan(ws)):
+            assert np.isnan(g["share"]), (g, w)
+        else:
+            assert g["share"] == ws, (g, w)
