@@ -278,6 +278,41 @@ def test_part_copurchase_multiplicity(ray_session, tmp_path):
         assert got == [{"p1": 5, "p2": 7, "n": 3}], got
 
 
+def test_part_copurchase_hot_basket_cap(ray_session, tmp_path):
+    """A pathological giant basket is truncated to its first
+    max_basket_lines lines (partkey order) instead of expanding
+    quadratically; normal baskets are untouched."""
+    d = str(tmp_path)
+    n_big = 50
+    okeys = [1] * n_big + [2, 2, 2]
+    pkeys = list(range(100, 100 + n_big)) + [7, 9, 7]
+    _write(d, "lineitem", {
+        "l_orderkey": pa.array(okeys, pa.int64()),
+        "l_partkey": pa.array(pkeys, pa.int64()),
+        "l_suppkey": pa.array([1] * len(okeys), pa.int64()),
+        "l_linenumber": pa.array([1] * len(okeys), pa.int32()),
+        "l_quantity": pa.array([1.0] * len(okeys), pa.float64()),
+        "l_extendedprice": pa.array([1.0] * len(okeys), pa.float64()),
+        "l_discount": pa.array([0.0] * len(okeys), pa.float64()),
+        "l_tax": pa.array([0.0] * len(okeys), pa.float64()),
+        "l_returnflag": pa.array(["N"] * len(okeys), pa.string()),
+        "l_linestatus": pa.array(["O"] * len(okeys), pa.string()),
+        "l_shipdate": pa.array(
+            [_ts("1996-02-01")] * len(okeys), pa.timestamp("us")
+        ),
+    })
+    # cap 10: order 1 keeps parts 100..109 -> C(10,2)=45 pairs each
+    # n=1 (below min_support=2); order 2's (7,9) pairs twice (7 twice).
+    got = d3.part_copurchase(
+        d, min_support=2, num_partitions=1, max_basket_lines=10
+    ).take_all()
+    assert got == [{"p1": 7, "p2": 9, "n": 2}], got
+    # uncapped: order 1 contributes C(50,2) distinct single-count
+    # pairs, still filtered by support; result identical
+    got = d3.part_copurchase(d, min_support=2, num_partitions=1).take_all()
+    assert got == [{"p1": 7, "p2": 9, "n": 2}], got
+
+
 def test_rich_inactive_threshold_and_cutoff(ray_session, tmp_path):
     d = str(tmp_path)
     # balances (cents): 10000, 20000, 30000, -500 (ignored in avg).
