@@ -1184,6 +1184,7 @@ def part_copurchase(
     min_support: int = 2,
     num_partitions: int | None = None,
     max_basket_lines: int = MAX_BASKET_LINES,
+    max_pair_rows: int = 4_000_000,
 ) -> rd.Dataset:
     """(p1, p2, n): how many line PAIRS put parts p1 < p2 in the same
     order, for pairs with support ≥ ``min_support`` — the
@@ -1283,7 +1284,9 @@ def part_copurchase(
     # measured 16.8s of fixed exchange cost on 0.7s of compute
     from .relational import bounded_group_table
 
-    agg = bounded_group_table(per_part, ["p1", "p2"], [("n", "sum")])
+    agg = bounded_group_table(
+        per_part, ["p1", "p2"], [("n", "sum")], max_rows=max_pair_rows
+    )
     if agg is None:
         return rd.from_arrow(empty)
     if isinstance(agg, rd.Dataset):  # > 4M distinct pairs: stay distributed

@@ -716,3 +716,100 @@ def test_token_budget_matches_prefix_walk(ray_session, seed):
             if cum <= budget:
                 want.append(int(i + 1))
     assert got == sorted(want)
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.integers(min_value=0, max_value=10_000))
+def test_copurchase_matches_bruteforce(ray_session, seed):
+    """part_copurchase == the O(n²) per-order line-pair count on random
+    baskets with duplicate parts, for both the driver-merged and the
+    forced-distributed pair reduce."""
+    import itertools
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from rsmetacheck_ray.pipelines.decision3 import part_copurchase
+
+    rng = np.random.default_rng(seed)
+    n = 120
+    okeys = rng.integers(1, 25, n)
+    pkeys = rng.integers(100, 112, n)
+    li = pa.table(
+        {
+            "l_orderkey": pa.array(okeys, pa.int64()),
+            "l_partkey": pa.array(pkeys, pa.int64()),
+        }
+    )
+    pairs: dict[tuple, int] = {}
+    for o in np.unique(okeys):
+        parts = sorted(pkeys[okeys == o].tolist())
+        for a, b in itertools.combinations(parts, 2):
+            if a != b:
+                pairs[(a, b)] = pairs.get((a, b), 0) + 1
+    want = sorted(
+        (p1, p2, c) for (p1, p2), c in pairs.items() if c >= 2
+    )
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(li, os.path.join(d, "lineitem.parquet"))
+        for kw in ({}, {"max_pair_rows": 1}):  # force distributed fallback
+            got = part_copurchase(d, num_partitions=3, **kw).take_all()
+            assert [(r["p1"], r["p2"], r["n"]) for r in got] == want, kw
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.integers(min_value=0, max_value=10_000))
+def test_islands_match_bruteforce(ray_session, seed):
+    """user_type_islands == a per-user sequential run scan on random
+    streams with repeated ts values."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from rsmetacheck_ray.pipelines.analytics import user_type_islands
+
+    rng = np.random.default_rng(seed)
+    n = 200
+    uid = rng.integers(1, 9, n)
+    ts = rng.integers(0, 40, n) * 1_000_000
+    types = np.array(["A", "B", "C"])[rng.integers(0, 3, n)]
+    ev = pa.table(
+        {
+            "event_id": pa.array(np.arange(n), pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array(uid, pa.int64()),
+            "event_type": pa.array(types, pa.string()),
+            "value": pa.array(np.zeros(n), pa.float64()),
+            "props": pa.array(["{}"] * n, pa.string()),
+        }
+    )
+    expected = []
+    for u in np.unique(uid):
+        sel = np.flatnonzero(uid == u)
+        order = np.lexsort((sel, ts[sel]))  # ts, then event_id(=sel)
+        seq = [(types[sel[i]], int(ts[sel[i]])) for i in order]
+        runs = []
+        for t, s in seq:
+            if runs and runs[-1][0] == t:
+                runs[-1][2] += 1
+            else:
+                runs.append([t, s, 1])
+        for t, s, ln in runs:
+            expected.append((int(u), t, s, ln))
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(ev, os.path.join(d, "events.parquet"))
+        got = user_type_islands(d, num_partitions=3).take_all()
+    got_t = [
+        (
+            r["user_id"],
+            r["event_type"],
+            int(r["run_start"].timestamp() * 1_000_000)
+            if hasattr(r["run_start"], "timestamp")
+            else int(r["run_start"]),
+            r["run_len"],
+        )
+        for r in got
+    ]
+    assert sorted(got_t) == sorted(expected)
