@@ -679,12 +679,20 @@ def top_supplier(
     wk = winners.column("s_suppkey").to_numpy(zero_copy_only=False).astype(
         np.int64
     )
-    pos = np.minimum(np.searchsorted(nk, wk), max(len(nk) - 1, 0))
+    if not len(nk):
+        return rd.from_arrow(empty)
+    pos = np.minimum(np.searchsorted(nk, wk), len(nk) - 1)
+    hit = nk[pos] == wk
+    # inner-join semantics: a max-revenue suppkey with no supplier row
+    # drops (matching the SQL join) rather than borrowing a neighbor's
+    # name — the MAX itself is still computed over ALL revenue keys
     out = pa.table(
         {
-            "s_suppkey": pa.array(wk, pa.int64()),
-            "s_name": nv.take(pa.array(pos)),
-            "total_cents": winners.column("total_cents"),
+            "s_suppkey": pa.array(wk[hit], pa.int64()),
+            "s_name": nv.take(pa.array(pos[hit])),
+            "total_cents": winners.column("total_cents").filter(
+                pa.array(hit)
+            ),
         }
     )
     return rd.from_arrow(out).sort("s_suppkey")

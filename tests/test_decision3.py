@@ -176,6 +176,34 @@ def test_top_supplier_tie_rows(ray_session, tmp_path):
     ]
 
 
+def test_top_supplier_unknown_suppkey_drops(ray_session, tmp_path):
+    """A max-revenue suppkey with no supplier row drops at the name
+    join (SQL inner-join semantics) — but still participates in the
+    global MAX, so a lesser known supplier does NOT get promoted."""
+    d = str(tmp_path)
+    _write(d, "supplier", {
+        "s_suppkey": pa.array([1], pa.int64()),
+        "s_name": pa.array(["A"], pa.string()),
+        "s_nationkey": pa.array([0], pa.int32()),
+        "s_acctbal": pa.array([0.0], pa.float64()),
+    })
+    _write(d, "lineitem", {
+        "l_orderkey": pa.array([1, 2], pa.int64()),
+        "l_partkey": pa.array([1, 1], pa.int64()),
+        "l_suppkey": pa.array([1, 99], pa.int64()),  # 99 unknown, max rev
+        "l_linenumber": pa.array([1, 1], pa.int32()),
+        "l_quantity": pa.array([1.0, 1.0], pa.float64()),
+        "l_extendedprice": pa.array([10.0, 50.0], pa.float64()),
+        "l_discount": pa.array([0.0, 0.0], pa.float64()),
+        "l_tax": pa.array([0.0, 0.0], pa.float64()),
+        "l_returnflag": pa.array(["N", "N"], pa.string()),
+        "l_linestatus": pa.array(["O", "O"], pa.string()),
+        "l_shipdate": pa.array([_ts("1996-02-01")] * 2, pa.timestamp("us")),
+    })
+    got = d3.top_supplier(d, date_lo="1996-01-01", date_hi="1996-04-01")
+    assert got.take_all() == []
+
+
 def test_small_qty_revenue_exact_boundary(ray_session, tmp_path):
     d = str(tmp_path)
     _write(d, "part", {
