@@ -436,7 +436,15 @@ def nation_volume(
             "rev_cents": agg.column("rev_cents"),
         }
     )
-    return rd.from_arrow(out).sort(["supp_nation", "cust_nation", "l_year"])
+    idx = pc.sort_indices(
+        out,
+        sort_keys=[
+            ("supp_nation", "ascending"),
+            ("cust_nation", "ascending"),
+            ("l_year", "ascending"),
+        ],
+    )
+    return rd.from_arrow(out.take(idx))
 
 
 NATION_VOLUME_SQL = """
@@ -1128,7 +1136,42 @@ def dominant_suppliers(
         .groupby("part")
         .map_groups(merge, batch_format="pyarrow")
     )
-    return per_part.sort(["l_partkey", "l_suppkey"])
+    # presentation sort: the per-partition results are already final
+    # (partitioned BY partkey), so a distributed Sort barrier buys
+    # nothing — pull under the guard and sort on the driver; past the
+    # guard (≥4M dominant pairs) keep the distributed sort
+    import ray as _ray
+
+    tables, pulled = [], 0
+    refs = per_part.materialize().to_arrow_refs()
+    for r in refs:
+        t = _ray.get(r)
+        if t.num_rows == 0:
+            continue
+        tables.append(t)
+        pulled += t.num_rows
+        if pulled > 4_000_000:
+            return rd.from_arrow_refs(refs).sort(
+                ["l_partkey", "l_suppkey"]
+            )
+    if not tables:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "l_partkey": pa.array([], pa.int64()),
+                    "l_suppkey": pa.array([], pa.int64()),
+                    "n_supp": pa.array([], pa.int64()),
+                    "supp_qty": pa.array([], pa.int64()),
+                    "part_qty": pa.array([], pa.int64()),
+                }
+            )
+        )
+    t = pa.concat_tables(tables)
+    idx = pc.sort_indices(
+        t,
+        sort_keys=[("l_partkey", "ascending"), ("l_suppkey", "ascending")],
+    )
+    return rd.from_arrow(t.take(idx))
 
 
 DOMINANT_SUPPLIERS_SQL = """
