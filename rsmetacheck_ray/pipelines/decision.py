@@ -58,6 +58,11 @@ from .relational import (
 # rather than silently degrading.
 _SUPPLIER_BROADCAST_MAX = 50_000_000
 
+# Q5's customer (custkey → nationkey) projection broadcast gate —
+# 16 B/row, ≈32 MB at the bound (the nation_volume pattern); past it
+# stage A's tagged-union custkey shuffle joins the side distributively
+_Q5_CUST_BROADCAST_MAX = 2_000_000
+
 
 def local_supplier_volume(
     sf_dir: str,
@@ -131,6 +136,56 @@ def local_supplier_volume(
     n_parts = num_partitions or adaptive_partitions(
         parquet_rows_hint(orders), row_bytes=24
     )
+
+    # size gate (the nation_volume pattern): while the (custkey →
+    # nationkey) projection is bounded, the region customers broadcast
+    # as a sorted pair and stage A's shuffle disappears — orders map
+    # straight to (okey, cnat) rows; past the gate the tagged-union
+    # custkey shuffle below handles the at-scale-unbounded side.
+    cust_hint = parquet_rows_hint(cust)
+    use_cust_bcast = (
+        cust_hint is not None and cust_hint <= _Q5_CUST_BROADCAST_MAX
+    )
+    if use_cust_bcast:
+        ct = pq.read_table(
+            os.path.join(sf_dir, "customer.parquet"),
+            columns=["c_custkey", "c_nationkey"],
+        )
+        bk = ct.column("c_custkey").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        bn = ct.column("c_nationkey").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        keep = np.isin(bn, nat_arr)
+        bk, bn = bk[keep], bn[keep]
+        o = np.argsort(bk, kind="stable")
+        cust_ref = ray.put((bk[o], bn[o]))
+
+        def orders_mapped(b: pa.Table) -> pa.Table:
+            ck2, cn2 = ray.get(cust_ref)
+            oc = b.column("o_custkey").to_numpy(zero_copy_only=False)
+            okey = b.column("o_orderkey").to_numpy(zero_copy_only=False)
+            if not len(ck2):
+                hit = np.zeros(len(oc), bool)
+                cn_hit = np.empty(0, np.int64)
+            else:
+                pos = np.minimum(np.searchsorted(ck2, oc), len(ck2) - 1)
+                hit = ck2[pos] == oc
+                cn_hit = cn2[pos][hit]
+            ok_hit = okey[hit]
+            ka = pa.array(ok_hit, pa.int64())
+            return pa.table(
+                {
+                    "part": _part_of(ka, n_parts),
+                    "okey": ka,
+                    "tag": pa.array(np.ones(len(ok_hit), np.int8)),
+                    "nat": pa.array(cn_hit, pa.int64()),
+                    "rev": pa.array(
+                        np.zeros(len(ok_hit), np.int64), pa.int64()
+                    ),
+                }
+            )
 
     # -- stage A: orders ⋉ region customers on custkey → (okey, cnat)
     def tag_cust(b: pa.Table) -> pa.Table:
@@ -241,7 +296,15 @@ def local_supplier_volume(
             }
         )
 
-    stage_b = open_orders.map_batches(tag_open, batch_format="pyarrow").union(
+    if use_cust_bcast:
+        open_tagged = orders.map_batches(
+            orders_mapped, batch_format="pyarrow"
+        )
+    else:
+        open_tagged = open_orders.map_batches(
+            tag_open, batch_format="pyarrow"
+        )
+    stage_b = open_tagged.union(
         _li_read(sf_dir).map_batches(li_partial, batch_format="pyarrow")
     )
 

@@ -459,3 +459,16 @@ def test_chi2_includes_structural_zero_cells(ray_session, tmp_path):
     con.execute(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
     got = con.execute(dec.EVENTS_CHI2_SQL).fetchall()
     assert got[0] == tuple(out.iloc[0])
+
+
+def test_q5_broadcast_and_shuffle_paths_agree(ray_session):
+    """local_supplier_volume's size-gated customer plan: the broadcast
+    path (default at test scale) and the forced tagged-union shuffle
+    path return identical rows on sf0.001."""
+    import unittest.mock as mock
+
+    sf = "/root/testdata/sf0.001"
+    a = dec.local_supplier_volume(sf).take_all()
+    with mock.patch.object(dec, "_Q5_CUST_BROADCAST_MAX", 0):
+        b = dec.local_supplier_volume(sf).take_all()
+    assert a == b and len(a) > 0
