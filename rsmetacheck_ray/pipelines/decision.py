@@ -52,10 +52,10 @@ from .relational import (
 
 # supplier is broadcast as two sorted int64 arrays (suppkey →
 # nationkey). At 16 B/row the handle is 160 KB/SF-1 and ~160 MB at the
-# 10⁷-supplier extreme — past _SUPPLIER_BROADCAST_MAX rows callers
-# must co-partition lineitem⋈supplier on suppkey first (a third
-# tagged-union stage, the shipping_priority pattern); the gate raises
-# rather than silently degrading.
+# 10⁷-supplier extreme — past _SUPPLIER_BROADCAST_MAX rows the plan
+# falls back to decision3._li_supplier_copart: ONE extra tagged-union
+# suppkey shuffle joining lineitem⋈supplier distributively (the
+# shipping_priority pattern), never a driver pull.
 _SUPPLIER_BROADCAST_MAX = 50_000_000
 
 # Q5's customer (custkey → nationkey) projection broadcast gate —
@@ -100,23 +100,29 @@ def local_supplier_volume(
     nat_name = {n["n_nationkey"]: n["n_name"] for n in nat}
     nat_arr = np.asarray(nat_keys, np.int64)
 
-    sup = pq.read_table(
-        os.path.join(sf_dir, "supplier.parquet"),
-        columns=["s_suppkey", "s_nationkey"],
+    from .decision3 import _li_supplier_copart, _supplier_rows_hint
+
+    use_sup_bcast = (
+        _supplier_rows_hint(sf_dir) <= _SUPPLIER_BROADCAST_MAX
     )
-    if sup.num_rows > _SUPPLIER_BROADCAST_MAX:
-        raise ValueError(
-            f"supplier has {sup.num_rows} rows > broadcast gate "
-            f"{_SUPPLIER_BROADCAST_MAX}; use the co-partitioned "
-            "suppkey join stage for this corpus"
+    if use_sup_bcast:
+        sup = pq.read_table(
+            os.path.join(sf_dir, "supplier.parquet"),
+            columns=["s_suppkey", "s_nationkey"],
         )
-    sk = sup.column("s_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
-    sn = sup.column("s_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
-    order = np.argsort(sk, kind="stable")
-    sk, sn = sk[order], sn[order]
-    # restrict to the region up front: out-of-region suppliers map to -1
-    sn = np.where(np.isin(sn, nat_arr), sn, -1)
-    sup_ref = ray.put((sk, sn))
+        sk = sup.column("s_suppkey").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        sn = sup.column("s_nationkey").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        order = np.argsort(sk, kind="stable")
+        sk, sn = sk[order], sn[order]
+        # restrict to the region up front: out-of-region suppliers → -1
+        sn = np.where(np.isin(sn, nat_arr), sn, -1)
+        sup_ref = ray.put((sk, sn))
+    else:
+        sup_ref = None
 
     lo = np.datetime64(date_lo, "us")
     hi = np.datetime64(date_hi, "us")
@@ -304,9 +310,62 @@ def local_supplier_volume(
         open_tagged = open_orders.map_batches(
             tag_open, batch_format="pyarrow"
         )
-    stage_b = open_tagged.union(
-        _li_read(sf_dir).map_batches(li_partial, batch_format="pyarrow")
-    )
+    if use_sup_bcast:
+        li_stream = _li_read(sf_dir).map_batches(
+            li_partial, batch_format="pyarrow"
+        )
+    else:
+        # past the supplier broadcast gate: resolve l_suppkey →
+        # s_nationkey via the co-partitioned suppkey shuffle (per-batch
+        # pre-combined (skey, okey) → rev partials move, not lines),
+        # then restrict to the region and retag for stage B.
+        def li_proj(b: pa.Table) -> pa.Table:
+            rev = _cents(
+                pc.multiply(
+                    b.column("l_extendedprice"),
+                    pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+                )
+            )
+            t = pa.table(
+                {
+                    "skey": pc.cast(b.column("l_suppkey"), pa.int64()),
+                    "okey": pc.cast(b.column("l_orderkey"), pa.int64()),
+                    "rev": rev,
+                }
+            )
+            g = t.group_by(["skey", "okey"]).aggregate([("rev", "sum")])
+            return g.rename_columns(["skey", "okey", "rev"])
+
+        resolved = _li_supplier_copart(
+            _li_read(sf_dir).map_batches(li_proj, batch_format="pyarrow"),
+            sf_dir,
+            ["okey", "rev"],
+            n_parts,
+        )
+
+        def retag(b: pa.Table) -> pa.Table:
+            snat = b.column("snat").to_numpy(zero_copy_only=False)
+            keep = np.isin(snat, nat_arr)
+            ka = pa.array(
+                b.column("okey").to_numpy(zero_copy_only=False)[keep],
+                pa.int64(),
+            )
+            return pa.table(
+                {
+                    "part": _part_of(ka, n_parts),
+                    "okey": ka,
+                    "tag": pa.array(np.zeros(len(ka), np.int8)),
+                    "nat": pa.array(snat[keep], pa.int64()),
+                    "rev": pa.array(
+                        b.column("rev").to_numpy(zero_copy_only=False)[keep],
+                        pa.int64(),
+                    ),
+                }
+            )
+
+        li_stream = resolved.map_batches(retag, batch_format="pyarrow")
+
+    stage_b = open_tagged.union(li_stream)
 
     def merge_b(g: pa.Table) -> pa.Table:
         tag = g.column("tag").to_numpy(zero_copy_only=False)

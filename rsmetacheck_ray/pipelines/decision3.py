@@ -58,31 +58,120 @@ _NV_CUST_BROADCAST_MAX = 2_000_000
 
 # supplier travels as sorted (s_suppkey → s_nationkey) int arrays:
 # 16 B/row, 160 KB at SF-1 (10k suppliers), ~160 MB at a 10⁷-supplier
-# extreme — past the gate, co-partition lineitem⋈supplier on suppkey
-# instead (the big_orders tagged-union stage); raise, don't degrade.
+# extreme — past the gate ``_li_supplier_copart`` joins
+# lineitem⋈supplier distributively on a hashed suppkey partition
+# instead (one extra tagged-union shuffle, never a driver pull).
 _SUPPLIER_BROADCAST_MAX = 10_000_000
+
+
+def _supplier_rows_hint(sf_dir: str) -> int:
+    """Supplier row count from parquet footer metadata only — the
+    broadcast-vs-co-partition gate must not read the table to decide."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(
+        os.path.join(sf_dir, "supplier.parquet")
+    ).metadata.num_rows
 
 
 def _supplier_nation_ref(sf_dir: str):
     """ray.put a sorted (s_suppkey, s_nationkey) pair for per-batch
-    searchsorted lookup."""
+    searchsorted lookup. Callers gate on ``_supplier_rows_hint`` ≤
+    ``_SUPPLIER_BROADCAST_MAX`` before building this handle."""
     import pyarrow.parquet as pq
 
     t = pq.read_table(
         os.path.join(sf_dir, "supplier.parquet"),
         columns=["s_suppkey", "s_nationkey"],
     )
-    if t.num_rows > _SUPPLIER_BROADCAST_MAX:
-        raise ValueError(
-            f"supplier has {t.num_rows} rows > broadcast gate "
-            f"{_SUPPLIER_BROADCAST_MAX}; co-partition on suppkey instead"
-        )
     sk = t.column("s_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
     sn = t.column("s_nationkey").to_numpy(zero_copy_only=False).astype(
         np.int64
     )
     order = np.argsort(sk, kind="stable")
     return ray.put((sk[order], sn[order]))
+
+
+def _li_supplier_copart(
+    li_rows: rd.Dataset,
+    sf_dir: str,
+    payload: list[str],
+    n_parts: int,
+) -> rd.Dataset:
+    """Co-partitioned lineitem⋈supplier on suppkey — the
+    past-the-broadcast-gate plan for the Q5/Q7 family. ``li_rows``
+    batches carry ``skey`` (l_suppkey, int64) plus int64 ``payload``
+    columns (already per-batch pre-combined by the caller); supplier
+    ships as (key → nationkey) 16 B rows. ONE tagged-union all-to-all
+    on hash(suppkey); the partition merge sorts its supplier slice
+    (suppkey is a PK) and searchsorted-probes the line rows. Returns
+    (snat, *payload) inner-join hits."""
+    # internal tagged-union columns use a "_c" prefix so payload
+    # names ("key", "okey", …) can never collide with them
+    assert not any(c.startswith("_c") for c in payload), payload
+    sup = _read_pq(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_nationkey"],
+    )
+
+    def tag_sup(b: pa.Table) -> pa.Table:
+        n = len(b)
+        z = pa.array(np.zeros(n, np.int64), pa.int64())
+        cols = {
+            "_cpart": _part_of(b.column("s_suppkey"), n_parts),
+            "_ckey": pc.cast(b.column("s_suppkey"), pa.int64()),
+            "_ctag": pa.array(np.zeros(n, np.int8)),
+            "_cnat": pc.cast(b.column("s_nationkey"), pa.int64()),
+        }
+        for c in payload:
+            cols[c] = z
+        return pa.table(cols)
+
+    def tag_line(b: pa.Table) -> pa.Table:
+        n = len(b)
+        cols = {
+            "_cpart": _part_of(b.column("skey"), n_parts),
+            "_ckey": pc.cast(b.column("skey"), pa.int64()),
+            "_ctag": pa.array(np.ones(n, np.int8)),
+            "_cnat": pa.array(np.zeros(n, np.int64), pa.int64()),
+        }
+        for c in payload:
+            cols[c] = pc.cast(b.column(c), pa.int64())
+        return pa.table(cols)
+
+    both = sup.map_batches(tag_sup, batch_format="pyarrow").union(
+        li_rows.map_batches(tag_line, batch_format="pyarrow")
+    )
+    empty = pa.table(
+        {
+            "snat": pa.array([], pa.int64()),
+            **{c: pa.array([], pa.int64()) for c in payload},
+        }
+    )
+
+    def merge(g: pa.Table) -> pa.Table:
+        tag = g.column("_ctag").to_numpy(zero_copy_only=False)
+        key = g.column("_ckey").to_numpy(zero_copy_only=False)
+        ssel = tag == 0
+        sk = key[ssel]
+        sn = g.column("_cnat").to_numpy(zero_copy_only=False)[ssel]
+        lsel = ~ssel
+        lk = key[lsel]
+        if not len(sk) or not len(lk):
+            return empty
+        order = np.argsort(sk, kind="stable")  # suppkey is a PK: unique
+        sk, sn = sk[order], sn[order]
+        pos = np.minimum(np.searchsorted(sk, lk), len(sk) - 1)
+        hit = sk[pos] == lk
+        cols = {"snat": pa.array(sn[pos][hit], pa.int64())}
+        for c in payload:
+            cols[c] = pa.array(
+                g.column(c).to_numpy(zero_copy_only=False)[lsel][hit],
+                pa.int64(),
+            )
+        return pa.table(cols)
+
+    return both.groupby("_cpart").map_groups(merge, batch_format="pyarrow")
 
 
 def _nation_names(sf_dir: str) -> dict[int, str]:
@@ -133,7 +222,8 @@ def nation_volume(
     unbounded) customer side distributively.
 
     The final domain is |nations|² × years ⇒ driver-merged reduce."""
-    sup_ref = _supplier_nation_ref(sf_dir)
+    use_sup_bcast = _supplier_rows_hint(sf_dir) <= _SUPPLIER_BROADCAST_MAX
+    sup_ref = _supplier_nation_ref(sf_dir) if use_sup_bcast else None
     names = _nation_names(sf_dir)
 
     lo = np.datetime64(date_lo, "us")
@@ -220,7 +310,60 @@ def nation_volume(
             }
         )
 
-    both = li.map_batches(tag_li, batch_format="pyarrow").union(
+    if use_sup_bcast:
+        li_tagged = li.map_batches(tag_li, batch_format="pyarrow")
+    else:
+        # past the supplier broadcast gate: resolve l_suppkey →
+        # s_nationkey with ONE extra co-partitioned suppkey shuffle
+        # (per-batch pre-combined (skey, okey, year) → cents partials
+        # move, never raw lines), then retag for the orderkey stage.
+        def li_proj(b: pa.Table) -> pa.Table:
+            rev = _cents(
+                pc.multiply(
+                    b.column("l_extendedprice"),
+                    pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+                )
+            )
+            yr = _year_of(
+                b.column("l_shipdate").to_numpy(zero_copy_only=False)
+            )
+            t = pa.table(
+                {
+                    "skey": pc.cast(b.column("l_suppkey"), pa.int64()),
+                    "key": pc.cast(b.column("l_orderkey"), pa.int64()),
+                    "year": pa.array(yr, pa.int64()),
+                    "cents": rev,
+                }
+            )
+            g = t.group_by(["skey", "key", "year"]).aggregate(
+                [("cents", "sum")]
+            )
+            return g.rename_columns(["skey", "key", "year", "cents"])
+
+        resolved = _li_supplier_copart(
+            li.map_batches(li_proj, batch_format="pyarrow"),
+            sf_dir,
+            ["key", "year", "cents"],
+            n_parts,
+        )
+
+        def retag(b: pa.Table) -> pa.Table:
+            n = len(b)
+            return pa.table(
+                {
+                    "part": _part_of(b.column("key"), n_parts),
+                    "key": b.column("key"),
+                    "tag": pa.array(np.zeros(n, np.int8)),
+                    "snat": b.column("snat"),
+                    "year": b.column("year"),
+                    "cents": b.column("cents"),
+                    "ckey": pa.array(np.zeros(n, np.int64), pa.int64()),
+                }
+            )
+
+        li_tagged = resolved.map_batches(retag, batch_format="pyarrow")
+
+    both = li_tagged.union(
         orders.map_batches(tag_orders, batch_format="pyarrow")
     )
 

@@ -98,12 +98,18 @@ def test_q5_date_window_excludes(ray_session, tmp_path):
     assert len(out) == 0
 
 
-def test_q5_supplier_broadcast_gate(ray_session, tmp_path, monkeypatch):
+def test_q5_supplier_copart_fallback(ray_session, tmp_path, monkeypatch):
+    """Past the supplier broadcast gate Q5 falls back to the
+    co-partitioned suppkey shuffle and returns identical rows — on the
+    planted mini-lake AND (below, via the sf0.001 paths-agree test)
+    against the real tables."""
     d = str(tmp_path)
     _mini_q5(d)
-    monkeypatch.setattr(dec, "_SUPPLIER_BROADCAST_MAX", 2)
-    with pytest.raises(ValueError, match="broadcast gate"):
-        dec.local_supplier_volume(d)
+    monkeypatch.setattr(dec, "_SUPPLIER_BROADCAST_MAX", 0)
+    for parts in (1, 3):
+        out = dec.local_supplier_volume(d, num_partitions=parts).to_pandas()
+        got = dict(zip(out["n_name"], out["rev_cents"]))
+        assert got == {"CHINA": 10000, "JAPAN": 2000}
 
 
 def _write_orders(d, rows):
@@ -472,3 +478,10 @@ def test_q5_broadcast_and_shuffle_paths_agree(ray_session):
     with mock.patch.object(dec, "_Q5_CUST_BROADCAST_MAX", 0):
         b = dec.local_supplier_volume(sf).take_all()
     assert a == b and len(a) > 0
+    # the supplier side's fallback (co-partitioned suppkey shuffle)
+    # must agree too — alone and combined with the customer fallback
+    with mock.patch.object(dec, "_SUPPLIER_BROADCAST_MAX", 0):
+        c = dec.local_supplier_volume(sf).take_all()
+        with mock.patch.object(dec, "_Q5_CUST_BROADCAST_MAX", 0):
+            e = dec.local_supplier_volume(sf).take_all()
+    assert a == c and a == e

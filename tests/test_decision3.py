@@ -109,6 +109,16 @@ def test_nation_volume_joins_window_partitions(ray_session, tmp_path):
     with mock.patch.object(d3, "_NV_CUST_BROADCAST_MAX", 0):
         got = d3.nation_volume(str(tmp_path), num_partitions=3).take_all()
         assert got == want, got
+    # force the co-partitioned supplier-join path (past the supplier
+    # broadcast gate), alone and combined with the customer fallback
+    with mock.patch.object(d3, "_SUPPLIER_BROADCAST_MAX", 0):
+        got = d3.nation_volume(str(tmp_path), num_partitions=3).take_all()
+        assert got == want, got
+        with mock.patch.object(d3, "_NV_CUST_BROADCAST_MAX", 0):
+            got = d3.nation_volume(
+                str(tmp_path), num_partitions=2
+            ).take_all()
+            assert got == want, got
 
 
 def test_urgent_lines_by_status_multiplicity(ray_session, tmp_path):
