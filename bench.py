@@ -414,6 +414,27 @@ def main() -> None:
             ]
 
     print(json.dumps(result))
+    # compact summary as the FINAL stdout line: the driver records a
+    # ~2 KB tail of stdout, and the full result line above (87 query
+    # medians + spreads + run lists) overflows it, truncating mid-JSON
+    # (BENCH_r03). This line is a few hundred bytes, always fits,
+    # always parses; the queries dict is summarized to aggregates with
+    # the slowest three named.
+    qs = result["queries"]
+    worst = sorted(qs, key=qs.get, reverse=True)[:3]
+    summary = {
+        k: result[k]
+        for k in (
+            "metric", "value", "unit", "docs", "docs_per_sec",
+            "html_docs_per_sec", "warc_docs_per_sec", "sf", "num_cpus",
+        )
+    }
+    summary["queries_n"] = len(qs)
+    if qs:
+        summary["queries_median_sec"] = round(median(qs.values()), 3)
+        summary["queries_max_sec"] = round(max(qs.values()), 3)
+        summary["queries_slowest"] = {n: qs[n] for n in worst}
+    print(json.dumps(summary))
     ray.shutdown()
 
 
