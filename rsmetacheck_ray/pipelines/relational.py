@@ -1129,7 +1129,15 @@ def customers_without_orders(
     """Customers with no order of the given priority (every customer
     has SOME order in the driver tables, so the unfiltered anti-join
     would be vacuously empty — and an empty Ray dataset loses its
-    schema, which the driver's column compare would flag)."""
+    schema, which the driver's column compare would flag).
+
+    Expressed through the generic join API (pipelines/join.py): each
+    order batch pre-shrinks to its DISTINCT custkeys, then
+    ``join(how="anti")`` picks broadcast vs co-partition by its size
+    gate (the bespoke tagged-union anti merge this replaced lives on
+    as join.py's copart path)."""
+    from .join import join as _join
+
     cust = _read_pq(
         os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"]
     )
@@ -1138,47 +1146,19 @@ def customers_without_orders(
         columns=["o_custkey"],
         filter=(pc.field("o_orderpriority") == priority),
     )
-    n_parts = num_partitions or adaptive_partitions(
-        (parquet_rows_hint(cust) or 0) + (parquet_rows_hint(orders) or 0) or None,
-        row_bytes=24,  # (part, key, tag)
-    )
 
-    def tag_cust(b: pa.Table) -> pa.Table:
-        n = len(b)
-        return pa.table(
-            {
-                "part": _part_of(b.column("c_custkey"), n_parts),
-                "key": b.column("c_custkey"),
-                "tag": pa.array(np.zeros(n, dtype=np.int8)),
-            }
-        )
-
-    def tag_orders(b: pa.Table) -> pa.Table:
+    def shrink(b: pa.Table) -> pa.Table:
         # pre-shrink: ship each batch's DISTINCT custkeys only
         uk = np.unique(b.column("o_custkey").to_numpy(zero_copy_only=False))
-        return pa.table(
-            {
-                "part": _part_of(pa.array(uk, pa.int64()), n_parts),
-                "key": pa.array(uk, pa.int64()),
-                "tag": pa.array(np.ones(len(uk), dtype=np.int8)),
-            }
-        )
+        return pa.table({"o_custkey": pa.array(uk, pa.int64())})
 
-    both = cust.map_batches(tag_cust, batch_format="pyarrow").union(
-        orders.map_batches(tag_orders, batch_format="pyarrow")
+    return _join(
+        cust,
+        orders.map_batches(shrink, batch_format="pyarrow"),
+        on=("c_custkey", "o_custkey"),
+        how="anti",
+        num_partitions=num_partitions,
     )
-
-    def anti(group: pa.Table) -> pa.Table:
-        key = group.column("key").to_numpy(zero_copy_only=False)
-        tag = group.column("tag").to_numpy(zero_copy_only=False)
-        ck = key[tag == 0]
-        ok = np.unique(key[tag == 1])
-        pos = np.searchsorted(ok, ck)
-        pos_c = np.minimum(pos, max(len(ok) - 1, 0))
-        has = (len(ok) > 0) & (ok[pos_c] == ck) if len(ok) else np.zeros(len(ck), bool)
-        return pa.table({"c_custkey": pa.array(ck[~has], pa.int64())})
-
-    return both.groupby("part").map_groups(anti, batch_format="pyarrow")
 
 
 CUSTOMERS_WITHOUT_ORDERS_SQL = """
