@@ -315,6 +315,11 @@ BENCH_QUERIES = [
     "events_zorder",
     "user_type_islands",
     "events_value_share",
+    # round-4 TPC-H shapes (built on the generic join API)
+    "waiting_suppliers",
+    "min_cost_supplier",
+    "product_type_profit",
+    "nation_market_share",
 ]
 
 

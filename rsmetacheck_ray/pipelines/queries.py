@@ -64,6 +64,7 @@ from . import corpus as cor
 from . import decision as dec
 from . import decision2 as dec2
 from . import decision3 as dec3
+from . import decision4 as dec4
 from . import relational as rel
 from .quality_gate import build_gate
 
@@ -4097,6 +4098,20 @@ def registry() -> dict[str, tuple]:
         ),
         "events_value_share": (
             ana.events_value_share, ana.EVENTS_VALUE_SHARE_SQL,
+        ),
+        # round-4 decision-support batch: the remaining TPC-H shapes,
+        # built on the generic join API (pipelines/join.py)
+        "waiting_suppliers": (
+            dec4.waiting_suppliers, dec4.WAITING_SUPPLIERS_SQL,
+        ),
+        "min_cost_supplier": (
+            dec4.min_cost_supplier, dec4.MIN_COST_SUPPLIER_SQL,
+        ),
+        "product_type_profit": (
+            dec4.product_type_profit, dec4.PRODUCT_TYPE_PROFIT_SQL,
+        ),
+        "nation_market_share": (
+            dec4.nation_market_share, dec4.NATION_MARKET_SHARE_SQL,
         ),
         "open_orders": (rel.open_orders, rel.OPEN_ORDERS_SQL),
         "parts_by_brand": (rel.parts_by_brand, rel.PARTS_BY_BRAND_SQL),
