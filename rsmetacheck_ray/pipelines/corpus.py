@@ -111,8 +111,19 @@ def token_budget_sample(
         )
 
     # refinement: per-document cumulative sum inside the straddle
-    # bucket only (bounded: the documents sharing ONE n_chars value)
-    kept_ids: set[int] = set()
+    # bucket only. Usually bounded (the documents sharing ONE n_chars
+    # value), but a degenerate corpus (every doc the same length)
+    # makes the bucket a whole language stratum — so the pull is
+    # CAPPED with an incremental abort, and past the cap the budget
+    # boundary is resolved distributively by doc_id-range refinement:
+    # each round buckets the unresolved window into ``_STRADDLE_B``
+    # ranges, reduces per-(lang, range) token sums (bounded table),
+    # walks the prefix on the driver, and narrows to the straddling
+    # range — ≥1024× smaller per round, never a driver materialize.
+    # Either path yields one (first-overflow doc_id) threshold per
+    # language; the kept set is always ``doc_id < T`` within the
+    # bucket, so no id list ever broadcasts.
+    cut_doc: dict[str, int] = {}  # lang -> first-overflow doc_id
     if straddle:
         smap = dict(straddle)  # lang -> (n_chars, residual)
 
@@ -146,37 +157,49 @@ def token_budget_sample(
                 }
             )
 
-        cand = ds.map_batches(gather, batch_format="pyarrow").take_all()
-        per_lang: dict[str, list] = {}
-        for r in cand:
-            per_lang.setdefault(r["lang"], []).append(
-                (int(r["doc_id"]), int(r["tok"]))
-            )
-        for lang, docs in per_lang.items():
-            docs.sort()
-            resid = smap[lang][1]
-            cum = 0
-            for doc_id, tok in docs:
-                cum += tok
-                if cum <= resid:
-                    kept_ids.add(doc_id)
-                else:
-                    break
+        # tokenize the straddle candidates ONCE; both paths reuse the
+        # computed refs (never the text again)
+        refs = (
+            ds.map_batches(gather, batch_format="pyarrow")
+            .materialize()
+            .to_arrow_refs()
+        )
+        tables, pulled, over = [], 0, False
+        for ref in refs:
+            t = ray.get(ref)
+            if t.num_rows == 0:
+                continue
+            tables.append(t)
+            pulled += t.num_rows
+            if pulled > _STRADDLE_PULL_MAX:
+                over = True
+                break
+        if not over:
+            cut_doc = _resolve_straddle_driver(tables, smap)
+        else:
+            cut_doc = _resolve_straddle_distributed(refs, smap)
 
-    thr_ref = ray.put((keep_above, np.array(sorted(kept_ids), np.int64)))
+    thr_ref = ray.put((keep_above, smap if straddle else {}, cut_doc))
 
     def emit(b: pa.Table) -> pa.Table:
-        thr, ids = ray.get(thr_ref)
+        thr, smap2, cuts = ray.get(thr_ref)
         enc = b.column("lang").combine_chunks().dictionary_encode()
+        dvals = enc.dictionary.to_pylist()
         thr_of = np.array(
-            [thr.get(l, 1 << 62) for l in enc.dictionary.to_pylist()], np.int64
+            [thr.get(l, 1 << 62) for l in dvals], np.int64
         )
+        sval = np.array(
+            [smap2[l][0] if l in smap2 else -(1 << 62) for l in dvals],
+            np.int64,
+        )
+        cut_of = np.array(
+            [cuts.get(l, -(1 << 62)) for l in dvals], np.int64
+        )
+        codes = enc.indices.to_numpy(zero_copy_only=False)
         ncs = b.column("n_chars").to_numpy(zero_copy_only=False)
         dids = b.column("doc_id").to_numpy(zero_copy_only=False)
-        above = ncs > thr_of[enc.indices.to_numpy(zero_copy_only=False)]
-        pos = np.searchsorted(ids, dids)
-        pos_c = np.minimum(pos, max(len(ids) - 1, 0))
-        in_straddle = (ids[pos_c] == dids) if len(ids) else np.zeros(len(dids), bool)
+        above = ncs > thr_of[codes]
+        in_straddle = (ncs == sval[codes]) & (dids < cut_of[codes])
         keep = above | in_straddle
         idx = pa.array(np.flatnonzero(keep), pa.int64())
         return pa.table(
@@ -190,6 +213,157 @@ def token_budget_sample(
         )
 
     return ds.map_batches(emit, batch_format="pyarrow")
+
+
+# straddle-bucket candidate rows pulled driver-side before switching
+# to the distributed range refinement (≈96 MB of (lang, id, tok) rows)
+_STRADDLE_PULL_MAX = 4_000_000
+
+# ranges per refinement round: each round shrinks the unresolved
+# doc_id window ≥1024×, so even a 2⁶³ window resolves in ≤7 rounds
+_STRADDLE_B = 1024
+
+
+def _resolve_straddle_driver(
+    tables: list[pa.Table], smap: dict[str, tuple[int, int]]
+) -> dict[str, int]:
+    """Vectorized in-memory resolve: per language, the first doc_id
+    (ascending) whose running token sum exceeds the residual."""
+    if not tables:
+        return {}
+    t = pa.concat_tables(tables)
+    langs = t.column("lang").to_numpy(zero_copy_only=False).astype(str)
+    dids = t.column("doc_id").to_numpy(zero_copy_only=False)
+    toks = t.column("tok").to_numpy(zero_copy_only=False)
+    uk, inv = np.unique(langs, return_inverse=True)
+    order = np.lexsort((dids, inv))
+    inv_s, dids_s, toks_s = inv[order], dids[order], toks[order]
+    cum = np.cumsum(toks_s)
+    # per-segment cumsum: subtract the running total at segment starts
+    starts = np.flatnonzero(
+        np.concatenate(([True], inv_s[1:] != inv_s[:-1]))
+    )
+    seg_base = np.zeros(len(inv_s), np.int64)
+    seg_base[starts] = cum[starts] - toks_s[starts]
+    seg_base = np.maximum.accumulate(seg_base)
+    seg_cum = cum - seg_base
+    resid = np.array([smap[l][1] for l in uk], np.int64)
+    overflow = seg_cum > resid[inv_s]
+    out: dict[str, int] = {}
+    for s_i, lang_code in enumerate(np.unique(inv_s)):
+        seg = np.flatnonzero(inv_s == lang_code)
+        ov = seg[overflow[seg]]
+        out[str(uk[lang_code])] = (
+            int(dids_s[ov[0]]) if len(ov) else (1 << 62)
+        )
+    return out
+
+
+def _resolve_straddle_distributed(
+    refs, smap: dict[str, tuple[int, int]]
+) -> dict[str, int]:
+    """Doc_id-range refinement over the already-computed candidate
+    refs: per round, per-(lang, range) token sums reduce to a bounded
+    driver table; fully-fitting prefix ranges shrink the residual and
+    advance the window, and the straddling range becomes the next
+    round's window. Ends when every window is a single doc_id."""
+    cand = rd.from_arrow_refs(refs)
+    # initial per-lang doc_id windows
+    bounds = bounded_group_table_strict(
+        cand.map_batches(
+            lambda b: b.group_by("lang")
+            .aggregate([("doc_id", "min"), ("doc_id", "max")])
+            .rename_columns(["lang", "lo", "hi"]),
+            batch_format="pyarrow",
+        ),
+        ["lang"],
+        [("lo", "min"), ("hi", "max")],
+    )
+    if bounds is None:
+        return {}
+    active: dict[str, tuple[int, int, int]] = {}  # lang -> (resid, lo, hi)
+    for r in bounds.to_pylist():
+        active[r["lang"]] = (
+            int(smap[r["lang"]][1]), int(r["lo"]), int(r["hi"])
+        )
+    out: dict[str, int] = {}
+    while active:
+        win = dict(active)  # lang -> (resid, lo, hi)
+        win_ref = ray.put(win)
+
+        def bucketize(b: pa.Table) -> pa.Table:
+            w = ray.get(win_ref)
+            enc = b.column("lang").combine_chunks().dictionary_encode()
+            dvals = enc.dictionary.to_pylist()
+            lo_of = np.array(
+                [w[l][1] if l in w else 1 << 62 for l in dvals], np.int64
+            )
+            hi_of = np.array(
+                [w[l][2] if l in w else -(1 << 62) for l in dvals],
+                np.int64,
+            )
+            codes = enc.indices.to_numpy(zero_copy_only=False)
+            dids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            lo, hi = lo_of[codes], hi_of[codes]
+            sel = (dids >= lo) & (dids <= hi)
+            if not sel.any():
+                return pa.table(
+                    {
+                        "lang": pa.array([], pa.string()),
+                        "bucket": pa.array([], pa.int64()),
+                        "tok": pa.array([], pa.int64()),
+                    }
+                )
+            idx = np.flatnonzero(sel)
+            width = (hi[idx] - lo[idx]) // _STRADDLE_B + 1
+            bucket = (dids[idx] - lo[idx]) // width
+            t = pa.table(
+                {
+                    "lang": b.column("lang").take(
+                        pa.array(idx, pa.int64())
+                    ),
+                    "bucket": pa.array(bucket, pa.int64()),
+                    "tok": b.column("tok").take(pa.array(idx, pa.int64())),
+                }
+            )
+            g = t.group_by(["lang", "bucket"]).aggregate([("tok", "sum")])
+            return g.rename_columns(["lang", "bucket", "tok"])
+
+        sums = bounded_group_table_strict(
+            cand.map_batches(bucketize, batch_format="pyarrow"),
+            ["lang", "bucket"],
+            [("tok", "sum")],
+        )
+        per_lang: dict[str, list] = {}
+        if sums is not None:
+            for r in sums.to_pylist():
+                per_lang.setdefault(r["lang"], []).append(
+                    (int(r["bucket"]), int(r["tok"]))
+                )
+        nxt: dict[str, tuple[int, int, int]] = {}
+        for lang, (resid, lo, hi) in win.items():
+            width = (hi - lo) // _STRADDLE_B + 1
+            buckets = sorted(per_lang.get(lang, []))
+            cum = 0
+            strad = None
+            for bkt, tok in buckets:
+                if cum + tok <= resid:
+                    cum += tok
+                    continue
+                strad = bkt
+                break
+            if strad is None:
+                out[lang] = 1 << 62  # everything fits
+                continue
+            b_lo = lo + strad * width
+            b_hi = min(hi, b_lo + width - 1)
+            if b_lo == b_hi:
+                # single doc_id straddles ⇒ it is the first overflow
+                out[lang] = b_lo
+            else:
+                nxt[lang] = (resid - cum, b_lo, b_hi)
+        active = nxt
+    return out
 
 
 TOKEN_BUDGET_SQL = f"""

@@ -52,6 +52,33 @@ def test_budget_cuts_inside_straddle_bucket(ray_session, tmp_path):
     assert sorted(out["doc_id"]) == [1, 2, 3]
 
 
+def test_budget_degenerate_equal_lengths_distributed(
+    ray_session, tmp_path, monkeypatch
+):
+    """A corpus where EVERY document has the same length puts a whole
+    language stratum into one straddle bucket. With the driver pull
+    capped to zero, the distributed doc_id-range refinement must
+    resolve the budget boundary identically to the driver path."""
+    d = str(tmp_path)
+    # 40 same-length en docs of 2 tokens each, non-contiguous doc_ids
+    rows = [(i * 7 + 3, "aa bb", "en") for i in range(40)]
+    rows += [(1000 + i, "cc dd", "fr") for i in range(5)]
+    _write_docs(d, rows)
+    want = cor.token_budget_sample(d, budget=13).to_pandas()
+    # budget 13, 2 tokens/doc → 6 docs kept per lang (cum 12; the 7th
+    # would reach 14), fr keeps all 5
+    assert len(want) == 6 + 5
+    monkeypatch.setattr(cor, "_STRADDLE_PULL_MAX", 0)
+    monkeypatch.setattr(cor, "_STRADDLE_B", 4)  # force several rounds
+    got = cor.token_budget_sample(d, budget=13).to_pandas()
+    a = want.sort_values("doc_id").reset_index(drop=True)
+    b = got.sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+    assert sorted(b[b.lang == "en"]["doc_id"]) == [
+        i * 7 + 3 for i in range(6)
+    ]
+
+
 def test_budget_fits_everything(ray_session, tmp_path):
     d = str(tmp_path)
     _write_docs(d, [(1, "a b", "en"), (2, "c", "fr")])
