@@ -209,7 +209,14 @@ def kmeans_fit(
 def kmeans_assign(
     ds: rd.Dataset, centroids: np.ndarray, id_col: str = "vec_id"
 ) -> rd.Dataset:
-    """(id, cluster, cos): nearest-centroid assignment, one pass."""
+    """(id, cluster, cos): nearest-centroid assignment, one pass.
+
+    The float math is deliberately SEQUENTIAL (cumsum folds, not BLAS
+    matmul) so a SQL oracle can reproduce every cos bit-for-bit from
+    the exported centroids with DuckDB's ``list_sum`` left fold — the
+    ``embedding_norms`` cumsum ≙ list_sum pattern. Ties break to the
+    lowest cluster index on both sides (np.argmax first-max ≙
+    ROW_NUMBER ORDER BY cos DESC, cluster)."""
     cent_ref = ray.put(np.ascontiguousarray(centroids, np.float64))
 
     def assign(b: pa.Table) -> pa.Table:
@@ -223,7 +230,12 @@ def kmeans_assign(
                     "cos": pa.array([], pa.float64()),
                 }
             )
-        sims = _unit(mat) @ c.T
+        # sequential norm: cumsum(x²)[-1] ≙ list_sum(x²)
+        norms = np.sqrt(np.cumsum(mat * mat, axis=1)[:, -1])
+        u = mat / np.maximum(norms, 1e-300)[:, None]
+        # sequential dot per (vec, centroid): cumsum over dims
+        prods = u[:, None, :] * c[None, :, :]
+        sims = np.cumsum(prods, axis=2)[:, :, -1]
         a = sims.argmax(axis=1)
         return pa.table(
             {
@@ -245,6 +257,7 @@ def semantic_dedup(
     threshold: float = 0.97,
     id_col: str = "vec_id",
     max_cluster_docs: int = MAX_CLUSTER_DOCS,
+    centroids: np.ndarray | None = None,
 ) -> rd.Dataset:
     """(id, cluster, keep): SemDeDup — within each k-means cluster,
     connected components of the cos>threshold graph keep only their
@@ -258,8 +271,9 @@ def semantic_dedup(
     ``max_cluster_docs`` separately bounds the O(c²) similarity
     compare; docs beyond it stay uncompared and KEPT (one-sided: the
     cap can only under-dedup, never false-drop)."""
-    cent = kmeans_fit(ds, k=k, n_iters=n_iters, id_col=id_col)
-    cent_ref = ray.put(cent)
+    if centroids is None:
+        centroids = kmeans_fit(ds, k=k, n_iters=n_iters, id_col=id_col)
+    cent_ref = ray.put(centroids)
 
     def tag(b: pa.Table) -> pa.Table:
         c = ray.get(cent_ref)
@@ -272,8 +286,12 @@ def semantic_dedup(
                     "unit": pa.array([], pa.list_(pa.float64())),
                 }
             )
-        u = _unit(mat)
-        a = (u @ c.T).argmax(axis=1).astype(np.int64)
+        # same sequential-fold assignment math as kmeans_assign, so
+        # the SQL oracle's re-assignment is bit-identical
+        norms = np.sqrt(np.cumsum(mat * mat, axis=1)[:, -1])
+        u = mat / np.maximum(norms, 1e-300)[:, None]
+        sims = np.cumsum(u[:, None, :] * c[None, :, :], axis=2)[:, :, -1]
+        a = sims.argmax(axis=1).astype(np.int64)
         return pa.table(
             {
                 "cluster": pa.array(a, pa.int64()),

@@ -490,6 +490,25 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
 
 EWMA_ALPHA = 0.25
 
+# (1-α)^k underflows to exactly +0.0 past this exponent for α ≤ 0.25
+# (0.75^2700 == 0.0; smaller bases underflow sooner)
+_EWMA_TAIL = 2700
+_EWMA_LUTS: dict[float, "np.ndarray"] = {}
+
+
+def _ewma_weight_lut(alpha: float) -> "np.ndarray":
+    """lut[k] = libm pow(1-α, k) for k ≤ _EWMA_TAIL (then exactly 0)."""
+    lut = _EWMA_LUTS.get(alpha)
+    if lut is None:
+        import math
+
+        lut = np.array(
+            [math.pow(1.0 - alpha, float(k)) for k in range(_EWMA_TAIL + 1)],
+            np.float64,
+        )
+        _EWMA_LUTS[alpha] = lut
+    return lut
+
 
 def events_ewma(
     sf_dir: str,
@@ -509,10 +528,18 @@ def events_ewma(
     Python. Weights beyond ~700 steps from the end underflow to 0,
     which is also what the recurrence converges to at float64.
 
-    Exponential weights are order-sensitive ⇒ not expressible as a
-    DuckDB aggregate without a recursive CTE per user: rows-only,
-    pinned by the brute-force differential in pytest."""
+    The closed form is also what the SQL oracle evaluates (the same
+    per-row weights; the fold order is pinned by DuckDB's
+    ``list_sum(list(contrib ORDER BY rn))`` sequential fold, matching
+    ``reduceat``); the sequential-recurrence differential stays in
+    pytest."""
     keyed = _events_keyed(sf_dir, num_partitions)
+    # libm-exact decay LUT (np.power's SIMD path differs from libm pow
+    # in ~25% of exponents; DuckDB's power() IS libm pow — verified
+    # bit-exact). Past _EWMA_TAIL steps the weight underflows to
+    # EXACTLY 0.0 (0.75^2700 == +0.0), so both the LUT and the
+    # sequential fold below can truncate without changing one bit.
+    lut = _ewma_weight_lut(alpha)
 
     def fold(g: pa.Table) -> pa.Table:
         u, _e, c, starts, counts = _user_sorted(g)
@@ -527,10 +554,22 @@ def events_ewma(
             )
         pos = np.arange(n) - np.repeat(starts, counts)
         from_end = np.repeat(counts, counts) - 1 - pos
-        w = alpha * np.power(1.0 - alpha, from_end)
-        w[starts] = np.power(1.0 - alpha, counts - 1)  # init term v_1
+        w = alpha * lut[np.minimum(from_end, _EWMA_TAIL)]
+        w[starts] = lut[np.minimum(counts - 1, _EWMA_TAIL)]  # init v_1
         contrib = c.astype(np.float64) * w
-        ewma = np.add.reduceat(contrib, starts)
+        # SEQUENTIAL per-segment fold (≙ the oracle's list_sum left
+        # fold; reduceat is pairwise and rounds differently). Only the
+        # last ≤ _EWMA_TAIL entries can be nonzero, so the loop is
+        # bounded by the decay horizon, not the segment length — each
+        # iteration is one vectorized gather-add across ALL users.
+        ends = starts + counts
+        tail = np.maximum(starts, ends - (_EWMA_TAIL + 1))
+        ewma = np.zeros(len(starts), np.float64)
+        width = int((ends - tail).max(initial=0))
+        for j in range(width):
+            idx = tail + j
+            m = idx < ends
+            ewma[m] += contrib[idx[m]]
         return pa.table(
             {
                 "user_id": pa.array(u[starts], pa.int64()),
@@ -542,6 +581,32 @@ def events_ewma(
     return keyed.groupby("part").map_groups(
         fold, batch_format="pyarrow"
     ).sort("user_id")
+
+
+# the closed-form weighted sum, order-pinned: list(contrib ORDER BY rn)
+# preserves event order and list_sum left-folds it exactly like the
+# engine's reduceat; power()/multiplication are the same libm ops.
+EVENTS_EWMA_SQL = f"""
+WITH w AS (
+  SELECT user_id,
+    CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS DOUBLE) AS v,
+    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS rn,
+    COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+),
+t AS (
+  SELECT user_id, n, rn,
+    v * (CASE WHEN rn = 1 THEN power({1 - EWMA_ALPHA}, n - 1)
+         ELSE {EWMA_ALPHA} * power({1 - EWMA_ALPHA}, n - rn) END)
+      AS contrib
+  FROM w
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_events,
+  list_sum(list(contrib ORDER BY rn)) AS ewma
+FROM t GROUP BY user_id, n
+ORDER BY user_id
+"""
 
 
 def user_type_islands(

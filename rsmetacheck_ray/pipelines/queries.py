@@ -1896,15 +1896,104 @@ WHERE CAST(i.n_common AS DOUBLE) / CAST(sa.n + sb.n - i.n_common AS DOUBLE)
 """
 
 
+# --- simhash oracle: DuckDB recomputes every fingerprint ------------------
+# The word-hash primitive (8-byte blake2b, functions/hashing.py) is not
+# SQL-expressible, so — the gate_decisions LM-parameter pattern — the
+# query exports the corpus VOCABULARY's (word → uint64 hash) table and
+# DuckDB re-derives each document's SimHash from raw text: whitespace
+# split → hash join → per-bit majority vote over 64 bits → signed
+# reassembly. A TRUE differential of the fingerprint math (weighting,
+# majority, bit packing), with only the byte-level hash as a parameter.
+# The export is size-gated: it is oracle support for test scales, never
+# a production stage.
+
+_SIMHASH_VOCAB_DIR = "/tmp/rsmetacheck_simhash_oracle"
+_SIMHASH_VOCAB_EXPORT_MAX = 1_000_000  # document rows
+
+
+def _ensure_simhash_vocab_export(sf_dir: str) -> None:
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    if pq.ParquetFile(path).metadata.num_rows > _SIMHASH_VOCAB_EXPORT_MAX:
+        return  # oracle support only — skip at scale
+    texts = pq.read_table(path, columns=["text"]).column("text")
+    words = pc.utf8_split_whitespace(pc.fill_null(texts, "")).combine_chunks()
+    flat = words.flatten()
+    uniq = pc.unique(flat).to_pylist()
+    vocab = sorted(
+        {w for w in uniq if w} | set(_NEAR_SUFFIX.split())
+    )
+    hashes = dd._word_hashes(vocab)
+    os.makedirs(_SIMHASH_VOCAB_DIR, exist_ok=True)
+    out = os.path.join(_SIMHASH_VOCAB_DIR, "vocab.parquet")
+    tmp = out + f".tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+    pq.write_table(
+        pa.table(
+            {
+                "w": pa.array(vocab, pa.string()),
+                "h": pa.array(hashes, pa.uint64()),
+            }
+        ),
+        tmp,
+    )
+    os.replace(tmp, out)
+
+
+def _sql_simhash_vals(source_cte: str) -> str:
+    """CTE block computing (doc_id, simhash) over ``corpus`` rows."""
+    d = _SIMHASH_VOCAB_DIR
+    return f"""
+{source_cte},
+toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS w
+  FROM corpus
+),
+wh AS (
+  SELECT t.doc_id, v.h
+  FROM toks t JOIN '{d}/vocab.parquet' v ON v.w = t.w
+  WHERE t.w <> ''
+),
+bits AS (
+  SELECT doc_id, b.b,
+    CASE WHEN 2 * SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE 0 END)
+              > COUNT(*)
+         THEN 1 ELSE 0 END AS bit
+  FROM wh CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) b
+  GROUP BY doc_id, b.b
+),
+sums AS (
+  SELECT doc_id,
+    CAST(SUM(CASE WHEN b = 63 THEN bit * (-9223372036854775807 - 1)
+             ELSE bit * (CAST(1 AS BIGINT) << b) END) AS BIGINT) AS simhash
+  FROM bits GROUP BY doc_id
+),
+vals AS (
+  SELECT c.doc_id, COALESCE(s.simhash, 0) AS simhash
+  FROM corpus c LEFT JOIN sums s ON s.doc_id = c.doc_id
+)"""
+
+
 def q_dedup_simhash(sf_dir: str):
+    _ensure_simhash_vocab_export(sf_dir)
     return dd.simhash_dataset(_documents(sf_dir, ["doc_id", "text"]))
 
 
+SQL_DEDUP_SIMHASH = f"""
+WITH {_sql_simhash_vals("corpus AS (SELECT doc_id, text FROM documents)").strip()}
+SELECT doc_id, simhash FROM vals
+"""
+
+
 def q_dedup_simhash_pairs(sf_dir: str):
-    """Banded-Hamming SimHash near-dup pairs over the dup corpus
-    (sketch → rows-only; semantics pinned by pytest)."""
+    """Banded-Hamming SimHash near-dup pairs over the dup corpus. The
+    4×16-bit banding is EXACT at max_hamming ≤ 3 (pigeonhole), so the
+    oracle is the plain XOR + popcount self-join over the recomputed
+    fingerprints — it verifies band recall, in-bucket verification and
+    the cross-band dedup in one expression."""
     from ..partitioning import adaptive_partitions
 
+    _ensure_simhash_vocab_export(sf_dir)
     return dd.simhash_pairs(
         _dup_corpus(sf_dir),
         max_hamming=3,
@@ -1912,6 +2001,15 @@ def q_dedup_simhash_pairs(sf_dir: str):
             _dup_corpus_rows(sf_dir) * 4, row_bytes=32
         ),
     )
+
+
+SQL_DEDUP_SIMHASH_PAIRS = f"""
+WITH {_sql_simhash_vals(_DUP_CORPUS_SQL.strip().rstrip()).strip()}
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM vals a JOIN vals b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
 
 
 def q_cms_heavy_hitters(sf_dir: str):
@@ -3481,17 +3579,88 @@ def q_knn_quantized(sf_dir: str):
     return knn_quantized(qds, qvecs, qids, k=10)
 
 
+# --- k-means / SemDeDup oracles: centroid export + DuckDB re-assign -------
+# The Lloyd ITERATIONS are inherently engine-side (iterative), but the
+# fitted centroids are tiny parameters — the gate_decisions LM pattern:
+# export them and let DuckDB independently re-derive every assignment
+# and cosine from raw embeddings. kmeans_assign's float math is
+# sequential folds precisely so the SQL ``list_sum`` left fold
+# reproduces each cos bit-for-bit.
+
+_KMEANS_EXPORT_DIR = "/tmp/rsmetacheck_kmeans_oracle"
+
+
+def _export_centroids(cent, fname: str) -> None:
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    os.makedirs(_KMEANS_EXPORT_DIR, exist_ok=True)
+    out = os.path.join(_KMEANS_EXPORT_DIR, fname)
+    tmp = out + f".tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+    pq.write_table(
+        pa.table(
+            {
+                "cluster": pa.array(
+                    np.arange(len(cent), dtype=np.int64), pa.int64()
+                ),
+                "cvec": pa.array(
+                    [list(map(float, row)) for row in cent],
+                    pa.list_(pa.float64()),
+                ),
+            }
+        ),
+        tmp,
+    )
+    os.replace(tmp, out)
+
+
+def _sql_assign_ctes(cent_file: str) -> str:
+    """CTE block computing (vec_id, cluster, cos) over a ``corpus``
+    CTE of (vec_id, embedding) rows — the mirrored sequential math."""
+    return f"""
+norms AS (
+  SELECT vec_id,
+    greatest(sqrt(list_sum(list_transform(
+      embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))),
+      1e-300) AS nrm
+  FROM corpus
+),
+coss AS (
+  SELECT e.vec_id, c.cluster,
+    list_sum(list_transform(range(1, len(e.embedding) + 1),
+      i -> (CAST(e.embedding[i] AS DOUBLE) / n.nrm) * c.cvec[i])) AS cos
+  FROM corpus e
+  JOIN norms n ON n.vec_id = e.vec_id
+  CROSS JOIN '{_KMEANS_EXPORT_DIR}/{cent_file}' c
+),
+assigned AS (
+  SELECT vec_id, cluster, cos FROM coss
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY vec_id ORDER BY cos DESC, cluster) = 1
+)"""
+
+
 def q_kmeans_clusters(sf_dir: str):
     """Distributed Lloyd's k-means over the embeddings table
     (functions/clustering.py): per-batch partial-sum reduce per
     iteration, centroids broadcast via ray.put, then one assignment
-    pass → (vec_id, cluster, cos). Iterative ⇒ rows-only; exact parity
-    with a single-process numpy Lloyd is pinned in pytest."""
+    pass → (vec_id, cluster, cos). The fitted centroids are exported
+    so the DuckDB oracle independently recomputes every assignment and
+    cosine; single-process numpy-Lloyd parity is additionally pinned
+    in pytest."""
     from ..functions.clustering import kmeans_assign, kmeans_fit
 
     ds = rel._read_pq(os.path.join(sf_dir, "embeddings.parquet"))
     cent = kmeans_fit(ds, k=8, n_iters=8)
+    _export_centroids(cent, "centroids.parquet")
     return kmeans_assign(ds, cent)
+
+
+SQL_KMEANS_CLUSTERS = f"""
+WITH corpus AS (SELECT vec_id, embedding FROM embeddings),
+{_sql_assign_ctes("centroids.parquet").strip()}
+SELECT vec_id, cluster, cos FROM assigned
+"""
 
 
 def q_dedup_semantic(sf_dir: str):
@@ -3529,7 +3698,53 @@ def q_dedup_semantic(sf_dir: str):
         )
 
     corpus = ds.union(ds.map_batches(copies, batch_format="pyarrow"))
-    return cl.semantic_dedup(corpus, k=8, threshold=0.999)
+    cent = cl.kmeans_fit(corpus, k=8, n_iters=10)
+    _export_centroids(cent, "centroids_sem.parquet")
+    return cl.semantic_dedup(
+        corpus, k=8, threshold=0.999, centroids=cent
+    )
+
+
+SQL_DEDUP_SEMANTIC = f"""
+WITH RECURSIVE corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 4611686018427387904 AS vec_id,
+    list_transform(embedding, v -> CAST(CAST(v AS DOUBLE) * 1.0001
+                                        AS FLOAT)) AS embedding
+  FROM embeddings WHERE vec_id % 10 = 0
+),
+{_sql_assign_ctes("centroids_sem.parquet").strip()},
+units AS (
+  SELECT e.vec_id, a.cluster,
+    list_transform(e.embedding,
+      x -> CAST(x AS DOUBLE) / n.nrm) AS u
+  FROM corpus e
+  JOIN norms n ON n.vec_id = e.vec_id
+  JOIN assigned a ON a.vec_id = e.vec_id
+),
+edges AS (
+  SELECT x.vec_id AS a, y.vec_id AS b
+  FROM units x JOIN units y
+    ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+  WHERE list_sum(list_transform(range(1, len(x.u) + 1),
+          i -> x.u[i] * y.u[i])) > 0.999
+),
+sym AS (
+  SELECT a, b FROM edges UNION ALL SELECT b AS a, a AS b FROM edges
+),
+reach AS (
+  SELECT a AS id, b AS r FROM sym
+  UNION
+  SELECT c.id, s.b AS r FROM reach c JOIN sym s ON s.a = c.r
+),
+roots AS (
+  SELECT id, LEAST(id, MIN(r)) AS root FROM reach GROUP BY id
+)
+SELECT u.vec_id, u.cluster,
+  COALESCE(u.vec_id = rt.root, TRUE) AS keep
+FROM units u LEFT JOIN roots rt ON rt.id = u.vec_id
+"""
 
 
 def q_doc_sentences(sf_dir: str):
@@ -4085,10 +4300,10 @@ def registry() -> dict[str, tuple]:
             dec3.dominant_suppliers, dec3.DOMINANT_SUPPLIERS_SQL,
         ),
         "collocations": (q_collocations, _sql_collocations()),
-        # exponential weights are order-sensitive: no SQL analog
-        # without per-user recursion; pinned by the brute-force
-        # differential in tests/test_analytics.py
-        "events_ewma": (ana.events_ewma, None),
+        # exponential weights are order-sensitive: the oracle pins the
+        # fold order with list(contrib ORDER BY rn) + list_sum; the
+        # sequential-recurrence differential stays in tests
+        "events_ewma": (ana.events_ewma, ana.EVENTS_EWMA_SQL),
         "part_copurchase": (
             dec3.part_copurchase, dec3.PART_COPURCHASE_SQL,
         ),
@@ -4172,8 +4387,10 @@ def registry() -> dict[str, tuple]:
         "dedup_incremental_bloom": (q_dedup_incremental_bloom, None),  # sketch
         "dedup_minhash_pairs": (q_dedup_minhash_pairs, None),  # sketch
         "dedup_jaccard": (q_dedup_jaccard, _sql_dedup_jaccard()),
-        "dedup_simhash": (q_dedup_simhash, None),  # sketch
-        "dedup_simhash_pairs": (q_dedup_simhash_pairs, None),  # sketch
+        "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
+        "dedup_simhash_pairs": (
+            q_dedup_simhash_pairs, SQL_DEDUP_SIMHASH_PAIRS,
+        ),
         "doc_chunk_fingerprints": (q_doc_chunk_fingerprints, None),  # non-SQL chunker
         # KMV sketch: exact (and SQL-checkable) below k distinct users
         # per type, approximate past it — see q_common_users_by_type
@@ -4237,8 +4454,8 @@ def registry() -> dict[str, tuple]:
         "knn_cosine": (q_knn_cosine, SQL_KNN),
         "knn_ivf": (q_knn_ivf, None),  # approximate by design
         "knn_quantized": (q_knn_quantized, None),  # int8: approximate
-        "kmeans_clusters": (q_kmeans_clusters, None),  # iterative
-        "dedup_semantic": (q_dedup_semantic, None),  # kmeans-bucketed
+        "kmeans_clusters": (q_kmeans_clusters, SQL_KMEANS_CLUSTERS),
+        "dedup_semantic": (q_dedup_semantic, SQL_DEDUP_SEMANTIC),
         "pca_embeddings": (q_pca_embeddings, None),  # linear algebra
         # multimodal plumbing
         "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL),
