@@ -56,12 +56,22 @@ def hll_merge(blobs: list[bytes]) -> np.ndarray:
 
 
 def hll_estimate(regs: np.ndarray) -> int:
+    """Bias-corrected HLL estimate. The harmonic denominator
+    Σ 2^(-reg) is summed EXACTLY in integer arithmetic (each term is
+    2^(53-reg)/2^53 and reg ≤ 53), so the estimate is order-free and
+    bit-reproducible by a SQL oracle — float summation order would
+    differ between numpy's pairwise sum and SQL's fold. Rounding is
+    floor(x + 0.5) on both sides (Python round() is half-even)."""
     m = float(N_REGS)
-    est = _ALPHA * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
-    zeros = int((regs == 0).sum())
+    counts = np.bincount(regs.astype(np.int64), minlength=54)
+    denom_int = sum(
+        int(c) << (53 - r) for r, c in enumerate(counts.tolist()) if c
+    )
+    est = _ALPHA * m * m / (denom_int / (1 << 53))
+    zeros = int(counts[0])
     if est <= 2.5 * m and zeros:
         est = m * np.log(m / zeros)  # linear counting (small range)
-    return int(round(est))
+    return int(np.floor(est + 0.5))
 
 
 def approx_distinct(ds: rd.Dataset, col: str) -> int:

@@ -1638,6 +1638,7 @@ FROM new n
 def q_dedup_minhash_pairs(sf_dir: str):
     from ..partitioning import adaptive_partitions
 
+    _ensure_simhash_vocab_export(sf_dir)  # shared word-hash parameter
     # the union corpus has no parquet lineage, so size the band-key
     # shuffle here from the documents footer (rows × 16 bands × ~536 B)
     return dd.minhash_lsh_pairs(
@@ -1647,6 +1648,152 @@ def q_dedup_minhash_pairs(sf_dir: str):
             _dup_corpus_rows(sf_dir) * dd.N_BANDS, row_bytes=536
         ),
     )
+
+
+# --- minhash oracle: DuckDB re-derives every signature -----------------
+# The only non-SQL primitive is the per-word blake2b (exported by the
+# shared simhash vocabulary table); everything downstream — the k=3
+# rotl/xor shingle combine, the splitmix64 finalizer, all 64
+# permutation minima, the 16×4 banding gate and the in-bucket
+# agreement estimate — is recomputed in SQL. splitmix64 is expressed
+# exactly over UBIGINT with explicit mod-2⁶⁴ multiplies (validated
+# bit-equal to functions/hashing.splitmix64_np). Band collision is
+# modeled as 4-tuple equality: identical tuples always collide in the
+# engine (same fold ⇒ same key ⇒ same hashed partition), and unequal-
+# tuple key collisions are 2⁻⁶⁴-scale.
+
+
+def _sql_u64_mulmod(col: str, b: int) -> str:
+    blo, bhi = b & 0xFFFFFFFF, b >> 32
+    return (
+        f"CAST((CAST(({col}) % 4294967296 * {blo} AS HUGEINT) + "
+        f"CAST((((({col}) % 4294967296) * {bhi}) % 4294967296 + "
+        f"((({col}) >> 32) * {blo}) % 4294967296) % 4294967296 "
+        f"* 4294967296 AS HUGEINT)) % 18446744073709551616 AS UBIGINT)"
+    )
+
+
+def _sql_rotl(col: str, r: int) -> str:
+    # x << r as x * 2^r: DuckDB's UBIGINT << rejects results ≥ 2⁶³,
+    # UBIGINT multiplication is exact to 2⁶⁴ − 1
+    if r % 64 == 0:
+        return f"({col})"
+    return (
+        f"(((({col}) % {1 << (64 - r)}) * {1 << r}) | (({col}) >> {64 - r}))"
+    )
+
+
+def _sql_splitmix_ctes(prefix: str, src: str, in_col: str) -> tuple[str, str, str]:
+    """CTE chain applying splitmix64 to ``in_col`` of ``src``; returns
+    (cte_sql, final_cte_name, out_col). All other columns ride along."""
+    c1, c2, c3 = (
+        0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB,
+    )
+    p = prefix
+    sql = f"""
+{p}1 AS (
+  SELECT *, CAST((CAST({in_col} AS HUGEINT) + {c1})
+                 % 18446744073709551616 AS UBIGINT) AS {p}z0
+  FROM {src}
+),
+{p}2 AS (SELECT *, xor({p}z0, {p}z0 >> 30) AS {p}x1 FROM {p}1),
+{p}3 AS (SELECT *, {_sql_u64_mulmod(p + 'x1', c2)} AS {p}z1 FROM {p}2),
+{p}4 AS (SELECT *, xor({p}z1, {p}z1 >> 27) AS {p}x2 FROM {p}3),
+{p}5 AS (SELECT *, {_sql_u64_mulmod(p + 'x2', c3)} AS {p}z2 FROM {p}4),
+{p}6 AS (SELECT *, xor({p}z2, {p}z2 >> 31) AS {p}sm FROM {p}5)"""
+    return sql, f"{p}6", f"{p}sm"
+
+
+def _sql_dedup_minhash_pairs() -> str:
+    seeds = [
+        (k, (0x9E3779B97F4A7C15 * (k + 1)) & ((1 << 64) - 1))
+        for k in range(dd.N_PERMS)
+    ]
+    seed_values = ", ".join(f"({k}, {s})" for k, s in seeds)
+    empty_hash = dd.hash_bytes_u64(b"")
+    sm_sh, sh_cte, sh_col = _sql_splitmix_ctes("shm", "accs", "acc")
+    sm_pm, pm_cte, pm_col = _sql_splitmix_ctes("pmm", "mixed", "mx")
+    d = _SIMHASH_VOCAB_DIR
+    return f"""
+WITH {_DUP_CORPUS_SQL.strip()},
+rawtoks AS (
+  SELECT doc_id,
+    unnest(regexp_split_to_array(text, '\\s+')) AS w,
+    unnest(range(1, len(regexp_split_to_array(text, '\\s+')) + 1)) AS i
+  FROM corpus
+),
+toks AS (
+  SELECT doc_id, w,
+    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS rn
+  FROM rawtoks WHERE w <> ''
+),
+wh AS (
+  SELECT t.doc_id, t.rn, v.h,
+    COUNT(*) OVER (PARTITION BY t.doc_id) AS n
+  FROM toks t JOIN '{d}/vocab.parquet' v ON v.w = t.w
+),
+win AS (
+  SELECT doc_id, n, h AS h1,
+    lead(h, 1) OVER (PARTITION BY doc_id ORDER BY rn) AS h2,
+    lead(h, 2) OVER (PARTITION BY doc_id ORDER BY rn) AS h3,
+    rn
+  FROM wh
+),
+accs AS (
+  -- k=3 windows for docs with >= 3 tokens
+  SELECT doc_id,
+    xor(xor(h1, {_sql_rotl('h2', 13)}), {_sql_rotl('h3', 26)}) AS acc
+  FROM win WHERE n >= 3 AND h3 IS NOT NULL
+  UNION ALL
+  -- short docs (1 or 2 tokens): the scalar fold over all tokens
+  SELECT doc_id,
+    CASE WHEN n = 1 THEN h1
+         ELSE xor(h1, {_sql_rotl('h2', 13)}) END AS acc
+  FROM win WHERE n < 3 AND rn = 1
+),
+{sm_sh.strip()},
+shingles AS (
+  SELECT doc_id, {sh_col} AS sh FROM {sh_cte}
+  UNION ALL
+  -- zero-token docs: the constant empty-input hash (not splitmixed)
+  SELECT c.doc_id, CAST({empty_hash} AS UBIGINT) AS sh
+  FROM corpus c
+  WHERE NOT EXISTS (SELECT 1 FROM toks t WHERE t.doc_id = c.doc_id)
+),
+perms AS (SELECT * FROM (VALUES {seed_values}) pp(p, seed)),
+mixed AS (
+  SELECT s.doc_id, pp.p,
+    xor(s.sh, CAST(pp.seed AS UBIGINT)) AS mx
+  FROM shingles s CROSS JOIN perms pp
+),
+{sm_pm.strip()},
+sig AS (
+  SELECT doc_id, p, MIN({pm_col}) AS val FROM {pm_cte}
+  GROUP BY doc_id, p
+),
+bands AS (
+  SELECT doc_id, p // {dd.ROWS_PER_BAND} AS band,
+    list(val ORDER BY p) AS bv
+  FROM sig GROUP BY doc_id, p // {dd.ROWS_PER_BAND}
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id
+),
+agree AS (
+  SELECT c.a, c.b,
+    SUM(CASE WHEN sa.val = sb.val THEN 1 ELSE 0 END) AS n_eq
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.a
+  JOIN sig sb ON sb.doc_id = c.b AND sb.p = sa.p
+  GROUP BY c.a, c.b
+)
+SELECT a AS doc_id_a, b AS doc_id_b,
+  CAST(n_eq AS DOUBLE) / {float(dd.N_PERMS)} AS est_jaccard
+FROM agree
+WHERE CAST(n_eq AS DOUBLE) / {float(dd.N_PERMS)} >= 0.5
+"""
 
 
 # --- lexicon quality classifier (quantized linear model) -------------------
@@ -2143,8 +2290,11 @@ def q_approx_distinct_users(sf_dir: str):
 def q_approx_distinct_users_by_type(sf_dir: str):
     """Per-event-type HLL distinct users — the mergeable sketch as a
     GROUPED aggregate (one 4 KiB register blob per (batch, key) into
-    the shuffle, register-max reduce per group). Rows-only; per-group
-    accuracy vs exact pinned in tests/test_sketch.py."""
+    the shuffle, register-max reduce per group). The estimate itself
+    is deterministic and order-free (exact-integer harmonic sum), so
+    the DuckDB oracle re-derives every register and estimate from raw
+    rows; per-group accuracy vs exact stays pinned in
+    tests/test_sketch.py."""
     from ..functions.sketch import approx_distinct_by_key
 
     ds = rel._read_pq(
@@ -2152,6 +2302,75 @@ def q_approx_distinct_users_by_type(sf_dir: str):
         columns=["event_type", "user_id"],
     )
     return approx_distinct_by_key(ds, "event_type", "user_id")
+
+
+def _sql_hll(group_cols: str) -> str:
+    """HLL re-derivation: splitmix64(user_id) → (register, rank) →
+    per-group register max → the exact-integer harmonic estimate. The
+    ``bin()`` string length gives the exact bit length (floor(log2)
+    rounds wrong within half an ulp of integer exponents)."""
+    from ..functions.sketch import _ALPHA, N_REGS, P_BITS
+
+    g = group_cols
+    gsel = f"{g}, " if g else ""
+    gby = f"GROUP BY {g}" if g else ""
+    sm, cte, col = _sql_splitmix_ctes("hqm", "uvals", "v")
+    w_mask = (1 << (64 - P_BITS)) - 1
+    two53 = 1 << 53
+    return f"""
+uvals AS (SELECT {gsel}CAST(user_id AS UBIGINT) AS v FROM events),
+{sm.strip()},
+rw AS (
+  SELECT {gsel}{col} >> {64 - P_BITS} AS idx,
+         {col} % {w_mask + 1} AS w
+  FROM {cte}
+),
+rk AS (
+  SELECT {gsel}idx,
+    CASE WHEN w = 0 THEN {64 - P_BITS + 1}
+         ELSE {64 - P_BITS + 1} - length(bin(CAST(w AS BIGINT))) END
+      AS rank
+  FROM rw
+),
+regs AS (
+  SELECT {gsel}idx, MAX(rank) AS r FROM rk GROUP BY {gsel}idx
+),
+hagg AS (
+  SELECT {gsel}
+    SUM(CAST(CAST(1 AS BIGINT) << (53 - r) AS HUGEINT)) AS s,
+    COUNT(*) AS nidx
+  FROM regs {gby}
+),
+hest AS (
+  SELECT {gsel}
+    ((CAST({_ALPHA!r} AS DOUBLE) * {float(N_REGS)!r}) * {float(N_REGS)!r})
+      / (CAST(s + CAST({N_REGS} - nidx AS HUGEINT) * {two53}
+              AS DOUBLE) / CAST({float(two53)!r} AS DOUBLE)) AS raw,
+    {N_REGS} - nidx AS zeros
+  FROM hagg
+),
+hfinal AS (
+  SELECT {gsel}
+    CAST(FLOOR((CASE WHEN raw <= {2.5 * N_REGS!r} AND zeros > 0
+          THEN {float(N_REGS)!r} * ln({float(N_REGS)!r}
+                                      / CAST(zeros AS DOUBLE))
+          ELSE raw END) + 0.5) AS BIGINT) AS approx_distinct
+  FROM hest
+)"""
+
+
+def _sql_approx_distinct_users() -> str:
+    return f"""
+WITH {_sql_hll("").strip()}
+SELECT approx_distinct FROM hfinal
+"""
+
+
+def _sql_approx_distinct_users_by_type() -> str:
+    return f"""
+WITH {_sql_hll("event_type").strip()}
+SELECT event_type, approx_distinct FROM hfinal
+"""
 
 
 def q_approx_quantiles_by_type(sf_dir: str):
@@ -4385,7 +4604,9 @@ def registry() -> dict[str, tuple]:
         "dedup_exact_pairs": (q_dedup_exact_pairs, SQL_DEDUP_EXACT_PAIRS),
         "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
         "dedup_incremental_bloom": (q_dedup_incremental_bloom, None),  # sketch
-        "dedup_minhash_pairs": (q_dedup_minhash_pairs, None),  # sketch
+        "dedup_minhash_pairs": (
+            q_dedup_minhash_pairs, _sql_dedup_minhash_pairs(),
+        ),
         "dedup_jaccard": (q_dedup_jaccard, _sql_dedup_jaccard()),
         "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
         "dedup_simhash_pairs": (
@@ -4395,9 +4616,12 @@ def registry() -> dict[str, tuple]:
         # KMV sketch: exact (and SQL-checkable) below k distinct users
         # per type, approximate past it — see q_common_users_by_type
         "common_users_by_type": (q_common_users_by_type, SQL_COMMON_USERS),
-        "approx_distinct_users": (q_approx_distinct_users, None),  # sketch
+        "approx_distinct_users": (
+            q_approx_distinct_users, _sql_approx_distinct_users(),
+        ),
         "approx_distinct_users_by_type": (
-            q_approx_distinct_users_by_type, None,  # sketch
+            q_approx_distinct_users_by_type,
+            _sql_approx_distinct_users_by_type(),
         ),
         "approx_quantiles": (q_approx_quantiles, None),  # sketch
         "approx_quantiles_by_type": (q_approx_quantiles_by_type, None),  # sketch
