@@ -115,7 +115,11 @@ def warm_page_cache(path: str) -> float:
     bandwidth separately)."""
     t0 = time.perf_counter()
     files = (
-        [os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")]
+        [
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if os.path.isfile(os.path.join(path, f))
+        ]
         if os.path.isdir(path)
         else [path]
     )
@@ -127,7 +131,9 @@ def warm_page_cache(path: str) -> float:
     return time.perf_counter() - t0
 
 
-def warmup_workers(pages_dir: str, n_files: int = 4) -> float:
+def warmup_workers(
+    pages_dir: str, n_files: int = 4, input_format: str = "parquet"
+) -> float:
     """Spawn the Ray worker pool and build per-worker scorer state
     (LM tables, compiled patterns) with a small gate pass OUTSIDE the
     timed window. The headline metric is steady-state throughput — the
@@ -136,14 +142,17 @@ def warmup_workers(pages_dir: str, n_files: int = 4) -> float:
     warmup cost is reported separately as ``warmup_sec``."""
     from rsmetacheck_ray.pipelines.quality_gate import run_gate
 
+    suffix = (".warc", ".warc.gz") if input_format == "warc" else (
+        "." + input_format,
+    )
     frags = sorted(
         os.path.join(pages_dir, f)
         for f in os.listdir(pages_dir)
-        if f.endswith(".parquet")
+        if f.endswith(suffix)
     )[:n_files]
     t0 = time.perf_counter()
     shutil.rmtree("/tmp/rsmc_bench_warm", ignore_errors=True)
-    run_gate(frags, "/tmp/rsmc_bench_warm")
+    run_gate(frags, "/tmp/rsmc_bench_warm", input_format=input_format)
     return time.perf_counter() - t0
 
 
@@ -169,9 +178,14 @@ def prepare_warc(html_pages: str) -> str:
 
     from rsmetacheck_ray.sources.warc_pages import write_warc
 
-    # keyed on the source corpus dir so a differently-sized html corpus
-    # (tests, other SFs) never reuses a stale encoding
-    tag = os.path.basename(os.path.normpath(html_pages))
+    # keyed on the FULL source corpus path: corpus_dir outputs all end
+    # in ".../pages", so a basename key would collide across corpus
+    # sizes and silently reuse a stale encoding
+    import hashlib
+
+    tag = hashlib.blake2b(
+        os.path.normpath(html_pages).encode(), digest_size=6
+    ).hexdigest()
     wdir = f"/tmp/rsmc_bench_warc/{tag}"
     files = sorted(glob.glob(os.path.join(html_pages, "*.parquet")))
     done = os.path.join(wdir, ".complete")
@@ -328,13 +342,28 @@ def main() -> None:
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--scaling-low", type=int, default=int(os.environ.get("SCALING_LOW", "2")))
     ap.add_argument("--scaling-high", type=int, default=int(os.environ.get("SCALING_HIGH", "8")))
+    ap.add_argument(
+        "--scaling-corpus", choices=("text", "html", "warc"),
+        default=os.environ.get("SCALING_CORPUS", "text"),
+        help="text = replicated pages (bandwidth-bound at high core "
+        "counts); html / warc = real-HTML extraction corpora "
+        "(compute-bound; warc adds per-record gunzip — the heaviest "
+        "per-doc compute, for full-occupancy scaling runs)",
+    )
     ap.add_argument("--headline-only", action="store_true", help=argparse.SUPPRESS)
+    ap.add_argument("--pages-dir", default=None, help=argparse.SUPPRESS)
+    ap.add_argument("--n-docs", type=int, default=None, help=argparse.SUPPRESS)
+    ap.add_argument("--input-format", default="parquet", help=argparse.SUPPRESS)
+    ap.add_argument("--head-runs", type=int, default=None, help=argparse.SUPPRESS)
     ap.add_argument("--num-cpus", type=int, default=DEFAULT_CPUS)
     ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
     args = ap.parse_args()
 
     if args.scaling:
-        run_scaling(args.sf_dir, low=args.scaling_low, high=args.scaling_high)
+        run_scaling(
+            args.sf_dir, low=args.scaling_low, high=args.scaling_high,
+            corpus=args.scaling_corpus,
+        )
         return
 
     import ray
@@ -342,11 +371,20 @@ def main() -> None:
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=args.num_cpus, include_dashboard=False)
 
-    pages_dir, n_docs = prepare_pages(args.sf_dir, REPLICAS)
-    warmup_s = warmup_workers(pages_dir) + warm_page_cache(pages_dir)
-    n_head = 1 if args.headline_only else N_RUNS  # scaling runs stay single
+    if args.pages_dir:
+        pages_dir, n_docs = args.pages_dir, int(args.n_docs or 0)
+    else:
+        pages_dir, n_docs = prepare_pages(args.sf_dir, REPLICAS)
+    warmup_s = warmup_workers(
+        pages_dir, input_format=args.input_format
+    ) + warm_page_cache(pages_dir)
+    n_head = args.head_runs or (1 if args.headline_only else N_RUNS)
     head_runs = [
-        run_headline(pages_dir, "/tmp/rsmc_bench_out") for _ in range(n_head)
+        run_headline(
+            pages_dir, "/tmp/rsmc_bench_out",
+            input_format=args.input_format,
+        )
+        for _ in range(n_head)
     ]
     headline_s = median(head_runs)
 
@@ -443,7 +481,16 @@ def main() -> None:
     ray.shutdown()
 
 
-def run_scaling(sf_dir: str, low: int = 2, high: int = 8) -> None:
+# real-HTML scaling corpus size: extraction (+ per-record gunzip on
+# the warc variant) is compute-bound, and 400k docs give the 8-core
+# run ~15 s of steady-state work — the host's run-to-run noise
+# (documented ~1.8× windows) then moves the pair less than repeats do
+SCALING_HTML_DOCS = int(os.environ.get("SCALING_HTML_DOCS", "400000"))
+
+
+def run_scaling(
+    sf_dir: str, low: int = 2, high: int = 8, corpus: str = "text"
+) -> None:
     """Same headline job, two fresh processes, identical input.
 
     Each run is PINNED (taskset) to exactly its CPU count: Ray's
@@ -452,16 +499,43 @@ def run_scaling(sf_dir: str, low: int = 2, high: int = 8) -> None:
     threads (and their memory bandwidth), overstating low-parallelism
     throughput and understating scaling efficiency. Pinning makes the
     low run a faithful stand-in for an N-core NODE.
+
+    ``corpus="html"`` runs the pair on the real-HTML extraction corpus
+    instead: the html → text stage is compute-bound (~0.9 k docs/s per
+    core vs the text path's ~5 k), so even the 32-core run sits well
+    below this box's memory-bandwidth roofline and the pair
+    demonstrates scaling at full occupancy without the roofline
+    attribution argument.
     """
-    # warm the pages cache once so neither run pays generation cost
-    prepare_pages(sf_dir, SCALING_REPLICAS)
+    extra: list[str] = []
+    if corpus in ("html", "warc"):
+        from rsmetacheck_ray.datagen import corpus_dir
+
+        html_pages, _ = corpus_dir(
+            SCALING_HTML_DOCS,
+            n_files=max(64, SCALING_HTML_DOCS // 800),
+        )
+        pages = html_pages
+        if corpus == "warc":
+            pages = prepare_warc(html_pages)
+        warm_page_cache(pages)
+        extra = [
+            "--pages-dir", pages, "--n-docs", str(SCALING_HTML_DOCS),
+            "--head-runs", "3",
+        ]
+        if corpus == "warc":
+            extra += ["--input-format", "warc"]
+    else:
+        # warm the pages cache once so neither run pays generation cost
+        prepare_pages(sf_dir, SCALING_REPLICAS)
     env = dict(
         os.environ, PYTHONPATH=REPO, BENCH_REPLICAS=str(SCALING_REPLICAS)
     )
     times = {}
     for cpus in (low, high):
         cmd = [sys.executable, os.path.join(REPO, "bench.py"),
-               "--headline-only", "--num-cpus", str(cpus), "--sf-dir", sf_dir]
+               "--headline-only", "--num-cpus", str(cpus),
+               "--sf-dir", sf_dir] + extra
         if shutil.which("taskset"):
             cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
         out = subprocess.run(
@@ -476,6 +550,7 @@ def run_scaling(sf_dir: str, low: int = 2, high: int = 8) -> None:
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
+        "corpus": corpus,
         "low_cpus": low, "high_cpus": high,
         "docs_per_sec_low": tput_low, "docs_per_sec_high": tput_high,
         "headline_sec_low": times[low]["value"],

@@ -12,18 +12,16 @@ import sys
 import threading
 import time
 
-import pytest
-
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF = "/root/testdata/sf0.01"
 
 
-def _ray_worker_pids() -> list[int]:
-    """PIDs of ray worker processes, busiest first (cmdline 'ray::<task>'
-    before 'ray::IDLE'), never the current process."""
+def _active_worker_pids() -> list[int]:
+    """PIDs of ray workers EXECUTING a task right now (cmdline
+    'ray::<task>', not 'ray::IDLE'), never the current process."""
     me = os.getpid()
-    active, idle = [], []
+    out = []
     for pid_s in os.listdir("/proc"):
         if not pid_s.isdigit() or int(pid_s) == me:
             continue
@@ -32,32 +30,24 @@ def _ray_worker_pids() -> list[int]:
                 cmd = f.read().split(b"\0")[0].decode(errors="replace")
         except OSError:
             continue
-        if cmd.startswith("ray::IDLE"):
-            idle.append(int(pid_s))
-        elif cmd.startswith("ray::"):
-            active.append(int(pid_s))
-    return active + idle
+        if cmd.startswith("ray::") and not cmd.startswith("ray::IDLE"):
+            out.append(int(pid_s))
+    return out
 
 
 class _Killer(threading.Thread):
-    """After ``delay`` seconds, SIGKILL up to ``n`` worker processes;
-    keeps retrying the scan briefly so the kill lands mid-execution."""
+    """Poll for ACTIVE ray workers and SIGKILL up to ``n`` of them —
+    a kill only counts when it lands on a worker mid-task."""
 
-    def __init__(self, delay: float = 0.3, n: int = 2):
+    def __init__(self, n: int = 1):
         super().__init__(daemon=True)
-        self.delay, self.n = delay, n
+        self.n = n
         self.killed: list[int] = []
         self.stop = threading.Event()
 
     def run(self):
-        time.sleep(self.delay)
-        deadline = time.time() + 10.0
-        while (
-            len(self.killed) < self.n
-            and time.time() < deadline
-            and not self.stop.is_set()
-        ):
-            for pid in _ray_worker_pids():
+        while len(self.killed) < self.n and not self.stop.is_set():
+            for pid in _active_worker_pids():
                 if pid in self.killed:
                     continue
                 try:
@@ -67,11 +57,29 @@ class _Killer(threading.Thread):
                     continue
                 if len(self.killed) >= self.n:
                     break
-            time.sleep(0.1)
+            time.sleep(0.02)
 
 
 def _rows(ds):
     return sorted(tuple(sorted(r.items())) for r in ds.take_all())
+
+
+def _run_with_kill(fn, want, n_kill: int):
+    """Run ``fn`` repeatedly with a concurrent active-worker killer
+    until a kill lands mid-execution (a warm run can finish before any
+    task is observable); every attempt's output must equal ``want``."""
+    for _ in range(8):
+        killer = _Killer(n=n_kill)
+        killer.start()
+        try:
+            got = _rows(fn(SF))
+        finally:
+            killer.stop.set()
+            killer.join(timeout=12)
+        assert got == want
+        if killer.killed:
+            return killer.killed
+    return []
 
 
 def test_worker_loss_mid_shuffle_identical_output(ray_session):
@@ -80,18 +88,8 @@ def test_worker_loss_mid_shuffle_identical_output(ray_session):
     fn = registry()["dedup_exact"][0]
     want = _rows(fn(SF))
     assert len(want) > 0
-
-    killer = _Killer(delay=0.2, n=2)
-    killer.start()
-    try:
-        got = _rows(fn(SF))
-    finally:
-        killer.stop.set()
-        killer.join(timeout=12)
-    # the kill must actually have landed on live worker processes —
-    # otherwise this test silently degrades to a plain re-run
-    assert killer.killed, "no ray worker process found to kill"
-    assert got == want
+    killed = _run_with_kill(fn, want, n_kill=2)
+    assert killed, "no kill ever landed on an executing worker"
 
 
 def test_worker_loss_during_groupby_shuffle(ray_session):
@@ -102,13 +100,5 @@ def test_worker_loss_during_groupby_shuffle(ray_session):
     fn = registry()["sessionize_users"][0]
     want = _rows(fn(SF))
     assert len(want) > 0
-
-    killer = _Killer(delay=0.15, n=1)
-    killer.start()
-    try:
-        got = _rows(fn(SF))
-    finally:
-        killer.stop.set()
-        killer.join(timeout=12)
-    assert killer.killed, "no ray worker process found to kill"
-    assert got == want
+    killed = _run_with_kill(fn, want, n_kill=1)
+    assert killed, "no kill ever landed on an executing worker"
