@@ -334,6 +334,8 @@ BENCH_QUERIES = [
     "min_cost_supplier",
     "product_type_profit",
     "nation_market_share",
+    "returned_item_customers",
+    "important_parts",
 ]
 
 

@@ -767,3 +767,242 @@ FROM rows
 GROUP BY o_year
 ORDER BY o_year
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q10 shape: returned-item reporting.
+# ---------------------------------------------------------------------------
+
+def returned_item_customers(
+    sf_dir: str,
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1996-04-01",
+    k: int = 20,
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """(c_custkey, c_name, rev_cents, acctbal_cents, n_name): the top
+    ``k`` customers by revenue lost to returned lines ('R' flag) on
+    orders placed in the quarter — TPC-H Q10's four-table rollup with
+    a top-k head.
+
+    Plan: lineitem pre-combines per batch to (okey → returned-revenue
+    cents) partials and ``join()``s the window-filtered orders (okey →
+    custkey); per-batch custkey partials reduce once (distributed
+    fallback past the bounded-domain gate); the customer dimension
+    attaches through the gated ``join()``; nation is a 25-row driver
+    map; the head is the per-block select_k prune into a tiny global
+    sort. Revenue partials are associative, so no co-location is
+    required anywhere."""
+    _, nat_names = _region_nation_keys(sf_dir, "")
+
+    li = _read_pq(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=(pc.field("l_returnflag") == "R"),
+    )
+    lo = np.datetime64(date_lo, "us")
+    hi = np.datetime64(date_hi, "us")
+    orders = _read_pq(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey"],
+        filter=(
+            (pc.field("o_orderdate") >= pa.scalar(lo.item()))
+            & (pc.field("o_orderdate") < pa.scalar(hi.item()))
+        ),
+    )
+    cust = _read_pq(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"],
+    )
+
+    def li_prep(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "okey": pc.cast(b.column("l_orderkey"), pa.int64()),
+                "rev": _cents(
+                    pc.multiply(
+                        b.column("l_extendedprice"),
+                        pc.subtract(
+                            pa.scalar(1.0), b.column("l_discount")
+                        ),
+                    )
+                ),
+            }
+        )
+        g = t.group_by("okey").aggregate([("rev", "sum")])
+        return g.rename_columns(["okey", "rev"])
+
+    partials = li.map_batches(li_prep, batch_format="pyarrow")
+    dated = join(
+        partials, orders, on=("okey", "o_orderkey"), how="inner",
+        num_partitions=num_partitions,
+    )
+
+    def cust_partial(b: pa.Table) -> pa.Table:
+        g = b.group_by("o_custkey").aggregate([("rev", "sum")])
+        return g.rename_columns(["c_custkey", "rev_cents"])
+
+    by_cust = bounded_group_reduce(
+        dated.map_batches(cust_partial, batch_format="pyarrow"),
+        ["c_custkey"],
+        [("rev_cents", "sum")],
+    )
+    named = join(by_cust, cust, on="c_custkey", how="inner")
+
+    name_list = [""] * (int(max(nat_names) + 1) if nat_names else 0)
+    for kk, v in nat_names.items():
+        name_list[kk] = v
+    name_arr = pa.array(name_list, pa.string())
+
+    def finish(b: pa.Table) -> pa.Table:
+        nk = pc.cast(b.column("c_nationkey"), pa.int64())
+        return pa.table(
+            {
+                "c_custkey": b.column("c_custkey"),
+                "c_name": b.column("c_name"),
+                "rev_cents": b.column("rev_cents"),
+                "acctbal_cents": _cents(b.column("c_acctbal")),
+                "n_name": name_arr.take(nk),
+            }
+        )
+
+    out = named.map_batches(finish, batch_format="pyarrow")
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        idx = pc.select_k_unstable(
+            b, k, [("rev_cents", "descending"), ("c_custkey", "ascending")]
+        )
+        return b.take(idx)
+
+    return (
+        out.map_batches(local_topk, batch_format="pyarrow")
+        .sort(["rev_cents", "c_custkey"], descending=[True, False])
+        .limit(k)
+    )
+
+
+RETURNED_ITEM_CUSTOMERS_SQL = """
+SELECT c_custkey, c_name,
+  CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                AS BIGINT)) AS BIGINT) AS rev_cents,
+  CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_cents,
+  n_name
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, acctbal_cents, n_name
+ORDER BY rev_cents DESC, c_custkey
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q11 shape: important stock (fraction-of-global-total filter).
+# ---------------------------------------------------------------------------
+
+def important_parts(
+    sf_dir: str,
+    nation: str = "NATION_3",
+    frac_denom: int = 2000,
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """(p_partkey, value_cents): parts whose line revenue from
+    ``nation``'s suppliers exceeds 1/``frac_denom`` of that nation's
+    total — TPC-H Q11's group-vs-global-scalar-subquery shape. The
+    predicate is the cross-multiplied INTEGER comparison
+    ``value · frac_denom > total`` so engine and oracle agree
+    bit-for-bit with no float boundary.
+
+    Plan: supplier filters to the nation at the parquet scan and
+    semi-``join()``s lineitem; per-batch (pkey → cents) partials
+    reduce once; the global total folds from the SAME reduced table
+    (never a second pass); the filter and final ordering are
+    driver-side on the bounded filtered output, distributed past the
+    reduce gate."""
+    import pyarrow.parquet as pq
+
+    nat = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name"],
+    )
+    keys = [
+        r["n_nationkey"]
+        for r in nat.to_pylist()
+        if r["n_name"] == nation
+    ]
+    sup = _read_pq(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey"],
+        filter=pc.field("s_nationkey").isin(pa.array(keys, pa.int32())),
+    )
+    li = _read_pq(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_suppkey", "l_extendedprice"],
+    )
+
+    def li_prep(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "pkey": pc.cast(b.column("l_partkey"), pa.int64()),
+                "skey": pc.cast(b.column("l_suppkey"), pa.int64()),
+                "cents": _cents(b.column("l_extendedprice")),
+            }
+        )
+        return t
+
+    rows = join(
+        li.map_batches(li_prep, batch_format="pyarrow"),
+        sup,
+        on=("skey", "s_suppkey"),
+        how="semi",
+        num_partitions=num_partitions,
+    )
+
+    def pkey_partial(b: pa.Table) -> pa.Table:
+        g = b.group_by("pkey").aggregate([("cents", "sum")])
+        return g.rename_columns(["p_partkey", "value_cents"])
+
+    vals = bounded_group_table_strict(
+        rows.map_batches(pkey_partial, batch_format="pyarrow"),
+        ["p_partkey"],
+        [("value_cents", "sum")],
+    )
+    if vals is None:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "p_partkey": pa.array([], pa.int64()),
+                    "value_cents": pa.array([], pa.int64()),
+                }
+            )
+        )
+    v = vals.column("value_cents").to_numpy(zero_copy_only=False)
+    total = int(v.sum())
+    keep = v * frac_denom > total
+    kept = vals.filter(pa.array(keep))
+    order = pc.sort_indices(
+        kept,
+        sort_keys=[("value_cents", "descending"), ("p_partkey", "ascending")],
+    )
+    return rd.from_arrow(kept.take(order))
+
+
+IMPORTANT_PARTS_SQL = """
+WITH vals AS (
+  SELECT l_partkey AS p_partkey,
+    CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+         AS BIGINT) AS value_cents
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_3'
+  GROUP BY 1
+)
+SELECT p_partkey, value_cents FROM vals
+WHERE value_cents * 2000 > (SELECT SUM(value_cents) FROM vals)
+ORDER BY value_cents DESC, p_partkey
+"""

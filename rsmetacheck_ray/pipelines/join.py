@@ -215,8 +215,16 @@ def _pull_bounded(ds: rd.Dataset, max_rows: int):
         if pulled > max_rows:
             return None, refs
     if not tables:
-        # empty right side: keep schema for null columns
-        s = mat.schema()
+        # empty right side: keep schema for null columns. A fully
+        # filtered-out read can materialize with NO blocks (schema
+        # None) — fall back to the source dataset's schema, then to
+        # any empty block's.
+        s = mat.schema() or ds.schema()
+        if s is None and refs:
+            sch = ray.get(refs[0]).schema
+            return pa.table(
+                {f.name: pa.array([], f.type) for f in sch}
+            ), refs
         return pa.table(
             {n: pa.array([], t) for n, t in zip(s.names, s.types)}
         ), refs

@@ -4547,6 +4547,13 @@ def registry() -> dict[str, tuple]:
         "nation_market_share": (
             dec4.nation_market_share, dec4.NATION_MARKET_SHARE_SQL,
         ),
+        "returned_item_customers": (
+            dec4.returned_item_customers,
+            dec4.RETURNED_ITEM_CUSTOMERS_SQL,
+        ),
+        "important_parts": (
+            dec4.important_parts, dec4.IMPORTANT_PARTS_SQL,
+        ),
         "open_orders": (rel.open_orders, rel.OPEN_ORDERS_SQL),
         "parts_by_brand": (rel.parts_by_brand, rel.PARTS_BY_BRAND_SQL),
         "supplier_nation_balance": (

@@ -207,3 +207,51 @@ def test_nation_market_share_ints_and_ratio(ray_session, tmp_path):
         "o_year": 1996, "nat_cents": 10500, "total_cents": 17500,
         "mkt_share": 0.6,
     }], got
+
+
+def test_returned_item_customers_filters_and_topk(ray_session, tmp_path):
+    d = str(tmp_path)
+    _mini_lake(d)
+    # window [1996-01-01, 1996-04-01): all 4 orders are in-window, but
+    # only 'R' lines count — none are; expect empty
+    assert d4.returned_item_customers(d).take_all() == []
+    # flip two lines to 'R': order 100 (cust 1) line of 100.0 and
+    # order 102 (cust 2) line of 30.0
+    li = pq.read_table(os.path.join(d, "lineitem.parquet"))
+    rf = ["R", "N", "N", "N", "R", "N"]
+    li = li.set_column(
+        li.schema.get_field_index("l_returnflag"),
+        "l_returnflag",
+        pa.array(rf, pa.string()),
+    )
+    pq.write_table(li, os.path.join(d, "lineitem.parquet"))
+    for parts in (1, 3):
+        got = d4.returned_item_customers(
+            d, num_partitions=parts
+        ).take_all()
+        assert [(r["c_custkey"], r["rev_cents"], r["n_name"]) for r in got] == [
+            (1, 10000, "ALPHA"), (2, 3000, "GAMMA"),
+        ], got
+    # k=1 keeps only the top customer
+    got = d4.returned_item_customers(d, k=1).take_all()
+    assert [r["c_custkey"] for r in got] == [1]
+
+
+def test_important_parts_integer_threshold(ray_session, tmp_path):
+    d = str(tmp_path)
+    _mini_lake(d)
+    # nation ALPHA suppliers = S5. S5's lines: part 11 prices
+    # 10000+1000+4000 = 15000; part 12: none (S5 never sells 12).
+    # Wait: lineitem S5 rows are parts 11,11,11 → value(11)=15000,
+    # total=15000; with frac_denom=2 the filter is 15000*2 > 15000 ⇒
+    # kept. A single part always survives any frac_denom ≥ 2.
+    got = d4.important_parts(d, nation="ALPHA", frac_denom=2).take_all()
+    assert got == [{"p_partkey": 11, "value_cents": 15000}]
+    # BETA suppliers = S6: parts 12 (5000+2000=7000). strictness: with
+    # one part and frac_denom=1 the predicate is value*1 > total ⇒
+    # 7000 > 7000 is FALSE — strict inequality drops it
+    assert d4.important_parts(d, nation="BETA", frac_denom=1).take_all() == []
+    # empty nation: no suppliers ⇒ empty with stable schema
+    out = d4.important_parts(d, nation="NO_SUCH")
+    assert out.count() == 0
+    assert out.schema().names == ["p_partkey", "value_cents"]
