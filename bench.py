@@ -336,6 +336,8 @@ BENCH_QUERIES = [
     "nation_market_share",
     "returned_item_customers",
     "important_parts",
+    "order_priority_check",
+    "forecast_revenue_change",
 ]
 
 

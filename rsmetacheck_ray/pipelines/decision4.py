@@ -1006,3 +1006,199 @@ SELECT p_partkey, value_cents FROM vals
 WHERE value_cents * 2000 > (SELECT SUM(value_cents) FROM vals)
 ORDER BY value_cents DESC, p_partkey
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q4 shape: order priority checking (EXISTS semi-aggregate).
+# ---------------------------------------------------------------------------
+
+def order_priority_check(
+    sf_dir: str,
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1996-04-01",
+    late_days: int = 60,
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """(o_orderpriority, order_count): orders placed in the quarter
+    that have AT LEAST ONE line shipped more than ``late_days`` after
+    the order date, counted per priority — TPC-H Q4's EXISTS
+    decorrelated to a per-order any() over co-located line maxima
+    (the lake has no commit/receipt dates; lateness vs o_orderdate
+    preserves the correlated-EXISTS structure).
+
+    Plan: lineitem pre-combines per batch to (okey → max ship);
+    orders ride LEFT through the gated ``join()`` so every order's
+    partial maxima land in one block; the per-block pass re-maxes per
+    order, tests the strict lateness, and emits bounded (priority,
+    count) partials (priorities are a 5-value domain ⇒ driver
+    reduce)."""
+    lo = np.datetime64(date_lo, "us")
+    hi = np.datetime64(date_hi, "us")
+    orders = _read_pq(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+        filter=(
+            (pc.field("o_orderdate") >= pa.scalar(lo.item()))
+            & (pc.field("o_orderdate") < pa.scalar(hi.item()))
+        ),
+    )
+    li = _read_pq(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_shipdate"],
+    )
+
+    def li_prep(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "okey": pc.cast(b.column("l_orderkey"), pa.int64()),
+                "ship": pc.cast(b.column("l_shipdate"), pa.int64()),
+            }
+        )
+        g = t.group_by("okey").aggregate([("ship", "max")])
+        return g.rename_columns(["okey", "ship"])
+
+    joined = join(
+        orders,
+        li.map_batches(li_prep, batch_format="pyarrow"),
+        on=("o_orderkey", "okey"),
+        how="inner",
+        num_partitions=num_partitions,
+    )
+    late_us = np.int64(late_days) * 86_400_000_000
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "o_orderpriority": pa.array([], pa.string()),
+                    "order_count": pa.array([], pa.int64()),
+                }
+            )
+        okey = b.column("o_orderkey").to_numpy(zero_copy_only=False)
+        ship = b.column("ship").to_numpy(zero_copy_only=False)
+        odate = pc.cast(
+            b.column("o_orderdate"), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        late = ship > odate + late_us
+        if not late.any():
+            return pa.table(
+                {
+                    "o_orderpriority": pa.array([], pa.string()),
+                    "order_count": pa.array([], pa.int64()),
+                }
+            )
+        idx = np.flatnonzero(late)
+        # one row per DISTINCT late order (an order's partial maxima
+        # can appear once per source batch) — complete per block
+        # because orders rode LEFT through the join
+        _, first = np.unique(okey[idx], return_index=True)
+        sel = pa.array(idx[first], pa.int64())
+        t = pa.table(
+            {
+                "o_orderpriority": b.column("o_orderpriority").take(sel),
+                "order_count": pa.array(
+                    np.ones(len(first), np.int64), pa.int64()
+                ),
+            }
+        )
+        g = t.group_by("o_orderpriority").aggregate(
+            [("order_count", "sum")]
+        )
+        return g.rename_columns(["o_orderpriority", "order_count"])
+
+    agg = bounded_group_reduce(
+        joined.map_batches(count_partial, batch_format="pyarrow"),
+        ["o_orderpriority"],
+        [("order_count", "sum")],
+    )
+    return agg.sort("o_orderpriority")
+
+
+ORDER_PRIORITY_CHECK_SQL = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q6 shape: forecasting revenue change (filtered scan aggregate).
+# ---------------------------------------------------------------------------
+
+def forecast_revenue_change(
+    sf_dir: str,
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1997-01-01",
+    disc_lo: float = 0.04,
+    disc_hi: float = 0.06,
+    max_qty: float = 24.0,
+) -> rd.Dataset:
+    """One row (revenue_cents): the revenue that would be gained if
+    discounts in [disc_lo, disc_hi] on small-quantity lines were
+    dropped — TPC-H Q6, the pure filtered-scan aggregate. All
+    predicates push into the parquet scan; per-batch cents partials
+    fold to one driver row (the q1_pricing combiner discipline)."""
+    lo = np.datetime64(date_lo, "us")
+    hi = np.datetime64(date_hi, "us")
+    li = _read_pq(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_extendedprice", "l_discount"],
+        filter=(
+            (pc.field("l_shipdate") >= pa.scalar(lo.item()))
+            & (pc.field("l_shipdate") < pa.scalar(hi.item()))
+            & (pc.field("l_discount") >= disc_lo)
+            & (pc.field("l_discount") <= disc_hi)
+            & (pc.field("l_quantity") < max_qty)
+        ),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        rev = _cents(
+            pc.multiply(b.column("l_extendedprice"), b.column("l_discount"))
+        )
+        s = pc.sum(rev)
+        return pa.table(
+            {
+                "revenue_cents": pa.array(
+                    [s.as_py() if s.is_valid else 0], pa.int64()
+                )
+            }
+        )
+
+    agg = bounded_group_table_strict(
+        li.map_batches(partial, batch_format="pyarrow").map_batches(
+            lambda b: b.append_column(
+                "one", pa.array(np.ones(len(b), np.int64))
+            ),
+            batch_format="pyarrow",
+        ),
+        ["one"],
+        [("revenue_cents", "sum")],
+    )
+    total = (
+        int(agg.column("revenue_cents")[0].as_py())
+        if agg is not None and agg.num_rows
+        else 0
+    )
+    return rd.from_arrow(
+        pa.table({"revenue_cents": pa.array([total], pa.int64())})
+    )
+
+
+FORECAST_REVENUE_SQL = """
+SELECT CAST(COALESCE(SUM(CAST(floor(l_extendedprice * l_discount * 100
+                                    + 0.5) AS BIGINT)), 0) AS BIGINT)
+  AS revenue_cents
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.04 AND l_discount <= 0.06
+  AND l_quantity < 24
+"""

@@ -4554,6 +4554,12 @@ def registry() -> dict[str, tuple]:
         "important_parts": (
             dec4.important_parts, dec4.IMPORTANT_PARTS_SQL,
         ),
+        "order_priority_check": (
+            dec4.order_priority_check, dec4.ORDER_PRIORITY_CHECK_SQL,
+        ),
+        "forecast_revenue_change": (
+            dec4.forecast_revenue_change, dec4.FORECAST_REVENUE_SQL,
+        ),
         "open_orders": (rel.open_orders, rel.OPEN_ORDERS_SQL),
         "parts_by_brand": (rel.parts_by_brand, rel.PARTS_BY_BRAND_SQL),
         "supplier_nation_balance": (

@@ -255,3 +255,40 @@ def test_important_parts_integer_threshold(ray_session, tmp_path):
     out = d4.important_parts(d, nation="NO_SUCH")
     assert out.count() == 0
     assert out.schema().names == ["p_partkey", "value_cents"]
+
+
+def test_order_priority_check_exists_boundary(ray_session, tmp_path):
+    d = str(tmp_path)
+    _mini_lake(d)
+    # window covers all orders (1996-01-01). late_days=60: orders with
+    # ANY line shipped > +60d: 100 (S5 +152), 101 (+152/+182), 102
+    # (+152), 103 (+152). Each counted ONCE despite multiple late
+    # lines. All orders are 1-URGENT.
+    for parts in (1, 3):
+        got = d4.order_priority_check(
+            d, late_days=60, num_partitions=parts
+        ).take_all()
+        assert got == [{"o_orderpriority": "1-URGENT", "order_count": 4}]
+    # +90d exactly is NOT late (strict >): order 100's S6 line at +90
+    # doesn't matter (its S5 line is later anyway); at 182 nothing
+    # qualifies except order 101's +182? strict > drops it too
+    assert d4.order_priority_check(d, late_days=182).take_all() == []
+    # at 181: only order 101 (+182) qualifies
+    got = d4.order_priority_check(d, late_days=181).take_all()
+    assert got == [{"o_orderpriority": "1-URGENT", "order_count": 1}]
+
+
+def test_forecast_revenue_change_filters(ray_session, tmp_path):
+    d = str(tmp_path)
+    _mini_lake(d)
+    # only the o101/S5 line has discount 0.5; with the band set around
+    # it and qty < 24, revenue = cents(10.0 * 0.5) = 500
+    got = d4.forecast_revenue_change(
+        d, disc_lo=0.5, disc_hi=0.5, max_qty=24.0
+    ).take_all()
+    assert got == [{"revenue_cents": 500}]
+    # empty band -> zero row, stable schema
+    got = d4.forecast_revenue_change(
+        d, disc_lo=0.9, disc_hi=0.95
+    ).take_all()
+    assert got == [{"revenue_cents": 0}]
