@@ -834,6 +834,24 @@ def embedding_pairs_auto(
 MAX_BUCKET_VECS = 4096
 
 
+def lsh_planes(
+    n_tables: int, n_planes: int, dim: int, seed: int = 42
+) -> np.ndarray:
+    """Deterministic Gaussian hyperplanes (seeded splitmix →
+    Box-Muller), shared by the engine and the oracle's parameter
+    export so the two can never drift."""
+    from .hashing import splitmix64_np
+
+    raw = splitmix64_np(
+        np.arange(2 * n_tables * n_planes * dim, dtype=np.uint64)
+        ^ np.uint64(seed * 0x9E3779B97F4A7C15 & ((1 << 64) - 1))
+    )
+    u = (raw.astype(np.float64) + 0.5) / 2.0**64
+    u1, u2 = u[::2], u[1::2]
+    gauss = np.sqrt(-2.0 * np.log(u1)) * np.cos(2.0 * np.pi * u2)
+    return gauss.reshape(n_tables, n_planes, dim)
+
+
 def embedding_lsh_pairs(
     ds: rd.Dataset,
     threshold: float = 0.45,
@@ -861,16 +879,7 @@ def embedding_lsh_pairs(
     if not probe:  # empty corpus: no pairs (and no dimension to read)
         return rd.from_arrow(empty_pairs)
     dim = len(probe[0]["embedding"])
-    from .hashing import splitmix64_np
-
-    raw = splitmix64_np(
-        np.arange(2 * n_tables * n_planes * dim, dtype=np.uint64)
-        ^ np.uint64(seed * 0x9E3779B97F4A7C15 & ((1 << 64) - 1))
-    )
-    u = (raw.astype(np.float64) + 0.5) / 2.0**64
-    u1, u2 = u[::2], u[1::2]
-    gauss = np.sqrt(-2.0 * np.log(u1)) * np.cos(2.0 * np.pi * u2)
-    planes = gauss.reshape(n_tables, n_planes, dim)
+    planes = lsh_planes(n_tables, n_planes, dim, seed)
 
     def bucket_stage(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)

@@ -30,10 +30,14 @@ from .similarity import _batch_matrix, _merge_topk, _topk_table
 
 def quantize_vec(mat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """(n, d) float → (int8 (n, d), float64 scale (n,)). Zero vectors
-    get scale 1.0 (quantize to all-zero)."""
+    get scale 1.0 (quantize to all-zero). Rounding is half-up
+    ``floor(x + 0.5)`` — exactly mirrorable by the SQL oracle's
+    FLOOR(v + 0.5) (np.round's half-even has no SQL analog)."""
     absmax = np.abs(mat).max(axis=1)
     scale = np.where(absmax > 0, absmax / 127.0, 1.0)
-    q = np.clip(np.round(mat / scale[:, None]), -127, 127).astype(np.int8)
+    q = np.clip(
+        np.floor(mat / scale[:, None] + 0.5), -127, 127
+    ).astype(np.int8)
     return q, scale
 
 

@@ -1605,14 +1605,124 @@ def q_dedup_incremental(sf_dir: str):
     )
 
 
+# --- bloom oracle: DuckDB re-derives the filter ----------------------------
+# The 128-bit content hash (polars string hash) is the non-SQL
+# primitive — the query exports each CORPUS doc's (lo, hi) pair (the
+# vocabulary-parameter pattern) and DuckDB independently rebuilds the
+# whole filter: mix = lo ^ splitmix(hi), the Kirsch–Mitzenmacher probe
+# family h1 + i·h2 (i < K) mod 2^23, the seen side's DISTINCT bit-
+# position set, and the all-K-positions-present probe. A drift in any
+# of the double-hash spec, the bit math, or the seen/new split shows
+# up as a hash mismatch.
+
+_BLOOM_ORACLE_DIR = "/tmp/rsmetacheck_bloom_oracle"
+_BLOOM_EXPORT_MAX = 1_000_000  # corpus rows; oracle support only
+
+
+def _ensure_bloom_hash_export(sf_dir: str) -> None:
+    import pyarrow.parquet as pq
+
+    from ..functions.hashing import hash_str_arrow_u128
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    if pq.ParquetFile(path).metadata.num_rows > _BLOOM_EXPORT_MAX:
+        return
+    docs = pq.read_table(path, columns=["doc_id", "text"])
+    corpus = _dup_corpus_table(docs)
+    lo, hi = hash_str_arrow_u128(corpus.column("text"))
+    os.makedirs(_BLOOM_ORACLE_DIR, exist_ok=True)
+    out = os.path.join(_BLOOM_ORACLE_DIR, "hashes.parquet")
+    tmp = out + f".tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": corpus.column("doc_id"),
+                "lo": pa.array(lo, pa.uint64()),
+                "hi": pa.array(hi, pa.uint64()),
+            }
+        ),
+        tmp,
+    )
+    os.replace(tmp, out)
+
+
+def _dup_corpus_table(docs: pa.Table) -> pa.Table:
+    """Driver-side mirror of ``_dup_corpus``'s expansion (same rules,
+    same suffix) for oracle parameter exports."""
+    d = docs.column("doc_id").to_numpy(zero_copy_only=False)
+    ex = docs.filter(pa.array(d % 10 == 0))
+    near = docs.filter(pa.array(d % 20 == 5))
+    exact_t = pa.table(
+        {
+            "doc_id": pc.add(ex.column("doc_id"), 1_000_000),
+            "text": ex.column("text"),
+        }
+    )
+    near_t = pa.table(
+        {
+            "doc_id": pc.add(near.column("doc_id"), 2_000_000),
+            "text": pc.binary_join_element_wise(
+                near.column("text").combine_chunks(),
+                pa.array([_NEAR_SUFFIX] * len(near), pa.string()),
+                "",
+            ),
+        }
+    )
+    return pa.concat_tables(
+        [docs.select(["doc_id", "text"]), exact_t, near_t]
+    ).combine_chunks()
+
+
+def _sql_dedup_incremental_bloom() -> str:
+    from ..functions.sketch import BLOOM_BITS, BLOOM_K
+
+    sm_h, h_cte, h_col = _sql_splitmix_ctes("bsm", "ch", "hi")
+    sm_1, h1_cte, h1_col = _sql_splitmix_ctes("bh1", "mixed", "mix")
+    sm_2, h2_cte, h2_col = _sql_splitmix_ctes("bh2", "x2src", "x2")
+    d = _BLOOM_ORACLE_DIR
+    return f"""
+WITH ch AS (SELECT doc_id, lo, hi FROM '{d}/hashes.parquet'),
+{sm_h.strip()},
+mixed AS (SELECT doc_id, xor(lo, {h_col}) AS mix FROM {h_cte}),
+{sm_1.strip()},
+x2src AS (
+  SELECT doc_id, mix,
+    xor(mix, CAST(11936128518282651045 AS UBIGINT)) AS x2, {h1_col}
+  FROM {h1_cte}
+),
+{sm_2.strip()},
+probes AS (
+  SELECT doc_id,
+    CAST((CAST({h1_col} AS HUGEINT)
+          + i.i * CAST(({h2_col} | 1) AS HUGEINT))
+         % 18446744073709551616 AS UBIGINT) % {BLOOM_BITS} AS pos
+  FROM {h2_cte}
+  CROSS JOIN (SELECT unnest(range(0, {BLOOM_K})) AS i) i
+),
+seen_pos AS (
+  SELECT DISTINCT pos FROM probes WHERE doc_id % 3 = 0
+),
+new_probe AS (
+  SELECT DISTINCT doc_id, pos FROM probes WHERE doc_id % 3 <> 0
+)
+SELECT n.doc_id,
+  BOOL_AND(s.pos IS NOT NULL) AS maybe_seen
+FROM new_probe n LEFT JOIN seen_pos s ON s.pos = n.pos
+GROUP BY n.doc_id
+"""
+
+
 def q_dedup_incremental_bloom(sf_dir: str):
     """Memory-bounded incremental dedup: the all-time seen set folds
     into a broadcast Bloom filter (fixed 1 MiB vs 16 B/doc exact) and
     the day's increment probes it SHUFFLE-FREE. One-sided: maybe_seen
     = False is definitely new; True routes to the exact probe when
-    certainty is needed. Approximate ⇒ rows-only; the
-    no-false-negative guarantee vs the exact operator is pinned in
-    pytest. Same `_incremental_split` rule as the exact query."""
+    certainty is needed. The filter itself is deterministic, so the
+    DuckDB oracle rebuilds it bit-for-bit from the exported content
+    hashes; the no-false-negative guarantee vs the exact operator
+    stays pinned in pytest. Same `_incremental_split` rule as the
+    exact query."""
+    _ensure_bloom_hash_export(sf_dir)
     seen = _dup_corpus(sf_dir).map_batches(
         _incremental_split(True), batch_format="pyarrow"
     )
@@ -3745,7 +3855,90 @@ def q_dedup_embedding_lsh(sf_dir: str):
         )
 
     corpus = ds.union(ds.map_batches(copies, batch_format="pyarrow"))
+    _ensure_lsh_planes_export(sf_dir)
     return dd.embedding_lsh_pairs(corpus, threshold=0.9)
+
+
+_LSH_EXPORT_DIR = "/tmp/rsmetacheck_lsh_oracle"
+
+
+def _ensure_lsh_planes_export(sf_dir: str) -> None:
+    """Export the deterministic hyperplanes as oracle parameters (the
+    LM-parameter pattern; data-independent except for the dimension)."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet"))
+    first = next(pf.iter_batches(batch_size=1))
+    dim = len(first.column("embedding")[0])
+    planes = dd.lsh_planes(4, 12, dim, seed=42)
+    os.makedirs(_LSH_EXPORT_DIR, exist_ok=True)
+    out = os.path.join(_LSH_EXPORT_DIR, "lsh_planes.parquet")
+    tmp = out + f".tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+    rows_t, rows_p, rows_v = [], [], []
+    for t in range(planes.shape[0]):
+        for p in range(planes.shape[1]):
+            rows_t.append(t)
+            rows_p.append(p)
+            rows_v.append([float(x) for x in planes[t, p]])
+    pq.write_table(
+        pa.table(
+            {
+                "t": pa.array(rows_t, pa.int64()),
+                "p": pa.array(rows_p, pa.int64()),
+                "pvec": pa.array(rows_v, pa.list_(pa.float64())),
+            }
+        ),
+        tmp,
+    )
+    os.replace(tmp, out)
+
+
+SQL_DEDUP_EMBEDDING_LSH = f"""
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, embedding
+  FROM embeddings WHERE vec_id % 10 = 0
+),
+dots AS (
+  SELECT c.vec_id, pl.t, pl.p,
+    list_sum(list_transform(range(1, len(c.embedding) + 1),
+      i -> CAST(c.embedding[i] AS DOUBLE) * pl.pvec[i])) AS dt
+  FROM corpus c
+  CROSS JOIN '{_LSH_EXPORT_DIR}/lsh_planes.parquet' pl
+),
+buckets AS (
+  -- sign(raw·plane) == sign(unit·plane): the positive norm never
+  -- flips a sign, so bucketing skips the unit projection entirely
+  SELECT vec_id, t,
+    CAST(SUM(CASE WHEN dt > 0
+             THEN CAST(1 AS BIGINT) << p ELSE 0 END)
+         + (t * 4096) AS BIGINT) AS bucket
+  FROM dots GROUP BY vec_id, t
+),
+cand AS (
+  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+  FROM buckets x JOIN buckets y
+    ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+),
+norms AS (
+  SELECT vec_id,
+    GREATEST(sqrt(list_sum(list_transform(
+      embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))),
+      1e-300) AS nrm
+  FROM corpus
+)
+SELECT c.a AS vec_id_a, c.b AS vec_id_b
+FROM cand c
+JOIN corpus ea ON ea.vec_id = c.a
+JOIN corpus eb ON eb.vec_id = c.b
+JOIN norms na ON na.vec_id = c.a
+JOIN norms nb ON nb.vec_id = c.b
+WHERE list_sum(list_transform(range(1, len(ea.embedding) + 1),
+        i -> CAST(ea.embedding[i] AS DOUBLE)
+             * CAST(eb.embedding[i] AS DOUBLE)))
+      / (na.nrm * nb.nrm) >= 0.9
+"""
 
 
 SQL_DEDUP_EMBEDDING = """
@@ -3786,9 +3979,11 @@ def q_knn_quantized(sf_dir: str):
     (functions/quantize.py): symmetric per-vector scalar quantization
     (4× smaller than float32, 8× than this float64 testdata), search
     as one integer matmul per batch over the stored int8 rows —
-    scales cancel in cosine, so there is no dequantization.
-    Approximate ⇒ rows-only; recall@10 ≥ 0.9 vs the exact float kNN
-    pinned in pytest."""
+    scales cancel in cosine, so there is no dequantization. Every step
+    is exact or order-free (half-up rounding, integer dots, integer
+    sums of squares < 2⁵³), so the DuckDB oracle re-derives the whole
+    search; recall@10 ≥ 0.9 vs the exact float kNN stays pinned in
+    pytest."""
     from ..functions.quantize import knn_quantized, quantize_embeddings
 
     qids, qvecs = _query_vectors(sf_dir)
@@ -3796,6 +3991,45 @@ def q_knn_quantized(sf_dir: str):
         rel._read_pq(os.path.join(sf_dir, "embeddings.parquet"))
     )
     return knn_quantized(qds, qvecs, qids, k=10)
+
+
+SQL_KNN_QUANTIZED = """
+WITH scales AS (
+  SELECT vec_id,
+    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+      AS m
+  FROM embeddings
+),
+qz AS (
+  SELECT e.vec_id,
+    list_transform(range(1, len(e.embedding) + 1),
+      i -> CAST(LEAST(GREATEST(
+        FLOOR(CAST(e.embedding[i] AS DOUBLE)
+              / (CASE WHEN s.m > 0 THEN s.m / 127.0 ELSE 1.0 END)
+              + 0.5), -127.0), 127.0) AS BIGINT)) AS qv
+  FROM embeddings e JOIN scales s ON s.vec_id = e.vec_id
+),
+norms AS (
+  SELECT vec_id,
+    GREATEST(sqrt(CAST(list_sum(list_transform(qv, x -> x * x))
+                       AS DOUBLE)), 1e-300) AS nrm
+  FROM qz
+),
+pairs AS (
+  SELECT q.vec_id AS query_id, e.vec_id,
+    CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+      i -> q.qv[i] * e.qv[i])) AS DOUBLE)
+      / (qn.nrm * en.nrm) AS cos
+  FROM qz q
+  JOIN norms qn ON qn.vec_id = q.vec_id
+  CROSS JOIN qz e
+  JOIN norms en ON en.vec_id = e.vec_id
+  WHERE q.vec_id < 5
+)
+SELECT query_id, vec_id FROM pairs
+QUALIFY row_number() OVER (
+  PARTITION BY query_id ORDER BY cos DESC, vec_id) <= 10
+"""
 
 
 # --- k-means / SemDeDup oracles: centroid export + DuckDB re-assign -------
@@ -4616,7 +4850,9 @@ def registry() -> dict[str, tuple]:
         "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
         "dedup_exact_pairs": (q_dedup_exact_pairs, SQL_DEDUP_EXACT_PAIRS),
         "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
-        "dedup_incremental_bloom": (q_dedup_incremental_bloom, None),  # sketch
+        "dedup_incremental_bloom": (
+            q_dedup_incremental_bloom, _sql_dedup_incremental_bloom(),
+        ),
         "dedup_minhash_pairs": (
             q_dedup_minhash_pairs, _sql_dedup_minhash_pairs(),
         ),
@@ -4665,7 +4901,9 @@ def registry() -> dict[str, tuple]:
         "bpe_merges": (q_bpe_merges, None),  # iterative greedy (non-SQL)
         "bpe_token_counts": (q_bpe_token_counts, None),  # non-SQL
         "dedup_embedding_pairs": (q_dedup_embedding_pairs, SQL_DEDUP_EMBEDDING),
-        "dedup_embedding_lsh": (q_dedup_embedding_lsh, None),  # approximate
+        "dedup_embedding_lsh": (
+            q_dedup_embedding_lsh, SQL_DEDUP_EMBEDDING_LSH,
+        ),
         # skew: salted two-phase host aggregate
         "host_stats": (
             q_host_stats,
@@ -4690,7 +4928,7 @@ def registry() -> dict[str, tuple]:
         # similarity search
         "knn_cosine": (q_knn_cosine, SQL_KNN),
         "knn_ivf": (q_knn_ivf, None),  # approximate by design
-        "knn_quantized": (q_knn_quantized, None),  # int8: approximate
+        "knn_quantized": (q_knn_quantized, SQL_KNN_QUANTIZED),
         "kmeans_clusters": (q_kmeans_clusters, SQL_KMEANS_CLUSTERS),
         "dedup_semantic": (q_dedup_semantic, SQL_DEDUP_SEMANTIC),
         "pca_embeddings": (q_pca_embeddings, None),  # linear algebra
