@@ -613,7 +613,11 @@ def build_context(batch: pa.Table, cfg: GateConfig) -> dict:
 
     top_frac, n_lines, dup_frac = _bigram_line_stats(text, cfg.repetition_scan_tokens)
 
-    declared = np.array([d if d is not None else "" for d in declared_raw.to_pylist()])
+    declared = (
+        pc.fill_null(declared_raw, "")
+        .to_numpy(zero_copy_only=False)
+        .astype(str)
+    )
     detected = np.array(batch.column("detected_lang").to_pylist())
     stop_lang = batch.column("stopword_lang").to_pylist()
     stopword_lang_valid = np.array([s is not None for s in stop_lang])

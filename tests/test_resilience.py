@@ -102,3 +102,77 @@ def test_worker_loss_during_groupby_shuffle(ray_session):
     assert len(want) > 0
     killed = _run_with_kill(fn, want, n_kill=1)
     assert killed, "no kill ever landed on an executing worker"
+
+
+def _active_gate_actor_pids() -> list[int]:
+    """PIDs of GateStage ACTORS currently executing a submit call."""
+    me = os.getpid()
+    out = []
+    for pid_s in os.listdir("/proc"):
+        if not pid_s.isdigit() or int(pid_s) == me:
+            continue
+        try:
+            with open(f"/proc/{pid_s}/cmdline", "rb") as f:
+                cmd = f.read().split(b"\0")[0].decode(errors="replace")
+        except OSError:
+            continue
+        if cmd.startswith("ray::MapWorker(MapBatches(GateStage)).submit"):
+            out.append(int(pid_s))
+    return out
+
+
+def test_actor_pool_member_loss(ray_session):
+    """SIGKILL a GateStage ACTOR mid-batch on the actor-pool gate
+    layout (build_gate(compute='actors')): Ray Data must replace the
+    pool member and re-run its in-flight batch, with gate output
+    identical to an undisturbed run — the stateful-stage counterpart
+    of the task-retry tests above."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from rsmetacheck_ray.datagen import corpus_dir
+    from rsmetacheck_ray.pipelines.quality_gate import build_gate
+
+    pages_dir, _ = corpus_dir(20000, n_files=16)
+
+    def gate_counts(kill: bool):
+        out = build_gate(rd.read_parquet(pages_dir), compute="actors")
+        killed: list[int] = []
+        stop = threading.Event()
+
+        def killer():
+            deadline = time.time() + 20
+            while (
+                not killed and time.time() < deadline
+                and not stop.is_set()
+            ):
+                for pid in _active_gate_actor_pids():
+                    try:
+                        os.kill(pid, signal.SIGKILL)
+                        killed.append(pid)
+                        break
+                    except OSError:
+                        continue
+                time.sleep(0.02)
+
+        th = None
+        if kill:
+            th = threading.Thread(target=killer, daemon=True)
+            th.start()
+        n = kept = 0
+        for b in out.iter_batches(batch_format="pyarrow"):
+            n += len(b)
+            kept += pc.sum(pc.cast(b.column("keep"), "int64")).as_py()
+        if th:
+            stop.set()
+            th.join(timeout=21)
+        return n, kept, killed
+
+    want = gate_counts(False)
+    assert want[0] == 20000
+    for _ in range(5):
+        got = gate_counts(True)
+        assert got[:2] == want[:2], (got, want)
+        if got[2]:
+            return  # a kill landed mid-batch and the run still matched
+    raise AssertionError("no kill ever landed on an executing actor")
