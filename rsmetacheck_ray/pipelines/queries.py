@@ -1472,10 +1472,13 @@ def q_curate_semantic(sf_dir: str):
             }
         )
 
+    templated = emb.map_batches(template, batch_format="pyarrow")
+    from ..functions.clustering import kmeans_fit
+
+    cent = kmeans_fit(templated, k=8, n_iters=10)
+    _export_centroids(cent, "centroids_cur.parquet")
     surv = semantic_dedup(
-        emb.map_batches(template, batch_format="pyarrow"),
-        k=8,
-        threshold=0.999,
+        templated, k=8, threshold=0.999, centroids=cent,
     )
 
     def dropped_ids(b: pa.Table) -> pa.Table:
@@ -4200,6 +4203,65 @@ FROM units u LEFT JOIN roots rt ON rt.id = u.vec_id
 """
 
 
+def _sql_curate_semantic() -> str:
+    """keep ∧ SemDeDup-survivor, fully re-derived: the gate half
+    reuses the flags + LM-bpc CTEs (gate_decisions' differential), the
+    SemDeDup half the centroid-export assignment + recursive-CTE
+    components over the SAME templated corpus rewrite."""
+    return f"""
+WITH RECURSIVE {_sql_gate_flags_ctes().strip()},
+{_sql_bpc_ctes().strip()},
+keepids AS (
+  SELECT f.doc_id
+  FROM flags f JOIN bpc p USING (doc_id)
+  WHERE {_sql_keep_expr()}
+),
+corpus AS (
+  SELECT vec_id,
+    CASE WHEN vec_id % 10 = 5 THEN
+      list_transform(range(1, len(embedding) + 1),
+        i -> CASE WHEN i = 1 THEN CAST(1.0 AS FLOAT)
+                  WHEN i = 2 THEN CAST(CAST(0.0001 AS DOUBLE)
+                                       * (vec_id % 97) AS FLOAT)
+                  ELSE CAST(0.0 AS FLOAT) END)
+    ELSE embedding END AS embedding
+  FROM embeddings
+),
+{_sql_assign_ctes("centroids_cur.parquet").strip()},
+units AS (
+  SELECT e.vec_id, a.cluster,
+    list_transform(e.embedding,
+      x -> CAST(x AS DOUBLE) / n.nrm) AS u
+  FROM corpus e
+  JOIN norms n ON n.vec_id = e.vec_id
+  JOIN assigned a ON a.vec_id = e.vec_id
+),
+cedges AS (
+  SELECT x.vec_id AS a, y.vec_id AS b
+  FROM units x JOIN units y
+    ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+  WHERE list_sum(list_transform(range(1, len(x.u) + 1),
+          i -> x.u[i] * y.u[i])) > 0.999
+),
+csym AS (
+  SELECT a, b FROM cedges UNION ALL SELECT b AS a, a AS b FROM cedges
+),
+creach AS (
+  SELECT a AS id, b AS r FROM csym
+  UNION
+  SELECT c.id, s.b AS r FROM creach c JOIN csym s ON s.a = c.r
+),
+croots AS (
+  SELECT id, LEAST(id, MIN(r)) AS root FROM creach GROUP BY id
+),
+dropped AS (
+  SELECT rt.id AS vec_id FROM croots rt WHERE rt.id <> rt.root
+)
+SELECT k.doc_id FROM keepids k
+WHERE NOT EXISTS (SELECT 1 FROM dropped d WHERE d.vec_id = k.doc_id)
+"""
+
+
 def q_doc_sentences(sf_dir: str):
     """Sentence flat-map over the pages corpus
     (functions/sentences.py): one row per non-empty trimmed sentence
@@ -4811,7 +4873,11 @@ def registry() -> dict[str, tuple]:
         "dedup_lines": (q_dedup_lines, SQL_DEDUP_LINES),
         "dedup_spans": (q_dedup_spans, SQL_DEDUP_SPANS),
         "curate_corpus": (q_curate_corpus, _sql_curate_corpus()),
-        "curate_semantic": (q_curate_semantic, None),  # kmeans inside
+        # deferred for the same LM-export reason as gate_decisions
+        "curate_semantic": (
+            q_curate_semantic,
+            lambda: _sql_curate_semantic().replace("{pages}", pages_cte()),
+        ),
         "quality_classifier": (
             q_quality_classifier, _sql_quality_classifier(),
         ),
