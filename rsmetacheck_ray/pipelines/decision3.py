@@ -871,6 +871,108 @@ ORDER BY r.s_suppkey
 # an exact integer predicate, two passes over lineitem.
 # ---------------------------------------------------------------------------
 
+# one brand's part keys broadcast as a sorted int64 array (8 B/key;
+# the gate bounds the whole part table, an upper bound on the brand)
+_BRAND_BROADCAST_MAX = 50_000_000
+
+
+def _small_qty_revenue_copart(
+    sf_dir: str, brand: str, num_partitions: int | None
+) -> rd.Dataset:
+    """Past the brand broadcast gate: the same two passes expressed on
+    the generic join()'s co-partitioned partkey shuffles — brand
+    membership as a semi join, the per-part thresholds re-joined
+    distributively (never a driver table)."""
+    from .join import join as _join
+
+    pkeys = _read_pq(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey"],
+        filter=(pc.field("p_brand") == brand),
+    )
+    li = _read_pq(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "pkey": pc.cast(b.column("l_partkey"), pa.int64()),
+                "qty": pa.array(
+                    b.column("l_quantity")
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64),
+                    pa.int64(),
+                ),
+                "cents": _cents(b.column("l_extendedprice")),
+            }
+        )
+
+    rows = _join(
+        li.map_batches(prep, batch_format="pyarrow"),
+        pkeys,
+        on=("pkey", "p_partkey"),
+        how="semi",
+        num_partitions=num_partitions,
+    )
+
+    def p1(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "pkey": b.column("pkey"),
+                "sum_qty": b.column("qty"),
+                "cnt": pa.array(np.ones(len(b), np.int64), pa.int64()),
+            }
+        )
+        g = t.group_by("pkey").aggregate(
+            [("sum_qty", "sum"), ("cnt", "sum")]
+        )
+        return g.rename_columns(["pkey", "sum_qty", "cnt"])
+
+    stats = bounded_group_reduce(
+        rows.map_batches(p1, batch_format="pyarrow"),
+        ["pkey"],
+        [("sum_qty", "sum"), ("cnt", "sum")],
+    )
+    joined = _join(
+        rows, stats, on="pkey", how="inner", num_partitions=num_partitions
+    )
+
+    def p2(b: pa.Table) -> pa.Table:
+        qty = b.column("qty").to_numpy(zero_copy_only=False)
+        cnt = b.column("cnt").to_numpy(zero_copy_only=False)
+        sq = b.column("sum_qty").to_numpy(zero_copy_only=False)
+        small = 5 * qty * cnt < sq
+        cents = b.column("cents").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "g": pa.array([0], pa.int8()),
+                "n_lines": pa.array([int(small.sum())], pa.int64()),
+                "total_cents": pa.array(
+                    [int(cents[small].sum())], pa.int64()
+                ),
+            }
+        )
+
+    tot = bounded_group_table_strict(
+        joined.map_batches(p2, batch_format="pyarrow"),
+        ["g"],
+        [("n_lines", "sum"), ("total_cents", "sum")],
+    )
+    n = int(tot.column("n_lines")[0].as_py()) if tot is not None else 0
+    c = int(tot.column("total_cents")[0].as_py()) if tot is not None else 0
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_lines": pa.array([n], pa.int64()),
+                "total_cents": pa.array([c], pa.int64()),
+                "avg_yearly": pa.array([c / 700.0], pa.float64()),
+            }
+        )
+    )
+
+
 def small_qty_revenue(
     sf_dir: str, brand: str = "Brand#1", num_partitions: int | None = None
 ) -> rd.Dataset:
@@ -891,19 +993,25 @@ def small_qty_revenue(
     scalar out)."""
     import pyarrow.parquet as pq
 
-    part = pq.read_table(
-        os.path.join(sf_dir, "part.parquet"),
-        columns=["p_partkey", "p_brand"],
-    )
-    keys = (
-        part.filter(pc.equal(part.column("p_brand"), brand))
+    # gate on the part TABLE's footer count (an upper bound on the
+    # brand set) so the decision never reads data; past it the whole
+    # query restructures onto the generic join()'s co-partitioned
+    # path instead of raising
+    part_rows = pq.ParquetFile(
+        os.path.join(sf_dir, "part.parquet")
+    ).metadata.num_rows
+    if part_rows > _BRAND_BROADCAST_MAX:
+        return _small_qty_revenue_copart(sf_dir, brand, num_partitions)
+    keys = np.sort(
+        pq.read_table(
+            os.path.join(sf_dir, "part.parquet"),
+            columns=["p_partkey"],
+            filters=[("p_brand", "=", brand)],
+        )
         .column("p_partkey")
         .to_numpy(zero_copy_only=False)
         .astype(np.int64)
     )
-    keys = np.sort(keys)
-    if len(keys) > 50_000_000:
-        raise ValueError("brand part set exceeds broadcast gate")
     keys_ref = ray.put(keys)
 
     li_cols = ["l_partkey", "l_quantity", "l_extendedprice"]

@@ -392,3 +392,16 @@ def test_rich_inactive_threshold_and_cutoff(ray_session, tmp_path):
     })
     got = d3.rich_inactive_customers(d, cutoff="2000-01-01").take_all()
     assert got == []
+
+
+def test_small_qty_revenue_copart_fallback(ray_session):
+    """Past the brand broadcast gate small_qty_revenue restructures
+    onto the generic join()'s co-partitioned path and returns the
+    identical row."""
+    import unittest.mock as mock
+
+    sf = "/root/testdata/sf0.001"
+    a = d3.small_qty_revenue(sf).take_all()
+    with mock.patch.object(d3, "_BRAND_BROADCAST_MAX", 0):
+        b = d3.small_qty_revenue(sf).take_all()
+    assert a == b and len(a) == 1
