@@ -56,15 +56,17 @@ _PART_BROADCAST_MAX = 50_000_000
 def _part_lookup(sf_dir: str, columns: list[str]) -> pa.Table:
     import pyarrow.parquet as pq
 
-    t = pq.read_table(
-        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", *columns]
-    )
-    if t.num_rows > _PART_BROADCAST_MAX:
+    path = os.path.join(sf_dir, "part.parquet")
+    # gate from footer metadata BEFORE reading — past the gate no data
+    # may reach the driver at all
+    n_rows = pq.ParquetFile(path).metadata.num_rows
+    if n_rows > _PART_BROADCAST_MAX:
         raise ValueError(
-            f"part has {t.num_rows} rows > broadcast gate "
-            f"{_PART_BROADCAST_MAX}; use a co-partitioned partkey join"
+            f"part has {n_rows} rows > broadcast gate "
+            f"{_PART_BROADCAST_MAX}; use a co-partitioned partkey join "
+            "(pipelines/join.py routes there automatically)"
         )
-    return t
+    return pq.read_table(path, columns=["p_partkey", *columns])
 
 
 # ---------------------------------------------------------------------------

@@ -817,9 +817,15 @@ def top_supplier(
     cents = per_supp.column("total_cents").to_numpy(zero_copy_only=False)
     best = cents.max()
     winners = per_supp.filter(pa.array(cents == best))
+    # read ONLY the winners' name rows (pushed filter): the winner set
+    # is ties-at-max, never the supplier table
     names = pq.read_table(
         os.path.join(sf_dir, "supplier.parquet"),
         columns=["s_suppkey", "s_name"],
+        filters=[(
+            "s_suppkey", "in",
+            winners.column("s_suppkey").to_pylist(),
+        )],
     )
     nk = names.column("s_suppkey").to_numpy(zero_copy_only=False).astype(
         np.int64

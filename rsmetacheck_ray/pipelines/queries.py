@@ -185,9 +185,10 @@ def _query_vectors(sf_dir: str, n: int = 5):
     import pyarrow.parquet as pq
 
     t = pq.read_table(
-        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", n)],  # pushed: never the whole table
     )
-    t = t.filter(pc.less(t.column("vec_id"), n))
     ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
     mat = np.stack([np.asarray(e, dtype=np.float64) for e in t.column("embedding").to_pylist()])
     order = np.argsort(ids)
@@ -4582,9 +4583,16 @@ def _mm_knn(sf_dir: str, attach_fn, decode_cls):
     )
     import pyarrow.parquet as pq
 
-    head = pq.read_table(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
-    )
+    # stream only the FIRST batch off disk (never the whole table)
+    pf = pq.ParquetFile(os.path.join(sf_dir, "documents.parquet"))
+    try:
+        head = pa.Table.from_batches(
+            [next(pf.iter_batches(batch_size=3, columns=["doc_id", "text"]))]
+        )
+    except StopIteration:
+        head = pa.table(
+            {"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())}
+        )
     n_q = min(3, head.num_rows)  # corpora smaller than 3 docs still work
     head = head.slice(0, n_q)
     qids = np.array(head.column("doc_id").to_pylist(), dtype=np.int64)
