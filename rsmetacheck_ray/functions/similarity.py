@@ -140,9 +140,11 @@ class IVFSearcher:
         self.qunit = _unit(np.asarray(queries, dtype=np.float64))
         self.k = k
         self.id_col = id_col
-        # cells each query probes (precomputed once per actor)
+        # cells each query probes (precomputed once per actor);
+        # STABLE sort so sim ties break to the lowest cell index —
+        # the same (sim DESC, cell ASC) order the SQL oracle ranks by
         sims = self.qunit @ centroids.T
-        self.probe = np.argsort(-sims, axis=1)[:, :nprobe]
+        self.probe = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, mat = _batch_matrix(batch, self.id_col)
@@ -183,6 +185,7 @@ def knn_ivf(
     nprobe: int | None = None,
     id_col: str = "vec_id",
     train_sample: int = 2048,
+    centroids_out: list | None = None,
 ) -> rd.Dataset:
     """Approximate cosine top-k: train codebook on a bounded SYSTEMATIC
     sample drawn across the whole corpus (id % stride == 0 — the
@@ -221,6 +224,8 @@ def knn_ivf(
         sample = ds.select_columns([id_col, "embedding"]).limit(train_sample).take_all()
     x = _unit(np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in sample]))
     cent = deterministic_kmeans(x, min(n_cells, len(x)))
+    if centroids_out is not None:
+        centroids_out.append((cent, nprobe))  # oracle parameter export
     local = ds.map_batches(
         IVFSearcher,
         fn_constructor_args=(cent, query_ids, queries, k, nprobe, id_col),

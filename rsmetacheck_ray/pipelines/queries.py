@@ -3973,9 +3973,85 @@ QUALIFY row_number() OVER (
 
 
 def q_knn_ivf(sf_dir: str):
+    """IVF cosine top-k. The codebook fit is engine-side (bounded
+    systematic sample), but the SEARCH is deterministic given the
+    centroids — so they export (the LM-parameter pattern) and DuckDB
+    re-derives cell assignment, the per-query probe set and the
+    in-cell top-k; recall vs exact stays pinned in pytest."""
+    import pyarrow.parquet as pq
+
     qids, qvecs = _query_vectors(sf_dir)
     ds = rel._read_pq(os.path.join(sf_dir, "embeddings.parquet"))
-    return sim.knn_ivf(ds, qvecs, qids, k=10)
+    out: list = []
+    res = sim.knn_ivf(ds, qvecs, qids, k=10, centroids_out=out)
+    cent, nprobe = out[0]
+    _export_centroids(cent, "centroids_ivf.parquet")
+    os.makedirs(_KMEANS_EXPORT_DIR, exist_ok=True)
+    meta = os.path.join(_KMEANS_EXPORT_DIR, "ivf_nprobe.parquet")
+    tmp = meta + f".tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+    pq.write_table(
+        pa.table({"nprobe": pa.array([int(nprobe)], pa.int64())}), tmp
+    )
+    os.replace(tmp, meta)
+    return res
+
+
+SQL_KNN_IVF = """
+WITH cents AS (
+  SELECT cluster, cvec
+  FROM '/tmp/rsmetacheck_kmeans_oracle/centroids_ivf.parquet'
+),
+np_ AS (
+  SELECT nprobe
+  FROM '/tmp/rsmetacheck_kmeans_oracle/ivf_nprobe.parquet'
+),
+norms AS (
+  SELECT vec_id,
+    GREATEST(sqrt(list_sum(list_transform(
+      embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))),
+      1e-300) AS nrm
+  FROM embeddings
+),
+sims AS (
+  SELECT e.vec_id, c.cluster,
+    list_sum(list_transform(range(1, len(e.embedding) + 1),
+      i -> (CAST(e.embedding[i] AS DOUBLE) / n.nrm) * c.cvec[i]))
+      AS sim
+  FROM embeddings e
+  JOIN norms n ON n.vec_id = e.vec_id
+  CROSS JOIN cents c
+),
+assign AS (
+  SELECT vec_id, cluster FROM sims
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY vec_id ORDER BY sim DESC, cluster) = 1
+),
+probe AS (
+  SELECT vec_id AS query_id, cluster FROM sims
+  WHERE vec_id < 5
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY vec_id ORDER BY sim DESC, cluster)
+    <= (SELECT nprobe FROM np_)
+),
+cand AS (
+  SELECT p.query_id, a.vec_id
+  FROM probe p JOIN assign a ON a.cluster = p.cluster
+),
+scored AS (
+  SELECT c.query_id, c.vec_id,
+    list_sum(list_transform(range(1, len(q.embedding) + 1),
+      i -> (CAST(q.embedding[i] AS DOUBLE) / qn.nrm)
+           * (CAST(e.embedding[i] AS DOUBLE) / en.nrm))) AS cos
+  FROM cand c
+  JOIN embeddings q ON q.vec_id = c.query_id
+  JOIN embeddings e ON e.vec_id = c.vec_id
+  JOIN norms qn ON qn.vec_id = c.query_id
+  JOIN norms en ON en.vec_id = c.vec_id
+)
+SELECT query_id, vec_id FROM scored
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY query_id ORDER BY cos DESC, vec_id) <= 10
+"""
 
 
 def q_knn_quantized(sf_dir: str):
@@ -5001,7 +5077,7 @@ def registry() -> dict[str, tuple]:
         ),
         # similarity search
         "knn_cosine": (q_knn_cosine, SQL_KNN),
-        "knn_ivf": (q_knn_ivf, None),  # approximate by design
+        "knn_ivf": (q_knn_ivf, SQL_KNN_IVF),
         "knn_quantized": (q_knn_quantized, SQL_KNN_QUANTIZED),
         "kmeans_clusters": (q_kmeans_clusters, SQL_KMEANS_CLUSTERS),
         "dedup_semantic": (q_dedup_semantic, SQL_DEDUP_SEMANTIC),
