@@ -266,6 +266,24 @@ def cms_token_sketch(
     return acc, sorted(cand)
 
 
+def cms_rank_candidates(
+    tab: np.ndarray, toks: list, k: int = 50
+) -> pa.Table:
+    """Rank candidate tokens by sketch-estimated count: deterministic
+    total order (est_n DESC, token ASC), top-k. Split out from
+    :func:`cms_heavy_hitters` so callers that need the candidate list
+    itself (e.g. the DuckDB oracle's parameter export) can build and
+    rank in two steps without duplicating the tie-break spec."""
+    est = cms_estimate(tab, _token_hashes_u64(toks))
+    order = np.lexsort((np.asarray(toks, dtype=object), -est))[:k]
+    return pa.table(
+        {
+            "token": pa.array([toks[i] for i in order], pa.string()),
+            "est_n": pa.array(est[order], pa.int64()),
+        }
+    )
+
+
 def cms_heavy_hitters(
     ds: rd.Dataset, text_col: str = "text", k: int = 50, per_batch: int = 20
 ) -> pa.Table:
@@ -278,14 +296,7 @@ def cms_heavy_hitters(
     tab, toks = cms_token_sketch(
         ds, text_col, per_batch_candidates=per_batch
     )
-    est = cms_estimate(tab, _token_hashes_u64(toks))
-    order = np.lexsort((np.asarray(toks, dtype=object), -est))[:k]
-    return pa.table(
-        {
-            "token": pa.array([toks[i] for i in order], pa.string()),
-            "est_n": pa.array(est[order], pa.int64()),
-        }
-    )
+    return cms_rank_candidates(tab, toks, k)
 
 
 # ---------------------------------------------------------------------------

@@ -2273,18 +2273,121 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """
 
 
+# --- CMS oracle: DuckDB rebuilds the whole sketch --------------------------
+# Two non-SQL primitives get exported at query time: the per-token
+# blake2b-8 hash (vocabulary-parameter pattern, one row per corpus
+# token) and the candidate list (per-BATCH exact top partials — a
+# block-topology artifact, like the k-means centroids). Everything
+# downstream is re-derived independently in SQL: exact corpus token
+# counts, all CMS_D counter indices via the splitmix64 CTE chain,
+# the full (CMS_D × CMS_W) bincount table as a GROUP BY, the
+# min-over-rows estimate, and the (est DESC, token ASC) top-k. A
+# drift in the seed family, the modulus, the merge arithmetic or the
+# tie-break shows up as a hash mismatch.
+
+_CMS_ORACLE_DIR = "/tmp/rsmetacheck_cms_oracle"
+_CMS_EXPORT_MAX = 1_000_000  # document rows; oracle support only
+
+
+def _ensure_cms_export(sf_dir: str, candidates: list) -> None:
+    import pyarrow.parquet as pq
+
+    from ..functions.sketch import _token_hashes_u64
+    from ..functions.tokenize import split_ws_tokens
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    if pq.ParquetFile(path).metadata.num_rows > _CMS_EXPORT_MAX:
+        return  # oracle support only — skip at scale
+    texts = pq.read_table(path, columns=["text"]).column("text")
+    flat = split_ws_tokens(texts).flatten()
+    vocab = sorted(w for w in pc.unique(flat).to_pylist() if w)
+    os.makedirs(_CMS_ORACLE_DIR, exist_ok=True)
+    for fname, table in (
+        (
+            "vocab.parquet",
+            pa.table(
+                {
+                    "w": pa.array(vocab, pa.string()),
+                    "h": pa.array(_token_hashes_u64(vocab), pa.uint64()),
+                }
+            ),
+        ),
+        (
+            "candidates.parquet",
+            pa.table({"token": pa.array(candidates, pa.string())}),
+        ),
+    ):
+        out = os.path.join(_CMS_ORACLE_DIR, fname)
+        tmp = out + f".tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+        pq.write_table(table, tmp)
+        os.replace(tmp, out)
+
+
+def _sql_cms_heavy_hitters() -> str:
+    from ..functions.sketch import CMS_W, _CMS_SEEDS
+
+    seed_vals = ", ".join(
+        f"({d}, CAST({int(s)} AS UBIGINT))"
+        for d, s in enumerate(_CMS_SEEDS)
+    )
+    sm, sm_cte, sm_col = _sql_splitmix_ctes("cmsm", "hx", "hxv")
+    d = _CMS_ORACLE_DIR
+    return f"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(coalesce(text, ''),
+                                      '[\\t\\n\\f\\r ]+')) AS w
+  FROM documents
+),
+cnt AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS n
+  FROM toks WHERE w <> '' GROUP BY w
+),
+wh AS (
+  SELECT c.w, c.n, v.h
+  FROM cnt c JOIN '{d}/vocab.parquet' v ON v.w = c.w
+),
+seeds(sd, sv) AS (VALUES {seed_vals}),
+hx AS (SELECT w, n, sd, xor(h, sv) AS hxv FROM wh CROSS JOIN seeds),
+{sm.strip()},
+idx AS (SELECT w, n, sd, {sm_col} % {CMS_W} AS pos FROM {sm_cte}),
+tab AS (
+  SELECT sd, pos, CAST(SUM(n) AS BIGINT) AS cell
+  FROM idx GROUP BY sd, pos
+),
+cpos AS (
+  SELECT c.token, i.sd, i.pos
+  FROM '{d}/candidates.parquet' c JOIN idx i ON i.w = c.token
+),
+est AS (
+  SELECT p.token, MIN(t.cell) AS est_n
+  FROM cpos p JOIN tab t ON t.sd = p.sd AND t.pos = p.pos
+  GROUP BY p.token
+)
+SELECT token, CAST(est_n AS BIGINT) AS est_n
+FROM est
+ORDER BY est_n DESC, token ASC
+LIMIT 50
+"""
+
+
 def q_cms_heavy_hitters(sf_dir: str):
     """Count-min-sketch heavy hitters over the document tokens
     (functions/sketch.py): fixed-size frequency sketch per block,
     two-level merge, candidates from per-batch exact top partials,
-    global ranks from the sketch. Approximate (one-sided
-    overestimate) ⇒ rows-only; the overestimate guarantee, merge
-    order-independence and Zipf top-k agreement are pinned in pytest."""
-    from ..functions.sketch import cms_heavy_hitters
+    global ranks from the sketch. The sketch arithmetic is exact
+    integers (order-free bincount sums), so the DuckDB oracle
+    rebuilds the whole table from the exported token hashes and
+    re-ranks the exported candidates — hash-level match; the
+    overestimate guarantee, merge order-independence and Zipf top-k
+    agreement stay pinned in pytest."""
+    from ..functions.sketch import cms_rank_candidates, cms_token_sketch
 
-    return rd.from_arrow(
-        cms_heavy_hitters(_documents(sf_dir, ["doc_id", "text"]))
+    tab, toks = cms_token_sketch(
+        _documents(sf_dir, ["doc_id", "text"]), "text",
+        per_batch_candidates=20,
     )
+    _ensure_cms_export(sf_dir, toks)
+    return rd.from_arrow(cms_rank_candidates(tab, toks, k=50))
 
 
 def q_common_users_by_type(sf_dir: str):
@@ -2523,6 +2626,68 @@ def q_doc_chunk_fingerprints(sf_dir: str):
     return chunk_fingerprints(_documents(sf_dir, ["doc_id", "text"]))
 
 
+# --- partial-overlap oracle: DuckDB re-derives the pair machinery ----------
+# The content-defined chunker (gear rolling hash + FastCDC bounds +
+# blake2b chunk hash, functions/fingerprint.py) is the non-SQL
+# primitive — the query exports the dup corpus's (doc_id, chunk_hash)
+# rows (the bloom content-hash pattern) and DuckDB independently
+# re-derives everything the DISTRIBUTED side does: the per-chunk
+# distinct-doc groups, the all-pairs expansion within each group
+# (a < b), the cross-chunk pair count, and the >= min_shared_chunks
+# threshold. A drift in the hashed-partition group logic, the
+# within-doc repeated-chunk dedup, or the count reduce shows up as a
+# hash mismatch. The hot-boilerplate truncation cap never fires on
+# the test corpora (it logs when it does), so the oracle is exact.
+
+_CHUNK_ORACLE_DIR = "/tmp/rsmetacheck_chunk_oracle"
+_CHUNK_EXPORT_MAX = 1_000_000  # corpus rows; oracle support only
+
+
+def _ensure_chunk_export(sf_dir: str) -> None:
+    import pyarrow.parquet as pq
+
+    from ..functions.fingerprint import doc_chunks
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    if pq.ParquetFile(path).metadata.num_rows > _CHUNK_EXPORT_MAX:
+        return  # oracle support only — skip at scale
+    corpus = _dup_corpus_table(pq.read_table(path, columns=["doc_id", "text"]))
+    ids, hashes = [], []
+    for d, t in zip(
+        corpus.column("doc_id").to_pylist(), corpus.column("text").to_pylist()
+    ):
+        for _, _, ch, _ in doc_chunks(d, t):
+            ids.append(d)
+            hashes.append(ch)
+    os.makedirs(_CHUNK_ORACLE_DIR, exist_ok=True)
+    out = os.path.join(_CHUNK_ORACLE_DIR, "chunks.parquet")
+    tmp = out + f".tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "chunk_hash": pa.array(hashes, pa.int64()),
+            }
+        ),
+        tmp,
+    )
+    os.replace(tmp, out)
+
+
+SQL_DEDUP_PARTIAL_OVERLAP = f"""
+WITH ch AS (
+  SELECT DISTINCT doc_id, chunk_hash
+  FROM '{_CHUNK_ORACLE_DIR}/chunks.parquet'
+)
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+  CAST(COUNT(*) AS BIGINT) AS shared_chunks
+FROM ch a JOIN ch b
+  ON a.chunk_hash = b.chunk_hash AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING COUNT(*) >= 2
+"""
+
+
 def q_dedup_partial_overlap(sf_dir: str):
     """Partial-overlap near-dup pairs over the dup corpus: documents
     sharing >=2 content-defined chunks (catches the planted
@@ -2530,6 +2695,7 @@ def q_dedup_partial_overlap(sf_dir: str):
     from ..functions.fingerprint import partial_overlap_pairs
     from ..partitioning import adaptive_partitions, parquet_bytes_hint
 
+    _ensure_chunk_export(sf_dir)
     nbytes = parquet_bytes_hint(_documents(sf_dir, ["doc_id", "text"])) or 0
     return partial_overlap_pairs(
         _dup_corpus(sf_dir),
@@ -5024,8 +5190,12 @@ def registry() -> dict[str, tuple]:
         ),
         "approx_quantiles": (q_approx_quantiles, None),  # sketch
         "approx_quantiles_by_type": (q_approx_quantiles_by_type, None),  # sketch
-        "cms_heavy_hitters": (q_cms_heavy_hitters, None),  # sketch
-        "dedup_partial_overlap": (q_dedup_partial_overlap, None),  # non-SQL chunker
+        "cms_heavy_hitters": (
+            q_cms_heavy_hitters, _sql_cms_heavy_hitters(),
+        ),
+        "dedup_partial_overlap": (
+            q_dedup_partial_overlap, SQL_DEDUP_PARTIAL_OVERLAP,
+        ),
         "dedup_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),
         "rank_dedup_graph": (q_rank_dedup_graph, None),
         "dedup_survivors": (q_dedup_survivors, SQL_DEDUP_SURVIVORS),
