@@ -96,14 +96,11 @@ def _dangling_mass(rank: np.ndarray, deg: np.ndarray) -> float:
     return float(rank[deg == 0].sum())
 
 
-def pagerank(
-    edges: pa.Table,
-    damping: float = 0.85,
-    n_iter: int = 20,
-    num_partitions: int | None = None,
-) -> pa.Table:
-    """(node, rank) for every node of the directed edge table
-    (columns ``src``, ``dst``)."""
+def _shard_graph(edges: pa.Table, num_partitions: int | None):
+    """Shared BSP setup: hash-co-partitioned node shards + edge
+    partitions in the object store. Returns ``None`` for the empty
+    graph, else ``(n, n_parts, shard_nodes, shard_deg, edge_refs,
+    node_refs, deg_refs)``."""
     if edges.num_rows > _EDGE_SETUP_MAX:
         raise ValueError(
             f"{edges.num_rows} edges exceed the driver setup gate "
@@ -114,9 +111,7 @@ def pagerank(
     nodes_all = np.unique(np.concatenate([src, dst]))
     n = len(nodes_all)
     if n == 0:
-        return pa.table(
-            {"node": pa.array([], pa.int64()), "rank": pa.array([], pa.float64())}
-        )
+        return None
     # min_partitions=1: the default 64-way parallelism floor is right
     # for one-shot Dataset shuffles but poison for a BSP loop — every
     # iteration pays P dangling + P scatter (×P returns) + P gather
@@ -136,10 +131,6 @@ def pagerank(
     deg_all = np.zeros(n, np.int64)
     np.add.at(deg_all, np.searchsorted(nodes_all, src), 1)
     shard_deg = [deg_all[node_part == q] for q in range(n_parts)]
-    with np.errstate(divide="ignore"):
-        shard_inv = [
-            np.where(d > 0, 1.0 / d.astype(np.float64), 0.0) for d in shard_deg
-        ]
 
     # edge partitions by hash(src): srcs are local to shard p
     src_part = part_of(src)
@@ -155,8 +146,29 @@ def pagerank(
             )
         )
     node_refs = [ray.put(sn) for sn in shard_nodes]
-    inv_refs = [ray.put(iv) for iv in shard_inv]
     deg_refs = [ray.put(d) for d in shard_deg]
+    return n, n_parts, shard_nodes, shard_deg, edge_refs, node_refs, deg_refs
+
+
+def pagerank(
+    edges: pa.Table,
+    damping: float = 0.85,
+    n_iter: int = 20,
+    num_partitions: int | None = None,
+) -> pa.Table:
+    """(node, rank) for every node of the directed edge table
+    (columns ``src``, ``dst``)."""
+    setup = _shard_graph(edges, num_partitions)
+    if setup is None:
+        return pa.table(
+            {"node": pa.array([], pa.int64()), "rank": pa.array([], pa.float64())}
+        )
+    n, n_parts, shard_nodes, shard_deg, edge_refs, node_refs, deg_refs = setup
+    with np.errstate(divide="ignore"):
+        shard_inv = [
+            np.where(d > 0, 1.0 / d.astype(np.float64), 0.0) for d in shard_deg
+        ]
+    inv_refs = [ray.put(iv) for iv in shard_inv]
 
     rank_refs = [
         ray.put(np.full(len(sn), 1.0 / n, np.float64)) for sn in shard_nodes
@@ -200,6 +212,158 @@ def pagerank(
             "rank": pa.array(np.concatenate(ranks), pa.float64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-point PageRank — the same BSP plan in exact int64 arithmetic
+# (ranks in units of 1/PR_SCALE, per-edge contribution = rank //
+# out-degree, damping as the rational damping_num/damping_den). Every
+# reduce is an integer sum, so the result is independent of partition
+# count, shard topology AND accumulation order — the determinism
+# float PageRank can only promise per fixed partitioning. That makes
+# the 20-iteration fixpoint exactly re-derivable by the DuckDB oracle
+# (unrolled integer CTEs) and reproducible bit-for-bit across cluster
+# sizes — the property a 100 TB resume/retry pipeline actually needs.
+# Mass conservation is approximate (each floor division sheds < 1
+# unit of 1e-15), bounded by (edges + nodes) ulps per iteration.
+# ---------------------------------------------------------------------------
+
+PR_SCALE = 10**15
+
+
+@ray.remote
+def _scatter_fixed(
+    src: np.ndarray,
+    dst: np.ndarray,
+    dst_part: np.ndarray,
+    nodes: np.ndarray,
+    deg: np.ndarray,
+    rank: np.ndarray,
+    n_parts: int,
+):
+    """Integer contributions (rank // out-degree) binned by dst shard.
+    Every src has deg >= 1 by construction (degree counts src rows)."""
+    pos = np.searchsorted(nodes, src)
+    contrib = rank[pos] // deg[pos]
+    order = np.argsort(dst_part, kind="stable")
+    dp, dd, cc = dst_part[order], dst[order], contrib[order]
+    bounds = np.searchsorted(dp, np.arange(n_parts + 1))
+    return [
+        (dd[bounds[q]: bounds[q + 1]], cc[bounds[q]: bounds[q + 1]])
+        for q in range(n_parts)
+    ]
+
+
+@ray.remote
+def _gather_fixed(
+    nodes: np.ndarray,
+    piece_refs: list,
+    damping_num: int,
+    damping_den: int,
+    tele: int,
+    dangle_n: int,
+):
+    acc = np.zeros(len(nodes), np.int64)
+    for ref in piece_refs:
+        val = ray.get(ref)
+        if isinstance(val, list):  # n_parts == 1: un-split scatter output
+            val = val[0]
+        d_ids, c = val
+        if len(d_ids):
+            np.add.at(acc, np.searchsorted(nodes, d_ids), c)
+    return tele + (damping_num * (acc + dangle_n)) // damping_den
+
+
+@ray.remote
+def _dangling_mass_fixed(rank: np.ndarray, deg: np.ndarray) -> int:
+    return int(rank[deg == 0].sum())
+
+
+def pagerank_fixed(
+    edges: pa.Table,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    n_iter: int = 20,
+    num_partitions: int | None = None,
+    scale: int = PR_SCALE,
+) -> pa.Table:
+    """(node, rank_fp) in units of 1/scale — exact-integer damped
+    PageRank, bitwise identical at ANY partition count."""
+    setup = _shard_graph(edges, num_partitions)
+    if setup is None:
+        return pa.table(
+            {"node": pa.array([], pa.int64()), "rank_fp": pa.array([], pa.int64())}
+        )
+    n, n_parts, shard_nodes, _shard_deg, edge_refs, node_refs, deg_refs = setup
+    rank_refs = [
+        ray.put(np.full(len(sn), scale // n, np.int64)) for sn in shard_nodes
+    ]
+    tele = ((damping_den - damping_num) * scale) // (damping_den * n)
+    for _ in range(n_iter):
+        dangle = sum(
+            ray.get(
+                [
+                    _dangling_mass_fixed.remote(rank_refs[q], deg_refs[q])
+                    for q in range(n_parts)
+                ]
+            )
+        )
+        dangle_n = dangle // n
+        scatter = [
+            _scatter_fixed.options(num_returns=n_parts).remote(
+                edge_refs[p][0], edge_refs[p][1], edge_refs[p][2],
+                node_refs[p], deg_refs[p], rank_refs[p], n_parts,
+            )
+            for p in range(n_parts)
+        ]
+        if n_parts == 1:  # num_returns=1 yields a bare ref, not a list
+            scatter = [[s] for s in scatter]
+        rank_refs = [
+            _gather_fixed.remote(
+                node_refs[q],
+                [scatter[p][q] for p in range(n_parts)],
+                damping_num,
+                damping_den,
+                tele,
+                dangle_n,
+            )
+            for q in range(n_parts)
+        ]
+    ranks = ray.get(rank_refs)
+    return pa.table(
+        {
+            "node": pa.array(np.concatenate(shard_nodes), pa.int64()),
+            "rank_fp": pa.array(np.concatenate(ranks), pa.int64()),
+        }
+    )
+
+
+def pagerank_fixed_dense(
+    edges: pa.Table,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    n_iter: int = 20,
+    scale: int = PR_SCALE,
+) -> dict[int, int]:
+    """Single-machine reference with identical integer semantics."""
+    src = edges.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+    dst = edges.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+    nodes = np.unique(np.concatenate([src, dst]))
+    n = len(nodes)
+    if n == 0:
+        return {}
+    si = np.searchsorted(nodes, src)
+    di = np.searchsorted(nodes, dst)
+    deg = np.zeros(n, np.int64)
+    np.add.at(deg, si, 1)
+    rank = np.full(n, scale // n, np.int64)
+    tele = ((damping_den - damping_num) * scale) // (damping_den * n)
+    for _ in range(n_iter):
+        dangle_n = int(rank[deg == 0].sum()) // n
+        acc = np.zeros(n, np.int64)
+        np.add.at(acc, di, rank[si] // np.maximum(deg[si], 1))
+        rank = tele + (damping_num * (acc + dangle_n)) // damping_den
+    return {int(k): int(v) for k, v in zip(nodes, rank)}
 
 
 def pagerank_dense(

@@ -2789,16 +2789,20 @@ def q_dedup_components(sf_dir: str):
 
 
 def q_rank_dedup_graph(sf_dir: str):
-    """(node, rank): PageRank centrality over the near-dup similarity
-    graph (the CC edge set, symmetrized — an undirected doc-similarity
-    graph), 20 damped BSP iterations (functions/graph.py). The
-    most-central documents of each dup cluster are the natural
-    canonical candidates when survivor policy wants "most connected"
-    rather than "min id". Iterative float fixpoint ⇒ rows-only;
-    pinned by dense-parity and structure tests."""
+    """(node, rank_fp): PageRank centrality over the near-dup
+    similarity graph (the CC edge set, symmetrized — an undirected
+    doc-similarity graph), 20 damped BSP iterations in EXACT int64
+    fixed-point (units of 1e-15, functions/graph.py) — bitwise
+    identical at any partition count, which is what lets DuckDB
+    re-derive the whole fixpoint: the oracle rebuilds the prefix ∪
+    suffix star edges in SQL and unrolls all 20 integer iterations
+    as CTEs. The most-central documents of each dup cluster are the
+    natural canonical candidates when survivor policy wants "most
+    connected" rather than "min id". Float/fixed agreement and dense
+    parity stay pinned in pytest."""
     import ray
 
-    from ..functions.graph import pagerank
+    from ..functions.graph import pagerank_fixed
 
     corpus = _cc_corpus(sf_dir)
     blocks = [
@@ -2807,7 +2811,7 @@ def q_rank_dedup_graph(sf_dir: str):
         if t.num_rows
     ]
     if not blocks:
-        return pagerank(
+        return pagerank_fixed(
             pa.table(
                 {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
             )
@@ -2822,7 +2826,75 @@ def q_rank_dedup_graph(sf_dir: str):
             "dst": pa.array(np.concatenate([b[keep], a[keep]]), pa.int64()),
         }
     )
-    return pagerank(edges)
+    return pagerank_fixed(edges)
+
+
+def _sql_rank_dedup_graph(
+    n_iter: int = 20,
+    damping_num: int = 85,
+    damping_den: int = 100,
+) -> str:
+    """Unrolled integer-CTE oracle for the fixed-point PageRank: the
+    edge set is re-derived from scratch (prefix/suffix star pairs of
+    the CC corpus, symmetrized) and each of the ``n_iter`` iterations
+    is one (dangling, scatter-sum, rank) CTE triple in exact BIGINT
+    arithmetic — integer sums are order-free, so the SQL fixpoint is
+    bit-equal to the BSP engine's at any shard topology."""
+    from ..functions.graph import PR_SCALE
+
+    tele = f"(({damping_den - damping_num} * {PR_SCALE}) // ({damping_den} * nn.n))"
+    iters = []
+    for i in range(n_iter):
+        iters.append(f"""
+dg{i} AS MATERIALIZED (
+  SELECT COALESCE(SUM(r.r), 0) AS dm
+  FROM r{i} r JOIN nd ON nd.node = r.node WHERE nd.deg = 0
+),
+ac{i} AS MATERIALIZED (
+  SELECT e.dst AS node, SUM(r.r // nd.deg) AS acc
+  FROM edges e JOIN r{i} r ON r.node = e.src JOIN nd ON nd.node = e.src
+  GROUP BY e.dst
+),
+r{i + 1} AS MATERIALIZED (
+  SELECT n.node,
+    {tele} + ({damping_num} * (COALESCE(a.acc, 0)
+                               + (SELECT dm FROM dg{i}) // nn.n))
+             // {damping_den} AS r
+  FROM nodes n
+  LEFT JOIN ac{i} a ON a.node = n.node
+  CROSS JOIN ncount nn
+)""")
+    return f"""
+WITH
+{_CC_CORPUS_SQL.strip()},
+pk AS (SELECT doc_id, substr(text, 1, {_CC_PREFIX}) AS k FROM corpus),
+sk AS (
+  SELECT doc_id,
+    CASE WHEN length(text) >= {_CC_PREFIX}
+         THEN substr(text, length(text) - {_CC_PREFIX - 1}, {_CC_PREFIX})
+         ELSE text END AS k
+  FROM corpus
+),
+pe AS (SELECT min(doc_id) OVER (PARTITION BY k) AS a, doc_id AS b FROM pk),
+se AS (SELECT min(doc_id) OVER (PARTITION BY k) AS a, doc_id AS b FROM sk),
+star AS (
+  SELECT a, b FROM pe WHERE a <> b
+  UNION ALL
+  SELECT a, b FROM se WHERE a <> b
+),
+edges AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM star
+  UNION ALL
+  SELECT b AS src, a AS dst FROM star
+),
+nd AS MATERIALIZED (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+       FROM edges GROUP BY src),
+nodes AS MATERIALIZED (SELECT node FROM nd),
+ncount AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes),
+r0 AS MATERIALIZED (SELECT node, {PR_SCALE} // nn.n AS r FROM nodes CROSS JOIN ncount nn),
+{','.join(iters)}
+SELECT node, CAST(r AS BIGINT) AS rank_fp FROM r{n_iter}
+"""
 
 
 _CC_CORPUS_SQL = f"""
@@ -5197,7 +5269,7 @@ def registry() -> dict[str, tuple]:
             q_dedup_partial_overlap, SQL_DEDUP_PARTIAL_OVERLAP,
         ),
         "dedup_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),
-        "rank_dedup_graph": (q_rank_dedup_graph, None),
+        "rank_dedup_graph": (q_rank_dedup_graph, _sql_rank_dedup_graph()),
         "dedup_survivors": (q_dedup_survivors, SQL_DEDUP_SURVIVORS),
         "decontaminate": (q_decontaminate, _sql_decontaminate()),
         "pack_sequences": (q_pack_sequences, _sql_pack_sequences()),

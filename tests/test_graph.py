@@ -85,12 +85,54 @@ def test_empty_and_gate(ray_session, monkeypatch):
         gr.pagerank(_edges([(1, 2), (2, 3), (3, 1)]))
 
 
+def test_fixed_matches_dense_reference(ray_session):
+    e = _rand_edges(200, 1000, seed=5)
+    got = gr.pagerank_fixed(e, n_iter=15, num_partitions=4)
+    want = gr.pagerank_fixed_dense(e, n_iter=15)
+    gm = dict(
+        zip(got.column("node").to_pylist(), got.column("rank_fp").to_pylist())
+    )
+    assert gm == want  # EXACT integer equality, not approx
+
+
+def test_fixed_partition_count_invariance(ray_session):
+    # the fixed-point variant's whole reason to exist: identical
+    # INTEGERS at any shard topology (order-free sums)
+    e = _rand_edges(120, 500, seed=11)
+    a = gr.pagerank_fixed(e, n_iter=12, num_partitions=1)
+    b = gr.pagerank_fixed(e, n_iter=12, num_partitions=6)
+    am = dict(zip(a.column("node").to_pylist(), a.column("rank_fp").to_pylist()))
+    bm = dict(zip(b.column("node").to_pylist(), b.column("rank_fp").to_pylist()))
+    assert am == bm
+
+
+def test_fixed_tracks_float(ray_session):
+    # fixed-point sheds < 1 ulp (1e-15) per floor division: the two
+    # arithmetics must agree to ~1e-9 relative on a connected graph
+    e = _rand_edges(100, 400, seed=7)
+    f = gr.pagerank(e, n_iter=20, num_partitions=3)
+    q = gr.pagerank_fixed(e, n_iter=20, num_partitions=3)
+    fm = dict(zip(f.column("node").to_pylist(), f.column("rank").to_pylist()))
+    qm = dict(zip(q.column("node").to_pylist(), q.column("rank_fp").to_pylist()))
+    assert set(fm) == set(qm)
+    for k, v in fm.items():
+        assert qm[k] / gr.PR_SCALE == pytest.approx(v, rel=1e-6, abs=1e-9)
+
+
+def test_fixed_empty(ray_session):
+    got = gr.pagerank_fixed(_edges([]))
+    assert got.num_rows == 0
+    assert set(got.column_names) == {"node", "rank_fp"}
+
+
 def test_registry_query_runs(ray_session):
+    from rsmetacheck_ray.functions.graph import PR_SCALE
     from rsmetacheck_ray.pipelines.queries import q_rank_dedup_graph
 
     out = q_rank_dedup_graph("/root/testdata/sf0.001")
     assert out.num_rows > 0
-    assert set(out.column_names) == {"node", "rank"}
-    # every rank positive, mass ≈ 1
-    r = out.column("rank").to_numpy()
-    assert (r > 0).all() and float(r.sum()) == pytest.approx(1.0)
+    assert set(out.column_names) == {"node", "rank_fp"}
+    # every rank positive, mass ≈ 1 (fixed-point units of 1/PR_SCALE)
+    r = out.column("rank_fp").to_numpy()
+    assert (r > 0).all()
+    assert float(r.sum()) / PR_SCALE == pytest.approx(1.0, rel=1e-6)
