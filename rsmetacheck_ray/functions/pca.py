@@ -125,7 +125,13 @@ def pca_project(
     id_col: str = "vec_id",
 ) -> rd.Dataset:
     """(id, pc: list<double>): centered projection onto the fitted
-    components — one broadcast, one matmul per batch."""
+    components — one broadcast, one vectorized fold per batch. The
+    per-component dot is deliberately SEQUENTIAL over dimensions
+    (cumsum fold, not BLAS matmul — BLAS blocks/SIMDs the accumulation
+    in an implementation-defined order): the clustering.py cumsum ≙
+    DuckDB list_sum pattern, which is what lets the pca_embeddings
+    oracle re-derive every projected float bit-for-bit from the
+    exported (mean, components)."""
     ref = ray.put(
         (
             np.ascontiguousarray(mean, np.float64),
@@ -143,7 +149,15 @@ def pca_project(
                     "pc": pa.array([], pa.list_(pa.float64())),
                 }
             )
-        proj = (mat - mu) @ comps.T
+        centered = mat - mu
+        # sequential dot per component: cumsum over dims ≙ list_sum
+        proj = np.stack(
+            [
+                np.cumsum(centered * comps[c], axis=1)[:, -1]
+                for c in range(len(comps))
+            ],
+            axis=1,
+        )
         return pa.table(
             {
                 id_col: pa.array(ids, pa.int64()),

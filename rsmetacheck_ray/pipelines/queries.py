@@ -4714,16 +4714,93 @@ WHERE n_chars > (SELECT quantile_disc(n_chars, 0.99) FROM documents)
 """
 
 
+# --- PCA oracle: DuckDB re-derives every projected float -------------------
+# The eigendecomposition stays engine-side (the knn_ivf codebook
+# pattern: a bounded (d,d) driver solve); the fitted (mean,
+# components) are exported and DuckDB independently recomputes every
+# (vec, component) projection. Bit-exactness holds because the
+# engine's per-component dot is a SEQUENTIAL cumsum fold over
+# dimensions (pca.pca_project), which is the same left fold as
+# DuckDB's list_sum — the clustering.py pattern. Output is long form
+# (vec_id, c, pcval): scalar columns hash cleanly on both sides.
+
+_PCA_ORACLE_DIR = "/tmp/rsmetacheck_pca_oracle"
+
+
+def _export_pca_params(mean, comps) -> None:
+    import pyarrow.parquet as pq
+
+    os.makedirs(_PCA_ORACLE_DIR, exist_ok=True)
+    for fname, table in (
+        (
+            "mean.parquet",
+            pa.table({"mvec": pa.array([list(mean)], pa.list_(pa.float64()))}),
+        ),
+        (
+            "comps.parquet",
+            pa.table(
+                {
+                    "c": pa.array(range(len(comps)), pa.int64()),
+                    "cvec": pa.array(
+                        [list(row) for row in comps], pa.list_(pa.float64())
+                    ),
+                }
+            ),
+        ),
+    ):
+        out = os.path.join(_PCA_ORACLE_DIR, fname)
+        tmp = out + f".tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+        pq.write_table(table, tmp)
+        os.replace(tmp, out)
+
+
+SQL_PCA_EMBEDDINGS = f"""
+SELECT e.vec_id, cp.c,
+  list_sum(list_transform(range(1, len(e.embedding) + 1),
+    i -> (CAST(e.embedding[i] AS DOUBLE) - m.mvec[i]) * cp.cvec[i]))
+  AS pcval
+FROM embeddings e
+CROSS JOIN '{_PCA_ORACLE_DIR}/comps.parquet' cp
+CROSS JOIN '{_PCA_ORACLE_DIR}/mean.parquet' m
+"""
+
+
 def q_pca_embeddings(sf_dir: str):
     """Distributed PCA (functions/pca.py): one moments pass (tiny
     (d, d) Gram partial per batch, driver eigendecomposition) + one
-    broadcast projection pass → (vec_id, pc). Linear algebra ⇒
-    rows-only; exact numpy parity pinned in pytest."""
+    broadcast projection pass, flattened to (vec_id, c, pcval) long
+    form. The fit is exported (knn_ivf codebook pattern) and the
+    projections are hash-checked float-for-float against DuckDB's
+    list_sum fold; eigensolver parity with numpy stays in pytest."""
     from ..functions.pca import pca_fit, pca_project
 
-    ds = rel._read_pq(os.path.join(sf_dir, "embeddings.parquet"))
+    ds = rel._read_pq(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
     mean, comps, _ = pca_fit(ds, n_components=8)
-    return pca_project(ds, mean, comps)
+    _export_pca_params(mean, comps)
+
+    def long_form(b: pa.Table) -> pa.Table:
+        ids = b.column("vec_id").to_numpy(zero_copy_only=False)
+        pcs = b.column("pc").combine_chunks()
+        offs = pcs.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = np.diff(offs)
+        flat = pcs.flatten().to_numpy(zero_copy_only=False)
+        cidx = np.arange(offs[-1], dtype=np.int64) - np.repeat(
+            offs[:-1], counts
+        )
+        return pa.table(
+            {
+                "vec_id": pa.array(np.repeat(ids, counts), pa.int64()),
+                "c": pa.array(cidx, pa.int64()),
+                "pcval": pa.array(flat, pa.float64()),
+            }
+        )
+
+    return pca_project(ds, mean, comps).map_batches(
+        long_form, batch_format="pyarrow"
+    )
 
 
 def q_host_stats(sf_dir: str):
@@ -5323,7 +5400,7 @@ def registry() -> dict[str, tuple]:
         "knn_quantized": (q_knn_quantized, SQL_KNN_QUANTIZED),
         "kmeans_clusters": (q_kmeans_clusters, SQL_KMEANS_CLUSTERS),
         "dedup_semantic": (q_dedup_semantic, SQL_DEDUP_SEMANTIC),
-        "pca_embeddings": (q_pca_embeddings, None),  # linear algebra
+        "pca_embeddings": (q_pca_embeddings, SQL_PCA_EMBEDDINGS),
         # multimodal plumbing
         "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL),
         "multimodal_resize": (q_multimodal_resize, SQL_MULTIMODAL_RESIZE),
