@@ -3379,16 +3379,159 @@ GROUP BY occ.doc_id
 
 
 # --- BPE tokenizer training + application ----------------------------------
+#
+# Both BPE queries are FULL hash oracles. The shared primitive is a
+# separator-string encoding of a word's symbol list —
+# "␁␁s1␁␁s2␁␁" with ␁ = chr(1) (the corpus is printable ASCII, so
+# the separator never occurs inside a symbol) — under which:
+#  * the TRAINING rewrite "merge every non-overlapping (a, b)
+#    left-to-right" is exactly DuckDB's plain `replace(s,
+#    '␁a␁␁b␁', '␁ab␁')` (replace scans left-to-right and resumes
+#    after each substitution, so overlapping runs like a·a·a merge
+#    to aa·a just as learn_merges' index-skipping scan does), and
+#  * the ENCODE step "merge the leftmost occurrence of the
+#    lowest-rank applicable pair" is argmin over rank·K + strpos.
+# With that, bpe_merges needs NO export at all — DuckDB re-derives
+# the whole greedy training from the raw corpus via _BPE_MERGES
+# unrolled MATERIALIZED CTE levels (word counts → pair counts →
+# deterministic argmax (count DESC, pair ASC) → rewrite) — and
+# bpe_token_counts exports the learned merge table (the
+# gate_decisions LM-parameter pattern) and replays encode_word as a
+# recursive CTE, one merge per step, depth ≤ max word length.
 
 _BPE_MERGES = 50
+_BPE_ORACLE_DIR = "/tmp/rsmetacheck_bpe_oracle"
+
+# regexp_extract_all(text, '\S+') ≡ the engine's split_ws_tokens
+# (RE2 \s = [\t\n\f\r ] on both sides; see functions/tokenize.py).
+_SQL_WORD_COUNTS = r"""
+  SELECT word, COUNT(*)::BIGINT AS n
+  FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS word FROM documents)
+  GROUP BY word ORDER BY n DESC, word LIMIT 50000
+"""
+
+# chars[:-1] + [last_char || '</w>'], as the sep-string.
+_SQL_SYMBOLIZE = r"""
+    chr(1)||chr(1) || array_to_string(
+      list_append(string_split(word, '')[1:length(word)-1],
+                  string_split(word, '')[length(word)] || '</w>'),
+      chr(1)||chr(1)) || chr(1)||chr(1)
+"""
+
+
+def _sql_bpe_merges(num_merges: int = _BPE_MERGES) -> str:
+    """Unrolled greedy-training replay: level k recounts every
+    adjacent symbol pair weighted by word frequency (fresh recount ≡
+    learn_merges' incremental update: a merged pair can never
+    re-appear after its left-to-right rewrite), picks the
+    deterministic argmax, and rewrites. MATERIALIZED pins each level
+    to evaluate once (seg{k} is referenced twice)."""
+    parts = [
+        f"wc AS MATERIALIZED ({_SQL_WORD_COUNTS}),",
+        f"seg0 AS MATERIALIZED (SELECT n, {_SQL_SYMBOLIZE} AS s FROM wc)",
+    ]
+    for k in range(num_merges):
+        parts.append(f""",
+p{k} AS (
+  SELECT syms[i] AS lft, syms[i+1] AS rgt, SUM(n)::BIGINT AS c
+  FROM (SELECT n, string_split(trim(s, chr(1)), chr(1)||chr(1)) AS syms FROM seg{k}),
+       LATERAL (SELECT unnest(generate_series(1, len(syms) - 1)) AS i) u
+  GROUP BY 1, 2
+),
+b{k} AS MATERIALIZED (
+  SELECT lft, rgt FROM p{k} WHERE c > 0 ORDER BY c DESC, lft, rgt LIMIT 1
+),
+seg{k + 1} AS MATERIALIZED (
+  SELECT n,
+    CASE WHEN (SELECT count(*) FROM b{k}) = 0 THEN s
+    ELSE replace(s,
+      chr(1) || (SELECT lft FROM b{k}) || chr(1)||chr(1) || (SELECT rgt FROM b{k}) || chr(1),
+      chr(1) || (SELECT lft FROM b{k}) || (SELECT rgt FROM b{k}) || chr(1))
+    END AS s
+  FROM seg{k}
+)""")
+    union = "\nUNION ALL\n".join(
+        f'SELECT {k}::BIGINT AS rank, lft AS "left", rgt AS "right",'
+        f" lft || rgt AS merged FROM b{k}"
+        for k in range(num_merges)
+    )
+    return "WITH " + "".join(parts) + "\n" + union
+
+
+def _export_bpe_merges(merges) -> None:
+    import pyarrow.parquet as pq
+
+    os.makedirs(_BPE_ORACLE_DIR, exist_ok=True)
+    table = pa.table(
+        {
+            "rank": pa.array(range(len(merges)), pa.int64()),
+            "l": pa.array([a for a, _ in merges], pa.string()),
+            "r": pa.array([b for _, b in merges], pa.string()),
+        }
+    )
+    out = os.path.join(_BPE_ORACLE_DIR, "merges.parquet")
+    tmp = out + f".tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, out)
+
+
+SQL_BPE_TOKEN_COUNTS = f"""
+WITH RECURSIVE
+mlist AS (
+  SELECT list(struct_pack(
+      pat := chr(1) || l || chr(1) || chr(1) || r || chr(1),
+      rep := chr(1) || l || r || chr(1)) ORDER BY rank) AS ms
+  FROM '{_BPE_ORACLE_DIR}/merges.parquet'
+),
+toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS word FROM documents
+),
+uw AS (SELECT DISTINCT word FROM toks),
+init AS (
+  SELECT word, {_SQL_SYMBOLIZE} AS s, 0 AS step FROM uw
+),
+enc AS (
+  SELECT word, s, step FROM init
+  UNION ALL
+  SELECT word,
+    substr(s, 1, (best % 10000000) - 1)
+      || ms[best // 10000000].rep
+      || substr(s, (best % 10000000) + length(ms[best // 10000000].pat)),
+    step + 1
+  FROM (
+    SELECT word, s, step, ms,
+      list_min(list_filter(
+        list_transform(range(1, len(ms) + 1), i ->
+          CASE WHEN strpos(s, ms[i].pat) > 0
+               THEN i * 10000000 + strpos(s, ms[i].pat) END),
+        x -> x IS NOT NULL)) AS best
+    FROM enc, mlist
+  )
+  WHERE best IS NOT NULL
+),
+wlen AS (
+  SELECT word, len(string_split(s, chr(1)||chr(1))) - 2 AS n_sym
+  FROM (
+    SELECT word, s,
+      row_number() OVER (PARTITION BY word ORDER BY step DESC) AS rn
+    FROM enc) WHERE rn = 1
+)
+SELECT d.doc_id, COALESCE(SUM(w.n_sym), 0)::BIGINT AS n_bpe_tokens
+FROM documents d
+LEFT JOIN toks t ON t.doc_id = d.doc_id
+LEFT JOIN wlen w ON w.word = t.word
+GROUP BY d.doc_id
+"""
 
 
 def q_bpe_merges(sf_dir: str):
     """Learn a BPE merge table from the corpus (functions/bpe.py):
     ONE distributed partial-combined word-count pass, then the greedy
     merge loop over the bounded frequency table — how real tokenizer
-    trainers work. Iterative greedy state ⇒ rows-only; pinned by the
-    published toy example + a naive-reference differential in pytest."""
+    trainers work. FULL independent oracle: DuckDB re-derives the
+    entire greedy training from the raw corpus (no export) via
+    unrolled rewrite levels; the naive-reference differential stays
+    in pytest."""
     from ..functions.bpe import train_bpe
 
     return train_bpe(
@@ -3398,13 +3541,17 @@ def q_bpe_merges(sf_dir: str):
 
 def q_bpe_token_counts(sf_dir: str):
     """Token-budget accounting under the corpus-learned BPE: train,
-    then a broadcast apply stage memoizing per-unique-word encodings."""
+    then a broadcast apply stage memoizing per-unique-word encodings.
+    Oracle: the learned merges are exported and DuckDB replays
+    encode_word (leftmost lowest-rank merge per step) as a recursive
+    CTE over the corpus's unique words."""
     from ..functions.bpe import apply_bpe, corpus_word_counts, learn_merges
 
     merges = learn_merges(
         corpus_word_counts(_documents(sf_dir, ["doc_id", "text"])),
         _BPE_MERGES,
     )
+    _export_bpe_merges(merges)
     return apply_bpe(_documents(sf_dir, ["doc_id", "text"]), merges)
 
 
@@ -5367,8 +5514,8 @@ def registry() -> dict[str, tuple]:
         ),
         "lang_source_rollup": (q_lang_source_rollup, SQL_LANG_SOURCE_ROLLUP),
         "length_outliers": (q_length_outliers, SQL_LENGTH_OUTLIERS),
-        "bpe_merges": (q_bpe_merges, None),  # iterative greedy (non-SQL)
-        "bpe_token_counts": (q_bpe_token_counts, None),  # non-SQL
+        "bpe_merges": (q_bpe_merges, _sql_bpe_merges()),
+        "bpe_token_counts": (q_bpe_token_counts, SQL_BPE_TOKEN_COUNTS),
         "dedup_embedding_pairs": (q_dedup_embedding_pairs, SQL_DEDUP_EMBEDDING),
         "dedup_embedding_lsh": (
             q_dedup_embedding_lsh, SQL_DEDUP_EMBEDDING_LSH,
