@@ -43,6 +43,7 @@ from .relational import (
     _part_of,
     _read_pq,
     bounded_group_reduce,
+    bounded_group_table,
     bounded_group_table_strict,
 )
 
@@ -270,6 +271,12 @@ FROM w
 # orders with their customer.
 # ---------------------------------------------------------------------------
 
+# HAVING sum(qty) > 150 qualifies a vanishing fraction of orders
+# (TPC-H Q18: ~60 rows per SF) — past this many qualifying rows the
+# broadcast plan falls back to the two tagged-union shuffles.
+_Q18_QUALIFY_MAX = 4_000_000
+
+
 def big_orders(
     sf_dir: str, min_qty: int = 150, num_partitions: int | None = None
 ) -> rd.Dataset:
@@ -277,14 +284,222 @@ def big_orders(
     customer name — (c_custkey, c_name, o_orderkey, o_orderdate,
     total_cents, sum_qty), largest order value first.
 
-    Plan: TWO tagged-union shuffles, both on size-adaptive hashed key
-    partitions. Shuffle A (orderkey): lineitem ships per-batch
-    (orderkey → qty) partial sums (in-batch Arrow group_by), orders
-    ship (orderkey, custkey, date, cents); the partition merge folds
-    quantities, applies HAVING, and joins the ≤few-qualifying rows to
-    their order row. Shuffle B (custkey): qualifying rows against
-    (custkey, name) customer rows. Quantities are integral doubles —
-    summed as int64 so the HAVING compare is exact."""
+    Plan (auto): the ONLY wide op is the partial-combined qty
+    aggregate on orderkey — per-batch Arrow ``group_by`` partials,
+    one keyed Sum reduce, HAVING filter. The qualifying set is tiny
+    by construction (the HAVING selects extreme orders), so it
+    broadcasts twice: once to filter orders in place (no orders
+    shuffle), and the joined order rows broadcast again to pick
+    customer names off a single customer scan (no customer shuffle).
+    The bounded result sorts on the driver. Past
+    ``_Q18_QUALIFY_MAX`` qualifying rows (degenerate min_qty) the
+    plan falls back to :func:`_big_orders_shuffle`'s two tagged-union
+    shuffles. Quantities are integral doubles — summed as int64 so
+    the HAVING compare is exact."""
+    from ray.data.aggregate import Sum
+
+    li = _read_pq(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_quantity"],
+    )
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        g = pa.table(
+            {
+                "key": pc.cast(b.column("l_orderkey"), pa.int64()),
+                "qty": pc.cast(b.column("l_quantity"), pa.int64()),
+            }
+        ).group_by("key").aggregate([("qty", "sum")])
+        return pa.table({"key": g.column("key"), "qty": g.column("qty_sum")})
+
+    def having(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater(b.column("qty"), min_qty))
+
+    # orderkey partials merge under the bounded_group_table gate:
+    # ≤4M partial rows merge on the driver with ONE Arrow group_by
+    # (the distributed Aggregate pays a ~2.7 s sort-shuffle constant
+    # for a 9 MB reduce at sf0.1); past the gate the reduce runs
+    # distributed and only the post-HAVING rows pull back.
+    g = bounded_group_table(
+        li.map_batches(li_partial, batch_format="pyarrow"),
+        ["key"],
+        [("qty", "sum")],
+    )
+    if g is None:
+        g = pa.table(
+            {"key": pa.array([], pa.int64()), "qty": pa.array([], pa.int64())}
+        )
+    tables: list[pa.Table] = []
+    pulled, over = 0, False
+    if isinstance(g, rd.Dataset):
+        qual = g.map_batches(having, batch_format="pyarrow")
+        # bounded incremental pull with early abort: blocks already
+        # fetched stay ≤ gate + one block.
+        for ref in qual.materialize().to_arrow_refs():
+            t = ray.get(ref)
+            if t.num_rows:
+                tables.append(t)
+                pulled += t.num_rows
+            if pulled > _Q18_QUALIFY_MAX:
+                over = True
+                break
+    else:
+        t = having(g)
+        if t.num_rows:
+            tables.append(t)
+        over = t.num_rows > _Q18_QUALIFY_MAX
+    if over:
+        return _big_orders_shuffle(sf_dir, min_qty, num_partitions)
+
+    def _empty() -> rd.Dataset:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "c_custkey": pa.array([], pa.int64()),
+                    "c_name": pa.array([], pa.string()),
+                    "o_orderkey": pa.array([], pa.int64()),
+                    "o_orderdate": pa.array([], pa.timestamp("us")),
+                    "total_cents": pa.array([], pa.int64()),
+                    "sum_qty": pa.array([], pa.int64()),
+                }
+            )
+        )
+
+    if not tables:
+        return _empty()
+    qt = pa.concat_tables(tables)
+    qk = qt.column("key").to_numpy(zero_copy_only=False).astype(np.int64)
+    qq = qt.column("qty").to_numpy(zero_copy_only=False).astype(np.int64)
+    o = np.argsort(qk, kind="stable")
+    qual_ref = ray.put((qk[o], qq[o]))
+
+    orders = _read_pq(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def attach_order(b: pa.Table) -> pa.Table:
+        kk, qsum = ray.get(qual_ref)
+        ok = pc.cast(b.column("o_orderkey"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        if len(ok) == 0:
+            rows = np.array([], np.int64)
+            hitpos = rows
+        else:
+            pos = np.minimum(np.searchsorted(kk, ok), len(kk) - 1)
+            hit = kk[pos] == ok
+            rows = np.nonzero(hit)[0]
+            hitpos = pos[rows]
+        idx = pa.array(rows, pa.int64())
+        return pa.table(
+            {
+                "custkey": pc.take(pc.cast(b.column("o_custkey"), pa.int64()), idx),
+                "o_orderkey": pa.array(ok[rows], pa.int64()),
+                "odate": pc.take(
+                    pc.cast(
+                        pc.cast(b.column("o_orderdate"), pa.timestamp("us")),
+                        pa.int64(),
+                    ),
+                    idx,
+                ),
+                "total_cents": pc.take(_cents(b.column("o_totalprice")), idx),
+                "sum_qty": pa.array(qsum[hitpos], pa.int64()),
+            }
+        )
+
+    qo_tabs = [
+        t
+        for t in (
+            ray.get(r)
+            for r in orders.map_batches(attach_order, batch_format="pyarrow")
+            .materialize()
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    if not qo_tabs:
+        return _empty()
+    qo = pa.concat_tables(qo_tabs)
+    ck = qo.column("custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    o2 = np.argsort(ck, kind="stable")
+    cust_ref = ray.put(
+        (
+            ck[o2],
+            qo.column("o_orderkey").to_numpy(zero_copy_only=False)[o2],
+            qo.column("odate").to_numpy(zero_copy_only=False)[o2],
+            qo.column("total_cents").to_numpy(zero_copy_only=False)[o2],
+            qo.column("sum_qty").to_numpy(zero_copy_only=False)[o2],
+        )
+    )
+
+    cust = _read_pq(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name"],
+    )
+
+    def attach_name(b: pa.Table) -> pa.Table:
+        # reverse probe: each (tiny) qualifying row finds its customer
+        # in this batch; custkey is a PK, so every row matches in
+        # exactly one batch — no duplicate output rows.
+        ks, okey, odate, tot, qty = ray.get(cust_ref)
+        bk = pc.cast(b.column("c_custkey"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        if len(bk) == 0 or len(ks) == 0:
+            rows_q = np.array([], np.int64)
+            rows_c = rows_q
+        else:
+            bo = np.argsort(bk, kind="stable")
+            bks = bk[bo]
+            pos = np.minimum(np.searchsorted(bks, ks), len(bks) - 1)
+            hit = bks[pos] == ks
+            rows_q = np.nonzero(hit)[0]
+            rows_c = bo[pos[rows_q]]
+        return pa.table(
+            {
+                "c_custkey": pa.array(ks[rows_q], pa.int64()),
+                "c_name": pc.take(b.column("c_name"), pa.array(rows_c, pa.int64())),
+                "o_orderkey": pa.array(okey[rows_q], pa.int64()),
+                "o_orderdate": pc.cast(
+                    pa.array(odate[rows_q], pa.int64()), pa.timestamp("us")
+                ),
+                "total_cents": pa.array(tot[rows_q], pa.int64()),
+                "sum_qty": pa.array(qty[rows_q], pa.int64()),
+            }
+        )
+
+    named = [
+        t
+        for t in (
+            ray.get(r)
+            for r in cust.map_batches(attach_name, batch_format="pyarrow")
+            .materialize()
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    if not named:
+        return _empty()
+    res = pa.concat_tables(named).combine_chunks()
+    idx = pc.sort_indices(
+        res,
+        sort_keys=[("total_cents", "descending"), ("o_orderkey", "ascending")],
+    )
+    return rd.from_arrow(res.take(idx))
+
+
+def _big_orders_shuffle(
+    sf_dir: str, min_qty: int = 150, num_partitions: int | None = None
+) -> rd.Dataset:
+    """The pre-gate plan: TWO tagged-union shuffles, both on
+    size-adaptive hashed key partitions. Shuffle A (orderkey):
+    lineitem ships per-batch (orderkey → qty) partial sums (in-batch
+    Arrow group_by), orders ship (orderkey, custkey, date, cents); the
+    partition merge folds quantities, applies HAVING, and joins the
+    ≤few-qualifying rows to their order row. Shuffle B (custkey):
+    qualifying rows against (custkey, name) customer rows. Used when
+    the qualifying set outgrows ``_Q18_QUALIFY_MAX``."""
     li = _read_pq(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_orderkey", "l_quantity"],

@@ -202,6 +202,50 @@ def test_big_orders_having_boundary(ray_session, tmp_path):
         ).count() == 0
 
 
+def test_big_orders_shuffle_fallback_identical(
+    ray_session, tmp_path, monkeypatch
+):
+    """Forcing the qualify gate to 0 routes through the tagged-union
+    shuffle plan (_big_orders_shuffle) with identical output — the
+    Q5-gate discipline: both sides of a size gate stay tested."""
+    _write(str(tmp_path), "orders", {
+        "o_orderkey": pa.array([1, 2], pa.int64()),
+        "o_custkey": pa.array([10, 11], pa.int64()),
+        "o_orderstatus": pa.array(["F", "F"], pa.string()),
+        "o_totalprice": pa.array([55.5, 7.0], pa.float64()),
+        "o_orderdate": pa.array(
+            [_ts("1996-01-02"), _ts("1997-03-04")], pa.timestamp("us")
+        ),
+        "o_orderpriority": pa.array(["1-URGENT"] * 2, pa.string()),
+    })
+    _write(str(tmp_path), "customer", {
+        "c_custkey": pa.array([10, 11], pa.int64()),
+        "c_name": pa.array(["alice", "bob"], pa.string()),
+        "c_nationkey": pa.array([0, 0], pa.int32()),
+        "c_acctbal": pa.array([0.0, 0.0], pa.float64()),
+        "c_mktsegment": pa.array(["BUILDING"] * 2, pa.string()),
+    })
+    _mini_parts_lines(str(tmp_path), lines={
+        "l_orderkey": pa.array([1, 1, 2], pa.int64()),
+        "l_partkey": pa.array([100, 101, 100], pa.int64()),
+        "l_suppkey": pa.array([5, 5, 5], pa.int64()),
+        "l_quantity": pa.array([3.0, 4.0, 7.0], pa.float64()),
+        "l_extendedprice": pa.array([1.0] * 3, pa.float64()),
+        "l_discount": pa.array([0.0] * 3, pa.float64()),
+        "l_shipdate": pa.array([_ts("1996-02-01")] * 3, pa.timestamp("us")),
+    })
+    want = [
+        (r["c_name"], r["o_orderkey"], r["sum_qty"], r["total_cents"])
+        for r in d2.big_orders(str(tmp_path), min_qty=6).take_all()
+    ]
+    monkeypatch.setattr(d2, "_Q18_QUALIFY_MAX", 0)
+    got = [
+        (r["c_name"], r["o_orderkey"], r["sum_qty"], r["total_cents"])
+        for r in d2.big_orders(str(tmp_path), min_qty=6).take_all()
+    ]
+    assert want == got == [("alice", 1, 7, 5550), ("bob", 2, 7, 700)]
+
+
 def test_part_supplier_counts_blocklist_and_distinct(ray_session, tmp_path):
     """Supplier 6 (negative balance) is excluded; supplier 5 shipping
     two parts of the SAME (brand,type,size) combo counts once."""
