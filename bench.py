@@ -338,6 +338,17 @@ BENCH_QUERIES = [
     "important_parts",
     "order_priority_check",
     "forecast_revenue_change",
+    # round-4 batch 2: the heaviest previously-unbenched pipelines
+    # (join showcase, actor-pool codec path) + this round's
+    # oracle-conversion queries
+    "big_orders",
+    "shipping_priority",
+    "revenue_by_priority",
+    "orders_events_window",
+    "curate_semantic",
+    "knn_ivf",
+    "bpe_token_counts",
+    "multimodal_mixed_knn",
 ]
 
 

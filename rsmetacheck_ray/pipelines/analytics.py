@@ -23,6 +23,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+import ray
 import ray.data as rd
 
 from ..partitioning import adaptive_partitions, parquet_rows_hint
@@ -30,6 +31,7 @@ from .relational import (
     _cents,
     _part_of,
     _read_pq,
+    bounded_group_table,
     bounded_group_table_strict,
 )
 
@@ -881,6 +883,14 @@ FROM m JOIN q USING (event_type)
 # ---------------------------------------------------------------------------
 
 _Q3_CUTOFF = "1998-06-01"
+# segment custkeys ship as ONE sorted int64 array (8 B/customer) under
+# this gate; past it (customer is unbounded at scale) stage A falls
+# back to the tagged-union custkey shuffle.
+_Q3_CUST_BROADCAST_MAX = 2_000_000
+# surviving (okey, odate) rows broadcast under this gate (16 B/order)
+# and stage B's shuffle disappears; past it, the orderkey tagged-union
+# shuffle with per-partition top-k prune.
+_Q3_OPEN_BROADCAST_MAX = 4_000_000
 
 
 def shipping_priority(
@@ -893,16 +903,16 @@ def shipping_priority(
     """TPC-H Q3 shape: customer(segment) ⋉ orders(before cutoff) ⋈
     lineitem(shipped after cutoff) → revenue per open order → top-k.
 
-    Both joins are the engine's tagged-union hashed-partition merge
-    (the ``customers_without_orders`` pattern): stage A semi-filters
-    orders on the segment's custkeys with ONE shuffle on the custkey
-    partition (only DISTINCT per-batch custkeys ship for the filter
-    side); stage B shuffles the surviving (orderkey, date) rows and
-    lineitem's per-batch revenue PARTIALS on the orderkey partition,
-    aggregates, and prunes to the top-k inside each partition before
-    the final k-row global sort. No side is broadcast (every side is
-    unbounded at scale); empty filter results flow through as
-    schema-true empty tables."""
+    Stage A semi-filters orders on the segment's custkeys — under the
+    Q5-family size gate the segment custkeys broadcast as ONE sorted
+    int64 array (8 B/customer) and the custkey shuffle disappears;
+    past the gate it is the tagged-union hashed-partition merge (the
+    ``customers_without_orders`` pattern, only DISTINCT per-batch
+    custkeys ship for the filter side). Stage B shuffles the
+    surviving (orderkey, date) rows and lineitem's per-batch revenue
+    PARTIALS on the orderkey partition, aggregates, and prunes to the
+    top-k inside each partition before the final k-row global sort.
+    Empty filter results flow through as schema-true empty tables."""
     cutoff_ts = np.datetime64(cutoff, "us")
     cust = _read_pq(
         os.path.join(sf_dir, "customer.parquet"),
@@ -922,6 +932,47 @@ def shipping_priority(
     n_parts = num_partitions or adaptive_partitions(
         parquet_rows_hint(orders), row_bytes=24
     )
+
+    cust_hint = parquet_rows_hint(cust)
+    if cust_hint is not None and cust_hint <= _Q3_CUST_BROADCAST_MAX:
+        import pyarrow.parquet as pq
+
+        ct = pq.read_table(
+            os.path.join(sf_dir, "customer.parquet"),
+            columns=["c_custkey", "c_mktsegment"],
+        )
+        keep = pc.equal(ct.column("c_mktsegment"), segment).to_numpy(
+            zero_copy_only=False
+        )
+        bk = np.sort(
+            ct.column("c_custkey")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)[keep]
+        )
+        seg_ref = ray.put(bk)
+
+        def orders_open(b: pa.Table) -> pa.Table:
+            ck = ray.get(seg_ref)
+            oc = b.column("o_custkey").to_numpy(zero_copy_only=False)
+            if not len(ck) or not len(oc):
+                hit = np.zeros(len(oc), bool)
+            else:
+                pos = np.minimum(np.searchsorted(ck, oc), len(ck) - 1)
+                hit = ck[pos] == oc
+            idx = pa.array(np.nonzero(hit)[0], pa.int64())
+            return pa.table(
+                {
+                    "okey": pc.take(
+                        pc.cast(b.column("o_orderkey"), pa.int64()), idx
+                    ),
+                    "odate": pc.take(
+                        pc.cast(b.column("o_orderdate"), pa.int64()), idx
+                    ),
+                }
+            )
+
+        open_orders = orders.map_batches(orders_open, batch_format="pyarrow")
+        return _shipping_priority_stage_b(li, open_orders, n_parts, k)
 
     # -- stage A: semi join orders ⋉ segment custkeys on custkey ----
     def tag_cust(b: pa.Table) -> pa.Table:
@@ -972,8 +1023,109 @@ def shipping_priority(
     open_orders = stage_a.groupby("part").map_groups(
         semi_merge, batch_format="pyarrow"
     )
+    return _shipping_priority_stage_b(li, open_orders, n_parts, k)
 
-    # -- stage B: revenue partials ⋈ open orders on orderkey --------
+
+def _shipping_priority_stage_b(
+    li: rd.Dataset, open_orders: rd.Dataset, n_parts: int, k: int
+) -> rd.Dataset:
+    """Q3 stage B (shared by both stage-A plans). Gated: when the
+    surviving (okey, odate) rows fit ``_Q3_OPEN_BROADCAST_MAX`` they
+    broadcast as sorted arrays, lineitem batches probe them in place
+    and emit pruned (okey, rev) partials, and the reduce is the
+    driver-merged ``bounded_group_table`` (no shuffle at all); past
+    the gate, one orderkey tagged-union shuffle with a per-partition
+    top-k prune and a bounded driver-side select_k."""
+    empty_out = pa.table(
+        {
+            "l_orderkey": pa.array([], pa.int64()),
+            "revenue_cents": pa.array([], pa.int64()),
+            "o_orderdate": pa.array([], pa.timestamp("us")),
+        }
+    )
+
+    # bounded incremental pull of the open orders with early abort
+    import ray as _ray
+
+    mat = open_orders.materialize()
+    open_orders = mat  # the over/fallback paths reuse computed blocks
+    tabs: list[pa.Table] = []
+    pulled, over = 0, False
+    for ref in mat.to_arrow_refs():
+        t = _ray.get(ref)
+        if t.num_rows:
+            tabs.append(t)
+            pulled += t.num_rows
+        if pulled > _Q3_OPEN_BROADCAST_MAX:
+            over = True
+            break
+    if not over:
+        if not tabs:
+            return rd.from_arrow(empty_out)
+        ot = pa.concat_tables(tabs)
+        ok = ot.column("okey").to_numpy(zero_copy_only=False).astype(np.int64)
+        od = ot.column("odate").to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.argsort(ok, kind="stable")
+        ok, od = ok[o], od[o]
+        open_ref = ray.put(ok)
+
+        def li_probe(b: pa.Table) -> pa.Table:
+            keys = ray.get(open_ref)
+            disc = pc.multiply(
+                b.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+            )
+            t = pa.table(
+                {"okey": pc.cast(b.column("l_orderkey"), pa.int64()),
+                 "rev": _cents(disc)}
+            )
+            lk = t.column("okey").to_numpy(zero_copy_only=False)
+            if not len(keys) or not len(lk):
+                hit = np.zeros(len(lk), bool)
+            else:
+                pos = np.minimum(np.searchsorted(keys, lk), len(keys) - 1)
+                hit = keys[pos] == lk
+            t = t.filter(pa.array(hit))
+            g = t.group_by("okey").aggregate([("rev", "sum")])
+            return g.rename_columns(["okey", "rev"])
+
+        g = bounded_group_table(
+            li.map_batches(li_probe, batch_format="pyarrow"),
+            ["okey"],
+            [("rev", "sum")],
+        )
+        if g is None or (not isinstance(g, rd.Dataset) and g.num_rows == 0):
+            return rd.from_arrow(empty_out)
+        if not isinstance(g, rd.Dataset):
+            uk = g.column("okey").to_numpy(zero_copy_only=False)
+            urev = g.column("rev").to_numpy(zero_copy_only=False)
+            if len(uk) > k:
+                idx = pc.select_k_unstable(
+                    g, k, [("rev", "descending"), ("okey", "ascending")]
+                ).to_numpy(zero_copy_only=False)
+                uk, urev = uk[idx], urev[idx]
+            pos = np.searchsorted(ok, uk)
+            res = pa.table(
+                {
+                    "l_orderkey": pa.array(uk, pa.int64()),
+                    "revenue_cents": pa.array(urev, pa.int64()),
+                    "o_orderdate": pc.cast(
+                        pa.array(od[pos], pa.int64()), pa.timestamp("us")
+                    ),
+                }
+            )
+            sidx = pc.sort_indices(
+                res,
+                sort_keys=[
+                    ("revenue_cents", "descending"),
+                    ("l_orderkey", "ascending"),
+                ],
+            )
+            return rd.from_arrow(res.take(sidx))
+        # distributed reduce fallback (giant okey-partials product):
+        # fall through to the shuffle plan below over the
+        # already-materialized open-orders blocks.
+
     def li_partial(b: pa.Table) -> pa.Table:
         disc = pc.multiply(
             b.column("l_extendedprice"),
@@ -1007,14 +1159,6 @@ def shipping_priority(
 
     stage_b = li.map_batches(li_partial, batch_format="pyarrow").union(
         open_orders.map_batches(tag_open, batch_format="pyarrow")
-    )
-
-    empty_out = pa.table(
-        {
-            "l_orderkey": pa.array([], pa.int64()),
-            "revenue_cents": pa.array([], pa.int64()),
-            "o_orderdate": pa.array([], pa.timestamp("us")),
-        }
     )
 
     def rev_merge(g: pa.Table) -> pa.Table:

@@ -166,6 +166,27 @@ def test_shipping_priority_empty_when_cutoff_excludes_all(ray_session):
     assert ds.schema().names == ["l_orderkey", "revenue_cents", "o_orderdate"]
 
 
+def test_shipping_priority_gate_fallbacks_identical(ray_session, monkeypatch):
+    """Forcing either broadcast gate to 0 routes through the
+    tagged-union shuffle plans (stage-A custkey shuffle, stage-B
+    orderkey shuffle) with identical output — both sides of each size
+    gate stay tested."""
+    sf = "/root/testdata/sf0.001"
+
+    def rows(ds):
+        return sorted(
+            (r["l_orderkey"], r["revenue_cents"], r["o_orderdate"])
+            for r in ds.take_all()
+        )
+
+    want = rows(ana.shipping_priority(sf))
+    assert want  # non-degenerate fixture
+    monkeypatch.setattr(ana, "_Q3_OPEN_BROADCAST_MAX", 0)
+    assert rows(ana.shipping_priority(sf)) == want
+    monkeypatch.setattr(ana, "_Q3_CUST_BROADCAST_MAX", 0)
+    assert rows(ana.shipping_priority(sf)) == want
+
+
 def test_pivot_row_totals_match_column_sums(ray_session):
     out = ana.orders_month_priority_pivot("/root/testdata/sf0.001").to_pandas()
     cols = ["n_urgent", "n_high", "n_medium", "n_notspec", "n_low"]
