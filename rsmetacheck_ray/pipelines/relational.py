@@ -499,13 +499,80 @@ GROUP BY event_type
 # are big; contrast with the broadcast join above for small sides)
 # ---------------------------------------------------------------------------
 
-def revenue_by_priority(sf_dir: str) -> rd.Dataset:
-    """lineitem ⋈ orders on orderkey (Ray Data hash join — both sides
-    shuffle by key), then a tiny groupby on order priority."""
+# orders' (orderkey → priority code) pair is 9 B/row — broadcast under
+# this gate; past it (orders is unbounded at scale) the NATIVE Ray Data
+# hash join below is the plan.
+_REV_ORDERS_BROADCAST_MAX = 2_000_000
+
+
+def revenue_by_priority(sf_dir: str, num_partitions: int = 8) -> rd.Dataset:
+    """lineitem ⋈ orders on orderkey → revenue per order priority.
+
+    Size-gated (the nation_order_stats pattern): under the gate the
+    (orderkey → priority code) projection broadcasts once and each
+    lineitem batch emits a ≤5-row partial (bounded priority domain)
+    merged on the driver — no shuffle at all. Past the gate this is
+    the engine's NATIVE Ray Data hash join showcase (``Dataset.join``
+    — both sides shuffle by key), consumed in place by the tiny
+    priority groupby. (Measured on the join path: the Ray groupby
+    consuming the join output in place beats inserting a
+    partial-combine map stage by ~3 s of block handling.)"""
+    import pyarrow.parquet as pq_
+
     li = _read_pq(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
     )
+    orders_path = os.path.join(sf_dir, "orders.parquet")
+    n_orders = pq_.ParquetFile(orders_path).metadata.num_rows
+    if n_orders <= _REV_ORDERS_BROADCAST_MAX:
+        ot = pq_.read_table(
+            orders_path, columns=["o_orderkey", "o_orderpriority"]
+        )
+        ok = ot.column("o_orderkey").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        prio = ot.column("o_orderpriority").combine_chunks().dictionary_encode()
+        codes = prio.indices.to_numpy(zero_copy_only=False).astype(np.int8)
+        names = prio.dictionary.to_pylist()
+        o = np.argsort(ok, kind="stable")
+        ref = ray.put((ok[o], codes[o], names))
+
+        def partial(b: pa.Table) -> pa.Table:
+            keys, cds, nms = ray.get(ref)
+            lk = b.column("l_orderkey").to_numpy(zero_copy_only=False)
+            disc = pc.multiply(
+                b.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+            )
+            rev = _cents(disc).to_numpy(zero_copy_only=False)
+            if not len(keys) or not len(lk):
+                hit = np.zeros(len(lk), bool)
+                code_hit = np.empty(0, np.int8)
+            else:
+                pos = np.minimum(np.searchsorted(keys, lk), len(keys) - 1)
+                hit = keys[pos] == lk
+                code_hit = cds[pos][hit]
+            cents = np.bincount(
+                code_hit, weights=rev[hit], minlength=len(nms)
+            ).astype(np.int64)
+            counts = np.bincount(code_hit, minlength=len(nms)).astype(np.int64)
+            nz = np.flatnonzero(counts)
+            return pa.table(
+                {
+                    "o_orderpriority": pa.array(
+                        [nms[i] for i in nz], pa.string()
+                    ),
+                    "rev_cents": pa.array(cents[nz], pa.int64()),
+                    "n_items": pa.array(counts[nz], pa.int64()),
+                }
+            )
+
+        return bounded_group_reduce(
+            li.map_batches(partial, batch_format="pyarrow"),
+            ["o_orderpriority"],
+            [("rev_cents", "sum"), ("n_items", "sum")],
+        )
 
     def prep(batch: pa.Table) -> pa.Table:
         disc = pc.multiply(
@@ -517,18 +584,11 @@ def revenue_by_priority(sf_dir: str) -> rd.Dataset:
         )
 
     li = li.map_batches(prep, batch_format="pyarrow")
-    orders = _read_pq(
-        os.path.join(sf_dir, "orders.parquet"),
-        columns=["o_orderkey", "o_orderpriority"],
-    )
+    orders = _read_pq(orders_path, columns=["o_orderkey", "o_orderpriority"])
     joined = li.join(
-        orders, join_type="inner", num_partitions=8,
+        orders, join_type="inner", num_partitions=num_partitions,
         on=("l_orderkey",), right_on=("o_orderkey",),
     )
-    # NB: measured — the Ray groupby consumes the join output in place
-    # (+0.6 s over the bare join); inserting a partial-combine map stage
-    # after the join costs ~3 s of extra block handling. The direct
-    # groupby is the right plan when the upstream op already shuffled.
     return joined.groupby("o_orderpriority").aggregate(
         Sum("rev_cents", alias_name="rev_cents"),
         Count(alias_name="n_items"),

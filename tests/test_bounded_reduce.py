@@ -65,3 +65,23 @@ def test_bounded_table_empty_input(ray_session):
     assert bounded_group_table(rd.from_arrow(empty), ["k"], AGGS) is None
     out = bounded_group_reduce(rd.from_arrow(empty), ["k"], AGGS)
     assert out.count() == 0
+
+
+def test_revenue_by_priority_gate_paths_identical(ray_session, monkeypatch):
+    """The broadcast plan (orders under _REV_ORDERS_BROADCAST_MAX) and
+    the native Dataset.join plan produce identical rows — both sides
+    of the size gate stay tested."""
+    from rsmetacheck_ray.pipelines import relational as rel
+
+    sf = "/root/testdata/sf0.001"
+
+    def rows(ds):
+        return sorted(
+            (r["o_orderpriority"], r["rev_cents"], r["n_items"])
+            for r in ds.take_all()
+        )
+
+    fast = rows(rel.revenue_by_priority(sf))
+    assert fast  # non-degenerate fixture
+    monkeypatch.setattr(rel, "_REV_ORDERS_BROADCAST_MAX", 0)
+    assert rows(rel.revenue_by_priority(sf)) == fast
