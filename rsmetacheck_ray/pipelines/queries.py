@@ -5029,8 +5029,10 @@ def q_multimodal_ppm_decode(sf_dir: str):
     """REAL codec path: P6 PPM payloads genuinely decoded to pixels
     (no external libs needed); per-channel means come from the actual
     pixel data, so this is a true decode stage, not stub arithmetic.
-    Rows-only (pixel synthesis is not SQL-expressible); the
-    encode→decode roundtrip is pinned bit-exact by pytest."""
+    Full SQL oracle: the deterministic splitmix64 pixel stream is
+    re-derived in DuckDB (_sql_mm_image_stats) and the channel means
+    are bit-exact integer-sum divisions; the encode→decode byte
+    framing stays pinned by the roundtrip pytest."""
     ds = _documents(sf_dir, ["doc_id", "text"])
     decoded = ds.map_batches(mm.attach_ppm_payload, batch_format="pyarrow").map_batches(
         mm.PPMDecode, batch_format="pyarrow", concurrency=(1, 4), batch_size=256
@@ -5044,9 +5046,9 @@ def q_multimodal_mixed_resize(sf_dir: str):
     """Cross-codec TRANSCODE: dispatch-decode (PPM|BMP|farbfeld),
     real-pixel nearest-neighbor resize, re-encode in the original
     format — the payload stays a valid file of its own format end to
-    end (stages/multimodal.MixedResize). Rows-only; the
-    resize-then-roundtrip pixel equality per format is pinned by
-    pytest."""
+    end (stages/multimodal.MixedResize). Full SQL oracle (integer box
+    fit); the resize-then-roundtrip pixel equality per format is
+    pinned by pytest."""
     ds = _documents(sf_dir, ["doc_id", "text"])
     resized = ds.map_batches(
         mm.attach_mixed_payload, batch_format="pyarrow"
@@ -5063,8 +5065,10 @@ def q_multimodal_wav_features(sf_dir: str):
     """REAL audio tier: from-scratch WAV/PCM16 decode (RIFF chunk walk,
     stereo downmix) → vectorized clip features (duration, RMS, ZCR,
     peak) in an actor pool — the audio analog of the image tiers.
-    Rows-only; roundtrip bit-exactness and numpy feature parity pinned
-    in pytest."""
+    Full SQL oracle: the splitmix64 sample stream and all four
+    features are re-derived in DuckDB with exact-dyadic float
+    reasoning (_sql_mm_wav_features); roundtrip bit-exactness stays
+    pinned in pytest."""
     ds = _documents(sf_dir, ["doc_id", "text"])
     return ds.map_batches(
         mm.attach_wav_payload, batch_format="pyarrow"
@@ -5077,7 +5081,8 @@ def q_multimodal_wav_features(sf_dir: str):
 def q_multimodal_wav_resample(sf_dir: str):
     """Audio transcode: decode → nearest-neighbor resample to 8 kHz →
     re-encode WAV (payload stays a valid file; clips already at 8 kHz
-    pass through bit-exact). Rows-only; pinned in pytest."""
+    pass through bit-exact). Full SQL oracle (integer sample-count
+    arithmetic); the WAV byte framing stays pinned in pytest."""
     ds = _documents(sf_dir, ["doc_id", "text"])
     resampled = ds.map_batches(
         mm.attach_wav_payload, batch_format="pyarrow"
@@ -5092,7 +5097,8 @@ def q_multimodal_mixed_decode(sf_dir: str):
     """Format-DISPATCH decode: the same deterministic pixels encoded as
     PPM (even doc_ids) or BMP (odd), routed by magic bytes in ONE
     actor-pool stage — two genuinely different raster layouts
-    (top-down unpadded RGB vs bottom-up 4-byte-padded BGR). Rows-only;
+    (top-down unpadded RGB vs bottom-up 4-byte-padded BGR). Full SQL
+    oracle (shared with ppm_decode + the doc_id%3 format column);
     the per-format roundtrips and the cross-codec pixel equality are
     pinned by pytest (tests/test_multimodal.py)."""
     ds = _documents(sf_dir, ["doc_id", "text"])
@@ -5210,6 +5216,259 @@ SELECT doc_id,
   CAST(strlen(text) % 640 + 16 AS BIGINT) AS width,
   CAST(strlen(text) % 480 + 16 AS BIGINT) AS height,
   'stub' AS format
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# REAL-codec oracles. The multimodal fixtures are DETERMINISTIC
+# functions of (doc_id, length(text)) — synth_pixels / synth_samples
+# are splitmix64 streams (stages/multimodal.py:211,652) — so DuckDB
+# can re-derive the ENTIRE encode→decode chain from the raw documents
+# table with no parameter export: byte/sample synthesis (the
+# splitmix64 CTE chain), the per-channel integer sums, and the float
+# features. The float paths are bit-exact by construction:
+#  - channel/pixel sums are integers < 2^53, so any summation order
+#    (numpy pairwise vs DuckDB sequential) is EXACT;
+#  - x = s/2^15 and x*x are exact dyadic rationals whose partial sums
+#    stay < 2^53 over the 2^-30 grid, so np.mean's sum is exact too;
+#  - division by a power of two commutes with IEEE rounding, so
+#    (S/2^30)/n == (S/n)/2^30 as computed;
+#  - sqrt is correctly rounded in both numpy and DuckDB (IEEE 754).
+# The codecs themselves (PPM/BMP/farbfeld/WAV framing) are pinned
+# bit-exact by the roundtrip pytests; these oracles check that the
+# distributed decode stages reproduce the ground-truth pixel/sample
+# statistics end to end.
+# ---------------------------------------------------------------------------
+
+_MM_KEY_C = 0x9E3779B97F4A7C15  # synth_pixels' doc key multiplier
+
+
+def _sql_mm_image_stats(with_format: bool) -> str:
+    """Shared oracle for ppm_decode / mixed_decode: per-doc dims +
+    per-channel pixel means re-derived from the splitmix64 stream."""
+    key = _sql_u64_mulmod("CAST(doc_id AS UBIGINT)", _MM_KEY_C)
+    sm, cte, col = _sql_splitmix_ctes("mmp", "pxmix", "mx")
+    fmt_sel = (
+        "CASE doc_id % 3 WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp' "
+        "ELSE 'farbfeld' END AS format,\n  "
+        if with_format
+        else ""
+    )
+    return f"""
+WITH dims AS (
+  SELECT doc_id,
+    COALESCE(length(text), 0) % 64 + 8 AS w,
+    COALESCE(length(text), 0) % 48 + 8 AS h,
+    {key} AS key
+  FROM documents
+),
+pxidx AS (
+  SELECT doc_id, w, h, key, unnest(range(0, w * h * 3)) AS i FROM dims
+),
+pxmix AS (
+  SELECT doc_id, w, h, CAST(i % 3 AS BIGINT) AS ch,
+    xor(CAST(i AS UBIGINT), key) AS mx
+  FROM pxidx
+),
+{sm.strip()},
+vals AS (SELECT doc_id, w, h, ch, {col} % 256 AS v FROM {cte}),
+agg AS (
+  SELECT doc_id, w, h,
+    SUM(CASE WHEN ch = 0 THEN v END) AS sr,
+    SUM(CASE WHEN ch = 1 THEN v END) AS sg,
+    SUM(CASE WHEN ch = 2 THEN v END) AS sb
+  FROM vals GROUP BY doc_id, w, h
+)
+SELECT doc_id,
+  {fmt_sel}CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+  CAST(sr AS DOUBLE) / (w * h) AS mean_r,
+  CAST(sg AS DOUBLE) / (w * h) AS mean_g,
+  CAST(sb AS DOUBLE) / (w * h) AS mean_b
+FROM agg
+"""
+
+
+def _sql_mm_ppm_frames() -> str:
+    """Video-container oracle: re-derive every sampled frame's dims and
+    whole-frame pixel mean (synth_pixels(doc_id*1000+f, n+f))."""
+    key = _sql_u64_mulmod("CAST(doc_id * 1000 + f AS UBIGINT)", _MM_KEY_C)
+    sm, cte, col = _sql_splitmix_ctes("mmf", "frmix", "mx")
+    return f"""
+WITH docs AS (
+  SELECT doc_id, COALESCE(length(text), 0) AS n FROM documents
+),
+frames AS (
+  SELECT doc_id, n, unnest(range(0, n % 7 + 2)) AS f FROM docs
+),
+dims AS (
+  SELECT doc_id, f, (n + f) % 64 + 8 AS w, (n + f) % 48 + 8 AS h,
+    {key} AS key
+  FROM frames WHERE f % 2 = 0
+),
+fridx AS (
+  SELECT doc_id, f, w, h, key, unnest(range(0, w * h * 3)) AS i FROM dims
+),
+frmix AS (
+  SELECT doc_id, f, w, h, xor(CAST(i AS UBIGINT), key) AS mx FROM fridx
+),
+{sm.strip()},
+agg AS (
+  SELECT doc_id, f, w, h, SUM({col} % 256) AS s
+  FROM {cte} GROUP BY doc_id, f, w, h
+)
+SELECT doc_id, CAST(f AS BIGINT) AS frame_index,
+  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+  CAST(s AS DOUBLE) / (w * h * 3) AS mean_pixel
+FROM agg
+"""
+
+
+def _sql_mm_mixed_resize() -> str:
+    """Transcode oracle: dims + the integer nearest-neighbor box fit
+    (max_side=16, aspect kept, pass-through when already inside)."""
+    return """
+WITH dims AS (
+  SELECT doc_id,
+    COALESCE(length(text), 0) % 64 + 8 AS w,
+    COALESCE(length(text), 0) % 48 + 8 AS h
+  FROM documents
+),
+g AS (SELECT *, GREATEST(w, h) AS ls FROM dims)
+SELECT doc_id,
+  CASE doc_id % 3 WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp'
+    ELSE 'farbfeld' END AS format,
+  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+  CAST(CASE WHEN ls <= 16 THEN w
+       ELSE GREATEST(w * 16 // ls, 1) END AS BIGINT) AS resized_w,
+  CAST(CASE WHEN ls <= 16 THEN h
+       ELSE GREATEST(h * 16 // ls, 1) END AS BIGINT) AS resized_h
+FROM g
+"""
+
+
+def _sql_mm_wav_features() -> str:
+    """Audio oracle: re-derive the PCM16 sample stream
+    (synth_samples: splitmix64 % 20001 - 10000) and all four clip
+    features in exact / correctly-rounded float arithmetic."""
+    seed_mul = _sql_u64_mulmod("CAST(doc_id AS UBIGINT)", 2654435761)
+    sm, cte, col = _sql_splitmix_ctes("mmw", "wvmix", "mx")
+    return f"""
+WITH docs AS (
+  SELECT doc_id,
+    256 + COALESCE(length(text), 0) % 512 AS n,
+    CASE WHEN doc_id % 3 = 0 THEN 8000 ELSE 16000 END AS rate,
+    CAST((CAST({seed_mul} AS HUGEINT) + 7)
+         % 18446744073709551616 AS UBIGINT) AS seed
+  FROM documents
+),
+widx AS (SELECT doc_id, n, rate, seed, unnest(range(0, n)) AS i FROM docs),
+wvmix AS (
+  SELECT doc_id, n, rate, i, xor(CAST(i AS UBIGINT), seed) AS mx FROM widx
+),
+{sm.strip()},
+samp AS (
+  SELECT doc_id, n, rate, i, CAST({col} % 20001 AS BIGINT) - 10000 AS s
+  FROM {cte}
+),
+lagged AS (
+  SELECT doc_id, n, rate, s,
+    lag(s) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+  FROM samp
+),
+agg AS (
+  SELECT doc_id, n, rate,
+    SUM(s * s) AS s2,
+    SUM(CASE WHEN prev IS NOT NULL AND ((s < 0) <> (prev < 0))
+        THEN 1 ELSE 0 END) AS flips,
+    MAX(abs(s)) AS pk
+  FROM lagged GROUP BY doc_id, n, rate
+)
+SELECT doc_id,
+  CAST(n AS BIGINT) AS n_samples,
+  CAST(rate AS BIGINT) AS sample_rate,
+  CAST(n AS DOUBLE) / rate AS duration_s,
+  sqrt(CAST(s2 AS DOUBLE) / n / 1073741824.0) AS rms,
+  CAST(flips AS DOUBLE) / (n - 1) AS zcr,
+  CAST(pk AS DOUBLE) / 32768.0 AS peak
+FROM agg
+"""
+
+
+def _sql_mm_knn() -> str:
+    """Pixel-retrieval oracle (shared by the PPM-only and the mixed
+    dispatch variants — the codecs carry the SAME pixels, so results
+    are format-invariant). DuckDB re-derives every doc's 15-dim
+    feature vector (global + 2×2 quadrant channel means, straight
+    from the splitmix64 pixel stream; the max_side=224 resize is a
+    pass-through for these ≤71px fixtures) and ranks by cosine.
+    Cosine is scale-invariant, so the engine's L2-normalize + dot ≡
+    ``list_cosine_similarity`` on raw features; the output carries
+    ranks only, and inter-image cosine gaps are ~1e-2, far above any
+    summation-order wobble. Query vectors = the first 3 file-order
+    docs, exactly the engine's streamed head batch."""
+    key = _sql_u64_mulmod("CAST(doc_id AS UBIGINT)", _MM_KEY_C)
+    sm, cte, col = _sql_splitmix_ctes("mmk", "knmix", "mx")
+    return f"""
+WITH dims AS (
+  SELECT doc_id,
+    COALESCE(length(text), 0) % 64 + 8 AS w,
+    COALESCE(length(text), 0) % 48 + 8 AS h,
+    {key} AS key
+  FROM documents
+),
+knidx AS (
+  SELECT doc_id, w, h, key, unnest(range(0, w * h * 3)) AS i FROM dims
+),
+knmix AS (
+  SELECT doc_id, w, h, i, xor(CAST(i AS UBIGINT), key) AS mx FROM knidx
+),
+{sm.strip()},
+px AS (
+  SELECT doc_id, w, h,
+    i // (w * 3) AS r, (i % (w * 3)) // 3 AS c,
+    CAST(i % 3 AS BIGINT) AS ch, {col} % 256 AS v
+  FROM {cte}
+),
+contrib AS (
+  SELECT doc_id, ch AS comp, v, w * h AS cnt FROM px
+  UNION ALL
+  SELECT doc_id,
+    3 + 3 * (CASE WHEN r >= h // 2 THEN 2 ELSE 0 END
+             + CASE WHEN c >= w // 2 THEN 1 ELSE 0 END) + ch AS comp,
+    v,
+    (CASE WHEN r >= h // 2 THEN h - h // 2 ELSE h // 2 END)
+      * (CASE WHEN c >= w // 2 THEN w - w // 2 ELSE w // 2 END) AS cnt
+  FROM px
+),
+feat AS (
+  SELECT doc_id, comp, CAST(SUM(v) AS DOUBLE) / any_value(cnt) AS fv
+  FROM contrib GROUP BY doc_id, comp
+),
+fvec AS (
+  SELECT doc_id, list(fv ORDER BY comp) AS emb FROM feat GROUP BY doc_id
+)
+SELECT q.doc_id AS query_id, e.doc_id AS vec_id
+FROM fvec q CROSS JOIN fvec e
+WHERE q.doc_id IN (SELECT doc_id FROM documents LIMIT 3)
+QUALIFY row_number() OVER (
+  PARTITION BY q.doc_id
+  ORDER BY list_cosine_similarity(q.emb, e.emb) DESC, e.doc_id
+) <= 5
+"""
+
+
+def _sql_mm_wav_resample() -> str:
+    """Resample oracle: 16 kHz clips halve (n*8000//16000), 8 kHz
+    clips pass through — pure integer arithmetic."""
+    return """
+SELECT doc_id,
+  CAST(CASE WHEN doc_id % 3 = 0 THEN 8000 ELSE 16000 END AS BIGINT)
+    AS orig_rate,
+  CAST(CASE WHEN doc_id % 3 = 0
+       THEN 256 + COALESCE(length(text), 0) % 512
+       ELSE (256 + COALESCE(length(text), 0) % 512) // 2 END AS BIGINT)
+    AS n_samples
 FROM documents
 """
 
@@ -5552,15 +5811,18 @@ def registry() -> dict[str, tuple]:
         "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL),
         "multimodal_resize": (q_multimodal_resize, SQL_MULTIMODAL_RESIZE),
         "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
-        "multimodal_ppm_decode": (q_multimodal_ppm_decode, None),  # real codec
-        "multimodal_mixed_decode": (q_multimodal_mixed_decode, None),  # PPM|BMP dispatch
-        "multimodal_mixed_resize": (q_multimodal_mixed_resize, None),  # transcode
-        "multimodal_wav_features": (q_multimodal_wav_features, None),  # real audio
-        "multimodal_wav_resample": (q_multimodal_wav_resample, None),  # transcode
-        "multimodal_ppm_knn": (q_multimodal_ppm_knn, None),  # real pixels e2e
-        "multimodal_mixed_knn": (q_multimodal_mixed_knn, None),  # cross-codec
-
-        "multimodal_ppm_frames": (q_multimodal_ppm_frames, None),  # real container walk
+        # real codec paths — the deterministic fixtures let DuckDB
+        # re-derive the whole encode→decode chain (no export needed);
+        # the codec byte framing itself stays pinned by roundtrip
+        # pytests (tests/test_multimodal.py)
+        "multimodal_ppm_decode": (q_multimodal_ppm_decode, _sql_mm_image_stats(False)),
+        "multimodal_mixed_decode": (q_multimodal_mixed_decode, _sql_mm_image_stats(True)),
+        "multimodal_mixed_resize": (q_multimodal_mixed_resize, _sql_mm_mixed_resize()),
+        "multimodal_wav_features": (q_multimodal_wav_features, _sql_mm_wav_features()),
+        "multimodal_wav_resample": (q_multimodal_wav_resample, _sql_mm_wav_resample()),
+        "multimodal_ppm_knn": (q_multimodal_ppm_knn, _sql_mm_knn()),
+        "multimodal_mixed_knn": (q_multimodal_mixed_knn, _sql_mm_knn()),
+        "multimodal_ppm_frames": (q_multimodal_ppm_frames, _sql_mm_ppm_frames()),
         # token counting (whitespace + BPE-style pretokenizer)
         "doc_bpe_tokens": (q_doc_bpe_tokens, _sql_bpe()),
     }

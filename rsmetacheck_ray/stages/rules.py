@@ -618,9 +618,14 @@ def build_context(batch: pa.Table, cfg: GateConfig) -> dict:
         .to_numpy(zero_copy_only=False)
         .astype(str)
     )
-    detected = np.array(batch.column("detected_lang").to_pylist())
-    stop_lang = batch.column("stopword_lang").to_pylist()
-    stopword_lang_valid = np.array([s is not None for s in stop_lang])
+    detected = (
+        pc.fill_null(batch.column("detected_lang"), "")
+        .to_numpy(zero_copy_only=False)
+        .astype(str)
+    )
+    stopword_lang_valid = pc.is_valid(batch.column("stopword_lang")).to_numpy(
+        zero_copy_only=False
+    )
 
     # staleness: extract `Last updated: YYYY-MM-DD`, diff against
     # warc_ts. Literal-substring prefilter (memmem, ~10x an RE2 scan)
