@@ -293,6 +293,7 @@ BENCH_QUERIES = [
     "events_latest_per_user",
     "user_event_sequences",
     "multimodal_wav_features",
+    "approx_quantiles_sampled",
     # sixth-session operators
     "local_supplier_volume",
     "user_funnel",

@@ -735,3 +735,191 @@ def kmv_intersection(
     frac = float(theta) / float(full)
     n = int((common < theta).sum())
     return int(round(n / frac))
+
+
+# ---------------------------------------------------------------------------
+# Sampled quantiles — the PARTITION-INVARIANT approximate-quantile
+# path. MRL/KLL compaction is merge-topology-dependent by nature (two
+# different block layouts give two different — both valid — sketches),
+# which is fine for monitoring but means a retried/resumed 100 TB run
+# can produce a different answer. This operator instead takes the
+# bottom-k rows by splitmix64(row_id) — a deterministic function of
+# the row SET (splitmix64 is a bijection on u64, so distinct ids never
+# tie) — and returns EXACT quantiles of that uniform sample. The
+# sketch is mergeable (bottom-k of a union = bottom-k of the
+# concatenated bottom-k partials), associative, commutative, and the
+# result is bitwise identical at ANY partition count — the same
+# reproducibility property as the fixed-point PageRank. Rank error is
+# the usual Binomial(k) bound (~1.6 % at k=4096, pinned in pytest);
+# unlike MRL the whole operator is SQL-derivable, so it carries a full
+# DuckDB oracle.
+# ---------------------------------------------------------------------------
+
+SQ_K = 4096
+SQ_PCTS = (25, 50, 75, 90, 99)
+
+
+def _sq_bottomk(h: np.ndarray, v: np.ndarray, k: int):
+    """The k smallest-hash (h, v) pairs, hash-ascending."""
+    if len(h) > k:
+        sel = np.argpartition(h, k)[:k]
+        h, v = h[sel], v[sel]
+    order = np.argsort(h)
+    return h[order], v[order]
+
+
+def _sq_rank(n: int, pct: int) -> int:
+    """Nearest-rank index into the sorted sample (floor, clamped) —
+    mirrored verbatim by the SQL oracle's LEAST(n-1, n*pct//100)."""
+    return min(n - 1, (n * pct) // 100)
+
+
+def sampled_quantiles(
+    ds: rd.Dataset,
+    id_col: str,
+    col: str,
+    k: int = SQ_K,
+    pcts=SQ_PCTS,
+    n_parts: int = 16,
+) -> pa.Table:
+    """(pct, est): quantile estimates from the global bottom-k hash
+    sample. Two-level merge: per-batch bottom-k partials (≤ k rows, 16
+    B/row into the shuffle), hash-range parts each keep their own
+    bottom-k, driver merges ≤ n_parts × k rows — never the data."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy(zero_copy_only=False)
+        vals = b.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        h, v = _sq_bottomk(splitmix64_np(ids.astype(np.uint64)), vals, k)
+        return pa.table(
+            {
+                "part": pa.array(
+                    (h % np.uint64(n_parts)).astype(np.int64), pa.int64()
+                ),
+                "h": pa.array(h, pa.uint64()),
+                "v": pa.array(v, pa.float64()),
+            }
+        )
+
+    def merge(g: pa.Table) -> pa.Table:
+        h = g.column("h").to_numpy(zero_copy_only=False).astype(np.uint64)
+        v = g.column("v").to_numpy(zero_copy_only=False)
+        h, v = _sq_bottomk(h, v, k)
+        return pa.table(
+            {
+                "h": pa.array(h, pa.uint64()),
+                "v": pa.array(v, pa.float64()),
+            }
+        )
+
+    parts = (
+        ds.select_columns([id_col, col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+    tbl = parts.take_all()  # ≤ n_parts × k sketch rows — bounded
+    if tbl:
+        h = np.array([r["h"] for r in tbl], dtype=np.uint64)
+        v = np.array([r["v"] for r in tbl], dtype=np.float64)
+        _, v = _sq_bottomk(h, v, k)
+        vals = np.sort(v)
+    else:
+        vals = np.empty(0, np.float64)
+    n = len(vals)
+    if n == 0:
+        return pa.table(
+            {
+                "pct": pa.array([], pa.int64()),
+                "est": pa.array([], pa.float64()),
+            }
+        )
+    return pa.table(
+        {
+            "pct": pa.array(list(pcts), pa.int64()),
+            "est": pa.array(
+                [float(vals[_sq_rank(n, p)]) for p in pcts], pa.float64()
+            ),
+        }
+    )
+
+
+def sampled_quantiles_by_key(
+    ds: rd.Dataset,
+    key_col: str,
+    id_col: str,
+    col: str,
+    k: int = SQ_K,
+    pcts=SQ_PCTS,
+) -> pa.Table:
+    """(key, pct, est): per-group sampled quantiles. Each group keeps
+    its own bottom-k (partial per (batch, key), one grouped merge);
+    driver sees ≤ |keys| × k sample rows."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        keys = b.column(key_col).to_numpy(zero_copy_only=False)
+        ids = b.column(id_col).to_numpy(zero_copy_only=False)
+        vals = b.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        hs = splitmix64_np(ids.astype(np.uint64))
+        uk, starts, ends, order = _key_segments(keys)
+        hs, vals = hs[order], vals[order]
+        out_k, out_h, out_v = [], [], []
+        for key, a, e in zip(uk.tolist(), starts, ends):
+            h, v = _sq_bottomk(hs[a:e], vals[a:e], k)
+            out_k.extend([key] * len(h))
+            out_h.append(h)
+            out_v.append(v)
+        return pa.table(
+            {
+                key_col: pa.array(out_k),
+                "h": pa.array(
+                    np.concatenate(out_h) if out_h else np.empty(0, np.uint64),
+                    pa.uint64(),
+                ),
+                "v": pa.array(
+                    np.concatenate(out_v)
+                    if out_v
+                    else np.empty(0, np.float64),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    def merge(g: pa.Table) -> pa.Table:
+        h = g.column("h").to_numpy(zero_copy_only=False).astype(np.uint64)
+        v = g.column("v").to_numpy(zero_copy_only=False)
+        h, v = _sq_bottomk(h, v, k)
+        key = g.column(key_col)[0].as_py()
+        return pa.table(
+            {
+                key_col: pa.array([key] * len(h)),
+                "h": pa.array(h, pa.uint64()),
+                "v": pa.array(v, pa.float64()),
+            }
+        )
+
+    samples = (
+        ds.select_columns([key_col, id_col, col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(key_col)
+        .map_groups(merge, batch_format="pyarrow")
+    )
+    tbl = samples.take_all()  # ≤ |keys| × k sample rows — bounded
+    by_key: dict = {}
+    for r in tbl:
+        by_key.setdefault(r[key_col], []).append(r["v"])
+    out_k, out_p, out_e = [], [], []
+    for key in sorted(by_key):
+        vals = np.sort(np.array(by_key[key], dtype=np.float64))
+        n = len(vals)
+        for p in pcts:
+            out_k.append(key)
+            out_p.append(p)
+            out_e.append(float(vals[_sq_rank(n, p)]))
+    return pa.table(
+        {
+            key_col: pa.array(out_k),
+            "pct": pa.array(out_p, pa.int64()),
+            "est": pa.array(out_e, pa.float64()),
+        }
+    )

@@ -2617,6 +2617,67 @@ def q_approx_quantiles(sf_dir: str):
     return approx_quantiles(ds, "value")
 
 
+def q_approx_quantiles_sampled(sf_dir: str):
+    """PARTITION-INVARIANT approximate quantiles: exact quantiles of
+    the global bottom-k splitmix64(event_id) sample
+    (functions/sketch.sampled_quantiles). Unlike the MRL sketch the
+    result is bitwise identical at any block layout — the
+    reproducibility a resumed/retried 100 TB run needs — and the whole
+    operator is SQL-derivable, so it carries a FULL oracle (the MRL
+    pair stays as the bounded-memory streaming alternative)."""
+    from ..functions.sketch import sampled_quantiles
+
+    ds = rel._read_pq(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "value"]
+    )
+    return sampled_quantiles(ds, "event_id", "value")
+
+
+def q_approx_quantiles_sampled_by_type(sf_dir: str):
+    """Per-event-type sampled quantiles — the grouped variant of
+    approx_quantiles_sampled (each group keeps its own bottom-k)."""
+    from ..functions.sketch import sampled_quantiles_by_key
+
+    ds = rel._read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "event_id", "value"],
+    )
+    return sampled_quantiles_by_key(ds, "event_type", "event_id", "value")
+
+
+def _sql_sampled_quantiles(by_type: bool) -> str:
+    """Oracle: re-derive the bottom-k hash sample (splitmix64 is a u64
+    bijection, so distinct event_ids never tie) and the nearest-rank
+    lookup LEAST(n-1, n*pct//100) — mirrors sketch._sq_rank."""
+    from ..functions.sketch import SQ_K, SQ_PCTS
+
+    sm, cte, col = _sql_splitmix_ctes("sqm", "ids", "eid")
+    key_sel = "event_type, " if by_type else ""
+    key_part = "PARTITION BY event_type " if by_type else ""
+    pcts = ", ".join(str(p) for p in SQ_PCTS)
+    return f"""
+WITH ids AS (
+  SELECT {key_sel}CAST(event_id AS UBIGINT) AS eid, value FROM events
+),
+{sm.strip()},
+samp AS (
+  SELECT {key_sel}value FROM {cte}
+  QUALIFY row_number() OVER ({key_part}ORDER BY {col}) <= {SQ_K}
+),
+sorted_samp AS (
+  SELECT {key_sel}value,
+    row_number() OVER ({key_part}ORDER BY value) AS rn,
+    COUNT(*) OVER ({key_part.rstrip() if by_type else ''}) AS n
+  FROM samp
+),
+pcts AS (SELECT unnest([{pcts}]) AS pct)
+SELECT {'s.event_type, ' if by_type else ''}CAST(p.pct AS BIGINT) AS pct,
+  s.value AS est
+FROM pcts p JOIN sorted_samp s
+  ON s.rn - 1 = LEAST(s.n - 1, (s.n * p.pct) // 100)
+"""
+
+
 def q_doc_chunk_fingerprints(sf_dir: str):
     """Content-defined rolling-hash chunk fingerprints (rows-only: the
     chunk boundary function is not SQL-expressible; properties pinned
@@ -5745,6 +5806,11 @@ def registry() -> dict[str, tuple]:
         ),
         "approx_quantiles": (q_approx_quantiles, None),  # sketch
         "approx_quantiles_by_type": (q_approx_quantiles_by_type, None),  # sketch
+        # the partition-invariant sampled-quantile path (full oracle)
+        "approx_quantiles_sampled": (
+            q_approx_quantiles_sampled, _sql_sampled_quantiles(False)),
+        "approx_quantiles_sampled_by_type": (
+            q_approx_quantiles_sampled_by_type, _sql_sampled_quantiles(True)),
         "cms_heavy_hitters": (
             q_cms_heavy_hitters, _sql_cms_heavy_hitters(),
         ),
