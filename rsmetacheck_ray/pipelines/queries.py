@@ -5173,17 +5173,25 @@ def q_multimodal_mixed_decode(sf_dir: str):
     )
 
 
-def _mm_knn(sf_dir: str, attach_fn, decode_cls):
+def _mm_knn(sf_dir: str, attach_fn, dispatch: bool):
     """Shared pixel-retrieval pipeline (decode → resize → 15-dim
     features → cosine top-k vs the first 3 images), parameterized on
-    the payload synthesizer and the decoder stage — the only pieces
-    that differ between the single-codec and dispatch variants."""
+    the payload synthesizer and the magic-byte dispatch flag. The
+    decode→resize→feature chain runs as ONE fused actor-pool stage
+    (mm.ImageFeaturePipeline) so the fat raster buffers never cross a
+    stage boundary — only 15-float embeddings leave the pool; the
+    fused stage is pinned bitwise identical to the chained
+    PPMDecode→PPMResize→PPMFeatures stages by pytest."""
     ds = _documents(sf_dir, ["doc_id", "text"])
     feats = (
         ds.map_batches(attach_fn, batch_format="pyarrow")
-        .map_batches(decode_cls, batch_format="pyarrow", concurrency=(1, 4), batch_size=256)
-        .map_batches(mm.PPMResize, batch_format="pyarrow", concurrency=(1, 4), batch_size=256)
-        .map_batches(mm.PPMFeatures, batch_format="pyarrow", concurrency=(1, 4), batch_size=256)
+        .map_batches(
+            mm.ImageFeaturePipeline,
+            fn_constructor_kwargs={"dispatch": dispatch},
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+            batch_size=256,
+        )
         .select_columns(["doc_id", "embedding"])
     )
     import pyarrow.parquet as pq
@@ -5201,11 +5209,12 @@ def _mm_knn(sf_dir: str, attach_fn, decode_cls):
     n_q = min(3, head.num_rows)  # corpora smaller than 3 docs still work
     head = head.slice(0, n_q)
     qids = np.array(head.column("doc_id").to_pylist(), dtype=np.int64)
+    fused = mm.ImageFeaturePipeline(dispatch=dispatch)
     qvecs = np.stack(
         [
             np.array(
-                mm.PPMFeatures()(  # same feature fn on the query images
-                    mm.PPMResize()(decode_cls()(attach_fn(head.slice(i, 1))))
+                fused(  # same fused feature fn on the query images
+                    attach_fn(head.slice(i, 1))
                 ).column("embedding")[0].as_py()
             )
             for i in range(n_q)
@@ -5217,7 +5226,7 @@ def _mm_knn(sf_dir: str, attach_fn, decode_cls):
 def q_multimodal_ppm_knn(sf_dir: str):
     """End-to-end real-pixel retrieval: decode → resize → 15-dim pixel
     features → cosine top-k against the first 3 images' features."""
-    return _mm_knn(sf_dir, mm.attach_ppm_payload, mm.PPMDecode)
+    return _mm_knn(sf_dir, mm.attach_ppm_payload, dispatch=False)
 
 
 def q_multimodal_mixed_knn(sf_dir: str):
@@ -5226,7 +5235,7 @@ def q_multimodal_mixed_knn(sf_dir: str):
     Because the three codecs carry the SAME deterministic pixels,
     results are format-invariant — identical to the PPM-only pipeline
     (pinned by pytest cross-codec feature equality)."""
-    return _mm_knn(sf_dir, mm.attach_mixed_payload, mm.ImageDecode)
+    return _mm_knn(sf_dir, mm.attach_mixed_payload, dispatch=True)
 
 
 def q_multimodal_ppm_frames(sf_dir: str):

@@ -299,6 +299,26 @@ class PPMResize:
         return out.append_column("pixels", pa.array(out_raw, pa.binary()))
 
 
+def _pixel_feature_vec(pix: np.ndarray) -> list:
+    """15-dim pixel features of one float64 (h, w, 3) raster: global
+    per-channel means + a 2×2 spatial grid of channel means,
+    L2-normalized — the single feature definition shared by the
+    chained stages and the fused retrieval stage."""
+    h, w, _ = pix.shape
+    f = [pix.reshape(-1, 3).mean(axis=0)]
+    for yy in (slice(0, h // 2), slice(h // 2, h)):
+        for xx in (slice(0, w // 2), slice(w // 2, w)):
+            block = pix[yy, xx]
+            f.append(
+                block.reshape(-1, 3).mean(axis=0)
+                if block.size
+                else np.zeros(3)
+            )
+    v = np.concatenate(f)
+    n = np.linalg.norm(v)
+    return (v / n if n else v).tolist()
+
+
 class PPMFeatures:
     """Actor-pool stage: REAL pixel features — global per-channel means
     plus a 2×2 spatial grid of channel means (15 dims), L2-normalized;
@@ -311,22 +331,41 @@ class PPMFeatures:
         raws = batch.column("pixels").to_pylist()
         ws = batch.column("resized_w").to_pylist()
         hs = batch.column("resized_h").to_pylist()
-        feats = []
-        for raw, w, h in zip(raws, ws, hs):
-            pix = np.frombuffer(raw, np.uint8).reshape(h, w, 3).astype(np.float64)
-            f = [pix.reshape(-1, 3).mean(axis=0)]
-            for yy in (slice(0, h // 2), slice(h // 2, h)):
-                for xx in (slice(0, w // 2), slice(w // 2, w)):
-                    block = pix[yy, xx]
-                    f.append(
-                        block.reshape(-1, 3).mean(axis=0)
-                        if block.size
-                        else np.zeros(3)
-                    )
-            v = np.concatenate(f)
-            n = np.linalg.norm(v)
-            feats.append((v / n if n else v).tolist())
+        feats = [
+            _pixel_feature_vec(
+                np.frombuffer(raw, np.uint8)
+                .reshape(h, w, 3)
+                .astype(np.float64)
+            )
+            for raw, w, h in zip(raws, ws, hs)
+        ]
         out = batch.drop_columns(["pixels"])
+        return out.append_column(
+            "embedding", pa.array(feats, pa.list_(pa.float64()))
+        )
+
+
+class ImageFeaturePipeline:
+    """FUSED decode→resize→feature stage for the retrieval path. The
+    chained PPMDecode → PPMResize → PPMFeatures pipeline ships the fat
+    raw-raster column through the object store TWICE between actor
+    pools; for feature extraction none of those intermediates are
+    needed downstream, so this stage collapses the three pools into
+    one and emits only the 15-float embeddings. Bitwise identical to
+    the chained stages (same decode, same _nn_resize, same
+    _pixel_feature_vec — pinned by pytest)."""
+
+    def __init__(self, dispatch: bool = False, max_side: int = 224):
+        self.dispatch = dispatch
+        self.max_side = max_side
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = []
+        for data in batch.column("payload").to_pylist():
+            pix = decode_image(data)[0] if self.dispatch else decode_ppm(data)
+            pix = _nn_resize(pix, self.max_side)
+            feats.append(_pixel_feature_vec(pix.astype(np.float64)))
+        out = batch.drop_columns(["payload"])
         return out.append_column(
             "embedding", pa.array(feats, pa.list_(pa.float64()))
         )

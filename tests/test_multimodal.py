@@ -457,3 +457,36 @@ def test_wav_resample_passthrough_and_ratio():
     assert out.column("n_samples")[1].as_py() == len(s1) // 2
     got, rate = mm.decode_wav(out.column("payload")[1].as_py())
     assert rate == 8000 and (got == s1[::2]).all()
+
+
+def test_fused_feature_pipeline_matches_chained():
+    """ImageFeaturePipeline (the one-pool retrieval stage) must be
+    BITWISE identical to the chained PPMDecode→PPMResize→PPMFeatures
+    stages, for both the single-codec and the dispatch variants."""
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(7)), pa.int64()),
+            "text": pa.array(["x" * (11 + 13 * i) for i in range(7)], pa.string()),
+        }
+    )
+    # PPM-only path
+    attached = mm.attach_ppm_payload(t)
+    chained = mm.PPMFeatures()(mm.PPMResize()(mm.PPMDecode()(attached)))
+    fused = mm.ImageFeaturePipeline(dispatch=False)(attached)
+    assert (
+        chained.column("embedding").to_pylist()
+        == fused.column("embedding").to_pylist()
+    )
+    # mixed dispatch path (PPM | BMP | farbfeld by doc_id % 3)
+    mixed = mm.attach_mixed_payload(t)
+    chained_m = mm.PPMFeatures()(mm.PPMResize()(mm.ImageDecode()(mixed)))
+    fused_m = mm.ImageFeaturePipeline(dispatch=True)(mixed)
+    assert (
+        chained_m.column("embedding").to_pylist()
+        == fused_m.column("embedding").to_pylist()
+    )
+    # and the codecs carry the same pixels, so the two paths agree
+    assert (
+        fused.column("embedding").to_pylist()
+        == fused_m.column("embedding").to_pylist()
+    )
