@@ -245,6 +245,8 @@ BENCH_QUERIES = [
     "nation_order_stats",
     "customers_without_orders",
     "doc_stats",
+    "doc_encoding_flags",
+    "doc_readability",
     "doc_compression",
     "pii_scrub",
     "normalize_text",

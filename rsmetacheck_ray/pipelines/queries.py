@@ -828,6 +828,126 @@ FROM c
 """
 
 
+# --- encoding hygiene --------------------------------------------------
+# Web-crawl text arrives with decode damage: U+FFFD replacement chars
+# (bad byte sequences), stray C0/DEL control chars, and mojibake
+# (UTF-8 bytes decoded once too often as Latin-1, the 'Ã©'-for-'é'
+# signature: U+00C3/U+00C2 followed by a char in U+00A0..U+00BF).
+# One vectorized RE2 pass per class over the column, plus a scrub that
+# strips control + replacement chars — tab/newline/CR are preserved.
+# Both engines run RE2, so the SQL oracle reproduces counts AND the
+# scrubbed text byte-for-byte. Recast of the reference's text-hygiene
+# checks (detect_pitfalls_main.py's placeholder/boilerplate scans) for
+# the crawl-encoding failure mode the reference never sees.
+_ENC_NONASCII_RE = r"[^\x{00}-\x{7F}]"
+_ENC_CONTROL_RE = r"[\x{00}-\x{08}\x{0B}\x{0C}\x{0E}-\x{1F}\x{7F}]"
+_ENC_REPLACEMENT_RE = r"\x{FFFD}"
+_ENC_MOJIBAKE_RE = r"[\x{00C3}\x{00C2}][\x{00A0}-\x{00BF}]"
+_ENC_SCRUB_RE = r"[\x{00}-\x{08}\x{0B}\x{0C}\x{0E}-\x{1F}\x{7F}\x{FFFD}]"
+
+
+def q_doc_encoding_flags(sf_dir: str):
+    """(doc_id, n_non_ascii, n_control, n_replacement, n_mojibake,
+    clean_text): per-document encoding-damage counters plus the
+    control/replacement-scrubbed text. Pure per-batch column kernels —
+    zero shuffle, streams at any scale."""
+    ds = _documents(sf_dir, ["doc_id", "text"])
+
+    def stage(b: pa.Table) -> pa.Table:
+        text = b.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+
+        def cnt(p):
+            return pc.cast(pc.count_substring_regex(text, p), pa.int64())
+
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "n_non_ascii": cnt(_ENC_NONASCII_RE),
+                "n_control": cnt(_ENC_CONTROL_RE),
+                "n_replacement": cnt(_ENC_REPLACEMENT_RE),
+                "n_mojibake": cnt(_ENC_MOJIBAKE_RE),
+                "clean_text": pc.replace_substring_regex(
+                    text, pattern=_ENC_SCRUB_RE, replacement=""
+                ),
+            }
+        )
+
+    return ds.map_batches(stage, batch_format="pyarrow")
+
+
+SQL_DOC_ENCODING = f"""
+SELECT doc_id,
+  len(regexp_extract_all(text, '{_ENC_NONASCII_RE}')) AS n_non_ascii,
+  len(regexp_extract_all(text, '{_ENC_CONTROL_RE}')) AS n_control,
+  len(regexp_extract_all(text, '{_ENC_REPLACEMENT_RE}')) AS n_replacement,
+  len(regexp_extract_all(text, '{_ENC_MOJIBAKE_RE}')) AS n_mojibake,
+  regexp_replace(text, '{_ENC_SCRUB_RE}', '', 'g') AS clean_text
+FROM documents
+"""
+
+
+# --- readability -------------------------------------------------------
+# Automated Readability Index over exact integer counts: letters+digits
+# per char class, tokens per \\S+, sentences per [.!?]+ run. The float
+# is three IEEE ops in a fixed association — a*(c/w) + b*(w/s) - k —
+# so DuckDB reproduces it bit-for-bit (literals CAST AS DOUBLE; DuckDB
+# parses bare decimals as DECIMAL). The quality-score surface a corpus
+# curation pass bins on; scale shape identical to doc_quality_scores.
+_ARI_CHAR_RE = r"[A-Za-z0-9]"
+_SENT_RE = r"[.!?]+"
+
+
+def q_doc_readability(sf_dir: str):
+    """(doc_id, n_ari_chars, n_words, n_sentences, ari): Automated
+    Readability Index per document from exact integer counts."""
+    ds = _documents(sf_dir, ["doc_id", "text"])
+
+    def stage(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        text = b.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        ch = pc.cast(pc.count_substring_regex(text, _ARI_CHAR_RE), pa.int64()).to_numpy(zero_copy_only=False)
+        w = pc.cast(pc.count_substring_regex(text, _TOKEN_RE), pa.int64()).to_numpy(zero_copy_only=False)
+        s = pc.cast(pc.count_substring_regex(text, _SENT_RE), pa.int64()).to_numpy(zero_copy_only=False)
+        wd = np.maximum(w, 1).astype(np.float64)
+        ws = np.maximum(s, 1).astype(np.float64)
+        # association mirrored verbatim by SQL_DOC_READABILITY
+        ari = (4.71 * (ch / wd) + 0.5 * (w / ws)) - 21.43
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "n_ari_chars": pa.array(ch, pa.int64()),
+                "n_words": pa.array(w, pa.int64()),
+                "n_sentences": pa.array(s, pa.int64()),
+                "ari": pa.array(ari, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(stage, batch_format="pyarrow")
+
+
+SQL_DOC_READABILITY = f"""
+WITH c AS (
+  SELECT doc_id,
+    len(regexp_extract_all(text, '{_ARI_CHAR_RE}')) AS n_ari_chars,
+    len(regexp_extract_all(text, '{_TOKEN_RE}')) AS n_words,
+    len(regexp_extract_all(text, '{_SENT_RE}')) AS n_sentences
+  FROM documents
+)
+SELECT doc_id, n_ari_chars, n_words, n_sentences,
+  (CAST(4.71 AS DOUBLE)
+     * (CAST(n_ari_chars AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE))
+   + CAST(0.5 AS DOUBLE)
+     * (CAST(n_words AS DOUBLE) / CAST(greatest(n_sentences, 1) AS DOUBLE)))
+  - CAST(21.43 AS DOUBLE) AS ari
+FROM c
+"""
+
+
 # --- gate → dedup composition -----------------------------------------
 # The end-to-end shape a training-data pipeline actually runs: quality
 # gate, then exact dedup of the KEPT scrubbed text, survivors out.
@@ -5740,6 +5860,8 @@ def registry() -> dict[str, tuple]:
         "doc_stats": (q_doc_stats, SQL_DOC_STATS),
         "doc_compression": (q_doc_compression, None),  # zlib: non-SQL
         "doc_quality_scores": (q_doc_quality_scores, SQL_DOC_QUALITY),
+        "doc_encoding_flags": (q_doc_encoding_flags, SQL_DOC_ENCODING),
+        "doc_readability": (q_doc_readability, SQL_DOC_READABILITY),
         "pii_scrub": (q_pii_scrub, _sql_pii_scrub()),
         "normalize_text": (q_normalize_text, SQL_NORMALIZE_TEXT),
         "repetition_scores": (q_repetition_scores, SQL_REPETITION),

@@ -1,0 +1,80 @@
+"""Encoding-hygiene + readability operator tests over PLANTED damage:
+replacement chars, C0 controls, mojibake signatures, and hand-computed
+ARI values — the boundary cases the sf testdata (clean synthetic text)
+never exercises. DuckDB parity is separately pinned by the full-oracle
+sweep; these tests pin absolute semantics."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from rsmetacheck_ray.pipelines.queries import (
+    q_doc_encoding_flags,
+    q_doc_readability,
+)
+
+
+def _write_docs(tmp_path, texts):
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(texts), pa.string()),
+            "source": pa.array(["t"] * len(texts), pa.string()),
+            "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+        }
+    )
+    pq.write_table(t, os.path.join(str(tmp_path), "documents.parquet"))
+    return str(tmp_path)
+
+
+def _rows(ds):
+    out = ds if isinstance(ds, pa.Table) else pa.Table.from_pandas(ds.to_pandas())
+    return {r["doc_id"]: r for r in out.to_pylist()}
+
+
+def test_encoding_flags_planted(ray_session, tmp_path):
+    texts = [
+        "plain ascii only.",
+        "café résumé",                 # non-ascii, no damage
+        "bad � bytes � here",                # replacement chars
+        "ctrl\x01\x02 kept\t\n\r end\x1f",             # C0 controls, ws kept
+        "moji Ã© and Ã¨ end",      # UTF-8-as-Latin-1
+        "Â«quotedÂ»",              # Â-mojibake
+    ]
+    sf = _write_docs(tmp_path, texts)
+    rows = _rows(q_doc_encoding_flags(sf))
+
+    assert rows[0]["n_non_ascii"] == 0 and rows[0]["clean_text"] == texts[0]
+    assert rows[1]["n_non_ascii"] == 3 and rows[1]["n_mojibake"] == 0
+    assert rows[2]["n_replacement"] == 2
+    assert rows[2]["clean_text"] == "bad  bytes  here"
+    assert rows[3]["n_control"] == 3  # \x01 \x02 \x1f — not \t\n\r
+    assert rows[3]["clean_text"] == "ctrl kept\t\n\r end"
+    assert rows[4]["n_mojibake"] == 2
+    assert rows[5]["n_mojibake"] == 2
+    # scrub leaves mojibake in place (flagged, not destroyed)
+    assert rows[4]["clean_text"] == texts[4]
+
+
+def test_readability_hand_computed(ray_session, tmp_path):
+    texts = [
+        "The cat sat.",              # 9 chars, 3 words, 1 sentence
+        "",                          # all-zero: greatest() guards
+        "no terminator here",        # 0 sentences -> s clamped to 1
+        "Hi! Ok? Yes... end.",       # [.!?]+ runs: 4 sentences
+    ]
+    sf = _write_docs(tmp_path, texts)
+    rows = _rows(q_doc_readability(sf))
+
+    assert (rows[0]["n_ari_chars"], rows[0]["n_words"], rows[0]["n_sentences"]) == (9, 3, 1)
+    assert rows[0]["ari"] == (4.71 * (9 / 3.0) + 0.5 * (3 / 1.0)) - 21.43
+    assert (rows[1]["n_ari_chars"], rows[1]["n_words"]) == (0, 0)
+    assert rows[1]["ari"] == (4.71 * 0.0 + 0.5 * 0.0) - 21.43
+    assert rows[2]["n_sentences"] == 0
+    assert rows[2]["ari"] == (4.71 * (16 / 3.0) + 0.5 * (3 / 1.0)) - 21.43
+    assert rows[3]["n_sentences"] == 4
