@@ -285,6 +285,8 @@ BENCH_QUERIES = [
     "events_running_totals",
     "events_value_ranks",
     "events_value_corr",
+    "events_hour_moments",
+    "events_hourly_autocorr",
     "customer_order_counts",
     "split_assign",
     "doc_sentences",

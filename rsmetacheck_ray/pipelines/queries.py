@@ -5698,6 +5698,12 @@ def registry() -> dict[str, tuple]:
         ),
         "events_value_ranks": (rel.events_value_ranks, rel.EVENTS_RANKS_SQL),
         "events_value_corr": (rel.events_value_corr, rel.EVENTS_CORR_SQL),
+        "events_hour_moments": (
+            rel.events_hour_moments, rel.EVENTS_HOUR_MOMENTS_SQL,
+        ),
+        "events_hourly_autocorr": (
+            rel.events_hourly_autocorr, rel.EVENTS_AUTOCORR_SQL,
+        ),
         "events_latest_per_user": (
             rel.events_latest_per_user, rel.EVENTS_LATEST_SQL,
         ),

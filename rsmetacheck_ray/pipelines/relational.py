@@ -1829,6 +1829,272 @@ FROM s
 
 
 # ---------------------------------------------------------------------------
+# higher-moment shape statistics: per-group SKEWNESS and EXCESS
+# KURTOSIS of hour-of-day — the diurnal-shape profile of an event
+# stream. Same one-pass exact-moments plan as events_value_corr but
+# with Σy³ and Σy⁴ partials: hour ∈ [0,24) so y⁴ ≤ 279 841 and the
+# int64 sums stay EXACT to ~3×10¹³ rows per group — no quantization
+# compromise at 10¹²-doc scale (value-cents couldn't do this: cents⁴
+# overflows int64 immediately, which is exactly why the shape
+# statistics run on the bounded-domain column). Final floats are a
+# fixed-association expression mirrored verbatim by the oracle
+# (sqrt not pow — np.power and DuckDB pow() disagree in ulps);
+# zero-variance groups emit NULL on both sides (DuckDB's x/0.0 is
+# NULL, numpy's is nan — the CASE guard keeps the engines aligned).
+# ---------------------------------------------------------------------------
+
+def events_hour_moments(sf_dir: str) -> rd.Dataset:
+    """(event_type, n, mean_hour, var_hour, skew_hour, kurt_hour):
+    population moments of event hour-of-day per type."""
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "ts"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        y = pc.cast(pc.hour(batch.column("ts")), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        types = batch.column("event_type").to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(types.astype(str), return_inverse=True)
+        m = len(uk)
+
+        def seg(v):
+            acc = np.zeros(m, np.int64)
+            np.add.at(acc, inv, v)
+            return acc
+
+        y2 = y * y
+        return pa.table(
+            {
+                "event_type": pa.array(uk.tolist(), pa.string()),
+                "n": pa.array(np.bincount(inv, minlength=m).astype(np.int64)),
+                "s1": pa.array(seg(y)),
+                "s2": pa.array(seg(y2)),
+                "s3": pa.array(seg(y2 * y)),
+                "s4": pa.array(seg(y2 * y2)),
+            }
+        )
+
+    agg = bounded_group_reduce(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type"],
+        [(c, "sum") for c in ("n", "s1", "s2", "s3", "s4")],
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        nf = b.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        s1 = b.column("s1").to_numpy(zero_copy_only=False).astype(np.float64)
+        s2 = b.column("s2").to_numpy(zero_copy_only=False).astype(np.float64)
+        s3 = b.column("s3").to_numpy(zero_copy_only=False).astype(np.float64)
+        s4 = b.column("s4").to_numpy(zero_copy_only=False).astype(np.float64)
+        # expression-identical to EVENTS_HOUR_MOMENTS_SQL
+        mean = s1 / nf
+        r2, r3, r4 = s2 / nf, s3 / nf, s4 / nf
+        m2 = r2 - mean * mean
+        m3 = r3 - 3.0 * mean * r2 + 2.0 * ((mean * mean) * mean)
+        m4 = (
+            r4
+            - 4.0 * mean * r3
+            + 6.0 * ((mean * mean) * r2)
+            - 3.0 * ((mean * mean) * (mean * mean))
+        )
+        ok = m2 > 0.0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            skew = m3 / (m2 * np.sqrt(m2))
+            kurt = m4 / (m2 * m2) - 3.0
+        return pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "n": b.column("n"),
+                "mean_hour": pa.array(mean, pa.float64()),
+                "var_hour": pa.array(m2, pa.float64()),
+                "skew_hour": pa.array(skew, pa.float64(), mask=~ok),
+                "kurt_hour": pa.array(kurt, pa.float64(), mask=~ok),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+EVENTS_HOUR_MOMENTS_SQL = """
+WITH c AS (
+  SELECT event_type, CAST(EXTRACT(hour FROM ts) AS BIGINT) AS y
+  FROM events
+),
+s AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(y) AS BIGINT) AS s1,
+    CAST(SUM(y * y) AS BIGINT) AS s2,
+    CAST(SUM(y * y * y) AS BIGINT) AS s3,
+    CAST(SUM((y * y) * (y * y)) AS BIGINT) AS s4
+  FROM c GROUP BY event_type
+),
+r AS (
+  SELECT event_type, n,
+    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+    CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+    CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+    CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
+  FROM s
+),
+m AS (
+  SELECT event_type, n, mean,
+    r2 - mean * mean AS m2,
+    r3 - CAST(3 AS DOUBLE) * mean * r2
+       + CAST(2 AS DOUBLE) * ((mean * mean) * mean) AS m3,
+    r4 - CAST(4 AS DOUBLE) * mean * r3
+       + CAST(6 AS DOUBLE) * ((mean * mean) * r2)
+       - CAST(3 AS DOUBLE) * ((mean * mean) * (mean * mean)) AS m4
+  FROM r
+)
+SELECT event_type, n, mean AS mean_hour, m2 AS var_hour,
+  CASE WHEN m2 > CAST(0 AS DOUBLE)
+       THEN m3 / (m2 * sqrt(m2)) ELSE NULL END AS skew_hour,
+  CASE WHEN m2 > CAST(0 AS DOUBLE)
+       THEN m4 / (m2 * m2) - CAST(3 AS DOUBLE) ELSE NULL END AS kurt_hour
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# time-series AUTOCORRELATION of the hourly event-count series, per
+# type, at lags 1 h and 24 h (adjacency + diurnal periodicity — the
+# two numbers a crawl-rate monitor actually reads). Plan: per-batch
+# (type, hour-index, n) count partials — 24 B rows, the only thing
+# that ever shuffles — merged by the bounded driver reduce (the
+# domain is |types| × hours-of-history: ~44 k rows for 5 types over a
+# year; a 10¹²-row corpus still lands at the same bound because the
+# HOURS don't grow with the rows). The driver then zero-fills the
+# dense [global-min, global-max] hour range per type and computes the
+# lagged Pearson from exact int64 sums — counts per (type, hour) stay
+# < 2×10⁷ even at 10¹² rows, so Σc·c' < 2⁶³ holds with margin. The
+# SQL oracle re-derives the dense series with generate_series and the
+# identical fixed-association formula; flat (zero-variance) series
+# emit NULL on both sides.
+# ---------------------------------------------------------------------------
+
+_AUTOCORR_LAGS = (1, 24)
+_HOUR_US = 3_600_000_000
+
+
+def events_hourly_autocorr(sf_dir: str) -> pa.Table:
+    """(event_type, lag_hours, n_pairs, autocorr): lagged Pearson
+    autocorrelation of the zero-filled hourly count series."""
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["ts", "event_type"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h = pc.divide(
+            pc.cast(
+                pc.floor_temporal(batch.column("ts"), unit="hour"), pa.int64()
+            ),
+            _HOUR_US,
+        )
+        t = pa.table({"event_type": batch.column("event_type"), "h": h})
+        g = t.group_by(["event_type", "h"]).aggregate([([], "count_all")])
+        return g.rename_columns(["event_type", "h", "n"])
+
+    tbl = bounded_group_table_strict(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "h"],
+        [("n", "sum")],
+    )
+    out_t, out_k, out_m, out_r = [], [], [], []
+    if tbl is not None and tbl.num_rows:
+        types = tbl.column("event_type").to_numpy(zero_copy_only=False)
+        hs = tbl.column("h").to_numpy(zero_copy_only=False)
+        ns = tbl.column("n").to_numpy(zero_copy_only=False)
+        hmin, hmax = int(hs.min()), int(hs.max())
+        span = hmax - hmin + 1
+        for t_name in sorted(np.unique(types.astype(str)).tolist()):
+            sel = types == t_name
+            dense = np.zeros(span, np.int64)
+            dense[hs[sel] - hmin] = ns[sel]
+            for k in _AUTOCORR_LAGS:
+                if span <= k:
+                    continue
+                x, y = dense[:-k], dense[k:]
+                m = len(x)
+                mf = np.float64(m)
+                sx, sy = np.float64(x.sum()), np.float64(y.sum())
+                sxy = np.float64((x * y).sum())
+                sxx = np.float64((x * x).sum())
+                syy = np.float64((y * y).sum())
+                # expression-identical to EVENTS_AUTOCORR_SQL
+                den = (mf * sxx - sx * sx) * (mf * syy - sy * sy)
+                r = (
+                    float((mf * sxy - sx * sy) / np.sqrt(den))
+                    if den > 0.0
+                    else None
+                )
+                out_t.append(t_name)
+                out_k.append(k)
+                out_m.append(m)
+                out_r.append(r)
+    return pa.table(
+        {
+            "event_type": pa.array(out_t, pa.string()),
+            "lag_hours": pa.array(out_k, pa.int64()),
+            "n_pairs": pa.array(out_m, pa.int64()),
+            "autocorr": pa.array(out_r, pa.float64()),
+        }
+    )
+
+
+EVENTS_AUTOCORR_SQL = """
+WITH c AS (
+  SELECT event_type,
+         epoch_us(date_trunc('hour', ts)) // 3600000000 AS h
+  FROM events
+),
+cnt AS (
+  SELECT event_type, h, CAST(COUNT(*) AS BIGINT) AS n
+  FROM c GROUP BY event_type, h
+),
+b AS (SELECT min(h) AS hmin, max(h) AS hmax FROM c),
+hours AS (SELECT unnest(generate_series(hmin, hmax)) AS h FROM b),
+types AS (SELECT DISTINCT event_type FROM c),
+dense AS (
+  SELECT t.event_type, hrs.h, COALESCE(cnt.n, 0) AS n
+  FROM types t CROSS JOIN hours hrs
+  LEFT JOIN cnt ON cnt.event_type = t.event_type AND cnt.h = hrs.h
+),
+lags AS (SELECT * FROM (VALUES (1), (24)) AS l(k)),
+pairs AS (
+  SELECT d1.event_type, l.k, d1.n AS x, d2.n AS y
+  FROM dense d1 CROSS JOIN lags l
+  JOIN dense d2
+    ON d2.event_type = d1.event_type AND d2.h = d1.h + l.k
+),
+s AS (
+  SELECT event_type, k, CAST(COUNT(*) AS BIGINT) AS m,
+    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+    CAST(SUM(x * y) AS BIGINT) AS sxy,
+    CAST(SUM(x * x) AS BIGINT) AS sxx,
+    CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM pairs GROUP BY event_type, k
+)
+SELECT event_type, CAST(k AS BIGINT) AS lag_hours, m AS n_pairs,
+  CASE WHEN (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            * (CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+            > CAST(0 AS DOUBLE)
+  THEN (CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / sqrt((CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * (CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+  ELSE NULL END AS autocorr
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
 # latest-record-per-key compaction — the CDC/upsert shape (keep each
 # key's most recent record; the recency twin of exact dedup's
 # first-occurrence rule) — and per-key ordered COLLECT (string_agg):

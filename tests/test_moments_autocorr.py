@@ -1,0 +1,117 @@
+"""Planted-boundary tests for the higher-moment shape statistics and
+the hourly autocorrelation operator: zero-variance NULL guards, exact
+hand-computed skewness on a known distribution, a perfectly periodic
+series (lag-24 autocorr == 1.0 exactly), and the span<=lag group-absent
+edge. DuckDB parity is pinned separately by the full-oracle sweep."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from rsmetacheck_ray.pipelines.relational import (
+    events_hour_moments,
+    events_hourly_autocorr,
+)
+
+
+def _write_events(tmp_path, ts_us, types):
+    n = len(ts_us)
+    t = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(ts_us, pa.timestamp("us")),
+            "user_id": pa.array([i % 7 for i in range(n)], pa.int64()),
+            "event_type": pa.array(types, pa.string()),
+            "value": pa.array([1.0] * n, pa.float64()),
+            "props": pa.array(["{}"] * n, pa.string()),
+        }
+    )
+    pq.write_table(t, os.path.join(str(tmp_path), "events.parquet"))
+    return str(tmp_path)
+
+
+_BASE = 1_700_000_000_000_000  # some epoch µs anchor
+_H = 3_600_000_000
+
+
+def _at(hour_index, minute=0):
+    return _BASE - (_BASE % _H) + hour_index * _H + minute * 60_000_000
+
+
+def _rows(res):
+    tbl = res if isinstance(res, pa.Table) else pa.Table.from_pandas(res.to_pandas())
+    return tbl.to_pylist()
+
+
+def test_hour_moments_planted(ray_session, tmp_path):
+    # type 'flat': all events in hour 5 -> var 0, NULL skew/kurt
+    # type 'sym': hours [1,2,2,3] mirrored -> skew exactly 0
+    ts = [_at(0, 5)] * 0
+    ts += [_at(100) + 5 * _H] * 4                      # flat: hour 5 x4
+    types = ["flat"] * 4
+    sym_hours = [1, 2, 2, 3]
+    ts += [_at(200) + h * _H for h in sym_hours]
+    types += ["sym"] * 4
+    sf = _write_events(tmp_path, ts, types)
+    rows = {r["event_type"]: r for r in _rows(events_hour_moments(sf))}
+
+    flat = rows["flat"]
+    assert flat["n"] == 4 and flat["var_hour"] == 0.0
+    assert flat["skew_hour"] is None and flat["kurt_hour"] is None
+
+    sym = rows["sym"]
+    # hour-of-day of the planted sym rows is [7,8,8,9]: symmetric
+    assert sym["mean_hour"] == 8.0
+    assert sym["var_hour"] == 0.5
+    assert sym["skew_hour"] == 0.0
+    # kurtosis of {7,8,8,9}: m4 = 0.5, m2^2 = 0.25 -> 2 - 3 = -1
+    assert sym["kurt_hour"] == -1.0
+
+
+def test_autocorr_periodic_series(ray_session, tmp_path):
+    # 'per': count pattern [2,1,1,...] repeating every 24 h for 8 days
+    # -> the lag-24 pairs are identical series -> autocorr == 1.0
+    ts, types = [], []
+    for d in range(8):
+        for h in range(24):
+            k = 2 if h == 0 else 1
+            for i in range(k):
+                ts.append(_at(d * 24 + h, minute=i + 1))
+                types.append("per")
+    sf = _write_events(tmp_path, ts, types)
+    rows = {
+        (r["event_type"], r["lag_hours"]): r
+        for r in _rows(events_hourly_autocorr(sf))
+    }
+    per24 = rows[("per", 24)]
+    assert per24["n_pairs"] == 7 * 24
+    assert per24["autocorr"] == 1.0
+    assert ("per", 1) in rows  # lag-1 present, < 1.0 on this pattern
+    assert rows[("per", 1)]["autocorr"] < 1.0
+
+
+def test_autocorr_span_shorter_than_lag(ray_session, tmp_path):
+    # span of 3 hours -> lag-24 group ABSENT, lag-1 present. The dense
+    # range is GLOBAL (min..max over all types, like the SQL oracle's
+    # cross-join), so the short-span edge needs a single-type table.
+    d = tmp_path / "tiny"
+    d.mkdir()
+    sf = _write_events(d, [_at(h, 1) for h in range(3)], ["tiny"] * 3)
+    rows = {
+        (r["event_type"], r["lag_hours"]): r
+        for r in _rows(events_hourly_autocorr(sf))
+    }
+    assert ("tiny", 1) in rows and ("tiny", 24) not in rows
+    assert rows[("tiny", 1)]["n_pairs"] == 2
+
+
+def test_autocorr_flat_single_type(ray_session, tmp_path):
+    ts = [_at(h, 3) for h in range(10)]  # one event every hour: flat
+    sf = _write_events(tmp_path, ts, ["flat"] * 10)
+    rows = _rows(events_hourly_autocorr(sf))
+    for r in rows:
+        assert r["autocorr"] is None  # zero variance on both windows
