@@ -307,6 +307,7 @@ BENCH_QUERIES = [
     "events_sliding_distinct_users",
     "top_tokens_by_lang",
     "rank_dedup_graph",
+    "dedup_graph_bfs",
     "embedding_norms",
     "event_transitions",
     "dq_checks",

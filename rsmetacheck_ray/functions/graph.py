@@ -390,3 +390,141 @@ def pagerank_dense(
         np.add.at(acc, di, rank[si] * inv[si])
         rank = t + damping * (acc + dangle / n)
     return {int(k): float(v) for k, v in zip(nodes, rank)}
+
+
+# ---------------------------------------------------------------------------
+# Multi-source BFS hop distances — the same hash-sharded BSP plan as
+# PageRank but in the MIN-PLUS semiring: each round every edge
+# partition proposes dist[src]+1 to its destination shard, each shard
+# keeps the elementwise minimum, and the loop stops at the first
+# unchanged round (or the ``max_iter`` cap the SQL oracle mirrors).
+# min is idempotent, commutative and associative, so the fixpoint is
+# independent of partition count, shard topology and accumulation
+# order — BFS levels are exact integers, there is nothing to drift.
+# Per round the exchange ships only frontier-reachable (dst, cand)
+# int64 pairs between worker object stores; the driver sees one bool
+# per shard. Rounds are bounded by the graph diameter — O(log n) on
+# star-contracted dedup graphs.
+# ---------------------------------------------------------------------------
+
+_BFS_INF = np.int64(2**62)
+
+
+@ray.remote
+def _bfs_scatter(
+    src: np.ndarray,
+    dst: np.ndarray,
+    dst_part: np.ndarray,
+    nodes: np.ndarray,
+    dist: np.ndarray,
+    n_parts: int,
+):
+    """Candidate distances dist[src]+1, binned by destination shard;
+    unreached sources (INF) ship nothing."""
+    pos = np.searchsorted(nodes, src)
+    cand = dist[pos]
+    ok = cand < _BFS_INF
+    cand = cand[ok] + 1
+    dd_all, dp = dst[ok], dst_part[ok]
+    order = np.argsort(dp, kind="stable")
+    dp, dd, cc = dp[order], dd_all[order], cand[order]
+    bounds = np.searchsorted(dp, np.arange(n_parts + 1))
+    return [
+        (dd[bounds[q]: bounds[q + 1]], cc[bounds[q]: bounds[q + 1]])
+        for q in range(n_parts)
+    ]
+
+
+@ray.remote(num_returns=2)
+def _bfs_gather(nodes: np.ndarray, dist: np.ndarray, piece_refs: list):
+    """Elementwise min of the shard's distances with every incoming
+    candidate batch; second return is the shard's changed flag (the
+    only thing the driver pulls per round)."""
+    new = dist.copy()
+    for ref in piece_refs:
+        val = ray.get(ref)
+        if isinstance(val, list):  # n_parts == 1: un-split scatter output
+            val = val[0]
+        d_ids, c = val
+        if len(d_ids):
+            np.minimum.at(new, np.searchsorted(nodes, d_ids), c)
+    return new, bool((new != dist).any())
+
+
+def bfs_distances(
+    edges: pa.Table,
+    seeds: np.ndarray,
+    max_iter: int = 64,
+    num_partitions: int | None = None,
+) -> pa.Table:
+    """(node, dist) hop distances from the nearest seed over the
+    directed edge table (columns ``src``, ``dst``; pass both
+    directions for an undirected graph). Nodes unreachable from any
+    seed within ``max_iter`` rounds are omitted — mirroring the SQL
+    oracle's bounded recursive walk."""
+    setup = _shard_graph(edges, num_partitions)
+    if setup is None:
+        return pa.table(
+            {"node": pa.array([], pa.int64()), "dist": pa.array([], pa.int64())}
+        )
+    _n, n_parts, shard_nodes, _deg, edge_refs, node_refs, _deg_refs = setup
+    seeds_sorted = np.unique(np.asarray(seeds, np.int64))
+    dist_refs = []
+    for sn in shard_nodes:
+        d = np.full(len(sn), _BFS_INF, np.int64)
+        d[np.isin(sn, seeds_sorted)] = 0
+        dist_refs.append(ray.put(d))
+    for _ in range(max_iter):
+        scatter = [
+            _bfs_scatter.options(num_returns=n_parts).remote(
+                edge_refs[p][0], edge_refs[p][1], edge_refs[p][2],
+                node_refs[p], dist_refs[p], n_parts,
+            )
+            for p in range(n_parts)
+        ]
+        if n_parts == 1:  # num_returns=1 yields a bare ref, not a list
+            scatter = [[s] for s in scatter]
+        pairs = [
+            _bfs_gather.remote(
+                node_refs[q],
+                dist_refs[q],
+                [scatter[p][q] for p in range(n_parts)],
+            )
+            for q in range(n_parts)
+        ]
+        dist_refs = [p[0] for p in pairs]
+        if not any(ray.get([p[1] for p in pairs])):
+            break
+    dists = ray.get(dist_refs)
+    nodes_all = np.concatenate(shard_nodes)
+    dist_all = np.concatenate(dists) if dists else np.zeros(0, np.int64)
+    reached = dist_all < _BFS_INF
+    return pa.table(
+        {
+            "node": pa.array(nodes_all[reached], pa.int64()),
+            "dist": pa.array(dist_all[reached], pa.int64()),
+        }
+    )
+
+
+def bfs_dense(edges: pa.Table, seeds: np.ndarray, max_iter: int = 64):
+    """Reference single-machine BFS with identical semantics (tests
+    pin the distributed result against this)."""
+    src = edges.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+    dst = edges.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+    nodes = np.unique(np.concatenate([src, dst]))
+    if len(nodes) == 0:
+        return {}
+    si = np.searchsorted(nodes, src)
+    di = np.searchsorted(nodes, dst)
+    dist = np.full(len(nodes), _BFS_INF, np.int64)
+    dist[np.isin(nodes, np.unique(np.asarray(seeds, np.int64)))] = 0
+    for _ in range(max_iter):
+        cand = dist.copy()
+        np.minimum.at(cand, di, dist[si] + 1)
+        if (cand == dist).all():
+            break
+        dist = cand
+    return {
+        int(k): int(v) for k, v in zip(nodes, dist) if v < _BFS_INF
+    }

@@ -3174,6 +3174,133 @@ FROM corpus c LEFT JOIN comp USING (doc_id)
 """
 
 
+# --- BFS hop distance to the cluster canonical -------------------------
+# How many similarity hops separate a document from its dup-cluster's
+# canonical (min-id) survivor — the "chain length" diagnostic for
+# transitive near-dup clusters (a long chain means the cluster was
+# glued by weak pairwise links and deserves review before mass-drop).
+# Distributed shape: the min-plus BSP of functions/graph.py
+# (bfs_distances) over the symmetrized prefix∪suffix edge set, seeded
+# at the component roots from connected_components; min is
+# order-free, so the result is partition-invariant. The oracle
+# re-derives the same edges + roots and walks a bounded recursive CTE
+# (d < 64, the engine's max_iter cap).
+
+_BFS_MAX_ITER = 64
+
+
+def q_dedup_graph_bfs(sf_dir: str):
+    """(doc_id, component_id, dist): hop distance from each clustered
+    document to its component's min-id canonical over the near-dup
+    graph."""
+    import ray
+
+    from ..functions.components import connected_components
+    from ..functions.graph import bfs_distances
+
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "component_id": pa.array([], pa.int64()),
+            "dist": pa.array([], pa.int64()),
+        }
+    )
+    corpus = _cc_corpus(sf_dir)
+    blocks = [
+        t
+        for t in ray.get(_cc_edges(corpus).materialize().to_arrow_refs())
+        if t.num_rows
+    ]
+    if not blocks:
+        return empty
+    e = pa.concat_tables(blocks)
+    a = e.column("doc_id_a").to_numpy(zero_copy_only=False)
+    b = e.column("doc_id_b").to_numpy(zero_copy_only=False)
+    keep = a != b  # self star pairs are singletons: not in the graph
+    a, b = a[keep], b[keep]
+    if not len(a):
+        return empty
+    pairs = pa.table(
+        {
+            "doc_id_a": pa.array(a, pa.int64()),
+            "doc_id_b": pa.array(b, pa.int64()),
+        }
+    )
+    lab_blocks = [
+        t
+        for t in ray.get(
+            connected_components(rd.from_arrow(pairs))
+            .materialize()
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    labels = pa.concat_tables(lab_blocks)
+    lnode = labels.column("doc_id").to_numpy(zero_copy_only=False)
+    lcomp = labels.column("component_id").to_numpy(zero_copy_only=False)
+    seeds = lnode[lnode == lcomp]
+    edges = pa.table(
+        {
+            "src": pa.array(np.concatenate([a, b]), pa.int64()),
+            "dst": pa.array(np.concatenate([b, a]), pa.int64()),
+        }
+    )
+    d = bfs_distances(edges, seeds, max_iter=_BFS_MAX_ITER)
+    # attach component labels: both tables cover exactly the edge nodes
+    order = np.argsort(lnode)
+    pos = np.searchsorted(lnode[order], d.column("node").to_numpy())
+    return pa.table(
+        {
+            "doc_id": d.column("node"),
+            "component_id": pa.array(lcomp[order][pos], pa.int64()),
+            "dist": d.column("dist"),
+        }
+    )
+
+
+SQL_DEDUP_GRAPH_BFS = f"""
+WITH RECURSIVE
+{_CC_CORPUS_SQL.strip()},
+pk AS (SELECT doc_id, substr(text, 1, {_CC_PREFIX}) AS k FROM corpus),
+sk AS (
+  SELECT doc_id,
+    CASE WHEN length(text) >= {_CC_PREFIX}
+         THEN substr(text, length(text) - {_CC_PREFIX - 1}, {_CC_PREFIX})
+         ELSE text END AS k
+  FROM corpus
+),
+pe AS (SELECT min(doc_id) OVER (PARTITION BY k) AS a, doc_id AS b FROM pk),
+se AS (SELECT min(doc_id) OVER (PARTITION BY k) AS a, doc_id AS b FROM sk),
+edges0 AS (
+  SELECT a, b FROM pe WHERE a < b
+  UNION
+  SELECT a, b FROM se WHERE a < b
+),
+edges AS (SELECT a, b FROM edges0 UNION SELECT b, a FROM edges0),
+reach AS (
+  SELECT a AS node, b AS r FROM edges
+  UNION
+  SELECT e.a, r.r FROM edges e JOIN reach r ON e.b = r.node
+),
+comp AS (
+  SELECT node, least(node, min(r)) AS component_id
+  FROM reach GROUP BY node
+),
+rootset AS (SELECT DISTINCT component_id AS root FROM comp),
+walk AS (
+  SELECT root AS node, 0 AS d FROM rootset
+  UNION
+  SELECT e.b, w.d + 1
+  FROM walk w JOIN edges e ON e.a = w.node
+  WHERE w.d < {_BFS_MAX_ITER}
+),
+dist AS (SELECT node, min(d) AS dist FROM walk GROUP BY node)
+SELECT c.node AS doc_id, c.component_id,
+       CAST(d.dist AS BIGINT) AS dist
+FROM comp c JOIN dist d ON d.node = c.node
+"""
+
+
 # --- stratified per-host quota sampling ------------------------------------
 
 _SAMPLE_K = 3
@@ -5956,6 +6083,7 @@ def registry() -> dict[str, tuple]:
         ),
         "dedup_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),
         "rank_dedup_graph": (q_rank_dedup_graph, _sql_rank_dedup_graph()),
+        "dedup_graph_bfs": (q_dedup_graph_bfs, SQL_DEDUP_GRAPH_BFS),
         "dedup_survivors": (q_dedup_survivors, SQL_DEDUP_SURVIVORS),
         "decontaminate": (q_decontaminate, _sql_decontaminate()),
         "pack_sequences": (q_pack_sequences, _sql_pack_sequences()),

@@ -136,3 +136,70 @@ def test_registry_query_runs(ray_session):
     r = out.column("rank_fp").to_numpy()
     assert (r > 0).all()
     assert float(r.sum()) / PR_SCALE == pytest.approx(1.0, rel=1e-6)
+
+
+# --- BFS hop distances -------------------------------------------------
+
+def _sym(pairs):
+    return _edges(pairs + [(b, a) for a, b in pairs])
+
+
+def test_bfs_chain_distances(ray_session):
+    # path 1-2-3-4-5 seeded at 1: dist = hops along the chain
+    e = _sym([(1, 2), (2, 3), (3, 4), (4, 5)])
+    got = gr.bfs_distances(e, np.array([1]), num_partitions=2)
+    m = dict(zip(got.column("node").to_pylist(), got.column("dist").to_pylist()))
+    assert m == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4}
+
+
+def test_bfs_multi_source_components(ray_session):
+    # two components, one seed each; star beats chain where shorter
+    e = _sym([(1, 2), (2, 3), (1, 3), (10, 11), (10, 12), (12, 13)])
+    got = gr.bfs_distances(e, np.array([1, 10]), num_partitions=3)
+    m = dict(zip(got.column("node").to_pylist(), got.column("dist").to_pylist()))
+    assert m == {1: 0, 2: 1, 3: 1, 10: 0, 11: 1, 12: 1, 13: 2}
+
+
+def test_bfs_partition_invariance_and_dense_parity(ray_session):
+    e = _rand_edges(60, 240, seed=11)
+    sym = pa.table(
+        {
+            "src": pa.concat_arrays([e.column("src").combine_chunks(), e.column("dst").combine_chunks()]),
+            "dst": pa.concat_arrays([e.column("dst").combine_chunks(), e.column("src").combine_chunks()]),
+        }
+    )
+    seeds = np.array([7, 20])  # 7 always exists (id formula); 20 may not
+    outs = []
+    for p in (1, 4):
+        got = gr.bfs_distances(sym, seeds, num_partitions=p)
+        outs.append(
+            sorted(zip(got.column("node").to_pylist(), got.column("dist").to_pylist()))
+        )
+    assert outs[0] == outs[1]  # bitwise partition invariance
+    assert dict(outs[0]) == gr.bfs_dense(sym, seeds)
+
+
+def test_bfs_unreached_omitted(ray_session):
+    # 99 is isolated from the seed: no row
+    e = _sym([(1, 2), (98, 99)])
+    got = gr.bfs_distances(e, np.array([1]), num_partitions=2)
+    m = dict(zip(got.column("node").to_pylist(), got.column("dist").to_pylist()))
+    assert m == {1: 0, 2: 1}
+
+
+def test_bfs_registry_query(ray_session):
+    from rsmetacheck_ray.pipelines.queries import q_dedup_graph_bfs
+
+    out = q_dedup_graph_bfs("/root/testdata/sf0.001")
+    assert set(out.column_names) == {"doc_id", "component_id", "dist"}
+    ids = out.column("doc_id").to_pylist()
+    comps = out.column("component_id").to_pylist()
+    dists = out.column("dist").to_pylist()
+    assert len(ids) > 0
+    by_id = dict(zip(ids, dists))
+    for i, c, d in zip(ids, comps, dists):
+        assert c <= i  # canonical is the component min
+        assert (d == 0) == (i == c)  # exactly the roots at distance 0
+    # every component root is present with dist 0
+    for c in set(comps):
+        assert by_id[c] == 0
