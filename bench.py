@@ -308,6 +308,7 @@ BENCH_QUERIES = [
     "top_tokens_by_lang",
     "rank_dedup_graph",
     "dedup_graph_bfs",
+    "dedup_graph_triangles",
     "embedding_norms",
     "event_transitions",
     "dq_checks",

@@ -3301,6 +3301,91 @@ FROM comp c JOIN dist d ON d.node = c.node
 """
 
 
+# --- triangle census over the dedup graph ------------------------------
+# Local-clustering diagnostic: a dup cluster glued by one weak chain
+# has zero triangles, a genuine clique is triangle-dense — the signal
+# survivor policy uses to trust (or review) a mass-drop. Distributed
+# shape in functions/graph.triangle_counts: degree-ordered
+# orientation (wedge work O(m^1.5), hub-proof), apex adjacency
+# hash-partitioned across tasks, the oriented edge-key set broadcast
+# ONCE as a sorted u64 array and probed with searchsorted; fully
+# vectorized wedge expansion. Oracle: the same a<b edge set 3-joined
+# in SQL, each triangle credited to all three corners.
+
+
+def q_dedup_graph_triangles(sf_dir: str):
+    """(doc_id, triangles): per-document triangle counts over the
+    prefix∪suffix near-dup graph; docs in no triangle are omitted."""
+    import ray
+
+    from ..functions.graph import triangle_counts
+
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "triangles": pa.array([], pa.int64()),
+        }
+    )
+    corpus = _cc_corpus(sf_dir)
+    blocks = [
+        t
+        for t in ray.get(_cc_edges(corpus).materialize().to_arrow_refs())
+        if t.num_rows
+    ]
+    if not blocks:
+        return empty
+    e = pa.concat_tables(blocks)
+    a = e.column("doc_id_a").to_numpy(zero_copy_only=False)
+    b = e.column("doc_id_b").to_numpy(zero_copy_only=False)
+    keep = a != b
+    a, b = a[keep], b[keep]
+    if not len(a):
+        return empty
+    lo, hi = np.minimum(a, b), np.maximum(a, b)
+    uniq = np.unique(np.stack([lo, hi], axis=1), axis=0)
+    tri = triangle_counts(
+        pa.table(
+            {
+                "a": pa.array(uniq[:, 0], pa.int64()),
+                "b": pa.array(uniq[:, 1], pa.int64()),
+            }
+        )
+    )
+    return tri.rename_columns(["doc_id", "triangles"])
+
+
+SQL_DEDUP_GRAPH_TRIANGLES = f"""
+WITH
+{_CC_CORPUS_SQL.strip()},
+pk AS (SELECT doc_id, substr(text, 1, {_CC_PREFIX}) AS k FROM corpus),
+sk AS (
+  SELECT doc_id,
+    CASE WHEN length(text) >= {_CC_PREFIX}
+         THEN substr(text, length(text) - {_CC_PREFIX - 1}, {_CC_PREFIX})
+         ELSE text END AS k
+  FROM corpus
+),
+pe AS (SELECT min(doc_id) OVER (PARTITION BY k) AS a, doc_id AS b FROM pk),
+se AS (SELECT min(doc_id) OVER (PARTITION BY k) AS a, doc_id AS b FROM sk),
+edges0 AS (
+  SELECT a, b FROM pe WHERE a < b
+  UNION
+  SELECT a, b FROM se WHERE a < b
+),
+tri AS (
+  SELECT x.a AS n1, x.b AS n2, y.b AS n3
+  FROM edges0 x
+  JOIN edges0 y ON y.a = x.b
+  JOIN edges0 z ON z.a = x.a AND z.b = y.b
+)
+SELECT node AS doc_id, CAST(COUNT(*) AS BIGINT) AS triangles FROM (
+  SELECT n1 AS node FROM tri
+  UNION ALL SELECT n2 FROM tri
+  UNION ALL SELECT n3 FROM tri
+) GROUP BY node
+"""
+
+
 # --- stratified per-host quota sampling ------------------------------------
 
 _SAMPLE_K = 3
@@ -6084,6 +6169,9 @@ def registry() -> dict[str, tuple]:
         "dedup_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),
         "rank_dedup_graph": (q_rank_dedup_graph, _sql_rank_dedup_graph()),
         "dedup_graph_bfs": (q_dedup_graph_bfs, SQL_DEDUP_GRAPH_BFS),
+        "dedup_graph_triangles": (
+            q_dedup_graph_triangles, SQL_DEDUP_GRAPH_TRIANGLES,
+        ),
         "dedup_survivors": (q_dedup_survivors, SQL_DEDUP_SURVIVORS),
         "decontaminate": (q_decontaminate, _sql_decontaminate()),
         "pack_sequences": (q_pack_sequences, _sql_pack_sequences()),

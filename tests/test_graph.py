@@ -203,3 +203,56 @@ def test_bfs_registry_query(ray_session):
     # every component root is present with dist 0
     for c in set(comps):
         assert by_id[c] == 0
+
+
+# --- triangle counting ---------------------------------------------------
+
+def _und(pairs):
+    return pa.table(
+        {
+            "a": pa.array([min(x, y) for x, y in pairs], pa.int64()),
+            "b": pa.array([max(x, y) for x, y in pairs], pa.int64()),
+        }
+    )
+
+
+def test_triangles_clique_and_chain(ray_session):
+    # K4 on {1,2,3,4}: each node in C(3,2)=3 triangles; chain 10-11-12
+    # contributes none
+    k4 = [(i, j) for i in (1, 2, 3, 4) for j in (1, 2, 3, 4) if i < j]
+    e = _und(k4 + [(10, 11), (11, 12)])
+    got = gr.triangle_counts(e, num_partitions=2)
+    m = dict(zip(got.column("node").to_pylist(), got.column("triangles").to_pylist()))
+    assert m == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangles_star_hub_zero(ray_session):
+    # star: hub 1 with 50 leaves — zero triangles, and the orientation
+    # gives the hub out-degree <= 1 (no wedge blowup)
+    e = _und([(1, k) for k in range(2, 52)])
+    got = gr.triangle_counts(e, num_partitions=3)
+    assert got.num_rows == 0
+
+
+def test_triangles_dense_parity_and_invariance(ray_session):
+    rng = np.random.RandomState(13)
+    a = rng.randint(0, 40, 300) * 7 + 3
+    b = rng.randint(0, 40, 300) * 7 + 3
+    keep = a != b
+    e = _und(list(zip(a[keep].tolist(), b[keep].tolist())))
+    outs = []
+    for p in (1, 4):
+        got = gr.triangle_counts(e, num_partitions=p)
+        outs.append(
+            sorted(zip(got.column("node").to_pylist(), got.column("triangles").to_pylist()))
+        )
+    assert outs[0] == outs[1]
+    assert dict(outs[0]) == gr.triangles_dense(e)
+
+
+def test_triangles_registry_query(ray_session):
+    from rsmetacheck_ray.pipelines.queries import q_dedup_graph_triangles
+
+    out = q_dedup_graph_triangles("/root/testdata/sf0.001")
+    assert set(out.column_names) == {"doc_id", "triangles"}
+    assert all(t > 0 for t in out.column("triangles").to_pylist())
