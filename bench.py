@@ -247,6 +247,7 @@ BENCH_QUERIES = [
     "doc_stats",
     "doc_encoding_flags",
     "doc_readability",
+    "source_lang_kl",
     "doc_compression",
     "pii_scrub",
     "normalize_text",

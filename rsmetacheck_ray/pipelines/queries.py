@@ -948,6 +948,96 @@ FROM c
 """
 
 
+# --- per-source language-mix divergence ---------------------------------
+# KL(P_source ‖ P_corpus) over the language distribution: the
+# curation metric that flags a crawl source whose language mix
+# diverges from the corpus (a "french-forum" source inside an
+# English-heavy corpus scores high — re-weight or re-route it before
+# mixing). Scale shape: per-batch (source, lang, n) count partials —
+# 24 B rows, the only shuffle — merged by the bounded driver reduce
+# (|sources| × |langs| is a metadata-sized domain at any corpus
+# size). The float finish is one ln per (source, lang) term —
+# math.log is the same libm DuckDB's ln binds, bit-identical — and
+# the per-source sum is a SEQUENTIAL left fold in lang-ascending
+# order, mirrored by the oracle's list_sum(list(term ORDER BY lang)).
+
+
+def q_source_lang_kl(sf_dir: str):
+    """(source, n_docs, kl_lang): per-source KL divergence of the
+    language distribution vs the whole corpus."""
+    import math
+
+    ds = _documents(sf_dir, ["source", "lang"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"source": b.column("source"), "lang": b.column("lang")})
+            .group_by(["source", "lang"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["source", "lang", "n"])
+
+    tbl = rel.bounded_group_table_strict(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["source", "lang"],
+        [("n", "sum")],
+    )
+    if tbl is None or not tbl.num_rows:
+        return pa.table(
+            {
+                "source": pa.array([], pa.string()),
+                "n_docs": pa.array([], pa.int64()),
+                "kl_lang": pa.array([], pa.float64()),
+            }
+        )
+    src = tbl.column("source").to_pylist()
+    lang = tbl.column("lang").to_pylist()
+    n = tbl.column("n").to_pylist()
+    tot = sum(n)
+    tot_s: dict[str, int] = {}
+    tot_l: dict[str, int] = {}
+    for s, l, c in zip(src, lang, n):
+        tot_s[s] = tot_s.get(s, 0) + c
+        tot_l[l] = tot_l.get(l, 0) + c
+    # sequential left fold in lang-ascending order per source — the
+    # bounded table is |sources|×|langs| rows, never the data
+    kl: dict[str, float] = {s: 0.0 for s in tot_s}
+    for s, l, c in sorted(zip(src, lang, n), key=lambda r: (r[0], r[1])):
+        p = float(c) / float(tot_s[s])
+        q = float(tot_l[l]) / float(tot)
+        kl[s] += p * math.log(p / q)
+    out = sorted(tot_s)
+    return pa.table(
+        {
+            "source": pa.array(out, pa.string()),
+            "n_docs": pa.array([tot_s[s] for s in out], pa.int64()),
+            "kl_lang": pa.array([kl[s] for s in out], pa.float64()),
+        }
+    )
+
+
+SQL_SOURCE_LANG_KL = """
+WITH c AS (
+  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents GROUP BY source, lang
+),
+ts AS (SELECT source, CAST(SUM(n) AS BIGINT) AS tot_s FROM c GROUP BY source),
+tl AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS tot_l FROM c GROUP BY lang),
+tt AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM c),
+terms AS (
+  SELECT c.source, c.lang,
+    (CAST(c.n AS DOUBLE) / CAST(ts.tot_s AS DOUBLE))
+      * ln((CAST(c.n AS DOUBLE) / CAST(ts.tot_s AS DOUBLE))
+           / (CAST(tl.tot_l AS DOUBLE) / CAST(tt.tot AS DOUBLE))) AS term
+  FROM c JOIN ts USING (source) JOIN tl USING (lang) CROSS JOIN tt
+)
+SELECT t.source, ts.tot_s AS n_docs,
+  list_sum(list(t.term ORDER BY t.lang)) AS kl_lang
+FROM terms t JOIN ts ON ts.source = t.source
+GROUP BY t.source, ts.tot_s
+"""
+
+
 # --- gate → dedup composition -----------------------------------------
 # The end-to-end shape a training-data pipeline actually runs: quality
 # gate, then exact dedup of the KEPT scrubbed text, survivors out.
@@ -6080,6 +6170,7 @@ def registry() -> dict[str, tuple]:
         "doc_quality_scores": (q_doc_quality_scores, SQL_DOC_QUALITY),
         "doc_encoding_flags": (q_doc_encoding_flags, SQL_DOC_ENCODING),
         "doc_readability": (q_doc_readability, SQL_DOC_READABILITY),
+        "source_lang_kl": (q_source_lang_kl, SQL_SOURCE_LANG_KL),
         "pii_scrub": (q_pii_scrub, _sql_pii_scrub()),
         "normalize_text": (q_normalize_text, SQL_NORMALIZE_TEXT),
         "repetition_scores": (q_repetition_scores, SQL_REPETITION),

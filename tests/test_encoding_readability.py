@@ -78,3 +78,36 @@ def test_readability_hand_computed(ray_session, tmp_path):
     assert rows[2]["n_sentences"] == 0
     assert rows[2]["ari"] == (4.71 * (16 / 3.0) + 0.5 * (3 / 1.0)) - 21.43
     assert rows[3]["n_sentences"] == 4
+
+
+def _write_docs_sl(tmp_path, rows):
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(rows)), pa.int64()),
+            "text": pa.array(["x"] * len(rows), pa.string()),
+            "lang": pa.array([l for _, l in rows], pa.string()),
+            "source": pa.array([s for s, _ in rows], pa.string()),
+            "n_chars": pa.array([1] * len(rows), pa.int64()),
+        }
+    )
+    pq.write_table(t, os.path.join(str(tmp_path), "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_source_lang_kl_hand_computed(ray_session, tmp_path):
+    import math
+
+    from rsmetacheck_ray.pipelines.queries import q_source_lang_kl
+
+    # 'bal' matches the corpus mix exactly -> KL == 0.0 exactly;
+    # 'en_only' is pure en vs a 50/50 corpus -> KL == ln(2) exactly
+    rows = (
+        [("bal", "en")] * 2 + [("bal", "fr")] * 2
+        + [("en_only", "en")] * 4 + [("fr_only", "fr")] * 4
+    )
+    sf = _write_docs_sl(tmp_path, rows)
+    out = {r["source"]: r for r in q_source_lang_kl(sf).to_pylist()}
+    assert out["bal"]["kl_lang"] == 0.0
+    assert out["en_only"]["kl_lang"] == math.log(12.0 / 6.0)  # p=1, q=6/12
+    assert out["fr_only"]["kl_lang"] == math.log(12.0 / 6.0)
+    assert out["bal"]["n_docs"] == 4 and out["en_only"]["n_docs"] == 4
