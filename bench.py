@@ -248,6 +248,7 @@ BENCH_QUERIES = [
     "doc_encoding_flags",
     "doc_readability",
     "source_lang_kl",
+    "curate_readability",
     "doc_compression",
     "pii_scrub",
     "normalize_text",

@@ -899,24 +899,31 @@ _ARI_CHAR_RE = r"[A-Za-z0-9]"
 _SENT_RE = r"[.!?]+"
 
 
+def _ari_arrays(text: pa.Array):
+    """(chars, words, sentences, ari) numpy arrays for a text column —
+    the association is mirrored verbatim by SQL_DOC_READABILITY and
+    the curate_readability oracle."""
+    import numpy as np
+
+    ch = pc.cast(pc.count_substring_regex(text, _ARI_CHAR_RE), pa.int64()).to_numpy(zero_copy_only=False)
+    w = pc.cast(pc.count_substring_regex(text, _TOKEN_RE), pa.int64()).to_numpy(zero_copy_only=False)
+    s = pc.cast(pc.count_substring_regex(text, _SENT_RE), pa.int64()).to_numpy(zero_copy_only=False)
+    wd = np.maximum(w, 1).astype(np.float64)
+    ws = np.maximum(s, 1).astype(np.float64)
+    ari = (4.71 * (ch / wd) + 0.5 * (w / ws)) - 21.43
+    return ch, w, s, ari
+
+
 def q_doc_readability(sf_dir: str):
     """(doc_id, n_ari_chars, n_words, n_sentences, ari): Automated
     Readability Index per document from exact integer counts."""
     ds = _documents(sf_dir, ["doc_id", "text"])
 
     def stage(b: pa.Table) -> pa.Table:
-        import numpy as np
-
         text = b.column("text")
         if isinstance(text, pa.ChunkedArray):
             text = text.combine_chunks()
-        ch = pc.cast(pc.count_substring_regex(text, _ARI_CHAR_RE), pa.int64()).to_numpy(zero_copy_only=False)
-        w = pc.cast(pc.count_substring_regex(text, _TOKEN_RE), pa.int64()).to_numpy(zero_copy_only=False)
-        s = pc.cast(pc.count_substring_regex(text, _SENT_RE), pa.int64()).to_numpy(zero_copy_only=False)
-        wd = np.maximum(w, 1).astype(np.float64)
-        ws = np.maximum(s, 1).astype(np.float64)
-        # association mirrored verbatim by SQL_DOC_READABILITY
-        ari = (4.71 * (ch / wd) + 0.5 * (w / ws)) - 21.43
+        ch, w, s, ari = _ari_arrays(text)
         return pa.table(
             {
                 "doc_id": b.column("doc_id"),
@@ -945,6 +952,122 @@ SELECT doc_id, n_ari_chars, n_words, n_sentences,
      * (CAST(n_words AS DOUBLE) / CAST(greatest(n_sentences, 1) AS DOUBLE)))
   - CAST(21.43 AS DOUBLE) AS ari
 FROM c
+"""
+
+
+# --- readability-band curation ------------------------------------------
+# The per-language quality-band filter a curation pass actually runs:
+# keep documents whose ARI sits inside [P5, P95] OF THEIR OWN
+# LANGUAGE (a readability cut computed on the corpus mix would let a
+# verbose language's tails crowd out a terse one's core). The
+# thresholds come from the PARTITION-INVARIANT sampled quantiles
+# (bottom-k splitmix64(doc_id) sample per lang — deterministic
+# function of the row set, so a resumed/retried run reproduces the
+# same cut bit-for-bit); they're a |langs|×2 dict broadcast once via
+# ray.put and applied in a vectorized band filter. Scale shape: two
+# streaming passes over documents (score, filter), one bounded
+# sample merge between them — nothing else shuffles.
+
+_CURATE_ARI_PCTS = (5, 95)
+
+
+def q_curate_readability(sf_dir: str):
+    """(doc_id, lang, ari): documents whose ARI is within their own
+    language's [P5, P95] sampled band."""
+    import ray
+
+    from ..functions.sketch import sampled_quantiles_by_key
+
+    ds = _documents(sf_dir, ["doc_id", "text", "lang"])
+
+    def with_ari(b: pa.Table) -> pa.Table:
+        text = b.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        _ch, _w, _s, ari = _ari_arrays(text)
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "lang": b.column("lang"),
+                "ari": pa.array(ari, pa.float64()),
+            }
+        )
+
+    scored = ds.map_batches(with_ari, batch_format="pyarrow")
+    qt = sampled_quantiles_by_key(
+        scored, "lang", "doc_id", "ari", pcts=_CURATE_ARI_PCTS
+    )
+    thr: dict[str, dict[int, float]] = {}
+    for lang, pct, est in zip(
+        qt.column("lang").to_pylist(),
+        qt.column("pct").to_pylist(),
+        qt.column("est").to_pylist(),
+    ):
+        thr.setdefault(lang, {})[pct] = est
+    lo_p, hi_p = _CURATE_ARI_PCTS
+    ref = ray.put({k: (v[lo_p], v[hi_p]) for k, v in thr.items()})
+
+    def band(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        t = ray.get(ref)
+        enc = b.column("lang").combine_chunks().dictionary_encode()
+        bounds = [t[l] for l in enc.dictionary.to_pylist()]
+        lo = np.array([x[0] for x in bounds], np.float64)
+        hi = np.array([x[1] for x in bounds], np.float64)
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        ari = b.column("ari").to_numpy(zero_copy_only=False)
+        keep = (ari >= lo[idx]) & (ari <= hi[idx])
+        return b.filter(pa.array(keep))
+
+    return scored.map_batches(band, batch_format="pyarrow")
+
+
+def _sql_curate_readability() -> str:
+    from ..functions.sketch import SQ_K
+
+    sm, cte, col = _sql_splitmix_ctes("crm", "ids", "did")
+    lo_p, hi_p = _CURATE_ARI_PCTS
+    return f"""
+WITH c AS (
+  SELECT doc_id, lang,
+    len(regexp_extract_all(text, '{_ARI_CHAR_RE}')) AS n_ari_chars,
+    len(regexp_extract_all(text, '{_TOKEN_RE}')) AS n_words,
+    len(regexp_extract_all(text, '{_SENT_RE}')) AS n_sentences
+  FROM documents
+),
+r AS (
+  SELECT doc_id, lang,
+    (CAST(4.71 AS DOUBLE)
+       * (CAST(n_ari_chars AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE))
+     + CAST(0.5 AS DOUBLE)
+       * (CAST(n_words AS DOUBLE) / CAST(greatest(n_sentences, 1) AS DOUBLE)))
+    - CAST(21.43 AS DOUBLE) AS ari
+  FROM c
+),
+ids AS (SELECT lang, CAST(doc_id AS UBIGINT) AS did, ari FROM r),
+{sm.strip()},
+samp AS (
+  SELECT lang, ari FROM {cte}
+  QUALIFY row_number() OVER (PARTITION BY lang ORDER BY {col}) <= {SQ_K}
+),
+ss AS (
+  SELECT lang, ari,
+    row_number() OVER (PARTITION BY lang ORDER BY ari) AS rn,
+    COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM samp
+),
+lo AS (
+  SELECT lang, ari AS lo FROM ss
+  WHERE rn - 1 = LEAST(n - 1, (n * {lo_p}) // 100)
+),
+hi AS (
+  SELECT lang, ari AS hi FROM ss
+  WHERE rn - 1 = LEAST(n - 1, (n * {hi_p}) // 100)
+)
+SELECT r.doc_id, r.lang, r.ari
+FROM r JOIN lo USING (lang) JOIN hi USING (lang)
+WHERE r.ari >= lo.lo AND r.ari <= hi.hi
 """
 
 
@@ -6171,6 +6294,9 @@ def registry() -> dict[str, tuple]:
         "doc_encoding_flags": (q_doc_encoding_flags, SQL_DOC_ENCODING),
         "doc_readability": (q_doc_readability, SQL_DOC_READABILITY),
         "source_lang_kl": (q_source_lang_kl, SQL_SOURCE_LANG_KL),
+        "curate_readability": (
+            q_curate_readability, _sql_curate_readability(),
+        ),
         "pii_scrub": (q_pii_scrub, _sql_pii_scrub()),
         "normalize_text": (q_normalize_text, SQL_NORMALIZE_TEXT),
         "repetition_scores": (q_repetition_scores, SQL_REPETITION),

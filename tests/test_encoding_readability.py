@@ -111,3 +111,28 @@ def test_source_lang_kl_hand_computed(ray_session, tmp_path):
     assert out["en_only"]["kl_lang"] == math.log(12.0 / 6.0)  # p=1, q=6/12
     assert out["fr_only"]["kl_lang"] == math.log(12.0 / 6.0)
     assert out["bal"]["n_docs"] == 4 and out["en_only"]["n_docs"] == 4
+
+
+def test_curate_readability_band(ray_session, tmp_path):
+    from rsmetacheck_ray.pipelines.queries import (
+        _CURATE_ARI_PCTS,
+        q_curate_readability,
+        q_doc_readability,
+    )
+
+    # 100 docs in one lang with strictly increasing ARI (more chars
+    # per word => higher ARI); complete sample (n <= k) => exact
+    # nearest-rank band: keep ranks [5, 95] inclusive
+    texts = ["w" * (i + 1) + " x." for i in range(100)]
+    sf = _write_docs(tmp_path, texts)
+    kept = q_curate_readability(sf).to_pandas()
+    ari = {
+        r["doc_id"]: r["ari"]
+        for r in _rows(q_doc_readability(sf)).values()
+    }
+    order = sorted(ari, key=lambda d: ari[d])
+    lo_rank = min(99, (100 * _CURATE_ARI_PCTS[0]) // 100)
+    hi_rank = min(99, (100 * _CURATE_ARI_PCTS[1]) // 100)
+    expected = {d for d in order[lo_rank: hi_rank + 1]}
+    assert set(kept["doc_id"]) == expected
+    assert len(kept) == 91
