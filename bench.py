@@ -279,6 +279,7 @@ BENCH_QUERIES = [
     "mixture_sample",
     "scrub_boilerplate",
     "knn_cosine",
+    "hard_negatives",
     "knn_quantized",
     "gate_decisions",
     "gate_drop_vector",

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
@@ -99,6 +100,55 @@ def knn_bruteforce(
         else:
             cos = qunit @ _unit(mat).T
         return _topk_table(qids, ids, cos, k)
+
+    local_ds = ds.map_batches(local, batch_format="pyarrow")
+    return local_ds.groupby("query_id").map_groups(
+        lambda g: _merge_topk(g, k), batch_format="pyarrow"
+    )
+
+
+def knn_hard_negatives(
+    ds: rd.Dataset,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    query_labels: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> rd.Dataset:
+    """Contrastive hard-negative mining: per query, the global cosine
+    top-k among vectors whose LABEL DIFFERS from the query's (the
+    same-label set is the positive class — the nearest other-label
+    vectors are the negatives a contrastive loss learns most from).
+    Same plan as knn_bruteforce (per-block local top-k prune, tiny
+    per-query merge); the label mask is applied to the score matrix
+    before the prune, so same-label vectors never enter the shuffle."""
+    qref = ray.put(
+        (
+            np.asarray(query_ids, dtype=np.int64),
+            _unit(np.asarray(queries, dtype=np.float64)),
+            np.asarray(query_labels, dtype=np.int64),
+        )
+    )
+
+    def local(batch: pa.Table) -> pa.Table:
+        ids, mat = _batch_matrix(batch, id_col)
+        qids, qunit, qlabs = ray.get(qref)
+        if len(ids) == 0:
+            cos = np.zeros((len(qids), 0))
+            t = _topk_table(qids, ids, cos, k)
+        else:
+            labs = (
+                batch.column(label_col)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            cos = qunit @ _unit(mat).T
+            cos[qlabs[:, None] == labs[None, :]] = -np.inf
+            t = _topk_table(qids, ids, cos, k)
+            # drop masked entries that survived an under-full top-k
+            t = t.filter(pc.greater(t.column("cos"), float("-inf")))
+        return t
 
     local_ds = ds.map_batches(local, batch_format="pyarrow")
     return local_ds.groupby("query_id").map_groups(

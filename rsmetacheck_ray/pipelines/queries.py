@@ -4963,6 +4963,43 @@ QUALIFY row_number() OVER (
 """
 
 
+def q_hard_negatives(sf_dir: str):
+    """Contrastive hard-negative mining: per query vector, the global
+    cosine top-10 among OTHER-LABEL vectors (same-label = positives).
+    functions/similarity.knn_hard_negatives — the knn_bruteforce
+    block-prune plan with the label mask applied before the prune, so
+    same-label vectors never enter the shuffle. Rank-only output:
+    cosine ranking is scale-invariant, so the oracle ranks raw
+    list_cosine_similarity directly."""
+    import pyarrow.parquet as pq
+
+    qids, qvecs = _query_vectors(sf_dir)
+    lt = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "label"],
+        filters=[("vec_id", "<", 5)],
+    )
+    lmap = dict(
+        zip(lt.column("vec_id").to_pylist(), lt.column("label").to_pylist())
+    )
+    qlabs = np.array([lmap[int(i)] for i in qids], np.int64)
+    ds = rel._read_pq(os.path.join(sf_dir, "embeddings.parquet"))
+    return sim.knn_hard_negatives(ds, qvecs, qids, qlabs, k=10)
+
+
+SQL_HARD_NEGATIVES = """
+SELECT q.vec_id AS query_id, e.vec_id AS vec_id
+FROM embeddings q CROSS JOIN embeddings e
+WHERE q.vec_id < 5 AND e.label <> q.label
+QUALIFY row_number() OVER (
+  PARTITION BY q.vec_id
+  ORDER BY list_cosine_similarity(
+    CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) DESC,
+    e.vec_id
+) <= 10
+"""
+
+
 def q_knn_ivf(sf_dir: str):
     """IVF cosine top-k. The codebook fit is engine-side (bounded
     systematic sample), but the SEARCH is deterministic given the
@@ -6438,6 +6475,7 @@ def registry() -> dict[str, tuple]:
         ),
         # similarity search
         "knn_cosine": (q_knn_cosine, SQL_KNN),
+        "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),
         "knn_ivf": (q_knn_ivf, SQL_KNN_IVF),
         "knn_quantized": (q_knn_quantized, SQL_KNN_QUANTIZED),
         "kmeans_clusters": (q_kmeans_clusters, SQL_KMEANS_CLUSTERS),

@@ -102,3 +102,45 @@ def test_knn_handles_empty_blocks(ray_session):
     ds = rd.from_arrow(t).repartition(40)  # more blocks than rows
     out = sim.knn_bruteforce(ds, q, np.arange(2), k=5).to_pandas()
     assert len(out) == 10
+
+
+def _labeled_corpus(n=200, d=16, seed=3, n_labels=4):
+    t, mat = _corpus(n, d, seed)
+    labels = np.arange(n, dtype=np.int64) % n_labels
+    return t.append_column("label", pa.array(labels, pa.int32())), mat, labels
+
+
+def test_hard_negatives_excludes_same_label(ray_session):
+    import ray.data as rd
+
+    t, mat, labels = _labeled_corpus()
+    qn = 3
+    out = sim.knn_hard_negatives(
+        rd.from_arrow(t).repartition(5), mat[:qn], np.arange(qn), labels[:qn], k=7
+    ).to_pandas()
+    assert len(out) == qn * 7
+    for qid, grp in out.groupby("query_id"):
+        assert (labels[grp["vec_id"].to_numpy()] != labels[qid]).all()
+    # parity with a masked brute-force reference
+    unit = mat / np.linalg.norm(mat, axis=1)[:, None]
+    cos = unit[:qn] @ unit.T
+    for qid in range(qn):
+        row = cos[qid].copy()
+        row[labels == labels[qid]] = -np.inf
+        ref = sorted(np.arange(len(row)), key=lambda i: (-row[i], i))[:7]
+        got = out[out["query_id"] == qid]["vec_id"].tolist()
+        assert got == ref
+
+
+def test_hard_negatives_underfull_label(ray_session):
+    # only 2 other-label vectors exist: output has 2 rows, never a
+    # masked (-inf) filler
+    import ray.data as rd
+
+    t, mat = _corpus(n=10)
+    labels = np.array([0] * 8 + [1] * 2, np.int64)
+    t = t.append_column("label", pa.array(labels, pa.int32()))
+    out = sim.knn_hard_negatives(
+        rd.from_arrow(t).repartition(3), mat[:1], np.array([0]), labels[:1], k=5
+    ).to_pandas()
+    assert sorted(out["vec_id"].tolist()) == [8, 9]
