@@ -359,6 +359,7 @@ BENCH_QUERIES = [
     "knn_ivf",
     "bpe_token_counts",
     "multimodal_mixed_knn",
+    "multimodal_phash_pairs",
 ]
 
 

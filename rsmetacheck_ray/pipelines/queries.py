@@ -5895,6 +5895,111 @@ FROM documents
 
 _MM_KEY_C = 0x9E3779B97F4A7C15  # synth_pixels' doc key multiplier
 
+# --- perceptual-hash image dedup ----------------------------------------
+# aHash over genuinely decoded pixels, exact-integer throughout
+# (stages/multimodal.ahash_halves), then the SAME star-pair exact
+# dedup machinery text dedup uses — only (doc_id, 16-hex-hash) rows
+# ever shuffle, the pixel buffers stay in the decode stage. The dup
+# corpus synthesizes payloads keyed on doc_id % 97, so ~5 docs share
+# each image at sf0.01 and the pair set is non-vacuous; the oracle
+# re-derives every hash from the splitmix64 pixel stream (no export)
+# with each 32-bit half accumulated inside BIGINT.
+
+_PHASH_MOD = 97
+
+
+def _phash_corpus(sf_dir: str) -> rd.Dataset:
+    ds = _documents(sf_dir, ["doc_id"])
+
+    def attach(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        payloads = [
+            mm.encode_ppm(
+                mm.synth_pixels(
+                    int(d) % _PHASH_MOD, (int(d) % _PHASH_MOD) * 7
+                )
+            )
+            for d in ids
+        ]
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    return ds.map_batches(attach, batch_format="pyarrow")
+
+
+def q_multimodal_phash_pairs(sf_dir: str):
+    """(doc_id_a, doc_id_b): star pairs of images with identical
+    aHash — perceptual image dedup over genuinely decoded pixels."""
+    hashed = _phash_corpus(sf_dir).map_batches(
+        mm.AHashStage, batch_format="pyarrow",
+        concurrency=(1, 4), batch_size=256,
+    )
+    return dd.exact_dedup_pairs(hashed, text_col="k")
+
+
+def _sql_mm_phash_pairs() -> str:
+    key = _sql_u64_mulmod("CAST(doc_id % 97 AS UBIGINT)", _MM_KEY_C)
+    sm, cte, col = _sql_splitmix_ctes("mph", "phmix", "mx")
+    return f"""
+WITH dims AS (
+  SELECT doc_id,
+    ((doc_id % 97) * 7) % 64 + 8 AS w,
+    ((doc_id % 97) * 7) % 48 + 8 AS h,
+    {key} AS key
+  FROM documents
+),
+phidx AS (
+  SELECT doc_id, w, h, key, unnest(range(0, w * h * 3)) AS i FROM dims
+),
+phmix AS (
+  SELECT doc_id, w, h, i, xor(CAST(i AS UBIGINT), key) AS mx FROM phidx
+),
+{sm.strip()},
+px AS (
+  SELECT doc_id, w, h,
+    i // (w * 3) AS r, (i % (w * 3)) // 3 AS c,
+    {col} % 256 AS v
+  FROM {cte}
+),
+cells AS (
+  SELECT doc_id, w, h,
+    (r * 8) // h * 8 + (c * 8) // w AS cell,
+    CAST(SUM(v) AS BIGINT) AS sv,
+    CAST(COUNT(*) // 3 AS BIGINT) AS np_cell
+  FROM px GROUP BY doc_id, w, h, (r * 8) // h * 8 + (c * 8) // w
+),
+tot AS (
+  SELECT doc_id, CAST(SUM(v) AS BIGINT) AS tv,
+    CAST(COUNT(*) // 3 AS BIGINT) AS np_all
+  FROM px GROUP BY doc_id
+),
+bits AS (
+  SELECT c.doc_id, c.cell,
+    CASE WHEN c.sv * t.np_all > t.tv * c.np_cell THEN 1 ELSE 0 END AS bit
+  FROM cells c JOIN tot t USING (doc_id)
+),
+hashes AS (
+  SELECT doc_id,
+    CAST(SUM(CASE WHEN cell >= 32
+             THEN bit * (CAST(1 AS BIGINT) << (cell - 32)) ELSE 0 END)
+         AS BIGINT) AS hash_hi,
+    CAST(SUM(CASE WHEN cell < 32
+             THEN bit * (CAST(1 AS BIGINT) << cell) ELSE 0 END)
+         AS BIGINT) AS hash_lo
+  FROM bits GROUP BY doc_id
+),
+star AS (
+  SELECT min(doc_id) OVER (PARTITION BY hash_hi, hash_lo) AS a,
+         doc_id AS b
+  FROM hashes
+)
+SELECT a AS doc_id_a, b AS doc_id_b FROM star WHERE a < b
+"""
+
 
 def _sql_mm_image_stats(with_format: bool) -> str:
     """Shared oracle for ppm_decode / mixed_decode: per-doc dims +
@@ -6490,6 +6595,9 @@ def registry() -> dict[str, tuple]:
         # the codec byte framing itself stays pinned by roundtrip
         # pytests (tests/test_multimodal.py)
         "multimodal_ppm_decode": (q_multimodal_ppm_decode, _sql_mm_image_stats(False)),
+        "multimodal_phash_pairs": (
+            q_multimodal_phash_pairs, _sql_mm_phash_pairs(),
+        ),
         "multimodal_mixed_decode": (q_multimodal_mixed_decode, _sql_mm_image_stats(True)),
         "multimodal_mixed_resize": (q_multimodal_mixed_resize, _sql_mm_mixed_resize()),
         "multimodal_wav_features": (q_multimodal_wav_features, _sql_mm_wav_features()),

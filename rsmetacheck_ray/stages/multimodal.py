@@ -777,3 +777,59 @@ class WavResample:
         t = t.append_column("orig_rate", pa.array(rates, pa.int64()))
         t = t.append_column("n_samples", pa.array(ns, pa.int64()))
         return t.append_column("payload", pa.array(outs, pa.binary()))
+
+
+# ---------------------------------------------------------------------------
+# Average-hash (aHash) perceptual fingerprint — exact-integer variant:
+# grayscale = per-pixel channel SUM (0..765, no division), an 8×8
+# cell grid by floor index (y*8//h), and each bit set iff the cell's
+# gray-sum exceeds the image mean by integer CROSS-MULTIPLICATION
+# (cell_sum * n_pixels > total_sum * cell_pixels) — no float ever, so
+# DuckDB re-derives the hash bit-for-bit from the synth pixel stream.
+# The classic aHash property (invariance under nearest-neighbor
+# resize of the same image) is pinned in pytest.
+# ---------------------------------------------------------------------------
+
+
+def ahash_halves(pix: np.ndarray) -> tuple[int, int]:
+    """(hash_hi, hash_lo): the 64 aHash bits as two int32-range int64
+    halves (cells 32..63 and 0..31) — split so the SQL oracle can
+    accumulate each half inside BIGINT (DuckDB << rejects shifts that
+    would cross 2^63)."""
+    s = pix.astype(np.int64).sum(axis=2)
+    h, w = s.shape
+    cy = np.arange(h, dtype=np.int64) * 8 // h
+    cx = np.arange(w, dtype=np.int64) * 8 // w
+    cell = (cy[:, None] * 8 + cx[None, :]).ravel()
+    cs = np.zeros(64, np.int64)
+    np.add.at(cs, cell, s.ravel())
+    cnp = np.bincount(cell, minlength=64).astype(np.int64)
+    npix = np.int64(h * w)
+    total = s.sum()
+    bits = cs * npix > total * cnp
+    weights = np.int64(1) << np.arange(32, dtype=np.int64)
+    lo = int((bits[:32] * weights).sum())
+    hi = int((bits[32:] * weights).sum())
+    return hi, lo
+
+
+class AHashStage:
+    """Actor-pool stage: decode the P6 payload and emit the exact
+    aHash halves plus their 16-hex-digit concatenation ``k`` (the
+    string key the exact-dedup machinery groups on)."""
+
+    def __init__(self):
+        pass
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        his, los, ks = [], [], []
+        for data in payloads:
+            hi, lo = ahash_halves(decode_ppm(data))
+            his.append(hi)
+            los.append(lo)
+            ks.append(f"{hi:08x}{lo:08x}")
+        out = batch.drop_columns(["payload"])
+        out = out.append_column("hash_hi", pa.array(his, pa.int64()))
+        out = out.append_column("hash_lo", pa.array(los, pa.int64()))
+        return out.append_column("k", pa.array(ks, pa.string()))

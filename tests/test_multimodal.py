@@ -490,3 +490,42 @@ def test_fused_feature_pipeline_matches_chained():
         fused.column("embedding").to_pylist()
         == fused_m.column("embedding").to_pylist()
     )
+
+
+# --- perceptual hash ----------------------------------------------------
+
+def test_ahash_resize_invariance():
+    """The classic aHash property: a nearest-neighbor downsample of
+    the same image keeps the same 64-bit fingerprint (cell means move
+    together with the global mean)."""
+    from rsmetacheck_ray.stages import multimodal as mm
+
+    # smooth gradient image: robust under resampling (pure noise is
+    # not — aHash's guarantee is for natural-image structure)
+    y, x = np.mgrid[0:64, 0:64]
+    pix = np.stack([(y * 4) % 256, (x * 4) % 256, ((x + y) * 2) % 256],
+                   axis=2).astype(np.uint8)
+    full = mm.ahash_halves(pix)
+    half = mm.ahash_halves(mm._nn_resize(pix, 32))
+    assert full == half
+
+
+def test_ahash_distinguishes_images():
+    from rsmetacheck_ray.stages import multimodal as mm
+
+    a = mm.ahash_halves(mm.synth_pixels(1, 40))
+    b = mm.ahash_halves(mm.synth_pixels(2, 40))
+    assert a != b
+    # deterministic
+    assert a == mm.ahash_halves(mm.synth_pixels(1, 40))
+
+
+def test_phash_pairs_query(ray_session):
+    from rsmetacheck_ray.pipelines.queries import _PHASH_MOD, q_multimodal_phash_pairs
+
+    out = q_multimodal_phash_pairs("/root/testdata/sf0.001").to_pandas()
+    # star pairs: canonical strictly below member, groups = doc_id%97
+    assert (out["doc_id_a"] < out["doc_id_b"]).all()
+    assert ((out["doc_id_a"] % _PHASH_MOD) == (out["doc_id_b"] % _PHASH_MOD)).all()
+    # 500 docs / 97 residues: every non-minimal member pairs up
+    assert len(out) == 500 - _PHASH_MOD
