@@ -360,6 +360,7 @@ BENCH_QUERIES = [
     "bpe_token_counts",
     "multimodal_mixed_knn",
     "multimodal_phash_pairs",
+    "multimodal_audio_fp_pairs",
 ]
 
 

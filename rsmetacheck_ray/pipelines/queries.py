@@ -6001,6 +6001,89 @@ SELECT a AS doc_id_a, b AS doc_id_b FROM star WHERE a < b
 """
 
 
+def q_multimodal_audio_fp_pairs(sf_dir: str):
+    """(doc_id_a, doc_id_b): star pairs of clips with identical
+    energy fingerprints — audio dedup over genuinely decoded PCM16
+    (stages/multimodal.audio_fingerprint_halves); same scale shape as
+    multimodal_phash_pairs."""
+    ds = _documents(sf_dir, ["doc_id"])
+
+    def attach(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        payloads = [
+            mm.encode_wav(
+                mm.synth_samples(
+                    int(d) % _PHASH_MOD, (int(d) % _PHASH_MOD) * 7
+                )
+            )
+            for d in ids
+        ]
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    hashed = ds.map_batches(attach, batch_format="pyarrow").map_batches(
+        mm.AudioFingerprintStage, batch_format="pyarrow",
+        concurrency=(1, 4), batch_size=256,
+    )
+    return dd.exact_dedup_pairs(hashed, text_col="k")
+
+
+def _sql_mm_audio_fp_pairs() -> str:
+    seed_mul = _sql_u64_mulmod("CAST(doc_id % 97 AS UBIGINT)", 2654435761)
+    sm, cte, col = _sql_splitmix_ctes("maf", "afmix", "mx")
+    return f"""
+WITH docs AS (
+  SELECT doc_id,
+    256 + ((doc_id % 97) * 7) % 512 AS n,
+    CAST((CAST({seed_mul} AS HUGEINT) + 7)
+         % 18446744073709551616 AS UBIGINT) AS seed
+  FROM documents
+),
+afidx AS (SELECT doc_id, n, seed, unnest(range(0, n)) AS i FROM docs),
+afmix AS (
+  SELECT doc_id, n, i, xor(CAST(i AS UBIGINT), seed) AS mx FROM afidx
+),
+{sm.strip()},
+samp AS (
+  SELECT doc_id, n, i, CAST({col} % 20001 AS BIGINT) - 10000 AS s
+  FROM {cte}
+),
+wins AS (
+  SELECT doc_id, n, (i * 64) // n AS win,
+    CAST(SUM(s * s) AS BIGINT) AS e, CAST(COUNT(*) AS BIGINT) AS wn
+  FROM samp GROUP BY doc_id, n, (i * 64) // n
+),
+tot AS (
+  SELECT doc_id, CAST(SUM(s * s) AS BIGINT) AS te FROM samp GROUP BY doc_id
+),
+bits AS (
+  SELECT w.doc_id, w.win,
+    CASE WHEN w.e * w.n > t.te * w.wn THEN 1 ELSE 0 END AS bit
+  FROM wins w JOIN tot t USING (doc_id)
+),
+hashes AS (
+  SELECT doc_id,
+    CAST(SUM(CASE WHEN win >= 32
+             THEN bit * (CAST(1 AS BIGINT) << (win - 32)) ELSE 0 END)
+         AS BIGINT) AS hash_hi,
+    CAST(SUM(CASE WHEN win < 32
+             THEN bit * (CAST(1 AS BIGINT) << win) ELSE 0 END)
+         AS BIGINT) AS hash_lo
+  FROM bits GROUP BY doc_id
+),
+star AS (
+  SELECT min(doc_id) OVER (PARTITION BY hash_hi, hash_lo) AS a,
+         doc_id AS b
+  FROM hashes
+)
+SELECT a AS doc_id_a, b AS doc_id_b FROM star WHERE a < b
+"""
+
+
 def _sql_mm_image_stats(with_format: bool) -> str:
     """Shared oracle for ppm_decode / mixed_decode: per-doc dims +
     per-channel pixel means re-derived from the splitmix64 stream."""
@@ -6597,6 +6680,9 @@ def registry() -> dict[str, tuple]:
         "multimodal_ppm_decode": (q_multimodal_ppm_decode, _sql_mm_image_stats(False)),
         "multimodal_phash_pairs": (
             q_multimodal_phash_pairs, _sql_mm_phash_pairs(),
+        ),
+        "multimodal_audio_fp_pairs": (
+            q_multimodal_audio_fp_pairs, _sql_mm_audio_fp_pairs(),
         ),
         "multimodal_mixed_decode": (q_multimodal_mixed_decode, _sql_mm_image_stats(True)),
         "multimodal_mixed_resize": (q_multimodal_mixed_resize, _sql_mm_mixed_resize()),

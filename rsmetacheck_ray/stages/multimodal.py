@@ -833,3 +833,53 @@ class AHashStage:
         out = out.append_column("hash_hi", pa.array(his, pa.int64()))
         out = out.append_column("hash_lo", pa.array(los, pa.int64()))
         return out.append_column("k", pa.array(ks, pa.string()))
+
+
+# ---------------------------------------------------------------------------
+# Audio energy fingerprint — the aHash idea on PCM16: 64 floor-index
+# windows, each bit set iff the window's ENERGY (Σs², exact int64)
+# exceeds the clip mean by integer cross-multiplication. Same halves
+# split as ahash_halves for the same BIGINT-shift oracle reason.
+# ---------------------------------------------------------------------------
+
+
+def audio_fingerprint_halves(samples: np.ndarray) -> tuple[int, int]:
+    """(hash_hi, hash_lo) of the 64 window-energy bits of a PCM16
+    clip. Bounds: |s| <= 32767 ⇒ s² < 2³⁰; the cross-products stay
+    far inside int64 for any clip under ~2²⁰ samples per window."""
+    s = samples.astype(np.int64)
+    n = len(s)
+    if n == 0:
+        return 0, 0
+    win = np.arange(n, dtype=np.int64) * 64 // n
+    e = np.zeros(64, np.int64)
+    np.add.at(e, win, s * s)
+    wn = np.bincount(win, minlength=64).astype(np.int64)
+    total = (s * s).sum()
+    bits = e * np.int64(n) > total * wn
+    weights = np.int64(1) << np.arange(32, dtype=np.int64)
+    lo = int((bits[:32] * weights).sum())
+    hi = int((bits[32:] * weights).sum())
+    return hi, lo
+
+
+class AudioFingerprintStage:
+    """Actor-pool stage: decode the WAV payload and emit the exact
+    energy-fingerprint halves plus the 16-hex key ``k``."""
+
+    def __init__(self):
+        pass
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        his, los, ks = [], [], []
+        for data in payloads:
+            samples, _rate = decode_wav(data)
+            hi, lo = audio_fingerprint_halves(samples)
+            his.append(hi)
+            los.append(lo)
+            ks.append(f"{hi:08x}{lo:08x}")
+        out = batch.drop_columns(["payload"])
+        out = out.append_column("hash_hi", pa.array(his, pa.int64()))
+        out = out.append_column("hash_lo", pa.array(los, pa.int64()))
+        return out.append_column("k", pa.array(ks, pa.string()))

@@ -529,3 +529,24 @@ def test_phash_pairs_query(ray_session):
     assert ((out["doc_id_a"] % _PHASH_MOD) == (out["doc_id_b"] % _PHASH_MOD)).all()
     # 500 docs / 97 residues: every non-minimal member pairs up
     assert len(out) == 500 - _PHASH_MOD
+
+
+def test_audio_fingerprint_properties(ray_session):
+    from rsmetacheck_ray.pipelines.queries import q_multimodal_audio_fp_pairs
+    from rsmetacheck_ray.stages import multimodal as mm
+
+    a = mm.audio_fingerprint_halves(mm.synth_samples(1, 40))
+    assert a == mm.audio_fingerprint_halves(mm.synth_samples(1, 40))
+    assert a != mm.audio_fingerprint_halves(mm.synth_samples(2, 40))
+    assert mm.audio_fingerprint_halves(np.zeros(0, np.int16)) == (0, 0)
+    # amplitude invariance: doubling every sample scales all energies
+    # by 4 — the cross-multiplied bits don't move
+    s = mm.synth_samples(3, 99)
+    assert mm.audio_fingerprint_halves(s) == mm.audio_fingerprint_halves(
+        (s.astype(np.int32) * 2).clip(-32768, 32767).astype(np.int16)
+    )
+
+    out = q_multimodal_audio_fp_pairs("/root/testdata/sf0.001").to_pandas()
+    assert (out["doc_id_a"] < out["doc_id_b"]).all()
+    assert ((out["doc_id_a"] % 97) == (out["doc_id_b"] % 97)).all()
+    assert len(out) == 500 - 97
