@@ -361,6 +361,7 @@ BENCH_QUERIES = [
     "multimodal_mixed_knn",
     "multimodal_phash_pairs",
     "multimodal_audio_fp_pairs",
+    "multimodal_video_fp_pairs",
 ]
 
 

@@ -6084,6 +6084,112 @@ SELECT a AS doc_id_a, b AS doc_id_b FROM star WHERE a < b
 """
 
 
+def q_multimodal_video_fp_pairs(sf_dir: str):
+    """(doc_id_a, doc_id_b): star pairs of clips with identical
+    sampled-frame fingerprints — video dedup through the real RVID
+    container (decode → stride-2 frame sample → per-frame exact aHash
+    → XOR). Same star-pair shuffle as the image/audio variants."""
+    ds = _documents(sf_dir, ["doc_id"])
+
+    def attach(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        payloads = [
+            mm.encode_video(
+                mm.synth_video_frames(
+                    int(d) % _PHASH_MOD, (int(d) % _PHASH_MOD) * 7
+                )
+            )
+            for d in ids
+        ]
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    hashed = ds.map_batches(attach, batch_format="pyarrow").map_batches(
+        mm.VideoFingerprintStage, batch_format="pyarrow",
+        concurrency=(1, 4), batch_size=128,
+    )
+    return dd.exact_dedup_pairs(hashed, text_col="k")
+
+
+def _sql_mm_video_fp_pairs() -> str:
+    frame_key = _sql_u64_mulmod(
+        "CAST((doc_id % 97) * 131 + f AS UBIGINT)", _MM_KEY_C
+    )
+    sm, cte, col = _sql_splitmix_ctes("mvf", "vfmix", "mx")
+    return f"""
+WITH docs AS (
+  SELECT doc_id,
+    ((doc_id % 97) * 7) % 64 + 8 AS w,
+    ((doc_id % 97) * 7) % 48 + 8 AS h,
+    4 + (doc_id % 97) % 4 AS nf
+  FROM documents
+),
+framed AS (
+  SELECT doc_id, w, h, unnest(range(0, nf)) AS f FROM docs
+),
+sampled AS (
+  SELECT doc_id, w, h, f, {frame_key} AS key
+  FROM framed WHERE f % 2 = 0
+),
+vfidx AS (
+  SELECT doc_id, w, h, f, key, unnest(range(0, w * h * 3)) AS i
+  FROM sampled
+),
+vfmix AS (
+  SELECT doc_id, w, h, f, i, xor(CAST(i AS UBIGINT), key) AS mx
+  FROM vfidx
+),
+{sm.strip()},
+px AS (
+  SELECT doc_id, w, h, f,
+    i // (w * 3) AS r, (i % (w * 3)) // 3 AS c,
+    {col} % 256 AS v
+  FROM {cte}
+),
+cells AS (
+  SELECT doc_id, f, w, h,
+    (r * 8) // h * 8 + (c * 8) // w AS cell,
+    CAST(SUM(v) AS BIGINT) AS sv,
+    CAST(COUNT(*) // 3 AS BIGINT) AS np_cell
+  FROM px GROUP BY doc_id, f, w, h, (r * 8) // h * 8 + (c * 8) // w
+),
+tot AS (
+  SELECT doc_id, f, CAST(SUM(v) AS BIGINT) AS tv,
+    CAST(COUNT(*) // 3 AS BIGINT) AS np_all
+  FROM px GROUP BY doc_id, f
+),
+bits AS (
+  SELECT c.doc_id, c.f, c.cell,
+    CASE WHEN c.sv * t.np_all > t.tv * c.np_cell THEN 1 ELSE 0 END AS bit
+  FROM cells c JOIN tot t ON t.doc_id = c.doc_id AND t.f = c.f
+),
+frame_hashes AS (
+  SELECT doc_id, f,
+    CAST(SUM(CASE WHEN cell >= 32
+             THEN bit * (CAST(1 AS BIGINT) << (cell - 32)) ELSE 0 END)
+         AS BIGINT) AS fhi,
+    CAST(SUM(CASE WHEN cell < 32
+             THEN bit * (CAST(1 AS BIGINT) << cell) ELSE 0 END)
+         AS BIGINT) AS flo
+  FROM bits GROUP BY doc_id, f
+),
+hashes AS (
+  SELECT doc_id, bit_xor(fhi) AS hash_hi, bit_xor(flo) AS hash_lo
+  FROM frame_hashes GROUP BY doc_id
+),
+star AS (
+  SELECT min(doc_id) OVER (PARTITION BY hash_hi, hash_lo) AS a,
+         doc_id AS b
+  FROM hashes
+)
+SELECT a AS doc_id_a, b AS doc_id_b FROM star WHERE a < b
+"""
+
+
 def _sql_mm_image_stats(with_format: bool) -> str:
     """Shared oracle for ppm_decode / mixed_decode: per-doc dims +
     per-channel pixel means re-derived from the splitmix64 stream."""
@@ -6683,6 +6789,9 @@ def registry() -> dict[str, tuple]:
         ),
         "multimodal_audio_fp_pairs": (
             q_multimodal_audio_fp_pairs, _sql_mm_audio_fp_pairs(),
+        ),
+        "multimodal_video_fp_pairs": (
+            q_multimodal_video_fp_pairs, _sql_mm_video_fp_pairs(),
         ),
         "multimodal_mixed_decode": (q_multimodal_mixed_decode, _sql_mm_image_stats(True)),
         "multimodal_mixed_resize": (q_multimodal_mixed_resize, _sql_mm_mixed_resize()),

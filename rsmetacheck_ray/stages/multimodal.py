@@ -883,3 +883,83 @@ class AudioFingerprintStage:
         out = out.append_column("hash_hi", pa.array(his, pa.int64()))
         out = out.append_column("hash_lo", pa.array(los, pa.int64()))
         return out.append_column("k", pa.array(ks, pa.string()))
+
+
+# ---------------------------------------------------------------------------
+# Video container + sampled-frame clip fingerprint. The container is a
+# real (from-scratch) framing: b"RVID" + u32 frame count + length-
+# prefixed binary-P6 frames; encode/decode are exact inverses (pinned
+# by roundtrip pytest). The clip fingerprint samples every 2nd frame
+# (the frame-sample op of the multimodal brief) and XORs the sampled
+# frames' exact-integer aHashes — XOR is associative/commutative/
+# integer, so the oracle reproduces it with bit_xor over re-derived
+# frame hashes.
+# ---------------------------------------------------------------------------
+
+VIDEO_MAGIC = b"RVID"
+VIDEO_FRAME_STRIDE = 2
+
+
+def encode_video(frames: list) -> bytes:
+    parts = [VIDEO_MAGIC, len(frames).to_bytes(4, "big")]
+    for f in frames:
+        ppm = encode_ppm(f)
+        parts.append(len(ppm).to_bytes(4, "big"))
+        parts.append(ppm)
+    return b"".join(parts)
+
+
+def decode_video(data: bytes) -> list:
+    if data[:4] != VIDEO_MAGIC:
+        raise ValueError("not an RVID container")
+    n = int.from_bytes(data[4:8], "big")
+    pos = 8
+    frames = []
+    for _ in range(n):
+        ln = int.from_bytes(data[pos: pos + 4], "big")
+        pos += 4
+        frames.append(decode_ppm(data[pos: pos + ln]))
+        pos += ln
+    return frames
+
+
+def synth_video_frames(doc_id: int, text_len: int) -> list:
+    """Deterministic clip: 4 + doc_id%4 frames, frame f's pixel stream
+    keyed on doc_id*131 + f (all frames share the text_len dims)."""
+    n_frames = 4 + doc_id % 4
+    return [
+        synth_pixels(doc_id * 131 + f, text_len) for f in range(n_frames)
+    ]
+
+
+def video_fingerprint_halves(data: bytes) -> tuple[int, int]:
+    """(hash_hi, hash_lo): XOR of the aHash halves of every sampled
+    (stride-2) frame of the clip."""
+    hi = lo = 0
+    frames = decode_video(data)
+    for f in range(0, len(frames), VIDEO_FRAME_STRIDE):
+        fhi, flo = ahash_halves(frames[f])
+        hi ^= fhi
+        lo ^= flo
+    return hi, lo
+
+
+class VideoFingerprintStage:
+    """Actor-pool stage: decode the RVID payload, sample frames, and
+    emit the exact clip-fingerprint halves plus the 16-hex key ``k``."""
+
+    def __init__(self):
+        pass
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        his, los, ks = [], [], []
+        for data in payloads:
+            hi, lo = video_fingerprint_halves(data)
+            his.append(hi)
+            los.append(lo)
+            ks.append(f"{hi:08x}{lo:08x}")
+        out = batch.drop_columns(["payload"])
+        out = out.append_column("hash_hi", pa.array(his, pa.int64()))
+        out = out.append_column("hash_lo", pa.array(los, pa.int64()))
+        return out.append_column("k", pa.array(ks, pa.string()))

@@ -550,3 +550,37 @@ def test_audio_fingerprint_properties(ray_session):
     assert (out["doc_id_a"] < out["doc_id_b"]).all()
     assert ((out["doc_id_a"] % 97) == (out["doc_id_b"] % 97)).all()
     assert len(out) == 500 - 97
+
+
+def test_video_container_roundtrip():
+    from rsmetacheck_ray.stages import multimodal as mm
+
+    frames = mm.synth_video_frames(5, 40)
+    back = mm.decode_video(mm.encode_video(frames))
+    assert len(back) == len(frames)
+    for a, b in zip(frames, back):
+        assert np.array_equal(a, b)
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        mm.decode_video(b"XXXX" + b"\x00" * 8)
+
+
+def test_video_fingerprint_sampling(ray_session):
+    from rsmetacheck_ray.pipelines.queries import q_multimodal_video_fp_pairs
+    from rsmetacheck_ray.stages import multimodal as mm
+
+    frames = mm.synth_video_frames(7, 33)  # 7%4=3 -> 7 frames
+    fp = mm.video_fingerprint_halves(mm.encode_video(frames))
+    # stride-2: only frames 0,2,4,6 contribute — mutating frame 1
+    # (unsampled) keeps the fingerprint, mutating frame 2 changes it
+    mut = list(frames)
+    mut[1] = mm.synth_pixels(999, 33)
+    assert mm.video_fingerprint_halves(mm.encode_video(mut)) == fp
+    mut2 = list(frames)
+    mut2[2] = mm.synth_pixels(999, 33)
+    assert mm.video_fingerprint_halves(mm.encode_video(mut2)) != fp
+
+    out = q_multimodal_video_fp_pairs("/root/testdata/sf0.001").to_pandas()
+    assert (out["doc_id_a"] < out["doc_id_b"]).all()
+    assert ((out["doc_id_a"] % 97) == (out["doc_id_b"] % 97)).all()
+    assert len(out) == 500 - 97
