@@ -304,6 +304,7 @@ BENCH_QUERIES = [
     # sixth-session operators
     "local_supplier_volume",
     "user_funnel",
+    "user_type_entropy",
     "user_retention",
     "bm25_search",
     "events_value_fill",

@@ -1469,3 +1469,119 @@ SELECT c_custkey AS id FROM customer
 EXCEPT
 SELECT user_id AS id FROM events
 """
+
+
+# ---------------------------------------------------------------------------
+# Per-user behavioral entropy — Shannon entropy of each user's
+# event-type distribution (a bot whose events are all one type scores
+# 0; a uniform browser scores ln(5)). Genuinely distributed per-key
+# aggregate: per-batch (user, type, n) count partials (24 B rows) are
+# the only shuffle, co-located by hashed user partition, and every
+# partition folds its users independently — the output is |users|
+# rows and never lands on the driver. Float discipline: ln over the
+# DISTINCT p values via math.log (the libm DuckDB's ln binds — the
+# tfidf pattern), and the per-user sum is accumulated in (user,
+# type-ascending) array order via np.add.at (unbuffered ⇒ sequential
+# in element order), exactly the oracle's
+# list_sum(list(term ORDER BY event_type)).
+# ---------------------------------------------------------------------------
+
+def user_type_entropy(
+    sf_dir: str, num_partitions: int | None = None
+) -> rd.Dataset:
+    """(user_id, n_events, type_entropy) for every user."""
+    import math
+
+    from ..functions.hashing import splitmix64_np
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type"],
+    )
+    hint = parquet_rows_hint(ds)
+    n_parts = num_partitions or adaptive_partitions(hint, row_bytes=24)
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "event_type": b.column("event_type"),
+            }
+        )
+        g = t.group_by(["user_id", "event_type"]).aggregate(
+            [([], "count_all")]
+        )
+        g = g.rename_columns(["user_id", "event_type", "n"])
+        upart = (
+            splitmix64_np(
+                g.column("user_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+            )
+            % n_parts
+        ).astype(np.int64)
+        return g.append_column("upart", pa.array(upart, pa.int64()))
+
+    def fold(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "type_entropy": pa.array([], pa.float64()),
+                }
+            )
+        # merge cross-batch partials, then fold per user
+        m = (
+            g.select(["user_id", "event_type", "n"])
+            .group_by(["user_id", "event_type"])
+            .aggregate([("n", "sum")])
+            .rename_columns(["user_id", "event_type", "n"])
+        )
+        uid = m.column("user_id").to_numpy(zero_copy_only=False)
+        types = m.column("event_type").to_numpy(zero_copy_only=False).astype(str)
+        n = m.column("n").to_numpy(zero_copy_only=False)
+        order = np.lexsort((types, uid))
+        uid, n = uid[order], n[order]
+        uniq, starts = np.unique(uid, return_index=True)
+        sizes = np.diff(np.append(starts, len(uid)))
+        idx = np.repeat(np.arange(len(uniq), dtype=np.int64), sizes)
+        nu = np.zeros(len(uniq), np.int64)
+        np.add.at(nu, idx, n)
+        p = n.astype(np.float64) / nu[idx].astype(np.float64)
+        # ln over DISTINCT values through libm, mapped back
+        up = np.unique(p)
+        lnu = np.array([math.log(v) for v in up], np.float64)
+        term = p * lnu[np.searchsorted(up, p)]
+        acc = np.zeros(len(uniq), np.float64)
+        np.add.at(acc, idx, term)  # sequential in type-ascending order
+        return pa.table(
+            {
+                "user_id": pa.array(uniq, pa.int64()),
+                "n_events": pa.array(nu, pa.int64()),
+                "type_entropy": pa.array(-acc, pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("upart")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+
+
+USER_TYPE_ENTROPY_SQL = """
+WITH c AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY user_id, event_type
+),
+u AS (SELECT user_id, CAST(SUM(n) AS BIGINT) AS nu FROM c GROUP BY user_id),
+t AS (
+  SELECT c.user_id, c.event_type,
+    (CAST(c.n AS DOUBLE) / CAST(u.nu AS DOUBLE))
+      * ln(CAST(c.n AS DOUBLE) / CAST(u.nu AS DOUBLE)) AS term
+  FROM c JOIN u USING (user_id)
+)
+SELECT t.user_id, u.nu AS n_events,
+  -list_sum(list(t.term ORDER BY t.event_type)) AS type_entropy
+FROM t JOIN u USING (user_id)
+GROUP BY t.user_id, u.nu
+"""

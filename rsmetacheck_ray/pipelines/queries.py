@@ -6583,6 +6583,9 @@ def registry() -> dict[str, tuple]:
         "user_type_islands": (
             ana.user_type_islands, ana.USER_TYPE_ISLANDS_SQL,
         ),
+        "user_type_entropy": (
+            ana.user_type_entropy, ana.USER_TYPE_ENTROPY_SQL,
+        ),
         "events_value_share": (
             ana.events_value_share, ana.EVENTS_VALUE_SHARE_SQL,
         ),

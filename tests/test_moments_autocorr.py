@@ -115,3 +115,42 @@ def test_autocorr_flat_single_type(ray_session, tmp_path):
     rows = _rows(events_hourly_autocorr(sf))
     for r in rows:
         assert r["autocorr"] is None  # zero variance on both windows
+
+
+def test_user_type_entropy_planted(ray_session, tmp_path):
+    import math
+
+    from rsmetacheck_ray.pipelines.analytics import user_type_entropy
+
+    # user 1: single type -> H == 0; user 2: uniform over 4 types ->
+    # H == the exact sequential fold of four 0.25*ln(0.25) terms
+    ts, types, users = [], [], []
+    for i in range(6):
+        ts.append(_at(i, 1)); types.append("a"); users.append(1)
+    for i, t in enumerate(["a", "b", "c", "d"] * 3):
+        ts.append(_at(i, 2)); types.append(t); users.append(2)
+    n = len(ts)
+    t = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array(users, pa.int64()),
+            "event_type": pa.array(types, pa.string()),
+            "value": pa.array([1.0] * n, pa.float64()),
+            "props": pa.array(["{}"] * n, pa.string()),
+        }
+    )
+    import pyarrow.parquet as pq_
+
+    pq_.write_table(t, os.path.join(str(tmp_path), "events.parquet"))
+    outs = []
+    for parts in (1, 4):
+        res = user_type_entropy(str(tmp_path), num_partitions=parts).to_pandas()
+        outs.append(sorted(zip(res["user_id"], res["n_events"], res["type_entropy"])))
+    assert outs[0] == outs[1]  # partition invariance
+    got = {u: (ne, h) for u, ne, h in outs[0]}
+    assert got[1] == (6, 0.0)
+    term = 0.25 * math.log(0.25)
+    expected = -(term + term + term + term)
+    assert got[2] == (12, expected)
+    assert abs(expected - math.log(4.0)) < 1e-12
