@@ -249,6 +249,7 @@ BENCH_QUERIES = [
     "doc_readability",
     "source_lang_kl",
     "curate_readability",
+    "source_gini",
     "doc_compression",
     "pii_scrub",
     "normalize_text",

@@ -1161,6 +1161,83 @@ GROUP BY t.source, ts.tot_s
 """
 
 
+# --- source concentration (Gini) -----------------------------------------
+# How concentrated is corpus volume across crawl sources? Gini over
+# per-source character totals — G = (2·Σi·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ)
+# on the ascending-sorted totals: exact int64 numerator/denominator,
+# ONE float division, so the oracle hashes bit-for-bit. The sort is
+# driver-side over the bounded |sources| domain; only (source, Σchars)
+# partials ever shuffle. Int64 bound: Σi·x < |sources| × total-chars —
+# ~1e17 at 100 TB, inside int64 with 90× margin.
+
+
+def q_source_gini(sf_dir: str):
+    """One row: (n_sources, total_chars, gini) of per-source
+    character-volume concentration."""
+    ds = _documents(sf_dir, ["source", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {"source": b.column("source"), "x": b.column("n_chars")}
+            )
+            .group_by(["source"])
+            .aggregate([("x", "sum")])
+        )
+        return g.rename_columns(["source", "x"])
+
+    tbl = rel.bounded_group_table_strict(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["source"],
+        [("x", "sum")],
+    )
+    if tbl is None or not tbl.num_rows:
+        return pa.table(
+            {
+                "n_sources": pa.array([], pa.int64()),
+                "total_chars": pa.array([], pa.int64()),
+                "gini": pa.array([], pa.float64()),
+            }
+        )
+    rows = sorted(
+        zip(
+            tbl.column("x").to_pylist(),
+            tbl.column("source").to_pylist(),
+        )
+    )
+    n = len(rows)
+    s0 = sum(x for x, _ in rows)
+    s1 = sum(i * x for i, (x, _) in enumerate(rows, start=1))
+    gini = float(2 * s1 - (n + 1) * s0) / float(n * s0)
+    return pa.table(
+        {
+            "n_sources": pa.array([n], pa.int64()),
+            "total_chars": pa.array([s0], pa.int64()),
+            "gini": pa.array([gini], pa.float64()),
+        }
+    )
+
+
+SQL_SOURCE_GINI = """
+WITH s AS (
+  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS x
+  FROM documents GROUP BY source
+),
+r AS (
+  SELECT x, CAST(row_number() OVER (ORDER BY x, source) AS BIGINT) AS i
+  FROM s
+),
+a AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s0,
+         CAST(SUM(i * x) AS BIGINT) AS s1
+  FROM r
+)
+SELECT n AS n_sources, s0 AS total_chars,
+  CAST(2 * s1 - (n + 1) * s0 AS DOUBLE) / CAST(n * s0 AS DOUBLE) AS gini
+FROM a
+"""
+
+
 # --- gate → dedup composition -----------------------------------------
 # The end-to-end shape a training-data pipeline actually runs: quality
 # gate, then exact dedup of the KEPT scrubbed text, survivors out.
@@ -6628,6 +6705,7 @@ def registry() -> dict[str, tuple]:
         "doc_encoding_flags": (q_doc_encoding_flags, SQL_DOC_ENCODING),
         "doc_readability": (q_doc_readability, SQL_DOC_READABILITY),
         "source_lang_kl": (q_source_lang_kl, SQL_SOURCE_LANG_KL),
+        "source_gini": (q_source_gini, SQL_SOURCE_GINI),
         "curate_readability": (
             q_curate_readability, _sql_curate_readability(),
         ),

@@ -136,3 +136,38 @@ def test_curate_readability_band(ray_session, tmp_path):
     expected = {d for d in order[lo_rank: hi_rank + 1]}
     assert set(kept["doc_id"]) == expected
     assert len(kept) == 91
+
+
+def test_source_gini_known_values(ray_session, tmp_path):
+    from rsmetacheck_ray.pipelines.queries import q_source_gini
+
+    # perfectly equal volumes -> G == 0 exactly
+    rows = [("a", "en")] * 2 + [("b", "en")] * 2
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(4), pa.int64()),
+            "text": pa.array(["xx"] * 4, pa.string()),
+            "lang": pa.array(["en"] * 4, pa.string()),
+            "source": pa.array([s for s, _ in rows], pa.string()),
+            "n_chars": pa.array([10] * 4, pa.int64()),
+        }
+    )
+    d1 = tmp_path / "eq"; d1.mkdir()
+    pq.write_table(t, os.path.join(str(d1), "documents.parquet"))
+    out = q_source_gini(str(d1)).to_pylist()[0]
+    assert out == {"n_sources": 2, "total_chars": 40, "gini": 0.0}
+
+    # volumes 1:3 over two sources -> G = (2*(1*1+2*3) - 3*4)/(2*4) = 0.25
+    t2 = pa.table(
+        {
+            "doc_id": pa.array(range(2), pa.int64()),
+            "text": pa.array(["x", "y"], pa.string()),
+            "lang": pa.array(["en"] * 2, pa.string()),
+            "source": pa.array(["a", "b"], pa.string()),
+            "n_chars": pa.array([1, 3], pa.int64()),
+        }
+    )
+    d2 = tmp_path / "skw"; d2.mkdir()
+    pq.write_table(t2, os.path.join(str(d2), "documents.parquet"))
+    out2 = q_source_gini(str(d2)).to_pylist()[0]
+    assert out2["gini"] == 0.25
