@@ -5985,8 +5985,25 @@ _MM_KEY_C = 0x9E3779B97F4A7C15  # synth_pixels' doc key multiplier
 _PHASH_MOD = 97
 
 
-def _phash_corpus(sf_dir: str) -> rd.Dataset:
+def _fp_input(sf_dir: str) -> rd.Dataset:
+    """doc_id column, re-split for the per-row-compute-heavy
+    fingerprint stages: a small test parquet arrives as a handful of
+    blocks (4 tasks on 32 CPUs — measured 2.9 s of the video query's
+    wall), so sub-1M-row inputs are repartitioned to ~128 rows/block.
+    At real scale the lake's own fragment count provides the
+    parallelism and the repartition is skipped."""
     ds = _documents(sf_dir, ["doc_id"])
+    from ..partitioning import parquet_rows_hint
+
+    hint = parquet_rows_hint(ds) or 0
+    if 0 < hint < 1_000_000:
+        parts = max(4, min(64, hint // 128))
+        return ds.repartition(parts)
+    return ds
+
+
+def _phash_corpus(sf_dir: str) -> rd.Dataset:
+    ds = _fp_input(sf_dir)
 
     def attach(b: pa.Table) -> pa.Table:
         ids = b.column("doc_id").to_pylist()
@@ -6013,7 +6030,7 @@ def q_multimodal_phash_pairs(sf_dir: str):
     aHash — perceptual image dedup over genuinely decoded pixels."""
     hashed = _phash_corpus(sf_dir).map_batches(
         mm.AHashStage, batch_format="pyarrow",
-        concurrency=(1, 4), batch_size=256,
+        concurrency=(1, 12), batch_size=256,
     )
     return dd.exact_dedup_pairs(hashed, text_col="k")
 
@@ -6083,7 +6100,7 @@ def q_multimodal_audio_fp_pairs(sf_dir: str):
     energy fingerprints — audio dedup over genuinely decoded PCM16
     (stages/multimodal.audio_fingerprint_halves); same scale shape as
     multimodal_phash_pairs."""
-    ds = _documents(sf_dir, ["doc_id"])
+    ds = _fp_input(sf_dir)
 
     def attach(b: pa.Table) -> pa.Table:
         ids = b.column("doc_id").to_pylist()
@@ -6104,7 +6121,7 @@ def q_multimodal_audio_fp_pairs(sf_dir: str):
 
     hashed = ds.map_batches(attach, batch_format="pyarrow").map_batches(
         mm.AudioFingerprintStage, batch_format="pyarrow",
-        concurrency=(1, 4), batch_size=256,
+        concurrency=(1, 12), batch_size=256,
     )
     return dd.exact_dedup_pairs(hashed, text_col="k")
 
@@ -6166,7 +6183,7 @@ def q_multimodal_video_fp_pairs(sf_dir: str):
     sampled-frame fingerprints — video dedup through the real RVID
     container (decode → stride-2 frame sample → per-frame exact aHash
     → XOR). Same star-pair shuffle as the image/audio variants."""
-    ds = _documents(sf_dir, ["doc_id"])
+    ds = _fp_input(sf_dir)
 
     def attach(b: pa.Table) -> pa.Table:
         ids = b.column("doc_id").to_pylist()
@@ -6187,7 +6204,7 @@ def q_multimodal_video_fp_pairs(sf_dir: str):
 
     hashed = ds.map_batches(attach, batch_format="pyarrow").map_batches(
         mm.VideoFingerprintStage, batch_format="pyarrow",
-        concurrency=(1, 4), batch_size=128,
+        concurrency=(1, 12), batch_size=128,
     )
     return dd.exact_dedup_pairs(hashed, text_col="k")
 
