@@ -250,6 +250,7 @@ BENCH_QUERIES = [
     "source_lang_kl",
     "curate_readability",
     "source_gini",
+    "weighted_sample",
     "doc_compression",
     "pii_scrub",
     "normalize_text",

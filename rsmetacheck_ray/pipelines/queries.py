@@ -1161,6 +1161,86 @@ GROUP BY t.source, ts.tot_s
 """
 
 
+# --- weighted random sampling (Efraimidis–Spirakis) -----------------------
+# k documents sampled WITHOUT replacement with probability ∝ length —
+# the "sample proportional to token mass" primitive corpus audits
+# need. ES keys: u = (splitmix64(doc_id)>>11 + 1) / 2⁵³ (exact dyadic
+# — both the shift and the division are exact in float64, so no
+# engine-vs-oracle rounding), key = ln(u)/w, global top-k by (key
+# DESC, doc_id ASC). Deterministic (hash-seeded), reproducible at any
+# partition count. Float discipline: the per-batch prune runs on
+# vectorized np.log with a relative slack window (np.log drifts ≤1
+# ulp from libm), then the surviving candidates are re-scored with
+# math.log — bit-identical to DuckDB ln — before the total-order
+# top-k. Only ≤(k+slack) rows per block enter the final sort.
+
+_WS_K = 100
+
+
+def q_weighted_sample(sf_dir: str):
+    """(doc_id, n_chars, es_key): the ES weighted sample of size k."""
+    import math
+
+    from ..functions.hashing import splitmix64_np
+
+    ds = _documents(sf_dir, ["doc_id", "n_chars"])
+
+    def candidates(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        w = np.maximum(
+            b.column("n_chars").to_numpy(zero_copy_only=False), 1
+        ).astype(np.float64)
+        hs = (splitmix64_np(ids.astype(np.uint64)) >> np.uint64(11)).astype(
+            np.int64
+        )
+        u = (hs + 1).astype(np.float64) / 9007199254740992.0
+        approx = np.log(u) / w
+        if len(ids) > _WS_K:
+            kth = np.partition(approx, len(approx) - _WS_K)[
+                len(approx) - _WS_K
+            ]
+            sel = np.flatnonzero(approx >= kth - 1e-9 * abs(kth))
+        else:
+            sel = np.arange(len(ids))
+        key = np.array(
+            [math.log(u[i]) / w[i] for i in sel], np.float64
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[sel], pa.int64()),
+                "n_chars": b.column("n_chars").take(
+                    pa.array(sel, pa.int64())
+                ),
+                "es_key": pa.array(key, pa.float64()),
+            }
+        )
+
+    return _sorted_topk(
+        ds.map_batches(candidates, batch_format="pyarrow"),
+        [("es_key", "descending"), ("doc_id", "ascending")],
+        _WS_K,
+    )
+
+
+def _sql_weighted_sample() -> str:
+    sm, cte, col = _sql_splitmix_ctes("wsm", "ids", "did")
+    return f"""
+WITH ids AS (
+  SELECT doc_id, n_chars, CAST(doc_id AS UBIGINT) AS did FROM documents
+),
+{sm.strip()},
+keys AS (
+  SELECT doc_id, n_chars,
+    ln(CAST(CAST({col} >> 11 AS BIGINT) + 1 AS DOUBLE)
+       / CAST(9007199254740992 AS DOUBLE))
+      / CAST(greatest(n_chars, 1) AS DOUBLE) AS es_key
+  FROM {cte}
+)
+SELECT doc_id, n_chars, es_key FROM keys
+QUALIFY row_number() OVER (ORDER BY es_key DESC, doc_id ASC) <= {_WS_K}
+"""
+
+
 # --- source concentration (Gini) -----------------------------------------
 # How concentrated is corpus volume across crawl sources? Gini over
 # per-source character totals — G = (2·Σi·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ)
@@ -6723,6 +6803,7 @@ def registry() -> dict[str, tuple]:
         "doc_readability": (q_doc_readability, SQL_DOC_READABILITY),
         "source_lang_kl": (q_source_lang_kl, SQL_SOURCE_LANG_KL),
         "source_gini": (q_source_gini, SQL_SOURCE_GINI),
+        "weighted_sample": (q_weighted_sample, _sql_weighted_sample()),
         "curate_readability": (
             q_curate_readability, _sql_curate_readability(),
         ),

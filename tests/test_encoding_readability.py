@@ -171,3 +171,39 @@ def test_source_gini_known_values(ray_session, tmp_path):
     pq.write_table(t2, os.path.join(str(d2), "documents.parquet"))
     out2 = q_source_gini(str(d2)).to_pylist()[0]
     assert out2["gini"] == 0.25
+
+
+def test_weighted_sample_properties(ray_session, tmp_path):
+    import math
+
+    import numpy as np
+
+    from rsmetacheck_ray.functions.hashing import splitmix64_np
+    from rsmetacheck_ray.pipelines.queries import _WS_K, q_weighted_sample
+
+    n = 400
+    lens = [(i * 37) % 900 + 1 for i in range(n)]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(["x"] * n, pa.string()),
+            "lang": pa.array(["en"] * n, pa.string()),
+            "source": pa.array(["s"] * n, pa.string()),
+            "n_chars": pa.array(lens, pa.int64()),
+        }
+    )
+    pq.write_table(t, os.path.join(str(tmp_path), "documents.parquet"))
+    out = q_weighted_sample(str(tmp_path)).to_pandas()
+    assert len(out) == _WS_K
+
+    # exact reference: libm keys over the full table
+    ids = np.arange(n, dtype=np.uint64)
+    hs = (splitmix64_np(ids) >> np.uint64(11)).astype(np.int64)
+    keys = [
+        (math.log((h + 1) / 9007199254740992.0) / max(w, 1), -i)
+        for i, (h, w) in enumerate(zip(hs.tolist(), lens))
+    ]
+    ref = sorted(range(n), key=lambda i: keys[i], reverse=True)[:_WS_K]
+    assert out["doc_id"].tolist() == ref
+    # heavier docs are overrepresented: sampled mean length > corpus mean
+    assert out["n_chars"].mean() > sum(lens) / n
