@@ -292,6 +292,7 @@ BENCH_QUERIES = [
     "events_value_corr",
     "events_hour_moments",
     "events_hourly_autocorr",
+    "decayed_type_counts",
     "customer_order_counts",
     "split_assign",
     "doc_sentences",

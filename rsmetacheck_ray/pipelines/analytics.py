@@ -1585,3 +1585,107 @@ SELECT t.user_id, u.nu AS n_events,
 FROM t JOIN u USING (user_id)
 GROUP BY t.user_id, u.nu
 """
+
+
+# ---------------------------------------------------------------------------
+# Time-decayed counts — the "what's hot NOW" aggregate: each event
+# contributes 0.5^(age_hours/24) (24 h half-life against the corpus's
+# newest hour), so yesterday's burst counts half. Only bounded
+# (type, hour, n) partials shuffle; the decay weights come from a
+# math.pow LUT over the DISTINCT ages (libm pow ≙ DuckDB power —
+# np.power's SIMD path does not match), and the per-type sum is
+# folded in hour-ascending order via unbuffered np.add.at ≙ the
+# oracle's list_sum(list(contrib ORDER BY h)).
+# ---------------------------------------------------------------------------
+
+DECAY_HALF_LIFE_HOURS = 24
+
+
+def decayed_type_counts(sf_dir: str) -> pa.Table:
+    """(event_type, n_events, decayed_count) with a 24 h half-life."""
+    import math
+
+    from .relational import bounded_group_table_strict
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["ts", "event_type"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        h = pc.divide(
+            pc.cast(
+                pc.floor_temporal(b.column("ts"), unit="hour"), pa.int64()
+            ),
+            3_600_000_000,
+        )
+        g = (
+            pa.table({"event_type": b.column("event_type"), "h": h})
+            .group_by(["event_type", "h"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["event_type", "h", "n"])
+
+    tbl = bounded_group_table_strict(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "h"],
+        [("n", "sum")],
+    )
+    if tbl is None or not tbl.num_rows:
+        return pa.table(
+            {
+                "event_type": pa.array([], pa.string()),
+                "n_events": pa.array([], pa.int64()),
+                "decayed_count": pa.array([], pa.float64()),
+            }
+        )
+    types = tbl.column("event_type").to_numpy(zero_copy_only=False).astype(str)
+    hs = tbl.column("h").to_numpy(zero_copy_only=False)
+    ns = tbl.column("n").to_numpy(zero_copy_only=False)
+    hmax = int(hs.max())
+    ages = hmax - hs
+    uages = np.unique(ages)
+    lut = np.array(
+        [math.pow(0.5, a / float(DECAY_HALF_LIFE_HOURS)) for a in uages.tolist()],
+        np.float64,
+    )
+    w = lut[np.searchsorted(uages, ages)]
+    contrib = ns.astype(np.float64) * w
+    order = np.lexsort((hs, types))
+    types_s, ns_s, contrib_s = types[order], ns[order], contrib[order]
+    uniq, starts = np.unique(types_s, return_index=True)
+    sizes = np.diff(np.append(starts, len(types_s)))
+    idx = np.repeat(np.arange(len(uniq), dtype=np.int64), sizes)
+    tot = np.zeros(len(uniq), np.int64)
+    np.add.at(tot, idx, ns_s)
+    acc = np.zeros(len(uniq), np.float64)
+    np.add.at(acc, idx, contrib_s)  # sequential, hour-ascending
+    return pa.table(
+        {
+            "event_type": pa.array(uniq.tolist(), pa.string()),
+            "n_events": pa.array(tot, pa.int64()),
+            "decayed_count": pa.array(acc, pa.float64()),
+        }
+    )
+
+
+DECAYED_TYPE_COUNTS_SQL = f"""
+WITH c AS (
+  SELECT event_type,
+         epoch_us(date_trunc('hour', ts)) // 3600000000 AS h,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, h
+),
+mx AS (SELECT max(h) AS hmax FROM c),
+t AS (
+  SELECT event_type, h, n,
+    CAST(n AS DOUBLE)
+      * power(CAST(0.5 AS DOUBLE),
+              CAST(hmax - h AS DOUBLE)
+                / CAST({DECAY_HALF_LIFE_HOURS} AS DOUBLE)) AS contrib
+  FROM c CROSS JOIN mx
+)
+SELECT event_type, CAST(SUM(n) AS BIGINT) AS n_events,
+  list_sum(list(contrib ORDER BY h)) AS decayed_count
+FROM t GROUP BY event_type
+"""

@@ -6760,6 +6760,9 @@ def registry() -> dict[str, tuple]:
         "user_type_entropy": (
             ana.user_type_entropy, ana.USER_TYPE_ENTROPY_SQL,
         ),
+        "decayed_type_counts": (
+            ana.decayed_type_counts, ana.DECAYED_TYPE_COUNTS_SQL,
+        ),
         "events_value_share": (
             ana.events_value_share, ana.EVENTS_VALUE_SHARE_SQL,
         ),

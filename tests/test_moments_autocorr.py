@@ -154,3 +154,26 @@ def test_user_type_entropy_planted(ray_session, tmp_path):
     expected = -(term + term + term + term)
     assert got[2] == (12, expected)
     assert abs(expected - math.log(4.0)) < 1e-12
+
+
+def test_decayed_type_counts_planted(ray_session, tmp_path):
+    import math
+
+    from rsmetacheck_ray.pipelines.analytics import (
+        DECAY_HALF_LIFE_HOURS,
+        decayed_type_counts,
+    )
+
+    # type 'now': 4 events in the max hour -> weight 1.0 each;
+    # 'old': 2 events exactly one half-life back -> weight 0.5 each
+    ts = [_at(100, m) for m in (1, 2, 3, 4)]
+    types = ["now"] * 4
+    ts += [_at(100 - DECAY_HALF_LIFE_HOURS, m) for m in (1, 2)]
+    types += ["old"] * 2
+    sf = _write_events(tmp_path, ts, types)
+    got = {
+        r["event_type"]: r for r in decayed_type_counts(sf).to_pylist()
+    }
+    assert got["now"]["decayed_count"] == 4.0
+    assert got["old"]["decayed_count"] == 2.0 * math.pow(0.5, 1.0)
+    assert got["now"]["n_events"] == 4 and got["old"]["n_events"] == 2
