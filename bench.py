@@ -293,6 +293,7 @@ BENCH_QUERIES = [
     "events_hour_moments",
     "events_hourly_autocorr",
     "decayed_type_counts",
+    "events_type_fano",
     "customer_order_counts",
     "split_assign",
     "doc_sentences",

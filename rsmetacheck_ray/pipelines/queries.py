@@ -6634,6 +6634,7 @@ def registry() -> dict[str, tuple]:
         "events_hourly_autocorr": (
             rel.events_hourly_autocorr, rel.EVENTS_AUTOCORR_SQL,
         ),
+        "events_type_fano": (rel.events_type_fano, rel.EVENTS_FANO_SQL),
         "events_latest_per_user": (
             rel.events_latest_per_user, rel.EVENTS_LATEST_SQL,
         ),

@@ -2245,3 +2245,95 @@ SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
        string_agg(event_type, ',' ORDER BY ts, event_id) AS sequence
 FROM events GROUP BY user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Burstiness (Fano factor / index of dispersion) of the hourly count
+# series per type: var/mean == 1 for a Poisson arrival process, > 1
+# for bursty crawl traffic, < 1 for rate-limited clients. Same dense
+# zero-filled global hour range and bounded (type, hour, n) partials
+# as events_hourly_autocorr; the final floats are single divisions of
+# exact int64 sums, expression-identical to the oracle.
+# ---------------------------------------------------------------------------
+
+def events_type_fano(sf_dir: str) -> pa.Table:
+    """(event_type, n_hours, mean_cph, fano) over the dense hourly
+    count series."""
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["ts", "event_type"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h = pc.divide(
+            pc.cast(
+                pc.floor_temporal(batch.column("ts"), unit="hour"), pa.int64()
+            ),
+            _HOUR_US,
+        )
+        t = pa.table({"event_type": batch.column("event_type"), "h": h})
+        g = t.group_by(["event_type", "h"]).aggregate([([], "count_all")])
+        return g.rename_columns(["event_type", "h", "n"])
+
+    tbl = bounded_group_table_strict(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "h"],
+        [("n", "sum")],
+    )
+    out_t, out_n, out_m, out_f = [], [], [], []
+    if tbl is not None and tbl.num_rows:
+        types = tbl.column("event_type").to_numpy(zero_copy_only=False)
+        hs = tbl.column("h").to_numpy(zero_copy_only=False)
+        ns = tbl.column("n").to_numpy(zero_copy_only=False)
+        hmin, hmax = int(hs.min()), int(hs.max())
+        span = hmax - hmin + 1
+        for t_name in sorted(np.unique(types.astype(str)).tolist()):
+            sel = types == t_name
+            # exact sums over the DENSE series: zeros add nothing
+            s1 = int(ns[sel].sum())
+            s2 = int((ns[sel].astype(np.int64) ** 2).sum())
+            nf = np.float64(span)
+            # expression-identical to EVENTS_FANO_SQL
+            mean = np.float64(s1) / nf
+            var = np.float64(s2) / nf - mean * mean
+            out_t.append(t_name)
+            out_n.append(span)
+            out_m.append(float(mean))
+            out_f.append(float(var / mean) if s1 > 0 else None)
+    return pa.table(
+        {
+            "event_type": pa.array(out_t, pa.string()),
+            "n_hours": pa.array(out_n, pa.int64()),
+            "mean_cph": pa.array(out_m, pa.float64()),
+            "fano": pa.array(out_f, pa.float64()),
+        }
+    )
+
+
+EVENTS_FANO_SQL = """
+WITH c AS (
+  SELECT event_type,
+         epoch_us(date_trunc('hour', ts)) // 3600000000 AS h
+  FROM events
+),
+cnt AS (
+  SELECT event_type, h, CAST(COUNT(*) AS BIGINT) AS n
+  FROM c GROUP BY event_type, h
+),
+b AS (
+  SELECT CAST(max(h) - min(h) + 1 AS BIGINT) AS span FROM c
+),
+s AS (
+  SELECT event_type,
+    CAST(SUM(n) AS BIGINT) AS s1,
+    CAST(SUM(n * n) AS BIGINT) AS s2
+  FROM cnt GROUP BY event_type
+)
+SELECT event_type, b.span AS n_hours,
+  CAST(s1 AS DOUBLE) / CAST(b.span AS DOUBLE) AS mean_cph,
+  (CAST(s2 AS DOUBLE) / CAST(b.span AS DOUBLE)
+     - (CAST(s1 AS DOUBLE) / CAST(b.span AS DOUBLE))
+       * (CAST(s1 AS DOUBLE) / CAST(b.span AS DOUBLE)))
+  / (CAST(s1 AS DOUBLE) / CAST(b.span AS DOUBLE)) AS fano
+FROM s CROSS JOIN b
+"""

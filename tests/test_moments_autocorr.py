@@ -177,3 +177,20 @@ def test_decayed_type_counts_planted(ray_session, tmp_path):
     assert got["now"]["decayed_count"] == 4.0
     assert got["old"]["decayed_count"] == 2.0 * math.pow(0.5, 1.0)
     assert got["now"]["n_events"] == 4 and got["old"]["n_events"] == 2
+
+
+def test_events_type_fano_planted(ray_session, tmp_path):
+    from rsmetacheck_ray.pipelines.relational import events_type_fano
+
+    # 'flat': 1 event/hour for 4 hours -> var 0 -> fano 0
+    # 'burst': 4 events in hour 0 of the same 4-hour span -> fano 3
+    ts = [_at(h, 1) for h in range(4)]
+    types = ["flat"] * 4
+    ts += [_at(0, m + 2) for m in range(4)]
+    types += ["burst"] * 4
+    sf = _write_events(tmp_path, ts, types)
+    got = {r["event_type"]: r for r in events_type_fano(sf).to_pylist()}
+    assert got["flat"]["n_hours"] == 4
+    assert got["flat"]["fano"] == 0.0
+    assert got["burst"]["mean_cph"] == 1.0
+    assert got["burst"]["fano"] == 3.0
