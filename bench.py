@@ -261,6 +261,7 @@ BENCH_QUERIES = [
     "dedup_spans",
     "importance_weights",
     "dedup_exact",
+    "dedup_cross_source",
     "dedup_incremental",
     "dedup_minhash_pairs",
     "dedup_partial_overlap",

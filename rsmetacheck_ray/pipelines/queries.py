@@ -1161,6 +1161,130 @@ GROUP BY t.source, ts.tot_s
 """
 
 
+# --- cross-source duplicate leakage ---------------------------------------
+# Which duplicate clusters SPAN crawl sources? A dup group confined
+# to one source is a re-crawl; one spanning sources is syndicated /
+# mirrored content — the groups a dedup policy should prioritize
+# (and the lineage a licensing audit asks for). Corpus: documents ∪
+# exact copies at +1e6 tagged source='mirror' (so cross-source groups
+# exist non-vacuously). Scale shape: only (hash128, doc_id, source)
+# rows shuffle on the hashed content-hash partition; per-partition
+# segment math computes size / min-id / distinct-source count with no
+# per-group Python. The oracle groups by the text itself — the same
+# 128-bit-hash ≡ byte-equality equivalence every dedup oracle pins.
+
+
+def q_dedup_cross_source(sf_dir: str):
+    """(canonical_id, group_size, n_sources) for duplicate groups
+    spanning more than one source."""
+    from ..functions.hashing import hash_str_arrow_u128, splitmix64_np
+    from ..partitioning import adaptive_partitions, parquet_rows_hint
+
+    ds = _documents(sf_dir, ["doc_id", "text", "source"])
+    hint = parquet_rows_hint(ds)
+    n_parts = adaptive_partitions((hint or 0) or None, row_bytes=48)
+
+    def expand_hash(b: pa.Table) -> pa.Table:
+        d = b.column("doc_id").to_numpy(zero_copy_only=False)
+        ex = b.filter(pa.array(d % 10 == 0))
+        t = pa.table(
+            {
+                "doc_id": pa.concat_arrays(
+                    [
+                        b.column("doc_id").combine_chunks(),
+                        pc.add(ex.column("doc_id"), 1_000_000).combine_chunks(),
+                    ]
+                ),
+                "text": pa.concat_arrays(
+                    [
+                        b.column("text").combine_chunks(),
+                        ex.column("text").combine_chunks(),
+                    ]
+                ),
+                "source": pa.concat_arrays(
+                    [
+                        b.column("source").combine_chunks(),
+                        pa.array(["mirror"] * ex.num_rows, pa.string()),
+                    ]
+                ),
+            }
+        )
+        lo, hi = hash_str_arrow_u128(t.column("text").combine_chunks())
+        part = (splitmix64_np(lo) % n_parts).astype(np.int64)
+        return pa.table(
+            {
+                "part": pa.array(part),
+                "h_lo": pa.array(lo.view(np.int64)),
+                "h_hi": pa.array(hi.view(np.int64)),
+                "doc_id": t.column("doc_id"),
+                "source": t.column("source"),
+            }
+        )
+
+    def agg(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "canonical_id": pa.array([], pa.int64()),
+                "group_size": pa.array([], pa.int64()),
+                "n_sources": pa.array([], pa.int64()),
+            }
+        )
+        if g.num_rows == 0:
+            return empty
+        lo = g.column("h_lo").to_numpy(zero_copy_only=False)
+        hi = g.column("h_hi").to_numpy(zero_copy_only=False)
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        src = g.column("source").to_numpy(zero_copy_only=False).astype(str)
+        order = np.lexsort((ids, src, hi, lo))
+        lo, hi, ids, src = lo[order], hi[order], ids[order], src[order]
+        new_grp = np.concatenate(
+            [[True], (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1])]
+        )
+        gidx = np.cumsum(new_grp) - 1
+        n_grp = int(gidx[-1]) + 1
+        size = np.bincount(gidx, minlength=n_grp)
+        canon = np.minimum.reduceat(ids, np.flatnonzero(new_grp))
+        src_change = np.concatenate([[True], src[1:] != src[:-1]]) | new_grp
+        nsrc = np.bincount(gidx[src_change], minlength=n_grp)
+        keep = nsrc > 1
+        if not keep.any():
+            return empty
+        return pa.table(
+            {
+                "canonical_id": pa.array(canon[keep], pa.int64()),
+                "group_size": pa.array(
+                    size[keep].astype(np.int64), pa.int64()
+                ),
+                "n_sources": pa.array(
+                    nsrc[keep].astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(expand_hash, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(agg, batch_format="pyarrow")
+    )
+
+
+SQL_DEDUP_CROSS_SOURCE = """
+WITH corpus AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text, 'mirror' AS source
+  FROM documents WHERE doc_id % 10 = 0
+),
+g AS (
+  SELECT text, min(doc_id) AS canonical_id,
+         CAST(COUNT(*) AS BIGINT) AS group_size,
+         CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+  FROM corpus GROUP BY text
+)
+SELECT canonical_id, group_size, n_sources FROM g WHERE n_sources > 1
+"""
+
+
 # --- weighted random sampling (Efraimidis–Spirakis) -----------------------
 # k documents sampled WITHOUT replacement with probability ∝ length —
 # the "sample proportional to token mass" primitive corpus audits
@@ -6808,6 +6932,7 @@ def registry() -> dict[str, tuple]:
         "source_lang_kl": (q_source_lang_kl, SQL_SOURCE_LANG_KL),
         "source_gini": (q_source_gini, SQL_SOURCE_GINI),
         "weighted_sample": (q_weighted_sample, _sql_weighted_sample()),
+        "dedup_cross_source": (q_dedup_cross_source, SQL_DEDUP_CROSS_SOURCE),
         "curate_readability": (
             q_curate_readability, _sql_curate_readability(),
         ),

@@ -207,3 +207,35 @@ def test_weighted_sample_properties(ray_session, tmp_path):
     assert out["doc_id"].tolist() == ref
     # heavier docs are overrepresented: sampled mean length > corpus mean
     assert out["n_chars"].mean() > sum(lens) / n
+
+
+def test_dedup_cross_source_planted(ray_session, tmp_path):
+    from rsmetacheck_ray.pipelines.queries import q_dedup_cross_source
+
+    # doc 10 & 20 get mirror copies (%10==0): cross-source groups of 2.
+    # docs 3 and 7 share text WITHIN one source: same-source group,
+    # excluded. docs 5 (src a) and 6 (src b) share text: cross-source
+    # WITHOUT any mirror copy.
+    rows = [
+        (3, "same text", "a"), (7, "same text", "a"),
+        (5, "shared", "a"), (6, "shared", "b"),
+        (10, "ten", "a"), (20, "twenty", "b"),
+        (11, "unique1", "a"),
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array(["en"] * len(rows), pa.string()),
+            "source": pa.array([r[2] for r in rows], pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(t, os.path.join(str(tmp_path), "documents.parquet"))
+    out = sorted(q_dedup_cross_source(str(tmp_path)).to_pandas().itertuples(index=False))
+    got = {r.canonical_id: (r.group_size, r.n_sources) for r in out}
+    assert 3 not in got           # same-source dup group excluded
+    assert got[5] == (2, 2)       # organic cross-source pair
+    assert got[10] == (2, 2)      # mirror pair
+    assert got[20] == (2, 2)
+    assert 11 not in got
