@@ -3292,6 +3292,21 @@ FROM pcts p JOIN sorted_samp s
 """
 
 
+def _sql_session_duration_quantiles() -> str:
+    from ..functions.sketch import SQ_K, SQ_PCTS
+    from .relational import SESSION_GAP_S
+
+    sm, cte, col = _sql_splitmix_ctes("sdq", "ids", "eid")
+    return rel.SESSION_DURATION_QUANTILES_SQL_TEMPLATE.format(
+        gap_us=SESSION_GAP_S * 1_000_000,
+        sm=sm.strip(),
+        cte=cte,
+        col=col,
+        k=SQ_K,
+        pcts=", ".join(str(p) for p in SQ_PCTS),
+    )
+
+
 def q_doc_chunk_fingerprints(sf_dir: str):
     """Content-defined rolling-hash chunk fingerprints (rows-only: the
     chunk boundary function is not SQL-expressible; properties pinned
@@ -6738,6 +6753,10 @@ def registry() -> dict[str, tuple]:
             rel.orders_events_window, rel.ORDERS_EVENTS_WINDOW_SQL,
         ),
         "sessionize_users": (rel.sessionize_users, rel.SESSIONIZE_SQL),
+        "session_duration_quantiles": (
+            rel.session_duration_quantiles,
+            _sql_session_duration_quantiles(),
+        ),
         "orders_sample": (rel.orders_systematic_sample, rel.ORDERS_SAMPLE_SQL),
         "distinct_user_event_types": (
             rel.distinct_user_event_types, rel.DISTINCT_SQL,

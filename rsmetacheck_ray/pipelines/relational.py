@@ -2337,3 +2337,127 @@ SELECT event_type, b.span AS n_hours,
   / (CAST(s1 AS DOUBLE) / CAST(b.span AS DOUBLE)) AS fano
 FROM s CROSS JOIN b
 """
+
+
+# ---------------------------------------------------------------------------
+# Session-duration distribution — the composition a product team
+# actually asks of sessionization: per-session durations (first→last
+# event, µs) fed into the PARTITION-INVARIANT sampled quantiles.
+# Session identity (user_id·10⁶ + ordinal) is a deterministic
+# function of the data, so the bottom-k splitmix sample — and the
+# whole result — is bitwise reproducible at any partition count.
+# Shapes: one hashed-user shuffle (24 B rows) to sessionize, then
+# ≤k-row sample partials; the sessions themselves never leave their
+# partition.
+# ---------------------------------------------------------------------------
+
+def session_duration_quantiles(
+    sf_dir: str, num_partitions: int | None = None
+) -> pa.Table:
+    """(pct, est): sampled quantiles of per-session duration (µs)."""
+    from ..functions.sketch import sampled_quantiles
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id"],
+    )
+    n_parts = num_partitions or adaptive_partitions(
+        parquet_rows_hint(ds), row_bytes=24
+    )
+
+    def tag(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "part": _part_of(b.column("user_id"), n_parts),
+                "user_id": b.column("user_id"),
+                "ts": pc.cast(b.column("ts"), pa.int64()),
+                "event_id": b.column("event_id"),
+            }
+        )
+
+    gap_us = SESSION_GAP_S * 1_000_000
+
+    def sessions(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "sid": pa.array([], pa.int64()),
+                "dur": pa.array([], pa.float64()),
+            }
+        )
+        if g.num_rows == 0:
+            return empty
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        ts = g.column("ts").to_numpy(zero_copy_only=False)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        u, t = uid[order], ts[order]
+        n = len(u)
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = u[1:] != u[:-1]
+        gap = np.zeros(n, dtype=bool)
+        gap[1:] = ~new_user[1:] & (t[1:] - t[:-1] > gap_us)
+        new_sess = new_user | gap
+        seg = np.cumsum(new_sess) - 1
+        n_seg = int(seg[-1]) + 1
+        starts = np.flatnonzero(new_sess)
+        first = t[starts]
+        last = np.maximum.reduceat(t, starts)
+        sess_user = u[starts]
+        # session ordinal within user (sessions arrive user-grouped)
+        user_first = np.flatnonzero(new_user[starts])
+        sidx = np.arange(n_seg, dtype=np.int64) - np.repeat(
+            user_first, np.diff(np.append(user_first, n_seg))
+        )
+        sid = sess_user * 1_000_000 + sidx
+        return pa.table(
+            {
+                "sid": pa.array(sid, pa.int64()),
+                "dur": pa.array((last - first).astype(np.float64), pa.float64()),
+            }
+        )
+
+    sess_ds = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(sessions, batch_format="pyarrow")
+    )
+    return sampled_quantiles(sess_ds, "sid", "dur")
+
+
+SESSION_DURATION_QUANTILES_SQL_TEMPLATE = """
+WITH ordered AS (
+  SELECT user_id, event_id, epoch_us(ts) AS tus,
+    LAG(epoch_us(ts)) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+tagged AS (
+  SELECT user_id, tus,
+    SUM(CASE WHEN prev IS NOT NULL AND tus - prev > {gap_us}
+        THEN 1 ELSE 0 END)
+      OVER (PARTITION BY user_id ORDER BY tus, event_id
+            ROWS UNBOUNDED PRECEDING) AS sidx
+  FROM ordered
+),
+sess AS (
+  SELECT user_id * 1000000 + sidx AS sid,
+    CAST(max(tus) - min(tus) AS DOUBLE) AS dur
+  FROM tagged GROUP BY user_id, sidx
+),
+ids AS (SELECT CAST(sid AS UBIGINT) AS eid, dur AS value FROM sess),
+{sm},
+samp AS (
+  SELECT value FROM {cte}
+  QUALIFY row_number() OVER (ORDER BY {col}) <= {k}
+),
+sorted_samp AS (
+  SELECT value, row_number() OVER (ORDER BY value) AS rn,
+    COUNT(*) OVER () AS n
+  FROM samp
+),
+pcts AS (SELECT unnest([{pcts}]) AS pct)
+SELECT CAST(p.pct AS BIGINT) AS pct, s.value AS est
+FROM pcts p JOIN sorted_samp s
+  ON s.rn - 1 = LEAST(s.n - 1, (s.n * p.pct) // 100)
+"""

@@ -194,3 +194,42 @@ def test_events_type_fano_planted(ray_session, tmp_path):
     assert got["flat"]["fano"] == 0.0
     assert got["burst"]["mean_cph"] == 1.0
     assert got["burst"]["fano"] == 3.0
+
+
+def test_session_duration_quantiles_planted(ray_session, tmp_path):
+    from rsmetacheck_ray.pipelines.relational import (
+        SESSION_GAP_S,
+        session_duration_quantiles,
+    )
+
+    # user 1: two sessions — events at [0, 10min] (dur 600s) and,
+    # after a >gap break, [0, 20min] (dur 1200s). user 2: a single
+    # event -> dur 0. n <= k so the sample is complete -> exact
+    # nearest-rank quantiles over {0, 600e6, 1200e6}.
+    m = 60_000_000
+    base2 = _at(0) + (SESSION_GAP_S + 3600) * 2_000_000
+    ts = [_at(0), _at(0) + 10 * m, base2, base2 + 20 * m]
+    users = [1, 1, 1, 1]
+    ts.append(_at(500))
+    users.append(2)
+    n = len(ts)
+    t = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array(users, pa.int64()),
+            "event_type": pa.array(["a"] * n, pa.string()),
+            "value": pa.array([1.0] * n, pa.float64()),
+            "props": pa.array(["{}"] * n, pa.string()),
+        }
+    )
+    pq.write_table(t, os.path.join(str(tmp_path), "events.parquet"))
+    outs = []
+    for parts in (1, 4):
+        res = session_duration_quantiles(str(tmp_path), num_partitions=parts)
+        outs.append(list(zip(res.column("pct").to_pylist(), res.column("est").to_pylist())))
+    assert outs[0] == outs[1]  # bitwise partition invariance
+    got = dict(outs[0])
+    durs = sorted([0.0, 600.0e6, 1200.0e6])
+    for pct, est in got.items():
+        assert est == durs[min(2, (3 * pct) // 100)]
