@@ -303,6 +303,7 @@ BENCH_QUERIES = [
     "dedup_semantic",
     "pca_embeddings",
     "events_latest_per_user",
+    "session_duration_quantiles",
     "user_event_sequences",
     "multimodal_wav_features",
     "approx_quantiles_sampled",
