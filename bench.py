@@ -296,6 +296,7 @@ BENCH_QUERIES = [
     "decayed_type_counts",
     "events_type_fano",
     "customer_order_counts",
+    "customer_rfm_bins",
     "split_assign",
     "doc_sentences",
     "score_bigram_lm",

@@ -3307,6 +3307,13 @@ def _sql_session_duration_quantiles() -> str:
     )
 
 
+def _sql_customer_rfm_bins() -> str:
+    from ..functions.sketch import SQ_K
+
+    sm, cte, col = _sql_splitmix_ctes("rfm", "ids", "ck")
+    return rel._rfm_sql(sm.strip(), cte, col, SQ_K)
+
+
 def q_doc_chunk_fingerprints(sf_dir: str):
     """Content-defined rolling-hash chunk fingerprints (rows-only: the
     chunk boundary function is not SQL-expressible; properties pinned
@@ -6789,6 +6796,9 @@ def registry() -> dict[str, tuple]:
         ),
         "customer_order_counts": (
             rel.customer_order_counts, rel.CUSTOMER_ORDER_COUNTS_SQL,
+        ),
+        "customer_rfm_bins": (
+            rel.customer_rfm_bins, _sql_customer_rfm_bins(),
         ),
         "event_users_intersect_customers": (
             rel.event_users_intersect_customers,

@@ -2461,3 +2461,240 @@ SELECT CAST(p.pct AS BIGINT) AS pct, s.value AS est
 FROM pcts p JOIN sorted_samp s
   ON s.rn - 1 = LEAST(s.n - 1, (s.n * p.pct) // 100)
 """
+
+
+# ---------------------------------------------------------------------------
+# RFM customer feature bins — the classic recency/frequency/monetary
+# quintile features a churn/value model trains on. Per-customer
+# aggregates ride ONE hashed-custkey shuffle of 32 B partial rows;
+# the three metrics' quintile thresholds come from ONE shared
+# bottom-k splitmix64(custkey) sample (the same row set serves all
+# three — a deterministic function of the customer SET, so the bins
+# are reproducible at any partition count); binning is a broadcast +
+# searchsorted. bin = 1 + |{thresholds ≤ v}| ≡ the oracle's
+# 1 + Σ(v ≥ tᵢ).
+# ---------------------------------------------------------------------------
+
+_RFM_PCTS = (20, 40, 60, 80)
+_DAY_US = 86_400_000_000
+
+
+def customer_rfm_bins(
+    sf_dir: str, num_partitions: int | None = None
+) -> rd.Dataset:
+    """(o_custkey, recency_days, frequency, monetary_cents, r_bin,
+    f_bin, m_bin) for every customer with at least one order."""
+    import ray as _ray
+
+    from ..functions.hashing import splitmix64_np
+    from ..functions.sketch import SQ_K, _sq_rank
+
+    path = os.path.join(sf_dir, "orders.parquet")
+    # pass 1: global max order date (one column, 8 B/row scan)
+    gds = _read_pq(path, columns=["o_orderdate"])
+
+    def bmax(b: pa.Table) -> pa.Table:
+        m = pc.max(pc.cast(b.column("o_orderdate"), pa.int64()))
+        return pa.table({"m": pa.array([m.as_py()], pa.int64())})
+
+    gmax = max(
+        r["m"]
+        for t in _ray.get(
+            gds.map_batches(bmax, batch_format="pyarrow")
+            .materialize()
+            .to_arrow_refs()
+        )
+        for r in t.to_pylist()
+    )
+
+    ds = _read_pq(
+        path, columns=["o_custkey", "o_totalprice", "o_orderdate"]
+    )
+    n_parts = num_partitions or adaptive_partitions(
+        parquet_rows_hint(ds), row_bytes=32
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "o_custkey": b.column("o_custkey"),
+                "cents": _cents(b.column("o_totalprice")),
+                "ts": pc.cast(b.column("o_orderdate"), pa.int64()),
+            }
+        )
+        g = t.group_by(["o_custkey"]).aggregate(
+            [([], "count_all"), ("cents", "sum"), ("ts", "max")]
+        )
+        g = g.rename_columns(["o_custkey", "n", "cents", "last_ts"])
+        return g.append_column(
+            "part", _part_of(g.column("o_custkey"), n_parts)
+        )
+
+    def fold(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {
+                    "o_custkey": pa.array([], pa.int64()),
+                    "recency_days": pa.array([], pa.int64()),
+                    "frequency": pa.array([], pa.int64()),
+                    "monetary_cents": pa.array([], pa.int64()),
+                }
+            )
+        m = (
+            g.select(["o_custkey", "n", "cents", "last_ts"])
+            .group_by(["o_custkey"])
+            .aggregate([("n", "sum"), ("cents", "sum"), ("last_ts", "max")])
+            .rename_columns(["o_custkey", "n", "cents", "last_ts"])
+        )
+        last = m.column("last_ts").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "o_custkey": m.column("o_custkey"),
+                "recency_days": pa.array(
+                    (gmax - last) // _DAY_US, pa.int64()
+                ),
+                "frequency": m.column("n"),
+                "monetary_cents": m.column("cents"),
+            }
+        )
+
+    percust = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+
+    # ONE shared bottom-k sample carries all three metrics
+    def sample_partial(b: pa.Table) -> pa.Table:
+        ids = b.column("o_custkey").to_numpy(zero_copy_only=False)
+        h = splitmix64_np(ids.astype(np.uint64))
+        if len(h) > SQ_K:
+            sel = np.argpartition(h, SQ_K)[:SQ_K]
+        else:
+            sel = np.arange(len(h))
+        sel = sel[np.argsort(h[sel])]
+        return pa.table(
+            {
+                "h": pa.array(h[sel], pa.uint64()),
+                "r": b.column("recency_days").take(pa.array(sel, pa.int64())),
+                "f": b.column("frequency").take(pa.array(sel, pa.int64())),
+                "m": b.column("monetary_cents").take(pa.array(sel, pa.int64())),
+            }
+        )
+
+    parts = [
+        t
+        for t in _ray.get(
+            percust.map_batches(sample_partial, batch_format="pyarrow")
+            .materialize()
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    if not parts:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "o_custkey": pa.array([], pa.int64()),
+                    "recency_days": pa.array([], pa.int64()),
+                    "frequency": pa.array([], pa.int64()),
+                    "monetary_cents": pa.array([], pa.int64()),
+                    "r_bin": pa.array([], pa.int64()),
+                    "f_bin": pa.array([], pa.int64()),
+                    "m_bin": pa.array([], pa.int64()),
+                }
+            )
+        )
+    st = pa.concat_tables(parts)
+    h = st.column("h").to_numpy(zero_copy_only=False)
+    order = np.argsort(h)[:SQ_K]
+    n = len(order)
+    thr = {}
+    for col in ("r", "f", "m"):
+        v = np.sort(st.column(col).to_numpy(zero_copy_only=False)[order])
+        thr[col] = np.array(
+            [v[_sq_rank(n, p)] for p in _RFM_PCTS], np.int64
+        )
+    thr_ref = _ray.put(thr)
+
+    def bin_stage(b: pa.Table) -> pa.Table:
+        t = _ray.get(thr_ref)
+        out = b
+        for col, name in (
+            ("recency_days", "r_bin"),
+            ("frequency", "f_bin"),
+            ("monetary_cents", "m_bin"),
+        ):
+            v = b.column(col).to_numpy(zero_copy_only=False)
+            key = {"recency_days": "r", "frequency": "f",
+                   "monetary_cents": "m"}[col]
+            bins = 1 + np.searchsorted(t[key], v, side="right")
+            out = out.append_column(name, pa.array(bins, pa.int64()))
+        return out
+
+    return percust.map_batches(bin_stage, batch_format="pyarrow")
+
+
+def _rfm_sql(sm: str, cte: str, col: str, k: int) -> str:
+    pcts = ", ".join(str(p) for p in _RFM_PCTS)
+    thr_cols = []
+    for metric in ("r", "f", "m"):
+        thr_cols.append(f"""
+sorted_{metric} AS (
+  SELECT {metric} AS v, row_number() OVER (ORDER BY {metric}) AS rn,
+    COUNT(*) OVER () AS n
+  FROM samp
+),
+thr_{metric} AS (
+  SELECT list(v ORDER BY pct) AS ts FROM (
+    SELECT p.pct, s.v
+    FROM (SELECT unnest([{pcts}]) AS pct) p
+    JOIN sorted_{metric} s
+      ON s.rn - 1 = LEAST(s.n - 1, (s.n * p.pct) // 100)
+  )
+)""")
+    return f"""
+WITH pc AS (
+  SELECT o_custkey,
+    CAST(COUNT(*) AS BIGINT) AS frequency,
+    CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      AS monetary_cents,
+    max(epoch_us(o_orderdate)) AS last_ts
+  FROM orders GROUP BY o_custkey
+),
+gm AS (SELECT max(epoch_us(o_orderdate)) AS g FROM orders),
+feat AS (
+  SELECT o_custkey,
+    CAST((g - last_ts) // {_DAY_US} AS BIGINT) AS recency_days,
+    frequency, monetary_cents
+  FROM pc CROSS JOIN gm
+),
+ids AS (
+  SELECT CAST(o_custkey AS UBIGINT) AS ck,
+    recency_days AS r, frequency AS f, monetary_cents AS m
+  FROM feat
+),
+{sm},
+samp AS (
+  SELECT r, f, m FROM {cte}
+  QUALIFY row_number() OVER (ORDER BY {col}) <= {k}
+),{','.join(thr_cols)}
+SELECT feat.o_custkey, feat.recency_days, feat.frequency,
+  feat.monetary_cents,
+  CAST(1 + (CASE WHEN recency_days >= tr.ts[1] THEN 1 ELSE 0 END)
+         + (CASE WHEN recency_days >= tr.ts[2] THEN 1 ELSE 0 END)
+         + (CASE WHEN recency_days >= tr.ts[3] THEN 1 ELSE 0 END)
+         + (CASE WHEN recency_days >= tr.ts[4] THEN 1 ELSE 0 END)
+       AS BIGINT) AS r_bin,
+  CAST(1 + (CASE WHEN frequency >= tf.ts[1] THEN 1 ELSE 0 END)
+         + (CASE WHEN frequency >= tf.ts[2] THEN 1 ELSE 0 END)
+         + (CASE WHEN frequency >= tf.ts[3] THEN 1 ELSE 0 END)
+         + (CASE WHEN frequency >= tf.ts[4] THEN 1 ELSE 0 END)
+       AS BIGINT) AS f_bin,
+  CAST(1 + (CASE WHEN monetary_cents >= tm.ts[1] THEN 1 ELSE 0 END)
+         + (CASE WHEN monetary_cents >= tm.ts[2] THEN 1 ELSE 0 END)
+         + (CASE WHEN monetary_cents >= tm.ts[3] THEN 1 ELSE 0 END)
+         + (CASE WHEN monetary_cents >= tm.ts[4] THEN 1 ELSE 0 END)
+       AS BIGINT) AS m_bin
+FROM feat CROSS JOIN thr_r tr CROSS JOIN thr_f tf CROSS JOIN thr_m tm
+"""

@@ -233,3 +233,50 @@ def test_session_duration_quantiles_planted(ray_session, tmp_path):
     durs = sorted([0.0, 600.0e6, 1200.0e6])
     for pct, est in got.items():
         assert est == durs[min(2, (3 * pct) // 100)]
+
+
+def test_customer_rfm_bins_planted(ray_session, tmp_path):
+    from rsmetacheck_ray.pipelines.relational import customer_rfm_bins
+
+    # 10 customers, customer i places i+1 orders of $1 each on day i
+    # (day 9 = global max). frequency = i+1, monetary = 100*(i+1),
+    # recency_days = 9-i. Complete sample (n<=k) -> exact quintile
+    # thresholds at ranks [2,4,6,8] of the sorted 10 values.
+    base = 1_500_000_000_000_000
+    day = 86_400_000_000
+    rows = []
+    ok = 0
+    for i in range(10):
+        for _ in range(i + 1):
+            rows.append((ok, i, 1.0, base + i * day)); ok += 1
+    t = pa.table(
+        {
+            "o_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+            "o_custkey": pa.array([r[1] for r in rows], pa.int64()),
+            "o_orderstatus": pa.array(["F"] * len(rows), pa.string()),
+            "o_totalprice": pa.array([r[2] for r in rows], pa.float64()),
+            "o_orderdate": pa.array([r[3] for r in rows], pa.timestamp("us")),
+            "o_orderpriority": pa.array(["1-URGENT"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(t, os.path.join(str(tmp_path), "orders.parquet"))
+    outs = []
+    for parts in (1, 4):
+        res = customer_rfm_bins(str(tmp_path), num_partitions=parts).to_pandas()
+        outs.append(res.sort_values("o_custkey", ignore_index=True))
+    assert outs[0].equals(outs[1])  # partition invariance
+    got = outs[0].set_index("o_custkey")
+    for i in range(10):
+        assert got.loc[i, "frequency"] == i + 1
+        assert got.loc[i, "monetary_cents"] == 100 * (i + 1)
+        assert got.loc[i, "recency_days"] == 9 - i
+    # frequency thresholds: sorted freqs [1..10], ranks [2,4,6,8] ->
+    # [3,5,7,9]; bin = 1 + count(thr <= f)
+    import numpy as np
+
+    thr = np.array([3, 5, 7, 9])
+    for i in range(10):
+        assert got.loc[i, "f_bin"] == 1 + int((thr <= i + 1).sum())
+        assert got.loc[i, "m_bin"] == got.loc[i, "f_bin"]  # same ordering
+    # recency is reversed: most recent (i=9, rec 0) in bin 1
+    assert got.loc[9, "r_bin"] == 1 and got.loc[0, "r_bin"] == 5
