@@ -322,6 +322,7 @@ BENCH_QUERIES = [
     "dedup_graph_triangles",
     "embedding_norms",
     "event_transitions",
+    "markov_stationary",
     "dq_checks",
     "apply_changes",
     "orders_above_customer_avg",

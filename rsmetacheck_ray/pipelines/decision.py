@@ -1852,3 +1852,121 @@ SELECT CAST(SUM(fp) AS BIGINT) AS chi2_fp_nano,
   (SELECT total FROM g) AS n
 FROM terms
 """
+
+
+# ---------------------------------------------------------------------------
+# Markov stationary distribution of the event-type transition chain —
+# "where does a user's session settle": 20 power iterations in EXACT
+# integer fixed-point (units of 1e-15, the pagerank_fixed discipline:
+# per-transition contribution = (π_i · C_ij) // T_i in arbitrary-
+# precision ints, mirrored by the oracle's HUGEINT arithmetic), so
+# the fixpoint is bitwise independent of everything and DuckDB
+# re-derives all 20 iterations as unrolled CTEs. Types with no
+# outgoing transitions keep their mass (self-loop) — pinned in
+# pytest. The transition matrix is the bounded |types|² reduce of
+# event_transitions; the iteration is driver-side metadata math.
+# ---------------------------------------------------------------------------
+
+MARKOV_SCALE = 10**15
+MARKOV_ITERS = 20
+
+
+def markov_stationary(sf_dir: str) -> pa.Table:
+    """(event_type, stationary_fp): the 20-step integer power
+    iteration over the user-session transition chain."""
+    import ray as _ray
+
+    trans_ds = event_transitions(sf_dir)
+    blocks = [
+        t
+        for t in _ray.get(trans_ds.materialize().to_arrow_refs())
+        if t.num_rows
+    ]
+    if not blocks:
+        return pa.table(
+            {
+                "event_type": pa.array([], pa.string()),
+                "stationary_fp": pa.array([], pa.int64()),
+            }
+        )
+    tt = pa.concat_tables(blocks)
+    prev = tt.column("prev_type").to_pylist()
+    nxt = tt.column("next_type").to_pylist()
+    cnt = tt.column("n").to_pylist()
+    nodes = sorted(set(prev) | set(nxt))
+    pos = {t: i for i, t in enumerate(nodes)}
+    n = len(nodes)
+    C: dict[tuple[int, int], int] = {}
+    T = [0] * n
+    for p_, x_, c_ in zip(prev, nxt, cnt):
+        i, j = pos[p_], pos[x_]
+        C[(i, j)] = C.get((i, j), 0) + int(c_)
+        T[i] += int(c_)
+    pi = [MARKOV_SCALE // n] * n
+    for _ in range(MARKOV_ITERS):
+        new = [0] * n
+        for (i, j), c in C.items():
+            new[j] += (pi[i] * c) // T[i]
+        for i in range(n):
+            if T[i] == 0:
+                new[i] += pi[i]  # dangling type keeps its mass
+        pi = new
+    return pa.table(
+        {
+            "event_type": pa.array(nodes, pa.string()),
+            "stationary_fp": pa.array(pi, pa.int64()),
+        }
+    )
+
+
+def _markov_sql(n_iter: int = MARKOV_ITERS, scale: int = MARKOV_SCALE) -> str:
+    iters = []
+    for i in range(n_iter):
+        iters.append(f"""
+ac{i} AS MATERIALIZED (
+  SELECT c.next_type AS node,
+    SUM(CAST(CAST(r.r AS HUGEINT) * c.n // ot.t AS BIGINT)) AS acc
+  FROM trans c
+  JOIN r{i} r ON r.node = c.prev_type
+  JOIN out_tot ot ON ot.node = c.prev_type
+  GROUP BY c.next_type
+),
+r{i + 1} AS MATERIALIZED (
+  SELECT n.node,
+    COALESCE(a.acc, 0)
+      + (CASE WHEN ot.t = 0 THEN r.r ELSE 0 END) AS r
+  FROM nodes n
+  LEFT JOIN ac{i} a ON a.node = n.node
+  JOIN out_tot ot ON ot.node = n.node
+  JOIN r{i} r ON r.node = n.node
+)""")
+    return f"""
+WITH s AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+trans AS (
+  SELECT prev_type, event_type AS next_type,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM s WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, next_type
+),
+nodes AS (
+  SELECT DISTINCT prev_type AS node FROM trans
+  UNION
+  SELECT DISTINCT next_type FROM trans
+),
+ncount AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+out_tot AS (
+  SELECT n.node, COALESCE(CAST(SUM(t.n) AS BIGINT), 0) AS t
+  FROM nodes n LEFT JOIN trans t ON t.prev_type = n.node
+  GROUP BY n.node
+),
+r0 AS (
+  SELECT node, {scale} // nn.n AS r FROM nodes CROSS JOIN ncount nn
+),{','.join(iters)}
+SELECT node AS event_type, CAST(r AS BIGINT) AS stationary_fp
+FROM r{n_iter}
+"""

@@ -6864,6 +6864,9 @@ def registry() -> dict[str, tuple]:
         "events_props_stats": (dec.events_props_stats, dec.EVENTS_PROPS_SQL),
         "events_value_fill": (dec.events_value_fill, dec.EVENTS_FILL_SQL),
         "event_transitions": (dec.event_transitions, dec.EVENT_TRANSITIONS_SQL),
+        "markov_stationary": (
+            dec.markov_stationary, dec._markov_sql(),
+        ),
         "orders_pareto": (dec.orders_pareto, dec.ORDERS_PARETO_SQL),
         "events_type_dow_chi2": (dec.events_type_dow_chi2, dec.EVENTS_CHI2_SQL),
         "events_sliding_distinct_users": (
