@@ -317,6 +317,7 @@ BENCH_QUERIES = [
     "events_value_fill",
     "events_sliding_distinct_users",
     "top_tokens_by_lang",
+    "lang_keyness",
     "rank_dedup_graph",
     "dedup_graph_bfs",
     "dedup_graph_triangles",

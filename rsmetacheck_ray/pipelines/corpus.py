@@ -1331,3 +1331,220 @@ SELECT lang, token, n,
 FROM c
 QUALIFY rk <= 10
 """
+
+
+# ---------------------------------------------------------------------------
+# Chi-square keyness — each language's most DISTINCTIVE tokens (not
+# its most frequent: 2×2 contingency of token-vs-rest × lang-vs-rest,
+# over-represented side only). Token-hash partitioning co-locates all
+# of a token's per-lang counts, so chi² is computed entirely inside
+# the partition against broadcast lang totals; the per-(partition,
+# lang) top-k prune is SOUND because every token lives in exactly one
+# partition. All contingency cells are exact int64; the statistic is
+# a fixed-association double expression mirrored by the oracle.
+# ---------------------------------------------------------------------------
+
+def lang_keyness(
+    sf_dir: str, k: int = 10, num_partitions: int | None = None
+) -> rd.Dataset:
+    """(lang, token, n, chi2): each language's k most over-represented
+    tokens by chi-square keyness, ties broken token-ascending."""
+    import ray as _ray
+
+    from ..functions.hashing import token_partitions
+    from ..functions.tokenize import split_ws_tokens
+
+    ds = _docs(sf_dir, ["lang", "text"])
+    hint = parquet_rows_hint(ds)
+    n_parts = num_partitions or adaptive_partitions(
+        hint * 64 if hint else None, row_bytes=32
+    )
+
+    def pairs(b: pa.Table) -> pa.Table:
+        words = split_ws_tokens(b.column("text"))
+        off = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = words.flatten()
+        doc_idx = np.repeat(np.arange(len(words), dtype=np.int64), np.diff(off))
+        mask = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        langs = b.column("lang").take(pa.array(doc_idx[mask], pa.int64()))
+        t = pa.table({"lang": langs, "token": flat.filter(pa.array(mask))})
+        g = t.group_by(["lang", "token"]).aggregate([([], "count_all")])
+        g = g.rename_columns(["lang", "token", "n"])
+        vocab = np.asarray(g.column("token").to_pylist(), dtype=object)
+        return pa.table(
+            {
+                "part": pa.array(
+                    token_partitions(vocab, n_parts).astype(np.int64),
+                    pa.int64(),
+                ),
+                "lang": g.column("lang"),
+                "token": g.column("token"),
+                "n": pc.cast(g.column("n"), pa.int64()),
+            }
+        )
+
+    partials = _docs(sf_dir, ["lang", "text"]).map_batches(
+        pairs, batch_format="pyarrow"
+    )
+    # bounded lang totals (|langs| rows) from a light count pass (one
+    # vectorized regex count per doc, no token groupby), broadcast
+    # into every partition
+    def lang_counts(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "lang": b.column("lang"),
+                "n": pc.cast(count_ws_tokens(b.column("text")), pa.int64()),
+            }
+        )
+        g = t.group_by(["lang"]).aggregate([("n", "sum")])
+        return g.rename_columns(["lang", "n"])
+
+    lt = bounded_group_table_strict(
+        _docs(sf_dir, ["lang", "text"]).map_batches(
+            lang_counts, batch_format="pyarrow"
+        ),
+        ["lang"],
+        [("n", "sum")],
+    )
+    lang_tot = dict(
+        zip(lt.column("lang").to_pylist(), lt.column("n").to_pylist())
+    )
+    grand = sum(lang_tot.values())
+    ref = _ray.put((lang_tot, grand))
+
+    def part_score(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "lang": pa.array([], pa.string()),
+                "token": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "chi2": pa.array([], pa.float64()),
+            }
+        )
+        if g.num_rows == 0:
+            return empty
+        ltot, nall = _ray.get(ref)
+        t = (
+            g.select(["lang", "token", "n"])
+            .group_by(["lang", "token"])
+            .aggregate([("n", "sum")])
+            .rename_columns(["lang", "token", "n"])
+        )
+        tok = np.asarray(t.column("token").to_pylist(), dtype=object)
+        lang = np.asarray(t.column("lang").to_pylist(), dtype=object)
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        # per-token global counts within this partition (complete:
+        # the token hash pins every lang's count here)
+        order = np.argsort(tok, kind="stable")
+        tok_s = tok[order]
+        new = np.concatenate([[True], tok_s[1:] != tok_s[:-1]]) if len(tok_s) else np.zeros(0, bool)
+        gid_s = np.cumsum(new) - 1
+        gid = np.empty(len(tok), np.int64)
+        gid[order] = gid_s
+        nt = np.zeros(int(gid_s[-1]) + 1 if len(gid_s) else 0, np.int64)
+        np.add.at(nt, gid, n)
+        L = np.array([ltot[l] for l in lang.tolist()], np.int64)
+        af = n.astype(np.float64)
+        bf = (L - n).astype(np.float64)
+        cf = (nt[gid] - n).astype(np.float64)
+        Nf = np.float64(nall)
+        df_ = Nf - L.astype(np.float64) - cf
+        # fixed association, mirrored by the oracle
+        e = af * df_ - bf * cf
+        ntf = nt[gid].astype(np.float64)
+        Lf = L.astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            chi2 = (Nf * (e * e)) / (
+                (Lf * (Nf - Lf)) * (ntf * (Nf - ntf))
+            )
+        keep = e > 0.0
+        if not keep.any():
+            return empty
+        out = pa.table(
+            {
+                "lang": t.column("lang").filter(pa.array(keep)),
+                "token": t.column("token").filter(pa.array(keep)),
+                "n": t.column("n").filter(pa.array(keep)),
+                "chi2": pa.array(chi2[keep], pa.float64()),
+            }
+        )
+        idx = pc.sort_indices(
+            out,
+            sort_keys=[
+                ("lang", "ascending"),
+                ("chi2", "descending"),
+                ("token", "ascending"),
+            ],
+        )
+        out = out.take(idx)
+        ls = np.asarray(out.column("lang").to_pylist(), dtype=object)
+        new_l = np.concatenate([[True], ls[1:] != ls[:-1]]) if len(ls) else np.zeros(0, bool)
+        starts = np.flatnonzero(new_l)
+        seg = np.cumsum(new_l) - 1
+        rank = np.arange(len(ls), dtype=np.int64) - starts[seg]
+        return out.filter(pa.array(rank < k))
+
+    cand = partials.groupby("part").map_groups(
+        part_score, batch_format="pyarrow"
+    )
+    tbl = bounded_group_table_strict(
+        cand, ["lang", "token"], [("n", "max"), ("chi2", "max")]
+    )
+    empty = pa.table(
+        {
+            "lang": pa.array([], pa.string()),
+            "token": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+            "chi2": pa.array([], pa.float64()),
+        }
+    )
+    if tbl is None:
+        return rd.from_arrow(empty)
+    idx = pc.sort_indices(
+        tbl,
+        sort_keys=[
+            ("lang", "ascending"),
+            ("chi2", "descending"),
+            ("token", "ascending"),
+        ],
+    )
+    tbl = tbl.take(idx)
+    ls = np.asarray(tbl.column("lang").to_pylist(), dtype=object)
+    new_l = np.concatenate([[True], ls[1:] != ls[:-1]]) if len(ls) else np.zeros(0, bool)
+    starts = np.flatnonzero(new_l)
+    seg = np.cumsum(new_l) - 1
+    rank = np.arange(len(ls), dtype=np.int64) - starts[seg]
+    return rd.from_arrow(tbl.filter(pa.array(rank < k)))
+
+
+LANG_KEYNESS_SQL = f"""
+WITH w AS (
+  SELECT lang, unnest(regexp_extract_all(text, '{WS_TOKEN_RE}')) AS token
+  FROM documents
+),
+tk AS (
+  SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS n
+  FROM w GROUP BY lang, token
+),
+lt AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS L FROM tk GROUP BY lang),
+tt AS (SELECT token, CAST(SUM(n) AS BIGINT) AS nt FROM tk GROUP BY token),
+g AS (SELECT CAST(SUM(n) AS BIGINT) AS nall FROM tk),
+scored AS (
+  SELECT tk.lang, tk.token, tk.n,
+    CAST(tk.n AS DOUBLE) * (CAST(nall AS DOUBLE) - CAST(L AS DOUBLE)
+                            - (CAST(nt AS DOUBLE) - CAST(tk.n AS DOUBLE)))
+      - (CAST(L AS DOUBLE) - CAST(tk.n AS DOUBLE))
+        * (CAST(nt AS DOUBLE) - CAST(tk.n AS DOUBLE)) AS e,
+    L, nt, nall
+  FROM tk JOIN lt USING (lang) JOIN tt USING (token) CROSS JOIN g
+)
+SELECT lang, token, n,
+  (CAST(nall AS DOUBLE) * (e * e))
+    / ((CAST(L AS DOUBLE) * (CAST(nall AS DOUBLE) - CAST(L AS DOUBLE)))
+       * (CAST(nt AS DOUBLE) * (CAST(nall AS DOUBLE) - CAST(nt AS DOUBLE))))
+  AS chi2
+FROM scored
+WHERE e > 0
+QUALIFY row_number() OVER (
+  PARTITION BY lang ORDER BY chi2 DESC, token) <= 10
+"""

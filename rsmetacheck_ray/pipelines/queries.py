@@ -6858,6 +6858,7 @@ def registry() -> dict[str, tuple]:
         "bm25_search": (cor.bm25_search, cor._bm25_sql()),
         "embedding_norms": (cor.embedding_norms, cor.EMBEDDING_NORMS_SQL),
         "top_tokens_by_lang": (cor.top_tokens_by_lang, cor.TOP_TOKENS_BY_LANG_SQL),
+        "lang_keyness": (cor.lang_keyness, cor.LANG_KEYNESS_SQL),
         "dq_checks": (cor.dq_checks, cor.DQ_CHECKS_SQL),
         "user_funnel": (dec.user_funnel, dec.USER_FUNNEL_SQL),
         "user_retention": (dec.user_retention, dec.USER_RETENTION_SQL),

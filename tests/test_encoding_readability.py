@@ -239,3 +239,36 @@ def test_dedup_cross_source_planted(ray_session, tmp_path):
     assert got[10] == (2, 2)      # mirror pair
     assert got[20] == (2, 2)
     assert 11 not in got
+
+
+def test_lang_keyness_distinctive_not_frequent(ray_session, tmp_path):
+    from rsmetacheck_ray.pipelines.corpus import lang_keyness
+
+    # 'the' is the most FREQUENT token in both langs but carries no
+    # keyness; 'alpha'/'beta' are distinctive for their lang
+    texts, langs = [], []
+    for _ in range(20):
+        texts.append("the the the alpha"); langs.append("en")
+        texts.append("the the the beta"); langs.append("fr")
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+            "source": pa.array(["s"] * len(texts), pa.string()),
+            "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+        }
+    )
+    pq.write_table(t, os.path.join(str(tmp_path), "documents.parquet"))
+    outs = []
+    for parts in (1, 4):
+        res = lang_keyness(str(tmp_path), num_partitions=parts).to_pandas()
+        outs.append(res.sort_values(["lang", "chi2", "token"], ignore_index=True))
+    assert outs[0].equals(outs[1])
+    top = {
+        l: g.sort_values("chi2", ascending=False)["token"].iloc[0]
+        for l, g in outs[0].groupby("lang")
+    }
+    assert top == {"en": "alpha", "fr": "beta"}
+    # 'the' is never over-represented (identical share) -> excluded
+    assert "the" not in set(outs[0]["token"])
