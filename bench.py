@@ -259,6 +259,7 @@ BENCH_QUERIES = [
     "dedup_urls",
     "dedup_lines",
     "dedup_spans",
+    "doc_dup_gram_fraction",
     "importance_weights",
     "dedup_exact",
     "dedup_cross_source",

@@ -260,3 +260,107 @@ def dedup_spans(
         .groupby("doc_part")
         .map_groups(rebuild, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplication-fraction score (Lee et al. 2021's diagnostic): per
+# document, the fraction of its w-gram instances whose gram occurs
+# ≥ 2 times corpus-wide — the "how much of this doc is boilerplate"
+# number a curation pass thresholds on BEFORE deciding to run the
+# destructive span removal. Same gram explosion and hashed-gram
+# shuffle as dedup_spans, but the decide stage emits per-doc COUNT
+# partials (24 B rows) instead of removal positions — the text never
+# travels twice.
+# ---------------------------------------------------------------------------
+
+def dup_gram_fractions(
+    corpus: rd.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = DEFAULT_W,
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """(doc_id, n_grams, n_dup_grams, dup_fraction) per document with
+    at least one w-gram."""
+    from ..partitioning import adaptive_partitions, parquet_rows_hint
+
+    hint = parquet_rows_hint(corpus)
+    n_parts = num_partitions or adaptive_partitions(
+        (hint or 0) * 55 or None, row_bytes=32
+    )
+    n_doc_parts = num_partitions or adaptive_partitions(hint, row_bytes=24)
+
+    def decide(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_part": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_inst": pa.array([], pa.int64()),
+                    "n_dup": pa.array([], pa.int64()),
+                }
+            )
+        lo = g.column("g_lo").to_numpy(zero_copy_only=False)
+        hi = g.column("g_hi").to_numpy(zero_copy_only=False)
+        packed = g.column("packed").to_numpy(zero_copy_only=False)
+        order = np.lexsort((hi, lo))
+        lo_s, hi_s = lo[order], hi[order]
+        new = np.empty(len(order), dtype=bool)
+        new[0] = True
+        new[1:] = (lo_s[1:] != lo_s[:-1]) | (hi_s[1:] != hi_s[:-1])
+        gid = np.cumsum(new) - 1
+        gsize = np.bincount(gid)
+        dup_sorted = gsize[gid] >= 2
+        dup = np.empty(len(order), dtype=bool)
+        dup[order] = dup_sorted
+        doc = packed >> POS_BITS
+        udoc, inv = np.unique(doc, return_inverse=True)
+        n_inst = np.bincount(inv, minlength=len(udoc))
+        n_dup = np.bincount(inv[dup], minlength=len(udoc))
+        dpart = (
+            splitmix64_np(udoc.astype(np.uint64)) % np.uint64(n_doc_parts)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "doc_part": pa.array(dpart),
+                "doc_id": pa.array(udoc, pa.int64()),
+                "n_inst": pa.array(n_inst.astype(np.int64), pa.int64()),
+                "n_dup": pa.array(n_dup.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def fractions(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_grams": pa.array([], pa.int64()),
+                "n_dup_grams": pa.array([], pa.int64()),
+                "dup_fraction": pa.array([], pa.float64()),
+            }
+        )
+        if g.num_rows == 0:
+            return empty
+        m = (
+            g.select(["doc_id", "n_inst", "n_dup"])
+            .group_by(["doc_id"])
+            .aggregate([("n_inst", "sum"), ("n_dup", "sum")])
+            .rename_columns(["doc_id", "n_grams", "n_dup_grams"])
+        )
+        ni = m.column("n_grams").to_numpy(zero_copy_only=False)
+        nd = m.column("n_dup_grams").to_numpy(zero_copy_only=False)
+        return m.append_column(
+            "dup_fraction",
+            pa.array(nd.astype(np.float64) / ni.astype(np.float64),
+                     pa.float64()),
+        )
+
+    exploded = corpus.map_batches(
+        lambda b: _explode_grams(b, text_col, id_col, w, n_parts),
+        batch_format="pyarrow",
+    )
+    return (
+        exploded.groupby("part")
+        .map_groups(decide, batch_format="pyarrow")
+        .groupby("doc_part")
+        .map_groups(fractions, batch_format="pyarrow")
+    )

@@ -1995,6 +1995,47 @@ GROUP BY w.doc_id
 SQL_DEDUP_SPANS = "WITH " + _sql_dedup_spans_tail("documents")
 
 
+def q_doc_dup_gram_fraction(sf_dir: str):
+    """(doc_id, n_grams, n_dup_grams, dup_fraction): the Lee et al.
+    duplication-fraction score — what share of each document's
+    5-gram instances is corpus-duplicated (functions/spandedup.
+    dup_gram_fractions; per-doc 24 B count partials, the text never
+    travels twice)."""
+    from ..functions.spandedup import dup_gram_fractions
+
+    return dup_gram_fractions(_documents(sf_dir, ["doc_id", "text"]))
+
+
+SQL_DOC_DUP_GRAM_FRACTION = """
+WITH words AS (
+  SELECT doc_id,
+         unnest(string_split(coalesce(text, ''), ' ')) AS word,
+         unnest(generate_series(1, len(string_split(coalesce(text, ''), ' ')))) AS pos,
+         len(string_split(coalesce(text, ''), ' ')) AS nw
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, pos,
+         word || ' ' || lead(word, 1) OVER w || ' ' || lead(word, 2) OVER w
+              || ' ' || lead(word, 3) OVER w || ' ' || lead(word, 4) OVER w AS gram
+  FROM words
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY pos + 4 <= nw
+),
+gc AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS c FROM grams GROUP BY gram),
+per AS (
+  SELECT g.doc_id,
+    CAST(COUNT(*) AS BIGINT) AS n_grams,
+    CAST(SUM(CASE WHEN gc.c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_dup_grams
+  FROM grams g JOIN gc USING (gram) GROUP BY g.doc_id
+)
+SELECT doc_id, n_grams, n_dup_grams,
+  CAST(n_dup_grams AS DOUBLE) / CAST(n_grams AS DOUBLE) AS dup_fraction
+FROM per
+"""
+
+
 def q_curate_corpus(sf_dir: str):
     """The full curation composition a training-data pipeline runs:
     synthesize → quality gate (extract → langid → perplexity → rules
@@ -6976,6 +7017,9 @@ def registry() -> dict[str, tuple]:
         "dedup_urls": (q_dedup_urls, _sql_dedup_urls()),
         "dedup_lines": (q_dedup_lines, SQL_DEDUP_LINES),
         "dedup_spans": (q_dedup_spans, SQL_DEDUP_SPANS),
+        "doc_dup_gram_fraction": (
+            q_doc_dup_gram_fraction, SQL_DOC_DUP_GRAM_FRACTION,
+        ),
         "curate_corpus": (q_curate_corpus, _sql_curate_corpus()),
         # deferred for the same LM-export reason as gate_decisions
         "curate_semantic": (

@@ -88,3 +88,37 @@ def test_consecutive_spaces_are_words(ray_session):
     df = _run(["a  b c", "a  b c"])
     assert df["n_words"].tolist() == [4, 4]
     assert df["kept_words"].tolist() == [4, 0]
+
+
+def test_dup_gram_fractions_planted(ray_session):
+    import ray.data as rd
+
+    from rsmetacheck_ray.functions.spandedup import dup_gram_fractions
+
+    # doc 1 and 2 share their full 5-word text -> every gram dup (1.0)
+    # doc 3 is unique -> 0.0; doc 4 has 6 words where the FIRST 5-gram
+    # equals doc 3's... keep simpler: doc 4 unique too, fraction 0.0
+    texts = [
+        "a b c d e",
+        "a b c d e",
+        "q w e r t y",
+        "z x v n m k l",
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    outs = []
+    for parts in (1, 3):
+        res = dup_gram_fractions(
+            rd.from_arrow(t).repartition(2), num_partitions=parts
+        ).to_pandas().sort_values("doc_id", ignore_index=True)
+        outs.append(res)
+    assert outs[0].equals(outs[1])
+    got = outs[0].set_index("doc_id")
+    assert got.loc[1, "dup_fraction"] == 1.0 and got.loc[1, "n_grams"] == 1
+    assert got.loc[2, "dup_fraction"] == 1.0
+    assert got.loc[3, "dup_fraction"] == 0.0 and got.loc[3, "n_grams"] == 2
+    assert got.loc[4, "dup_fraction"] == 0.0 and got.loc[4, "n_grams"] == 3
