@@ -1406,6 +1406,17 @@ def lang_keyness(
         ["lang"],
         [("n", "sum")],
     )
+    if lt is None or not lt.num_rows:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "lang": pa.array([], pa.string()),
+                    "token": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                    "chi2": pa.array([], pa.float64()),
+                }
+            )
+        )
     lang_tot = dict(
         zip(lt.column("lang").to_pylist(), lt.column("n").to_pylist())
     )

@@ -2497,7 +2497,7 @@ def customer_rfm_bins(
         m = pc.max(pc.cast(b.column("o_orderdate"), pa.int64()))
         return pa.table({"m": pa.array([m.as_py()], pa.int64())})
 
-    gmax = max(
+    maxes = [
         r["m"]
         for t in _ray.get(
             gds.map_batches(bmax, batch_format="pyarrow")
@@ -2505,7 +2505,22 @@ def customer_rfm_bins(
             .to_arrow_refs()
         )
         for r in t.to_pylist()
+        if r["m"] is not None
+    ]
+    empty_out = pa.table(
+        {
+            "o_custkey": pa.array([], pa.int64()),
+            "recency_days": pa.array([], pa.int64()),
+            "frequency": pa.array([], pa.int64()),
+            "monetary_cents": pa.array([], pa.int64()),
+            "r_bin": pa.array([], pa.int64()),
+            "f_bin": pa.array([], pa.int64()),
+            "m_bin": pa.array([], pa.int64()),
+        }
     )
+    if not maxes:
+        return rd.from_arrow(empty_out)
+    gmax = max(maxes)
 
     ds = _read_pq(
         path, columns=["o_custkey", "o_totalprice", "o_orderdate"]

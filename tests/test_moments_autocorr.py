@@ -324,3 +324,48 @@ def test_markov_stationary_planted(ray_session, tmp_path):
     # all of a's mass drains into z after iteration 1; z keeps it
     assert out2["z"] == MARKOV_SCALE // 2 + MARKOV_SCALE // 2
     assert out2["a"] == 0
+
+
+def test_new_operators_empty_inputs(ray_session, tmp_path):
+    """Every late-round operator returns an empty, correctly-typed
+    result on empty tables instead of crashing — the resume/first-run
+    edge of a partitioned 100 TB lake (some partitions ARE empty)."""
+    import pyarrow.parquet as pq_
+
+    from rsmetacheck_ray.pipelines.corpus import lang_keyness
+    from rsmetacheck_ray.pipelines.relational import customer_rfm_bins
+
+    pq_.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "text": pa.array([], pa.string()),
+                "lang": pa.array([], pa.string()),
+                "source": pa.array([], pa.string()),
+                "n_chars": pa.array([], pa.int64()),
+            }
+        ),
+        os.path.join(str(tmp_path), "documents.parquet"),
+    )
+    pq_.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([], pa.int64()),
+                "o_custkey": pa.array([], pa.int64()),
+                "o_orderstatus": pa.array([], pa.string()),
+                "o_totalprice": pa.array([], pa.float64()),
+                "o_orderdate": pa.array([], pa.timestamp("us")),
+                "o_orderpriority": pa.array([], pa.string()),
+            }
+        ),
+        os.path.join(str(tmp_path), "orders.parquet"),
+    )
+    rfm = customer_rfm_bins(str(tmp_path))
+    assert rfm.count() == 0
+    assert set(rfm.schema().names) == {
+        "o_custkey", "recency_days", "frequency", "monetary_cents",
+        "r_bin", "f_bin", "m_bin",
+    }
+    lk = lang_keyness(str(tmp_path))
+    assert lk.count() == 0
+    assert set(lk.schema().names) == {"lang", "token", "n", "chi2"}
