@@ -346,6 +346,7 @@ BENCH_QUERIES = [
     "events_ewma",
     "common_users_by_type",
     "part_copurchase",
+    "basket_rules",
     "price_quantiles_by_flag",
     "events_zorder",
     "user_type_islands",

@@ -1618,3 +1618,190 @@ GROUP BY 1, 2
 HAVING COUNT(*) >= 2
 ORDER BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Association rules over baskets — support / confidence / lift on
+# DISTINCT-part co-occurrence (part_copurchase counts line-pair
+# multiplicity; rules need basket-level sets). The orderkey-hashed
+# exchange makes both the distinct-(order, part) projection and the
+# within-order pair expansion partition-local; part supports and the
+# basket count are bounded side reduces; the metric arithmetic is
+# single divisions of exact int64 counts, expression-identical to
+# the oracle.
+# ---------------------------------------------------------------------------
+
+def basket_rules(
+    sf_dir: str,
+    min_support: int = 2,
+    num_partitions: int | None = None,
+    max_pair_rows: int = 4_000_000,
+) -> pa.Table:
+    """(p1, p2, n_ab, n_a, n_b, confidence_12, confidence_21, lift)
+    for part pairs co-occurring in ≥ min_support baskets."""
+    from .relational import bounded_group_table_strict
+
+    li = _read_pq(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_partkey"],
+    )
+    n_parts = num_partitions or adaptive_partitions(
+        parquet_rows_hint(li), row_bytes=24
+    )
+
+    def tag(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "part": _part_of(b.column("l_orderkey"), n_parts),
+                "okey": pc.cast(b.column("l_orderkey"), pa.int64()),
+                "pkey": pc.cast(b.column("l_partkey"), pa.int64()),
+            }
+        )
+
+    def expand(g: pa.Table) -> pa.Table:
+        """Partition-local: distinct (order, part), then per-order
+        pair expansion (sorted parts ⇒ p1 < p2 for free), plus the
+        partition's (pkey, basket-count) and basket-count partials."""
+        empty = pa.table(
+            {
+                "kind": pa.array([], pa.int64()),
+                "p1": pa.array([], pa.int64()),
+                "p2": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if g.num_rows == 0:
+            return empty
+        ok = g.column("okey").to_numpy(zero_copy_only=False)
+        pk = g.column("pkey").to_numpy(zero_copy_only=False)
+        key = np.stack([ok, pk], axis=1)
+        key = np.unique(key, axis=0)          # distinct (order, part)
+        ok, pk = key[:, 0], key[:, 1]
+        seg = np.cumsum(np.concatenate(([True], ok[1:] != ok[:-1]))) - 1
+        kinds, p1s, p2s, ns = [], [], [], []
+        max_k = int(np.bincount(seg).max()) if len(seg) else 0
+        pair_1, pair_2 = [], []
+        for d in range(1, max_k):
+            same = seg[d:] == seg[:-d]
+            if same.any():
+                pair_1.append(pk[:-d][same])
+                pair_2.append(pk[d:][same])
+        if pair_1:
+            t = pa.table(
+                {
+                    "p1": pa.array(np.concatenate(pair_1), pa.int64()),
+                    "p2": pa.array(np.concatenate(pair_2), pa.int64()),
+                }
+            )
+            cnt = (
+                t.group_by(["p1", "p2"]).aggregate([([], "count_all")])
+                .rename_columns(["p1", "p2", "n"])
+            )
+            kinds.append(
+                pa.table(
+                    {
+                        "kind": pa.array([0] * cnt.num_rows, pa.int64()),
+                        "p1": cnt.column("p1"),
+                        "p2": cnt.column("p2"),
+                        "n": pc.cast(cnt.column("n"), pa.int64()),
+                    }
+                )
+            )
+        # part supports (kind 1) and the basket count (kind 2)
+        up, uc = np.unique(pk, return_counts=True)
+        kinds.append(
+            pa.table(
+                {
+                    "kind": pa.array([1] * len(up), pa.int64()),
+                    "p1": pa.array(up, pa.int64()),
+                    "p2": pa.array(np.zeros(len(up), np.int64), pa.int64()),
+                    "n": pa.array(uc.astype(np.int64), pa.int64()),
+                }
+            )
+        )
+        n_orders = int(seg[-1]) + 1 if len(seg) else 0
+        kinds.append(
+            pa.table(
+                {
+                    "kind": pa.array([2], pa.int64()),
+                    "p1": pa.array([0], pa.int64()),
+                    "p2": pa.array([0], pa.int64()),
+                    "n": pa.array([n_orders], pa.int64()),
+                }
+            )
+        )
+        return pa.concat_tables(kinds) if kinds else empty
+
+    per_part = (
+        li.map_batches(tag, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(expand, batch_format="pyarrow")
+    )
+    agg = bounded_group_table_strict(
+        per_part, ["kind", "p1", "p2"], [("n", "sum")],
+        max_rows=max_pair_rows,
+    )
+    empty_out = pa.table(
+        {
+            "p1": pa.array([], pa.int64()),
+            "p2": pa.array([], pa.int64()),
+            "n_ab": pa.array([], pa.int64()),
+            "n_a": pa.array([], pa.int64()),
+            "n_b": pa.array([], pa.int64()),
+            "confidence_12": pa.array([], pa.float64()),
+            "confidence_21": pa.array([], pa.float64()),
+            "lift": pa.array([], pa.float64()),
+        }
+    )
+    if agg is None or not agg.num_rows:
+        return empty_out
+    kind = agg.column("kind").to_numpy(zero_copy_only=False)
+    p1 = agg.column("p1").to_numpy(zero_copy_only=False)
+    p2 = agg.column("p2").to_numpy(zero_copy_only=False)
+    n = agg.column("n").to_numpy(zero_copy_only=False)
+    support = dict(zip(p1[kind == 1].tolist(), n[kind == 1].tolist()))
+    n_orders = int(n[kind == 2].sum())
+    sel = (kind == 0) & (n >= min_support)
+    if not sel.any():
+        return empty_out
+    a, b_, ab = p1[sel], p2[sel], n[sel]
+    na = np.array([support[x] for x in a.tolist()], np.int64)
+    nb = np.array([support[x] for x in b_.tolist()], np.int64)
+    abf, naf, nbf = (
+        ab.astype(np.float64), na.astype(np.float64), nb.astype(np.float64)
+    )
+    nof = np.float64(n_orders)
+    return pa.table(
+        {
+            "p1": pa.array(a, pa.int64()),
+            "p2": pa.array(b_, pa.int64()),
+            "n_ab": pa.array(ab, pa.int64()),
+            "n_a": pa.array(na, pa.int64()),
+            "n_b": pa.array(nb, pa.int64()),
+            "confidence_12": pa.array(abf / naf, pa.float64()),
+            "confidence_21": pa.array(abf / nbf, pa.float64()),
+            "lift": pa.array((nof * abf) / (naf * nbf), pa.float64()),
+        }
+    )
+
+
+BASKET_RULES_SQL = """
+WITH bp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+na AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS n FROM bp GROUP BY p),
+no AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n FROM bp),
+pairs AS (
+  SELECT a.p AS p1, b.p AS p2, CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM bp a JOIN bp b ON a.o = b.o AND a.p < b.p
+  GROUP BY a.p, b.p
+)
+SELECT p1, p2, n_ab, na1.n AS n_a, na2.n AS n_b,
+  CAST(n_ab AS DOUBLE) / CAST(na1.n AS DOUBLE) AS confidence_12,
+  CAST(n_ab AS DOUBLE) / CAST(na2.n AS DOUBLE) AS confidence_21,
+  (CAST(no.n AS DOUBLE) * CAST(n_ab AS DOUBLE))
+    / (CAST(na1.n AS DOUBLE) * CAST(na2.n AS DOUBLE)) AS lift
+FROM pairs
+JOIN na na1 ON na1.p = p1
+JOIN na na2 ON na2.p = p2
+CROSS JOIN no
+WHERE n_ab >= 2
+"""

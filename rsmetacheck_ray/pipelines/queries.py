@@ -6952,6 +6952,9 @@ def registry() -> dict[str, tuple]:
         "part_copurchase": (
             dec3.part_copurchase, dec3.PART_COPURCHASE_SQL,
         ),
+        "basket_rules": (
+            dec3.basket_rules, dec3.BASKET_RULES_SQL,
+        ),
         "events_zorder": (q_events_zorder, _sql_events_zorder()),
         "user_type_islands": (
             ana.user_type_islands, ana.USER_TYPE_ISLANDS_SQL,

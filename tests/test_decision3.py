@@ -405,3 +405,41 @@ def test_small_qty_revenue_copart_fallback(ray_session):
     with mock.patch.object(d3, "_BRAND_BROADCAST_MAX", 0):
         b = d3.small_qty_revenue(sf).take_all()
     assert a == b and len(a) == 1
+
+
+def test_basket_rules_planted(ray_session, tmp_path):
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rsmetacheck_ray.pipelines.decision3 import basket_rules
+
+    # 4 baskets: {1,2} x3 (one with a REPEATED line of part 1 — the
+    # distinct projection must collapse it), {1,3} x1.
+    rows = [
+        (100, 1), (100, 2), (100, 1),
+        (101, 1), (101, 2),
+        (102, 1), (102, 2),
+        (103, 1), (103, 3),
+    ]
+    t = pa.table(
+        {
+            "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+            "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(t, os.path.join(str(tmp_path), "lineitem.parquet"))
+    outs = []
+    for parts in (1, 3):
+        res = basket_rules(str(tmp_path), num_partitions=parts).to_pandas()
+        outs.append(res.sort_values(["p1", "p2"], ignore_index=True))
+    assert outs[0].equals(outs[1])
+    got = outs[0].set_index(["p1", "p2"])
+    r = got.loc[(1, 2)]
+    assert r["n_ab"] == 3 and r["n_a"] == 4 and r["n_b"] == 3
+    assert r["confidence_12"] == 3 / 4.0
+    assert r["confidence_21"] == 1.0
+    assert r["lift"] == (4.0 * 3.0) / (4.0 * 3.0)  # == 1.0
+    # pair (1,3) has support 1 < min_support: excluded
+    assert (1, 3) not in got.index
