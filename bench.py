@@ -249,6 +249,7 @@ BENCH_QUERIES = [
     "doc_readability",
     "source_lang_kl",
     "curate_readability",
+    "quality_percentiles",
     "source_gini",
     "weighted_sample",
     "doc_compression",

@@ -1071,6 +1071,146 @@ WHERE r.ari >= lo.lo AND r.ari <= hi.hi
 """
 
 
+# --- ECDF percentile normalization ---------------------------------------
+# Rank-normalize a quality signal within its language: pctl =
+# |{sample ≤ v}|·100 // k against the per-lang bottom-k
+# splitmix64(doc_id) sample — the deterministic-ECDF trick that lets
+# heterogeneous signals (ARI, entropy, classifier score) be blended
+# on a common 0..100 scale without a global sort. Pure integer
+# output, bitwise partition-invariant (the sample is a function of
+# the row SET), two streaming passes + one bounded sample merge.
+
+
+def q_quality_percentiles(sf_dir: str):
+    """(doc_id, lang, ari, pctl): each document's ARI percentile
+    within its own language's sampled ECDF."""
+    import ray
+
+    from ..functions.hashing import splitmix64_np
+    from ..functions.sketch import SQ_K, _key_segments, _sq_bottomk
+
+    ds = _documents(sf_dir, ["doc_id", "text", "lang"])
+
+    def with_ari(b: pa.Table) -> pa.Table:
+        text = b.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        _ch, _w, _s, ari = _ari_arrays(text)
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "lang": b.column("lang"),
+                "ari": pa.array(ari, pa.float64()),
+            }
+        )
+
+    scored = ds.map_batches(with_ari, batch_format="pyarrow")
+
+    def sample_partial(b: pa.Table) -> pa.Table:
+        keys = b.column("lang").to_numpy(zero_copy_only=False)
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        vals = b.column("ari").to_numpy(zero_copy_only=False)
+        hs = splitmix64_np(ids.astype(np.uint64))
+        uk, starts, ends, order = _key_segments(keys.astype(str))
+        hs, vals = hs[order], vals[order]
+        out_k, out_h, out_v = [], [], []
+        for key, a, e in zip(uk.tolist(), starts, ends):
+            h, v = _sq_bottomk(hs[a:e], vals[a:e], SQ_K)
+            out_k.extend([key] * len(h))
+            out_h.append(h)
+            out_v.append(v)
+        return pa.table(
+            {
+                "lang": pa.array(out_k, pa.string()),
+                "h": pa.array(
+                    np.concatenate(out_h) if out_h else np.empty(0, np.uint64),
+                    pa.uint64(),
+                ),
+                "v": pa.array(
+                    np.concatenate(out_v) if out_v else np.empty(0, np.float64),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    parts = [
+        t
+        for t in ray.get(
+            scored.map_batches(sample_partial, batch_format="pyarrow")
+            .materialize()
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    samples: dict[str, np.ndarray] = {}
+    if parts:
+        st = pa.concat_tables(parts)
+        langs = st.column("lang").to_numpy(zero_copy_only=False).astype(str)
+        hs = st.column("h").to_numpy(zero_copy_only=False)
+        vs = st.column("v").to_numpy(zero_copy_only=False)
+        for lang in np.unique(langs).tolist():
+            sel = langs == lang
+            h, v = _sq_bottomk(hs[sel], vs[sel], SQ_K)
+            samples[lang] = np.sort(v)
+    ref = ray.put(samples)
+
+    def pctl(b: pa.Table) -> pa.Table:
+        smp = ray.get(ref)
+        enc = b.column("lang").combine_chunks().dictionary_encode()
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        ari = b.column("ari").to_numpy(zero_copy_only=False)
+        out = np.zeros(len(ari), np.int64)
+        for code, lang in enumerate(enc.dictionary.to_pylist()):
+            s = smp[lang]
+            m = idx == code
+            out[m] = (
+                np.searchsorted(s, ari[m], side="right") * 100 // len(s)
+            )
+        return b.append_column("pctl", pa.array(out, pa.int64()))
+
+    return scored.map_batches(pctl, batch_format="pyarrow")
+
+
+def _sql_quality_percentiles() -> str:
+    from ..functions.sketch import SQ_K
+
+    sm, cte, col = _sql_splitmix_ctes("qpm", "ids", "did")
+    return f"""
+WITH c AS (
+  SELECT doc_id, lang,
+    len(regexp_extract_all(text, '{_ARI_CHAR_RE}')) AS n_ari_chars,
+    len(regexp_extract_all(text, '{_TOKEN_RE}')) AS n_words,
+    len(regexp_extract_all(text, '{_SENT_RE}')) AS n_sentences
+  FROM documents
+),
+r AS (
+  SELECT doc_id, lang,
+    (CAST(4.71 AS DOUBLE)
+       * (CAST(n_ari_chars AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE))
+     + CAST(0.5 AS DOUBLE)
+       * (CAST(n_words AS DOUBLE) / CAST(greatest(n_sentences, 1) AS DOUBLE)))
+    - CAST(21.43 AS DOUBLE) AS ari
+  FROM c
+),
+ids AS (SELECT lang, CAST(doc_id AS UBIGINT) AS did, ari FROM r),
+{sm.strip()},
+samp AS (
+  SELECT lang, ari AS v FROM {cte}
+  QUALIFY row_number() OVER (PARTITION BY lang ORDER BY {col}) <= {SQ_K}
+),
+sn AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS k FROM samp GROUP BY lang),
+cnt AS (
+  SELECT r.doc_id,
+    CAST(SUM(CASE WHEN s.v <= r.ari THEN 1 ELSE 0 END) AS BIGINT) AS le
+  FROM r JOIN samp s USING (lang)
+  GROUP BY r.doc_id
+)
+SELECT r.doc_id, r.lang, r.ari,
+  CAST(cnt.le * 100 // sn.k AS BIGINT) AS pctl
+FROM r JOIN cnt USING (doc_id) JOIN sn USING (lang)
+"""
+
+
 # --- per-source language-mix divergence ---------------------------------
 # KL(P_source ‖ P_corpus) over the language distribution: the
 # curation metric that flags a crawl source whose language mix
@@ -7012,6 +7152,9 @@ def registry() -> dict[str, tuple]:
         "dedup_cross_source": (q_dedup_cross_source, SQL_DEDUP_CROSS_SOURCE),
         "curate_readability": (
             q_curate_readability, _sql_curate_readability(),
+        ),
+        "quality_percentiles": (
+            q_quality_percentiles, _sql_quality_percentiles(),
         ),
         "pii_scrub": (q_pii_scrub, _sql_pii_scrub()),
         "normalize_text": (q_normalize_text, SQL_NORMALIZE_TEXT),

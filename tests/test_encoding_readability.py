@@ -272,3 +272,18 @@ def test_lang_keyness_distinctive_not_frequent(ray_session, tmp_path):
     assert top == {"en": "alpha", "fr": "beta"}
     # 'the' is never over-represented (identical share) -> excluded
     assert "the" not in set(outs[0]["token"])
+
+
+def test_quality_percentiles_complete_sample(ray_session, tmp_path):
+    from rsmetacheck_ray.pipelines.queries import q_quality_percentiles
+
+    # 10 docs with strictly increasing ARI, one lang, complete sample
+    # (n <= k) -> pctl is the exact ECDF: rank-th doc gets
+    # (rank+1)*100//10
+    texts = ["w" * (i + 1) + " x." for i in range(10)]
+    sf = _write_docs(tmp_path, texts)
+    out = q_quality_percentiles(sf).to_pandas()
+    order = out.sort_values("ari")["doc_id"].tolist()
+    got = out.set_index("doc_id")["pctl"]
+    for rank, d in enumerate(order):
+        assert got[d] == (rank + 1) * 100 // 10
