@@ -176,3 +176,36 @@ def test_actor_pool_member_loss(ray_session):
         if got[2]:
             return  # a kill landed mid-batch and the run still matched
     raise AssertionError("no kill ever landed on an executing actor")
+
+
+def test_worker_loss_during_bsp_bfs(ray_session):
+    """SIGKILL a worker during the raw-Ray BSP min-plus BFS
+    (dedup_graph_bfs): task retry + lineage reconstruction of the
+    per-shard distance objects must reproduce the identical hop map —
+    the bare-task counterpart of the Dataset-shuffle kill tests."""
+    from rsmetacheck_ray.pipelines.queries import q_dedup_graph_bfs
+
+    def fn(sf):
+        t = q_dedup_graph_bfs(sf)
+        return sorted(
+            zip(
+                t.column("doc_id").to_pylist(),
+                t.column("component_id").to_pylist(),
+                t.column("dist").to_pylist(),
+            )
+        )
+
+    want = fn(SF)
+    assert len(want) > 0
+    for _ in range(8):
+        killer = _Killer(n=1)
+        killer.start()
+        try:
+            got = fn(SF)
+        finally:
+            killer.stop.set()
+            killer.join(timeout=12)
+        assert got == want
+        if killer.killed:
+            return
+    raise AssertionError("no kill ever landed on an executing worker")
