@@ -251,6 +251,7 @@ BENCH_QUERIES = [
     "curate_readability",
     "quality_percentiles",
     "source_gini",
+    "source_readability_drift",
     "weighted_sample",
     "doc_compression",
     "pii_scrub",

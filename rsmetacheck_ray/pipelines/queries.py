@@ -1505,6 +1505,141 @@ QUALIFY row_number() OVER (ORDER BY es_key DESC, doc_id ASC) <= {_WS_K}
 """
 
 
+# --- per-source readability drift ------------------------------------------
+# Which crawl sources read differently from the corpus? Pooled-count
+# ARI per source (the ARI formula applied to the source's SUMMED
+# char/word/sentence counts — exact int64 sums, so the per-source
+# number is deterministic at any partition layout, unlike a mean of
+# per-doc floats), then a z-score across sources. The cross-source
+# mean/variance are sequential source-ascending folds ≙ the oracle's
+# list_sum(list(x ORDER BY source)); only (source, 4 counters)
+# partials ever shuffle.
+
+
+def q_source_readability_drift(sf_dir: str):
+    """(source, n_docs, pooled_ari, z): per-source pooled-count ARI
+    and its z-score across sources."""
+    import math
+
+    ds = _documents(sf_dir, ["source", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        text = b.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        ch, w, s, _ari = _ari_arrays(text)
+        t = pa.table(
+            {
+                "source": b.column("source"),
+                "ch": pa.array(ch, pa.int64()),
+                "w": pa.array(w, pa.int64()),
+                "s": pa.array(s, pa.int64()),
+            }
+        )
+        g = t.group_by(["source"]).aggregate(
+            [([], "count_all"), ("ch", "sum"), ("w", "sum"), ("s", "sum")]
+        )
+        return g.rename_columns(["source", "n_docs", "ch", "w", "s"])
+
+    tbl = rel.bounded_group_table_strict(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["source"],
+        [("n_docs", "sum"), ("ch", "sum"), ("w", "sum"), ("s", "sum")],
+    )
+    empty = pa.table(
+        {
+            "source": pa.array([], pa.string()),
+            "n_docs": pa.array([], pa.int64()),
+            "pooled_ari": pa.array([], pa.float64()),
+            "z": pa.array([], pa.float64()),
+        }
+    )
+    if tbl is None or not tbl.num_rows:
+        return empty
+    rows = sorted(
+        zip(
+            tbl.column("source").to_pylist(),
+            tbl.column("n_docs").to_pylist(),
+            tbl.column("ch").to_pylist(),
+            tbl.column("w").to_pylist(),
+            tbl.column("s").to_pylist(),
+        )
+    )
+    aris = []
+    for _src, _nd, ch, w, s in rows:
+        aris.append(
+            (
+                4.71 * (float(ch) / float(max(w, 1)))
+                + 0.5 * (float(w) / float(max(s, 1)))
+            )
+            - 21.43
+        )
+    n = len(aris)
+    acc = 0.0
+    for v in aris:               # sequential fold ≙ list_sum
+        acc += v
+    mean = acc / float(n)
+    vacc = 0.0
+    for v in aris:
+        vacc += (v - mean) * (v - mean)
+    var = vacc / float(n)
+    sd = math.sqrt(var) if var > 0.0 else None
+    return pa.table(
+        {
+            "source": pa.array([r[0] for r in rows], pa.string()),
+            "n_docs": pa.array([r[1] for r in rows], pa.int64()),
+            "pooled_ari": pa.array(aris, pa.float64()),
+            "z": pa.array(
+                [None if sd is None else (v - mean) / sd for v in aris],
+                pa.float64(),
+            ),
+        }
+    )
+
+
+SQL_SOURCE_READABILITY_DRIFT = f"""
+WITH c AS (
+  SELECT source,
+    len(regexp_extract_all(text, '{_ARI_CHAR_RE}')) AS ch,
+    len(regexp_extract_all(text, '{_TOKEN_RE}')) AS w,
+    len(regexp_extract_all(text, '{_SENT_RE}')) AS s
+  FROM documents
+),
+p AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(ch) AS BIGINT) AS ch, CAST(SUM(w) AS BIGINT) AS w,
+    CAST(SUM(s) AS BIGINT) AS s
+  FROM c GROUP BY source
+),
+a AS (
+  SELECT source, n_docs,
+    (CAST(4.71 AS DOUBLE)
+       * (CAST(ch AS DOUBLE) / CAST(greatest(w, 1) AS DOUBLE))
+     + CAST(0.5 AS DOUBLE)
+       * (CAST(w AS DOUBLE) / CAST(greatest(s, 1) AS DOUBLE)))
+    - CAST(21.43 AS DOUBLE) AS pooled_ari
+  FROM p
+),
+m AS (
+  SELECT list_sum(list(pooled_ari ORDER BY source))
+           / CAST(COUNT(*) AS DOUBLE) AS mean,
+         CAST(COUNT(*) AS DOUBLE) AS n
+  FROM a
+),
+v AS (
+  SELECT list_sum(
+           list_transform(list(a.pooled_ari ORDER BY a.source),
+                          x -> (x - m.mean) * (x - m.mean)))
+         / m.n AS var, m.mean AS mean
+  FROM a CROSS JOIN m GROUP BY m.n, m.mean
+)
+SELECT a.source, a.n_docs, a.pooled_ari,
+  CASE WHEN v.var > CAST(0 AS DOUBLE)
+       THEN (a.pooled_ari - v.mean) / sqrt(v.var) ELSE NULL END AS z
+FROM a CROSS JOIN v
+"""
+
+
 # --- source concentration (Gini) -----------------------------------------
 # How concentrated is corpus volume across crawl sources? Gini over
 # per-source character totals — G = (2·Σi·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ)
@@ -7148,6 +7283,9 @@ def registry() -> dict[str, tuple]:
         "doc_readability": (q_doc_readability, SQL_DOC_READABILITY),
         "source_lang_kl": (q_source_lang_kl, SQL_SOURCE_LANG_KL),
         "source_gini": (q_source_gini, SQL_SOURCE_GINI),
+        "source_readability_drift": (
+            q_source_readability_drift, SQL_SOURCE_READABILITY_DRIFT,
+        ),
         "weighted_sample": (q_weighted_sample, _sql_weighted_sample()),
         "dedup_cross_source": (q_dedup_cross_source, SQL_DEDUP_CROSS_SOURCE),
         "curate_readability": (

@@ -287,3 +287,37 @@ def test_quality_percentiles_complete_sample(ray_session, tmp_path):
     got = out.set_index("doc_id")["pctl"]
     for rank, d in enumerate(order):
         assert got[d] == (rank + 1) * 100 // 10
+
+
+def test_source_readability_drift_planted(ray_session, tmp_path):
+    import math
+
+    from rsmetacheck_ray.pipelines.queries import q_source_readability_drift
+
+    # two sources with identical pooled counts -> var 0 -> z NULL;
+    # pooled_ari computed on SUMMED counts (verify macro != micro by
+    # giving source 'a' two docs whose pooled ARI differs from the
+    # mean of the per-doc ARIs)
+    texts = ["aa b.", "aaaaaaaa bb cc dd."]
+    rows = [("a", texts[0]), ("a", texts[1]), ("b", texts[0]), ("b", texts[1])]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(4), pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array(["en"] * 4, pa.string()),
+            "source": pa.array([r[0] for r in rows], pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(t, os.path.join(str(tmp_path), "documents.parquet"))
+    out = {r["source"]: r for r in q_source_readability_drift(str(tmp_path)).to_pylist()}
+    # pooled counts per source: ch = 2+8+2+2+2 = wait, per source:
+    # doc0 'aa b.': ch=3 w=2 s=1; doc1: ch=14 w=4 s=1 -> pooled 17/6/2
+    expect = (4.71 * (17 / 6.0) + 0.5 * (6 / 2.0)) - 21.43
+    assert out["a"]["pooled_ari"] == expect
+    assert out["a"]["pooled_ari"] == out["b"]["pooled_ari"]
+    assert out["a"]["z"] is None and out["b"]["z"] is None
+    # macro (pooled) differs from the micro mean of per-doc ARIs
+    d0 = (4.71 * (3 / 2.0) + 0.5 * (2 / 1.0)) - 21.43
+    d1 = (4.71 * (14 / 4.0) + 0.5 * (4 / 1.0)) - 21.43
+    assert abs(expect - (d0 + d1) / 2) > 0.1
