@@ -298,6 +298,7 @@ BENCH_QUERIES = [
     "events_hourly_autocorr",
     "decayed_type_counts",
     "events_type_fano",
+    "events_changepoint",
     "customer_order_counts",
     "customer_rfm_bins",
     "split_assign",

@@ -7101,6 +7101,9 @@ def registry() -> dict[str, tuple]:
             rel.events_hourly_autocorr, rel.EVENTS_AUTOCORR_SQL,
         ),
         "events_type_fano": (rel.events_type_fano, rel.EVENTS_FANO_SQL),
+        "events_changepoint": (
+            rel.events_changepoint, rel.EVENTS_CHANGEPOINT_SQL,
+        ),
         "events_latest_per_user": (
             rel.events_latest_per_user, rel.EVENTS_LATEST_SQL,
         ),

@@ -2713,3 +2713,130 @@ SELECT feat.o_custkey, feat.recency_days, feat.frequency,
        AS BIGINT) AS m_bin
 FROM feat CROSS JOIN thr_r tr CROSS JOIN thr_f tf CROSS JOIN thr_m tm
 """
+
+
+# ---------------------------------------------------------------------------
+# Change-point detection — the single split of the dense hourly count
+# series that maximizes the level shift |mean_right − mean_left|, per
+# type: "when did this event stream change regime" (a crawler ramp,
+# a source going dark). Same bounded (type, hour, n) partials and
+# dense global range as the autocorrelation; every candidate split's
+# means are single divisions of exact int64 prefix sums, computed
+# identically on both sides, so the argmax (tie → earliest hour) is
+# oracle-reproducible.
+# ---------------------------------------------------------------------------
+
+def events_changepoint(sf_dir: str) -> pa.Table:
+    """(event_type, split_hour, n_left, n_right, mean_left,
+    mean_right, shift): the max-|shift| split per type; split_hour is
+    the first hour index of the right segment."""
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["ts", "event_type"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h = pc.divide(
+            pc.cast(
+                pc.floor_temporal(batch.column("ts"), unit="hour"), pa.int64()
+            ),
+            _HOUR_US,
+        )
+        t = pa.table({"event_type": batch.column("event_type"), "h": h})
+        g = t.group_by(["event_type", "h"]).aggregate([([], "count_all")])
+        return g.rename_columns(["event_type", "h", "n"])
+
+    tbl = bounded_group_table_strict(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "h"],
+        [("n", "sum")],
+    )
+    cols = {
+        "event_type": [], "split_hour": [], "n_left": [], "n_right": [],
+        "mean_left": [], "mean_right": [], "shift": [],
+    }
+    if tbl is not None and tbl.num_rows:
+        types = tbl.column("event_type").to_numpy(zero_copy_only=False)
+        hs = tbl.column("h").to_numpy(zero_copy_only=False)
+        ns = tbl.column("n").to_numpy(zero_copy_only=False)
+        hmin, hmax = int(hs.min()), int(hs.max())
+        span = hmax - hmin + 1
+        for t_name in sorted(np.unique(types.astype(str)).tolist()):
+            if span < 2:
+                continue
+            sel = types == t_name
+            dense = np.zeros(span, np.int64)
+            dense[hs[sel] - hmin] = ns[sel]
+            cum = np.cumsum(dense)
+            total = cum[-1]
+            k = np.arange(1, span, dtype=np.int64)   # left length
+            sL = cum[:-1]
+            # expression-identical to EVENTS_CHANGEPOINT_SQL
+            mL = sL.astype(np.float64) / k.astype(np.float64)
+            mR = (total - sL).astype(np.float64) / (span - k).astype(
+                np.float64
+            )
+            shift = mR - mL
+            best = int(np.argmax(np.abs(shift)))  # first max = low k
+            cols["event_type"].append(t_name)
+            cols["split_hour"].append(hmin + int(k[best]))
+            cols["n_left"].append(int(k[best]))
+            cols["n_right"].append(span - int(k[best]))
+            cols["mean_left"].append(float(mL[best]))
+            cols["mean_right"].append(float(mR[best]))
+            cols["shift"].append(float(shift[best]))
+    return pa.table(
+        {
+            "event_type": pa.array(cols["event_type"], pa.string()),
+            "split_hour": pa.array(cols["split_hour"], pa.int64()),
+            "n_left": pa.array(cols["n_left"], pa.int64()),
+            "n_right": pa.array(cols["n_right"], pa.int64()),
+            "mean_left": pa.array(cols["mean_left"], pa.float64()),
+            "mean_right": pa.array(cols["mean_right"], pa.float64()),
+            "shift": pa.array(cols["shift"], pa.float64()),
+        }
+    )
+
+
+EVENTS_CHANGEPOINT_SQL = """
+WITH c AS (
+  SELECT event_type,
+         epoch_us(date_trunc('hour', ts)) // 3600000000 AS h
+  FROM events
+),
+cnt AS (
+  SELECT event_type, h, CAST(COUNT(*) AS BIGINT) AS n
+  FROM c GROUP BY event_type, h
+),
+b AS (SELECT min(h) AS hmin, max(h) AS hmax FROM c),
+hours AS (SELECT unnest(generate_series(hmin, hmax)) AS h FROM b),
+types AS (SELECT DISTINCT event_type FROM c),
+dense AS (
+  SELECT t.event_type, hrs.h, COALESCE(cnt.n, 0) AS n
+  FROM types t CROSS JOIN hours hrs
+  LEFT JOIN cnt ON cnt.event_type = t.event_type AND cnt.h = hrs.h
+),
+cum AS (
+  SELECT event_type, h,
+    CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY h
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sl,
+    CAST(row_number() OVER (PARTITION BY event_type ORDER BY h)
+         AS BIGINT) AS k,
+    CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS total,
+    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS span
+  FROM dense
+),
+splits AS (
+  SELECT event_type, h + 1 AS split_hour, k AS n_left,
+    span - k AS n_right,
+    CAST(sl AS DOUBLE) / CAST(k AS DOUBLE) AS mean_left,
+    CAST(total - sl AS DOUBLE) / CAST(span - k AS DOUBLE) AS mean_right
+  FROM cum WHERE k < span
+)
+SELECT event_type, split_hour, n_left, n_right, mean_left, mean_right,
+  mean_right - mean_left AS shift
+FROM splits
+QUALIFY row_number() OVER (
+  PARTITION BY event_type
+  ORDER BY abs(mean_right - mean_left) DESC, split_hour ASC) = 1
+"""

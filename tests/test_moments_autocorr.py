@@ -369,3 +369,22 @@ def test_new_operators_empty_inputs(ray_session, tmp_path):
     lk = lang_keyness(str(tmp_path))
     assert lk.count() == 0
     assert set(lk.schema().names) == {"lang", "token", "n", "chi2"}
+
+
+def test_events_changepoint_planted(ray_session, tmp_path):
+    from rsmetacheck_ray.pipelines.relational import events_changepoint
+
+    # step series: 1 event/hour for 10 h, then 5/hour for 10 h ->
+    # split exactly at the step, means 1.0 and 5.0
+    ts, types = [], []
+    for h in range(10):
+        ts.append(_at(h, 1)); types.append("step")
+    for h in range(10, 20):
+        for m in range(5):
+            ts.append(_at(h, m + 1)); types.append("step")
+    sf = _write_events(tmp_path, ts, types)
+    rows = {r["event_type"]: r for r in events_changepoint(sf).to_pylist()}
+    st = rows["step"]
+    assert st["n_left"] == 10 and st["n_right"] == 10
+    assert st["mean_left"] == 1.0 and st["mean_right"] == 5.0
+    assert st["shift"] == 4.0
