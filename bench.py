@@ -322,6 +322,7 @@ BENCH_QUERIES = [
     "events_sliding_distinct_users",
     "top_tokens_by_lang",
     "lang_keyness",
+    "lang_confusion",
     "rank_dedup_graph",
     "dedup_graph_bfs",
     "dedup_graph_triangles",

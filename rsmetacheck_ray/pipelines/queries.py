@@ -199,6 +199,45 @@ def _query_vectors(sf_dir: str, n: int = 5):
 # query implementations
 # ---------------------------------------------------------------------------
 
+def q_lang_confusion(sf_dir: str):
+    """(lang, detected_lang, n): the declared-vs-detected language
+    confusion matrix over the gate corpus — the calibration table a
+    langid threshold review reads (how much declared-en lands in
+    'und', which declared langs the detector never confirms). Bounded
+    |langs|² counts; only 24 B partials shuffle."""
+    out = _gated(sf_dir).select_columns(["lang", "detected_lang"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["lang", "detected_lang"]).aggregate(
+            [([], "count_all")]
+        )
+        return g.rename_columns(["lang", "detected_lang", "n"])
+
+    res = rel.bounded_group_table_strict(
+        out.map_batches(partial, batch_format="pyarrow"),
+        ["lang", "detected_lang"],
+        [("n", "sum")],
+    )
+    if res is None:
+        return pa.table(
+            {
+                "lang": pa.array([], pa.string()),
+                "detected_lang": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+    return res
+
+
+def _sql_lang_confusion() -> str:
+    return f"""
+WITH pages AS ({{pages}}),
+{_FEAT_SQL}
+SELECT lang, detected_lang, CAST(COUNT(*) AS BIGINT) AS n
+FROM det GROUP BY lang, detected_lang
+"""
+
+
 def q_gate_url_flags(sf_dir: str):
     out = _gated(sf_dir)
     return out.select_columns(
@@ -7328,6 +7367,10 @@ def registry() -> dict[str, tuple]:
         "gate_shape_lang_flags": (
             q_gate_shape_lang_flags,
             SQL_GATE_SHAPE.replace("{pages}", pages),
+        ),
+        "lang_confusion": (
+            q_lang_confusion,
+            _sql_lang_confusion().replace("{pages}", pages),
         ),
         "gate_meta_flags": (
             q_gate_meta_flags,

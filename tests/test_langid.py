@@ -91,3 +91,21 @@ def test_union_pass_matches_per_language_counts():
             zero_copy_only=False
         )
     assert (fast == slow).all(), (fast, slow)
+
+
+def test_lang_confusion_matrix(ray_session):
+    from rsmetacheck_ray.pipelines.queries import q_lang_confusion
+
+    out = q_lang_confusion("/root/testdata/sf0.001")
+    rows = out.to_pylist()
+    assert len(rows) > 0
+    # a confusion matrix: counts positive, detected side restricted to
+    # the detector's label set, and totals equal the corpus size
+    dets = {r["detected_lang"] for r in rows}
+    assert all(r["n"] > 0 for r in rows)
+    assert dets <= {"en", "fr", "es", "de", "und"}
+    # totals must equal the pages corpus size: 500 docs + 5 triggers
+    assert sum(r["n"] for r in rows) == 505
+    # both confirmed and unconfirmed cells exist (non-degenerate)
+    assert any(r["detected_lang"] == "en" for r in rows)
+    assert any(r["detected_lang"] == "und" for r in rows)
