@@ -1,0 +1,579 @@
+"""Decision-support batch 5 (round 4, continuation): four analytics
+shapes the suite did not yet cover —
+
+- cohort retention (first-activity month × month-offset distinct-user
+  matrix, the classic SaaS retention triangle),
+- interval stabbing (daily count of simultaneously-open orders via
+  +1/−1 boundary deltas and one prefix sum — the sweep-line shape),
+- market concentration (Herfindahl–Hirschman index of supplier revenue
+  share within each part brand, exact-integer numerators),
+- inter-arrival statistics (per event type, gap stats between each
+  user's consecutive events — the LAG-diff shape).
+
+The reference has no relational engine at all (single-process JSON
+walk, ``src/cli.py`` + ``utils/pitfall_utils.py``); these extend the
+SURVEY §2.5–2.7 join/aggregation axis the same way decision2–4 do.
+
+Scale notes. Every shape here shuffles PARTIALS, never raw rows:
+cohorts ships batch-distinct (custkey, month) pairs (16 B) through one
+custkey-hash shuffle and reduces a (months × offsets) bounded matrix;
+backlog pre-combines lineitem to per-batch (orderkey → max shipdate)
+before its single orderkey tagged-union shuffle and reduces a
+(#distinct days) bounded delta table; HHI ships (partkey, suppkey,
+cents) rows through the size-gated generic ``join()`` (broadcast part
+while it is bounded, co-partitioned partkey shuffle past it) and
+reduces (brand × supplier) partials under the bounded-reduce guard;
+inter-arrival is the sessionize pattern — one user-hash shuffle, one
+lexsort per partition, |event types| partial rows out. All money math
+is exact int64 cents; the only floats in any output are single
+divisions of exact integers, written identically in the oracles.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+from ..partitioning import adaptive_partitions, parquet_rows_hint
+from .join import join
+from .relational import (
+    _cents,
+    _part_of,
+    _read_pq,
+    bounded_group_table_strict,
+)
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention: first-order month × month offset → distinct customers.
+# ---------------------------------------------------------------------------
+
+def customer_cohorts(
+    sf_dir: str, num_partitions: int | None = None
+) -> rd.Dataset:
+    """(cohort_month, month_offset, n_customers): customers grouped by
+    the month (index since 1970-01) of their FIRST order; for each
+    cohort and month offset, how many of them placed an order that
+    month — the retention-triangle matrix.
+
+    Plan: one custkey-hash shuffle of batch-distinct (custkey, month)
+    pairs; each partition holds every row of its customers, so one
+    np.unique + a per-customer min gives cohorts locally; the
+    (cohort, offset) count partials it emits are bounded by the month
+    domain squared (~84² at this lake's time span), reduced on the
+    driver under the bounded-reduce guard."""
+    ds = _read_pq(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderdate"],
+    )
+    n_parts = num_partitions or adaptive_partitions(
+        parquet_rows_hint(ds), row_bytes=16
+    )
+
+    def tag(b: pa.Table) -> pa.Table:
+        cust = b.column("o_custkey").to_numpy(zero_copy_only=False)
+        # month index since 1970-01 — the M8[M] cast is exact calendar
+        # month truncation, matching the oracle's (year-1970)*12+month-1
+        m = (
+            b.column("o_orderdate")
+            .to_numpy(zero_copy_only=False)
+            .astype("M8[M]")
+            .astype(np.int64)
+        )
+        pairs = np.unique(np.stack([cust, m], axis=1), axis=0)
+        ka = pa.array(pairs[:, 0], pa.int64())
+        return pa.table(
+            {
+                "part": _part_of(ka, n_parts),
+                "cust": ka,
+                "m": pa.array(pairs[:, 1], pa.int64()),
+            }
+        )
+
+    def cohort_counts(g: pa.Table) -> pa.Table:
+        cust = g.column("cust").to_numpy(zero_copy_only=False)
+        m = g.column("m").to_numpy(zero_copy_only=False)
+        if not len(cust):
+            return pa.table(
+                {
+                    "cohort_month": pa.array([], pa.int64()),
+                    "month_offset": pa.array([], pa.int64()),
+                    "n_customers": pa.array([], pa.int64()),
+                }
+            )
+        # global distinct within the partition (batches overlap), then
+        # per-customer cohort = min month via one lexsort scan
+        pairs = np.unique(np.stack([cust, m], axis=1), axis=0)
+        c, mm = pairs[:, 0], pairs[:, 1]
+        first = np.empty(len(c), dtype=bool)
+        first[0] = True
+        first[1:] = c[1:] != c[:-1]
+        # rows are sorted by (cust, month): the first row of each
+        # customer run is the cohort month; broadcast it down the run
+        cohort = mm[first][np.cumsum(first) - 1]
+        key = np.stack([cohort, mm - cohort], axis=1)
+        uniq, counts = np.unique(key, axis=0, return_counts=True)
+        return pa.table(
+            {
+                "cohort_month": pa.array(uniq[:, 0], pa.int64()),
+                "month_offset": pa.array(uniq[:, 1], pa.int64()),
+                "n_customers": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    per_part = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(cohort_counts, batch_format="pyarrow")
+    )
+    tbl = bounded_group_table_strict(
+        per_part,
+        ["cohort_month", "month_offset"],
+        [("n_customers", "sum")],
+    )
+    if tbl is None:
+        tbl = pa.table(
+            {
+                "cohort_month": pa.array([], pa.int64()),
+                "month_offset": pa.array([], pa.int64()),
+                "n_customers": pa.array([], pa.int64()),
+            }
+        )
+    return rd.from_arrow(tbl).sort(["cohort_month", "month_offset"])
+
+
+CUSTOMER_COHORTS_SQL = """
+WITH cm AS (
+  SELECT DISTINCT o_custkey,
+    (year(o_orderdate) - 1970) * 12 + month(o_orderdate) - 1 AS m
+  FROM orders
+), f AS (
+  SELECT o_custkey, MIN(m) AS cohort FROM cm GROUP BY o_custkey
+)
+SELECT CAST(f.cohort AS BIGINT) AS cohort_month,
+       CAST(cm.m - f.cohort AS BIGINT) AS month_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM cm JOIN f USING (o_custkey)
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Interval stabbing: daily count of simultaneously-open orders.
+# ---------------------------------------------------------------------------
+
+def orders_backlog(
+    sf_dir: str, num_partitions: int | None = None
+) -> rd.Dataset:
+    """(day, open_orders): for every day on which the count changes,
+    the number of orders open that day — an order is open from
+    ``o_orderdate`` through its latest line's ``l_shipdate``. The
+    sweep-line recast: each interval becomes a +1 delta at its start
+    day and a −1 the day after its end; one prefix sum over the
+    per-day delta totals yields the running count.
+
+    Plan: lineitem pre-combines per batch to (orderkey → max shipdate)
+    — lineitem is orderkey-clustered, so this is a ~4× reduction
+    before any data moves; ONE orderkey tagged-union shuffle co-locates
+    those partials with the orders side; each partition finishes the
+    max, attaches the order date with a sorted probe, and emits
+    per-day delta partials bounded by the day domain (~2,500 at this
+    lake's 7-year span). The prefix sum runs on the driver over that
+    bounded table — a cumulative sum over an unbounded domain would
+    instead need the sort+scan pattern of events_running_totals."""
+    li = _read_pq(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_shipdate"],
+    )
+    orders = _read_pq(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate"],
+    )
+    n_parts = num_partitions or adaptive_partitions(
+        parquet_rows_hint(li), row_bytes=16
+    )
+
+    def tag_li(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "key": b.column("l_orderkey"),
+                "d": pc.cast(
+                    pc.cast(b.column("l_shipdate"), pa.date32()), pa.int32()
+                ),
+            }
+        ).group_by("key").aggregate([("d", "max")])
+        ka = t.column("key").combine_chunks()
+        return pa.table(
+            {
+                "part": _part_of(ka, n_parts),
+                "key": ka,
+                "tag": pa.array(np.zeros(len(t), np.int8)),
+                "d": t.column("d_max"),
+            }
+        )
+
+    def tag_orders(b: pa.Table) -> pa.Table:
+        ka = b.column("o_orderkey").combine_chunks()
+        return pa.table(
+            {
+                "part": _part_of(ka, n_parts),
+                "key": ka,
+                "tag": pa.array(np.ones(len(b), np.int8)),
+                "d": pc.cast(
+                    pc.cast(b.column("o_orderdate"), pa.date32()), pa.int32()
+                ),
+            }
+        )
+
+    both = li.map_batches(tag_li, batch_format="pyarrow").union(
+        orders.map_batches(tag_orders, batch_format="pyarrow")
+    )
+
+    def deltas(g: pa.Table) -> pa.Table:
+        tag = g.column("tag").to_numpy(zero_copy_only=False)
+        key = g.column("key").to_numpy(zero_copy_only=False)
+        d = g.column("d").to_numpy(zero_copy_only=False).astype(np.int64)
+        lsel = tag == 0
+        lk, ld = key[lsel], d[lsel]
+        ok, od = key[~lsel], d[~lsel]
+        empty = pa.table(
+            {
+                "day": pa.array([], pa.int32()),
+                "dd": pa.array([], pa.int64()),
+            }
+        )
+        if not len(lk) or not len(ok):
+            return empty
+        # finish the per-order max across the lineitem partials
+        order = np.lexsort((ld, lk))
+        lk, ld = lk[order], ld[order]
+        last = np.empty(len(lk), dtype=bool)
+        last[:-1] = lk[1:] != lk[:-1]
+        last[-1] = True
+        ck, cd = lk[last], ld[last]
+        # inner probe: orders with no lines drop (matches the SQL join)
+        pos = np.minimum(np.searchsorted(ck, ok), len(ck) - 1)
+        hit = ck[pos] == ok
+        starts = od[hit]
+        ends = cd[pos[hit]] + 1  # open through end day: −1 fires next day
+        days = np.concatenate([starts, ends])
+        dd = np.concatenate(
+            [np.ones(len(starts), np.int64), -np.ones(len(ends), np.int64)]
+        )
+        ud, inv = np.unique(days, return_inverse=True)
+        return pa.table(
+            {
+                "day": pa.array(ud.astype(np.int32), pa.int32()),
+                "dd": pa.array(np.bincount(inv, weights=dd).astype(np.int64)),
+            }
+        )
+
+    per_part = both.groupby("part").map_groups(deltas, batch_format="pyarrow")
+    tbl = bounded_group_table_strict(per_part, ["day"], [("dd", "sum")])
+    if tbl is None:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "day": pa.array([], pa.timestamp("us")),
+                    "open_orders": pa.array([], pa.int64()),
+                }
+            )
+        )
+    day = tbl.column("day").to_numpy(zero_copy_only=False)
+    dd = tbl.column("dd").to_numpy(zero_copy_only=False)
+    order = np.argsort(day, kind="stable")
+    out = pa.table(
+        {
+            "day": pa.array(day[order], pa.int32())
+            .cast(pa.date32())
+            .cast(pa.timestamp("us")),
+            "open_orders": pa.array(np.cumsum(dd[order]).astype(np.int64)),
+        }
+    )
+    return rd.from_arrow(out)
+
+
+ORDERS_BACKLOG_SQL = """
+WITH closed AS (
+  SELECT l_orderkey, CAST(MAX(l_shipdate) AS DATE) AS end_d
+  FROM lineitem GROUP BY l_orderkey
+), iv AS (
+  SELECT CAST(o_orderdate AS DATE) AS start_d, end_d
+  FROM orders JOIN closed ON o_orderkey = l_orderkey
+), deltas AS (
+  SELECT start_d AS day, 1 AS dd FROM iv
+  UNION ALL
+  SELECT end_d + 1 AS day, -1 AS dd FROM iv
+), agg AS (
+  SELECT day, SUM(dd) AS dd FROM deltas GROUP BY day
+)
+SELECT CAST(day AS TIMESTAMP) AS day,
+       CAST(SUM(dd) OVER (ORDER BY day) AS BIGINT) AS open_orders
+FROM agg
+ORDER BY day
+"""
+
+
+# ---------------------------------------------------------------------------
+# Market concentration: HHI of supplier revenue share per part brand.
+# ---------------------------------------------------------------------------
+
+def part_brand_hhi(
+    sf_dir: str, num_partitions: int | None = None
+) -> rd.Dataset:
+    """(p_brand, n_suppliers, total_cents, hhi, top_share): within
+    each part brand, how concentrated revenue is across suppliers —
+    the Herfindahl–Hirschman index Σ(shareᵢ²) plus the largest single
+    supplier's share.
+
+    Plan: lineitem ships (partkey, suppkey, cents) rows into the
+    size-gated generic ``join()`` against part's (partkey, brand)
+    pair — broadcast probe while part is bounded, co-partitioned
+    partkey shuffle past it; each joined batch pre-combines to
+    (brand, suppkey) cent partials, reduced under the bounded-reduce
+    guard (#brands × #suppliers rows). The driver then forms each
+    brand's HHI from EXACT integer sums with arbitrary-precision
+    Python ints — r² sums overflow int64 near SF 1k — and performs the
+    identical float divisions the oracle writes."""
+    li = _read_pq(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_partkey": b.column("l_partkey"),
+                "l_suppkey": b.column("l_suppkey"),
+                "cents": _cents(
+                    pc.multiply(
+                        b.column("l_extendedprice"),
+                        pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+                    )
+                ),
+            }
+        )
+
+    part = _read_pq(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_brand"]
+    )
+    joined = join(
+        li.map_batches(project, batch_format="pyarrow"),
+        part,
+        on=("l_partkey", "p_partkey"),
+        num_partitions=num_partitions,
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "p_brand": b.column("p_brand"),
+                "l_suppkey": b.column("l_suppkey"),
+                "cents": b.column("cents"),
+            }
+        ).group_by(["p_brand", "l_suppkey"]).aggregate([("cents", "sum")])
+        return t.rename_columns(["p_brand", "l_suppkey", "cents"])
+
+    tbl = bounded_group_table_strict(
+        joined.map_batches(partial, batch_format="pyarrow"),
+        ["p_brand", "l_suppkey"],
+        [("cents", "sum")],
+    )
+    empty = pa.table(
+        {
+            "p_brand": pa.array([], pa.string()),
+            "n_suppliers": pa.array([], pa.int64()),
+            "total_cents": pa.array([], pa.int64()),
+            "hhi": pa.array([], pa.float64()),
+            "top_share": pa.array([], pa.float64()),
+        }
+    )
+    if tbl is None:
+        return rd.from_arrow(empty)
+    brands = tbl.column("p_brand").to_pylist()
+    cents = tbl.column("cents").to_pylist()  # python ints: exact r² sums
+    acc: dict[str, list] = {}
+    for br, r in zip(brands, cents):
+        a = acc.setdefault(br, [0, 0, 0, 0])  # n, total, sum_sq, max
+        a[0] += 1
+        a[1] += r
+        a[2] += r * r
+        a[3] = max(a[3], r)
+    rows = sorted(acc.items())
+    tot = [a[1] for _, a in rows]
+    out = pa.table(
+        {
+            "p_brand": pa.array([b for b, _ in rows], pa.string()),
+            "n_suppliers": pa.array([a[0] for _, a in rows], pa.int64()),
+            "total_cents": pa.array(tot, pa.int64()),
+            "hhi": pa.array(
+                [
+                    float(a[2]) / (float(a[1]) * float(a[1])) if a[1] else 0.0
+                    for _, a in rows
+                ],
+                pa.float64(),
+            ),
+            "top_share": pa.array(
+                [
+                    float(a[3]) / float(a[1]) if a[1] else 0.0
+                    for _, a in rows
+                ],
+                pa.float64(),
+            ),
+        }
+    )
+    return rd.from_arrow(out)
+
+
+PART_BRAND_HHI_SQL = """
+WITH rev AS (
+  SELECT p_brand, l_suppkey,
+    SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+        AS BIGINT)) AS r
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2
+)
+SELECT p_brand,
+  CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+  CAST(SUM(r) AS BIGINT) AS total_cents,
+  CAST(SUM(r * r) AS DOUBLE)
+    / (CAST(SUM(r) AS DOUBLE) * CAST(SUM(r) AS DOUBLE)) AS hhi,
+  CAST(MAX(r) AS DOUBLE) / CAST(SUM(r) AS DOUBLE) AS top_share
+FROM rev
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
+# ---------------------------------------------------------------------------
+# Inter-arrival statistics: per event type, gaps between each user's
+# consecutive events.
+# ---------------------------------------------------------------------------
+
+def user_interarrival_stats(
+    sf_dir: str, num_partitions: int | None = None
+) -> rd.Dataset:
+    """(event_type, n_gaps, sum_gap_us, max_gap_us, avg_gap_s): for
+    each user's time-ordered event stream, the gap from the previous
+    event, attributed to the LATER event's type and aggregated per
+    type — the LAG-diff shape, sessionize's shuffle with a different
+    reducer.
+
+    Plan: one user-hash shuffle carrying (user, ts, event_id, type);
+    each partition lexsorts once, diffs within user runs, and emits
+    ≤|event types| partial rows; the driver reduce is bounded by the
+    type domain. ``avg_gap_s`` is the single exact-integer division
+    the oracle writes."""
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    n_parts = num_partitions or adaptive_partitions(
+        parquet_rows_hint(ds), row_bytes=32
+    )
+
+    def tag(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "part": _part_of(b.column("user_id"), n_parts),
+                "user_id": b.column("user_id"),
+                "ts": pc.cast(b.column("ts"), pa.int64()),
+                "event_id": b.column("event_id"),
+                "event_type": b.column("event_type"),
+            }
+        )
+
+    def gaps(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        ts = g.column("ts").to_numpy(zero_copy_only=False)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        empty = pa.table(
+            {
+                "event_type": pa.array([], pa.string()),
+                "n_gaps": pa.array([], pa.int64()),
+                "sum_gap_us": pa.array([], pa.int64()),
+                "max_gap_us": pa.array([], pa.int64()),
+            }
+        )
+        if len(uid) < 2:
+            return empty
+        order = np.lexsort((eid, ts, uid))
+        u, t = uid[order], ts[order]
+        same = np.zeros(len(u), dtype=bool)
+        same[1:] = u[1:] == u[:-1]
+        gap = np.empty(len(u), np.int64)
+        gap[1:] = t[1:] - t[:-1]
+        if not same.any():
+            return empty
+        typ = (
+            g.column("event_type")
+            .combine_chunks()
+            .take(pa.array(order[same]))
+        )
+        return pa.table(
+            {
+                "event_type": typ,
+                "n_gaps": pa.array(np.ones(int(same.sum()), np.int64)),
+                "sum_gap_us": pa.array(gap[same]),
+                "max_gap_us": pa.array(gap[same]),
+            }
+        ).group_by("event_type").aggregate(
+            [("n_gaps", "sum"), ("sum_gap_us", "sum"), ("max_gap_us", "max")]
+        ).rename_columns(
+            ["event_type", "n_gaps", "sum_gap_us", "max_gap_us"]
+        )
+
+    per_part = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(gaps, batch_format="pyarrow")
+    )
+    tbl = bounded_group_table_strict(
+        per_part,
+        ["event_type"],
+        [("n_gaps", "sum"), ("sum_gap_us", "sum"), ("max_gap_us", "max")],
+    )
+    empty = pa.table(
+        {
+            "event_type": pa.array([], pa.string()),
+            "n_gaps": pa.array([], pa.int64()),
+            "sum_gap_us": pa.array([], pa.int64()),
+            "max_gap_us": pa.array([], pa.int64()),
+            "avg_gap_s": pa.array([], pa.float64()),
+        }
+    )
+    if tbl is None:
+        return rd.from_arrow(empty)
+    n = tbl.column("n_gaps").to_numpy(zero_copy_only=False)
+    s = tbl.column("sum_gap_us").to_numpy(zero_copy_only=False)
+    out = tbl.append_column(
+        "avg_gap_s",
+        pa.array(s.astype(np.float64) / (n * 1_000_000.0), pa.float64()),
+    )
+    return rd.from_arrow(out).sort("event_type")
+
+
+USER_INTERARRIVAL_SQL = """
+WITH o AS (
+  SELECT event_type, epoch_us(ts) AS t,
+    LAG(epoch_us(ts)) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+    ) AS pt
+  FROM events
+)
+SELECT event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_gaps,
+  CAST(SUM(t - pt) AS BIGINT) AS sum_gap_us,
+  CAST(MAX(t - pt) AS BIGINT) AS max_gap_us,
+  CAST(SUM(t - pt) AS DOUBLE) / (COUNT(*) * 1000000.0) AS avg_gap_s
+FROM o
+WHERE pt IS NOT NULL
+GROUP BY event_type
+ORDER BY event_type
+"""

@@ -65,6 +65,7 @@ from . import decision as dec
 from . import decision2 as dec2
 from . import decision3 as dec3
 from . import decision4 as dec4
+from . import decision5 as dec5
 from . import relational as rel
 from .quality_gate import build_gate
 
@@ -7284,6 +7285,16 @@ def registry() -> dict[str, tuple]:
         ),
         "events_value_share": (
             ana.events_value_share, ana.EVENTS_VALUE_SHARE_SQL,
+        ),
+        # round-4 continuation batch: cohort retention, sweep-line
+        # interval stabbing, HHI concentration, LAG-diff inter-arrival
+        "customer_cohorts": (
+            dec5.customer_cohorts, dec5.CUSTOMER_COHORTS_SQL,
+        ),
+        "orders_backlog": (dec5.orders_backlog, dec5.ORDERS_BACKLOG_SQL),
+        "part_brand_hhi": (dec5.part_brand_hhi, dec5.PART_BRAND_HHI_SQL),
+        "user_interarrival_stats": (
+            dec5.user_interarrival_stats, dec5.USER_INTERARRIVAL_SQL,
         ),
         # round-4 decision-support batch: the remaining TPC-H shapes,
         # built on the generic join API (pipelines/join.py)

@@ -1,0 +1,216 @@
+"""Planted-boundary tests for the round-4 continuation batch
+(pipelines/decision5.py): cohort month truncation and same-month
+dedup, the sweep-line +1/−1 boundary (open through the close day, −1
+the day after), HHI monopoly/even-split exactness, and inter-arrival
+gap attribution (later event's type, event_id tie order) — plus
+partition invariance on every query."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from rsmetacheck_ray.pipelines import decision5 as d5
+
+
+def _write(d, name, cols):
+    pq.write_table(pa.table(cols), os.path.join(d, f"{name}.parquet"))
+
+
+def _ts(s):
+    return np.datetime64(s, "us").item()
+
+
+def _month(s):
+    return int(np.datetime64(s, "M").astype(np.int64))
+
+
+def _orders(d, rows):
+    keys, custs, dates = zip(*rows)
+    _write(d, "orders", {
+        "o_orderkey": pa.array(keys, pa.int64()),
+        "o_custkey": pa.array(custs, pa.int64()),
+        "o_orderstatus": pa.array(["F"] * len(rows), pa.string()),
+        "o_totalprice": pa.array([1.0] * len(rows), pa.float64()),
+        "o_orderdate": pa.array([_ts(x) for x in dates], pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT"] * len(rows), pa.string()),
+    })
+
+
+def _lineitem(d, rows):
+    """rows: (orderkey, partkey, suppkey, extendedprice, discount, ship)."""
+    ok, pk, sk, ep, disc, ship = zip(*rows)
+    n = len(rows)
+    _write(d, "lineitem", {
+        "l_orderkey": pa.array(ok, pa.int64()),
+        "l_partkey": pa.array(pk, pa.int64()),
+        "l_suppkey": pa.array(sk, pa.int64()),
+        "l_linenumber": pa.array(list(range(1, n + 1)), pa.int32()),
+        "l_quantity": pa.array([1.0] * n, pa.float64()),
+        "l_extendedprice": pa.array(ep, pa.float64()),
+        "l_discount": pa.array(disc, pa.float64()),
+        "l_tax": pa.array([0.0] * n, pa.float64()),
+        "l_returnflag": pa.array(["N"] * n, pa.string()),
+        "l_linestatus": pa.array(["O"] * n, pa.string()),
+        "l_shipdate": pa.array([_ts(x) for x in ship], pa.timestamp("us")),
+    })
+
+
+# ---------------------------------------------------------------------------
+# customer_cohorts
+# ---------------------------------------------------------------------------
+
+def test_customer_cohorts_dedup_and_offsets(ray_session, tmp_path):
+    d = str(tmp_path)
+    # cust 1: first 1996-01, again twice in 1996-03 (same-month dedup),
+    # and 1996-01-31 (same cohort month as the first → offset 0 dedup).
+    # cust 2: first 1996-03 only. cust 3: 1996-01 and 1996-02.
+    _orders(d, [
+        (1, 1, "1996-01-05"), (2, 1, "1996-01-31"),
+        (3, 1, "1996-03-02"), (4, 1, "1996-03-30"),
+        (5, 2, "1996-03-15"),
+        (6, 3, "1996-01-20"), (7, 3, "1996-02-01"),
+    ])
+    m0 = _month("1996-01")
+    m2 = _month("1996-03")
+    want = [
+        {"cohort_month": m0, "month_offset": 0, "n_customers": 2},
+        {"cohort_month": m0, "month_offset": 1, "n_customers": 1},
+        {"cohort_month": m0, "month_offset": 2, "n_customers": 1},
+        {"cohort_month": m2, "month_offset": 0, "n_customers": 1},
+    ]
+    for parts in (1, 3):
+        got = d5.customer_cohorts(d, num_partitions=parts).take_all()
+        assert got == want, got
+
+
+# ---------------------------------------------------------------------------
+# orders_backlog
+# ---------------------------------------------------------------------------
+
+def test_orders_backlog_sweep_line(ray_session, tmp_path):
+    d = str(tmp_path)
+    # order 10: open 01-01 → 01-03 (two lines, max ship wins)
+    # order 11: open 01-02 → 01-02 (same-day close: open exactly 1 day)
+    # order 12: in orders but has NO lineitem rows → drops (inner join)
+    _orders(d, [
+        (10, 1, "1996-01-01"), (11, 1, "1996-01-02"), (12, 2, "1996-01-01"),
+    ])
+    _lineitem(d, [
+        (10, 1, 1, 10.0, 0.0, "1996-01-02"),
+        (10, 1, 1, 10.0, 0.0, "1996-01-03"),
+        (11, 1, 1, 10.0, 0.0, "1996-01-02"),
+    ])
+    want = [
+        {"day": _ts("1996-01-01"), "open_orders": 1},   # 10 opens
+        {"day": _ts("1996-01-02"), "open_orders": 2},   # 11 opens
+        {"day": _ts("1996-01-03"), "open_orders": 1},   # 11 closed yesterday
+        {"day": _ts("1996-01-04"), "open_orders": 0},   # 10 closed yesterday
+    ]
+    for parts in (1, 3):
+        got = d5.orders_backlog(d, num_partitions=parts).take_all()
+        assert got == want, got
+
+
+# ---------------------------------------------------------------------------
+# part_brand_hhi
+# ---------------------------------------------------------------------------
+
+def test_part_brand_hhi_monopoly_and_even_split(ray_session, tmp_path):
+    d = str(tmp_path)
+    _write(d, "part", {
+        "p_partkey": pa.array([1, 2, 3], pa.int64()),
+        "p_name": pa.array(["a", "b", "c"], pa.string()),
+        "p_brand": pa.array(["Brand#1", "Brand#2", "Brand#2"], pa.string()),
+        "p_type": pa.array(["T"] * 3, pa.string()),
+        "p_size": pa.array([1, 1, 1], pa.int32()),
+        "p_retailprice": pa.array([1.0] * 3, pa.float64()),
+    })
+    # Brand#1: only supplier 5 → HHI 1.0, top_share 1.0.
+    # Brand#2: suppliers 6 and 7 with 10.00 each (7's is 20.00 at 50%
+    # discount → cents rounding must hit exactly 1000) → HHI 0.5.
+    _lineitem(d, [
+        (100, 1, 5, 7.0, 0.0, "1996-01-01"),
+        (101, 2, 6, 10.0, 0.0, "1996-01-01"),
+        (102, 3, 7, 20.0, 0.5, "1996-01-01"),
+    ])
+    for parts in (1, 3):
+        got = d5.part_brand_hhi(d, num_partitions=parts).take_all()
+        assert got == [
+            {"p_brand": "Brand#1", "n_suppliers": 1, "total_cents": 700,
+             "hhi": 1.0, "top_share": 1.0},
+            {"p_brand": "Brand#2", "n_suppliers": 2, "total_cents": 2000,
+             "hhi": 0.5, "top_share": 0.5},
+        ], got
+
+
+def test_part_brand_hhi_empty(ray_session, tmp_path):
+    d = str(tmp_path)
+    _write(d, "part", {
+        "p_partkey": pa.array([], pa.int64()),
+        "p_name": pa.array([], pa.string()),
+        "p_brand": pa.array([], pa.string()),
+        "p_type": pa.array([], pa.string()),
+        "p_size": pa.array([], pa.int32()),
+        "p_retailprice": pa.array([], pa.float64()),
+    })
+    _lineitem(d, [(100, 1, 5, 7.0, 0.0, "1996-01-01")])
+    assert d5.part_brand_hhi(d).take_all() == []
+
+
+# ---------------------------------------------------------------------------
+# user_interarrival_stats
+# ---------------------------------------------------------------------------
+
+def _events(d, rows):
+    """rows: (event_id, ts, user_id, event_type)."""
+    eid, ts, uid, et = zip(*rows)
+    _write(d, "events", {
+        "event_id": pa.array(eid, pa.int64()),
+        "ts": pa.array([_ts(x) for x in ts], pa.timestamp("us")),
+        "user_id": pa.array(uid, pa.int64()),
+        "event_type": pa.array(et, pa.string()),
+        "value": pa.array([1.0] * len(rows), pa.float64()),
+        "props": pa.array(["{}"] * len(rows), pa.string()),
+    })
+
+
+def test_interarrival_attribution_and_ties(ray_session, tmp_path):
+    d = str(tmp_path)
+    # user 1: click @0s → view @10s (gap 10 → view) → click @10s
+    # (SAME ts, event_id tie-break orders view(id=2) before click(id=3),
+    # gap 0 → click) → buy @70s (gap 60 → buy).
+    # user 2: single event → contributes nothing.
+    _events(d, [
+        (1, "1996-01-01T00:00:00", 1, "click"),
+        (2, "1996-01-01T00:00:10", 1, "view"),
+        (3, "1996-01-01T00:00:10", 1, "click"),
+        (4, "1996-01-01T00:01:10", 1, "buy"),
+        (5, "1996-01-01T00:00:00", 2, "view"),
+    ])
+    want = [
+        {"event_type": "buy", "n_gaps": 1, "sum_gap_us": 60_000_000,
+         "max_gap_us": 60_000_000, "avg_gap_s": 60.0},
+        {"event_type": "click", "n_gaps": 1, "sum_gap_us": 0,
+         "max_gap_us": 0, "avg_gap_s": 0.0},
+        {"event_type": "view", "n_gaps": 1, "sum_gap_us": 10_000_000,
+         "max_gap_us": 10_000_000, "avg_gap_s": 10.0},
+    ]
+    for parts in (1, 3):
+        got = d5.user_interarrival_stats(d, num_partitions=parts).take_all()
+        assert got == want, got
+
+
+def test_interarrival_no_gaps(ray_session, tmp_path):
+    d = str(tmp_path)
+    _events(d, [
+        (1, "1996-01-01T00:00:00", 1, "view"),
+        (2, "1996-01-01T00:00:00", 2, "view"),
+    ])
+    assert d5.user_interarrival_stats(d).take_all() == []
