@@ -1,0 +1,486 @@
+"""Corpus batch 2 (round 4, continuation): four text / embedding
+statistics the suite did not yet cover —
+
+- per-document script mix (ASCII letter / digit / whitespace /
+  punctuation character-class counts and shares — the
+  character-composition quality signal, a finer cut than the gate's
+  symbol-ratio rule),
+- per-language type–token ratio (lexical diversity: distinct token
+  types vs token occurrences per language),
+- vocabulary growth (Heaps'-law curve: cumulative distinct vocabulary
+  and token counts at ten document checkpoints),
+- per-label embedding centroids in exact fixed point (the class
+  prototype vectors, hash-comparable because every sum is an integer).
+
+The reference has no corpus statistics at all (single-process JSON
+metadata walk); these extend the SURVEY §2.6 aggregation axis over the
+`documents` / `embeddings` tables the same way corpus.py does.
+
+Scale notes. script-mix is a pure per-batch RE2 column pass (zero
+shuffle). TTR ships per-batch-distinct (lang, token, n) partials
+through ONE token-hash shuffle and reduces |langs| rows. vocab-growth
+reads doc-id bounds from parquet FOOTER statistics (no data read),
+ships per-batch (token → min doc) partials through one token-hash
+shuffle, and both of its reduces are bounded by the checkpoint count.
+centroids emit (label × dim) integer partial sums per batch — the
+whole reduce is |labels| × dim rows regardless of corpus size.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+from ..functions.hashing import token_partitions
+from ..functions.tokenize import WS_TOKEN_RE, split_ws_tokens
+from ..partitioning import adaptive_partitions, parquet_rows_hint
+from .relational import _read_pq, bounded_group_table_strict
+
+
+def _docs(sf_dir: str, columns: list[str]) -> rd.Dataset:
+    return _read_pq(os.path.join(sf_dir, "documents.parquet"), columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# Per-document script mix.
+# ---------------------------------------------------------------------------
+
+# explicit ASCII classes, spelled identically in both RE2 engines
+# (pyarrow and DuckDB both compile RE2 — class semantics match)
+_LETTER_RE = "[A-Za-z]"
+_DIGIT_RE = "[0-9]"
+_SPACE_RE = "[ \\t\\n\\r]"
+_PUNCT_RE = "[!-/:-@\\[-`{-~]"
+
+
+def doc_script_mix(sf_dir: str) -> rd.Dataset:
+    """(doc_id, n_chars, n_letters, n_digits, n_spaces, n_punct,
+    n_other, letter_share, space_share): ASCII character-class
+    composition per document. Pure per-batch column kernels — zero
+    shuffle, streams at any scale; the shares are single divisions of
+    exact integers, written identically in the oracle."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def stage(b: pa.Table) -> pa.Table:
+        text = b.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+
+        def cnt(p):
+            return pc.cast(
+                pc.count_substring_regex(text, p), pa.int64()
+            ).to_numpy(zero_copy_only=False)
+
+        n = pc.cast(pc.utf8_length(text), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        let, dig = cnt(_LETTER_RE), cnt(_DIGIT_RE)
+        spc, pun = cnt(_SPACE_RE), cnt(_PUNCT_RE)
+        nz = np.maximum(n, 1).astype(np.float64)
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "n_chars": pa.array(n),
+                "n_letters": pa.array(let),
+                "n_digits": pa.array(dig),
+                "n_spaces": pa.array(spc),
+                "n_punct": pa.array(pun),
+                "n_other": pa.array(n - let - dig - spc - pun),
+                "letter_share": pa.array(
+                    np.where(n == 0, 0.0, let / nz), pa.float64()
+                ),
+                "space_share": pa.array(
+                    np.where(n == 0, 0.0, spc / nz), pa.float64()
+                ),
+            }
+        )
+
+    return ds.map_batches(stage, batch_format="pyarrow")
+
+
+DOC_SCRIPT_MIX_SQL = f"""
+WITH c AS (
+  SELECT doc_id, length(text) AS n,
+    len(regexp_extract_all(text, '{_LETTER_RE}')) AS nl,
+    len(regexp_extract_all(text, '{_DIGIT_RE}')) AS nd,
+    len(regexp_extract_all(text, '{_SPACE_RE}')) AS ns,
+    len(regexp_extract_all(text, '{_PUNCT_RE}')) AS np
+  FROM documents
+)
+SELECT doc_id,
+  CAST(n AS BIGINT) AS n_chars,
+  CAST(nl AS BIGINT) AS n_letters,
+  CAST(nd AS BIGINT) AS n_digits,
+  CAST(ns AS BIGINT) AS n_spaces,
+  CAST(np AS BIGINT) AS n_punct,
+  CAST(n - nl - nd - ns - np AS BIGINT) AS n_other,
+  CASE WHEN n = 0 THEN 0.0
+       ELSE CAST(nl AS DOUBLE) / CAST(n AS DOUBLE) END AS letter_share,
+  CASE WHEN n = 0 THEN 0.0
+       ELSE CAST(ns AS DOUBLE) / CAST(n AS DOUBLE) END AS space_share
+FROM c
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-language type–token ratio.
+# ---------------------------------------------------------------------------
+
+def lang_ttr(sf_dir: str, num_partitions: int | None = None) -> rd.Dataset:
+    """(lang, n_tokens, n_types, ttr): lexical diversity per language —
+    distinct whitespace-token types over total token occurrences.
+
+    Plan: each batch pre-combines to (lang, token, n) rows before the
+    single token-hash shuffle (repeats collapse early); each partition
+    owns a disjoint token range per language, so distinct-type counts
+    add without overlap; the final reduce is |langs| rows."""
+    ds = _docs(sf_dir, ["lang", "text"])
+    hint = parquet_rows_hint(ds)
+    n_parts = num_partitions or adaptive_partitions(
+        hint * 64 if hint else None, row_bytes=32
+    )
+
+    def pairs(b: pa.Table) -> pa.Table:
+        words = split_ws_tokens(b.column("text"))
+        off = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = words.flatten()
+        doc_idx = np.repeat(np.arange(len(words), dtype=np.int64), np.diff(off))
+        mask = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        langs = b.column("lang").take(pa.array(doc_idx[mask], pa.int64()))
+        t = pa.table({"lang": langs, "token": flat.filter(pa.array(mask))})
+        g = t.group_by(["lang", "token"]).aggregate([([], "count_all")])
+        g = g.rename_columns(["lang", "token", "n"])
+        vocab = np.asarray(g.column("token").to_pylist(), dtype=object)
+        return pa.table(
+            {
+                "part": pa.array(
+                    token_partitions(vocab, n_parts).astype(np.int64),
+                    pa.int64(),
+                ),
+                "lang": g.column("lang"),
+                "token": g.column("token"),
+                "n": pc.cast(g.column("n"), pa.int64()),
+            }
+        )
+
+    def part_stats(g: pa.Table) -> pa.Table:
+        t = (
+            g.select(["lang", "token", "n"])
+            .group_by(["lang", "token"])
+            .aggregate([("n", "sum")])
+            .rename_columns(["lang", "token", "n"])
+        )
+        out = t.group_by("lang").aggregate([("n", "sum"), ([], "count_all")])
+        return out.rename_columns(["lang", "n_tokens", "n_types"])
+
+    per_part = (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(part_stats, batch_format="pyarrow")
+    )
+    tbl = bounded_group_table_strict(
+        per_part, ["lang"], [("n_tokens", "sum"), ("n_types", "sum")]
+    )
+    if tbl is None:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "lang": pa.array([], pa.string()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "n_types": pa.array([], pa.int64()),
+                    "ttr": pa.array([], pa.float64()),
+                }
+            )
+        )
+    nt = tbl.column("n_tokens").to_numpy(zero_copy_only=False)
+    ty = tbl.column("n_types").to_numpy(zero_copy_only=False)
+    out = tbl.append_column(
+        "ttr", pa.array(ty.astype(np.float64) / nt.astype(np.float64))
+    )
+    return rd.from_arrow(out).sort("lang")
+
+
+LANG_TTR_SQL = f"""
+WITH tok AS (
+  SELECT lang, unnest(regexp_extract_all(text, '{WS_TOKEN_RE}')) AS token
+  FROM documents
+)
+SELECT lang,
+  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+  CAST(COUNT(DISTINCT token) AS BIGINT) AS n_types,
+  CAST(COUNT(DISTINCT token) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS ttr
+FROM tok
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary growth (Heaps'-law curve).
+# ---------------------------------------------------------------------------
+
+def _docid_bounds(sf_dir: str) -> tuple[int, int] | None:
+    """(min, max) doc_id from parquet FOOTER row-group statistics —
+    no data pages are read."""
+    import pyarrow.parquet as pq
+
+    f = pq.ParquetFile(os.path.join(sf_dir, "documents.parquet"))
+    idx = f.schema_arrow.get_field_index("doc_id")
+    lo, hi = None, None
+    for rg in range(f.metadata.num_row_groups):
+        st = f.metadata.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            return None  # stats missing: caller falls back to a scan
+        lo = st.min if lo is None else min(lo, st.min)
+        hi = st.max if hi is None else max(hi, st.max)
+    if lo is None:
+        return None
+    return int(lo), int(hi)
+
+
+def vocab_growth(
+    sf_dir: str, n_checkpoints: int = 10, num_partitions: int | None = None
+) -> rd.Dataset:
+    """(k, ck_doc_id, vocab_size, n_tokens): at each of ``n`` doc-id
+    checkpoints (equal slices of the id range), the cumulative distinct
+    vocabulary (tokens FIRST SEEN at or before the checkpoint) and the
+    cumulative token count — the Heaps'-law growth curve.
+
+    Plan: doc-id bounds come from footer statistics; the vocabulary
+    side ships per-batch (token → min doc) partials through one
+    token-hash shuffle, finishes the min per partition and emits
+    ≤``n`` bucket counts; the token side is shuffle-free per-batch
+    bucket counts. Both reduces and the driver prefix sums are bounded
+    by ``n``."""
+    bounds = _docid_bounds(sf_dir)
+    if bounds is None:
+        from ray.data.aggregate import Max, Min
+
+        agg = _docs(sf_dir, ["doc_id"]).aggregate(Min("doc_id"), Max("doc_id"))
+        bounds = (agg["min(doc_id)"], agg["max(doc_id)"])
+    mn, mx = bounds
+    span = mx - mn + 1
+    cks = np.asarray(
+        [mn - 1 + (span * k) // n_checkpoints for k in range(1, n_checkpoints + 1)],
+        np.int64,
+    )
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    hint = parquet_rows_hint(ds)
+    n_parts = num_partitions or adaptive_partitions(
+        hint * 64 if hint else None, row_bytes=32
+    )
+
+    def first_seen(b: pa.Table) -> pa.Table:
+        words = split_ws_tokens(b.column("text"))
+        off = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = words.flatten()
+        doc = b.column("doc_id").to_numpy(zero_copy_only=False)
+        doc_rep = np.repeat(doc, np.diff(off))
+        mask = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "token": flat.filter(pa.array(mask)),
+                "fd": pa.array(doc_rep[mask], pa.int64()),
+            }
+        ).group_by("token").aggregate([("fd", "min")])
+        vocab = np.asarray(t.column("token").to_pylist(), dtype=object)
+        return pa.table(
+            {
+                "part": pa.array(
+                    token_partitions(vocab, n_parts).astype(np.int64),
+                    pa.int64(),
+                ),
+                "token": t.column("token"),
+                "fd": t.column("fd_min"),
+            }
+        )
+
+    def bucket_vocab(g: pa.Table) -> pa.Table:
+        t = g.select(["token", "fd"]).group_by("token").aggregate([("fd", "min")])
+        fd = t.column("fd_min").to_numpy(zero_copy_only=False)
+        # bucket = first checkpoint ≥ first-seen doc id
+        bk = np.searchsorted(cks, fd, side="left")
+        keep = bk < len(cks)  # ids past the last checkpoint can't occur
+        cnt = np.bincount(bk[keep], minlength=len(cks)).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(np.arange(len(cks), dtype=np.int64)),
+                "n_vocab": pa.array(cnt),
+                "n_tok": pa.array(np.zeros(len(cks), np.int64)),
+            }
+        )
+
+    vocab_partials = (
+        ds.map_batches(first_seen, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(bucket_vocab, batch_format="pyarrow")
+    )
+
+    def bucket_tokens(b: pa.Table) -> pa.Table:
+        words = split_ws_tokens(b.column("text"))
+        off = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = words.flatten()
+        doc = b.column("doc_id").to_numpy(zero_copy_only=False)
+        mask = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        doc_rep = np.repeat(doc, np.diff(off))[mask]
+        bk = np.searchsorted(cks, doc_rep, side="left")
+        keep = bk < len(cks)
+        cnt = np.bincount(bk[keep], minlength=len(cks)).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(np.arange(len(cks), dtype=np.int64)),
+                "n_vocab": pa.array(np.zeros(len(cks), np.int64)),
+                "n_tok": pa.array(cnt),
+            }
+        )
+
+    token_partials = ds.map_batches(bucket_tokens, batch_format="pyarrow")
+    tbl = bounded_group_table_strict(
+        vocab_partials.union(token_partials),
+        ["bucket"],
+        [("n_vocab", "sum"), ("n_tok", "sum")],
+    )
+    if tbl is None:
+        nv = np.zeros(len(cks), np.int64)
+        nt = np.zeros(len(cks), np.int64)
+    else:
+        order = np.argsort(
+            tbl.column("bucket").to_numpy(zero_copy_only=False), kind="stable"
+        )
+        nv = tbl.column("n_vocab").to_numpy(zero_copy_only=False)[order]
+        nt = tbl.column("n_tok").to_numpy(zero_copy_only=False)[order]
+    return rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array(np.arange(1, len(cks) + 1, dtype=np.int64)),
+                "ck_doc_id": pa.array(cks),
+                "vocab_size": pa.array(np.cumsum(nv).astype(np.int64)),
+                "n_tokens": pa.array(np.cumsum(nt).astype(np.int64)),
+            }
+        )
+    )
+
+
+VOCAB_GROWTH_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '{WS_TOKEN_RE}')) AS token
+  FROM documents
+), fs AS (
+  SELECT token, MIN(doc_id) AS fd FROM tok GROUP BY token
+), b AS (
+  SELECT MIN(doc_id) AS mn, MAX(doc_id) AS mx FROM documents
+), cks AS (
+  SELECT CAST(k AS BIGINT) AS k,
+         CAST(mn - 1 + (mx - mn + 1) * k // 10 AS BIGINT) AS ck
+  FROM b, range(1, 11) t(k)
+)
+SELECT k, ck AS ck_doc_id,
+  CAST((SELECT COUNT(*) FROM fs WHERE fd <= ck) AS BIGINT) AS vocab_size,
+  CAST((SELECT COUNT(*) FROM tok WHERE doc_id <= ck) AS BIGINT) AS n_tokens
+FROM cks
+ORDER BY k
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-label embedding centroids in exact fixed point.
+# ---------------------------------------------------------------------------
+
+_CENTROID_SCALE = 1 << 20
+
+
+def label_centroids(sf_dir: str) -> rd.Dataset:
+    """(label, idx, centroid): the mean embedding vector per label,
+    with every coordinate quantized to 2⁻²⁰ fixed point BEFORE summing
+    — integer sums are associative, so the result is bit-identical
+    under any partitioning, and the oracle re-derives it in SQL.
+
+    Plan: each batch folds its vectors into (label × dim) int64
+    partial sums plus per-label counts — constant-size output per
+    batch; the reduce and the final division are bounded by
+    |labels| × dim."""
+    ds = _read_pq(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["label", "embedding"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        lab = b.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        if not len(lab):
+            return pa.table(
+                {
+                    "label": pa.array([], pa.int64()),
+                    "idx": pa.array([], pa.int64()),
+                    "qsum": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        emb = b.column("embedding").combine_chunks()
+        flat = np.asarray(emb.flatten(), dtype=np.float64)
+        d = len(flat) // len(lab)
+        q = np.floor(flat * _CENTROID_SCALE + 0.5).astype(np.int64).reshape(
+            len(lab), d
+        )
+        ulab, inv, cnt = np.unique(lab, return_inverse=True, return_counts=True)
+        sums = np.zeros((len(ulab), d), np.int64)
+        np.add.at(sums, inv, q)
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(ulab, d)),
+                "idx": pa.array(np.tile(np.arange(d, dtype=np.int64), len(ulab))),
+                "qsum": pa.array(sums.ravel()),
+                "n": pa.array(np.repeat(cnt.astype(np.int64), d)),
+            }
+        )
+
+    tbl = bounded_group_table_strict(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["label", "idx"],
+        [("qsum", "sum"), ("n", "sum")],
+    )
+    if tbl is None:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "label": pa.array([], pa.int64()),
+                    "idx": pa.array([], pa.int64()),
+                    "centroid": pa.array([], pa.float64()),
+                }
+            )
+        )
+    qs = tbl.column("qsum").to_numpy(zero_copy_only=False)
+    n = tbl.column("n").to_numpy(zero_copy_only=False)
+    out = pa.table(
+        {
+            "label": tbl.column("label"),
+            "idx": tbl.column("idx"),
+            "centroid": pa.array(
+                qs.astype(np.float64) / (n * float(_CENTROID_SCALE)),
+                pa.float64(),
+            ),
+        }
+    )
+    return rd.from_arrow(out).sort(["label", "idx"])
+
+
+LABEL_CENTROIDS_SQL = f"""
+WITH e AS (
+  SELECT CAST(label AS BIGINT) AS label,
+         unnest(embedding) AS v,
+         unnest(range(len(embedding))) AS idx
+  FROM embeddings
+)
+SELECT label, CAST(idx AS BIGINT) AS idx,
+  CAST(SUM(CAST(floor(CAST(v AS DOUBLE) * {_CENTROID_SCALE} + 0.5)
+      AS BIGINT)) AS DOUBLE)
+    / (COUNT(*) * {_CENTROID_SCALE}.0) AS centroid
+FROM e
+GROUP BY label, idx
+ORDER BY label, idx
+"""

@@ -65,6 +65,7 @@ from . import decision as dec
 from . import decision2 as dec2
 from . import decision3 as dec3
 from . import decision4 as dec4
+from . import corpus2 as cor2
 from . import decision5 as dec5
 from . import relational as rel
 from .quality_gate import build_gate
@@ -7296,6 +7297,10 @@ def registry() -> dict[str, tuple]:
         "user_interarrival_stats": (
             dec5.user_interarrival_stats, dec5.USER_INTERARRIVAL_SQL,
         ),
+        "doc_script_mix": (cor2.doc_script_mix, cor2.DOC_SCRIPT_MIX_SQL),
+        "lang_ttr": (cor2.lang_ttr, cor2.LANG_TTR_SQL),
+        "vocab_growth": (cor2.vocab_growth, cor2.VOCAB_GROWTH_SQL),
+        "label_centroids": (cor2.label_centroids, cor2.LABEL_CENTROIDS_SQL),
         # round-4 decision-support batch: the remaining TPC-H shapes,
         # built on the generic join API (pipelines/join.py)
         "waiting_suppliers": (

@@ -1,0 +1,117 @@
+"""Planted tests for corpus batch 2 (pipelines/corpus2.py): script-mix
+class partition (counts sum to n_chars, empty text), TTR distinctness
+across partitions, vocab-growth first-seen semantics with duplicate
+checkpoints on a tiny id range, and fixed-point centroid exactness
+(including negative coordinates)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from rsmetacheck_ray.pipelines import corpus2 as c2
+
+
+def _docs(d, rows):
+    """rows: (doc_id, text, lang)."""
+    ids, texts, langs = zip(*rows)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(langs, pa.string()),
+                "source": pa.array(["s"] * len(rows), pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+
+
+def test_script_mix_partitions_and_empty(ray_session, tmp_path):
+    d = str(tmp_path)
+    _docs(d, [(1, "Ab1 .!x", "en"), (2, "", "en"), (3, "日本語", "ja")])
+    got = {r["doc_id"]: r for r in c2.doc_script_mix(d).take_all()}
+    r = got[1]  # A b 1 space dot excl x → 3 letters, 1 digit, 1 space, 2 punct
+    assert r["n_chars"] == 7 and r["n_letters"] == 3
+    assert r["n_digits"] == 1 and r["n_spaces"] == 1 and r["n_punct"] == 2
+    assert r["n_other"] == 0
+    assert r["letter_share"] == 3.0 / 7.0
+    e = got[2]
+    assert e["n_chars"] == 0 and e["letter_share"] == 0.0
+    j = got[3]  # 3 non-ASCII chars → all 'other'
+    assert j["n_chars"] == 3 and j["n_other"] == 3 and j["n_letters"] == 0
+
+
+def test_lang_ttr_counts_types_across_batches(ray_session, tmp_path):
+    d = str(tmp_path)
+    _docs(d, [
+        (1, "a b a", "en"),   # tokens 3, types {a,b}
+        (2, "b c", "en"),     # en totals: tokens 5, types {a,b,c}=3
+        (3, "x x x x", "fr"), # fr: tokens 4, types 1
+    ])
+    for parts in (1, 3):
+        got = c2.lang_ttr(d, num_partitions=parts).take_all()
+        assert got == [
+            {"lang": "en", "n_tokens": 5, "n_types": 3, "ttr": 3.0 / 5.0},
+            {"lang": "fr", "n_tokens": 4, "n_types": 1, "ttr": 0.25},
+        ], got
+
+
+def test_vocab_growth_first_seen_and_duplicate_checkpoints(
+    ray_session, tmp_path
+):
+    d = str(tmp_path)
+    # ids 1..4 (span 4 < 10 checkpoints → duplicated cut points):
+    # doc 1: "a b", doc 2: "b c", doc 3: "a", doc 4: "d"
+    _docs(d, [
+        (1, "a b", "en"), (2, "b c", "en"), (3, "a", "en"), (4, "d", "en"),
+    ])
+    for parts in (1, 3):
+        rows = c2.vocab_growth(d, num_partitions=parts).take_all()
+        assert [r["k"] for r in rows] == list(range(1, 11))
+        by_ck = {r["ck_doc_id"]: r for r in rows}
+        # after doc 1: vocab {a,b}, 2 tokens; after 2: {a,b,c}, 4;
+        # after 3: same vocab, 5 tokens; after 4: {a,b,c,d}, 6
+        assert by_ck[1]["vocab_size"] == 2 and by_ck[1]["n_tokens"] == 2
+        assert by_ck[2]["vocab_size"] == 3 and by_ck[2]["n_tokens"] == 4
+        assert by_ck[3]["vocab_size"] == 3 and by_ck[3]["n_tokens"] == 5
+        assert by_ck[4]["vocab_size"] == 4 and by_ck[4]["n_tokens"] == 6
+        # duplicated checkpoints repeat the same cumulative row
+        assert rows[-1]["ck_doc_id"] == 4
+        # monotone non-decreasing cumulative curves
+        vs = [r["vocab_size"] for r in rows]
+        assert vs == sorted(vs)
+
+
+def test_label_centroids_fixed_point_exact(ray_session, tmp_path):
+    d = str(tmp_path)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([1, 2, 3], pa.int64()),
+                "embedding": pa.array(
+                    [[1.0, -0.5], [0.0, 0.5], [2.0, 2.0]],
+                    pa.list_(pa.float32()),
+                ),
+                "label": pa.array([0, 0, 1], pa.int32()),
+            }
+        ),
+        os.path.join(d, "embeddings.parquet"),
+    )
+    got = c2.label_centroids(d).take_all()
+    s = 1 << 20
+    assert got == [
+        {"label": 0, "idx": 0, "centroid": (1.0 * s + 0.0 * s) / (2 * s)},
+        {"label": 0, "idx": 1, "centroid": (np.floor(-0.5 * s + 0.5)
+                                            + np.floor(0.5 * s + 0.5)) / (2 * s)},
+        {"label": 1, "idx": 0, "centroid": 2.0},
+        {"label": 1, "idx": 1, "centroid": 2.0},
+    ], got
