@@ -323,6 +323,14 @@ BENCH_QUERIES = [
     "top_tokens_by_lang",
     "lang_keyness",
     "lang_confusion",
+    "customer_cohorts",
+    "orders_backlog",
+    "part_brand_hhi",
+    "user_interarrival_stats",
+    "doc_script_mix",
+    "lang_ttr",
+    "vocab_growth",
+    "label_centroids",
     "rank_dedup_graph",
     "dedup_graph_bfs",
     "dedup_graph_triangles",
