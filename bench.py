@@ -331,6 +331,9 @@ BENCH_QUERIES = [
     "lang_ttr",
     "vocab_growth",
     "label_centroids",
+    "lang_hapax",
+    "lang_zipf",
+    "events_winsorized_stats",
     "rank_dedup_graph",
     "dedup_graph_bfs",
     "dedup_graph_triangles",

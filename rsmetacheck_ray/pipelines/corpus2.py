@@ -484,3 +484,193 @@ FROM e
 GROUP BY label, idx
 ORDER BY label, idx
 """
+
+
+# ---------------------------------------------------------------------------
+# Hapax legomena per language.
+# ---------------------------------------------------------------------------
+
+def lang_hapax(sf_dir: str, num_partitions: int | None = None) -> rd.Dataset:
+    """(lang, n_types, n_hapax, hapax_share): per language, the number
+    of token types occurring exactly once in the whole corpus — the
+    hapax-legomena share, a vocabulary-richness signal alongside TTR.
+
+    Plan: identical shuffle to :func:`lang_ttr` (token-hash partition
+    of per-batch-combined (lang, token, n) rows); a token's GLOBAL
+    count lives entirely in its owning partition, so the hapax test is
+    local there; |langs| partial rows out."""
+    ds = _docs(sf_dir, ["lang", "text"])
+    hint = parquet_rows_hint(ds)
+    n_parts = num_partitions or adaptive_partitions(
+        hint * 64 if hint else None, row_bytes=32
+    )
+
+    def pairs(b: pa.Table) -> pa.Table:
+        words = split_ws_tokens(b.column("text"))
+        off = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = words.flatten()
+        doc_idx = np.repeat(np.arange(len(words), dtype=np.int64), np.diff(off))
+        mask = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        langs = b.column("lang").take(pa.array(doc_idx[mask], pa.int64()))
+        t = pa.table({"lang": langs, "token": flat.filter(pa.array(mask))})
+        g = t.group_by(["lang", "token"]).aggregate([([], "count_all")])
+        g = g.rename_columns(["lang", "token", "n"])
+        vocab = np.asarray(g.column("token").to_pylist(), dtype=object)
+        return pa.table(
+            {
+                "part": pa.array(
+                    token_partitions(vocab, n_parts).astype(np.int64),
+                    pa.int64(),
+                ),
+                "lang": g.column("lang"),
+                "token": g.column("token"),
+                "n": pc.cast(g.column("n"), pa.int64()),
+            }
+        )
+
+    def part_stats(g: pa.Table) -> pa.Table:
+        t = (
+            g.select(["lang", "token", "n"])
+            .group_by(["lang", "token"])
+            .aggregate([("n", "sum")])
+            .rename_columns(["lang", "token", "n"])
+        )
+        lang = t.column("lang")
+        one = pc.cast(pc.equal(t.column("n"), 1), pa.int64())
+        out = pa.table(
+            {"lang": lang, "is_hapax": one}
+        ).group_by("lang").aggregate([("is_hapax", "sum"), ([], "count_all")])
+        return out.rename_columns(["lang", "n_hapax", "n_types"])
+
+    per_part = (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(part_stats, batch_format="pyarrow")
+    )
+    tbl = bounded_group_table_strict(
+        per_part, ["lang"], [("n_types", "sum"), ("n_hapax", "sum")]
+    )
+    if tbl is None:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "lang": pa.array([], pa.string()),
+                    "n_types": pa.array([], pa.int64()),
+                    "n_hapax": pa.array([], pa.int64()),
+                    "hapax_share": pa.array([], pa.float64()),
+                }
+            )
+        )
+    ty = tbl.column("n_types").to_numpy(zero_copy_only=False)
+    hp = tbl.column("n_hapax").to_numpy(zero_copy_only=False)
+    out = tbl.append_column(
+        "hapax_share", pa.array(hp.astype(np.float64) / ty.astype(np.float64))
+    )
+    return rd.from_arrow(out).sort("lang")
+
+
+LANG_HAPAX_SQL = f"""
+WITH counts AS (
+  SELECT lang, token, COUNT(*) AS n FROM (
+    SELECT lang, unnest(regexp_extract_all(text, '{WS_TOKEN_RE}')) AS token
+    FROM documents
+  ) GROUP BY lang, token
+)
+SELECT lang,
+  CAST(COUNT(*) AS BIGINT) AS n_types,
+  CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+  CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+    / CAST(COUNT(*) AS DOUBLE) AS hapax_share
+FROM counts
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# Zipf rank–frequency slope per language, exact fixed-point OLS.
+# ---------------------------------------------------------------------------
+
+_ZIPF_K = 100
+_ZIPF_SCALE = 1_000_000  # micro-log units: x·y products stay in int64
+
+
+def lang_zipf(sf_dir: str, num_partitions: int | None = None) -> rd.Dataset:
+    """(lang, n_top, zipf_slope): the OLS slope of ln(frequency) on
+    ln(rank) over each language's top-100 tokens — the Zipf exponent
+    (≈ −1 for natural language). Frequencies and ranks come from the
+    exact distributed top-k (corpus.top_tokens_by_lang); both logs are
+    quantized ONCE to integer micro-log units (floor(ln·10⁶ + 0.5),
+    bit-identical to the oracle's ``ln``), so every OLS sum is an
+    exact int64 and the slope is a single division of two exact
+    integers — associative under any partitioning.
+
+    Plan: the heavy lifting is the existing token-hash top-k shuffle;
+    this post-processes its ≤ |langs|·100-row result on the driver
+    with arbitrary-precision ints."""
+    import math
+
+    from .corpus import top_tokens_by_lang
+
+    rows = top_tokens_by_lang(
+        sf_dir, k=_ZIPF_K, num_partitions=num_partitions
+    ).take_all()
+    acc: dict[str, list[tuple[int, int]]] = {}
+    for r in rows:
+        acc.setdefault(r["lang"], []).append((int(r["rk"]), int(r["n"])))
+    out_lang, out_n, out_slope = [], [], []
+    for lang in sorted(acc):
+        pts = acc[lang]
+        xs = [
+            int(math.floor(math.log(rk) * _ZIPF_SCALE + 0.5)) for rk, _ in pts
+        ]
+        ys = [
+            int(math.floor(math.log(n) * _ZIPF_SCALE + 0.5)) for _, n in pts
+        ]
+        k = len(pts)
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        sxx = sum(x * x for x in xs)
+        den = k * sxx - sx * sx
+        num = k * sxy - sx * sy
+        out_lang.append(lang)
+        out_n.append(k)
+        out_slope.append(float(num) / float(den) if den else 0.0)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "lang": pa.array(out_lang, pa.string()),
+                "n_top": pa.array(out_n, pa.int64()),
+                "zipf_slope": pa.array(out_slope, pa.float64()),
+            }
+        )
+    )
+
+
+LANG_ZIPF_SQL = f"""
+WITH counts AS (
+  SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS n FROM (
+    SELECT lang, unnest(regexp_extract_all(text, '{WS_TOKEN_RE}')) AS token
+    FROM documents
+  ) GROUP BY lang, token
+), ranked AS (
+  SELECT lang, token, n,
+    ROW_NUMBER() OVER (
+      PARTITION BY lang ORDER BY n DESC, token ASC
+    ) AS rk
+  FROM counts
+), q AS (
+  SELECT lang,
+    CAST(floor(ln(CAST(rk AS DOUBLE)) * {_ZIPF_SCALE} + 0.5) AS BIGINT) AS x,
+    CAST(floor(ln(CAST(n AS DOUBLE)) * {_ZIPF_SCALE} + 0.5) AS BIGINT) AS y
+  FROM ranked WHERE rk <= {_ZIPF_K}
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_top,
+  CASE WHEN COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) = 0 THEN 0.0
+       ELSE CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS DOUBLE)
+          / CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS DOUBLE)
+  END AS zipf_slope
+FROM q
+GROUP BY lang
+ORDER BY lang
+"""

@@ -577,3 +577,118 @@ WHERE pt IS NOT NULL
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# Winsorized (quantile-clipped) robust mean per event type.
+# ---------------------------------------------------------------------------
+
+def events_winsorized_stats(sf_dir: str) -> rd.Dataset:
+    """(event_type, lo_cents, hi_cents, n, winsorized_mean_cents,
+    n_clipped_low, n_clipped_high): per event type, the p01/p99
+    ``quantile_disc`` clip bounds of the cent-quantized value and the
+    mean after clipping to them — the robust-mean shape.
+
+    Plan: ONE streaming histogram pass — per-batch (type, cents, n)
+    count partials, reduced under the bounded-reduce guard (|value
+    domain| × |types| rows, never the event count). The driver then
+    walks each type's CDF for the bounds AND forms the clipped sum
+    from the SAME histogram (Σ clip(c)·n — exact ints), so no second
+    data pass exists; the mean is the single exact-integer division
+    the oracle writes."""
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "value"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "cents": _cents(b.column("value")),
+            }
+        )
+        g = t.group_by(["event_type", "cents"]).aggregate([("cents", "count")])
+        return g.rename_columns(["event_type", "cents", "n"])
+
+    hist = bounded_group_table_strict(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "cents"],
+        [("n", "sum")],
+    )
+    empty = pa.table(
+        {
+            "event_type": pa.array([], pa.string()),
+            "lo_cents": pa.array([], pa.int64()),
+            "hi_cents": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+            "winsorized_mean_cents": pa.array([], pa.float64()),
+            "n_clipped_low": pa.array([], pa.int64()),
+            "n_clipped_high": pa.array([], pa.int64()),
+        }
+    )
+    if hist is None:
+        return rd.from_arrow(empty)
+    import math
+
+    types = hist.column("event_type").to_pylist()
+    cents = hist.column("cents").to_numpy(zero_copy_only=False)
+    cnt = hist.column("n").to_numpy(zero_copy_only=False)
+    rows = []
+    for et in sorted(set(types)):
+        sel = np.asarray([t == et for t in types])
+        c, k = cents[sel], cnt[sel]
+        order = np.argsort(c)
+        c, k = c[order], k[order]
+        cum = np.cumsum(k)
+        n = int(cum[-1])
+        # quantile_disc semantics: 0-indexed element ceil(q·n)−1
+        lo = int(c[np.searchsorted(cum, math.ceil(0.01 * n))])
+        hi = int(c[np.searchsorted(cum, math.ceil(0.99 * n))])
+        clipped = np.clip(c, lo, hi)
+        s = int(np.dot(clipped, k))
+        rows.append(
+            {
+                "event_type": et,
+                "lo_cents": lo,
+                "hi_cents": hi,
+                "n": n,
+                "winsorized_mean_cents": float(s) / float(n),
+                "n_clipped_low": int(k[c < lo].sum()),
+                "n_clipped_high": int(k[c > hi].sum()),
+            }
+        )
+    return rd.from_arrow(
+        pa.table(
+            {
+                f: pa.array([r[f] for r in rows], empty.schema.field(f).type)
+                for f in empty.schema.names
+            }
+        )
+    )
+
+
+EVENTS_WINSORIZED_SQL = """
+WITH c AS (
+  SELECT event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+), b AS (
+  SELECT event_type,
+    CAST(quantile_disc(cents, 0.01) AS BIGINT) AS lo,
+    CAST(quantile_disc(cents, 0.99) AS BIGINT) AS hi,
+    CAST(COUNT(*) AS BIGINT) AS n
+  FROM c GROUP BY event_type
+)
+SELECT c.event_type, b.lo AS lo_cents, b.hi AS hi_cents, b.n,
+  CAST(SUM(CASE WHEN cents < lo THEN lo
+                WHEN cents > hi THEN hi
+                ELSE cents END) AS DOUBLE) / CAST(b.n AS DOUBLE)
+    AS winsorized_mean_cents,
+  CAST(SUM(CASE WHEN cents < lo THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_clipped_low,
+  CAST(SUM(CASE WHEN cents > hi THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_clipped_high
+FROM c JOIN b USING (event_type)
+GROUP BY c.event_type, b.lo, b.hi, b.n
+ORDER BY c.event_type
+"""

@@ -7301,6 +7301,11 @@ def registry() -> dict[str, tuple]:
         "lang_ttr": (cor2.lang_ttr, cor2.LANG_TTR_SQL),
         "vocab_growth": (cor2.vocab_growth, cor2.VOCAB_GROWTH_SQL),
         "label_centroids": (cor2.label_centroids, cor2.LABEL_CENTROIDS_SQL),
+        "lang_hapax": (cor2.lang_hapax, cor2.LANG_HAPAX_SQL),
+        "lang_zipf": (cor2.lang_zipf, cor2.LANG_ZIPF_SQL),
+        "events_winsorized_stats": (
+            dec5.events_winsorized_stats, dec5.EVENTS_WINSORIZED_SQL,
+        ),
         # round-4 decision-support batch: the remaining TPC-H shapes,
         # built on the generic join API (pipelines/join.py)
         "waiting_suppliers": (

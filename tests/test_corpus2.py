@@ -115,3 +115,30 @@ def test_label_centroids_fixed_point_exact(ray_session, tmp_path):
         {"label": 1, "idx": 0, "centroid": 2.0},
         {"label": 1, "idx": 1, "centroid": 2.0},
     ], got
+
+
+def test_lang_hapax_counts(ray_session, tmp_path):
+    d = str(tmp_path)
+    _docs(d, [(1, "a b a", "en"), (2, "c", "en"), (3, "x x", "fr")])
+    for parts in (1, 3):
+        got = c2.lang_hapax(d, num_partitions=parts).take_all()
+        assert got == [
+            {"lang": "en", "n_types": 3, "n_hapax": 2, "hapax_share": 2 / 3},
+            {"lang": "fr", "n_types": 1, "n_hapax": 0, "hapax_share": 0.0},
+        ], got
+
+
+def test_lang_zipf_shape_and_partition_invariance(ray_session, tmp_path):
+    d = str(tmp_path)
+    # en counts: a=4, b=2, c=1 → strictly decreasing → slope < 0;
+    # fr: two tokens tied at 2 (tie-break token-asc) → slope 0
+    _docs(d, [
+        (1, "a a a a b b c", "en"),
+        (2, "y y z z", "fr"),
+    ])
+    got1 = c2.lang_zipf(d, num_partitions=1).take_all()
+    got3 = c2.lang_zipf(d, num_partitions=3).take_all()
+    assert got1 == got3
+    by = {r["lang"]: r for r in got1}
+    assert by["en"]["n_top"] == 3 and by["en"]["zipf_slope"] < 0
+    assert by["fr"]["n_top"] == 2 and by["fr"]["zipf_slope"] == 0.0

@@ -214,3 +214,33 @@ def test_interarrival_no_gaps(ray_session, tmp_path):
         (2, "1996-01-01T00:00:00", 2, "view"),
     ])
     assert d5.user_interarrival_stats(d).take_all() == []
+
+
+def test_winsorized_stats_clipping(ray_session, tmp_path):
+    d = str(tmp_path)
+    # type "a", n=200: 2×1.00, 196×10.00, 2×100.00.
+    # quantile_disc: lo = element ceil(0.01·200)=2 → 1.00 (100 cents),
+    # hi = element ceil(0.99·200)=198 → 10.00 (1000 cents).
+    # Only the two 100.00 values clip (high); mean = 991.0 cents.
+    vals = [1.0] * 2 + [10.0] * 196 + [100.0] * 2
+    rows = [(i + 1, "1996-01-01T00:00:00", i + 1, "a") for i in range(200)]
+    eid, ts, uid, et = zip(*rows)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(eid, pa.int64()),
+                "ts": pa.array([_ts(x) for x in ts], pa.timestamp("us")),
+                "user_id": pa.array(uid, pa.int64()),
+                "event_type": pa.array(et, pa.string()),
+                "value": pa.array(vals, pa.float64()),
+                "props": pa.array(["{}"] * 200, pa.string()),
+            }
+        ),
+        os.path.join(d, "events.parquet"),
+    )
+    got = d5.events_winsorized_stats(d).take_all()
+    assert got == [
+        {"event_type": "a", "lo_cents": 100, "hi_cents": 1000, "n": 200,
+         "winsorized_mean_cents": 991.0,
+         "n_clipped_low": 0, "n_clipped_high": 2}
+    ], got
