@@ -334,6 +334,9 @@ BENCH_QUERIES = [
     "lang_hapax",
     "lang_zipf",
     "events_winsorized_stats",
+    "lang_vocab_overlap",
+    "dedup_graph_assortativity",
+    "dedup_graph_kcore",
     "rank_dedup_graph",
     "dedup_graph_bfs",
     "dedup_graph_triangles",

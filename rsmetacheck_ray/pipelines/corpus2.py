@@ -674,3 +674,188 @@ FROM q
 GROUP BY lang
 ORDER BY lang
 """
+
+
+# ---------------------------------------------------------------------------
+# Pairwise language vocabulary overlap (set Jaccard).
+# ---------------------------------------------------------------------------
+
+def lang_vocab_overlap(
+    sf_dir: str, num_partitions: int | None = None
+) -> rd.Dataset:
+    """(lang_a, lang_b, n_a, n_b, n_common, n_union, jaccard): for each
+    unordered language pair sharing at least one token type, the exact
+    Jaccard similarity of their vocabularies — the distributed set-
+    intersection shape (lang-pairs share loanwords, numbers, URLs).
+
+    Plan: ONE token-hash shuffle of batch-distinct (lang, token) pairs;
+    a token's full language SET lives in its owning partition, so the
+    per-partition pass emits |langs|² intersection partials plus
+    per-language type counts; the reduce is bounded by the language
+    domain squared. Pairs with an empty intersection are omitted (the
+    oracle's inner-join semantics)."""
+    ds = _docs(sf_dir, ["lang", "text"])
+    hint = parquet_rows_hint(ds)
+    n_parts = num_partitions or adaptive_partitions(
+        hint * 64 if hint else None, row_bytes=32
+    )
+
+    def pairs(b: pa.Table) -> pa.Table:
+        words = split_ws_tokens(b.column("text"))
+        off = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = words.flatten()
+        doc_idx = np.repeat(np.arange(len(words), dtype=np.int64), np.diff(off))
+        mask = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        langs = b.column("lang").take(pa.array(doc_idx[mask], pa.int64()))
+        t = pa.table(
+            {"lang": langs, "token": flat.filter(pa.array(mask))}
+        ).group_by(["lang", "token"]).aggregate([])
+        vocab = np.asarray(t.column("token").to_pylist(), dtype=object)
+        return pa.table(
+            {
+                "part": pa.array(
+                    token_partitions(vocab, n_parts).astype(np.int64),
+                    pa.int64(),
+                ),
+                "lang": t.column("lang"),
+                "token": t.column("token"),
+            }
+        )
+
+    def part_overlap(g: pa.Table) -> pa.Table:
+        t = g.select(["lang", "token"]).group_by(["lang", "token"]).aggregate([])
+        lang = t.column("lang").combine_chunks()
+        enc = lang.dictionary_encode()
+        lidx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ldict = [str(x) for x in enc.dictionary.to_pylist()]
+        tok = t.column("token").combine_chunks().dictionary_encode()
+        tidx = tok.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_tok = len(tok.dictionary)
+        n_lang = len(ldict)
+        empty = pa.table(
+            {
+                "lang_a": pa.array([], pa.string()),
+                "lang_b": pa.array([], pa.string()),
+                "n_a": pa.array([], pa.int64()),
+                "n_b": pa.array([], pa.int64()),
+                "n_common": pa.array([], pa.int64()),
+            }
+        )
+        if not n_tok or not n_lang:
+            return empty
+        # token × lang membership matrix (partition-local, both dims
+        # bounded: distinct tokens of this partition × |langs|)
+        mem = np.zeros((n_tok, n_lang), dtype=bool)
+        mem[tidx, lidx] = True
+        sizes = mem.sum(axis=0).astype(np.int64)  # per-lang type count
+        inter = (mem.T.astype(np.int64) @ mem.astype(np.int64))
+        out_a, out_b, out_na, out_nb, out_c = [], [], [], [], []
+        order = np.argsort(np.asarray(ldict, dtype=object), kind="stable")
+        for ii in range(n_lang):
+            i = order[ii]
+            # size rows ride along as (lang, lang) self pairs
+            out_a.append(ldict[i])
+            out_b.append(ldict[i])
+            out_na.append(int(sizes[i]))
+            out_nb.append(int(sizes[i]))
+            out_c.append(int(sizes[i]))
+            for jj in range(ii + 1, n_lang):
+                j = order[jj]
+                c = int(inter[i, j])
+                if c:
+                    a_, b_ = sorted((ldict[i], ldict[j]))
+                    ai = i if ldict[i] == a_ else j
+                    bi = j if ai == i else i
+                    out_a.append(a_)
+                    out_b.append(b_)
+                    out_na.append(int(sizes[ai]))
+                    out_nb.append(int(sizes[bi]))
+                    out_c.append(c)
+        return pa.table(
+            {
+                "lang_a": pa.array(out_a, pa.string()),
+                "lang_b": pa.array(out_b, pa.string()),
+                "n_a": pa.array(out_na, pa.int64()),
+                "n_b": pa.array(out_nb, pa.int64()),
+                "n_common": pa.array(out_c, pa.int64()),
+            }
+        )
+
+    per_part = (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(part_overlap, batch_format="pyarrow")
+    )
+    tbl = bounded_group_table_strict(
+        per_part,
+        ["lang_a", "lang_b"],
+        [("n_a", "sum"), ("n_b", "sum"), ("n_common", "sum")],
+    )
+    empty = pa.table(
+        {
+            "lang_a": pa.array([], pa.string()),
+            "lang_b": pa.array([], pa.string()),
+            "n_a": pa.array([], pa.int64()),
+            "n_b": pa.array([], pa.int64()),
+            "n_common": pa.array([], pa.int64()),
+            "n_union": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64()),
+        }
+    )
+    if tbl is None:
+        return rd.from_arrow(empty)
+    # self rows carry the GLOBAL per-language sizes; cross rows carry
+    # per-partition sizes that summed to garbage — rebuild from selves
+    la = tbl.column("lang_a").to_pylist()
+    lb = tbl.column("lang_b").to_pylist()
+    nc = tbl.column("n_common").to_numpy(zero_copy_only=False)
+    sizes = {
+        a: int(c) for a, b, c in zip(la, lb, nc) if a == b
+    }
+    rows = sorted(
+        (a, b, int(c)) for a, b, c in zip(la, lb, nc) if a != b
+    )
+    out = pa.table(
+        {
+            "lang_a": pa.array([r[0] for r in rows], pa.string()),
+            "lang_b": pa.array([r[1] for r in rows], pa.string()),
+            "n_a": pa.array([sizes[r[0]] for r in rows], pa.int64()),
+            "n_b": pa.array([sizes[r[1]] for r in rows], pa.int64()),
+            "n_common": pa.array([r[2] for r in rows], pa.int64()),
+            "n_union": pa.array(
+                [sizes[r[0]] + sizes[r[1]] - r[2] for r in rows], pa.int64()
+            ),
+            "jaccard": pa.array(
+                [
+                    float(r[2]) / float(sizes[r[0]] + sizes[r[1]] - r[2])
+                    for r in rows
+                ],
+                pa.float64(),
+            ),
+        }
+    )
+    return rd.from_arrow(out)
+
+
+LANG_VOCAB_OVERLAP_SQL = f"""
+WITH lt AS MATERIALIZED (
+  SELECT DISTINCT lang, token FROM (
+    SELECT lang, unnest(regexp_extract_all(text, '{WS_TOKEN_RE}')) AS token
+    FROM documents
+  )
+), sizes AS MATERIALIZED (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM lt GROUP BY lang
+), common AS (
+  SELECT a.lang AS la, b.lang AS lb, CAST(COUNT(*) AS BIGINT) AS c
+  FROM lt a JOIN lt b ON a.token = b.token AND a.lang < b.lang
+  GROUP BY 1, 2
+)
+SELECT la AS lang_a, lb AS lang_b,
+  sa.n AS n_a, sb.n AS n_b, c AS n_common,
+  sa.n + sb.n - c AS n_union,
+  CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) AS jaccard
+FROM common
+JOIN sizes sa ON la = sa.lang
+JOIN sizes sb ON lb = sb.lang
+ORDER BY lang_a, lang_b
+"""

@@ -4227,6 +4227,235 @@ def q_dedup_graph_triangles(sf_dir: str):
     return tri.rename_columns(["doc_id", "triangles"])
 
 
+def _cc_simple_edges(sf_dir: str) -> "tuple[np.ndarray, np.ndarray] | None":
+    """The SIMPLE undirected dedup graph as sorted deduped (lo, hi)
+    arrays, or None when empty. Edge derivation is the distributed
+    star-pair pipeline (prefix ∪ suffix); the pulled edge set is
+    O(duplicates) — the triangles/BFS family's documented gate — and
+    the driver-side analytics below are linear in it."""
+    import ray
+
+    corpus = _cc_corpus(sf_dir)
+    blocks = [
+        t
+        for t in ray.get(_cc_edges(corpus).materialize().to_arrow_refs())
+        if t.num_rows
+    ]
+    if not blocks:
+        return None
+    e = pa.concat_tables(blocks)
+    a = e.column("doc_id_a").to_numpy(zero_copy_only=False)
+    b = e.column("doc_id_b").to_numpy(zero_copy_only=False)
+    keep = a != b
+    a, b = a[keep], b[keep]
+    if not len(a):
+        return None
+    lo, hi = np.minimum(a, b), np.maximum(a, b)
+    uniq = np.unique(np.stack([lo, hi], axis=1), axis=0)
+    return uniq[:, 0], uniq[:, 1]
+
+
+def _simple_degrees(
+    lo: np.ndarray, hi: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """(sorted nodes, degree per node) of the simple graph."""
+    nodes, counts = np.unique(np.concatenate([lo, hi]), return_counts=True)
+    return nodes, counts.astype(np.int64)
+
+
+def q_dedup_graph_assortativity(sf_dir: str):
+    """One row (n_nodes, n_edges, assortativity): Pearson correlation
+    of endpoint degrees across the dedup graph's edges (each edge
+    counted in both directions, the standard degree-assortativity
+    estimator). Every OLS sum is an exact Python int over int64
+    degrees — associative under any partitioning — and the final
+    expression (one division of two libm sqrts) is written identically
+    in the oracle."""
+    import math
+
+    empty = pa.table(
+        {
+            "n_nodes": pa.array([], pa.int64()),
+            "n_edges": pa.array([], pa.int64()),
+            "assortativity": pa.array([], pa.float64()),
+        }
+    )
+    edges = _cc_simple_edges(sf_dir)
+    if edges is None:
+        return empty
+    lo, hi = edges
+    n_nodes, r = assortativity_from_edges(lo, hi)
+    return pa.table(
+        {
+            "n_nodes": pa.array([n_nodes], pa.int64()),
+            "n_edges": pa.array([len(lo)], pa.int64()),
+            "assortativity": pa.array([r], pa.float64()),
+        }
+    )
+
+
+def assortativity_from_edges(
+    lo: np.ndarray, hi: np.ndarray
+) -> tuple[int, float]:
+    """(n_nodes, degree assortativity) of a simple undirected edge
+    list. Exact int sums; num/den share Sx by symmetry."""
+    import math
+
+    nodes, deg = _simple_degrees(lo, hi)
+    dl = deg[np.searchsorted(nodes, lo)]
+    dh = deg[np.searchsorted(nodes, hi)]
+    # both directions: x ∪ y is symmetric, m = 2|E|
+    x = np.concatenate([dl, dh])
+    y = np.concatenate([dh, dl])
+    m = len(x)
+    sx = int(x.sum())
+    sxy = int(np.dot(x, y))
+    sxx = int(np.dot(x, x))
+    den = m * sxx - sx * sx
+    num = m * sxy - sx * sx  # sy == sx by symmetry
+    r = (
+        0.0
+        if den == 0
+        else float(num) / (math.sqrt(float(den)) * math.sqrt(float(den)))
+    )
+    return len(nodes), r
+
+
+_CC_SIMPLE_EDGES_SQL = f"""
+pk AS (SELECT doc_id, substr(text, 1, {_CC_PREFIX}) AS k FROM corpus),
+sk AS (
+  SELECT doc_id,
+    CASE WHEN length(text) >= {_CC_PREFIX}
+         THEN substr(text, length(text) - {_CC_PREFIX - 1}, {_CC_PREFIX})
+         ELSE text END AS k
+  FROM corpus
+),
+pe AS (SELECT min(doc_id) OVER (PARTITION BY k) AS a, doc_id AS b FROM pk),
+se AS (SELECT min(doc_id) OVER (PARTITION BY k) AS a, doc_id AS b FROM sk),
+edges0 AS MATERIALIZED (
+  SELECT a, b FROM pe WHERE a < b
+  UNION
+  SELECT a, b FROM se WHERE a < b
+),
+deg AS MATERIALIZED (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+    SELECT a AS node FROM edges0 UNION ALL SELECT b AS node FROM edges0
+  ) GROUP BY node
+)
+"""
+
+SQL_DEDUP_GRAPH_ASSORTATIVITY = f"""
+WITH
+{_CC_CORPUS_SQL.strip()},
+{_CC_SIMPLE_EDGES_SQL.strip()},
+pairs AS (
+  SELECT da.d AS x, db.d AS y
+  FROM edges0 e JOIN deg da ON e.a = da.node JOIN deg db ON e.b = db.node
+  UNION ALL
+  SELECT db.d AS x, da.d AS y
+  FROM edges0 e JOIN deg da ON e.a = da.node JOIN deg db ON e.b = db.node
+)
+SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+  CAST(COUNT(*) // 2 AS BIGINT) AS n_edges,
+  CASE WHEN COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) = 0 THEN 0.0
+       ELSE CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(x) AS DOUBLE)
+          / (sqrt(CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS DOUBLE))
+             * sqrt(CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS DOUBLE)))
+  END AS assortativity
+FROM pairs
+"""
+
+
+_KCORE_K = 2
+_KCORE_ROUNDS = 16
+
+
+def q_dedup_graph_kcore(sf_dir: str):
+    """(doc_id, core_degree): the {_KCORE_K}-core of the dedup graph —
+    nodes surviving {_KCORE_ROUNDS} synchronous peel rounds (drop every
+    node whose degree among survivors is < k), with their degree inside
+    the final core. EXACTLY the fixed round count runs (no early
+    stop), mirroring the oracle's unrolled CTE rounds — the
+    pagerank_fixed discipline for iterative operators; the star-pair
+    graph's peel converges in far fewer rounds."""
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "core_degree": pa.array([], pa.int64()),
+        }
+    )
+    edges = _cc_simple_edges(sf_dir)
+    if edges is None:
+        return empty
+    lo, hi = edges
+    nodes, core_deg = kcore_peel(lo, hi, _KCORE_K, _KCORE_ROUNDS)
+    return pa.table(
+        {
+            "doc_id": pa.array(nodes, pa.int64()),
+            "core_degree": pa.array(core_deg, pa.int64()),
+        }
+    )
+
+
+def kcore_peel(
+    lo: np.ndarray, hi: np.ndarray, k: int, rounds: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(surviving nodes, degree inside the core) after EXACTLY
+    ``rounds`` synchronous peel rounds on the simple undirected edge
+    list — no early stop, matching the oracle's unrolled CTEs."""
+    nodes, _ = _simple_degrees(lo, hi)
+    li = np.searchsorted(nodes, lo)
+    hi_i = np.searchsorted(nodes, hi)
+    alive = np.ones(len(nodes), dtype=bool)
+    for _ in range(rounds):
+        e_ok = alive[li] & alive[hi_i]
+        d = np.bincount(li[e_ok], minlength=len(nodes)) + np.bincount(
+            hi_i[e_ok], minlength=len(nodes)
+        )
+        alive = alive & (d >= k)
+    # degrees are reported WITHIN the final core (both endpoints alive)
+    e_ok = alive[li] & alive[hi_i]
+    d = np.bincount(li[e_ok], minlength=len(nodes)) + np.bincount(
+        hi_i[e_ok], minlength=len(nodes)
+    )
+    sel = alive & (d > 0)
+    return nodes[sel], d[sel].astype(np.int64)
+
+
+def _sql_dedup_graph_kcore() -> str:
+    rounds = []
+    for i in range(1, _KCORE_ROUNDS + 1):
+        # MATERIALIZED is load-bearing: each round is referenced twice
+        # by the next (both endpoints), so inlined CTEs expand 2^R-fold
+        rounds.append(
+            f"""a{i} AS MATERIALIZED (
+  SELECT u.u AS node FROM und u
+  JOIN a{i - 1} s1 ON u.u = s1.node
+  JOIN a{i - 1} s2 ON u.v = s2.node
+  GROUP BY u.u HAVING COUNT(*) >= {_KCORE_K}
+)"""
+        )
+    return f"""
+WITH
+{_CC_CORPUS_SQL.strip()},
+{_CC_SIMPLE_EDGES_SQL.strip()},
+und AS MATERIALIZED (
+  SELECT a AS u, b AS v FROM edges0
+  UNION ALL
+  SELECT b AS u, a AS v FROM edges0
+),
+a0 AS (SELECT node FROM deg),
+{','.join(rounds)}
+SELECT u.u AS doc_id, CAST(COUNT(*) AS BIGINT) AS core_degree
+FROM und u
+JOIN a{_KCORE_ROUNDS} s1 ON u.u = s1.node
+JOIN a{_KCORE_ROUNDS} s2 ON u.v = s2.node
+GROUP BY u.u
+ORDER BY doc_id
+"""
+
+
 SQL_DEDUP_GRAPH_TRIANGLES = f"""
 WITH
 {_CC_CORPUS_SQL.strip()},
@@ -7303,6 +7532,9 @@ def registry() -> dict[str, tuple]:
         "label_centroids": (cor2.label_centroids, cor2.LABEL_CENTROIDS_SQL),
         "lang_hapax": (cor2.lang_hapax, cor2.LANG_HAPAX_SQL),
         "lang_zipf": (cor2.lang_zipf, cor2.LANG_ZIPF_SQL),
+        "lang_vocab_overlap": (
+            cor2.lang_vocab_overlap, cor2.LANG_VOCAB_OVERLAP_SQL,
+        ),
         "events_winsorized_stats": (
             dec5.events_winsorized_stats, dec5.EVENTS_WINSORIZED_SQL,
         ),
@@ -7455,6 +7687,12 @@ def registry() -> dict[str, tuple]:
         "dedup_graph_bfs": (q_dedup_graph_bfs, SQL_DEDUP_GRAPH_BFS),
         "dedup_graph_triangles": (
             q_dedup_graph_triangles, SQL_DEDUP_GRAPH_TRIANGLES,
+        ),
+        "dedup_graph_assortativity": (
+            q_dedup_graph_assortativity, SQL_DEDUP_GRAPH_ASSORTATIVITY,
+        ),
+        "dedup_graph_kcore": (
+            q_dedup_graph_kcore, _sql_dedup_graph_kcore(),
         ),
         "dedup_survivors": (q_dedup_survivors, SQL_DEDUP_SURVIVORS),
         "decontaminate": (q_decontaminate, _sql_decontaminate()),

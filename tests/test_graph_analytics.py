@@ -1,0 +1,97 @@
+"""Planted tests for the round-4 graph-analytics kernels
+(pipelines/queries.py): degree assortativity (star = −1, complete
+graph den=0 → 0.0) and the fixed-round k-core peel (triangle+tail,
+path-graph round-by-round peeling, insufficient rounds leave a
+partially-peeled residue — pinning the exactly-R-rounds contract the
+oracle's unrolled CTEs share), plus the vocabulary-overlap query."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from rsmetacheck_ray.pipelines.queries import (
+    assortativity_from_edges,
+    kcore_peel,
+)
+from rsmetacheck_ray.pipelines import corpus2 as c2
+
+
+def _e(pairs):
+    lo = np.asarray([min(a, b) for a, b in pairs], np.int64)
+    hi = np.asarray([max(a, b) for a, b in pairs], np.int64)
+    return lo, hi
+
+
+def test_assortativity_star_is_minus_one():
+    # star K1,4: hub degree 4, leaves degree 1 → r = −1 exactly
+    lo, hi = _e([(0, 1), (0, 2), (0, 3), (0, 4)])
+    n, r = assortativity_from_edges(lo, hi)
+    assert n == 5
+    assert abs(r + 1.0) < 1e-12
+
+
+def test_assortativity_regular_graph_degenerate():
+    # triangle: all degrees equal → den = 0 → defined as 0.0
+    lo, hi = _e([(0, 1), (1, 2), (0, 2)])
+    n, r = assortativity_from_edges(lo, hi)
+    assert n == 3 and r == 0.0
+
+
+def test_kcore_triangle_with_tail():
+    # triangle 0-1-2 plus tail 2-3-4: 2-core = the triangle
+    lo, hi = _e([(0, 1), (1, 2), (0, 2), (2, 3), (3, 4)])
+    nodes, deg = kcore_peel(lo, hi, k=2, rounds=16)
+    assert nodes.tolist() == [0, 1, 2]
+    assert deg.tolist() == [2, 2, 2]
+
+
+def test_kcore_path_needs_rounds():
+    # path 0-1-2-3-4-5: each round peels both ends; the 2-core is
+    # empty, but it takes ceil(5/2)=3 synchronous rounds to get there —
+    # with only 2 rounds a residue remains (the exactly-R contract)
+    lo, hi = _e([(0, 1), (1, 2), (2, 3), (3, 4), (4, 5)])
+    nodes2, deg2 = kcore_peel(lo, hi, k=2, rounds=2)
+    assert nodes2.tolist() == [2, 3]
+    assert deg2.tolist() == [1, 1]
+    nodes3, _ = kcore_peel(lo, hi, k=2, rounds=3)
+    assert nodes3.tolist() == []
+
+
+def test_kcore_k3_clique():
+    # K4 plus a pendant: the 3-core is exactly the K4
+    lo, hi = _e(
+        [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3), (3, 4)]
+    )
+    nodes, deg = kcore_peel(lo, hi, k=3, rounds=16)
+    assert nodes.tolist() == [0, 1, 2, 3]
+    assert deg.tolist() == [3, 3, 3, 3]
+
+
+def test_lang_vocab_overlap_planted(ray_session, tmp_path):
+    d = str(tmp_path)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(["a b c", "b c d", "x"], pa.string()),
+                "lang": pa.array(["en", "fr", "ja"], pa.string()),
+                "source": pa.array(["s"] * 3, pa.string()),
+                "n_chars": pa.array([5, 5, 1], pa.int64()),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+    for parts in (1, 3):
+        got = c2.lang_vocab_overlap(d, num_partitions=parts).take_all()
+        # en={a,b,c}, fr={b,c,d} → common {b,c}; ja disjoint → omitted
+        assert got == [
+            {"lang_a": "en", "lang_b": "fr", "n_a": 3, "n_b": 3,
+             "n_common": 2, "n_union": 4, "jaccard": 0.5}
+        ], got
