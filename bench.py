@@ -337,6 +337,10 @@ BENCH_QUERIES = [
     "lang_vocab_overlap",
     "dedup_graph_assortativity",
     "dedup_graph_kcore",
+    "dedup_component_sizes",
+    "token_dispersion",
+    "order_fill_times",
+    "events_hourly_anomaly",
     "rank_dedup_graph",
     "dedup_graph_bfs",
     "dedup_graph_triangles",

@@ -859,3 +859,152 @@ JOIN sizes sa ON la = sa.lang
 JOIN sizes sb ON lb = sb.lang
 ORDER BY lang_a, lang_b
 """
+
+
+# ---------------------------------------------------------------------------
+# Dispersion of the corpus-head tokens (two-pass derive → broadcast).
+# ---------------------------------------------------------------------------
+
+_DISPERSION_K = 50
+
+
+def token_dispersion(sf_dir: str) -> rd.Dataset:
+    """(token, n_total, df, sum_c2, doc_share, count_var): for the
+    corpus's top-50 tokens, how evenly they spread across documents —
+    document frequency, the exact second moment of per-document counts
+    (zeros included), and the resulting population variance. A bursty
+    token (high variance at the same total) concentrates in few docs;
+    a function word spreads evenly.
+
+    Plan: the two-pass derive→broadcast shape — pass 1 is the existing
+    distributed top-k (per-batch combine, partial-count shuffle,
+    per-block prune); its ≤50-row head is broadcast via ``ray.put``;
+    pass 2 is a shuffle-FREE per-batch probe (one searchsorted against
+    the sorted head + one bincount) emitting ≤50 (df, Σc²) partial
+    rows per batch. N comes from footer metadata. All moments are
+    exact ints; the two floats are the single divisions the oracle
+    writes."""
+    import ray
+
+    from .queries import q_top_tokens
+
+    empty = pa.table(
+        {
+            "token": pa.array([], pa.string()),
+            "n_total": pa.array([], pa.int64()),
+            "df": pa.array([], pa.int64()),
+            "sum_c2": pa.array([], pa.int64()),
+            "doc_share": pa.array([], pa.float64()),
+            "count_var": pa.array([], pa.float64()),
+        }
+    )
+    top = q_top_tokens(sf_dir, k=_DISPERSION_K).take_all()
+    if not top:
+        return rd.from_arrow(empty)
+    toks = np.asarray([r["token"] for r in top], dtype=object)
+    totals = {r["token"]: int(r["n"]) for r in top}
+    order = np.argsort(toks, kind="stable")
+    sorted_toks = toks[order]
+    ref = ray.put(sorted_toks)
+
+    import pyarrow.parquet as pq
+
+    n_docs = pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")
+    ).metadata.num_rows
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    k = len(sorted_toks)
+
+    def probe(b: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        head = _ray.get(ref)
+        words = split_ws_tokens(b.column("text"))
+        off = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = words.flatten()
+        doc_idx = np.repeat(np.arange(len(words), dtype=np.int64), np.diff(off))
+        vals = np.asarray(flat.to_pylist(), dtype=object)
+        pos = np.searchsorted(head, vals)
+        pos = np.minimum(pos, len(head) - 1)
+        hit = head[pos] == vals
+        # per (doc, head-token) counts in one bincount
+        key = doc_idx[hit] * k + pos[hit]
+        c = np.bincount(key, minlength=len(words) * k).reshape(len(words), k)
+        df = (c > 0).sum(axis=0).astype(np.int64)
+        sum_c2 = (c.astype(np.int64) ** 2).sum(axis=0)
+        return pa.table(
+            {
+                "tok_id": pa.array(np.arange(k, dtype=np.int64)),
+                "df": pa.array(df),
+                "sum_c2": pa.array(sum_c2),
+            }
+        )
+
+    tbl = bounded_group_table_strict(
+        ds.map_batches(probe, batch_format="pyarrow"),
+        ["tok_id"],
+        [("df", "sum"), ("sum_c2", "sum")],
+    )
+    if tbl is None:
+        return rd.from_arrow(empty)
+    tid = tbl.column("tok_id").to_numpy(zero_copy_only=False)
+    df = tbl.column("df").to_numpy(zero_copy_only=False)
+    s2 = tbl.column("sum_c2").to_numpy(zero_copy_only=False)
+    rows = []
+    for i in range(len(tid)):
+        tok = str(sorted_toks[tid[i]])
+        nt = totals[tok]
+        rows.append(
+            (
+                tok,
+                nt,
+                int(df[i]),
+                int(s2[i]),
+                float(df[i]) / float(n_docs),
+                float(n_docs * int(s2[i]) - nt * nt)
+                / (float(n_docs) * float(n_docs)),
+            )
+        )
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "token": pa.array([r[0] for r in rows], pa.string()),
+                "n_total": pa.array([r[1] for r in rows], pa.int64()),
+                "df": pa.array([r[2] for r in rows], pa.int64()),
+                "sum_c2": pa.array([r[3] for r in rows], pa.int64()),
+                "doc_share": pa.array([r[4] for r in rows], pa.float64()),
+                "count_var": pa.array([r[5] for r in rows], pa.float64()),
+            }
+        )
+    )
+
+
+TOKEN_DISPERSION_SQL = f"""
+WITH tok AS MATERIALIZED (
+  SELECT doc_id, unnest(regexp_extract_all(text, '{WS_TOKEN_RE}')) AS token
+  FROM documents
+), cnt AS MATERIALIZED (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY token
+), top AS MATERIALIZED (
+  SELECT token, n FROM (
+    SELECT token, n,
+      ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS rk
+    FROM cnt
+  ) WHERE rk <= {_DISPERSION_K}
+), dc AS (
+  SELECT tok.token AS tk, doc_id, CAST(COUNT(*) AS BIGINT) AS c
+  FROM tok JOIN top ON tok.token = top.token
+  GROUP BY 1, 2
+), nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+SELECT top.token AS token, top.n AS n_total,
+  CAST(COUNT(*) AS BIGINT) AS df,
+  CAST(SUM(c * c) AS BIGINT) AS sum_c2,
+  CAST(COUNT(*) AS DOUBLE) / CAST(n_docs AS DOUBLE) AS doc_share,
+  CAST(n_docs * SUM(c * c) - top.n * top.n AS DOUBLE)
+    / (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE)) AS count_var
+FROM dc JOIN top ON dc.tk = top.token CROSS JOIN nn
+GROUP BY top.token, top.n, n_docs
+ORDER BY n_total DESC, token
+"""

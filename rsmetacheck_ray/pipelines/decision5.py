@@ -692,3 +692,234 @@ FROM c JOIN b USING (event_type)
 GROUP BY c.event_type, b.lo, b.hi, b.n
 ORDER BY c.event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# Order fill-time distribution (derived-duration histogram).
+# ---------------------------------------------------------------------------
+
+def order_fill_times(
+    sf_dir: str, num_partitions: int | None = None
+) -> rd.Dataset:
+    """(fill_days, n_orders): histogram of days from order placement
+    to the LAST line shipment — the lead-time distribution.
+
+    Plan: the backlog machinery with a different reducer — lineitem
+    pre-combines per batch to (orderkey → max shipdate), ONE orderkey
+    tagged-union shuffle, each partition finishes the max, probes the
+    order date and emits per-duration count partials bounded by the
+    day-span domain."""
+    li = _read_pq(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_shipdate"],
+    )
+    orders = _read_pq(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate"],
+    )
+    n_parts = num_partitions or adaptive_partitions(
+        parquet_rows_hint(li), row_bytes=16
+    )
+
+    def tag_li(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "key": b.column("l_orderkey"),
+                "d": pc.cast(
+                    pc.cast(b.column("l_shipdate"), pa.date32()), pa.int32()
+                ),
+            }
+        ).group_by("key").aggregate([("d", "max")])
+        ka = t.column("key").combine_chunks()
+        return pa.table(
+            {
+                "part": _part_of(ka, n_parts),
+                "key": ka,
+                "tag": pa.array(np.zeros(len(t), np.int8)),
+                "d": t.column("d_max"),
+            }
+        )
+
+    def tag_orders(b: pa.Table) -> pa.Table:
+        ka = b.column("o_orderkey").combine_chunks()
+        return pa.table(
+            {
+                "part": _part_of(ka, n_parts),
+                "key": ka,
+                "tag": pa.array(np.ones(len(b), np.int8)),
+                "d": pc.cast(
+                    pc.cast(b.column("o_orderdate"), pa.date32()), pa.int32()
+                ),
+            }
+        )
+
+    both = li.map_batches(tag_li, batch_format="pyarrow").union(
+        orders.map_batches(tag_orders, batch_format="pyarrow")
+    )
+
+    def durations(g: pa.Table) -> pa.Table:
+        tag = g.column("tag").to_numpy(zero_copy_only=False)
+        key = g.column("key").to_numpy(zero_copy_only=False)
+        d = g.column("d").to_numpy(zero_copy_only=False).astype(np.int64)
+        lsel = tag == 0
+        lk, ld = key[lsel], d[lsel]
+        ok, od = key[~lsel], d[~lsel]
+        empty = pa.table(
+            {
+                "fill_days": pa.array([], pa.int64()),
+                "n_orders": pa.array([], pa.int64()),
+            }
+        )
+        if not len(lk) or not len(ok):
+            return empty
+        order = np.lexsort((ld, lk))
+        lk, ld = lk[order], ld[order]
+        last = np.empty(len(lk), dtype=bool)
+        last[:-1] = lk[1:] != lk[:-1]
+        last[-1] = True
+        ck, cd = lk[last], ld[last]
+        pos = np.minimum(np.searchsorted(ck, ok), len(ck) - 1)
+        hit = ck[pos] == ok
+        days = cd[pos[hit]] - od[hit]
+        ud, cnt = np.unique(days, return_counts=True)
+        return pa.table(
+            {
+                "fill_days": pa.array(ud, pa.int64()),
+                "n_orders": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    per_part = both.groupby("part").map_groups(
+        durations, batch_format="pyarrow"
+    )
+    tbl = bounded_group_table_strict(
+        per_part, ["fill_days"], [("n_orders", "sum")]
+    )
+    if tbl is None:
+        tbl = pa.table(
+            {
+                "fill_days": pa.array([], pa.int64()),
+                "n_orders": pa.array([], pa.int64()),
+            }
+        )
+    return rd.from_arrow(tbl).sort("fill_days")
+
+
+ORDER_FILL_TIMES_SQL = """
+WITH closed AS (
+  SELECT l_orderkey, CAST(MAX(l_shipdate) AS DATE) AS end_d
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT CAST(datediff('day', CAST(o_orderdate AS DATE), end_d) AS BIGINT)
+         AS fill_days,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders JOIN closed ON o_orderkey = l_orderkey
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Hourly seasonal-baseline anomaly detection.
+# ---------------------------------------------------------------------------
+
+_ANOMALY_NUM = 2  # spike threshold: count ≥ 2× that hour-of-day's mean
+
+
+def events_hourly_anomaly(sf_dir: str) -> rd.Dataset:
+    """(day, hour, n, baseline, ratio): (date, hour) buckets whose
+    event count is at least 2× the all-days mean for that HOUR OF DAY
+    — seasonal-baseline spike detection. The filter is the INTEGER
+    comparison ``n · n_days ≥ 2 · hour_total`` (exact under any
+    partitioning); baseline and ratio are the single exact-int
+    divisions the oracle writes.
+
+    Plan: one shuffle-free per-batch (day, hour) count partial pass;
+    the reduce and the driver-side baseline table are bounded by
+    days × 24."""
+    ds = _read_pq(os.path.join(sf_dir, "events.parquet"), columns=["ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b.column("ts").to_numpy(zero_copy_only=False)
+        day = ts.astype("M8[D]").astype(np.int64)
+        hour = ts.astype("M8[h]").astype(np.int64) % 24
+        key = day * 24 + hour
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "day": pa.array(uk // 24, pa.int64()),
+                "hour": pa.array(uk % 24, pa.int64()),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    tbl = bounded_group_table_strict(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["day", "hour"],
+        [("n", "sum")],
+    )
+    empty = pa.table(
+        {
+            "day": pa.array([], pa.timestamp("us")),
+            "hour": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+            "baseline": pa.array([], pa.float64()),
+            "ratio": pa.array([], pa.float64()),
+        }
+    )
+    if tbl is None:
+        return rd.from_arrow(empty)
+    day = tbl.column("day").to_numpy(zero_copy_only=False)
+    hour = tbl.column("hour").to_numpy(zero_copy_only=False)
+    n = tbl.column("n").to_numpy(zero_copy_only=False)
+    n_days = len(np.unique(day))
+    hour_total = np.zeros(24, np.int64)
+    np.add.at(hour_total, hour, n)
+    ht = hour_total[hour]
+    keep = (n * n_days) >= (_ANOMALY_NUM * ht)
+    order = np.lexsort((hour[keep], day[keep]))
+    dsel, hsel, nsel, htsel = (
+        day[keep][order],
+        hour[keep][order],
+        n[keep][order],
+        ht[keep][order],
+    )
+    return rd.from_arrow(
+        pa.table(
+            {
+                "day": pa.array(dsel * 86_400_000_000, pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "hour": pa.array(hsel, pa.int64()),
+                "n": pa.array(nsel, pa.int64()),
+                "baseline": pa.array(
+                    htsel.astype(np.float64) / float(n_days), pa.float64()
+                ),
+                "ratio": pa.array(
+                    (nsel * n_days).astype(np.float64)
+                    / htsel.astype(np.float64),
+                    pa.float64(),
+                ),
+            }
+        )
+    )
+
+
+EVENTS_HOURLY_ANOMALY_SQL = f"""
+WITH hb AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(hour(ts) AS BIGINT) AS hour,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), ht AS (
+  SELECT hour, CAST(SUM(n) AS BIGINT) AS total FROM hb GROUP BY hour
+), nd AS (
+  SELECT CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days FROM hb
+)
+SELECT day, hb.hour, n,
+  CAST(total AS DOUBLE) / CAST(n_days AS DOUBLE) AS baseline,
+  CAST(n * n_days AS DOUBLE) / CAST(total AS DOUBLE) AS ratio
+FROM hb JOIN ht ON hb.hour = ht.hour CROSS JOIN nd
+WHERE n * n_days >= {_ANOMALY_NUM} * total
+ORDER BY day, hb.hour
+"""

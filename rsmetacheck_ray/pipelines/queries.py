@@ -3842,6 +3842,59 @@ def q_dedup_components(sf_dir: str):
     return connected_components(_cc_edges(corpus))
 
 
+def q_dedup_component_sizes(sf_dir: str):
+    """(size, n_components): distribution of near-dup cluster sizes —
+    how much of the duplication is pairs vs large templated families.
+    Composes the distributed component solve with a bounded two-level
+    rollup (component domain → size domain)."""
+    from ..functions.components import connected_components
+
+    corpus = _cc_corpus(sf_dir)
+    comp = connected_components(_cc_edges(corpus))
+    per_comp = rel.bounded_group_table_strict(
+        comp.map_batches(
+            lambda b: pa.table(
+                {
+                    "component_id": b.column("component_id"),
+                    "sz": pa.array(
+                        np.ones(b.num_rows, np.int64), pa.int64()
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        ["component_id"],
+        [("sz", "sum")],
+    )
+    empty = pa.table(
+        {
+            "size": pa.array([], pa.int64()),
+            "n_components": pa.array([], pa.int64()),
+        }
+    )
+    if per_comp is None:
+        return empty
+    sz = per_comp.column("sz").to_numpy(zero_copy_only=False)
+    u, c = np.unique(sz, return_counts=True)
+    return pa.table(
+        {
+            "size": pa.array(u, pa.int64()),
+            "n_components": pa.array(c.astype(np.int64)),
+        }
+    )
+
+
+def _sql_dedup_component_sizes() -> str:
+    # deferred: SQL_DEDUP_COMPONENTS is defined later in this module
+    return f"""
+SELECT size, CAST(COUNT(*) AS BIGINT) AS n_components FROM (
+  SELECT component_id, CAST(COUNT(*) AS BIGINT) AS size FROM (
+{SQL_DEDUP_COMPONENTS}
+  ) GROUP BY component_id
+) GROUP BY size ORDER BY size
+"""
+
+
 def q_rank_dedup_graph(sf_dir: str):
     """(node, rank_fp): PageRank centrality over the near-dup
     similarity graph (the CC edge set, symmetrized — an undirected
@@ -7693,6 +7746,18 @@ def registry() -> dict[str, tuple]:
         ),
         "dedup_graph_kcore": (
             q_dedup_graph_kcore, _sql_dedup_graph_kcore(),
+        ),
+        "dedup_component_sizes": (
+            q_dedup_component_sizes, _sql_dedup_component_sizes(),
+        ),
+        "token_dispersion": (
+            cor2.token_dispersion, cor2.TOKEN_DISPERSION_SQL,
+        ),
+        "order_fill_times": (
+            dec5.order_fill_times, dec5.ORDER_FILL_TIMES_SQL,
+        ),
+        "events_hourly_anomaly": (
+            dec5.events_hourly_anomaly, dec5.EVENTS_HOURLY_ANOMALY_SQL,
         ),
         "dedup_survivors": (q_dedup_survivors, SQL_DEDUP_SURVIVORS),
         "decontaminate": (q_decontaminate, _sql_decontaminate()),

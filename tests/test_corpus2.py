@@ -142,3 +142,23 @@ def test_lang_zipf_shape_and_partition_invariance(ray_session, tmp_path):
     by = {r["lang"]: r for r in got1}
     assert by["en"]["n_top"] == 3 and by["en"]["zipf_slope"] < 0
     assert by["fr"]["n_top"] == 2 and by["fr"]["zipf_slope"] == 0.0
+
+
+def test_token_dispersion_even_vs_bursty(ray_session, tmp_path):
+    d = str(tmp_path)
+    # "a" appears once in each of 4 docs (even); "b" appears 4 times in
+    # one doc (bursty). Same totals → same n_total, different variance.
+    _docs(d, [
+        (1, "a b b b b", "en"), (2, "a", "en"), (3, "a", "en"), (4, "a", "en"),
+    ])
+    got = {r["token"]: r for r in c2.token_dispersion(d).take_all()}
+    a, b = got["a"], got["b"]
+    assert a["n_total"] == 4 and b["n_total"] == 4
+    assert a["df"] == 4 and b["df"] == 1
+    assert a["sum_c2"] == 4 and b["sum_c2"] == 16
+    assert a["doc_share"] == 1.0 and b["doc_share"] == 0.25
+    # var over ALL docs incl. zeros: a: mean 1, all counts 1 → 0;
+    # b: counts (4,0,0,0), mean 1 → (4·16 − 16)/16 = 3
+    assert a["count_var"] == 0.0 and b["count_var"] == 3.0
+    # bursty > even at equal totals is the signal the operator exists for
+    assert b["count_var"] > a["count_var"]

@@ -244,3 +244,46 @@ def test_winsorized_stats_clipping(ray_session, tmp_path):
          "winsorized_mean_cents": 991.0,
          "n_clipped_low": 0, "n_clipped_high": 2}
     ], got
+
+
+def test_order_fill_times_histogram(ray_session, tmp_path):
+    d = str(tmp_path)
+    _orders(d, [
+        (10, 1, "1996-01-01"), (11, 1, "1996-01-02"), (12, 2, "1996-01-01"),
+    ])
+    # order 10 fills in 2 days (max of two lines), 11 in 0 days,
+    # order 12 has no lines → dropped
+    _lineitem(d, [
+        (10, 1, 1, 10.0, 0.0, "1996-01-02"),
+        (10, 1, 1, 10.0, 0.0, "1996-01-03"),
+        (11, 1, 1, 10.0, 0.0, "1996-01-02"),
+    ])
+    for parts in (1, 3):
+        got = d5.order_fill_times(d, num_partitions=parts).take_all()
+        assert got == [
+            {"fill_days": 0, "n_orders": 1},
+            {"fill_days": 2, "n_orders": 1},
+        ], got
+
+
+def test_events_hourly_anomaly_spike(ray_session, tmp_path):
+    d = str(tmp_path)
+    # hour 3 over two days: day1 has 6 events, day2 has 2 → total 8,
+    # n_days 2, baseline 4.0; day1 ratio 1.5 (<2 → out).
+    # hour 5: day1 has 8, day2 has 0-rows (absent) → total 8 but only
+    # day1 row exists; n_days counts DISTINCT days across all rows = 2,
+    # so day1 hour5: 8·2 = 16 ≥ 2·8 → spike, ratio 2.0.
+    rows = []
+    eid = 0
+    for _ in range(6):
+        eid += 1; rows.append((eid, "1996-01-01T03:00:00", 1, "a"))
+    for _ in range(2):
+        eid += 1; rows.append((eid, "1996-01-02T03:00:00", 1, "a"))
+    for _ in range(8):
+        eid += 1; rows.append((eid, "1996-01-01T05:00:00", 1, "a"))
+    _events(d, rows)
+    got = d5.events_hourly_anomaly(d).take_all()
+    assert got == [
+        {"day": _ts("1996-01-01"), "hour": 5, "n": 8,
+         "baseline": 4.0, "ratio": 2.0}
+    ], got
