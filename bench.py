@@ -341,6 +341,8 @@ BENCH_QUERIES = [
     "token_dispersion",
     "order_fill_times",
     "events_hourly_anomaly",
+    "events_mannwhitney",
+    "source_ks_length",
     "rank_dedup_graph",
     "dedup_graph_bfs",
     "dedup_graph_triangles",

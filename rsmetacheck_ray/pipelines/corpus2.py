@@ -1008,3 +1008,116 @@ FROM dc JOIN top ON dc.tk = top.token CROSS JOIN nn
 GROUP BY top.token, top.n, n_docs
 ORDER BY n_total DESC, token
 """
+
+
+# ---------------------------------------------------------------------------
+# Exact Kolmogorov–Smirnov distance between source length distributions.
+# ---------------------------------------------------------------------------
+
+def source_ks_length(sf_dir: str) -> rd.Dataset:
+    """(source_a, source_b, n_a, n_b, d_num, ks): for every unordered
+    pair of sources, the exact two-sample Kolmogorov–Smirnov distance
+    between their document-length distributions — drift detection
+    across crawl sources. D = max|F_a − F_b| is computed as the
+    integer max of |cum_a·n_b − cum_b·n_a| over the merged support
+    (``d_num``), then the single division the oracle writes.
+
+    Plan: ONE shuffle-free histogram pass — per-batch
+    (source, n_chars, n) partials under the bounded-reduce guard
+    (length domain × |sources|); the pairwise merged-support walks run
+    on the driver over that bounded table."""
+    ds = _docs(sf_dir, ["source", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "source": b.column("source"),
+                "v": pc.cast(b.column("n_chars"), pa.int64()),
+            }
+        )
+        g = t.group_by(["source", "v"]).aggregate([("v", "count")])
+        return g.rename_columns(["source", "v", "n"])
+
+    hist = bounded_group_table_strict(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["source", "v"],
+        [("n", "sum")],
+    )
+    empty = pa.table(
+        {
+            "source_a": pa.array([], pa.string()),
+            "source_b": pa.array([], pa.string()),
+            "n_a": pa.array([], pa.int64()),
+            "n_b": pa.array([], pa.int64()),
+            "d_num": pa.array([], pa.int64()),
+            "ks": pa.array([], pa.float64()),
+        }
+    )
+    if hist is None:
+        return rd.from_arrow(empty)
+    srcs = hist.column("source").to_pylist()
+    vals = hist.column("v").to_numpy(zero_copy_only=False)
+    cnt = hist.column("n").to_numpy(zero_copy_only=False)
+    by_src: dict[str, dict[int, int]] = {}
+    for s, v, c in zip(srcs, vals, cnt):
+        by_src.setdefault(s, {})[int(v)] = int(c)
+    names = sorted(by_src)
+    rows = []
+    for i, sa in enumerate(names):
+        for sb in names[i + 1:]:
+            ha, hb = by_src[sa], by_src[sb]
+            support = sorted(set(ha) | set(hb))
+            na = sum(ha.values())
+            nb = sum(hb.values())
+            ca = cb = 0
+            d_num = 0
+            for v in support:
+                ca += ha.get(v, 0)
+                cb += hb.get(v, 0)
+                d_num = max(d_num, abs(ca * nb - cb * na))
+            rows.append(
+                (sa, sb, na, nb, d_num, float(d_num) / float(na * nb))
+            )
+    return rd.from_arrow(
+        pa.table(
+            {
+                "source_a": pa.array([r[0] for r in rows], pa.string()),
+                "source_b": pa.array([r[1] for r in rows], pa.string()),
+                "n_a": pa.array([r[2] for r in rows], pa.int64()),
+                "n_b": pa.array([r[3] for r in rows], pa.int64()),
+                "d_num": pa.array([r[4] for r in rows], pa.int64()),
+                "ks": pa.array([r[5] for r in rows], pa.float64()),
+            }
+        )
+    )
+
+
+SOURCE_KS_LENGTH_SQL = """
+WITH h AS MATERIALIZED (
+  SELECT source AS s, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents GROUP BY s, v
+), sizes AS MATERIALIZED (
+  SELECT s, CAST(SUM(c) AS BIGINT) AS n FROM h GROUP BY s
+), pairs AS (
+  SELECT a.s AS sa, b.s AS sb, a.n AS na, b.n AS nb
+  FROM sizes a JOIN sizes b ON a.s < b.s
+), merged AS (
+  SELECT p.sa, p.sb, p.na, p.nb, h.v,
+    CAST(SUM(CASE WHEN h.s = p.sa THEN c ELSE 0 END) AS BIGINT) AS ca,
+    CAST(SUM(CASE WHEN h.s = p.sb THEN c ELSE 0 END) AS BIGINT) AS cb
+  FROM pairs p JOIN h ON h.s IN (p.sa, p.sb)
+  GROUP BY 1, 2, 3, 4, 5
+), cum AS (
+  SELECT sa, sb, na, nb,
+    SUM(ca) OVER (PARTITION BY sa, sb ORDER BY v) AS cca,
+    SUM(cb) OVER (PARTITION BY sa, sb ORDER BY v) AS ccb
+  FROM merged
+)
+SELECT sa AS source_a, sb AS source_b, na AS n_a, nb AS n_b,
+  CAST(MAX(ABS(cca * nb - ccb * na)) AS BIGINT) AS d_num,
+  CAST(MAX(ABS(cca * nb - ccb * na)) AS DOUBLE)
+    / CAST(na * nb AS DOUBLE) AS ks
+FROM cum
+GROUP BY sa, sb, na, nb
+ORDER BY source_a, source_b
+"""

@@ -923,3 +923,139 @@ FROM hb JOIN ht ON hb.hour = ht.hour CROSS JOIN nd
 WHERE n * n_days >= {_ANOMALY_NUM} * total
 ORDER BY day, hb.hour
 """
+
+
+# ---------------------------------------------------------------------------
+# Mann–Whitney U (rank-sum) between event-type value distributions.
+# ---------------------------------------------------------------------------
+
+def events_mannwhitney(sf_dir: str) -> rd.Dataset:
+    """(type_a, type_b, n_a, n_b, u_a, auc): for every unordered pair
+    of event types, the Mann–Whitney U statistic of their cent-
+    quantized value distributions with average-rank tie handling, and
+    the equivalent AUC (P(value_a > value_b) + ½P(tie)) — the
+    nonparametric two-sample location test.
+
+    Exactness: doubled rank sums are integers (2·avg_rank =
+    2·cum_before + tie_count + 1), so U is an exact half-integer and
+    halves are exact in binary doubles; AUC is the single division the
+    oracle writes.
+
+    Plan: ONE shuffle-free histogram pass — per-batch (type, cents, n)
+    partials under the bounded-reduce guard (value domain × |types|);
+    every pairwise rank walk runs on the driver over that bounded
+    table."""
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "value"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "cents": _cents(b.column("value")),
+            }
+        )
+        g = t.group_by(["event_type", "cents"]).aggregate([("cents", "count")])
+        return g.rename_columns(["event_type", "cents", "n"])
+
+    hist = bounded_group_table_strict(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "cents"],
+        [("n", "sum")],
+    )
+    empty = pa.table(
+        {
+            "type_a": pa.array([], pa.string()),
+            "type_b": pa.array([], pa.string()),
+            "n_a": pa.array([], pa.int64()),
+            "n_b": pa.array([], pa.int64()),
+            "u_a": pa.array([], pa.float64()),
+            "auc": pa.array([], pa.float64()),
+        }
+    )
+    if hist is None:
+        return rd.from_arrow(empty)
+    types = hist.column("event_type").to_pylist()
+    cents = hist.column("cents").to_numpy(zero_copy_only=False)
+    cnt = hist.column("n").to_numpy(zero_copy_only=False)
+    by_type: dict[str, dict[int, int]] = {}
+    for t, v, c in zip(types, cents, cnt):
+        by_type.setdefault(t, {})[int(v)] = int(c)
+    names = sorted(by_type)
+    rows = []
+    for i, ta in enumerate(names):
+        for tb in names[i + 1:]:
+            ha, hb = by_type[ta], by_type[tb]
+            support = sorted(set(ha) | set(hb))
+            na = sum(ha.values())
+            nb = sum(hb.values())
+            before = 0
+            two_r = 0  # 2 × rank sum of side a, exact int
+            for v in support:
+                ca = ha.get(v, 0)
+                cb = hb.get(v, 0)
+                ct = ca + cb
+                two_r += ca * (2 * before + ct + 1)
+                before += ct
+            u2 = two_r - na * (na + 1)  # 2·U_a
+            rows.append(
+                (
+                    ta,
+                    tb,
+                    na,
+                    nb,
+                    float(u2) / 2.0,
+                    (float(u2) / 2.0) / float(na * nb),
+                )
+            )
+    return rd.from_arrow(
+        pa.table(
+            {
+                "type_a": pa.array([r[0] for r in rows], pa.string()),
+                "type_b": pa.array([r[1] for r in rows], pa.string()),
+                "n_a": pa.array([r[2] for r in rows], pa.int64()),
+                "n_b": pa.array([r[3] for r in rows], pa.int64()),
+                "u_a": pa.array([r[4] for r in rows], pa.float64()),
+                "auc": pa.array([r[5] for r in rows], pa.float64()),
+            }
+        )
+    )
+
+
+EVENTS_MANNWHITNEY_SQL = """
+WITH q AS (
+  SELECT event_type AS t,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+  FROM events
+), h AS MATERIALIZED (
+  SELECT t, v, CAST(COUNT(*) AS BIGINT) AS c FROM q GROUP BY t, v
+), sizes AS MATERIALIZED (
+  SELECT t, CAST(SUM(c) AS BIGINT) AS n FROM h GROUP BY t
+), pairs AS (
+  SELECT a.t AS ta, b.t AS tb, a.n AS na, b.n AS nb
+  FROM sizes a JOIN sizes b ON a.t < b.t
+), merged AS (
+  SELECT p.ta, p.tb, p.na, p.nb, h.v,
+    CAST(SUM(CASE WHEN h.t = p.ta THEN c ELSE 0 END) AS BIGINT) AS ca,
+    CAST(SUM(CASE WHEN h.t = p.tb THEN c ELSE 0 END) AS BIGINT) AS cb
+  FROM pairs p JOIN h ON h.t IN (p.ta, p.tb)
+  GROUP BY 1, 2, 3, 4, 5
+), ranked AS (
+  SELECT ta, tb, na, nb, ca, cb,
+    COALESCE(SUM(ca + cb) OVER (
+      PARTITION BY ta, tb ORDER BY v
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+    ), 0) AS before,
+    ca + cb AS ct
+  FROM merged
+)
+SELECT ta AS type_a, tb AS type_b, na AS n_a, nb AS n_b,
+  CAST(SUM(ca * (2 * before + ct + 1)) - na * (na + 1) AS DOUBLE) / 2.0
+    AS u_a,
+  (CAST(SUM(ca * (2 * before + ct + 1)) - na * (na + 1) AS DOUBLE) / 2.0)
+    / CAST(na * nb AS DOUBLE) AS auc
+FROM ranked
+GROUP BY ta, tb, na, nb
+ORDER BY type_a, type_b
+"""

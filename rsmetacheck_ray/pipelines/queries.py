@@ -7759,6 +7759,12 @@ def registry() -> dict[str, tuple]:
         "events_hourly_anomaly": (
             dec5.events_hourly_anomaly, dec5.EVENTS_HOURLY_ANOMALY_SQL,
         ),
+        "events_mannwhitney": (
+            dec5.events_mannwhitney, dec5.EVENTS_MANNWHITNEY_SQL,
+        ),
+        "source_ks_length": (
+            cor2.source_ks_length, cor2.SOURCE_KS_LENGTH_SQL,
+        ),
         "dedup_survivors": (q_dedup_survivors, SQL_DEDUP_SURVIVORS),
         "decontaminate": (q_decontaminate, _sql_decontaminate()),
         "pack_sequences": (q_pack_sequences, _sql_pack_sequences()),

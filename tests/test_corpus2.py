@@ -162,3 +162,30 @@ def test_token_dispersion_even_vs_bursty(ray_session, tmp_path):
     assert a["count_var"] == 0.0 and b["count_var"] == 3.0
     # bursty > even at equal totals is the signal the operator exists for
     assert b["count_var"] > a["count_var"]
+
+
+def test_source_ks_exact(ray_session, tmp_path):
+    d = str(tmp_path)
+    # source s1 lengths {1,1,3}, s2 lengths {3,3,3}:
+    # at v=1: |2·3 − 0·3| = 6 (max), at v=3: |3·3 − 3·3| = 0
+    # → d_num 6, ks = 6/9 = 2/3
+    texts = ["x", "y", "abc", "abc", "def", "ghi"]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * 6, pa.string()),
+                "source": pa.array(
+                    ["s1", "s1", "s1", "s2", "s2", "s2"], pa.string()
+                ),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+    got = c2.source_ks_length(d).take_all()
+    assert got == [
+        {"source_a": "s1", "source_b": "s2", "n_a": 3, "n_b": 3,
+         "d_num": 6, "ks": 2.0 / 3.0}
+    ], got

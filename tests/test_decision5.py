@@ -287,3 +287,30 @@ def test_events_hourly_anomaly_spike(ray_session, tmp_path):
         {"day": _ts("1996-01-01"), "hour": 5, "n": 8,
          "baseline": 4.0, "ratio": 2.0}
     ], got
+
+
+def test_mannwhitney_exact_with_ties(ray_session, tmp_path):
+    d = str(tmp_path)
+    # type a values {1.00, 2.00}, type b {2.00, 3.00}: merged ranks
+    # 1, (2.5, 2.5 tie), 4 → R_a = 1 + 2.5 = 3.5, U_a = 3.5 − 3 = 0.5,
+    # AUC = 0.5/4 = 0.125 (a mostly below b).
+    rows = [
+        (1, "1996-01-01T00:00:00", 1, "a", 1.0),
+        (2, "1996-01-01T00:00:00", 2, "a", 2.0),
+        (3, "1996-01-01T00:00:00", 3, "b", 2.0),
+        (4, "1996-01-01T00:00:00", 4, "b", 3.0),
+    ]
+    eid, ts, uid, et, val = zip(*rows)
+    _write(d, "events", {
+        "event_id": pa.array(eid, pa.int64()),
+        "ts": pa.array([_ts(x) for x in ts], pa.timestamp("us")),
+        "user_id": pa.array(uid, pa.int64()),
+        "event_type": pa.array(et, pa.string()),
+        "value": pa.array(val, pa.float64()),
+        "props": pa.array(["{}"] * 4, pa.string()),
+    })
+    got = d5.events_mannwhitney(d).take_all()
+    assert got == [
+        {"type_a": "a", "type_b": "b", "n_a": 2, "n_b": 2,
+         "u_a": 0.5, "auc": 0.125}
+    ], got
