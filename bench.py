@@ -343,6 +343,7 @@ BENCH_QUERIES = [
     "events_hourly_anomaly",
     "events_mannwhitney",
     "source_ks_length",
+    "order_event_days_outer",
     "rank_dedup_graph",
     "dedup_graph_bfs",
     "dedup_graph_triangles",

@@ -1059,3 +1059,100 @@ FROM ranked
 GROUP BY ta, tb, na, nb
 ORDER BY type_a, type_b
 """
+
+
+# ---------------------------------------------------------------------------
+# Daily order vs event volume — FULL OUTER join through the generic API.
+# ---------------------------------------------------------------------------
+
+def order_event_days_outer(
+    sf_dir: str, num_partitions: int | None = None
+) -> rd.Dataset:
+    """(day, n_orders, n_events): daily order volume full-outer-joined
+    with daily event volume — days live in disjoint eras in this lake,
+    so BOTH unmatched sides are exercised. Routes through the generic
+    ``join(how="outer")`` (pipelines/join.py), the co-partitioned
+    tagged-union path with coalesced keys.
+
+    Plan: each side reduces to bounded per-day counts first (per-batch
+    partials, day-domain reduce), so the outer join moves only
+    day-count rows."""
+    orders = _read_pq(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderdate"]
+    )
+    events = _read_pq(os.path.join(sf_dir, "events.parquet"), columns=["ts"])
+
+    def day_counts(col: str, out: str):
+        def stage(b: pa.Table) -> pa.Table:
+            d = (
+                b.column(col)
+                .to_numpy(zero_copy_only=False)
+                .astype("M8[D]")
+                .astype(np.int64)
+            )
+            u, c = np.unique(d, return_counts=True)
+            return pa.table(
+                {
+                    "day": pa.array(u, pa.int64()),
+                    out: pa.array(c.astype(np.int64)),
+                }
+            )
+
+        return stage
+
+    o_days = bounded_group_table_strict(
+        orders.map_batches(day_counts("o_orderdate", "n_orders"),
+                           batch_format="pyarrow"),
+        ["day"],
+        [("n_orders", "sum")],
+    )
+    e_days = bounded_group_table_strict(
+        events.map_batches(day_counts("ts", "n_events"),
+                           batch_format="pyarrow"),
+        ["day"],
+        [("n_events", "sum")],
+    )
+    if o_days is None:
+        o_days = pa.table(
+            {"day": pa.array([], pa.int64()), "n_orders": pa.array([], pa.int64())}
+        )
+    if e_days is None:
+        e_days = pa.table(
+            {"day": pa.array([], pa.int64()), "n_events": pa.array([], pa.int64())}
+        )
+    joined = join(
+        rd.from_arrow(o_days),
+        rd.from_arrow(e_days),
+        on="day",
+        how="outer",
+        num_partitions=num_partitions,
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "day": pc.multiply(b.column("day"), 86_400_000_000).cast(
+                    pa.timestamp("us")
+                ),
+                "n_orders": b.column("n_orders"),
+                "n_events": b.column("n_events"),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow").sort("day")
+
+
+ORDER_EVENT_DAYS_OUTER_SQL = """
+WITH od AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1
+), ed AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1
+)
+SELECT coalesce(od.day, ed.day) AS day, n_orders, n_events
+FROM od FULL OUTER JOIN ed ON od.day = ed.day
+ORDER BY day
+"""

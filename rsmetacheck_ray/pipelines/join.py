@@ -158,6 +158,11 @@ def join(
     ``how``:
       - ``inner`` / ``left``: all left columns + right payload columns
         (right key dropped; name collisions suffixed ``_r``).
+      - ``outer``: left-join rows plus unmatched RIGHT rows (left
+        columns null except the key, which carries the right key —
+        one row per key occurrence on either side). Always the
+        co-partitioned path: a broadcast probe cannot know globally
+        which right rows went unmatched.
       - ``semi`` / ``anti``: left columns only, filtered by (non-)
         existence of a right match.
       - ``asof``: ``by`` = equi-key, ``on`` = ordering column; each
@@ -168,7 +173,7 @@ def join(
         ``right_bounds=(lo, hi)``; inner join on
         ``lo <= value <= hi``.
     """
-    if how in ("inner", "left", "semi", "anti"):
+    if how in ("inner", "left", "semi", "anti", "outer"):
         if on is None:
             raise ValueError(f"how={how!r} requires on=")
         lk, rk = (on, on) if isinstance(on, str) else on
@@ -243,7 +248,7 @@ def _equi_join(
     hint = parquet_rows_hint(right)
     right_tbl = None
     right_refs = None
-    if hint is None or hint <= broadcast_max:
+    if how != "outer" and (hint is None or hint <= broadcast_max):
         right_tbl, right_refs = _pull_bounded(right, broadcast_max)
     if right_tbl is not None:
         return _equi_broadcast(left, right_tbl, lk, rk, how)
@@ -377,7 +382,38 @@ def _equi_copart(
         )
         ru, rs, order = _right_index(r_keys)
         cnt, li, r_take = _probe(_as_single(l_keys), ru, rs, order)
-        return _assemble(l_tbl, r_payload, rename, how, cnt, li, r_take)
+        out = _assemble(
+            l_tbl, r_payload, rename, "left" if how == "outer" else how,
+            cnt, li, r_take,
+        )
+        if how == "outer":
+            # append unmatched RIGHT rows: left columns null except the
+            # key column, which carries the right key (coalesced id).
+            # index_in yields null both for no-match and for null right
+            # keys — and SQL NULL never matches, so both are unmatched.
+            lk_arr = _as_single(l_keys)
+            lu = pc.unique(lk_arr.filter(pc.is_valid(lk_arr)))
+            idx = pc.index_in(_as_single(r_keys), lu)
+            r_unmatched = pc.is_null(idx).to_numpy(zero_copy_only=False)
+            if r_unmatched.any():
+                sel = pa.array(np.flatnonzero(r_unmatched), pa.int64())
+                n_extra = len(sel)
+                cols = {}
+                for c in l_cols:
+                    if c == lk:
+                        cols[c] = pc.cast(
+                            _as_single(r_keys).take(sel),
+                            l_schema.field(c).type,
+                        )
+                    else:
+                        cols[c] = pa.nulls(n_extra, l_schema.field(c).type)
+                extra = pa.table(cols)
+                for c in r_payload_cols:
+                    extra = extra.append_column(
+                        rename[c], r_payload.column(c).take(sel)
+                    )
+                out = pa.concat_tables([out, extra])
+        return out
 
     return both.groupby("_jpart").map_groups(merge, batch_format="pyarrow")
 

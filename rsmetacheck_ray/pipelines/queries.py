@@ -7762,6 +7762,9 @@ def registry() -> dict[str, tuple]:
         "events_mannwhitney": (
             dec5.events_mannwhitney, dec5.EVENTS_MANNWHITNEY_SQL,
         ),
+        "order_event_days_outer": (
+            dec5.order_event_days_outer, dec5.ORDER_EVENT_DAYS_OUTER_SQL,
+        ),
         "source_ks_length": (
             cor2.source_ks_length, cor2.SOURCE_KS_LENGTH_SQL,
         ),

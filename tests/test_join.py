@@ -208,3 +208,37 @@ def test_asof_timestamps(ray_session):
     out = J.join(left, right, on="t", how="asof", by="u")
     got = {r["lv"]: r["rv"] for r in out.take_all()}
     assert got == {1: 20, 2: None}
+
+
+def test_outer_join_matches_duckdb(ray_session):
+    left = rd.from_arrow(_left_tbl())
+    right = rd.from_arrow(_right_tbl())
+    out = J.join(left, right, on="k", how="outer", num_partitions=3)
+    cols = ["k", "lv", "name", "rv"]
+    con = duckdb.connect()
+    con.register("l", _left_tbl())
+    con.register("r", _right_tbl())
+    # the engine coalesces the key column across sides
+    want = con.execute(
+        "SELECT coalesce(l.k, r.k) AS k, lv, name, rv "
+        "FROM l FULL OUTER JOIN r ON l.k = r.k "
+        "ORDER BY k NULLS FIRST, lv NULLS FIRST, name NULLS FIRST, "
+        "rv NULLS FIRST"
+    ).fetchall()
+    con.close()
+    got = _sorted_rows(out, cols)
+    # NULL keys never match: the left NULL row and right NULL row both
+    # survive as unmatched rows — but coalesce(NULL, NULL) stays NULL,
+    # so the engine's k column matches DuckDB's coalesced key exactly
+    assert got == want, (got, want)
+
+
+def test_outer_join_empty_sides(ray_session):
+    empty = rd.from_arrow(
+        pa.table({"k": pa.array([], pa.int64()), "lv": pa.array([], pa.int64()),
+                  "name": pa.array([], pa.string())})
+    )
+    right = rd.from_arrow(_right_tbl())
+    out = J.join(empty, right, on="k", how="outer", num_partitions=2)
+    rows = _sorted_rows(out, ["k", "rv"])
+    assert rows == [(None, 500), (2, 200), (2, 201), (3, 300), (4, 400)]
