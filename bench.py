@@ -344,6 +344,7 @@ BENCH_QUERIES = [
     "events_mannwhitney",
     "source_ks_length",
     "order_event_days_outer",
+    "brand_discount_trend",
     "rank_dedup_graph",
     "dedup_graph_bfs",
     "dedup_graph_triangles",

@@ -1156,3 +1156,158 @@ SELECT coalesce(od.day, ed.day) AS day, n_orders, n_events
 FROM od FULL OUTER JOIN ed ON od.day = ed.day
 ORDER BY day
 """
+
+
+# ---------------------------------------------------------------------------
+# Grouped OLS: discount → revenue slope per part brand.
+# ---------------------------------------------------------------------------
+
+def brand_discount_trend(
+    sf_dir: str, num_partitions: int | None = None
+) -> rd.Dataset:
+    """(p_brand, n, slope_cents_per_bp, mean_discount_bp): per part
+    brand, the OLS slope of line revenue (exact cents) on discount
+    (exact basis points) — does discounting move revenue, by brand.
+    The grouped-regression shape with NO driver-side rank walk: every
+    OLS moment (Σx, Σy, Σxy, Σx²) is an exact int64 per-batch partial,
+    merged with arbitrary-precision Python ints on the bounded brand
+    domain; slope and mean are the single divisions the oracle writes.
+
+    Plan: lineitem ships (partkey, x, y) rows through the size-gated
+    generic ``join()`` against part's (partkey, brand); each joined
+    batch folds to per-brand moment partials (|brands| rows out per
+    batch)."""
+    li = _read_pq(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+    )
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_partkey": b.column("l_partkey"),
+                "x": pc.cast(
+                    pc.floor(
+                        pc.add(
+                            pc.multiply(b.column("l_discount"), 10_000.0), 0.5
+                        )
+                    ),
+                    pa.int64(),
+                ),
+                "y": _cents(
+                    pc.multiply(
+                        b.column("l_extendedprice"),
+                        pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+                    )
+                ),
+            }
+        )
+
+    part = _read_pq(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_brand"]
+    )
+    joined = join(
+        li.map_batches(project, batch_format="pyarrow"),
+        part,
+        on=("l_partkey", "p_partkey"),
+        num_partitions=num_partitions,
+    )
+
+    def moments(b: pa.Table) -> pa.Table:
+        br = b.column("p_brand").combine_chunks()
+        enc = br.dictionary_encode()
+        gi = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        x = b.column("x").to_numpy(zero_copy_only=False)
+        y = b.column("y").to_numpy(zero_copy_only=False)
+        k = len(enc.dictionary)
+        if not k:
+            return pa.table(
+                {
+                    "p_brand": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                    "sx": pa.array([], pa.int64()),
+                    "sy": pa.array([], pa.int64()),
+                    "sxy": pa.array([], pa.int64()),
+                    "sxx": pa.array([], pa.int64()),
+                }
+            )
+        n = np.bincount(gi, minlength=k).astype(np.int64)
+        sx = np.bincount(gi, weights=x, minlength=k).astype(np.int64)
+        sy = np.bincount(gi, weights=y, minlength=k).astype(np.int64)
+        sxy = np.bincount(gi, weights=x * y, minlength=k).astype(np.int64)
+        sxx = np.bincount(gi, weights=x * x, minlength=k).astype(np.int64)
+        return pa.table(
+            {
+                "p_brand": enc.dictionary,
+                "n": pa.array(n),
+                "sx": pa.array(sx),
+                "sy": pa.array(sy),
+                "sxy": pa.array(sxy),
+                "sxx": pa.array(sxx),
+            }
+        )
+
+    tbl = bounded_group_table_strict(
+        joined.map_batches(moments, batch_format="pyarrow"),
+        ["p_brand"],
+        [("n", "sum"), ("sx", "sum"), ("sy", "sum"),
+         ("sxy", "sum"), ("sxx", "sum")],
+    )
+    empty = pa.table(
+        {
+            "p_brand": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+            "slope": pa.array([], pa.float64()),
+            "mean_discount_bp": pa.array([], pa.float64()),
+        }
+    )
+    if tbl is None:
+        return rd.from_arrow(empty)
+    rows = sorted(
+        zip(
+            tbl.column("p_brand").to_pylist(),
+            tbl.column("n").to_pylist(),
+            tbl.column("sx").to_pylist(),
+            tbl.column("sy").to_pylist(),
+            tbl.column("sxy").to_pylist(),
+            tbl.column("sxx").to_pylist(),
+        )
+    )
+    out_b, out_n, out_s, out_m = [], [], [], []
+    for br, n, sx, sy, sxy, sxx in rows:
+        den = n * sxx - sx * sx
+        num = n * sxy - sx * sy
+        out_b.append(br)
+        out_n.append(n)
+        out_s.append(float(num) / float(den) if den else 0.0)
+        out_m.append(float(sx) / float(n) if n else 0.0)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "p_brand": pa.array(out_b, pa.string()),
+                "n": pa.array(out_n, pa.int64()),
+                "slope": pa.array(out_s, pa.float64()),
+                "mean_discount_bp": pa.array(out_m, pa.float64()),
+            }
+        )
+    )
+
+
+BRAND_DISCOUNT_TREND_SQL = """
+WITH q AS (
+  SELECT p_brand,
+    CAST(floor(l_discount * 10000 + 0.5) AS BIGINT) AS x,
+    CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+         AS BIGINT) AS y
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+)
+SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
+  CASE WHEN COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) = 0 THEN 0.0
+       ELSE CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS DOUBLE)
+          / CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS DOUBLE)
+  END AS slope,
+  CAST(SUM(x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_discount_bp
+FROM q
+GROUP BY p_brand
+ORDER BY p_brand
+"""

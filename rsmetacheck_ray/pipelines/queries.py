@@ -7765,6 +7765,9 @@ def registry() -> dict[str, tuple]:
         "order_event_days_outer": (
             dec5.order_event_days_outer, dec5.ORDER_EVENT_DAYS_OUTER_SQL,
         ),
+        "brand_discount_trend": (
+            dec5.brand_discount_trend, dec5.BRAND_DISCOUNT_TREND_SQL,
+        ),
         "source_ks_length": (
             cor2.source_ks_length, cor2.SOURCE_KS_LENGTH_SQL,
         ),

@@ -314,3 +314,27 @@ def test_mannwhitney_exact_with_ties(ray_session, tmp_path):
         {"type_a": "a", "type_b": "b", "n_a": 2, "n_b": 2,
          "u_a": 0.5, "auc": 0.125}
     ], got
+
+
+def test_brand_discount_trend_exact_slope(ray_session, tmp_path):
+    d = str(tmp_path)
+    _write(d, "part", {
+        "p_partkey": pa.array([1], pa.int64()),
+        "p_name": pa.array(["a"], pa.string()),
+        "p_brand": pa.array(["Brand#1"], pa.string()),
+        "p_type": pa.array(["T"], pa.string()),
+        "p_size": pa.array([1], pa.int32()),
+        "p_retailprice": pa.array([1.0], pa.float64()),
+    })
+    # two points: (x=0 bp, y=1000 cents) and (x=5000 bp, y=2000 cents)
+    # → slope = 1000/5000 = 0.2 cents/bp, mean x = 2500
+    _lineitem(d, [
+        (100, 1, 5, 10.0, 0.0, "1996-01-01"),
+        (101, 1, 5, 40.0, 0.5, "1996-01-01"),
+    ])
+    for parts in (1, 2):
+        got = d5.brand_discount_trend(d, num_partitions=parts).take_all()
+        assert got == [
+            {"p_brand": "Brand#1", "n": 2, "slope": 0.2,
+             "mean_discount_bp": 2500.0}
+        ], got
