@@ -345,6 +345,9 @@ BENCH_QUERIES = [
     "source_ks_length",
     "order_event_days_outer",
     "brand_discount_trend",
+    "label_centroid_similarity",
+    "source_quality_corr",
+    "customer_segment_migration",
     "rank_dedup_graph",
     "dedup_graph_bfs",
     "dedup_graph_triangles",

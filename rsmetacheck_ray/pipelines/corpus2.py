@@ -1121,3 +1121,259 @@ FROM cum
 GROUP BY sa, sb, na, nb
 ORDER BY source_a, source_b
 """
+
+
+# ---------------------------------------------------------------------------
+# Pairwise cosine similarity of label centroids (exact integer cores).
+# ---------------------------------------------------------------------------
+
+def label_centroid_similarity(sf_dir: str) -> rd.Dataset:
+    """(label_a, label_b, cosine): cosine similarity between every
+    pair of per-label embedding centroids — the class-confusability
+    map. The per-vector ``n·scale`` factors cancel in the cosine, so
+    it is computed directly on the exact integer quantized sums
+    (Σ qa·qb / (√Σqa² · √Σqb²)) — dot products are arbitrary-precision
+    Python ints, the two sqrts are the libm calls the oracle makes.
+
+    Plan: the label_centroids partial pass (|labels| × dim integer
+    rows), then a |labels|² driver walk."""
+    import math
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["label", "embedding"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        lab = b.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        if not len(lab):
+            return pa.table(
+                {
+                    "label": pa.array([], pa.int64()),
+                    "idx": pa.array([], pa.int64()),
+                    "qsum": pa.array([], pa.int64()),
+                }
+            )
+        emb = b.column("embedding").combine_chunks()
+        flat = np.asarray(emb.flatten(), dtype=np.float64)
+        d = len(flat) // len(lab)
+        q = np.floor(flat * _CENTROID_SCALE + 0.5).astype(np.int64).reshape(
+            len(lab), d
+        )
+        ulab, inv = np.unique(lab, return_inverse=True)
+        sums = np.zeros((len(ulab), d), np.int64)
+        np.add.at(sums, inv, q)
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(ulab, d)),
+                "idx": pa.array(np.tile(np.arange(d, dtype=np.int64), len(ulab))),
+                "qsum": pa.array(sums.ravel()),
+            }
+        )
+
+    tbl = bounded_group_table_strict(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["label", "idx"],
+        [("qsum", "sum")],
+    )
+    empty = pa.table(
+        {
+            "label_a": pa.array([], pa.int64()),
+            "label_b": pa.array([], pa.int64()),
+            "cosine": pa.array([], pa.float64()),
+        }
+    )
+    if tbl is None:
+        return rd.from_arrow(empty)
+    labs = tbl.column("label").to_pylist()
+    idxs = tbl.column("idx").to_pylist()
+    qs = tbl.column("qsum").to_pylist()  # python ints: exact products
+    vecs: dict[int, dict[int, int]] = {}
+    for lb, ix, q in zip(labs, idxs, qs):
+        vecs.setdefault(int(lb), {})[int(ix)] = int(q)
+    names = sorted(vecs)
+    norms = {
+        lb: math.sqrt(float(sum(v * v for v in vecs[lb].values())))
+        for lb in names
+    }
+    out_a, out_b, out_c = [], [], []
+    for i, la in enumerate(names):
+        for lb in names[i + 1:]:
+            va, vb = vecs[la], vecs[lb]
+            dot = sum(va.get(ix, 0) * vb.get(ix, 0) for ix in va)
+            den = norms[la] * norms[lb]
+            out_a.append(la)
+            out_b.append(lb)
+            out_c.append(float(dot) / den if den else 0.0)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "label_a": pa.array(out_a, pa.int64()),
+                "label_b": pa.array(out_b, pa.int64()),
+                "cosine": pa.array(out_c, pa.float64()),
+            }
+        )
+    )
+
+
+LABEL_CENTROID_SIMILARITY_SQL = f"""
+WITH e AS (
+  SELECT CAST(label AS BIGINT) AS label,
+         unnest(embedding) AS v,
+         unnest(range(len(embedding))) AS idx
+  FROM embeddings
+), q AS MATERIALIZED (
+  SELECT label, idx,
+    CAST(SUM(CAST(floor(CAST(v AS DOUBLE) * {_CENTROID_SCALE} + 0.5)
+        AS BIGINT)) AS BIGINT) AS qsum
+  FROM e GROUP BY label, idx
+), norms AS MATERIALIZED (
+  SELECT label,
+    sqrt(CAST(SUM(CAST(qsum AS HUGEINT) * qsum) AS DOUBLE)) AS nrm
+  FROM q GROUP BY label
+)
+SELECT a.label AS label_a, b.label AS label_b,
+  CAST(SUM(CAST(a.qsum AS HUGEINT) * b.qsum) AS DOUBLE)
+    / (na.nrm * nb.nrm) AS cosine
+FROM q a
+JOIN q b ON a.idx = b.idx AND a.label < b.label
+JOIN norms na ON na.label = a.label
+JOIN norms nb ON nb.label = b.label
+GROUP BY a.label, b.label, na.nrm, nb.nrm
+ORDER BY label_a, label_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-source quality-signal correlation (grouped Pearson, zero shuffle).
+# ---------------------------------------------------------------------------
+
+def source_quality_corr(sf_dir: str) -> rd.Dataset:
+    """(source, n, corr): per source, the Pearson correlation between
+    each document's stop-word-marker count and its token count — a
+    within-source quality-consistency diagnostic (clean prose keeps
+    marker mass proportional to length; templated or gibberish
+    sources decorrelate). Every moment (Σx, Σy, Σxy, Σx², Σy²) is an
+    exact int64 per-batch partial on the bounded source domain; the
+    correlation is the single num / (sqrt·sqrt) the oracle writes.
+
+    Plan: one RE2 column pass, zero shuffle."""
+    import math
+
+    from .queries import _EN_MARKER_RE, _TOKEN_RE
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["source", "text"],
+    )
+
+    def moments(b: pa.Table) -> pa.Table:
+        text = b.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        x = pc.cast(
+            pc.count_substring_regex(text, _EN_MARKER_RE), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        y = pc.cast(
+            pc.count_substring_regex(text, _TOKEN_RE), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        src = b.column("source").combine_chunks()
+        enc = src.dictionary_encode()
+        gi = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        k = len(enc.dictionary)
+        if not k:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                    "sx": pa.array([], pa.int64()),
+                    "sy": pa.array([], pa.int64()),
+                    "sxy": pa.array([], pa.int64()),
+                    "sxx": pa.array([], pa.int64()),
+                    "syy": pa.array([], pa.int64()),
+                }
+            )
+        def agg(w):
+            return np.bincount(gi, weights=w, minlength=k).astype(np.int64)
+        return pa.table(
+            {
+                "source": enc.dictionary,
+                "n": pa.array(np.bincount(gi, minlength=k).astype(np.int64)),
+                "sx": pa.array(agg(x)),
+                "sy": pa.array(agg(y)),
+                "sxy": pa.array(agg(x * y)),
+                "sxx": pa.array(agg(x * x)),
+                "syy": pa.array(agg(y * y)),
+            }
+        )
+
+    tbl = bounded_group_table_strict(
+        ds.map_batches(moments, batch_format="pyarrow"),
+        ["source"],
+        [("n", "sum"), ("sx", "sum"), ("sy", "sum"),
+         ("sxy", "sum"), ("sxx", "sum"), ("syy", "sum")],
+    )
+    empty = pa.table(
+        {
+            "source": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+            "corr": pa.array([], pa.float64()),
+        }
+    )
+    if tbl is None:
+        return rd.from_arrow(empty)
+    rows = sorted(
+        zip(
+            tbl.column("source").to_pylist(),
+            tbl.column("n").to_pylist(),
+            tbl.column("sx").to_pylist(),
+            tbl.column("sy").to_pylist(),
+            tbl.column("sxy").to_pylist(),
+            tbl.column("sxx").to_pylist(),
+            tbl.column("syy").to_pylist(),
+        )
+    )
+    out_s, out_n, out_c = [], [], []
+    for s, n, sx, sy, sxy, sxx, syy in rows:
+        dx = n * sxx - sx * sx
+        dy = n * syy - sy * sy
+        num = n * sxy - sx * sy
+        out_s.append(s)
+        out_n.append(n)
+        out_c.append(
+            float(num) / (math.sqrt(float(dx)) * math.sqrt(float(dy)))
+            if dx > 0 and dy > 0
+            else 0.0
+        )
+    return rd.from_arrow(
+        pa.table(
+            {
+                "source": pa.array(out_s, pa.string()),
+                "n": pa.array(out_n, pa.int64()),
+                "corr": pa.array(out_c, pa.float64()),
+            }
+        )
+    )
+
+
+def _source_quality_corr_sql() -> str:
+    from .queries import _EN_MARKER_RE, _TOKEN_RE
+
+    return f"""
+WITH m AS (
+  SELECT source,
+    CAST(len(regexp_extract_all(text, '{_EN_MARKER_RE}')) AS BIGINT) AS x,
+    CAST(len(regexp_extract_all(text, '{_TOKEN_RE}')) AS BIGINT) AS y
+  FROM documents
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+  CASE WHEN COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) <= 0
+         OR COUNT(*) * SUM(y * y) - SUM(y) * SUM(y) <= 0 THEN 0.0
+       ELSE CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS DOUBLE)
+          / (sqrt(CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS DOUBLE))
+             * sqrt(CAST(COUNT(*) * SUM(y * y) - SUM(y) * SUM(y) AS DOUBLE)))
+  END AS corr
+FROM m
+GROUP BY source
+ORDER BY source
+"""

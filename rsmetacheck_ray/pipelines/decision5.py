@@ -1311,3 +1311,213 @@ FROM q
 GROUP BY p_brand
 ORDER BY p_brand
 """
+
+
+# ---------------------------------------------------------------------------
+# Customer revenue-quintile migration between two years.
+# ---------------------------------------------------------------------------
+
+_MIGRATION_QS = [0.2, 0.4, 0.6, 0.8]
+
+
+def customer_segment_migration(
+    sf_dir: str,
+    year_a: int = 1995,
+    year_b: int = 1996,
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """(q_from, q_to, n_customers): each customer's revenue quintile in
+    ``year_a`` vs ``year_b`` (0 = inactive that year) — the
+    segment-migration matrix. Buckets are THRESHOLD cuts from exact
+    ``quantile_disc`` values over the active customers of each year
+    (1 + Σ(v > tᵢ)), deterministic under ties where NTILE is not.
+
+    Plan: one custkey-hash shuffle builds the per-customer
+    (year_a cents, year_b cents) table; the two threshold sets come
+    from the radix quantile machinery (two counting passes each, no
+    sort) over that materialized customer-level dataset; the final
+    matrix reduce is ≤ 36 cells."""
+    from ..functions.selection import radix_quantiles_by_group
+
+    lo = np.datetime64(f"{year_a}-01-01", "us")
+    hi = np.datetime64(f"{year_b + 1}-01-01", "us")
+    orders = _read_pq(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+        filter=(
+            (pc.field("o_orderdate") >= pa.scalar(lo.item()))
+            & (pc.field("o_orderdate") < pa.scalar(hi.item()))
+        ),
+    )
+    n_parts = num_partitions or adaptive_partitions(
+        parquet_rows_hint(orders), row_bytes=24
+    )
+
+    def tag(b: pa.Table) -> pa.Table:
+        yr = (
+            b.column("o_orderdate")
+            .to_numpy(zero_copy_only=False)
+            .astype("M8[Y]")
+            .astype(np.int64)
+            + 1970
+        )
+        keep = (yr == year_a) | (yr == year_b)
+        cust = b.column("o_custkey").to_numpy(zero_copy_only=False)[keep]
+        cents = _cents(b.column("o_totalprice")).to_numpy(
+            zero_copy_only=False
+        )[keep]
+        ka = pa.array(cust, pa.int64())
+        return pa.table(
+            {
+                "part": _part_of(ka, n_parts),
+                "cust": ka,
+                "is_b": pa.array((yr[keep] == year_b).astype(np.int8)),
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    def totals(g: pa.Table) -> pa.Table:
+        cust = g.column("cust").to_numpy(zero_copy_only=False)
+        isb = g.column("is_b").to_numpy(zero_copy_only=False)
+        cents = g.column("cents").to_numpy(zero_copy_only=False)
+        if not len(cust):
+            return pa.table(
+                {
+                    "cust": pa.array([], pa.int64()),
+                    "va": pa.array([], pa.int64()),
+                    "vb": pa.array([], pa.int64()),
+                }
+            )
+        u, inv = np.unique(cust, return_inverse=True)
+        va = np.zeros(len(u), np.int64)
+        vb = np.zeros(len(u), np.int64)
+        np.add.at(va, inv[isb == 0], cents[isb == 0])
+        np.add.at(vb, inv[isb == 1], cents[isb == 1])
+        return pa.table(
+            {
+                "cust": pa.array(u, pa.int64()),
+                "va": pa.array(va),
+                "vb": pa.array(vb),
+            }
+        )
+
+    customers = (
+        orders.map_batches(tag, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(totals, batch_format="pyarrow")
+        .materialize()
+    )
+
+    # ONE grouped two-pass quantile over both years (stacked), instead
+    # of two separate radix calls — halves the passes over the
+    # customer-level dataset (measured 4.5 → ~2 s at sf0.1)
+    def stack(b: pa.Table) -> pa.Table:
+        va = b.column("va").filter(pc.greater(b.column("va"), 0))
+        vb = b.column("vb").filter(pc.greater(b.column("vb"), 0))
+        return pa.table(
+            {
+                "yr": pa.array(
+                    ["a"] * len(va) + ["b"] * len(vb), pa.string()
+                ),
+                "v": pa.concat_arrays(
+                    [va.combine_chunks(), vb.combine_chunks()]
+                ),
+            }
+        )
+
+    qt = radix_quantiles_by_group(
+        customers.map_batches(stack, batch_format="pyarrow"),
+        "yr",
+        "v",
+        _MIGRATION_QS,
+    )
+    ta: "list[int] | None" = None
+    tb: "list[int] | None" = None
+    if qt is not None:
+        g = qt.column("grp").to_pylist()
+        vals = qt.column("value").to_pylist()
+        a_vals = [int(v) for gg, v in zip(g, vals) if gg == "a"]
+        b_vals = [int(v) for gg, v in zip(g, vals) if gg == "b"]
+        ta = a_vals or None
+        tb = b_vals or None
+
+    def bucket(v: np.ndarray, ts: "list[int] | None") -> np.ndarray:
+        out = np.zeros(len(v), np.int64)
+        act = v > 0
+        if ts is None:
+            return out
+        b = np.ones(act.sum(), np.int64)
+        for t in ts:
+            b += (v[act] > t).astype(np.int64)
+        out[act] = b
+        return out
+
+    def cells(b: pa.Table) -> pa.Table:
+        va = b.column("va").to_numpy(zero_copy_only=False)
+        vb = b.column("vb").to_numpy(zero_copy_only=False)
+        qa = bucket(va, ta)
+        qb = bucket(vb, tb)
+        key = qa * 6 + qb
+        u, c = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "q_from": pa.array(u // 6, pa.int64()),
+                "q_to": pa.array(u % 6, pa.int64()),
+                "n_customers": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    tbl = bounded_group_table_strict(
+        customers.map_batches(cells, batch_format="pyarrow"),
+        ["q_from", "q_to"],
+        [("n_customers", "sum")],
+    )
+    if tbl is None:
+        tbl = pa.table(
+            {
+                "q_from": pa.array([], pa.int64()),
+                "q_to": pa.array([], pa.int64()),
+                "n_customers": pa.array([], pa.int64()),
+            }
+        )
+    return rd.from_arrow(tbl).sort(["q_from", "q_to"])
+
+
+def _sql_customer_segment_migration(
+    year_a: int = 1995, year_b: int = 1996
+) -> str:
+    return f"""
+WITH t AS (
+  SELECT o_custkey AS c, year(o_orderdate) AS y,
+    SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS v
+  FROM orders
+  WHERE year(o_orderdate) IN ({year_a}, {year_b})
+  GROUP BY 1, 2
+), w AS MATERIALIZED (
+  SELECT c,
+    COALESCE(MAX(CASE WHEN y = {year_a} THEN v END), 0) AS va,
+    COALESCE(MAX(CASE WHEN y = {year_b} THEN v END), 0) AS vb
+  FROM t GROUP BY c
+), qa AS (
+  SELECT quantile_disc(va, 0.2) AS t1, quantile_disc(va, 0.4) AS t2,
+         quantile_disc(va, 0.6) AS t3, quantile_disc(va, 0.8) AS t4
+  FROM w WHERE va > 0
+), qb AS (
+  SELECT quantile_disc(vb, 0.2) AS t1, quantile_disc(vb, 0.4) AS t2,
+         quantile_disc(vb, 0.6) AS t3, quantile_disc(vb, 0.8) AS t4
+  FROM w WHERE vb > 0
+)
+SELECT
+  CAST(CASE WHEN va = 0 THEN 0
+       ELSE 1 + CAST(va > qa.t1 AS INT) + CAST(va > qa.t2 AS INT)
+              + CAST(va > qa.t3 AS INT) + CAST(va > qa.t4 AS INT)
+       END AS BIGINT) AS q_from,
+  CAST(CASE WHEN vb = 0 THEN 0
+       ELSE 1 + CAST(vb > qb.t1 AS INT) + CAST(vb > qb.t2 AS INT)
+              + CAST(vb > qb.t3 AS INT) + CAST(vb > qb.t4 AS INT)
+       END AS BIGINT) AS q_to,
+  CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM w CROSS JOIN qa CROSS JOIN qb
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""

@@ -7768,6 +7768,17 @@ def registry() -> dict[str, tuple]:
         "brand_discount_trend": (
             dec5.brand_discount_trend, dec5.BRAND_DISCOUNT_TREND_SQL,
         ),
+        "label_centroid_similarity": (
+            cor2.label_centroid_similarity,
+            cor2.LABEL_CENTROID_SIMILARITY_SQL,
+        ),
+        "source_quality_corr": (
+            cor2.source_quality_corr, cor2._source_quality_corr_sql(),
+        ),
+        "customer_segment_migration": (
+            dec5.customer_segment_migration,
+            dec5._sql_customer_segment_migration(),
+        ),
         "source_ks_length": (
             cor2.source_ks_length, cor2.SOURCE_KS_LENGTH_SQL,
         ),

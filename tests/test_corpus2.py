@@ -189,3 +189,58 @@ def test_source_ks_exact(ray_session, tmp_path):
         {"source_a": "s1", "source_b": "s2", "n_a": 3, "n_b": 3,
          "d_num": 6, "ks": 2.0 / 3.0}
     ], got
+
+
+def test_label_centroid_similarity_orthogonal_and_parallel(
+    ray_session, tmp_path
+):
+    d = str(tmp_path)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([1, 2, 3], pa.int64()),
+                "embedding": pa.array(
+                    [[1.0, 0.0], [0.0, 1.0], [2.0, 0.0]],
+                    pa.list_(pa.float32()),
+                ),
+                "label": pa.array([0, 1, 2], pa.int32()),
+            }
+        ),
+        os.path.join(d, "embeddings.parquet"),
+    )
+    got = {(r["label_a"], r["label_b"]): r["cosine"]
+           for r in c2.label_centroid_similarity(d).take_all()}
+    assert got[(0, 1)] == 0.0          # orthogonal
+    assert abs(got[(0, 2)] - 1.0) < 1e-12  # same direction, diff scale
+    assert got[(1, 2)] == 0.0
+
+
+def test_source_quality_corr_perfect_and_anti(ray_session, tmp_path):
+    d = str(tmp_path)
+    # s1: marker count rises exactly with token count → corr 1.0
+    # s2: constant marker count, varying tokens → dx>0, dy... x const
+    #   → dx == 0 → defined 0.0
+    texts = [
+        ("the a", "s1"),            # x=1, y=2
+        ("the and a b", "s1"),      # x=2, y=4
+        ("the the and c d e", "s1"),# x=3, y=6
+        ("the a", "s2"),            # x=1, y=2
+        ("the a b c", "s2"),        # x=1, y=4
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(1, len(texts) + 1), pa.int64()),
+                "text": pa.array([t for t, _ in texts], pa.string()),
+                "lang": pa.array(["en"] * len(texts), pa.string()),
+                "source": pa.array([s for _, s in texts], pa.string()),
+                "n_chars": pa.array(
+                    [len(t) for t, _ in texts], pa.int64()
+                ),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+    got = {r["source"]: r for r in c2.source_quality_corr(d).take_all()}
+    assert abs(got["s1"]["corr"] - 1.0) < 1e-12 and got["s1"]["n"] == 3
+    assert got["s2"]["corr"] == 0.0 and got["s2"]["n"] == 2

@@ -338,3 +338,38 @@ def test_brand_discount_trend_exact_slope(ray_session, tmp_path):
             {"p_brand": "Brand#1", "n": 2, "slope": 0.2,
              "mean_discount_bp": 2500.0}
         ], got
+
+
+def test_segment_migration_planted(ray_session, tmp_path):
+    d = str(tmp_path)
+    # 5 customers active in 1995 with totals 1..5 (quintiles 1..5),
+    # in 1996: cust 1 doubles to the top (10.0), cust 5 goes inactive,
+    # cust 6 appears fresh. Thresholds 1995: quantile_disc([.2,.4,.6,.8])
+    # over {100..500} = 100,200,300,400 → buckets 1..5 exactly.
+    _orders(d, [
+        (1, 1, "1995-06-01"), (2, 2, "1995-06-01"), (3, 3, "1995-06-01"),
+        (4, 4, "1995-06-01"), (5, 5, "1995-06-01"),
+        (6, 1, "1996-06-01"), (7, 2, "1996-06-01"), (8, 3, "1996-06-01"),
+        (9, 4, "1996-06-01"), (10, 6, "1996-06-01"),
+    ])
+    import pyarrow.parquet as _pq
+    t = _pq.read_table(os.path.join(d, "orders.parquet"))
+    prices = [1.0, 2.0, 3.0, 4.0, 5.0, 10.0, 2.0, 3.0, 4.0, 1.0]
+    t = t.set_column(
+        t.schema.get_field_index("o_totalprice"),
+        "o_totalprice",
+        pa.array(prices, pa.float64()),
+    )
+    _pq.write_table(t, os.path.join(d, "orders.parquet"))
+    got = d5.customer_segment_migration(d).take_all()
+    # 1996 actives: {10.0(c1), 2.0(c2), 3.0(c3), 4.0(c4), 1.0(c6)}
+    # → thresholds 100,200,300,400 again → buckets: c1→5, c2→2, c3→3,
+    # c4→4, c6→1. Matrix: (1→5), (2→2), (3→3), (4→4), (5→0), (0→1).
+    assert got == [
+        {"q_from": 0, "q_to": 1, "n_customers": 1},
+        {"q_from": 1, "q_to": 5, "n_customers": 1},
+        {"q_from": 2, "q_to": 2, "n_customers": 1},
+        {"q_from": 3, "q_to": 3, "n_customers": 1},
+        {"q_from": 4, "q_to": 4, "n_customers": 1},
+        {"q_from": 5, "q_to": 0, "n_customers": 1},
+    ], got
