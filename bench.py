@@ -348,6 +348,8 @@ BENCH_QUERIES = [
     "label_centroid_similarity",
     "source_quality_corr",
     "customer_segment_migration",
+    "event_transition_predictability",
+    "event_type_user_overlap",
     "rank_dedup_graph",
     "dedup_graph_bfs",
     "dedup_graph_triangles",

@@ -1521,3 +1521,245 @@ FROM w CROSS JOIN qa CROSS JOIN qb
 GROUP BY 1, 2
 ORDER BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Markov predictability of the next event type.
+# ---------------------------------------------------------------------------
+
+def event_transition_predictability(sf_dir: str) -> rd.Dataset:
+    """(prev_type, predicted_next, n_total, n_hit, hit_rate): for each
+    event type, the most likely NEXT type in users' time-ordered
+    streams (tie → type-ascending) and the accuracy a
+    predict-the-mode baseline achieves — how deterministic the event
+    process is per state.
+
+    Plan: composes the distributed transition-count shuffle
+    (decision.event_transitions); the driver walk is bounded by
+    |types|²; hit_rate is the single exact-int division the oracle
+    writes."""
+    from .decision import event_transitions
+
+    rows = event_transitions(sf_dir).take_all()
+    empty = pa.table(
+        {
+            "prev_type": pa.array([], pa.string()),
+            "predicted_next": pa.array([], pa.string()),
+            "n_total": pa.array([], pa.int64()),
+            "n_hit": pa.array([], pa.int64()),
+            "hit_rate": pa.array([], pa.float64()),
+        }
+    )
+    if not rows:
+        return rd.from_arrow(empty)
+    acc: dict[str, list] = {}
+    for r in rows:
+        a = acc.setdefault(r["prev_type"], [0, None, 0])  # total, best, bestn
+        n = int(r["n"])
+        a[0] += n
+        # mode with tie → type ascending
+        if n > a[2] or (n == a[2] and (a[1] is None or r["next_type"] < a[1])):
+            a[1], a[2] = r["next_type"], n
+    out = sorted(acc.items())
+    return rd.from_arrow(
+        pa.table(
+            {
+                "prev_type": pa.array([k for k, _ in out], pa.string()),
+                "predicted_next": pa.array(
+                    [a[1] for _, a in out], pa.string()
+                ),
+                "n_total": pa.array([a[0] for _, a in out], pa.int64()),
+                "n_hit": pa.array([a[2] for _, a in out], pa.int64()),
+                "hit_rate": pa.array(
+                    [float(a[2]) / float(a[0]) for _, a in out], pa.float64()
+                ),
+            }
+        )
+    )
+
+
+EVENT_PREDICTABILITY_SQL = """
+WITH s AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+), tc AS (
+  SELECT prev_type, event_type AS next_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM s WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, next_type
+), best AS (
+  SELECT prev_type, next_type, n,
+    ROW_NUMBER() OVER (
+      PARTITION BY prev_type ORDER BY n DESC, next_type ASC
+    ) AS rk,
+    SUM(n) OVER (PARTITION BY prev_type) AS total
+  FROM tc
+)
+SELECT prev_type, next_type AS predicted_next,
+  CAST(total AS BIGINT) AS n_total,
+  n AS n_hit,
+  CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS hit_rate
+FROM best WHERE rk = 1
+ORDER BY prev_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Event-type user-overlap (co-engagement Jaccard).
+# ---------------------------------------------------------------------------
+
+def event_type_user_overlap(
+    sf_dir: str, num_partitions: int | None = None
+) -> rd.Dataset:
+    """(type_a, type_b, n_a, n_b, n_common, n_union, jaccard): for each
+    unordered event-type pair, the exact Jaccard overlap of their USER
+    sets — the co-engagement matrix.
+
+    Plan: one user-hash shuffle of batch-distinct (user, type) pairs;
+    each partition owns its users outright, so a (user × type) boolean
+    matmul gives intersection partials; global per-type sizes ride
+    along as self-pair rows (the lang_vocab_overlap discipline)."""
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type"],
+    )
+    n_parts = num_partitions or adaptive_partitions(
+        parquet_rows_hint(ds), row_bytes=16
+    )
+
+    def pairs(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "event_type": b.column("event_type"),
+            }
+        ).group_by(["user_id", "event_type"]).aggregate([])
+        ka = t.column("user_id").combine_chunks()
+        return pa.table(
+            {
+                "part": _part_of(ka, n_parts),
+                "user_id": ka,
+                "event_type": t.column("event_type"),
+            }
+        )
+
+    def overlap(g: pa.Table) -> pa.Table:
+        t = (
+            g.select(["user_id", "event_type"])
+            .group_by(["user_id", "event_type"])
+            .aggregate([])
+        )
+        et = t.column("event_type").combine_chunks().dictionary_encode()
+        ei = et.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        edict = [str(x) for x in et.dictionary.to_pylist()]
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        _, ui = np.unique(uid, return_inverse=True)
+        n_u = ui.max() + 1 if len(ui) else 0
+        k = len(edict)
+        empty = pa.table(
+            {
+                "type_a": pa.array([], pa.string()),
+                "type_b": pa.array([], pa.string()),
+                "n_common": pa.array([], pa.int64()),
+            }
+        )
+        if not k or not n_u:
+            return empty
+        mem = np.zeros((n_u, k), dtype=bool)
+        mem[ui, ei] = True
+        inter = mem.T.astype(np.int64) @ mem.astype(np.int64)
+        order = np.argsort(np.asarray(edict, dtype=object), kind="stable")
+        out_a, out_b, out_c = [], [], []
+        for ii in range(k):
+            i = order[ii]
+            out_a.append(edict[i])
+            out_b.append(edict[i])
+            out_c.append(int(inter[i, i]))  # per-type user count
+            for jj in range(ii + 1, k):
+                j = order[jj]
+                c = int(inter[i, j])
+                if c:
+                    out_a.append(edict[i])
+                    out_b.append(edict[j])
+                    out_c.append(c)
+        return pa.table(
+            {
+                "type_a": pa.array(out_a, pa.string()),
+                "type_b": pa.array(out_b, pa.string()),
+                "n_common": pa.array(out_c, pa.int64()),
+            }
+        )
+
+    per_part = (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(overlap, batch_format="pyarrow")
+    )
+    tbl = bounded_group_table_strict(
+        per_part, ["type_a", "type_b"], [("n_common", "sum")]
+    )
+    empty = pa.table(
+        {
+            "type_a": pa.array([], pa.string()),
+            "type_b": pa.array([], pa.string()),
+            "n_a": pa.array([], pa.int64()),
+            "n_b": pa.array([], pa.int64()),
+            "n_common": pa.array([], pa.int64()),
+            "n_union": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64()),
+        }
+    )
+    if tbl is None:
+        return rd.from_arrow(empty)
+    ta = tbl.column("type_a").to_pylist()
+    tb = tbl.column("type_b").to_pylist()
+    nc = tbl.column("n_common").to_numpy(zero_copy_only=False)
+    sizes = {a: int(c) for a, b, c in zip(ta, tb, nc) if a == b}
+    rows = sorted((a, b, int(c)) for a, b, c in zip(ta, tb, nc) if a != b)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "type_a": pa.array([r[0] for r in rows], pa.string()),
+                "type_b": pa.array([r[1] for r in rows], pa.string()),
+                "n_a": pa.array([sizes[r[0]] for r in rows], pa.int64()),
+                "n_b": pa.array([sizes[r[1]] for r in rows], pa.int64()),
+                "n_common": pa.array([r[2] for r in rows], pa.int64()),
+                "n_union": pa.array(
+                    [sizes[r[0]] + sizes[r[1]] - r[2] for r in rows],
+                    pa.int64(),
+                ),
+                "jaccard": pa.array(
+                    [
+                        float(r[2]) / float(sizes[r[0]] + sizes[r[1]] - r[2])
+                        for r in rows
+                    ],
+                    pa.float64(),
+                ),
+            }
+        )
+    )
+
+
+EVENT_TYPE_USER_OVERLAP_SQL = """
+WITH ut AS MATERIALIZED (
+  SELECT DISTINCT user_id, event_type FROM events
+), sizes AS MATERIALIZED (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM ut
+  GROUP BY event_type
+), common AS (
+  SELECT a.event_type AS ta, b.event_type AS tb,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM ut a JOIN ut b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT ta AS type_a, tb AS type_b,
+  sa.n AS n_a, sb.n AS n_b, c AS n_common,
+  sa.n + sb.n - c AS n_union,
+  CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) AS jaccard
+FROM common
+JOIN sizes sa ON ta = sa.event_type
+JOIN sizes sb ON tb = sb.event_type
+ORDER BY type_a, type_b
+"""

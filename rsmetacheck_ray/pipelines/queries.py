@@ -7779,6 +7779,14 @@ def registry() -> dict[str, tuple]:
             dec5.customer_segment_migration,
             dec5._sql_customer_segment_migration(),
         ),
+        "event_transition_predictability": (
+            dec5.event_transition_predictability,
+            dec5.EVENT_PREDICTABILITY_SQL,
+        ),
+        "event_type_user_overlap": (
+            dec5.event_type_user_overlap,
+            dec5.EVENT_TYPE_USER_OVERLAP_SQL,
+        ),
         "source_ks_length": (
             cor2.source_ks_length, cor2.SOURCE_KS_LENGTH_SQL,
         ),

@@ -373,3 +373,43 @@ def test_segment_migration_planted(ray_session, tmp_path):
         {"q_from": 4, "q_to": 4, "n_customers": 1},
         {"q_from": 5, "q_to": 0, "n_customers": 1},
     ], got
+
+
+def test_transition_predictability_mode_and_ties(ray_session, tmp_path):
+    d = str(tmp_path)
+    # user 1: a→b, b→a, a→b  |  user 2: a→c
+    # from a: b×2, c×1 → predict b, hit 2/3; from b: a×1 → predict a 1/1
+    _events(d, [
+        (1, "1996-01-01T00:00:01", 1, "a"),
+        (2, "1996-01-01T00:00:02", 1, "b"),
+        (3, "1996-01-01T00:00:03", 1, "a"),
+        (4, "1996-01-01T00:00:04", 1, "b"),
+        (5, "1996-01-01T00:00:01", 2, "a"),
+        (6, "1996-01-01T00:00:02", 2, "c"),
+    ])
+    got = d5.event_transition_predictability(d).take_all()
+    assert got == [
+        {"prev_type": "a", "predicted_next": "b", "n_total": 3,
+         "n_hit": 2, "hit_rate": 2.0 / 3.0},
+        {"prev_type": "b", "predicted_next": "a", "n_total": 1,
+         "n_hit": 1, "hit_rate": 1.0},
+    ], got
+
+
+def test_event_type_user_overlap_planted(ray_session, tmp_path):
+    d = str(tmp_path)
+    # users doing a: {1,2}; b: {2,3}; c: {4} (disjoint → omitted pairs)
+    _events(d, [
+        (1, "1996-01-01T00:00:00", 1, "a"),
+        (2, "1996-01-01T00:00:00", 2, "a"),
+        (3, "1996-01-01T00:00:00", 2, "b"),
+        (4, "1996-01-01T00:00:00", 3, "b"),
+        (5, "1996-01-01T00:00:00", 4, "c"),
+        (6, "1996-01-01T00:00:01", 2, "a"),  # dup (user,type) row
+    ])
+    for parts in (1, 3):
+        got = d5.event_type_user_overlap(d, num_partitions=parts).take_all()
+        assert got == [
+            {"type_a": "a", "type_b": "b", "n_a": 2, "n_b": 2,
+             "n_common": 1, "n_union": 3, "jaccard": 1.0 / 3.0}
+        ], got
