@@ -350,6 +350,8 @@ BENCH_QUERIES = [
     "customer_segment_migration",
     "event_transition_predictability",
     "event_type_user_overlap",
+    "supplier_ship_delay",
+    "dedup_savings",
     "rank_dedup_graph",
     "dedup_graph_bfs",
     "dedup_graph_triangles",

@@ -1377,3 +1377,161 @@ FROM m
 GROUP BY source
 ORDER BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# Dedup savings summary (the headline "what dedup buys" number).
+# ---------------------------------------------------------------------------
+
+def dedup_savings(
+    sf_dir: str, num_partitions: int | None = None
+) -> rd.Dataset:
+    """One row (n_docs, n_unique, dup_fraction, n_tokens,
+    n_tokens_unique, token_savings): corpus size before/after EXACT
+    content dedup, in documents and in tokens — the headline savings
+    number a dedup run is judged by. Copies share their
+    representative's text, so unique-token mass = token count summed
+    over distinct contents.
+
+    Plan: one content-hash shuffle of per-batch-distinct
+    (hash128, n_copies, tokens) partials (24 B + 8 B rows); each
+    partition owns its hash range, finishes the distinct, and emits a
+    SINGLE summary row; the final reduce is #partitions rows."""
+    from ..functions.hashing import hash_str_arrow_u128
+
+    ds = _docs(sf_dir, ["text"])
+    hint = parquet_rows_hint(ds)
+    n_parts = num_partitions or adaptive_partitions(hint, row_bytes=32)
+
+    def tag(b: pa.Table) -> pa.Table:
+        text = b.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        text = pc.fill_null(text, "")
+        lo, hi = hash_str_arrow_u128(text)  # (lo, hi) uint64 lanes
+        toks = pc.cast(
+            pc.count_substring_regex(text, WS_TOKEN_RE), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        key = np.stack([hi.astype(np.int64), lo.astype(np.int64)], axis=1)
+        uniq, inv, cnt = np.unique(
+            key, axis=0, return_inverse=True, return_counts=True
+        )
+        # all copies of a content share the token count: take any
+        first = np.zeros(len(uniq), np.int64)
+        first[inv] = np.arange(len(inv))  # last writer wins — same text
+        return pa.table(
+            {
+                "part": pa.array(
+                    (uniq[:, 0].astype(np.uint64) % n_parts).astype(np.int64)
+                ),
+                "h_hi": pa.array(uniq[:, 0], pa.int64()),
+                "h_lo": pa.array(uniq[:, 1], pa.int64()),
+                "n": pa.array(cnt.astype(np.int64)),
+                "toks": pa.array(toks[first], pa.int64()),
+            }
+        )
+
+    def summarize(g: pa.Table) -> pa.Table:
+        hi = g.column("h_hi").to_numpy(zero_copy_only=False)
+        lo = g.column("h_lo").to_numpy(zero_copy_only=False)
+        n = g.column("n").to_numpy(zero_copy_only=False)
+        t = g.column("toks").to_numpy(zero_copy_only=False)
+        if not len(hi):
+            return pa.table(
+                {
+                    "n_docs": pa.array([], pa.int64()),
+                    "n_unique": pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "n_tokens_unique": pa.array([], pa.int64()),
+                }
+            )
+        key = np.stack([hi, lo], axis=1)
+        uniq, inv = np.unique(key, axis=0, return_inverse=True)
+        copies = np.bincount(inv, weights=n).astype(np.int64)
+        # token count per distinct content (identical across partials)
+        rep = np.zeros(len(uniq), np.int64)
+        rep[inv] = np.arange(len(inv))
+        toks_u = t[rep]
+        return pa.table(
+            {
+                "n_docs": pa.array([int(copies.sum())], pa.int64()),
+                "n_unique": pa.array([len(uniq)], pa.int64()),
+                "n_tokens": pa.array(
+                    [int(np.dot(copies, toks_u))], pa.int64()
+                ),
+                "n_tokens_unique": pa.array([int(toks_u.sum())], pa.int64()),
+            }
+        )
+
+    per_part = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(summarize, batch_format="pyarrow")
+    )
+    tbl = bounded_group_table_strict(
+        per_part.map_batches(
+            lambda b: b.append_column(
+                "g", pa.array(np.zeros(len(b), np.int8))
+            ),
+            batch_format="pyarrow",
+        ),
+        ["g"],
+        [("n_docs", "sum"), ("n_unique", "sum"),
+         ("n_tokens", "sum"), ("n_tokens_unique", "sum")],
+    )
+    empty = pa.table(
+        {
+            "n_docs": pa.array([], pa.int64()),
+            "n_unique": pa.array([], pa.int64()),
+            "dup_fraction": pa.array([], pa.float64()),
+            "n_tokens": pa.array([], pa.int64()),
+            "n_tokens_unique": pa.array([], pa.int64()),
+            "token_savings": pa.array([], pa.float64()),
+        }
+    )
+    if tbl is None:
+        return rd.from_arrow(empty)
+    nd = int(tbl.column("n_docs")[0].as_py())
+    nu = int(tbl.column("n_unique")[0].as_py())
+    nt = int(tbl.column("n_tokens")[0].as_py())
+    ntu = int(tbl.column("n_tokens_unique")[0].as_py())
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_docs": pa.array([nd], pa.int64()),
+                "n_unique": pa.array([nu], pa.int64()),
+                "dup_fraction": pa.array(
+                    [float(nd - nu) / float(nd) if nd else 0.0], pa.float64()
+                ),
+                "n_tokens": pa.array([nt], pa.int64()),
+                "n_tokens_unique": pa.array([ntu], pa.int64()),
+                "token_savings": pa.array(
+                    [float(nt - ntu) / float(nt) if nt else 0.0],
+                    pa.float64(),
+                ),
+            }
+        )
+    )
+
+
+DEDUP_SAVINGS_SQL = f"""
+WITH d AS MATERIALIZED (
+  SELECT coalesce(text, '') AS text,
+    CAST(len(regexp_extract_all(coalesce(text, ''), '{WS_TOKEN_RE}'))
+         AS BIGINT) AS toks
+  FROM documents
+), u AS MATERIALIZED (
+  SELECT text, CAST(COUNT(*) AS BIGINT) AS n, MIN(toks) AS toks
+  FROM d GROUP BY text
+)
+SELECT
+  CAST(SUM(n) AS BIGINT) AS n_docs,
+  CAST(COUNT(*) AS BIGINT) AS n_unique,
+  CAST(SUM(n) - COUNT(*) AS DOUBLE) / CAST(SUM(n) AS DOUBLE)
+    AS dup_fraction,
+  CAST(SUM(n * toks) AS BIGINT) AS n_tokens,
+  CAST(SUM(toks) AS BIGINT) AS n_tokens_unique,
+  CAST(SUM(n * toks) - SUM(toks) AS DOUBLE)
+    / CAST(SUM(n * toks) AS DOUBLE) AS token_savings
+FROM u
+"""

@@ -1763,3 +1763,151 @@ JOIN sizes sa ON ta = sa.event_type
 JOIN sizes sb ON tb = sb.event_type
 ORDER BY type_a, type_b
 """
+
+
+# ---------------------------------------------------------------------------
+# Per-supplier shipping delay league table.
+# ---------------------------------------------------------------------------
+
+def supplier_ship_delay(
+    sf_dir: str, num_partitions: int | None = None
+) -> rd.Dataset:
+    """(l_suppkey, n_lines, sum_delay_days, max_delay_days,
+    avg_delay_days): per supplier, line-level shipping delay
+    (l_shipdate − o_orderdate in whole days) — the fulfilment league
+    table.
+
+    Plan: ONE orderkey tagged-union shuffle attaches the order date to
+    each line (the orders side ships (okey, date) only); each
+    partition then emits per-supplier partials (n, Σdelay, max),
+    reduced under the bounded-reduce guard on the supplier domain;
+    the average is the single exact-int division the oracle writes."""
+    li = _read_pq(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_shipdate"],
+    )
+    orders = _read_pq(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate"],
+    )
+    n_parts = num_partitions or adaptive_partitions(
+        parquet_rows_hint(li), row_bytes=24
+    )
+
+    def tag_li(b: pa.Table) -> pa.Table:
+        ka = b.column("l_orderkey").combine_chunks()
+        return pa.table(
+            {
+                "part": _part_of(ka, n_parts),
+                "key": ka,
+                "tag": pa.array(np.zeros(len(b), np.int8)),
+                "d": pc.cast(
+                    pc.cast(b.column("l_shipdate"), pa.date32()), pa.int32()
+                ),
+                "supp": b.column("l_suppkey"),
+            }
+        )
+
+    def tag_orders(b: pa.Table) -> pa.Table:
+        ka = b.column("o_orderkey").combine_chunks()
+        return pa.table(
+            {
+                "part": _part_of(ka, n_parts),
+                "key": ka,
+                "tag": pa.array(np.ones(len(b), np.int8)),
+                "d": pc.cast(
+                    pc.cast(b.column("o_orderdate"), pa.date32()), pa.int32()
+                ),
+                "supp": pa.nulls(len(b), pa.int64()),
+            }
+        )
+
+    both = li.map_batches(tag_li, batch_format="pyarrow").union(
+        orders.map_batches(tag_orders, batch_format="pyarrow")
+    )
+
+    def delays(g: pa.Table) -> pa.Table:
+        tag = g.column("tag").to_numpy(zero_copy_only=False)
+        key = g.column("key").to_numpy(zero_copy_only=False)
+        d = g.column("d").to_numpy(zero_copy_only=False).astype(np.int64)
+        empty = pa.table(
+            {
+                "l_suppkey": pa.array([], pa.int64()),
+                "n_lines": pa.array([], pa.int64()),
+                "sum_delay_days": pa.array([], pa.int64()),
+                "max_delay_days": pa.array([], pa.int64()),
+            }
+        )
+        osel = tag == 1
+        ok, od = key[osel], d[osel]
+        lsel = ~osel
+        if not osel.any() or not lsel.any():
+            return empty
+        order = np.argsort(ok, kind="stable")
+        ok, od = ok[order], od[order]
+        lk = key[lsel]
+        pos = np.minimum(np.searchsorted(ok, lk), len(ok) - 1)
+        hit = ok[pos] == lk
+        delay = d[lsel][hit] - od[pos[hit]]
+        supp = (
+            g.column("supp")
+            .to_numpy(zero_copy_only=False)[lsel][hit]
+            .astype(np.int64)
+        )
+        u, inv = np.unique(supp, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        s = np.bincount(inv, weights=delay).astype(np.int64)
+        mx = np.full(len(u), np.iinfo(np.int64).min, np.int64)
+        np.maximum.at(mx, inv, delay)
+        return pa.table(
+            {
+                "l_suppkey": pa.array(u, pa.int64()),
+                "n_lines": pa.array(n),
+                "sum_delay_days": pa.array(s),
+                "max_delay_days": pa.array(mx),
+            }
+        )
+
+    per_part = both.groupby("part").map_groups(delays, batch_format="pyarrow")
+    tbl = bounded_group_table_strict(
+        per_part,
+        ["l_suppkey"],
+        [("n_lines", "sum"), ("sum_delay_days", "sum"),
+         ("max_delay_days", "max")],
+    )
+    empty = pa.table(
+        {
+            "l_suppkey": pa.array([], pa.int64()),
+            "n_lines": pa.array([], pa.int64()),
+            "sum_delay_days": pa.array([], pa.int64()),
+            "max_delay_days": pa.array([], pa.int64()),
+            "avg_delay_days": pa.array([], pa.float64()),
+        }
+    )
+    if tbl is None:
+        return rd.from_arrow(empty)
+    n = tbl.column("n_lines").to_numpy(zero_copy_only=False)
+    s = tbl.column("sum_delay_days").to_numpy(zero_copy_only=False)
+    out = tbl.append_column(
+        "avg_delay_days",
+        pa.array(s.astype(np.float64) / n.astype(np.float64), pa.float64()),
+    )
+    return rd.from_arrow(out).sort("l_suppkey")
+
+
+SUPPLIER_SHIP_DELAY_SQL = """
+SELECT l_suppkey,
+  CAST(COUNT(*) AS BIGINT) AS n_lines,
+  CAST(SUM(datediff('day', CAST(o_orderdate AS DATE),
+                    CAST(l_shipdate AS DATE))) AS BIGINT)
+    AS sum_delay_days,
+  CAST(MAX(datediff('day', CAST(o_orderdate AS DATE),
+                    CAST(l_shipdate AS DATE))) AS BIGINT)
+    AS max_delay_days,
+  CAST(SUM(datediff('day', CAST(o_orderdate AS DATE),
+                    CAST(l_shipdate AS DATE))) AS DOUBLE)
+    / CAST(COUNT(*) AS DOUBLE) AS avg_delay_days
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY l_suppkey
+ORDER BY l_suppkey
+"""

@@ -7787,6 +7787,10 @@ def registry() -> dict[str, tuple]:
             dec5.event_type_user_overlap,
             dec5.EVENT_TYPE_USER_OVERLAP_SQL,
         ),
+        "supplier_ship_delay": (
+            dec5.supplier_ship_delay, dec5.SUPPLIER_SHIP_DELAY_SQL,
+        ),
+        "dedup_savings": (cor2.dedup_savings, cor2.DEDUP_SAVINGS_SQL),
         "source_ks_length": (
             cor2.source_ks_length, cor2.SOURCE_KS_LENGTH_SQL,
         ),

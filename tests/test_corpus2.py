@@ -244,3 +244,19 @@ def test_source_quality_corr_perfect_and_anti(ray_session, tmp_path):
     got = {r["source"]: r for r in c2.source_quality_corr(d).take_all()}
     assert abs(got["s1"]["corr"] - 1.0) < 1e-12 and got["s1"]["n"] == 3
     assert got["s2"]["corr"] == 0.0 and got["s2"]["n"] == 2
+
+
+def test_dedup_savings_counts(ray_session, tmp_path):
+    d = str(tmp_path)
+    # "a b" ×3 (2 tokens), "c" ×1 (1 token), "" ×2 (0 tokens)
+    _docs(d, [
+        (1, "a b", "en"), (2, "a b", "en"), (3, "a b", "en"),
+        (4, "c", "en"), (5, "", "en"), (6, "", "en"),
+    ])
+    for parts in (1, 3):
+        got = c2.dedup_savings(d, num_partitions=parts).take_all()
+        assert got == [
+            {"n_docs": 6, "n_unique": 3, "dup_fraction": 0.5,
+             "n_tokens": 7, "n_tokens_unique": 3,
+             "token_savings": 4.0 / 7.0}
+        ], got

@@ -413,3 +413,22 @@ def test_event_type_user_overlap_planted(ray_session, tmp_path):
             {"type_a": "a", "type_b": "b", "n_a": 2, "n_b": 2,
              "n_common": 1, "n_union": 3, "jaccard": 1.0 / 3.0}
         ], got
+
+
+def test_supplier_ship_delay_exact(ray_session, tmp_path):
+    d = str(tmp_path)
+    _orders(d, [(10, 1, "1996-01-01"), (11, 1, "1996-02-01")])
+    # supp 5: delays 1 and 3 days; supp 6: delay 10 days
+    _lineitem(d, [
+        (10, 1, 5, 10.0, 0.0, "1996-01-02"),
+        (11, 1, 5, 10.0, 0.0, "1996-02-04"),
+        (10, 1, 6, 10.0, 0.0, "1996-01-11"),
+    ])
+    for parts in (1, 3):
+        got = d5.supplier_ship_delay(d, num_partitions=parts).take_all()
+        assert got == [
+            {"l_suppkey": 5, "n_lines": 2, "sum_delay_days": 4,
+             "max_delay_days": 3, "avg_delay_days": 2.0},
+            {"l_suppkey": 6, "n_lines": 1, "sum_delay_days": 10,
+             "max_delay_days": 10, "avg_delay_days": 10.0},
+        ], got
