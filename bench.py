@@ -352,6 +352,8 @@ BENCH_QUERIES = [
     "event_type_user_overlap",
     "supplier_ship_delay",
     "dedup_savings",
+    "benford_digits",
+    "part_name_top_terms",
     "rank_dedup_graph",
     "dedup_graph_bfs",
     "dedup_graph_triangles",

@@ -1911,3 +1911,108 @@ FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY l_suppkey
 ORDER BY l_suppkey
 """
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit over order totals.
+# ---------------------------------------------------------------------------
+
+def benford_digits(sf_dir: str) -> rd.Dataset:
+    """(digit, n_obs, share, benford_p, chi2_contrib): the leading
+    significant digit distribution of ``o_totalprice`` against
+    Benford's law — the classic fabricated-data audit. Counts are
+    exact int64 bincounts (digit extraction is integer arithmetic on
+    exact cents, no float log); the three floats are per-digit single
+    expressions (share, log10 ratio, one χ² term), so no float SUM of
+    unordered addends exists anywhere — each row is independently
+    deterministic.
+
+    Plan: one shuffle-free per-batch digit-count pass; 9-row reduce."""
+    import math
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_totalprice"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = _cents(b.column("o_totalprice")).to_numpy(
+            zero_copy_only=False
+        )
+        v = cents[cents > 0]
+        # leading digit via integer halving-by-10 (no float log)
+        while True:
+            big = v >= 10
+            if not big.any():
+                break
+            v = np.where(big, v // 10, v)
+        cnt = np.bincount(v, minlength=10)[1:10].astype(np.int64)
+        return pa.table(
+            {
+                "digit": pa.array(np.arange(1, 10, dtype=np.int64)),
+                "n_obs": pa.array(cnt),
+            }
+        )
+
+    tbl = bounded_group_table_strict(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["digit"],
+        [("n_obs", "sum")],
+    )
+    empty = pa.table(
+        {
+            "digit": pa.array([], pa.int64()),
+            "n_obs": pa.array([], pa.int64()),
+            "share": pa.array([], pa.float64()),
+            "benford_p": pa.array([], pa.float64()),
+            "chi2_contrib": pa.array([], pa.float64()),
+        }
+    )
+    if tbl is None:
+        return rd.from_arrow(empty)
+    dig = tbl.column("digit").to_numpy(zero_copy_only=False)
+    n = tbl.column("n_obs").to_numpy(zero_copy_only=False)
+    order = np.argsort(dig, kind="stable")
+    dig, n = dig[order], n[order]
+    total = int(n.sum())
+    shares, ps, chis = [], [], []
+    for d, c in zip(dig, n):
+        p = math.log10(1.0 + 1.0 / float(d))
+        e = total * p
+        shares.append(float(c) / float(total) if total else 0.0)
+        ps.append(p)
+        chis.append((float(c) - e) * (float(c) - e) / e if e else 0.0)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "digit": pa.array(dig, pa.int64()),
+                "n_obs": pa.array(n, pa.int64()),
+                "share": pa.array(shares, pa.float64()),
+                "benford_p": pa.array(ps, pa.float64()),
+                "chi2_contrib": pa.array(chis, pa.float64()),
+            }
+        )
+    )
+
+
+BENFORD_DIGITS_SQL = """
+WITH c AS (
+  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+  FROM orders
+  WHERE CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) > 0
+), d AS (
+  -- leading digit via the decimal string: exact for every int64,
+  -- immune to float log10 boundary error at exact powers of ten
+  SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM c
+), h AS (
+  SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs FROM d GROUP BY digit
+), t AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS total FROM h)
+SELECT digit, n_obs,
+  CAST(n_obs AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+  log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) AS benford_p,
+  (CAST(n_obs AS DOUBLE) - total * log10(1.0 + 1.0 / CAST(digit AS DOUBLE)))
+    * (CAST(n_obs AS DOUBLE) - total * log10(1.0 + 1.0 / CAST(digit AS DOUBLE)))
+    / (total * log10(1.0 + 1.0 / CAST(digit AS DOUBLE))) AS chi2_contrib
+FROM h CROSS JOIN t
+ORDER BY digit
+"""

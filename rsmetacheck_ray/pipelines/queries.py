@@ -7791,6 +7791,10 @@ def registry() -> dict[str, tuple]:
             dec5.supplier_ship_delay, dec5.SUPPLIER_SHIP_DELAY_SQL,
         ),
         "dedup_savings": (cor2.dedup_savings, cor2.DEDUP_SAVINGS_SQL),
+        "benford_digits": (dec5.benford_digits, dec5.BENFORD_DIGITS_SQL),
+        "part_name_top_terms": (
+            cor2.part_name_top_terms, cor2.PART_NAME_TOP_TERMS_SQL,
+        ),
         "source_ks_length": (
             cor2.source_ks_length, cor2.SOURCE_KS_LENGTH_SQL,
         ),

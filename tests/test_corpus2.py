@@ -260,3 +260,28 @@ def test_dedup_savings_counts(ray_session, tmp_path):
              "n_tokens": 7, "n_tokens_unique": 3,
              "token_savings": 4.0 / 7.0}
         ], got
+
+
+def test_part_name_top_terms(ray_session, tmp_path):
+    d = str(tmp_path)
+    pq.write_table(
+        pa.table(
+            {
+                "p_partkey": pa.array([1, 2, 3], pa.int64()),
+                "p_name": pa.array(
+                    ["red soft gear", "red gear", "blue gear"], pa.string()
+                ),
+                "p_brand": pa.array(["B"] * 3, pa.string()),
+                "p_type": pa.array(["T"] * 3, pa.string()),
+                "p_size": pa.array([1, 1, 1], pa.int32()),
+                "p_retailprice": pa.array([1.0] * 3, pa.float64()),
+            }
+        ),
+        os.path.join(d, "part.parquet"),
+    )
+    got = c2.part_name_top_terms(d, k=3).take_all()
+    assert got == [
+        {"term": "gear", "n": 3, "rk": 1},
+        {"term": "red", "n": 2, "rk": 2},
+        {"term": "blue", "n": 1, "rk": 3},  # tie with 'soft' → asc
+    ], got

@@ -432,3 +432,26 @@ def test_supplier_ship_delay_exact(ray_session, tmp_path):
             {"l_suppkey": 6, "n_lines": 1, "sum_delay_days": 10,
              "max_delay_days": 10, "avg_delay_days": 10.0},
         ], got
+
+
+def test_benford_digit_extraction_and_chi2(ray_session, tmp_path):
+    d = str(tmp_path)
+    # totals 1.00, 19.99, 100.00, 0.09, 0.00 → cents 100, 1999, 10000,
+    # 9, 0(dropped) → leading digits 1, 1, 1, 9
+    _orders(d, [(i, 1, "1996-01-01") for i in range(1, 6)])
+    import pyarrow.parquet as _pq
+    t = _pq.read_table(os.path.join(d, "orders.parquet"))
+    t = t.set_column(
+        t.schema.get_field_index("o_totalprice"),
+        "o_totalprice",
+        pa.array([1.0, 19.99, 100.0, 0.09, 0.0], pa.float64()),
+    )
+    _pq.write_table(t, os.path.join(d, "orders.parquet"))
+    got = {r["digit"]: r for r in d5.benford_digits(d).take_all()}
+    assert got[1]["n_obs"] == 3 and got[9]["n_obs"] == 1
+    assert got[2]["n_obs"] == 0
+    assert got[1]["share"] == 0.75
+    import math
+    p1 = math.log10(2.0)
+    e1 = 4 * p1
+    assert got[1]["chi2_contrib"] == (3.0 - e1) ** 2 / e1
