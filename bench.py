@@ -354,6 +354,8 @@ BENCH_QUERIES = [
     "dedup_savings",
     "benford_digits",
     "part_name_top_terms",
+    "order_size_histogram",
+    "order_gap_quantiles",
     "rank_dedup_graph",
     "dedup_graph_bfs",
     "dedup_graph_triangles",

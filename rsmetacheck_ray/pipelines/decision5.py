@@ -2016,3 +2016,207 @@ SELECT digit, n_obs,
 FROM h CROSS JOIN t
 ORDER BY digit
 """
+
+
+# ---------------------------------------------------------------------------
+# Order size histogram (count-of-counts).
+# ---------------------------------------------------------------------------
+
+def order_size_histogram(
+    sf_dir: str, num_partitions: int | None = None
+) -> rd.Dataset:
+    """(n_lines, n_orders): how many orders have k lines — the
+    count-of-counts / degree-distribution shape on the fact table.
+
+    Plan: lineitem pre-combines per batch to (orderkey, partial
+    count); one orderkey-hash shuffle finishes the counts per
+    partition and emits ≤|line-count domain| histogram partials (TPC-H
+    caps at 7)."""
+    li = _read_pq(
+        os.path.join(sf_dir, "lineitem.parquet"), columns=["l_orderkey"]
+    )
+    n_parts = num_partitions or adaptive_partitions(
+        parquet_rows_hint(li), row_bytes=16
+    )
+
+    def tag(b: pa.Table) -> pa.Table:
+        t = (
+            pa.table({"key": b.column("l_orderkey")})
+            .group_by("key")
+            .aggregate([([], "count_all")])
+        )
+        ka = t.column("key").combine_chunks()
+        return pa.table(
+            {
+                "part": _part_of(ka, n_parts),
+                "key": ka,
+                "n": pc.cast(t.column("count_all"), pa.int64()),
+            }
+        )
+
+    def hist(g: pa.Table) -> pa.Table:
+        key = g.column("key").to_numpy(zero_copy_only=False)
+        n = g.column("n").to_numpy(zero_copy_only=False)
+        if not len(key):
+            return pa.table(
+                {
+                    "n_lines": pa.array([], pa.int64()),
+                    "n_orders": pa.array([], pa.int64()),
+                }
+            )
+        u, inv = np.unique(key, return_inverse=True)
+        per = np.bincount(inv, weights=n).astype(np.int64)
+        sizes, cnt = np.unique(per, return_counts=True)
+        return pa.table(
+            {
+                "n_lines": pa.array(sizes, pa.int64()),
+                "n_orders": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    per_part = (
+        li.map_batches(tag, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(hist, batch_format="pyarrow")
+    )
+    tbl = bounded_group_table_strict(
+        per_part, ["n_lines"], [("n_orders", "sum")]
+    )
+    if tbl is None:
+        tbl = pa.table(
+            {
+                "n_lines": pa.array([], pa.int64()),
+                "n_orders": pa.array([], pa.int64()),
+            }
+        )
+    return rd.from_arrow(tbl).sort("n_lines")
+
+
+ORDER_SIZE_HISTOGRAM_SQL = """
+SELECT n_lines, CAST(COUNT(*) AS BIGINT) AS n_orders FROM (
+  SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_lines
+  FROM lineitem GROUP BY l_orderkey
+) GROUP BY n_lines ORDER BY n_lines
+"""
+
+
+# ---------------------------------------------------------------------------
+# Repeat-purchase gap quantiles.
+# ---------------------------------------------------------------------------
+
+_ORDER_GAP_QS = [0.25, 0.5, 0.75, 0.9]
+
+
+def order_gap_quantiles(
+    sf_dir: str, num_partitions: int | None = None
+) -> rd.Dataset:
+    """(q, gap_days): exact ``quantile_disc`` of the day gaps between
+    each customer's consecutive orders — the repeat-purchase cadence.
+
+    Plan: the sessionize shuffle (custkey-hash, one lexsort per
+    partition) emits per-partition GAP-HISTOGRAM partials (day domain
+    ≤ the lake's span); the CDF walk over the bounded merged histogram
+    runs on the driver."""
+    ds = _read_pq(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderdate", "o_orderkey"],
+    )
+    n_parts = num_partitions or adaptive_partitions(
+        parquet_rows_hint(ds), row_bytes=24
+    )
+
+    def tag(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "part": _part_of(b.column("o_custkey"), n_parts),
+                "cust": b.column("o_custkey"),
+                "d": pc.cast(
+                    pc.cast(b.column("o_orderdate"), pa.date32()), pa.int32()
+                ),
+                "okey": b.column("o_orderkey"),
+            }
+        )
+
+    def gaps(g: pa.Table) -> pa.Table:
+        cust = g.column("cust").to_numpy(zero_copy_only=False)
+        d = g.column("d").to_numpy(zero_copy_only=False).astype(np.int64)
+        okey = g.column("okey").to_numpy(zero_copy_only=False)
+        empty = pa.table(
+            {
+                "gap": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if len(cust) < 2:
+            return empty
+        order = np.lexsort((okey, d, cust))
+        c, dd = cust[order], d[order]
+        same = np.zeros(len(c), dtype=bool)
+        same[1:] = c[1:] == c[:-1]
+        gap = np.empty(len(c), np.int64)
+        gap[1:] = dd[1:] - dd[:-1]
+        if not same.any():
+            return empty
+        u, cnt = np.unique(gap[same], return_counts=True)
+        return pa.table(
+            {
+                "gap": pa.array(u, pa.int64()),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    hist = bounded_group_table_strict(
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(gaps, batch_format="pyarrow"),
+        ["gap"],
+        [("n", "sum")],
+    )
+    empty = pa.table(
+        {
+            "q": pa.array([], pa.float64()),
+            "gap_days": pa.array([], pa.int64()),
+        }
+    )
+    if hist is None:
+        return rd.from_arrow(empty)
+    import math
+
+    gap = hist.column("gap").to_numpy(zero_copy_only=False)
+    n = hist.column("n").to_numpy(zero_copy_only=False)
+    order = np.argsort(gap, kind="stable")
+    gap, n = gap[order], n[order]
+    cum = np.cumsum(n)
+    total = int(cum[-1])
+    vals = [
+        int(gap[np.searchsorted(cum, math.ceil(q * total))])
+        for q in _ORDER_GAP_QS
+    ]
+    return rd.from_arrow(
+        pa.table(
+            {
+                "q": pa.array(_ORDER_GAP_QS, pa.float64()),
+                "gap_days": pa.array(vals, pa.int64()),
+            }
+        )
+    )
+
+
+ORDER_GAP_QUANTILES_SQL = """
+WITH s AS (
+  SELECT CAST(datediff('day',
+           LAG(CAST(o_orderdate AS DATE)) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+           CAST(o_orderdate AS DATE)) AS BIGINT) AS gap
+  FROM orders
+), g AS (SELECT gap FROM s WHERE gap IS NOT NULL)
+SELECT 0.25::DOUBLE AS q, CAST(quantile_disc(gap, 0.25) AS BIGINT)
+  AS gap_days FROM g
+UNION ALL
+SELECT 0.5::DOUBLE, CAST(quantile_disc(gap, 0.5) AS BIGINT) FROM g
+UNION ALL
+SELECT 0.75::DOUBLE, CAST(quantile_disc(gap, 0.75) AS BIGINT) FROM g
+UNION ALL
+SELECT 0.9::DOUBLE, CAST(quantile_disc(gap, 0.9) AS BIGINT) FROM g
+ORDER BY q
+"""

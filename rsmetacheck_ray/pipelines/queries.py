@@ -7795,6 +7795,12 @@ def registry() -> dict[str, tuple]:
         "part_name_top_terms": (
             cor2.part_name_top_terms, cor2.PART_NAME_TOP_TERMS_SQL,
         ),
+        "order_size_histogram": (
+            dec5.order_size_histogram, dec5.ORDER_SIZE_HISTOGRAM_SQL,
+        ),
+        "order_gap_quantiles": (
+            dec5.order_gap_quantiles, dec5.ORDER_GAP_QUANTILES_SQL,
+        ),
         "source_ks_length": (
             cor2.source_ks_length, cor2.SOURCE_KS_LENGTH_SQL,
         ),

@@ -455,3 +455,35 @@ def test_benford_digit_extraction_and_chi2(ray_session, tmp_path):
     p1 = math.log10(2.0)
     e1 = 4 * p1
     assert got[1]["chi2_contrib"] == (3.0 - e1) ** 2 / e1
+
+
+def test_order_size_histogram(ray_session, tmp_path):
+    d = str(tmp_path)
+    _orders(d, [(10, 1, "1996-01-01"), (11, 1, "1996-01-02"),
+                (12, 2, "1996-01-03")])
+    _lineitem(d, [
+        (10, 1, 5, 1.0, 0.0, "1996-01-02"),
+        (10, 1, 5, 1.0, 0.0, "1996-01-02"),
+        (10, 1, 5, 1.0, 0.0, "1996-01-02"),
+        (11, 1, 5, 1.0, 0.0, "1996-01-02"),
+        (12, 1, 5, 1.0, 0.0, "1996-01-03"),
+    ])
+    for parts in (1, 3):
+        got = d5.order_size_histogram(d, num_partitions=parts).take_all()
+        assert got == [
+            {"n_lines": 1, "n_orders": 2},
+            {"n_lines": 3, "n_orders": 1},
+        ], got
+
+
+def test_order_gap_quantiles_exact(ray_session, tmp_path):
+    d = str(tmp_path)
+    # cust 1 gaps: 10, 20, 30 days; cust 2: single order → no gap
+    _orders(d, [
+        (1, 1, "1996-01-01"), (2, 1, "1996-01-11"),
+        (3, 1, "1996-01-31"), (4, 1, "1996-03-01"),
+        (5, 2, "1996-01-01"),
+    ])
+    got = {r["q"]: r["gap_days"] for r in d5.order_gap_quantiles(d).take_all()}
+    # quantile_disc over {10,20,30}: .25→10, .5→20, .75→30, .9→30
+    assert got == {0.25: 10, 0.5: 20, 0.75: 30, 0.9: 30}, got
