@@ -68,6 +68,17 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--out", required=True)
     d.add_argument("--dest", required=True)
 
+    x = sub.add_parser(
+        "export",
+        help="stream a run's per-document decisions to JSONL files — "
+        "the reference's per-doc JSON-LD writer analog "
+        "(json_ld_utils.py:496-514) as a distributed partitioned sink",
+    )
+    x.add_argument("--out", required=True)
+    x.add_argument("--dest", required=True, help="JSONL output directory")
+    x.add_argument("--view", choices=("docs", "kept", "evidence"),
+                   default="docs")
+
     q = sub.add_parser(
         "query",
         help="run a registry operator over an sf-style table directory "
@@ -150,6 +161,28 @@ def main(argv: list[str] | None = None) -> int:
         kv = kept_view(os.path.join(args.out, "docs"))
         kv.write_parquet(args.dest)
         print(json.dumps({"rows": kv.count(), "dest": args.dest}))
+    elif args.cmd == "export":
+        import os
+
+        import ray.data as rd
+
+        from .pipelines.quality_gate import evidence_view, kept_view
+
+        docs_dir = os.path.join(args.out, "docs")
+        if args.view == "kept":
+            ds = kept_view(docs_dir)
+        elif args.view == "evidence":
+            ds = evidence_view(docs_dir)
+        else:
+            ds = rd.read_parquet(docs_dir)
+        # streaming partitioned JSONL write: one file per block, no
+        # driver materialization — a failed export can re-run per file
+        ds.write_json(args.dest)
+        n_files = len(
+            [f for f in os.listdir(args.dest) if f.endswith(".json")]
+        )
+        print(json.dumps({"rows": ds.count(), "files": n_files,
+                          "dest": args.dest, "view": args.view}))
     elif args.cmd == "dedup":
         import os
 

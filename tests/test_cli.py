@@ -55,3 +55,28 @@ def test_query_unknown_name(capsys):
     # validated pre-Ray-init (no session needed), error on stderr
     assert main(["query", "nope_not_a_query", "--sf-dir", SF_DIR]) == 2
     assert "unknown query" in capsys.readouterr().err
+
+
+def test_export_jsonl_views(ray_session, tmp_path, capsys):
+    from rsmetacheck_ray.datagen import corpus_dir
+    from rsmetacheck_ray.pipelines.quality_gate import run_gate
+
+    pages_dir, _ = corpus_dir(300)
+    out = str(tmp_path / "run")
+    m = run_gate(pages_dir, out, n_partitions=2)
+    dest = str(tmp_path / "jsonl")
+    assert main(["export", "--out", out, "--dest", dest,
+                 "--view", "kept"]) == 0
+    info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert info["rows"] == m["kept"] and info["files"] >= 1
+    # every exported line is standalone JSON with the kept columns
+    import os
+
+    n_lines = 0
+    for f in os.listdir(dest):
+        with open(os.path.join(dest, f)) as fh:
+            for line in fh:
+                row = json.loads(line)
+                assert "url" in row and "scrubbed_text" in row
+                n_lines += 1
+    assert n_lines == m["kept"]
