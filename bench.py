@@ -356,6 +356,7 @@ BENCH_QUERIES = [
     "part_name_top_terms",
     "order_size_histogram",
     "order_gap_quantiles",
+    "gate_host_keep_rate",
     "rank_dedup_graph",
     "dedup_graph_bfs",
     "dedup_graph_triangles",

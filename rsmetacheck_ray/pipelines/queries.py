@@ -369,6 +369,86 @@ def q_gate_decisions(sf_dir: str):
     )
 
 
+def q_gate_host_keep_rate(sf_dir: str):
+    """(host, n_docs, n_kept, keep_rate): the full gate decision
+    rolled up by url host — which hosts the gate is dropping, the
+    first question a crawl-curation review asks (and the skew axis'
+    natural consumer: a mega-host dominating drops is exactly what
+    the salted aggregate exists for).
+
+    Plan: the fused gate pipeline streams per-batch (host, n, kept)
+    partials — in-batch Arrow group_by pre-combines, so per-batch rows
+    are bounded by the batch's distinct hosts; the reduce runs under
+    the bounded-reduce guard on the host domain; keep_rate is the
+    single exact-int division the oracle writes."""
+    from ..stages.skew import _extract_host
+
+    out = _gated(sf_dir)
+
+    def partial(b: pa.Table) -> pa.Table:
+        url = b.column("url")
+        if isinstance(url, pa.ChunkedArray):
+            url = url.combine_chunks()
+        t = pa.table(
+            {
+                "host": _extract_host(url),
+                "kept": pc.cast(b.column("keep"), pa.int64()),
+            }
+        )
+        g = t.group_by("host").aggregate([("kept", "sum"), ([], "count_all")])
+        return g.rename_columns(["host", "n_kept", "n_docs"])
+
+    tbl = rel.bounded_group_table_strict(
+        out.map_batches(partial, batch_format="pyarrow"),
+        ["host"],
+        [("n_kept", "sum"), ("n_docs", "sum")],
+    )
+    empty = pa.table(
+        {
+            "host": pa.array([], pa.string()),
+            "n_docs": pa.array([], pa.int64()),
+            "n_kept": pa.array([], pa.int64()),
+            "keep_rate": pa.array([], pa.float64()),
+        }
+    )
+    if tbl is None:
+        return empty
+    rows = sorted(
+        zip(
+            tbl.column("host").to_pylist(),
+            tbl.column("n_docs").to_pylist(),
+            tbl.column("n_kept").to_pylist(),
+        )
+    )
+    return pa.table(
+        {
+            "host": pa.array([r[0] for r in rows], pa.string()),
+            "n_docs": pa.array([r[1] for r in rows], pa.int64()),
+            "n_kept": pa.array([r[2] for r in rows], pa.int64()),
+            "keep_rate": pa.array(
+                [float(r[2]) / float(r[1]) for r in rows], pa.float64()
+            ),
+        }
+    )
+
+
+def _sql_gate_host_keep_rate() -> str:
+    from ..stages.skew import HOST_RE
+
+    return f"""
+SELECT regexp_extract(url, '{HOST_RE}', 1) AS host,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
+    / CAST(COUNT(*) AS DOUBLE) AS keep_rate
+FROM (
+{_sql_gate_decisions()}
+)
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 _DROP_NOLM_CODES = [
     "empty_text", "too_short", "too_long", "stopword_ratio_low",
     "symbol_ratio_high", "repetition", "boilerplate_only",
@@ -7689,6 +7769,12 @@ def registry() -> dict[str, tuple]:
         "gate_decisions": (
             q_gate_decisions,
             lambda: _sql_gate_decisions().replace("{pages}", pages_cte()),
+        ),
+        "gate_host_keep_rate": (
+            q_gate_host_keep_rate,
+            lambda: _sql_gate_host_keep_rate().replace(
+                "{pages}", pages_cte()
+            ),
         ),
         "gate_drop_vector": (
             q_gate_drop_vector,

@@ -95,3 +95,18 @@ def test_lang_vocab_overlap_planted(ray_session, tmp_path):
             {"lang_a": "en", "lang_b": "fr", "n_a": 3, "n_b": 3,
              "n_common": 2, "n_union": 4, "jaccard": 0.5}
         ], got
+
+
+def test_gate_host_keep_rate_totals(ray_session):
+    from rsmetacheck_ray.pipelines.queries import (
+        q_gate_decisions,
+        q_gate_host_keep_rate,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    hosts = q_gate_host_keep_rate(sf).to_pylist()
+    dec = q_gate_decisions(sf).to_pandas()
+    assert sum(r["n_docs"] for r in hosts) == len(dec)
+    assert sum(r["n_kept"] for r in hosts) == int(dec["keep"].sum())
+    assert all(0.0 <= r["keep_rate"] <= 1.0 for r in hosts)
+    assert len(hosts) > 1  # multi-host corpus actually rolls up
