@@ -357,6 +357,7 @@ BENCH_QUERIES = [
     "order_size_histogram",
     "order_gap_quantiles",
     "gate_host_keep_rate",
+    "gate_rule_cooccurrence",
     "rank_dedup_graph",
     "dedup_graph_bfs",
     "dedup_graph_triangles",

@@ -456,6 +456,88 @@ _DROP_NOLM_CODES = [
 ]
 
 
+def q_gate_rule_cooccurrence(sf_dir: str):
+    """(rule_a, rule_b, n_both): for every unordered pair of the ten
+    SQL-expressible drop rules (self pairs = the rule's own fire
+    count), how many documents fire BOTH — the rule-redundancy matrix
+    a catalog review reads before adding rule #31.
+
+    Plan: the fused gate streams per-batch (10×10 int matmul) partial
+    matrices — constant 55 rows per batch; the reduce is bounded by
+    the rule-pair domain."""
+    out = _gated(sf_dir)
+    codes = list(_DROP_NOLM_CODES)
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = np.stack(
+            [
+                b.column(f"hit_{c}").to_numpy(zero_copy_only=False)
+                for c in codes
+            ],
+            axis=1,
+        ).astype(np.int64)
+        co = m.T @ m
+        ra, rb, n = [], [], []
+        for i in range(len(codes)):
+            for j in range(i, len(codes)):
+                ra.append(codes[i])
+                rb.append(codes[j])
+                n.append(int(co[i, j]))
+        return pa.table(
+            {
+                "rule_a": pa.array(ra, pa.string()),
+                "rule_b": pa.array(rb, pa.string()),
+                "n_both": pa.array(n, pa.int64()),
+            }
+        )
+
+    tbl = rel.bounded_group_table_strict(
+        out.map_batches(partial, batch_format="pyarrow"),
+        ["rule_a", "rule_b"],
+        [("n_both", "sum")],
+    )
+    if tbl is None:
+        return pa.table(
+            {
+                "rule_a": pa.array([], pa.string()),
+                "rule_b": pa.array([], pa.string()),
+                "n_both": pa.array([], pa.int64()),
+            }
+        )
+    idx = pc.sort_indices(
+        tbl, sort_keys=[("rule_a", "ascending"), ("rule_b", "ascending")]
+    )
+    return tbl.take(idx)
+
+
+_SQL_HIT_ALIAS = {
+    "stopword_ratio_low": "hit_stopword",
+    "symbol_ratio_high": "hit_symbol",
+    "template_placeholder": "hit_placeholder",
+    "dead_url_pattern": "hit_dead_url",
+}
+
+
+def _sql_gate_rule_cooccurrence() -> str:
+    pair_rows = []
+    codes = list(_DROP_NOLM_CODES)
+    for i, a in enumerate(codes):
+        ca = _SQL_HIT_ALIAS.get(a, f"hit_{a}")
+        for b in codes[i:]:
+            cb = _SQL_HIT_ALIAS.get(b, f"hit_{b}")
+            pair_rows.append(
+                f"SELECT '{a}' AS rule_a, '{b}' AS rule_b,\n"
+                f"  CAST(SUM(CASE WHEN {ca} AND {cb} THEN 1 ELSE 0"
+                f" END) AS BIGINT) AS n_both FROM flags"
+            )
+    body = "\nUNION ALL\n".join(pair_rows)
+    return f"""
+WITH {_sql_gate_flags_ctes().strip()}
+{body}
+ORDER BY rule_a, rule_b
+"""
+
+
 def q_gate_drop_vector(sf_dir: str):
     """The flagship decision, oracle-checked: every drop rule EXCEPT
     the LM perplexity gate (genuinely non-SQL), plus the previously
@@ -7773,6 +7855,12 @@ def registry() -> dict[str, tuple]:
         "gate_host_keep_rate": (
             q_gate_host_keep_rate,
             lambda: _sql_gate_host_keep_rate().replace(
+                "{pages}", pages_cte()
+            ),
+        ),
+        "gate_rule_cooccurrence": (
+            q_gate_rule_cooccurrence,
+            lambda: _sql_gate_rule_cooccurrence().replace(
                 "{pages}", pages_cte()
             ),
         ),

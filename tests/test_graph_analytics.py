@@ -110,3 +110,20 @@ def test_gate_host_keep_rate_totals(ray_session):
     assert sum(r["n_kept"] for r in hosts) == int(dec["keep"].sum())
     assert all(0.0 <= r["keep_rate"] <= 1.0 for r in hosts)
     assert len(hosts) > 1  # multi-host corpus actually rolls up
+
+
+def test_gate_rule_cooccurrence_diag_matches_fire_counts(ray_session):
+    from rsmetacheck_ray.pipelines.queries import (
+        _DROP_NOLM_CODES,
+        q_gate_rule_cooccurrence,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = q_gate_rule_cooccurrence(sf).to_pylist()
+    assert len(rows) == 55  # 10 selves + 45 pairs
+    by = {(r["rule_a"], r["rule_b"]): r["n_both"] for r in rows}
+    # co-occurrence never exceeds either rule's own fire count
+    for (a, b), n in by.items():
+        assert n <= by[(a, a)] and n <= by[(b, b)]
+    # something actually fires in the corpus
+    assert any(by[(c, c)] > 0 for c in _DROP_NOLM_CODES)
