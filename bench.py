@@ -358,6 +358,7 @@ BENCH_QUERIES = [
     "order_gap_quantiles",
     "gate_host_keep_rate",
     "gate_rule_cooccurrence",
+    "split_leakage",
     "rank_dedup_graph",
     "dedup_graph_bfs",
     "dedup_graph_triangles",

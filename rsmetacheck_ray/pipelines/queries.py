@@ -4941,6 +4941,83 @@ GROUP BY gr.doc_id
 """
 
 
+def q_split_leakage(sf_dir: str):
+    """(doc_id, n_shared_grams): TRAIN-split documents sharing a word
+    5-gram with any VALIDATION-split document — holdout leakage
+    detection, the self-decontamination every split must pass before
+    training. Composes the deterministic md5-bucket split (so both
+    engines derive identical membership) with the broadcast gram probe
+    (the val split is the small side; the train side streams with no
+    shuffle)."""
+    from ..functions.decontaminate import contaminated_docs
+    from ..functions.sampling import _md5_ranks
+    from ..functions.split import DEFAULT_TRAIN_BUCKETS, DEFAULT_VAL_BUCKETS
+
+    def pick(lo: int, hi: int):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            ranks = _md5_ranks(ids)
+            buckets = np.array(
+                [int(r[:2], 16) for r in ranks], dtype=np.int64
+            )
+            return b.filter(pa.array((buckets >= lo) & (buckets < hi)))
+
+        return f
+
+    docs = _documents(sf_dir, ["doc_id", "text"])
+    train = docs.map_batches(
+        pick(0, DEFAULT_TRAIN_BUCKETS), batch_format="pyarrow"
+    )
+    val = docs.map_batches(
+        pick(DEFAULT_TRAIN_BUCKETS, DEFAULT_TRAIN_BUCKETS + DEFAULT_VAL_BUCKETS),
+        batch_format="pyarrow",
+    )
+    return contaminated_docs(train, val, k=_DECON_K)
+
+
+def _sql_split_leakage() -> str:
+    from ..functions.split import (
+        DEFAULT_TRAIN_BUCKETS,
+        DEFAULT_VAL_BUCKETS,
+        sql_bucket_expr,
+    )
+    from ..functions.tokenize import WS_TOKEN_RE
+
+    leads = " || ' ' || ".join(
+        f"LEAD(w, {j}) OVER win" for j in range(1, _DECON_K)
+    )
+    hi = DEFAULT_TRAIN_BUCKETS + DEFAULT_VAL_BUCKETS
+    return f"""
+WITH bk AS MATERIALIZED (
+  SELECT doc_id, {sql_bucket_expr()} AS bucket FROM documents
+),
+words AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text, '{WS_TOKEN_RE}')) AS w,
+         unnest(generate_series(1, len(regexp_extract_all(text, '{WS_TOKEN_RE}')))) AS i
+  FROM documents
+),
+grams AS MATERIALIZED (
+  SELECT doc_id, w || ' ' || {leads} AS g
+  FROM words
+  WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+  QUALIFY LEAD(w, {_DECON_K - 1}) OVER win IS NOT NULL
+),
+bench AS (
+  SELECT DISTINCT g FROM grams JOIN bk USING (doc_id)
+  WHERE bucket >= {DEFAULT_TRAIN_BUCKETS} AND bucket < {hi}
+)
+SELECT gr.doc_id, CAST(COUNT(DISTINCT gr.g) AS BIGINT) AS n_shared_grams
+FROM grams gr
+JOIN bk USING (doc_id)
+JOIN bench b ON gr.g = b.g
+WHERE bk.bucket < {DEFAULT_TRAIN_BUCKETS}
+GROUP BY gr.doc_id
+"""
+
+
 # --- deterministic train/val/test holdout split -----------------------------
 
 
@@ -7992,6 +8069,7 @@ def registry() -> dict[str, tuple]:
         "score_bigram_lm": (q_score_bigram_lm, _sql_score_bigram_lm()),
         "shuffle_shards": (q_shuffle_shards, _sql_shuffle_shards()),
         "split_assign": (q_split_assign, _sql_split_assign()),
+        "split_leakage": (q_split_leakage, _sql_split_leakage()),
         "doc_sentences": (
             q_doc_sentences,
             _sql_doc_sentences().replace("{pages}", pages),

@@ -127,3 +127,43 @@ def test_gate_rule_cooccurrence_diag_matches_fire_counts(ray_session):
         assert n <= by[(a, a)] and n <= by[(b, b)]
     # something actually fires in the corpus
     assert any(by[(c, c)] > 0 for c in _DROP_NOLM_CODES)
+
+
+def test_split_leakage_planted(ray_session, tmp_path):
+    import pyarrow.parquet as _pq
+    from rsmetacheck_ray.functions.sampling import _md5_ranks
+    from rsmetacheck_ray.functions.split import (
+        DEFAULT_TRAIN_BUCKETS,
+        DEFAULT_VAL_BUCKETS,
+    )
+    from rsmetacheck_ray.pipelines.queries import q_split_leakage
+
+    d = str(tmp_path)
+    # find one id per split deterministically
+    ids = np.arange(1, 400, dtype=np.int64)
+    buckets = np.array([int(r[:2], 16) for r in _md5_ranks(ids)])
+    train_id = int(ids[buckets < DEFAULT_TRAIN_BUCKETS][0])
+    val_lo = DEFAULT_TRAIN_BUCKETS
+    val_hi = DEFAULT_TRAIN_BUCKETS + DEFAULT_VAL_BUCKETS
+    val_id = int(ids[(buckets >= val_lo) & (buckets < val_hi)][0])
+    clean_id = int(ids[buckets < DEFAULT_TRAIN_BUCKETS][1])
+    shared = "alpha beta gamma delta epsilon zeta"  # a full 5-gram
+    _pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([train_id, val_id, clean_id], pa.int64()),
+                "text": pa.array(
+                    [shared, shared + " extra", "totally different words "
+                     "one two three four five"],
+                    pa.string(),
+                ),
+                "lang": pa.array(["en"] * 3, pa.string()),
+                "source": pa.array(["s"] * 3, pa.string()),
+                "n_chars": pa.array([1, 1, 1], pa.int64()),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+    got = q_split_leakage(d).take_all()
+    leaked = {r["doc_id"] for r in got}
+    assert train_id in leaked and clean_id not in leaked
