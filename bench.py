@@ -359,6 +359,7 @@ BENCH_QUERIES = [
     "gate_host_keep_rate",
     "gate_rule_cooccurrence",
     "split_leakage",
+    "events_seasonality_index",
     "rank_dedup_graph",
     "dedup_graph_bfs",
     "dedup_graph_triangles",

@@ -2220,3 +2220,114 @@ UNION ALL
 SELECT 0.9::DOUBLE, CAST(quantile_disc(gap, 0.9) AS BIGINT) FROM g
 ORDER BY q
 """
+
+
+# ---------------------------------------------------------------------------
+# Hour-of-day seasonality lift per event type.
+# ---------------------------------------------------------------------------
+
+def events_seasonality_index(sf_dir: str) -> rd.Dataset:
+    """(event_type, hour, n, type_share, global_share, lift): each
+    type's hour-of-day activity share against the all-types hour
+    profile — the seasonality-lift heatmap (lift > 1 ⇒ the type
+    over-indexes in that hour). All shares and the lift are single
+    divisions / one ratio of exact int64 counts.
+
+    Plan: one shuffle-free per-batch (type, hour) count pass; the
+    reduce and the driver's lift table are bounded by |types| × 24."""
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "ts"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        hour = (
+            b.column("ts").to_numpy(zero_copy_only=False)
+            .astype("M8[h]")
+            .astype(np.int64)
+            % 24
+        )
+        t = pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "hour": pa.array(hour, pa.int64()),
+            }
+        ).group_by(["event_type", "hour"]).aggregate([([], "count_all")])
+        return t.rename_columns(["event_type", "hour", "n"]).set_column(
+            2, "n", pc.cast(t.column(2), pa.int64())
+        )
+
+    tbl = bounded_group_table_strict(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "hour"],
+        [("n", "sum")],
+    )
+    empty = pa.table(
+        {
+            "event_type": pa.array([], pa.string()),
+            "hour": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+            "type_share": pa.array([], pa.float64()),
+            "global_share": pa.array([], pa.float64()),
+            "lift": pa.array([], pa.float64()),
+        }
+    )
+    if tbl is None:
+        return rd.from_arrow(empty)
+    et = tbl.column("event_type").to_pylist()
+    hr = tbl.column("hour").to_numpy(zero_copy_only=False)
+    n = tbl.column("n").to_numpy(zero_copy_only=False)
+    type_tot: dict[str, int] = {}
+    hour_tot = np.zeros(24, np.int64)
+    for t, h, c in zip(et, hr, n):
+        type_tot[t] = type_tot.get(t, 0) + int(c)
+        hour_tot[h] += c
+    grand = int(hour_tot.sum())
+    rows = sorted(zip(et, hr, n))
+    out = {
+        "event_type": [], "hour": [], "n": [],
+        "type_share": [], "global_share": [], "lift": [],
+    }
+    for t, h, c in rows:
+        ts_ = float(c) / float(type_tot[t])
+        gs = float(hour_tot[h]) / float(grand)
+        out["event_type"].append(t)
+        out["hour"].append(int(h))
+        out["n"].append(int(c))
+        out["type_share"].append(ts_)
+        out["global_share"].append(gs)
+        out["lift"].append(ts_ / gs)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "event_type": pa.array(out["event_type"], pa.string()),
+                "hour": pa.array(out["hour"], pa.int64()),
+                "n": pa.array(out["n"], pa.int64()),
+                "type_share": pa.array(out["type_share"], pa.float64()),
+                "global_share": pa.array(out["global_share"], pa.float64()),
+                "lift": pa.array(out["lift"], pa.float64()),
+            }
+        )
+    )
+
+
+EVENTS_SEASONALITY_SQL = """
+WITH h AS MATERIALIZED (
+  SELECT event_type, CAST(hour(ts) AS BIGINT) AS hour,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), tt AS (
+  SELECT event_type, CAST(SUM(n) AS BIGINT) AS t_tot FROM h GROUP BY 1
+), ht AS (
+  SELECT hour, CAST(SUM(n) AS BIGINT) AS h_tot FROM h GROUP BY 1
+), g AS (SELECT CAST(SUM(n) AS BIGINT) AS grand FROM h)
+SELECT h.event_type, h.hour, h.n,
+  CAST(h.n AS DOUBLE) / CAST(t_tot AS DOUBLE) AS type_share,
+  CAST(h_tot AS DOUBLE) / CAST(grand AS DOUBLE) AS global_share,
+  (CAST(h.n AS DOUBLE) / CAST(t_tot AS DOUBLE))
+    / (CAST(h_tot AS DOUBLE) / CAST(grand AS DOUBLE)) AS lift
+FROM h
+JOIN tt USING (event_type)
+JOIN ht USING (hour)
+CROSS JOIN g
+ORDER BY event_type, hour
+"""

@@ -8070,6 +8070,9 @@ def registry() -> dict[str, tuple]:
         "shuffle_shards": (q_shuffle_shards, _sql_shuffle_shards()),
         "split_assign": (q_split_assign, _sql_split_assign()),
         "split_leakage": (q_split_leakage, _sql_split_leakage()),
+        "events_seasonality_index": (
+            dec5.events_seasonality_index, dec5.EVENTS_SEASONALITY_SQL,
+        ),
         "doc_sentences": (
             q_doc_sentences,
             _sql_doc_sentences().replace("{pages}", pages),

@@ -487,3 +487,24 @@ def test_order_gap_quantiles_exact(ray_session, tmp_path):
     got = {r["q"]: r["gap_days"] for r in d5.order_gap_quantiles(d).take_all()}
     # quantile_disc over {10,20,30}: .25→10, .5→20, .75→30, .9→30
     assert got == {0.25: 10, 0.5: 20, 0.75: 30, 0.9: 30}, got
+
+
+def test_seasonality_lift_exact(ray_session, tmp_path):
+    d = str(tmp_path)
+    # hour 0: a×3, b×1; hour 1: b×4.
+    rows = (
+        [(i, "1996-01-01T00:00:00", 1, "a") for i in range(1, 4)]
+        + [(4, "1996-01-01T00:30:00", 1, "b")]
+        + [(i, "1996-01-01T01:00:00", 1, "b") for i in range(5, 9)]
+    )
+    _events(d, rows)
+    got = {(r["event_type"], r["hour"]): r
+           for r in d5.events_seasonality_index(d).take_all()}
+    a0 = got[("a", 0)]
+    # a: all 3 in hour 0 → type_share 1.0; hour0 global share 4/8
+    assert a0["type_share"] == 1.0 and a0["global_share"] == 0.5
+    assert a0["lift"] == 2.0
+    b1 = got[("b", 1)]
+    assert b1["type_share"] == 0.8 and b1["global_share"] == 0.5
+    assert b1["lift"] == 0.8 / 0.5
+    assert ("a", 1) not in got  # zero cells omitted (oracle join semantics)
