@@ -360,6 +360,7 @@ BENCH_QUERIES = [
     "gate_rule_cooccurrence",
     "split_leakage",
     "events_seasonality_index",
+    "split_balance",
     "rank_dedup_graph",
     "dedup_graph_bfs",
     "dedup_graph_triangles",

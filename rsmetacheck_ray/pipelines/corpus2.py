@@ -1605,3 +1605,171 @@ SELECT term, n, rk FROM (
 ) WHERE rk <= 20
 ORDER BY rk
 """
+
+
+# ---------------------------------------------------------------------------
+# Holdout split balance (pooled quality ratios per split).
+# ---------------------------------------------------------------------------
+
+def split_balance(sf_dir: str) -> rd.Dataset:
+    """(split, n_docs, n_chars, n_tokens, n_markers, n_symbols,
+    pooled_stopword_ratio, pooled_symbol_ratio, mean_chars): the
+    train/val/test splits' pooled quality profile — a biased split
+    shows here before any training run does. POOLED ratios (sums
+    first, ONE division) rather than means of per-doc floats: integer
+    sums are associative, so the numbers are bit-identical under any
+    partitioning and the oracle reproduces them exactly.
+
+    Plan: one shuffle-free per-batch pass (md5-bucket split + three
+    RE2 counters), 3-row reduce."""
+    from .queries import _EN_MARKER_RE, _SYMBOL_RE, _TOKEN_RE
+    from ..functions.sampling import _md5_ranks
+    from ..functions.split import DEFAULT_TRAIN_BUCKETS, DEFAULT_VAL_BUCKETS
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+    hi_val = DEFAULT_TRAIN_BUCKETS + DEFAULT_VAL_BUCKETS
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        buckets = np.array(
+            [int(r[:2], 16) for r in _md5_ranks(ids)], dtype=np.int64
+        )
+        split = np.where(
+            buckets < DEFAULT_TRAIN_BUCKETS,
+            "train",
+            np.where(buckets < hi_val, "val", "test"),
+        )
+        text = b.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+
+        def cnt(p):
+            return pc.cast(
+                pc.count_substring_regex(text, p), pa.int64()
+            ).to_numpy(zero_copy_only=False)
+
+        chars = pc.cast(pc.utf8_length(text), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        toks, mark, sym = cnt(_TOKEN_RE), cnt(_EN_MARKER_RE), cnt(_SYMBOL_RE)
+        names, inv = np.unique(split, return_inverse=True)
+
+        def agg(w):
+            return np.bincount(inv, weights=w, minlength=len(names)).astype(
+                np.int64
+            )
+
+        return pa.table(
+            {
+                "split": pa.array(list(names), pa.string()),
+                "n_docs": pa.array(
+                    np.bincount(inv, minlength=len(names)).astype(np.int64)
+                ),
+                "n_chars": pa.array(agg(chars)),
+                "n_tokens": pa.array(agg(toks)),
+                "n_markers": pa.array(agg(mark)),
+                "n_symbols": pa.array(agg(sym)),
+            }
+        )
+
+    tbl = bounded_group_table_strict(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["split"],
+        [("n_docs", "sum"), ("n_chars", "sum"), ("n_tokens", "sum"),
+         ("n_markers", "sum"), ("n_symbols", "sum")],
+    )
+    empty = pa.table(
+        {
+            "split": pa.array([], pa.string()),
+            "n_docs": pa.array([], pa.int64()),
+            "n_chars": pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+            "n_markers": pa.array([], pa.int64()),
+            "n_symbols": pa.array([], pa.int64()),
+            "pooled_stopword_ratio": pa.array([], pa.float64()),
+            "pooled_symbol_ratio": pa.array([], pa.float64()),
+            "mean_chars": pa.array([], pa.float64()),
+        }
+    )
+    if tbl is None:
+        return rd.from_arrow(empty)
+    rows = sorted(
+        zip(
+            tbl.column("split").to_pylist(),
+            tbl.column("n_docs").to_pylist(),
+            tbl.column("n_chars").to_pylist(),
+            tbl.column("n_tokens").to_pylist(),
+            tbl.column("n_markers").to_pylist(),
+            tbl.column("n_symbols").to_pylist(),
+        )
+    )
+    return rd.from_arrow(
+        pa.table(
+            {
+                "split": pa.array([r[0] for r in rows], pa.string()),
+                "n_docs": pa.array([r[1] for r in rows], pa.int64()),
+                "n_chars": pa.array([r[2] for r in rows], pa.int64()),
+                "n_tokens": pa.array([r[3] for r in rows], pa.int64()),
+                "n_markers": pa.array([r[4] for r in rows], pa.int64()),
+                "n_symbols": pa.array([r[5] for r in rows], pa.int64()),
+                "pooled_stopword_ratio": pa.array(
+                    [
+                        float(r[4]) / float(r[3]) if r[3] else 0.0
+                        for r in rows
+                    ],
+                    pa.float64(),
+                ),
+                "pooled_symbol_ratio": pa.array(
+                    [
+                        float(r[5]) / float(r[2]) if r[2] else 0.0
+                        for r in rows
+                    ],
+                    pa.float64(),
+                ),
+                "mean_chars": pa.array(
+                    [
+                        float(r[2]) / float(r[1]) if r[1] else 0.0
+                        for r in rows
+                    ],
+                    pa.float64(),
+                ),
+            }
+        )
+    )
+
+
+def _split_balance_sql() -> str:
+    from .queries import _EN_MARKER_RE, _SYMBOL_RE, _TOKEN_RE
+    from ..functions.split import sql_split
+
+    return f"""
+WITH s AS (
+  SELECT {sql_split()} AS split,
+    length(text) AS chars,
+    len(regexp_extract_all(text, '{_TOKEN_RE}')) AS toks,
+    len(regexp_extract_all(text, '{_EN_MARKER_RE}')) AS marks,
+    len(regexp_extract_all(text, '{_SYMBOL_RE}')) AS syms
+  FROM documents
+)
+SELECT split,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(chars) AS BIGINT) AS n_chars,
+  CAST(SUM(toks) AS BIGINT) AS n_tokens,
+  CAST(SUM(marks) AS BIGINT) AS n_markers,
+  CAST(SUM(syms) AS BIGINT) AS n_symbols,
+  CASE WHEN SUM(toks) = 0 THEN 0.0
+       ELSE CAST(SUM(marks) AS DOUBLE) / CAST(SUM(toks) AS DOUBLE)
+  END AS pooled_stopword_ratio,
+  CASE WHEN SUM(chars) = 0 THEN 0.0
+       ELSE CAST(SUM(syms) AS DOUBLE) / CAST(SUM(chars) AS DOUBLE)
+  END AS pooled_symbol_ratio,
+  CAST(SUM(chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_chars
+FROM s
+GROUP BY split
+ORDER BY split
+"""

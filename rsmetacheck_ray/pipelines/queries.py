@@ -8073,6 +8073,7 @@ def registry() -> dict[str, tuple]:
         "events_seasonality_index": (
             dec5.events_seasonality_index, dec5.EVENTS_SEASONALITY_SQL,
         ),
+        "split_balance": (cor2.split_balance, cor2._split_balance_sql()),
         "doc_sentences": (
             q_doc_sentences,
             _sql_doc_sentences().replace("{pages}", pages),

@@ -285,3 +285,16 @@ def test_part_name_top_terms(ray_session, tmp_path):
         {"term": "red", "n": 2, "rk": 2},
         {"term": "blue", "n": 1, "rk": 3},  # tie with 'soft' → asc
     ], got
+
+
+def test_split_balance_pools_and_totals(ray_session):
+    sf = "/root/testdata/sf0.001"
+    rows = c2.split_balance(sf).take_all()
+    assert {r["split"] for r in rows} <= {"train", "val", "test"}
+    assert sum(r["n_docs"] for r in rows) == 500
+    for r in rows:
+        assert 0.0 <= r["pooled_stopword_ratio"] <= 1.0
+        assert r["mean_chars"] == r["n_chars"] / r["n_docs"]
+    # the 80/10/10 buckets actually land near their fractions
+    train = next(r for r in rows if r["split"] == "train")
+    assert 0.6 <= train["n_docs"] / 500 <= 0.95
