@@ -299,6 +299,8 @@ BENCH_QUERIES = [
     "decayed_type_counts",
     "events_type_fano",
     "events_changepoint",
+    "events_runs_test",
+    "events_cusum",
     "customer_order_counts",
     "customer_rfm_bins",
     "split_assign",

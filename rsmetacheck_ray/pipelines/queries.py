@@ -7666,6 +7666,8 @@ def registry() -> dict[str, tuple]:
         "events_changepoint": (
             rel.events_changepoint, rel.EVENTS_CHANGEPOINT_SQL,
         ),
+        "events_runs_test": (rel.events_runs_test, rel.EVENTS_RUNS_SQL),
+        "events_cusum": (rel.events_cusum, rel.EVENTS_CUSUM_SQL),
         "events_latest_per_user": (
             rel.events_latest_per_user, rel.EVENTS_LATEST_SQL,
         ),

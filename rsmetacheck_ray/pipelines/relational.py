@@ -2840,3 +2840,217 @@ QUALIFY row_number() OVER (
   PARTITION BY event_type
   ORDER BY abs(mean_right - mean_left) DESC, split_hour ASC) = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Randomness / drift diagnostics over the dense hourly series — the
+# Wald–Wolfowitz runs test (is the above/below-mean pattern serially
+# random?) and a clamped CUSUM (where does cumulative drift from the
+# mean peak?). Both reuse the changepoint discipline: bounded
+# (type, hour, n) partials from one streaming pass, a dense global
+# hour range, and EXACT integer arithmetic throughout — the mean is
+# never divided out (comparisons are span·n vs total, prefix sums are
+# span·n − total), so both engines agree bit-for-bit.
+# Recursion-free CUSUM: S_t = max(0, S_{t-1} + x_t) is computed as
+# P_t − min(0, min_{j≤t} P_j) with P the raw prefix sum — a windowed
+# running min instead of a recursive CTE, on both sides.
+# ---------------------------------------------------------------------------
+
+def _hourly_type_dense(sf_dir: str):
+    """Bounded (event_type, h, n) counts plus the dense global hour
+    range: the shared input of the runs/CUSUM diagnostics. Returns
+    (types, hs, ns, hmin, span) numpy views or None when empty."""
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["ts", "event_type"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h = pc.divide(
+            pc.cast(
+                pc.floor_temporal(batch.column("ts"), unit="hour"), pa.int64()
+            ),
+            _HOUR_US,
+        )
+        t = pa.table({"event_type": batch.column("event_type"), "h": h})
+        g = t.group_by(["event_type", "h"]).aggregate([([], "count_all")])
+        return g.rename_columns(["event_type", "h", "n"])
+
+    tbl = bounded_group_table_strict(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "h"],
+        [("n", "sum")],
+    )
+    if tbl is None or not tbl.num_rows:
+        return None
+    types = tbl.column("event_type").to_numpy(zero_copy_only=False)
+    hs = tbl.column("h").to_numpy(zero_copy_only=False)
+    ns = tbl.column("n").to_numpy(zero_copy_only=False)
+    hmin, hmax = int(hs.min()), int(hs.max())
+    return types, hs, ns, hmin, hmax - hmin + 1
+
+
+def events_runs_test(sf_dir: str) -> pa.Table:
+    """(event_type, span, n_above, n_below, runs): Wald–Wolfowitz
+    runs statistic of the dense hourly count series per type —
+    ``above`` is the exact integer comparison span·n > total (strictly
+    above the mean), ``runs`` = 1 + number of sign changes. A periodic
+    or trending stream has far fewer runs than a random one."""
+    dense_in = _hourly_type_dense(sf_dir)
+    cols: dict[str, list] = {
+        "event_type": [], "span": [], "n_above": [], "n_below": [],
+        "runs": [],
+    }
+    if dense_in is not None:
+        types, hs, ns, hmin, span = dense_in
+        for t_name in sorted(np.unique(types.astype(str)).tolist()):
+            sel = types == t_name
+            dense = np.zeros(span, np.int64)
+            dense[hs[sel] - hmin] = ns[sel]
+            total = int(dense.sum())
+            above = dense * span > total
+            n_above = int(above.sum())
+            runs = 1 + int(np.count_nonzero(above[1:] != above[:-1]))
+            cols["event_type"].append(t_name)
+            cols["span"].append(span)
+            cols["n_above"].append(n_above)
+            cols["n_below"].append(span - n_above)
+            cols["runs"].append(runs)
+    return pa.table(
+        {
+            "event_type": pa.array(cols["event_type"], pa.string()),
+            "span": pa.array(cols["span"], pa.int64()),
+            "n_above": pa.array(cols["n_above"], pa.int64()),
+            "n_below": pa.array(cols["n_below"], pa.int64()),
+            "runs": pa.array(cols["runs"], pa.int64()),
+        }
+    )
+
+
+EVENTS_RUNS_SQL = """
+WITH c AS (
+  SELECT event_type,
+         epoch_us(date_trunc('hour', ts)) // 3600000000 AS h
+  FROM events
+),
+cnt AS (
+  SELECT event_type, h, CAST(COUNT(*) AS BIGINT) AS n
+  FROM c GROUP BY event_type, h
+),
+b AS (SELECT min(h) AS hmin, max(h) AS hmax FROM c),
+hours AS (SELECT unnest(generate_series(hmin, hmax)) AS h FROM b),
+types AS (SELECT DISTINCT event_type FROM c),
+dense AS (
+  SELECT t.event_type, hrs.h, COALESCE(cnt.n, 0) AS n
+  FROM types t CROSS JOIN hours hrs
+  LEFT JOIN cnt ON cnt.event_type = t.event_type AND cnt.h = hrs.h
+),
+sgn AS (
+  SELECT event_type, h,
+    (n * (CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT))
+       > CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT))
+      AS above,
+    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS span
+  FROM dense
+),
+chg AS (
+  SELECT event_type, span, above,
+    CASE WHEN lag(above) OVER (PARTITION BY event_type ORDER BY h)
+              IS DISTINCT FROM above
+          AND lag(above) OVER (PARTITION BY event_type ORDER BY h)
+              IS NOT NULL
+         THEN 1 ELSE 0 END AS flip
+  FROM sgn
+)
+SELECT event_type, CAST(min(span) AS BIGINT) AS span,
+  CAST(SUM(CASE WHEN above THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+  CAST(SUM(CASE WHEN above THEN 0 ELSE 1 END) AS BIGINT) AS n_below,
+  CAST(1 + SUM(flip) AS BIGINT) AS runs
+FROM chg GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def events_cusum(sf_dir: str) -> pa.Table:
+    """(event_type, peak_hour, max_cusum, span, total): the peak of
+    the clamped one-sided CUSUM of hourly counts around the mean,
+    scaled by span so everything is exact int64 — the hour where
+    cumulative upward drift from the per-type mean rate is largest
+    (tie → earliest hour). x_t = span·n_t − total; S_t =
+    max(0, S_{t-1} + x_t) computed via the prefix-min identity."""
+    dense_in = _hourly_type_dense(sf_dir)
+    cols: dict[str, list] = {
+        "event_type": [], "peak_hour": [], "max_cusum": [], "span": [],
+        "total": [],
+    }
+    if dense_in is not None:
+        types, hs, ns, hmin, span = dense_in
+        for t_name in sorted(np.unique(types.astype(str)).tolist()):
+            sel = types == t_name
+            dense = np.zeros(span, np.int64)
+            dense[hs[sel] - hmin] = ns[sel]
+            total = int(dense.sum())
+            p = np.cumsum(dense * span - total)
+            s = p - np.minimum(np.minimum.accumulate(p), 0)
+            best = int(np.argmax(s))  # first max = earliest hour
+            cols["event_type"].append(t_name)
+            cols["peak_hour"].append(hmin + best)
+            cols["max_cusum"].append(int(s[best]))
+            cols["span"].append(span)
+            cols["total"].append(total)
+    return pa.table(
+        {
+            "event_type": pa.array(cols["event_type"], pa.string()),
+            "peak_hour": pa.array(cols["peak_hour"], pa.int64()),
+            "max_cusum": pa.array(cols["max_cusum"], pa.int64()),
+            "span": pa.array(cols["span"], pa.int64()),
+            "total": pa.array(cols["total"], pa.int64()),
+        }
+    )
+
+
+EVENTS_CUSUM_SQL = """
+WITH c AS (
+  SELECT event_type,
+         epoch_us(date_trunc('hour', ts)) // 3600000000 AS h
+  FROM events
+),
+cnt AS (
+  SELECT event_type, h, CAST(COUNT(*) AS BIGINT) AS n
+  FROM c GROUP BY event_type, h
+),
+b AS (SELECT min(h) AS hmin, max(h) AS hmax FROM c),
+hours AS (SELECT unnest(generate_series(hmin, hmax)) AS h FROM b),
+types AS (SELECT DISTINCT event_type FROM c),
+dense AS (
+  SELECT t.event_type, hrs.h, COALESCE(cnt.n, 0) AS n
+  FROM types t CROSS JOIN hours hrs
+  LEFT JOIN cnt ON cnt.event_type = t.event_type AND cnt.h = hrs.h
+),
+tot AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS span,
+    CAST(SUM(n) AS BIGINT) AS total
+  FROM dense GROUP BY event_type
+),
+pref AS (
+  SELECT d.event_type, d.h,
+    CAST(SUM(d.n * t.span)
+           OVER (PARTITION BY d.event_type ORDER BY d.h
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      - CAST(row_number() OVER (PARTITION BY d.event_type ORDER BY d.h)
+             AS BIGINT) * t.total AS p,
+    t.span, t.total
+  FROM dense d JOIN tot t USING (event_type)
+),
+cu AS (
+  SELECT event_type, h, span, total,
+    p - LEAST(0, min(p) OVER (PARTITION BY event_type ORDER BY h
+                              ROWS UNBOUNDED PRECEDING)) AS s
+  FROM pref
+)
+SELECT event_type, h AS peak_hour, s AS max_cusum, span, total
+FROM cu
+QUALIFY row_number() OVER (
+  PARTITION BY event_type ORDER BY s DESC, h ASC) = 1
+ORDER BY event_type
+"""

@@ -388,3 +388,46 @@ def test_events_changepoint_planted(ray_session, tmp_path):
     assert st["n_left"] == 10 and st["n_right"] == 10
     assert st["mean_left"] == 1.0 and st["mean_right"] == 5.0
     assert st["shift"] == 4.0
+
+
+def test_events_runs_test_planted(ray_session, tmp_path):
+    from rsmetacheck_ray.pipelines.relational import events_runs_test
+
+    # alternating 0/2 around mean 1: every hour flips sign -> runs =
+    # span; and a flat series never exceeds its mean -> 1 run
+    ts, types = [], []
+    for h in range(0, 20, 2):  # hours 0,2,..,18 get 2 events; odd get 0
+        ts.append(_at(h, 1)); types.append("alt")
+        ts.append(_at(h, 2)); types.append("alt")
+    for h in range(20):
+        ts.append(_at(h, 3)); types.append("flat")
+    sf = _write_events(tmp_path, ts, types)
+    rows = {r["event_type"]: r for r in events_runs_test(sf).to_pylist()}
+    alt = rows["alt"]
+    # dense span = 20 (global range); even hours above mean (2 > 1)
+    assert alt["span"] == 20
+    assert alt["n_above"] == 10 and alt["n_below"] == 10
+    assert alt["runs"] == 20
+    fl = rows["flat"]
+    assert fl["n_above"] == 0 and fl["runs"] == 1
+
+
+def test_events_cusum_planted(ray_session, tmp_path):
+    from rsmetacheck_ray.pipelines.relational import events_cusum
+
+    # 10 h at 1/hour then 10 h at 5/hour: total=60, span=20, mean=3.
+    # x = 20*n - 60: -40 for the low half, +40 for the high half.
+    # S peaks at the last hour: 10 * 40 = 400 (clamp absorbs the
+    # low half exactly: running min = -400 at h=9).
+    ts, types = [], []
+    for h in range(10):
+        ts.append(_at(h, 1)); types.append("step")
+    for h in range(10, 20):
+        for m in range(5):
+            ts.append(_at(h, m + 1)); types.append("step")
+    sf = _write_events(tmp_path, ts, types)
+    rows = {r["event_type"]: r for r in events_cusum(sf).to_pylist()}
+    st = rows["step"]
+    assert st["span"] == 20 and st["total"] == 60
+    assert st["max_cusum"] == 400
+    assert st["peak_hour"] == _at(19, 0) // 3_600_000_000
