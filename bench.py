@@ -366,6 +366,7 @@ BENCH_QUERIES = [
     "rank_dedup_graph",
     "dedup_graph_bfs",
     "dedup_graph_triangles",
+    "dedup_graph_clustering",
     "embedding_norms",
     "event_transitions",
     "markov_stationary",

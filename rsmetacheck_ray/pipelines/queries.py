@@ -4582,6 +4582,91 @@ FROM pairs
 """
 
 
+def q_dedup_graph_clustering(sf_dir: str):
+    """(doc_id, degree, triangles, wedges, lcc): local clustering
+    coefficient per node of the dedup graph — triangles through the
+    node over its wedge count C(deg, 2). A dup cluster glued by one
+    weak chain has lcc ≈ 0 at the hub; a genuine clique has lcc = 1.
+    Degrees/wedges are exact int64; lcc is the single DOUBLE division
+    CAST(tri)/CAST(wedges), written identically in the oracle. Edge
+    derivation is the distributed star-pair pipeline; triangle
+    counting is the degree-ordered oriented wedge expansion of
+    functions/graph.triangle_counts (O(m^1.5), hub-proof)."""
+    from ..functions.graph import triangle_counts
+
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "degree": pa.array([], pa.int64()),
+            "triangles": pa.array([], pa.int64()),
+            "wedges": pa.array([], pa.int64()),
+            "lcc": pa.array([], pa.float64()),
+        }
+    )
+    edges = _cc_simple_edges(sf_dir)
+    if edges is None:
+        return empty
+    return clustering_from_edges(*edges)
+
+
+def clustering_from_edges(lo: np.ndarray, hi: np.ndarray) -> pa.Table:
+    """Per-node (doc_id, degree, triangles, wedges, lcc) of a simple
+    undirected edge list; wedges = C(deg, 2) exact int64."""
+    from ..functions.graph import triangle_counts
+
+    nodes, deg = _simple_degrees(lo, hi)
+    tri = np.zeros(len(nodes), np.int64)
+    tt = triangle_counts(
+        pa.table({"a": pa.array(lo, pa.int64()),
+                  "b": pa.array(hi, pa.int64())})
+    )
+    if tt.num_rows:
+        tn = tt.column(0).to_numpy(zero_copy_only=False)
+        tc = tt.column(1).to_numpy(zero_copy_only=False)
+        tri[np.searchsorted(nodes, tn)] = tc
+    wedges = deg * (deg - 1) // 2
+    lcc = np.zeros(len(nodes), np.float64)
+    nz = wedges > 0
+    lcc[nz] = tri[nz].astype(np.float64) / wedges[nz].astype(np.float64)
+    return pa.table(
+        {
+            "doc_id": pa.array(nodes, pa.int64()),
+            "degree": pa.array(deg, pa.int64()),
+            "triangles": pa.array(tri, pa.int64()),
+            "wedges": pa.array(wedges, pa.int64()),
+            "lcc": pa.array(lcc, pa.float64()),
+        }
+    )
+
+
+SQL_DEDUP_GRAPH_CLUSTERING = f"""
+WITH
+{_CC_CORPUS_SQL.strip()},
+{_CC_SIMPLE_EDGES_SQL.strip()},
+tri AS (
+  SELECT x.a AS n1, x.b AS n2, y.b AS n3
+  FROM edges0 x
+  JOIN edges0 y ON y.a = x.b
+  JOIN edges0 z ON z.a = x.a AND z.b = y.b
+),
+tpn AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles FROM (
+    SELECT n1 AS node FROM tri
+    UNION ALL SELECT n2 FROM tri
+    UNION ALL SELECT n3 FROM tri
+  ) GROUP BY node
+)
+SELECT d.node AS doc_id, d.d AS degree,
+  COALESCE(t.triangles, 0) AS triangles,
+  d.d * (d.d - 1) // 2 AS wedges,
+  CASE WHEN d.d >= 2
+       THEN CAST(COALESCE(t.triangles, 0) AS DOUBLE)
+          / CAST(d.d * (d.d - 1) // 2 AS DOUBLE)
+       ELSE 0.0 END AS lcc
+FROM deg d LEFT JOIN tpn t ON t.node = d.node
+"""
+
+
 _KCORE_K = 2
 _KCORE_ROUNDS = 16
 
@@ -7991,6 +8076,9 @@ def registry() -> dict[str, tuple]:
         "dedup_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),
         "rank_dedup_graph": (q_rank_dedup_graph, _sql_rank_dedup_graph()),
         "dedup_graph_bfs": (q_dedup_graph_bfs, SQL_DEDUP_GRAPH_BFS),
+        "dedup_graph_clustering": (
+            q_dedup_graph_clustering, SQL_DEDUP_GRAPH_CLUSTERING,
+        ),
         "dedup_graph_triangles": (
             q_dedup_graph_triangles, SQL_DEDUP_GRAPH_TRIANGLES,
         ),

@@ -167,3 +167,28 @@ def test_split_leakage_planted(ray_session, tmp_path):
     got = q_split_leakage(d).take_all()
     leaked = {r["doc_id"] for r in got}
     assert train_id in leaked and clean_id not in leaked
+
+
+def test_clustering_bowtie():
+    from rsmetacheck_ray.pipelines.queries import clustering_from_edges
+
+    # bowtie: triangles 0-1-2 and 2-3-4 sharing node 2.
+    lo, hi = _e([(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (2, 4)])
+    t = {r["doc_id"]: r for r in clustering_from_edges(lo, hi).to_pylist()}
+    hub = t[2]
+    assert hub["degree"] == 4 and hub["triangles"] == 2
+    assert hub["wedges"] == 6 and abs(hub["lcc"] - 2.0 / 6.0) < 1e-15
+    for n in (0, 1, 3, 4):
+        assert t[n]["degree"] == 2 and t[n]["triangles"] == 1
+        assert t[n]["wedges"] == 1 and t[n]["lcc"] == 1.0
+
+
+def test_clustering_path_no_triangles():
+    from rsmetacheck_ray.pipelines.queries import clustering_from_edges
+
+    # path 0-1-2: middle node has a wedge but no triangle -> lcc 0.0
+    lo, hi = _e([(0, 1), (1, 2)])
+    t = {r["doc_id"]: r for r in clustering_from_edges(lo, hi).to_pylist()}
+    assert t[1]["wedges"] == 1 and t[1]["triangles"] == 0
+    assert t[1]["lcc"] == 0.0
+    assert t[0]["wedges"] == 0 and t[0]["lcc"] == 0.0
