@@ -419,6 +419,11 @@ BENCH_QUERIES = [
     "multimodal_phash_pairs",
     "multimodal_audio_fp_pairs",
     "multimodal_video_fp_pairs",
+    # round-4 continuation: statistics batch
+    "source_spearman",
+    "events_mutual_info",
+    "user_theil_index",
+    "events_spectrum",
 ]
 
 

@@ -68,6 +68,7 @@ from . import decision4 as dec4
 from . import corpus2 as cor2
 from . import decision5 as dec5
 from . import relational as rel
+from . import stats as st
 from .quality_gate import build_gate
 
 # ---------------------------------------------------------------------------
@@ -8164,6 +8165,12 @@ def registry() -> dict[str, tuple]:
             dec5.events_seasonality_index, dec5.EVENTS_SEASONALITY_SQL,
         ),
         "split_balance": (cor2.split_balance, cor2._split_balance_sql()),
+        "source_spearman": (st.source_spearman, st._source_spearman_sql()),
+        "events_mutual_info": (
+            st.events_mutual_info, st.EVENTS_MUTUAL_INFO_SQL,
+        ),
+        "user_theil_index": (st.user_theil_index, st.USER_THEIL_SQL),
+        "events_spectrum": (st.events_spectrum, st.EVENTS_SPECTRUM_SQL),
         "doc_sentences": (
             q_doc_sentences,
             _sql_doc_sentences().replace("{pages}", pages),

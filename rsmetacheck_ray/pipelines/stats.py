@@ -1,0 +1,576 @@
+"""Statistics batch (round 4, continuation): four estimator shapes the
+suite did not yet cover —
+
+- rank correlation (per-source Spearman ρ between each document's
+  stop-word-marker count and token count — the robust counterpart of
+  ``corpus2.source_quality_corr``'s Pearson),
+- mutual information (event type × hour-of-day, in nats — "how much
+  does the clock tell you about what users do"),
+- Theil T inequality index over per-user activity (the
+  log-decomposable cousin of ``source_gini``),
+- quantized spectral power at the daily / weekly periods over the
+  hourly count series (is traffic actually periodic, as one number).
+
+The reference has no statistics engine at all (single-process JSON
+walk, ``src/detect_pitfalls_main.py:313-318``); these extend SURVEY
+§2.6's aggregation axis the way analytics.py / decision5.py do.
+
+Determinism discipline (house rules, same as ``corpus2.lang_zipf`` /
+``analytics.user_type_entropy``):
+
+- every distributed sum is an EXACT integer — counts, integer rank
+  products, or micro-log fixed point (``floor(ln·10⁶ + 0.5)``, the
+  libm-matched quantization the oracles re-derive bit-for-bit);
+- floats appear only in final driver-side expressions written
+  token-identically in the SQL (``CAST(int AS DOUBLE)`` ≙
+  ``float(int)``, both round-half-even);
+- trig constants for the spectral probe are quantized ONCE at import
+  and embedded as the SAME integer literals in both engines.
+
+Scale notes. Spearman ships per-batch (source, x, y, count) joint-
+histogram partials — bounded by the per-document value domains (a
+doc's marker / token counts are bounded by its length), NOT by corpus
+size — through the strict bounded-reduce guard (which raises rather
+than OOM the driver if a pathological corpus breaks the bound; the
+escape hatch is a sort-based rank plan). Mutual information reduces
+the (|types| × 24) joint. Theil does ONE user-hash shuffle of
+per-batch (user, n) partials (16 B rows), folds per-user totals
+inside each owning partition, and emits count-of-counts partials
+bounded by the max per-user activity. The spectral probe reuses the
+bounded hourly-count domain. Nothing here materializes raw rows on
+the driver.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+from ..partitioning import adaptive_partitions, parquet_rows_hint
+from .relational import _read_pq, bounded_group_table_strict
+
+_LOG_SCALE = 1_000_000  # micro-log / micro-trig fixed point
+
+
+def _micro_ln(v: int) -> int:
+    """floor(ln(v)·10⁶ + 0.5) — the libm-matched quantization
+    (≙ DuckDB ``CAST(floor(ln(CAST(v AS DOUBLE)) * 1000000 + 0.5) AS
+    BIGINT)``; both call the same libm ``ln`` on the same double)."""
+    return int(math.floor(math.log(v) * _LOG_SCALE + 0.5))
+
+
+_MICRO_LN_SQL = (
+    "CAST(floor(ln(CAST({v} AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)"
+)
+
+
+# ---------------------------------------------------------------------------
+# Per-source Spearman rank correlation (markers vs tokens).
+# ---------------------------------------------------------------------------
+
+def source_spearman(sf_dir: str) -> rd.Dataset:
+    """(source, n, spearman): per source, the Spearman rank
+    correlation between each document's stop-word-marker count and its
+    token count — the rank-robust counterpart of
+    ``source_quality_corr`` (outlier docs can't drag it).
+
+    Exactness: ties get average ranks; DOUBLED average ranks
+    (2·cum_before + cnt + 1) are integers, and ρ is scale-invariant,
+    so every moment (Σr, Σr², Σrₓr_y) is an exact arbitrary-precision
+    integer; ρ is the single num / (sqrt·sqrt) the oracle writes over
+    ``2·RANK() + COUNT(*) OVER (PARTITION BY source, x) - 1``.
+
+    Plan: one RE2 column pass emitting per-batch-distinct
+    (source, x, y, count) joint-histogram partials; the reduce is
+    bounded by the per-document value domains (NOT corpus size); rank
+    maps and moments are driver-side over the bounded cells."""
+    from .queries import _EN_MARKER_RE, _TOKEN_RE
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["source", "text"],
+    )
+
+    def joint(b: pa.Table) -> pa.Table:
+        text = b.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        x = pc.cast(pc.count_substring_regex(text, _EN_MARKER_RE), pa.int64())
+        y = pc.cast(pc.count_substring_regex(text, _TOKEN_RE), pa.int64())
+        t = pa.table({"source": b.column("source"), "x": x, "y": y})
+        g = t.group_by(["source", "x", "y"]).aggregate([([], "count_all")])
+        g = g.rename_columns(["source", "x", "y", "c"])
+        return g.set_column(3, "c", pc.cast(g.column(3), pa.int64()))
+
+    tbl = bounded_group_table_strict(
+        ds.map_batches(joint, batch_format="pyarrow"),
+        ["source", "x", "y"],
+        [("c", "sum")],
+    )
+    empty = pa.table(
+        {
+            "source": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+            "spearman": pa.array([], pa.float64()),
+        }
+    )
+    if tbl is None:
+        return rd.from_arrow(empty)
+    cells: dict[str, list[tuple[int, int, int]]] = {}
+    for s, x, y, c in zip(
+        tbl.column("source").to_pylist(),
+        tbl.column("x").to_pylist(),
+        tbl.column("y").to_pylist(),
+        tbl.column("c").to_pylist(),
+    ):
+        cells.setdefault(s, []).append((int(x), int(y), int(c)))
+
+    def rank_map(marg: dict[int, int]) -> dict[int, int]:
+        # value -> doubled average rank: 2·cum_before + cnt + 1
+        out, cum = {}, 0
+        for v in sorted(marg):
+            out[v] = 2 * cum + marg[v] + 1
+            cum += marg[v]
+        return out
+
+    out_s, out_n, out_r = [], [], []
+    for s in sorted(cells):
+        pts = cells[s]
+        mx: dict[int, int] = {}
+        my: dict[int, int] = {}
+        for x, y, c in pts:
+            mx[x] = mx.get(x, 0) + c
+            my[y] = my.get(y, 0) + c
+        rx, ry = rank_map(mx), rank_map(my)
+        n = sx = sy = sxy = sxx = syy = 0
+        for x, y, c in pts:
+            a, b_ = rx[x], ry[y]
+            n += c
+            sx += c * a
+            sy += c * b_
+            sxy += c * a * b_
+            sxx += c * a * a
+            syy += c * b_ * b_
+        dx = n * sxx - sx * sx
+        dy = n * syy - sy * sy
+        num = n * sxy - sx * sy
+        out_s.append(s)
+        out_n.append(n)
+        out_r.append(
+            float(num) / (math.sqrt(float(dx)) * math.sqrt(float(dy)))
+            if dx > 0 and dy > 0
+            else 0.0
+        )
+    return rd.from_arrow(
+        pa.table(
+            {
+                "source": pa.array(out_s, pa.string()),
+                "n": pa.array(out_n, pa.int64()),
+                "spearman": pa.array(out_r, pa.float64()),
+            }
+        )
+    )
+
+
+def _source_spearman_sql() -> str:
+    from .queries import _EN_MARKER_RE, _TOKEN_RE
+
+    return f"""
+WITH m AS (
+  SELECT source,
+    CAST(len(regexp_extract_all(text, '{_EN_MARKER_RE}')) AS BIGINT) AS x,
+    CAST(len(regexp_extract_all(text, '{_TOKEN_RE}')) AS BIGINT) AS y
+  FROM documents
+), r AS (
+  SELECT source,
+    CAST(2 * RANK() OVER (PARTITION BY source ORDER BY x)
+         + COUNT(*) OVER (PARTITION BY source, x) - 1 AS HUGEINT) AS rx,
+    CAST(2 * RANK() OVER (PARTITION BY source ORDER BY y)
+         + COUNT(*) OVER (PARTITION BY source, y) - 1 AS HUGEINT) AS ry
+  FROM m
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+  CASE WHEN COUNT(*) * SUM(rx * rx) - SUM(rx) * SUM(rx) <= 0
+         OR COUNT(*) * SUM(ry * ry) - SUM(ry) * SUM(ry) <= 0 THEN 0.0
+       ELSE CAST(COUNT(*) * SUM(rx * ry) - SUM(rx) * SUM(ry) AS DOUBLE)
+          / (sqrt(CAST(COUNT(*) * SUM(rx * rx) - SUM(rx) * SUM(rx)
+                       AS DOUBLE))
+             * sqrt(CAST(COUNT(*) * SUM(ry * ry) - SUM(ry) * SUM(ry)
+                         AS DOUBLE)))
+  END AS spearman
+FROM r
+GROUP BY source
+ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# Mutual information: event type × hour-of-day.
+# ---------------------------------------------------------------------------
+
+def events_mutual_info(sf_dir: str) -> rd.Dataset:
+    """One row (n_events, n_types, mi_nats): the mutual information
+    between event type and hour-of-day — the single-number version of
+    ``events_seasonality_index``'s lift heatmap (0 ⇒ the clock says
+    nothing about behavior).
+
+    Exactness: MI = Σ nᵢⱼ·(L(nᵢⱼ)+L(N)−L(nᵢ)−L(nⱼ)) / (N·10⁶) with L
+    the micro-log quantization — the distributed sum is exact int64
+    counts, the driver sum exact Python ints, and the oracle re-derives
+    every L term with the same libm ``ln``.
+
+    Plan: one shuffle-free per-batch (type, hour) count pass; the
+    reduce and the MI fold are bounded by |types| × 24."""
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "ts"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        hour = (
+            b.column("ts").to_numpy(zero_copy_only=False)
+            .astype("M8[h]")
+            .astype(np.int64)
+            % 24
+        )
+        t = pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "hr": pa.array(hour, pa.int64()),
+            }
+        ).group_by(["event_type", "hr"]).aggregate([([], "count_all")])
+        t = t.rename_columns(["event_type", "hr", "n"])
+        return t.set_column(2, "n", pc.cast(t.column(2), pa.int64()))
+
+    tbl = bounded_group_table_strict(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "hr"],
+        [("n", "sum")],
+    )
+    empty = pa.table(
+        {
+            "n_events": pa.array([], pa.int64()),
+            "n_types": pa.array([], pa.int64()),
+            "mi_nats": pa.array([], pa.float64()),
+        }
+    )
+    if tbl is None:
+        return rd.from_arrow(empty)
+    et = tbl.column("event_type").to_pylist()
+    hr = tbl.column("hr").to_pylist()
+    n = tbl.column("n").to_pylist()
+    type_tot: dict[str, int] = {}
+    hour_tot: dict[int, int] = {}
+    for t_, h, c in zip(et, hr, n):
+        type_tot[t_] = type_tot.get(t_, 0) + int(c)
+        hour_tot[h] = hour_tot.get(h, 0) + int(c)
+    big_n = sum(type_tot.values())
+    ln_n = _micro_ln(big_n)
+    s = 0
+    for t_, h, c in zip(et, hr, n):
+        c = int(c)
+        s += c * (
+            _micro_ln(c) + ln_n - _micro_ln(type_tot[t_])
+            - _micro_ln(hour_tot[h])
+        )
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_events": pa.array([big_n], pa.int64()),
+                "n_types": pa.array([len(type_tot)], pa.int64()),
+                "mi_nats": pa.array(
+                    [float(s) / (float(big_n) * 1000000.0)], pa.float64()
+                ),
+            }
+        )
+    )
+
+
+EVENTS_MUTUAL_INFO_SQL = f"""
+WITH j AS MATERIALIZED (
+  SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), tt AS (
+  SELECT event_type, CAST(SUM(n) AS BIGINT) AS nt FROM j GROUP BY 1
+), ht AS (SELECT hr, CAST(SUM(n) AS BIGINT) AS nh FROM j GROUP BY 1),
+g AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS big_n,
+         CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+  FROM j
+), q AS (
+  SELECT SUM(CAST(j.n AS HUGEINT) * (
+      {_MICRO_LN_SQL.format(v="j.n")}
+      + {_MICRO_LN_SQL.format(v="g.big_n")}
+      - {_MICRO_LN_SQL.format(v="tt.nt")}
+      - {_MICRO_LN_SQL.format(v="ht.nh")})) AS s
+  FROM j JOIN tt USING (event_type) JOIN ht USING (hr) CROSS JOIN g
+)
+SELECT g.big_n AS n_events, g.n_types AS n_types,
+  CAST(q.s AS DOUBLE) / (CAST(g.big_n AS DOUBLE) * 1000000.0) AS mi_nats
+FROM g CROSS JOIN q
+"""
+
+
+# ---------------------------------------------------------------------------
+# Theil T inequality index over per-user activity.
+# ---------------------------------------------------------------------------
+
+def user_theil_index(
+    sf_dir: str, num_partitions: int | None = None
+) -> rd.Dataset:
+    """One row (n_users, n_events, mean_events, theil_t): the Theil T
+    index of inequality across per-user event counts — 0 ⇒ everyone
+    equally active, ln(n_users) ⇒ one user owns all traffic. The
+    log-decomposable counterpart of ``source_gini``.
+
+    Exactness: T = Σₖ mₖ·k·(L(k)+L(n)−L(N)) / (N·10⁶) over the
+    count-of-counts histogram (activity k → mₖ users) with L the
+    micro-log quantization; every sum is an exact integer.
+
+    Plan: per-batch (user, n) count partials, ONE user-hash shuffle
+    (16 B rows); each owning partition folds its users' totals and
+    emits (k, m) count-of-counts partials bounded by the max per-user
+    activity; the driver fold is over that bounded histogram."""
+    from ..functions.hashing import splitmix64_np
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id"]
+    )
+    hint = parquet_rows_hint(ds)
+    n_parts = num_partitions or adaptive_partitions(hint, row_bytes=16)
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"user_id": b.column("user_id")})
+            .group_by(["user_id"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["user_id", "n"])
+        )
+        upart = (
+            splitmix64_np(
+                g.column("user_id")
+                .to_numpy(zero_copy_only=False)
+                .astype(np.uint64)
+            )
+            % n_parts
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": g.column("user_id"),
+                "n": pc.cast(g.column("n"), pa.int64()),
+                "upart": pa.array(upart, pa.int64()),
+            }
+        )
+
+    def fold(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {"k": pa.array([], pa.int64()), "m": pa.array([], pa.int64())}
+            )
+        per_user = (
+            g.select(["user_id", "n"])
+            .group_by(["user_id"])
+            .aggregate([("n", "sum")])
+        )
+        k = per_user.column("n_sum").to_numpy(zero_copy_only=False)
+        vals, cnts = np.unique(k, return_counts=True)
+        return pa.table(
+            {
+                "k": pa.array(vals.astype(np.int64)),
+                "m": pa.array(cnts.astype(np.int64)),
+            }
+        )
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("upart")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+    tbl = bounded_group_table_strict(hist, ["k"], [("m", "sum")])
+    empty = pa.table(
+        {
+            "n_users": pa.array([], pa.int64()),
+            "n_events": pa.array([], pa.int64()),
+            "mean_events": pa.array([], pa.float64()),
+            "theil_t": pa.array([], pa.float64()),
+        }
+    )
+    if tbl is None:
+        return rd.from_arrow(empty)
+    ks = [int(v) for v in tbl.column("k").to_pylist()]
+    ms = [int(v) for v in tbl.column("m").to_pylist()]
+    n_users = sum(ms)
+    big_n = sum(k * m for k, m in zip(ks, ms))
+    ln_nu, ln_n = _micro_ln(n_users), _micro_ln(big_n)
+    s = sum(m * k * (_micro_ln(k) + ln_nu - ln_n) for k, m in zip(ks, ms))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_users": pa.array([n_users], pa.int64()),
+                "n_events": pa.array([big_n], pa.int64()),
+                "mean_events": pa.array(
+                    [float(big_n) / float(n_users)], pa.float64()
+                ),
+                "theil_t": pa.array(
+                    [float(s) / (float(big_n) * 1000000.0)], pa.float64()
+                ),
+            }
+        )
+    )
+
+
+USER_THEIL_SQL = f"""
+WITH u AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS k FROM events GROUP BY 1
+), h AS MATERIALIZED (
+  SELECT k, CAST(COUNT(*) AS BIGINT) AS m FROM u GROUP BY 1
+), g AS (
+  SELECT CAST(SUM(k * m) AS BIGINT) AS big_n,
+         CAST(SUM(m) AS BIGINT) AS nu
+  FROM h
+), q AS (
+  SELECT SUM(CAST(h.m AS HUGEINT) * h.k * (
+      {_MICRO_LN_SQL.format(v="h.k")}
+      + {_MICRO_LN_SQL.format(v="g.nu")}
+      - {_MICRO_LN_SQL.format(v="g.big_n")})) AS s
+  FROM h CROSS JOIN g
+)
+SELECT g.nu AS n_users, g.big_n AS n_events,
+  CAST(g.big_n AS DOUBLE) / CAST(g.nu AS DOUBLE) AS mean_events,
+  CAST(q.s AS DOUBLE) / (CAST(g.big_n AS DOUBLE) * 1000000.0) AS theil_t
+FROM g CROSS JOIN q
+"""
+
+
+# ---------------------------------------------------------------------------
+# Quantized spectral power at the daily / weekly periods.
+# ---------------------------------------------------------------------------
+
+_SPECTRUM_PERIODS = (24, 168)
+
+# micro-trig LUTs, quantized ONCE here and embedded as the SAME integer
+# literals in the oracle — determinism does not depend on two engines'
+# cos/sin agreeing, only on these constants
+_TRIG_LUT: dict[int, tuple[list[int], list[int]]] = {
+    p: (
+        [
+            int(math.floor(math.cos(2.0 * math.pi * i / p) * _LOG_SCALE + 0.5))
+            for i in range(p)
+        ],
+        [
+            int(math.floor(math.sin(2.0 * math.pi * i / p) * _LOG_SCALE + 0.5))
+            for i in range(p)
+        ],
+    )
+    for p in _SPECTRUM_PERIODS
+}
+
+
+def events_spectrum(sf_dir: str) -> rd.Dataset:
+    """(period_hours, n_events, n_hours, power_ratio): the DFT power
+    of the hourly event-count series at the daily (24 h) and weekly
+    (168 h) periods, normalized by the squared total — "is traffic
+    periodic" as one number per period (1 ⇒ a pure sinusoid's
+    fundamental; ~0 ⇒ flat / aperiodic).
+
+    Exactness: A = Σₜ cₜ·cosq(t mod p), B = Σₜ cₜ·sinq(t mod p) with
+    cosq/sinq the import-time micro-trig LUT shared verbatim with the
+    oracle; A and B are exact integers, power = (A²+B²)/(N²·10¹²) is
+    the single float expression both engines write.
+
+    Plan: one shuffle-free per-batch hour-count pass; the reduce is
+    bounded by the corpus's hour span."""
+    ds = _read_pq(os.path.join(sf_dir, "events.parquet"), columns=["ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        h = (
+            b.column("ts").to_numpy(zero_copy_only=False)
+            .astype("M8[h]")
+            .astype(np.int64)
+        )
+        vals, cnts = np.unique(h, return_counts=True)
+        return pa.table(
+            {
+                "h": pa.array(vals, pa.int64()),
+                "n": pa.array(cnts.astype(np.int64)),
+            }
+        )
+
+    tbl = bounded_group_table_strict(
+        ds.map_batches(partial, batch_format="pyarrow"), ["h"], [("n", "sum")]
+    )
+    empty = pa.table(
+        {
+            "period_hours": pa.array([], pa.int64()),
+            "n_events": pa.array([], pa.int64()),
+            "n_hours": pa.array([], pa.int64()),
+            "power_ratio": pa.array([], pa.float64()),
+        }
+    )
+    if tbl is None:
+        return rd.from_arrow(empty)
+    hs = [int(v) for v in tbl.column("h").to_pylist()]
+    ns = [int(v) for v in tbl.column("n").to_pylist()]
+    big_n = sum(ns)
+    n_hours = len(hs)
+    out_p, out_pw = [], []
+    for p in _SPECTRUM_PERIODS:
+        cq, sq = _TRIG_LUT[p]
+        a = sum(n * cq[h % p] for h, n in zip(hs, ns))
+        b = sum(n * sq[h % p] for h, n in zip(hs, ns))
+        out_p.append(p)
+        out_pw.append(
+            (float(a) * float(a) + float(b) * float(b))
+            / (float(big_n) * float(big_n) * 1e12)
+        )
+    return rd.from_arrow(
+        pa.table(
+            {
+                "period_hours": pa.array(out_p, pa.int64()),
+                "n_events": pa.array([big_n] * len(out_p), pa.int64()),
+                "n_hours": pa.array([n_hours] * len(out_p), pa.int64()),
+                "power_ratio": pa.array(out_pw, pa.float64()),
+            }
+        )
+    )
+
+
+def _spectrum_lut_values() -> str:
+    rows = []
+    for p in _SPECTRUM_PERIODS:
+        cq, sq = _TRIG_LUT[p]
+        for i in range(p):
+            rows.append(f"({p}, {i}, {cq[i]}, {sq[i]})")
+    return ", ".join(rows)
+
+
+EVENTS_SPECTRUM_SQL = f"""
+WITH c AS (
+  SELECT epoch_us(date_trunc('hour', ts)) // 3600000000 AS h,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+), lut AS (
+  SELECT * FROM (VALUES {_spectrum_lut_values()}) AS l(period, ph, cq, sq)
+), a AS (
+  SELECT l.period,
+         SUM(CAST(c.n AS HUGEINT) * l.cq) AS fa,
+         SUM(CAST(c.n AS HUGEINT) * l.sq) AS fb,
+         CAST(SUM(c.n) AS BIGINT) AS big_n,
+         CAST(COUNT(*) AS BIGINT) AS n_hours
+  FROM c JOIN lut l ON l.ph = c.h % l.period
+  GROUP BY l.period
+)
+SELECT CAST(period AS BIGINT) AS period_hours, big_n AS n_events, n_hours,
+  (CAST(fa AS DOUBLE) * CAST(fa AS DOUBLE)
+   + CAST(fb AS DOUBLE) * CAST(fb AS DOUBLE))
+    / (CAST(big_n AS DOUBLE) * CAST(big_n AS DOUBLE) * 1e12) AS power_ratio
+FROM a
+ORDER BY period_hours
+"""

@@ -1,0 +1,198 @@
+"""Planted-value tests for the statistics batch (pipelines/stats.py):
+Spearman's tie handling (doubled average ranks) and sign, mutual
+information's exact-zero independence and ln2 dependence cases, Theil's
+exact-zero equality case and hand-computed two-user value, and the
+spectral probe's pure-phase power=1 / uniform power≈0 cases — plus
+partition invariance where the query exposes ``num_partitions``."""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from rsmetacheck_ray.pipelines import stats as st
+
+
+def _write(d, name, cols):
+    pq.write_table(pa.table(cols), os.path.join(d, f"{name}.parquet"))
+
+
+def _ts(s):
+    return np.datetime64(s, "us").item()
+
+
+def _docs(d, rows):
+    """rows: (doc_id, text, source)."""
+    did, text, src = zip(*rows)
+    _write(d, "documents", {
+        "doc_id": pa.array(did, pa.int64()),
+        "text": pa.array(text, pa.string()),
+        "lang": pa.array(["en"] * len(rows), pa.string()),
+        "source": pa.array(src, pa.string()),
+        "n_chars": pa.array([len(t) for t in text], pa.int64()),
+    })
+
+
+def _events(d, rows):
+    """rows: (event_id, ts, user_id, event_type)."""
+    eid, ts, uid, et = zip(*rows)
+    _write(d, "events", {
+        "event_id": pa.array(eid, pa.int64()),
+        "ts": pa.array([_ts(x) for x in ts], pa.timestamp("us")),
+        "user_id": pa.array(uid, pa.int64()),
+        "event_type": pa.array(et, pa.string()),
+        "value": pa.array([1.0] * len(rows), pa.float64()),
+        "props": pa.array(["{}"] * len(rows), pa.string()),
+    })
+
+
+# ---------------------------------------------------------------------------
+# source_spearman
+# ---------------------------------------------------------------------------
+
+def test_spearman_signs_and_ties(ray_session, tmp_path):
+    d = str(tmp_path)
+    # source a: x (marker count) and y (token count) strictly
+    # co-monotone -> rho = +1; source b: anti-monotone -> -1;
+    # source c: tied cells aligned -> +1 through the average-rank path
+    _docs(d, [
+        (1, "foo", "a"),                 # x=0 y=1
+        (2, "the foo", "a"),             # x=1 y=2
+        (3, "the the foo", "a"),         # x=2 y=3
+        (4, "the", "b"),                 # x=1 y=1
+        (5, "foo bar", "b"),             # x=0 y=2
+        (6, "foo", "c"),                 # x=0 y=1
+        (7, "bar", "c"),                 # x=0 y=1 (tie with doc 6)
+        (8, "the the", "c"),             # x=2 y=2
+    ])
+    got = {r["source"]: r for r in st.source_spearman(d).take_all()}
+    # the num/(sqrt*sqrt) expression can land 1 ulp off exact +/-1
+    assert got["a"]["n"] == 3
+    assert abs(got["a"]["spearman"] - 1.0) < 1e-12
+    assert got["b"]["n"] == 2
+    assert abs(got["b"]["spearman"] + 1.0) < 1e-12
+    assert got["c"]["n"] == 3
+    assert abs(got["c"]["spearman"] - 1.0) < 1e-12
+
+
+def test_spearman_constant_column_is_zero(ray_session, tmp_path):
+    d = str(tmp_path)
+    # all x identical -> zero rank variance -> the guarded 0.0 branch
+    _docs(d, [(1, "foo", "a"), (2, "bar baz", "a"), (3, "qux qux qux", "a")])
+    got = st.source_spearman(d).take_all()
+    assert got == [{"source": "a", "n": 3, "spearman": 0.0}]
+
+
+# ---------------------------------------------------------------------------
+# events_mutual_info
+# ---------------------------------------------------------------------------
+
+def test_mutual_info_independent_is_exact_zero(ray_session, tmp_path):
+    d = str(tmp_path)
+    # 2 types x 2 hours, one event per cell: perfectly independent.
+    # Micro-log exactness: L(4) = 2*L(2) (1386294 = 2*693147), so the
+    # quantized MI is EXACTLY 0.0, not merely small.
+    _events(d, [
+        (1, "2024-01-01T00:00:00", 1, "a"),
+        (2, "2024-01-01T01:00:00", 1, "a"),
+        (3, "2024-01-01T00:30:00", 2, "b"),
+        (4, "2024-01-01T01:30:00", 2, "b"),
+    ])
+    got = st.events_mutual_info(d).take_all()
+    assert got == [{"n_events": 4, "n_types": 2, "mi_nats": 0.0}]
+
+
+def test_mutual_info_dependent_is_ln2(ray_session, tmp_path):
+    d = str(tmp_path)
+    # type determines hour -> MI = ln 2 (in quantized micro-log units)
+    _events(d, [
+        (1, "2024-01-01T00:00:00", 1, "a"),
+        (2, "2024-01-01T01:00:00", 2, "b"),
+    ])
+    got = st.events_mutual_info(d).take_all()
+    assert got[0]["n_events"] == 2 and got[0]["n_types"] == 2
+    assert got[0]["mi_nats"] == 693147.0 * 2 / (2.0 * 1000000.0)
+    assert abs(got[0]["mi_nats"] - math.log(2)) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# user_theil_index
+# ---------------------------------------------------------------------------
+
+def test_theil_equal_activity_is_exact_zero(ray_session, tmp_path):
+    d = str(tmp_path)
+    # two users, two events each: L(2)+L(2)-L(4) = 0 exactly
+    _events(d, [
+        (1, "2024-01-01T00:00:00", 1, "a"),
+        (2, "2024-01-01T01:00:00", 1, "a"),
+        (3, "2024-01-01T02:00:00", 2, "a"),
+        (4, "2024-01-01T03:00:00", 2, "a"),
+    ])
+    for parts in (1, 2, 3):
+        got = st.user_theil_index(d, num_partitions=parts).take_all()
+        assert got == [{
+            "n_users": 2, "n_events": 4,
+            "mean_events": 2.0, "theil_t": 0.0,
+        }]
+
+
+def test_theil_two_user_hand_value(ray_session, tmp_path):
+    d = str(tmp_path)
+    # users with 3 and 1 events: T = (3*(L3+L2-L4) + 1*(L1+L2-L4)) / 4e6
+    _events(d, [
+        (1, "2024-01-01T00:00:00", 1, "a"),
+        (2, "2024-01-01T01:00:00", 1, "a"),
+        (3, "2024-01-01T02:00:00", 1, "a"),
+        (4, "2024-01-01T03:00:00", 2, "a"),
+    ])
+
+    def L(v):
+        return int(math.floor(math.log(v) * 1_000_000 + 0.5))
+
+    want = float(3 * (L(3) + L(2) - L(4)) + (L(1) + L(2) - L(4))) / (
+        4.0 * 1000000.0
+    )
+    for parts in (1, 2):
+        got = st.user_theil_index(d, num_partitions=parts).take_all()
+        assert got[0]["theil_t"] == want
+        assert abs(got[0]["theil_t"] - 0.75 * math.log(1.5)
+                   - 0.25 * math.log(0.5)) < 1e-5
+
+
+# ---------------------------------------------------------------------------
+# events_spectrum
+# ---------------------------------------------------------------------------
+
+def test_spectrum_pure_phase_power_one(ray_session, tmp_path):
+    d = str(tmp_path)
+    # all mass at hour-of-week 0 (which is also hour-of-day 0):
+    # A = N*cosq[0] = N*1e6, B = 0 -> power exactly 1.0 at BOTH periods
+    _events(d, [
+        (1, "2024-01-04T00:00:00", 1, "a"),   # a Thursday, h % 168 == 0
+        (2, "2024-01-11T00:00:00", 1, "a"),
+        (3, "2024-01-18T00:00:00", 1, "a"),
+    ])
+    got = {r["period_hours"]: r for r in st.events_spectrum(d).take_all()}
+    assert set(got) == {24, 168}
+    for p in (24, 168):
+        assert got[p]["n_events"] == 3 and got[p]["n_hours"] == 3
+        assert got[p]["power_ratio"] == 1.0
+
+
+def test_spectrum_uniform_day_is_near_zero(ray_session, tmp_path):
+    d = str(tmp_path)
+    # one event in every hour of one day: the 24h fundamental vanishes
+    rows = [
+        (i + 1, f"2024-01-01T{i:02d}:00:00", 1, "a") for i in range(24)
+    ]
+    _events(d, rows)
+    got = {r["period_hours"]: r for r in st.events_spectrum(d).take_all()}
+    assert got[24]["power_ratio"] < 1e-10   # quantization leaves ~0
+    assert got[24]["n_hours"] == 24
