@@ -424,6 +424,8 @@ BENCH_QUERIES = [
     "events_mutual_info",
     "user_theil_index",
     "events_spectrum",
+    "event_entropy_rate",
+    "gate_classifier_calibration",
 ]
 
 

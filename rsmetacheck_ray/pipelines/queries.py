@@ -567,6 +567,115 @@ def q_gate_drop_vector(sf_dir: str):
     return out.map_batches(compose, batch_format="pyarrow")
 
 
+def q_gate_classifier_calibration(sf_dir: str):
+    """(bin, n_docs, n_kept, keep_rate): the full gate's keep rate
+    within each quality-classifier quartile — the calibration table
+    linking the repo's two quality systems (a sane lexicon classifier
+    should see keep_rate rise with bin; a flat column means the
+    classifier adds nothing over the rule gate).
+
+    Plan: composes ``quality_bins`` (classifier histogram pass +
+    broadcast cutpoints) with the fused gate through the generic
+    ``join()`` on doc_id — both sides ship 16 B/row projections, the
+    join routes broadcast vs co-partitioned by the size gates, and the
+    contingency reduce is bounded by 4 bins; keep_rate is the single
+    exact-int division the oracle writes."""
+    from .join import join
+
+    bins = q_quality_bins(sf_dir).map_batches(
+        lambda b: pa.table(
+            {"doc_id": b.column("doc_id"), "bin": b.column("bin")}
+        ),
+        batch_format="pyarrow",
+    )
+    keep = _gated(sf_dir).map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "kept": pc.cast(b.column("keep"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    j = join(bins, keep, on="doc_id", how="inner")
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.select(["bin", "kept"]).group_by("bin").aggregate(
+            [("kept", "sum"), ([], "count_all")]
+        )
+        g = g.rename_columns(["bin", "n_kept", "n_docs"])
+        return pa.table(
+            {
+                "bin": g.column("bin"),
+                "n_kept": pc.cast(g.column("n_kept"), pa.int64()),
+                "n_docs": pc.cast(g.column("n_docs"), pa.int64()),
+            }
+        )
+
+    tbl = rel.bounded_group_table_strict(
+        j.map_batches(partial, batch_format="pyarrow"),
+        ["bin"],
+        [("n_kept", "sum"), ("n_docs", "sum")],
+    )
+    empty = pa.table(
+        {
+            "bin": pa.array([], pa.int64()),
+            "n_docs": pa.array([], pa.int64()),
+            "n_kept": pa.array([], pa.int64()),
+            "keep_rate": pa.array([], pa.float64()),
+        }
+    )
+    if tbl is None:
+        return empty
+    rows = sorted(
+        zip(
+            tbl.column("bin").to_pylist(),
+            tbl.column("n_docs").to_pylist(),
+            tbl.column("n_kept").to_pylist(),
+        )
+    )
+    return pa.table(
+        {
+            "bin": pa.array([r[0] for r in rows], pa.int64()),
+            "n_docs": pa.array([r[1] for r in rows], pa.int64()),
+            "n_kept": pa.array([r[2] for r in rows], pa.int64()),
+            "keep_rate": pa.array(
+                [float(r[2]) / float(r[1]) for r in rows], pa.float64()
+            ),
+        }
+    )
+
+
+def _sql_gate_classifier_calibration() -> str:
+    inds = " + ".join(
+        f"CAST(s.score_total >= c.c{i} AS INT)" for i in range(len(_BIN_QS))
+    )
+    cs = ", ".join(
+        f"quantile_disc(score_total, {q}) AS c{i}"
+        for i, q in enumerate(_BIN_QS)
+    )
+    return f"""
+WITH {{flags_ctes}},
+{{bpc_ctes}},
+s AS ({_sql_quality_classifier()}),
+cut AS (SELECT {cs} FROM s),
+bins AS (
+  SELECT s.doc_id, CAST({inds} AS BIGINT) AS bin FROM s, cut c
+),
+keepd AS (
+  SELECT f.doc_id, {{keep_expr}} AS keep
+  FROM flags f JOIN bpc p USING (doc_id)
+)
+SELECT b.bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CAST(k.keep AS INT)) AS BIGINT) AS n_kept,
+  CAST(SUM(CAST(k.keep AS INT)) AS DOUBLE)
+    / CAST(COUNT(*) AS DOUBLE) AS keep_rate
+FROM bins b JOIN keepd k USING (doc_id)
+GROUP BY b.bin
+ORDER BY b.bin
+"""
+
+
 _DROP_NOLM_EXPR = (
     "(hit_empty_text OR hit_too_short OR hit_too_long OR hit_stopword"
     " OR hit_symbol OR hit_repetition OR hit_boilerplate_only"
@@ -8171,6 +8280,22 @@ def registry() -> dict[str, tuple]:
         ),
         "user_theil_index": (st.user_theil_index, st.USER_THEIL_SQL),
         "events_spectrum": (st.events_spectrum, st.EVENTS_SPECTRUM_SQL),
+        "event_entropy_rate": (
+            st.event_entropy_rate, st.EVENT_ENTROPY_RATE_SQL,
+        ),
+        # deferred for the same LM-export reason as gate_decisions
+        "gate_classifier_calibration": (
+            q_gate_classifier_calibration,
+            lambda: _sql_gate_classifier_calibration()
+            .replace(
+                "{flags_ctes}",
+                _sql_gate_flags_ctes().strip().replace(
+                    "{pages}", pages_cte()
+                ),
+            )
+            .replace("{bpc_ctes}", _sql_bpc_ctes().strip())
+            .replace("{keep_expr}", _sql_keep_expr()),
+        ),
         "doc_sentences": (
             q_doc_sentences,
             _sql_doc_sentences().replace("{pages}", pages),

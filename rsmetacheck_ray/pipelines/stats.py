@@ -542,6 +542,112 @@ def events_spectrum(sf_dir: str) -> rd.Dataset:
     )
 
 
+# ---------------------------------------------------------------------------
+# Entropy rate of the event-type process.
+# ---------------------------------------------------------------------------
+
+def event_entropy_rate(
+    sf_dir: str, num_partitions: int | None = None
+) -> rd.Dataset:
+    """One row (n_transitions, n_types, next_entropy_nats,
+    cond_entropy_nats, info_gain_nats): the first-order entropy rate
+    of the event-type process — H(next) is the marginal surprise of
+    the next event, H(next | current) what remains once you know the
+    current state, and the gap is how much one step of memory buys a
+    next-event predictor (the information-theoretic summary of
+    ``event_transition_predictability``'s per-state mode table).
+
+    Exactness: both entropies are micro-log folds over exact integer
+    transition counts — H(next|prev) = Σᵢⱼ nᵢⱼ·(L(nᵢ·)−L(nᵢⱼ)) /
+    (N·10⁶), H(next) = Σⱼ n·ⱼ·(L(N)−L(n·ⱼ)) / (N·10⁶).
+
+    Plan: composes the distributed transition-count shuffle
+    (``decision.event_transitions``); the driver fold is bounded by
+    |types|²."""
+    from .decision import event_transitions
+
+    rows = event_transitions(sf_dir, num_partitions=num_partitions).take_all()
+    empty = pa.table(
+        {
+            "n_transitions": pa.array([], pa.int64()),
+            "n_types": pa.array([], pa.int64()),
+            "next_entropy_nats": pa.array([], pa.float64()),
+            "cond_entropy_nats": pa.array([], pa.float64()),
+            "info_gain_nats": pa.array([], pa.float64()),
+        }
+    )
+    if not rows:
+        return rd.from_arrow(empty)
+    prev_tot: dict[str, int] = {}
+    next_tot: dict[str, int] = {}
+    for r in rows:
+        n = int(r["n"])
+        prev_tot[r["prev_type"]] = prev_tot.get(r["prev_type"], 0) + n
+        next_tot[r["next_type"]] = next_tot.get(r["next_type"], 0) + n
+    big_n = sum(prev_tot.values())
+    ln_n = _micro_ln(big_n)
+    s_cond = sum(
+        int(r["n"]) * (_micro_ln(prev_tot[r["prev_type"]])
+                       - _micro_ln(int(r["n"])))
+        for r in rows
+    )
+    s_next = sum(m * (ln_n - _micro_ln(m)) for m in next_tot.values())
+    h_cond = float(s_cond) / (float(big_n) * 1000000.0)
+    h_next = float(s_next) / (float(big_n) * 1000000.0)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_transitions": pa.array([big_n], pa.int64()),
+                "n_types": pa.array([len(next_tot)], pa.int64()),
+                "next_entropy_nats": pa.array([h_next], pa.float64()),
+                "cond_entropy_nats": pa.array([h_cond], pa.float64()),
+                "info_gain_nats": pa.array([h_next - h_cond], pa.float64()),
+            }
+        )
+    )
+
+
+EVENT_ENTROPY_RATE_SQL = f"""
+WITH s AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+), tr AS MATERIALIZED (
+  SELECT prev_type, event_type AS next_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM s WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, next_type
+), pt AS (
+  SELECT prev_type, CAST(SUM(n) AS BIGINT) AS np FROM tr GROUP BY 1
+), nt AS MATERIALIZED (
+  SELECT next_type, CAST(SUM(n) AS BIGINT) AS nn FROM tr GROUP BY 1
+), g AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS big_n,
+         CAST(COUNT(DISTINCT next_type) AS BIGINT) AS n_types
+  FROM tr
+), qc AS (
+  SELECT SUM(CAST(tr.n AS HUGEINT) * (
+      {_MICRO_LN_SQL.format(v="pt.np")}
+      - {_MICRO_LN_SQL.format(v="tr.n")})) AS s
+  FROM tr JOIN pt USING (prev_type)
+), qn AS (
+  SELECT SUM(CAST(nt.nn AS HUGEINT) * (
+      {_MICRO_LN_SQL.format(v="g.big_n")}
+      - {_MICRO_LN_SQL.format(v="nt.nn")})) AS s
+  FROM nt CROSS JOIN g
+)
+SELECT g.big_n AS n_transitions, g.n_types,
+  CAST(qn.s AS DOUBLE) / (CAST(g.big_n AS DOUBLE) * 1000000.0)
+    AS next_entropy_nats,
+  CAST(qc.s AS DOUBLE) / (CAST(g.big_n AS DOUBLE) * 1000000.0)
+    AS cond_entropy_nats,
+  CAST(qn.s AS DOUBLE) / (CAST(g.big_n AS DOUBLE) * 1000000.0)
+    - CAST(qc.s AS DOUBLE) / (CAST(g.big_n AS DOUBLE) * 1000000.0)
+    AS info_gain_nats
+FROM g CROSS JOIN qc CROSS JOIN qn
+"""
+
+
 def _spectrum_lut_values() -> str:
     rows = []
     for p in _SPECTRUM_PERIODS:

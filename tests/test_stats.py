@@ -186,6 +186,53 @@ def test_spectrum_pure_phase_power_one(ray_session, tmp_path):
         assert got[p]["power_ratio"] == 1.0
 
 
+# ---------------------------------------------------------------------------
+# event_entropy_rate
+# ---------------------------------------------------------------------------
+
+def test_entropy_rate_deterministic_chain(ray_session, tmp_path):
+    d = str(tmp_path)
+    # one user alternating a->b->a->b: every state has exactly one
+    # successor, so H(next|prev) = 0 EXACTLY while H(next) > 0
+    _events(d, [
+        (1, "2024-01-01T00:00:00", 1, "a"),
+        (2, "2024-01-01T01:00:00", 1, "b"),
+        (3, "2024-01-01T02:00:00", 1, "a"),
+        (4, "2024-01-01T03:00:00", 1, "b"),
+    ])
+
+    def L(v):
+        return int(math.floor(math.log(v) * 1_000_000 + 0.5))
+
+    # transitions: a->b x2, b->a x1; next marginals b:2, a:1, N=3
+    want_next = float(2 * (L(3) - L(2)) + (L(3) - L(1))) / (3.0 * 1000000.0)
+    for parts in (1, 2):
+        got = st.event_entropy_rate(d, num_partitions=parts).take_all()
+        assert got[0]["n_transitions"] == 3 and got[0]["n_types"] == 2
+        assert got[0]["cond_entropy_nats"] == 0.0
+        assert got[0]["next_entropy_nats"] == want_next
+        assert got[0]["info_gain_nats"] == want_next
+
+
+def test_entropy_rate_uniform_chain_no_gain(ray_session, tmp_path):
+    d = str(tmp_path)
+    # two users, each with an a->a and an a->b transition: knowing the
+    # current state buys nothing (only one prev state), so
+    # info_gain == 0.0 and cond == next == H({2,2}/4) = ln 2
+    _events(d, [
+        (1, "2024-01-01T00:00:00", 1, "a"),
+        (2, "2024-01-01T01:00:00", 1, "a"),
+        (3, "2024-01-01T02:00:00", 1, "b"),
+        (4, "2024-01-01T00:00:00", 2, "a"),
+        (5, "2024-01-01T01:00:00", 2, "a"),
+        (6, "2024-01-01T02:00:00", 2, "b"),
+    ])
+    got = st.event_entropy_rate(d).take_all()
+    assert got[0]["n_transitions"] == 4
+    assert got[0]["info_gain_nats"] == 0.0
+    assert abs(got[0]["cond_entropy_nats"] - math.log(2)) < 1e-5
+
+
 def test_spectrum_uniform_day_is_near_zero(ray_session, tmp_path):
     d = str(tmp_path)
     # one event in every hour of one day: the 24h fundamental vanishes
