@@ -426,6 +426,8 @@ BENCH_QUERIES = [
     "events_spectrum",
     "event_entropy_rate",
     "gate_classifier_calibration",
+    "source_cvm_length",
+    "host_lorenz",
 ]
 
 

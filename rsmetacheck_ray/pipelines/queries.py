@@ -6978,6 +6978,92 @@ def q_host_stats(sf_dir: str):
     return salted_host_counts(pages)
 
 
+def _skew_host_re() -> str:
+    from ..stages.skew import HOST_RE
+
+    return HOST_RE
+
+
+def q_host_lorenz(sf_dir: str):
+    """(decile, n_hosts_cum, n_docs_cum, doc_share): the Lorenz curve
+    of crawl concentration — hosts ranked ascending by page count
+    (ties broken by host name, identically in the oracle), with the
+    cumulative document share at each host-count decile. A curve
+    hugging zero until the last decile means a handful of mega-hosts
+    own the crawl — the skew the salted aggregate exists for, as ten
+    numbers.
+
+    Plan: composes the two-phase SALTED host aggregate (stages/
+    skew.py); the rank walk runs on the driver over the bounded host
+    domain; every share is a single division of exact int64 sums."""
+    from ..stages.skew import salted_host_counts
+
+    pages = _pages_input(sf_dir).map_batches(
+        synthesize_pages, batch_format="pyarrow"
+    )
+    rows = salted_host_counts(pages).take_all()
+    empty = pa.table(
+        {
+            "decile": pa.array([], pa.int64()),
+            "n_hosts_cum": pa.array([], pa.int64()),
+            "n_docs_cum": pa.array([], pa.int64()),
+            "doc_share": pa.array([], pa.float64()),
+        }
+    )
+    if not rows:
+        return empty
+    ranked = sorted((int(r["n_pages"]), r["host"]) for r in rows)
+    n_hosts = len(ranked)
+    total = sum(n for n, _ in ranked)
+    cum = []
+    acc = 0
+    for n, _ in ranked:
+        acc += n
+        cum.append(acc)
+    out_d, out_h, out_c, out_s = [], [], [], []
+    for q in range(1, 11):
+        k = (q * n_hosts + 9) // 10  # ceil(q·H/10), ≥1 when H ≥ 1
+        out_d.append(q)
+        out_h.append(k)
+        out_c.append(cum[k - 1])
+        out_s.append(float(cum[k - 1]) / float(total))
+    return pa.table(
+        {
+            "decile": pa.array(out_d, pa.int64()),
+            "n_hosts_cum": pa.array(out_h, pa.int64()),
+            "n_docs_cum": pa.array(out_c, pa.int64()),
+            "doc_share": pa.array(out_s, pa.float64()),
+        }
+    )
+
+
+HOST_LORENZ_SQL_TEMPLATE = """
+WITH hc AS MATERIALIZED (
+  WITH pages AS ({pages})
+  SELECT regexp_extract(url, '{host_re}', 1) AS host,
+         CAST(COUNT(*) AS BIGINT) AS n_pages
+  FROM pages GROUP BY 1
+), o AS (
+  SELECT host, n_pages,
+    ROW_NUMBER() OVER (ORDER BY n_pages, host) AS rk,
+    SUM(n_pages) OVER (
+      ORDER BY n_pages, host ROWS UNBOUNDED PRECEDING) AS cum
+  FROM hc
+), g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nh,
+         CAST(SUM(n_pages) AS BIGINT) AS nd
+  FROM hc
+), d AS (SELECT unnest(generate_series(1, 10)) AS decile)
+SELECT CAST(d.decile AS BIGINT) AS decile,
+  CAST((d.decile * g.nh + 9) // 10 AS BIGINT) AS n_hosts_cum,
+  CAST(o.cum AS BIGINT) AS n_docs_cum,
+  CAST(o.cum AS DOUBLE) / CAST(g.nd AS DOUBLE) AS doc_share
+FROM d CROSS JOIN g
+JOIN o ON o.rk = (d.decile * g.nh + 9) // 10
+ORDER BY decile
+"""
+
+
 def q_multimodal_meta(sf_dir: str):
     ds = _documents(sf_dir, ["doc_id", "text"])
     with_payload = ds.map_batches(mm.attach_payload, batch_format="pyarrow")
@@ -8313,6 +8399,12 @@ def registry() -> dict[str, tuple]:
             q_host_stats,
             HOST_COUNTS_SQL_TEMPLATE.replace("{pages}", pages),
         ),
+        "host_lorenz": (
+            q_host_lorenz,
+            HOST_LORENZ_SQL_TEMPLATE.replace("{pages}", pages)
+            .replace("{host_re}", _skew_host_re()),
+        ),
+        "source_cvm_length": (st.source_cvm_length, st.SOURCE_CVM_LENGTH_SQL),
         # corpus balancing: deterministic per-host quota sample
         "host_sample": (
             q_host_sample,

@@ -543,6 +543,128 @@ def events_spectrum(sf_dir: str) -> rd.Dataset:
 
 
 # ---------------------------------------------------------------------------
+# Two-sample Cramér–von Mises distance between source length
+# distributions (the integrated-squared-difference companion of
+# corpus2.source_ks_length's max-difference KS statistic).
+# ---------------------------------------------------------------------------
+
+def source_cvm_length(sf_dir: str) -> rd.Dataset:
+    """(source_a, source_b, n_a, n_b, cvm): for every unordered pair
+    of sources, the two-sample Cramér–von Mises criterion between
+    their document-length distributions — ω² = Σ_v (F_a−F_b)²(v) ·
+    (h_a+h_b)(v)/(n_a+n_b), the whole-CDF drift measure where KS only
+    sees the worst point (a distribution can differ everywhere but
+    nowhere sharply; KS misses that, ω² does not).
+
+    Exactness: F_a−F_b at v is the integer (cum_a·n_b − cum_b·n_a)
+    over n_a·n_b, so ω²'s numerator Σ (cum_a·n_b − cum_b·n_a)²·(h_a+h_b)
+    and denominator n_a²·n_b²·(n_a+n_b) are both exact arbitrary-
+    precision integers; the statistic is their single float division,
+    written identically in the oracle over HUGEINT window sums.
+
+    Plan: the same ONE shuffle-free bounded histogram pass as
+    source_ks_length; pairwise merged-support walks on the driver."""
+    ds = _read_pq(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["source", "n_chars"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "source": b.column("source"),
+                "v": pc.cast(b.column("n_chars"), pa.int64()),
+            }
+        )
+        g = t.group_by(["source", "v"]).aggregate([("v", "count")])
+        return g.rename_columns(["source", "v", "n"])
+
+    hist = bounded_group_table_strict(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["source", "v"],
+        [("n", "sum")],
+    )
+    empty = pa.table(
+        {
+            "source_a": pa.array([], pa.string()),
+            "source_b": pa.array([], pa.string()),
+            "n_a": pa.array([], pa.int64()),
+            "n_b": pa.array([], pa.int64()),
+            "cvm": pa.array([], pa.float64()),
+        }
+    )
+    if hist is None:
+        return rd.from_arrow(empty)
+    by_src: dict[str, dict[int, int]] = {}
+    for s, v, c in zip(
+        hist.column("source").to_pylist(),
+        hist.column("v").to_numpy(zero_copy_only=False),
+        hist.column("n").to_numpy(zero_copy_only=False),
+    ):
+        by_src.setdefault(s, {})[int(v)] = int(c)
+    names = sorted(by_src)
+    rows = []
+    for i, sa in enumerate(names):
+        for sb in names[i + 1:]:
+            ha, hb = by_src[sa], by_src[sb]
+            support = sorted(set(ha) | set(hb))
+            na, nb = sum(ha.values()), sum(hb.values())
+            ca = cb = 0
+            num = 0
+            for v in support:
+                a, b_ = ha.get(v, 0), hb.get(v, 0)
+                ca += a
+                cb += b_
+                d = ca * nb - cb * na
+                num += d * d * (a + b_)
+            den = na * na * nb * nb * (na + nb)
+            rows.append((sa, sb, na, nb, float(num) / float(den)))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "source_a": pa.array([r[0] for r in rows], pa.string()),
+                "source_b": pa.array([r[1] for r in rows], pa.string()),
+                "n_a": pa.array([r[2] for r in rows], pa.int64()),
+                "n_b": pa.array([r[3] for r in rows], pa.int64()),
+                "cvm": pa.array([r[4] for r in rows], pa.float64()),
+            }
+        )
+    )
+
+
+SOURCE_CVM_LENGTH_SQL = """
+WITH h AS MATERIALIZED (
+  SELECT source AS s, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents GROUP BY s, v
+), sizes AS MATERIALIZED (
+  SELECT s, CAST(SUM(c) AS BIGINT) AS n FROM h GROUP BY s
+), pairs AS (
+  SELECT a.s AS sa, b.s AS sb, a.n AS na, b.n AS nb
+  FROM sizes a JOIN sizes b ON a.s < b.s
+), merged AS (
+  SELECT p.sa, p.sb, p.na, p.nb, h.v,
+    CAST(SUM(CASE WHEN h.s = p.sa THEN c ELSE 0 END) AS BIGINT) AS ca,
+    CAST(SUM(CASE WHEN h.s = p.sb THEN c ELSE 0 END) AS BIGINT) AS cb
+  FROM pairs p JOIN h ON h.s IN (p.sa, p.sb)
+  GROUP BY 1, 2, 3, 4, 5
+), cum AS (
+  SELECT sa, sb, na, nb, ca, cb,
+    SUM(ca) OVER (PARTITION BY sa, sb ORDER BY v) AS cca,
+    SUM(cb) OVER (PARTITION BY sa, sb ORDER BY v) AS ccb
+  FROM merged
+)
+SELECT sa AS source_a, sb AS source_b, na AS n_a, nb AS n_b,
+  CAST(SUM(CAST(cca * nb - ccb * na AS HUGEINT)
+           * CAST(cca * nb - ccb * na AS HUGEINT)
+           * (ca + cb)) AS DOUBLE)
+    / CAST(CAST(na AS HUGEINT) * na * nb * nb * (na + nb) AS DOUBLE) AS cvm
+FROM cum
+GROUP BY sa, sb, na, nb
+ORDER BY source_a, source_b
+"""
+
+
+# ---------------------------------------------------------------------------
 # Entropy rate of the event-type process.
 # ---------------------------------------------------------------------------
 

@@ -187,6 +187,61 @@ def test_spectrum_pure_phase_power_one(ray_session, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# source_cvm_length
+# ---------------------------------------------------------------------------
+
+def test_cvm_identical_histograms_zero(ray_session, tmp_path):
+    d = str(tmp_path)
+    # a and b have the same length histogram {1:1, 3:1} -> cvm 0.0
+    _docs(d, [
+        (1, "x", "a"), (2, "xyz", "a"),
+        (3, "y", "b"), (4, "abc", "b"),
+    ])
+    got = {(r["source_a"], r["source_b"]): r
+           for r in st.source_cvm_length(d).take_all()}
+    assert got[("a", "b")]["cvm"] == 0.0
+    assert got[("a", "b")]["n_a"] == 2 and got[("a", "b")]["n_b"] == 2
+
+
+def test_cvm_hand_value(ray_session, tmp_path):
+    d = str(tmp_path)
+    # a = {len 1}, b = {len 2}: support {1,2}; at v=1 the CDF gap
+    # numerator is 1 with combined mass 1, at v=2 it closes ->
+    # num = 1, den = 1*1*1*1*2 -> cvm = 0.5 exactly
+    _docs(d, [(1, "x", "a"), (2, "xy", "b")])
+    got = st.source_cvm_length(d).take_all()
+    assert got == [{
+        "source_a": "a", "source_b": "b", "n_a": 1, "n_b": 1, "cvm": 0.5,
+    }]
+
+
+# ---------------------------------------------------------------------------
+# host_lorenz
+# ---------------------------------------------------------------------------
+
+def test_host_lorenz_invariants(ray_session, tmp_path):
+    from rsmetacheck_ray.pipelines.queries import q_host_lorenz, q_host_stats
+
+    d = str(tmp_path)
+    _docs(d, [(i, f"doc {i} text", "a") for i in range(40)])
+    # the pages input augments the raw documents (trigger pages), so
+    # derive the expected total from the host-counts aggregate itself
+    total = sum(r["n_pages"] for r in q_host_stats(d).take_all())
+    t = q_host_lorenz(d)
+    dec = t.column("decile").to_pylist()
+    hosts = t.column("n_hosts_cum").to_pylist()
+    docs_c = t.column("n_docs_cum").to_pylist()
+    share = t.column("doc_share").to_pylist()
+    assert dec == list(range(1, 11))
+    h_tot = hosts[-1]
+    # ceil(q*H/10) at each decile; cumulative counts and shares are
+    # non-decreasing; the last point is exactly the whole corpus
+    assert hosts == [(q * h_tot + 9) // 10 for q in range(1, 11)]
+    assert docs_c == sorted(docs_c) and share == sorted(share)
+    assert docs_c[-1] == total and share[-1] == 1.0
+
+
+# ---------------------------------------------------------------------------
 # event_entropy_rate
 # ---------------------------------------------------------------------------
 
