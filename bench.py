@@ -428,6 +428,8 @@ BENCH_QUERIES = [
     "gate_classifier_calibration",
     "source_cvm_length",
     "host_lorenz",
+    "lang_simpson",
+    "events_temporal_gini",
 ]
 
 

@@ -8405,6 +8405,10 @@ def registry() -> dict[str, tuple]:
             .replace("{host_re}", _skew_host_re()),
         ),
         "source_cvm_length": (st.source_cvm_length, st.SOURCE_CVM_LENGTH_SQL),
+        "lang_simpson": (st.lang_simpson, st._lang_simpson_sql()),
+        "events_temporal_gini": (
+            st.events_temporal_gini, st.EVENTS_TEMPORAL_GINI_SQL,
+        ),
         # corpus balancing: deterministic per-host quota sample
         "host_sample": (
             q_host_sample,

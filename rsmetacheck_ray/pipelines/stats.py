@@ -450,6 +450,251 @@ FROM g CROSS JOIN q
 
 
 # ---------------------------------------------------------------------------
+# Simpson diversity of each language's token distribution.
+# ---------------------------------------------------------------------------
+
+def lang_simpson(
+    sf_dir: str, num_partitions: int | None = None
+) -> rd.Dataset:
+    """(lang, n_tokens, n_types, simpson, effective_types): Simpson's
+    concentration λ = Σ nₜ(nₜ−1) / (N(N−1)) per language — the
+    probability two random token occurrences are the same type — and
+    its inverse, the "effective vocabulary size" (a language whose
+    mass sits on a few stopwords has tiny effective_types no matter
+    how large n_types is). The order-2 companion of ``lang_ttr``'s
+    order-0 diversity.
+
+    Exactness: λ's numerator and denominator are exact integers; a
+    token's global count lives whole in its owning partition after the
+    token-hash shuffle, so Σ nₜ(nₜ−1) adds disjointly across
+    partitions (int64 partials hold to ~3·10⁹ occurrences of a single
+    token per language; the driver merge is arbitrary-precision).
+
+    Plan: the lang_ttr shuffle — per-batch (lang, token, n)
+    pre-combine, ONE token-hash shuffle, per-partition fold to
+    |langs| partial rows, |langs| driver reduce."""
+    from ..functions.hashing import token_partitions
+    from ..functions.tokenize import split_ws_tokens
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "documents.parquet"), columns=["lang", "text"]
+    )
+    hint = parquet_rows_hint(ds)
+    n_parts = num_partitions or adaptive_partitions(
+        hint * 64 if hint else None, row_bytes=32
+    )
+
+    def pairs(b: pa.Table) -> pa.Table:
+        words = split_ws_tokens(b.column("text"))
+        off = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = words.flatten()
+        doc_idx = np.repeat(
+            np.arange(len(words), dtype=np.int64), np.diff(off)
+        )
+        mask = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        langs = b.column("lang").take(pa.array(doc_idx[mask], pa.int64()))
+        t = pa.table({"lang": langs, "token": flat.filter(pa.array(mask))})
+        g = t.group_by(["lang", "token"]).aggregate([([], "count_all")])
+        g = g.rename_columns(["lang", "token", "n"])
+        vocab = np.asarray(g.column("token").to_pylist(), dtype=object)
+        return pa.table(
+            {
+                "part": pa.array(
+                    token_partitions(vocab, n_parts).astype(np.int64),
+                    pa.int64(),
+                ),
+                "lang": g.column("lang"),
+                "token": g.column("token"),
+                "n": pc.cast(g.column("n"), pa.int64()),
+            }
+        )
+
+    def fold(g: pa.Table) -> pa.Table:
+        t = (
+            g.select(["lang", "token", "n"])
+            .group_by(["lang", "token"])
+            .aggregate([("n", "sum")])
+            .rename_columns(["lang", "token", "n"])
+        )
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        t2 = t.append_column("nn1", pa.array(n * (n - 1), pa.int64()))
+        out = t2.group_by("lang").aggregate(
+            [("n", "sum"), ("nn1", "sum"), ([], "count_all")]
+        )
+        return out.rename_columns(["lang", "n_tokens", "s_nn1", "n_types"])
+
+    per_part = (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+    tbl = bounded_group_table_strict(
+        per_part, ["lang"],
+        [("n_tokens", "sum"), ("s_nn1", "sum"), ("n_types", "sum")],
+    )
+    empty = pa.table(
+        {
+            "lang": pa.array([], pa.string()),
+            "n_tokens": pa.array([], pa.int64()),
+            "n_types": pa.array([], pa.int64()),
+            "simpson": pa.array([], pa.float64()),
+            "effective_types": pa.array([], pa.float64()),
+        }
+    )
+    if tbl is None:
+        return rd.from_arrow(empty)
+    rows = sorted(
+        zip(
+            tbl.column("lang").to_pylist(),
+            tbl.column("n_tokens").to_pylist(),
+            tbl.column("s_nn1").to_pylist(),
+            tbl.column("n_types").to_pylist(),
+        )
+    )
+    out_l, out_n, out_ty, out_s, out_e = [], [], [], [], []
+    for lang, n, s, ty in rows:
+        n, s, ty = int(n), int(s), int(ty)
+        lam = float(s) / float(n * (n - 1)) if n > 1 else 0.0
+        out_l.append(lang)
+        out_n.append(n)
+        out_ty.append(ty)
+        out_s.append(lam)
+        out_e.append(1.0 / lam if lam > 0.0 else 0.0)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "lang": pa.array(out_l, pa.string()),
+                "n_tokens": pa.array(out_n, pa.int64()),
+                "n_types": pa.array(out_ty, pa.int64()),
+                "simpson": pa.array(out_s, pa.float64()),
+                "effective_types": pa.array(out_e, pa.float64()),
+            }
+        )
+    )
+
+
+def _lang_simpson_sql() -> str:
+    from ..functions.tokenize import WS_TOKEN_RE
+
+    return f"""
+WITH tok AS (
+  SELECT lang, unnest(regexp_extract_all(text, '{WS_TOKEN_RE}')) AS token
+  FROM documents
+), counts AS MATERIALIZED (
+  SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS n
+  FROM tok GROUP BY lang, token
+)
+SELECT lang,
+  CAST(SUM(n) AS BIGINT) AS n_tokens,
+  CAST(COUNT(*) AS BIGINT) AS n_types,
+  CASE WHEN SUM(n) > 1
+    THEN CAST(SUM(CAST(n AS HUGEINT) * (n - 1)) AS DOUBLE)
+       / CAST(CAST(SUM(n) AS HUGEINT) * (SUM(n) - 1) AS DOUBLE)
+    ELSE 0.0 END AS simpson,
+  CASE WHEN SUM(CAST(n AS HUGEINT) * (n - 1)) > 0 AND SUM(n) > 1
+    THEN 1.0 / (CAST(SUM(CAST(n AS HUGEINT) * (n - 1)) AS DOUBLE)
+                / CAST(CAST(SUM(n) AS HUGEINT) * (SUM(n) - 1) AS DOUBLE))
+    ELSE 0.0 END AS effective_types
+FROM counts
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# Temporal Gini of the hourly event-count series.
+# ---------------------------------------------------------------------------
+
+def events_temporal_gini(sf_dir: str) -> rd.Dataset:
+    """One row (n_hours, n_events, gini): the Gini coefficient of the
+    ZERO-FILLED hourly count series over the corpus's observed hour
+    span — burstiness as inequality (0 ⇒ perfectly even traffic,
+    → 1 ⇒ all events in one hour). The temporal counterpart of
+    ``source_gini``.
+
+    Exactness: with counts sorted ascending, G's numerator
+    Σᵢ (2i − n − 1)·xᵢ and denominator n·Σx are exact integers; the
+    statistic is their single float division, written identically in
+    the oracle over a dense ``generate_series`` hour spine.
+
+    Plan: one shuffle-free per-batch hour-count pass (the
+    events_spectrum partial); the zero-fill and rank walk run on the
+    driver over the bounded hour span."""
+    ds = _read_pq(os.path.join(sf_dir, "events.parquet"), columns=["ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        h = (
+            b.column("ts").to_numpy(zero_copy_only=False)
+            .astype("M8[h]")
+            .astype(np.int64)
+        )
+        vals, cnts = np.unique(h, return_counts=True)
+        return pa.table(
+            {
+                "h": pa.array(vals, pa.int64()),
+                "n": pa.array(cnts.astype(np.int64)),
+            }
+        )
+
+    tbl = bounded_group_table_strict(
+        ds.map_batches(partial, batch_format="pyarrow"), ["h"], [("n", "sum")]
+    )
+    empty = pa.table(
+        {
+            "n_hours": pa.array([], pa.int64()),
+            "n_events": pa.array([], pa.int64()),
+            "gini": pa.array([], pa.float64()),
+        }
+    )
+    if tbl is None:
+        return rd.from_arrow(empty)
+    hs = tbl.column("h").to_numpy(zero_copy_only=False)
+    ns = tbl.column("n").to_numpy(zero_copy_only=False)
+    span = int(hs.max()) - int(hs.min()) + 1
+    dense = np.zeros(span, np.int64)
+    dense[hs - hs.min()] = ns
+    dense.sort()
+    n = span
+    total = int(dense.sum())
+    num = sum((2 * (i + 1) - n - 1) * int(x) for i, x in enumerate(dense))
+    gini = float(num) / float(n * total) if total else 0.0
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_hours": pa.array([n], pa.int64()),
+                "n_events": pa.array([total], pa.int64()),
+                "gini": pa.array([gini], pa.float64()),
+            }
+        )
+    )
+
+
+EVENTS_TEMPORAL_GINI_SQL = """
+WITH c AS (
+  SELECT epoch_us(date_trunc('hour', ts)) // 3600000000 AS h,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+), b AS (SELECT min(h) AS hmin, max(h) AS hmax FROM c),
+spine AS (SELECT unnest(generate_series(hmin, hmax)) AS h FROM b),
+dense AS (
+  SELECT spine.h, COALESCE(c.n, 0) AS x
+  FROM spine LEFT JOIN c USING (h)
+), ranked AS (
+  SELECT x, ROW_NUMBER() OVER (ORDER BY x, h) AS i,
+         COUNT(*) OVER () AS n
+  FROM dense
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n_hours,
+  CAST(SUM(x) AS BIGINT) AS n_events,
+  CASE WHEN SUM(x) > 0
+    THEN CAST(SUM(CAST(2 * i - n - 1 AS HUGEINT) * x) AS DOUBLE)
+       / CAST(CAST(MAX(n) AS HUGEINT) * SUM(x) AS DOUBLE)
+    ELSE 0.0 END AS gini
+FROM ranked
+"""
+
+
+# ---------------------------------------------------------------------------
 # Quantized spectral power at the daily / weekly periods.
 # ---------------------------------------------------------------------------
 

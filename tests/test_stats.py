@@ -242,6 +242,62 @@ def test_host_lorenz_invariants(ray_session, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# lang_simpson
+# ---------------------------------------------------------------------------
+
+def test_simpson_extremes(ray_session, tmp_path):
+    d = str(tmp_path)
+    # lang a: one type repeated -> lambda = 1.0 (max concentration,
+    # effective vocab 1); lang b: all distinct -> lambda = 0.0
+    _write(d, "documents", {
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["x x x", "x y"], pa.string()),
+        "lang": pa.array(["a", "b"], pa.string()),
+        "source": pa.array(["s", "s"], pa.string()),
+        "n_chars": pa.array([5, 3], pa.int64()),
+    })
+    for parts in (1, 2, 3):
+        got = {r["lang"]: r
+               for r in st.lang_simpson(d, num_partitions=parts).take_all()}
+        assert got["a"]["n_tokens"] == 3 and got["a"]["n_types"] == 1
+        assert got["a"]["simpson"] == 1.0
+        assert got["a"]["effective_types"] == 1.0
+        assert got["b"]["simpson"] == 0.0
+        assert got["b"]["effective_types"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# events_temporal_gini
+# ---------------------------------------------------------------------------
+
+def test_temporal_gini_values(ray_session, tmp_path):
+    d = str(tmp_path)
+    # 3 events in hour 0, 1 event in hour 2, hour 1 empty (zero-fill):
+    # sorted dense [0,1,3], num = 0 + 0 + 2*3 = 6, gini = 6/(3*4) = 0.5
+    _events(d, [
+        (1, "2024-01-01T00:00:00", 1, "a"),
+        (2, "2024-01-01T00:10:00", 1, "a"),
+        (3, "2024-01-01T00:20:00", 1, "a"),
+        (4, "2024-01-01T02:00:00", 1, "a"),
+    ])
+    got = st.events_temporal_gini(d).take_all()
+    assert got == [{"n_hours": 3, "n_events": 4, "gini": 0.5}]
+
+
+def test_temporal_gini_uniform_zero(ray_session, tmp_path):
+    d = str(tmp_path)
+    rows = []
+    for h in range(3):
+        for j in range(2):
+            rows.append(
+                (h * 2 + j + 1, f"2024-01-01T{h:02d}:{j * 20:02d}:00", 1, "a")
+            )
+    _events(d, rows)
+    got = st.events_temporal_gini(d).take_all()
+    assert got == [{"n_hours": 3, "n_events": 6, "gini": 0.0}]
+
+
+# ---------------------------------------------------------------------------
 # event_entropy_rate
 # ---------------------------------------------------------------------------
 
