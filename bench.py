@@ -430,6 +430,7 @@ BENCH_QUERIES = [
     "host_lorenz",
     "lang_simpson",
     "events_temporal_gini",
+    "price_quantiles_weighted",
 ]
 
 

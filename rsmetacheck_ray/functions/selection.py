@@ -282,3 +282,108 @@ def radix_quantiles_by_group(
             "value": pa.array([r[2] for r in out_rows], pa.int64()),
         }
     )
+
+
+def _whist_partial(col: str, wcol: str, shift: int, keep=None):
+    """Per-batch (bucket, w) partial WEIGHT sums of ``value >> shift``
+    — the weighted twin of :func:`_hist_partial` (weights must be
+    non-negative integers; null values or weights drop)."""
+
+    def stage(b: pa.Table) -> pa.Table:
+        v = b.column(col).to_numpy(zero_copy_only=False)
+        w = b.column(wcol).to_numpy(zero_copy_only=False)
+        ok = np.ones(len(v), bool)
+        if v.dtype.kind == "f":
+            ok &= ~np.isnan(v)
+        if w.dtype.kind == "f":
+            ok &= ~np.isnan(w)
+        v = v[ok].astype(np.int64)
+        w = w[ok].astype(np.int64)
+        if len(v) and (v.min() < 0 or v.max() > _MAX_VALUE):
+            raise ValueError(
+                f"radix_weighted_quantiles: {col} outside [0, 2^32)"
+            )
+        if len(w) and w.min() < 0:
+            raise ValueError(
+                f"radix_weighted_quantiles: negative weight in {wcol}"
+            )
+        if keep is not None:
+            sel = np.isin(v >> 16, keep)
+            v, w = v[sel], w[sel]
+        if not len(v):
+            return pa.table(
+                {
+                    "bucket": pa.array([], pa.int64()),
+                    "w": pa.array([], pa.int64()),
+                }
+            )
+        bucket = (v >> shift) & 0xFFFF
+        key = (((v >> 16) << 16) | bucket) if keep is not None else bucket
+        uniq, inv = np.unique(key, return_inverse=True)
+        acc = np.zeros(len(uniq), np.int64)
+        np.add.at(acc, inv, w)
+        return pa.table(
+            {
+                "bucket": pa.array(uniq, pa.int64()),
+                "w": pa.array(acc, pa.int64()),
+            }
+        )
+
+    return stage
+
+
+def radix_weighted_quantiles(
+    ds: rd.Dataset, col: str, wcol: str, qs: list[float]
+) -> "list[int] | None":
+    """Exact WEIGHTED quantile_disc: the smallest value whose
+    cumulative weight reaches ``max(1, ceil(q·W))`` (W = total
+    weight) — e.g. the quantity-weighted "typical traded price". Same
+    two streaming counting passes as :func:`radix_quantiles`, with
+    integer weight sums in place of counts; zero-weight rows cannot
+    carry a quantile (matching the cum-weight oracle, which never
+    stops on a row that adds nothing). Returns None on empty / all-
+    zero-weight input."""
+    h1 = bounded_group_table_strict(
+        ds.map_batches(_whist_partial(col, wcol, 16), batch_format="pyarrow"),
+        ["bucket"],
+        [("w", "sum")],
+    )
+    if h1 is None or h1.num_rows == 0:
+        return None
+    b1 = h1.column("bucket").to_numpy(zero_copy_only=False)
+    n1 = h1.column("w").to_numpy(zero_copy_only=False)
+    order = np.argsort(b1, kind="stable")
+    b1, n1 = b1[order], n1[order]
+    cum = np.cumsum(n1)
+    total = int(cum[-1])
+    if total <= 0:
+        return None
+    ranks = _ranks_for(qs, total)
+    idx = np.searchsorted(cum, ranks)
+    hi = b1[idx]
+    before = np.where(idx > 0, cum[idx - 1], 0)
+    resid = np.asarray(ranks) - before
+
+    targets = np.unique(hi)
+    h2 = bounded_group_table_strict(
+        ds.map_batches(
+            _whist_partial(col, wcol, 0, keep=targets),
+            batch_format="pyarrow",
+        ),
+        ["bucket"],
+        [("w", "sum")],
+    )
+    assert h2 is not None
+    k2 = h2.column("bucket").to_numpy(zero_copy_only=False)
+    n2 = h2.column("w").to_numpy(zero_copy_only=False)
+    order = np.argsort(k2, kind="stable")
+    k2, n2 = k2[order], n2[order]
+    out: list[int] = []
+    for h, r in zip(hi, resid):
+        lo_sel = (k2 >> 16) == h
+        lows = k2[lo_sel] & 0xFFFF
+        cnts = n2[lo_sel]
+        c = np.cumsum(cnts)
+        j = int(np.searchsorted(c, r))
+        out.append(int((int(h) << 16) | int(lows[j])))
+    return out

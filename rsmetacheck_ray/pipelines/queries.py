@@ -945,6 +945,65 @@ ORDER BY q
 """
 
 
+def q_price_quantiles_weighted(sf_dir: str):
+    """Quantity-WEIGHTED exact price quantiles — the "typical traded
+    price" (each lineitem counts once per unit, so a 50-unit line
+    moves the median 50× more than a 1-unit line; the VWAP-style view
+    of the same wide cents domain as `price_quantiles`). Two streaming
+    counting passes with integer WEIGHT sums in place of counts
+    (functions/selection.radix_weighted_quantiles) — no sort, no row
+    shuffle, identical plan at any scale."""
+    from ..functions.selection import radix_weighted_quantiles
+
+    ds = rel._read_pq(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_extendedprice", "l_quantity"],
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "cents": rel._cents(b.column("l_extendedprice")),
+                "w": pc.cast(b.column("l_quantity"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    vals = radix_weighted_quantiles(ds, "cents", "w", _PRICE_QS)
+    if vals is None:
+        return pa.table(
+            {
+                "q": pa.array([], pa.float64()),
+                "price_cents": pa.array([], pa.int64()),
+            }
+        )
+    return pa.table(
+        {
+            "q": pa.array(_PRICE_QS, pa.float64()),
+            "price_cents": pa.array(vals, pa.int64()),
+        }
+    )
+
+
+def _sql_price_quantiles_weighted() -> str:
+    per_q = "\nUNION ALL\n".join(
+        f"""SELECT {q}::DOUBLE AS q,
+  (SELECT min(cents) FROM cum CROSS JOIN tot
+   WHERE cw >= greatest(1, CAST(ceil({q} * W) AS BIGINT))) AS price_cents"""
+        for q in _PRICE_QS
+    )
+    return f"""
+WITH c AS (
+  SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+         CAST(l_quantity AS BIGINT) AS w
+  FROM lineitem
+), agg AS (SELECT cents, CAST(SUM(w) AS BIGINT) AS w FROM c GROUP BY 1),
+cum AS (
+  SELECT cents, SUM(w) OVER (ORDER BY cents) AS cw FROM agg
+), tot AS (SELECT CAST(SUM(w) AS BIGINT) AS W FROM agg)
+{per_q}
+ORDER BY q
+"""
+
+
 _FLAG_QS = [0.5, 0.9]
 
 
@@ -8061,6 +8120,9 @@ def registry() -> dict[str, tuple]:
             dec3.rich_inactive_customers, dec3.RICH_INACTIVE_SQL,
         ),
         "price_quantiles": (q_price_quantiles, SQL_PRICE_QUANTILES),
+        "price_quantiles_weighted": (
+            q_price_quantiles_weighted, _sql_price_quantiles_weighted(),
+        ),
         "price_quantiles_by_flag": (
             q_price_quantiles_by_flag, SQL_PRICE_QUANTILES_BY_FLAG,
         ),

@@ -98,3 +98,64 @@ def test_radix_by_group_empty_and_single(ray_session):
     t = pa.table({"g": pa.array(["x"]), "cents": pa.array([7], pa.int64())})
     got = radix_quantiles_by_group(rd.from_arrow(t), "g", "cents", [0.5])
     assert got.to_pylist() == [{"grp": "x", "q": 0.5, "value": 7}]
+
+
+# ---------------------------------------------------------------------------
+# radix_weighted_quantiles
+# ---------------------------------------------------------------------------
+
+from rsmetacheck_ray.functions.selection import radix_weighted_quantiles
+
+
+def _wbrute(vals: np.ndarray, ws: np.ndarray, qs) -> list[int]:
+    """Weighted quantile_disc oracle: repeat each value by its weight,
+    then the unweighted rank convention."""
+    rep = np.repeat(vals, ws)
+    return _brute(rep, qs)
+
+
+def _wds(vals, ws, blocks: int = 4) -> rd.Dataset:
+    t = pa.table({
+        "cents": pa.array(np.asarray(vals, np.int64)),
+        "w": pa.array(np.asarray(ws, np.int64)),
+    })
+    return rd.from_arrow(t).repartition(blocks)
+
+
+def test_weighted_matches_expansion_bruteforce(ray_session):
+    rng = np.random.default_rng(7)
+    vals = rng.integers(0, 1 << 22, size=5000)
+    ws = rng.integers(0, 6, size=5000)  # zeros included
+    qs = [0.01, 0.25, 0.5, 0.75, 0.99]
+    got = radix_weighted_quantiles(_wds(vals, ws), "cents", "w", qs)
+    sel = ws > 0
+    assert got == _wbrute(vals[sel], ws[sel], qs)
+
+
+def test_weighted_hand_values_and_zero_weight(ray_session):
+    # 10 w=1, 20 w=3: W=4 -> q=.25 k=1 -> 10; q=.5 k=2 -> 20.
+    # A zero-weight 15 must never carry a quantile.
+    got = radix_weighted_quantiles(
+        _wds([10, 15, 20], [1, 0, 3], blocks=2), "cents", "w",
+        [0.25, 0.5, 1.0],
+    )
+    assert got == [10, 20, 20]
+
+
+def test_weighted_unit_weights_match_unweighted(ray_session):
+    rng = np.random.default_rng(11)
+    vals = rng.integers(0, 1 << 20, size=2000)
+    qs = [0.1, 0.5, 0.9]
+    ones = np.ones(len(vals), np.int64)
+    assert radix_weighted_quantiles(
+        _wds(vals, ones), "cents", "w", qs
+    ) == radix_quantiles(_ds(vals), "cents", qs)
+
+
+def test_weighted_empty_and_all_zero(ray_session):
+    assert radix_weighted_quantiles(
+        _wds([], [], blocks=1), "cents", "w", [0.5]
+    ) is None
+    assert radix_weighted_quantiles(
+        _wds([5, 6], [0, 0], blocks=1), "cents", "w", [0.5]
+    ) is None
