@@ -431,6 +431,7 @@ BENCH_QUERIES = [
     "lang_simpson",
     "events_temporal_gini",
     "price_quantiles_weighted",
+    "doc_token_novelty",
 ]
 
 

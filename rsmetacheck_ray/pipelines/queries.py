@@ -8468,6 +8468,9 @@ def registry() -> dict[str, tuple]:
         ),
         "source_cvm_length": (st.source_cvm_length, st.SOURCE_CVM_LENGTH_SQL),
         "lang_simpson": (st.lang_simpson, st._lang_simpson_sql()),
+        "doc_token_novelty": (
+            st.doc_token_novelty, st._doc_token_novelty_sql(),
+        ),
         "events_temporal_gini": (
             st.events_temporal_gini, st.EVENTS_TEMPORAL_GINI_SQL,
         ),

@@ -602,6 +602,190 @@ ORDER BY lang
 
 
 # ---------------------------------------------------------------------------
+# Per-document token novelty (first-occurrence vocabulary share).
+# ---------------------------------------------------------------------------
+
+def doc_token_novelty(
+    sf_dir: str, num_partitions: int | None = None
+) -> rd.Dataset:
+    """(doc_id, n_types, n_novel, novelty): for every document with at
+    least one token, the share of its DISTINCT tokens whose corpus-wide
+    first occurrence (min doc_id) is this document — the novelty curve
+    dataset curation orders by (late near-duplicates and template spam
+    score ~0; genuinely new material scores high). The per-document
+    consumer of ``vocab_growth``'s first-seen machinery.
+
+    Plan: the denominator (distinct tokens per doc) is doc-local and
+    shuffle-free; the numerator ships per-batch (token → min doc)
+    partials through ONE token-hash shuffle (each partition finalizes
+    its tokens' global min and emits (doc, owned) count rows), then
+    ONE doc-hash shuffle co-partitions numerator rows with denominator
+    rows for the per-doc fold. Text ships zero times; both shuffles
+    carry ≤16–32 B rows. Output is a distributed per-doc Dataset —
+    nothing corpus-sized touches the driver."""
+    from ..functions.hashing import splitmix64_np, token_partitions
+    from ..functions.tokenize import split_ws_tokens
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+    hint = parquet_rows_hint(ds)
+    n_parts = num_partitions or adaptive_partitions(
+        hint * 64 if hint else None, row_bytes=32
+    )
+    n_doc_parts = num_partitions or adaptive_partitions(hint, row_bytes=24)
+
+    def _doc_part(doc: np.ndarray) -> pa.Array:
+        return pa.array(
+            (splitmix64_np(doc.astype(np.uint64)) % n_doc_parts).astype(
+                np.int64
+            ),
+            pa.int64(),
+        )
+
+    def denom(b: pa.Table) -> pa.Table:
+        words = split_ws_tokens(b.column("text"))
+        off = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = words.flatten()
+        doc = b.column("doc_id").to_numpy(zero_copy_only=False)
+        doc_rep = np.repeat(doc, np.diff(off))
+        mask = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "d": pa.array(doc_rep[mask], pa.int64()),
+                "token": flat.filter(pa.array(mask)),
+            }
+        ).group_by(["d", "token"]).aggregate([([], "count_all")])
+        g = (
+            t.select(["d"]).group_by("d").aggregate([([], "count_all")])
+            .rename_columns(["doc_id", "cnt"])
+        )
+        doc_u = g.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "dpart": _doc_part(doc_u),
+                "doc_id": g.column("doc_id"),
+                "n_types": pc.cast(g.column("cnt"), pa.int64()),
+                "n_novel": pa.array(np.zeros(len(g), np.int64)),
+            }
+        )
+
+    def first_seen(b: pa.Table) -> pa.Table:
+        words = split_ws_tokens(b.column("text"))
+        off = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = words.flatten()
+        doc = b.column("doc_id").to_numpy(zero_copy_only=False)
+        doc_rep = np.repeat(doc, np.diff(off))
+        mask = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "token": flat.filter(pa.array(mask)),
+                "fd": pa.array(doc_rep[mask], pa.int64()),
+            }
+        ).group_by("token").aggregate([("fd", "min")])
+        vocab = np.asarray(t.column("token").to_pylist(), dtype=object)
+        return pa.table(
+            {
+                "part": pa.array(
+                    token_partitions(vocab, n_parts).astype(np.int64),
+                    pa.int64(),
+                ),
+                "token": t.column("token"),
+                "fd": t.column("fd_min"),
+            }
+        )
+
+    def owned(g: pa.Table) -> pa.Table:
+        t = (
+            g.select(["token", "fd"])
+            .group_by("token")
+            .aggregate([("fd", "min")])
+        )
+        fd = t.column("fd_min").to_numpy(zero_copy_only=False)
+        docs, cnt = np.unique(fd, return_counts=True)
+        return pa.table(
+            {
+                "dpart": _doc_part(docs),
+                "doc_id": pa.array(docs, pa.int64()),
+                "n_types": pa.array(np.zeros(len(docs), np.int64)),
+                "n_novel": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    numer = (
+        ds.map_batches(first_seen, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(owned, batch_format="pyarrow")
+    )
+    den = ds.map_batches(denom, batch_format="pyarrow")
+
+    def fold(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_types": pa.array([], pa.int64()),
+                    "n_novel": pa.array([], pa.int64()),
+                    "novelty": pa.array([], pa.float64()),
+                }
+            )
+        m = (
+            g.select(["doc_id", "n_types", "n_novel"])
+            .group_by("doc_id")
+            .aggregate([("n_types", "sum"), ("n_novel", "sum")])
+            .rename_columns(["doc_id", "n_types", "n_novel"])
+        )
+        # numerator-only docs (a doc owning tokens ALWAYS has types;
+        # this can't happen) and empty docs (no rows at all) both
+        # filter to n_types > 0 like the oracle's denominator CTE
+        m = m.filter(pc.greater(m.column("n_types"), 0))
+        ty = m.column("n_types").to_numpy(zero_copy_only=False)
+        nv = m.column("n_novel").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": m.column("doc_id"),
+                "n_types": pa.array(ty, pa.int64()),
+                "n_novel": pa.array(nv, pa.int64()),
+                "novelty": pa.array(
+                    nv.astype(np.float64) / ty.astype(np.float64)
+                ),
+            }
+        )
+
+    return (
+        numer.union(den).groupby("dpart").map_groups(
+            fold, batch_format="pyarrow"
+        )
+    )
+
+
+def _doc_token_novelty_sql() -> str:
+    from ..functions.tokenize import WS_TOKEN_RE
+
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '{WS_TOKEN_RE}')) AS token
+  FROM documents
+), dt AS MATERIALIZED (
+  SELECT DISTINCT doc_id, token FROM tok
+), fst AS (
+  SELECT token, min(doc_id) AS fd FROM dt GROUP BY 1
+), den AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_types FROM dt GROUP BY 1
+), own AS (
+  SELECT fd AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_novel
+  FROM fst GROUP BY 1
+)
+SELECT d.doc_id, d.n_types, COALESCE(o.n_novel, 0) AS n_novel,
+  CAST(COALESCE(o.n_novel, 0) AS DOUBLE)
+    / CAST(d.n_types AS DOUBLE) AS novelty
+FROM den d LEFT JOIN own o USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Temporal Gini of the hourly event-count series.
 # ---------------------------------------------------------------------------
 

@@ -267,6 +267,32 @@ def test_simpson_extremes(ray_session, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# doc_token_novelty
+# ---------------------------------------------------------------------------
+
+def test_token_novelty_first_seen_attribution(ray_session, tmp_path):
+    d = str(tmp_path)
+    # doc 1 introduces {a, b} -> 1.0; doc 2 has {b, c}, only c new
+    # -> 0.5; doc 3 repeats {a, b} -> 0.0; doc 4 is empty -> absent
+    _docs(d, [
+        (1, "a b", "s"),
+        (2, "b c", "s"),
+        (3, "a b a", "s"),
+        (4, "", "s"),
+    ])
+    for parts in (1, 2, 3):
+        got = {
+            r["doc_id"]: r
+            for r in st.doc_token_novelty(d, num_partitions=parts).take_all()
+        }
+        assert set(got) == {1, 2, 3}
+        assert got[1]["n_types"] == 2 and got[1]["novelty"] == 1.0
+        assert got[2]["n_types"] == 2 and got[2]["n_novel"] == 1
+        assert got[2]["novelty"] == 0.5
+        assert got[3]["n_types"] == 2 and got[3]["novelty"] == 0.0
+
+
+# ---------------------------------------------------------------------------
 # events_temporal_gini
 # ---------------------------------------------------------------------------
 
