@@ -432,6 +432,7 @@ BENCH_QUERIES = [
     "events_temporal_gini",
     "price_quantiles_weighted",
     "doc_token_novelty",
+    "cohort_revenue",
 ]
 
 

@@ -164,6 +164,131 @@ ORDER BY 1, 2
 """
 
 
+def cohort_revenue(
+    sf_dir: str, num_partitions: int | None = None
+) -> rd.Dataset:
+    """(cohort_month, month_offset, n_customers, revenue_cents): the
+    revenue-weighted retention triangle — for each first-order-month
+    cohort and month offset, how many of its customers ordered AND how
+    much they spent (the lifetime-value view of ``customer_cohorts``;
+    a cohort can retain headcount while its spend decays, or vice
+    versa). All money math is exact int64 cents.
+
+    Plan: the customer_cohorts shuffle with revenue riding along —
+    per-batch (custkey, month) partials pre-SUM cents (not distinct
+    pairs), ONE custkey-hash shuffle, per-partition cohort derivation
+    via the same lexsort scan, (cohort, offset) partials bounded by
+    the month domain squared."""
+    from .relational import _cents
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    n_parts = num_partitions or adaptive_partitions(
+        parquet_rows_hint(ds), row_bytes=24
+    )
+
+    def tag(b: pa.Table) -> pa.Table:
+        m = (
+            b.column("o_orderdate")
+            .to_numpy(zero_copy_only=False)
+            .astype("M8[M]")
+            .astype(np.int64)
+        )
+        t = pa.table(
+            {
+                "cust": b.column("o_custkey"),
+                "m": pa.array(m, pa.int64()),
+                "cents": _cents(b.column("o_totalprice")),
+            }
+        ).group_by(["cust", "m"]).aggregate([("cents", "sum")])
+        t = t.rename_columns(["cust", "m", "cents"])
+        return t.append_column("part", _part_of(t.column("cust"), n_parts))
+
+    def fold(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "cohort_month": pa.array([], pa.int64()),
+                "month_offset": pa.array([], pa.int64()),
+                "n_customers": pa.array([], pa.int64()),
+                "revenue_cents": pa.array([], pa.int64()),
+            }
+        )
+        if g.num_rows == 0:
+            return empty
+        t = (
+            g.select(["cust", "m", "cents"])
+            .group_by(["cust", "m"])
+            .aggregate([("cents", "sum")])
+            .rename_columns(["cust", "m", "cents"])
+        )
+        cust = t.column("cust").to_numpy(zero_copy_only=False)
+        m = t.column("m").to_numpy(zero_copy_only=False)
+        cents = t.column("cents").to_numpy(zero_copy_only=False)
+        order = np.lexsort((m, cust))
+        c, mm, cc = cust[order], m[order], cents[order]
+        first = np.empty(len(c), dtype=bool)
+        first[0] = True
+        first[1:] = c[1:] != c[:-1]
+        cohort = mm[first][np.cumsum(first) - 1]
+        key = np.stack([cohort, mm - cohort], axis=1)
+        uniq, inv, counts = np.unique(
+            key, axis=0, return_inverse=True, return_counts=True
+        )
+        rev = np.zeros(len(uniq), np.int64)
+        np.add.at(rev, inv, cc)
+        return pa.table(
+            {
+                "cohort_month": pa.array(uniq[:, 0], pa.int64()),
+                "month_offset": pa.array(uniq[:, 1], pa.int64()),
+                "n_customers": pa.array(counts.astype(np.int64)),
+                "revenue_cents": pa.array(rev),
+            }
+        )
+
+    per_part = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+    tbl = bounded_group_table_strict(
+        per_part,
+        ["cohort_month", "month_offset"],
+        [("n_customers", "sum"), ("revenue_cents", "sum")],
+    )
+    if tbl is None:
+        tbl = pa.table(
+            {
+                "cohort_month": pa.array([], pa.int64()),
+                "month_offset": pa.array([], pa.int64()),
+                "n_customers": pa.array([], pa.int64()),
+                "revenue_cents": pa.array([], pa.int64()),
+            }
+        )
+    return rd.from_arrow(tbl).sort(["cohort_month", "month_offset"])
+
+
+COHORT_REVENUE_SQL = """
+WITH cm AS (
+  SELECT o_custkey,
+    (year(o_orderdate) - 1970) * 12 + month(o_orderdate) - 1 AS m,
+    CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      AS cents
+  FROM orders GROUP BY 1, 2
+), f AS (
+  SELECT o_custkey, MIN(m) AS cohort FROM cm GROUP BY o_custkey
+)
+SELECT CAST(f.cohort AS BIGINT) AS cohort_month,
+       CAST(cm.m - f.cohort AS BIGINT) AS month_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(cm.cents) AS BIGINT) AS revenue_cents
+FROM cm JOIN f USING (o_custkey)
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Interval stabbing: daily count of simultaneously-open orders.
 # ---------------------------------------------------------------------------

@@ -508,3 +508,45 @@ def test_seasonality_lift_exact(ray_session, tmp_path):
     assert b1["type_share"] == 0.8 and b1["global_share"] == 0.5
     assert b1["lift"] == 0.8 / 0.5
     assert ("a", 1) not in got  # zero cells omitted (oracle join semantics)
+
+
+# ---------------------------------------------------------------------------
+# cohort_revenue
+# ---------------------------------------------------------------------------
+
+def test_cohort_revenue_attribution(ray_session, tmp_path):
+    d = str(tmp_path)
+    # customer 1: first order 2024-01 (1000.00) + 2024-03 (250.00);
+    # customer 2: first order 2024-03 (100.00) twice that month ->
+    # cohort Jan: offset 0 = (1 cust, 100000c), offset 2 = (1, 25000c);
+    # cohort Mar: offset 0 = (1 cust, both orders summed = 20000c)
+    _orders(d, [
+        (1, 1, "2024-01-10"),
+        (2, 1, "2024-03-05"),
+        (3, 2, "2024-03-07"),
+        (4, 2, "2024-03-20"),
+    ])
+    import pyarrow.parquet as _pq
+    import pyarrow as _pa
+    # rewrite with controlled totalprice values
+    t = _pq.read_table(os.path.join(d, "orders.parquet"))
+    prices = {1: 1000.0, 2: 250.0, 3: 100.0, 4: 100.0}
+    keys = t.column("o_orderkey").to_pylist()
+    t = t.set_column(
+        t.schema.get_field_index("o_totalprice"), "o_totalprice",
+        _pa.array([prices[k] for k in keys], _pa.float64()),
+    )
+    _pq.write_table(t, os.path.join(d, "orders.parquet"))
+    jan = (2024 - 1970) * 12 + 0
+    mar = jan + 2
+    for parts in (1, 2, 3):
+        got = {
+            (r["cohort_month"], r["month_offset"]): r
+            for r in d5.cohort_revenue(d, num_partitions=parts).take_all()
+        }
+        assert got[(jan, 0)]["n_customers"] == 1
+        assert got[(jan, 0)]["revenue_cents"] == 100000
+        assert got[(jan, 2)]["revenue_cents"] == 25000
+        assert got[(mar, 0)]["n_customers"] == 1
+        assert got[(mar, 0)]["revenue_cents"] == 20000
+        assert set(got) == {(jan, 0), (jan, 2), (mar, 0)}
