@@ -433,6 +433,7 @@ BENCH_QUERIES = [
     "price_quantiles_weighted",
     "doc_token_novelty",
     "cohort_revenue",
+    "part_soundex_blocks",
 ]
 
 

@@ -1004,6 +1004,82 @@ ORDER BY q
 """
 
 
+def q_part_soundex_blocks(sf_dir: str):
+    """(soundex, n_parts, n_names): part rows blocked by the American
+    Soundex code of their name's first word — the phonetic blocking
+    stage of entity resolution (block on the code, verify inside; the
+    FastSS edit-distance join is the verify-stage analog). n_names
+    counts distinct full names per block, so n_parts ≫ n_names flags a
+    block dominated by exact repeats rather than phonetic variety.
+
+    Plan: one vectorized replace-chain column pass (RE2 on both
+    engines — no backreferences, so run-collapse is six per-digit
+    replaces); per-batch (code, name) count partials reduce under the
+    bounded guard on the name-template domain; the rollup is
+    |codes|-bounded driver work."""
+    from ..functions.phonetic import soundex_arrow
+
+    ds = rel._read_pq(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_name"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        name = b.column("p_name")
+        if isinstance(name, pa.ChunkedArray):
+            name = name.combine_chunks()
+        t = pa.table({"soundex": soundex_arrow(name), "name": name})
+        t = t.filter(pc.is_valid(t.column("soundex")))
+        g = t.group_by(["soundex", "name"]).aggregate([([], "count_all")])
+        g = g.rename_columns(["soundex", "name", "n"])
+        return g.set_column(2, "n", pc.cast(g.column(2), pa.int64()))
+
+    tbl = rel.bounded_group_table_strict(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["soundex", "name"],
+        [("n", "sum")],
+    )
+    empty = pa.table(
+        {
+            "soundex": pa.array([], pa.string()),
+            "n_parts": pa.array([], pa.int64()),
+            "n_names": pa.array([], pa.int64()),
+        }
+    )
+    if tbl is None:
+        return empty
+    acc: dict[str, list[int]] = {}
+    for code, n in zip(
+        tbl.column("soundex").to_pylist(),
+        tbl.column("n").to_pylist(),
+    ):
+        a = acc.setdefault(code, [0, 0])
+        a[0] += int(n)
+        a[1] += 1
+    codes = sorted(acc)
+    return pa.table(
+        {
+            "soundex": pa.array(codes, pa.string()),
+            "n_parts": pa.array([acc[c][0] for c in codes], pa.int64()),
+            "n_names": pa.array([acc[c][1] for c in codes], pa.int64()),
+        }
+    )
+
+
+def _sql_part_soundex_blocks() -> str:
+    from ..functions.phonetic import soundex_sql
+
+    return f"""
+WITH coded AS (
+  SELECT {soundex_sql('p_name')} AS soundex, p_name FROM part
+)
+SELECT soundex, CAST(COUNT(*) AS BIGINT) AS n_parts,
+  CAST(COUNT(DISTINCT p_name) AS BIGINT) AS n_names
+FROM coded WHERE soundex IS NOT NULL
+GROUP BY soundex
+ORDER BY soundex
+"""
+
+
 _FLAG_QS = [0.5, 0.9]
 
 
@@ -8122,6 +8198,9 @@ def registry() -> dict[str, tuple]:
         "price_quantiles": (q_price_quantiles, SQL_PRICE_QUANTILES),
         "price_quantiles_weighted": (
             q_price_quantiles_weighted, _sql_price_quantiles_weighted(),
+        ),
+        "part_soundex_blocks": (
+            q_part_soundex_blocks, _sql_part_soundex_blocks(),
         ),
         "price_quantiles_by_flag": (
             q_price_quantiles_by_flag, SQL_PRICE_QUANTILES_BY_FLAG,
