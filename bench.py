@@ -434,6 +434,7 @@ BENCH_QUERIES = [
     "doc_token_novelty",
     "cohort_revenue",
     "part_soundex_blocks",
+    "event_value_heavy_hitters",
 ]
 
 

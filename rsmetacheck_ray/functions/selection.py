@@ -387,3 +387,50 @@ def radix_weighted_quantiles(
         j = int(np.searchsorted(c, r))
         out.append(int((int(h) << 16) | int(lows[j])))
     return out
+
+
+def radix_heavy_hitters(
+    ds: rd.Dataset, col: str, phi: float
+) -> "pa.Table | None":
+    """EXACT heavy hitters over the 2³²-wide domain: every value whose
+    count ≥ max(1, ceil(φ·N)) — no sketch error, no caps. Pass 1's
+    high-bucket totals give a SOUND prune (a value's count ≤ its
+    bucket's total), and at most 1/φ buckets can hold ≥ φ·N mass, so
+    pass 2's exact counting is support-bounded regardless of data
+    size. Returns (value, n) sorted by (n desc, value asc), or None on
+    empty input."""
+    h1 = bounded_group_table_strict(
+        ds.map_batches(_hist_partial(col, 16), batch_format="pyarrow"),
+        ["bucket"],
+        [("n", "sum")],
+    )
+    if h1 is None or h1.num_rows == 0:
+        return None
+    b1 = h1.column("bucket").to_numpy(zero_copy_only=False)
+    n1 = h1.column("n").to_numpy(zero_copy_only=False)
+    total = int(n1.sum())
+    thr = max(1, math.ceil(phi * total))
+    targets = b1[n1 >= thr]
+    if not len(targets):
+        return pa.table(
+            {"value": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+        )
+    h2 = bounded_group_table_strict(
+        ds.map_batches(
+            _hist_partial(col, 0, keep=targets), batch_format="pyarrow"
+        ),
+        ["bucket"],
+        [("n", "sum")],
+    )
+    assert h2 is not None
+    vals = h2.column("bucket").to_numpy(zero_copy_only=False)
+    cnt = h2.column("n").to_numpy(zero_copy_only=False)
+    sel = cnt >= thr
+    vals, cnt = vals[sel], cnt[sel]
+    order = np.lexsort((vals, -cnt))
+    return pa.table(
+        {
+            "value": pa.array(vals[order], pa.int64()),
+            "n": pa.array(cnt[order], pa.int64()),
+        }
+    )

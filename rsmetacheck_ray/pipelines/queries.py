@@ -1004,6 +1004,60 @@ ORDER BY q
 """
 
 
+_HH_PHI = 0.0005
+
+
+def q_event_value_heavy_hitters(sf_dir: str):
+    """(value_cents, n): every event value (in cents) carrying at
+    least a 0.05% share of all events — EXACT heavy hitters over the
+    wide cents domain, no sketch error and no caps (the CMS sketch in
+    `cms_heavy_hitters` is the approximate cousin; this is the
+    support-bounded exact form). Pass 1's high-bucket totals are a
+    sound prune (a value's count ≤ its bucket's total) and at most
+    1/φ buckets can hold ≥ φ·N mass, so pass 2's exact counting is
+    support-bounded regardless of corpus size — two streaming counting
+    passes, zero sorts, zero row shuffles."""
+    from ..functions.selection import radix_heavy_hitters
+
+    ds = rel._read_pq(
+        os.path.join(sf_dir, "events.parquet"), columns=["value"]
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "cents": pa.array(
+                    np.floor(
+                        b.column("value").to_numpy(zero_copy_only=False)
+                        * 100.0
+                        + 0.5
+                    ),
+                    pa.float64(),
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    t = radix_heavy_hitters(ds, "cents", _HH_PHI)
+    if t is None:
+        t = pa.table(
+            {"value": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+        )
+    return t.rename_columns(["value_cents", "n"])
+
+
+def _sql_event_value_heavy_hitters() -> str:
+    return f"""
+WITH c AS (
+  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL
+), g AS (SELECT CAST(COUNT(*) AS BIGINT) AS N FROM c)
+SELECT v AS value_cents, CAST(COUNT(*) AS BIGINT) AS n
+FROM c CROSS JOIN g
+GROUP BY v, g.N
+HAVING COUNT(*) >= greatest(1, CAST(ceil({_HH_PHI} * N) AS BIGINT))
+ORDER BY n DESC, value_cents
+"""
+
+
 def q_part_soundex_blocks(sf_dir: str):
     """(soundex, n_parts, n_names): part rows blocked by the American
     Soundex code of their name's first word — the phonetic blocking
@@ -8201,6 +8255,9 @@ def registry() -> dict[str, tuple]:
         ),
         "part_soundex_blocks": (
             q_part_soundex_blocks, _sql_part_soundex_blocks(),
+        ),
+        "event_value_heavy_hitters": (
+            q_event_value_heavy_hitters, _sql_event_value_heavy_hitters(),
         ),
         "price_quantiles_by_flag": (
             q_price_quantiles_by_flag, SQL_PRICE_QUANTILES_BY_FLAG,

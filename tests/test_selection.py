@@ -159,3 +159,37 @@ def test_weighted_empty_and_all_zero(ray_session):
     assert radix_weighted_quantiles(
         _wds([5, 6], [0, 0], blocks=1), "cents", "w", [0.5]
     ) is None
+
+
+# ---------------------------------------------------------------------------
+# radix_heavy_hitters
+# ---------------------------------------------------------------------------
+
+from rsmetacheck_ray.functions.selection import radix_heavy_hitters
+
+
+def test_heavy_hitters_exact_threshold_boundary(ray_session):
+    # N = 100: 40x a, 30x b, 29 distinct fillers, 1x c. phi=0.3 ->
+    # thr = 30: a and b survive (b EXACTLY at the threshold), c and
+    # fillers don't. Values span multiple high buckets.
+    vals = (
+        [70_000] * 40 + [5] * 30 + [1_000_000 + i for i in range(29)] + [9]
+    )
+    t = radix_heavy_hitters(_ds(np.array(vals)), "cents", 0.3)
+    assert t.to_pydict() == {"value": [70_000, 5], "n": [40, 30]}
+
+
+def test_heavy_hitters_tie_order_and_none(ray_session):
+    # equal counts order by value ascending
+    t = radix_heavy_hitters(_ds(np.array([7, 7, 3, 3])), "cents", 0.5)
+    assert t.to_pydict() == {"value": [3, 7], "n": [2, 2]}
+    assert radix_heavy_hitters(
+        _ds(np.array([], np.int64), blocks=1), "cents", 0.5
+    ) is None
+
+
+def test_heavy_hitters_no_survivors(ray_session):
+    t = radix_heavy_hitters(
+        _ds(np.arange(100, dtype=np.int64)), "cents", 0.5
+    )
+    assert t.num_rows == 0
