@@ -435,6 +435,7 @@ BENCH_QUERIES = [
     "cohort_revenue",
     "part_soundex_blocks",
     "event_value_heavy_hitters",
+    "revenue_proration",
 ]
 
 

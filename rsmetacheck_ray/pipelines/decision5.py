@@ -289,6 +289,208 @@ ORDER BY 1, 2
 """
 
 
+def revenue_proration(
+    sf_dir: str, num_partitions: int | None = None
+) -> rd.Dataset:
+    """(month_idx, revenue_cents, n_orders): each order's total price
+    prorated day-proportionally across the calendar months of its
+    FILL interval (order date → last line shipment, inclusive) — the
+    revenue-recognition view, where a December order filled in
+    February books most of its revenue into January/February. Exact
+    integer policy, written identically in the oracle: each non-final
+    month books floor(cents·days_m / total_days); the FINAL month
+    books the remainder, so every order's cents sum exactly and the
+    monthly totals are partition-invariant ints.
+
+    Plan: the order_fill_times machinery — lineitem pre-combines per
+    batch to (orderkey → max shipdate), ONE orderkey tagged-union
+    shuffle; each partition finishes the max, expands each order over
+    its ≤ span/28+1 months VECTORIZED (a loop over month OFFSETS, not
+    orders), and emits (month, cents, n) partials bounded by the
+    month domain."""
+    li = _read_pq(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_shipdate"],
+    )
+    orders = _read_pq(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate", "o_totalprice"],
+    )
+    n_parts = num_partitions or adaptive_partitions(
+        parquet_rows_hint(li), row_bytes=16
+    )
+
+    def tag_li(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "key": b.column("l_orderkey"),
+                "d": pc.cast(
+                    pc.cast(b.column("l_shipdate"), pa.date32()), pa.int32()
+                ),
+            }
+        ).group_by("key").aggregate([("d", "max")])
+        ka = t.column("key").combine_chunks()
+        return pa.table(
+            {
+                "part": _part_of(ka, n_parts),
+                "key": ka,
+                "tag": pa.array(np.zeros(len(t), np.int8)),
+                "d": t.column("d_max"),
+                "cents": pa.array(np.zeros(len(t), np.int64)),
+            }
+        )
+
+    def tag_orders(b: pa.Table) -> pa.Table:
+        from .relational import _cents
+
+        ka = b.column("o_orderkey").combine_chunks()
+        return pa.table(
+            {
+                "part": _part_of(ka, n_parts),
+                "key": ka,
+                "tag": pa.array(np.ones(len(b), np.int8)),
+                "d": pc.cast(
+                    pc.cast(b.column("o_orderdate"), pa.date32()), pa.int32()
+                ),
+                "cents": _cents(b.column("o_totalprice")),
+            }
+        )
+
+    both = li.map_batches(tag_li, batch_format="pyarrow").union(
+        orders.map_batches(tag_orders, batch_format="pyarrow")
+    )
+
+    def _month_of(day: np.ndarray) -> np.ndarray:
+        return day.astype("M8[D]").astype("M8[M]").astype(np.int64)
+
+    def _month_start(m: np.ndarray) -> np.ndarray:
+        return m.astype("M8[M]").astype("M8[D]").astype(np.int64)
+
+    def prorate(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "month_idx": pa.array([], pa.int64()),
+                "revenue_cents": pa.array([], pa.int64()),
+                "n_orders": pa.array([], pa.int64()),
+            }
+        )
+        tag = g.column("tag").to_numpy(zero_copy_only=False)
+        key = g.column("key").to_numpy(zero_copy_only=False)
+        d = g.column("d").to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = g.column("cents").to_numpy(zero_copy_only=False)
+        lsel = tag == 0
+        lk, ld = key[lsel], d[lsel]
+        ok, od, oc = key[~lsel], d[~lsel], cents[~lsel]
+        if not len(lk) or not len(ok):
+            return empty
+        order = np.lexsort((ld, lk))
+        lk, ld = lk[order], ld[order]
+        last = np.empty(len(lk), dtype=bool)
+        last[:-1] = lk[1:] != lk[:-1]
+        last[-1] = True
+        ck, cd = lk[last], ld[last]
+        pos = np.minimum(np.searchsorted(ck, ok), len(ck) - 1)
+        hit = (ck[pos] == ok) & (cd[pos] >= od)
+        od, fd, oc = od[hit], cd[pos[hit]], oc[hit]
+        if not len(od):
+            return empty
+        total = fd - od + 1
+        m0, m1 = _month_of(od), _month_of(fd)
+        mmin, mmax = int(m0.min()), int(m1.max())
+        rev = np.zeros(mmax - mmin + 1, np.int64)
+        cnt = np.zeros(mmax - mmin + 1, np.int64)
+        acc = np.zeros(len(od), np.int64)
+        k = 0
+        while True:
+            mk = m0 + k
+            active = mk <= m1
+            if not active.any():
+                break
+            ms = _month_start(mk[active])
+            me = _month_start(mk[active] + 1) - 1
+            lo = np.maximum(od[active], ms)
+            hi = np.minimum(fd[active], me)
+            dk = hi - lo + 1
+            fl = oc[active] * dk // total[active]
+            is_last = mk[active] == m1[active]
+            val = np.where(is_last, oc[active] - acc[active], fl)
+            np.add.at(rev, mk[active] - mmin, val)
+            np.add.at(cnt, mk[active] - mmin, 1)
+            acc[active] += fl
+            k += 1
+        nz = (rev != 0) | (cnt != 0)
+        return pa.table(
+            {
+                "month_idx": pa.array(
+                    np.arange(mmin, mmax + 1)[nz], pa.int64()
+                ),
+                "revenue_cents": pa.array(rev[nz]),
+                "n_orders": pa.array(cnt[nz]),
+            }
+        )
+
+    per_part = both.groupby("part").map_groups(
+        prorate, batch_format="pyarrow"
+    )
+    tbl = bounded_group_table_strict(
+        per_part,
+        ["month_idx"],
+        [("revenue_cents", "sum"), ("n_orders", "sum")],
+    )
+    if tbl is None:
+        tbl = pa.table(
+            {
+                "month_idx": pa.array([], pa.int64()),
+                "revenue_cents": pa.array([], pa.int64()),
+                "n_orders": pa.array([], pa.int64()),
+            }
+        )
+    return rd.from_arrow(tbl).sort("month_idx")
+
+
+REVENUE_PRORATION_SQL = """
+WITH f AS (
+  SELECT l_orderkey AS ok, max(l_shipdate) AS fill FROM lineitem GROUP BY 1
+), o AS (
+  SELECT o_orderkey AS ok, o_orderdate AS od,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+), span AS (
+  SELECT o.ok, od, fill, cents,
+         datediff('day', od, fill) + 1 AS total
+  FROM o JOIN f USING (ok) WHERE fill >= od
+), m AS (
+  SELECT ok, od, fill, cents, total,
+    unnest(generate_series(
+      date_trunc('month', od), date_trunc('month', fill),
+      INTERVAL 1 MONTH)) AS mon
+  FROM span
+), d AS (
+  SELECT ok, cents, total, mon,
+    datediff('day', greatest(od, mon),
+             least(fill, mon + INTERVAL 1 MONTH - INTERVAL 1 DAY)) + 1
+      AS days_m
+  FROM m
+), p AS (
+  SELECT ok, mon, cents,
+    ROW_NUMBER() OVER (PARTITION BY ok ORDER BY mon) AS rn,
+    COUNT(*) OVER (PARTITION BY ok) AS nm,
+    (cents * days_m) // total AS fl,
+    COALESCE(SUM((cents * days_m) // total) OVER (
+      PARTITION BY ok ORDER BY mon
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prevsum
+  FROM d
+)
+SELECT CAST((year(mon) - 1970) * 12 + month(mon) - 1 AS BIGINT) AS month_idx,
+  CAST(SUM(CASE WHEN rn = nm THEN cents - prevsum ELSE fl END) AS BIGINT)
+    AS revenue_cents,
+  CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM p
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Interval stabbing: daily count of simultaneously-open orders.
 # ---------------------------------------------------------------------------

@@ -8295,6 +8295,9 @@ def registry() -> dict[str, tuple]:
             dec5.customer_cohorts, dec5.CUSTOMER_COHORTS_SQL,
         ),
         "cohort_revenue": (dec5.cohort_revenue, dec5.COHORT_REVENUE_SQL),
+        "revenue_proration": (
+            dec5.revenue_proration, dec5.REVENUE_PRORATION_SQL,
+        ),
         "orders_backlog": (dec5.orders_backlog, dec5.ORDERS_BACKLOG_SQL),
         "part_brand_hhi": (dec5.part_brand_hhi, dec5.PART_BRAND_HHI_SQL),
         "user_interarrival_stats": (

@@ -550,3 +550,51 @@ def test_cohort_revenue_attribution(ray_session, tmp_path):
         assert got[(mar, 0)]["n_customers"] == 1
         assert got[(mar, 0)]["revenue_cents"] == 20000
         assert set(got) == {(jan, 0), (jan, 2), (mar, 0)}
+
+
+# ---------------------------------------------------------------------------
+# revenue_proration
+# ---------------------------------------------------------------------------
+
+def test_revenue_proration_floor_and_remainder(ray_session, tmp_path):
+    d = str(tmp_path)
+    # order 1: od 2024-01-30, fill 2024-02-03 -> total 5 days,
+    # 2 in Jan / 3 in Feb; cents 100 -> Jan floor(100*2/5)=40,
+    # Feb (last) = 100-40 = 60.
+    # order 2: od 2024-01-31, fill 2024-02-01, cents 11 (odd) ->
+    # Jan floor(11/2)=5, Feb remainder 6 (remainder to the LAST month).
+    # order 3: single-day span entirely in March -> all 100 in March.
+    _orders(d, [
+        (1, 1, "2024-01-30"),
+        (2, 1, "2024-01-31"),
+        (3, 1, "2024-03-15"),
+    ])
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+    t = _pq.read_table(os.path.join(d, "orders.parquet"))
+    prices = {1: 1.0, 2: 0.11, 3: 1.0}
+    keys = t.column("o_orderkey").to_pylist()
+    t = t.set_column(
+        t.schema.get_field_index("o_totalprice"), "o_totalprice",
+        _pa.array([prices[k] for k in keys], _pa.float64()),
+    )
+    _pq.write_table(t, os.path.join(d, "orders.parquet"))
+    _lineitem(d, [
+        (1, 1, 1, 1.0, 0.0, "2024-01-31"),
+        (1, 1, 1, 1.0, 0.0, "2024-02-03"),   # max ship wins
+        (2, 1, 1, 1.0, 0.0, "2024-02-01"),
+        (3, 1, 1, 1.0, 0.0, "2024-03-15"),
+    ])
+    jan = (2024 - 1970) * 12 + 0
+    for parts in (1, 2, 3):
+        got = {
+            r["month_idx"]: r
+            for r in d5.revenue_proration(d, num_partitions=parts).take_all()
+        }
+        assert got[jan]["revenue_cents"] == 40 + 5
+        assert got[jan]["n_orders"] == 2
+        assert got[jan + 1]["revenue_cents"] == 60 + 6
+        assert got[jan + 1]["n_orders"] == 2
+        assert got[jan + 2]["revenue_cents"] == 100
+        assert got[jan + 2]["n_orders"] == 1
+        assert set(got) == {jan, jan + 1, jan + 2}
