@@ -436,6 +436,8 @@ BENCH_QUERIES = [
     "part_soundex_blocks",
     "event_value_heavy_hitters",
     "revenue_proration",
+    "lang_shannon",
+    "dedup_degree_hist",
 ]
 
 

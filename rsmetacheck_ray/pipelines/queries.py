@@ -4858,6 +4858,17 @@ deg AS MATERIALIZED (
 )
 """
 
+SQL_DEDUP_DEGREE_HIST = f"""
+WITH
+{_CC_CORPUS_SQL.strip()},
+{_CC_SIMPLE_EDGES_SQL.strip()}
+SELECT CAST(d AS BIGINT) AS degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM deg
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 SQL_DEDUP_GRAPH_ASSORTATIVITY = f"""
 WITH
 {_CC_CORPUS_SQL.strip()},
@@ -4879,6 +4890,32 @@ SELECT
   END AS assortativity
 FROM pairs
 """
+
+
+def q_dedup_degree_hist(sf_dir: str):
+    """(degree, n_nodes): the dedup graph's degree distribution — the
+    first shape question about a near-dup graph (a heavy tail means a
+    few boilerplate hubs touch everything; a flat histogram means
+    diffuse pairwise near-dups). Composes the star-pair edge pipeline;
+    the count-of-counts fold is bounded by the max degree."""
+    empty = pa.table(
+        {
+            "degree": pa.array([], pa.int64()),
+            "n_nodes": pa.array([], pa.int64()),
+        }
+    )
+    edges = _cc_simple_edges(sf_dir)
+    if edges is None:
+        return empty
+    lo, hi = edges
+    _, deg = _simple_degrees(lo, hi)
+    vals, cnt = np.unique(deg, return_counts=True)
+    return pa.table(
+        {
+            "degree": pa.array(vals.astype(np.int64)),
+            "n_nodes": pa.array(cnt.astype(np.int64)),
+        }
+    )
 
 
 def q_dedup_graph_clustering(sf_dir: str):
@@ -8608,6 +8645,8 @@ def registry() -> dict[str, tuple]:
         ),
         "source_cvm_length": (st.source_cvm_length, st.SOURCE_CVM_LENGTH_SQL),
         "lang_simpson": (st.lang_simpson, st._lang_simpson_sql()),
+        "lang_shannon": (st.lang_shannon, st._lang_shannon_sql()),
+        "dedup_degree_hist": (q_dedup_degree_hist, SQL_DEDUP_DEGREE_HIST),
         "doc_token_novelty": (
             st.doc_token_novelty, st._doc_token_novelty_sql(),
         ),

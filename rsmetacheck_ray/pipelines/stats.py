@@ -602,6 +602,165 @@ ORDER BY lang
 
 
 # ---------------------------------------------------------------------------
+# Shannon diversity of each language's token distribution.
+# ---------------------------------------------------------------------------
+
+def lang_shannon(
+    sf_dir: str, num_partitions: int | None = None
+) -> rd.Dataset:
+    """(lang, n_tokens, n_types, shannon_nats, evenness): Shannon
+    entropy H = Σ (nₜ/N)·ln(N/nₜ) of each language's token
+    distribution, and Pielou's evenness H / ln(n_types) — the order-1
+    diversity sitting between ``lang_ttr`` (order 0) and
+    ``lang_simpson`` (order 2).
+
+    Exactness: H·N·10⁶ = N·L(N) − Σ nₜ·L(nₜ) with L the micro-log
+    quantization — exact integers end to end; evenness is
+    num / (N · L(n_types)), where the 10⁶ scale cancels. Same
+    single token-hash shuffle and per-partition Σ nₜ·L(nₜ) fold as
+    lang_simpson (int64 partial bounds documented there).
+
+    Plan: per-batch (lang, token, n) pre-combine, ONE token-hash
+    shuffle, |langs| partial rows per partition, |langs| reduce."""
+    from ..functions.hashing import token_partitions
+    from ..functions.tokenize import split_ws_tokens
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "documents.parquet"), columns=["lang", "text"]
+    )
+    hint = parquet_rows_hint(ds)
+    n_parts = num_partitions or adaptive_partitions(
+        hint * 64 if hint else None, row_bytes=32
+    )
+
+    def pairs(b: pa.Table) -> pa.Table:
+        words = split_ws_tokens(b.column("text"))
+        off = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = words.flatten()
+        doc_idx = np.repeat(
+            np.arange(len(words), dtype=np.int64), np.diff(off)
+        )
+        mask = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        langs = b.column("lang").take(pa.array(doc_idx[mask], pa.int64()))
+        t = pa.table({"lang": langs, "token": flat.filter(pa.array(mask))})
+        g = t.group_by(["lang", "token"]).aggregate([([], "count_all")])
+        g = g.rename_columns(["lang", "token", "n"])
+        vocab = np.asarray(g.column("token").to_pylist(), dtype=object)
+        return pa.table(
+            {
+                "part": pa.array(
+                    token_partitions(vocab, n_parts).astype(np.int64),
+                    pa.int64(),
+                ),
+                "lang": g.column("lang"),
+                "token": g.column("token"),
+                "n": pc.cast(g.column("n"), pa.int64()),
+            }
+        )
+
+    def fold(g: pa.Table) -> pa.Table:
+        t = (
+            g.select(["lang", "token", "n"])
+            .group_by(["lang", "token"])
+            .aggregate([("n", "sum")])
+            .rename_columns(["lang", "token", "n"])
+        )
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        # micro-log over the DISTINCT counts, mapped back (libm ln)
+        un = np.unique(n)
+        lut = np.array([_micro_ln(int(v)) for v in un], np.int64)
+        nl = n * lut[np.searchsorted(un, n)]
+        t2 = t.append_column("nl", pa.array(nl, pa.int64()))
+        out = t2.group_by("lang").aggregate(
+            [("n", "sum"), ("nl", "sum"), ([], "count_all")]
+        )
+        return out.rename_columns(["lang", "n_tokens", "s_nl", "n_types"])
+
+    per_part = (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+    tbl = bounded_group_table_strict(
+        per_part, ["lang"],
+        [("n_tokens", "sum"), ("s_nl", "sum"), ("n_types", "sum")],
+    )
+    empty = pa.table(
+        {
+            "lang": pa.array([], pa.string()),
+            "n_tokens": pa.array([], pa.int64()),
+            "n_types": pa.array([], pa.int64()),
+            "shannon_nats": pa.array([], pa.float64()),
+            "evenness": pa.array([], pa.float64()),
+        }
+    )
+    if tbl is None:
+        return rd.from_arrow(empty)
+    rows = sorted(
+        zip(
+            tbl.column("lang").to_pylist(),
+            tbl.column("n_tokens").to_pylist(),
+            tbl.column("s_nl").to_pylist(),
+            tbl.column("n_types").to_pylist(),
+        )
+    )
+    out_l, out_n, out_ty, out_h, out_e = [], [], [], [], []
+    for lang, n, s, ty in rows:
+        n, s, ty = int(n), int(s), int(ty)
+        num = n * _micro_ln(n) - s
+        h = float(num) / (float(n) * 1000000.0)
+        lt = _micro_ln(ty)
+        ev = float(num) / (float(n) * float(lt)) if lt > 0 else 0.0
+        out_l.append(lang)
+        out_n.append(n)
+        out_ty.append(ty)
+        out_h.append(h)
+        out_e.append(ev)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "lang": pa.array(out_l, pa.string()),
+                "n_tokens": pa.array(out_n, pa.int64()),
+                "n_types": pa.array(out_ty, pa.int64()),
+                "shannon_nats": pa.array(out_h, pa.float64()),
+                "evenness": pa.array(out_e, pa.float64()),
+            }
+        )
+    )
+
+
+def _lang_shannon_sql() -> str:
+    from ..functions.tokenize import WS_TOKEN_RE
+
+    ln_n = _MICRO_LN_SQL.format(v="SUM(n)")
+    ln_t = _MICRO_LN_SQL.format(v="COUNT(*)")
+    ln_each = _MICRO_LN_SQL.format(v="n")
+    return f"""
+WITH tok AS (
+  SELECT lang, unnest(regexp_extract_all(text, '{WS_TOKEN_RE}')) AS token
+  FROM documents
+), counts AS MATERIALIZED (
+  SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS n
+  FROM tok GROUP BY lang, token
+)
+SELECT lang,
+  CAST(SUM(n) AS BIGINT) AS n_tokens,
+  CAST(COUNT(*) AS BIGINT) AS n_types,
+  CAST(CAST(SUM(n) AS HUGEINT) * {ln_n}
+       - SUM(CAST(n AS HUGEINT) * {ln_each}) AS DOUBLE)
+    / (CAST(SUM(n) AS DOUBLE) * 1000000.0) AS shannon_nats,
+  CASE WHEN {ln_t} > 0
+    THEN CAST(CAST(SUM(n) AS HUGEINT) * {ln_n}
+              - SUM(CAST(n AS HUGEINT) * {ln_each}) AS DOUBLE)
+       / (CAST(SUM(n) AS DOUBLE) * CAST({ln_t} AS DOUBLE))
+    ELSE 0.0 END AS evenness
+FROM counts
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
 # Per-document token novelty (first-occurrence vocabulary share).
 # ---------------------------------------------------------------------------
 

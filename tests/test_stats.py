@@ -267,6 +267,31 @@ def test_simpson_extremes(ray_session, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# lang_shannon
+# ---------------------------------------------------------------------------
+
+def test_shannon_extremes(ray_session, tmp_path):
+    d = str(tmp_path)
+    # lang a: one type -> H = 0.0 exactly, evenness guarded to 0.0
+    # (ln(1) = 0); lang b: two equiprobable types -> H = ln2 in
+    # micro-log units, evenness exactly 1.0 (the scale cancels)
+    _write(d, "documents", {
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["x x x", "x y"], pa.string()),
+        "lang": pa.array(["a", "b"], pa.string()),
+        "source": pa.array(["s", "s"], pa.string()),
+        "n_chars": pa.array([5, 3], pa.int64()),
+    })
+    for parts in (1, 2, 3):
+        got = {r["lang"]: r
+               for r in st.lang_shannon(d, num_partitions=parts).take_all()}
+        assert got["a"]["shannon_nats"] == 0.0
+        assert got["a"]["evenness"] == 0.0
+        assert got["b"]["shannon_nats"] == 693147.0 / 1000000.0
+        assert got["b"]["evenness"] == 1.0
+
+
+# ---------------------------------------------------------------------------
 # doc_token_novelty
 # ---------------------------------------------------------------------------
 
