@@ -438,6 +438,7 @@ BENCH_QUERIES = [
     "revenue_proration",
     "lang_shannon",
     "dedup_degree_hist",
+    "source_score_calibration",
 ]
 
 

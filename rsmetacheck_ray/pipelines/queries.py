@@ -1004,6 +1004,133 @@ ORDER BY q
 """
 
 
+_CAL_QS = tuple(round(0.1 * i, 1) for i in range(1, 10))
+
+
+class _SourceScoreHist:
+    """Actor-pool stage: per-batch (source, score_total, n) partials —
+    the quality classifier with the source column carried through
+    (lexicon built once per worker in __init__)."""
+
+    def __init__(self):
+        from ..functions.classifier import QualityClassifier
+
+        self.clf = QualityClassifier()
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        scored = self.clf(b)  # row-aligned with the input batch
+        t = pa.table(
+            {
+                "source": b.column("source"),
+                "v": scored.column("score_total"),
+            }
+        ).group_by(["source", "v"]).aggregate([([], "count_all")])
+        t = t.rename_columns(["source", "v", "n"])
+        return t.set_column(2, "n", pc.cast(t.column(2), pa.int64()))
+
+
+def q_source_score_calibration(sf_dir: str):
+    """(source, q, source_score, global_score): each source's
+    classifier-score deciles next to the corpus-wide deciles — the
+    quantile-mapping table batch-effect correction uses (map a
+    source's score through its own CDF onto the global one; a source
+    whose column diverges from global needs recalibrating before its
+    scores are comparable). quantile_disc rank convention
+    k = max(1, ceil(q·n)) on both engines.
+
+    Plan: ONE actor-pool classifier pass emitting (source, score, n)
+    partials on the quantized score domain; the per-source and global
+    CDF walks are driver-side over that bounded histogram."""
+    import math
+
+    ds = rel._read_pq(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "text"],
+    )
+    tbl = rel.bounded_group_table_strict(
+        ds.map_batches(
+            _SourceScoreHist, batch_format="pyarrow", concurrency=(1, 8)
+        ),
+        ["source", "v"],
+        [("n", "sum")],
+    )
+    empty = pa.table(
+        {
+            "source": pa.array([], pa.string()),
+            "q": pa.array([], pa.float64()),
+            "source_score": pa.array([], pa.int64()),
+            "global_score": pa.array([], pa.int64()),
+        }
+    )
+    if tbl is None:
+        return empty
+
+    def cdf_quantiles(hist: dict[int, int]) -> dict[float, int]:
+        vals = sorted(hist)
+        cum, walk = 0, []
+        for v in vals:
+            cum += hist[v]
+            walk.append((v, cum))
+        n = cum
+        out = {}
+        for q in _CAL_QS:
+            k = max(1, math.ceil(q * n))
+            out[q] = next(v for v, c in walk if c >= k)
+        return out
+
+    by_src: dict[str, dict[int, int]] = {}
+    glob: dict[int, int] = {}
+    for s, v, n in zip(
+        tbl.column("source").to_pylist(),
+        tbl.column("v").to_pylist(),
+        tbl.column("n").to_pylist(),
+    ):
+        v, n = int(v), int(n)
+        by_src.setdefault(s, {})[v] = n  # (source, v) unique post-reduce
+        glob[v] = glob.get(v, 0) + n
+    gq = cdf_quantiles(glob)
+    out_s, out_q, out_sv, out_gv = [], [], [], []
+    for s in sorted(by_src):
+        sq = cdf_quantiles(by_src[s])
+        for q in _CAL_QS:
+            out_s.append(s)
+            out_q.append(q)
+            out_sv.append(sq[q])
+            out_gv.append(gq[q])
+    return pa.table(
+        {
+            "source": pa.array(out_s, pa.string()),
+            "q": pa.array(out_q, pa.float64()),
+            "source_score": pa.array(out_sv, pa.int64()),
+            "global_score": pa.array(out_gv, pa.int64()),
+        }
+    )
+
+
+def _sql_source_score_calibration() -> str:
+    per_q = "\nUNION ALL\n".join(
+        f"""SELECT source, {q}::DOUBLE AS q,
+  CAST(quantile_disc(v, {q}) AS BIGINT) AS source_score
+FROM j GROUP BY source"""
+        for q in _CAL_QS
+    )
+    globals_q = "\nUNION ALL\n".join(
+        f"""SELECT {q}::DOUBLE AS q,
+  CAST(quantile_disc(v, {q}) AS BIGINT) AS global_score FROM j"""
+        for q in _CAL_QS
+    )
+    return f"""
+WITH s AS ({_sql_quality_classifier()}),
+j AS MATERIALIZED (
+  SELECT d.source, s.score_total AS v
+  FROM s JOIN documents d USING (doc_id)
+), per_src AS ({per_q}), gq AS ({globals_q})
+SELECT per_src.source, per_src.q, per_src.source_score, gq.global_score
+FROM per_src JOIN gq USING (q)
+ORDER BY source, q
+"""
+
+
 _HH_PHI = 0.0005
 
 
@@ -8295,6 +8422,9 @@ def registry() -> dict[str, tuple]:
         ),
         "event_value_heavy_hitters": (
             q_event_value_heavy_hitters, _sql_event_value_heavy_hitters(),
+        ),
+        "source_score_calibration": (
+            q_source_score_calibration, _sql_source_score_calibration(),
         ),
         "price_quantiles_by_flag": (
             q_price_quantiles_by_flag, SQL_PRICE_QUANTILES_BY_FLAG,
