@@ -439,6 +439,7 @@ BENCH_QUERIES = [
     "lang_shannon",
     "dedup_degree_hist",
     "source_score_calibration",
+    "customer_trend_mix",
 ]
 
 

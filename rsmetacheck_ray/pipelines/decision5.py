@@ -491,6 +491,137 @@ ORDER BY 1
 """
 
 
+def customer_trend_mix(
+    sf_dir: str, num_partitions: int | None = None
+) -> rd.Dataset:
+    """(trend, n_customers): every multi-month customer classified by
+    the SIGN of the OLS slope of their monthly spend (cents) on month
+    index — how many customers are growing (+1), flat (0) or
+    declining (−1). The per-entity-model → population-rollup shape:
+    a tiny regression is fit per customer where the customer's rows
+    live, and only the 3-cell mix ships.
+
+    Exactness: the slope's denominator is a variance (> 0 whenever a
+    customer spans ≥ 2 months), so sign(slope) = sign(n·Σxy − Σx·Σy)
+    — an exact int64 comparison; single-month customers are excluded
+    on both engines.
+
+    Plan: per-batch (cust, month, cents) pre-combine, ONE custkey-hash
+    shuffle, per-partition per-customer moment fold (vectorized
+    np.add.at over customer runs), 3-row bounded reduce."""
+    from .relational import _cents
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    n_parts = num_partitions or adaptive_partitions(
+        parquet_rows_hint(ds), row_bytes=24
+    )
+
+    def tag(b: pa.Table) -> pa.Table:
+        m = (
+            b.column("o_orderdate")
+            .to_numpy(zero_copy_only=False)
+            .astype("M8[M]")
+            .astype(np.int64)
+        )
+        t = pa.table(
+            {
+                "cust": b.column("o_custkey"),
+                "m": pa.array(m, pa.int64()),
+                "cents": _cents(b.column("o_totalprice")),
+            }
+        ).group_by(["cust", "m"]).aggregate([("cents", "sum")])
+        t = t.rename_columns(["cust", "m", "cents"])
+        return t.append_column("part", _part_of(t.column("cust"), n_parts))
+
+    def fold(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "trend": pa.array([], pa.int64()),
+                "n_customers": pa.array([], pa.int64()),
+            }
+        )
+        if g.num_rows == 0:
+            return empty
+        t = (
+            g.select(["cust", "m", "cents"])
+            .group_by(["cust", "m"])
+            .aggregate([("cents", "sum")])
+            .rename_columns(["cust", "m", "cents"])
+        )
+        cust = t.column("cust").to_numpy(zero_copy_only=False)
+        x = t.column("m").to_numpy(zero_copy_only=False)
+        y = t.column("cents").to_numpy(zero_copy_only=False)
+        order = np.argsort(cust, kind="stable")
+        cust, x, y = cust[order], x[order], y[order]
+        uniq, starts = np.unique(cust, return_index=True)
+        sizes = np.diff(np.append(starts, len(cust)))
+        idx = np.repeat(np.arange(len(uniq), dtype=np.int64), sizes)
+
+        def seg(v):
+            acc = np.zeros(len(uniq), np.int64)
+            np.add.at(acc, idx, v)
+            return acc
+
+        n = sizes.astype(np.int64)
+        # month indices are small (~10³) and cents < 2⁵³/10³: the
+        # int64 products below are exact at any realistic time span
+        sx, sy = seg(x), seg(y)
+        sxy = seg(x * y)
+        num = n * sxy - sx * sy
+        multi = n >= 2
+        sign = np.sign(num[multi])
+        vals, cnt = np.unique(sign, return_counts=True)
+        return pa.table(
+            {
+                "trend": pa.array(vals.astype(np.int64)),
+                "n_customers": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    per_part = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+    tbl = bounded_group_table_strict(
+        per_part, ["trend"], [("n_customers", "sum")]
+    )
+    if tbl is None:
+        tbl = pa.table(
+            {
+                "trend": pa.array([], pa.int64()),
+                "n_customers": pa.array([], pa.int64()),
+            }
+        )
+    return rd.from_arrow(tbl).sort("trend")
+
+
+CUSTOMER_TREND_MIX_SQL = """
+WITH cm AS (
+  SELECT o_custkey,
+    (year(o_orderdate) - 1970) * 12 + month(o_orderdate) - 1 AS x,
+    CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      AS y
+  FROM orders GROUP BY 1, 2
+), fit AS (
+  SELECT o_custkey,
+    CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(COUNT(*) AS HUGEINT) * SUM(CAST(x AS HUGEINT) * y)
+      - SUM(x) * SUM(y) AS num
+  FROM cm GROUP BY 1
+)
+SELECT CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END
+            AS BIGINT) AS trend,
+  CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM fit WHERE n >= 2
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Interval stabbing: daily count of simultaneously-open orders.
 # ---------------------------------------------------------------------------

@@ -8465,6 +8465,9 @@ def registry() -> dict[str, tuple]:
         "revenue_proration": (
             dec5.revenue_proration, dec5.REVENUE_PRORATION_SQL,
         ),
+        "customer_trend_mix": (
+            dec5.customer_trend_mix, dec5.CUSTOMER_TREND_MIX_SQL,
+        ),
         "orders_backlog": (dec5.orders_backlog, dec5.ORDERS_BACKLOG_SQL),
         "part_brand_hhi": (dec5.part_brand_hhi, dec5.PART_BRAND_HHI_SQL),
         "user_interarrival_stats": (

@@ -598,3 +598,37 @@ def test_revenue_proration_floor_and_remainder(ray_session, tmp_path):
         assert got[jan + 2]["revenue_cents"] == 100
         assert got[jan + 2]["n_orders"] == 1
         assert set(got) == {jan, jan + 1, jan + 2}
+
+
+# ---------------------------------------------------------------------------
+# customer_trend_mix
+# ---------------------------------------------------------------------------
+
+def test_customer_trend_mix_signs(ray_session, tmp_path):
+    d = str(tmp_path)
+    # cust 1 grows (10 -> 20 over two months), cust 2 declines
+    # (20 -> 10), cust 3 is flat across three months (slope exactly
+    # 0), cust 4 is single-month (excluded)
+    _orders(d, [
+        (1, 1, "2024-01-10"), (2, 1, "2024-02-10"),
+        (3, 2, "2024-01-10"), (4, 2, "2024-02-10"),
+        (5, 3, "2024-01-10"), (6, 3, "2024-02-10"), (7, 3, "2024-03-10"),
+        (8, 4, "2024-01-10"),
+    ])
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+    t = _pq.read_table(os.path.join(d, "orders.parquet"))
+    prices = {1: 0.10, 2: 0.20, 3: 0.20, 4: 0.10,
+              5: 0.15, 6: 0.15, 7: 0.15, 8: 9.99}
+    keys = t.column("o_orderkey").to_pylist()
+    t = t.set_column(
+        t.schema.get_field_index("o_totalprice"), "o_totalprice",
+        _pa.array([prices[k] for k in keys], _pa.float64()),
+    )
+    _pq.write_table(t, os.path.join(d, "orders.parquet"))
+    for parts in (1, 2, 3):
+        got = {
+            r["trend"]: r["n_customers"]
+            for r in d5.customer_trend_mix(d, num_partitions=parts).take_all()
+        }
+        assert got == {-1: 1, 0: 1, 1: 1}
