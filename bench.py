@@ -440,6 +440,7 @@ BENCH_QUERIES = [
     "dedup_degree_hist",
     "source_score_calibration",
     "customer_trend_mix",
+    "customer_km_survival",
 ]
 
 

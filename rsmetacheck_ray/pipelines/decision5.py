@@ -622,6 +622,237 @@ ORDER BY 1
 """
 
 
+def customer_km_survival(
+    sf_dir: str, num_partitions: int | None = None
+) -> rd.Dataset:
+    """(t_days, n_at_risk, n_events, survival): the Kaplan–Meier
+    survival curve for "time until a customer's SECOND order" —
+    survival analysis with right censoring (single-order customers are
+    censored at the lake's last order date), the retention question
+    "how long until a new customer comes back, given many never have
+    yet". One row per distinct event time.
+
+    Exactness: S(t) = Πᵢ (1 − dᵢ/nᵢ) is computed in micro-log fixed
+    point — each factor contributes the exact integer
+    L(nᵢ−dᵢ) − L(nᵢ), the cumulative sum is order-free exact int
+    arithmetic, and the only float op is the final libm ``exp`` both
+    engines apply to the same double. Censored subjects at time t stay
+    in the risk set at t (the standard deaths-before-censorings
+    convention, identical in the oracle).
+
+    Plan: ONE custkey-hash shuffle of per-batch-combined
+    (cust, date, orderkey-min) rows; each owning partition derives its
+    customers' first/second order dates by one lexsort and emits
+    (time, is_event, n) histogram partials bounded by the lake's day
+    span; the KM walk is driver-side over that bounded table."""
+    ds = _read_pq(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderdate"],
+    )
+    n_parts = num_partitions or adaptive_partitions(
+        parquet_rows_hint(ds), row_bytes=16
+    )
+
+    # global censoring horizon: the lake's last order day (footer-free
+    # exact aggregate — one bounded reduce)
+    def max_day(b: pa.Table) -> pa.Table:
+        d = pc.cast(pc.cast(b.column("o_orderdate"), pa.date32()), pa.int32())
+        m = pc.max(d).as_py()
+        return pa.table(
+            {"k": pa.array([0], pa.int64()),
+             "d": pa.array([m if m is not None else -(2**31)], pa.int64())}
+        )
+
+    mx = bounded_group_table_strict(
+        ds.map_batches(max_day, batch_format="pyarrow"), ["k"], [("d", "max")]
+    )
+    empty = pa.table(
+        {
+            "t_days": pa.array([], pa.int64()),
+            "n_at_risk": pa.array([], pa.int64()),
+            "n_events": pa.array([], pa.int64()),
+            "survival": pa.array([], pa.float64()),
+        }
+    )
+    if mx is None:
+        return rd.from_arrow(empty)
+    horizon = int(mx.column("d")[0].as_py())
+
+    def tag(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "cust": b.column("o_custkey"),
+                "d": pc.cast(
+                    pc.cast(
+                        pc.cast(b.column("o_orderdate"), pa.date32()),
+                        pa.int32(),
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+        # keep at most the two smallest dates per (batch, cust): min
+        # and min-of-above-min — a lossless pre-combine for "first two"
+        g1 = t.group_by("cust").aggregate([("d", "min")])
+        g1 = g1.rename_columns(["cust", "d1"])
+        j = t.join(g1, keys="cust")
+        above = j.filter(pc.greater(j.column("d"), j.column("d1")))
+        g2 = above.group_by("cust").aggregate([("d", "min")])
+        g2 = g2.rename_columns(["cust", "d"])
+        out = pa.concat_tables(
+            [g1.rename_columns(["cust", "d"]), g2]
+        ).combine_chunks()
+        return out.append_column(
+            "part", _part_of(out.column("cust"), n_parts)
+        )
+
+    def fold(g: pa.Table) -> pa.Table:
+        empty_h = pa.table(
+            {
+                "t": pa.array([], pa.int64()),
+                "ev": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if g.num_rows == 0:
+            return empty_h
+        cust = g.column("cust").to_numpy(zero_copy_only=False)
+        d = g.column("d").to_numpy(zero_copy_only=False)
+        # DISTINCT (cust, date) like the oracle: the "second order"
+        # is the next DISTINCT day, so same-day repeats never count
+        pairs = np.unique(np.stack([cust, d], axis=1), axis=0)
+        cust, d = pairs[:, 0], pairs[:, 1]
+        first = np.empty(len(cust), dtype=bool)
+        first[0] = True
+        first[1:] = cust[1:] != cust[:-1]
+        starts = np.flatnonzero(first)
+        sizes = np.diff(np.append(starts, len(cust)))
+        d1 = d[starts]
+        has2 = sizes >= 2
+        t2 = np.where(has2, d[np.minimum(starts + 1, len(d) - 1)], 0)
+        t_obs = np.where(has2, t2 - d1, horizon - d1).astype(np.int64)
+        is_ev = has2.astype(np.int64)
+        key = np.stack([t_obs, is_ev], axis=1)
+        uniq, cnt = np.unique(key, axis=0, return_counts=True)
+        return pa.table(
+            {
+                "t": pa.array(uniq[:, 0], pa.int64()),
+                "ev": pa.array(uniq[:, 1], pa.int64()),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    hist = bounded_group_table_strict(
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(fold, batch_format="pyarrow"),
+        ["t", "ev"],
+        [("n", "sum")],
+    )
+    if hist is None:
+        return rd.from_arrow(empty)
+    import math
+
+    per_t: dict[int, list[int]] = {}  # t -> [events, total_here]
+    for t, ev, n in zip(
+        hist.column("t").to_pylist(),
+        hist.column("ev").to_pylist(),
+        hist.column("n").to_pylist(),
+    ):
+        a = per_t.setdefault(int(t), [0, 0])
+        if int(ev) == 1:
+            a[0] += int(n)
+        a[1] += int(n)
+    total = sum(v[1] for v in per_t.values())
+    out_t, out_n, out_d, out_s = [], [], [], []
+    seen = 0
+    cum_micro = 0
+    dead = False  # everyone at risk failed at once -> S hits exact 0
+    for t in sorted(per_t):
+        d_ev, here = per_t[t]
+        n_risk = total - seen
+        if d_ev > 0:
+            if n_risk > d_ev and not dead:
+                cum_micro += (
+                    _micro_ln_d5(n_risk - d_ev) - _micro_ln_d5(n_risk)
+                )
+            else:
+                dead = True
+            out_t.append(t)
+            out_n.append(n_risk)
+            out_d.append(d_ev)
+            out_s.append(
+                0.0 if dead else math.exp(float(cum_micro) / 1000000.0)
+            )
+        seen += here
+    return rd.from_arrow(
+        pa.table(
+            {
+                "t_days": pa.array(out_t, pa.int64()),
+                "n_at_risk": pa.array(out_n, pa.int64()),
+                "n_events": pa.array(out_d, pa.int64()),
+                "survival": pa.array(out_s, pa.float64()),
+            }
+        )
+    )
+
+
+def _micro_ln_d5(v: int) -> int:
+    import math
+
+    return int(math.floor(math.log(v) * 1_000_000 + 0.5))
+
+
+CUSTOMER_KM_SQL = """
+WITH d AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS od FROM orders
+), g AS (SELECT max(od) AS horizon FROM d),
+ranked AS (
+  SELECT o_custkey, od,
+    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY od) AS rn
+  FROM (SELECT DISTINCT o_custkey, od FROM d)
+), subj AS (
+  SELECT r1.o_custkey,
+    CASE WHEN r2.od IS NULL
+      THEN datediff('day', r1.od, g.horizon) ELSE
+           datediff('day', r1.od, r2.od) END AS t,
+    CASE WHEN r2.od IS NULL THEN 0 ELSE 1 END AS ev
+  FROM ranked r1
+  LEFT JOIN ranked r2 ON r2.o_custkey = r1.o_custkey AND r2.rn = 2
+  CROSS JOIN g
+  WHERE r1.rn = 1
+), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM subj),
+times AS (
+  SELECT t, CAST(SUM(ev) AS BIGINT) AS d_ev,
+         CAST(COUNT(*) AS BIGINT) AS here
+  FROM subj GROUP BY t
+), risk AS (
+  SELECT t, d_ev,
+    tot.n - COALESCE(SUM(here) OVER (
+      ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      AS n_risk
+  FROM times CROSS JOIN tot
+), km AS (
+  SELECT t, n_risk, d_ev,
+    SUM(CASE WHEN d_ev > 0 AND n_risk > d_ev THEN
+      CAST(floor(ln(CAST(n_risk - d_ev AS DOUBLE)) * 1000000 + 0.5)
+           AS BIGINT)
+      - CAST(floor(ln(CAST(n_risk AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+      ELSE 0 END) OVER (ORDER BY t) AS cum_micro,
+    MAX(CASE WHEN d_ev > 0 AND n_risk <= d_ev THEN 1 ELSE 0 END)
+      OVER (ORDER BY t) AS dead
+  FROM risk
+)
+SELECT CAST(t AS BIGINT) AS t_days, CAST(n_risk AS BIGINT) AS n_at_risk,
+  CAST(d_ev AS BIGINT) AS n_events,
+  CASE WHEN dead = 1 THEN 0.0
+       ELSE exp(CAST(cum_micro AS DOUBLE) / 1000000.0) END AS survival
+FROM km
+WHERE d_ev > 0
+ORDER BY t_days
+"""
+
+
 # ---------------------------------------------------------------------------
 # Interval stabbing: daily count of simultaneously-open orders.
 # ---------------------------------------------------------------------------

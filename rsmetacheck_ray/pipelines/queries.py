@@ -8468,6 +8468,9 @@ def registry() -> dict[str, tuple]:
         "customer_trend_mix": (
             dec5.customer_trend_mix, dec5.CUSTOMER_TREND_MIX_SQL,
         ),
+        "customer_km_survival": (
+            dec5.customer_km_survival, dec5.CUSTOMER_KM_SQL,
+        ),
         "orders_backlog": (dec5.orders_backlog, dec5.ORDERS_BACKLOG_SQL),
         "part_brand_hhi": (dec5.part_brand_hhi, dec5.PART_BRAND_HHI_SQL),
         "user_interarrival_stats": (

@@ -632,3 +632,44 @@ def test_customer_trend_mix_signs(ray_session, tmp_path):
             for r in d5.customer_trend_mix(d, num_partitions=parts).take_all()
         }
         assert got == {-1: 1, 0: 1, 1: 1}
+
+
+# ---------------------------------------------------------------------------
+# customer_km_survival
+# ---------------------------------------------------------------------------
+
+def test_km_censoring_and_distinct_days(ray_session, tmp_path):
+    import math
+
+    d = str(tmp_path)
+    # A: second order 10 days later (event t=10); B: one order
+    # (censored at horizon-0 = 10); C: two SAME-DAY orders (distinct
+    # days -> still censored, at horizon-5 = 5). At t=10 the risk set
+    # is {A, B} (C censored at 5): S = 1/2 in micro-log space.
+    _orders(d, [
+        (1, 1, "2024-01-01"), (2, 1, "2024-01-11"),
+        (3, 2, "2024-01-01"),
+        (4, 3, "2024-01-06"), (5, 3, "2024-01-06"),
+    ])
+    want_s = math.exp((0 - 693147) / 1000000.0)
+    for parts in (1, 2, 3):
+        got = d5.customer_km_survival(d, num_partitions=parts).take_all()
+        assert got == [{
+            "t_days": 10, "n_at_risk": 2, "n_events": 1,
+            "survival": want_s,
+        }]
+
+
+def test_km_all_fail_exact_zero(ray_session, tmp_path):
+    d = str(tmp_path)
+    # both customers reorder after 3 days, nobody censored later:
+    # the risk set dies at once -> survival exactly 0.0 (the ln(0)
+    # guard path on both engines)
+    _orders(d, [
+        (1, 1, "2024-01-01"), (2, 1, "2024-01-04"),
+        (3, 2, "2024-01-01"), (4, 2, "2024-01-04"),
+    ])
+    got = d5.customer_km_survival(d).take_all()
+    assert got == [{
+        "t_days": 3, "n_at_risk": 2, "n_events": 2, "survival": 0.0,
+    }]
