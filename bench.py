@@ -441,6 +441,7 @@ BENCH_QUERIES = [
     "source_score_calibration",
     "customer_trend_mix",
     "customer_km_survival",
+    "blocking_recall",
 ]
 
 

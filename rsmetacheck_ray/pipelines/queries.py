@@ -1131,6 +1131,128 @@ ORDER BY source, q
 """
 
 
+def q_blocking_recall(sf_dir: str):
+    """One row (n_pairs, n_blocked, recall): of all TRUE near-duplicate
+    name pairs (same-brand edit-distance ≤ 1, the FastSS join's exact
+    output), what fraction lands in the same Soundex block — the
+    blocking-recall diagnostic every entity-resolution pipeline is
+    sized by (pairs outside the block are unreachable by a
+    block-then-verify design). Composes the two ER stages this engine
+    ships: phonetic blocking and deletion-neighborhood matching.
+
+    Plan: the fuzzy-pair pipeline runs unchanged; the part→code side
+    is a bounded dimension broadcast (`ray.put` of sorted keys +
+    codes, searchsorted probe per batch); the reduce is one row."""
+    import ray
+
+    from ..functions.phonetic import soundex_arrow
+    from .decision2 import fuzzy_name_pairs
+
+    part = rel._read_pq(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_name"]
+    )
+
+    def code(b: pa.Table) -> pa.Table:
+        name = b.column("p_name")
+        if isinstance(name, pa.ChunkedArray):
+            name = name.combine_chunks()
+        return pa.table(
+            {
+                "k": b.column("p_partkey"),
+                "sx": pc.fill_null(soundex_arrow(name), ""),
+            }
+        )
+
+    blocks = [
+        t
+        for t in ray.get(
+            part.map_batches(code, batch_format="pyarrow")
+            .materialize()
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    dim = (
+        pa.concat_tables(blocks, promote_options="permissive")
+        if blocks
+        else None
+    )
+    if dim is None or dim.num_rows == 0:
+        return pa.table(
+            {
+                "n_pairs": pa.array([0], pa.int64()),
+                "n_blocked": pa.array([0], pa.int64()),
+                "recall": pa.array([0.0], pa.float64()),
+            }
+        )
+    keys = dim.column("k").to_numpy(zero_copy_only=False)
+    order = np.argsort(keys, kind="stable")
+    keys = keys[order]
+    codes = np.asarray(dim.column("sx").to_pylist(), dtype=object)[order]
+    ref = ray.put((keys, codes))
+
+    def probe(b: pa.Table) -> pa.Table:
+        ks, cs = ray.get(ref)
+        a = b.column("part_a").to_numpy(zero_copy_only=False)
+        b_ = b.column("part_b").to_numpy(zero_copy_only=False)
+        ca = cs[np.searchsorted(ks, a)]
+        cb = cs[np.searchsorted(ks, b_)]
+        blocked = int(np.sum((ca == cb) & (ca != ""))) if len(a) else 0
+        return pa.table(
+            {
+                "k": pa.array([0], pa.int64()),
+                "n_pairs": pa.array([len(a)], pa.int64()),
+                "n_blocked": pa.array([blocked], pa.int64()),
+            }
+        )
+
+    tbl = rel.bounded_group_table_strict(
+        fuzzy_name_pairs(sf_dir).map_batches(probe, batch_format="pyarrow"),
+        ["k"],
+        [("n_pairs", "sum"), ("n_blocked", "sum")],
+    )
+    if tbl is None:
+        n_pairs = n_blocked = 0
+    else:
+        n_pairs = int(tbl.column("n_pairs")[0].as_py())
+        n_blocked = int(tbl.column("n_blocked")[0].as_py())
+    return pa.table(
+        {
+            "n_pairs": pa.array([n_pairs], pa.int64()),
+            "n_blocked": pa.array([n_blocked], pa.int64()),
+            "recall": pa.array(
+                [float(n_blocked) / float(n_pairs) if n_pairs else 0.0],
+                pa.float64(),
+            ),
+        }
+    )
+
+
+def _sql_blocking_recall() -> str:
+    from ..functions.phonetic import soundex_sql
+
+    return f"""
+WITH px AS MATERIALIZED (
+  SELECT p_partkey, COALESCE({soundex_sql('p_name')}, '') AS sx FROM part
+), pairs AS (
+  SELECT a.p_partkey AS ka, b.p_partkey AS kb
+  FROM part a JOIN part b
+    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+  WHERE levenshtein(a.p_name, b.p_name) <= 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+  CAST(COALESCE(SUM(CASE WHEN xa.sx = xb.sx AND xa.sx <> '' THEN 1
+                         ELSE 0 END), 0) AS BIGINT) AS n_blocked,
+  CASE WHEN COUNT(*) = 0 THEN 0.0
+       ELSE CAST(COALESCE(SUM(CASE WHEN xa.sx = xb.sx AND xa.sx <> ''
+                                   THEN 1 ELSE 0 END), 0) AS DOUBLE)
+          / CAST(COUNT(*) AS DOUBLE) END AS recall
+FROM pairs
+JOIN px xa ON pairs.ka = xa.p_partkey
+JOIN px xb ON pairs.kb = xb.p_partkey
+"""
+
+
 _HH_PHI = 0.0005
 
 
@@ -8426,6 +8548,7 @@ def registry() -> dict[str, tuple]:
         "source_score_calibration": (
             q_source_score_calibration, _sql_source_score_calibration(),
         ),
+        "blocking_recall": (q_blocking_recall, _sql_blocking_recall()),
         "price_quantiles_by_flag": (
             q_price_quantiles_by_flag, SQL_PRICE_QUANTILES_BY_FLAG,
         ),
