@@ -66,6 +66,7 @@ from . import decision2 as dec2
 from . import decision3 as dec3
 from . import decision4 as dec4
 from . import corpus2 as cor2
+from . import corpus3 as cor3
 from . import decision5 as dec5
 from . import relational as rel
 from . import stats as st
@@ -8858,6 +8859,7 @@ def registry() -> dict[str, tuple]:
             dec5.events_seasonality_index, dec5.EVENTS_SEASONALITY_SQL,
         ),
         "split_balance": (cor2.split_balance, cor2._split_balance_sql()),
+        "phrase_search": (cor3.phrase_search, cor3.PHRASE_SEARCH_SQL),
         "source_spearman": (st.source_spearman, st._source_spearman_sql()),
         "events_mutual_info": (
             st.events_mutual_info, st.EVENTS_MUTUAL_INFO_SQL,
