@@ -403,6 +403,58 @@ def jaccard_verify_pairs(
     return out
 
 
+def ngram_containment_pairs(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = DEFAULT_K,
+    max_df: int = DEFAULT_MAX_DF,
+    min_containment: float = 0.8,
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """ASYMMETRIC n-gram containment pairs — C = |A∩B| / min(|A|,|B|)
+    ≥ ``min_containment``: the quote / inclusion detector. A short
+    page embedded verbatim inside a long one has containment 1.0 but
+    Jaccard |A|/|B| ≪ threshold (the union term dilutes it), so the
+    symmetric operator structurally misses exactly the pairs this one
+    exists for. Same two bounded stages as ``ngram_jaccard_pairs``
+    (rare-gram candidates, exact set-overlap verify); the threshold is
+    an exact INTEGER comparison (n_common·1000 ≥ τ‰·min) so the
+    decision is bit-identical to the SQL oracle's, and the reported
+    float is one division of exact int64 counts."""
+    thr_millis = int(round(min_containment * 1000))
+    cand = rare_gram_candidate_pairs(
+        ds, text_col, id_col, k, max_df, num_partitions
+    ).drop_columns(["n_shared_rare"])
+    verified = jaccard_verify_pairs(
+        ds, cand, text_col, id_col, k, min_jaccard=None
+    )
+
+    def attach(t: pa.Table) -> pa.Table:
+        ncom = t.column("n_common").to_numpy(zero_copy_only=False)
+        na = t.column("n_a").to_numpy(zero_copy_only=False)
+        nb = t.column("n_b").to_numpy(zero_copy_only=False)
+        mn = np.minimum(na, nb)
+        keep = (mn > 0) & (ncom * 1000 >= thr_millis * mn)
+        idx = np.flatnonzero(keep)
+        take = pa.array(idx, pa.int64())
+        return pa.table(
+            {
+                "doc_id_a": t.column("doc_id_a").take(take),
+                "doc_id_b": t.column("doc_id_b").take(take),
+                "n_common": pa.array(ncom[idx], pa.int64()),
+                "n_a": pa.array(na[idx], pa.int64()),
+                "n_b": pa.array(nb[idx], pa.int64()),
+                "containment": pa.array(
+                    ncom[idx].astype(np.float64) / mn[idx].astype(np.float64),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return verified.map_batches(attach, batch_format="pyarrow")
+
+
 def ngram_jaccard_pairs(
     ds: rd.Dataset,
     text_col: str = "text",

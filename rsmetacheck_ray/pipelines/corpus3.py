@@ -143,3 +143,172 @@ FROM m WHERE len(hits) > 0
 
 
 PHRASE_SEARCH_SQL = _phrase_sql()
+
+
+# ---------------------------------------------------------------------------
+# asymmetric n-gram containment over a planted quote corpus
+# ---------------------------------------------------------------------------
+
+_QUOTE_TOKENS = 12
+_QUOTE_ID_OFFSET = 3_000_000
+_CONTAIN_K = 5
+_CONTAIN_MAX_DF = 8
+_CONTAIN_MIN = 0.8
+
+
+def _first_k_tokens_join(texts: pa.ChunkedArray | pa.Array, k: int) -> pa.Array:
+    """Per row, the first ``k`` canonical-WS tokens re-joined with
+    single spaces — vectorized (one split, one position mask, one
+    binary_join); exactly DuckDB's
+    ``array_to_string(regexp_extract_all(text,'\\S+')[1:k], ' ')``."""
+    from ..functions.tokenize import split_ws_tokens
+
+    words = split_ws_tokens(texts)
+    off = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = words.flatten()
+    n_docs = len(words)
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), np.diff(off))
+    mask = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    idx = np.flatnonzero(mask)
+    di = doc_idx[idx]
+    # 0-based token position within its doc (di is nondecreasing)
+    n = len(di)
+    if n == 0:
+        return pc.binary_join(
+            pa.ListArray.from_arrays(
+                pa.array(np.zeros(n_docs + 1, np.int32)),
+                pa.array([], pa.string()),
+            ),
+            " ",
+        )
+    new = np.empty(n, dtype=bool)
+    new[0] = True
+    np.not_equal(di[1:], di[:-1], out=new[1:])
+    run_start = np.flatnonzero(new)
+    pos = np.arange(n, dtype=np.int64) - run_start[np.cumsum(new) - 1]
+    sel = idx[pos < k]
+    counts = np.bincount(di[pos < k], minlength=n_docs)
+    offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+    return pc.binary_join(
+        pa.ListArray.from_arrays(
+            pa.array(offsets), flat.take(pa.array(sel, pa.int64()))
+        ),
+        " ",
+    )
+
+
+def _quote_corpus(sf_dir: str) -> rd.Dataset:
+    """Documents plus, for every doc_id % 10 == 3, a QUOTE document —
+    the doc's first {_QUOTE_TOKENS} tokens under the canonical \\S+
+    split — at doc_id + {_QUOTE_ID_OFFSET}. The quote is fully
+    contained in its source but shares only a short prefix, so its
+    Jaccard to the source is far below any dedup threshold: the
+    planted structure only a containment operator can see."""
+
+    def expand(b: pa.Table) -> pa.Table:
+        d = b.column("doc_id").to_numpy(zero_copy_only=False)
+        sub = b.filter(pa.array(d % 10 == 3))
+        quotes = pa.table(
+            {
+                "doc_id": pc.add(sub.column("doc_id"), _QUOTE_ID_OFFSET),
+                "text": _first_k_tokens_join(
+                    sub.column("text").combine_chunks(), _QUOTE_TOKENS
+                ),
+            }
+        )
+        return pa.concat_tables(
+            [b.select(["doc_id", "text"]), quotes]
+        ).combine_chunks()
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        expand, batch_format="pyarrow"
+    )
+
+
+def containment_pairs(sf_dir: str) -> rd.Dataset:
+    """(doc_id_a, doc_id_b, n_common, n_a, n_b, containment): document
+    pairs whose word-{_CONTAIN_K}-gram CONTAINMENT |A∩B| / min(|A|,|B|)
+    is ≥ {_CONTAIN_MIN} over the quote corpus — the quote / inclusion
+    detector (functions/jaccard.ngram_containment_pairs). The planted
+    quotes have containment 1.0 and Jaccard ≈ 0.15: structurally
+    invisible to the symmetric dedup_jaccard operator."""
+    from ..functions.jaccard import ngram_containment_pairs
+    from ..partitioning import adaptive_partitions
+
+    import pyarrow.parquet as pq
+
+    n = pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")
+    ).metadata.num_rows
+    return ngram_containment_pairs(
+        _quote_corpus(sf_dir),
+        k=_CONTAIN_K,
+        max_df=_CONTAIN_MAX_DF,
+        min_containment=_CONTAIN_MIN,
+        num_partitions=adaptive_partitions(
+            (n + n // 10) * 96, row_bytes=24
+        ),
+    )
+
+
+def _containment_sql() -> str:
+    leads = " || ' ' || ".join(
+        f"LEAD(w, {j}) OVER win" for j in range(1, _CONTAIN_K)
+    )
+    thr_millis = int(round(_CONTAIN_MIN * 1000))
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_QUOTE_ID_OFFSET} AS doc_id,
+         array_to_string(
+           regexp_extract_all(text, '{WS_TOKEN_RE}')[1:{_QUOTE_TOKENS}],
+           ' ') AS text
+  FROM documents WHERE doc_id % 10 = 3
+),
+words AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text, '{WS_TOKEN_RE}')) AS w,
+         unnest(generate_series(1, len(regexp_extract_all(text, '{WS_TOKEN_RE}')))) AS i
+  FROM corpus
+),
+grams AS (
+  SELECT DISTINCT doc_id, w || ' ' || {leads} AS g
+  FROM words
+  WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+  QUALIFY LEAD(w, {_CONTAIN_K - 1}) OVER win IS NOT NULL
+),
+rare AS (
+  SELECT g FROM grams GROUP BY g
+  HAVING COUNT(*) BETWEEN 2 AND {_CONTAIN_MAX_DF}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+  FROM rare r
+  JOIN grams a ON a.g = r.g
+  JOIN grams b ON b.g = r.g
+  WHERE a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_id_a, c.doc_id_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN grams ga ON ga.doc_id = c.doc_id_a
+  JOIN grams gb ON gb.doc_id = c.doc_id_b AND gb.g = ga.g
+  GROUP BY c.doc_id_a, c.doc_id_b
+)
+SELECT i.doc_id_a, i.doc_id_b,
+       CAST(i.n_common AS BIGINT) AS n_common,
+       CAST(sa.n AS BIGINT) AS n_a,
+       CAST(sb.n AS BIGINT) AS n_b,
+       CAST(i.n_common AS DOUBLE) / CAST(LEAST(sa.n, sb.n) AS DOUBLE)
+         AS containment
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_id_a
+JOIN sizes sb ON sb.doc_id = i.doc_id_b
+WHERE LEAST(sa.n, sb.n) > 0
+  AND i.n_common * 1000 >= {thr_millis} * LEAST(sa.n, sb.n)
+"""
+
+
+CONTAINMENT_SQL = _containment_sql()

@@ -8860,6 +8860,7 @@ def registry() -> dict[str, tuple]:
         ),
         "split_balance": (cor2.split_balance, cor2._split_balance_sql()),
         "phrase_search": (cor3.phrase_search, cor3.PHRASE_SEARCH_SQL),
+        "dedup_containment": (cor3.containment_pairs, cor3.CONTAINMENT_SQL),
         "source_spearman": (st.source_spearman, st._source_spearman_sql()),
         "events_mutual_info": (
             st.events_mutual_info, st.EVENTS_MUTUAL_INFO_SQL,

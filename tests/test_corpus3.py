@@ -60,3 +60,45 @@ def test_phrase_search_absent_word_whole_batch(ray_session, tmp_path):
     d = str(tmp_path)
     _docs(d, [(1, "nothing here at all", "en")])
     assert c3.phrase_search(d).take_all() == []
+
+
+def test_first_k_tokens_join_matches_sql_semantics(ray_session):
+    import pyarrow as pa
+
+    arr = pa.chunked_array([pa.array([
+        "  a  b c d  ",      # boundary empties masked
+        "one two",           # fewer than k tokens
+        "",                  # empty text
+        "x1 x2 x3 x4 x5",    # exactly k
+    ])])
+    got = c3._first_k_tokens_join(arr, 4).to_pylist()
+    assert got == ["a b c d", "one two", "", "x1 x2 x3 x4"]
+
+
+def test_containment_finds_planted_quote_jaccard_misses(ray_session, tmp_path):
+    d = str(tmp_path)
+    # doc 3 (id % 10 == 3) is long; its quote (first 12 tokens) is
+    # fully contained but Jaccard-diluted. Words are distinct so every
+    # gram is rare (df == 2 exactly for shared prefix grams).
+    long_text = " ".join(f"w{i}" for i in range(40))
+    _docs(d, [(3, long_text, "en"), (7, "completely different words here entirely", "en")])
+    rows = c3.containment_pairs(d).take_all()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["doc_id_a"] == 3 and r["doc_id_b"] == 3 + c3._QUOTE_ID_OFFSET
+    # quote: 12 tokens -> 8 grams, all inside doc 3 (36 grams)
+    assert r["n_common"] == 8 and r["n_b"] == 8 and r["n_a"] == 36
+    assert r["containment"] == 1.0
+    # the symmetric operator must NOT see this pair at its threshold
+    assert r["n_common"] / (r["n_a"] + r["n_b"] - r["n_common"]) < 0.5
+
+
+def test_containment_threshold_is_integer_exact(ray_session, tmp_path):
+    d = str(tmp_path)
+    # two docs sharing a 5-gram run: containment below 0.8 -> no pair.
+    # doc 13 quote shares everything (kept); docs 1 and 2 share only
+    # 4 of the smaller side's grams -> 4/16 < 0.8 dropped.
+    a = " ".join(f"s{i}" for i in range(8)) + " " + " ".join(f"u{i}" for i in range(12))
+    b = " ".join(f"s{i}" for i in range(8)) + " " + " ".join(f"v{i}" for i in range(12))
+    _docs(d, [(1, a, "en"), (2, b, "en")])
+    assert c3.containment_pairs(d).take_all() == []
