@@ -285,3 +285,217 @@ def knn_ivf(
     return local.groupby("query_id").map_groups(
         lambda g: _merge_topk(g, k), batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# exact k-nearest-neighbor JOIN (two datasets) + margin-based bitext
+# mining (Artetxe & Schwenk-style ratio margin, "intersection"
+# strategy: mutual best match). knn_bruteforce broadcasts a HANDFUL of
+# query vectors; this joins one whole dataset against another — the
+# missing shape between point-lookup kNN and the self-join near-dup
+# operators.
+# ---------------------------------------------------------------------------
+
+# Same O(|A|·|B|·d) defensibility bound as dedup.EXACT_EMBEDDING_MAX_ROWS:
+# past it, route per-side through knn_ivf's codebook pruning instead of
+# the exact block-pair sweep.
+KNN_JOIN_EXACT_MAX_ROWS = 100_000
+
+
+def _unit_block_refs(ds: rd.Dataset, id_col: str):
+    """Normalized (id, unit-vector) blocks left in the OBJECT STORE
+    (the embedding_near_dup_pairs discipline — materialize +
+    to_arrow_refs, nothing driver-resident)."""
+    from .dedup import _unit_table
+
+    norm = ds.map_batches(
+        lambda b: _unit_table(b, id_col), batch_format="pyarrow"
+    )
+    return norm.materialize().to_arrow_refs()
+
+
+def _unit_block_mats(t: pa.Table, id_col: str) -> tuple[np.ndarray, np.ndarray]:
+    ids = np.asarray(t.column(id_col).to_pylist(), dtype=np.int64)
+    if len(ids) == 0:
+        return ids, np.zeros((0, 1), dtype=np.float64)
+    mat = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in t.column("unit").to_pylist()]
+    )
+    return ids, mat
+
+
+_KNN_JOIN_SCHEMA = pa.schema(
+    [
+        ("query_id", pa.int64()),
+        ("vec_id", pa.int64()),
+        ("rank", pa.int64()),
+    ]
+)
+
+
+def _knn_partials(
+    blocks_a, blocks_b, k: int, id_a: str, id_b: str
+) -> rd.Dataset | None:
+    """One Ray task per (A-block, B-block) pair, each emitting the
+    LOCAL cosine top-k per A row — O(|A|·k) rows per B block enter the
+    merge shuffle, never the vectors. Returns None when either side is
+    empty."""
+
+    @ray.remote
+    def block_pair(ta: pa.Table, tb: pa.Table) -> pa.Table:
+        ids_a, ua = _unit_block_mats(ta, id_a)
+        ids_b, ub = _unit_block_mats(tb, id_b)
+        if len(ids_a) == 0 or len(ids_b) == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "cos": pa.array([], pa.float64()),
+                }
+            )
+        return _topk_table(ids_a, ids_b, ua @ ub.T, k)
+
+    refs = [
+        block_pair.remote(ra, rb) for ra in blocks_a for rb in blocks_b
+    ]
+    if not refs:
+        return None
+    return rd.from_arrow_refs(refs)
+
+
+def _merge_topk_rank(group: pa.Table, k: int) -> pa.Table:
+    """Global top-k per query from the local partials, with 1-based
+    rank — deterministic (cos DESC, vec_id ASC), ids only (the float
+    is an internal sort key, not part of the contract)."""
+    q = group.column("query_id").to_pylist()
+    v = np.asarray(group.column("vec_id").to_pylist(), dtype=np.int64)
+    c = np.asarray(group.column("cos").to_pylist(), dtype=np.float64)
+    order = np.lexsort((v, -c))[:k]
+    n = len(order)
+    return pa.table(
+        {
+            "query_id": pa.array([q[0]] * n, pa.int64()),
+            "vec_id": pa.array(v[order], pa.int64()),
+            "rank": pa.array(np.arange(1, n + 1), pa.int64()),
+        }
+    )
+
+
+def knn_join(
+    ds_a: rd.Dataset,
+    ds_b: rd.Dataset,
+    k: int = 10,
+    id_a: str = "vec_id",
+    id_b: str = "vec_id",
+) -> rd.Dataset:
+    """Exact cosine k-nearest-neighbor JOIN: for EVERY row of ``ds_a``,
+    its ``k`` most similar rows of ``ds_b`` → (query_id, vec_id, rank).
+
+    Both sides normalize once and stay in the object store as Arrow
+    blocks; one Ray task per block pair emits local per-query top-k
+    partials (compute is inherently O(|A|·|B|·d) for the exact answer,
+    but memory per task is two blocks and only O(|A|·k·#B-blocks)
+    24-byte rows ever shuffle); a ``groupby(query_id)`` merge resolves
+    the global top-k with the deterministic (cos DESC, id ASC)
+    tie-break. Approximate scale path past KNN_JOIN_EXACT_MAX_ROWS:
+    prune with knn_ivf's codebook per side."""
+    blocks_a = _unit_block_refs(ds_a, id_a)
+    blocks_b = _unit_block_refs(ds_b, id_b)
+    partials = _knn_partials(blocks_a, blocks_b, k, id_a, id_b)
+    if partials is None:
+        return rd.from_arrow(_KNN_JOIN_SCHEMA.empty_table())
+    return partials.groupby("query_id").map_groups(
+        lambda g: _merge_topk_rank(g, k), batch_format="pyarrow"
+    )
+
+
+def _merge_best2(group: pa.Table) -> pa.Table:
+    """One row per query: the best B-side match plus both engines'
+    margin ingredients (cos1, cos2). cos2 is NULL when the B side has
+    a single candidate."""
+    q = group.column("query_id").to_pylist()
+    v = np.asarray(group.column("vec_id").to_pylist(), dtype=np.int64)
+    c = np.asarray(group.column("cos").to_pylist(), dtype=np.float64)
+    order = np.lexsort((v, -c))
+    cos2 = [float(c[order[1]])] if len(order) > 1 else [None]
+    return pa.table(
+        {
+            "src_id": pa.array([q[0]], pa.int64()),
+            "tgt_id": pa.array([int(v[order[0]])], pa.int64()),
+            "cos1": pa.array([float(c[order[0]])], pa.float64()),
+            "cos2": pa.array(cos2, pa.float64()),
+        }
+    )
+
+
+def bitext_margin_pairs(
+    ds_src: rd.Dataset,
+    ds_tgt: rd.Dataset,
+    min_cos: float = 0.7,
+    margin: float = 1.8,
+    id_src: str = "vec_id",
+    id_tgt: str = "vec_id",
+) -> rd.Dataset:
+    """Margin-based bitext mining → (src_id, tgt_id): source/target
+    pairs that are (1) MUTUAL best matches (the intersection strategy)
+    and (2) separated by a ratio margin — best cosine ≥ ``margin`` ×
+    second-best — with an absolute floor ``min_cos``. The ratio-margin
+    criterion is Artetxe & Schwenk (2019)'s defense against hubness:
+    a vector whose best match barely beats its second-best is noise
+    even when the absolute cosine is high.
+
+    Plan: forward best-2 per source (block-pair partials + one-row
+    merge), backward best-1 per target (same machinery, k=1), then a
+    size-gated generic join on tgt_id with a vectorized mutuality
+    filter. Only (id, id, cos, cos) rows shuffle — never vectors."""
+    from ..pipelines.join import join as generic_join
+
+    blocks_s = _unit_block_refs(ds_src, id_src)
+    blocks_t = _unit_block_refs(ds_tgt, id_tgt)
+    empty = pa.table(
+        {"src_id": pa.array([], pa.int64()), "tgt_id": pa.array([], pa.int64())}
+    )
+    fwd_p = _knn_partials(blocks_s, blocks_t, 2, id_src, id_tgt)
+    bwd_p = _knn_partials(blocks_t, blocks_s, 1, id_tgt, id_src)
+    if fwd_p is None or bwd_p is None:
+        return rd.from_arrow(empty)
+    fwd = fwd_p.groupby("query_id").map_groups(
+        _merge_best2, batch_format="pyarrow"
+    )
+
+    def margin_filter(t: pa.Table) -> pa.Table:
+        c1 = t.column("cos1").to_numpy(zero_copy_only=False)
+        c2 = t.column("cos2").to_numpy(zero_copy_only=False)
+        ok = (c1 >= min_cos) & (np.isnan(c2) | (c1 >= margin * c2))
+        take = pa.array(np.flatnonzero(ok), pa.int64())
+        return pa.table(
+            {
+                "src_id": t.column("src_id").take(take),
+                "tgt_id": t.column("tgt_id").take(take),
+            }
+        )
+
+    fwd_ok = fwd.map_batches(margin_filter, batch_format="pyarrow")
+
+    def bwd_best(g: pa.Table) -> pa.Table:
+        v = np.asarray(g.column("vec_id").to_pylist(), dtype=np.int64)
+        c = np.asarray(g.column("cos").to_pylist(), dtype=np.float64)
+        order = np.lexsort((v, -c))
+        return pa.table(
+            {
+                "tgt_id": pa.array(
+                    [int(g.column("query_id")[0].as_py())], pa.int64()
+                ),
+                "bwd_src_id": pa.array([int(v[order[0]])], pa.int64()),
+            }
+        )
+
+    bwd = bwd_p.groupby("query_id").map_groups(bwd_best, batch_format="pyarrow")
+    joined = generic_join(fwd_ok, bwd, on="tgt_id", how="inner")
+
+    def mutual(t: pa.Table) -> pa.Table:
+        ok = pc.equal(t.column("src_id"), t.column("bwd_src_id"))
+        sub = t.filter(pc.fill_null(ok, False))
+        return sub.select(["src_id", "tgt_id"])
+
+    return joined.map_batches(mutual, batch_format="pyarrow")

@@ -6839,6 +6839,156 @@ def q_hard_negatives(sf_dir: str):
     return sim.knn_hard_negatives(ds, qvecs, qids, qlabs, k=10)
 
 
+_BITEXT_COPY_OFFSET = 4_000_000
+_BITEXT_MIN_COS = 0.7
+_BITEXT_MARGIN = 1.8
+_XLING_K = 3
+
+
+def _bitext_sides(sf_dir: str) -> tuple[rd.Dataset, rd.Dataset]:
+    """Source/target sides for the cross-lingual similarity operators:
+    side A = vectors of English documents, side B = vectors of
+    non-English documents PLUS a planted 'translation' (an exact copy
+    at vec_id + offset) for every 5th English vector. The language
+    attach is the size-gated generic join (documents and embeddings
+    share the id space)."""
+    from .join import join as generic_join
+
+    emb = rel._read_pq(os.path.join(sf_dir, "embeddings.parquet"))
+
+    def as_vec(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vec_id": pc.cast(t.column("doc_id"), pa.int64()),
+                "lang": t.column("lang"),
+            }
+        )
+
+    langs = rel._read_pq(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"]
+    ).map_batches(as_vec, batch_format="pyarrow")
+    j = generic_join(
+        emb.select_columns(["vec_id", "embedding"]), langs,
+        on="vec_id", how="inner",
+    )
+
+    def side_a(t: pa.Table) -> pa.Table:
+        sub = t.filter(pc.equal(t.column("lang"), "en"))
+        return sub.select(["vec_id", "embedding"])
+
+    def side_b(t: pa.Table) -> pa.Table:
+        other = t.filter(pc.not_equal(t.column("lang"), "en")).select(
+            ["vec_id", "embedding"]
+        )
+        en = t.filter(pc.equal(t.column("lang"), "en"))
+        ids = en.column("vec_id").to_numpy(zero_copy_only=False)
+        planted = en.filter(pa.array(ids % 5 == 0))
+        copies = pa.table(
+            {
+                "vec_id": pc.add(planted.column("vec_id"), _BITEXT_COPY_OFFSET),
+                "embedding": planted.column("embedding"),
+            }
+        )
+        return pa.concat_tables([other, copies]).combine_chunks()
+
+    return (
+        j.map_batches(side_a, batch_format="pyarrow"),
+        j.map_batches(side_b, batch_format="pyarrow"),
+    )
+
+
+_BITEXT_SIDES_SQL = f"""
+a AS (
+  SELECT e.vec_id, e.embedding FROM embeddings e
+  JOIN documents d ON d.doc_id = e.vec_id WHERE d.lang = 'en'
+),
+b AS (
+  SELECT e.vec_id, e.embedding FROM embeddings e
+  JOIN documents d ON d.doc_id = e.vec_id WHERE d.lang <> 'en'
+  UNION ALL
+  SELECT vec_id + {_BITEXT_COPY_OFFSET} AS vec_id, embedding
+  FROM a WHERE vec_id % 5 = 0
+)
+"""
+
+
+def q_crosslingual_knn(sf_dir: str):
+    """Exact cosine kNN JOIN (functions/similarity.knn_join): for
+    EVERY English document's vector, its {_XLING_K} most similar
+    non-English vectors (planted translation copies included) —
+    (query_id, vec_id, rank). The whole-dataset-vs-whole-dataset
+    sibling of knn_cosine's handful-of-queries broadcast: block-pair
+    partial top-k tasks over object-store blocks, one groupby merge,
+    deterministic (cos DESC, id ASC) tie-break."""
+    a, b = _bitext_sides(sf_dir)
+    return sim.knn_join(a, b, k=_XLING_K)
+
+
+SQL_CROSSLINGUAL_KNN = f"""
+WITH {_BITEXT_SIDES_SQL.strip()}
+SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+  CAST(row_number() OVER (
+    PARTITION BY a.vec_id
+    ORDER BY list_cosine_similarity(
+      CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) DESC,
+      b.vec_id
+  ) AS BIGINT) AS "rank"
+FROM a CROSS JOIN b
+QUALIFY "rank" <= {_XLING_K}
+"""
+
+
+def q_bitext_mine(sf_dir: str):
+    """Margin-based bitext mining (functions/similarity.
+    bitext_margin_pairs): English→non-English pairs that are MUTUAL
+    cosine best matches AND ratio-margin separated (best ≥
+    {_BITEXT_MARGIN}× second best, absolute floor {_BITEXT_MIN_COS})
+    — the Artetxe & Schwenk parallel-corpus mining criterion. The
+    planted translation copies sit at margin ≥ 2.0 / cos 1.0; the
+    random cross-lingual background tops out at margin ≈ 1.7 /
+    cos 0.48, so the decision is far from any float knife edge."""
+    a, b = _bitext_sides(sf_dir)
+    return sim.bitext_margin_pairs(
+        a, b, min_cos=_BITEXT_MIN_COS, margin=_BITEXT_MARGIN
+    )
+
+
+SQL_BITEXT_MINE = f"""
+WITH {_BITEXT_SIDES_SQL.strip()},
+fwd AS (
+  SELECT a.vec_id AS src, b.vec_id AS tgt,
+    list_cosine_similarity(
+      CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS cos,
+    row_number() OVER (
+      PARTITION BY a.vec_id
+      ORDER BY list_cosine_similarity(
+        CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) DESC,
+        b.vec_id
+    ) AS rnk
+  FROM a CROSS JOIN b
+),
+f1 AS (SELECT src, tgt, cos FROM fwd WHERE rnk = 1),
+f2 AS (SELECT src, cos AS cos2 FROM fwd WHERE rnk = 2),
+bwd AS (
+  SELECT b.vec_id AS tgt, a.vec_id AS src,
+    row_number() OVER (
+      PARTITION BY b.vec_id
+      ORDER BY list_cosine_similarity(
+        CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) DESC,
+        a.vec_id
+    ) AS rnk
+  FROM b CROSS JOIN a
+)
+SELECT f1.src AS src_id, f1.tgt AS tgt_id
+FROM f1
+LEFT JOIN f2 ON f2.src = f1.src
+JOIN (SELECT tgt, src FROM bwd WHERE rnk = 1) bb
+  ON bb.tgt = f1.tgt AND bb.src = f1.src
+WHERE f1.cos >= {_BITEXT_MIN_COS}
+  AND (f2.cos2 IS NULL OR f1.cos >= {_BITEXT_MARGIN} * f2.cos2)
+"""
+
+
 SQL_HARD_NEGATIVES = """
 SELECT q.vec_id AS query_id, e.vec_id AS vec_id
 FROM embeddings q CROSS JOIN embeddings e
@@ -8933,6 +9083,8 @@ def registry() -> dict[str, tuple]:
         ),
         # similarity search
         "knn_cosine": (q_knn_cosine, SQL_KNN),
+        "crosslingual_knn": (q_crosslingual_knn, SQL_CROSSLINGUAL_KNN),
+        "bitext_mine": (q_bitext_mine, SQL_BITEXT_MINE),
         "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),
         "knn_ivf": (q_knn_ivf, SQL_KNN_IVF),
         "knn_quantized": (q_knn_quantized, SQL_KNN_QUANTIZED),

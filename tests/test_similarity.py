@@ -144,3 +144,114 @@ def test_hard_negatives_underfull_label(ray_session):
         rd.from_arrow(t).repartition(3), mat[:1], np.array([0]), labels[:1], k=5
     ).to_pandas()
     assert sorted(out["vec_id"].tolist()) == [8, 9]
+
+
+# --- knn_join + bitext margin mining ---------------------------------------
+
+def _vec_table(rows):
+    """rows: (vec_id, vector)."""
+    ids, vecs = zip(*rows)
+    return pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in vecs], pa.list_(pa.float32())
+            ),
+        }
+    )
+
+
+def test_knn_join_exact_vs_numpy_reference(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(11)
+    a = rng.normal(size=(40, 8))
+    b = rng.normal(size=(60, 8))
+    got = sim.knn_join(
+        rd.from_arrow(_vec_table(list(enumerate(a)))).repartition(5),
+        rd.from_arrow(_vec_table(list(enumerate(b)))).repartition(7),
+        k=4,
+    ).take_all()
+    # reference: float32 round-trip then float64 cosine
+    ua = a.astype(np.float32).astype(np.float64)
+    ub = b.astype(np.float32).astype(np.float64)
+    ua /= np.linalg.norm(ua, axis=1)[:, None]
+    ub /= np.linalg.norm(ub, axis=1)[:, None]
+    cos = ua @ ub.T
+    want = {}
+    for qi in range(40):
+        order = np.lexsort((np.arange(60), -cos[qi]))[:4]
+        want[qi] = list(order)
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], {})[r["rank"]] = r["vec_id"]
+    assert set(by_q) == set(range(40))
+    for qi, ranks in by_q.items():
+        assert [ranks[i] for i in (1, 2, 3, 4)] == want[qi]
+
+
+def test_knn_join_tie_break_is_id_ascending(ray_session):
+    import ray.data as rd
+
+    # two identical B vectors: rank 1 must go to the smaller id
+    a = rd.from_arrow(_vec_table([(0, [1.0, 0.0])]))
+    b = rd.from_arrow(_vec_table([(9, [2.0, 0.0]), (4, [1.0, 0.0])]))
+    got = sorted(
+        sim.knn_join(a, b, k=2).take_all(), key=lambda r: r["rank"]
+    )
+    assert [r["vec_id"] for r in got] == [4, 9]
+
+
+def test_knn_join_empty_side(ray_session):
+    import ray.data as rd
+
+    a = rd.from_arrow(_vec_table([(0, [1.0, 0.0])]))
+    empty = rd.from_arrow(_vec_table([(0, [1.0, 0.0])])).limit(0)
+    assert sim.knn_join(a, empty, k=3).take_all() == []
+    assert sim.knn_join(empty, a, k=3).take_all() == []
+
+
+def test_bitext_requires_mutual_best(ray_session):
+    import ray.data as rd
+
+    # src 0 -> tgt 10 is src 0's best with a huge margin, but tgt 10's
+    # best source is src 1 (closer) — NOT mutual, must be excluded.
+    # src 1 <-> tgt 10 is mutual with margin >= 1.8.
+    src = rd.from_arrow(_vec_table([
+        (0, [1.0, 0.2, 0.0]),
+        (1, [1.0, 0.05, 0.0]),
+    ]))
+    tgt = rd.from_arrow(_vec_table([
+        (10, [1.0, 0.0, 0.0]),
+        (11, [0.0, 0.0, 1.0]),   # orthogonal distractor
+    ]))
+    got = sim.bitext_margin_pairs(src, tgt, min_cos=0.7, margin=1.8).take_all()
+    assert [(r["src_id"], r["tgt_id"]) for r in got] == [(1, 10)]
+
+
+def test_bitext_margin_rejects_ambiguous_match(ray_session):
+    import ray.data as rd
+
+    # tgt 20 and 21 are both ~equally similar to src 0: mutual best
+    # holds but the ratio margin (~1.0) fails -> no pair.
+    src = rd.from_arrow(_vec_table([(0, [1.0, 0.0])]))
+    tgt = rd.from_arrow(_vec_table([
+        (20, [1.0, 0.01]),
+        (21, [1.0, -0.01]),
+    ]))
+    assert sim.bitext_margin_pairs(src, tgt, min_cos=0.7, margin=1.8).take_all() == []
+
+
+def test_bitext_single_candidate_passes_on_floor_alone(ray_session):
+    import ray.data as rd
+
+    # one-candidate target side: cos2 is NULL, margin is vacuous,
+    # the absolute floor decides (pass above, fail below)
+    src = rd.from_arrow(_vec_table([(0, [1.0, 0.0])]))
+    tgt_hi = rd.from_arrow(_vec_table([(30, [1.0, 0.1])]))
+    tgt_lo = rd.from_arrow(_vec_table([(30, [0.1, 1.0])]))
+    assert [
+        (r["src_id"], r["tgt_id"])
+        for r in sim.bitext_margin_pairs(src, tgt_hi).take_all()
+    ] == [(0, 30)]
+    assert sim.bitext_margin_pairs(src, tgt_lo).take_all() == []
