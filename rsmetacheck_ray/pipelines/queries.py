@@ -647,6 +647,138 @@ def q_gate_classifier_calibration(sf_dir: str):
     )
 
 
+def _auc_from_contingency(
+    s: np.ndarray, k: np.ndarray, n: np.ndarray
+) -> tuple[int, int, int, float]:
+    """Exact tie-corrected Mann–Whitney AUC from (score, label, count)
+    contingency rows: u2 = Σ_s pos_s·(2·cum_neg_below + neg_s) (the ½
+    tie convention, ×2 to stay integer), auc = u2 / (2·P·N)."""
+    order = np.argsort(s, kind="stable")
+    s, k, n = s[order], k[order], n[order]
+    _, start = np.unique(s, return_index=True)
+    pos = np.add.reduceat(np.where(k == 1, n, 0), start)
+    neg = np.add.reduceat(np.where(k == 0, n, 0), start)
+    cum_neg_below = np.concatenate([[0], np.cumsum(neg)[:-1]])
+    u2 = int(np.sum(pos * (2 * cum_neg_below + neg)))
+    n_pos, n_neg = int(pos.sum()), int(neg.sum())
+    auc = float(u2) / float(2 * n_pos * n_neg) if n_pos and n_neg else 0.0
+    return n_pos, n_neg, u2, auc
+
+
+def q_gate_classifier_auc(sf_dir: str):
+    """One row (n_pos, n_neg, u2, auc): the EXACT ROC-AUC of the
+    quality classifier's integer score against the fused gate's
+    keep/drop label — the discrimination summary behind
+    ``gate_classifier_calibration``'s quartile table (AUC 0.5 = the
+    classifier cannot tell kept from dropped pages; 1.0 = perfect
+    separation). Mann–Whitney rank-sum form with the tie-correct ½
+    convention, scaled ×2 so every intermediate is an int64:
+    u2 = Σ_s pos_s · (2·cum_neg_below(s) + neg_s), auc = u2 / (2·P·N)
+    — the only float op is that final division of exact integers, so
+    the oracle is bit-identical.
+
+    Plan: classifier scores and gate labels join through the
+    size-gated generic join (16 B/row projections both sides); the
+    (score, label) contingency folds per batch into Arrow group_by
+    partials and reduces on the BOUNDED quantized-score domain (the
+    quality_bins discipline); the rank-sum walk is O(domain) on the
+    driver."""
+    from .join import join
+    from ..functions.classifier import classify_quality
+
+    scores = classify_quality(_documents(sf_dir, ["doc_id", "text"])).map_batches(
+        lambda b: b.select(["doc_id", "score_total"]),
+        batch_format="pyarrow",
+    )
+    keep = _gated(sf_dir).map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "kept": pc.cast(b.column("keep"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    j = join(scores, keep, on="doc_id", how="inner")
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.select(["score_total", "kept"]).group_by(
+            ["score_total", "kept"]
+        ).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "score_total": g.column("score_total"),
+                "kept": g.column("kept"),
+                "n": pc.cast(g.column("count_all"), pa.int64()),
+            }
+        )
+
+    tbl = rel.bounded_group_table_strict(
+        j.map_batches(partial, batch_format="pyarrow"),
+        ["score_total", "kept"],
+        [("n", "sum")],
+    )
+    if tbl is None or tbl.num_rows == 0:
+        return pa.table(
+            {
+                "n_pos": pa.array([0], pa.int64()),
+                "n_neg": pa.array([0], pa.int64()),
+                "u2": pa.array([0], pa.int64()),
+                "auc": pa.array([0.0], pa.float64()),
+            }
+        )
+    n_pos, n_neg, u2, auc = _auc_from_contingency(
+        tbl.column("score_total").to_numpy(zero_copy_only=False),
+        tbl.column("kept").to_numpy(zero_copy_only=False),
+        tbl.column("n").to_numpy(zero_copy_only=False),
+    )
+    return pa.table(
+        {
+            "n_pos": pa.array([n_pos], pa.int64()),
+            "n_neg": pa.array([n_neg], pa.int64()),
+            "u2": pa.array([u2], pa.int64()),
+            "auc": pa.array([auc], pa.float64()),
+        }
+    )
+
+
+def _sql_gate_classifier_auc() -> str:
+    return f"""
+WITH {{flags_ctes}},
+{{bpc_ctes}},
+s AS ({_sql_quality_classifier()}),
+keepd AS (
+  SELECT f.doc_id, {{keep_expr}} AS keep
+  FROM flags f JOIN bpc p USING (doc_id)
+),
+lab AS (
+  SELECT s.score_total, CAST(k.keep AS INT) AS kept
+  FROM s JOIN keepd k USING (doc_id)
+),
+tot AS (SELECT SUM(kept) AS np, SUM(1 - kept) AS nn FROM lab),
+h AS (
+  SELECT score_total, SUM(kept) AS pos, SUM(1 - kept) AS neg
+  FROM lab GROUP BY score_total
+),
+c AS (
+  SELECT pos, neg,
+    COALESCE(SUM(neg) OVER (
+      ORDER BY score_total
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+    ), 0) AS cum_neg
+  FROM h
+),
+u AS (SELECT SUM(pos * (2 * cum_neg + neg)) AS u2 FROM c)
+SELECT CAST(tot.np AS BIGINT) AS n_pos,
+  CAST(tot.nn AS BIGINT) AS n_neg,
+  CAST(COALESCE(u.u2, 0) AS BIGINT) AS u2,
+  CASE WHEN tot.np * tot.nn = 0 THEN 0.0
+       ELSE CAST(u.u2 AS DOUBLE) / CAST(2 * tot.np * tot.nn AS DOUBLE)
+  END AS auc
+FROM tot, u
+"""
+
+
 def _sql_gate_classifier_calibration() -> str:
     inds = " + ".join(
         f"CAST(s.score_total >= c.c{i} AS INT)" for i in range(len(_BIN_QS))
@@ -9021,6 +9153,18 @@ def registry() -> dict[str, tuple]:
             st.event_entropy_rate, st.EVENT_ENTROPY_RATE_SQL,
         ),
         # deferred for the same LM-export reason as gate_decisions
+        "gate_classifier_auc": (
+            q_gate_classifier_auc,
+            lambda: _sql_gate_classifier_auc()
+            .replace(
+                "{flags_ctes}",
+                _sql_gate_flags_ctes().strip().replace(
+                    "{pages}", pages_cte()
+                ),
+            )
+            .replace("{bpc_ctes}", _sql_bpc_ctes().strip())
+            .replace("{keep_expr}", _sql_keep_expr()),
+        ),
         "gate_classifier_calibration": (
             q_gate_classifier_calibration,
             lambda: _sql_gate_classifier_calibration()

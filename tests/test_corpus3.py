@@ -102,3 +102,34 @@ def test_containment_threshold_is_integer_exact(ray_session, tmp_path):
     b = " ".join(f"s{i}" for i in range(8)) + " " + " ".join(f"v{i}" for i in range(12))
     _docs(d, [(1, a, "en"), (2, b, "en")])
     assert c3.containment_pairs(d).take_all() == []
+
+
+def test_exact_auc_tie_convention():
+    import numpy as np
+    from rsmetacheck_ray.pipelines.queries import _auc_from_contingency
+
+    # scores: pos at {3, 2}, neg at {1, 2} — one tie at 2.
+    # pairs: (3>1)=1, (3>2)=1, (2>1)=1, (2==2)=0.5 -> U=3.5, AUC=3.5/4
+    s = np.array([1, 2, 2, 3]); k = np.array([0, 1, 0, 1])
+    n = np.array([1, 1, 1, 1])
+    n_pos, n_neg, u2, auc = _auc_from_contingency(s, k, n)
+    assert (n_pos, n_neg, u2) == (2, 2, 7)
+    assert auc == 7 / 8
+
+    # perfect separation and perfect inversion
+    assert _auc_from_contingency(
+        np.array([1, 2]), np.array([0, 1]), np.array([5, 5])
+    )[3] == 1.0
+    assert _auc_from_contingency(
+        np.array([1, 2]), np.array([1, 0]), np.array([5, 5])
+    )[3] == 0.0
+
+    # degenerate: single class -> 0.0 by contract
+    assert _auc_from_contingency(
+        np.array([1, 2]), np.array([1, 1]), np.array([2, 2])
+    )[3] == 0.0
+
+    # weighted counts: all tied -> 0.5
+    assert _auc_from_contingency(
+        np.array([7, 7]), np.array([0, 1]), np.array([3, 4])
+    )[3] == 0.5
