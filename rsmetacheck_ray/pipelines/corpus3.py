@@ -312,3 +312,256 @@ WHERE LEAST(sa.n, sb.n) > 0
 
 
 CONTAINMENT_SQL = _containment_sql()
+
+
+# ---------------------------------------------------------------------------
+# Neyman-allocated stratified sampling
+# ---------------------------------------------------------------------------
+
+_NEYMAN_BUDGET = 100
+
+
+def neyman_allocation(sf_dir: str, budget: int = _NEYMAN_BUDGET) -> "pa.Table":
+    """(lang, n_docs, s1, s2, wgt, k_alloc): the survey-sampling
+    Neyman allocation n_h ∝ N_h·σ_h over language strata, with
+    ``n_chars`` as the study variable — high-variance strata earn more
+    of the sample budget than proportional allocation would give them.
+
+    Every decision is reproducible to the bit: N_h·σ_h =
+    sqrt(N_h·Σx² − (Σx)²) with an EXACT int64 radicand (exact while
+    N_h·Σx² < 2⁵³ — ~10⁷ docs/stratum at web-page lengths; past that,
+    pre-scale the moments), IEEE sqrt of an exactly-represented
+    integer, the weight total accumulated in FIXED lang order (the
+    oracle's sequential window sum), and k_h =
+    min(floor(budget·w_h / W), N_h) — the same three IEEE ops in both
+    engines. A zero-variance stratum gets weight 0 (σ=0 ⇒ one unit
+    would suffice; the floor convention sends it to 0), and Σk_h ≤
+    budget by the floor apportionment.
+
+    ONE moment row (lang, n, Σx, Σx²) per (batch, stratum) enters the
+    bounded reduce; the allocation solve is O(|strata|) on the driver."""
+    from .relational import bounded_group_table_strict
+
+    ds = _docs(sf_dir, ["doc_id", "lang", "n_chars"])
+
+    def moments(b: pa.Table) -> pa.Table:
+        x = pc.cast(b.column("n_chars"), pa.int64())
+        t = pa.table(
+            {
+                "lang": b.column("lang"),
+                "x": x,
+                "xx": pc.multiply(x, x),
+            }
+        )
+        g = t.group_by("lang").aggregate(
+            [("x", "sum"), ("xx", "sum"), ([], "count_all")]
+        )
+        return pa.table(
+            {
+                "lang": g.column("lang"),
+                "s1": pc.cast(g.column("x_sum"), pa.int64()),
+                "s2": pc.cast(g.column("xx_sum"), pa.int64()),
+                "n": pc.cast(g.column("count_all"), pa.int64()),
+            }
+        )
+
+    tbl = bounded_group_table_strict(
+        ds.map_batches(moments, batch_format="pyarrow"),
+        ["lang"],
+        [("s1", "sum"), ("s2", "sum"), ("n", "sum")],
+    )
+    empty = pa.table(
+        {
+            "lang": pa.array([], pa.string()),
+            "n_docs": pa.array([], pa.int64()),
+            "s1": pa.array([], pa.int64()),
+            "s2": pa.array([], pa.int64()),
+            "wgt": pa.array([], pa.float64()),
+            "k_alloc": pa.array([], pa.int64()),
+        }
+    )
+    if tbl is None or tbl.num_rows == 0:
+        return empty
+    rows = sorted(
+        zip(
+            tbl.column("lang").to_pylist(),
+            tbl.column("n").to_pylist(),
+            tbl.column("s1").to_pylist(),
+            tbl.column("s2").to_pylist(),
+        )
+    )
+    import math
+
+    w = [math.sqrt(float(n * s2 - s1 * s1)) for (_l, n, s1, s2) in rows]
+    wtot = 0.0
+    for x in w:  # fixed lang-ascending order == the oracle's window sum
+        wtot += x
+    if wtot <= 0.0:
+        ks = [0] * len(w)
+    else:
+        ks = [
+            min(int(math.floor(budget * wi / wtot)), rows[i][1])
+            for i, wi in enumerate(w)
+        ]
+    return pa.table(
+        {
+            "lang": pa.array([r[0] for r in rows], pa.string()),
+            "n_docs": pa.array([r[1] for r in rows], pa.int64()),
+            "s1": pa.array([r[2] for r in rows], pa.int64()),
+            "s2": pa.array([r[3] for r in rows], pa.int64()),
+            "wgt": pa.array(w, pa.float64()),
+            "k_alloc": pa.array(ks, pa.int64()),
+        }
+    )
+
+
+def stratified_neyman_sample(
+    sf_dir: str, budget: int = _NEYMAN_BUDGET
+) -> rd.Dataset:
+    """(lang, doc_id, n_chars): the Neyman-allocated stratified sample
+    itself — within each language stratum, the ``k_alloc`` documents
+    with the smallest splitmix64(doc_id) (deterministic bottom-k-by-
+    hash: a function of the row SET, partition-invariant). The corpus
+    never shuffles: each batch prunes to its own per-stratum bottom-k
+    (≤ Σk ≤ budget rows per block), and a |strata|-group merge
+    resolves the winners."""
+    from ..functions.hashing import splitmix64_np
+    from ..functions.sketch import _key_segments
+
+    alloc_t = neyman_allocation(sf_dir, budget)
+    alloc = dict(
+        zip(
+            alloc_t.column("lang").to_pylist(),
+            alloc_t.column("k_alloc").to_pylist(),
+        )
+    )
+    empty = pa.table(
+        {
+            "lang": pa.array([], pa.string()),
+            "doc_id": pa.array([], pa.int64()),
+            "n_chars": pa.array([], pa.int64()),
+            "h": pa.array([], pa.uint64()),
+        }
+    )
+    if not any(alloc.values()):
+        return rd.from_arrow(empty.select(["lang", "doc_id", "n_chars"]))
+
+    import ray
+
+    alloc_ref = ray.put(alloc)
+
+    def prune(b: pa.Table) -> pa.Table:
+        ka = ray.get(alloc_ref)
+        langs = b.column("lang").to_numpy(zero_copy_only=False).astype(str)
+        ids = pc.cast(b.column("doc_id"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        chars = pc.cast(b.column("n_chars"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        hs = splitmix64_np(ids.astype(np.uint64))
+        uk, starts, ends, order = _key_segments(langs)
+        ids, chars, hs = ids[order], chars[order], hs[order]
+        keep: list[np.ndarray] = []
+        for key, a, e in zip(uk.tolist(), starts, ends):
+            k = ka.get(key, 0)
+            if k <= 0:
+                continue
+            seg = np.arange(a, e)
+            if len(seg) > k:
+                local = np.lexsort((ids[seg], hs[seg]))[:k]
+                seg = seg[local]
+            keep.append(seg)
+        if not keep:
+            return empty
+        sel = np.concatenate(keep)
+        langs_sorted = langs[order]
+        return pa.table(
+            {
+                "lang": pa.array(langs_sorted[sel], pa.string()),
+                "doc_id": pa.array(ids[sel], pa.int64()),
+                "n_chars": pa.array(chars[sel], pa.int64()),
+                "h": pa.array(hs[sel], pa.uint64()),
+            }
+        )
+
+    def merge(g: pa.Table) -> pa.Table:
+        ka = ray.get(alloc_ref)
+        lang = g.column("lang")[0].as_py()
+        k = ka.get(lang, 0)
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        hs = g.column("h").to_numpy(zero_copy_only=False)
+        chars = g.column("n_chars").to_numpy(zero_copy_only=False)
+        win = np.lexsort((ids, hs))[:k]
+        return pa.table(
+            {
+                "lang": pa.array([lang] * len(win), pa.string()),
+                "doc_id": pa.array(ids[win], pa.int64()),
+                "n_chars": pa.array(chars[win], pa.int64()),
+            }
+        )
+
+    return (
+        _docs(sf_dir, ["doc_id", "lang", "n_chars"])
+        .map_batches(prune, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+
+
+def _neyman_sqls(budget: int = _NEYMAN_BUDGET) -> tuple[str, str]:
+    """(allocation_sql, sample_sql) — shared moment/allocation CTEs."""
+    from .queries import _sql_splitmix_ctes
+
+    base = f"""
+m AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS s1,
+         CAST(SUM(n_chars * n_chars) AS BIGINT) AS s2
+  FROM documents GROUP BY lang
+),
+w AS (
+  SELECT lang, n_docs, s1, s2,
+         sqrt(CAST(n_docs * s2 - s1 * s1 AS DOUBLE)) AS wgt
+  FROM m
+),
+tot AS (
+  SELECT MAX(cw) AS wtot FROM (
+    SELECT SUM(wgt) OVER (ORDER BY lang ROWS UNBOUNDED PRECEDING) AS cw
+    FROM w
+  )
+),
+alloc AS (
+  SELECT w.lang, w.n_docs, w.s1, w.s2, w.wgt,
+    CASE WHEN t.wtot > 0
+         THEN LEAST(CAST(FLOOR({budget} * w.wgt / t.wtot) AS BIGINT),
+                    w.n_docs)
+         ELSE 0 END AS k_alloc
+  FROM w, tot t
+)"""
+    alloc_sql = f"""
+WITH {base.strip()}
+SELECT lang, n_docs, s1, s2, wgt, k_alloc FROM alloc
+"""
+    sm, cte, col = _sql_splitmix_ctes("nym", "ids", "did")
+    sample_sql = f"""
+WITH {base.strip()},
+ids AS (
+  SELECT doc_id, lang, n_chars, CAST(doc_id AS UBIGINT) AS did
+  FROM documents
+),
+{sm.strip()},
+ranked AS (
+  SELECT lang, doc_id, n_chars,
+    row_number() OVER (PARTITION BY lang ORDER BY {col}, doc_id) AS rn
+  FROM {cte}
+)
+SELECT r.lang, r.doc_id, CAST(r.n_chars AS BIGINT) AS n_chars
+FROM ranked r JOIN alloc a ON a.lang = r.lang
+WHERE r.rn <= a.k_alloc
+"""
+    return alloc_sql, sample_sql
+
+
+# SQL built lazily (registry lambdas) — the splitmix CTE helper lives
+# in pipelines.queries, which imports this module.

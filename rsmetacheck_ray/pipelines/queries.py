@@ -9143,6 +9143,12 @@ def registry() -> dict[str, tuple]:
         "split_balance": (cor2.split_balance, cor2._split_balance_sql()),
         "phrase_search": (cor3.phrase_search, cor3.PHRASE_SEARCH_SQL),
         "dedup_containment": (cor3.containment_pairs, cor3.CONTAINMENT_SQL),
+        "neyman_allocation": (
+            cor3.neyman_allocation, lambda: cor3._neyman_sqls()[0],
+        ),
+        "stratified_neyman_sample": (
+            cor3.stratified_neyman_sample, lambda: cor3._neyman_sqls()[1],
+        ),
         "source_spearman": (st.source_spearman, st._source_spearman_sql()),
         "events_mutual_info": (
             st.events_mutual_info, st.EVENTS_MUTUAL_INFO_SQL,

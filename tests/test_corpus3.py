@@ -133,3 +133,60 @@ def test_exact_auc_tie_convention():
     assert _auc_from_contingency(
         np.array([7, 7]), np.array([0, 1]), np.array([3, 4])
     )[3] == 0.5
+
+
+def test_neyman_allocation_variance_weighting(ray_session, tmp_path):
+    d = str(tmp_path)
+    # 'aa': zero variance (all length 5) -> weight 0, k 0.
+    # 'bb': two docs, lengths 1 and 9 -> all budget goes here, capped
+    # at N_h = 2.
+    _docs(d, [
+        (1, "x" * 5, "aa"), (2, "y" * 5, "aa"), (3, "z" * 5, "aa"),
+        (4, "w", "bb"), (5, "v" * 9, "bb"),
+    ])
+    t = c3.neyman_allocation(d, budget=10)
+    rows = {r["lang"]: r for r in t.to_pylist()}
+    assert rows["aa"]["wgt"] == 0.0 and rows["aa"]["k_alloc"] == 0
+    assert rows["bb"]["k_alloc"] == 2  # floor(10*w/w)=10, capped at 2
+    # exact moments
+    assert rows["bb"]["s1"] == 10 and rows["bb"]["s2"] == 82
+    assert rows["bb"]["wgt"] == (2 * 82 - 100) ** 0.5
+
+
+def test_neyman_sample_partition_invariant(ray_session, tmp_path):
+    d = str(tmp_path)
+    rows = [(i, "t" * ((i * 7) % 23 + 1), "en" if i % 2 else "fr")
+            for i in range(60)]
+    _docs(d, rows)
+    got1 = sorted(
+        (r["lang"], r["doc_id"]) for r in
+        c3.stratified_neyman_sample(d, budget=12).take_all()
+    )
+    # different physical partitioning must not change the sample set
+    import rsmetacheck_ray.pipelines.corpus3 as m
+    ds = c3._docs(d, ["doc_id", "lang", "n_chars"]).repartition(7)
+    # route the same pipeline over the repartitioned input
+    orig = m._docs
+    try:
+        m._docs = lambda _d, _c: ds
+        got2 = sorted(
+            (r["lang"], r["doc_id"]) for r in
+            c3.stratified_neyman_sample(d, budget=12).take_all()
+        )
+    finally:
+        m._docs = orig
+    assert got1 == got2 and len(got1) > 0
+    # per-stratum counts respect the allocation
+    alloc = {r["lang"]: r["k_alloc"]
+             for r in c3.neyman_allocation(d, budget=12).to_pylist()}
+    from collections import Counter
+    cnt = Counter(l for l, _ in got1)
+    assert all(cnt[l] == min(k, cnt[l]) and cnt[l] <= k
+               for l, k in alloc.items())
+    assert sum(alloc.values()) <= 12
+
+
+def test_neyman_all_zero_weight_returns_empty(ray_session, tmp_path):
+    d = str(tmp_path)
+    _docs(d, [(1, "xxxx", "en"), (2, "yyyy", "en")])  # one stratum, var 0
+    assert c3.stratified_neyman_sample(d, budget=5).take_all() == []
