@@ -1689,3 +1689,116 @@ SELECT event_type, CAST(SUM(n) AS BIGINT) AS n_events,
   list_sum(list(contrib ORDER BY h)) AS decayed_count
 FROM t GROUP BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# last-touch conversion attribution (round-4 continuation): each
+# 'purchase' event credited to the same user's LATEST preceding touch
+# event (click/view/signup/error), value rolled up by touch type —
+# the marketing-attribution composition of the as-of join, run as a
+# SELF as-of over one table read.
+# ---------------------------------------------------------------------------
+
+_CONVERSION_TYPE = "purchase"
+
+
+def event_attribution(
+    sf_dir: str, num_partitions: int | None = None
+) -> rd.Dataset:
+    """(event_type, n_purchases, value_cents): last-touch attribution.
+    For every purchase event, the same user's latest NON-purchase
+    event at or before its timestamp (ties at an equal ts break to the
+    highest event_id — the oracle's ORDER BY ts DESC, event_id DESC
+    LIMIT 1); conversions with no prior touch land in 'none'. The
+    events_asof_orders tagged-sort plan over a SINGLE table read (each
+    row tags itself probe or build — no union), ONE hashed user_id
+    shuffle, per-partition rollup, |event_types|+1-row final reduce."""
+    from ray.data.aggregate import Sum
+
+    events = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts", "event_type", "value"],
+    )
+    n_parts = num_partitions or adaptive_partitions(
+        parquet_rows_hint(events), row_bytes=56
+    )
+
+    def tag(b: pa.Table) -> pa.Table:
+        is_conv = pc.equal(b.column("event_type"), _CONVERSION_TYPE)
+        return pa.table(
+            {
+                "part": _part_of(b.column("user_id"), n_parts),
+                "key": b.column("user_id"),
+                "ts": pc.cast(b.column("ts"), pa.int64()),
+                # touches (tag 0) sort BEFORE a conversion at an equal
+                # ts, so 'at or before' includes same-instant touches
+                "tag": pc.cast(is_conv, pa.int8()),
+                "sid": b.column("event_id"),
+                "etype": b.column("event_type"),
+                "cents": _cents(b.column("value")),
+            }
+        )
+
+    both = events.map_batches(tag, batch_format="pyarrow")
+
+    def attribute_part(group: pa.Table) -> pa.Table:
+        key = group.column("key").to_numpy(zero_copy_only=False)
+        ts = group.column("ts").to_numpy(zero_copy_only=False)
+        tg = group.column("tag").to_numpy(zero_copy_only=False)
+        sid = group.column("sid").to_numpy(zero_copy_only=False)
+        cents = group.column("cents").to_numpy(zero_copy_only=False)
+        order = np.lexsort((sid, tg, ts, key))
+        k, t, g, c = key[order], ts[order], tg[order], cents[order]
+        etype = group.column("etype").combine_chunks().take(
+            pa.array(order, pa.int64())
+        )
+        n = len(k)
+        idx = np.arange(n)
+        is_touch = g == 0
+        last_t = np.maximum.accumulate(np.where(is_touch, idx, -1))
+        is_conv = ~is_touch
+        pos = last_t[is_conv]
+        safe = np.maximum(pos, 0)
+        valid = (pos >= 0) & (k[safe] == k[is_conv])
+        types = etype.take(pa.array(safe, pa.int64()))
+        types = pc.if_else(pa.array(valid), types, pa.scalar("none"))
+        local = pa.table(
+            {
+                "event_type": types,
+                "cents": pa.array(c[is_conv], pa.int64()),
+            }
+        ).group_by("event_type").aggregate(
+            [("cents", "sum"), ([], "count_all")]
+        )
+        return pa.table(
+            {
+                "event_type": local.column("event_type"),
+                "n_purchases": pc.cast(local.column("count_all"), pa.int64()),
+                "value_cents": pc.cast(local.column("cents_sum"), pa.int64()),
+            }
+        )
+
+    partials = both.groupby("part").map_groups(
+        attribute_part, batch_format="pyarrow"
+    )
+    return partials.groupby("event_type").aggregate(
+        Sum("n_purchases", alias_name="n_purchases"),
+        Sum("value_cents", alias_name="value_cents"),
+    )
+
+
+EVENT_ATTRIBUTION_SQL = f"""
+WITH att AS (
+  SELECT p.event_id, p.value,
+    (SELECT e.event_type FROM events e
+      WHERE e.user_id = p.user_id
+        AND e.event_type <> '{_CONVERSION_TYPE}' AND e.ts <= p.ts
+      ORDER BY e.ts DESC, e.event_id DESC LIMIT 1) AS etype
+  FROM events p WHERE p.event_type = '{_CONVERSION_TYPE}'
+)
+SELECT COALESCE(etype, 'none') AS event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_purchases,
+  CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+    AS value_cents
+FROM att GROUP BY COALESCE(etype, 'none')
+"""

@@ -8673,6 +8673,9 @@ def registry() -> dict[str, tuple]:
         "events_hourly": (rel.events_hourly, rel.EVENTS_HOURLY_SQL),
         "revenue_by_priority": (rel.revenue_by_priority, rel.REVENUE_JOIN_SQL),
         "events_asof_orders": (rel.events_asof_orders, rel.EVENTS_ASOF_SQL),
+        "event_attribution": (
+            ana.event_attribution, ana.EVENT_ATTRIBUTION_SQL,
+        ),
         "orders_events_window": (
             rel.orders_events_window, rel.ORDERS_EVENTS_WINDOW_SQL,
         ),

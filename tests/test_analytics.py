@@ -379,3 +379,61 @@ def test_value_share_matches_duckdb_on_zero_totals(ray_session, tmp_path):
             assert np.isnan(g["share"]), (g, w)
         else:
             assert g["share"] == ws, (g, w)
+
+
+# --- last-touch conversion attribution --------------------------------------
+
+def _write_typed_events(d, rows):
+    """rows: (event_id, ts_us, user_id, event_type, value)."""
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(t, os.path.join(d, "events.parquet"))
+
+
+def test_event_attribution_last_touch_semantics(ray_session, tmp_path):
+    d = str(tmp_path)
+    _write_typed_events(d, [
+        # user 1: view then click then purchase -> credited to click
+        (1, 1_000, 1, "view", 0.0),
+        (2, 2_000, 1, "click", 0.0),
+        (3, 3_000, 1, "purchase", 10.00),
+        # user 1: second purchase later, no new touch -> still click
+        (4, 4_000, 1, "purchase", 2.50),
+        # user 2: purchase with NO prior touch -> 'none'
+        (5, 1_000, 2, "purchase", 7.00),
+        # user 2's later touch must not leak backwards
+        (6, 2_000, 2, "signup", 0.0),
+        # user 3: tie at the same ts -> highest event_id (signup) wins;
+        # touch at the SAME instant as the purchase counts
+        (7, 5_000, 3, "view", 0.0),
+        (8, 5_000, 3, "signup", 0.0),
+        (9, 5_000, 3, "purchase", 4.00),
+    ])
+    got = {r["event_type"]: (r["n_purchases"], r["value_cents"])
+           for r in ana.event_attribution(d).take_all()}
+    assert got == {
+        "click": (2, 1250),
+        "none": (1, 700),
+        "signup": (1, 400),
+    }
+
+
+def test_event_attribution_cross_user_isolation(ray_session, tmp_path):
+    d = str(tmp_path)
+    # user 5's touch is the globally latest row before user 6's
+    # purchase in (ts) order — but it belongs to another key
+    _write_typed_events(d, [
+        (1, 1_000, 5, "click", 0.0),
+        (2, 2_000, 6, "purchase", 1.00),
+    ])
+    got = ana.event_attribution(d).take_all()
+    assert got == [{"event_type": "none", "n_purchases": 1,
+                    "value_cents": 100}]
