@@ -565,3 +565,103 @@ WHERE r.rn <= a.k_alloc
 
 # SQL built lazily (registry lambdas) — the splitmix CTE helper lives
 # in pipelines.queries, which imports this module.
+
+
+# ---------------------------------------------------------------------------
+# temperature-scaled multilingual mixture weights (the mT5 / CC-100
+# α-sampling rule): p_l ∝ n_l^α with α < 1 upsamples low-resource
+# languages relative to their corpus share.
+# ---------------------------------------------------------------------------
+
+_ALPHA = 0.3
+_ALPHA_BUDGET = 1_000_000
+
+
+def alpha_mixture_weights(
+    sf_dir: str, alpha: float = _ALPHA, budget: int = _ALPHA_BUDGET
+) -> "pa.Table":
+    """(lang, n_docs, w_alpha, share, target_docs): the
+    temperature-scaled language-sampling table — w_l = n_l^α,
+    share_l = w_l / Σw, target_docs = floor(budget·share) — the
+    data-mixing rule multilingual pretraining uses to keep
+    high-resource languages from drowning the rest (α=1 is
+    proportional, α=0 uniform).
+
+    Bit-reproducible float discipline: CPython's libm ``pow`` is the
+    same call DuckDB's ``pow`` makes (probed at build time), the
+    weight total accumulates in FIXED lang order (the oracle's
+    sequential window sum), and share / target are the same IEEE
+    divide/floor in both engines. ONE count row per (batch, lang)
+    enters the bounded reduce; the solve is O(|langs|)."""
+    import math
+
+    from .relational import bounded_group_table_strict
+
+    ds = _docs(sf_dir, ["lang"])
+
+    def counts(b: pa.Table) -> pa.Table:
+        g = b.group_by("lang").aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "lang": g.column("lang"),
+                "n": pc.cast(g.column("count_all"), pa.int64()),
+            }
+        )
+
+    tbl = bounded_group_table_strict(
+        ds.map_batches(counts, batch_format="pyarrow"),
+        ["lang"],
+        [("n", "sum")],
+    )
+    empty = pa.table(
+        {
+            "lang": pa.array([], pa.string()),
+            "n_docs": pa.array([], pa.int64()),
+            "w_alpha": pa.array([], pa.float64()),
+            "share": pa.array([], pa.float64()),
+            "target_docs": pa.array([], pa.int64()),
+        }
+    )
+    if tbl is None or tbl.num_rows == 0:
+        return empty
+    rows = sorted(
+        zip(tbl.column("lang").to_pylist(), tbl.column("n").to_pylist())
+    )
+    w = [math.pow(float(n), alpha) for (_l, n) in rows]
+    wtot = 0.0
+    for x in w:  # fixed lang-ascending order == the oracle's window sum
+        wtot += x
+    share = [wi / wtot for wi in w]
+    target = [int(math.floor(budget * wi / wtot)) for wi in w]
+    return pa.table(
+        {
+            "lang": pa.array([r[0] for r in rows], pa.string()),
+            "n_docs": pa.array([r[1] for r in rows], pa.int64()),
+            "w_alpha": pa.array(w, pa.float64()),
+            "share": pa.array(share, pa.float64()),
+            "target_docs": pa.array(target, pa.int64()),
+        }
+    )
+
+
+ALPHA_MIXTURE_SQL = f"""
+WITH m AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY lang
+),
+w AS (
+  SELECT lang, n_docs,
+         pow(CAST(n_docs AS DOUBLE), {_ALPHA}) AS w_alpha
+  FROM m
+),
+tot AS (
+  SELECT MAX(cw) AS wtot FROM (
+    SELECT SUM(w_alpha) OVER (ORDER BY lang ROWS UNBOUNDED PRECEDING) AS cw
+    FROM w
+  )
+)
+SELECT w.lang, w.n_docs, w.w_alpha,
+  w.w_alpha / t.wtot AS share,
+  CAST(FLOOR({_ALPHA_BUDGET} * w.w_alpha / t.wtot) AS BIGINT) AS target_docs
+FROM w, tot t
+"""

@@ -9146,6 +9146,9 @@ def registry() -> dict[str, tuple]:
         "split_balance": (cor2.split_balance, cor2._split_balance_sql()),
         "phrase_search": (cor3.phrase_search, cor3.PHRASE_SEARCH_SQL),
         "dedup_containment": (cor3.containment_pairs, cor3.CONTAINMENT_SQL),
+        "alpha_mixture_weights": (
+            cor3.alpha_mixture_weights, cor3.ALPHA_MIXTURE_SQL,
+        ),
         "neyman_allocation": (
             cor3.neyman_allocation, lambda: cor3._neyman_sqls()[0],
         ),

@@ -190,3 +190,22 @@ def test_neyman_all_zero_weight_returns_empty(ray_session, tmp_path):
     d = str(tmp_path)
     _docs(d, [(1, "xxxx", "en"), (2, "yyyy", "en")])  # one stratum, var 0
     assert c3.stratified_neyman_sample(d, budget=5).take_all() == []
+
+
+def test_alpha_mixture_upsamples_low_resource(ray_session, tmp_path):
+    d = str(tmp_path)
+    # en: 8 docs, fr: 1 doc. α=0.3 compresses the gap: share_fr must
+    # exceed its proportional 1/9 while share_en stays the majority.
+    rows = [(i, "x", "en") for i in range(8)] + [(100, "y", "fr")]
+    _docs(d, rows)
+    t = {r["lang"]: r for r in c3.alpha_mixture_weights(d).to_pylist()}
+    assert t["en"]["n_docs"] == 8 and t["fr"]["n_docs"] == 1
+    assert t["fr"]["w_alpha"] == 1.0
+    assert t["fr"]["share"] > 1 / 9 and t["en"]["share"] > t["fr"]["share"]
+    assert abs(t["en"]["share"] + t["fr"]["share"] - 1.0) < 1e-12
+    assert t["en"]["target_docs"] + t["fr"]["target_docs"] <= 1_000_000
+
+    # α=1 is exactly proportional
+    p = {r["lang"]: r for r in
+         c3.alpha_mixture_weights(d, alpha=1.0).to_pylist()}
+    assert p["en"]["share"] == 8 / 9
