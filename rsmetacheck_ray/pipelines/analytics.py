@@ -1802,3 +1802,111 @@ SELECT COALESCE(etype, 'none') AS event_type,
     AS value_cents
 FROM att GROUP BY COALESCE(etype, 'none')
 """
+
+
+# ---------------------------------------------------------------------------
+# forward as-of: post-conversion follow-up — for each purchase, the
+# same user's NEXT touch event at or after it (the mirror of
+# event_attribution's backward scan).
+# ---------------------------------------------------------------------------
+
+def purchase_next_touch(
+    sf_dir: str, num_partitions: int | None = None
+) -> rd.Dataset:
+    """(event_id, next_event_id, next_type, gap_us): for every
+    purchase event, the same user's EARLIEST non-purchase event at or
+    after its timestamp — nulls when the user never touches again.
+    Ties at an equal ts break to the LOWEST event_id (the oracle's
+    ORDER BY ts ASC, event_id ASC LIMIT 1), and a touch at the same
+    instant as the purchase counts — both pinned by the sort-key
+    construction, not left to engine luck. Forward scan = the
+    event_attribution sweep with a right-to-left minimum accumulate.
+    ONE hashed user_id shuffle of 48 B rows."""
+    events = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+    n_parts = num_partitions or adaptive_partitions(
+        parquet_rows_hint(events), row_bytes=48
+    )
+
+    def tag(b: pa.Table) -> pa.Table:
+        is_conv = pc.equal(b.column("event_type"), _CONVERSION_TYPE)
+        return pa.table(
+            {
+                "part": _part_of(b.column("user_id"), n_parts),
+                "key": b.column("user_id"),
+                "ts": pc.cast(b.column("ts"), pa.int64()),
+                # purchases (tag 0) sort BEFORE touches at an equal ts,
+                # so 'at or after' includes same-instant touches
+                "tag": pc.cast(pc.invert(is_conv), pa.int8()),
+                "sid": b.column("event_id"),
+                "etype": b.column("event_type"),
+            }
+        )
+
+    def next_part(group: pa.Table) -> pa.Table:
+        key = group.column("key").to_numpy(zero_copy_only=False)
+        ts = group.column("ts").to_numpy(zero_copy_only=False)
+        tg = group.column("tag").to_numpy(zero_copy_only=False)
+        sid = group.column("sid").to_numpy(zero_copy_only=False)
+        order = np.lexsort((sid, tg, ts, key))
+        k, t, g, s = key[order], ts[order], tg[order], sid[order]
+        etype = group.column("etype").combine_chunks().take(
+            pa.array(order, pa.int64())
+        )
+        n = len(k)
+        idx = np.arange(n)
+        is_touch = g == 1
+        # right-to-left minimum: the nearest FOLLOWING touch index
+        nxt = np.minimum.accumulate(
+            np.where(is_touch, idx, n)[::-1]
+        )[::-1]
+        is_conv = ~is_touch
+        pos = nxt[is_conv]
+        safe = np.minimum(pos, n - 1)
+        valid = (pos < n) & (k[safe] == k[is_conv])
+        types = etype.take(pa.array(safe, pa.int64()))
+        conv_sel = pa.array(np.flatnonzero(is_conv), pa.int64())
+        return pa.table(
+            {
+                "event_id": pa.array(s[is_conv], pa.int64()),
+                "next_event_id": pc.if_else(
+                    pa.array(valid),
+                    pa.array(s[safe], pa.int64()),
+                    pa.scalar(None, pa.int64()),
+                ),
+                "next_type": pc.if_else(
+                    pa.array(valid), types, pa.scalar(None, pa.string())
+                ),
+                "gap_us": pc.if_else(
+                    pa.array(valid),
+                    pa.array(t[safe] - t[is_conv], pa.int64()),
+                    pa.scalar(None, pa.int64()),
+                ),
+            }
+        )
+
+    return events.map_batches(tag, batch_format="pyarrow").groupby(
+        "part"
+    ).map_groups(next_part, batch_format="pyarrow")
+
+
+PURCHASE_NEXT_TOUCH_SQL = f"""
+WITH p AS (
+  SELECT event_id, user_id, ts FROM events
+  WHERE event_type = '{_CONVERSION_TYPE}'
+),
+nxt AS (
+  SELECT p.event_id, p.ts AS p_ts,
+    (SELECT e.event_id FROM events e
+      WHERE e.user_id = p.user_id
+        AND e.event_type <> '{_CONVERSION_TYPE}' AND e.ts >= p.ts
+      ORDER BY e.ts ASC, e.event_id ASC LIMIT 1) AS next_event_id
+  FROM p
+)
+SELECT n.event_id, n.next_event_id,
+  e.event_type AS next_type,
+  CAST(epoch_us(e.ts) - epoch_us(n.p_ts) AS BIGINT) AS gap_us
+FROM nxt n LEFT JOIN events e ON e.event_id = n.next_event_id
+"""

@@ -8676,6 +8676,9 @@ def registry() -> dict[str, tuple]:
         "event_attribution": (
             ana.event_attribution, ana.EVENT_ATTRIBUTION_SQL,
         ),
+        "purchase_next_touch": (
+            ana.purchase_next_touch, ana.PURCHASE_NEXT_TOUCH_SQL,
+        ),
         "orders_events_window": (
             rel.orders_events_window, rel.ORDERS_EVENTS_WINDOW_SQL,
         ),

@@ -437,3 +437,52 @@ def test_event_attribution_cross_user_isolation(ray_session, tmp_path):
     got = ana.event_attribution(d).take_all()
     assert got == [{"event_type": "none", "n_purchases": 1,
                     "value_cents": 100}]
+
+
+def test_purchase_next_touch_forward_semantics(ray_session, tmp_path):
+    d = str(tmp_path)
+    _write_typed_events(d, [
+        # user 1: purchase, then two touches -> nearest (click)
+        (1, 1_000, 1, "purchase", 0.0),
+        (2, 3_000, 1, "click", 0.0),
+        (3, 5_000, 1, "view", 0.0),
+        # user 2: purchase is the last event -> nulls
+        (4, 9_000, 2, "purchase", 0.0),
+        # user 2's earlier touch must not match forward
+        (5, 1_000, 2, "signup", 0.0),
+        # user 3: tie at the same instant -> LOWEST event_id wins,
+        # same-instant touch counts
+        (8, 4_000, 3, "purchase", 0.0),
+        (6, 4_000, 3, "view", 0.0),
+        (7, 4_000, 3, "signup", 0.0),
+    ])
+    got = {r["event_id"]: r for r in ana.purchase_next_touch(d).take_all()}
+    assert got[1]["next_event_id"] == 2 and got[1]["next_type"] == "click"
+    assert got[1]["gap_us"] == 2_000
+    assert got[4]["next_event_id"] is None and got[4]["gap_us"] is None
+    assert got[8]["next_event_id"] == 6 and got[8]["gap_us"] == 0
+
+
+def test_join_api_asof_forward_direction(ray_session, tmp_path):
+    import ray.data as rd
+    from rsmetacheck_ray.pipelines.join import join
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 1, 2], pa.int64()),
+        "t": pa.array([10, 25, 10], pa.int64()),
+    }))
+    right = rd.from_arrow(pa.table({
+        "k": pa.array([1, 1, 2], pa.int64()),
+        "t": pa.array([12, 30, 5], pa.int64()),
+        "v": pa.array(["a", "b", "c"], pa.string()),
+    }))
+    got = sorted(
+        join(left, right, how="asof", by="k", on="t",
+             direction="forward").take_all(),
+        key=lambda r: (r["k"], r["t"]),
+    )
+    # k=1,t=10 -> earliest r.t >= 10 is 12 ('a'); t=25 -> 30 ('b');
+    # k=2,t=10 -> no right row at/after 10 -> null
+    assert [(r["k"], r["t"], r["v"]) for r in got] == [
+        (1, 10, "a"), (1, 25, "b"), (2, 10, None),
+    ]
