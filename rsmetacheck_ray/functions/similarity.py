@@ -499,3 +499,140 @@ def bitext_margin_pairs(
         return sub.select(["src_id", "tgt_id"])
 
     return joined.map_batches(mutual, batch_format="pyarrow")
+
+
+def knn_join_ivf(
+    ds_a: rd.Dataset,
+    ds_b: rd.Dataset,
+    k: int = 10,
+    n_cells: int | None = None,
+    nprobe: int | None = None,
+    id_a: str = "vec_id",
+    id_b: str = "vec_id",
+    train_sample: int = 2048,
+    centroids_out: list | None = None,
+) -> rd.Dataset:
+    """Approximate scale path for :func:`knn_join` — IVF-bucketed:
+    a codebook trained on a bounded systematic sample of B assigns
+    every B row to ONE cell (argmax cosine; ties → lowest cell, the
+    oracle's (sim DESC, cluster ASC)) and every A row to its ``nprobe``
+    closest cells; ONE hashed-cell shuffle co-locates them and each
+    cell joins locally (matmul top-k per A row), then the global
+    ``groupby(query_id)`` merge resolves the probed-cells top-k.
+
+    Compute drops from O(|A|·|B|) to ~O(|A|·|B|·nprobe/n_cells);
+    recall is traded (a neighbor hiding in an unprobed cell is
+    invisible — pinned vs exact in tests). Unlike the exact path the
+    unit VECTORS ride the shuffle (8d B/row, ×(nprobe) for A) — the
+    standard IVF sharding cost; a B vector ships exactly once."""
+    from ..partitioning import parquet_rows_hint
+
+    n_b = parquet_rows_hint(ds_b) or ds_b.count()
+    if n_cells is None:
+        n_cells = int(min(4096, max(8, round(max(n_b, 1) ** 0.5))))
+    if nprobe is None:
+        nprobe = max(2, n_cells // 4)
+    stride = max(1, n_b // train_sample)
+
+    def pick(b: pa.Table) -> pa.Table:
+        ids = b.column(id_b).to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % stride == 0))
+
+    sample = (
+        ds_b.select_columns([id_b, "embedding"])
+        .map_batches(pick, batch_format="pyarrow")
+        .limit(train_sample)
+        .take_all()
+    )
+    if not sample:
+        sample = (
+            ds_b.select_columns([id_b, "embedding"])
+            .limit(train_sample)
+            .take_all()
+        )
+    if not sample:
+        return rd.from_arrow(_KNN_JOIN_SCHEMA.empty_table())
+    x = _unit(
+        np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in sample])
+    )
+    cent = deterministic_kmeans(x, min(n_cells, len(x)))
+    if centroids_out is not None:
+        centroids_out.append((cent, nprobe))  # oracle parameter export
+    cent_ref = ray.put(cent)
+
+    def _unit_list(u: np.ndarray) -> pa.Array:
+        return pa.array(u.tolist(), pa.list_(pa.float64()))
+
+    def tag_b(b: pa.Table) -> pa.Table:
+        ids, mat = _batch_matrix(b, id_b)
+        c = ray.get(cent_ref)
+        if len(ids) == 0:
+            u = np.zeros((0, c.shape[1]))
+            cell = np.zeros(0, np.int64)
+        else:
+            u = _unit(mat)
+            cell = (u @ c.T).argmax(axis=1).astype(np.int64)
+        return pa.table(
+            {
+                "cell": pa.array(cell, pa.int64()),
+                "tag": pa.array(np.zeros(len(ids), np.int8)),
+                "rid": pa.array(ids, pa.int64()),
+                "unit": _unit_list(u),
+            }
+        )
+
+    def tag_a(b: pa.Table) -> pa.Table:
+        ids, mat = _batch_matrix(b, id_a)
+        c = ray.get(cent_ref)
+        if len(ids) == 0:
+            return pa.table(
+                {
+                    "cell": pa.array([], pa.int64()),
+                    "tag": pa.array([], pa.int8()),
+                    "rid": pa.array([], pa.int64()),
+                    "unit": pa.array([], pa.list_(pa.float64())),
+                }
+            )
+        u = _unit(mat)
+        sims = u @ c.T
+        probe = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+        npb = probe.shape[1]
+        rep = np.repeat(np.arange(len(ids)), npb)
+        return pa.table(
+            {
+                "cell": pa.array(probe.reshape(-1).astype(np.int64), pa.int64()),
+                "tag": pa.array(np.ones(len(rep), np.int8)),
+                "rid": pa.array(ids[rep], pa.int64()),
+                "unit": _unit_list(u[rep]),
+            }
+        )
+
+    both = ds_b.map_batches(tag_b, batch_format="pyarrow").union(
+        ds_a.map_batches(tag_a, batch_format="pyarrow")
+    )
+
+    def cell_join(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "cos": pa.array([], pa.float64()),
+            }
+        )
+        tg = g.column("tag").to_numpy(zero_copy_only=False)
+        a_sel = np.flatnonzero(tg == 1)
+        b_sel = np.flatnonzero(tg == 0)
+        if len(a_sel) == 0 or len(b_sel) == 0:
+            return empty
+        rid = g.column("rid").to_numpy(zero_copy_only=False)
+        units = g.column("unit").to_pylist()
+        ua = np.stack([np.asarray(units[i], np.float64) for i in a_sel])
+        ub = np.stack([np.asarray(units[i], np.float64) for i in b_sel])
+        return _topk_table(rid[a_sel], rid[b_sel], ua @ ub.T, k)
+
+    partials = both.groupby("cell").map_groups(
+        cell_join, batch_format="pyarrow"
+    )
+    return partials.groupby("query_id").map_groups(
+        lambda g: _merge_topk_rank(g, k), batch_format="pyarrow"
+    )

@@ -7070,6 +7070,102 @@ QUALIFY "rank" <= {_XLING_K}
 """
 
 
+def q_crosslingual_knn_ivf(sf_dir: str):
+    """IVF-bucketed variant of ``crosslingual_knn`` — the kNN JOIN's
+    approximate scale path (functions/similarity.knn_join_ivf): the
+    codebook trained on a bounded systematic sample of the non-English
+    side buckets both sides, only ``nprobe`` cells join per English
+    vector, and the codebook exports (the LM-parameter pattern) so
+    DuckDB re-derives assignment, probe set and in-cell ranking;
+    recall vs the exact join stays pinned in pytest."""
+    import pyarrow.parquet as _pq
+
+    a, b = _bitext_sides(sf_dir)
+    out: list = []
+    res = sim.knn_join_ivf(a, b, k=_XLING_K, centroids_out=out)
+    cent, nprobe = out[0]
+    _export_centroids(cent, "centroids_knnjoin.parquet")
+    os.makedirs(_KMEANS_EXPORT_DIR, exist_ok=True)
+    meta = os.path.join(_KMEANS_EXPORT_DIR, "knnjoin_nprobe.parquet")
+    tmp = meta + f".tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+    _pq.write_table(
+        pa.table({"nprobe": pa.array([int(nprobe)], pa.int64())}), tmp
+    )
+    os.replace(tmp, meta)
+    return res
+
+
+SQL_CROSSLINGUAL_KNN_IVF = f"""
+WITH {_BITEXT_SIDES_SQL.strip()},
+cents AS (
+  SELECT cluster, cvec
+  FROM '/tmp/rsmetacheck_kmeans_oracle/centroids_knnjoin.parquet'
+),
+np_ AS (
+  SELECT nprobe
+  FROM '/tmp/rsmetacheck_kmeans_oracle/knnjoin_nprobe.parquet'
+),
+bnorm AS (
+  SELECT vec_id,
+    GREATEST(sqrt(list_sum(list_transform(
+      embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))),
+      1e-300) AS nrm
+  FROM b
+),
+anorm AS (
+  SELECT vec_id,
+    GREATEST(sqrt(list_sum(list_transform(
+      embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))),
+      1e-300) AS nrm
+  FROM a
+),
+bsims AS (
+  SELECT e.vec_id, c.cluster,
+    list_sum(list_transform(range(1, len(e.embedding) + 1),
+      i -> (CAST(e.embedding[i] AS DOUBLE) / n.nrm) * c.cvec[i]))
+      AS sim
+  FROM b e JOIN bnorm n ON n.vec_id = e.vec_id
+  CROSS JOIN cents c
+),
+assign AS (
+  SELECT vec_id, cluster FROM bsims
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY vec_id ORDER BY sim DESC, cluster) = 1
+),
+asims AS (
+  SELECT e.vec_id, c.cluster,
+    list_sum(list_transform(range(1, len(e.embedding) + 1),
+      i -> (CAST(e.embedding[i] AS DOUBLE) / n.nrm) * c.cvec[i]))
+      AS sim
+  FROM a e JOIN anorm n ON n.vec_id = e.vec_id
+  CROSS JOIN cents c
+),
+probe AS (
+  SELECT vec_id AS query_id, cluster FROM asims
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY vec_id ORDER BY sim DESC, cluster)
+    <= (SELECT nprobe FROM np_)
+),
+cand AS (
+  SELECT p.query_id, s.vec_id
+  FROM probe p JOIN assign s ON s.cluster = p.cluster
+),
+scored AS (
+  SELECT c.query_id, c.vec_id,
+    list_cosine_similarity(
+      CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS cos
+  FROM cand c
+  JOIN a q ON q.vec_id = c.query_id
+  JOIN b e ON e.vec_id = c.vec_id
+)
+SELECT query_id, vec_id,
+  CAST(row_number() OVER (
+    PARTITION BY query_id ORDER BY cos DESC, vec_id) AS BIGINT) AS "rank"
+FROM scored
+QUALIFY "rank" <= {_XLING_K}
+"""
+
+
 def q_bitext_mine(sf_dir: str):
     """Margin-based bitext mining (functions/similarity.
     bitext_margin_pairs): English→non-English pairs that are MUTUAL
@@ -9243,6 +9339,9 @@ def registry() -> dict[str, tuple]:
         # similarity search
         "knn_cosine": (q_knn_cosine, SQL_KNN),
         "crosslingual_knn": (q_crosslingual_knn, SQL_CROSSLINGUAL_KNN),
+        "crosslingual_knn_ivf": (
+            q_crosslingual_knn_ivf, SQL_CROSSLINGUAL_KNN_IVF,
+        ),
         "bitext_mine": (q_bitext_mine, SQL_BITEXT_MINE),
         "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),
         "knn_ivf": (q_knn_ivf, SQL_KNN_IVF),

@@ -255,3 +255,32 @@ def test_bitext_single_candidate_passes_on_floor_alone(ray_session):
         for r in sim.bitext_margin_pairs(src, tgt_hi).take_all()
     ] == [(0, 30)]
     assert sim.bitext_margin_pairs(src, tgt_lo).take_all() == []
+
+
+def test_knn_join_ivf_recall_vs_exact(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(7)
+    a = rng.normal(size=(50, 16))
+    b = rng.normal(size=(200, 16))
+    # plant an exact copy of every 5th A vector into B: its cell is by
+    # construction the query's closest cell, so rank-1 recall on the
+    # planted pairs must be PERFECT, not just probable
+    for i in range(0, 50, 5):
+        b[100 + i // 5] = a[i]
+    dsa = rd.from_arrow(_vec_table(list(enumerate(a)))).repartition(4)
+    dsb = rd.from_arrow(_vec_table(list(enumerate(b)))).repartition(6)
+    exact = {}
+    for r in sim.knn_join(dsa, dsb, k=5).take_all():
+        exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+    approx = {}
+    rank1 = {}
+    for r in sim.knn_join_ivf(dsa, dsb, k=5, n_cells=8, nprobe=3).take_all():
+        approx.setdefault(r["query_id"], set()).add(r["vec_id"])
+        if r["rank"] == 1:
+            rank1[r["query_id"]] = r["vec_id"]
+    for i in range(0, 50, 5):
+        assert rank1[i] == 100 + i // 5
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    assert hits / total >= 0.5  # deterministic given the fixed seed
