@@ -239,6 +239,17 @@ def median(vals: list[float]) -> float:
 
 
 BENCH_QUERIES = [
+    "phrase_search",
+    "dedup_containment",
+    "crosslingual_knn",
+    "crosslingual_knn_ivf",
+    "bitext_mine",
+    "gate_classifier_auc",
+    "neyman_allocation",
+    "stratified_neyman_sample",
+    "event_attribution",
+    "purchase_next_touch",
+    "alpha_mixture_weights",
     "q1_pricing",
     "events_hourly",
     "events_sliding_3h",

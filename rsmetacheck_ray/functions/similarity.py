@@ -636,3 +636,106 @@ def knn_join_ivf(
     return partials.groupby("query_id").map_groups(
         lambda g: _merge_topk_rank(g, k), batch_format="pyarrow"
     )
+
+
+def mmr_select(
+    ds: rd.Dataset,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 5,
+    pool: int = 20,
+    lam: float = 0.5,
+    id_col: str = "vec_id",
+) -> pa.Table:
+    """Maximal-Marginal-Relevance diversified top-k → (query_id,
+    vec_id, pick): greedily pick ``k`` results from each query's
+    cosine top-``pool`` candidates, each step maximizing
+    λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s) — the classic
+    redundancy-penalized retrieval rule (a near-duplicate of an
+    already-picked result scores itself out, where plain kNN returns
+    the whole duplicate cluster).
+
+    Distribution: the candidate POOL is the distributed part (the
+    knn_bruteforce block-prune plan); the greedy solve runs on the
+    bounded nq×pool table driver-side — pool² pairwise sims per query,
+    never the corpus. Ties break to the lowest vec_id at every pick
+    (the oracle's ORDER BY score DESC, vec_id)."""
+    qids = np.asarray(query_ids, dtype=np.int64)
+    qunit = _unit(np.asarray(queries, dtype=np.float64))
+    # pool+1 then drop the query itself: with self in the pool, pick 1
+    # is the query and every pick-2 score collapses to exactly
+    # λ·rel − (1−λ)·rel ≡ 0 at λ=½ — an all-ties knife edge where
+    # 1-ulp dot-product noise decides the output
+    pool_df = knn_bruteforce(ds, queries, qids, k=pool + 1, id_col=id_col)
+    pool_ids: dict[int, list[int]] = {}
+    cand_all: set[int] = set()
+    for r in pool_df.take_all():  # bounded: nq × (pool+1) rows
+        qid, vid = int(r["query_id"]), int(r["vec_id"])
+        if vid == qid:
+            continue
+        lst = pool_ids.setdefault(qid, [])
+        if len(lst) >= pool:
+            continue
+        lst.append(vid)
+        cand_all.add(vid)
+    empty = pa.table(
+        {
+            "query_id": pa.array([], pa.int64()),
+            "vec_id": pa.array([], pa.int64()),
+            "pick": pa.array([], pa.int64()),
+        }
+    )
+    if not cand_all:
+        return empty
+    cand_sorted = np.array(sorted(cand_all), np.int64)
+    cand_ref = ray.put(cand_sorted)
+
+    def fetch(b: pa.Table) -> pa.Table:
+        cand = ray.get(cand_ref)
+        ids = np.asarray(b.column(id_col).to_pylist(), dtype=np.int64)
+        if len(ids) == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "embedding": b.column("embedding").slice(0, 0),
+                }
+            )
+        pos = np.searchsorted(cand, ids)
+        member = cand[np.minimum(pos, len(cand) - 1)] == ids
+        return b.select([id_col, "embedding"]).filter(pa.array(member))
+
+    rows = ds.map_batches(fetch, batch_format="pyarrow").take_all()
+    vecs = {
+        int(r[id_col]): np.asarray(r["embedding"], dtype=np.float64)
+        for r in rows
+    }
+    out_q, out_v, out_p = [], [], []
+    for qi, qid in enumerate(qids.tolist()):
+        cands = pool_ids.get(int(qid), [])
+        if not cands:
+            continue
+        mat = _unit(np.stack([vecs[c] for c in cands]))
+        rel = qunit[qi] @ mat.T
+        sims = mat @ mat.T
+        chosen: list[int] = []
+        remaining = list(range(len(cands)))
+        for pick in range(min(k, len(cands))):
+            best_j, best_key = None, None
+            for j in remaining:
+                pen = max(sims[j][c] for c in chosen) if chosen else 0.0
+                score = lam * rel[j] - (1.0 - lam) * pen
+                key = (-score, cands[j])
+                if best_key is None or key < best_key:
+                    best_j, best_key = j, key
+            chosen.append(best_j)
+            remaining.remove(best_j)
+            out_q.append(int(qid))
+            out_v.append(cands[best_j])
+            out_p.append(pick + 1)
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.int64()),
+            "vec_id": pa.array(out_v, pa.int64()),
+            "pick": pa.array(out_p, pa.int64()),
+        }
+    )

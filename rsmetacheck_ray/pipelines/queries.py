@@ -7312,6 +7312,86 @@ QUALIFY ROW_NUMBER() OVER (
 """
 
 
+_MMR_K = 5
+_MMR_POOL = 20
+_MMR_LAM = 0.5
+
+
+def q_mmr_select(sf_dir: str):
+    """MMR-diversified retrieval (functions/similarity.mmr_select):
+    per query vector, 5 greedy picks from the cosine top-20 pool, each
+    maximizing λ·rel − (1−λ)·max-sim-to-selected — the redundancy-
+    penalized top-k a dedup-aware retrieval layer returns. The greedy
+    recurrence is finite (k=5), so the oracle unrolls it as chained
+    per-pick CTEs — no rows-only escape needed."""
+    qids, qvecs = _query_vectors(sf_dir)
+    ds = rel._read_pq(os.path.join(sf_dir, "embeddings.parquet"))
+    return sim.mmr_select(
+        ds, qvecs, qids, k=_MMR_K, pool=_MMR_POOL, lam=_MMR_LAM
+    )
+
+
+def _sql_mmr_select() -> str:
+    lam, mu = _MMR_LAM, 1.0 - _MMR_LAM
+    parts = [
+        f"""
+R AS (
+  SELECT q.vec_id AS query_id, e.vec_id,
+    list_cosine_similarity(
+      CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS rel
+  FROM embeddings q CROSS JOIN embeddings e
+  WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id
+  QUALIFY row_number() OVER (
+    PARTITION BY q.vec_id ORDER BY rel DESC, e.vec_id) <= {_MMR_POOL}
+),
+P AS (
+  SELECT ra.query_id, ra.vec_id AS a, rb.vec_id AS b,
+    list_cosine_similarity(
+      CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])) AS sim
+  FROM R ra JOIN R rb ON rb.query_id = ra.query_id
+  JOIN embeddings ea ON ea.vec_id = ra.vec_id
+  JOIN embeddings eb ON eb.vec_id = rb.vec_id
+),
+sel1 AS (
+  SELECT query_id, vec_id FROM R
+  QUALIFY row_number() OVER (
+    PARTITION BY query_id ORDER BY rel DESC, vec_id) = 1
+)"""
+    ]
+    for i in range(2, _MMR_K + 1):
+        prev_union = " UNION ALL ".join(
+            f"SELECT query_id, vec_id FROM sel{j}" for j in range(1, i)
+        )
+        parts.append(
+            f""",
+prev{i} AS ({prev_union}),
+score{i} AS (
+  SELECT r.query_id, r.vec_id,
+    {lam} * r.rel - {mu} * (
+      SELECT MAX(p2.sim) FROM P p2
+      JOIN prev{i} s ON s.query_id = r.query_id
+      WHERE p2.query_id = r.query_id
+        AND p2.a = r.vec_id AND p2.b = s.vec_id
+    ) AS score
+  FROM R r
+  WHERE NOT EXISTS (
+    SELECT 1 FROM prev{i} p
+    WHERE p.query_id = r.query_id AND p.vec_id = r.vec_id
+  )
+),
+sel{i} AS (
+  SELECT query_id, vec_id FROM score{i}
+  QUALIFY row_number() OVER (
+    PARTITION BY query_id ORDER BY score DESC, vec_id) = 1
+)"""
+        )
+    picks = "\nUNION ALL\n".join(
+        f"SELECT query_id, vec_id, CAST({i} AS BIGINT) AS pick FROM sel{i}"
+        for i in range(1, _MMR_K + 1)
+    )
+    return "WITH " + "".join(parts) + "\n" + picks
+
+
 def q_knn_quantized(sf_dir: str):
     """Cosine top-k over the INT8-quantized corpus representation
     (functions/quantize.py): symmetric per-vector scalar quantization
@@ -9345,6 +9425,7 @@ def registry() -> dict[str, tuple]:
         "bitext_mine": (q_bitext_mine, SQL_BITEXT_MINE),
         "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),
         "knn_ivf": (q_knn_ivf, SQL_KNN_IVF),
+        "mmr_select": (q_mmr_select, _sql_mmr_select()),
         "knn_quantized": (q_knn_quantized, SQL_KNN_QUANTIZED),
         "kmeans_clusters": (q_kmeans_clusters, SQL_KMEANS_CLUSTERS),
         "dedup_semantic": (q_dedup_semantic, SQL_DEDUP_SEMANTIC),

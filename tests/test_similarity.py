@@ -284,3 +284,44 @@ def test_knn_join_ivf_recall_vs_exact(ray_session):
     hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
     total = sum(len(v) for v in exact.values())
     assert hits / total >= 0.5  # deterministic given the fixed seed
+
+
+def test_mmr_penalizes_redundancy(ray_session):
+    import ray.data as rd
+
+    # candidates: 10 and 11 are near-identical and most relevant;
+    # 12 is less relevant but diverse. Plain top-2 = {10, 11};
+    # MMR pick 2 must switch to 12.
+    q = np.array([[1.0, 0.0, 0.0]])
+    t = _vec_table([
+        (10, [1.0, 0.05, 0.0]),
+        (11, [1.0, 0.06, 0.0]),
+        (12, [0.5, 0.0, 0.8]),
+    ])
+    got = sim.mmr_select(
+        rd.from_arrow(t), q, np.array([99]), k=2, pool=3, lam=0.5
+    ).to_pylist()
+    assert [(r["pick"], r["vec_id"]) for r in got] == [(1, 10), (2, 12)]
+    # with lam=1.0 MMR degenerates to plain kNN order
+    got2 = sim.mmr_select(
+        rd.from_arrow(t), q, np.array([99]), k=2, pool=3, lam=1.0
+    ).to_pylist()
+    assert [(r["pick"], r["vec_id"]) for r in got2] == [(1, 10), (2, 11)]
+
+
+def test_mmr_excludes_self_and_bounds_k(ray_session):
+    import ray.data as rd
+
+    # the query vector itself (vec_id == query_id) never appears in
+    # the picks; k larger than the pool returns the whole pool
+    t = _vec_table([
+        (5, [1.0, 0.0]),       # the query itself
+        (6, [0.9, 0.1]),
+        (7, [0.0, 1.0]),
+    ])
+    got = sim.mmr_select(
+        rd.from_arrow(t), np.array([[1.0, 0.0]]), np.array([5]),
+        k=10, pool=5,
+    ).to_pylist()
+    assert [r["vec_id"] for r in got] == [6, 7]
+    assert [r["pick"] for r in got] == [1, 2]
