@@ -665,3 +665,120 @@ SELECT w.lang, w.n_docs, w.w_alpha,
   CAST(FLOOR({_ALPHA_BUDGET} * w.w_alpha / t.wtot) AS BIGINT) AS target_docs
 FROM w, tot t
 """
+
+
+# ---------------------------------------------------------------------------
+# empirical-Bayes shrinkage of per-source quality: a small source's
+# raw mean is noise; shrink it toward the global mean with weight
+# n/(n+tau) before ranking sources.
+# ---------------------------------------------------------------------------
+
+_SHRINK_TAU = 50  # pseudo-count prior strength
+
+
+def source_quality_shrunk(sf_dir: str, tau: int = _SHRINK_TAU) -> "pa.Table":
+    """(source, n_docs, score_sum, raw_mean, shrunk_mean): each
+    source's mean classifier score with empirical-Bayes shrinkage
+    toward the global mean — shrunk = (Σx + τ·μ) / (n + τ), the
+    add-τ-pseudo-observations posterior mean that keeps a 10-document
+    source from outranking a 10⁶-document one on noise. The ranking
+    criterion data-mixing weights should use instead of raw means.
+
+    Exactness: Σx and n are exact int64 (the classifier is integer-
+    quantized), μ = ΣΣx / Σn is ONE double division, and shrunk is the
+    same three IEEE ops in both engines — every input to every float
+    op is an exact integer. ONE (source, n, Σx) row per (batch,
+    source) enters the bounded reduce; the solve is O(|sources|)."""
+    from ..functions.classifier import classify_quality
+    from .join import join as generic_join
+    from .relational import bounded_group_table_strict
+
+    raw = classify_quality(
+        _docs(sf_dir, ["doc_id", "text"])
+    ).map_batches(
+        lambda b: b.select(["doc_id", "score_total"]),
+        batch_format="pyarrow",
+    )
+    # classifier scores and the source attribute join through the
+    # size-gated generic join — 16 B/row projections both sides
+    scored = generic_join(
+        raw, _docs(sf_dir, ["doc_id", "source"]), on="doc_id", how="inner"
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.select(["source", "score_total"]).group_by("source").aggregate(
+            [("score_total", "sum"), ([], "count_all")]
+        )
+        return pa.table(
+            {
+                "source": g.column("source"),
+                "s": pc.cast(g.column("score_total_sum"), pa.int64()),
+                "n": pc.cast(g.column("count_all"), pa.int64()),
+            }
+        )
+
+    tbl = bounded_group_table_strict(
+        scored.map_batches(partial, batch_format="pyarrow"),
+        ["source"],
+        [("s", "sum"), ("n", "sum")],
+    )
+    empty = pa.table(
+        {
+            "source": pa.array([], pa.string()),
+            "n_docs": pa.array([], pa.int64()),
+            "score_sum": pa.array([], pa.int64()),
+            "raw_mean": pa.array([], pa.float64()),
+            "shrunk_mean": pa.array([], pa.float64()),
+        }
+    )
+    if tbl is None or tbl.num_rows == 0:
+        return empty
+    rows = sorted(
+        zip(
+            tbl.column("source").to_pylist(),
+            tbl.column("n").to_pylist(),
+            tbl.column("s").to_pylist(),
+        )
+    )
+    tot_s = sum(r[2] for r in rows)
+    tot_n = sum(r[1] for r in rows)
+    mu = float(tot_s) / float(tot_n)
+    raw = [float(s) / float(n) for (_src, n, s) in rows]
+    shrunk = [
+        (float(s) + tau * mu) / (float(n) + tau) for (_src, n, s) in rows
+    ]
+    return pa.table(
+        {
+            "source": pa.array([r[0] for r in rows], pa.string()),
+            "n_docs": pa.array([r[1] for r in rows], pa.int64()),
+            "score_sum": pa.array([r[2] for r in rows], pa.int64()),
+            "raw_mean": pa.array(raw, pa.float64()),
+            "shrunk_mean": pa.array(shrunk, pa.float64()),
+        }
+    )
+
+
+def _source_quality_shrunk_sql(tau: int = _SHRINK_TAU) -> str:
+    from .queries import _sql_quality_classifier
+
+    return f"""
+WITH s AS ({_sql_quality_classifier()}),
+docsrc AS (
+  SELECT d.source, s.score_total
+  FROM s JOIN documents d ON d.doc_id = s.doc_id
+),
+m AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(score_total) AS BIGINT) AS score_sum
+  FROM docsrc GROUP BY source
+),
+g AS (
+  SELECT CAST(SUM(score_sum) AS DOUBLE) / CAST(SUM(n_docs) AS DOUBLE) AS mu
+  FROM m
+)
+SELECT m.source, m.n_docs, m.score_sum,
+  CAST(m.score_sum AS DOUBLE) / CAST(m.n_docs AS DOUBLE) AS raw_mean,
+  (CAST(m.score_sum AS DOUBLE) + {tau} * g.mu)
+    / (CAST(m.n_docs AS DOUBLE) + {tau}) AS shrunk_mean
+FROM m, g
+"""

@@ -9328,6 +9328,10 @@ def registry() -> dict[str, tuple]:
         "alpha_mixture_weights": (
             cor3.alpha_mixture_weights, cor3.ALPHA_MIXTURE_SQL,
         ),
+        "source_quality_shrunk": (
+            cor3.source_quality_shrunk,
+            lambda: cor3._source_quality_shrunk_sql(),
+        ),
         "neyman_allocation": (
             cor3.neyman_allocation, lambda: cor3._neyman_sqls()[0],
         ),

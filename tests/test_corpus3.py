@@ -209,3 +209,36 @@ def test_alpha_mixture_upsamples_low_resource(ray_session, tmp_path):
     p = {r["lang"]: r for r in
          c3.alpha_mixture_weights(d, alpha=1.0).to_pylist()}
     assert p["en"]["share"] == 8 / 9
+
+
+def test_source_quality_shrinkage_pulls_small_sources_to_mean(ray_session, tmp_path):
+    import pyarrow.parquet as pq2
+
+    d = str(tmp_path)
+    # big: 20 docs of the same text; small: 1 doc with a different
+    # score. The small source's shrunk mean must sit near the global
+    # mean; the big source's barely moves. Order preserved within.
+    rows = [(i, "good solid text", "big") for i in range(20)]
+    rows.append((100, "garbage", "small"))
+    ids, texts, srcs = zip(*rows)
+    pq2.write_table(
+        pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(rows), pa.string()),
+            "source": pa.array(srcs, pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }),
+        os.path.join(d, "documents.parquet"),
+    )
+    t = {r["source"]: r for r in c3.source_quality_shrunk(d, tau=50).to_pylist()}
+    mu = (t["big"]["score_sum"] + t["small"]["score_sum"]) / 21
+    assert t["big"]["n_docs"] == 20 and t["small"]["n_docs"] == 1
+    # exact formula check
+    for s in ("big", "small"):
+        want = (t[s]["score_sum"] + 50 * mu) / (t[s]["n_docs"] + 50)
+        assert t[s]["shrunk_mean"] == want
+    # the small source moved almost all the way to mu
+    assert abs(t["small"]["shrunk_mean"] - mu) < abs(t["small"]["raw_mean"] - mu) / 10
+    # shrinkage never reorders a bigger source past its own raw side
+    assert (t["big"]["shrunk_mean"] - mu) * (t["big"]["raw_mean"] - mu) >= 0
