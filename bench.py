@@ -250,6 +250,8 @@ BENCH_QUERIES = [
     "event_attribution",
     "purchase_next_touch",
     "alpha_mixture_weights",
+    "mmr_select",
+    "source_quality_shrunk",
     "q1_pricing",
     "events_hourly",
     "events_sliding_3h",
