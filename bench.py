@@ -252,6 +252,7 @@ BENCH_QUERIES = [
     "alpha_mixture_weights",
     "mmr_select",
     "source_quality_shrunk",
+    "conformal_outliers",
     "q1_pricing",
     "events_hourly",
     "events_sliding_3h",

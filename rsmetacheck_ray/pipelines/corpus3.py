@@ -782,3 +782,107 @@ SELECT m.source, m.n_docs, m.score_sum,
     / (CAST(m.n_docs AS DOUBLE) + {tau}) AS shrunk_mean
 FROM m, g
 """
+
+
+# ---------------------------------------------------------------------------
+# split-conformal outlier flagging: a distribution-free lower bound
+# from a calibration split — test documents scoring below the
+# calibration order statistic are outliers at miscoverage ≤ α.
+# ---------------------------------------------------------------------------
+
+_CONFORMAL_ALPHA = 0.1
+_CONFORMAL_CAL_MOD = 5  # doc_id % 5 == 0 ⇒ calibration split
+
+
+def conformal_outliers(
+    sf_dir: str, alpha: float = _CONFORMAL_ALPHA
+) -> rd.Dataset:
+    """(doc_id, score_total, is_outlier): split-conformal novelty
+    flagging over the quality classifier — the calibration split
+    (doc_id % {_CONFORMAL_CAL_MOD} == 0) yields the order statistic
+    q̂ = k-th smallest score with k = floor(α·(n_cal+1)); a test
+    document scoring below q̂ is an outlier with distribution-free
+    miscoverage ≤ α (no Gaussian assumption, unlike the z-score
+    family). k < 1 ⇒ nothing can be flagged at this α.
+
+    Exactness: scores are exact int64, k is the same floor(α·(n+1))
+    IEEE op in both engines, q̂ is an integer order statistic from the
+    bounded score histogram (the quality_bins discipline), and the
+    flag is an integer compare. One histogram reduce + one broadcast-
+    threshold flag pass; the corpus never shuffles."""
+    import math
+
+    import ray
+
+    from ..functions.classifier import classify_quality
+    from .relational import bounded_group_table_strict
+
+    scored = classify_quality(_docs(sf_dir, ["doc_id", "text"])).map_batches(
+        lambda b: b.select(["doc_id", "score_total"]),
+        batch_format="pyarrow",
+    )
+    scored = scored.materialize()  # consumed twice: histogram + flag
+
+    def cal_hist(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        cal = b.filter(pa.array(ids % _CONFORMAL_CAL_MOD == 0))
+        g = cal.select(["score_total"]).group_by("score_total").aggregate(
+            [([], "count_all")]
+        )
+        return pa.table(
+            {
+                "score_total": g.column("score_total"),
+                "n": pc.cast(g.column("count_all"), pa.int64()),
+            }
+        )
+
+    tbl = bounded_group_table_strict(
+        scored.map_batches(cal_hist, batch_format="pyarrow"),
+        ["score_total"],
+        [("n", "sum")],
+    )
+    qhat = None
+    if tbl is not None and tbl.num_rows:
+        vals = tbl.column("score_total").to_numpy(zero_copy_only=False)
+        cnts = tbl.column("n").to_numpy(zero_copy_only=False)
+        order = np.argsort(vals)
+        vals, cnts = vals[order], cnts[order]
+        n_cal = int(cnts.sum())
+        k = int(math.floor(alpha * (n_cal + 1)))
+        if k >= 1:
+            qhat = int(vals[np.searchsorted(np.cumsum(cnts), k)])
+    qref = ray.put(qhat)
+
+    def flag(b: pa.Table) -> pa.Table:
+        q = ray.get(qref)
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        test = b.filter(pa.array(ids % _CONFORMAL_CAL_MOD != 0))
+        s = test.column("score_total").to_numpy(zero_copy_only=False)
+        out = np.zeros(len(s), bool) if q is None else s < q
+        return test.append_column("is_outlier", pa.array(out, pa.bool_()))
+
+    return scored.map_batches(flag, batch_format="pyarrow")
+
+
+def _conformal_sql(alpha: float = _CONFORMAL_ALPHA) -> str:
+    from .queries import _sql_quality_classifier
+
+    return f"""
+WITH s AS ({_sql_quality_classifier()}),
+cal AS (
+  SELECT score_total FROM s WHERE doc_id % {_CONFORMAL_CAL_MOD} = 0
+),
+k_ AS (
+  SELECT CAST(FLOOR({alpha} * (COUNT(*) + 1)) AS BIGINT) AS k FROM cal
+),
+q_ AS (
+  SELECT CASE WHEN k >= 1 THEN (
+    SELECT score_total FROM cal ORDER BY score_total
+    LIMIT 1 OFFSET (SELECT k - 1 FROM k_)
+  ) END AS qhat FROM k_
+)
+SELECT s.doc_id, s.score_total,
+  (q.qhat IS NOT NULL AND s.score_total < q.qhat) AS is_outlier
+FROM s, q_ q
+WHERE s.doc_id % {_CONFORMAL_CAL_MOD} <> 0
+"""

@@ -9332,6 +9332,9 @@ def registry() -> dict[str, tuple]:
             cor3.source_quality_shrunk,
             lambda: cor3._source_quality_shrunk_sql(),
         ),
+        "conformal_outliers": (
+            cor3.conformal_outliers, lambda: cor3._conformal_sql(),
+        ),
         "neyman_allocation": (
             cor3.neyman_allocation, lambda: cor3._neyman_sqls()[0],
         ),

@@ -242,3 +242,32 @@ def test_source_quality_shrinkage_pulls_small_sources_to_mean(ray_session, tmp_p
     assert abs(t["small"]["shrunk_mean"] - mu) < abs(t["small"]["raw_mean"] - mu) / 10
     # shrinkage never reorders a bigger source past its own raw side
     assert (t["big"]["shrunk_mean"] - mu) * (t["big"]["raw_mean"] - mu) >= 0
+
+
+def test_conformal_outlier_order_statistic(ray_session, tmp_path):
+    d = str(tmp_path)
+    # 20 calibration docs (ids 0,5,..,95): one garbage doc scores far
+    # below the rest. alpha=0.1 -> k = floor(0.1*21) = 2 -> qhat = the
+    # 2nd smallest calibration score. Test docs scoring below it are
+    # flagged.
+    rows = []
+    for i in range(20):
+        did = i * 5  # calibration split (id % 5 == 0)
+        # lexicon words score +1 each, OOV -2 (functions/classifier.py)
+        rows.append((did, "xx yy zz" if i == 0 else "table query batch", "en"))
+    rows.append((1, "xx yy zz", "en"))          # test: below qhat -> flagged
+    rows.append((2, "table query batch", "en"))  # test: at/above -> not
+    _docs(d, [(i, t, l) for (i, t, l) in rows])
+    got = {r["doc_id"]: r for r in c3.conformal_outliers(d).take_all()}
+    assert set(got) == {1, 2}
+    assert got[1]["is_outlier"] is True or got[1]["is_outlier"] == True
+    assert not got[2]["is_outlier"]
+
+
+def test_conformal_small_calibration_flags_nothing(ray_session, tmp_path):
+    d = str(tmp_path)
+    # 3 calibration docs -> k = floor(0.1*4) = 0 -> no bound, no flags
+    _docs(d, [(0, "a", "en"), (5, "b", "en"), (10, "c", "en"),
+              (1, "zzz", "en")])
+    got = c3.conformal_outliers(d).take_all()
+    assert [r["is_outlier"] for r in got] == [False]
