@@ -209,3 +209,16 @@ def test_worker_loss_during_bsp_bfs(ray_session):
         if killer.killed:
             return
     raise AssertionError("no kill ever landed on an executing worker")
+
+
+def test_worker_loss_during_knn_block_pair_tasks(ray_session):
+    """Same check on the kNN JOIN's raw block-pair task stage (the
+    from_arrow_refs escape hatch) — a killed block-pair task must be
+    retried by lineage, not silently dropped from the union."""
+    from rsmetacheck_ray.pipelines.queries import registry
+
+    fn = registry()["crosslingual_knn"][0]
+    want = _rows(fn(SF))
+    assert len(want) > 0
+    killed = _run_with_kill(fn, want, n_kill=1)
+    assert killed, "no kill ever landed on an executing worker"
