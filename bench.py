@@ -253,6 +253,7 @@ BENCH_QUERIES = [
     "mmr_select",
     "source_quality_shrunk",
     "conformal_outliers",
+    "gate_isotonic_calibration",
     "q1_pricing",
     "events_hourly",
     "events_sliding_3h",

@@ -779,6 +779,139 @@ FROM tot, u
 """
 
 
+_ISO_MAX_DOMAIN = 20_000
+
+
+def q_gate_isotonic_calibration(sf_dir: str):
+    """(score_total, n_docs, n_kept, iso_rate): ISOTONIC regression of
+    the gate's keep rate on the classifier score — the monotone
+    calibration curve (raw per-score keep rates are noisy and
+    non-monotone; isotonic pooling is how a score becomes a usable
+    keep-probability). Computed by the closed-form min-max identity
+    iso(i) = max_{j≤i} min_{k≥j} rate(j..k) over the bounded score
+    domain — NOT sequential PAVA — so the oracle evaluates the exact
+    same O(m²) formula and every float is the same division of exact
+    int64 prefix sums (MIN/MAX are order-free). Domain cap
+    {_ISO_MAX_DOMAIN} (m² work) raises explicitly past it.
+
+    Same distributed plan as gate_classifier_auc: one generic join of
+    16 B/row projections, per-batch contingency partials, bounded
+    reduce; the m² solve is driver-side numpy."""
+    from .join import join
+    from ..functions.classifier import classify_quality
+
+    scores = classify_quality(_documents(sf_dir, ["doc_id", "text"])).map_batches(
+        lambda b: b.select(["doc_id", "score_total"]),
+        batch_format="pyarrow",
+    )
+    keep = _gated(sf_dir).map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "kept": pc.cast(b.column("keep"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    j = join(scores, keep, on="doc_id", how="inner")
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.select(["score_total", "kept"]).group_by("score_total").aggregate(
+            [("kept", "sum"), ([], "count_all")]
+        )
+        return pa.table(
+            {
+                "score_total": g.column("score_total"),
+                "nk": pc.cast(g.column("kept_sum"), pa.int64()),
+                "n": pc.cast(g.column("count_all"), pa.int64()),
+            }
+        )
+
+    tbl = rel.bounded_group_table_strict(
+        j.map_batches(partial, batch_format="pyarrow"),
+        ["score_total"],
+        [("nk", "sum"), ("n", "sum")],
+    )
+    empty = pa.table(
+        {
+            "score_total": pa.array([], pa.int64()),
+            "n_docs": pa.array([], pa.int64()),
+            "n_kept": pa.array([], pa.int64()),
+            "iso_rate": pa.array([], pa.float64()),
+        }
+    )
+    if tbl is None or tbl.num_rows == 0:
+        return empty
+    s = tbl.column("score_total").to_numpy(zero_copy_only=False)
+    nk = tbl.column("nk").to_numpy(zero_copy_only=False)
+    n = tbl.column("n").to_numpy(zero_copy_only=False)
+    order = np.argsort(s)
+    s, nk, n = s[order], nk[order], n[order]
+    m = len(s)
+    if m > _ISO_MAX_DOMAIN:
+        raise ValueError(
+            f"isotonic domain {m} > {_ISO_MAX_DOMAIN}: the m² min-max "
+            "solve needs a coarser score quantization first"
+        )
+    ck = np.cumsum(nk)
+    cn = np.cumsum(n)
+    # rate(j..k) = (ck[k]-ck[j-1]) / (cn[k]-cn[j-1]) for j<=k — one
+    # (m, m) outer-difference matrix, masked below the diagonal
+    kk = ck[None, :] - np.concatenate([[0], ck[:-1]])[:, None]
+    nn = cn[None, :] - np.concatenate([[0], cn[:-1]])[:, None]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        r = kk.astype(np.float64) / nn.astype(np.float64)
+    r[np.tril_indices(m, -1)] = np.inf  # k < j: excluded from the min
+    rowmin = r.min(axis=1)
+    iso = np.maximum.accumulate(rowmin)
+    return pa.table(
+        {
+            "score_total": pa.array(s, pa.int64()),
+            "n_docs": pa.array(n, pa.int64()),
+            "n_kept": pa.array(nk, pa.int64()),
+            "iso_rate": pa.array(iso, pa.float64()),
+        }
+    )
+
+
+def _sql_gate_isotonic_calibration() -> str:
+    return """
+WITH {flags_ctes},
+{bpc_ctes},
+s AS (""" + _sql_quality_classifier() + """),
+keepd AS (
+  SELECT f.doc_id, {keep_expr} AS keep
+  FROM flags f JOIN bpc p USING (doc_id)
+),
+lab AS (
+  SELECT s.score_total, CAST(k.keep AS INT) AS kept
+  FROM s JOIN keepd k USING (doc_id)
+),
+h AS (
+  SELECT score_total, CAST(SUM(kept) AS BIGINT) AS nk,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM lab GROUP BY score_total
+),
+p AS (
+  SELECT score_total, nk, n,
+    SUM(nk) OVER (ORDER BY score_total) AS ck,
+    SUM(n) OVER (ORDER BY score_total) AS cn
+  FROM h
+),
+jk AS (
+  SELECT pj.score_total AS sj,
+    CAST(pk.ck - (pj.ck - pj.nk) AS DOUBLE)
+      / CAST(pk.cn - (pj.cn - pj.n) AS DOUBLE) AS r
+  FROM p pj JOIN p pk ON pk.score_total >= pj.score_total
+),
+rowmin AS (SELECT sj, MIN(r) AS rmin FROM jk GROUP BY sj)
+SELECT p.score_total, p.n AS n_docs, p.nk AS n_kept,
+  (SELECT MAX(rm.rmin) FROM rowmin rm WHERE rm.sj <= p.score_total)
+    AS iso_rate
+FROM p
+"""
+
+
 def _sql_gate_classifier_calibration() -> str:
     inds = " + ".join(
         f"CAST(s.score_total >= c.c{i} AS INT)" for i in range(len(_BIN_QS))
@@ -9354,6 +9487,18 @@ def registry() -> dict[str, tuple]:
         "gate_classifier_auc": (
             q_gate_classifier_auc,
             lambda: _sql_gate_classifier_auc()
+            .replace(
+                "{flags_ctes}",
+                _sql_gate_flags_ctes().strip().replace(
+                    "{pages}", pages_cte()
+                ),
+            )
+            .replace("{bpc_ctes}", _sql_bpc_ctes().strip())
+            .replace("{keep_expr}", _sql_keep_expr()),
+        ),
+        "gate_isotonic_calibration": (
+            q_gate_isotonic_calibration,
+            lambda: _sql_gate_isotonic_calibration()
             .replace(
                 "{flags_ctes}",
                 _sql_gate_flags_ctes().strip().replace(

@@ -271,3 +271,74 @@ def test_conformal_small_calibration_flags_nothing(ray_session, tmp_path):
               (1, "zzz", "en")])
     got = c3.conformal_outliers(d).take_all()
     assert [r["is_outlier"] for r in got] == [False]
+
+
+def test_isotonic_minmax_identity_matches_pava():
+    """The engine's closed-form min-max isotonic fit must equal the
+    classic sequential weighted PAVA on planted non-monotone data."""
+    import numpy as np
+    import pyarrow as pa2
+    from rsmetacheck_ray.pipelines import queries as q
+
+    # build the same solve the query runs, via its numpy block
+    def minmax_iso(nk, n):
+        nk = np.asarray(nk, np.int64); n = np.asarray(n, np.int64)
+        m = len(n)
+        ck, cn = np.cumsum(nk), np.cumsum(n)
+        kk = ck[None, :] - np.concatenate([[0], ck[:-1]])[:, None]
+        nn = cn[None, :] - np.concatenate([[0], cn[:-1]])[:, None]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            r = kk.astype(float) / nn.astype(float)
+        r[np.tril_indices(m, -1)] = np.inf
+        return np.maximum.accumulate(r.min(axis=1))
+
+    def pava(nk, n):
+        blocks = [[float(k), float(c)] for k, c in zip(nk, n)]
+        i = 0
+        while i < len(blocks) - 1:
+            if blocks[i][0] * blocks[i + 1][1] > blocks[i + 1][0] * blocks[i][1]:
+                blocks[i][0] += blocks[i + 1][0]
+                blocks[i][1] += blocks[i + 1][1]
+                del blocks[i + 1]
+                i = max(i - 1, 0)
+            else:
+                i += 1
+        out = []
+        for k, c in blocks:
+            # the pooled rate repeats for every member of the block
+            idx = len(out)
+            # expand by the ORIGINAL counts covered by this block
+            out.append((k, c))
+        # rebuild per-point values
+        vals = []
+        for k, c in blocks:
+            rate = k / c
+            covered = c
+            # walk original n to know how many points this block spans
+            s = 0
+            while covered > 0:
+                covered -= n[len(vals)]
+                vals.append(rate)
+        return np.array(vals)
+
+    rng = np.random.default_rng(5)
+    for _ in range(20):
+        m = rng.integers(2, 12)
+        n = rng.integers(1, 9, size=m)
+        nk = np.array([rng.integers(0, x + 1) for x in n])
+        got = minmax_iso(nk, n)
+        want = pava(nk.tolist(), n.tolist())
+        assert np.allclose(got, want, rtol=0, atol=1e-12), (nk, n, got, want)
+        assert (np.diff(got) >= -1e-15).all()  # monotone
+
+
+def test_isotonic_query_pools_violators(ray_session, tmp_path):
+    # trivially check the end-to-end shape on a tiny gate corpus is
+    # monotone nondecreasing
+    import numpy as np
+    from rsmetacheck_ray.pipelines.queries import q_gate_isotonic_calibration
+
+    t = q_gate_isotonic_calibration("/root/testdata/sf0.001")
+    iso = t.column("iso_rate").to_numpy()
+    assert len(iso) > 0 and (np.diff(iso) >= -1e-15).all()
+    assert iso.min() >= 0.0 and iso.max() <= 1.0
