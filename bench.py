@@ -254,6 +254,7 @@ BENCH_QUERIES = [
     "source_quality_shrunk",
     "conformal_outliers",
     "gate_isotonic_calibration",
+    "events_hourly_decomposition",
     "q1_pricing",
     "events_hourly",
     "events_sliding_3h",

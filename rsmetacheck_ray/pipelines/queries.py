@@ -9468,6 +9468,9 @@ def registry() -> dict[str, tuple]:
         "conformal_outliers": (
             cor3.conformal_outliers, lambda: cor3._conformal_sql(),
         ),
+        "events_hourly_decomposition": (
+            cor3.events_hourly_decomposition, cor3.EVENTS_DECOMP_SQL,
+        ),
         "neyman_allocation": (
             cor3.neyman_allocation, lambda: cor3._neyman_sqls()[0],
         ),
