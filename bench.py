@@ -255,6 +255,7 @@ BENCH_QUERIES = [
     "conformal_outliers",
     "gate_isotonic_calibration",
     "events_hourly_decomposition",
+    "pack_ffd",
     "q1_pricing",
     "events_hourly",
     "events_sliding_3h",

@@ -117,3 +117,120 @@ def pack_sequences(
         .groupby("part")
         .map_groups(pack_part, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# First-Fit-Decreasing bin packing (round-4): pack whole documents into
+# fixed-capacity sequences WITHOUT splitting them — the alternative to
+# pack_sequences' concat-then-chunk when document boundaries must
+# survive (no cross-document attention contamination).
+# ---------------------------------------------------------------------------
+
+DEFAULT_CAPACITY = 1024
+
+
+def pack_ffd(
+    ds: rd.Dataset,
+    capacity: int = DEFAULT_CAPACITY,
+    shard_size: int = DEFAULT_SHARD_SIZE,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """(id, shard, n_tokens, bin): First-Fit-Decreasing assignment of
+    each non-empty document to a fixed-``capacity`` bin within its
+    shard. Docs sort by (n_tokens DESC, id ASC) and each takes the
+    first bin it fits; a doc longer than ``capacity`` gets a bin of
+    its own (flagged by n_tokens > capacity — callers truncate or
+    split downstream). FFD is the classic 11/9·OPT+1 heuristic; the
+    greedy is inherently sequential, so this operator is rows-only
+    (pinned by invariant pytests: capacity respected, deterministic,
+    never more bins than next-fit, partition-invariant).
+
+    Scale plan: identical to pack_sequences — ONE 32-byte projection
+    shuffle onto hashed shard partitions; the per-shard greedy is
+    bounded by ``shard_size`` docs (Python cost O(docs·bins) with
+    bins ≤ docs ≤ 4096 per shard — the trainer-shard unit, not the
+    corpus)."""
+    from ..partitioning import adaptive_partitions, parquet_rows_hint
+
+    n_parts = num_partitions or adaptive_partitions(
+        parquet_rows_hint(ds), row_bytes=32
+    )
+
+    def tag(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        text = b.column(text_col)
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        nt = count_ws_tokens(pc.fill_null(text, "")).to_numpy(
+            zero_copy_only=False
+        )
+        shard = ids // shard_size
+        part = (splitmix64_np(shard.astype(np.uint64)) % n_parts).astype(
+            np.int64
+        )
+        keep = nt > 0
+        return pa.table(
+            {
+                "part": pa.array(part[keep]),
+                id_col: pa.array(ids[keep]),
+                "shard": pa.array(shard[keep]),
+                "n_tokens": pa.array(nt[keep]),
+            }
+        )
+
+    def pack_part(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "shard": pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+                "bin": pa.array([], pa.int64()),
+            }
+        )
+        n = len(g)
+        if n == 0:
+            return empty
+        ids = g.column(id_col).to_numpy(zero_copy_only=False)
+        shard = g.column("shard").to_numpy(zero_copy_only=False)
+        nt = g.column("n_tokens").to_numpy(zero_copy_only=False)
+        # FFD order inside each shard: size DESC, id ASC
+        order = np.lexsort((ids, -nt, shard))
+        ids, shard, nt = ids[order], shard[order], nt[order]
+        bins_out = np.empty(n, np.int64)
+        i = 0
+        while i < n:
+            j = i
+            while j < n and shard[j] == shard[i]:
+                j += 1
+            fills: list[int] = []  # remaining capacity per open bin
+            for r in range(i, j):
+                size = int(nt[r])
+                placed = -1
+                if size <= capacity:
+                    for bi, rem in enumerate(fills):
+                        if size <= rem:
+                            placed = bi
+                            break
+                if placed < 0:
+                    fills.append(capacity - size)
+                    placed = len(fills) - 1
+                else:
+                    fills[placed] -= size
+                bins_out[r] = placed
+            i = j
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "shard": pa.array(shard, pa.int64()),
+                "n_tokens": pa.array(nt.astype(np.int64), pa.int64()),
+                "bin": pa.array(bins_out, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(pack_part, batch_format="pyarrow")
+    )

@@ -6938,6 +6938,18 @@ FROM c
 """
 
 
+def q_pack_ffd(sf_dir: str):
+    """Whole-document First-Fit-Decreasing packing into fixed-capacity
+    training sequences (functions/packing.pack_ffd) — the boundary-
+    preserving alternative to pack_sequences' concat-then-chunk. The
+    greedy is inherently sequential (rows-only by nature, like the
+    sketches); capacity/determinism/≤-next-fit/partition-invariance
+    are pinned by tests/test_packing.py."""
+    from ..functions.packing import pack_ffd
+
+    return pack_ffd(_documents(sf_dir, ["doc_id", "text"]))
+
+
 def q_dedup_embedding_pairs(sf_dir: str):
     """Size-gated: EXACT block-pair cosine at oracle scales (all sf
     dirs are far under the gate), hyperplane LSH past
@@ -9440,6 +9452,7 @@ def registry() -> dict[str, tuple]:
         "dedup_survivors": (q_dedup_survivors, SQL_DEDUP_SURVIVORS),
         "decontaminate": (q_decontaminate, _sql_decontaminate()),
         "pack_sequences": (q_pack_sequences, _sql_pack_sequences()),
+        "pack_ffd": (q_pack_ffd, None),  # greedy: inherently sequential
         "chunk_tokens": (q_chunk_tokens, _sql_chunk_tokens()),
         "top_tokens": (q_top_tokens, _sql_top_tokens()),
         "vocab_coverage": (q_vocab_coverage, _sql_vocab_coverage()),

@@ -62,3 +62,79 @@ def test_deterministic_across_partitionings(ray_session):
     a = _packed(rows, seq_len=8, num_partitions=2)
     b = _packed(rows, seq_len=8, num_partitions=17)
     assert a.equals(b)
+
+
+# --- First-Fit-Decreasing whole-document packing ---------------------------
+
+from rsmetacheck_ray.functions.packing import pack_ffd
+
+
+def _ffd(rows, **kw):
+    df = pack_ffd(_ds(rows), **kw).to_pandas()
+    return df.set_index("doc_id").sort_index()
+
+
+def test_ffd_planted_assignment(ray_session):
+    # capacity 10; sizes 7,6,4,3,2 (FFD order). First-fit:
+    # 7->bin0, 6->bin1, 4->bin1(6+4=10), 3->bin0(7+3=10), 2->bin2
+    rows = [
+        (1, "t " * 7), (2, "t " * 6), (3, "t " * 4),
+        (4, "t " * 3), (5, "t " * 2),
+    ]
+    df = _ffd(rows, capacity=10)
+    assert df.loc[1, "bin"] == 0 and df.loc[4, "bin"] == 0
+    assert df.loc[2, "bin"] == 1 and df.loc[3, "bin"] == 1
+    assert df.loc[5, "bin"] == 2
+
+
+def test_ffd_capacity_respected_and_oversize_own_bin(ray_session):
+    rows = [(i, "x " * ((i * 13) % 18 + 1)) for i in range(100)]
+    rows.append((200, "y " * 50))  # oversize vs capacity 20
+    df = _ffd(rows, capacity=20)
+    fills = df.groupby(["shard", "bin"])["n_tokens"].sum()
+    ok = df[df["n_tokens"] <= 20]
+    assert (
+        ok.groupby(["shard", "bin"])["n_tokens"].sum().index.size > 0
+    )
+    # every bin NOT holding an oversize doc fits the capacity
+    oversize_bins = set(
+        map(tuple, df[df["n_tokens"] > 20][["shard", "bin"]].values)
+    )
+    for key, tot in fills.items():
+        if key not in oversize_bins:
+            assert tot <= 20, (key, tot)
+    # the oversize doc sits ALONE in its bin
+    ob = df[df["n_tokens"] > 20]
+    assert len(ob) == 1
+    key = (ob["shard"].iloc[0], ob["bin"].iloc[0])
+    assert (df[["shard", "bin"]].apply(tuple, axis=1) == key).sum() == 1
+
+
+def test_ffd_never_worse_than_next_fit(ray_session):
+    rows = [(i, "w " * ((i * 7) % 23 + 1)) for i in range(300)]
+    cap = 25
+    df = _ffd(rows, capacity=cap)
+    n_bins_ffd = df.groupby("shard")["bin"].nunique().sum()
+    # next-fit in doc-id order
+    import collections
+    by_shard = collections.defaultdict(list)
+    for i, t in rows:
+        n = len(t.split())
+        by_shard[i // 4096].append(n)
+    nf_bins = 0
+    for sizes in by_shard.values():
+        rem, bins = 0, 0
+        for s in sizes:
+            if s > rem:
+                bins += 1
+                rem = cap
+            rem -= s
+        nf_bins += bins
+    assert n_bins_ffd <= nf_bins
+
+
+def test_ffd_partition_invariant(ray_session):
+    rows = [(i, "q " * (i % 11 + 1)) for i in range(150)]
+    a = _ffd(rows, capacity=16, num_partitions=2)
+    b = _ffd(rows, capacity=16, num_partitions=13)
+    assert a.equals(b)
