@@ -256,6 +256,7 @@ BENCH_QUERIES = [
     "gate_isotonic_calibration",
     "events_hourly_decomposition",
     "pack_ffd",
+    "source_classifier_auc",
     "q1_pricing",
     "events_hourly",
     "events_sliding_3h",

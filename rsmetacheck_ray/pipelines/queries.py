@@ -874,6 +874,132 @@ def q_gate_isotonic_calibration(sf_dir: str):
     )
 
 
+def q_source_classifier_auc(sf_dir: str):
+    """(source, n_pos, n_neg, u2, auc): the gate_classifier_auc
+    discrimination summary PER SOURCE — AUC heterogeneity across
+    sources is the signal that a single global classifier threshold
+    misserves some crawls (the per-group fairness slice every filter
+    audit reports). Same plan with `source` riding the contingency:
+    bounded (source × score × label) reduce, O(domain) rank-sum walks
+    per source on the driver."""
+    from .join import join
+    from ..functions.classifier import classify_quality
+
+    scores = classify_quality(_documents(sf_dir, ["doc_id", "text"])).map_batches(
+        lambda b: b.select(["doc_id", "score_total"]),
+        batch_format="pyarrow",
+    )
+    src = _documents(sf_dir, ["doc_id", "source"])
+    keep = _gated(sf_dir).map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "kept": pc.cast(b.column("keep"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    j = join(join(scores, src, on="doc_id", how="inner"), keep,
+             on="doc_id", how="inner")
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.select(["source", "score_total", "kept"]).group_by(
+            ["source", "score_total", "kept"]
+        ).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "source": g.column("source"),
+                "score_total": g.column("score_total"),
+                "kept": g.column("kept"),
+                "n": pc.cast(g.column("count_all"), pa.int64()),
+            }
+        )
+
+    tbl = rel.bounded_group_table_strict(
+        j.map_batches(partial, batch_format="pyarrow"),
+        ["source", "score_total", "kept"],
+        [("n", "sum")],
+    )
+    empty = pa.table(
+        {
+            "source": pa.array([], pa.string()),
+            "n_pos": pa.array([], pa.int64()),
+            "n_neg": pa.array([], pa.int64()),
+            "u2": pa.array([], pa.int64()),
+            "auc": pa.array([], pa.float64()),
+        }
+    )
+    if tbl is None or tbl.num_rows == 0:
+        return empty
+    srcs = np.asarray(tbl.column("source").to_pylist(), dtype=object)
+    s = tbl.column("score_total").to_numpy(zero_copy_only=False)
+    k = tbl.column("kept").to_numpy(zero_copy_only=False)
+    n = tbl.column("n").to_numpy(zero_copy_only=False)
+    out = {"source": [], "n_pos": [], "n_neg": [], "u2": [], "auc": []}
+    for src_name in sorted(set(srcs.tolist())):
+        m = srcs == src_name
+        np_, nn_, u2_, auc_ = _auc_from_contingency(s[m], k[m], n[m])
+        out["source"].append(src_name)
+        out["n_pos"].append(np_)
+        out["n_neg"].append(nn_)
+        out["u2"].append(u2_)
+        out["auc"].append(auc_)
+    return pa.table(
+        {
+            "source": pa.array(out["source"], pa.string()),
+            "n_pos": pa.array(out["n_pos"], pa.int64()),
+            "n_neg": pa.array(out["n_neg"], pa.int64()),
+            "u2": pa.array(out["u2"], pa.int64()),
+            "auc": pa.array(out["auc"], pa.float64()),
+        }
+    )
+
+
+def _sql_source_classifier_auc() -> str:
+    return f"""
+WITH {{flags_ctes}},
+{{bpc_ctes}},
+s AS ({_sql_quality_classifier()}),
+keepd AS (
+  SELECT f.doc_id, {{keep_expr}} AS keep
+  FROM flags f JOIN bpc p USING (doc_id)
+),
+lab AS (
+  SELECT d.source, s.score_total, CAST(k.keep AS INT) AS kept
+  FROM s
+  JOIN documents d ON d.doc_id = s.doc_id
+  JOIN keepd k ON k.doc_id = s.doc_id
+),
+tot AS (
+  SELECT source, SUM(kept) AS np, SUM(1 - kept) AS nn
+  FROM lab GROUP BY source
+),
+h AS (
+  SELECT source, score_total, SUM(kept) AS pos, SUM(1 - kept) AS neg
+  FROM lab GROUP BY source, score_total
+),
+c AS (
+  SELECT source, pos, neg,
+    COALESCE(SUM(neg) OVER (
+      PARTITION BY source ORDER BY score_total
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+    ), 0) AS cum_neg
+  FROM h
+),
+u AS (
+  SELECT source, SUM(pos * (2 * cum_neg + neg)) AS u2
+  FROM c GROUP BY source
+)
+SELECT t.source, CAST(t.np AS BIGINT) AS n_pos,
+  CAST(t.nn AS BIGINT) AS n_neg,
+  CAST(COALESCE(u.u2, 0) AS BIGINT) AS u2,
+  CASE WHEN t.np * t.nn = 0 THEN 0.0
+       ELSE CAST(u.u2 AS DOUBLE) / CAST(2 * t.np * t.nn AS DOUBLE)
+  END AS auc
+FROM tot t JOIN u ON u.source = t.source
+"""
+
+
 def _sql_gate_isotonic_calibration() -> str:
     return """
 WITH {flags_ctes},
@@ -9503,6 +9629,18 @@ def registry() -> dict[str, tuple]:
         "gate_classifier_auc": (
             q_gate_classifier_auc,
             lambda: _sql_gate_classifier_auc()
+            .replace(
+                "{flags_ctes}",
+                _sql_gate_flags_ctes().strip().replace(
+                    "{pages}", pages_cte()
+                ),
+            )
+            .replace("{bpc_ctes}", _sql_bpc_ctes().strip())
+            .replace("{keep_expr}", _sql_keep_expr()),
+        ),
+        "source_classifier_auc": (
+            q_source_classifier_auc,
+            lambda: _sql_source_classifier_auc()
             .replace(
                 "{flags_ctes}",
                 _sql_gate_flags_ctes().strip().replace(
