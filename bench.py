@@ -257,6 +257,7 @@ BENCH_QUERIES = [
     "events_hourly_decomposition",
     "pack_ffd",
     "source_classifier_auc",
+    "knn_ndcg",
     "q1_pricing",
     "events_hourly",
     "events_sliding_3h",

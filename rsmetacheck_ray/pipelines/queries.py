@@ -7663,6 +7663,138 @@ sel{i} AS (
     return "WITH " + "".join(parts) + "\n" + picks
 
 
+_NDCG_K = 10
+
+
+def q_knn_ndcg(sf_dir: str):
+    """(query_id, n_rel, dcg, idcg, ndcg): retrieval-quality
+    evaluation of the cosine kNN — graded relevance = same-label as
+    the query (the planted cluster structure), DCG@{_NDCG_K} =
+    Σ rel_i / log2(i+1) over the retrieved ranking, IDCG = the ideal
+    prefix min(k, |label|), nDCG their ratio. The eval loop every
+    similarity index ships with.
+
+    Float discipline: the per-rank weights are libm log2 of small
+    integers (CPython math.log2 = DuckDB log2) and both engines
+    accumulate in RANK order (the oracle's sequential window sum), so
+    the doubles match bitwise. Distributed part = the kNN itself; the
+    scoring walk is O(nq·k) on the driver."""
+    import math
+
+    import pyarrow.parquet as _pq
+
+    qids, qvecs = _query_vectors(sf_dir)
+    ds = rel._read_pq(os.path.join(sf_dir, "embeddings.parquet"))
+    ranked: dict[int, list[int]] = {}
+    for r in sim.knn_bruteforce(ds, qvecs, qids, k=_NDCG_K).take_all():
+        ranked.setdefault(int(r["query_id"]), []).append(int(r["vec_id"]))
+    need = sorted({v for vs in ranked.values() for v in vs} | set(qids.tolist()))
+    lt = _pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "label"],
+        filters=[("vec_id", "in", need)],
+    )
+    lmap = dict(
+        zip(lt.column("vec_id").to_pylist(), lt.column("label").to_pylist())
+    )
+    # label sizes: bounded-domain count reduce
+    from .relational import bounded_group_table_strict
+
+    def lab_counts(b: pa.Table) -> pa.Table:
+        g = b.select(["label"]).group_by("label").aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "label": g.column("label"),
+                "n": pc.cast(g.column("count_all"), pa.int64()),
+            }
+        )
+
+    lc = bounded_group_table_strict(
+        ds.map_batches(lab_counts, batch_format="pyarrow"),
+        ["label"],
+        [("n", "sum")],
+    )
+    sizes = dict(
+        zip(lc.column("label").to_pylist(), lc.column("n").to_pylist())
+    )
+    out = {"query_id": [], "n_rel": [], "dcg": [], "idcg": [], "ndcg": []}
+    for qid in sorted(ranked):
+        qlab = lmap[qid]
+        dcg = 0.0
+        for i, vid in enumerate(ranked[qid], start=1):
+            if lmap[vid] == qlab:
+                dcg += 1.0 / math.log2(i + 1.0)
+        n_rel = min(_NDCG_K, int(sizes.get(qlab, 0)))
+        idcg = 0.0
+        for i in range(1, n_rel + 1):
+            idcg += 1.0 / math.log2(i + 1.0)
+        out["query_id"].append(qid)
+        out["n_rel"].append(n_rel)
+        out["dcg"].append(dcg)
+        out["idcg"].append(idcg)
+        out["ndcg"].append(dcg / idcg if idcg > 0 else 0.0)
+    return pa.table(
+        {
+            "query_id": pa.array(out["query_id"], pa.int64()),
+            "n_rel": pa.array(out["n_rel"], pa.int64()),
+            "dcg": pa.array(out["dcg"], pa.float64()),
+            "idcg": pa.array(out["idcg"], pa.float64()),
+            "ndcg": pa.array(out["ndcg"], pa.float64()),
+        }
+    )
+
+
+SQL_KNN_NDCG = f"""
+WITH ranked AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+    row_number() OVER (
+      PARTITION BY q.vec_id
+      ORDER BY list_cosine_similarity(
+        CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) DESC,
+        e.vec_id
+    ) AS rnk
+  FROM embeddings q CROSS JOIN embeddings e
+  WHERE q.vec_id < 5
+  QUALIFY rnk <= {_NDCG_K}
+),
+qlab AS (SELECT vec_id, label FROM embeddings WHERE vec_id < 5),
+rels AS (
+  SELECT r.query_id, r.rnk,
+    CASE WHEN e.label = q.label THEN 1 ELSE 0 END AS rel
+  FROM ranked r
+  JOIN embeddings e ON e.vec_id = r.vec_id
+  JOIN qlab q ON q.vec_id = r.query_id
+),
+dcg AS (
+  SELECT query_id, MAX(c) AS dcg FROM (
+    SELECT query_id,
+      SUM(rel / log2(rnk + 1.0)) OVER (
+        PARTITION BY query_id ORDER BY rnk) AS c
+    FROM rels
+  ) GROUP BY query_id
+),
+nrel AS (
+  SELECT q.vec_id AS query_id,
+    LEAST({_NDCG_K}, COUNT(*)) AS n_rel
+  FROM qlab q JOIN embeddings e ON e.label = q.label
+  GROUP BY q.vec_id
+),
+idcg AS (
+  SELECT query_id, MAX(c) AS idcg FROM (
+    SELECT n.query_id,
+      SUM(1.0 / log2(t.i + 1.0)) OVER (
+        PARTITION BY n.query_id ORDER BY t.i) AS c
+    FROM nrel n, unnest(generate_series(1, n.n_rel)) AS t(i)
+  ) GROUP BY query_id
+)
+SELECT d.query_id, CAST(n.n_rel AS BIGINT) AS n_rel, d.dcg, i.idcg,
+  CASE WHEN i.idcg > 0 THEN d.dcg / i.idcg ELSE 0.0 END AS ndcg
+FROM dcg d
+JOIN nrel n ON n.query_id = d.query_id
+JOIN idcg i ON i.query_id = d.query_id
+"""
+
+
 def q_knn_quantized(sf_dir: str):
     """Cosine top-k over the INT8-quantized corpus representation
     (functions/quantize.py): symmetric per-vector scalar quantization
@@ -9732,6 +9864,7 @@ def registry() -> dict[str, tuple]:
         "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),
         "knn_ivf": (q_knn_ivf, SQL_KNN_IVF),
         "mmr_select": (q_mmr_select, _sql_mmr_select()),
+        "knn_ndcg": (q_knn_ndcg, SQL_KNN_NDCG),
         "knn_quantized": (q_knn_quantized, SQL_KNN_QUANTIZED),
         "kmeans_clusters": (q_kmeans_clusters, SQL_KMEANS_CLUSTERS),
         "dedup_semantic": (q_dedup_semantic, SQL_DEDUP_SEMANTIC),

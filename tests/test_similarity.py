@@ -325,3 +325,20 @@ def test_mmr_excludes_self_and_bounds_k(ray_session):
     ).to_pylist()
     assert [r["vec_id"] for r in got] == [6, 7]
     assert [r["pick"] for r in got] == [1, 2]
+
+
+def test_ndcg_weights_and_bounds(ray_session):
+    # planted check of the scoring walk via the public query at
+    # sf0.001: ndcg in [0,1]; a query whose top-1 shares its label
+    # contributes the full 1/log2(2) leading term
+    from rsmetacheck_ray.pipelines.queries import q_knn_ndcg
+
+    t = q_knn_ndcg("/root/testdata/sf0.001")
+    assert t.num_rows == 5
+    nd = t.column("ndcg").to_numpy()
+    dc = t.column("dcg").to_numpy()
+    ic = t.column("idcg").to_numpy()
+    assert (nd >= 0).all() and (nd <= 1 + 1e-12).all()
+    assert (dc <= ic + 1e-12).all()
+    # self-retrieval at rank 1 always matches the query's own label
+    assert (dc >= 1.0 - 1e-12).all()
