@@ -258,6 +258,7 @@ BENCH_QUERIES = [
     "pack_ffd",
     "source_classifier_auc",
     "knn_ndcg",
+    "source_wasserstein_length",
     "q1_pricing",
     "events_hourly",
     "events_sliding_3h",

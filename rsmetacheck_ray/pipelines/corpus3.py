@@ -1020,3 +1020,136 @@ SELECT f.h AS hour, CAST(f.n AS BIGINT) AS n_events,
       / ({float(2 * _DECOMP_HALF + 1)} * s.k) AS residual
 FROM full_ f JOIN s ON s.hod = f.h % 24
 """
+
+
+# ---------------------------------------------------------------------------
+# exact 1-D Wasserstein (earth mover's) distance between each source's
+# document-length distribution and the global one — the drift metric
+# that, unlike KS/CvM, weights HOW FAR mass moved, not just whether.
+# ---------------------------------------------------------------------------
+
+def source_wasserstein_length(sf_dir: str) -> "pa.Table":
+    """(source, n_docs, w1_num, w1): exact 1-D Wasserstein-1 distance
+    between each source's ``n_chars`` distribution and the global
+    corpus distribution. W₁ = Σ |F_s(x) − F_g(x)|·Δx over the global
+    support, kept exact by cross-multiplying the CDFs:
+    w1_num = Σ |cum_s·n_g − cum_g·n_s|·Δx (an order-free int64 sum;
+    exact while cum·n·Δx < 2⁵³ — ~10⁶ docs/source at web-page lengths,
+    pre-bin coarser past that), and w1 = w1_num / (n_s·n_g) — ONE
+    double division. Completes the drift family (KS = max CDF gap,
+    CvM = squared sum, W₁ = mass×distance).
+
+    ONE bounded (source × n_chars) histogram reduce; the CDF walk is
+    a driver-side numpy pass over the bounded support."""
+    from .relational import bounded_group_table_strict
+
+    ds = _docs(sf_dir, ["source", "n_chars"])
+
+    def hist(b: pa.Table) -> pa.Table:
+        g = b.group_by(["source", "n_chars"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "source": g.column("source"),
+                "n_chars": pc.cast(g.column("n_chars"), pa.int64()),
+                "n": pc.cast(g.column("count_all"), pa.int64()),
+            }
+        )
+
+    tbl = bounded_group_table_strict(
+        ds.map_batches(hist, batch_format="pyarrow"),
+        ["source", "n_chars"],
+        [("n", "sum")],
+    )
+    empty = pa.table(
+        {
+            "source": pa.array([], pa.string()),
+            "n_docs": pa.array([], pa.int64()),
+            "w1_num": pa.array([], pa.int64()),
+            "w1": pa.array([], pa.float64()),
+        }
+    )
+    if tbl is None or tbl.num_rows == 0:
+        return empty
+    srcs = np.asarray(tbl.column("source").to_pylist(), dtype=object)
+    xs = tbl.column("n_chars").to_numpy(zero_copy_only=False)
+    ns = tbl.column("n").to_numpy(zero_copy_only=False)
+    support = np.unique(xs)
+    dx = np.diff(support)
+    # global cumulative at each support point
+    g_hist = np.zeros(len(support), np.int64)
+    pos = np.searchsorted(support, xs)
+    np.add.at(g_hist, pos, ns)
+    cum_g = np.cumsum(g_hist)
+    ng = int(cum_g[-1])
+    out = {"source": [], "n_docs": [], "w1_num": [], "w1": []}
+    for src in sorted(set(srcs.tolist())):
+        m = srcs == src
+        s_hist = np.zeros(len(support), np.int64)
+        np.add.at(s_hist, pos[m], ns[m])
+        cum_s = np.cumsum(s_hist)
+        n_s = int(cum_s[-1])
+        gaps = np.abs(cum_s[:-1] * ng - cum_g[:-1] * n_s)
+        num = int(np.sum(gaps * dx))
+        out["source"].append(src)
+        out["n_docs"].append(n_s)
+        out["w1_num"].append(num)
+        out["w1"].append(float(num) / float(n_s * ng) if n_s else 0.0)
+    return pa.table(
+        {
+            "source": pa.array(out["source"], pa.string()),
+            "n_docs": pa.array(out["n_docs"], pa.int64()),
+            "w1_num": pa.array(out["w1_num"], pa.int64()),
+            "w1": pa.array(out["w1"], pa.float64()),
+        }
+    )
+
+
+SOURCE_WASSERSTEIN_SQL = """
+WITH g AS (
+  SELECT n_chars, CAST(COUNT(*) AS BIGINT) AS cg
+  FROM documents GROUP BY n_chars
+),
+gc AS (
+  SELECT n_chars,
+    SUM(cg) OVER (ORDER BY n_chars) AS cum_g,
+    LEAD(n_chars) OVER (ORDER BY n_chars) AS nxt
+  FROM g
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS ng FROM documents),
+s AS (
+  SELECT source, n_chars, CAST(COUNT(*) AS BIGINT) AS cs
+  FROM documents GROUP BY source, n_chars
+),
+srcs AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS ns
+  FROM documents GROUP BY source
+),
+grid AS (
+  SELECT srcs.source, srcs.ns, gc.n_chars, gc.cum_g, gc.nxt
+  FROM srcs CROSS JOIN gc
+),
+joined AS (
+  SELECT gr.source, gr.ns, gr.n_chars, gr.cum_g, gr.nxt,
+    COALESCE(s.cs, 0) AS cs
+  FROM grid gr
+  LEFT JOIN s ON s.source = gr.source AND s.n_chars = gr.n_chars
+),
+sc AS (
+  SELECT source, ns, n_chars, cum_g, nxt,
+    SUM(cs) OVER (PARTITION BY source ORDER BY n_chars) AS cum_s
+  FROM joined
+),
+w AS (
+  SELECT sc.source, sc.ns,
+    CAST(SUM(ABS(sc.cum_s * t.ng - sc.cum_g * sc.ns)
+             * (sc.nxt - sc.n_chars)) AS BIGINT) AS w1_num
+  FROM sc, tot t
+  WHERE sc.nxt IS NOT NULL
+  GROUP BY sc.source, sc.ns
+)
+SELECT w.source, w.ns AS n_docs, w.w1_num,
+  CASE WHEN w.ns > 0
+       THEN CAST(w.w1_num AS DOUBLE) / CAST(w.ns * t.ng AS DOUBLE)
+       ELSE 0.0 END AS w1
+FROM w, tot t
+"""

@@ -9742,6 +9742,9 @@ def registry() -> dict[str, tuple]:
         "events_hourly_decomposition": (
             cor3.events_hourly_decomposition, cor3.EVENTS_DECOMP_SQL,
         ),
+        "source_wasserstein_length": (
+            cor3.source_wasserstein_length, cor3.SOURCE_WASSERSTEIN_SQL,
+        ),
         "neyman_allocation": (
             cor3.neyman_allocation, lambda: cor3._neyman_sqls()[0],
         ),

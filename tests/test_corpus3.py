@@ -406,3 +406,48 @@ def test_hourly_decomposition_short_series_empty(ray_session, tmp_path):
         os.path.join(d, "events.parquet"),
     )
     assert c3.events_hourly_decomposition(d).num_rows == 0
+
+
+def test_wasserstein_planted_shift(ray_session, tmp_path):
+    d = str(tmp_path)
+    # source 'a': all docs length 10; source 'b': all docs length 14.
+    # Global = 50/50 mix. W1(a, global) = |F_a - F_g| integrates to
+    # 0.5 * 4 = 2.0 for each source (half the mass moved 4 chars).
+    rows = [(i, "x" * 10, "en") for i in range(10)] + \
+           [(100 + i, "y" * 14, "en") for i in range(10)]
+    ids, texts, _ = zip(*rows)
+    import pyarrow.parquet as pq2
+    pq2.write_table(
+        pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * 20, pa.string()),
+            "source": pa.array(["a"] * 10 + ["b"] * 10, pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }),
+        os.path.join(d, "documents.parquet"),
+    )
+    t = {r["source"]: r for r in c3.source_wasserstein_length(d).to_pylist()}
+    # exact: num = |10*20 - 10*10| * 4 = 400; w1 = 400/(10*20) = 2.0
+    assert t["a"]["w1_num"] == 400 and t["a"]["w1"] == 2.0
+    assert t["b"]["w1_num"] == 400 and t["b"]["w1"] == 2.0
+
+
+def test_wasserstein_identical_distribution_is_zero(ray_session, tmp_path):
+    d = str(tmp_path)
+    rows = [(i, "z" * (5 + i % 3), "en") for i in range(30)]
+    ids, texts, _ = zip(*rows)
+    import pyarrow.parquet as pq2
+    pq2.write_table(
+        pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * 30, pa.string()),
+            # both sources see the same length multiset
+            "source": pa.array(["a", "b"] * 15, pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }),
+        os.path.join(d, "documents.parquet"),
+    )
+    t = {r["source"]: r for r in c3.source_wasserstein_length(d).to_pylist()}
+    assert t["a"]["w1_num"] == 0 and t["b"]["w1_num"] == 0
