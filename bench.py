@@ -259,6 +259,7 @@ BENCH_QUERIES = [
     "source_classifier_auc",
     "knn_ndcg",
     "source_wasserstein_length",
+    "active_learning_pool",
     "q1_pricing",
     "events_hourly",
     "events_sliding_3h",

@@ -1153,3 +1153,66 @@ SELECT w.source, w.ns AS n_docs, w.w1_num,
        ELSE 0.0 END AS w1
 FROM w, tot t
 """
+
+
+# ---------------------------------------------------------------------------
+# uncertainty-sampling pool: the k documents nearest the classifier's
+# decision boundary — what an active-learning loop sends for labels.
+# ---------------------------------------------------------------------------
+
+_UNCERTAIN_K = 100
+
+
+def active_learning_pool(sf_dir: str, k: int = _UNCERTAIN_K) -> rd.Dataset:
+    """(doc_id, n_tokens, score_total, margin): the ``k`` documents
+    with the smallest INTEGER margin to the quality classifier's
+    decision boundary — margin = |score_total·TH_DEN − TH_NUM·n_tokens|
+    (the boundary is score/tokens = TH_NUM/TH_DEN; cross-multiplying
+    keeps it exact, no float ratio). Uncertainty sampling: these are
+    the docs whose labels teach the classifier most. Ties break to the
+    lowest doc_id.
+
+    The sort+limit discipline of relational.top_orders: per-batch
+    local bottom-k prune, then a global sort over only the tiny
+    survivors — the corpus is never globally sorted."""
+    from ..functions.classifier import TH_DEN, TH_NUM, classify_quality
+
+    scored = classify_quality(_docs(sf_dir, ["doc_id", "text"]))
+
+    def prep(b: pa.Table) -> pa.Table:
+        s = b.column("score_total").to_numpy(zero_copy_only=False)
+        n = b.column("n_tokens").to_numpy(zero_copy_only=False)
+        margin = np.abs(s * TH_DEN - TH_NUM * n)
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "n_tokens": b.column("n_tokens"),
+                "score_total": b.column("score_total"),
+                "margin": pa.array(margin.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def local_bottomk(b: pa.Table) -> pa.Table:
+        idx = pc.select_k_unstable(
+            b, k, [("margin", "ascending"), ("doc_id", "ascending")]
+        )
+        return b.take(idx)
+
+    pruned = scored.map_batches(prep, batch_format="pyarrow").map_batches(
+        local_bottomk, batch_format="pyarrow"
+    )
+    return pruned.sort(["margin", "doc_id"]).limit(k)
+
+
+def _active_learning_sql(k: int = _UNCERTAIN_K) -> str:
+    from ..functions.classifier import TH_DEN, TH_NUM
+    from .queries import _sql_quality_classifier
+
+    return f"""
+WITH s AS ({_sql_quality_classifier()})
+SELECT doc_id, n_tokens, score_total,
+  CAST(ABS(score_total * {TH_DEN} - {TH_NUM} * n_tokens) AS BIGINT)
+    AS margin
+FROM s
+QUALIFY row_number() OVER (ORDER BY margin, doc_id) <= {k}
+"""

@@ -9745,6 +9745,9 @@ def registry() -> dict[str, tuple]:
         "source_wasserstein_length": (
             cor3.source_wasserstein_length, cor3.SOURCE_WASSERSTEIN_SQL,
         ),
+        "active_learning_pool": (
+            cor3.active_learning_pool, lambda: cor3._active_learning_sql(),
+        ),
         "neyman_allocation": (
             cor3.neyman_allocation, lambda: cor3._neyman_sqls()[0],
         ),

@@ -451,3 +451,26 @@ def test_wasserstein_identical_distribution_is_zero(ray_session, tmp_path):
     )
     t = {r["source"]: r for r in c3.source_wasserstein_length(d).to_pylist()}
     assert t["a"]["w1_num"] == 0 and t["b"]["w1_num"] == 0
+
+
+def test_active_learning_pool_margin_order(ray_session, tmp_path):
+    d = str(tmp_path)
+    # lexicon words score +1, OOV -2; boundary is TH_NUM/TH_DEN
+    from rsmetacheck_ray.functions.classifier import TH_DEN, TH_NUM
+    _docs(d, [
+        (1, "table query batch", "en"),   # all +1
+        (2, "xx yy zz", "en"),            # all -2
+        (3, "table xx", "en"),            # mixed
+        (4, "", "en"),                    # zero tokens -> margin 0
+    ])
+    got = c3.active_learning_pool(d, k=2).take_all()
+    margins = {}
+    for r in got:
+        m = abs(r["score_total"] * TH_DEN - TH_NUM * r["n_tokens"])
+        assert r["margin"] == m
+        margins[r["doc_id"]] = m
+    assert len(got) == 2
+    # rows arrive in (margin, doc_id) order; the empty doc's margin 0
+    # makes it the certain first pick
+    assert got[0]["doc_id"] == 4 and got[0]["margin"] == 0
+    assert got[0]["margin"] <= got[1]["margin"]
