@@ -260,6 +260,7 @@ BENCH_QUERIES = [
     "knn_ndcg",
     "source_wasserstein_length",
     "active_learning_pool",
+    "gate_rule_recovery",
     "q1_pricing",
     "events_hourly",
     "events_sliding_3h",

@@ -568,6 +568,98 @@ def q_gate_drop_vector(sf_dir: str):
     return out.map_batches(compose, batch_format="pyarrow")
 
 
+_ALL_DROP_CODES = _DROP_NOLM_CODES + ["perplexity_high"]
+
+
+def q_gate_rule_recovery(sf_dir: str):
+    """(rule, n_fired, n_sole): for each of the gate's 11 drop rules,
+    how many documents it fires on at all, and how many it is the
+    SOLE reason for dropping — n_sole is exactly the number of
+    documents relaxing that one rule would recover, the marginal-
+    impact ranking a rule-tuning pass starts from (a rule with large
+    n_fired but tiny n_sole is redundant with the rest of the gate).
+
+    One pass over the fused gate's exposed hit vector: per-batch
+    11×2 integer partials, |rules|-row reduce. The oracle re-derives
+    every rule INCLUDING the trigram-LM perplexity gate (exported
+    parameters, the gate_decisions pattern)."""
+    from ray.data.aggregate import Sum
+
+    out = _gated(sf_dir)
+
+    def partial(b: pa.Table) -> pa.Table:
+        n = len(b)
+        hits = np.zeros((len(_ALL_DROP_CODES), n), dtype=bool)
+        for i, c in enumerate(_ALL_DROP_CODES):
+            hits[i] = b.column(f"hit_{c}").to_numpy(zero_copy_only=False)
+        n_hits = hits.sum(axis=0)
+        sole = hits & (n_hits == 1)[None, :]
+        return pa.table(
+            {
+                "rule": pa.array(list(_ALL_DROP_CODES), pa.string()),
+                "n_fired": pa.array(
+                    hits.sum(axis=1).astype(np.int64), pa.int64()
+                ),
+                "n_sole": pa.array(
+                    sole.sum(axis=1).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return out.map_batches(partial, batch_format="pyarrow").groupby(
+        "rule"
+    ).aggregate(
+        Sum("n_fired", alias_name="n_fired"),
+        Sum("n_sole", alias_name="n_sole"),
+    )
+
+
+# engine rule code -> the flags-CTE SQL expression for the same rule
+_SQL_RULE_EXPRS = [
+    ("empty_text", "f.hit_empty_text"),
+    ("too_short", "f.hit_too_short"),
+    ("too_long", "f.hit_too_long"),
+    ("stopword_ratio_low", "f.hit_stopword"),
+    ("symbol_ratio_high", "f.hit_symbol"),
+    ("repetition", "f.hit_repetition"),
+    ("boilerplate_only", "f.hit_boilerplate_only"),
+    ("template_placeholder", "f.hit_placeholder"),
+    ("lang_mismatch", "f.hit_lang_mismatch"),
+    ("dead_url_pattern", "f.hit_dead_url"),
+    ("perplexity_high", "{lm_expr}"),
+]
+
+
+def _sql_gate_rule_recovery() -> str:
+    from ..config import DEFAULT_CONFIG as _cfg
+
+    lm = (
+        f"(f.n_tokens > 0 AND p.bits_per_char > {_cfg.max_bits_per_char!r})"
+    )
+    cols = []
+    for i, (_code, expr) in enumerate(_SQL_RULE_EXPRS):
+        cols.append(f"CAST({expr.format(lm_expr=lm)} AS INT) AS h{i}")
+    hsum = " + ".join(f"h{i}" for i in range(len(_SQL_RULE_EXPRS)))
+    unions = []
+    for i, (code, _expr) in enumerate(_SQL_RULE_EXPRS):
+        unions.append(
+            f"SELECT '{code}' AS rule,"
+            f" CAST(SUM(h{i}) AS BIGINT) AS n_fired,"
+            f" CAST(SUM(CASE WHEN h{i} = 1 AND n_hits = 1 THEN 1 ELSE 0 END)"
+            f" AS BIGINT) AS n_sole FROM wide"
+        )
+    return f"""
+WITH {{flags_ctes}},
+{{bpc_ctes}},
+base AS (
+  SELECT f.doc_id, {', '.join(cols)}
+  FROM flags f JOIN bpc p USING (doc_id)
+),
+wide AS (SELECT *, {hsum} AS n_hits FROM base)
+{' UNION ALL '.join(unions)}
+"""
+
+
 def q_gate_classifier_calibration(sf_dir: str):
     """(bin, n_docs, n_kept, keep_rate): the full gate's keep rate
     within each quality-classifier quartile — the calibration table
@@ -9775,6 +9867,17 @@ def registry() -> dict[str, tuple]:
             )
             .replace("{bpc_ctes}", _sql_bpc_ctes().strip())
             .replace("{keep_expr}", _sql_keep_expr()),
+        ),
+        "gate_rule_recovery": (
+            q_gate_rule_recovery,
+            lambda: _sql_gate_rule_recovery()
+            .replace(
+                "{flags_ctes}",
+                _sql_gate_flags_ctes().strip().replace(
+                    "{pages}", pages_cte()
+                ),
+            )
+            .replace("{bpc_ctes}", _sql_bpc_ctes().strip()),
         ),
         "source_classifier_auc": (
             q_source_classifier_auc,
