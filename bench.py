@@ -261,6 +261,7 @@ BENCH_QUERIES = [
     "source_wasserstein_length",
     "active_learning_pool",
     "gate_rule_recovery",
+    "corpus_manifest",
     "q1_pricing",
     "events_hourly",
     "events_sliding_3h",

@@ -1216,3 +1216,136 @@ SELECT doc_id, n_tokens, score_total,
 FROM s
 QUALIFY row_number() OVER (ORDER BY margin, doc_id) <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# corpus manifest: the one-row dataset-card summary (counts, token
+# volume, language/source breadth, emptiness, length moments).
+# ---------------------------------------------------------------------------
+
+def corpus_manifest(sf_dir: str) -> "pa.Table":
+    """One row (n_docs, n_tokens, n_chars, n_langs, n_sources,
+    n_empty, mean_chars, max_chars): the header block of a dataset
+    card — corpus volume, breadth and shape at a glance. All counts
+    exact int64 from ONE streaming pass (per-batch partials carry the
+    distinct lang/source SETS as per-batch uniques; the reduce is
+    bounded by |langs|+|sources| per batch, so breadth is exact
+    without a distinct shuffle). mean_chars is the only float: one
+    division of exact ints."""
+    from ..functions.tokenize import count_ws_tokens
+    from .relational import bounded_group_table_strict
+
+    ds = _docs(sf_dir, ["doc_id", "text", "lang", "source", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        text = b.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        nt = count_ws_tokens(pc.fill_null(text, "")).to_numpy(
+            zero_copy_only=False
+        )
+        nc = pc.cast(b.column("n_chars"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        langs = set(b.column("lang").to_pylist())
+        sources = set(b.column("source").to_pylist())
+        rows = {
+            "key": [], "lang": [], "source": [],
+            "n_docs": [], "n_tokens": [], "n_chars": [],
+            "n_empty": [], "max_chars": [],
+        }
+        # one stats row plus one marker row per distinct lang/source
+        # seen in the batch — the reduce dedups markers globally
+        rows["key"].append("stats")
+        rows["lang"].append("")
+        rows["source"].append("")
+        rows["n_docs"].append(len(b))
+        rows["n_tokens"].append(int(nt.sum()))
+        rows["n_chars"].append(int(nc.sum()))
+        rows["n_empty"].append(int((nt == 0).sum()))
+        rows["max_chars"].append(int(nc.max()) if len(nc) else 0)
+        for lg in langs:
+            rows["key"].append("lang")
+            rows["lang"].append(lg if lg is not None else "")
+            rows["source"].append("")
+            for c in ("n_docs", "n_tokens", "n_chars", "n_empty", "max_chars"):
+                rows[c].append(0)
+        for srcv in sources:
+            rows["key"].append("source")
+            rows["lang"].append("")
+            rows["source"].append(srcv if srcv is not None else "")
+            for c in ("n_docs", "n_tokens", "n_chars", "n_empty", "max_chars"):
+                rows[c].append(0)
+        return pa.table(
+            {
+                "key": pa.array(rows["key"], pa.string()),
+                "lang": pa.array(rows["lang"], pa.string()),
+                "source": pa.array(rows["source"], pa.string()),
+                "n_docs": pa.array(rows["n_docs"], pa.int64()),
+                "n_tokens": pa.array(rows["n_tokens"], pa.int64()),
+                "n_chars": pa.array(rows["n_chars"], pa.int64()),
+                "n_empty": pa.array(rows["n_empty"], pa.int64()),
+                "max_chars": pa.array(rows["max_chars"], pa.int64()),
+            }
+        )
+
+    tbl = bounded_group_table_strict(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["key", "lang", "source"],
+        [
+            ("n_docs", "sum"), ("n_tokens", "sum"), ("n_chars", "sum"),
+            ("n_empty", "sum"), ("max_chars", "max"),
+        ],
+    )
+    empty = pa.table(
+        {
+            "n_docs": pa.array([0], pa.int64()),
+            "n_tokens": pa.array([0], pa.int64()),
+            "n_chars": pa.array([0], pa.int64()),
+            "n_langs": pa.array([0], pa.int64()),
+            "n_sources": pa.array([0], pa.int64()),
+            "n_empty": pa.array([0], pa.int64()),
+            "mean_chars": pa.array([0.0], pa.float64()),
+            "max_chars": pa.array([0], pa.int64()),
+        }
+    )
+    if tbl is None or tbl.num_rows == 0:
+        return empty
+    keys = tbl.column("key").to_pylist()
+    n_langs = sum(1 for k in keys if k == "lang")
+    n_sources = sum(1 for k in keys if k == "source")
+    srow = {
+        c: tbl.column(c).to_pylist()[keys.index("stats")]
+        for c in ("n_docs", "n_tokens", "n_chars", "n_empty", "max_chars")
+    }
+    mean_chars = (
+        float(srow["n_chars"]) / float(srow["n_docs"])
+        if srow["n_docs"] else 0.0
+    )
+    return pa.table(
+        {
+            "n_docs": pa.array([srow["n_docs"]], pa.int64()),
+            "n_tokens": pa.array([srow["n_tokens"]], pa.int64()),
+            "n_chars": pa.array([srow["n_chars"]], pa.int64()),
+            "n_langs": pa.array([n_langs], pa.int64()),
+            "n_sources": pa.array([n_sources], pa.int64()),
+            "n_empty": pa.array([srow["n_empty"]], pa.int64()),
+            "mean_chars": pa.array([mean_chars], pa.float64()),
+            "max_chars": pa.array([srow["max_chars"]], pa.int64()),
+        }
+    )
+
+
+CORPUS_MANIFEST_SQL = f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(len(regexp_extract_all(COALESCE(text, ''), '{WS_TOKEN_RE}')))
+    AS BIGINT) AS n_tokens,
+  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+  CAST(SUM(CASE WHEN len(regexp_extract_all(COALESCE(text, ''),
+    '{WS_TOKEN_RE}')) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+  CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_chars,
+  CAST(MAX(n_chars) AS BIGINT) AS max_chars
+FROM documents
+"""

@@ -9840,6 +9840,9 @@ def registry() -> dict[str, tuple]:
         "active_learning_pool": (
             cor3.active_learning_pool, lambda: cor3._active_learning_sql(),
         ),
+        "corpus_manifest": (
+            cor3.corpus_manifest, cor3.CORPUS_MANIFEST_SQL,
+        ),
         "neyman_allocation": (
             cor3.neyman_allocation, lambda: cor3._neyman_sqls()[0],
         ),

@@ -474,3 +474,20 @@ def test_active_learning_pool_margin_order(ray_session, tmp_path):
     # makes it the certain first pick
     assert got[0]["doc_id"] == 4 and got[0]["margin"] == 0
     assert got[0]["margin"] <= got[1]["margin"]
+
+
+def test_corpus_manifest_exact_counts(ray_session, tmp_path):
+    d = str(tmp_path)
+    _docs(d, [
+        (1, "two tokens", "en"),
+        (2, "", "en"),            # empty
+        (3, "uno", "es"),
+        (4, "  ", "es"),          # whitespace-only -> 0 tokens
+    ])
+    t = c3.corpus_manifest(d).to_pylist()[0]
+    assert t["n_docs"] == 4 and t["n_tokens"] == 3
+    assert t["n_langs"] == 2 and t["n_sources"] == 1
+    assert t["n_empty"] == 2
+    assert t["n_chars"] == 10 + 0 + 3 + 2
+    assert t["mean_chars"] == 15 / 4
+    assert t["max_chars"] == 10
