@@ -262,6 +262,7 @@ BENCH_QUERIES = [
     "active_learning_pool",
     "gate_rule_recovery",
     "corpus_manifest",
+    "classifier_best_f1",
     "q1_pricing",
     "events_hourly",
     "events_sliding_3h",

@@ -568,6 +568,135 @@ def q_gate_drop_vector(sf_dir: str):
     return out.map_batches(compose, batch_format="pyarrow")
 
 
+def q_classifier_best_f1(sf_dir: str):
+    """One row (threshold, tp, fp, fn, f1): the score_total threshold
+    maximizing F1 of 'predict keep iff score ≥ t' against the fused
+    gate's label — threshold selection, completing the evaluation
+    family (AUC ranks, isotonic calibrates, conformal bounds, this
+    picks the operating point). Candidate thresholds are the distinct
+    scores; TP/FP/FN come from suffix sums of the bounded (score,
+    label) contingency (exact ints), F1 = 2TP/(2TP+FP+FN) is ONE
+    division of exact ints, and the argmax orders by (f1 DESC,
+    threshold ASC) on those doubles — equal rationals round to equal
+    doubles, so both engines pick the same row.
+
+    Same distributed plan as gate_classifier_auc (shared contingency
+    machinery); the sweep is O(domain) on the driver."""
+    from .join import join
+    from ..functions.classifier import classify_quality
+
+    scores = classify_quality(_documents(sf_dir, ["doc_id", "text"])).map_batches(
+        lambda b: b.select(["doc_id", "score_total"]),
+        batch_format="pyarrow",
+    )
+    keep = _gated(sf_dir).map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "kept": pc.cast(b.column("keep"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    j = join(scores, keep, on="doc_id", how="inner")
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.select(["score_total", "kept"]).group_by(
+            ["score_total", "kept"]
+        ).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "score_total": g.column("score_total"),
+                "kept": g.column("kept"),
+                "n": pc.cast(g.column("count_all"), pa.int64()),
+            }
+        )
+
+    tbl = rel.bounded_group_table_strict(
+        j.map_batches(partial, batch_format="pyarrow"),
+        ["score_total", "kept"],
+        [("n", "sum")],
+    )
+    empty = pa.table(
+        {
+            "threshold": pa.array([], pa.int64()),
+            "tp": pa.array([], pa.int64()),
+            "fp": pa.array([], pa.int64()),
+            "fn": pa.array([], pa.int64()),
+            "f1": pa.array([], pa.float64()),
+        }
+    )
+    if tbl is None or tbl.num_rows == 0:
+        return empty
+    s = tbl.column("score_total").to_numpy(zero_copy_only=False)
+    k = tbl.column("kept").to_numpy(zero_copy_only=False)
+    n = tbl.column("n").to_numpy(zero_copy_only=False)
+    order = np.argsort(s, kind="stable")
+    s, k, n = s[order], k[order], n[order]
+    uniq, start = np.unique(s, return_index=True)
+    pos = np.add.reduceat(np.where(k == 1, n, 0), start)
+    neg = np.add.reduceat(np.where(k == 0, n, 0), start)
+    p_total = int(pos.sum())
+    # suffix sums: predict keep iff score >= t
+    tp = np.cumsum(pos[::-1])[::-1]
+    fp = np.cumsum(neg[::-1])[::-1]
+    fn = p_total - tp
+    denom = 2 * tp + fp + fn
+    with np.errstate(divide="ignore", invalid="ignore"):
+        f1 = np.where(denom > 0, 2.0 * tp / denom, 0.0)
+    best = np.lexsort((uniq, -f1))[0]
+    return pa.table(
+        {
+            "threshold": pa.array([int(uniq[best])], pa.int64()),
+            "tp": pa.array([int(tp[best])], pa.int64()),
+            "fp": pa.array([int(fp[best])], pa.int64()),
+            "fn": pa.array([int(fn[best])], pa.int64()),
+            "f1": pa.array([float(f1[best])], pa.float64()),
+        }
+    )
+
+
+def _sql_classifier_best_f1() -> str:
+    return f"""
+WITH {{flags_ctes}},
+{{bpc_ctes}},
+s AS ({_sql_quality_classifier()}),
+keepd AS (
+  SELECT f.doc_id, {{keep_expr}} AS keep
+  FROM flags f JOIN bpc p USING (doc_id)
+),
+lab AS (
+  SELECT s.score_total, CAST(k.keep AS INT) AS kept
+  FROM s JOIN keepd k USING (doc_id)
+),
+h AS (
+  SELECT score_total, SUM(kept) AS pos, SUM(1 - kept) AS neg
+  FROM lab GROUP BY score_total
+),
+sw AS (
+  SELECT score_total,
+    SUM(pos) OVER (ORDER BY score_total
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS tp,
+    SUM(neg) OVER (ORDER BY score_total
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fp,
+    (SELECT SUM(pos) FROM h) - SUM(pos) OVER (ORDER BY score_total
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fn
+  FROM h
+),
+scored_t AS (
+  SELECT score_total, tp, fp, fn,
+    CASE WHEN 2 * tp + fp + fn > 0
+         THEN 2.0 * tp / (2 * tp + fp + fn) ELSE 0.0 END AS f1
+  FROM sw
+)
+SELECT CAST(score_total AS BIGINT) AS threshold,
+  CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+  CAST(fn AS BIGINT) AS fn, f1
+FROM scored_t
+QUALIFY row_number() OVER (ORDER BY f1 DESC, score_total) = 1
+"""
+
+
 _ALL_DROP_CODES = _DROP_NOLM_CODES + ["perplexity_high"]
 
 
@@ -9862,6 +9991,18 @@ def registry() -> dict[str, tuple]:
         "gate_classifier_auc": (
             q_gate_classifier_auc,
             lambda: _sql_gate_classifier_auc()
+            .replace(
+                "{flags_ctes}",
+                _sql_gate_flags_ctes().strip().replace(
+                    "{pages}", pages_cte()
+                ),
+            )
+            .replace("{bpc_ctes}", _sql_bpc_ctes().strip())
+            .replace("{keep_expr}", _sql_keep_expr()),
+        ),
+        "classifier_best_f1": (
+            q_classifier_best_f1,
+            lambda: _sql_classifier_best_f1()
             .replace(
                 "{flags_ctes}",
                 _sql_gate_flags_ctes().strip().replace(

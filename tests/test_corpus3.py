@@ -491,3 +491,21 @@ def test_corpus_manifest_exact_counts(ray_session, tmp_path):
     assert t["n_chars"] == 10 + 0 + 3 + 2
     assert t["mean_chars"] == 15 / 4
     assert t["max_chars"] == 10
+
+
+def test_best_f1_sweep_arithmetic():
+    """Planted sweep check of the suffix-sum F1 construction."""
+    import numpy as np
+
+    # contingency: scores 1..3; pos = [1, 4, 5], neg = [6, 2, 0]
+    pos = np.array([1, 4, 5]); neg = np.array([6, 2, 0])
+    P = pos.sum()
+    tp = np.cumsum(pos[::-1])[::-1]
+    fp = np.cumsum(neg[::-1])[::-1]
+    fn = P - tp
+    f1 = 2.0 * tp / (2 * tp + fp + fn)
+    # t=1: tp=10 fp=8 fn=0 -> 20/28; t=2: tp=9 fp=2 fn=1 -> 18/21;
+    # t=3: tp=5 fp=0 fn=5 -> 10/15
+    assert np.allclose(f1, [20 / 28, 18 / 21, 10 / 15])
+    best = np.lexsort((np.array([1, 2, 3]), -f1))[0]
+    assert best == 1  # threshold 2 wins
