@@ -263,6 +263,7 @@ BENCH_QUERIES = [
     "gate_rule_recovery",
     "corpus_manifest",
     "classifier_best_f1",
+    "langid_f1",
     "q1_pricing",
     "events_hourly",
     "events_sliding_3h",

@@ -233,6 +233,102 @@ def q_lang_confusion(sf_dir: str):
     return res
 
 
+def q_langid_f1(sf_dir: str):
+    """(lang, n_true, n_pred, n_correct, precision, recall, f1): the
+    language detector's per-language scoreboard against the declared
+    label — the eval rollup of ``lang_confusion``'s raw matrix
+    (precision = correct/predicted, recall = correct/true, F1 their
+    harmonic mean; 'und' predictions count against recall but 'und'
+    has no row of its own unless declared). Every float is one
+    division (or one 2·c/(t+p)) of exact int64 marginals from the
+    bounded |langs|² confusion reduce."""
+    conf = q_lang_confusion(sf_dir)
+    empty = pa.table(
+        {
+            "lang": pa.array([], pa.string()),
+            "n_true": pa.array([], pa.int64()),
+            "n_pred": pa.array([], pa.int64()),
+            "n_correct": pa.array([], pa.int64()),
+            "precision": pa.array([], pa.float64()),
+            "recall": pa.array([], pa.float64()),
+            "f1": pa.array([], pa.float64()),
+        }
+    )
+    if conf.num_rows == 0:
+        return empty
+    langs = conf.column("lang").to_pylist()
+    dets = conf.column("detected_lang").to_pylist()
+    ns = conf.column("n").to_pylist()
+    true_c: dict[str, int] = {}
+    pred_c: dict[str, int] = {}
+    corr: dict[str, int] = {}
+    for lg, dt, n in zip(langs, dets, ns):
+        true_c[lg] = true_c.get(lg, 0) + n
+        pred_c[dt] = pred_c.get(dt, 0) + n
+        if lg == dt:
+            corr[lg] = corr.get(lg, 0) + n
+    out = {k: [] for k in (
+        "lang", "n_true", "n_pred", "n_correct",
+        "precision", "recall", "f1",
+    )}
+    for lg in sorted(true_c):
+        t = true_c[lg]
+        p = pred_c.get(lg, 0)
+        c = corr.get(lg, 0)
+        out["lang"].append(lg)
+        out["n_true"].append(t)
+        out["n_pred"].append(p)
+        out["n_correct"].append(c)
+        out["precision"].append(float(c) / float(p) if p else 0.0)
+        out["recall"].append(float(c) / float(t) if t else 0.0)
+        out["f1"].append(
+            2.0 * c / (t + p) if (t + p) else 0.0
+        )
+    return pa.table(
+        {
+            "lang": pa.array(out["lang"], pa.string()),
+            "n_true": pa.array(out["n_true"], pa.int64()),
+            "n_pred": pa.array(out["n_pred"], pa.int64()),
+            "n_correct": pa.array(out["n_correct"], pa.int64()),
+            "precision": pa.array(out["precision"], pa.float64()),
+            "recall": pa.array(out["recall"], pa.float64()),
+            "f1": pa.array(out["f1"], pa.float64()),
+        }
+    )
+
+
+def _sql_langid_f1() -> str:
+    return f"""
+WITH pages AS ({{pages}}),
+{_FEAT_SQL},
+conf AS (
+  SELECT lang, detected_lang, CAST(COUNT(*) AS BIGINT) AS n
+  FROM det GROUP BY lang, detected_lang
+),
+t AS (SELECT lang, SUM(n) AS n_true FROM conf GROUP BY lang),
+p AS (SELECT detected_lang, SUM(n) AS n_pred FROM conf GROUP BY detected_lang),
+c AS (
+  SELECT lang, SUM(n) AS n_correct FROM conf
+  WHERE lang = detected_lang GROUP BY lang
+)
+SELECT t.lang, CAST(t.n_true AS BIGINT) AS n_true,
+  CAST(COALESCE(p.n_pred, 0) AS BIGINT) AS n_pred,
+  CAST(COALESCE(c.n_correct, 0) AS BIGINT) AS n_correct,
+  CASE WHEN COALESCE(p.n_pred, 0) > 0
+       THEN CAST(COALESCE(c.n_correct, 0) AS DOUBLE)
+            / CAST(p.n_pred AS DOUBLE) ELSE 0.0 END AS precision,
+  CASE WHEN t.n_true > 0
+       THEN CAST(COALESCE(c.n_correct, 0) AS DOUBLE)
+            / CAST(t.n_true AS DOUBLE) ELSE 0.0 END AS recall,
+  CASE WHEN t.n_true + COALESCE(p.n_pred, 0) > 0
+       THEN 2.0 * COALESCE(c.n_correct, 0)
+            / (t.n_true + COALESCE(p.n_pred, 0)) ELSE 0.0 END AS f1
+FROM t
+LEFT JOIN p ON p.detected_lang = t.lang
+LEFT JOIN c ON c.lang = t.lang
+"""
+
+
 def _sql_lang_confusion() -> str:
     return f"""
 WITH pages AS ({{pages}}),
@@ -9786,6 +9882,10 @@ def registry() -> dict[str, tuple]:
         "lang_confusion": (
             q_lang_confusion,
             _sql_lang_confusion().replace("{pages}", pages),
+        ),
+        "langid_f1": (
+            q_langid_f1,
+            _sql_langid_f1().replace("{pages}", pages),
         ),
         "gate_meta_flags": (
             q_gate_meta_flags,
