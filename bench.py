@@ -264,6 +264,7 @@ BENCH_QUERIES = [
     "corpus_manifest",
     "classifier_best_f1",
     "langid_f1",
+    "kmeans_margin",
     "q1_pricing",
     "events_hourly",
     "events_sliding_3h",

@@ -350,3 +350,52 @@ def semantic_dedup(
         .groupby("cluster")
         .map_groups(resolve, batch_format="pyarrow")
     )
+
+
+def kmeans_margin(
+    ds: rd.Dataset, centroids: np.ndarray, id_col: str = "vec_id"
+) -> rd.Dataset:
+    """(id, cluster, margin): per-vector cluster-separation margin —
+    cos to the assigned (nearest) centroid minus cos to the nearest
+    OTHER centroid: the simplified (centroid-based) silhouette signal.
+    margin ≈ 0 flags points sitting on a cluster boundary (SemDeDup's
+    failure mode: near-boundary duplicates land in different cells).
+
+    Same deliberately-SEQUENTIAL float math as :func:`kmeans_assign`
+    (cumsum folds ≙ DuckDB list_sum), so both cosines — and therefore
+    their difference — are bit-identical to the exported-centroid SQL
+    oracle; the runner-up is an order-free MAX over the remaining
+    clusters."""
+    cent_ref = ray.put(np.ascontiguousarray(centroids, np.float64))
+
+    def margin(b: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        ids, mat = _batch_matrix(b, id_col)
+        if len(ids) == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "cluster": pa.array([], pa.int64()),
+                    "margin": pa.array([], pa.float64()),
+                }
+            )
+        norms = np.sqrt(np.cumsum(mat * mat, axis=1)[:, -1])
+        u = mat / np.maximum(norms, 1e-300)[:, None]
+        prods = u[:, None, :] * c[None, :, :]
+        sims = np.cumsum(prods, axis=2)[:, :, -1]
+        a = sims.argmax(axis=1)
+        best = sims[np.arange(len(a)), a]
+        masked = sims.copy()
+        masked[np.arange(len(a)), a] = -np.inf
+        second = masked.max(axis=1)
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "cluster": pa.array(a.astype(np.int64), pa.int64()),
+                "margin": pa.array(best - second, pa.float64()),
+            }
+        )
+
+    return ds.select_columns([id_col, "embedding"]).map_batches(
+        margin, batch_format="pyarrow"
+    )

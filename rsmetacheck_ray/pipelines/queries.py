@@ -8254,6 +8254,35 @@ SELECT vec_id, cluster, cos FROM assigned
 """
 
 
+def q_kmeans_margin(sf_dir: str):
+    """(vec_id, cluster, margin): per-vector cluster-separation margin
+    — cos to the assigned centroid minus cos to the nearest OTHER
+    centroid (the simplified-silhouette signal; ≈0 = boundary point,
+    SemDeDup's blind spot). Same exported-centroid oracle pattern as
+    kmeans_clusters; the sequential cumsum ≙ list_sum float discipline
+    makes both cosines — and their difference — bit-identical."""
+    from ..functions.clustering import kmeans_fit, kmeans_margin
+
+    ds = rel._read_pq(os.path.join(sf_dir, "embeddings.parquet"))
+    cent = kmeans_fit(ds, k=8, n_iters=8)
+    _export_centroids(cent, "centroids_margin.parquet")
+    return kmeans_margin(ds, cent)
+
+
+SQL_KMEANS_MARGIN = f"""
+WITH corpus AS (SELECT vec_id, embedding FROM embeddings),
+{_sql_assign_ctes("centroids_margin.parquet").strip()},
+second AS (
+  SELECT c1.vec_id, MAX(c1.cos) AS b
+  FROM coss c1 JOIN assigned a
+    ON a.vec_id = c1.vec_id AND c1.cluster <> a.cluster
+  GROUP BY c1.vec_id
+)
+SELECT a.vec_id, a.cluster, a.cos - s.b AS margin
+FROM assigned a JOIN second s ON s.vec_id = a.vec_id
+"""
+
+
 def q_dedup_semantic(sf_dir: str):
     """SemDeDup semantic near-dedup: k-means cluster the corpus, then
     within each cluster keep only the min-id member of every
@@ -10220,6 +10249,7 @@ def registry() -> dict[str, tuple]:
         "knn_ndcg": (q_knn_ndcg, SQL_KNN_NDCG),
         "knn_quantized": (q_knn_quantized, SQL_KNN_QUANTIZED),
         "kmeans_clusters": (q_kmeans_clusters, SQL_KMEANS_CLUSTERS),
+        "kmeans_margin": (q_kmeans_margin, SQL_KMEANS_MARGIN),
         "dedup_semantic": (q_dedup_semantic, SQL_DEDUP_SEMANTIC),
         "pca_embeddings": (q_pca_embeddings, SQL_PCA_EMBEDDINGS),
         # multimodal plumbing

@@ -212,3 +212,29 @@ def test_curate_semantic_consistent_with_components(ray_session):
     assert len(template_in_curated) <= 1
     # and the corpus genuinely shrank vs the gate alone
     assert len(curated) < len(kept)
+
+
+def test_kmeans_margin_nonnegative_and_boundary(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from rsmetacheck_ray.functions.clustering import kmeans_margin
+
+    cent = np.array([[1.0, 0.0], [0.0, 1.0]])
+    vecs = [
+        (0, [1.0, 0.0]),    # dead center of cluster 0: margin = 1.0
+        (1, [1.0, 1.0]),    # exactly on the boundary: margin = 0.0
+        (2, [0.1, 0.9]),    # cluster 1, clear margin
+    ]
+    t = pa.table({
+        "vec_id": pa.array([v[0] for v in vecs], pa.int64()),
+        "embedding": pa.array(
+            [v[1] for v in vecs], pa.list_(pa.float32())
+        ),
+    })
+    got = {r["vec_id"]: r for r in kmeans_margin(rd.from_arrow(t), cent).take_all()}
+    assert got[0]["cluster"] == 0 and got[0]["margin"] == 1.0
+    assert got[1]["margin"] == 0.0  # tie -> argmax picks cluster 0
+    assert got[1]["cluster"] == 0
+    assert got[2]["cluster"] == 1 and got[2]["margin"] > 0.5
+    assert all(r["margin"] >= 0.0 for r in got.values())
