@@ -265,6 +265,7 @@ BENCH_QUERIES = [
     "classifier_best_f1",
     "langid_f1",
     "kmeans_margin",
+    "lang_tokenizer_fertility",
     "q1_pricing",
     "events_hourly",
     "events_sliding_3h",

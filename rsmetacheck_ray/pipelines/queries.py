@@ -8995,6 +8995,108 @@ def q_doc_bpe_tokens(sf_dir: str):
     return ds.map_batches(stage, batch_format="pyarrow")
 
 
+def q_lang_tokenizer_fertility(sf_dir: str):
+    """(lang, n_docs, ws_tokens, bpe_tokens, fertility): tokenizer
+    FERTILITY per language — BPE-pretokenizer pieces per whitespace
+    word. The standard multilingual-tokenizer equity metric (a
+    language with fertility 2× another pays 2× the context window for
+    the same content; the mT5/XLM papers report exactly this table).
+    Exact int64 token sums per (batch, lang) → bounded reduce;
+    fertility is ONE double division. Two vectorized RE2 passes, zero
+    text shuffle."""
+    from ..functions.tokenize import count_bpe_tokens, count_ws_tokens
+
+    ds = _documents(sf_dir, ["doc_id", "text", "lang"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        text = b.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        t = pa.table(
+            {
+                "lang": b.column("lang"),
+                "ws": count_ws_tokens(text),
+                "bpe": count_bpe_tokens(text),
+            }
+        )
+        g = t.group_by("lang").aggregate(
+            [("ws", "sum"), ("bpe", "sum"), ([], "count_all")]
+        )
+        return pa.table(
+            {
+                "lang": g.column("lang"),
+                "ws": pc.cast(g.column("ws_sum"), pa.int64()),
+                "bpe": pc.cast(g.column("bpe_sum"), pa.int64()),
+                "n": pc.cast(g.column("count_all"), pa.int64()),
+            }
+        )
+
+    tbl = rel.bounded_group_table_strict(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["lang"],
+        [("ws", "sum"), ("bpe", "sum"), ("n", "sum")],
+    )
+    empty = pa.table(
+        {
+            "lang": pa.array([], pa.string()),
+            "n_docs": pa.array([], pa.int64()),
+            "ws_tokens": pa.array([], pa.int64()),
+            "bpe_tokens": pa.array([], pa.int64()),
+            "fertility": pa.array([], pa.float64()),
+        }
+    )
+    if tbl is None or tbl.num_rows == 0:
+        return empty
+    rows = sorted(
+        zip(
+            tbl.column("lang").to_pylist(),
+            tbl.column("n").to_pylist(),
+            tbl.column("ws").to_pylist(),
+            tbl.column("bpe").to_pylist(),
+        )
+    )
+    return pa.table(
+        {
+            "lang": pa.array([r[0] for r in rows], pa.string()),
+            "n_docs": pa.array([r[1] for r in rows], pa.int64()),
+            "ws_tokens": pa.array([r[2] for r in rows], pa.int64()),
+            "bpe_tokens": pa.array([r[3] for r in rows], pa.int64()),
+            "fertility": pa.array(
+                [
+                    float(r[3]) / float(r[2]) if r[2] else 0.0
+                    for r in rows
+                ],
+                pa.float64(),
+            ),
+        }
+    )
+
+
+def _sql_lang_fertility() -> str:
+    from ..functions.tokenize import BPE_TOKEN_RE, WS_TOKEN_RE
+
+    bpe = BPE_TOKEN_RE.replace("'", "''")
+    return f"""
+WITH t AS (
+  SELECT lang,
+    len(regexp_extract_all(text, '{WS_TOKEN_RE}')) AS ws,
+    len(regexp_extract_all(text, '{bpe}')) AS bpe
+  FROM documents
+),
+m AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+    CAST(SUM(bpe) AS BIGINT) AS bpe_tokens
+  FROM t GROUP BY lang
+)
+SELECT lang, n_docs, ws_tokens, bpe_tokens,
+  CASE WHEN ws_tokens > 0
+       THEN CAST(bpe_tokens AS DOUBLE) / CAST(ws_tokens AS DOUBLE)
+       ELSE 0.0 END AS fertility
+FROM m
+"""
+
+
 def _sql_bpe() -> str:
     from ..functions.tokenize import BPE_TOKEN_RE, WS_TOKEN_RE
 
@@ -10279,4 +10381,7 @@ def registry() -> dict[str, tuple]:
         "multimodal_ppm_frames": (q_multimodal_ppm_frames, _sql_mm_ppm_frames()),
         # token counting (whitespace + BPE-style pretokenizer)
         "doc_bpe_tokens": (q_doc_bpe_tokens, _sql_bpe()),
+        "lang_tokenizer_fertility": (
+            q_lang_tokenizer_fertility, _sql_lang_fertility(),
+        ),
     }
