@@ -266,6 +266,7 @@ BENCH_QUERIES = [
     "langid_f1",
     "kmeans_margin",
     "lang_tokenizer_fertility",
+    "dedup_graph_diameter",
     "q1_pricing",
     "events_hourly",
     "events_sliding_3h",

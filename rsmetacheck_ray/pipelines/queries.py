@@ -5603,6 +5603,171 @@ def q_dedup_graph_bfs(sf_dir: str):
     )
 
 
+def q_dedup_graph_diameter(sf_dir: str):
+    """(component_id, far_node, sweep1_dist, diameter_lb): per near-dup
+    cluster, the DOUBLE-SWEEP diameter lower bound — BFS from the
+    canonical min-id node, hop to the farthest node found (tie →
+    lowest id), BFS again from there; the second eccentricity is the
+    classic 2-sweep diameter estimate (exact on trees, ≥ diameter/2
+    always). A cluster with diameter 5 was glued by a CHAIN of weak
+    near-dup links — exactly the mass-drop a survivor policy should
+    review; a clique-like cluster stays at 1–2.
+
+    Both sweeps ride the existing BSP BFS (functions/graph.
+    bfs_distances, co-partitioned worker-to-worker frontier
+    exchange); components are disconnected, so one multi-seed BFS per
+    sweep serves every cluster at once. The reductions walk the
+    edge-node tables (bounded by the dup population, the
+    dedup_graph_bfs precedent)."""
+    import ray
+
+    from ..functions.components import connected_components
+    from ..functions.graph import bfs_distances
+
+    empty = pa.table(
+        {
+            "component_id": pa.array([], pa.int64()),
+            "far_node": pa.array([], pa.int64()),
+            "sweep1_dist": pa.array([], pa.int64()),
+            "diameter_lb": pa.array([], pa.int64()),
+        }
+    )
+    corpus = _cc_corpus(sf_dir)
+    blocks = [
+        t
+        for t in ray.get(_cc_edges(corpus).materialize().to_arrow_refs())
+        if t.num_rows
+    ]
+    if not blocks:
+        return empty
+    e = pa.concat_tables(blocks)
+    a = e.column("doc_id_a").to_numpy(zero_copy_only=False)
+    b = e.column("doc_id_b").to_numpy(zero_copy_only=False)
+    keep = a != b
+    a, b = a[keep], b[keep]
+    if not len(a):
+        return empty
+    pairs = pa.table(
+        {
+            "doc_id_a": pa.array(a, pa.int64()),
+            "doc_id_b": pa.array(b, pa.int64()),
+        }
+    )
+    lab_blocks = [
+        t
+        for t in ray.get(
+            connected_components(rd.from_arrow(pairs))
+            .materialize()
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    labels = pa.concat_tables(lab_blocks)
+    lnode = labels.column("doc_id").to_numpy(zero_copy_only=False)
+    lcomp = labels.column("component_id").to_numpy(zero_copy_only=False)
+    lorder = np.argsort(lnode)
+    lnode_s, lcomp_s = lnode[lorder], lcomp[lorder]
+
+    def comp_of(nodes: np.ndarray) -> np.ndarray:
+        return lcomp_s[np.searchsorted(lnode_s, nodes)]
+
+    edges = pa.table(
+        {
+            "src": pa.array(np.concatenate([a, b]), pa.int64()),
+            "dst": pa.array(np.concatenate([b, a]), pa.int64()),
+        }
+    )
+    seeds = lnode[lnode == lcomp]
+    d1 = bfs_distances(edges, seeds, max_iter=_BFS_MAX_ITER)
+    n1 = d1.column("node").to_numpy(zero_copy_only=False)
+    dist1 = d1.column("dist").to_numpy(zero_copy_only=False)
+    c1 = comp_of(n1)
+    # farthest per component: dist DESC, node ASC
+    order = np.lexsort((n1, -dist1, c1))
+    c_s = c1[order]
+    first = np.concatenate([[True], c_s[1:] != c_s[:-1]])
+    far_nodes = n1[order][first]
+    far_dist = dist1[order][first]
+    far_comp = c_s[first]
+    d2 = bfs_distances(edges, far_nodes, max_iter=_BFS_MAX_ITER)
+    n2 = d2.column("node").to_numpy(zero_copy_only=False)
+    dist2 = d2.column("dist").to_numpy(zero_copy_only=False)
+    c2 = comp_of(n2)
+    # eccentricity of the far node per component
+    order2 = np.lexsort((-dist2, c2))
+    c2_s = c2[order2]
+    first2 = np.concatenate([[True], c2_s[1:] != c2_s[:-1]])
+    ecc = dist2[order2][first2]
+    ecc_comp = c2_s[first2]
+    pos = np.searchsorted(ecc_comp, far_comp)
+    return pa.table(
+        {
+            "component_id": pa.array(far_comp, pa.int64()),
+            "far_node": pa.array(far_nodes, pa.int64()),
+            "sweep1_dist": pa.array(far_dist, pa.int64()),
+            "diameter_lb": pa.array(ecc[pos], pa.int64()),
+        }
+    )
+
+
+SQL_DEDUP_GRAPH_DIAMETER = f"""
+WITH RECURSIVE
+{_CC_CORPUS_SQL.strip()},
+pk AS (SELECT doc_id, substr(text, 1, {_CC_PREFIX}) AS k FROM corpus),
+sk AS (
+  SELECT doc_id,
+    CASE WHEN length(text) >= {_CC_PREFIX}
+         THEN substr(text, length(text) - {_CC_PREFIX - 1}, {_CC_PREFIX})
+         ELSE text END AS k
+  FROM corpus
+),
+pe AS (SELECT min(doc_id) OVER (PARTITION BY k) AS a, doc_id AS b FROM pk),
+se AS (SELECT min(doc_id) OVER (PARTITION BY k) AS a, doc_id AS b FROM sk),
+edges0 AS (
+  SELECT a, b FROM pe WHERE a < b
+  UNION
+  SELECT a, b FROM se WHERE a < b
+),
+edges AS (SELECT a, b FROM edges0 UNION SELECT b, a FROM edges0),
+reach AS (
+  SELECT a AS node, b AS r FROM edges
+  UNION
+  SELECT e.a, r.r FROM edges e JOIN reach r ON e.b = r.node
+),
+comp AS (
+  SELECT node, least(node, min(r)) AS component_id
+  FROM reach GROUP BY node
+),
+roots AS (SELECT DISTINCT component_id AS root FROM comp),
+walk1 AS (
+  SELECT root AS comp, root AS node, 0 AS d FROM roots
+  UNION
+  SELECT w.comp, e.b, w.d + 1
+  FROM walk1 w JOIN edges e ON e.a = w.node
+  WHERE w.d < {_BFS_MAX_ITER}
+),
+d1 AS (SELECT comp, node, MIN(d) AS dist FROM walk1 GROUP BY comp, node),
+far AS (
+  SELECT comp, node AS far_node, dist AS sweep1_dist FROM d1
+  QUALIFY row_number() OVER (
+    PARTITION BY comp ORDER BY dist DESC, node) = 1
+),
+walk2 AS (
+  SELECT comp, far_node AS node, 0 AS d FROM far
+  UNION
+  SELECT w.comp, e.b, w.d + 1
+  FROM walk2 w JOIN edges e ON e.a = w.node
+  WHERE w.d < {_BFS_MAX_ITER}
+),
+d2 AS (SELECT comp, node, MIN(d) AS dist FROM walk2 GROUP BY comp, node),
+diam AS (SELECT comp, MAX(dist) AS diameter_lb FROM d2 GROUP BY comp)
+SELECT f.comp AS component_id, f.far_node,
+  CAST(f.sweep1_dist AS BIGINT) AS sweep1_dist,
+  CAST(dm.diameter_lb AS BIGINT) AS diameter_lb
+FROM far f JOIN diam dm ON dm.comp = f.comp
+"""
+
+
 SQL_DEDUP_GRAPH_BFS = f"""
 WITH RECURSIVE
 {_CC_CORPUS_SQL.strip()},
@@ -10090,6 +10255,9 @@ def registry() -> dict[str, tuple]:
         "dedup_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),
         "rank_dedup_graph": (q_rank_dedup_graph, _sql_rank_dedup_graph()),
         "dedup_graph_bfs": (q_dedup_graph_bfs, SQL_DEDUP_GRAPH_BFS),
+        "dedup_graph_diameter": (
+            q_dedup_graph_diameter, SQL_DEDUP_GRAPH_DIAMETER,
+        ),
         "dedup_graph_clustering": (
             q_dedup_graph_clustering, SQL_DEDUP_GRAPH_CLUSTERING,
         ),

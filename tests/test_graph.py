@@ -256,3 +256,42 @@ def test_triangles_registry_query(ray_session):
     out = q_dedup_graph_triangles("/root/testdata/sf0.001")
     assert set(out.column_names) == {"doc_id", "triangles"}
     assert all(t > 0 for t in out.column("triangles").to_pylist())
+
+
+def test_double_sweep_diameter_on_planted_chain(ray_session, tmp_path):
+    """A 5-node path graph: sweep 1 from the min node (an endpoint)
+    reaches the other endpoint at distance 4; sweep 2 back measures
+    the exact diameter 4. A 4-clique stays at 1."""
+    import os
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rsmetacheck_ray.pipelines import queries as q
+
+    d = str(tmp_path)
+    # chain via shared 64-char prefixes: doc i and i+1 share prefix_i
+    # is hard to plant through the text corpus; instead drive the
+    # internal machinery directly on a synthetic edge list.
+    from rsmetacheck_ray.functions.graph import bfs_distances
+
+    def dist_map(edges_ab, seeds):
+        e = pa.table({
+            "src": pa.array([x for ab in edges_ab for x in ab], pa.int64()),
+            "dst": pa.array([x for ab in edges_ab for x in ab[::-1]], pa.int64()),
+        })
+        t = bfs_distances(e, np.array(seeds, np.int64), max_iter=32)
+        return dict(zip(t.column("node").to_pylist(),
+                        t.column("dist").to_pylist()))
+
+    # path 1-2-3-4-5
+    chain = [(1, 2), (2, 3), (3, 4), (4, 5)]
+    d1 = dist_map(chain, [1])
+    far = max(sorted(d1), key=lambda n: (d1[n], -n))
+    assert far == 5 and d1[far] == 4
+    d2 = dist_map(chain, [far])
+    assert max(d2.values()) == 4  # exact diameter on a tree
+    # 4-clique: diameter 1
+    clique = [(10, 11), (10, 12), (10, 13), (11, 12), (11, 13), (12, 13)]
+    dc = dist_map(clique, [10])
+    assert max(dc.values()) == 1
