@@ -267,6 +267,7 @@ BENCH_QUERIES = [
     "kmeans_margin",
     "lang_tokenizer_fertility",
     "dedup_graph_diameter",
+    "part_golden_record",
     "q1_pricing",
     "events_hourly",
     "events_sliding_3h",

@@ -2077,6 +2077,142 @@ def q_part_soundex_blocks(sf_dir: str):
     )
 
 
+def q_part_golden_record(sf_dir: str):
+    """(soundex, n_parts, canonical_partkey, canonical_brand,
+    canonical_type): SURVIVORSHIP per phonetic entity block — the
+    'golden record' step after blocking: the canonical id is the
+    block's minimum partkey, and the canonical brand/type are the
+    block MAJORITY values (most frequent; ties → lexicographically
+    smallest — the deterministic most-common-value merge rule master-
+    data systems apply). Per-batch (code, brand/type) count partials
+    on bounded domains (|codes|×|brands|, |codes|×|types|); the mode
+    resolution is |codes|-bounded driver work."""
+    from ..functions.phonetic import soundex_arrow
+
+    ds = rel._read_pq(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_name", "p_brand", "p_type"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        name = b.column("p_name")
+        if isinstance(name, pa.ChunkedArray):
+            name = name.combine_chunks()
+        t = pa.table(
+            {
+                "soundex": soundex_arrow(name),
+                "p_partkey": pc.cast(b.column("p_partkey"), pa.int64()),
+                "p_brand": b.column("p_brand"),
+                "p_type": b.column("p_type"),
+            }
+        )
+        t = t.filter(pc.is_valid(t.column("soundex")))
+        g = t.group_by(["soundex", "p_brand", "p_type"]).aggregate(
+            [([], "count_all"), ("p_partkey", "min")]
+        )
+        return pa.table(
+            {
+                "soundex": g.column("soundex"),
+                "p_brand": g.column("p_brand"),
+                "p_type": g.column("p_type"),
+                "n": pc.cast(g.column("count_all"), pa.int64()),
+                "min_key": pc.cast(g.column("p_partkey_min"), pa.int64()),
+            }
+        )
+
+    tbl = rel.bounded_group_table_strict(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["soundex", "p_brand", "p_type"],
+        [("n", "sum"), ("min_key", "min")],
+    )
+    empty = pa.table(
+        {
+            "soundex": pa.array([], pa.string()),
+            "n_parts": pa.array([], pa.int64()),
+            "canonical_partkey": pa.array([], pa.int64()),
+            "canonical_brand": pa.array([], pa.string()),
+            "canonical_type": pa.array([], pa.string()),
+        }
+    )
+    if tbl is None or tbl.num_rows == 0:
+        return empty
+    from collections import defaultdict
+
+    nparts: dict[str, int] = defaultdict(int)
+    minkey: dict[str, int] = {}
+    brand_n: dict[str, dict[str, int]] = defaultdict(lambda: defaultdict(int))
+    type_n: dict[str, dict[str, int]] = defaultdict(lambda: defaultdict(int))
+    for code, br, ty, n, mk in zip(
+        tbl.column("soundex").to_pylist(),
+        tbl.column("p_brand").to_pylist(),
+        tbl.column("p_type").to_pylist(),
+        tbl.column("n").to_pylist(),
+        tbl.column("min_key").to_pylist(),
+    ):
+        nparts[code] += n
+        minkey[code] = min(minkey.get(code, mk), mk)
+        brand_n[code][br] += n
+        type_n[code][ty] += n
+
+    def mode(d: dict[str, int]) -> str:
+        return min(d, key=lambda v: (-d[v], v))
+
+    codes = sorted(nparts)
+    return pa.table(
+        {
+            "soundex": pa.array(codes, pa.string()),
+            "n_parts": pa.array([nparts[c] for c in codes], pa.int64()),
+            "canonical_partkey": pa.array(
+                [minkey[c] for c in codes], pa.int64()
+            ),
+            "canonical_brand": pa.array(
+                [mode(brand_n[c]) for c in codes], pa.string()
+            ),
+            "canonical_type": pa.array(
+                [mode(type_n[c]) for c in codes], pa.string()
+            ),
+        }
+    )
+
+
+def _sql_part_golden_record() -> str:
+    from ..functions.phonetic import soundex_sql
+
+    return f"""
+WITH coded AS (
+  SELECT {soundex_sql('p_name')} AS soundex, p_partkey, p_brand, p_type
+  FROM part
+),
+ok AS (SELECT * FROM coded WHERE soundex IS NOT NULL),
+base AS (
+  SELECT soundex, CAST(COUNT(*) AS BIGINT) AS n_parts,
+    CAST(MIN(p_partkey) AS BIGINT) AS canonical_partkey
+  FROM ok GROUP BY soundex
+),
+bmode AS (
+  SELECT soundex, p_brand AS canonical_brand FROM (
+    SELECT soundex, p_brand, COUNT(*) AS n FROM ok
+    GROUP BY soundex, p_brand
+  )
+  QUALIFY row_number() OVER (
+    PARTITION BY soundex ORDER BY n DESC, p_brand) = 1
+),
+tmode AS (
+  SELECT soundex, p_type AS canonical_type FROM (
+    SELECT soundex, p_type, COUNT(*) AS n FROM ok
+    GROUP BY soundex, p_type
+  )
+  QUALIFY row_number() OVER (
+    PARTITION BY soundex ORDER BY n DESC, p_type) = 1
+)
+SELECT b.soundex, b.n_parts, b.canonical_partkey,
+  bm.canonical_brand, tm.canonical_type
+FROM base b
+JOIN bmode bm ON bm.soundex = b.soundex
+JOIN tmode tm ON tm.soundex = b.soundex
+"""
+
+
 def _sql_part_soundex_blocks() -> str:
     from ..functions.phonetic import soundex_sql
 
@@ -10022,6 +10158,9 @@ def registry() -> dict[str, tuple]:
         ),
         "part_soundex_blocks": (
             q_part_soundex_blocks, _sql_part_soundex_blocks(),
+        ),
+        "part_golden_record": (
+            q_part_golden_record, _sql_part_golden_record(),
         ),
         "event_value_heavy_hitters": (
             q_event_value_heavy_hitters, _sql_event_value_heavy_hitters(),
