@@ -268,6 +268,7 @@ BENCH_QUERIES = [
     "lang_tokenizer_fertility",
     "dedup_graph_diameter",
     "part_golden_record",
+    "events_late_arrivals",
     "q1_pricing",
     "events_hourly",
     "events_sliding_3h",

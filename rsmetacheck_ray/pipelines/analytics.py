@@ -1910,3 +1910,142 @@ SELECT n.event_id, n.next_event_id,
   CAST(epoch_us(e.ts) - epoch_us(n.p_ts) AS BIGINT) AS gap_us
 FROM nxt n LEFT JOIN events e ON e.event_id = n.next_event_id
 """
+
+
+# ---------------------------------------------------------------------------
+# watermark / allowed-lateness accounting (round-4): the streaming
+# semantics every windowed pipeline needs — an event is LATE when it
+# arrives after the watermark (running max event time in ARRIVAL
+# order, proxied by event_id) has passed its timestamp by more than
+# the allowed lateness.
+# ---------------------------------------------------------------------------
+
+_ALLOWED_LATENESS_US = 3_600_000_000  # 1 hour
+_WM_BUCKET = 4096  # event_ids per ordered bucket
+
+
+def events_late_arrivals(
+    sf_dir: str,
+    allowed_us: int = _ALLOWED_LATENESS_US,
+    bucket_size: int = _WM_BUCKET,
+) -> rd.Dataset:
+    """(event_type, n_events, n_late): per event type, how many events
+    arrived LATE — ts < watermark − allowed, where the watermark is
+    the running max ts over arrival order (event_id). The
+    allowed-lateness accounting that sizes a streaming pipeline's
+    state-retention window.
+
+    The running max is a DISTRIBUTED PREFIX SCAN over ordered
+    buckets: event_id // {_WM_BUCKET} buckets are contiguous id
+    ranges, so (1) one bounded reduce collects per-bucket max ts,
+    (2) the driver takes the exclusive prefix max across the bucket
+    table (O(#buckets)), and (3) ONE hashed-bucket shuffle lets each
+    bucket resolve its rows with a local sort + cummax seeded by its
+    carry-in. No global sort, no sequential pass over the corpus."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    events = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "event_type"],
+    )
+
+    def bucket_max(b: pa.Table) -> pa.Table:
+        eid = b.column("event_id").to_numpy(zero_copy_only=False)
+        ts = pc.cast(b.column("ts"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        bk = eid // bucket_size
+        ub, inv = np.unique(bk, return_inverse=True)
+        mx = np.full(len(ub), np.iinfo(np.int64).min, np.int64)
+        np.maximum.at(mx, inv, ts)
+        return pa.table(
+            {
+                "bucket": pa.array(ub, pa.int64()),
+                "max_ts": pa.array(mx, pa.int64()),
+            }
+        )
+
+    tbl = bounded_group_table_strict(
+        events.map_batches(bucket_max, batch_format="pyarrow"),
+        ["bucket"],
+        [("max_ts", "max")],
+    )
+    empty = pa.table(
+        {
+            "event_type": pa.array([], pa.string()),
+            "n_events": pa.array([], pa.int64()),
+            "n_late": pa.array([], pa.int64()),
+        }
+    )
+    if tbl is None or tbl.num_rows == 0:
+        return rd.from_arrow(empty)
+    bks = tbl.column("bucket").to_numpy(zero_copy_only=False)
+    mxs = tbl.column("max_ts").to_numpy(zero_copy_only=False)
+    order = np.argsort(bks)
+    bks, mxs = bks[order], mxs[order]
+    # exclusive prefix max: carry entering each bucket
+    carry = np.concatenate(
+        [[np.iinfo(np.int64).min], np.maximum.accumulate(mxs)[:-1]]
+    )
+    carry_ref = ray.put(dict(zip(bks.tolist(), carry.tolist())))
+
+    def tag(b: pa.Table) -> pa.Table:
+        eid = b.column("event_id").to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "bucket", pa.array(eid // bucket_size, pa.int64())
+        )
+
+    def resolve(g: pa.Table) -> pa.Table:
+        carries = ray.get(carry_ref)
+        bk = int(g.column("bucket")[0].as_py())
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        ts = pc.cast(g.column("ts"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        order = np.argsort(eid)
+        ts_s = ts[order]
+        wm = np.maximum.accumulate(ts_s)
+        cin = carries.get(bk, np.iinfo(np.int64).min)
+        wm = np.maximum(wm, cin)
+        late = ts_s < wm - allowed_us
+        etype = g.column("event_type").combine_chunks().take(
+            pa.array(order, pa.int64())
+        )
+        local = pa.table(
+            {
+                "event_type": etype,
+                "late": pa.array(late.astype(np.int64), pa.int64()),
+            }
+        ).group_by("event_type").aggregate(
+            [("late", "sum"), ([], "count_all")]
+        )
+        return pa.table(
+            {
+                "event_type": local.column("event_type"),
+                "n_late": pc.cast(local.column("late_sum"), pa.int64()),
+                "n_events": pc.cast(local.column("count_all"), pa.int64()),
+            }
+        )
+
+    partials = events.map_batches(tag, batch_format="pyarrow").groupby(
+        "bucket"
+    ).map_groups(resolve, batch_format="pyarrow")
+    return partials.groupby("event_type").aggregate(
+        Sum("n_events", alias_name="n_events"),
+        Sum("n_late", alias_name="n_late"),
+    )
+
+
+EVENTS_LATE_SQL = f"""
+WITH w AS (
+  SELECT event_type, epoch_us(ts) AS ts_us,
+    MAX(epoch_us(ts)) OVER (
+      ORDER BY event_id ROWS UNBOUNDED PRECEDING) AS wm
+  FROM events
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(CASE WHEN ts_us < wm - {_ALLOWED_LATENESS_US}
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+FROM w GROUP BY event_type
+"""

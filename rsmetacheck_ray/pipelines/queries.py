@@ -10007,6 +10007,9 @@ def registry() -> dict[str, tuple]:
         "purchase_next_touch": (
             ana.purchase_next_touch, ana.PURCHASE_NEXT_TOUCH_SQL,
         ),
+        "events_late_arrivals": (
+            ana.events_late_arrivals, ana.EVENTS_LATE_SQL,
+        ),
         "orders_events_window": (
             rel.orders_events_window, rel.ORDERS_EVENTS_WINDOW_SQL,
         ),

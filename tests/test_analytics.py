@@ -486,3 +486,40 @@ def test_join_api_asof_forward_direction(ray_session, tmp_path):
     assert [(r["k"], r["t"], r["v"]) for r in got] == [
         (1, 10, "a"), (1, 25, "b"), (2, 10, None),
     ]
+
+
+def test_late_arrivals_watermark_semantics(ray_session, tmp_path):
+    d = str(tmp_path)
+    H = 3_600_000_000  # allowed lateness (1h)
+    # arrival order = event_id. Event 3 arrives after event 2 set the
+    # watermark far ahead -> late. Event 4 is exactly AT wm - H ->
+    # NOT late (strict <). Row order in the file is shuffled to prove
+    # arrival order comes from event_id, not storage order.
+    rows = [
+        (4, 9 * H, 1, "view", 0.0),       # wm=10H: 9H == 10H-H -> on time
+        (1, 5 * H, 1, "view", 0.0),       # wm=5H -> on time
+        (3, 2 * H, 1, "click", 0.0),      # wm=10H: 2H < 9H -> LATE
+        (2, 10 * H, 1, "view", 0.0),      # advances wm to 10H
+        (5, 12 * H, 1, "signup", 0.0),    # advances wm, on time
+    ]
+    _write_typed_events(d, rows)
+    got = {r["event_type"]: (r["n_events"], r["n_late"])
+           for r in ana.events_late_arrivals(d).take_all()}
+    assert got == {"view": (3, 0), "click": (1, 1), "signup": (1, 0)}
+
+
+def test_late_arrivals_carry_across_buckets(ray_session, tmp_path):
+    d = str(tmp_path)
+    H = 3_600_000_000
+    # bucket_size=2: the watermark set in bucket 0 (by event 1) must
+    # carry into bucket 1 where event 2's stale ts makes it late
+    rows = [
+        (0, 1 * H, 1, "view", 0.0),
+        (1, 50 * H, 1, "view", 0.0),   # sets wm high, ends bucket 0
+        (2, 2 * H, 1, "click", 0.0),   # bucket 1: 2H < 50H-1H -> LATE
+        (3, 49 * H, 1, "view", 0.0),   # 49H == wm-H -> on time
+    ]
+    _write_typed_events(d, rows)
+    got = {r["event_type"]: (r["n_events"], r["n_late"])
+           for r in ana.events_late_arrivals(d, bucket_size=2).take_all()}
+    assert got == {"view": (3, 0), "click": (1, 1)}
