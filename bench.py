@@ -269,6 +269,7 @@ BENCH_QUERIES = [
     "dedup_graph_diameter",
     "part_golden_record",
     "events_late_arrivals",
+    "events_value_near_pairs",
     "q1_pricing",
     "events_hourly",
     "events_sliding_3h",

@@ -2049,3 +2049,116 @@ SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
             THEN 1 ELSE 0 END) AS BIGINT) AS n_late
 FROM w GROUP BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# value-band self-join cardinality (round-4): how many event pairs of
+# the same type have near-identical values — answered from the cents
+# HISTOGRAM (pairs within a bin + across adjacent bins), never by
+# materializing pairs. The oracle derives the same number the
+# expensive way (a direct self-join), making this a genuinely
+# independent differential check.
+# ---------------------------------------------------------------------------
+
+_NEAR_EPS_CENTS = 1
+
+
+def events_value_near_pairs(
+    sf_dir: str, eps_cents: int = _NEAR_EPS_CENTS
+) -> "pa.Table":
+    """(event_type, n_events, n_near_pairs): per event type, the
+    number of unordered event pairs whose exact-cent values differ by
+    ≤ {_NEAR_EPS_CENTS}. The near-duplicate-transaction screen — and
+    the self-join shape answered WITHOUT a join: from the bounded
+    (type, cents) histogram, pairs = Σ_c C(n_c,2) + Σ_c Σ_{{d=1..ε}}
+    n_c·n_(c+d) — exact int64 combinatorics, O(domain) on the driver,
+    while the oracle pays the O(n²) self-join to derive the same
+    number independently."""
+    from .relational import bounded_group_table_strict
+
+    events = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "value"],
+    )
+
+    def hist(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "cents": _cents(b.column("value")),
+            }
+        )
+        g = t.group_by(["event_type", "cents"]).aggregate(
+            [([], "count_all")]
+        )
+        return pa.table(
+            {
+                "event_type": g.column("event_type"),
+                "cents": g.column("cents"),
+                "n": pc.cast(g.column("count_all"), pa.int64()),
+            }
+        )
+
+    tbl = bounded_group_table_strict(
+        events.map_batches(hist, batch_format="pyarrow"),
+        ["event_type", "cents"],
+        [("n", "sum")],
+    )
+    empty = pa.table(
+        {
+            "event_type": pa.array([], pa.string()),
+            "n_events": pa.array([], pa.int64()),
+            "n_near_pairs": pa.array([], pa.int64()),
+        }
+    )
+    if tbl is None or tbl.num_rows == 0:
+        return empty
+    types = np.asarray(tbl.column("event_type").to_pylist(), dtype=object)
+    cents = tbl.column("cents").to_numpy(zero_copy_only=False)
+    ns = tbl.column("n").to_numpy(zero_copy_only=False)
+    out = {"event_type": [], "n_events": [], "n_near_pairs": []}
+    for ty in sorted(set(types.tolist())):
+        m = types == ty
+        c, n = cents[m], ns[m]
+        order = np.argsort(c)
+        c, n = c[order], n[order]
+        pairs = int(np.sum(n * (n - 1) // 2))
+        for d in range(1, eps_cents + 1):
+            # adjacent bins exactly d cents apart
+            pos = np.searchsorted(c, c + d)
+            ok = (pos < len(c))
+            ok[ok] &= c[pos[ok]] == (c + d)[ok]
+            pairs += int(np.sum(n[ok] * n[pos[ok]]))
+        out["event_type"].append(ty)
+        out["n_events"].append(int(n.sum()))
+        out["n_near_pairs"].append(pairs)
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"], pa.string()),
+            "n_events": pa.array(out["n_events"], pa.int64()),
+            "n_near_pairs": pa.array(out["n_near_pairs"], pa.int64()),
+        }
+    )
+
+
+EVENTS_NEAR_PAIRS_SQL = f"""
+WITH c AS (
+  SELECT event_id, event_type,
+    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+p AS (
+  SELECT c1.event_type, CAST(COUNT(*) AS BIGINT) AS n_near_pairs
+  FROM c c1 JOIN c c2
+    ON c2.event_type = c1.event_type
+   AND c2.event_id > c1.event_id
+   AND ABS(c1.cents - c2.cents) <= {_NEAR_EPS_CENTS}
+  GROUP BY c1.event_type
+),
+t AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM c GROUP BY event_type
+)
+SELECT t.event_type, t.n_events, COALESCE(p.n_near_pairs, 0) AS n_near_pairs
+FROM t LEFT JOIN p ON p.event_type = t.event_type
+"""

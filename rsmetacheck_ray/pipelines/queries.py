@@ -10010,6 +10010,9 @@ def registry() -> dict[str, tuple]:
         "events_late_arrivals": (
             ana.events_late_arrivals, ana.EVENTS_LATE_SQL,
         ),
+        "events_value_near_pairs": (
+            ana.events_value_near_pairs, ana.EVENTS_NEAR_PAIRS_SQL,
+        ),
         "orders_events_window": (
             rel.orders_events_window, rel.ORDERS_EVENTS_WINDOW_SQL,
         ),

@@ -523,3 +523,22 @@ def test_late_arrivals_carry_across_buckets(ray_session, tmp_path):
     got = {r["event_type"]: (r["n_events"], r["n_late"])
            for r in ana.events_late_arrivals(d, bucket_size=2).take_all()}
     assert got == {"view": (3, 0), "click": (1, 1)}
+
+
+def test_value_near_pairs_histogram_combinatorics(ray_session, tmp_path):
+    d = str(tmp_path)
+    # type A cents: [100, 100, 101, 103] -> same-bin C(2,2)=1,
+    # adjacent (100,101): 2*1=2, (101,103) gap 2 -> 0. total 3.
+    # type B: single event -> 0 pairs.
+    rows = [
+        (1, 1_000, 1, "A", 1.00),
+        (2, 2_000, 1, "A", 1.00),
+        (3, 3_000, 1, "A", 1.01),
+        (4, 4_000, 1, "A", 1.03),
+        (5, 5_000, 1, "B", 9.99),
+    ]
+    _write_typed_events(d, rows)
+    got = {r["event_type"]: r for r in
+           ana.events_value_near_pairs(d).to_pylist()}
+    assert got["A"]["n_events"] == 4 and got["A"]["n_near_pairs"] == 3
+    assert got["B"]["n_events"] == 1 and got["B"]["n_near_pairs"] == 0
