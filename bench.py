@@ -270,6 +270,7 @@ BENCH_QUERIES = [
     "part_golden_record",
     "events_late_arrivals",
     "events_value_near_pairs",
+    "ivm_lang_tokens",
     "q1_pricing",
     "events_hourly",
     "events_sliding_3h",

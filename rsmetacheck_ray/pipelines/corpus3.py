@@ -1349,3 +1349,141 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
   CAST(MAX(n_chars) AS BIGINT) AS max_chars
 FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# incremental view maintenance: the per-language aggregate of the
+# APPLIED snapshot computed as base + delta — only changed rows
+# contribute delta work, the IVM identity every materialized-view
+# engine maintains. The oracle recomputes the whole merged snapshot
+# from scratch, so the differential check IS the IVM correctness
+# proof.
+# ---------------------------------------------------------------------------
+
+def ivm_lang_tokens(sf_dir: str) -> "pa.Table":
+    """(lang, n_docs, n_tokens): the per-language document/token
+    aggregate of the post-merge snapshot (base + the derived
+    update/delete/insert change stream of ``corpus.apply_changes``),
+    computed INCREMENTALLY — view = base_agg + Σ delta(changed rows):
+    an update contributes tokens(new) − tokens(old), a delete −(1,
+    tokens(old)), an insert +(1, tokens(new)); unchanged documents
+    never contribute delta work. At scale this is the point: the
+    nightly re-aggregate touches only the day's changes while the
+    oracle pays the full recompute — and must agree exactly (all
+    int64). One pass over base emits both partials; one bounded
+    reduce."""
+    from .corpus import _DIFF_ADD_OFFSET  # noqa: F401  (id-space doc)
+    from ..functions.tokenize import count_ws_tokens
+    from .relational import bounded_group_table_strict
+
+    ds = _docs(sf_dir, ["doc_id", "text", "lang"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        dids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        text = b.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        toks = count_ws_tokens(pc.fill_null(text, "")).to_numpy(
+            zero_copy_only=False
+        )
+        lang = b.column("lang")
+        base = pa.table(
+            {"lang": lang, "dn": pa.array(np.ones(len(b), np.int64)),
+             "dt": pa.array(toks.astype(np.int64))}
+        )
+        upd = (dids % 13 == 3) & (dids % 17 != 0)
+        dele = dids % 17 == 0
+        ins = dids % 19 == 5
+        parts = [base]
+        if upd.any():
+            sel = pa.array(upd)
+            new_text = pc.binary_join_element_wise(
+                text.filter(sel), pa.scalar(" [rev2]"), pa.scalar("")
+            )
+            dt = (
+                count_ws_tokens(new_text).to_numpy(zero_copy_only=False)
+                - toks[upd]
+            )
+            parts.append(pa.table(
+                {"lang": lang.filter(sel),
+                 "dn": pa.array(np.zeros(int(upd.sum()), np.int64)),
+                 "dt": pa.array(dt.astype(np.int64))}
+            ))
+        if dele.any():
+            sel = pa.array(dele)
+            parts.append(pa.table(
+                {"lang": lang.filter(sel),
+                 "dn": pa.array(np.full(int(dele.sum()), -1, np.int64)),
+                 "dt": pa.array(-toks[dele].astype(np.int64))}
+            ))
+        if ins.any():
+            sel = pa.array(ins)
+            new_text = pc.binary_join_element_wise(
+                pa.scalar("new "), text.filter(sel), pa.scalar("")
+            )
+            nt = count_ws_tokens(new_text).to_numpy(zero_copy_only=False)
+            parts.append(pa.table(
+                {"lang": lang.filter(sel),
+                 "dn": pa.array(np.ones(int(ins.sum()), np.int64)),
+                 "dt": pa.array(nt.astype(np.int64))}
+            ))
+        t = pa.concat_tables(parts).combine_chunks()
+        g = t.group_by("lang").aggregate([("dn", "sum"), ("dt", "sum")])
+        return pa.table(
+            {
+                "lang": g.column("lang"),
+                "dn": pc.cast(g.column("dn_sum"), pa.int64()),
+                "dt": pc.cast(g.column("dt_sum"), pa.int64()),
+            }
+        )
+
+    tbl = bounded_group_table_strict(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["lang"],
+        [("dn", "sum"), ("dt", "sum")],
+    )
+    empty = pa.table(
+        {
+            "lang": pa.array([], pa.string()),
+            "n_docs": pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+        }
+    )
+    if tbl is None or tbl.num_rows == 0:
+        return empty
+    rows = sorted(
+        zip(
+            tbl.column("lang").to_pylist(),
+            tbl.column("dn").to_pylist(),
+            tbl.column("dt").to_pylist(),
+        )
+    )
+    return pa.table(
+        {
+            "lang": pa.array([r[0] for r in rows], pa.string()),
+            "n_docs": pa.array([r[1] for r in rows], pa.int64()),
+            "n_tokens": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+
+
+def _ivm_lang_tokens_sql() -> str:
+    from .corpus import _DIFF_ADD_OFFSET
+
+    return f"""
+WITH applied AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 13 = 3 AND doc_id % 17 <> 0
+         THEN text || ' [rev2]' ELSE text END AS text,
+    lang
+  FROM documents WHERE doc_id % 17 <> 0
+  UNION ALL
+  SELECT doc_id + {_DIFF_ADD_OFFSET} AS doc_id,
+    'new ' || text AS text, lang
+  FROM documents WHERE doc_id % 19 = 5
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(len(regexp_extract_all(COALESCE(text, ''), '{WS_TOKEN_RE}')))
+    AS BIGINT) AS n_tokens
+FROM applied GROUP BY lang
+"""

@@ -10516,6 +10516,9 @@ def registry() -> dict[str, tuple]:
         "corpus_manifest": (
             cor3.corpus_manifest, cor3.CORPUS_MANIFEST_SQL,
         ),
+        "ivm_lang_tokens": (
+            cor3.ivm_lang_tokens, lambda: cor3._ivm_lang_tokens_sql(),
+        ),
         "neyman_allocation": (
             cor3.neyman_allocation, lambda: cor3._neyman_sqls()[0],
         ),

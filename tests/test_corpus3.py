@@ -509,3 +509,21 @@ def test_best_f1_sweep_arithmetic():
     assert np.allclose(f1, [20 / 28, 18 / 21, 10 / 15])
     best = np.lexsort((np.array([1, 2, 3]), -f1))[0]
     assert best == 1  # threshold 2 wins
+
+
+def test_ivm_delta_matches_full_recompute(ray_session, tmp_path):
+    """The IVM identity on planted ids hitting every op class:
+    17 -> delete; 3 -> update (3%13==3, 3%17!=0); 5 -> insert source
+    (5%19==5, also kept as a base row); 1 -> untouched."""
+    d = str(tmp_path)
+    _docs(d, [
+        (1, "a b c", "en"),
+        (3, "x y", "en"),        # update: "x y [rev2]" -> +1 token
+        (5, "q", "fr"),          # insert twin: "new q" (2 tokens)
+        (17, "d e f g", "fr"),   # deleted
+    ])
+    got = {r["lang"]: r for r in c3.ivm_lang_tokens(d).to_pylist()}
+    # en: docs {1, 3(updated)} -> 2 docs, tokens 3 + 3 = 6
+    assert got["en"]["n_docs"] == 2 and got["en"]["n_tokens"] == 6
+    # fr: doc 5 stays (1 tok) + inserted twin (2 toks); 17 deleted
+    assert got["fr"]["n_docs"] == 2 and got["fr"]["n_tokens"] == 3
