@@ -302,16 +302,20 @@ def knn_ivf(
 KNN_JOIN_EXACT_MAX_ROWS = 100_000
 
 
-def _unit_block_refs(ds: rd.Dataset, id_col: str):
+def _unit_block_refs(ds: rd.Dataset, id_col: str, with_count: bool = False):
     """Normalized (id, unit-vector) blocks left in the OBJECT STORE
     (the embedding_near_dup_pairs discipline — materialize +
-    to_arrow_refs, nothing driver-resident)."""
+    to_arrow_refs, nothing driver-resident). ``with_count`` also
+    returns the row count (free metadata on a materialized set)."""
     from .dedup import _unit_table
 
     norm = ds.map_batches(
         lambda b: _unit_table(b, id_col), batch_format="pyarrow"
     )
-    return norm.materialize().to_arrow_refs()
+    mat = norm.materialize()
+    if with_count:
+        return mat.to_arrow_refs(), mat.count()
+    return mat.to_arrow_refs()
 
 
 def _unit_block_mats(t: pa.Table, id_col: str) -> tuple[np.ndarray, np.ndarray]:
@@ -387,6 +391,7 @@ def knn_join(
     k: int = 10,
     id_a: str = "vec_id",
     id_b: str = "vec_id",
+    max_rows: int = KNN_JOIN_EXACT_MAX_ROWS,
 ) -> rd.Dataset:
     """Exact cosine k-nearest-neighbor JOIN: for EVERY row of ``ds_a``,
     its ``k`` most similar rows of ``ds_b`` → (query_id, vec_id, rank).
@@ -397,10 +402,26 @@ def knn_join(
     but memory per task is two blocks and only O(|A|·k·#B-blocks)
     24-byte rows ever shuffle); a ``groupby(query_id)`` merge resolves
     the global top-k with the deterministic (cos DESC, id ASC)
-    tie-break. Approximate scale path past KNN_JOIN_EXACT_MAX_ROWS:
-    prune with knn_ivf's codebook per side."""
-    blocks_a = _unit_block_refs(ds_a, id_a)
-    blocks_b = _unit_block_refs(ds_b, id_b)
+    tie-break. Past ``max_rows`` on either side the join AUTO-ROUTES
+    to :func:`knn_join_ivf` (explicit, logged-by-type degradation —
+    the exact O(n²) sweep never runs by accident; forced-low-gate
+    pytest covers the rerouted path)."""
+    from ..partitioning import parquet_rows_hint
+
+    n_a = parquet_rows_hint(ds_a)
+    n_b = parquet_rows_hint(ds_b)
+    if (n_a or 0) > max_rows or (n_b or 0) > max_rows:
+        # size gate: past the exact path's defensibility bound the
+        # join auto-routes through the IVF codebook (the
+        # embedding_pairs_auto discipline — degrade explicitly to the
+        # approximate plan, never run the O(n²) sweep by accident)
+        return knn_join_ivf(ds_a, ds_b, k=k, id_a=id_a, id_b=id_b)
+    blocks_a, rows_a = _unit_block_refs(ds_a, id_a, with_count=True)
+    blocks_b, rows_b = _unit_block_refs(ds_b, id_b, with_count=True)
+    if rows_a > max_rows or rows_b > max_rows:
+        # no parquet lineage (derived datasets): gate on the
+        # materialized count (free metadata, nothing driver-resident)
+        return knn_join_ivf(ds_a, ds_b, k=k, id_a=id_a, id_b=id_b)
     partials = _knn_partials(blocks_a, blocks_b, k, id_a, id_b)
     if partials is None:
         return rd.from_arrow(_KNN_JOIN_SCHEMA.empty_table())

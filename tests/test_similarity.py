@@ -342,3 +342,24 @@ def test_ndcg_weights_and_bounds(ray_session):
     assert (dc <= ic + 1e-12).all()
     # self-retrieval at rank 1 always matches the query's own label
     assert (dc >= 1.0 - 1e-12).all()
+
+
+def test_knn_join_forced_low_gate_routes_to_ivf(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(3)
+    a = rng.normal(size=(30, 8))
+    b = rng.normal(size=(80, 8))
+    for i in range(0, 30, 5):  # planted copies: rank-1 guaranteed
+        b[50 + i // 5] = a[i]
+    dsa = rd.from_arrow(_vec_table(list(enumerate(a)))).repartition(3)
+    dsb = rd.from_arrow(_vec_table(list(enumerate(b)))).repartition(4)
+    # gate forced below both side sizes -> the IVF path must serve the
+    # join (no error, full per-query coverage, planted rank-1 intact)
+    got = sim.knn_join(dsa, dsb, k=3, max_rows=10).take_all()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], {})[r["rank"]] = r["vec_id"]
+    assert set(by_q) == set(range(30))
+    for i in range(0, 30, 5):
+        assert by_q[i][1] == 50 + i // 5
