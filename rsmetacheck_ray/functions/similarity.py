@@ -456,6 +456,7 @@ def bitext_margin_pairs(
     margin: float = 1.8,
     id_src: str = "vec_id",
     id_tgt: str = "vec_id",
+    max_rows: int = KNN_JOIN_EXACT_MAX_ROWS,
 ) -> rd.Dataset:
     """Margin-based bitext mining → (src_id, tgt_id): source/target
     pairs that are (1) MUTUAL best matches (the intersection strategy)
@@ -469,15 +470,28 @@ def bitext_margin_pairs(
     merge), backward best-1 per target (same machinery, k=1), then a
     size-gated generic join on tgt_id with a vectorized mutuality
     filter. Only (id, id, cos, cos) rows shuffle — never vectors."""
+    from ..partitioning import parquet_rows_hint
     from ..pipelines.join import join as generic_join
 
-    blocks_s = _unit_block_refs(ds_src, id_src)
-    blocks_t = _unit_block_refs(ds_tgt, id_tgt)
     empty = pa.table(
         {"src_id": pa.array([], pa.int64()), "tgt_id": pa.array([], pa.int64())}
     )
-    fwd_p = _knn_partials(blocks_s, blocks_t, 2, id_src, id_tgt)
-    bwd_p = _knn_partials(blocks_t, blocks_s, 1, id_tgt, id_src)
+    # the same exact-path size gate as knn_join: past it, candidates
+    # come from the IVF-bucketed partials (margins become approximate
+    # exactly like the retrieved set — the documented degradation)
+    n_s = parquet_rows_hint(ds_src)
+    n_t = parquet_rows_hint(ds_tgt)
+    use_ivf = (n_s or 0) > max_rows or (n_t or 0) > max_rows
+    if not use_ivf:
+        blocks_s, rows_s = _unit_block_refs(ds_src, id_src, with_count=True)
+        blocks_t, rows_t = _unit_block_refs(ds_tgt, id_tgt, with_count=True)
+        use_ivf = rows_s > max_rows or rows_t > max_rows
+    if use_ivf:
+        fwd_p = _ivf_partials(ds_src, ds_tgt, 2, id_a=id_src, id_b=id_tgt)
+        bwd_p = _ivf_partials(ds_tgt, ds_src, 1, id_a=id_tgt, id_b=id_src)
+    else:
+        fwd_p = _knn_partials(blocks_s, blocks_t, 2, id_src, id_tgt)
+        bwd_p = _knn_partials(blocks_t, blocks_s, 1, id_tgt, id_src)
     if fwd_p is None or bwd_p is None:
         return rd.from_arrow(empty)
     fwd = fwd_p.groupby("query_id").map_groups(
@@ -522,7 +536,7 @@ def bitext_margin_pairs(
     return joined.map_batches(mutual, batch_format="pyarrow")
 
 
-def knn_join_ivf(
+def _ivf_partials(
     ds_a: rd.Dataset,
     ds_b: rd.Dataset,
     k: int = 10,
@@ -532,8 +546,11 @@ def knn_join_ivf(
     id_b: str = "vec_id",
     train_sample: int = 2048,
     centroids_out: list | None = None,
-) -> rd.Dataset:
-    """Approximate scale path for :func:`knn_join` — IVF-bucketed:
+) -> rd.Dataset | None:
+    """Per-cell local top-k partials (query_id, vec_id, cos) of the
+    IVF-bucketed kNN join — shared by :func:`knn_join_ivf` (rank
+    merge) and the bitext scale path (best-2 merge). None when B is
+    empty. Approximate scale path for :func:`knn_join` — IVF-bucketed:
     a codebook trained on a bounded systematic sample of B assigns
     every B row to ONE cell (argmax cosine; ties → lowest cell, the
     oracle's (sim DESC, cluster ASC)) and every A row to its ``nprobe``
@@ -572,7 +589,7 @@ def knn_join_ivf(
             .take_all()
         )
     if not sample:
-        return rd.from_arrow(_KNN_JOIN_SCHEMA.empty_table())
+        return None
     x = _unit(
         np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in sample])
     )
@@ -651,9 +668,30 @@ def knn_join_ivf(
         ub = np.stack([np.asarray(units[i], np.float64) for i in b_sel])
         return _topk_table(rid[a_sel], rid[b_sel], ua @ ub.T, k)
 
-    partials = both.groupby("cell").map_groups(
+    return both.groupby("cell").map_groups(
         cell_join, batch_format="pyarrow"
     )
+
+
+def knn_join_ivf(
+    ds_a: rd.Dataset,
+    ds_b: rd.Dataset,
+    k: int = 10,
+    n_cells: int | None = None,
+    nprobe: int | None = None,
+    id_a: str = "vec_id",
+    id_b: str = "vec_id",
+    train_sample: int = 2048,
+    centroids_out: list | None = None,
+) -> rd.Dataset:
+    """IVF-bucketed kNN join — see :func:`_ivf_partials` for the plan;
+    this is the top-k-per-query merge over those partials."""
+    partials = _ivf_partials(
+        ds_a, ds_b, k, n_cells, nprobe, id_a, id_b,
+        train_sample, centroids_out,
+    )
+    if partials is None:
+        return rd.from_arrow(_KNN_JOIN_SCHEMA.empty_table())
     return partials.groupby("query_id").map_groups(
         lambda g: _merge_topk_rank(g, k), batch_format="pyarrow"
     )

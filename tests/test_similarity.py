@@ -363,3 +363,30 @@ def test_knn_join_forced_low_gate_routes_to_ivf(ray_session):
     assert set(by_q) == set(range(30))
     for i in range(0, 30, 5):
         assert by_q[i][1] == 50 + i // 5
+
+
+def test_bitext_forced_low_gate_still_finds_planted_pairs(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(9)
+    # 32 dims keeps random background cosines low enough that the
+    # default ratio margin separates the planted copies cleanly
+    src = rng.normal(size=(40, 32))
+    tgt = rng.normal(size=(120, 32))
+    for i in range(0, 40, 4):  # planted translations: exact copies
+        tgt[80 + i // 4] = src[i]
+    dss = rd.from_arrow(_vec_table(list(enumerate(src)))).repartition(3)
+    dst = rd.from_arrow(_vec_table(list(enumerate(tgt)))).repartition(5)
+    exact = sorted(
+        (r["src_id"], r["tgt_id"]) for r in
+        sim.bitext_margin_pairs(dss, dst).take_all()
+    )
+    approx = sorted(
+        (r["src_id"], r["tgt_id"]) for r in
+        sim.bitext_margin_pairs(dss, dst, max_rows=10).take_all()
+    )
+    planted = [(i, 80 + i // 4) for i in range(0, 40, 4)]
+    # an exact copy lands in its own query's best-probed cell, so the
+    # planted pairs survive the gated (IVF-candidate) path
+    for p in planted:
+        assert p in exact and p in approx
