@@ -271,6 +271,7 @@ BENCH_QUERIES = [
     "events_late_arrivals",
     "events_value_near_pairs",
     "ivm_lang_tokens",
+    "crawl_disallowed",
     "q1_pricing",
     "events_hourly",
     "events_sliding_3h",

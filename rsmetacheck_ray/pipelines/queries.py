@@ -338,6 +338,103 @@ FROM det GROUP BY lang, detected_lang
 """
 
 
+_ROBOTS_PATH_RE = r"^(?:https?://)?[^/]*(?P<path>/[^?#]*)"
+
+
+def q_crawl_disallowed(sf_dir: str):
+    """(host, n_urls, n_disallowed): crawl-politeness accounting — per
+    host, how many of the corpus URLs a robots policy forbids. The
+    policy is derived deterministically from the host (a stand-in for
+    fetched robots.txt rules, derived identically in both engines):
+    hosts with len%3==0 disallow /wp-* and /record/*, len%3==1
+    disallow /page-*, the rest allow all; matching is Disallow-prefix
+    semantics on the URL path. The pre-fetch politeness filter every
+    crawler runs — and a pure bounded-host rollup: one RE2 pass,
+    |hosts| partial rows per batch, no URL ever shuffles."""
+    from ..stages.skew import HOST_RE
+
+    pages = _pages_input(sf_dir).map_batches(
+        synthesize_pages, batch_format="pyarrow"
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        url = b.column("url")
+        if isinstance(url, pa.ChunkedArray):
+            url = url.combine_chunks()
+        host = pc.fill_null(
+            pc.struct_field(pc.extract_regex(url, HOST_RE), "host"), ""
+        )
+        path = pc.fill_null(
+            pc.struct_field(pc.extract_regex(url, _ROBOTS_PATH_RE), "path"),
+            "",
+        )
+        hlen = pc.utf8_length(host).to_numpy(zero_copy_only=False)
+        mod = hlen % 3
+        dis0 = pc.or_(
+            pc.starts_with(path, "/wp-"), pc.starts_with(path, "/record/")
+        ).to_numpy(zero_copy_only=False)
+        dis1 = pc.starts_with(path, "/page-").to_numpy(
+            zero_copy_only=False
+        )
+        dis = np.where(mod == 0, dis0, np.where(mod == 1, dis1, False))
+        keep = pc.not_equal(host, "").to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "host": host.filter(pa.array(keep)),
+                "dis": pa.array(dis[keep].astype(np.int64), pa.int64()),
+            }
+        )
+        g = t.group_by("host").aggregate([("dis", "sum"), ([], "count_all")])
+        return pa.table(
+            {
+                "host": g.column("host"),
+                "n_disallowed": pc.cast(g.column("dis_sum"), pa.int64()),
+                "n_urls": pc.cast(g.column("count_all"), pa.int64()),
+            }
+        )
+
+    res = rel.bounded_group_table_strict(
+        pages.map_batches(partial, batch_format="pyarrow"),
+        ["host"],
+        [("n_disallowed", "sum"), ("n_urls", "sum")],
+    )
+    if res is None:
+        return pa.table(
+            {
+                "host": pa.array([], pa.string()),
+                "n_urls": pa.array([], pa.int64()),
+                "n_disallowed": pa.array([], pa.int64()),
+            }
+        )
+    return res.select(["host", "n_urls", "n_disallowed"])
+
+
+def _sql_crawl_disallowed() -> str:
+    from ..stages.skew import HOST_RE
+
+    return f"""
+WITH pages AS ({{pages}}),
+h AS (
+  SELECT regexp_extract(url, '{HOST_RE}', 1) AS host,
+         regexp_extract(url, '{_ROBOTS_PATH_RE}', 1) AS path
+  FROM pages
+),
+f AS (
+  SELECT host,
+    CASE
+      WHEN length(host) % 3 = 0
+        THEN (path LIKE '/wp-%' OR path LIKE '/record/%')
+      WHEN length(host) % 3 = 1 THEN path LIKE '/page-%'
+      ELSE FALSE
+    END AS dis
+  FROM h WHERE host IS NOT NULL AND host <> ''
+)
+SELECT host, CAST(COUNT(*) AS BIGINT) AS n_urls,
+  CAST(SUM(CAST(dis AS INT)) AS BIGINT) AS n_disallowed
+FROM f GROUP BY host
+"""
+
+
 def q_gate_url_flags(sf_dir: str):
     out = _gated(sf_dir)
     return out.select_columns(
@@ -10622,6 +10719,10 @@ def registry() -> dict[str, tuple]:
         "host_stats": (
             q_host_stats,
             HOST_COUNTS_SQL_TEMPLATE.replace("{pages}", pages),
+        ),
+        "crawl_disallowed": (
+            q_crawl_disallowed,
+            _sql_crawl_disallowed().replace("{pages}", pages),
         ),
         "host_lorenz": (
             q_host_lorenz,
