@@ -272,6 +272,7 @@ BENCH_QUERIES = [
     "events_value_near_pairs",
     "ivm_lang_tokens",
     "crawl_disallowed",
+    "kwic_concordance",
     "q1_pricing",
     "events_hourly",
     "events_sliding_3h",

@@ -1487,3 +1487,102 @@ SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
     AS BIGINT) AS n_tokens
 FROM applied GROUP BY lang
 """
+
+
+# ---------------------------------------------------------------------------
+# keyword-in-context (KWIC) concordance: every occurrence of a term
+# with its ±3-token window — the corpus-linguistics view used to
+# audit how a term is actually used before building rules around it.
+# ---------------------------------------------------------------------------
+
+_KWIC_TERM = "spark"
+_KWIC_HALF = 3
+
+
+def kwic_concordance(
+    sf_dir: str, term: str = _KWIC_TERM, half: int = _KWIC_HALF
+) -> rd.Dataset:
+    """(doc_id, pos, context): every occurrence of ``term`` with the
+    surrounding ±{_KWIC_HALF}-token window (clipped at document
+    edges), context joined with single spaces. Zero-shuffle like
+    phrase_search (a concordance line is a within-document property);
+    the window gather is one repeat/arange flat-index expansion —
+    no per-hit Python."""
+
+    def local(b: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "pos": pa.array([], pa.int64()),
+                "context": pa.array([], pa.string()),
+            }
+        )
+        doc_idx, enc = tokens_with_doc_index(b.column("text"))
+        n = len(doc_idx)
+        if enc is None or n == 0:
+            return empty
+        vocab = enc.dictionary.to_pylist()
+        try:
+            code = vocab.index(term)
+        except ValueError:
+            return empty
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        np.not_equal(doc_idx[1:], doc_idx[:-1], out=new[1:])
+        run_id = np.cumsum(new) - 1
+        run_start = np.flatnonzero(new)
+        run_end = np.append(run_start[1:], n)
+        pos = np.arange(n, dtype=np.int64) - run_start[run_id]
+        hits = np.flatnonzero(codes == code)
+        if len(hits) == 0:
+            return empty
+        starts = np.maximum(hits - half, run_start[run_id[hits]])
+        ends = np.minimum(hits + half + 1, run_end[run_id[hits]])
+        lens = ends - starts
+        tot = int(lens.sum())
+        flat_idx = (
+            np.arange(tot, dtype=np.int64)
+            - np.repeat(np.cumsum(lens) - lens, lens)
+            + np.repeat(starts, lens)
+        )
+        flat_tokens = enc.dictionary.take(
+            pa.array(codes[flat_idx], pa.int64())
+        )
+        offsets = pa.array(
+            np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
+        )
+        ctx = pc.binary_join(
+            pa.ListArray.from_arrays(offsets, flat_tokens), " "
+        )
+        dids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(dids[doc_idx[hits]], pa.int64()),
+                "pos": pa.array(pos[hits], pa.int64()),
+                "context": ctx,
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        local, batch_format="pyarrow"
+    )
+
+
+def _kwic_sql(term: str = _KWIC_TERM, half: int = _KWIC_HALF) -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '{WS_TOKEN_RE}') AS toks
+  FROM documents
+),
+occ AS (
+  SELECT doc_id, toks,
+    unnest(list_filter(range(1, len(toks) + 1),
+                       i -> toks[i] = '{term}')) AS i
+  FROM t
+)
+SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+  array_to_string(toks[GREATEST(1, i - {half}):i + {half}], ' ')
+    AS context
+FROM occ
+"""

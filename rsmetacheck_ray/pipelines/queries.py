@@ -10590,6 +10590,9 @@ def registry() -> dict[str, tuple]:
         ),
         "split_balance": (cor2.split_balance, cor2._split_balance_sql()),
         "phrase_search": (cor3.phrase_search, cor3.PHRASE_SEARCH_SQL),
+        "kwic_concordance": (
+            cor3.kwic_concordance, lambda: cor3._kwic_sql(),
+        ),
         "dedup_containment": (cor3.containment_pairs, cor3.CONTAINMENT_SQL),
         "alpha_mixture_weights": (
             cor3.alpha_mixture_weights, cor3.ALPHA_MIXTURE_SQL,

@@ -527,3 +527,19 @@ def test_ivm_delta_matches_full_recompute(ray_session, tmp_path):
     assert got["en"]["n_docs"] == 2 and got["en"]["n_tokens"] == 6
     # fr: doc 5 stays (1 tok) + inserted twin (2 toks); 17 deleted
     assert got["fr"]["n_docs"] == 2 and got["fr"]["n_tokens"] == 3
+
+
+def test_kwic_window_clipping(ray_session, tmp_path):
+    d = str(tmp_path)
+    _docs(d, [
+        (1, "kw a b c", "en"),           # hit at pos 0: left clipped
+        (2, "a b c d kw", "en"),         # hit at end: right clipped
+        (3, "a b c kw d e f", "en"),     # interior: full ±3 window
+        (4, "kw x kw", "en"),            # two hits, overlapping windows
+    ])
+    got = {(r["doc_id"], r["pos"]): r["context"]
+           for r in c3.kwic_concordance(d, term="kw").take_all()}
+    assert got[(1, 0)] == "kw a b c"
+    assert got[(2, 4)] == "b c d kw"
+    assert got[(3, 3)] == "a b c kw d e f"
+    assert got[(4, 0)] == "kw x kw" and got[(4, 2)] == "kw x kw"
