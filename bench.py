@@ -273,6 +273,7 @@ BENCH_QUERIES = [
     "ivm_lang_tokens",
     "crawl_disallowed",
     "kwic_concordance",
+    "top_quality_host_capped",
     "q1_pricing",
     "events_hourly",
     "events_sliding_3h",

@@ -1586,3 +1586,116 @@ SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
     AS context
 FROM occ
 """
+
+
+# ---------------------------------------------------------------------------
+# host-capped quality selection: global top-k by classifier score with
+# a hard per-host quota — the diversity CONSTRAINT form of selection
+# (MMR penalizes similarity; a quota guarantees no host dominates).
+# ---------------------------------------------------------------------------
+
+_HOSTCAP_K = 50
+_HOSTCAP_PER_HOST = 2
+
+
+def top_quality_host_capped(
+    sf_dir: str, k: int = _HOSTCAP_K, per_host: int = _HOSTCAP_PER_HOST
+) -> rd.Dataset:
+    """(doc_id, host, score_total): the ``k`` highest-classifier-score
+    pages subject to at most ``per_host`` winners per URL host — the
+    quota-diversified selection a curated corpus uses so one prolific
+    host can't fill the budget. Two prunes, no global sort of the
+    corpus: each batch keeps its own per-host top-``per_host`` (by
+    score DESC, doc_id ASC), ONE hashed-host shuffle resolves the true
+    per-host winners, and the global top-k sorts only the surviving
+    ≤ |hosts|·per_host rows."""
+    from ..functions.classifier import QualityClassifier
+    from ..sources.pages_from_documents import synthesize_pages
+    from ..stages.skew import HOST_RE
+    from .queries import _pages_input
+
+    pages = _pages_input(sf_dir).map_batches(
+        synthesize_pages, batch_format="pyarrow"
+    )
+
+    from ..functions.classifier import OOV_WEIGHT, TH_DEN, TH_NUM
+
+    # built ONCE on the driver, shipped with the closure — per-batch
+    # work is the vectorized scoring pass only
+    cls = QualityClassifier(None, OOV_WEIGHT, TH_NUM, TH_DEN, "text", "doc_id")
+
+    def score(b: pa.Table) -> pa.Table:
+        out = cls(b.select(["doc_id", "text"]))
+        url = b.column("url")
+        if isinstance(url, pa.ChunkedArray):
+            url = url.combine_chunks()
+        host = pc.fill_null(
+            pc.struct_field(pc.extract_regex(url, HOST_RE), "host"), ""
+        )
+        t = pa.table(
+            {
+                "doc_id": out.column("doc_id"),
+                "host": host,
+                "score_total": out.column("score_total"),
+            }
+        )
+        return t.filter(pc.not_equal(t.column("host"), ""))
+
+    def local_cap(b: pa.Table) -> pa.Table:
+        s = b.column("score_total").to_numpy(zero_copy_only=False)
+        d = b.column("doc_id").to_numpy(zero_copy_only=False)
+        hosts = np.asarray(b.column("host").to_pylist(), dtype=object)
+        order = np.lexsort((d, -s, hosts))
+        h_s = hosts[order]
+        new = np.concatenate([[True], h_s[1:] != h_s[:-1]])
+        run = np.cumsum(new) - 1
+        run_start = np.flatnonzero(new)
+        rank = np.arange(len(h_s)) - run_start[run]
+        keep = order[rank < per_host]
+        return b.take(pa.array(np.sort(keep), pa.int64()))
+
+    def host_winners(g: pa.Table) -> pa.Table:
+        return local_cap(g)
+
+    pruned = (
+        pages.map_batches(score, batch_format="pyarrow")
+        .map_batches(local_cap, batch_format="pyarrow")
+        .groupby("host")
+        .map_groups(host_winners, batch_format="pyarrow")
+    )
+    return pruned.sort(
+        ["score_total", "doc_id"], descending=[True, False]
+    ).limit(k)
+
+
+def _host_capped_sql(
+    k: int = _HOSTCAP_K, per_host: int = _HOSTCAP_PER_HOST
+) -> str:
+    from ..stages.skew import HOST_RE
+    from .queries import _sql_quality_classifier
+
+    # classifier over the PAGES corpus: same lexicon scoring, text
+    # from the pages CTE
+    cls_sql = _sql_quality_classifier().replace(
+        "FROM documents", "FROM docs_for_cls"
+    )
+    return f"""
+WITH pages AS ({{pages}}),
+docs_for_cls AS (SELECT doc_id, text FROM pages),
+s AS ({cls_sql}),
+h AS (
+  SELECT p.doc_id, regexp_extract(p.url, '{HOST_RE}', 1) AS host,
+         s.score_total
+  FROM pages p JOIN s ON s.doc_id = p.doc_id
+  WHERE regexp_extract(p.url, '{HOST_RE}', 1) <> ''
+),
+capped AS (
+  SELECT doc_id, host, score_total FROM h
+  QUALIFY row_number() OVER (
+    PARTITION BY host ORDER BY score_total DESC, doc_id
+  ) <= {per_host}
+)
+SELECT doc_id, host, CAST(score_total AS BIGINT) AS score_total
+FROM capped
+QUALIFY row_number() OVER (ORDER BY score_total DESC, doc_id) <= {k}
+"""

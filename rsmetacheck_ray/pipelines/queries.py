@@ -10727,6 +10727,10 @@ def registry() -> dict[str, tuple]:
             q_crawl_disallowed,
             _sql_crawl_disallowed().replace("{pages}", pages),
         ),
+        "top_quality_host_capped": (
+            cor3.top_quality_host_capped,
+            lambda: cor3._host_capped_sql().replace("{pages}", pages_cte()),
+        ),
         "host_lorenz": (
             q_host_lorenz,
             HOST_LORENZ_SQL_TEMPLATE.replace("{pages}", pages)

@@ -543,3 +543,14 @@ def test_kwic_window_clipping(ray_session, tmp_path):
     assert got[(2, 4)] == "b c d kw"
     assert got[(3, 3)] == "a b c kw d e f"
     assert got[(4, 0)] == "kw x kw" and got[(4, 2)] == "kw x kw"
+
+
+def test_host_cap_enforced(ray_session):
+    from collections import Counter
+    rows = c3.top_quality_host_capped("/root/testdata/sf0.001").take_all()
+    assert len(rows) == c3._HOSTCAP_K
+    cnt = Counter(r["host"] for r in rows)
+    assert max(cnt.values()) <= c3._HOSTCAP_PER_HOST
+    # descending score with doc_id tie-break
+    key = [(-r["score_total"], r["doc_id"]) for r in rows]
+    assert key == sorted(key)
