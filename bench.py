@@ -274,6 +274,7 @@ BENCH_QUERIES = [
     "crawl_disallowed",
     "kwic_concordance",
     "top_quality_host_capped",
+    "gate_rule_examples",
     "q1_pricing",
     "events_hourly",
     "events_sliding_3h",

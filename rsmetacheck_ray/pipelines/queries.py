@@ -936,6 +936,72 @@ def q_gate_rule_recovery(sf_dir: str):
     )
 
 
+_RULE_EXAMPLES_K = 3
+
+
+def q_gate_rule_examples(sf_dir: str):
+    """(rule, doc_id): for each of the 11 drop rules, the
+    {_RULE_EXAMPLES_K} lowest-doc_id documents it fires on — the
+    'show me examples' debugging view a rule-tuning session opens
+    with (deterministic, so the examples are stable across runs).
+    Per-batch per-rule bottom-k prune (≤ 11·k rows per block), one
+    |rules|-group merge."""
+    out = _gated(sf_dir)
+
+    def partial(b: pa.Table) -> pa.Table:
+        dids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        rules, ids = [], []
+        for c in _ALL_DROP_CODES:
+            hit = b.column(f"hit_{c}").to_numpy(zero_copy_only=False)
+            sel = np.sort(dids[hit])[:_RULE_EXAMPLES_K]
+            rules.extend([c] * len(sel))
+            ids.extend(sel.tolist())
+        return pa.table(
+            {
+                "rule": pa.array(rules, pa.string()),
+                "doc_id": pa.array(ids, pa.int64()),
+            }
+        )
+
+    def merge(g: pa.Table) -> pa.Table:
+        ids = np.sort(
+            g.column("doc_id").to_numpy(zero_copy_only=False)
+        )[:_RULE_EXAMPLES_K]
+        return pa.table(
+            {
+                "rule": pa.array(
+                    [g.column("rule")[0].as_py()] * len(ids), pa.string()
+                ),
+                "doc_id": pa.array(ids, pa.int64()),
+            }
+        )
+
+    return out.map_batches(partial, batch_format="pyarrow").groupby(
+        "rule"
+    ).map_groups(merge, batch_format="pyarrow")
+
+
+def _sql_gate_rule_examples() -> str:
+    from ..config import DEFAULT_CONFIG as _cfg
+
+    lm = (
+        f"(f.n_tokens > 0 AND p.bits_per_char > {_cfg.max_bits_per_char!r})"
+    )
+    unions = []
+    for code, expr in _SQL_RULE_EXPRS:
+        unions.append(
+            f"SELECT '{code}' AS rule, f.doc_id"
+            f" FROM flags f JOIN bpc p USING (doc_id)"
+            f" WHERE {expr.format(lm_expr=lm)}"
+            f" QUALIFY row_number() OVER (ORDER BY f.doc_id)"
+            f" <= {_RULE_EXAMPLES_K}"
+        )
+    return (
+        "WITH {flags_ctes},\n{bpc_ctes}\n"
+        + "\nUNION ALL\n".join(unions)
+    )
+
+
 # engine rule code -> the flags-CTE SQL expression for the same rule
 _SQL_RULE_EXPRS = [
     ("empty_text", "f.hit_empty_text"),
@@ -10658,6 +10724,17 @@ def registry() -> dict[str, tuple]:
             )
             .replace("{bpc_ctes}", _sql_bpc_ctes().strip())
             .replace("{keep_expr}", _sql_keep_expr()),
+        ),
+        "gate_rule_examples": (
+            q_gate_rule_examples,
+            lambda: _sql_gate_rule_examples()
+            .replace(
+                "{flags_ctes}",
+                _sql_gate_flags_ctes().strip().replace(
+                    "{pages}", pages_cte()
+                ),
+            )
+            .replace("{bpc_ctes}", _sql_bpc_ctes().strip()),
         ),
         "gate_rule_recovery": (
             q_gate_rule_recovery,
