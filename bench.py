@@ -275,6 +275,7 @@ BENCH_QUERIES = [
     "kwic_concordance",
     "top_quality_host_capped",
     "gate_rule_examples",
+    "source_quality_influence",
     "q1_pricing",
     "events_hourly",
     "events_sliding_3h",

@@ -1699,3 +1699,122 @@ SELECT doc_id, host, CAST(score_total AS BIGINT) AS score_total
 FROM capped
 QUALIFY row_number() OVER (ORDER BY score_total DESC, doc_id) <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# leave-one-source-out influence: how much each source moves the
+# corpus mean quality — the cheapest data-valuation signal (a source
+# with negative influence is a removal candidate before any training
+# run is spent on it).
+# ---------------------------------------------------------------------------
+
+def source_quality_influence(sf_dir: str) -> "pa.Table":
+    """(source, n_docs, mean_all, mean_loo, influence): for each
+    source, the corpus mean classifier score WITH it (mean_all, the
+    same for every row), WITHOUT it (mean_loo = (T−s)/(N−n)), and
+    influence = mean_all − mean_loo — positive means the source pulls
+    the corpus UP. Every mean is one double division of exact int64
+    sums; influence is one subtraction of those two doubles, the same
+    three IEEE ops in both engines. Same one-pass bounded reduce as
+    source_quality_shrunk."""
+    from ..functions.classifier import classify_quality
+    from .join import join as generic_join
+    from .relational import bounded_group_table_strict
+
+    raw = classify_quality(
+        _docs(sf_dir, ["doc_id", "text"])
+    ).map_batches(
+        lambda b: b.select(["doc_id", "score_total"]),
+        batch_format="pyarrow",
+    )
+    scored = generic_join(
+        raw, _docs(sf_dir, ["doc_id", "source"]), on="doc_id", how="inner"
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.select(["source", "score_total"]).group_by("source").aggregate(
+            [("score_total", "sum"), ([], "count_all")]
+        )
+        return pa.table(
+            {
+                "source": g.column("source"),
+                "s": pc.cast(g.column("score_total_sum"), pa.int64()),
+                "n": pc.cast(g.column("count_all"), pa.int64()),
+            }
+        )
+
+    tbl = bounded_group_table_strict(
+        scored.map_batches(partial, batch_format="pyarrow"),
+        ["source"],
+        [("s", "sum"), ("n", "sum")],
+    )
+    empty = pa.table(
+        {
+            "source": pa.array([], pa.string()),
+            "n_docs": pa.array([], pa.int64()),
+            "mean_all": pa.array([], pa.float64()),
+            "mean_loo": pa.array([], pa.float64()),
+            "influence": pa.array([], pa.float64()),
+        }
+    )
+    if tbl is None or tbl.num_rows == 0:
+        return empty
+    rows = sorted(
+        zip(
+            tbl.column("source").to_pylist(),
+            tbl.column("n").to_pylist(),
+            tbl.column("s").to_pylist(),
+        )
+    )
+    T = sum(r[2] for r in rows)
+    N = sum(r[1] for r in rows)
+    mean_all = float(T) / float(N)
+    loo = [
+        float(T - s) / float(N - n) if N > n else 0.0
+        for (_src, n, s) in rows
+    ]
+    return pa.table(
+        {
+            "source": pa.array([r[0] for r in rows], pa.string()),
+            "n_docs": pa.array([r[1] for r in rows], pa.int64()),
+            "mean_all": pa.array([mean_all] * len(rows), pa.float64()),
+            "mean_loo": pa.array(loo, pa.float64()),
+            "influence": pa.array(
+                [mean_all - x for x in loo], pa.float64()
+            ),
+        }
+    )
+
+
+def _source_influence_sql() -> str:
+    from .queries import _sql_quality_classifier
+
+    return f"""
+WITH s AS ({_sql_quality_classifier()}),
+docsrc AS (
+  SELECT d.source, s.score_total
+  FROM s JOIN documents d ON d.doc_id = s.doc_id
+),
+m AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(score_total) AS BIGINT) AS score_sum
+  FROM docsrc GROUP BY source
+),
+g AS (
+  SELECT CAST(SUM(score_sum) AS BIGINT) AS T,
+         CAST(SUM(n_docs) AS BIGINT) AS N
+  FROM m
+)
+SELECT m.source, m.n_docs,
+  CAST(g.T AS DOUBLE) / CAST(g.N AS DOUBLE) AS mean_all,
+  CASE WHEN g.N > m.n_docs
+       THEN CAST(g.T - m.score_sum AS DOUBLE)
+            / CAST(g.N - m.n_docs AS DOUBLE)
+       ELSE 0.0 END AS mean_loo,
+  CAST(g.T AS DOUBLE) / CAST(g.N AS DOUBLE)
+    - CASE WHEN g.N > m.n_docs
+           THEN CAST(g.T - m.score_sum AS DOUBLE)
+                / CAST(g.N - m.n_docs AS DOUBLE)
+           ELSE 0.0 END AS influence
+FROM m, g
+"""

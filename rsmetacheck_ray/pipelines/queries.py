@@ -10670,6 +10670,10 @@ def registry() -> dict[str, tuple]:
         "conformal_outliers": (
             cor3.conformal_outliers, lambda: cor3._conformal_sql(),
         ),
+        "source_quality_influence": (
+            cor3.source_quality_influence,
+            lambda: cor3._source_influence_sql(),
+        ),
         "events_hourly_decomposition": (
             cor3.events_hourly_decomposition, cor3.EVENTS_DECOMP_SQL,
         ),

@@ -554,3 +554,29 @@ def test_host_cap_enforced(ray_session):
     # descending score with doc_id tie-break
     key = [(-r["score_total"], r["doc_id"]) for r in rows]
     assert key == sorted(key)
+
+
+def test_source_influence_signs_and_identity(ray_session, tmp_path):
+    import pyarrow.parquet as pq2
+
+    d = str(tmp_path)
+    # good source pulls the mean UP (positive influence), junk DOWN
+    rows = ([(i, "table query batch", "good") for i in range(5)]
+            + [(50 + i, "xx yy zz", "junk") for i in range(5)])
+    ids, texts, srcs = zip(*rows)
+    pq2.write_table(
+        pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * 10, pa.string()),
+            "source": pa.array(srcs, pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }),
+        os.path.join(d, "documents.parquet"),
+    )
+    t = {r["source"]: r for r in c3.source_quality_influence(d).to_pylist()}
+    assert t["good"]["influence"] > 0 > t["junk"]["influence"]
+    # identity: mean_all == weighted mean of per-source loo exclusions
+    # via the defining formula on exact sums
+    g = t["good"]
+    assert g["influence"] == g["mean_all"] - g["mean_loo"]
