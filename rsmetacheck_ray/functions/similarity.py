@@ -408,20 +408,29 @@ def knn_join(
     pytest covers the rerouted path)."""
     from ..partitioning import parquet_rows_hint
 
-    n_a = parquet_rows_hint(ds_a)
-    n_b = parquet_rows_hint(ds_b)
-    if (n_a or 0) > max_rows or (n_b or 0) > max_rows:
+    def _sized(ds: rd.Dataset, id_col: str) -> tuple[rd.Dataset, int]:
+        # lineage-free gate input: footer count when parquet lineage
+        # exists (free, no pass); otherwise materialize the RAW
+        # (id, embedding) projection ONCE and count it — that
+        # materialized set then feeds WHICHEVER path the gate picks,
+        # so the upstream transforms never execute twice and the
+        # normalize pass is never run-and-discarded on the IVF route
+        n = parquet_rows_hint(ds)
+        if n is not None:
+            return ds, n
+        mat = ds.select_columns([id_col, "embedding"]).materialize()
+        return mat, mat.count()
+
+    ds_a, n_a = _sized(ds_a, id_a)
+    ds_b, n_b = _sized(ds_b, id_b)
+    if n_a > max_rows or n_b > max_rows:
         # size gate: past the exact path's defensibility bound the
         # join auto-routes through the IVF codebook (the
         # embedding_pairs_auto discipline — degrade explicitly to the
         # approximate plan, never run the O(n²) sweep by accident)
         return knn_join_ivf(ds_a, ds_b, k=k, id_a=id_a, id_b=id_b)
-    blocks_a, rows_a = _unit_block_refs(ds_a, id_a, with_count=True)
-    blocks_b, rows_b = _unit_block_refs(ds_b, id_b, with_count=True)
-    if rows_a > max_rows or rows_b > max_rows:
-        # no parquet lineage (derived datasets): gate on the
-        # materialized count (free metadata, nothing driver-resident)
-        return knn_join_ivf(ds_a, ds_b, k=k, id_a=id_a, id_b=id_b)
+    blocks_a = _unit_block_refs(ds_a, id_a)
+    blocks_b = _unit_block_refs(ds_b, id_b)
     partials = _knn_partials(blocks_a, blocks_b, k, id_a, id_b)
     if partials is None:
         return rd.from_arrow(_KNN_JOIN_SCHEMA.empty_table())
@@ -479,13 +488,23 @@ def bitext_margin_pairs(
     # the same exact-path size gate as knn_join: past it, candidates
     # come from the IVF-bucketed partials (margins become approximate
     # exactly like the retrieved set — the documented degradation)
-    n_s = parquet_rows_hint(ds_src)
-    n_t = parquet_rows_hint(ds_tgt)
-    use_ivf = (n_s or 0) > max_rows or (n_t or 0) > max_rows
+    def _sized(ds: rd.Dataset, id_col: str) -> tuple[rd.Dataset, int]:
+        # footer count when parquet lineage exists; else materialize
+        # the raw projection ONCE and feed it to whichever path the
+        # gate picks (same discipline as knn_join — no normalize-and-
+        # discard, no upstream double-execution on the IVF route)
+        n = parquet_rows_hint(ds)
+        if n is not None:
+            return ds, n
+        mat = ds.select_columns([id_col, "embedding"]).materialize()
+        return mat, mat.count()
+
+    ds_src, n_s = _sized(ds_src, id_src)
+    ds_tgt, n_t = _sized(ds_tgt, id_tgt)
+    use_ivf = n_s > max_rows or n_t > max_rows
     if not use_ivf:
-        blocks_s, rows_s = _unit_block_refs(ds_src, id_src, with_count=True)
-        blocks_t, rows_t = _unit_block_refs(ds_tgt, id_tgt, with_count=True)
-        use_ivf = rows_s > max_rows or rows_t > max_rows
+        blocks_s = _unit_block_refs(ds_src, id_src)
+        blocks_t = _unit_block_refs(ds_tgt, id_tgt)
     if use_ivf:
         fwd_p = _ivf_partials(ds_src, ds_tgt, 2, id_a=id_src, id_b=id_tgt)
         bwd_p = _ivf_partials(ds_tgt, ds_src, 1, id_a=id_tgt, id_b=id_src)
@@ -720,7 +739,7 @@ def mmr_select(
     never the corpus. Ties break to the lowest vec_id at every pick
     (the oracle's ORDER BY score DESC, vec_id)."""
     qids = np.asarray(query_ids, dtype=np.int64)
-    qunit = _unit(np.asarray(queries, dtype=np.float64))
+    qraw = np.asarray(queries, dtype=np.float64)
     # pool+1 then drop the query itself: with self in the pool, pick 1
     # is the query and every pick-2 score collapses to exactly
     # λ·rel − (1−λ)·rel ≡ 0 at λ=½ — an all-ties knife edge where
@@ -773,9 +792,22 @@ def mmr_select(
         cands = pool_ids.get(int(qid), [])
         if not cands:
             continue
-        mat = _unit(np.stack([vecs[c] for c in cands]))
-        rel = qunit[qi] @ mat.T
-        sims = mat @ mat.T
+        # Bit-identical to DuckDB list_cosine_similarity: one
+        # sequential fold per pair (dot += x*y; nx += x*x; ny += y*y)
+        # then dot / (sqrt(nx) * sqrt(ny)).  cumsum IS the running
+        # fold, np.sqrt is exactly rounded, float multiply is
+        # commutative — so every rel and pairwise sim matches the
+        # oracle's doubles and the k-step greedy argmax chain cannot
+        # diverge on a 1-ulp near-tie (kmeans_margin discipline).
+        mat = np.stack([vecs[c] for c in cands])
+        qv = qraw[qi]
+        nr = np.sqrt(np.cumsum(mat * mat, axis=1)[:, -1])
+        nq = np.sqrt(np.cumsum(qv * qv)[-1])
+        rel = np.cumsum(mat * qv[None, :], axis=1)[:, -1] / (nq * nr)
+        pair_dots = np.cumsum(
+            mat[:, None, :] * mat[None, :, :], axis=2
+        )[:, :, -1]
+        sims = pair_dots / (nr[:, None] * nr[None, :])
         chosen: list[int] = []
         remaining = list(range(len(cands)))
         for pick in range(min(k, len(cands))):

@@ -319,6 +319,11 @@ CONTAINMENT_SQL = _containment_sql()
 # ---------------------------------------------------------------------------
 
 _NEYMAN_BUDGET = 100
+# sentinel standing in for a NULL lang stratum through the numpy-str
+# prune path and the Ray groupby. NOT a NUL byte — numpy's
+# fixed-width unicode → Arrow conversion truncates at NUL; \x01 is
+# equally impossible in a real lang tag and survives the round-trip
+_NULL_LANG = "\x01<null-lang>\x01"
 
 
 def neyman_allocation(sf_dir: str, budget: int = _NEYMAN_BUDGET) -> "pa.Table":
@@ -382,13 +387,16 @@ def neyman_allocation(sf_dir: str, budget: int = _NEYMAN_BUDGET) -> "pa.Table":
     )
     if tbl is None or tbl.num_rows == 0:
         return empty
+    # None-safe lang sort (NULLS LAST, DuckDB's ASC default): a null
+    # stratum is a legal GROUP BY group and must not TypeError the zip
     rows = sorted(
         zip(
             tbl.column("lang").to_pylist(),
             tbl.column("n").to_pylist(),
             tbl.column("s1").to_pylist(),
             tbl.column("s2").to_pylist(),
-        )
+        ),
+        key=lambda r: (r[0] is None, r[0] if r[0] is not None else ""),
     )
     import math
 
@@ -429,12 +437,19 @@ def stratified_neyman_sample(
     from ..functions.sketch import _key_segments
 
     alloc_t = neyman_allocation(sf_dir, budget)
-    alloc = dict(
-        zip(
+    # a null lang is a legal stratum (SQL GROUP BY keeps NULL as a
+    # group): key it by a sentinel that survives the numpy-str prune
+    # path and the Ray groupby, mapped back to null on output — the
+    # old astype(str) turned None into the string 'None' on the data
+    # side while the dict held the Python None key, silently k=0-ing
+    # the whole stratum
+    alloc = {
+        (lg if lg is not None else _NULL_LANG): int(k)
+        for lg, k in zip(
             alloc_t.column("lang").to_pylist(),
             alloc_t.column("k_alloc").to_pylist(),
         )
-    )
+    }
     empty = pa.table(
         {
             "lang": pa.array([], pa.string()),
@@ -452,7 +467,11 @@ def stratified_neyman_sample(
 
     def prune(b: pa.Table) -> pa.Table:
         ka = ray.get(alloc_ref)
-        langs = b.column("lang").to_numpy(zero_copy_only=False).astype(str)
+        langs = (
+            pc.fill_null(b.column("lang"), _NULL_LANG)
+            .to_numpy(zero_copy_only=False)
+            .astype(str)
+        )
         ids = pc.cast(b.column("doc_id"), pa.int64()).to_numpy(
             zero_copy_only=False
         )
@@ -493,9 +512,10 @@ def stratified_neyman_sample(
         hs = g.column("h").to_numpy(zero_copy_only=False)
         chars = g.column("n_chars").to_numpy(zero_copy_only=False)
         win = np.lexsort((ids, hs))[:k]
+        out_lang = None if lang == _NULL_LANG else lang
         return pa.table(
             {
-                "lang": pa.array([lang] * len(win), pa.string()),
+                "lang": pa.array([out_lang] * len(win), pa.string()),
                 "doc_id": pa.array(ids[win], pa.int64()),
                 "n_chars": pa.array(chars[win], pa.int64()),
             }
@@ -1264,16 +1284,22 @@ def corpus_manifest(sf_dir: str) -> "pa.Table":
         rows["n_chars"].append(int(nc.sum()))
         rows["n_empty"].append(int((nt == 0).sum()))
         rows["max_chars"].append(int(nc.max()) if len(nc) else 0)
+        # COUNT(DISTINCT x) ignores NULLs — a null lang/source must
+        # NOT mint a marker row, or breadth over-counts by one
         for lg in langs:
+            if lg is None:
+                continue
             rows["key"].append("lang")
-            rows["lang"].append(lg if lg is not None else "")
+            rows["lang"].append(lg)
             rows["source"].append("")
             for c in ("n_docs", "n_tokens", "n_chars", "n_empty", "max_chars"):
                 rows[c].append(0)
         for srcv in sources:
+            if srcv is None:
+                continue
             rows["key"].append("source")
             rows["lang"].append("")
-            rows["source"].append(srcv if srcv is not None else "")
+            rows["source"].append(srcv)
             for c in ("n_docs", "n_tokens", "n_chars", "n_empty", "max_chars"):
                 rows[c].append(0)
         return pa.table(
@@ -1386,6 +1412,15 @@ def ivm_lang_tokens(sf_dir: str) -> "pa.Table":
         toks = count_ws_tokens(pc.fill_null(text, "")).to_numpy(
             zero_copy_only=False
         )
+
+        # the oracle's `text || ' [rev2]'` PROPAGATES null and only
+        # COALESCEs at the token count — so a null-text row selected
+        # by the %13/%19 predicates must count 0 new tokens: fill the
+        # COUNT (not the text) or null→NaN→astype(int64) garbage
+        def _toks0(arr: pa.Array) -> np.ndarray:
+            return pc.fill_null(count_ws_tokens(arr), 0).to_numpy(
+                zero_copy_only=False
+            )
         lang = b.column("lang")
         base = pa.table(
             {"lang": lang, "dn": pa.array(np.ones(len(b), np.int64)),
@@ -1400,10 +1435,7 @@ def ivm_lang_tokens(sf_dir: str) -> "pa.Table":
             new_text = pc.binary_join_element_wise(
                 text.filter(sel), pa.scalar(" [rev2]"), pa.scalar("")
             )
-            dt = (
-                count_ws_tokens(new_text).to_numpy(zero_copy_only=False)
-                - toks[upd]
-            )
+            dt = _toks0(new_text) - toks[upd]
             parts.append(pa.table(
                 {"lang": lang.filter(sel),
                  "dn": pa.array(np.zeros(int(upd.sum()), np.int64)),
@@ -1421,7 +1453,7 @@ def ivm_lang_tokens(sf_dir: str) -> "pa.Table":
             new_text = pc.binary_join_element_wise(
                 pa.scalar("new "), text.filter(sel), pa.scalar("")
             )
-            nt = count_ws_tokens(new_text).to_numpy(zero_copy_only=False)
+            nt = _toks0(new_text)
             parts.append(pa.table(
                 {"lang": lang.filter(sel),
                  "dn": pa.array(np.ones(int(ins.sum()), np.int64)),

@@ -580,3 +580,84 @@ def test_source_influence_signs_and_identity(ray_session, tmp_path):
     # via the defining formula on exact sums
     g = t["good"]
     assert g["influence"] == g["mean_all"] - g["mean_loo"]
+
+
+# ---------------------------------------------------------------------------
+# round-5 null-handling regressions (ADVICE r4): null text / null lang
+# rows must follow the SQL oracles' NULL semantics, not numpy's 'None'
+# stringification or NaN int-casts.
+# ---------------------------------------------------------------------------
+
+def _docs_nullable(d, rows):
+    """rows: (doc_id, text|None, lang|None, source|None)."""
+    ids = [r[0] for r in rows]
+    texts = [r[1] for r in rows]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array([r[2] for r in rows], pa.string()),
+                "source": pa.array([r[3] for r in rows], pa.string()),
+                "n_chars": pa.array(
+                    [len(t) if t is not None else 0 for t in texts],
+                    pa.int64(),
+                ),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+
+
+def test_ivm_null_text_rows_follow_oracle_null_propagation(
+    ray_session, tmp_path
+):
+    """`text || ' [rev2]'` propagates NULL in SQL, and the token count
+    COALESCEs afterward — so a null-text update/insert row deltas 0
+    tokens (never NaN→int garbage)."""
+    d = str(tmp_path)
+    _docs_nullable(d, [
+        (3, None, "en", "s"),    # update row with null text -> +0 tok
+        (5, None, "en", "s"),    # insert twin with null text -> +0
+        (24, "hello world", "fr", "s"),  # insert: 'new hello world'
+        (1, "a b c", "en", "s"),
+    ])
+    got = {r["lang"]: r for r in c3.ivm_lang_tokens(d).to_pylist()}
+    # en: base docs {1,3,5} (3+0+0 tok) + doc-5 insert twin (+1 doc, 0)
+    assert got["en"]["n_docs"] == 4 and got["en"]["n_tokens"] == 3
+    # fr: base doc 24 (2 tok) + its insert twin (3 tok)
+    assert got["fr"]["n_docs"] == 2 and got["fr"]["n_tokens"] == 5
+    assert all(isinstance(r["n_tokens"], int) for r in got.values())
+
+
+def test_corpus_manifest_null_lang_source_not_counted(ray_session, tmp_path):
+    """COUNT(DISTINCT x) ignores NULLs: a null lang/source must not
+    inflate breadth."""
+    d = str(tmp_path)
+    _docs_nullable(d, [
+        (1, "two tokens", "en", "web"),
+        (2, "uno", None, None),
+        (3, "x", "en", "web"),
+    ])
+    t = c3.corpus_manifest(d).to_pylist()[0]
+    assert t["n_docs"] == 3
+    assert t["n_langs"] == 1 and t["n_sources"] == 1
+
+
+def test_neyman_null_lang_is_a_real_stratum(ray_session, tmp_path):
+    """A null lang is a legal GROUP BY stratum: it must receive a
+    Neyman allocation and appear in the drawn sample as lang=None —
+    previously the numpy 'None' stringification k=0'd it silently."""
+    d = str(tmp_path)
+    _docs_nullable(d, [
+        # null stratum: lengths 1 and 9 -> all the variance weight
+        (4, "w", None, "s"), (5, "v" * 9, None, "s"),
+        # en: zero variance -> weight 0
+        (1, "x" * 5, "en", "s"), (2, "y" * 5, "en", "s"),
+    ])
+    alloc = {r["lang"]: r["k_alloc"]
+             for r in c3.neyman_allocation(d, budget=10).to_pylist()}
+    assert alloc[None] == 2 and alloc["en"] == 0
+    sample = c3.stratified_neyman_sample(d, budget=10).take_all()
+    assert sorted(r["doc_id"] for r in sample) == [4, 5]
+    assert all(r["lang"] is None for r in sample)
