@@ -41,6 +41,7 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Min
 
+from .arrowmat import list_column_matrix, matrix_list_array
 from .hashing import hash_bytes_u64, splitmix64_np
 
 # ---------------------------------------------------------------------------
@@ -729,14 +730,12 @@ def _unit_table(batch: pa.Table, id_col: str) -> pa.Table:
                 "unit": pa.array([], pa.list_(pa.float64())),
             }
         )
-    mat = np.stack(
-        [np.asarray(e, dtype=np.float64) for e in batch.column("embedding").to_pylist()]
-    )
+    mat = list_column_matrix(batch.column("embedding"))
     unit = mat / np.maximum(np.linalg.norm(mat, axis=1), 1e-300)[:, None]
     return pa.table(
         {
             id_col: pc.cast(batch.column(id_col), pa.int64()),
-            "unit": pa.array(unit.tolist(), pa.list_(pa.float64())),
+            "unit": matrix_list_array(unit),
         }
     )
 
@@ -771,8 +770,8 @@ def embedding_near_dup_pairs(
             return empty
         ids_a = np.asarray(ta.column(id_col).to_pylist(), dtype=np.int64)
         ids_b = np.asarray(tb.column(id_col).to_pylist(), dtype=np.int64)
-        ua = np.stack([np.asarray(v, dtype=np.float64) for v in ta.column("unit").to_pylist()])
-        ub = np.stack([np.asarray(v, dtype=np.float64) for v in tb.column("unit").to_pylist()])
+        ua = list_column_matrix(ta.column("unit"))
+        ub = list_column_matrix(tb.column("unit"))
         cos = ua @ ub.T
         ai, bj = np.nonzero(cos >= threshold)
         xa, xb = ids_a[ai], ids_b[bj]
@@ -891,9 +890,7 @@ def embedding_lsh_pairs(
                     "embedding": pa.array([], pa.list_(pa.float64())),
                 }
             )
-        mat = np.stack(
-            [np.asarray(e, dtype=np.float64) for e in batch.column("embedding").to_pylist()]
-        )
+        mat = list_column_matrix(batch.column("embedding"))
         unit = mat / np.maximum(np.linalg.norm(mat, axis=1), 1e-300)[:, None]
         out_id, out_bucket, out_vec = [], [], []
         pw = 1 << np.arange(n_planes, dtype=np.int64)
@@ -922,9 +919,8 @@ def embedding_lsh_pairs(
                 f"{MAX_BUCKET_VECS} vectors (pairs beyond the cap are dropped)"
             )
             order = order[:MAX_BUCKET_VECS]
-        emb = group.column("embedding").to_pylist()
         ids = ids[order]
-        unit = np.stack([np.asarray(emb[i], dtype=np.float64) for i in order])
+        unit = list_column_matrix(group.column("embedding"))[order]
         cos = unit @ unit.T
         ai, bj = np.nonzero(cos >= threshold)
         mask = ids[ai] < ids[bj]

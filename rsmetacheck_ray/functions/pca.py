@@ -27,6 +27,7 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
+from .arrowmat import matrix_list_array
 from .similarity import _batch_matrix
 
 MAX_MOMENT_DIM = 4096  # d beyond this makes the (d,d) Gram partial too big
@@ -161,7 +162,7 @@ def pca_project(
         return pa.table(
             {
                 id_col: pa.array(ids, pa.int64()),
-                "pc": pa.array(list(proj), pa.list_(pa.float64())),
+                "pc": matrix_list_array(proj),
             }
         )
 

@@ -29,13 +29,12 @@ def _unit(m: np.ndarray) -> np.ndarray:
 
 
 def _batch_matrix(batch: pa.Table, id_col: str) -> tuple[np.ndarray, np.ndarray]:
+    from .arrowmat import list_column_matrix
+
     ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
     if len(ids) == 0:  # empty blocks occur after splits/filters
         return ids, np.zeros((0, 1), dtype=np.float64)
-    mat = np.stack(
-        [np.asarray(e, dtype=np.float64) for e in batch.column("embedding").to_pylist()]
-    )
-    return ids, mat
+    return ids, list_column_matrix(batch.column("embedding"))
 
 
 def _topk_table(
@@ -319,13 +318,12 @@ def _unit_block_refs(ds: rd.Dataset, id_col: str, with_count: bool = False):
 
 
 def _unit_block_mats(t: pa.Table, id_col: str) -> tuple[np.ndarray, np.ndarray]:
+    from .arrowmat import list_column_matrix
+
     ids = np.asarray(t.column(id_col).to_pylist(), dtype=np.int64)
     if len(ids) == 0:
         return ids, np.zeros((0, 1), dtype=np.float64)
-    mat = np.stack(
-        [np.asarray(v, dtype=np.float64) for v in t.column("unit").to_pylist()]
-    )
-    return ids, mat
+    return ids, list_column_matrix(t.column("unit"))
 
 
 _KNN_JOIN_SCHEMA = pa.schema(

@@ -193,8 +193,10 @@ def _query_vectors(sf_dir: str, n: int = 5):
         columns=["vec_id", "embedding"],
         filters=[("vec_id", "<", n)],  # pushed: never the whole table
     )
+    from ..functions.arrowmat import list_column_matrix
+
     ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
-    mat = np.stack([np.asarray(e, dtype=np.float64) for e in t.column("embedding").to_pylist()])
+    mat = list_column_matrix(t.column("embedding"))
     order = np.argsort(ids)
     return ids[order], mat[order]
 
@@ -9141,14 +9143,40 @@ def q_host_lorenz(sf_dir: str):
     numbers.
 
     Plan: composes the two-phase SALTED host aggregate (stages/
-    skew.py); the rank walk runs on the driver over the bounded host
-    domain; every share is a single division of exact int64 sums."""
+    skew.py), then reduces it to a COUNT-OF-COUNTS histogram
+    (pages-per-host → n_hosts) before anything reaches the driver.
+    The host domain is NOT bounded at web scale (~10⁸ hosts), but the
+    histogram's domain — distinct page-count VALUES — is (≤ max
+    pages on one host, thousands in practice), and the oracle's
+    (n_pages, host) tie-break never changes a cumulative DOC count:
+    hosts tied at count c each contribute exactly c, so
+    cum(k) = Σ_{c<c*} c·m_c + (k − Σ_{c<c*} m_c)·c* regardless of
+    which tied hosts rank ≤ k. Only KB-scale (count, m) rows shuffle;
+    the decile walk is O(|distinct counts|); every share is a single
+    division of exact int64 sums."""
     from ..stages.skew import salted_host_counts
+    from .relational import bounded_group_table_strict
 
     pages = _pages_input(sf_dir).map_batches(
         synthesize_pages, batch_format="pyarrow"
     )
-    rows = salted_host_counts(pages).take_all()
+
+    def count_of_counts(b: pa.Table) -> pa.Table:
+        g = b.group_by("n_pages").aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "c": pc.cast(g.column("n_pages"), pa.int64()),
+                "m": pc.cast(g.column("count_all"), pa.int64()),
+            }
+        )
+
+    hist = bounded_group_table_strict(
+        salted_host_counts(pages).map_batches(
+            count_of_counts, batch_format="pyarrow"
+        ),
+        ["c"],
+        [("m", "sum")],
+    )
     empty = pa.table(
         {
             "decile": pa.array([], pa.int64()),
@@ -9157,23 +9185,27 @@ def q_host_lorenz(sf_dir: str):
             "doc_share": pa.array([], pa.float64()),
         }
     )
-    if not rows:
+    if hist is None or hist.num_rows == 0:
         return empty
-    ranked = sorted((int(r["n_pages"]), r["host"]) for r in rows)
-    n_hosts = len(ranked)
-    total = sum(n for n, _ in ranked)
-    cum = []
-    acc = 0
-    for n, _ in ranked:
-        acc += n
-        cum.append(acc)
+    cs = hist.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+    ms = hist.column("m").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(cs)
+    cs, ms = cs[order], ms[order]
+    hosts_cum = np.cumsum(ms)  # hosts with count ≤ cs[i]
+    docs_cum = np.cumsum(cs * ms)  # docs owned by those hosts
+    n_hosts = int(hosts_cum[-1])
+    total = int(docs_cum[-1])
     out_d, out_h, out_c, out_s = [], [], [], []
     for q in range(1, 11):
         k = (q * n_hosts + 9) // 10  # ceil(q·H/10), ≥1 when H ≥ 1
+        i = int(np.searchsorted(hosts_cum, k))  # bucket holding rank k
+        below_h = int(hosts_cum[i - 1]) if i else 0
+        below_d = int(docs_cum[i - 1]) if i else 0
+        cum_k = below_d + (k - below_h) * int(cs[i])
         out_d.append(q)
         out_h.append(k)
-        out_c.append(cum[k - 1])
-        out_s.append(float(cum[k - 1]) / float(total))
+        out_c.append(cum_k)
+        out_s.append(float(cum_k) / float(total))
     return pa.table(
         {
             "decile": pa.array(out_d, pa.int64()),

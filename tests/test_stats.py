@@ -405,3 +405,36 @@ def test_spectrum_uniform_day_is_near_zero(ray_session, tmp_path):
     got = {r["period_hours"]: r for r in st.events_spectrum(d).take_all()}
     assert got[24]["power_ratio"] < 1e-10   # quantization leaves ~0
     assert got[24]["n_hours"] == 24
+
+
+def test_host_lorenz_histogram_equals_rank_walk(ray_session, tmp_path):
+    """The count-of-counts decile walk (r5: nothing host-sized ever
+    reaches the driver) must equal the brute-force per-host rank walk
+    — including when ties at one page-count straddle a decile
+    boundary, where the host-name tie-break must be cum-irrelevant."""
+    from rsmetacheck_ray.pipelines.queries import q_host_lorenz, q_host_stats
+
+    d = str(tmp_path)
+    _docs(d, [(i, f"doc {i} text body", "a") for i in range(173)])
+    rows = q_host_stats(d).take_all()
+    ranked = sorted((int(r["n_pages"]), r["host"]) for r in rows)
+    # the planted corpus must actually exercise the tie path
+    counts = [n for n, _ in ranked]
+    assert len(set(counts)) < len(counts), "fixture has no tied hosts"
+    total = sum(counts)
+    cum = []
+    acc = 0
+    for n, _ in ranked:
+        acc += n
+        cum.append(acc)
+    H = len(ranked)
+    expect = [
+        (q, (q * H + 9) // 10, cum[(q * H + 9) // 10 - 1],
+         float(cum[(q * H + 9) // 10 - 1]) / float(total))
+        for q in range(1, 11)
+    ]
+    got = [
+        (r["decile"], r["n_hosts_cum"], r["n_docs_cum"], r["doc_share"])
+        for r in q_host_lorenz(d).to_pylist()
+    ]
+    assert got == expect
