@@ -59,6 +59,11 @@ class GateConfig:
     # read / rules / write task pools fill the gaps under backpressure
     langid_actors: int | None = None
     perplexity_actors: int | None = None
+    # real-model tier (opt-in): path to a fastText-format lid model;
+    # each langid actor loads it once in __init__ (stages/langid.py).
+    # None ⇒ the deterministic marker-density scorer (the default and
+    # the oracle-checked path)
+    langid_model: str | None = None
 
     # languages the gate understands
     known_langs: tuple = ("en", "fr", "es", "de", "zh")

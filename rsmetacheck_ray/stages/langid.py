@@ -41,7 +41,10 @@ class LangIdScorer:
                        concurrency=cfg.langid_actors)
     """
 
-    def __init__(self, cfg: GateConfig = DEFAULT_CONFIG):
+    def __init__(
+        self, cfg: GateConfig = DEFAULT_CONFIG,
+        model_path: str | None = None,
+    ):
         self.cfg = cfg
         # one compiled alternation per language, built once per actor
         self.patterns = {lang: marker_pattern(lang) for lang in MARKERS}
@@ -49,6 +52,32 @@ class LangIdScorer:
         # kernel spins a machine-wide thread pool and N actors × N
         # threads contend (measured 20-30x UDF inflation at 32 CPUs)
         pa.set_cpu_count(1)
+        # real-model tier (opt-in): a fastText-format lid model loaded
+        # ONCE here — the multi-hundred-MB per-actor state blob the
+        # ActorPoolStrategy contract exists for. Uses the real
+        # ``fasttext`` lib when installed (import-gated), else the
+        # from-scratch v12 reader in models/fasttext_io. The pipeline
+        # topology and output schema are identical to the heuristic
+        # path; only the detection values change.
+        self.model = None
+        self._token_ids_memo: dict[str, list[int]] = {}
+        import os as _os
+
+        mp = (
+            model_path
+            if model_path is not None
+            else (cfg.langid_model
+                  or _os.environ.get("RSMC_LANGID_MODEL"))
+        )
+        if mp:
+            try:
+                import fasttext  # type: ignore  # pragma: no cover
+
+                self.model = ("lib", fasttext.load_model(mp))
+            except ImportError:
+                from ..models.fasttext_io import load_fasttext_model
+
+                self.model = ("native", load_fasttext_model(mp))
 
     def _marker_hits(self, text: pa.Array, n: int) -> np.ndarray:
         """(n_langs, n) exact marker counts — one RE2 pass per language.
@@ -61,6 +90,49 @@ class LangIdScorer:
                 pc.count_substring_regex(text, self.patterns[lang]), 0
             ).to_numpy(zero_copy_only=False)
         return hits
+
+    def _model_detect(
+        self, scan: pa.Array
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Per-document model predictions over the bounded prefix —
+        the real-model analog of the marker-density argmax. Token →
+        input-row-id lists are memoized per actor (Zipf vocabulary)."""
+        kind, model = self.model
+        n = len(scan)
+        detected = np.full(n, "und", dtype=object)
+        conf = np.zeros(n, dtype=np.float64)
+        texts = scan.to_pylist()
+        if kind == "lib":  # pragma: no cover - needs the fasttext lib
+            for i, t in enumerate(texts):
+                if not t:
+                    continue
+                labels, probs = model.predict(t.replace("\n", " "))
+                if labels:
+                    detected[i] = labels[0].removeprefix("__label__")
+                    conf[i] = float(probs[0])
+            return detected.astype(str), conf
+        memo = self._token_ids_memo
+        for i, t in enumerate(texts):
+            if not t:
+                continue
+            ids: list[int] = []
+            for tok in t.split():
+                got = memo.get(tok)
+                if got is None:
+                    got = model.token_ids(tok)
+                    memo[tok] = got
+                ids.extend(got)
+            if not ids:
+                continue
+            hidden = model.input[np.asarray(ids, np.int64)].mean(
+                axis=0, dtype=np.float64
+            )
+            scores = model.output.astype(np.float64) @ hidden
+            k = int(scores.argmax())
+            e = np.exp(scores - scores[k])
+            detected[i] = model.labels[k].removeprefix("__label__")
+            conf[i] = 1.0 / float(e.sum())
+        return detected.astype(str), conf
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         text = batch.column("extracted_text")
@@ -109,6 +181,10 @@ class LangIdScorer:
         floor = np.where(lang_names[best] == "zh", self.cfg.zh_char_ratio_min, self.cfg.langid_min_conf)
         detected = np.where(conf >= floor, detected, "und")
         detected = np.where(n_tokens == 0, "und", detected)
+
+        if self.model is not None:
+            detected, conf = self._model_detect(scan)
+            detected = np.where(n_tokens == 0, "und", detected)
 
         out = batch.append_column("detected_lang", pa.array(detected, pa.string()))
         out = out.append_column("langid_conf", pa.array(conf, pa.float64()))
