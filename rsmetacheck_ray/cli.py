@@ -43,6 +43,10 @@ def main(argv: list[str] | None = None) -> int:
                             "ipc", "tar", "avro", "auto"),
                    default="parquet",
                    help="pages input format (jsonl/csv/tar: ISO warc_ts, base64 html)")
+    g.add_argument("--incremental", action="store_true",
+                   help="epoch-append mode: gate only fragments no prior "
+                   "epoch processed, probe new content hashes against the "
+                   "persisted seen-hash store, update metrics by delta")
 
     m = sub.add_parser("metrics", help="recompute metrics from a run dir")
     m.add_argument("--out", required=True)
@@ -129,10 +133,19 @@ def main(argv: list[str] | None = None) -> int:
 
         if args.fresh and os.path.exists(args.out):
             shutil.rmtree(args.out)
-        from .pipelines.quality_gate import run_gate
+        if args.incremental:
+            from .pipelines.quality_gate import run_gate_incremental
 
-        metrics = run_gate(args.input, args.out, n_partitions=args.partitions,
-                           input_format=args.input_format)
+            metrics = run_gate_incremental(
+                args.input, args.out, n_partitions=args.partitions,
+                input_format=args.input_format,
+            )
+        else:
+            from .pipelines.quality_gate import run_gate
+
+            metrics = run_gate(args.input, args.out,
+                               n_partitions=args.partitions,
+                               input_format=args.input_format)
         print(json.dumps(metrics, indent=2, sort_keys=True))
     elif args.cmd == "metrics":
         import os

@@ -452,6 +452,24 @@ def auto_partitions(fragments: list[str], target_bytes: int = 1 << 30) -> int:
     return max(1, min(len(fragments), total // target_bytes + (1 if total % target_bytes else 0)))
 
 
+def _format_suffix(input_format: str):
+    """Accepted filename suffixes per input format. .warc.gz
+    (per-record gzip members) rides the warc flag; ipc accepts both
+    conventional suffixes (.arrow, .feather), tar all three archive
+    spellings."""
+    if input_format == "auto":
+        return (".parquet", ".jsonl", ".csv", ".warc", ".warc.gz",
+                ".orc", ".arrow", ".feather", ".tar", ".tar.gz", ".tgz",
+                ".avro")
+    if input_format == "warc":
+        return (".warc", ".warc.gz")
+    if input_format == "ipc":
+        return (".arrow", ".feather")
+    if input_format == "tar":
+        return (".tar", ".tar.gz", ".tgz")
+    return "." + input_format
+
+
 def run_gate(
     input_path: str | list[str],
     out_dir: str,
@@ -483,21 +501,7 @@ def run_gate(
         "auto",
     ):
         raise ValueError(f"unsupported input_format {input_format!r}")
-    # .warc.gz (per-record gzip members) rides the same format flag;
-    # ipc accepts both conventional suffixes (.arrow, .feather), tar
-    # all three archive spellings
-    if input_format == "auto":
-        suffix = (".parquet", ".jsonl", ".csv", ".warc", ".warc.gz",
-                  ".orc", ".arrow", ".feather", ".tar", ".tar.gz", ".tgz",
-                  ".avro")
-    elif input_format == "warc":
-        suffix = (".warc", ".warc.gz")
-    elif input_format == "ipc":
-        suffix = (".arrow", ".feather")
-    elif input_format == "tar":
-        suffix = (".tar", ".tar.gz", ".tgz")
-    else:
-        suffix = "." + input_format
+    suffix = _format_suffix(input_format)
     if input_format == "jsonl":
         from ..sources.jsonl_pages import read_pages_jsonl as _read_fragments
     elif input_format == "csv":
@@ -909,3 +913,153 @@ def compute_metrics(docs_root: str, as_record: bool = False) -> dict:
     if as_record:
         return merged
     return metrics_from_records([merged])
+
+
+# ---------------------------------------------------------------------------
+# incremental gate mode (r5): epoch-append day-over-day processing.
+# Composes the resume manifest (which fragments are already done),
+# the exact-dedup hash discipline (functions/dedup.py's 128-bit
+# content hash, persisted per epoch) and the IVM metrics identity
+# (global summary = merge of per-partition lineage records — the
+# nightly re-aggregate touches only the new epoch's records, exactly
+# the ivm_lang_tokens argument applied to the gate's own metrics).
+# ---------------------------------------------------------------------------
+
+def incremental_docs_dirs(out_dir: str) -> list[str]:
+    """The per-epoch docs roots of an incremental run directory, in
+    epoch order — pass to kept_view/evidence_view per epoch, or read
+    together with read_parquet."""
+    import glob as _glob
+
+    return sorted(_glob.glob(os.path.join(out_dir, "epochs", "epoch-*", "docs")))
+
+
+def run_gate_incremental(
+    input_path: str | list[str],
+    out_dir: str,
+    cfg: GateConfig = DEFAULT_CONFIG,
+    n_partitions: int | None = None,
+    input_format: str = "parquet",
+) -> dict:
+    """Gate ONLY the fragments not processed by any prior epoch.
+
+    Layout::
+
+        out_dir/epochs/epoch-K/        (a complete run_gate run dir)
+        out_dir/seen_hashes/epoch-K/   (distinct content hashes, 24 B rows)
+        out_dir/metrics.json           (merged across epochs)
+
+    Day-2 semantics: new fragments are discovered by anti-joining the
+    CURRENT fragment list against the union of every prior epoch
+    manifest's ``fragment_ids`` (driver-side set on the bounded
+    fragment list), gated into a fresh epoch directory, and their
+    distinct 128-bit content hashes are probed against the persisted
+    seen-hash store — one hash-key shuffle of 24-byte rows, the text
+    never moves (the incremental_new_docs plan). Global metrics are
+    updated BY DELTA: the merge of all epochs' per-partition lineage
+    records, identical to a from-scratch run over the full lake (the
+    metrics_from_records identity), with cross-epoch duplicate counts
+    reported under ``metrics["incremental"]`` — dedup is REPORTED, not
+    silently applied, so the gate's keep/drop accounting stays
+    equal to the from-scratch run's.
+    """
+    import glob as _glob
+
+    from ray.data.aggregate import Max, Min
+
+    fragments = list_parquet_fragments(
+        input_path, _format_suffix(input_format)
+    )
+    epochs_root = os.path.join(out_dir, "epochs")
+    os.makedirs(epochs_root, exist_ok=True)
+    prior = sorted(_glob.glob(os.path.join(epochs_root, "epoch-*")))
+    processed: set[str] = set()
+    records: list[dict] = []
+    for ep in prior:
+        for rec in Manifest(
+            os.path.join(ep, "manifest.jsonl")
+        ).completed().values():
+            processed.update(rec.get("fragment_ids", []))
+            records.append(rec)
+    new_frags = sorted(f for f in fragments if f not in processed)
+    inc = {
+        "epoch": len(prior),
+        "new_fragments": len(new_frags),
+        "new_documents": 0,
+        "dup_vs_seen": 0,
+    }
+    seen_dir = os.path.join(out_dir, "seen_hashes")
+    if new_frags:
+        ep_dir = os.path.join(epochs_root, f"epoch-{len(prior):04d}")
+        ep_metrics = run_gate(
+            new_frags, ep_dir, cfg, n_partitions=n_partitions,
+            input_format=input_format,
+        )
+        inc["new_documents"] = ep_metrics["total_documents"]
+        records.extend(
+            Manifest(os.path.join(ep_dir, "manifest.jsonl"))
+            .completed().values()
+        )
+        # distinct content hashes of the new epoch (24 B rows; ONE
+        # hash-key pre-combine via groupby — the text never leaves
+        # the epoch's parquet)
+        hash_cols = ["content_hash", "content_hash2"]
+        new_hashes = (
+            rd.read_parquet(os.path.join(ep_dir, "docs"), columns=hash_cols)
+            .groupby(hash_cols)
+            .count()
+            .select_columns(hash_cols)
+        )
+        seen_files = _glob.glob(os.path.join(seen_dir, "*", "*.parquet"))
+        if seen_files:
+            def _tag(v: int):
+                def fn(b: pa.Table) -> pa.Table:
+                    import numpy as np
+
+                    return pa.table({
+                        "content_hash": b.column("content_hash"),
+                        "content_hash2": b.column("content_hash2"),
+                        "is_new": pa.array(
+                            np.full(len(b), v, np.int64), pa.int64()
+                        ),
+                    })
+                return fn
+
+            both = (
+                new_hashes.map_batches(_tag(1), batch_format="pyarrow")
+                .union(
+                    rd.read_parquet(seen_files, columns=hash_cols)
+                    .map_batches(_tag(0), batch_format="pyarrow")
+                )
+                .groupby(hash_cols)
+                .aggregate(
+                    Max("is_new", alias_name="any_new"),
+                    Min("is_new", alias_name="any_seen"),
+                )
+            )
+            # a hash is a cross-epoch dup iff both tags collapsed
+            # into its group: any_new=1 (it is in this epoch) AND
+            # any_seen=0 (min tag 0 ⇒ some prior epoch had it too)
+            def _dup_partial(b: pa.Table) -> pa.Table:
+                import numpy as np
+
+                hit = (
+                    (b.column("any_new").to_numpy(zero_copy_only=False) == 1)
+                    & (b.column("any_seen").to_numpy(zero_copy_only=False) == 0)
+                )
+                return pa.table({"n": pa.array([int(hit.sum())], pa.int64())})
+
+            inc["dup_vs_seen"] = int(
+                both.map_batches(
+                    _dup_partial, batch_format="pyarrow"
+                ).sum("n") or 0
+            )
+        new_hashes.write_parquet(
+            os.path.join(seen_dir, f"epoch-{len(prior):04d}")
+        )
+    metrics = metrics_from_records(records)
+    metrics["incremental"] = inc
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "metrics.json"), "w") as fh:
+        json.dump(metrics, fh, indent=2, sort_keys=True)
+    return metrics

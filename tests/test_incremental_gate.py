@@ -1,0 +1,116 @@
+"""Incremental gate mode (r5): day-2 processing touches ONLY day-2
+fragments, cross-epoch duplicates are counted against the persisted
+seen-hash store, and the merged metrics equal a from-scratch run over
+the full lake."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import sys
+
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def test_day2_touches_only_new_fragments_and_metrics_match(
+    ray_session, small_corpus, tmp_path
+):
+    """The realistic crawl-drop shape: the lake only ever GROWS. Day-1
+    gates the first half of the fragments; day-2 adds the rest; the
+    second incremental run must gate exactly the added files, leave
+    every day-1 output byte untouched, and produce merged metrics
+    identical to a from-scratch run over the full lake."""
+    from rsmetacheck_ray.pipelines.quality_gate import (
+        incremental_docs_dirs, run_gate, run_gate_incremental,
+    )
+
+    pages_dir, _ = small_corpus
+    files = sorted(glob.glob(os.path.join(pages_dir, "*.parquet")))
+    assert len(files) >= 4
+    half = len(files) // 2
+    lake = tmp_path / "lake"
+    os.makedirs(lake)
+    for f in files[:half]:
+        shutil.copy(f, lake)
+
+    out = tmp_path / "inc"
+    m1 = run_gate_incremental(str(lake), str(out), n_partitions=1)
+    assert m1["incremental"]["epoch"] == 0
+    assert m1["incremental"]["new_fragments"] == half
+    assert m1["incremental"]["dup_vs_seen"] == 0
+
+    ep0 = out / "epochs" / "epoch-0000"
+    ep0_files = sorted(glob.glob(str(ep0 / "**" / "*"), recursive=True))
+    ep0_mtimes = {f: os.path.getmtime(f) for f in ep0_files}
+
+    # day 2: new fragments land in the same lake
+    for f in files[half:]:
+        shutil.copy(f, lake)
+    m2 = run_gate_incremental(str(lake), str(out), n_partitions=1)
+    assert m2["incremental"]["epoch"] == 1
+    assert m2["incremental"]["new_fragments"] == len(files) - half
+
+    # day-1 outputs untouched byte-for-byte (same files, same mtimes)
+    now = sorted(glob.glob(str(ep0 / "**" / "*"), recursive=True))
+    assert now == ep0_files
+    assert all(os.path.getmtime(f) == ep0_mtimes[f] for f in ep0_files)
+
+    # epoch-0001 gated exactly the day-2 fragments
+    man = [
+        json.loads(line)
+        for line in open(out / "epochs" / "epoch-0001" / "manifest.jsonl")
+    ]
+    gated = sorted(f for rec in man for f in rec["fragment_ids"])
+    assert gated == sorted(
+        os.path.join(str(lake), os.path.basename(f)) for f in files[half:]
+    )
+
+    # merged metrics equal the from-scratch run over the full lake
+    scratch = run_gate(str(lake), str(tmp_path / "scratch"), n_partitions=2)
+    merged = dict(m2)
+    merged.pop("incremental")
+    assert merged == scratch
+
+    # per-epoch docs views cover the whole lake
+    total = sum(
+        pq.read_table(d).num_rows for d in incremental_docs_dirs(str(out))
+    )
+    assert total == scratch["total_documents"]
+
+    # a third run with nothing new is a cheap no-op delta
+    m3 = run_gate_incremental(str(lake), str(out), n_partitions=1)
+    assert m3["incremental"]["new_fragments"] == 0
+    merged3 = dict(m3)
+    merged3.pop("incremental")
+    assert merged3 == scratch
+
+
+def test_cross_epoch_duplicates_counted(ray_session, small_corpus, tmp_path):
+    """A day-2 fragment that replays day-1 content (new path, same
+    text) is gated — the accounting stays equal to from-scratch — but
+    its hashes probe the seen store and are reported as dups."""
+    from rsmetacheck_ray.pipelines.quality_gate import run_gate_incremental
+
+    pages_dir, _ = small_corpus
+    files = sorted(glob.glob(os.path.join(pages_dir, "*.parquet")))
+    lake = tmp_path / "lake"
+    os.makedirs(lake)
+    shutil.copy(files[0], lake)
+    out = tmp_path / "inc"
+    m1 = run_gate_incremental(str(lake), str(out), n_partitions=1)
+    n1 = m1["total_documents"]
+    assert n1 > 0
+
+    # day 2: one genuinely-new fragment + one replay of day-1 content
+    # under a new filename
+    shutil.copy(files[1], lake)
+    shutil.copy(files[0], lake / "replayed-copy.parquet")
+    m2 = run_gate_incremental(str(lake), str(out), n_partitions=1)
+    assert m2["incremental"]["new_fragments"] == 2
+    # every distinct hash of the replayed fragment is already seen
+    assert m2["incremental"]["dup_vs_seen"] > 0
+    assert m2["total_documents"] == n1 * 2 + pq.read_table(files[1]).num_rows
