@@ -374,6 +374,10 @@ def bloom_contains(bits: np.ndarray, vals: np.ndarray) -> np.ndarray:
 
 MRL_K = 1024
 _MRL_MAX_LEVELS = 40  # 2^40 · MRL_K values ≫ any corpus
+# quantile grids (shared with the SQL oracles — pipelines/queries.py
+# re-derives every estimate from the exported sketch at these points)
+MRL_QS = (0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99)
+MRL_QS_BY_KEY = (0.25, 0.5, 0.75, 0.95)
 
 
 def _mrl_compact(levels: list[np.ndarray]) -> list[np.ndarray]:
@@ -464,11 +468,15 @@ def mrl_quantiles(levels: list[np.ndarray], qs) -> np.ndarray:
 
 
 def approx_quantiles(
-    ds: rd.Dataset, col: str, qs=(0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99)
+    ds: rd.Dataset, col: str, qs=MRL_QS,
+    levels_out: list | None = None,
 ) -> pa.Table:
     """(q, estimate) table via one partial-sketch pass + a #blocks-row
     merge — no sort shuffle of the data, the quantile analog of
-    ``approx_distinct``."""
+    ``approx_distinct``. ``levels_out``: when a list is passed, the
+    FINAL merged sketch levels are appended to it — the oracle export
+    hook (the estimates are then SQL-derivable from (item, weight=2^l)
+    rows; the compaction choices themselves remain non-SQL)."""
 
     def partial(b: pa.Table) -> pa.Table:
         v = b.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
@@ -493,7 +501,10 @@ def approx_quantiles(
         .map_batches(combine, batch_format="pyarrow", batch_size=512)
         .take_all()
     ]
-    est = mrl_quantiles(mrl_merge(blobs), qs)
+    merged = mrl_merge(blobs)
+    if levels_out is not None:
+        levels_out.append(merged)
+    est = mrl_quantiles(merged, qs)
     return pa.table(
         {
             "q": pa.array(list(qs), pa.float64()),
@@ -617,13 +628,21 @@ def approx_quantiles_by_key(
     ds: rd.Dataset,
     key_col: str,
     col: str,
-    qs=(0.25, 0.5, 0.75, 0.95),
+    qs=MRL_QS_BY_KEY,
+    with_sketch: bool = False,
 ) -> rd.Dataset:
     """(key, q, estimate): per-group approximate quantiles — the MRL
     sketch as a grouped aggregate (one KB-scale sketch blob per
     (batch, key) into the shuffle, associative level-wise merge per
     group), the unbounded-domain companion to the exact bounded-domain
-    percentiles in pipelines/relational.py."""
+    percentiles in pipelines/relational.py.
+
+    ``with_sketch=True`` additionally emits each group's FINAL merged
+    sketch content as marker rows (q = −(level+1), estimate = item;
+    weight = 2^level recoverable from the marker) — the oracle export
+    hook: the merge task is where the answer-producing sketch lives,
+    so exporting from anywhere else would risk a different merge
+    topology and silently different compaction."""
 
     def partial(b: pa.Table) -> pa.Table:
         keys = b.column(key_col).to_numpy(zero_copy_only=False)
@@ -663,12 +682,16 @@ def approx_quantiles_by_key(
         uk, starts, ends, order = _key_segments(keys)
         out_k, out_q, out_e = [], [], []
         for i, (a, e) in enumerate(zip(starts, ends)):
-            est = mrl_quantiles(
-                mrl_merge([blobs[j] for j in order[a:e]]), qlist
-            )
+            merged = mrl_merge([blobs[j] for j in order[a:e]])
+            est = mrl_quantiles(merged, qlist)
             out_k.extend([uk[i]] * len(qlist))
             out_q.extend(qlist)
             out_e.extend(est)
+            if with_sketch:
+                for lvl, buf in enumerate(merged):
+                    out_k.extend([uk[i]] * len(buf))
+                    out_q.extend([-(lvl + 1.0)] * len(buf))
+                    out_e.extend(buf)
         return pa.table(
             {
                 key_col: pa.array(out_k),

@@ -2490,9 +2490,15 @@ def q_doc_compression(sf_dir: str):
     near-duplicate boilerplate page compresses far below prose; binary
     junk barely compresses at all). Bounded per-doc work: only the
     first 4 KiB of UTF-8 bytes feed the compressor (sliced zero-copy
-    off the Arrow data buffer), level pinned for determinism. No zlib
-    in DuckDB ⇒ rows-only; range/monotonicity/repetition behavior
-    pinned by pytest."""
+    off the Arrow data buffer), level pinned for determinism.
+    Rows-only — WHY an oracle is impossible, not just skipped: the
+    result IS the output length of DEFLATE (LZ77 window search +
+    canonical Huffman coding); no SQL engine exposes the codec, and
+    re-implementing bit-exact zlib in SQL is not a derivation an
+    oracle could be trusted to get independently right. Exporting the
+    compressed lengths would only echo engine output. Range /
+    monotonicity / repetition-sensitivity behavior pinned by pytest
+    (tests/test_quality_signals.py)."""
     import zlib
 
     ds = _documents(sf_dir, ["doc_id", "text"])
@@ -5285,27 +5291,175 @@ def q_approx_quantiles_by_type(sf_dir: str):
     """Per-event-type MRL quantile estimates — the mergeable quantile
     sketch as a GROUPED aggregate (one KB blob per (batch, key), level-
     wise merge per group); the unbounded-domain companion to the exact
-    events_value_percentiles. Rows-only; per-group rank error vs exact
-    pinned in tests/test_sketch.py."""
+    events_value_percentiles. Since r5: each group's final merged
+    sketch rides out of the merge task as marker rows (q = −(level+1))
+    — exported from THE task that produced the answers, so the oracle
+    validates and re-derives from the exact same compaction — and the
+    sketch-validating SQL oracle recomputes every estimate (see
+    q_approx_quantiles). Per-group rank error vs exact remains pinned
+    in tests/test_sketch.py."""
     from ..functions.sketch import approx_quantiles_by_key
 
     ds = rel._read_pq(
         os.path.join(sf_dir, "events.parquet"),
         columns=["event_type", "value"],
     )
-    return approx_quantiles_by_key(ds, "event_type", "value")
+    full = approx_quantiles_by_key(
+        ds, "event_type", "value", with_sketch=True
+    ).take_all()  # bounded: |types| × (|qs| + MRL_K·levels) rows
+    sketch_levels = [
+        (r["event_type"], int(-r["q"]) - 1, [r["estimate"]])
+        for r in full
+        if r["q"] < 0
+    ]
+    _export_mrl_sketch(sketch_levels, "mrl_by_type.parquet", grouped=True)
+    est = [r for r in full if r["q"] > 0]
+    return pa.table(
+        {
+            "event_type": pa.array(
+                [r["event_type"] for r in est], pa.string()
+            ),
+            "q": pa.array([r["q"] for r in est], pa.float64()),
+            "estimate": pa.array([r["estimate"] for r in est], pa.float64()),
+        }
+    )
 
 
 def q_approx_quantiles(sf_dir: str):
     """MRL/KLL-family mergeable quantile sketch over event values —
-    one partial-sketch pass, no sort shuffle (rows-only: compaction is
-    merge-topology-dependent by nature; ≤0.5 % rank error and merge
-    associativity pinned by tests/test_sketch.py against the exact
-    order statistics)."""
+    one partial-sketch pass, no sort shuffle. Since r5 the FINAL
+    merged sketch is exported as (item, weight=2^level) rows and the
+    DuckDB oracle (a) VALIDATES it against the raw table — total
+    weight must equal the non-null row count exactly (the compactor's
+    odd-element rule never drops weight) and every item must be an
+    actual data value — then (b) re-derives every estimate from the
+    validated sketch with the engine's rule: the smallest value whose
+    cumulative weight reaches ceil(q·N). Only the compaction CHOICES
+    (which elements survive a halving) stay engine-side; ≤0.5 % rank
+    error and merge associativity remain pinned by
+    tests/test_sketch.py."""
     from ..functions.sketch import approx_quantiles
 
     ds = rel._read_pq(os.path.join(sf_dir, "events.parquet"), columns=["value"])
-    return approx_quantiles(ds, "value")
+    levels_out: list = []
+    t = approx_quantiles(ds, "value", levels_out=levels_out)
+    _export_mrl_sketch(levels_out[0], "mrl_global.parquet")
+    return t
+
+
+_MRL_EXPORT_DIR = "/tmp/rsmetacheck_mrl_oracle"
+
+
+def _export_mrl_sketch(levels, fname: str, grouped: bool = False) -> None:
+    """(item, weight) rows of a merged MRL sketch — atomic tmp+rename
+    like the other oracle parameter exports. ``grouped``: levels is an
+    iterable of (key, level, values) instead of a per-level list."""
+    import pyarrow.parquet as _pq
+
+    os.makedirs(_MRL_EXPORT_DIR, exist_ok=True)
+    out = os.path.join(_MRL_EXPORT_DIR, fname)
+    tmp = out + f".tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+    items, weights, kcol = [], [], []
+    if not grouped:
+        for lvl, buf in enumerate(levels):
+            items.extend(float(x) for x in buf)
+            weights.extend([1 << lvl] * len(buf))
+        cols = {
+            "item": pa.array(items, pa.float64()),
+            "weight": pa.array(weights, pa.int64()),
+        }
+    else:
+        for key, lvl, buf in levels:
+            items.extend(float(x) for x in buf)
+            weights.extend([1 << lvl] * len(buf))
+            kcol.extend([key] * len(buf))
+        cols = {
+            "key": pa.array(kcol, pa.string()),
+            "item": pa.array(items, pa.float64()),
+            "weight": pa.array(weights, pa.int64()),
+        }
+    _pq.write_table(pa.table(cols), tmp)
+    os.replace(tmp, out)
+
+
+def _sql_approx_quantiles(by_type: bool) -> str:
+    """Sketch-validating oracle (see q_approx_quantiles). The CASE
+    gate nulls every estimate when the export is inconsistent with the
+    raw table, so a bogus sketch can never hash-match."""
+    from ..functions.sketch import MRL_QS, MRL_QS_BY_KEY
+
+    qs = MRL_QS_BY_KEY if by_type else MRL_QS
+    path = os.path.join(
+        _MRL_EXPORT_DIR,
+        "mrl_by_type.parquet" if by_type else "mrl_global.parquet",
+    )
+    qvals = ", ".join(f"({q})" for q in qs)
+    if not by_type:
+        return f"""
+WITH sk AS (SELECT item, weight FROM read_parquet('{path}')),
+raw AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS c FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value)
+),
+tot AS (SELECT CAST(SUM(weight) AS BIGINT) AS n FROM sk),
+valid AS (
+  SELECT (SELECT n FROM tot) = (SELECT c FROM raw)
+    AND NOT EXISTS (
+      SELECT 1 FROM sk
+      WHERE item NOT IN (SELECT value FROM events WHERE value IS NOT NULL)
+    ) AS ok
+),
+g AS (SELECT item, CAST(SUM(weight) AS BIGINT) AS w FROM sk GROUP BY item),
+c AS (SELECT item, SUM(w) OVER (ORDER BY item) AS cw FROM g),
+qs(q) AS (VALUES {qvals})
+SELECT CAST(q AS DOUBLE) AS q,
+  CASE WHEN (SELECT ok FROM valid) THEN (
+    SELECT MIN(item) FROM c, tot
+    WHERE cw >= GREATEST(1, LEAST(CAST(ceil(q * tot.n) AS BIGINT), tot.n))
+  ) END AS estimate
+FROM qs
+"""
+    return f"""
+WITH sk AS (
+  SELECT key AS event_type, item, weight FROM read_parquet('{path}')
+),
+raw AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS c FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value) GROUP BY event_type
+),
+tot AS (
+  SELECT event_type, CAST(SUM(weight) AS BIGINT) AS n
+  FROM sk GROUP BY event_type
+),
+valid AS (
+  SELECT t.event_type,
+    t.n = r.c AND NOT EXISTS (
+      SELECT 1 FROM sk s
+      WHERE s.event_type = t.event_type AND s.item NOT IN (
+        SELECT value FROM events e
+        WHERE e.event_type = t.event_type AND value IS NOT NULL
+      )
+    ) AS ok
+  FROM tot t JOIN raw r ON r.event_type = t.event_type
+),
+g AS (
+  SELECT event_type, item, CAST(SUM(weight) AS BIGINT) AS w
+  FROM sk GROUP BY event_type, item
+),
+c AS (
+  SELECT event_type, item,
+    SUM(w) OVER (PARTITION BY event_type ORDER BY item) AS cw
+  FROM g
+),
+qs(q) AS (VALUES {qvals})
+SELECT t.event_type, CAST(qs.q AS DOUBLE) AS q,
+  CASE WHEN v.ok THEN (
+    SELECT MIN(item) FROM c
+    WHERE c.event_type = t.event_type
+      AND cw >= GREATEST(1, LEAST(CAST(ceil(qs.q * t.n) AS BIGINT), t.n))
+  ) END AS estimate
+FROM tot t JOIN valid v ON v.event_type = t.event_type CROSS JOIN qs
+"""
 
 
 def q_approx_quantiles_sampled(sf_dir: str):
@@ -5392,9 +5546,19 @@ def _sql_customer_rfm_bins() -> str:
 
 
 def q_doc_chunk_fingerprints(sf_dir: str):
-    """Content-defined rolling-hash chunk fingerprints (rows-only: the
-    chunk boundary function is not SQL-expressible; properties pinned
-    by tests/test_fingerprint.py)."""
+    """Content-defined rolling-hash chunk fingerprints. Rows-only —
+    WHY: a chunk boundary is a stateful per-BYTE decision (gear
+    rolling hash with FastCDC min/avg/max bounds: the hash value at
+    byte i depends on the previous 64 bytes AND the position of the
+    previous cut), so a faithful SQL re-derivation would be a
+    per-byte recursive CTE over every document — at which point the
+    oracle is a second implementation of the chunker, not an
+    independent check (and the u64 wraparound would ride the same
+    splitmix-CTE emulation the engine exports, proving nothing).
+    Instead the DERIVED pair queries (dedup_partial_overlap) carry
+    full oracles over the exported chunk table, and the chunker
+    itself is pinned by tests/test_fingerprint.py (boundary
+    determinism, bounds, shift-resistance)."""
     from ..functions.fingerprint import chunk_fingerprints
 
     return chunk_fingerprints(_documents(sf_dir, ["doc_id", "text"]))
@@ -7851,12 +8015,62 @@ def q_pack_ffd(sf_dir: str):
     """Whole-document First-Fit-Decreasing packing into fixed-capacity
     training sequences (functions/packing.pack_ffd) — the boundary-
     preserving alternative to pack_sequences' concat-then-chunk. The
-    greedy is inherently sequential (rows-only by nature, like the
-    sketches); capacity/determinism/≤-next-fit/partition-invariance
-    are pinned by tests/test_packing.py."""
+    greedy is sequential per shard, but FINITE-STATE per step — the
+    open-bin remaining-capacity vector — so the oracle re-derives the
+    whole assignment from raw text with a recursive CTE that folds the
+    per-shard doc sequence (size DESC, id ASC) through an explicit
+    bins LIST (indexed list_transform to decrement the first fit,
+    list_append to open; DuckDB list_position returns 0 for
+    not-found). Full hash oracle since r5; capacity/determinism/
+    ≤-next-fit/partition-invariance additionally pinned by
+    tests/test_packing.py."""
     from ..functions.packing import pack_ffd
 
     return pack_ffd(_documents(sf_dir, ["doc_id", "text"]))
+
+
+def _sql_pack_ffd() -> str:
+    from ..functions.packing import DEFAULT_CAPACITY, DEFAULT_SHARD_SIZE
+    from ..functions.tokenize import WS_TOKEN_RE
+
+    cap, ss = DEFAULT_CAPACITY, DEFAULT_SHARD_SIZE
+    return rf"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, CAST(doc_id // {ss} AS BIGINT) AS shard,
+    CAST(len(regexp_extract_all(COALESCE(text,''), '{WS_TOKEN_RE}'))
+      AS BIGINT) AS n_tokens
+  FROM documents
+),
+ordered AS (
+  SELECT doc_id, shard, n_tokens,
+    ROW_NUMBER() OVER (
+      PARTITION BY shard ORDER BY n_tokens DESC, doc_id) AS rk
+  FROM toks WHERE n_tokens > 0
+),
+fold AS (
+  SELECT shard, rk, doc_id, n_tokens, CAST(0 AS BIGINT) AS bin,
+    [{cap} - n_tokens] AS bins
+  FROM ordered WHERE rk = 1
+  UNION ALL
+  SELECT o.shard, o.rk, o.doc_id, o.n_tokens,
+    CAST(CASE
+      WHEN o.n_tokens <= {cap} AND list_position(
+        list_transform(f.bins, b -> b >= o.n_tokens), true) > 0
+      THEN list_position(
+        list_transform(f.bins, b -> b >= o.n_tokens), true) - 1
+      ELSE len(f.bins) END AS BIGINT) AS bin,
+    CASE
+      WHEN o.n_tokens <= {cap} AND list_position(
+        list_transform(f.bins, b -> b >= o.n_tokens), true) > 0
+      THEN list_transform(f.bins, (b, j) ->
+        CASE WHEN j = list_position(
+          list_transform(f.bins, x -> x >= o.n_tokens), true)
+        THEN b - o.n_tokens ELSE b END)
+      ELSE list_append(f.bins, {cap} - o.n_tokens) END AS bins
+  FROM fold f JOIN ordered o ON o.shard = f.shard AND o.rk = f.rk + 1
+)
+SELECT doc_id, shard, n_tokens, bin FROM fold
+"""
 
 
 def q_dedup_embedding_pairs(sf_dir: str):
@@ -10579,8 +10793,12 @@ def registry() -> dict[str, tuple]:
             q_approx_distinct_users_by_type,
             _sql_approx_distinct_users_by_type(),
         ),
-        "approx_quantiles": (q_approx_quantiles, None),  # sketch
-        "approx_quantiles_by_type": (q_approx_quantiles_by_type, None),  # sketch
+        "approx_quantiles": (
+            q_approx_quantiles, _sql_approx_quantiles(False)
+        ),  # sketch-validating oracle
+        "approx_quantiles_by_type": (
+            q_approx_quantiles_by_type, _sql_approx_quantiles(True)
+        ),  # sketch-validating oracle
         # the partition-invariant sampled-quantile path (full oracle)
         "approx_quantiles_sampled": (
             q_approx_quantiles_sampled, _sql_sampled_quantiles(False)),
@@ -10670,7 +10888,7 @@ def registry() -> dict[str, tuple]:
         "dedup_survivors": (q_dedup_survivors, SQL_DEDUP_SURVIVORS),
         "decontaminate": (q_decontaminate, _sql_decontaminate()),
         "pack_sequences": (q_pack_sequences, _sql_pack_sequences()),
-        "pack_ffd": (q_pack_ffd, None),  # greedy: inherently sequential
+        "pack_ffd": (q_pack_ffd, _sql_pack_ffd()),  # recursive-CTE fold
         "chunk_tokens": (q_chunk_tokens, _sql_chunk_tokens()),
         "top_tokens": (q_top_tokens, _sql_top_tokens()),
         "vocab_coverage": (q_vocab_coverage, _sql_vocab_coverage()),
