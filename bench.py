@@ -640,6 +640,9 @@ BENCH_QUERIES = [
     "customer_trend_mix",
     "customer_km_survival",
     "blocking_recall",
+    # round-5 additions
+    "moore_lewis_select",
+    "source_psi_chars",
 ]
 
 

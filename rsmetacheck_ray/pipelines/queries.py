@@ -7174,6 +7174,146 @@ GROUP BY occ.doc_id
 """
 
 
+# --- Moore-Lewis cross-entropy-difference selection ------------------------
+
+_ML_SRC = "src0"   # the fixed "in-domain" seed source
+_ML_K = 50
+_ML_IN_MIN = 1     # seed corpus is small: keep every bigram
+_ML_GEN_MIN = 2
+
+
+def q_moore_lewis_select(sf_dir: str):
+    """(doc_id, n_bigrams, nll_in_fp, nll_gen_fp, ce_diff): the
+    classic Moore-Lewis (ACL 2010) intelligent-selection rule — score
+    every document under an IN-DOMAIN bigram LM (trained on the
+    ``{_ML_SRC}`` seed source alone) and a GENERAL LM (trained on the
+    whole corpus), rank by the per-bigram cross-entropy difference
+    H_in − H_gen and keep the ``{_ML_K}`` most in-domain-like
+    documents (ties → doc_id). The curation move behind most
+    domain-targeted webtext subsets.
+
+    Plan: two co-partitioned train→score lineages (functions/
+    ngram_lm.score_bigram_lm — LM rows and doc-bigram rows share ONE
+    bigram-key-hash shuffle each, no broadcast of a vocab²-sized
+    model), a doc_id hash join of the two exact fixed-point NLL
+    tables, then top-k by local per-batch prune + one bounded merge.
+    Both NLLs are int64 nano-log fixed-point, so ce_diff is one float
+    division of exact ints — bit-identical in the oracle, which
+    re-derives BOTH LMs from raw text (no export)."""
+    from ..functions.ngram_lm import score_bigram_lm, train_bigram_lm
+    from .join import join as generic_join
+
+    docs = _documents(sf_dir, ["doc_id", "text", "source"])
+
+    def in_domain(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b.column("source"), _ML_SRC))
+
+    lm_in = train_bigram_lm(
+        docs.map_batches(in_domain, batch_format="pyarrow"),
+        min_count=_ML_IN_MIN,
+    )
+    s_in = score_bigram_lm(docs, lm=lm_in)
+    s_gen = score_bigram_lm(docs, min_count=_ML_GEN_MIN)
+
+    def rename_in(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "n_bigrams": b.column("n_bigrams"),
+                "nll_in_fp": b.column("nll_fp"),
+            }
+        )
+
+    def rename_gen(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "nll_gen_fp": b.column("nll_fp"),
+            }
+        )
+
+    joined = generic_join(
+        s_in.map_batches(rename_in, batch_format="pyarrow"),
+        s_gen.map_batches(rename_gen, batch_format="pyarrow"),
+        on="doc_id",
+        how="inner",
+    )
+    cols = ["doc_id", "n_bigrams", "nll_in_fp", "nll_gen_fp", "ce_diff"]
+
+    def prune(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        nb = b.column("n_bigrams").to_numpy(zero_copy_only=False)
+        ni = b.column("nll_in_fp").to_numpy(zero_copy_only=False)
+        ng = b.column("nll_gen_fp").to_numpy(zero_copy_only=False)
+        ce = (ni - ng).astype(np.float64) / (nb.astype(np.float64) * 1e9)
+        keep = np.lexsort((ids, ce))[:_ML_K]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep], pa.int64()),
+                "n_bigrams": pa.array(nb[keep], pa.int64()),
+                "nll_in_fp": pa.array(ni[keep], pa.int64()),
+                "nll_gen_fp": pa.array(ng[keep], pa.int64()),
+                "ce_diff": pa.array(ce[keep], pa.float64()),
+            }
+        )
+
+    # local per-batch prune (≤ K rows/batch survive) then one bounded
+    # final merge — the distributed top-k discipline, never a full sort
+    return (
+        joined.map_batches(prune, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(prune, batch_format="pyarrow")
+        .select_columns(cols)
+    )
+
+
+def _sql_moore_lewis() -> str:
+    from ..functions.tokenize import WS_TOKEN_RE
+
+    def lm_ctes(tag: str, where: str, min_count: int) -> str:
+        return f"""
+counts_{tag} AS (
+  SELECT w1, w2, COUNT(*) AS n FROM occ {where} GROUP BY w1, w2
+),
+tot_{tag} AS (SELECT w1, SUM(n) AS t FROM counts_{tag} GROUP BY w1),
+lm_{tag} AS (
+  SELECT c.w1, c.w2, CAST(c.n AS DOUBLE) / CAST(t.t AS DOUBLE) AS p
+  FROM counts_{tag} c JOIN tot_{tag} t USING (w1)
+  WHERE c.n >= {min_count}
+),
+nll_{tag} AS (
+  SELECT occ.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+    CAST(SUM(CAST(floor(-ln(COALESCE(lm_{tag}.p, 1e-9)) * 1000000000.0)
+         AS BIGINT)) AS BIGINT) AS nll_fp
+  FROM occ LEFT JOIN lm_{tag} USING (w1, w2)
+  GROUP BY occ.doc_id
+)"""
+
+    return f"""
+WITH words AS (
+  SELECT d.doc_id, d.source,
+         unnest(regexp_extract_all(text, '{WS_TOKEN_RE}')) AS w,
+         unnest(generate_series(1,
+           len(regexp_extract_all(text, '{WS_TOKEN_RE}')))) AS i
+  FROM documents d
+),
+big AS (
+  SELECT doc_id, source, w AS w1,
+         LEAD(w) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+  FROM words
+),
+occ AS (SELECT doc_id, source, w1, w2 FROM big WHERE w2 IS NOT NULL),
+{lm_ctes("ind", f"WHERE source = '{_ML_SRC}'", _ML_IN_MIN).strip()},
+{lm_ctes("gen", "", _ML_GEN_MIN).strip()}
+SELECT a.doc_id, a.n_bigrams,
+  a.nll_fp AS nll_in_fp, g.nll_fp AS nll_gen_fp,
+  CAST(a.nll_fp - g.nll_fp AS DOUBLE)
+    / (CAST(a.n_bigrams AS DOUBLE) * 1000000000.0) AS ce_diff
+FROM nll_ind a JOIN nll_gen g USING (doc_id)
+ORDER BY ce_diff, a.doc_id LIMIT {_ML_K}
+"""
+
+
 # --- BPE tokenizer training + application ----------------------------------
 #
 # Both BPE queries are FULL hash oracles. The shared primitive is a
@@ -10898,6 +11038,7 @@ def registry() -> dict[str, tuple]:
         "importance_sample": (q_importance_sample, _sql_importance_sample()),
         "train_bigram_lm": (q_train_bigram_lm, _sql_train_bigram_lm()),
         "score_bigram_lm": (q_score_bigram_lm, _sql_score_bigram_lm()),
+        "moore_lewis_select": (q_moore_lewis_select, _sql_moore_lewis()),
         "shuffle_shards": (q_shuffle_shards, _sql_shuffle_shards()),
         "split_assign": (q_split_assign, _sql_split_assign()),
         "split_leakage": (q_split_leakage, _sql_split_leakage()),
@@ -11068,6 +11209,7 @@ def registry() -> dict[str, tuple]:
             .replace("{host_re}", _skew_host_re()),
         ),
         "source_cvm_length": (st.source_cvm_length, st.SOURCE_CVM_LENGTH_SQL),
+        "source_psi_chars": (st.source_psi_chars, st.SOURCE_PSI_SQL),
         "lang_simpson": (st.lang_simpson, st._lang_simpson_sql()),
         "lang_shannon": (st.lang_shannon, st._lang_shannon_sql()),
         "dedup_degree_hist": (q_dedup_degree_hist, SQL_DEDUP_DEGREE_HIST),

@@ -1390,3 +1390,147 @@ SELECT CAST(period AS BIGINT) AS period_hours, big_n AS n_events, n_hours,
 FROM a
 ORDER BY period_hours
 """
+
+
+# ---------------------------------------------------------------------------
+# Population Stability Index — the standard model-monitoring drift
+# score between each source's document-length distribution and the
+# corpus-wide reference (r5). PSI < 0.1 "stable", 0.1-0.25 "shifting",
+# > 0.25 "population changed" — the triage number a curation team
+# watches per ingest source before anything subtler (KS/CvM above)
+# is consulted.
+# ---------------------------------------------------------------------------
+
+# fixed power-of-two char-length bin edges: bin k = first edge > n
+# (searchsorted right), so the binning is pure integer comparison —
+# bit-identical between numpy and the oracle's CASE chain
+PSI_EDGES = (64, 128, 256, 512, 1024, 2048, 4096)
+_PSI_B = len(PSI_EDGES) + 1
+
+
+def source_psi_chars(sf_dir: str) -> pa.Table:
+    """(source, n_docs, psi): PSI of each source's n_chars histogram
+    against the whole corpus, over the fixed ``PSI_EDGES`` bins with
+    0.5-per-bin Laplace smoothing (so an empty bin contributes a
+    finite, deterministic term instead of ±inf).
+
+    Float discipline: p = (c+0.5)/(n+B/2), q = (g+0.5)/(N+B/2),
+    term = (p−q)·ln(p/q), accumulated in FIXED bin order with libm
+    log (CPython math.log = DuckDB ln; the oracle folds the same
+    terms with list_sum over an ORDER BY bin list — both sequential).
+
+    Plan: per-batch Arrow group_by (source, bin) pre-combine → the
+    strict bounded reduce (|sources|·B rows) → O(|sources|·B) driver
+    arithmetic. ONE pass, two pruned int columns, no text."""
+    ds = _read_pq(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["source", "n_chars"],
+    )
+    edges = np.asarray(PSI_EDGES, np.int64)
+
+    def partial(b: pa.Table) -> pa.Table:
+        nc = pc.cast(b.column("n_chars"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        t = pa.table(
+            {
+                "source": b.column("source"),
+                "bin": pa.array(
+                    np.searchsorted(edges, nc, side="right"), pa.int64()
+                ),
+            }
+        )
+        g = t.group_by(["source", "bin"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "source": g.column("source"),
+                "bin": g.column("bin"),
+                "c": pc.cast(g.column("count_all"), pa.int64()),
+            }
+        )
+
+    tbl = bounded_group_table_strict(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["source", "bin"],
+        [("c", "sum")],
+    )
+    empty = pa.table(
+        {
+            "source": pa.array([], pa.string()),
+            "n_docs": pa.array([], pa.int64()),
+            "psi": pa.array([], pa.float64()),
+        }
+    )
+    if tbl is None or tbl.num_rows == 0:
+        return empty
+    counts: dict[str, list[int]] = {}
+    for src, bin_, c in zip(
+        tbl.column("source").to_pylist(),
+        tbl.column("bin").to_pylist(),
+        tbl.column("c").to_pylist(),
+    ):
+        counts.setdefault(src, [0] * _PSI_B)[bin_] += int(c)
+    glob = [0] * _PSI_B
+    for row in counts.values():
+        for k in range(_PSI_B):
+            glob[k] += row[k]
+    n_total = sum(glob)
+    half_b = _PSI_B / 2.0
+    out_s, out_n, out_p = [], [], []
+    for src in sorted(counts, key=lambda s: (s is None, s or "")):
+        row = counts[src]
+        n_s = sum(row)
+        acc = 0.0
+        for k in range(_PSI_B):  # fixed bin order == the oracle's fold
+            p = (row[k] + 0.5) / (n_s + half_b)
+            q = (glob[k] + 0.5) / (n_total + half_b)
+            acc += (p - q) * math.log(p / q)
+        out_s.append(src)
+        out_n.append(n_s)
+        out_p.append(acc)
+    return pa.table(
+        {
+            "source": pa.array(out_s, pa.string()),
+            "n_docs": pa.array(out_n, pa.int64()),
+            "psi": pa.array(out_p, pa.float64()),
+        }
+    )
+
+
+def _psi_case_sql() -> str:
+    parts = []
+    for k, e in enumerate(PSI_EDGES):
+        parts.append(f"WHEN n_chars < {e} THEN {k}")
+    return "CASE " + " ".join(parts) + f" ELSE {len(PSI_EDGES)} END"
+
+
+SOURCE_PSI_SQL = f"""
+WITH b AS (
+  SELECT source, {_psi_case_sql()} AS bin FROM documents
+),
+cnt AS (
+  SELECT source, bin, CAST(COUNT(*) AS BIGINT) AS c
+  FROM b GROUP BY source, bin
+),
+src AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY source),
+bins AS (SELECT unnest(generate_series(0, {len(PSI_EDGES)})) AS bin),
+grid AS (
+  SELECT s.source, s.n, bins.bin, COALESCE(c.c, 0) AS c
+  FROM src s CROSS JOIN bins
+  LEFT JOIN cnt c ON c.source IS NOT DISTINCT FROM s.source
+                 AND c.bin = bins.bin
+),
+gtot AS (SELECT bin, CAST(SUM(c) AS BIGINT) AS g FROM grid GROUP BY bin),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM src),
+terms AS (
+  SELECT grid.source, grid.n, grid.bin,
+    ((grid.c + 0.5) / (grid.n + {_PSI_B} / 2.0)
+      - (gtot.g + 0.5) / (tot.nt + {_PSI_B} / 2.0))
+    * ln(((grid.c + 0.5) / (grid.n + {_PSI_B} / 2.0))
+         / ((gtot.g + 0.5) / (tot.nt + {_PSI_B} / 2.0))) AS term
+  FROM grid JOIN gtot USING (bin) CROSS JOIN tot
+)
+SELECT source, ANY_VALUE(n) AS n_docs,
+  list_sum(list(term ORDER BY bin)) AS psi
+FROM terms GROUP BY source
+"""
