@@ -643,6 +643,7 @@ BENCH_QUERIES = [
     # round-5 additions
     "moore_lewis_select",
     "source_psi_chars",
+    "dedup_bcubed",
 ]
 
 

@@ -5726,6 +5726,211 @@ def q_dedup_components(sf_dir: str):
     return connected_components(_cc_edges(corpus))
 
 
+_BC_FP = 1_000_000  # micro-units; n_ct²·FP ≤ int64 while n_ct ≤ 3·10⁶
+
+
+def q_dedup_bcubed(sf_dir: str):
+    """One-row (n_docs, sum_p_fp, sum_r_fp, bcubed_p, bcubed_r,
+    bcubed_f1): B-cubed evaluation of the near-dup CLUSTERING against
+    the exact-duplicate TRUTH — per-document precision |C∩T|/|C| and
+    recall |C∩T|/|T| averaged over the corpus, the standard
+    cluster-quality score (Bagga & Baldwin 1998; Amigó 2009 showed
+    it's the only common metric passing all four formal constraints).
+    Clusters = the prefix∪suffix near-dup components; truth = exact
+    text equality (the planted %10 replicas). Reading: recall 1 means
+    every exact-dup pair landed in one cluster; precision < 1 charges
+    the clustering for every over-merge.
+
+    Exactness: Σ_{c,t} n_ct²/n_c and Σ n_ct²/n_t are folded in int64
+    MICRO-units (floor(n_ct²·10⁶/n)) — order-free integer sums, so
+    the distributed reduce and the oracle agree bitwise; the three
+    doubles are single divisions/one F1 expression of those ints.
+
+    Plan (join-free): components + a text-hash truth pass merge on a
+    doc_id-keyed shuffle; (cid, tid) counting, per-cid then per-tid
+    rollups carry n_c / n_t along as group constants — four shuffles
+    of ≤16-byte rows, no broadcast, no driver materialization beyond
+    the final partial rows."""
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..functions.components import connected_components
+    from ..functions.hashing import hash_str_arrow_u128
+
+    corpus = _cc_corpus(sf_dir)
+    comp = connected_components(_cc_edges(corpus))
+
+    def hkeys(b: pa.Table) -> pa.Table:
+        text = b.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        lo, hi = hash_str_arrow_u128(pc.fill_null(text, ""))
+        return pa.table(
+            {
+                "doc_id": pc.cast(b.column("doc_id"), pa.int64()),
+                "h1": pa.array(lo.view(np.int64), pa.int64()),
+                "h2": pa.array(hi.view(np.int64), pa.int64()),
+            }
+        )
+
+    def tgroup(g: pa.Table) -> pa.Table:
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "cid": pa.array(np.full(len(ids), -1, np.int64)),
+                "tid": pa.array(
+                    np.full(len(ids), ids.min(), np.int64), pa.int64()
+                ),
+            }
+        )
+
+    truth = (
+        corpus.map_batches(hkeys, batch_format="pyarrow")
+        .groupby(["h1", "h2"])
+        .map_groups(tgroup, batch_format="pyarrow")
+    )
+
+    def c_rows(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.cast(b.column("doc_id"), pa.int64()),
+                "cid": pc.cast(b.column("component_id"), pa.int64()),
+                "tid": pa.array(np.full(len(b), -1, np.int64)),
+            }
+        )
+
+    def merge_doc(g: pa.Table) -> pa.Table:
+        did = int(g.column("doc_id")[0].as_py())
+        cid = max(g.column("cid").to_pylist())
+        tid = max(g.column("tid").to_pylist())
+        return pa.table(
+            {
+                "cid": pa.array([cid if cid >= 0 else did], pa.int64()),
+                "tid": pa.array([tid], pa.int64()),
+            }
+        )
+
+    merged = (
+        truth.union(comp.map_batches(c_rows, batch_format="pyarrow"))
+        .groupby("doc_id")
+        .map_groups(merge_doc, batch_format="pyarrow")
+    )
+
+    def per_c(g: pa.Table) -> pa.Table:
+        tids = g.column("tid").to_numpy(zero_copy_only=False)
+        # rows are one per doc here; count per (cid, tid) locally
+        ut, cnt = np.unique(tids, return_counts=True)
+        n_c = int(cnt.sum())
+        return pa.table(
+            {
+                "tid": pa.array(ut, pa.int64()),
+                "n_ct": pa.array(cnt.astype(np.int64), pa.int64()),
+                "n_c": pa.array(np.full(len(ut), n_c, np.int64)),
+            }
+        )
+
+    def per_t(g: pa.Table) -> pa.Table:
+        nct = g.column("n_ct").to_numpy(zero_copy_only=False)
+        nc = g.column("n_c").to_numpy(zero_copy_only=False)
+        n_t = int(nct.sum())
+        sp = int((nct * nct * _BC_FP // nc).sum())
+        sr = int((nct * nct * _BC_FP // n_t).sum())
+        return pa.table(
+            {
+                "nd": pa.array([n_t], pa.int64()),
+                "sp": pa.array([sp], pa.int64()),
+                "sr": pa.array([sr], pa.int64()),
+            }
+        )
+
+    parts = (
+        merged.groupby("cid")
+        .map_groups(per_c, batch_format="pyarrow")
+        .groupby("tid")
+        .map_groups(per_t, batch_format="pyarrow")
+    )
+    tot = parts.aggregate(_Sum("nd"), _Sum("sp"), _Sum("sr"))
+    n_docs = int(tot["sum(nd)"] or 0)
+    sp = int(tot["sum(sp)"] or 0)
+    sr = int(tot["sum(sr)"] or 0)
+    if n_docs == 0:
+        p = r = f1 = 0.0
+    else:
+        p = sp / (float(_BC_FP) * n_docs)
+        r = sr / (float(_BC_FP) * n_docs)
+        f1 = 2.0 * p * r / (p + r) if (p + r) > 0 else 0.0
+    return pa.table(
+        {
+            "n_docs": pa.array([n_docs], pa.int64()),
+            "sum_p_fp": pa.array([sp], pa.int64()),
+            "sum_r_fp": pa.array([sr], pa.int64()),
+            "bcubed_p": pa.array([p], pa.float64()),
+            "bcubed_r": pa.array([r], pa.float64()),
+            "bcubed_f1": pa.array([f1], pa.float64()),
+        }
+    )
+
+
+def _sql_dedup_bcubed() -> str:
+    # deferred formatting: SQL_DEDUP_COMPONENTS is defined below
+    return f"""
+WITH RECURSIVE
+{_CC_CORPUS_SQL.strip()},
+pk AS (SELECT doc_id, substr(text, 1, {_CC_PREFIX}) AS k FROM corpus),
+sk AS (
+  SELECT doc_id,
+    CASE WHEN length(text) >= {_CC_PREFIX}
+         THEN substr(text, length(text) - {_CC_PREFIX - 1}, {_CC_PREFIX})
+         ELSE text END AS k
+  FROM corpus
+),
+pe AS (SELECT min(doc_id) OVER (PARTITION BY k) AS a, doc_id AS b FROM pk),
+se AS (SELECT min(doc_id) OVER (PARTITION BY k) AS a, doc_id AS b FROM sk),
+edges0 AS (
+  SELECT a, b FROM pe WHERE a < b
+  UNION
+  SELECT a, b FROM se WHERE a < b
+),
+edges AS (SELECT a, b FROM edges0 UNION SELECT b, a FROM edges0),
+reach AS (
+  SELECT a AS node, b AS r FROM edges
+  UNION
+  SELECT e.a, r.r FROM edges e JOIN reach r ON e.b = r.node
+),
+comp AS (
+  SELECT node AS doc_id, least(node, min(r)) AS cid
+  FROM reach GROUP BY node
+),
+truth AS (
+  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS tid FROM corpus
+),
+merged AS (
+  SELECT t.doc_id, COALESCE(c.cid, t.doc_id) AS cid, t.tid
+  FROM truth t LEFT JOIN comp c USING (doc_id)
+),
+nct AS (
+  SELECT cid, tid, CAST(COUNT(*) AS BIGINT) AS n_ct
+  FROM merged GROUP BY cid, tid
+),
+nc AS (SELECT cid, CAST(SUM(n_ct) AS BIGINT) AS n_c FROM nct GROUP BY cid),
+nt AS (SELECT tid, CAST(SUM(n_ct) AS BIGINT) AS n_t FROM nct GROUP BY tid),
+agg AS (
+  SELECT CAST(SUM(n_ct) AS BIGINT) AS n_docs,
+    CAST(SUM((n_ct * n_ct * {_BC_FP}) // n_c) AS BIGINT) AS sum_p_fp,
+    CAST(SUM((n_ct * n_ct * {_BC_FP}) // n_t) AS BIGINT) AS sum_r_fp
+  FROM nct JOIN nc USING (cid) JOIN nt USING (tid)
+)
+SELECT n_docs, sum_p_fp, sum_r_fp,
+  CAST(sum_p_fp AS DOUBLE) / ({_BC_FP}.0 * n_docs) AS bcubed_p,
+  CAST(sum_r_fp AS DOUBLE) / ({_BC_FP}.0 * n_docs) AS bcubed_r,
+  2.0 * (CAST(sum_p_fp AS DOUBLE) / ({_BC_FP}.0 * n_docs))
+      * (CAST(sum_r_fp AS DOUBLE) / ({_BC_FP}.0 * n_docs))
+    / (CAST(sum_p_fp AS DOUBLE) / ({_BC_FP}.0 * n_docs)
+       + CAST(sum_r_fp AS DOUBLE) / ({_BC_FP}.0 * n_docs)) AS bcubed_f1
+FROM agg
+"""
+
+
 def q_dedup_component_sizes(sf_dir: str):
     """(size, n_components): distribution of near-dup cluster sizes —
     how much of the duplication is pairs vs large templated families.
@@ -10951,6 +11156,7 @@ def registry() -> dict[str, tuple]:
             q_dedup_partial_overlap, SQL_DEDUP_PARTIAL_OVERLAP,
         ),
         "dedup_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),
+        "dedup_bcubed": (q_dedup_bcubed, _sql_dedup_bcubed()),
         "rank_dedup_graph": (q_rank_dedup_graph, _sql_rank_dedup_graph()),
         "dedup_graph_bfs": (q_dedup_graph_bfs, SQL_DEDUP_GRAPH_BFS),
         "dedup_graph_diameter": (
