@@ -644,6 +644,7 @@ BENCH_QUERIES = [
     "moore_lewis_select",
     "source_psi_chars",
     "dedup_bcubed",
+    "decontaminate_attribution",
 ]
 
 

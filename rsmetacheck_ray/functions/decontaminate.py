@@ -167,3 +167,140 @@ def contaminated_docs(
         cached_stage(_ContaminationProbe, gram_ref, id_col, text_col, k),
         batch_format="pyarrow",
     )
+
+
+# ---------------------------------------------------------------------------
+# per-benchmark-item attribution (r5): not just WHICH corpus docs are
+# contaminated, but WHICH eval items they leak — the report an eval
+# owner needs to decide whether a benchmark is burned (one item
+# replicated across the web vs. diffuse 5-gram noise).
+# ---------------------------------------------------------------------------
+
+class _AttributionProbe:
+    """Cached-task probe against the broadcast (gram → bench-item)
+    index. Emits LOCALLY-DEDUPED (bench_id, kind, val) rows — kind 0
+    carries a contaminating corpus doc id, kind 1 a shared gram hash —
+    so the one shuffle groups by bench item and the final count is a
+    distinct-count per kind."""
+
+    def __init__(self, idx_ref, id_col: str, text_col: str, k: int):
+        # (sorted unique gram hashes, CSR offsets, flat bench ids)
+        self.grams, self.offs, self.bids = ray.get(idx_ref)
+        self.id_col, self.text_col, self.k = id_col, text_col, k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "bench_id": pa.array([], pa.int64()),
+                "kind": pa.array([], pa.int64()),
+                "val": pa.array([], pa.int64()),
+            }
+        )
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        if len(ids) == 0 or len(self.grams) == 0:
+            return empty
+        di, gh = batch_gram_hashes(batch.column(self.text_col), self.k)
+        if len(di) == 0:
+            return empty
+        pos = np.searchsorted(self.grams, gh)
+        pos_c = np.minimum(pos, len(self.grams) - 1)
+        hit = self.grams[pos_c] == gh
+        md, mg, mp = di[hit], gh[hit], pos_c[hit]
+        if len(md) == 0:
+            return empty
+        # expand each matched (doc, gram) to its bench items (CSR walk)
+        counts = self.offs[mp + 1] - self.offs[mp]
+        rep_doc = np.repeat(ids[md].astype(np.int64), counts)
+        rep_gram = np.repeat(mg.view(np.int64), counts)
+        flat_idx = np.concatenate(
+            [np.arange(o, o + c) for o, c in zip(self.offs[mp], counts)]
+        ) if len(mp) else np.empty(0, np.int64)
+        rep_bid = self.bids[flat_idx]
+        rows = np.stack(
+            [
+                np.concatenate([rep_bid, rep_bid]),
+                np.concatenate(
+                    [np.zeros(len(rep_bid), np.int64),
+                     np.ones(len(rep_bid), np.int64)]
+                ),
+                np.concatenate([rep_doc, rep_gram]),
+            ]
+        )
+        uniq = np.unique(rows, axis=1)  # local dedupe before the shuffle
+        return pa.table(
+            {
+                "bench_id": pa.array(uniq[0], pa.int64()),
+                "kind": pa.array(uniq[1], pa.int64()),
+                "val": pa.array(uniq[2], pa.int64()),
+            }
+        )
+
+
+def contamination_attribution(
+    corpus: rd.Dataset,
+    bench: rd.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = DEFAULT_NGRAM,
+) -> rd.Dataset:
+    """(bench_id, n_docs, n_shared_grams) per CONTAMINATED benchmark
+    item: how many distinct corpus documents share ≥1 word k-gram
+    with it, and how many of its distinct k-grams leak at all.
+    Benchmark items with zero hits emit no row (the oracle's inner
+    join).
+
+    Plan: the benchmark side builds a driver-bounded CSR index
+    gram → [bench ids] (eval sets are MBs) broadcast once; the corpus
+    streams through a cached-task probe emitting locally-deduped
+    (bench_id, kind, val) rows; ONE groupby(bench_id) counts
+    distincts. Corpus text never shuffles."""
+    parts: list[np.ndarray] = []
+    for b in bench.iter_batches(batch_format="pyarrow", batch_size=4096):
+        ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        di, gh = batch_gram_hashes(b.column(text_col), k)
+        if len(di) == 0:
+            continue
+        pair = np.stack([gh, ids[di].astype(np.uint64)])
+        parts.append(np.unique(pair, axis=1))
+    empty = pa.table(
+        {
+            "bench_id": pa.array([], pa.int64()),
+            "n_docs": pa.array([], pa.int64()),
+            "n_shared_grams": pa.array([], pa.int64()),
+        }
+    )
+    if not parts:
+        return rd.from_arrow(empty)
+    allp = np.unique(np.concatenate(parts, axis=1), axis=1)
+    grams_sorted = allp[0]  # unique-pair sort is gram-major already
+    uniq_g, starts = np.unique(grams_sorted, return_index=True)
+    offs = np.append(starts, len(grams_sorted)).astype(np.int64)
+    idx_ref = ray.put(
+        (uniq_g, offs, allp[1].view(np.int64))
+    )
+    from .taskcache import cached_stage
+
+    tagged = corpus.map_batches(
+        cached_stage(_AttributionProbe, idx_ref, id_col, text_col, k),
+        batch_format="pyarrow",
+    )
+
+    def final(g: pa.Table) -> pa.Table:
+        bid = int(g.column("bench_id")[0].as_py())
+        kind = g.column("kind").to_numpy(zero_copy_only=False)
+        val = g.column("val").to_numpy(zero_copy_only=False)
+        n_docs = len(np.unique(val[kind == 0]))
+        n_grams = len(np.unique(val[kind == 1]))
+        return pa.table(
+            {
+                "bench_id": pa.array([bid], pa.int64()),
+                "n_docs": pa.array([n_docs], pa.int64()),
+                "n_shared_grams": pa.array([n_grams], pa.int64()),
+            }
+        )
+
+    return tagged.groupby("bench_id").map_groups(
+        final, batch_format="pyarrow"
+    )

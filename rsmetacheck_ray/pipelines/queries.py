@@ -7155,6 +7155,66 @@ GROUP BY gr.doc_id
 """
 
 
+def q_decontaminate_attribution(sf_dir: str):
+    """(bench_id, n_docs, n_shared_grams): per-benchmark-ITEM leak
+    attribution — for every contaminated eval item (docs %97), the
+    number of distinct corpus documents sharing a word 5-gram with it
+    and the number of its distinct 5-grams that leak. The report that
+    decides whether a benchmark is burned (one item replicated across
+    the web) or just collecting diffuse n-gram noise
+    (functions/decontaminate.contamination_attribution: broadcast CSR
+    gram→item index, cached-task probe, ONE bench-keyed shuffle of
+    locally-deduped 24-byte rows)."""
+    from ..functions.decontaminate import contamination_attribution
+
+    def split(keep_bench: bool):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            m = (ids % _DECON_MOD == 0) == keep_bench
+            return b.filter(pa.array(m))
+
+        return f
+
+    docs = _documents(sf_dir, ["doc_id", "text"])
+    bench = docs.map_batches(split(True), batch_format="pyarrow")
+    corpus = docs.map_batches(split(False), batch_format="pyarrow")
+    return contamination_attribution(corpus, bench, k=_DECON_K)
+
+
+def _sql_decontaminate_attribution() -> str:
+    from ..functions.tokenize import WS_TOKEN_RE
+
+    leads = " || ' ' || ".join(
+        f"LEAD(w, {j}) OVER win" for j in range(1, _DECON_K)
+    )
+    return f"""
+WITH words AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text, '{WS_TOKEN_RE}')) AS w,
+         unnest(generate_series(1, len(regexp_extract_all(text, '{WS_TOKEN_RE}')))) AS i
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, w || ' ' || {leads} AS g
+  FROM words
+  WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+  QUALIFY LEAD(w, {_DECON_K - 1}) OVER win IS NOT NULL
+),
+bench_g AS (
+  SELECT DISTINCT doc_id AS bench_id, g FROM grams
+  WHERE doc_id % {_DECON_MOD} = 0
+),
+corp_g AS (
+  SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % {_DECON_MOD} <> 0
+)
+SELECT bg.bench_id,
+  CAST(COUNT(DISTINCT cg.doc_id) AS BIGINT) AS n_docs,
+  CAST(COUNT(DISTINCT bg.g) AS BIGINT) AS n_shared_grams
+FROM bench_g bg JOIN corp_g cg ON cg.g = bg.g
+GROUP BY bg.bench_id
+"""
+
+
 def q_split_leakage(sf_dir: str):
     """(doc_id, n_shared_grams): TRAIN-split documents sharing a word
     5-gram with any VALIDATION-split document — holdout leakage
@@ -11233,6 +11293,9 @@ def registry() -> dict[str, tuple]:
         ),
         "dedup_survivors": (q_dedup_survivors, SQL_DEDUP_SURVIVORS),
         "decontaminate": (q_decontaminate, _sql_decontaminate()),
+        "decontaminate_attribution": (
+            q_decontaminate_attribution, _sql_decontaminate_attribution()
+        ),
         "pack_sequences": (q_pack_sequences, _sql_pack_sequences()),
         "pack_ffd": (q_pack_ffd, _sql_pack_ffd()),  # recursive-CTE fold
         "chunk_tokens": (q_chunk_tokens, _sql_chunk_tokens()),

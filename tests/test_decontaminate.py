@@ -75,3 +75,35 @@ def test_benchmark_grams_sorted_distinct(ray_session):
     g = benchmark_gram_hashes(_ds(BENCH + [(7, BENCH[0][1])]))
     assert len(g) == 6  # duplicate benchmark doc adds nothing
     assert np.all(np.diff(g.astype(np.uint64)) > 0)
+
+
+def test_attribution_per_bench_item(ray_session):
+    from rsmetacheck_ray.functions.decontaminate import (
+        contamination_attribution,
+    )
+
+    # bench item 100: gram A ("one two three four five") + tail;
+    # bench item 200: two distinct leaking grams; item 300: clean
+    bench = _ds([
+        (100, "one two three four five unique tail words here now"),
+        (200, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (300, "totally clean benchmark item nothing matches this text"),
+    ])
+    corpus = _ds([
+        # hits item 100's leading gram
+        (1, "prefix one two three four five suffix"),
+        # also hits item 100's leading gram (second distinct doc)
+        (2, "again one two three four five more"),
+        # hits TWO distinct grams of item 200
+        (3, "alpha beta gamma delta epsilon zeta padding padding2"),
+        # no 5-gram overlap with anything
+        (4, "completely different wording with no shared windows at all"),
+    ])
+    got = {r["bench_id"]: r
+           for r in contamination_attribution(corpus, bench).take_all()}
+    assert set(got) == {100, 200}  # item 300 emits no row
+    assert got[100]["n_docs"] == 2 and got[100]["n_shared_grams"] == 1
+    # doc 3 covers "alpha..epsilon" and "beta..zeta" (2 grams of 200),
+    # plus "alpha beta gamma delta epsilon zeta" has 2 windows
+    assert got[200]["n_docs"] == 1
+    assert got[200]["n_shared_grams"] == 2
