@@ -318,3 +318,167 @@ def score_bigram_lm(
         _Sum("n_bigrams", alias_name="n_bigrams"),
         _Sum("nll_fp", alias_name="nll_fp"),
     )
+
+
+def score_bigram_lm_pair(
+    docs: rd.Dataset,
+    lm_a: rd.Dataset,
+    lm_b: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    floor_p: float = DEFAULT_FLOOR_P,
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """(doc_id, n_bigrams, nll_a_fp, nll_b_fp): every document scored
+    under TWO LMs in ONE co-partitioned pass — the corpus is
+    tokenized and shuffled once instead of twice, for consumers that
+    need both scores per doc (Moore-Lewis contrastive selection).
+    Same exact fixed-point discipline as :func:`score_bigram_lm`."""
+    import math
+
+    from ray.data.aggregate import Sum as _Sum
+
+    from .hashing import splitmix64_np
+    from ..partitioning import adaptive_partitions, parquet_rows_hint
+
+    hint = parquet_rows_hint(docs)
+    n_parts = num_partitions or adaptive_partitions(
+        hint * 64 if hint else None, row_bytes=32
+    )
+
+    def lm_rows(src: int):
+        def fn(b: pa.Table) -> pa.Table:
+            key = _bigram_keys(
+                b.column("w1").combine_chunks(),
+                b.column("w2").combine_chunks(),
+            )
+            return pa.table(
+                {
+                    "part": pa.array(
+                        (splitmix64_np(key) % n_parts).view(np.int64),
+                        pa.int64(),
+                    ),
+                    "src": pa.array(np.full(len(key), src, np.int64)),
+                    "doc_id": pa.array(
+                        np.full(len(key), -1, np.int64), pa.int64()
+                    ),
+                    "key": pa.array(key.view(np.int64), pa.int64()),
+                    "cnt": pa.array(np.zeros(len(key), np.int64), pa.int64()),
+                    "p": b.column("p"),
+                }
+            )
+
+        return fn
+
+    def doc_rows(b: pa.Table) -> pa.Table:
+        from .tokenize import tokens_with_doc_index
+
+        empty = pa.table(
+            {
+                "part": pa.array([], pa.int64()),
+                "src": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+                "key": pa.array([], pa.int64()),
+                "cnt": pa.array([], pa.int64()),
+                "p": pa.array([], pa.float64()),
+            }
+        )
+        ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) and int(ids.min()) < 0:
+            raise ValueError(
+                "score_bigram_lm_pair requires non-negative document ids"
+            )
+        doc_idx, denc = tokens_with_doc_index(b.column(text_col))
+        if denc is None or len(doc_idx) < 2:
+            return empty
+        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        within = doc_idx[:-1] == doc_idx[1:]
+        if not within.any():
+            return empty
+        d = doc_idx[:-1][within]
+        c1, c2 = codes[:-1][within], codes[1:][within]
+        order = np.lexsort((c2, c1, d))
+        d, c1, c2 = d[order], c1[order], c2[order]
+        new = np.empty(len(d), dtype=bool)
+        new[0] = True
+        new[1:] = (d[1:] != d[:-1]) | (c1[1:] != c1[:-1]) | (c2[1:] != c2[:-1])
+        starts = np.flatnonzero(new)
+        cnt = np.diff(np.append(starts, len(d))).astype(np.int64)
+        ud, uc1, uc2 = d[starts], c1[starts], c2[starts]
+        w1 = denc.dictionary.take(pa.array(uc1, pa.int64()))
+        w2 = denc.dictionary.take(pa.array(uc2, pa.int64()))
+        key = _bigram_keys(w1, w2)
+        return pa.table(
+            {
+                "part": pa.array(
+                    (splitmix64_np(key) % n_parts).view(np.int64), pa.int64()
+                ),
+                "src": pa.array(np.zeros(len(key), np.int64)),
+                "doc_id": pa.array(ids[ud], pa.int64()),
+                "key": pa.array(key.view(np.int64), pa.int64()),
+                "cnt": pa.array(cnt, pa.int64()),
+                "p": pa.array(np.full(len(key), np.nan), pa.float64()),
+            }
+        )
+
+    def resolve(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_bigrams": pa.array([], pa.int64()),
+                "nll_a_fp": pa.array([], pa.int64()),
+                "nll_b_fp": pa.array([], pa.int64()),
+            }
+        )
+        did = g.column("doc_id").to_numpy(zero_copy_only=False)
+        src = g.column("src").to_numpy(zero_copy_only=False)
+        key = g.column("key").to_numpy(zero_copy_only=False)
+        cnt = g.column("cnt").to_numpy(zero_copy_only=False)
+        pv = g.column("p").to_numpy(zero_copy_only=False)
+        is_doc = src == 0
+        dk, dd, dc = key[is_doc], did[is_doc], cnt[is_doc]
+        if len(dk) == 0:
+            return empty
+
+        def probe(tag: int) -> np.ndarray:
+            m = src == tag
+            lk, lp = key[m], pv[m]
+            order = np.argsort(lk)
+            lk, lp = lk[order], lp[order]
+            if len(lk) == 0:
+                return np.full(len(dk), floor_p)
+            pos = np.searchsorted(lk, dk)
+            safe = np.minimum(pos, len(lk) - 1)
+            found = (pos < len(lk)) & (lk[safe] == dk)
+            return np.where(found, lp[safe], floor_p)
+
+        udoc, dinv = np.unique(dd, return_inverse=True)
+        nb = np.zeros(len(udoc), np.int64)
+        np.add.at(nb, dinv, dc)
+        cols = {
+            "doc_id": pa.array(udoc, pa.int64()),
+            "n_bigrams": pa.array(nb, pa.int64()),
+        }
+        for name, tag in (("nll_a_fp", 1), ("nll_b_fp", 2)):
+            p = probe(tag)
+            uniq, inv = np.unique(p, return_inverse=True)
+            logs = np.array([math.log(v) for v in uniq], np.float64)
+            term = np.floor((-logs[inv]) * _FP).astype(np.int64)
+            fp = np.zeros(len(udoc), np.int64)
+            np.add.at(fp, dinv, term * dc)
+            cols[name] = pa.array(fp, pa.int64())
+        return pa.table(cols)
+
+    union = (
+        lm_a.map_batches(lm_rows(1), batch_format="pyarrow")
+        .union(lm_b.map_batches(lm_rows(2), batch_format="pyarrow"))
+        .union(docs.map_batches(doc_rows, batch_format="pyarrow"))
+    )
+    partials = union.groupby("part").map_groups(
+        resolve, batch_format="pyarrow"
+    )
+    return partials.groupby("doc_id").aggregate(
+        _Sum("n_bigrams", alias_name="n_bigrams"),
+        _Sum("nll_a_fp", alias_name="nll_a_fp"),
+        _Sum("nll_b_fp", alias_name="nll_b_fp"),
+    )

@@ -7465,8 +7465,7 @@ def q_moore_lewis_select(sf_dir: str):
     Both NLLs are int64 nano-log fixed-point, so ce_diff is one float
     division of exact ints — bit-identical in the oracle, which
     re-derives BOTH LMs from raw text (no export)."""
-    from ..functions.ngram_lm import score_bigram_lm, train_bigram_lm
-    from .join import join as generic_join
+    from ..functions.ngram_lm import score_bigram_lm_pair, train_bigram_lm
 
     docs = _documents(sf_dir, ["doc_id", "text", "source"])
 
@@ -7477,31 +7476,20 @@ def q_moore_lewis_select(sf_dir: str):
         docs.map_batches(in_domain, batch_format="pyarrow"),
         min_count=_ML_IN_MIN,
     )
-    s_in = score_bigram_lm(docs, lm=lm_in)
-    s_gen = score_bigram_lm(docs, min_count=_ML_GEN_MIN)
-
-    def rename_in(b: pa.Table) -> pa.Table:
-        return pa.table(
+    lm_gen = train_bigram_lm(docs, min_count=_ML_GEN_MIN)
+    # BOTH scores in one co-partitioned pass (r5 perf: the corpus is
+    # tokenized and shuffled once, and the per-doc join disappears —
+    # the pair scorer emits both NLLs on one row)
+    joined = score_bigram_lm_pair(docs, lm_in, lm_gen).map_batches(
+        lambda b: pa.table(
             {
                 "doc_id": b.column("doc_id"),
                 "n_bigrams": b.column("n_bigrams"),
-                "nll_in_fp": b.column("nll_fp"),
+                "nll_in_fp": b.column("nll_a_fp"),
+                "nll_gen_fp": b.column("nll_b_fp"),
             }
-        )
-
-    def rename_gen(b: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "doc_id": b.column("doc_id"),
-                "nll_gen_fp": b.column("nll_fp"),
-            }
-        )
-
-    joined = generic_join(
-        s_in.map_batches(rename_in, batch_format="pyarrow"),
-        s_gen.map_batches(rename_gen, batch_format="pyarrow"),
-        on="doc_id",
-        how="inner",
+        ),
+        batch_format="pyarrow",
     )
     cols = ["doc_id", "n_bigrams", "nll_in_fp", "nll_gen_fp", "ce_diff"]
 
