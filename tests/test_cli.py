@@ -80,3 +80,31 @@ def test_export_jsonl_views(ray_session, tmp_path, capsys):
                 assert "url" in row and "scrubbed_text" in row
                 n_lines += 1
     assert n_lines == m["kept"]
+
+
+def test_gate_incremental_cli(ray_session, small_corpus, tmp_path, capsys):
+    """`gate --incremental` end to end through the CLI: first run
+    gates everything, second run with no new fragments is a no-op
+    delta with identical merged metrics."""
+    import glob
+    import json as _json
+    import os
+    import shutil
+
+    pages_dir, _ = small_corpus
+    lake = tmp_path / "lake"
+    os.makedirs(lake)
+    for f in sorted(glob.glob(os.path.join(pages_dir, "*.parquet")))[:2]:
+        shutil.copy(f, lake)
+    out = tmp_path / "run"
+    assert main(["gate", "--incremental", "--input", str(lake),
+                 "--out", str(out), "--partitions", "1"]) == 0
+    m1 = _json.loads(capsys.readouterr().out)
+    assert m1["incremental"]["epoch"] == 0
+    assert m1["total_documents"] > 0
+    assert main(["gate", "--incremental", "--input", str(lake),
+                 "--out", str(out), "--partitions", "1"]) == 0
+    m2 = _json.loads(capsys.readouterr().out)
+    assert m2["incremental"]["new_fragments"] == 0
+    m1.pop("incremental"); m2.pop("incremental")
+    assert m1 == m2
