@@ -40,7 +40,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 N_DOCS = int(os.environ.get("SCALING_HTML_DOCS", "400000"))
-HALF = 16  # CPUs per emulated node (the box has 32)
+HALF = int(os.environ.get("NODE_CPUS", "16"))  # CPUs per emulated node
+N_NODES = int(os.environ.get("NODES", "2"))    # emulated node count
 
 
 # ---------------------------------------------------------------------------
@@ -157,28 +158,32 @@ def _barrier_go(waiters) -> None:
 
 
 def one_round(files: list[str]) -> dict:
-    # 1-node: a single pinned 16-cpu cluster over the whole corpus
+    # 1-node: a single pinned HALF-cpu cluster over the whole corpus
     p, ready, go = _launch("solo", f"0-{HALF - 1}", files)
     _barrier_go([(p, ready, go)])
     solo = _collect(p)
 
-    # 2-node: two isolated pinned 16-cpu clusters over half each,
+    # N nodes: N isolated pinned HALF-cpu clusters over 1/N each,
     # started together through the barrier
-    pa_, ra, ga = _launch("a", f"0-{HALF - 1}", files[0::2])
-    pb_, rb, gb = _launch("b", f"{HALF}-{2 * HALF - 1}", files[1::2])
-    _barrier_go([(pa_, ra, ga), (pb_, rb, gb)])
-    a, b = _collect(pa_), _collect(pb_)
+    waiters = []
+    for k in range(N_NODES):
+        cpu_range = f"{k * HALF}-{(k + 1) * HALF - 1}"
+        waiters.append(_launch(f"n{k}", cpu_range, files[k::N_NODES]))
+    _barrier_go(waiters)
+    nodes = [_collect(w[0]) for w in waiters]
 
-    docs2 = a["docs"] + b["docs"]
-    wall2 = max(a["sec"], b["sec"])
+    docs_n = sum(n["docs"] for n in nodes)
+    wall_n = max(n["sec"] for n in nodes)
     tput1 = solo["docs_per_sec"]
-    tput2 = docs2 / wall2
+    tput_n = docs_n / wall_n
     return {
         "one_node_docs_per_sec": tput1,
-        "two_node_docs_per_sec": round(tput2, 1),
-        "two_node_skew_sec": round(abs(a["sec"] - b["sec"]), 3),
-        "efficiency": round(tput2 / (2 * tput1), 3),
-        "solo": solo, "node_a": a, "node_b": b,
+        "n_node_docs_per_sec": round(tput_n, 1),
+        "n_node_skew_sec": round(
+            max(n["sec"] for n in nodes) - min(n["sec"] for n in nodes), 3
+        ),
+        "efficiency": round(tput_n / (N_NODES * tput1), 3),
+        "solo": solo, "nodes": nodes,
     }
 
 
@@ -202,7 +207,7 @@ def main() -> None:
     med = sorted(r["efficiency"] for r in rounds)[len(rounds) // 2]
     print(json.dumps({
         "metric": "two_node_emulation_scaling",
-        "nodes": 2, "cpus_per_node": HALF,
+        "nodes": N_NODES, "cpus_per_node": HALF,
         "corpus": f"gzipped WARC real-HTML gate corpus, {N_DOCS} docs",
         "efficiency_median": med,
         "efficiency_runs": [r["efficiency"] for r in rounds],
