@@ -114,3 +114,44 @@ def test_cross_epoch_duplicates_counted(ray_session, small_corpus, tmp_path):
     # every distinct hash of the replayed fragment is already seen
     assert m2["incremental"]["dup_vs_seen"] > 0
     assert m2["total_documents"] == n1 * 2 + pq.read_table(files[1]).num_rows
+
+
+def test_incremental_composes_with_auto_format(
+    ray_session, small_corpus, tmp_path
+):
+    """Epoch-append over a MIXED-format lake: day-1 parquet, day-2
+    adds jsonl fragments — discovery, gating and the seen-hash probe
+    all ride input_format='auto'."""
+    from tests.test_jsonl_source import _to_jsonl
+
+    from rsmetacheck_ray.pipelines.quality_gate import (
+        run_gate, run_gate_incremental,
+    )
+
+    pages_dir, _ = small_corpus
+    files = sorted(glob.glob(os.path.join(pages_dir, "*.parquet")))
+    lake = tmp_path / "lake"
+    os.makedirs(lake)
+    shutil.copy(files[0], lake)
+    out = tmp_path / "inc"
+    m1 = run_gate_incremental(
+        str(lake), str(out), n_partitions=1, input_format="auto"
+    )
+    assert m1["incremental"]["new_fragments"] == 1
+
+    jd = tmp_path / "jin"
+    os.makedirs(jd)
+    shutil.copy(files[1], jd)
+    _to_jsonl(str(jd), str(lake))
+    m2 = run_gate_incremental(
+        str(lake), str(out), n_partitions=1, input_format="auto"
+    )
+    assert m2["incremental"]["new_fragments"] == 1  # only the jsonl
+
+    scratch = run_gate(
+        str(lake), str(tmp_path / "scratch"), n_partitions=1,
+        input_format="auto",
+    )
+    merged = dict(m2)
+    merged.pop("incremental")
+    assert merged == scratch
