@@ -645,6 +645,7 @@ BENCH_QUERIES = [
     "source_psi_chars",
     "dedup_bcubed",
     "decontaminate_attribution",
+    "minhash_lsh_recall",
 ]
 
 

@@ -4515,7 +4515,11 @@ def _sql_splitmix_ctes(prefix: str, src: str, in_col: str) -> tuple[str, str, st
     return sql, f"{p}6", f"{p}sm"
 
 
-def _sql_dedup_minhash_pairs() -> str:
+def _sql_minhash_cand_prefix() -> str:
+    """Shared oracle prefix: the full minhash-signature derivation
+    from raw text (exported word-hash vocab + splitmix CTEs) through
+    the banded candidate set ``cand`` — reused by the pair oracle and
+    the LSH-recall diagnostic so both see the identical sketch."""
     seeds = [
         (k, (0x9E3779B97F4A7C15 * (k + 1)) & ((1 << 64) - 1))
         for k in range(dd.N_PERMS)
@@ -4591,7 +4595,11 @@ cand AS (
   SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
   FROM bands x JOIN bands y
     ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id
-),
+)"""
+
+
+def _sql_dedup_minhash_pairs() -> str:
+    return f"""{_sql_minhash_cand_prefix()},
 agree AS (
   SELECT c.a, c.b,
     SUM(CASE WHEN sa.val = sb.val THEN 1 ELSE 0 END) AS n_eq
@@ -4776,6 +4784,183 @@ FROM s, cut c
 _JACC_K = 5
 _JACC_MAX_DF = 8
 _JACC_MIN_J = 0.5
+
+
+def q_minhash_lsh_recall(sf_dir: str):
+    """One row (n_true_pairs, n_collided, recall): of every TRUE
+    near-duplicate pair (exact word-5-gram Jaccard ≥ 0.5, the
+    dedup_jaccard verifier's own output), the fraction that the
+    16-band minhash LSH candidate generator actually reaches — the
+    blocking-recall diagnostic for the SKETCH side of the dedup
+    family (blocking_recall covers the phonetic/ER side). A pair the
+    bands never collide on is unreachable by block-then-verify
+    however good the verifier is; this measures that loss empirically
+    against the banding's theoretical S-curve.
+
+    Plan (join-free): the exact-pair pipeline runs unchanged; each
+    pair fans to two (doc, side) rows; per-doc 512-byte signature
+    blobs ride ONE doc-keyed shuffle to meet them; a (a, b)-keyed
+    group compares the 16 bands (4 consecutive perms each) directly
+    on the blobs. Text never moves; no broadcast of either side."""
+    import ray  # noqa: F401  (dup-corpus helpers may lazily need it)
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..functions import dedup as ddm
+    from ..functions.jaccard import ngram_jaccard_pairs
+    from ..partitioning import adaptive_partitions
+
+    _ensure_simhash_vocab_export(sf_dir)
+    corpus = _dup_corpus(sf_dir)
+    pairs = ngram_jaccard_pairs(
+        corpus,
+        k=_JACC_K,
+        max_df=_JACC_MAX_DF,
+        min_jaccard=_JACC_MIN_J,
+        num_partitions=adaptive_partitions(
+            _dup_corpus_rows(sf_dir) * 96, row_bytes=24
+        ),
+    )
+
+    def pair_sides(b: pa.Table) -> pa.Table:
+        a = pc.cast(b.column("doc_id_a"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        bb = pc.cast(b.column("doc_id_b"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        n = len(a)
+        return pa.table(
+            {
+                "doc": pa.array(np.concatenate([a, bb]), pa.int64()),
+                "a": pa.array(np.concatenate([a, a]), pa.int64()),
+                "b": pa.array(np.concatenate([bb, bb]), pa.int64()),
+                "side": pa.array(
+                    np.concatenate(
+                        [np.zeros(n, np.int64), np.ones(n, np.int64)]
+                    )
+                ),
+                "sig": pa.array([None] * (2 * n), pa.binary()),
+            }
+        )
+
+    def doc_sigs(b: pa.Table) -> pa.Table:
+        t = ddm._signature_stage(b, "text", "doc_id")
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            return pa.table(
+                {
+                    "doc": pa.array([], pa.int64()),
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "side": pa.array([], pa.int64()),
+                    "sig": pa.array([], pa.binary()),
+                }
+            )
+        # one row per doc (the stage emits one per band with the same
+        # full-signature blob)
+        first = np.sort(np.unique(ids, return_index=True)[1])
+        take = pa.array(first, pa.int64())
+        n = len(first)
+        return pa.table(
+            {
+                "doc": t.column("doc_id").take(take),
+                "a": pa.array(np.full(n, -1, np.int64)),
+                "b": pa.array(np.full(n, -1, np.int64)),
+                "side": pa.array(np.full(n, -1, np.int64)),
+                "sig": t.column("signature").take(take),
+            }
+        )
+
+    def attach(g: pa.Table) -> pa.Table:
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        sig_rows = np.flatnonzero(side == -1)
+        pair_rows = np.flatnonzero(side >= 0)
+        empty = pa.table(
+            {
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "side": pa.array([], pa.int64()),
+                "sig": pa.array([], pa.binary()),
+            }
+        )
+        if len(sig_rows) == 0 or len(pair_rows) == 0:
+            return empty
+        blob = g.column("sig")[int(sig_rows[0])].as_py()
+        take = pa.array(pair_rows, pa.int64())
+        k = len(pair_rows)
+        return pa.table(
+            {
+                "a": g.column("a").take(take),
+                "b": g.column("b").take(take),
+                "side": g.column("side").take(take),
+                "sig": pa.array([blob] * k, pa.binary()),
+            }
+        )
+
+    def compare(g: pa.Table) -> pa.Table:
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        sigs = g.column("sig").to_pylist()
+        i0 = np.flatnonzero(side == 0)
+        i1 = np.flatnonzero(side == 1)
+        if len(i0) == 0 or len(i1) == 0:  # a side lost its signature
+            return pa.table(
+                {"n": pa.array([1], pa.int64()),
+                 "c": pa.array([0], pa.int64())}
+            )
+        sa = np.frombuffer(sigs[int(i0[0])], np.uint64).reshape(
+            ddm.N_BANDS, ddm.ROWS_PER_BAND
+        )
+        sb = np.frombuffer(sigs[int(i1[0])], np.uint64).reshape(
+            ddm.N_BANDS, ddm.ROWS_PER_BAND
+        )
+        coll = bool((sa == sb).all(axis=1).any())
+        return pa.table(
+            {"n": pa.array([1], pa.int64()),
+             "c": pa.array([int(coll)], pa.int64())}
+        )
+
+    parts = (
+        pairs.map_batches(pair_sides, batch_format="pyarrow")
+        .union(corpus.map_batches(doc_sigs, batch_format="pyarrow"))
+        .groupby("doc")
+        .map_groups(attach, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .map_groups(compare, batch_format="pyarrow")
+    )
+    tot = parts.aggregate(_Sum("n"), _Sum("c"))
+    n_pairs = int(tot["sum(n)"] or 0)
+    n_coll = int(tot["sum(c)"] or 0)
+    return pa.table(
+        {
+            "n_true_pairs": pa.array([n_pairs], pa.int64()),
+            "n_collided": pa.array([n_coll], pa.int64()),
+            "recall": pa.array(
+                [float(n_coll) / float(n_pairs) if n_pairs else 0.0],
+                pa.float64(),
+            ),
+        }
+    )
+
+
+def _sql_minhash_lsh_recall() -> str:
+    return f"""{_sql_minhash_cand_prefix()},
+truth AS (
+  SELECT doc_id_a AS a, doc_id_b AS b
+  FROM ({_sql_dedup_jaccard()}) tj
+),
+hits AS (
+  SELECT t.a, t.b FROM truth t JOIN cand c ON c.a = t.a AND c.b = t.b
+),
+agg AS (
+  SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_true_pairs,
+         CAST((SELECT COUNT(*) FROM hits) AS BIGINT) AS n_collided
+)
+SELECT n_true_pairs, n_collided,
+  CASE WHEN n_true_pairs > 0
+       THEN CAST(n_collided AS DOUBLE) / CAST(n_true_pairs AS DOUBLE)
+       ELSE 0.0 END AS recall
+FROM agg
+"""
 
 
 def q_dedup_jaccard(sf_dir: str):
@@ -11171,6 +11356,9 @@ def registry() -> dict[str, tuple]:
             q_dedup_minhash_pairs, _sql_dedup_minhash_pairs(),
         ),
         "dedup_jaccard": (q_dedup_jaccard, _sql_dedup_jaccard()),
+        "minhash_lsh_recall": (
+            q_minhash_lsh_recall, _sql_minhash_lsh_recall()
+        ),
         "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
         "dedup_simhash_pairs": (
             q_dedup_simhash_pairs, SQL_DEDUP_SIMHASH_PAIRS,
