@@ -813,3 +813,109 @@ def test_islands_match_bruteforce(ray_session, seed):
         for r in got
     ]
     assert sorted(got_t) == sorted(expected)
+
+
+# ---------------------------------------------------------------------------
+# r5 surfaces: FFD packing invariants, fastText format round-trip,
+# arrowmat round-trip under random shapes
+# ---------------------------------------------------------------------------
+
+
+@given(st.integers(0, 2**31 - 1))
+@settings(max_examples=30, deadline=None)
+def test_pack_ffd_invariants_random(seed):
+    """FFD on random token-count multisets: every bin ≤ capacity
+    (except single oversized docs), bin ids dense from 0, and never
+    more bins than the next-fit lower bound ceil(total/capacity)
+    would... (FFD ≤ 11/9·OPT + 1 ≤ 2·ceil(total/cap) + 1 is loose;
+    assert the tight invariants plus determinism)."""
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(1, 60))
+    sizes = rng.integers(1, 1500, n)  # some exceed capacity 1024
+    cap = 1024
+    # reference python FFD identical to the engine's per-shard loop
+    order = np.lexsort((np.arange(n), -sizes))
+    fills, bins = [], {}
+    for r in order:
+        s = int(sizes[r])
+        placed = -1
+        if s <= cap:
+            for bi, rem in enumerate(fills):
+                if s <= rem:
+                    placed = bi
+                    break
+        if placed < 0:
+            fills.append(cap - s)
+            placed = len(fills) - 1
+        else:
+            fills[placed] -= s
+        bins[int(r)] = placed
+    # invariants on the reference (the engine equals it by pytest
+    # elsewhere; here we fuzz the INVARIANTS themselves)
+    per_bin: dict[int, int] = {}
+    for r, b in bins.items():
+        per_bin[b] = per_bin.get(b, 0) + int(sizes[r])
+    for b, load in per_bin.items():
+        members = [r for r, bb in bins.items() if bb == b]
+        if len(members) > 1:
+            assert load <= cap
+    assert sorted(set(bins.values())) == list(range(len(per_bin)))
+    # no two bins could be merged if both ≤ cap/2 full... FFD property:
+    # at most one bin is ≤ half full among the non-oversized bins
+    small = [
+        b for b, load in per_bin.items()
+        if load <= cap // 2
+        and all(sizes[r] <= cap for r, bb in bins.items() if bb == b)
+    ]
+    assert len(small) <= 1
+
+
+@given(seed=st.integers(0, 2**31 - 1))
+@settings(max_examples=10, deadline=None)
+def test_fasttext_roundtrip_random(tmp_path_factory, seed):
+    from rsmetacheck_ray.models import fasttext_io as ft
+
+    rng = np.random.default_rng(seed)
+    nw = int(rng.integers(1, 8))
+    nl = int(rng.integers(1, 4))
+    dim = int(rng.integers(2, 12))
+    bucket = int(rng.integers(10, 200))
+    minn = int(rng.integers(0, 3))
+    maxn = minn + int(rng.integers(0, 3)) if minn else 0
+    words = [f"w{i}" for i in range(nw)]
+    labels = [f"__label__l{i}" for i in range(nl)]
+    inp = rng.standard_normal((nw + bucket, dim)).astype(np.float32)
+    out = rng.standard_normal((nl, dim)).astype(np.float32)
+    d = tmp_path_factory.mktemp("ftrt")
+    path = str(d / "m.bin")
+    ft.write_fasttext_model(
+        path, words, labels, inp, out, bucket=bucket, minn=minn, maxn=maxn
+    )
+    m = ft.load_fasttext_model(path)
+    assert (m.words, m.labels, m.dim, m.bucket, m.minn, m.maxn) == (
+        words, labels, dim, bucket, minn, maxn
+    )
+    np.testing.assert_array_equal(m.input, inp)
+    np.testing.assert_array_equal(m.output, out)
+
+
+@given(st.integers(0, 2**31 - 1))
+@settings(max_examples=20, deadline=None)
+def test_arrowmat_roundtrip_random(seed):
+    from rsmetacheck_ray.functions.arrowmat import (
+        list_column_matrix, matrix_list_array,
+    )
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(1, 50))
+    d = int(rng.integers(1, 40))
+    m = rng.standard_normal((n, d))
+    arr = matrix_list_array(m)
+    np.testing.assert_array_equal(list_column_matrix(arr), m)
+    # a slice of the serialized array still converts correctly
+    if n >= 3:
+        lo = int(rng.integers(0, n - 2))
+        ln = int(rng.integers(1, n - lo))
+        np.testing.assert_array_equal(
+            list_column_matrix(arr.slice(lo, ln)), m[lo : lo + ln]
+        )
