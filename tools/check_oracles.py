@@ -28,6 +28,23 @@ def to_pandas(res) -> pd.DataFrame:
         df = res.to_pandas()
     else:
         df = pd.DataFrame(res)
+    if len(df.columns) == 0 and hasattr(res, "schema"):
+        # Ray's Dataset.to_pandas drops the schema when the dataset is
+        # EMPTY (a legitimate result at some scales: threshold queries
+        # like important_parts select nothing at sf0.1). Rebuild the
+        # empty frame from Dataset.schema() so the column/dtype compare
+        # sees what the engine actually declared.
+        try:
+            sch = res.schema()
+            base = getattr(sch, "base_schema", None)
+            if isinstance(base, pa.Schema) and base.names:
+                df = base.empty_table().to_pandas()
+            elif sch.names:
+                df = pd.DataFrame(
+                    {n: pd.Series(dtype=object) for n in sch.names}
+                )
+        except Exception:
+            pass
     return df
 
 
