@@ -646,6 +646,7 @@ BENCH_QUERIES = [
     "dedup_bcubed",
     "decontaminate_attribution",
     "minhash_lsh_recall",
+    "gate_rule_marginal",
 ]
 
 

@@ -735,6 +735,82 @@ ORDER BY rule_a, rule_b
 """
 
 
+def q_gate_rule_marginal(sf_dir: str):
+    """(rule, n_hits, n_sole): for each SQL-expressible drop rule, how
+    many documents it fires on and — the number a catalog review
+    actually needs — how many it is the SOLE firing drop rule for
+    (within the non-LM drop vector): remove the rule and exactly
+    ``n_sole`` documents flip to keep (modulo the LM gate, which
+    gate_decisions pins separately). A rule with large n_hits but
+    n_sole≈0 is redundant; one with n_sole≫0 carries unique signal.
+
+    Plan: constant |rules| partial rows per batch from the fused
+    gate's hit columns (one row-sum + per-rule AND), bounded reduce."""
+    out = _gated(sf_dir)
+    codes = list(_DROP_NOLM_CODES)
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = np.stack(
+            [
+                b.column(f"hit_{c}").to_numpy(zero_copy_only=False)
+                for c in codes
+            ],
+            axis=1,
+        ).astype(np.int64)
+        fired = m.sum(axis=1)
+        sole = (fired == 1)[:, None] & (m == 1)
+        return pa.table(
+            {
+                "rule": pa.array(codes, pa.string()),
+                "n_hits": pa.array(m.sum(axis=0), pa.int64()),
+                "n_sole": pa.array(
+                    sole.sum(axis=0).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    tbl = rel.bounded_group_table_strict(
+        out.map_batches(partial, batch_format="pyarrow"),
+        ["rule"],
+        [("n_hits", "sum"), ("n_sole", "sum")],
+    )
+    if tbl is None or tbl.num_rows == 0:
+        return pa.table(
+            {
+                "rule": pa.array([], pa.string()),
+                "n_hits": pa.array([], pa.int64()),
+                "n_sole": pa.array([], pa.int64()),
+            }
+        )
+    return tbl.take(
+        pc.sort_indices(tbl, sort_keys=[("rule", "ascending")])
+    )
+
+
+def _sql_gate_rule_marginal() -> str:
+    codes = list(_DROP_NOLM_CODES)
+    aliased = {c: _SQL_HIT_ALIAS.get(c, f"hit_{c}") for c in codes}
+    fired = " + ".join(
+        f"(CASE WHEN {aliased[c]} THEN 1 ELSE 0 END)" for c in codes
+    )
+    rows = []
+    for c in codes:
+        col = aliased[c]
+        rows.append(
+            f"SELECT '{c}' AS rule,\n"
+            f"  CAST(SUM(CASE WHEN {col} THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS n_hits,\n"
+            f"  CAST(SUM(CASE WHEN {col} AND ({fired}) = 1 THEN 1 ELSE 0"
+            f" END) AS BIGINT) AS n_sole FROM flags"
+        )
+    body = "\nUNION ALL\n".join(rows)
+    return f"""
+WITH {_sql_gate_flags_ctes().strip()}
+{body}
+ORDER BY rule
+"""
+
+
 def q_gate_drop_vector(sf_dir: str):
     """The flagship decision, oracle-checked: every drop rule EXCEPT
     the LM perplexity gate (genuinely non-SQL), plus the previously
@@ -11342,6 +11418,10 @@ def registry() -> dict[str, tuple]:
         "gate_drop_vector": (
             q_gate_drop_vector,
             _sql_gate_drop_vector().replace("{pages}", pages),
+        ),
+        "gate_rule_marginal": (
+            q_gate_rule_marginal,
+            _sql_gate_rule_marginal().replace("{pages}", pages),
         ),
         # deferred for the same LM-export reason as gate_decisions
         "gate_then_dedup": (q_gate_then_dedup, _sql_gate_then_dedup),
