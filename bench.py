@@ -647,6 +647,7 @@ BENCH_QUERIES = [
     "decontaminate_attribution",
     "minhash_lsh_recall",
     "gate_rule_marginal",
+    "gate_ppl_sensitivity",
 ]
 
 

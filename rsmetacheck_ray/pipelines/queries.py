@@ -1845,6 +1845,84 @@ FROM flags f JOIN bpc p USING (doc_id)
 """
 
 
+_PPL_GRID = [x / 2.0 for x in range(0, 25)]  # 0.0 … 12.0 bits/char
+
+
+def q_gate_ppl_sensitivity(sf_dir: str):
+    """(threshold, n_lm_dropped, n_kept): the keep-rate curve as a
+    function of the perplexity gate's bits-per-char threshold, swept
+    over a fixed 0.5-bit grid with every other rule held fixed — the
+    sensitivity sweep run before moving the one tunable model
+    threshold (cfg.max_bits_per_char = 5.0 sits on this curve). Uses
+    the SAME doubles as the gate (fixed-point bit totals / (nb−2)),
+    so every grid comparison matches the oracle bit-for-bit.
+
+    Plan: |grid| partial rows per batch off the fused gate's exposed
+    columns; bounded reduce over the 25-row domain."""
+    out = _gated(sf_dir)
+    grid = np.asarray(_PPL_GRID, np.float64)
+
+    def partial(b: pa.Table) -> pa.Table:
+        bpc = b.column("bits_per_char").to_numpy(zero_copy_only=False)
+        nt = b.column("n_tokens").to_numpy(zero_copy_only=False)
+        nolm = np.zeros(len(b), dtype=bool)
+        for c in _DROP_NOLM_CODES:
+            nolm |= b.column(f"hit_{c}").to_numpy(zero_copy_only=False)
+        lm_drop = (nt > 0)[:, None] & (bpc[:, None] > grid[None, :])
+        kept = (~nolm)[:, None] & ~lm_drop
+        return pa.table(
+            {
+                "threshold": pa.array(grid, pa.float64()),
+                "n_lm_dropped": pa.array(
+                    lm_drop.sum(axis=0).astype(np.int64), pa.int64()
+                ),
+                "n_kept": pa.array(
+                    kept.sum(axis=0).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    tbl = rel.bounded_group_table_strict(
+        out.map_batches(partial, batch_format="pyarrow"),
+        ["threshold"],
+        [("n_lm_dropped", "sum"), ("n_kept", "sum")],
+    )
+    if tbl is None or tbl.num_rows == 0:
+        return pa.table(
+            {
+                "threshold": pa.array([], pa.float64()),
+                "n_lm_dropped": pa.array([], pa.int64()),
+                "n_kept": pa.array([], pa.int64()),
+            }
+        )
+    return tbl.take(
+        pc.sort_indices(tbl, sort_keys=[("threshold", "ascending")])
+    )
+
+
+def _sql_gate_ppl_sensitivity() -> str:
+    grid_vals = ", ".join(f"({t!r})" for t in _PPL_GRID)
+    return f"""
+WITH {_sql_gate_flags_ctes().strip()},
+{_sql_bpc_ctes().strip()},
+grid(threshold) AS (VALUES {grid_vals}),
+doc AS (
+  SELECT f.doc_id, f.n_tokens, p.bits_per_char,
+    ({_DROP_NOLM_EXPR}) AS drop_nolm
+  FROM flags f JOIN bpc p USING (doc_id)
+)
+SELECT CAST(g.threshold AS DOUBLE) AS threshold,
+  CAST(SUM(CASE WHEN d.n_tokens > 0 AND d.bits_per_char > g.threshold
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_lm_dropped,
+  CAST(SUM(CASE WHEN NOT (d.drop_nolm
+           OR (d.n_tokens > 0 AND d.bits_per_char > g.threshold))
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM grid g CROSS JOIN doc d
+GROUP BY g.threshold
+ORDER BY threshold
+"""
+
+
 _PRICE_QS = [0.25, 0.5, 0.75, 0.99]
 
 
@@ -11422,6 +11500,12 @@ def registry() -> dict[str, tuple]:
         "gate_rule_marginal": (
             q_gate_rule_marginal,
             _sql_gate_rule_marginal().replace("{pages}", pages),
+        ),
+        "gate_ppl_sensitivity": (
+            q_gate_ppl_sensitivity,
+            lambda: _sql_gate_ppl_sensitivity().replace(
+                "{pages}", pages_cte()
+            ),
         ),
         # deferred for the same LM-export reason as gate_decisions
         "gate_then_dedup": (q_gate_then_dedup, _sql_gate_then_dedup),
