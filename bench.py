@@ -648,6 +648,7 @@ BENCH_QUERIES = [
     "minhash_lsh_recall",
     "gate_rule_marginal",
     "gate_ppl_sensitivity",
+    "dedup_order_yield",
 ]
 
 

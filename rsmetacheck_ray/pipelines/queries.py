@@ -3700,6 +3700,173 @@ def q_gate_then_dedup(sf_dir: str):
     )
 
 
+def q_dedup_order_yield(sf_dir: str):
+    """One row (n_docs, gate_then_dedup_kept, dedup_then_gate_kept):
+    does the ORDER of gate and dedup matter on this corpus? Identical
+    page text does NOT imply an identical gate decision (the URL and
+    timestamp differ per doc, and URL/staleness rules read them), so
+    dedup-first — gate only each text group's canonical — can keep a
+    different number of documents than gate-first — dedup the
+    survivors. The delta is the yield cost of the cheaper
+    dedup-first plan; curation teams pick an order with this number,
+    not a hunch.
+
+    Plan: ONE gate pass serves both orders (survivor dedup on the
+    gate's own content_hash; canonical selection on a hash of the
+    page text), sharing the duplicate-expanded corpus and oracle
+    machinery of gate_then_dedup."""
+    from ray.data.aggregate import Count as _Count, Min as _Min, Sum as _Sum
+
+    from ..functions.hashing import hash_str_arrow_u128
+
+    ds = _documents(sf_dir, ["doc_id", "text", "lang"])
+
+    def expand(b: pa.Table) -> pa.Table:
+        d = b.column("doc_id").to_numpy(zero_copy_only=False)
+        parts = [b]
+        for mod, mult in ((2, 1), (6, 2)):
+            ex = b.filter(pa.array(d % mod == 0))
+            parts.append(
+                ex.set_column(
+                    ex.schema.get_field_index("doc_id"), "doc_id",
+                    pc.add(ex.column("doc_id"), mult * _GTD_OFFSET),
+                )
+            )
+        return pa.concat_tables(parts).combine_chunks()
+
+    pages_in = ds.map_batches(expand, batch_format="pyarrow").union(
+        rd.from_arrow(trigger_table())
+    )
+    pages = pages_in.map_batches(synthesize_pages, batch_format="pyarrow")
+    gated = build_gate(pages)
+
+    # order A: gate → keep → dedup on the gate's content hash
+    kept = gated.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "keep": b.column("keep"),
+                "content_hash": b.column("content_hash"),
+                "content_hash2": b.column("content_hash2"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    a_kept = (
+        kept.filter(lambda r: r["keep"])
+        .groupby(["content_hash", "content_hash2"])
+        .aggregate(_Count(alias_name="n"))
+        .count()
+    )
+
+    # order B: canonical per page-TEXT group, gate decision of the
+    # canonical — tag-union on doc_id, no join
+    def canon_rows(b: pa.Table) -> pa.Table:
+        text = b.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        lo, hi = hash_str_arrow_u128(pc.fill_null(text, ""))
+        return pa.table(
+            {
+                "h1": pa.array(lo.view(np.int64), pa.int64()),
+                "h2": pa.array(hi.view(np.int64), pa.int64()),
+                "doc_id": pc.cast(b.column("doc_id"), pa.int64()),
+            }
+        )
+
+    canon = (
+        pages.map_batches(canon_rows, batch_format="pyarrow")
+        .groupby(["h1", "h2"])
+        .aggregate(_Min("doc_id", alias_name="doc_id"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "doc_id": pc.cast(b.column("doc_id"), pa.int64()),
+                    "keep": pa.array([None] * len(b), pa.bool_()),
+                    "is_canon": pa.array(np.ones(len(b), np.int64)),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    dec_rows = kept.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": pc.cast(b.column("doc_id"), pa.int64()),
+                "keep": b.column("keep"),
+                "is_canon": pa.array(np.zeros(len(b), np.int64)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def fold(g: pa.Table) -> pa.Table:
+        is_c = g.column("is_canon").to_numpy(zero_copy_only=False)
+        keepv = g.column("keep").to_pylist()
+        kept_flag = any(
+            k for k, c in zip(keepv, is_c) if c == 0 and k is not None
+        )
+        canon_flag = bool((is_c == 1).any())
+        return pa.table(
+            {
+                "n": pa.array([1], pa.int64()),
+                "b_kept": pa.array(
+                    [int(canon_flag and kept_flag)], pa.int64()
+                ),
+            }
+        )
+
+    folded = dec_rows.union(canon).groupby("doc_id").map_groups(
+        fold, batch_format="pyarrow"
+    )
+    tot = folded.aggregate(_Sum("n"), _Sum("b_kept"))
+    n_docs = int(tot["sum(n)"] or 0)
+    b_kept = int(tot["sum(b_kept)"] or 0)
+    return pa.table(
+        {
+            "n_docs": pa.array([n_docs], pa.int64()),
+            "gate_then_dedup_kept": pa.array([int(a_kept)], pa.int64()),
+            "dedup_then_gate_kept": pa.array([b_kept], pa.int64()),
+        }
+    )
+
+
+def _sql_dedup_order_yield() -> str:
+    return f"""
+WITH dup_documents AS (
+  SELECT doc_id, text, lang FROM documents
+  UNION ALL
+  SELECT doc_id + {_GTD_OFFSET} AS doc_id, text, lang FROM documents
+  WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT doc_id + {2 * _GTD_OFFSET} AS doc_id, text, lang FROM documents
+  WHERE doc_id % 6 = 0
+),
+{_sql_gate_flags_ctes().strip().replace(
+    "{pages}", pages_cte(source="dup_documents"))},
+{_sql_bpc_ctes().strip()},
+decisions AS (
+  SELECT f.doc_id,
+    {_sql_keep_expr()} AS keep,
+    {_scrub_sql_expr("pg.text")} AS st
+  FROM flags f JOIN bpc p USING (doc_id) JOIN pages pg USING (doc_id)
+),
+a AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k
+  FROM (SELECT 1 FROM decisions WHERE keep GROUP BY st)
+),
+canon AS (SELECT MIN(doc_id) AS doc_id FROM pages GROUP BY text),
+b AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k
+  FROM decisions d JOIN canon c USING (doc_id) WHERE d.keep
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pages)
+SELECT n.n AS n_docs, a.k AS gate_then_dedup_kept,
+  b.k AS dedup_then_gate_kept
+FROM n CROSS JOIN a CROSS JOIN b
+"""
+
+
 def _sql_gate_then_dedup() -> str:
     return f"""
 WITH dup_documents AS (
@@ -11509,6 +11676,10 @@ def registry() -> dict[str, tuple]:
         ),
         # deferred for the same LM-export reason as gate_decisions
         "gate_then_dedup": (q_gate_then_dedup, _sql_gate_then_dedup),
+        "dedup_order_yield": (
+            q_dedup_order_yield,
+            lambda: _sql_dedup_order_yield(),
+        ),
         # dedup family
         "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
         "dedup_exact_pairs": (q_dedup_exact_pairs, SQL_DEDUP_EXACT_PAIRS),
