@@ -150,9 +150,19 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "metrics":
         import os
 
-        from .pipelines.quality_gate import compute_metrics
+        from .pipelines.quality_gate import (
+            compute_metrics, incremental_docs_dirs, metrics_from_records,
+        )
 
-        metrics = compute_metrics(os.path.join(args.out, "docs"))
+        if os.path.isdir(os.path.join(args.out, "epochs")):
+            # incremental layout: merge the per-epoch recomputes
+            records = [
+                compute_metrics(d, as_record=True)
+                for d in incremental_docs_dirs(args.out)
+            ]
+            metrics = metrics_from_records(records)
+        else:
+            metrics = compute_metrics(os.path.join(args.out, "docs"))
         print(json.dumps(metrics, indent=2, sort_keys=True))
     elif args.cmd == "evidence":
         import os

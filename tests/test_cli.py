@@ -108,3 +108,30 @@ def test_gate_incremental_cli(ray_session, small_corpus, tmp_path, capsys):
     assert m2["incremental"]["new_fragments"] == 0
     m1.pop("incremental"); m2.pop("incremental")
     assert m1 == m2
+
+
+def test_metrics_cli_incremental_layout(ray_session, small_corpus, tmp_path, capsys):
+    """`metrics --out` on an incremental run dir merges per-epoch
+    recomputes and matches the run's own merged metrics (minus the
+    incremental block, which only the run writer knows)."""
+    import glob
+    import json as _json
+    import os
+    import shutil
+
+    pages_dir, _ = small_corpus
+    lake = tmp_path / "lake"
+    os.makedirs(lake)
+    for f in sorted(glob.glob(os.path.join(pages_dir, "*.parquet")))[:2]:
+        shutil.copy(f, lake)
+    out = tmp_path / "run"
+    assert main(["gate", "--incremental", "--input", str(lake),
+                 "--out", str(out), "--partitions", "1"]) == 0
+    run_metrics = _json.loads(capsys.readouterr().out)
+    run_metrics.pop("incremental")
+    assert main(["metrics", "--out", str(out)]) == 0
+    recomputed = _json.loads(capsys.readouterr().out)
+    # skipped_fragments lineage lives only in the manifest; the pure
+    # recompute carries everything else
+    run_metrics.pop("skipped_fragments", None)
+    assert recomputed == run_metrics
