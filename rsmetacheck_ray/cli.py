@@ -25,6 +25,21 @@ import json
 import sys
 
 
+def _docs_path(out_dir: str):
+    """The run's docs root(s): the per-epoch list for an incremental
+    layout, the single docs dir otherwise — every view subcommand
+    accepts either shape (read_parquet takes a path list)."""
+    import os
+
+    from .pipelines.quality_gate import incremental_docs_dirs
+
+    if os.path.isdir(os.path.join(out_dir, "epochs")):
+        dirs = incremental_docs_dirs(out_dir)
+        if dirs:
+            return dirs
+    return os.path.join(out_dir, "docs")
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="rsmetacheck-ray")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -169,7 +184,7 @@ def main(argv: list[str] | None = None) -> int:
 
         from .pipelines.quality_gate import evidence_view
 
-        ev = evidence_view(os.path.join(args.out, "docs"))
+        ev = evidence_view(_docs_path(args.out))
         if args.dest:
             ev.write_parquet(args.dest)
             print(json.dumps({"rows": ev.count(), "dest": args.dest}))
@@ -181,7 +196,7 @@ def main(argv: list[str] | None = None) -> int:
 
         from .pipelines.quality_gate import kept_view
 
-        kv = kept_view(os.path.join(args.out, "docs"))
+        kv = kept_view(_docs_path(args.out))
         kv.write_parquet(args.dest)
         print(json.dumps({"rows": kv.count(), "dest": args.dest}))
     elif args.cmd == "export":
@@ -191,7 +206,7 @@ def main(argv: list[str] | None = None) -> int:
 
         from .pipelines.quality_gate import evidence_view, kept_view
 
-        docs_dir = os.path.join(args.out, "docs")
+        docs_dir = _docs_path(args.out)
         if args.view == "kept":
             ds = kept_view(docs_dir)
         elif args.view == "evidence":
@@ -214,7 +229,7 @@ def main(argv: list[str] | None = None) -> int:
         from ray.data.aggregate import Count, Min
 
         docs = rd.read_parquet(
-            os.path.join(args.out, "docs"),
+            _docs_path(args.out),
             columns=["url", "content_hash", "content_hash2", "keep"],
             filter=(_pc().field("keep") == True),  # noqa: E712
         )

@@ -135,3 +135,29 @@ def test_metrics_cli_incremental_layout(ray_session, small_corpus, tmp_path, cap
     # recompute carries everything else
     run_metrics.pop("skipped_fragments", None)
     assert recomputed == run_metrics
+
+
+def test_kept_view_cli_incremental_layout(ray_session, small_corpus, tmp_path, capsys):
+    """`kept --out <incremental-run>` exports across all epochs."""
+    import glob
+    import json as _json
+    import os
+    import shutil
+
+    pages_dir, _ = small_corpus
+    lake = tmp_path / "lake"
+    os.makedirs(lake)
+    files = sorted(glob.glob(os.path.join(pages_dir, "*.parquet")))
+    shutil.copy(files[0], lake)
+    out = tmp_path / "run"
+    assert main(["gate", "--incremental", "--input", str(lake),
+                 "--out", str(out), "--partitions", "1"]) == 0
+    m1 = _json.loads(capsys.readouterr().out)
+    shutil.copy(files[1], lake)
+    assert main(["gate", "--incremental", "--input", str(lake),
+                 "--out", str(out), "--partitions", "1"]) == 0
+    m2 = _json.loads(capsys.readouterr().out)
+    dest = tmp_path / "kept"
+    assert main(["kept", "--out", str(out), "--dest", str(dest)]) == 0
+    res = _json.loads(capsys.readouterr().out)
+    assert res["rows"] == m2["kept"] > m1["kept"]
