@@ -34,9 +34,17 @@ def _docs_path(out_dir: str):
     from .pipelines.quality_gate import incremental_docs_dirs
 
     if os.path.isdir(os.path.join(out_dir, "epochs")):
-        dirs = incremental_docs_dirs(out_dir)
-        if dirs:
-            return dirs
+        import glob
+
+        files = [
+            f
+            for d in incremental_docs_dirs(out_dir)
+            for f in sorted(
+                glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True)
+            )
+        ]
+        if files:
+            return files
     return os.path.join(out_dir, "docs")
 
 
