@@ -301,20 +301,16 @@ def knn_ivf(
 KNN_JOIN_EXACT_MAX_ROWS = 100_000
 
 
-def _unit_block_refs(ds: rd.Dataset, id_col: str, with_count: bool = False):
+def _unit_block_refs(ds: rd.Dataset, id_col: str):
     """Normalized (id, unit-vector) blocks left in the OBJECT STORE
     (the embedding_near_dup_pairs discipline — materialize +
-    to_arrow_refs, nothing driver-resident). ``with_count`` also
-    returns the row count (free metadata on a materialized set)."""
+    to_arrow_refs, nothing driver-resident)."""
     from .dedup import _unit_table
 
     norm = ds.map_batches(
         lambda b: _unit_table(b, id_col), batch_format="pyarrow"
     )
-    mat = norm.materialize()
-    if with_count:
-        return mat.to_arrow_refs(), mat.count()
-    return mat.to_arrow_refs()
+    return norm.materialize().to_arrow_refs()
 
 
 def _unit_block_mats(t: pa.Table, id_col: str) -> tuple[np.ndarray, np.ndarray]:
