@@ -649,6 +649,7 @@ BENCH_QUERIES = [
     "gate_rule_marginal",
     "gate_ppl_sensitivity",
     "dedup_order_yield",
+    "curate_pack",
 ]
 
 

@@ -47,6 +47,7 @@ def pack_sequences(
     id_col: str = "doc_id",
     text_col: str = "text",
     num_partitions: int | None = None,
+    tokens_col: str | None = None,
 ) -> rd.Dataset:
     """(id, shard, n_tokens, seq_first, seq_last) per non-empty doc."""
     from ..partitioning import adaptive_partitions, parquet_rows_hint
@@ -57,12 +58,19 @@ def pack_sequences(
 
     def tag(b: pa.Table) -> pa.Table:
         ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        text = b.column(text_col)
-        if isinstance(text, pa.ChunkedArray):
-            text = text.combine_chunks()
-        nt = count_ws_tokens(pc.fill_null(text, "")).to_numpy(
-            zero_copy_only=False
-        )
+        if tokens_col is not None:
+            # pre-counted tokens (composed pipelines that already
+            # shuffled a (doc, n_tokens) projection — text never moves)
+            nt = pc.cast(b.column(tokens_col), pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+        else:
+            text = b.column(text_col)
+            if isinstance(text, pa.ChunkedArray):
+                text = text.combine_chunks()
+            nt = count_ws_tokens(pc.fill_null(text, "")).to_numpy(
+                zero_copy_only=False
+            )
         shard = ids // shard_size
         part = (splitmix64_np(shard.astype(np.uint64)) % n_parts).astype(
             np.int64
@@ -136,6 +144,7 @@ def pack_ffd(
     id_col: str = "doc_id",
     text_col: str = "text",
     num_partitions: int | None = None,
+    tokens_col: str | None = None,
 ) -> rd.Dataset:
     """(id, shard, n_tokens, bin): First-Fit-Decreasing assignment of
     each non-empty document to a fixed-``capacity`` bin within its
@@ -160,12 +169,19 @@ def pack_ffd(
 
     def tag(b: pa.Table) -> pa.Table:
         ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        text = b.column(text_col)
-        if isinstance(text, pa.ChunkedArray):
-            text = text.combine_chunks()
-        nt = count_ws_tokens(pc.fill_null(text, "")).to_numpy(
-            zero_copy_only=False
-        )
+        if tokens_col is not None:
+            # pre-counted tokens (composed pipelines that already
+            # shuffled a (doc, n_tokens) projection — text never moves)
+            nt = pc.cast(b.column(tokens_col), pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+        else:
+            text = b.column(text_col)
+            if isinstance(text, pa.ChunkedArray):
+                text = text.combine_chunks()
+            nt = count_ws_tokens(pc.fill_null(text, "")).to_numpy(
+                zero_copy_only=False
+            )
         shard = ids // shard_size
         part = (splitmix64_np(shard.astype(np.uint64)) % n_parts).astype(
             np.int64

@@ -1845,6 +1845,200 @@ FROM flags f JOIN bpc p USING (doc_id)
 """
 
 
+# curation threshold: mean lexicon score ≥ −0.8 (the documents table
+# is synthetic word salad, so absolute scores sit below the gate
+# corpus's threshold; cross-multiplied ints keep it exact)
+_CURATE_TH_NUM, _CURATE_TH_DEN = -4, 5
+
+
+def q_curate_pack(sf_dir: str):
+    """(shard, bin, n_docs, n_tokens): the end-to-end curation
+    composition a training-data team actually ships — quality-filter
+    (the quantized linear classifier's keep decision) → exact dedup
+    (canonical = min doc_id per text group) → First-Fit-Decreasing
+    packing of the survivors into fixed-capacity training sequences —
+    rolled up per (shard, bin). One registry entry proving the
+    engine's stages COMPOSE, not just run side by side.
+
+    Scale plan: the classifier scores in place (no shuffle); only a
+    32-byte (doc_id, hash128, n_tokens) projection enters the dedup
+    shuffle — the canonical rows carry their token counts forward so
+    the FFD stage packs WITHOUT ever re-reading text
+    (pack_ffd(tokens_col=...)); the rollup is a bounded
+    (shard, bin)-domain reduce."""
+    from ..functions.classifier import QualityClassifier
+    from ..functions.hashing import hash_str_arrow_u128
+    from ..functions.packing import pack_ffd
+
+    docs = _documents(sf_dir, ["doc_id", "text"])
+
+    def kept_hashes(b: pa.Table) -> pa.Table:
+        # classifier score + text hash fused in one stage: the scored
+        # table is row-aligned with the input, so the keep mask selects
+        # both without any join
+        scored = QualityClassifier(
+            th_num=_CURATE_TH_NUM, th_den=_CURATE_TH_DEN
+        )(b)
+        keep = scored.column("keep_quality").to_numpy(
+            zero_copy_only=False
+        )
+        sel = pa.array(keep)
+        text = b.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        text = text.filter(sel)
+        lo, hi = hash_str_arrow_u128(pc.fill_null(text, ""))
+        return pa.table(
+            {
+                "h1": pa.array(lo.view(np.int64), pa.int64()),
+                "h2": pa.array(hi.view(np.int64), pa.int64()),
+                "doc_id": pc.cast(
+                    scored.column("doc_id").filter(sel), pa.int64()
+                ),
+                "n_tokens": pc.cast(
+                    scored.column("n_tokens").filter(sel), pa.int64()
+                ),
+            }
+        )
+
+    canon = (
+        docs.map_batches(kept_hashes, batch_format="pyarrow")
+        .groupby(["h1", "h2"])
+        .map_groups(
+            lambda g: g.take(
+                pa.array(
+                    [
+                        int(
+                            np.argmin(
+                                g.column("doc_id").to_numpy(
+                                    zero_copy_only=False
+                                )
+                            )
+                        )
+                    ],
+                    pa.int64(),
+                )
+            ).select(["doc_id", "n_tokens"]),
+            batch_format="pyarrow",
+        )
+    )
+    packed = pack_ffd(canon, tokens_col="n_tokens")
+
+    def rollup(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "shard": b.column("shard"),
+                "bin": b.column("bin"),
+                "nd": pa.array(np.ones(len(b), np.int64)),
+                "nt": pc.cast(b.column("n_tokens"), pa.int64()),
+            }
+        )
+        g = t.group_by(["shard", "bin"]).aggregate(
+            [("nd", "sum"), ("nt", "sum")]
+        )
+        return pa.table(
+            {
+                "shard": g.column("shard"),
+                "bin": g.column("bin"),
+                "n_docs": pc.cast(g.column("nd_sum"), pa.int64()),
+                "n_tokens": pc.cast(g.column("nt_sum"), pa.int64()),
+            }
+        )
+
+    tbl = rel.bounded_group_table_strict(
+        packed.map_batches(rollup, batch_format="pyarrow"),
+        ["shard", "bin"],
+        [("n_docs", "sum"), ("n_tokens", "sum")],
+    )
+    if tbl is None or tbl.num_rows == 0:
+        return pa.table(
+            {
+                "shard": pa.array([], pa.int64()),
+                "bin": pa.array([], pa.int64()),
+                "n_docs": pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+            }
+        )
+    return tbl.take(
+        pc.sort_indices(
+            tbl, sort_keys=[("shard", "ascending"), ("bin", "ascending")]
+        )
+    )
+
+
+def _sql_curate_pack() -> str:
+    from ..functions.classifier import OOV_WEIGHT, TH_DEN, TH_NUM, default_lexicon
+    from ..functions.packing import DEFAULT_CAPACITY, DEFAULT_SHARD_SIZE
+    from ..functions.tokenize import WS_TOKEN_RE
+
+    cap, ss = DEFAULT_CAPACITY, DEFAULT_SHARD_SIZE
+    values = ", ".join(
+        f"('{w}', {wt})" for w, wt in sorted(default_lexicon().items())
+    )
+    return rf"""
+WITH RECURSIVE lex(w, wt) AS (VALUES {values}),
+words AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(COALESCE(text, ''), '{WS_TOKEN_RE}')) AS w
+  FROM documents
+),
+scored AS (
+  SELECT wo.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(COALESCE(l.wt, {OOV_WEIGHT})) AS BIGINT) AS total
+  FROM words wo LEFT JOIN lex l ON wo.w = l.w
+  GROUP BY wo.doc_id
+),
+kept AS (
+  SELECT d.doc_id, COALESCE(s.n_tokens, 0) AS n_tokens, d.text
+  FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
+  WHERE COALESCE(s.total, 0) * {_CURATE_TH_DEN}
+        >= {_CURATE_TH_NUM} * COALESCE(s.n_tokens, 0)
+),
+canon AS (
+  SELECT doc_id, n_tokens FROM kept
+  QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY text)
+),
+toks AS (
+  SELECT doc_id, CAST(doc_id // {ss} AS BIGINT) AS shard,
+         CAST(n_tokens AS BIGINT) AS n_tokens
+  FROM canon
+),
+ordered AS (
+  SELECT doc_id, shard, n_tokens,
+    ROW_NUMBER() OVER (
+      PARTITION BY shard ORDER BY n_tokens DESC, doc_id) AS rk
+  FROM toks WHERE n_tokens > 0
+),
+fold AS (
+  SELECT shard, rk, doc_id, n_tokens, CAST(0 AS BIGINT) AS bin,
+    [{cap} - n_tokens] AS bins
+  FROM ordered WHERE rk = 1
+  UNION ALL
+  SELECT o.shard, o.rk, o.doc_id, o.n_tokens,
+    CAST(CASE
+      WHEN o.n_tokens <= {cap} AND list_position(
+        list_transform(f.bins, b -> b >= o.n_tokens), true) > 0
+      THEN list_position(
+        list_transform(f.bins, b -> b >= o.n_tokens), true) - 1
+      ELSE len(f.bins) END AS BIGINT) AS bin,
+    CASE
+      WHEN o.n_tokens <= {cap} AND list_position(
+        list_transform(f.bins, b -> b >= o.n_tokens), true) > 0
+      THEN list_transform(f.bins, (b, j) ->
+        CASE WHEN j = list_position(
+          list_transform(f.bins, x -> x >= o.n_tokens), true)
+        THEN b - o.n_tokens ELSE b END)
+      ELSE list_append(f.bins, {cap} - o.n_tokens) END AS bins
+  FROM fold f JOIN ordered o ON o.shard = f.shard AND o.rk = f.rk + 1
+)
+SELECT shard, bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+FROM fold GROUP BY shard, bin
+ORDER BY shard, bin
+"""
+
+
 _PPL_GRID = [x / 2.0 for x in range(0, 25)]  # 0.0 … 12.0 bits/char
 
 
@@ -11668,6 +11862,7 @@ def registry() -> dict[str, tuple]:
             q_gate_rule_marginal,
             _sql_gate_rule_marginal().replace("{pages}", pages),
         ),
+        "curate_pack": (q_curate_pack, _sql_curate_pack()),
         "gate_ppl_sensitivity": (
             q_gate_ppl_sensitivity,
             lambda: _sql_gate_ppl_sensitivity().replace(

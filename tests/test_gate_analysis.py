@@ -55,3 +55,18 @@ def test_order_yield_internal_consistency(ray_session):
     r = q_dedup_order_yield(SF).to_pylist()[0]
     assert 0 < r["gate_then_dedup_kept"] <= r["n_docs"]
     assert 0 <= r["dedup_then_gate_kept"] <= r["gate_then_dedup_kept"] + r["n_docs"]
+
+
+def test_curate_pack_invariants(ray_session):
+    from rsmetacheck_ray.functions.packing import DEFAULT_CAPACITY
+    from rsmetacheck_ray.pipelines.queries import q_curate_pack
+
+    rows = q_curate_pack(SF).to_pylist()
+    assert rows, "curation must keep something at sf0.001"
+    for r in rows:
+        assert r["n_docs"] >= 1
+        # multi-doc bins respect capacity (single oversized docs may not)
+        if r["n_docs"] > 1:
+            assert r["n_tokens"] <= DEFAULT_CAPACITY
+    keys = [(r["shard"], r["bin"]) for r in rows]
+    assert keys == sorted(keys) and len(set(keys)) == len(keys)
