@@ -650,6 +650,7 @@ BENCH_QUERIES = [
     "gate_ppl_sensitivity",
     "dedup_order_yield",
     "curate_pack",
+    "simhash_recall",
 ]
 
 

@@ -5478,6 +5478,161 @@ FROM agg
 """
 
 
+def q_simhash_recall(sf_dir: str):
+    """One row (n_true_pairs, n_within_hamming, recall): of the exact
+    word-5-gram-Jaccard ≥ 0.5 true near-dup pairs, the fraction whose
+    64-bit SimHash fingerprints sit within Hamming distance 3 — i.e.
+    reachable by the banded SimHash search at all (the banding itself
+    is EXACT at ≤3 by pigeonhole, so this measures the FINGERPRINT's
+    loss, the companion number to minhash_lsh_recall's banding loss).
+
+    Same join-free plan as minhash_lsh_recall with an 8-byte payload:
+    pairs fan to (doc, side) rows, per-doc simhashes ride one
+    doc-keyed shuffle, the pair group XOR+popcounts directly."""
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..functions import dedup as ddm
+    from ..functions.jaccard import ngram_jaccard_pairs
+    from ..partitioning import adaptive_partitions
+
+    _ensure_simhash_vocab_export(sf_dir)
+    corpus = _dup_corpus(sf_dir)
+    pairs = ngram_jaccard_pairs(
+        corpus,
+        k=_JACC_K,
+        max_df=_JACC_MAX_DF,
+        min_jaccard=_JACC_MIN_J,
+        num_partitions=adaptive_partitions(
+            _dup_corpus_rows(sf_dir) * 96, row_bytes=24
+        ),
+    )
+
+    def pair_sides(b: pa.Table) -> pa.Table:
+        a = pc.cast(b.column("doc_id_a"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        bb = pc.cast(b.column("doc_id_b"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        n = len(a)
+        return pa.table(
+            {
+                "doc": pa.array(np.concatenate([a, bb]), pa.int64()),
+                "a": pa.array(np.concatenate([a, a]), pa.int64()),
+                "b": pa.array(np.concatenate([bb, bb]), pa.int64()),
+                "side": pa.array(
+                    np.concatenate(
+                        [np.zeros(n, np.int64), np.ones(n, np.int64)]
+                    )
+                ),
+                "sh": pa.array(np.zeros(2 * n, np.int64), pa.int64()),
+            }
+        )
+
+    def doc_hashes(b: pa.Table) -> pa.Table:
+        text = b.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        sh = ddm.simhash_batch(text)
+        n = len(b)
+        return pa.table(
+            {
+                "doc": pc.cast(b.column("doc_id"), pa.int64()),
+                "a": pa.array(np.full(n, -1, np.int64)),
+                "b": pa.array(np.full(n, -1, np.int64)),
+                "side": pa.array(np.full(n, -1, np.int64)),
+                "sh": pa.array(sh.view(np.int64), pa.int64()),
+            }
+        )
+
+    def attach(g: pa.Table) -> pa.Table:
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        hrows = np.flatnonzero(side == -1)
+        prows = np.flatnonzero(side >= 0)
+        if len(hrows) == 0 or len(prows) == 0:
+            return pa.table(
+                {
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "side": pa.array([], pa.int64()),
+                    "sh": pa.array([], pa.int64()),
+                }
+            )
+        hv = int(g.column("sh")[int(hrows[0])].as_py())
+        take = pa.array(prows, pa.int64())
+        return pa.table(
+            {
+                "a": g.column("a").take(take),
+                "b": g.column("b").take(take),
+                "side": g.column("side").take(take),
+                "sh": pa.array([hv] * len(prows), pa.int64()),
+            }
+        )
+
+    def compare(g: pa.Table) -> pa.Table:
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        sh = g.column("sh").to_numpy(zero_copy_only=False).view(np.uint64)
+        i0 = np.flatnonzero(side == 0)
+        i1 = np.flatnonzero(side == 1)
+        within = 0
+        if len(i0) and len(i1):
+            x = int(sh[int(i0[0])] ^ sh[int(i1[0])])
+            within = int(bin(x).count("1") <= 3)
+        return pa.table(
+            {"n": pa.array([1], pa.int64()),
+             "c": pa.array([within], pa.int64())}
+        )
+
+    parts = (
+        pairs.map_batches(pair_sides, batch_format="pyarrow")
+        .union(corpus.map_batches(doc_hashes, batch_format="pyarrow"))
+        .groupby("doc")
+        .map_groups(attach, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .map_groups(compare, batch_format="pyarrow")
+    )
+    tot = parts.aggregate(_Sum("n"), _Sum("c"))
+    n_pairs = int(tot["sum(n)"] or 0)
+    n_within = int(tot["sum(c)"] or 0)
+    return pa.table(
+        {
+            "n_true_pairs": pa.array([n_pairs], pa.int64()),
+            "n_within_hamming": pa.array([n_within], pa.int64()),
+            "recall": pa.array(
+                [float(n_within) / float(n_pairs) if n_pairs else 0.0],
+                pa.float64(),
+            ),
+        }
+    )
+
+
+def _sql_simhash_recall() -> str:
+    return f"""
+WITH {_sql_simhash_vals(_DUP_CORPUS_SQL.strip()).strip()},
+truth AS (
+  SELECT doc_id_a AS a, doc_id_b AS b
+  FROM ({_sql_dedup_jaccard()}) tj
+),
+hits AS (
+  SELECT t.a, t.b
+  FROM truth t
+  JOIN vals va ON va.doc_id = t.a
+  JOIN vals vb ON vb.doc_id = t.b
+  WHERE bit_count(xor(va.simhash, vb.simhash)) <= 3
+),
+agg AS (
+  SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_true_pairs,
+         CAST((SELECT COUNT(*) FROM hits) AS BIGINT) AS n_within_hamming
+)
+SELECT n_true_pairs, n_within_hamming,
+  CASE WHEN n_true_pairs > 0
+       THEN CAST(n_within_hamming AS DOUBLE)
+            / CAST(n_true_pairs AS DOUBLE)
+       ELSE 0.0 END AS recall
+FROM agg
+"""
+
+
 def q_dedup_jaccard(sf_dir: str):
     """EXACT word-5-gram Jaccard near-dup pairs over the dup corpus:
     rare-gram candidate generation (df ≤ 8 ⇒ bounded pair expansion,
@@ -11889,6 +12044,7 @@ def registry() -> dict[str, tuple]:
         "minhash_lsh_recall": (
             q_minhash_lsh_recall, _sql_minhash_lsh_recall()
         ),
+        "simhash_recall": (q_simhash_recall, _sql_simhash_recall()),
         "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
         "dedup_simhash_pairs": (
             q_dedup_simhash_pairs, SQL_DEDUP_SIMHASH_PAIRS,
