@@ -155,3 +155,51 @@ def test_incremental_composes_with_auto_format(
     merged = dict(m2)
     merged.pop("incremental")
     assert merged == scratch
+
+
+def test_interrupted_epoch_recovers(ray_session, small_corpus, tmp_path):
+    """A run killed mid-epoch leaves a partial epoch manifest; the
+    next incremental run gates ONLY the unfinished fragments (into a
+    fresh epoch) and the merged metrics still equal from-scratch."""
+    import pytest
+
+    from rsmetacheck_ray.pipelines import quality_gate as qg
+
+    pages_dir, _ = small_corpus
+    files = sorted(glob.glob(os.path.join(pages_dir, "*.parquet")))
+    lake = tmp_path / "lake"
+    os.makedirs(lake)
+    for f in files[:3]:
+        shutil.copy(f, lake)
+    out = tmp_path / "inc"
+
+    # kill the first epoch after one partition completes
+    calls = {"n": 0}
+    orig = qg.build_gate
+
+    def exploding(ds, cfg, write_dropped_text=False, **kw):
+        if calls["n"] >= 1:
+            raise RuntimeError("simulated mid-epoch kill")
+        calls["n"] += 1
+        return orig(ds, cfg, write_dropped_text, **kw)
+
+    qg.build_gate = exploding
+    try:
+        with pytest.raises(RuntimeError):
+            qg.run_gate_incremental(str(lake), str(out), n_partitions=3)
+    finally:
+        qg.build_gate = orig
+
+    ep0_man = out / "epochs" / "epoch-0000" / "manifest.jsonl"
+    assert ep0_man.exists()
+    done0 = len(open(ep0_man).readlines())
+    assert 1 <= done0 < 3
+
+    # recovery run: the unfinished fragments land in epoch-0001
+    m = qg.run_gate_incremental(str(lake), str(out), n_partitions=1)
+    assert m["incremental"]["new_fragments"] == 3 - done0
+    scratch = qg.run_gate(str(lake), str(tmp_path / "scratch"),
+                          n_partitions=1)
+    merged = dict(m)
+    merged.pop("incremental")
+    assert merged == scratch
