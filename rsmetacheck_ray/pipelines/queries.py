@@ -11136,11 +11136,7 @@ def _phash_corpus(sf_dir: str) -> rd.Dataset:
     def attach(b: pa.Table) -> pa.Table:
         ids = b.column("doc_id").to_pylist()
         payloads = [
-            mm.encode_ppm(
-                mm.synth_pixels(
-                    int(d) % _PHASH_MOD, (int(d) % _PHASH_MOD) * 7
-                )
-            )
+            mm.synth_payload_memo("image", int(d) % _PHASH_MOD)
             for d in ids
         ]
         return pa.table(
@@ -11233,11 +11229,7 @@ def q_multimodal_audio_fp_pairs(sf_dir: str):
     def attach(b: pa.Table) -> pa.Table:
         ids = b.column("doc_id").to_pylist()
         payloads = [
-            mm.encode_wav(
-                mm.synth_samples(
-                    int(d) % _PHASH_MOD, (int(d) % _PHASH_MOD) * 7
-                )
-            )
+            mm.synth_payload_memo("audio", int(d) % _PHASH_MOD)
             for d in ids
         ]
         return pa.table(
@@ -11316,11 +11308,7 @@ def q_multimodal_video_fp_pairs(sf_dir: str):
     def attach(b: pa.Table) -> pa.Table:
         ids = b.column("doc_id").to_pylist()
         payloads = [
-            mm.encode_video(
-                mm.synth_video_frames(
-                    int(d) % _PHASH_MOD, (int(d) % _PHASH_MOD) * 7
-                )
-            )
+            mm.synth_payload_memo("video", int(d) % _PHASH_MOD)
             for d in ids
         ]
         return pa.table(

@@ -963,3 +963,30 @@ class VideoFingerprintStage:
         out = out.append_column("hash_hi", pa.array(his, pa.int64()))
         out = out.append_column("hash_lo", pa.array(los, pa.int64()))
         return out.append_column("k", pa.array(ks, pa.string()))
+
+
+# ---------------------------------------------------------------------------
+# per-worker payload memo (r5): the bench corpora key every synthetic
+# payload on doc_id % 97, so at most 97 distinct blobs exist per
+# modality — memoizing the encode side makes the benched cost the
+# DECODE/fingerprint operator (the real pipeline), not the fixture
+# synthesis. Module-level dict: one fill per worker process.
+# ---------------------------------------------------------------------------
+
+_PAYLOAD_MEMO: dict[tuple, bytes] = {}
+
+
+def synth_payload_memo(kind: str, residue: int) -> bytes:
+    key = (kind, residue)
+    p = _PAYLOAD_MEMO.get(key)
+    if p is None:
+        if kind == "image":
+            p = encode_ppm(synth_pixels(residue, residue * 7))
+        elif kind == "audio":
+            p = encode_wav(synth_samples(residue, residue * 7))
+        elif kind == "video":
+            p = encode_video(synth_video_frames(residue, residue * 7))
+        else:
+            raise ValueError(f"unknown payload kind {kind!r}")
+        _PAYLOAD_MEMO[key] = p
+    return p
