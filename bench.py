@@ -651,6 +651,8 @@ BENCH_QUERIES = [
     "dedup_order_yield",
     "curate_pack",
     "simhash_recall",
+    "quality_dup_rate",
+    "kept_host_entropy",
 ]
 
 

@@ -1850,6 +1850,245 @@ FROM flags f JOIN bpc p USING (doc_id)
 # corpus's threshold; cross-multiplied ints keep it exact)
 _CURATE_TH_NUM, _CURATE_TH_DEN = -4, 5
 
+# quality-bin edges as exact fractions (num, den): mean score ≥ num/den
+# ⇒ the doc clears that edge; bin = number of edges cleared (0..4).
+# Cross-multiplied integer comparisons — no float boundary on either
+# side.
+_QBIN_EDGES = [(-6, 5), (-4, 5), (-2, 5), (0, 5)]
+
+
+def q_kept_host_entropy(sf_dir: str):
+    """One row (n_kept, n_hosts, host_entropy, norm_entropy): Shannon
+    entropy of the KEPT set's host distribution — the domain-diversity
+    health number of a filtered crawl (norm = H / ln(n_hosts); near 1
+    means broad coverage, near 0 means the filter kept a handful of
+    mega-hosts). Composes the fused gate with the salted host
+    aggregate, then reduces to the COUNT-OF-COUNTS histogram before
+    anything reaches the driver — the host_lorenz discipline: the
+    host domain is unbounded at web scale, the distinct-count domain
+    is not, and hosts tied at count c contribute identical entropy
+    terms m_c·(−(c/N)·ln(c/N)), folded in fixed ascending-c order
+    with libm log (≙ the oracle's ordered list_sum)."""
+    import math
+
+    from ..stages.skew import salted_host_counts
+
+    pages = _pages_input(sf_dir).map_batches(
+        synthesize_pages, batch_format="pyarrow"
+    )
+    kept = build_gate(pages).map_batches(
+        lambda b: b.filter(b.column("keep").combine_chunks()).select(
+            ["doc_id", "url"]
+        ),
+        batch_format="pyarrow",
+    )
+
+    def count_of_counts(b: pa.Table) -> pa.Table:
+        g = b.group_by("n_pages").aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "c": pc.cast(g.column("n_pages"), pa.int64()),
+                "m": pc.cast(g.column("count_all"), pa.int64()),
+            }
+        )
+
+    hist = rel.bounded_group_table_strict(
+        salted_host_counts(kept).map_batches(
+            count_of_counts, batch_format="pyarrow"
+        ),
+        ["c"],
+        [("m", "sum")],
+    )
+    empty = pa.table(
+        {
+            "n_kept": pa.array([0], pa.int64()),
+            "n_hosts": pa.array([0], pa.int64()),
+            "host_entropy": pa.array([0.0], pa.float64()),
+            "norm_entropy": pa.array([0.0], pa.float64()),
+        }
+    )
+    if hist is None or hist.num_rows == 0:
+        return empty
+    cs = hist.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+    ms = hist.column("m").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(cs)
+    cs, ms = cs[order], ms[order]
+    n = int((cs * ms).sum())
+    h_total = int(ms.sum())
+    acc = 0.0
+    for c, m in zip(cs.tolist(), ms.tolist()):  # fixed ascending-c fold
+        p = c / n
+        acc += m * (-(p) * math.log(p))
+    norm = acc / math.log(h_total) if h_total > 1 else 0.0
+    return pa.table(
+        {
+            "n_kept": pa.array([n], pa.int64()),
+            "n_hosts": pa.array([h_total], pa.int64()),
+            "host_entropy": pa.array([acc], pa.float64()),
+            "norm_entropy": pa.array([norm], pa.float64()),
+        }
+    )
+
+
+def _sql_kept_host_entropy() -> str:
+    from ..stages.skew import HOST_RE
+
+    return f"""
+WITH {_sql_gate_flags_ctes().strip()},
+{_sql_bpc_ctes().strip()},
+kept AS (
+  SELECT f.doc_id, pg.url
+  FROM flags f JOIN bpc p USING (doc_id) JOIN pages pg USING (doc_id)
+  WHERE {_sql_keep_expr()}
+),
+hc AS (
+  SELECT regexp_extract(url, '{HOST_RE}', 1) AS host,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM kept GROUP BY 1
+),
+hist AS (
+  SELECT c, CAST(COUNT(*) AS BIGINT) AS m FROM hc GROUP BY c
+),
+tot AS (
+  SELECT CAST(SUM(c * m) AS BIGINT) AS n,
+         CAST(SUM(m) AS BIGINT) AS h FROM hist
+),
+terms AS (
+  SELECT hist.c,
+    hist.m * (-(CAST(hist.c AS DOUBLE) / tot.n)
+              * ln(CAST(hist.c AS DOUBLE) / tot.n)) AS term
+  FROM hist CROSS JOIN tot
+)
+SELECT tot.n AS n_kept, tot.h AS n_hosts,
+  (SELECT list_sum(list(term ORDER BY c)) FROM terms) AS host_entropy,
+  CASE WHEN tot.h > 1
+       THEN (SELECT list_sum(list(term ORDER BY c)) FROM terms)
+            / ln(CAST(tot.h AS DOUBLE))
+       ELSE 0.0 END AS norm_entropy
+FROM tot
+"""
+
+
+def q_quality_dup_rate(sf_dir: str):
+    """(bin, n_docs, n_dup_docs, dup_rate): exact-duplicate incidence
+    per quality-score bin — DOES low-quality text duplicate more on
+    this corpus, the question that decides whether to dedup before or
+    after the quality filter (if dups concentrate in the drop bins,
+    dedup-first wastes hash work on text the filter would delete).
+    Bin = number of cleared mean-score edges (exact cross-multiplied
+    ints); a doc is a dup iff its text group has ≥2 members.
+
+    Plan: one fused map emits 40-byte (hash128, bin) rows; the hash
+    groupby tags each doc with its group size; a bounded bin-domain
+    reduce finishes."""
+    from ..functions.classifier import QualityClassifier
+    from ..functions.hashing import hash_str_arrow_u128
+
+    docs = _dup_corpus(sf_dir)  # planted duplicate structure
+
+    def rows(b: pa.Table) -> pa.Table:
+        scored = QualityClassifier()(b)
+        total = scored.column("score_total").to_numpy(zero_copy_only=False)
+        n = scored.column("n_tokens").to_numpy(zero_copy_only=False)
+        binv = np.zeros(len(b), np.int64)
+        for num, den in _QBIN_EDGES:
+            binv += (total * den >= num * n).astype(np.int64)
+        text = b.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        lo, hi = hash_str_arrow_u128(pc.fill_null(text, ""))
+        return pa.table(
+            {
+                "h1": pa.array(lo.view(np.int64), pa.int64()),
+                "h2": pa.array(hi.view(np.int64), pa.int64()),
+                "bin": pa.array(binv, pa.int64()),
+            }
+        )
+
+    def per_group(g: pa.Table) -> pa.Table:
+        n = len(g)
+        return pa.table(
+            {
+                "bin": g.column("bin"),
+                "nd": pa.array(np.ones(n, np.int64)),
+                "dup": pa.array(
+                    np.full(n, int(n > 1), np.int64), pa.int64()
+                ),
+            }
+        )
+
+    tbl = rel.bounded_group_table_strict(
+        docs.map_batches(rows, batch_format="pyarrow")
+        .groupby(["h1", "h2"])
+        .map_groups(per_group, batch_format="pyarrow"),
+        ["bin"],
+        [("nd", "sum"), ("dup", "sum")],
+    )
+    empty = pa.table(
+        {
+            "bin": pa.array([], pa.int64()),
+            "n_docs": pa.array([], pa.int64()),
+            "n_dup_docs": pa.array([], pa.int64()),
+            "dup_rate": pa.array([], pa.float64()),
+        }
+    )
+    if tbl is None or tbl.num_rows == 0:
+        return empty
+    order = pc.sort_indices(tbl, sort_keys=[("bin", "ascending")])
+    tbl = tbl.take(order)
+    nd = tbl.column("nd").to_numpy(zero_copy_only=False)
+    dup = tbl.column("dup").to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "bin": tbl.column("bin"),
+            "n_docs": pa.array(nd, pa.int64()),
+            "n_dup_docs": pa.array(dup, pa.int64()),
+            "dup_rate": pa.array(
+                dup.astype(np.float64) / nd.astype(np.float64),
+                pa.float64(),
+            ),
+        }
+    )
+
+
+def _sql_quality_dup_rate() -> str:
+    from ..functions.classifier import OOV_WEIGHT, default_lexicon
+    from ..functions.tokenize import WS_TOKEN_RE
+
+    values = ", ".join(
+        f"('{w}', {wt})" for w, wt in sorted(default_lexicon().items())
+    )
+    edges = " + ".join(
+        f"(CASE WHEN COALESCE(s.total, 0) * {den} >= "
+        f"{num} * COALESCE(s.n_tokens, 0) THEN 1 ELSE 0 END)"
+        for num, den in _QBIN_EDGES
+    )
+    return f"""
+WITH {_DUP_CORPUS_SQL.strip()},
+lex(w, wt) AS (VALUES {values}),
+words AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(COALESCE(text, ''), '{WS_TOKEN_RE}')) AS w
+  FROM corpus
+),
+scored AS (
+  SELECT wo.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(COALESCE(l.wt, {OOV_WEIGHT})) AS BIGINT) AS total
+  FROM words wo LEFT JOIN lex l ON wo.w = l.w
+  GROUP BY wo.doc_id
+),
+binned AS (
+  SELECT d.doc_id, CAST({edges} AS BIGINT) AS bin,
+    COUNT(*) OVER (PARTITION BY d.text) AS grp
+  FROM corpus d LEFT JOIN scored s ON s.doc_id = d.doc_id
+)
+SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CASE WHEN grp > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+  CAST(SUM(CASE WHEN grp > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+    / CAST(COUNT(*) AS DOUBLE) AS dup_rate
+FROM binned GROUP BY bin ORDER BY bin
+"""
+
 
 def q_curate_pack(sf_dir: str):
     """(shard, bin, n_docs, n_tokens): the end-to-end curation
@@ -12006,6 +12245,13 @@ def registry() -> dict[str, tuple]:
             _sql_gate_rule_marginal().replace("{pages}", pages),
         ),
         "curate_pack": (q_curate_pack, _sql_curate_pack()),
+        "quality_dup_rate": (q_quality_dup_rate, _sql_quality_dup_rate()),
+        "kept_host_entropy": (
+            q_kept_host_entropy,
+            lambda: _sql_kept_host_entropy().replace(
+                "{pages}", pages_cte()
+            ),
+        ),
         "gate_ppl_sensitivity": (
             q_gate_ppl_sensitivity,
             lambda: _sql_gate_ppl_sensitivity().replace(
