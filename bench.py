@@ -653,6 +653,7 @@ BENCH_QUERIES = [
     "simhash_recall",
     "quality_dup_rate",
     "kept_host_entropy",
+    "code_switch",
 ]
 
 

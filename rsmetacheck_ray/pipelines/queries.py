@@ -33,6 +33,7 @@ from ..functions import similarity as sim
 from ..sources.pages_from_documents import pages_cte, synthesize_pages, trigger_table
 from ..stages import multimodal as mm
 from ..stages.skew import HOST_COUNTS_SQL_TEMPLATE
+from ..stages.langid import marker_pattern
 from ..stages.rules import (
     ARCHIVE_RE,
     AUTHORS_LINE_RE,
@@ -1855,6 +1856,124 @@ _CURATE_TH_NUM, _CURATE_TH_DEN = -4, 5
 # Cross-multiplied integer comparisons — no float boundary on either
 # side.
 _QBIN_EDGES = [(-6, 5), (-4, 5), (-2, 5), (0, 5)]
+
+
+_CS_MIN_HITS = 2        # second language needs ≥2 marker hits
+_CS_NUM, _CS_DEN = 1, 4  # and ≥ 1/4 of the combined marker mass
+# planted glue phrases (marker-dense second-language tails)
+_CS_GLUE_FR = " les des est dans pour les des est"
+_CS_GLUE_DE = " der die und von mit der die und"
+
+
+def q_code_switch(sf_dir: str):
+    """(doc_id, primary_lang, second_lang, n_primary, n_second):
+    documents whose marker-word mass splits across TWO languages —
+    code-switched (or template-glued) text that a single-label langid
+    mislabels and a monolingual filter then mis-drops. Primary =
+    argmax marker count (ties → lang code ASC, both engines), second
+    = runner-up; a doc reports iff the runner-up has ≥{_CS_MIN_HITS}
+    hits and ≥{_CS_NUM}/{_CS_DEN} of the combined mass (exact
+    cross-multiplied ints). One RE2 pass per language per batch, zero
+    shuffle — the langid stage's marker machinery as a forensic
+    query."""
+    from ..functions.vocab import MARKERS
+
+    langs = sorted(MARKERS)
+    pats = {lg: marker_pattern(lg) for lg in langs}
+    ds = _documents(sf_dir, ["doc_id", "text"])
+
+    def local(b: pa.Table) -> pa.Table:
+        text = b.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        text = pc.fill_null(text, "")
+        # planted mixing (deterministic, mirrored in the oracle): the
+        # synthetic corpus is perfectly monolingual, so residue
+        # classes glue a second-language marker phrase on — the
+        # detector must rediscover exactly those docs
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        glue = pa.array(
+            np.where(ids % 23 == 4, _CS_GLUE_FR,
+                     np.where(ids % 29 == 7, _CS_GLUE_DE, "")),
+            pa.string(),
+        )
+        text = pc.binary_join_element_wise(text, glue, "")
+        hits = np.stack(
+            [
+                pc.count_substring_regex(text, pats[lg]).to_numpy(
+                    zero_copy_only=False
+                )
+                for lg in langs
+            ],
+            axis=1,
+        ).astype(np.int64)
+        # argmax with lang-ASC tie-break: langs are sorted, numpy
+        # argmax takes the FIRST max — identical to the oracle's
+        # (count DESC, lang ASC) rank
+        prim = hits.argmax(axis=1)
+        masked = hits.copy()
+        masked[np.arange(len(b)), prim] = -1
+        sec = masked.argmax(axis=1)
+        n1 = hits[np.arange(len(b)), prim]
+        n2 = hits[np.arange(len(b)), sec]
+        keep = (n2 >= _CS_MIN_HITS) & (n2 * _CS_DEN >= _CS_NUM * (n1 + n2))
+        idx = np.flatnonzero(keep)
+        lang_arr = np.array(langs)
+        return pa.table(
+            {
+                "doc_id": pc.cast(b.column("doc_id"), pa.int64()).take(
+                    pa.array(idx, pa.int64())
+                ),
+                "primary_lang": pa.array(lang_arr[prim[idx]], pa.string()),
+                "second_lang": pa.array(lang_arr[sec[idx]], pa.string()),
+                "n_primary": pa.array(n1[idx], pa.int64()),
+                "n_second": pa.array(n2[idx], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(local, batch_format="pyarrow")
+
+
+def _sql_code_switch() -> str:
+    from ..functions.vocab import MARKERS
+
+    langs = sorted(MARKERS)
+    counts = ",\n".join(
+        f"  CAST(len(regexp_extract_all(COALESCE(text, ''), "
+        f"'{marker_pattern(lg)}')) AS BIGINT) AS c_{lg}"
+        for lg in langs
+    )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT doc_id, '{lg}' AS lang, c_{lg} AS c FROM counts"
+        for lg in langs
+    )
+    return f"""
+WITH mixed AS (
+  SELECT doc_id,
+    COALESCE(text, '')
+    || CASE WHEN doc_id % 23 = 4 THEN '{_CS_GLUE_FR}'
+            WHEN doc_id % 29 = 7 THEN '{_CS_GLUE_DE}'
+            ELSE '' END AS text
+  FROM documents
+),
+counts AS (
+  SELECT doc_id,
+{counts}
+  FROM mixed
+),
+long AS ({unions}),
+ranked AS (
+  SELECT doc_id, lang, c,
+    ROW_NUMBER() OVER (
+      PARTITION BY doc_id ORDER BY c DESC, lang) AS rk
+  FROM long
+)
+SELECT p.doc_id, p.lang AS primary_lang, s.lang AS second_lang,
+  p.c AS n_primary, s.c AS n_second
+FROM ranked p JOIN ranked s ON s.doc_id = p.doc_id AND s.rk = 2
+WHERE p.rk = 1 AND s.c >= {_CS_MIN_HITS}
+  AND s.c * {_CS_DEN} >= {_CS_NUM} * (p.c + s.c)
+"""
 
 
 def q_kept_host_entropy(sf_dir: str):
@@ -12246,6 +12365,7 @@ def registry() -> dict[str, tuple]:
         ),
         "curate_pack": (q_curate_pack, _sql_curate_pack()),
         "quality_dup_rate": (q_quality_dup_rate, _sql_quality_dup_rate()),
+        "code_switch": (q_code_switch, _sql_code_switch()),
         "kept_host_entropy": (
             q_kept_host_entropy,
             lambda: _sql_kept_host_entropy().replace(
