@@ -654,6 +654,7 @@ BENCH_QUERIES = [
     "quality_dup_rate",
     "kept_host_entropy",
     "code_switch",
+    "dedup_best_survivor",
 ]
 
 

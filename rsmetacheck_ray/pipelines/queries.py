@@ -6939,6 +6939,185 @@ def q_dedup_components(sf_dir: str):
     return connected_components(_cc_edges(corpus))
 
 
+def q_dedup_best_survivor(sf_dir: str):
+    """(component_id, doc_id, score_total, n_tokens): QUALITY-AWARE
+    dedup survivors — per near-dup cluster, keep the member the
+    quality classifier scores best (per-token rank via exact
+    cross-multiplied ints, ties → doc_id ASC) instead of the naive
+    min-id canonical. The curation refinement production dedup stacks
+    apply: the first-crawled copy of a page is often the worst one
+    (truncated, boilerplate-heavy); singleton docs survive untouched
+    and are omitted here (the cluster view is the deliverable).
+
+    Plan: the component solve and the classifier score are both
+    per-doc projections; a tag-union doc-keyed shuffle glues them and
+    one component-keyed group picks the winner — 32-byte rows only,
+    text never moves past the scorer."""
+    from ..functions.classifier import QualityClassifier
+    from ..functions.components import connected_components
+
+    corpus = _cc_corpus(sf_dir)
+    comp = connected_components(_cc_edges(corpus))
+
+    def score_rows(b: pa.Table) -> pa.Table:
+        scored = QualityClassifier()(b)
+        return pa.table(
+            {
+                "doc_id": pc.cast(scored.column("doc_id"), pa.int64()),
+                "component_id": pa.array(
+                    np.full(len(b), -1, np.int64), pa.int64()
+                ),
+                "score_total": pc.cast(
+                    scored.column("score_total"), pa.int64()
+                ),
+                "n_tokens": pc.cast(scored.column("n_tokens"), pa.int64()),
+            }
+        )
+
+    def comp_rows(b: pa.Table) -> pa.Table:
+        n = len(b)
+        return pa.table(
+            {
+                "doc_id": pc.cast(b.column("doc_id"), pa.int64()),
+                "component_id": pc.cast(
+                    b.column("component_id"), pa.int64()
+                ),
+                "score_total": pa.array(np.zeros(n, np.int64)),
+                "n_tokens": pa.array(np.full(n, -1, np.int64)),
+            }
+        )
+
+    def glue(g: pa.Table) -> pa.Table:
+        cidv = g.column("component_id").to_numpy(zero_copy_only=False)
+        ntv = g.column("n_tokens").to_numpy(zero_copy_only=False)
+        crow = np.flatnonzero(cidv >= 0)
+        srow = np.flatnonzero(ntv >= 0)
+        empty = pa.table(
+            {
+                "component_id": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+                "score_total": pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+            }
+        )
+        if len(crow) == 0 or len(srow) == 0:  # singleton or scoreless
+            return empty
+        return pa.table(
+            {
+                "component_id": pa.array(
+                    [int(cidv[crow[0]])], pa.int64()
+                ),
+                "doc_id": pa.array(
+                    [int(g.column("doc_id")[0].as_py())], pa.int64()
+                ),
+                "score_total": pa.array(
+                    [int(g.column("score_total")[int(srow[0])].as_py())],
+                    pa.int64(),
+                ),
+                "n_tokens": pa.array(
+                    [int(ntv[srow[0]])], pa.int64()
+                ),
+            }
+        )
+
+    def best(g: pa.Table) -> pa.Table:
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        st = g.column("score_total").to_numpy(zero_copy_only=False)
+        nt = g.column("n_tokens").to_numpy(zero_copy_only=False)
+        # rank by the SAME double the oracle computes
+        # (score_total / max(n_tokens,1) as float64, ties → doc_id):
+        # identical IEEE division on both sides makes even the
+        # distinct-rationals-equal-double edge resolve identically
+        den = np.maximum(nt, 1).astype(np.float64)
+        mean = st.astype(np.float64) / den
+        w = int(np.lexsort((ids, -mean))[0])
+        return pa.table(
+            {
+                "component_id": g.column("component_id").slice(0, 1),
+                "doc_id": pa.array([int(ids[w])], pa.int64()),
+                "score_total": pa.array([int(st[w])], pa.int64()),
+                "n_tokens": pa.array([int(nt[w])], pa.int64()),
+            }
+        )
+
+    return (
+        corpus.map_batches(score_rows, batch_format="pyarrow")
+        .union(comp.map_batches(comp_rows, batch_format="pyarrow"))
+        .groupby("doc_id")
+        .map_groups(glue, batch_format="pyarrow")
+        .groupby("component_id")
+        .map_groups(best, batch_format="pyarrow")
+    )
+
+
+def _sql_dedup_best_survivor() -> str:
+    from ..functions.classifier import OOV_WEIGHT, default_lexicon
+    from ..functions.tokenize import WS_TOKEN_RE
+
+    values = ", ".join(
+        f"('{w}', {wt})" for w, wt in sorted(default_lexicon().items())
+    )
+    return f"""
+WITH RECURSIVE
+{_CC_CORPUS_SQL.strip()},
+pk AS (SELECT doc_id, substr(text, 1, {_CC_PREFIX}) AS k FROM corpus),
+sk AS (
+  SELECT doc_id,
+    CASE WHEN length(text) >= {_CC_PREFIX}
+         THEN substr(text, length(text) - {_CC_PREFIX - 1}, {_CC_PREFIX})
+         ELSE text END AS k
+  FROM corpus
+),
+pe AS (SELECT min(doc_id) OVER (PARTITION BY k) AS a, doc_id AS b FROM pk),
+se AS (SELECT min(doc_id) OVER (PARTITION BY k) AS a, doc_id AS b FROM sk),
+edges0 AS (
+  SELECT a, b FROM pe WHERE a < b
+  UNION
+  SELECT a, b FROM se WHERE a < b
+),
+edges AS (SELECT a, b FROM edges0 UNION SELECT b, a FROM edges0),
+reach AS (
+  SELECT a AS node, b AS r FROM edges
+  UNION
+  SELECT e.a, r.r FROM edges e JOIN reach r ON e.b = r.node
+),
+comp AS (
+  SELECT node AS doc_id, least(node, min(r)) AS component_id
+  FROM reach GROUP BY node
+),
+lex(w, wt) AS (VALUES {values}),
+words AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(COALESCE(text, ''), '{WS_TOKEN_RE}')) AS w
+  FROM corpus
+),
+scored AS (
+  SELECT wo.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(COALESCE(l.wt, {OOV_WEIGHT})) AS BIGINT) AS total
+  FROM words wo LEFT JOIN lex l ON wo.w = l.w
+  GROUP BY wo.doc_id
+),
+members AS (
+  SELECT c.component_id, c.doc_id,
+    COALESCE(s.total, 0) AS score_total,
+    COALESCE(s.n_tokens, 0) AS n_tokens
+  FROM comp c LEFT JOIN scored s ON s.doc_id = c.doc_id
+),
+ranked AS (
+  SELECT m.*,
+    ROW_NUMBER() OVER (
+      PARTITION BY component_id
+      ORDER BY CAST(score_total AS DOUBLE)
+               / GREATEST(n_tokens, 1) DESC, doc_id) AS rk
+  FROM members m
+)
+SELECT component_id, doc_id,
+  CAST(score_total AS BIGINT) AS score_total,
+  CAST(n_tokens AS BIGINT) AS n_tokens
+FROM ranked WHERE rk = 1
+"""
+
+
 _BC_FP = 1_000_000  # micro-units; n_ct²·FP ≤ int64 while n_ct ≤ 3·10⁶
 
 
@@ -12433,6 +12612,9 @@ def registry() -> dict[str, tuple]:
         ),
         "dedup_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),
         "dedup_bcubed": (q_dedup_bcubed, _sql_dedup_bcubed()),
+        "dedup_best_survivor": (
+            q_dedup_best_survivor, _sql_dedup_best_survivor()
+        ),
         "rank_dedup_graph": (q_rank_dedup_graph, _sql_rank_dedup_graph()),
         "dedup_graph_bfs": (q_dedup_graph_bfs, SQL_DEDUP_GRAPH_BFS),
         "dedup_graph_diameter": (
