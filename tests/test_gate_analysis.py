@@ -70,3 +70,21 @@ def test_curate_pack_invariants(ray_session):
             assert r["n_tokens"] <= DEFAULT_CAPACITY
     keys = [(r["shard"], r["bin"]) for r in rows]
     assert keys == sorted(keys) and len(set(keys)) == len(keys)
+
+
+def test_best_survivor_beats_min_id_canonical(ray_session):
+    from rsmetacheck_ray.pipelines.queries import (
+        q_dedup_best_survivor, q_dedup_components,
+    )
+
+    best = {r["component_id"]: r
+            for r in q_dedup_best_survivor(SF).take_all()}
+    comp_rows = q_dedup_components(SF).take_all()
+    assert best and comp_rows
+    # every cluster has exactly one survivor, and it is a member
+    members: dict[int, set] = {}
+    for r in comp_rows:
+        members.setdefault(r["component_id"], set()).add(r["doc_id"])
+    for cid, r in best.items():
+        assert r["doc_id"] in members[cid]
+    assert set(best) == set(members)
