@@ -655,6 +655,7 @@ BENCH_QUERIES = [
     "kept_host_entropy",
     "code_switch",
     "dedup_best_survivor",
+    "lang_keep_matrix",
 ]
 
 

@@ -1858,6 +1858,91 @@ _CURATE_TH_NUM, _CURATE_TH_DEN = -4, 5
 _QBIN_EDGES = [(-6, 5), (-4, 5), (-2, 5), (0, 5)]
 
 
+def q_lang_keep_matrix(sf_dir: str):
+    """(lang, detected_lang, n, n_kept, keep_rate): the gate's keep
+    decision cross-tabulated by declared × detected language — WHERE
+    the filter's losses concentrate (a declared-en block landing in
+    'und' and dropping wholesale is a detector-threshold problem, not
+    a content problem; this matrix is how you see the difference).
+    Bounded |langs|² domain; constant partial rows per batch off the
+    fused gate."""
+    out = _gated(sf_dir)
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "lang": pc.fill_null(b.column("lang"), ""),
+                "detected_lang": b.column("detected_lang"),
+                "n": pa.array(np.ones(len(b), np.int64)),
+                "n_kept": pc.cast(b.column("keep"), pa.int64()),
+            }
+        )
+        g = t.group_by(["lang", "detected_lang"]).aggregate(
+            [("n", "sum"), ("n_kept", "sum")]
+        )
+        return pa.table(
+            {
+                "lang": g.column("lang"),
+                "detected_lang": g.column("detected_lang"),
+                "n": pc.cast(g.column("n_sum"), pa.int64()),
+                "n_kept": pc.cast(g.column("n_kept_sum"), pa.int64()),
+            }
+        )
+
+    tbl = rel.bounded_group_table_strict(
+        out.map_batches(partial, batch_format="pyarrow"),
+        ["lang", "detected_lang"],
+        [("n", "sum"), ("n_kept", "sum")],
+    )
+    empty = pa.table(
+        {
+            "lang": pa.array([], pa.string()),
+            "detected_lang": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+            "n_kept": pa.array([], pa.int64()),
+            "keep_rate": pa.array([], pa.float64()),
+        }
+    )
+    if tbl is None or tbl.num_rows == 0:
+        return empty
+    order = pc.sort_indices(
+        tbl,
+        sort_keys=[("lang", "ascending"), ("detected_lang", "ascending")],
+    )
+    tbl = tbl.take(order)
+    n = tbl.column("n").to_numpy(zero_copy_only=False)
+    k = tbl.column("n_kept").to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "lang": tbl.column("lang"),
+            "detected_lang": tbl.column("detected_lang"),
+            "n": pa.array(n, pa.int64()),
+            "n_kept": pa.array(k, pa.int64()),
+            "keep_rate": pa.array(
+                k.astype(np.float64) / n.astype(np.float64), pa.float64()
+            ),
+        }
+    )
+
+
+def _sql_lang_keep_matrix() -> str:
+    return f"""
+WITH {_sql_gate_flags_ctes().strip()},
+{_sql_bpc_ctes().strip()},
+decisions AS (
+  SELECT f.doc_id, f.detected_lang, COALESCE(pg.lang, '') AS lang,
+    {_sql_keep_expr()} AS keep
+  FROM flags f JOIN bpc p USING (doc_id) JOIN pages pg USING (doc_id)
+)
+SELECT lang, detected_lang, CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
+    / CAST(COUNT(*) AS DOUBLE) AS keep_rate
+FROM decisions GROUP BY lang, detected_lang
+ORDER BY lang, detected_lang
+"""
+
+
 _CS_MIN_HITS = 2        # second language needs ≥2 marker hits
 _CS_NUM, _CS_DEN = 1, 4  # and ≥ 1/4 of the combined marker mass
 # planted glue phrases (marker-dense second-language tails)
@@ -12545,6 +12630,12 @@ def registry() -> dict[str, tuple]:
         "curate_pack": (q_curate_pack, _sql_curate_pack()),
         "quality_dup_rate": (q_quality_dup_rate, _sql_quality_dup_rate()),
         "code_switch": (q_code_switch, _sql_code_switch()),
+        "lang_keep_matrix": (
+            q_lang_keep_matrix,
+            lambda: _sql_lang_keep_matrix().replace(
+                "{pages}", pages_cte()
+            ),
+        ),
         "kept_host_entropy": (
             q_kept_host_entropy,
             lambda: _sql_kept_host_entropy().replace(
