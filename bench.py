@@ -656,6 +656,7 @@ BENCH_QUERIES = [
     "code_switch",
     "dedup_best_survivor",
     "lang_keep_matrix",
+    "kept_url_depth",
 ]
 
 

@@ -1858,6 +1858,93 @@ _CURATE_TH_NUM, _CURATE_TH_DEN = -4, 5
 _QBIN_EDGES = [(-6, 5), (-4, 5), (-2, 5), (0, 5)]
 
 
+def q_kept_url_depth(sf_dir: str):
+    """(depth, n, n_kept, keep_rate): gate outcomes by URL path depth
+    (segments after the host, capped at 8) — shallow pages are hubs
+    and boilerplate, deep pages are long-tail content; a keep-rate
+    cliff at some depth is a crawl-frontier policy signal. Bounded
+    9-row domain; one pass off the fused gate."""
+    out = _gated(sf_dir)
+
+    def partial(b: pa.Table) -> pa.Table:
+        url = b.column("url")
+        if isinstance(url, pa.ChunkedArray):
+            url = url.combine_chunks()
+        # path = everything after the host: strip scheme, then count
+        # '/' occurrences (each segment boundary), cap at 8
+        stripped = pc.replace_substring_regex(
+            pc.fill_null(url, ""), r"^https?://[^/]*", ""
+        )
+        slashes = pc.count_substring(stripped, "/").to_numpy(
+            zero_copy_only=False
+        )
+        depth = np.minimum(slashes, 8).astype(np.int64)
+        t = pa.table(
+            {
+                "depth": pa.array(depth, pa.int64()),
+                "n": pa.array(np.ones(len(b), np.int64)),
+                "n_kept": pc.cast(b.column("keep"), pa.int64()),
+            }
+        )
+        g = t.group_by("depth").aggregate([("n", "sum"), ("n_kept", "sum")])
+        return pa.table(
+            {
+                "depth": g.column("depth"),
+                "n": pc.cast(g.column("n_sum"), pa.int64()),
+                "n_kept": pc.cast(g.column("n_kept_sum"), pa.int64()),
+            }
+        )
+
+    tbl = rel.bounded_group_table_strict(
+        out.map_batches(partial, batch_format="pyarrow"),
+        ["depth"],
+        [("n", "sum"), ("n_kept", "sum")],
+    )
+    empty = pa.table(
+        {
+            "depth": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+            "n_kept": pa.array([], pa.int64()),
+            "keep_rate": pa.array([], pa.float64()),
+        }
+    )
+    if tbl is None or tbl.num_rows == 0:
+        return empty
+    tbl = tbl.take(pc.sort_indices(tbl, sort_keys=[("depth", "ascending")]))
+    n = tbl.column("n").to_numpy(zero_copy_only=False)
+    k = tbl.column("n_kept").to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "depth": tbl.column("depth"),
+            "n": pa.array(n, pa.int64()),
+            "n_kept": pa.array(k, pa.int64()),
+            "keep_rate": pa.array(
+                k.astype(np.float64) / n.astype(np.float64), pa.float64()
+            ),
+        }
+    )
+
+
+def _sql_kept_url_depth() -> str:
+    return f"""
+WITH {_sql_gate_flags_ctes().strip()},
+{_sql_bpc_ctes().strip()},
+decisions AS (
+  SELECT f.doc_id,
+    LEAST(CAST(len(regexp_extract_all(
+      regexp_replace(COALESCE(pg.url, ''), '^https?://[^/]*', ''),
+      '/')) AS BIGINT), 8) AS depth,
+    {_sql_keep_expr()} AS keep
+  FROM flags f JOIN bpc p USING (doc_id) JOIN pages pg USING (doc_id)
+)
+SELECT depth, CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
+    / CAST(COUNT(*) AS DOUBLE) AS keep_rate
+FROM decisions GROUP BY depth ORDER BY depth
+"""
+
+
 def q_lang_keep_matrix(sf_dir: str):
     """(lang, detected_lang, n, n_kept, keep_rate): the gate's keep
     decision cross-tabulated by declared × detected language — WHERE
@@ -12630,6 +12717,10 @@ def registry() -> dict[str, tuple]:
         "curate_pack": (q_curate_pack, _sql_curate_pack()),
         "quality_dup_rate": (q_quality_dup_rate, _sql_quality_dup_rate()),
         "code_switch": (q_code_switch, _sql_code_switch()),
+        "kept_url_depth": (
+            q_kept_url_depth,
+            lambda: _sql_kept_url_depth().replace("{pages}", pages_cte()),
+        ),
         "lang_keep_matrix": (
             q_lang_keep_matrix,
             lambda: _sql_lang_keep_matrix().replace(
