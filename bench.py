@@ -657,6 +657,7 @@ BENCH_QUERIES = [
     "dedup_best_survivor",
     "lang_keep_matrix",
     "kept_url_depth",
+    "gate_scrub_stats",
 ]
 
 

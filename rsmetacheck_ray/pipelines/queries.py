@@ -1858,6 +1858,100 @@ _CURATE_TH_NUM, _CURATE_TH_DEN = -4, 5
 _QBIN_EDGES = [(-6, 5), (-4, 5), (-2, 5), (0, 5)]
 
 
+def q_gate_scrub_stats(sf_dir: str):
+    """One row (n_docs, n_scrubbed, chars_in, chars_out,
+    chars_removed, removed_frac): how destructive the scrub pass is —
+    total character mass removed from KEPT documents and how many
+    documents it touched at all. The sanity number to watch when a
+    scrub regex goes feral and starts eating real prose (removed_frac
+    creeping up round over round is the alarm).
+
+    Exactness: all counts are int64 sums of per-doc utf8 lengths;
+    removed_frac is one division. Bounded single-row reduce off the
+    fused gate (write_dropped_text irrelevant — only kept rows have
+    non-null scrubbed text)."""
+    from ray.data.aggregate import Sum as _Sum
+
+    pages = _pages_input(sf_dir).map_batches(
+        synthesize_pages, batch_format="pyarrow"
+    )
+    gated = build_gate(pages, write_dropped_text=True)
+
+    def partial(b: pa.Table) -> pa.Table:
+        keep = b.column("keep").to_numpy(zero_copy_only=False)
+        b = b.filter(pa.array(keep))
+        # chars IN = the extracted text the rules saw; the gate's
+        # output carries n_chars (the extraction-stage count)
+        cin = pc.cast(b.column("n_chars"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        st = b.column("scrubbed_text")
+        if isinstance(st, pa.ChunkedArray):
+            st = st.combine_chunks()
+        cout = pc.utf8_length(pc.fill_null(st, "")).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "n_docs": pa.array([len(b)], pa.int64()),
+                "n_scrubbed": pa.array(
+                    [int((cout < cin).sum())], pa.int64()
+                ),
+                "chars_in": pa.array([int(cin.sum())], pa.int64()),
+                "chars_out": pa.array([int(cout.sum())], pa.int64()),
+            }
+        )
+
+    tot = gated.map_batches(partial, batch_format="pyarrow").aggregate(
+        _Sum("n_docs"), _Sum("n_scrubbed"), _Sum("chars_in"),
+        _Sum("chars_out"),
+    )
+    nd = int(tot["sum(n_docs)"] or 0)
+    ns = int(tot["sum(n_scrubbed)"] or 0)
+    ci = int(tot["sum(chars_in)"] or 0)
+    co = int(tot["sum(chars_out)"] or 0)
+    return pa.table(
+        {
+            "n_docs": pa.array([nd], pa.int64()),
+            "n_scrubbed": pa.array([ns], pa.int64()),
+            "chars_in": pa.array([ci], pa.int64()),
+            "chars_out": pa.array([co], pa.int64()),
+            "chars_removed": pa.array([ci - co], pa.int64()),
+            "removed_frac": pa.array(
+                [float(ci - co) / float(ci) if ci else 0.0], pa.float64()
+            ),
+        }
+    )
+
+
+def _sql_gate_scrub_stats() -> str:
+    return f"""
+WITH {_sql_gate_flags_ctes().strip()},
+{_sql_bpc_ctes().strip()},
+kept AS (
+  SELECT f.doc_id, length(pg.text) AS n_chars,
+    length({_scrub_sql_expr("pg.text")}) AS c_out
+  FROM flags f JOIN bpc p USING (doc_id) JOIN pages pg USING (doc_id)
+  WHERE {_sql_keep_expr()}
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(CASE WHEN c_out < n_chars THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_scrubbed,
+    CAST(SUM(n_chars) AS BIGINT) AS chars_in,
+    CAST(SUM(c_out) AS BIGINT) AS chars_out
+  FROM kept
+)
+SELECT n_docs, n_scrubbed, chars_in, chars_out,
+  CAST(chars_in - chars_out AS BIGINT) AS chars_removed,
+  CASE WHEN chars_in > 0
+       THEN CAST(chars_in - chars_out AS DOUBLE)
+            / CAST(chars_in AS DOUBLE)
+       ELSE 0.0 END AS removed_frac
+FROM agg
+"""
+
+
 def q_kept_url_depth(sf_dir: str):
     """(depth, n, n_kept, keep_rate): gate outcomes by URL path depth
     (segments after the host, capped at 8) — shallow pages are hubs
@@ -12717,6 +12811,12 @@ def registry() -> dict[str, tuple]:
         "curate_pack": (q_curate_pack, _sql_curate_pack()),
         "quality_dup_rate": (q_quality_dup_rate, _sql_quality_dup_rate()),
         "code_switch": (q_code_switch, _sql_code_switch()),
+        "gate_scrub_stats": (
+            q_gate_scrub_stats,
+            lambda: _sql_gate_scrub_stats().replace(
+                "{pages}", pages_cte()
+            ),
+        ),
         "kept_url_depth": (
             q_kept_url_depth,
             lambda: _sql_kept_url_depth().replace("{pages}", pages_cte()),
