@@ -658,6 +658,7 @@ BENCH_QUERIES = [
     "lang_keep_matrix",
     "kept_url_depth",
     "gate_scrub_stats",
+    "top_boilerplate_lines",
 ]
 
 

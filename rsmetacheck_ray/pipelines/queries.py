@@ -1858,6 +1858,138 @@ _CURATE_TH_NUM, _CURATE_TH_DEN = -4, 5
 _QBIN_EDGES = [(-6, 5), (-4, 5), (-2, 5), (0, 5)]
 
 
+_BP_TOP_K = 25
+_BP_MIN_DOCS = 3
+_BP_FOOTER = "\ncookies accepted by continuing\nall rights reserved footer"
+_BP_BANNER = "\nsubscribe to our newsletter today"
+
+
+def q_top_boilerplate_lines(sf_dir: str):
+    """(line, n_docs): the {_BP_TOP_K} exact text LINES appearing in
+    the most distinct documents (≥{_BP_MIN_DOCS} docs) — the table a
+    C4-style boilerplate scrub list is BUILT from (cookie banners,
+    nav footers, share buttons all surface here before anyone writes
+    a regex). Distinct-doc counting (a line repeated inside one page
+    is that page's problem, not boilerplate).
+
+    Plan: per-batch line split + local (line, doc) dedupe →
+    (line-hash-keyed) count shuffle of small rows carrying the line
+    once per batch → global top-k by local prune + one bounded merge.
+    Ties → line ASC, identically in the oracle."""
+    ds = _documents(sf_dir, ["doc_id", "text"])
+
+    def lines(b: pa.Table) -> pa.Table:
+        text = b.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        text = pc.fill_null(text, "")
+        # planted boilerplate (mirrored in the oracle): the synthetic
+        # corpus has no newlines at all, so residue classes append the
+        # footer/banner lines a real crawl drags along — the table
+        # must rediscover exactly these
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        glue = pa.array(
+            np.select(
+                [ids % 3 == 0, ids % 7 == 2],
+                [_BP_FOOTER, _BP_BANNER],
+                "",
+            ),
+            pa.string(),
+        )
+        text = pc.binary_join_element_wise(text, glue, "")
+        split = pc.split_pattern(text, "\n")
+        offs = split.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = split.flatten()
+        doc_idx = np.repeat(
+            np.arange(len(b), dtype=np.int64), np.diff(offs)
+        )
+        vals = flat.to_pylist()
+        seen = set()
+        out_line, out_doc = [], []
+        for d, ln in zip(doc_idx.tolist(), vals):
+            ln = ln.strip(' ')  # DuckDB trim() strips SPACES only
+            if not ln:
+                continue
+            key = (d, ln)
+            if key in seen:
+                continue
+            seen.add(key)
+            out_line.append(ln)
+            out_doc.append(1)
+        t = pa.table(
+            {
+                "line": pa.array(out_line, pa.string()),
+                "n_docs": pa.array(out_doc, pa.int64()),
+            }
+        )
+        g = t.group_by("line").aggregate([("n_docs", "sum")])
+        return g.rename_columns(["line", "n_docs"])
+
+    counted = (
+        ds.map_batches(lines, batch_format="pyarrow")
+        .groupby("line")
+        .sum("n_docs")
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "line": b.column("line"),
+                    "n_docs": pc.cast(
+                        b.column("sum(n_docs)"), pa.int64()
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+    def prune(b: pa.Table) -> pa.Table:
+        n = b.column("n_docs").to_numpy(zero_copy_only=False)
+        keep = n >= _BP_MIN_DOCS
+        b = b.filter(pa.array(keep))
+        if len(b) == 0:
+            return b
+        lines_np = np.array(b.column("line").to_pylist(), dtype=object)
+        nn = b.column("n_docs").to_numpy(zero_copy_only=False)
+        order = sorted(
+            range(len(b)), key=lambda i: (-int(nn[i]), lines_np[i])
+        )[:_BP_TOP_K]
+        take = pa.array(order, pa.int64())
+        return b.take(take)
+
+    return (
+        counted.map_batches(prune, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(prune, batch_format="pyarrow")
+    )
+
+
+def _sql_top_boilerplate_lines() -> str:
+    return f"""
+WITH glued AS (
+  SELECT doc_id,
+    COALESCE(text, '')
+    || CASE WHEN doc_id % 3 = 0 THEN '{_BP_FOOTER}'
+            WHEN doc_id % 7 = 2 THEN '{_BP_BANNER}'
+            ELSE '' END AS text
+  FROM documents
+),
+doc_lines AS (
+  SELECT DISTINCT doc_id, trim(line) AS line FROM (
+    SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+    FROM glued
+  ) WHERE trim(line) <> ''
+),
+counted AS (
+  SELECT line, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM doc_lines GROUP BY line
+)
+SELECT line, n_docs FROM counted
+WHERE n_docs >= {_BP_MIN_DOCS}
+ORDER BY n_docs DESC, line
+LIMIT {_BP_TOP_K}
+"""
+
+
 def q_gate_scrub_stats(sf_dir: str):
     """One row (n_docs, n_scrubbed, chars_in, chars_out,
     chars_removed, removed_frac): how destructive the scrub pass is —
@@ -12811,6 +12943,9 @@ def registry() -> dict[str, tuple]:
         "curate_pack": (q_curate_pack, _sql_curate_pack()),
         "quality_dup_rate": (q_quality_dup_rate, _sql_quality_dup_rate()),
         "code_switch": (q_code_switch, _sql_code_switch()),
+        "top_boilerplate_lines": (
+            q_top_boilerplate_lines, _sql_top_boilerplate_lines()
+        ),
         "gate_scrub_stats": (
             q_gate_scrub_stats,
             lambda: _sql_gate_scrub_stats().replace(
